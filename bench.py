@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query runs once after a warm-up action that triggers JVM + parquet
+footer caching; timing covers plan + execution + result fetch (count or
+small collect), not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from variantcalling_spark.queries import all_queries  # noqa: E402
+from variantcalling_spark.session import get_spark  # noqa: E402
+
+# Representative operator families; updated as coverage widens.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_revenue_forecast",
+    "q09_confusion_matrix",
+    "q12_numeric_histogram",
+    "q19_topk_per_group",
+    "q21_cube_rollup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    spark = get_spark("bench")
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry]
+
+    # Warm-up: touch every input table once (JVM warm, footers cached).
+    for n in names:
+        registry[n].fn(spark, sf_dir).limit(1).count()
+
+    per_query: dict[str, float] = {}
+    for n in names:
+        t0 = time.time()
+        df = registry[n].fn(spark, sf_dir)
+        rows = df.count()
+        per_query[n] = round(time.time() - t0, 3)
+        _ = rows
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+"""Unit tests for the relational core queries (inline-frame style mirrors
+the reference's mock-based tests, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from variantcalling_spark.queries import all_queries
+from variantcalling_spark.sources.tables import TABLES
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def test_registry_nonempty_and_well_formed():
+    qs = all_queries()
+    assert len(qs) >= 20
+    for name, q in qs.items():
+        assert q.fn is not None
+        assert name == q.name
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(all_queries().keys()),
+)
+def test_query_matches_oracle_rowcount(spark, sf_dir, duck, name):
+    """Every query runs; SQL-expressible ones match DuckDB's row count at
+    smoke scale. (Full value-hash equality is covered by
+    tools/check_correctness.py at sf0.01.)"""
+    q = all_queries()[name]
+    sdf = q.fn(spark, sf_dir)
+    n_spark = sdf.count()
+    assert n_spark >= 0
+    if q.oracle:
+        n_duck = len(duck.execute(q.oracle).fetchall())
+        assert n_spark == n_duck
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_qty" in df.columns

@@ -1,0 +1,659 @@
+"""Relational core: scans, filters, projections, joins, aggregations,
+sorts, top-k, set ops (SURVEY.md §2.2, §2.3, §2.4, §2.6, §2.7).
+
+Each query mirrors an operator family of the reference engine
+(Ultimagen/VariantCalling); docstrings cite the reference call site whose
+semantics the query re-expresses over the driver's TPC-H-ish tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from variantcalling_spark.queries import query
+from variantcalling_spark.queries._helpers import cnt, dec, dsum, dsum_col
+from variantcalling_spark.sources import load_table
+
+
+# --------------------------------------------------------------------------
+# Aggregation core
+# --------------------------------------------------------------------------
+@query(
+    "q01_pricing_summary",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(12,2)))
+           * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q01_pricing_summary(spark, sf_dir):
+    """Flagship grouped aggregation (TPC-H Q1 shape).
+
+    Mirrors the reference's multi-measure grouped summaries, e.g. the
+    accuracy-metric aggregation `ugvc/reports/report_utils.py:449-468` and
+    histogram concat+groupby `ugvc/pipelines/coverage_analysis.py:491-520`:
+    one wide scan -> partial (map-side) aggregation per group -> final agg.
+    Filter + column pruning push down to the parquet scan; sums run in
+    DECIMAL for order-independent exactness at any partition count.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    charge = disc_price * (F.lit(1) + dec("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-06-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum_col("l_quantity", "sum_qty"),
+            dsum_col("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            cnt("count_order"),
+        )
+    )
+
+
+@query(
+    "q06_revenue_forecast",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q06_revenue_forecast(spark, sf_dir):
+    """Selective conjunctive filter + global aggregate (TPC-H Q6 shape).
+
+    The reference's manual scan-level predicates (bcftools `-i`
+    expressions, samtools `-q/-Q`: `correct_genotypes_by_imputation.py:
+    141-148`, `coverage_analysis.py:362-384`) become Catalyst predicate
+    pushdown: all four predicates reach the parquet reader.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(dec("l_extendedprice") * dec("l_discount"), "revenue"))
+    )
+
+
+@query(
+    "q20_value_counts",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q20_value_counts(spark, sf_dir):
+    """value_counts: `sv_stats_collect.py:45-46,203-205` (SV type counts)."""
+    return load_table(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(cnt("n"))
+
+
+@query(
+    "q15_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def q15_distinct(spark, sf_dir):
+    """distinct: unique variant types `run_no_gt_report.py:81`."""
+    return load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "q21_cube_rollup",
+    oracle="""
+SELECT
+  COALESCE(l_returnflag, 'ALL') AS returnflag,
+  COALESCE(l_linestatus, 'ALL') AS linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q21_cube_rollup(spark, sf_dir):
+    """Multi-level summary in one pass via CUBE.
+
+    The reference loops filtered aggregations per category
+    (`report_utils.py:206-222`, `sv_stats_collect.py:176-202`); grouping
+    sets produce the same result lattice in a single shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(dsum_col("l_quantity", "sum_qty"), cnt("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@query(
+    "q10_pivot_fixed_domain",
+    oracle="""
+SELECT
+  l_returnflag,
+  COUNT(*) FILTER (WHERE l_linestatus = 'O') AS cnt_open,
+  COUNT(*) FILTER (WHERE l_linestatus = 'F') AS cnt_filled,
+  CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'O'), 0) AS DOUBLE) AS qty_open,
+  CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'F'), 0) AS DOUBLE) AS qty_filled
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q10_pivot_fixed_domain(spark, sf_dir):
+    """Fixed-domain pivot to a wide matrix.
+
+    Mirrors `groupby([...]).size().unstack()` + reindex-to-fixed-labels
+    (`sv_stats_collect.py:48-52`, motif matrix `run_no_gt_report.py:
+    145-171`). Explicit pivot values keep the plan single-pass (no extra
+    job to discover the domain) — exactly the reference's fixed label set.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(cnt("cnt"), F.coalesce(F.sum(dec("l_quantity")), F.lit(0)).cast("double").alias("qty"))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.coalesce("O_cnt", F.lit(0)).alias("cnt_open"),
+        F.coalesce("F_cnt", F.lit(0)).alias("cnt_filled"),
+        F.col("O_qty").alias("qty_open"),
+        F.col("F_qty").alias("qty_filled"),
+    )
+
+
+@query(
+    "q09_confusion_matrix",
+    oracle="""
+WITH classified AS (
+  SELECT CASE
+           WHEN l_returnflag = 'N' AND l_linestatus = 'O' THEN 'tp'
+           WHEN l_returnflag = 'R' THEN 'fp'
+           ELSE 'fn'
+         END AS classify,
+         l_quantity
+  FROM lineitem
+)
+SELECT
+  COUNT(*) FILTER (WHERE classify = 'tp') AS tp,
+  COUNT(*) FILTER (WHERE classify = 'fp') AS fp,
+  COUNT(*) FILTER (WHERE classify = 'fn') AS fn,
+  ROUND(COUNT(*) FILTER (WHERE classify = 'tp')
+        / CAST(COUNT(*) FILTER (WHERE classify = 'tp')
+               + COUNT(*) FILTER (WHERE classify = 'fp') AS DOUBLE), 6) AS precision,
+  ROUND(COUNT(*) FILTER (WHERE classify = 'tp')
+        / CAST(COUNT(*) FILTER (WHERE classify = 'tp')
+               + COUNT(*) FILTER (WHERE classify = 'fn') AS DOUBLE), 6) AS recall
+FROM classified
+""",
+)
+def q09_confusion_matrix(spark, sf_dir):
+    """Confusion-matrix aggregate + precision/recall scalars.
+
+    Re-expresses `report_utils.py:449-468` (tp/fp/fn counts under filter
+    conditions) and the scalar kernels `ugvc/utils/stats_utils.py:76-138`
+    as a single `sum(when(...))` pass — no per-category loop, one shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    classify = (
+        F.when((F.col("l_returnflag") == "N") & (F.col("l_linestatus") == "O"), "tp")
+        .when(F.col("l_returnflag") == "R", "fp")
+        .otherwise("fn")
+    )
+    agg = li.select(classify.alias("classify")).agg(
+        F.count(F.when(F.col("classify") == "tp", 1)).alias("tp"),
+        F.count(F.when(F.col("classify") == "fp", 1)).alias("fp"),
+        F.count(F.when(F.col("classify") == "fn", 1)).alias("fn"),
+    )
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")).cast("double"), 6).alias("precision"),
+        F.round(F.col("tp") / (F.col("tp") + F.col("fn")).cast("double"), 6).alias("recall"),
+    )
+
+
+@query(
+    "q11_binning_ladder",
+    oracle="""
+SELECT CASE
+         WHEN o_totalprice < 50000 THEN '0-50k'
+         WHEN o_totalprice < 100000 THEN '50k-100k'
+         WHEN o_totalprice < 200000 THEN '100k-200k'
+         WHEN o_totalprice < 400000 THEN '200k-400k'
+         ELSE '400k+'
+       END AS price_bin,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY 1
+""",
+)
+def q11_binning_ladder(spark, sf_dir):
+    """Fixed-width binning ladder (pd.cut with labeled bins).
+
+    Mirrors `pd.cut(abs(svlen), bins=SVBINS, labels=SVLABELS)`
+    (`sv_stats_collect.py:12-13,39-44`), pinned by
+    `test/unit/reports/test_sv_stats_collect.py:63-111`: a CASE WHEN
+    ladder evaluated inside whole-stage codegen.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bin_col = (
+        F.when(F.col("o_totalprice") < 50000, "0-50k")
+        .when(F.col("o_totalprice") < 100000, "50k-100k")
+        .when(F.col("o_totalprice") < 200000, "100k-200k")
+        .when(F.col("o_totalprice") < 400000, "200k-400k")
+        .otherwise("400k+")
+    )
+    return (
+        orders.groupBy(bin_col.alias("price_bin"))
+        .agg(cnt("n"), dsum_col("o_totalprice", "total"))
+    )
+
+
+@query(
+    "q12_numeric_histogram",
+    oracle="""
+SELECT event_type,
+       CAST(FLOOR(value / 20.0) AS BIGINT) AS bin,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type, CAST(FLOOR(value / 20.0) AS BIGINT)
+-- (events.ts is nanosecond-precision; Spark side reads it as int64 ns)
+""",
+)
+def q12_numeric_histogram(spark, sf_dir):
+    """Fixed-bin numeric histogram per group.
+
+    Mirrors `np.histogram(af, bins=linspace(0,1,101))` per variant_type
+    (`run_no_gt_report.py:72-87`, pinned `test_run_no_gt_report.py:15-28`)
+    and the depth histogram `coverage_analysis.py:491-520`: binning is a
+    scalar floor expression + groupBy count (map-side partial agg).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / F.lit(20.0)).cast("bigint").alias("bin"),
+        )
+        .agg(cnt("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+@query(
+    "q03_shipping_priority",
+    oracle="""
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+       CAST(o.o_orderdate AS DATE) AS o_date,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q03_shipping_priority(spark, sf_dir):
+    """Multi-table equi-join + grouped agg + deterministic top-k.
+
+    The join pattern mirrors the callset<->truth hit join
+    (`variant_hit_fraction_caller.py:40`, inner equi-join on composite
+    key) composed with grouped aggregation. Catalyst picks broadcast for
+    the filtered customer side; ties broken by key for stable top-k
+    (reference `head -{max_vars}` `training_set_consistency_check.py:69`).
+    """
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_date"), "o_orderpriority")
+        .agg(dsum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", "o_date", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q05_local_supplier_volume",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name IN ('AMERICA', 'ASIA')
+GROUP BY n.n_name
+""",
+)
+def q05_local_supplier_volume(spark, sf_dir):
+    """Star-schema join chain with broadcast dimensions (TPC-H Q5 shape).
+
+    Mirrors the reference keeping small lookup tables in memory
+    (region lists `convert_haploid_regions.py:79-96`, centromere dfs
+    `coverage_analysis.py:1082-1104`) — here made explicit with
+    `broadcast()`: the fact table never shuffles for dimension joins,
+    which is the 100 TB-critical property.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name").isin("AMERICA", "ASIA"))
+    dim = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), "revenue"))
+    )
+
+
+@query(
+    "q04_order_priority_semijoin",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+  )
+GROUP BY o_orderpriority
+""",
+)
+def q04_order_priority_semijoin(spark, sf_dir):
+    """Left-semi join (EXISTS) + count per category.
+
+    Mirrors `bedtools intersect -u` semantics — emit the left row once if
+    any match exists (`lpr/train_lib_prep_recalibration_model.py:112`) —
+    as a `left_semi` join: no row duplication, no distinct needed.
+    """
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(cnt("order_count"))
+    )
+
+
+@query(
+    "q07_customers_without_orders",
+    oracle="""
+SELECT c.c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+ANTI JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def q07_customers_without_orders(spark, sf_dir):
+    """Left-anti join (NOT EXISTS / complement).
+
+    Mirrors `bcftools isec -C` complement sets (`vcfeval_flavors.py:
+    136-143`) and `bedtools subtract` (`create_somatic_gt_file.py:
+    274-284`): rows of the left with no key match on the right.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(cnt("n_customers"))
+    )
+
+
+@query(
+    "q08_two_granularity_match",
+    oracle="""
+WITH a AS (SELECT DISTINCT l_orderkey, l_partkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+     b AS (SELECT DISTINCT l_orderkey, l_partkey, l_suppkey FROM lineitem WHERE l_returnflag = 'A')
+SELECT
+  (SELECT COUNT(*) FROM a JOIN b USING (l_orderkey, l_partkey, l_suppkey)) AS exact_match,
+  (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey FROM a INTERSECT SELECT DISTINCT l_orderkey FROM b)) AS position_match
+""",
+)
+def q08_two_granularity_match(spark, sf_dir):
+    """Two-granularity set matching (exact-allele vs position-only).
+
+    Mirrors `bcftools isec -c none` (match on (chrom,pos,ref,alt)) vs
+    `-c all` (match on (chrom,pos)) — `create_somatic_gt_file.py:76-126`:
+    the same pair of tables intersected at two key granularities.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_partkey", "l_suppkey").distinct()
+    b = li.where(F.col("l_returnflag") == "A").select("l_orderkey", "l_partkey", "l_suppkey").distinct()
+    exact = a.join(b, ["l_orderkey", "l_partkey", "l_suppkey"]).agg(cnt("exact_match"))
+    pos = (
+        a.select("l_orderkey")
+        .intersect(b.select("l_orderkey"))
+        .agg(cnt("position_match"))
+    )
+    return exact.crossJoin(pos)
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+@query(
+    "q16_set_intersect",
+    oracle="""
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+""",
+)
+def q16_set_intersect(spark, sf_dir):
+    """INTERSECT by key: `bcftools isec` shared sets (`create_somatic_gt_file.py:76-126`)."""
+    o = load_table(spark, sf_dir, "orders")
+    y97 = o.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    y98 = o.where(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    return y97.intersect(y98)
+
+
+@query(
+    "q17_set_except",
+    oracle="""
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+EXCEPT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+""",
+)
+def q17_set_except(spark, sf_dir):
+    """EXCEPT: private-set complement (`bcftools isec -C`, `vcfeval_flavors.py:136-143`)."""
+    o = load_table(spark, sf_dir, "orders")
+    y97 = o.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    y98 = o.where(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    return y97.subtract(y98)
+
+
+@query(
+    "q18_union_concat",
+    oracle="""
+SELECT src, COUNT(*) AS n FROM (
+  SELECT 'hi' AS src, l_orderkey FROM lineitem WHERE l_quantity >= 45
+  UNION ALL
+  SELECT 'lo' AS src, l_orderkey FROM lineitem WHERE l_quantity <= 5
+)
+GROUP BY src
+""",
+)
+def q18_union_concat(spark, sf_dir):
+    """UNION ALL row concat: `pd.concat` of per-region frames (`coverage_analysis.py:492-504`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hi = li.where(F.col("l_quantity") >= 45).select(F.lit("hi").alias("src"), "l_orderkey")
+    lo = li.where(F.col("l_quantity") <= 5).select(F.lit("lo").alias("src"), "l_orderkey")
+    return hi.unionByName(lo).groupBy("src").agg(cnt("n"))
+
+
+# --------------------------------------------------------------------------
+# Filters / projections / null handling
+# --------------------------------------------------------------------------
+@query(
+    "q02_filter_projection",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE (l_returnflag = 'A' OR l_returnflag = 'N')
+  AND l_linestatus = 'F'
+  AND l_quantity BETWEEN 10 AND 12
+""",
+)
+def q02_filter_projection(spark, sf_dir):
+    """Compound boolean-mask filter + column projection.
+
+    Mirrors the PASS-filter string predicates
+    (`df.query("(filter=='PASS') | (filter=='')")`,
+    `sv_stats_collect.py:37`) and fixed projection lists
+    (`report_data_loader.py:66-104`). Both the disjunctive predicate and
+    the 4-column ReadSchema push down to the parquet scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        ((F.col("l_returnflag") == "A") | (F.col("l_returnflag") == "N"))
+        & (F.col("l_linestatus") == "F")
+        & F.col("l_quantity").between(10, 12)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@query(
+    "q22_null_defaulting",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+       ROUND(CAST(SUM(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS frac_big
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q22_null_defaulting(spark, sf_dir):
+    """Conditional column + safe ratio (np.where / safe_divide).
+
+    Mirrors `np.where(cond, a, b)` (`denovo_refinement.py:56-58`) and
+    `safe_divide` (`ugvc/utils/math_utils.py:9-28`) as `when().otherwise()`
+    expressions inside one aggregation.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    big = F.when(F.col("o_totalprice") > 300000, 1).otherwise(0)
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(cnt("n"), F.sum(big).cast("bigint").alias("n_big"))
+        .select(
+            "o_orderstatus",
+            "n",
+            "n_big",
+            F.round(F.col("n_big").cast("double") / F.col("n"), 6).alias("frac_big"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / top-k
+# --------------------------------------------------------------------------
+@query(
+    "q19_topk_per_group",
+    oracle="""
+SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+         ) AS rn
+  FROM lineitem
+)
+WHERE rn <= 3
+""",
+)
+def q19_topk_per_group(spark, sf_dir):
+    """Deterministic top-k per stratum via ranked window.
+
+    Mirrors the per-(length,nuc) stratified sampling `collect_hpol_table.
+    py:105-115` and best-match argmax `quick_fingerprinter.py:114-118`;
+    full key tie-break makes the result reproducible across partitionings.
+    """
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
