@@ -1,0 +1,148 @@
+"""Interval (range) join operators.
+
+The reference engine does every genomic interval operation by shelling out
+to bedtools/bcftools (`bedtools intersect` `ugvc/pipelines/coverage_analysis.py:732-738`,
+`quick_fingerprinter.py:57-58`; `bedtools subtract`
+`create_somatic_gt_file.py:273-292`) or by linear per-record scans
+(`in_regions` `convert_haploid_regions.py:26-35`). Here they are Spark
+DataFrame patterns with two physical strategies:
+
+- **broadcast**: annotation interval sets (LCR / exome / mappability BEDs)
+  are small; broadcast them and let the range predicate evaluate inside
+  whole-stage codegen. The big side never shuffles. This is the default.
+
+- **bucketed**: for large x large interval joins a naive range join is
+  O(n*m) (Spark falls back to BroadcastNestedLoopJoin). Mapping both
+  sides to fixed-width buckets turns it into an equi-join on
+  (group, bucket) + residual refine — a shuffle hash/sort-merge join that
+  scales linearly and partitions evenly at 100 TB. A point lands in
+  exactly one bucket, so each (point, interval) pair is produced at most
+  once: no post-join dedup is needed.
+
+Conventions: intervals are half-open [start, end) like BED; ``keys`` are
+the equi-join columns (e.g. ["chrom"]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _overlap_cond(point: Column, start: Column, end: Column) -> Column:
+    return (point >= start) & (point < end)
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    keys: list[str] | None = None,
+    start_col: str = "start",
+    end_col: str = "end",
+    how: str = "inner",
+    broadcast_intervals: bool = True,
+) -> DataFrame:
+    """Join point rows to the intervals containing them.
+
+    ``how``: "inner" (annotate, duplicating points in overlapping
+    intervals — `bedtools intersect -wa -wb`), "left_semi"
+    (`bedtools intersect -u`), "left_anti" (`bedtools subtract` for
+    points / `bcftools isec -C`).
+    """
+    keys = keys or []
+    iv = F.broadcast(intervals) if broadcast_intervals else intervals
+    cond = _overlap_cond(points[point_col], iv[start_col], iv[end_col])
+    for k in keys:
+        cond = cond & (points[k] == iv[k])
+    joined = points.join(iv, cond, how)
+    if how in ("left_semi", "left_anti"):
+        return joined
+    # drop duplicated key columns from the interval side
+    return joined.drop(*[iv[k] for k in keys])
+
+
+def bucketed_point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    bucket_width: int,
+    keys: list[str] | None = None,
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Large x large point-in-interval join via fixed-width bucketing.
+
+    Each interval explodes to the buckets it spans
+    (`sequence(floor(start/B), floor((end-1)/B))`); each point maps to its
+    single bucket; the equi-join on (keys..., bucket) shuffle-partitions
+    both sides evenly, then the exact range predicate refines. Interval
+    explosion factor = avg_interval_len / B + 1, so pick B near the median
+    interval length.
+    """
+    keys = keys or []
+    # integer DIV, not float division: genomic/ns positions can exceed 2^53
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"{start_col} DIV {bucket_width}"),
+                F.expr(f"({end_col} - 1) DIV {bucket_width}"),
+            )
+        ),
+    )
+    pts = points.withColumn("__bucket", F.expr(f"{point_col} DIV {bucket_width}"))
+    cond = pts["__bucket"] == iv["__bucket"]
+    for k in keys:
+        cond = cond & (pts[k] == iv[k])
+    cond = cond & _overlap_cond(pts[point_col], iv[start_col], iv[end_col])
+    return pts.join(iv, cond, "inner").drop(iv["__bucket"]).drop(
+        *[iv[k] for k in keys]
+    ).drop("__bucket")
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str] | None = None,
+    start_col: str = "start",
+    end_col: str = "end",
+    broadcast_b: bool = True,
+    suffix: str = "_b",
+) -> DataFrame:
+    """Interval x interval overlap join producing intersection segments.
+
+    Re-expresses `intersect_bed_files` (`vcfeval_flavors.py:108-112`) and
+    interval-dictionary intersection (`training_set_consistency_check.py:
+    106-109`): overlap iff a.start < b.end AND b.start < a.end; the
+    intersection segment is [greatest(starts), least(ends)).
+    """
+    keys = keys or []
+    bb = b.select(
+        *keys,
+        F.col(start_col).alias(f"{start_col}{suffix}"),
+        F.col(end_col).alias(f"{end_col}{suffix}"),
+        *[c for c in b.columns if c not in keys + [start_col, end_col]],
+    )
+    bb = F.broadcast(bb) if broadcast_b else bb
+    cond = (a[start_col] < bb[f"{end_col}{suffix}"]) & (
+        bb[f"{start_col}{suffix}"] < a[end_col]
+    )
+    for k in keys:
+        cond = cond & (a[k] == bb[k])
+    out = a.join(bb, cond, "inner")
+    out = out.withColumn(
+        "overlap_start", F.greatest(a[start_col], bb[f"{start_col}{suffix}"])
+    ).withColumn("overlap_end", F.least(a[end_col], bb[f"{end_col}{suffix}"]))
+    return out.drop(*[bb[k] for k in keys])
+
+
+def count_bases(intervals: DataFrame, group_cols: list[str] | None = None,
+                start_col: str = "start", end_col: str = "end") -> DataFrame:
+    """Total covered length Σ(end-start) — `count_bases_in_bed_file`
+    (call `run_no_gt_report.py:281`, pinned `test_gvcf_bed.py:19-20`).
+    Assumes non-overlapping (merged) intervals, like the reference."""
+    agg = F.sum(F.col(end_col) - F.col(start_col)).alias("n_bases")
+    if group_cols:
+        return intervals.groupBy(*group_cols).agg(agg)
+    return intervals.agg(agg)

@@ -1,1 +1,333 @@
-"""Placeholder — populated in later milestones."""
+"""Interval / range-join query family (SURVEY.md §2.3 interval joins).
+
+The genomic pattern: points (variants / depth rows) vs interval tables
+(annotation BEDs), intervals vs intervals, subtraction, covered-bases.
+Here the "genome" axis is the events table's int64-nanosecond timeline and
+the "contig" equi-key is ``user_id % 5``; interval tables are generated
+deterministically on both engines (Spark ``range`` / DuckDB
+``generate_series``), standing in for annotation BED files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from variantcalling_spark.operators.interval_join import (
+    bucketed_point_in_interval_join,
+    count_bases,
+    interval_overlap_join,
+    point_in_interval_join,
+)
+from variantcalling_spark.queries import query
+from variantcalling_spark.queries._helpers import cnt, dec
+from variantcalling_spark.sources import load_table
+
+EPOCH0 = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in us
+HOUR = 3_600_000_000
+MIN10 = 600_000_000
+
+# SQL fragments for the generated interval families (DuckDB side).
+SQL_IV_A = f"""
+  SELECT i AS iv_id,
+         {EPOCH0} + i * {3 * HOUR} AS start_us,
+         {EPOCH0} + i * {3 * HOUR} + {2 * HOUR} AS end_us,
+         i % 5 AS grp,
+         'cat' || CAST(i % 4 AS VARCHAR) AS category
+  FROM generate_series(0, 239) t(i)
+"""
+
+SQL_IV_B = f"""
+  SELECT i AS iv_id_b,
+         {EPOCH0} + i * {45 * MIN10} AS start_us,
+         {EPOCH0} + i * {45 * MIN10} + {3 * HOUR} AS end_us,
+         i % 5 AS grp,
+         'fam' || CAST(i % 3 AS VARCHAR) AS category_b
+  FROM generate_series(0, 159) t(i)
+"""
+
+SQL_IV_C = f"""
+  SELECT i AS iv_id,
+         {EPOCH0} + i * {MIN10} AS start_us,
+         {EPOCH0} + i * {MIN10} + {45 * MIN10 // 10} AS end_us,
+         i % 5 AS grp,
+         'cat' || CAST(i % 4 AS VARCHAR) AS category
+  FROM generate_series(0, 3999) t(i)
+"""
+
+
+def intervals_a(spark):
+    """240 non-overlapping 2h intervals, 3h spacing — annotation-BED analog."""
+    i = F.col("id")
+    return spark.range(240).select(
+        i.alias("iv_id"),
+        (F.lit(EPOCH0) + i * (3 * HOUR)).alias("start_us"),
+        (F.lit(EPOCH0) + i * (3 * HOUR) + 2 * HOUR).alias("end_us"),
+        (i % 5).alias("grp"),
+        F.concat(F.lit("cat"), (i % 4).cast("string")).alias("category"),
+    )
+
+
+def intervals_b(spark):
+    """160 overlapping 3h intervals, 7.5h spacing — second annotation family."""
+    i = F.col("id")
+    return spark.range(160).select(
+        i.alias("iv_id_b"),
+        (F.lit(EPOCH0) + i * (45 * MIN10)).alias("start_us"),
+        (F.lit(EPOCH0) + i * (45 * MIN10) + 3 * HOUR).alias("end_us"),
+        (i % 5).alias("grp"),
+        F.concat(F.lit("fam"), (i % 3).cast("string")).alias("category_b"),
+    )
+
+
+def intervals_c(spark):
+    """4000 dense 45-min intervals, 10-min spacing — 'large' interval side."""
+    i = F.col("id")
+    return spark.range(4000).select(
+        i.alias("iv_id"),
+        (F.lit(EPOCH0) + i * MIN10).alias("start_us"),
+        (F.lit(EPOCH0) + i * MIN10 + 45 * MIN10 // 10).alias("end_us"),
+        (i % 5).alias("grp"),
+        F.concat(F.lit("cat"), (i % 4).cast("string")).alias("category"),
+    )
+
+
+def events_points(spark, sf_dir):
+    # microseconds (integer DIV — ts exceeds 2^53, float division would lose
+    # precision): the common exact timestamp unit of Spark and DuckDB.
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn("grp", F.col("user_id") % 5).withColumn(
+        "ts_us", F.expr("ts_ns DIV 1000")
+    )
+
+
+@query(
+    "q30_point_in_interval",
+    oracle=f"""
+WITH iv AS ({SQL_IV_A}),
+ev AS (SELECT epoch_us(ts) AS ts_us, user_id % 5 AS grp, value FROM events)
+SELECT iv.category,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ev.value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+FROM ev JOIN iv
+  ON ev.grp = iv.grp AND ev.ts_us >= iv.start_us AND ev.ts_us < iv.end_us
+GROUP BY iv.category
+""",
+)
+def q30_point_in_interval(spark, sf_dir):
+    """Point-in-interval annotate join (broadcast strategy).
+
+    Re-expresses `bedtools intersect -a depth -b annotation`
+    (`coverage_analysis.py:732-738`): each point joins the broadcast
+    interval table on (contig, pos in [start,end)), then aggregates per
+    annotation category. The fact side never shuffles — the plan is
+    scan -> broadcast hash join -> partial agg -> final agg, which holds
+    at any fact-table scale.
+    """
+    ev = events_points(spark, sf_dir).select("ts_us", "grp", "value")
+    iv = intervals_a(spark)
+    joined = point_in_interval_join(ev, iv, "ts_us", keys=["grp"], start_col="start_us", end_col="end_us")
+    return joined.groupBy("category").agg(
+        cnt("n"), F.sum(dec("value")).cast("double").alias("value_sum")
+    )
+
+
+@query(
+    "q31_interval_semi_join",
+    oracle=f"""
+WITH iv AS ({SQL_IV_A}),
+ev AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us, user_id % 5 AS grp FROM events)
+SELECT event_type, COUNT(*) AS n_in_intervals
+FROM ev
+WHERE EXISTS (
+  SELECT 1 FROM iv
+  WHERE ev.grp = iv.grp AND ev.ts_us >= iv.start_us AND ev.ts_us < iv.end_us
+)
+GROUP BY event_type
+""",
+)
+def q31_interval_semi_join(spark, sf_dir):
+    """Interval semi-join: emit each point once if ANY interval covers it.
+
+    `bedtools intersect -u -wa` semantics (`lpr/train_lib_prep_
+    recalibration_model.py:112`, `quick_fingerprinter.py:57-58`) as a
+    `left_semi` broadcast range join — no duplication, no distinct.
+    """
+    ev = events_points(spark, sf_dir).select("event_id", "event_type", "ts_us", "grp")
+    iv = intervals_a(spark)
+    hit = point_in_interval_join(ev, iv, "ts_us", keys=["grp"], how="left_semi", start_col="start_us", end_col="end_us")
+    return hit.groupBy("event_type").agg(cnt("n_in_intervals"))
+
+
+@query(
+    "q32_interval_anti_join",
+    oracle=f"""
+WITH iv AS ({SQL_IV_A}),
+ev AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us, user_id % 5 AS grp, value FROM events)
+SELECT event_type,
+       COUNT(*) AS n_outside,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+FROM ev
+WHERE NOT EXISTS (
+  SELECT 1 FROM iv
+  WHERE ev.grp = iv.grp AND ev.ts_us >= iv.start_us AND ev.ts_us < iv.end_us
+)
+GROUP BY event_type
+""",
+)
+def q32_interval_anti_join(spark, sf_dir):
+    """Interval anti-join: points covered by NO interval.
+
+    `bedtools subtract -a cmp -b problematic` (`create_somatic_gt_file.py:
+    273-292`) / `bcftools isec -C` complement (`vcfeval_flavors.py:
+    136-143`) as a `left_anti` broadcast range join.
+    """
+    ev = events_points(spark, sf_dir).select("event_id", "event_type", "ts_us", "grp", "value")
+    iv = intervals_a(spark)
+    out = point_in_interval_join(ev, iv, "ts_us", keys=["grp"], how="left_anti", start_col="start_us", end_col="end_us")
+    return out.groupBy("event_type").agg(
+        cnt("n_outside"), F.sum(dec("value")).cast("double").alias("value_sum")
+    )
+
+
+@query(
+    "q33_interval_intersect",
+    oracle=f"""
+WITH a AS ({SQL_IV_A}), b AS ({SQL_IV_B})
+SELECT a.category,
+       b.category_b,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(LEAST(a.end_us, b.end_us) - GREATEST(a.start_us, b.start_us)) AS BIGINT) AS overlap_us
+FROM a JOIN b
+  ON a.grp = b.grp AND a.start_us < b.end_us AND b.start_us < a.end_us
+GROUP BY a.category, b.category_b
+""",
+)
+def q33_interval_intersect(spark, sf_dir):
+    """Interval ∩ interval with overlap-segment arithmetic.
+
+    `intersect_bed_files` (`vcfeval_flavors.py:108-112`) /
+    `training_set_consistency_check.py:106-109`: overlap pairs via range
+    join, intersection segment = [greatest(starts), least(ends)).
+    """
+    a = intervals_a(spark)
+    b = intervals_b(spark)
+    ov = interval_overlap_join(a, b, keys=["grp"], start_col="start_us", end_col="end_us")
+    return ov.groupBy("category", "category_b").agg(
+        cnt("n_pairs"),
+        F.sum(F.col("overlap_end") - F.col("overlap_start")).alias("overlap_us"),
+    )
+
+
+@query(
+    "q34_bucketed_range_join",
+    oracle=f"""
+WITH iv AS ({SQL_IV_C}),
+ev AS (SELECT epoch_us(ts) AS ts_us, user_id % 5 AS grp, value FROM events)
+SELECT iv.category,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ev.value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+FROM ev JOIN iv
+  ON ev.grp = iv.grp AND ev.ts_us >= iv.start_us AND ev.ts_us < iv.end_us
+GROUP BY iv.category
+""",
+)
+def q34_bucketed_range_join(spark, sf_dir):
+    """Large x large range join via fixed-width bucketing (the scale path).
+
+    Same point-in-interval semantics as q30, but executed as an equi-join
+    on (grp, floor(pos/B)) with interval explosion to spanned buckets and
+    a residual range refine — a shuffle hash join that partitions evenly,
+    instead of the O(n*m) nested-loop a naive large x large range join
+    degenerates to. This is the strategy SURVEY.md §4 requires for
+    large interval x interval workloads at 100 TB.
+    """
+    ev = events_points(spark, sf_dir).select("ts_us", "grp", "value")
+    iv = intervals_c(spark)
+    joined = bucketed_point_in_interval_join(
+        ev, iv, "ts_us", bucket_width=HOUR, keys=["grp"],
+        start_col="start_us", end_col="end_us",
+    )
+    return joined.groupBy("category").agg(
+        cnt("n"), F.sum(dec("value")).cast("double").alias("value_sum")
+    )
+
+
+@query(
+    "q35_count_bases",
+    oracle=f"""
+WITH iv AS ({SQL_IV_A})
+SELECT category, CAST(SUM(end_us - start_us) AS BIGINT) AS covered_us, COUNT(*) AS n_intervals
+FROM iv GROUP BY category
+""",
+)
+def q35_count_bases(spark, sf_dir):
+    """Covered-length aggregate: Σ(end-start) per annotation category.
+
+    `count_bases_in_bed_file` (`run_no_gt_report.py:281`, pinned
+    `test/unit/joint/test_gvcf_bed.py:19-20`).
+    """
+    iv = intervals_a(spark)
+    return count_bases(iv, group_cols=["category"], start_col="start_us", end_col="end_us").withColumnsRenamed(
+        {"n_bases": "covered_us"}
+    ).join(
+        iv.groupBy("category").agg(cnt("n_intervals")), "category"
+    )
+
+
+@query(
+    "q36_asof_join",
+    oracle="""
+WITH ev AS (
+  -- microseconds: DuckDB truncates nanosecond parquet timestamps to us,
+  -- so us is the common exact unit for OUTPUT columns on both engines
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type IN ('signup', 'purchase')
+),
+tagged AS (
+  SELECT event_id, user_id, event_type, ts_us,
+         last_value(CASE WHEN event_type = 'signup' THEN ts_us END IGNORE NULLS)
+           OVER (PARTITION BY user_id
+                 ORDER BY ts_us, CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_us
+  FROM ev
+)
+SELECT event_id, user_id, ts_us, last_signup_us,
+       ts_us - last_signup_us AS lag_us
+FROM tagged WHERE event_type = 'purchase'
+""",
+)
+def q36_asof_join(spark, sf_dir):
+    """As-of (most-recent-prior) join — purchases matched to the latest
+    preceding signup of the same user.
+
+    The reference has no temporal as-of, but this is the canonical custom
+    operator Spark lacks natively (guide §"As-of / range join"):
+    implemented as union-tag + running `last(ignorenulls)` window — one
+    shuffle on (user), no nested loop; equal-timestamp ties resolve
+    signup-before-purchase on both engines.
+    """
+    from pyspark.sql import Window as W
+
+    ev = (
+        events_points(spark, sf_dir)
+        .where(F.col("event_type").isin("signup", "purchase"))
+        .select("event_id", "user_id", "event_type", "ts_us")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", F.when(F.col("event_type") == "signup", 0).otherwise(1))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tagged = ev.withColumn(
+        "last_signup_us",
+        F.last(
+            F.when(F.col("event_type") == "signup", F.col("ts_us")), ignorenulls=True
+        ).over(w),
+    )
+    return tagged.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "last_signup_us",
+        (F.col("ts_us") - F.col("last_signup_us")).alias("lag_us"),
+    )
