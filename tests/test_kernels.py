@@ -1,0 +1,171 @@
+"""Count-invariant + golden tests for the stateful genomic kernels,
+mirroring the reference's test strategy (SURVEY.md §5: pinned counts
+4438->1184 for compress, 17-removed for cleanup, on its own fixtures)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from variantcalling_spark.operators.kernels import (
+    compress_gvcf_blocks,
+    overlap_buffer_filter,
+)
+
+
+def _gvcf_rows():
+    # chrom, pos, stop, filter, gq, min_dp, dp, pl
+    return [
+        # c1: run of near-constant GQ RefCalls -> one block
+        ("c1", 100, 199, "RefCall", 40, 30, 35, [0, 60, 90]),
+        ("c1", 200, 299, "RefCall", 43, 28, 33, [0, 55, 95]),
+        ("c1", 300, 399, "RefCall", 38, 31, 36, [0, 58, 80]),
+        # GQ jump >= 10 breaks the block
+        ("c1", 400, 499, "RefCall", 55, 29, 34, [0, 70, 99]),
+        # PASS flushes and is emitted as-is
+        ("c1", 500, 501, "PASS", 50, None, 40, [50, 0, 80]),
+        # low-GQ RefCall (< 22) emitted unmerged
+        ("c1", 600, 699, "RefCall", 10, 20, 25, [0, 20, 30]),
+        # new mergeable run
+        ("c1", 700, 799, "RefCall", 30, 22, 27, [0, 40, 70]),
+        ("c1", 800, 899, "RefCall", 33, 21, 26, [0, 42, 65]),
+        # c2: chrom boundary must flush independently
+        ("c2", 100, 199, "RefCall", 30, 10, 15, [0, 30, 60]),
+        ("c2", 200, 299, "RefCall", 31, 12, 14, [0, 33, 55]),
+    ]
+
+
+GVCF_SCHEMA = (
+    "chrom string, pos long, stop long, filter string, gq int, "
+    "min_dp int, dp int, pl array<int>"
+)
+
+
+def test_compress_gvcf_blocks(spark):
+    df = spark.createDataFrame(_gvcf_rows(), GVCF_SCHEMA)
+    out = compress_gvcf_blocks(df, refcall_gq_threshold=22, merge_gq_threshold=10)
+    rows = {(r.chrom, r.pos): r for r in out.collect()}
+    # 10 input records -> 6 output blocks (3.75x-style compression shape)
+    assert len(rows) == 6
+    blk = rows[("c1", 100)]
+    assert blk.stop == 399 and blk.n_merged == 3
+    assert blk.gq == 38  # min GQ of the block
+    assert blk.min_dp == 28  # min(coalesce(min_dp, dp))
+    assert blk.pl == [0, 55, 80]  # elementwise min
+    assert not blk.is_variant
+    # the GQ-jump record starts its own block
+    assert rows[("c1", 400)].n_merged == 1
+    # PASS record: emitted as-is, flagged variant
+    p = rows[("c1", 500)]
+    assert p.is_variant and p.n_merged == 1 and p.gq == 50 and p.min_dp == 40
+    # low-GQ RefCall: unmerged
+    assert rows[("c1", 600)].n_merged == 1
+    # second mergeable run
+    assert rows[("c1", 700)].n_merged == 2 and rows[("c1", 700)].stop == 899
+    # chrom boundary: c2 merges only within c2
+    assert rows[("c2", 100)].n_merged == 2
+
+
+def test_compress_gvcf_spread_is_running_not_pairwise(spark):
+    # 30, 38, 34: pairwise diffs < 10 but running spread (38-30)+34 keeps
+    # the block only while max-min < 10; adding 41 (spread 11) must break.
+    rows = [
+        ("c1", 1, 10, "RefCall", 30, 5, 6, [0, 1, 2]),
+        ("c1", 11, 20, "RefCall", 38, 5, 6, [0, 1, 2]),
+        ("c1", 21, 30, "RefCall", 34, 5, 6, [0, 1, 2]),
+        ("c1", 31, 40, "RefCall", 41, 5, 6, [0, 1, 2]),
+    ]
+    df = spark.createDataFrame(rows, GVCF_SCHEMA)
+    out = compress_gvcf_blocks(df).orderBy("pos").collect()
+    assert [r.n_merged for r in out] == [3, 1]
+    assert out[0].gq == 30 and out[0].stop == 30
+
+
+def test_overlap_buffer_filter(spark):
+    rows = [
+        # chrom, pos, stop, is_deletion, is_null_gt
+        ("c1", 100, 150, True, False),   # deletion spanning to 150
+        ("c1", 120, 121, False, True),   # null-GT inside span -> removed
+        ("c1", 150, 151, False, True),   # pos == stop boundary -> removed
+        ("c1", 151, 152, False, True),   # past the span -> kept
+        ("c1", 100, 101, False, True),   # SAME pos as deletion -> kept (strictly-earlier rule)
+        ("c1", 130, 140, False, False),  # non-null-GT inside span -> kept
+        ("c2", 120, 121, False, True),   # other contig -> kept
+    ]
+    df = spark.createDataFrame(
+        rows, "chrom string, pos long, stop long, is_deletion boolean, is_null_gt boolean"
+    )
+    res = overlap_buffer_filter(df).collect()
+    out = {(r.chrom, r.pos, r.stop): r.kept for r in res}
+    assert out[("c1", 120, 121)] is False
+    assert out[("c1", 150, 151)] is False  # pos == stop boundary: inside
+    assert out[("c1", 151, 152)] is True
+    # null-GT at the SAME pos as the deletion: strictly-earlier rule keeps it
+    assert out[("c1", 100, 101)] is True
+    assert out[("c1", 130, 140)] is True  # non-null-GT never removed
+    assert out[("c2", 120, 121)] is True  # other contig untouched
+    assert sum(1 for r in res if not r.kept) == 2
+
+
+def test_overlap_buffer_growing_extent(spark):
+    # overlapping deletions extend the running extent
+    rows = [
+        ("c1", 10, 100, True, False),
+        ("c1", 50, 200, True, False),
+        ("c1", 150, 151, False, True),  # inside the EXTENDED span -> removed
+        ("c1", 201, 202, False, True),  # outside -> kept
+    ]
+    df = spark.createDataFrame(
+        rows, "chrom string, pos long, stop long, is_deletion boolean, is_null_gt boolean"
+    )
+    out = {r.pos: r.kept for r in overlap_buffer_filter(df).collect()}
+    assert out[150] is False and out[201] is True
+
+
+def test_pl_compress3_matches_bruteforce(spark):
+    from variantcalling_spark.functions.genotypes import pl_compress3
+
+    # n=4 alleles -> 10 PLs; het-ref indices {1,3,6}; non-ref {2,4,5,7,8,9}
+    pl = list(range(10, 110, 10))  # [10..100]
+    df = spark.createDataFrame([(pl,)], "pl array<int>")
+    out = df.select(pl_compress3(F.col("pl"), F.lit(4)).alias("c")).collect()[0].c
+    assert out == [10, min(pl[1], pl[3], pl[6]), min(pl[2], pl[4], pl[5], pl[7], pl[8], pl[9])]
+
+
+def test_genotype_ordering_layout(spark):
+    from variantcalling_spark.functions.genotypes import genotype_ordering
+
+    got = {
+        (r.n_alleles, r.allele_1, r.allele_2): r.pl_index
+        for r in genotype_ordering(spark, 3).collect()
+    }
+    # canonical diploid biallelic layout: (0,0)=0 (0,1)=1 (1,1)=2
+    assert got[(2, 0, 0)] == 0 and got[(2, 0, 1)] == 1 and got[(2, 1, 1)] == 2
+    # triallelic: (0,2)=3 (1,2)=4 (2,2)=5
+    assert got[(3, 0, 2)] == 3 and got[(3, 1, 2)] == 4 and got[(3, 2, 2)] == 5
+
+
+def test_phred_roundtrip(spark):
+    from variantcalling_spark.functions.math import phred, phred_decode, phred_encode, unphred
+
+    df = spark.createDataFrame([(0.001,), (0.01,), (0.5,)], "p double")
+    out = df.select(
+        F.round(unphred(phred(F.col("p"))), 12).alias("roundtrip")
+    ).collect()
+    assert [r.roundtrip for r in out] == [0.001, 0.01, 0.5]
+
+    df2 = spark.createDataFrame([([0, 10, 40, 93],)], "q array<int>")
+    enc_dec = df2.select(phred_decode(phred_encode(F.col("q"))).alias("r")).collect()[0].r
+    assert enc_dec == [0, 10, 40, 93]
+
+
+def test_hmer_and_revcomp(spark):
+    from variantcalling_spark.functions.dna import hmer_run_length, revcomp
+
+    df = spark.createDataFrame([("AAACGT",), ("GGGGGA",), ("T",), ("ACGT",)], "s string")
+    got = df.select("s", hmer_run_length(F.col("s")).alias("h"), revcomp(F.col("s")).alias("rc")).collect()
+    by_s = {r.s: (r.h, r.rc) for r in got}
+    assert by_s["AAACGT"] == (3, "ACGTTT")
+    assert by_s["GGGGGA"] == (5, "TCCCCC")
+    assert by_s["T"] == (1, "A")
+    assert by_s["ACGT"] == (1, "ACGT")  # palindromic revcomp

@@ -1,0 +1,206 @@
+"""Ordered stateful kernels via ``applyInPandas`` (SURVEY.md §2.5, §4).
+
+Two operators in the reference are genuinely path-dependent sequential
+scans — their break conditions depend on running state, so they are not
+expressible as fixed windows:
+
+- gVCF block merge (`ugvc/joint/compress_gvcf.py:81-216`; pinned
+  4438 -> 1184 records, `test/unit/joint/test_compress_gvcf.py:5-11`)
+- overlap-buffer filter (`ugvc/joint/cleanup_gvcf_before_calling.py:
+  11-86`; pinned 93620 written / 17 removed,
+  `test_cleanup_gvcf_before_joint.py:8-13`)
+
+Spark strategy: partition by contig, sort within partition by position,
+run the sequential kernel per contig group with ``applyInPandas``
+(Arrow-batched). Contigs are independent in the reference too (its
+per-chromosome joblib sharding), so this is deterministic AND parallel:
+at 100 TB the unit of sequential work stays one contig, never the table.
+The kernels below are new implementations of the *documented semantics* —
+blocks merge while the running GQ spread stays under a threshold and
+break on contig change / non-mergeable records.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+GVCF_BLOCK_SCHEMA = (
+    "chrom string, pos long, stop long, gq int, min_dp int, "
+    "pl array<int>, n_merged int, is_variant boolean"
+)
+
+
+def compress_gvcf_blocks(
+    df: DataFrame,
+    refcall_gq_threshold: int = 22,
+    merge_gq_threshold: int = 10,
+) -> DataFrame:
+    """Merge consecutive reference-call records into gVCF-style blocks.
+
+    Semantics (per contig, position order):
+    - PASS (variant) records are emitted unmerged and flush any open block.
+    - RefCall records with GQ < ``refcall_gq_threshold`` are low-confidence:
+      emitted unmerged, flush the open block.
+    - Other RefCall records accumulate into the current block while the
+      running spread max(GQ) - min(GQ) (including the candidate) stays
+      < ``merge_gq_threshold``; otherwise the block flushes and a new one
+      starts at the candidate.
+    - A flushed block takes: first pos, last stop, min GQ,
+      min(coalesce(min_dp, dp)), elementwise-min of the 3-compressed PLs,
+      and n_merged.
+
+    Input columns: chrom, pos, stop, filter, gq, min_dp, dp, pl
+    (pl already 3-compressed — see ``functions.genotypes.pl_compress3``).
+    """
+
+    def per_contig(pdf: pd.DataFrame) -> pd.DataFrame:
+        # secondary keys make the scan deterministic under position ties
+        pdf = pdf.sort_values(["pos", "stop", "gq"], kind="mergesort")
+        out: list[tuple] = []
+        chrom = pdf["chrom"].iloc[0] if len(pdf) else None
+
+        blk: dict | None = None
+
+        def flush():
+            nonlocal blk
+            if blk is not None:
+                out.append(
+                    (
+                        chrom,
+                        blk["pos"],
+                        blk["stop"],
+                        int(blk["min_gq"]),
+                        int(blk["min_dp"]) if blk["min_dp"] is not None else None,
+                        blk["pl"],
+                        blk["n"],
+                        False,
+                    )
+                )
+                blk = None
+
+        for row in pdf.itertuples(index=False):
+            gq = row.gq
+            dp_eff = row.min_dp if row.min_dp is not None and not pd.isna(row.min_dp) else row.dp
+            pl = list(row.pl) if row.pl is not None else None
+            mergeable = row.filter == "RefCall" and gq >= refcall_gq_threshold
+            if not mergeable:
+                flush()
+                out.append(
+                    (
+                        chrom,
+                        row.pos,
+                        row.stop,
+                        int(gq),
+                        int(dp_eff) if dp_eff is not None and not pd.isna(dp_eff) else None,
+                        pl,
+                        1,
+                        row.filter == "PASS",
+                    )
+                )
+                continue
+            if blk is None:
+                blk = {
+                    "pos": row.pos,
+                    "stop": row.stop,
+                    "min_gq": gq,
+                    "max_gq": gq,
+                    "min_dp": dp_eff,
+                    "pl": pl,
+                    "n": 1,
+                }
+                continue
+            new_min = min(blk["min_gq"], gq)
+            new_max = max(blk["max_gq"], gq)
+            if new_max - new_min < merge_gq_threshold:
+                blk["stop"] = max(blk["stop"], row.stop)
+                blk["min_gq"], blk["max_gq"] = new_min, new_max
+                if dp_eff is not None and (blk["min_dp"] is None or dp_eff < blk["min_dp"]):
+                    blk["min_dp"] = dp_eff
+                if pl is not None and blk["pl"] is not None:
+                    blk["pl"] = [min(a, b) for a, b in zip(blk["pl"], pl)]
+                elif blk["pl"] is None:
+                    blk["pl"] = pl
+                blk["n"] += 1
+            else:
+                flush()
+                blk = {
+                    "pos": row.pos,
+                    "stop": row.stop,
+                    "min_gq": gq,
+                    "max_gq": gq,
+                    "min_dp": dp_eff,
+                    "pl": pl,
+                    "n": 1,
+                }
+        flush()
+        return pd.DataFrame(
+            out,
+            columns=[
+                "chrom",
+                "pos",
+                "stop",
+                "gq",
+                "min_dp",
+                "pl",
+                "n_merged",
+                "is_variant",
+            ],
+        )
+
+    return df.repartition("chrom").groupBy("chrom").applyInPandas(
+        per_contig, schema=GVCF_BLOCK_SCHEMA
+    )
+
+
+OVERLAP_FILTER_SCHEMA = (
+    "chrom string, pos long, stop long, is_null_gt boolean, kept boolean"
+)
+
+
+def overlap_buffer_filter(df: DataFrame) -> DataFrame:
+    """Drop null-genotype records overlapped by an earlier deletion span.
+
+    Re-expresses `cleanup_gvcf_before_calling.py:11-86`: walking each
+    contig in position order with a running deletion extent; a record
+    whose GT is the null pair and whose pos falls inside the running
+    extent of an earlier called deletion is removed; everything else is
+    kept (pinned 17-of-93620 removal shape).
+
+    Input columns: chrom, pos, stop, is_deletion (bool), is_null_gt (bool).
+    Output adds ``kept``.
+    """
+
+    def per_contig(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["pos", "stop"], kind="mergesort").reset_index(drop=True)
+        run_del_end = -np.inf
+        kept = np.ones(len(pdf), dtype=bool)
+        # two-phase per position: the running extent grows only from
+        # deletions at STRICTLY earlier positions (tie-safe, so the scan
+        # is deterministic and equivalent to an EXISTS(d.pos < r.pos) join)
+        pos_vals = pdf["pos"].to_numpy()
+        stop_vals = pdf["stop"].to_numpy()
+        null_gt = pdf["is_null_gt"].to_numpy()
+        is_del = pdf["is_deletion"].to_numpy()
+        i = 0
+        n = len(pdf)
+        while i < n:
+            j = i
+            while j < n and pos_vals[j] == pos_vals[i]:
+                j += 1
+            for r in range(i, j):
+                if null_gt[r] and pos_vals[r] <= run_del_end:
+                    kept[r] = False
+            for r in range(i, j):
+                if is_del[r]:
+                    run_del_end = max(run_del_end, stop_vals[r])
+            i = j
+        out = pdf[["chrom", "pos", "stop", "is_null_gt"]].copy()
+        out["kept"] = kept
+        return out
+
+    return df.repartition("chrom").groupBy("chrom").applyInPandas(
+        per_contig, schema=OVERLAP_FILTER_SCHEMA
+    )

@@ -1,0 +1,133 @@
+"""Ordered / window operators (SURVEY.md §2.5).
+
+The reference implements these as sequential per-record Python scans over
+sorted VCF/BED streams. All but two (the gVCF kernels in
+``operators/kernels.py``) are pure window functions: they partition by
+contig-like keys and scale horizontally — no driver-side iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def running_extent_dedup(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    start_col: str = "start",
+    end_col: str = "end",
+    keep_col: str = "kept",
+) -> DataFrame:
+    """Mark rows overlapped by the running extent of earlier rows.
+
+    Re-expresses the gVCF->BED dedup (`ugvc/joint/gvcf_bed.py:38-69`,
+    pinned skipped==241 `test/unit/joint/test_gvcf_bed.py:13-31`): a row
+    is kept iff its start is >= the max end of all earlier rows in the
+    same partition — `max(end) OVER (... ROWS UNBOUNDED PRECEDING TO -1)`,
+    a pure window function (no sequential kernel needed).
+    """
+    w = (
+        W.partitionBy(*part_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_max_end = F.max(F.col(end_col)).over(w)
+    return df.withColumn(
+        keep_col,
+        F.coalesce(F.col(start_col) >= prev_max_end, F.lit(True)),
+    )
+
+
+def merge_intervals(
+    df: DataFrame,
+    part_cols: list[str],
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Union-of-overlaps interval merge (gaps-and-islands).
+
+    `bedtools merge` / pybedtools `.merge()` (`gvcf_hcr_main.py:30-33`,
+    `test/unit/joint/test_gvcf_bed.py:18-20`): a new island starts where
+    start > running max(end) of all earlier intervals; island id is the
+    running count of such breaks; merged interval = (min(start), max(end))
+    per island. Two window passes + one groupBy, partitioned by contig.
+    """
+    w_prev = (
+        W.partitionBy(*part_cols)
+        .orderBy(start_col, end_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy(*part_cols)
+        .orderBy(start_col, end_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    prev_max = F.max(end_col).over(w_prev)
+    with_break = df.withColumn(
+        "__is_break",
+        F.when(prev_max.isNull() | (F.col(start_col) > prev_max), 1).otherwise(0),
+    )
+    with_island = with_break.withColumn("__island", F.sum("__is_break").over(w_run))
+    return (
+        with_island.groupBy(*part_cols, "__island")
+        .agg(
+            F.min(start_col).alias(start_col),
+            F.max(end_col).alias(end_col),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("__island")
+    )
+
+
+def every_nth(
+    df: DataFrame, part_cols: list[str], order_cols: list[str], n: int
+) -> DataFrame:
+    """Every-nth-row downsample: `df.iloc[::space]`
+    (`coverage_analysis.py:1154-1156`) as `(row_number()-1) % n == 0`."""
+    w = W.partitionBy(*part_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") - 1) % n == 0)
+        .drop("__rn")
+    )
+
+
+def histogram_percentiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    quantiles: list[float],
+) -> DataFrame:
+    """Exact percentiles via histogram-CDF, the reference's own method.
+
+    `generate_stats_from_histogram` (`coverage_analysis.py:522,960-996`)
+    computes quantiles from a depth histogram rather than sorting raw
+    values. Here: group counts per distinct value -> running cumulative
+    count -> per quantile q, the smallest value whose CDF reaches
+    ceil(q * n). Deterministic (no interpolation), dialect-portable, and
+    one shuffle on (group, value) — scales to per-base depth tables.
+    """
+    hist = df.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    w_cum = (
+        W.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_tot = W.partitionBy(*group_cols)
+    cdf = hist.withColumn("__cum", F.sum("__cnt").over(w_cum)).withColumn(
+        "__tot", F.sum("__cnt").over(w_tot)
+    )
+    aggs = []
+    for q in quantiles:
+        name = f"p{int(round(q * 100)):02d}"
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("__cum") >= F.ceil(F.lit(q) * F.col("__tot")),
+                    F.col(value_col),
+                )
+            ).alias(name)
+        )
+    return cdf.groupBy(*group_cols).agg(*aggs)

@@ -1,1 +1,341 @@
-"""Placeholder — populated in later milestones."""
+"""Genomic scalar functions + stateful kernels as checkable queries
+(SURVEY.md §2.5 kernels, §2.8 scalar library).
+
+The driver tables carry no genomic columns, so genomic shapes are derived
+deterministically (same derivation on both engines): DNA sequences from
+document text via character translation, gVCF-like records from events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from variantcalling_spark.functions.dna import canonical_trinuc, hmer_run_length, revcomp
+from variantcalling_spark.functions.genotypes import (
+    classify_genotype_error,
+    genotype_ordering,
+    pl_compress3,
+)
+from variantcalling_spark.functions.math import phred, unphred
+from variantcalling_spark.operators.kernels import (
+    compress_gvcf_blocks,
+    overlap_buffer_filter,
+)
+from variantcalling_spark.queries import query
+from variantcalling_spark.queries._helpers import cnt
+from variantcalling_spark.queries.intervals import events_points
+from variantcalling_spark.sources import load_table
+
+# a-z + space -> ACGT cyclic (same 27-char translate on both engines)
+DNA_FROM = "abcdefghijklmnopqrstuvwxyz "
+DNA_TO = "ACGTACGTACGTACGTACGTACGTACG"
+
+
+def docs_as_dna(spark, sf_dir):
+    """documents.text -> deterministic DNA-like sequences (both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.translate(F.substring("text", 1, 24), DNA_FROM, DNA_TO).alias("seq"),
+    )
+
+
+SQL_DOCS_DNA = f"""
+  SELECT doc_id,
+         translate(substr(text, 1, 24), '{DNA_FROM}', '{DNA_TO}') AS seq
+  FROM documents
+"""
+
+
+@query(
+    "q50_phred_math",
+    oracle="""
+SELECT event_id,
+       ROUND(-10 * log10((value + 1) / 1000.0), 6) AS phred_q,
+       ROUND(POW(10.0, -((value + 1) / 10.0)), 9) AS unphred_p
+FROM events
+""",
+)
+def q50_phred_math(spark, sf_dir):
+    """Phred/unphred scalar math (`ugvc/utils/math_utils.py:31-101`,
+    pinned `test/unit/utils/test_math_utils.py:10-23`) as codegen'd
+    log10/pow expressions over 10k rows."""
+    ev = events_points(spark, sf_dir)
+    p = (F.col("value") + 1) / 1000.0
+    return ev.select(
+        "event_id",
+        F.round(phred(p), 6).alias("phred_q"),
+        F.round(unphred(F.col("value") + 1), 9).alias("unphred_p"),
+    )
+
+
+@query(
+    "q51_dna_scalars",
+    oracle=f"""
+WITH d AS ({SQL_DOCS_DNA})
+SELECT doc_id, seq,
+       translate(reverse(seq), 'ACGTacgt', 'TGCAtgca') AS rc,
+       CAST(length(seq) - length(ltrim(seq, substr(seq, 1, 1))) AS INT) AS hmer_len
+FROM d
+""",
+)
+def q51_dna_scalars(spark, sf_dir):
+    """Reverse-complement + homopolymer run length as string expressions
+    (`revcomp` use `run_no_gt_report.py:165`; hmer detection
+    `calibrate_bridging_snvs.py:9-66`, `collect_hpol_table.py:99-104`)."""
+    d = docs_as_dna(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        "seq",
+        revcomp(F.col("seq")).alias("rc"),
+        hmer_run_length(F.col("seq")).alias("hmer_len"),
+    )
+
+
+@query(
+    "q55_trinuc_spectrum",
+    oracle=f"""
+WITH d AS ({SQL_DOCS_DNA}),
+m AS (
+  SELECT substr(seq, 5, 3) AS motif, substr(seq, 9, 1) AS alt FROM d
+  WHERE length(seq) >= 9
+),
+canon AS (
+  SELECT CASE WHEN substr(motif, 2, 1) IN ('A', 'G')
+              THEN translate(reverse(motif), 'ACGTacgt', 'TGCAtgca') ELSE motif END AS motif,
+         CASE WHEN substr(motif, 2, 1) IN ('A', 'G')
+              THEN translate(alt, 'ACGTacgt', 'TGCAtgca') ELSE alt END AS alt
+  FROM m
+)
+SELECT motif, alt, COUNT(*) AS n
+FROM canon GROUP BY motif, alt
+""",
+)
+def q55_trinuc_spectrum(spark, sf_dir):
+    """Trinucleotide mutation-spectrum aggregation with reverse-complement
+    canonicalization to pyrimidine-centered classes (`snp_statistics`,
+    `run_no_gt_report.py:90-172`, pinned `test_run_no_gt_report.py:
+    100-110`): string exprs + groupBy count, no UDF."""
+    d = docs_as_dna(spark, sf_dir).where(F.length("seq") >= 9)
+    m = d.select(
+        F.substring("seq", 5, 3).alias("motif"), F.substring("seq", 9, 1).alias("alt")
+    )
+    canon_motif, canon_alt = canonical_trinuc(F.col("motif"), F.col("alt"))
+    return (
+        m.select(canon_motif.alias("motif"), canon_alt.alias("alt"))
+        .groupBy("motif", "alt")
+        .agg(cnt("n"))
+    )
+
+
+@query(
+    "q56_pl_compress3",
+    oracle="""
+WITH pls AS (
+  SELECT o_orderkey,
+         CAST(o_orderkey % 97 AS INT) AS pl0,
+         CAST(o_custkey % 89 AS INT) AS pl1,
+         CAST(o_orderkey % 83 AS INT) AS pl2,
+         CAST(o_custkey % 79 AS INT) AS pl3,
+         CAST(o_orderkey % 73 AS INT) AS pl4,
+         CAST(o_custkey % 71 AS INT) AS pl5
+  FROM orders
+)
+SELECT o_orderkey,
+       pl0 AS c_rr,
+       CAST(LEAST(pl1, pl3) AS INTEGER) AS c_ra,
+       CAST(LEAST(pl2, pl4, pl5) AS INTEGER) AS c_aa
+FROM pls
+""",
+)
+def q56_pl_compress3(spark, sf_dir):
+    """PL 3-value compression of a triallelic layout.
+
+    `get_compressed_pl_into_3_values` (`compress_gvcf.py:28-60`, goldens
+    `test_compress_gvcf.py:13-22`): index 0 = (0,0); het-ref genotypes
+    (0,k) at k(k+1)/2 -> {1,3}; non-ref pairs -> {2,4,5}. The Spark side
+    uses the generic higher-order-function implementation over an
+    ArrayType column; the oracle spells out the n=3 case with LEAST.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    pl = F.array(
+        (F.col("o_orderkey") % 97).cast("int"),
+        (F.col("o_custkey") % 89).cast("int"),
+        (F.col("o_orderkey") % 83).cast("int"),
+        (F.col("o_custkey") % 79).cast("int"),
+        (F.col("o_orderkey") % 73).cast("int"),
+        (F.col("o_custkey") % 71).cast("int"),
+    )
+    compressed = pl_compress3(pl, F.lit(3))
+    return o.select(
+        "o_orderkey",
+        F.element_at(compressed, 1).alias("c_rr"),
+        F.element_at(compressed, 2).alias("c_ra"),
+        F.element_at(compressed, 3).alias("c_aa"),
+    )
+
+
+@query(
+    "q57_genotype_ordering",
+    oracle="""
+SELECT n.n AS n_alleles,
+       CAST(k.k * (k.k + 1) / 2 + j.j AS INT) AS pl_index,
+       j.j AS allele_1,
+       k.k AS allele_2
+FROM generate_series(2, 8) n(n)
+JOIN generate_series(0, 7) k(k) ON k.k < n.n
+JOIN generate_series(0, 7) j(j) ON j.j <= k.k
+""",
+)
+def q57_genotype_ordering(spark, sf_dir):
+    """VCF diploid genotype-ordering lookup table: genotype (j,k) at PL
+    index k(k+1)/2+j (`correct_genotypes_by_imputation.py:227`, pinned
+    `test_correct_genotypes_by_imputation.py:8-44`) — generated once and
+    joined, never recomputed per record."""
+    return genotype_ordering(spark, max_alleles=8)
+
+
+@query(
+    "q58_genotype_error_classify",
+    oracle="""
+WITH g AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_orderkey % 2 AS INT) AS t1,
+         CAST(l_partkey % 3 AS INT) AS t2,
+         CAST(l_suppkey % 2 AS INT) AS c1,
+         CAST(l_quantity AS INT) % 3 AS c2
+  FROM lineitem
+),
+cls AS (
+  SELECT CASE
+    WHEN LEAST(t1, t2) = LEAST(c1, c2) AND GREATEST(t1, t2) = GREATEST(c1, c2) THEN 'TP'
+    WHEN c1 <> t1 AND c1 <> t2 AND c2 <> t1 AND c2 <> t2 THEN 'NOISE'
+    WHEN t1 = t2 AND c1 <> c2 THEN 'HOM_TO_HET'
+    WHEN t1 <> t2 AND c1 = c2 THEN 'HET_TO_HOM'
+    ELSE 'WRONG_ALLELE' END AS error_type
+  FROM g
+)
+SELECT error_type, COUNT(*) AS n FROM cls GROUP BY error_type
+""",
+)
+def q58_genotype_error_classify(spark, sf_dir):
+    """Genotype-error taxonomy (NOISE / HOM_TO_HET / HET_TO_HOM /
+    WRONG_ALLELE) over synthetic diploid pairs — the set-algebra
+    classifier `report_data_loader.py:106-126` + its aggregate
+    `report_utils.py:459-463` as pure CASE/LEAST expressions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.select(
+        (F.col("l_orderkey") % 2).cast("int").alias("t1"),
+        (F.col("l_partkey") % 3).cast("int").alias("t2"),
+        (F.col("l_suppkey") % 2).cast("int").alias("c1"),
+        (F.col("l_quantity").cast("int") % 3).alias("c2"),
+    )
+    cls = g.select(
+        classify_genotype_error(
+            F.col("t1"), F.col("t2"), F.col("c1"), F.col("c2")
+        ).alias("error_type")
+    )
+    return cls.groupBy("error_type").agg(cnt("n"))
+
+
+def _events_as_gvcf(spark, sf_dir):
+    """events -> deterministic gVCF-shaped records (chrom, pos, stop,
+    filter, gq, min_dp, dp, pl)."""
+    ev = events_points(spark, sf_dir)
+    return ev.select(
+        F.concat(F.lit("c"), (F.col("user_id") % 4).cast("string")).alias("chrom"),
+        F.col("ts_us").alias("pos"),
+        (F.col("ts_us") + 999).alias("stop"),
+        F.when(F.col("event_type") == "error", "PASS")
+        .when(F.col("event_type") == "signup", "LowQual")
+        .otherwise("RefCall")
+        .alias("filter"),
+        (F.round(F.col("value")).cast("int") % 60).alias("gq"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("event_id") % 40 + 10).cast("int"))
+        .alias("min_dp"),
+        (F.col("event_id") % 50 + 12).cast("int").alias("dp"),
+        F.array(
+            (F.col("event_id") % 30).cast("int"),
+            (F.col("event_id") % 45).cast("int"),
+            (F.col("event_id") % 60).cast("int"),
+        ).alias("pl"),
+    )
+
+
+@query("q52_gvcf_compress", oracle=None)
+def q52_gvcf_compress(spark, sf_dir):
+    """gVCF block merge — the path-dependent sessionization kernel.
+
+    `compress_gvcf.py:81-216` (pinned 4438->1184,
+    `test_compress_gvcf.py:5-11`): merge RefCall runs while the running
+    GQ spread stays under threshold, breaking on PASS/low-GQ records.
+    Not SQL-expressible (break condition depends on running state) ->
+    `applyInPandas` per contig (exact semantics pinned by
+    tests/test_kernels.py). Output: merged block summary per contig.
+    """
+    g = _events_as_gvcf(spark, sf_dir)
+    blocks = compress_gvcf_blocks(g, refcall_gq_threshold=22, merge_gq_threshold=10)
+    return (
+        blocks.groupBy("chrom")
+        .agg(
+            cnt("n_blocks"),
+            F.sum("n_merged").alias("n_input_records"),
+            F.count(F.when(F.col("is_variant"), 1)).alias("n_variant"),
+            F.min("pos").alias("first_pos"),
+            F.max("stop").alias("last_stop"),
+            F.sum(F.col("gq").cast("bigint")).alias("gq_total"),
+        )
+        .orderBy("chrom")
+    )
+
+
+@query(
+    "q53_overlap_cleanup",
+    oracle="""
+WITH r AS (
+  SELECT 'c' || CAST(user_id % 4 AS VARCHAR) AS chrom,
+         epoch_us(ts) AS pos,
+         epoch_us(ts) + CAST(ROUND(value * 1000000) AS BIGINT) AS stop,
+         event_type = 'purchase' AND value > 50 AS is_deletion,
+         event_type = 'view' AS is_null_gt
+  FROM events
+),
+flagged AS (
+  SELECT chrom, is_null_gt,
+         NOT (is_null_gt AND EXISTS (
+           SELECT 1 FROM r d
+           WHERE d.chrom = r.chrom AND d.is_deletion
+             AND d.pos < r.pos AND r.pos <= d.stop
+         )) AS kept
+  FROM r
+)
+SELECT chrom,
+       COUNT(*) AS n_total,
+       COUNT(*) FILTER (WHERE NOT kept) AS n_removed
+FROM flagged GROUP BY chrom
+""",
+)
+def q53_overlap_cleanup(spark, sf_dir):
+    """Overlap-buffer filter: drop null-GT records inside earlier deletion
+    spans (`cleanup_gvcf_before_calling.py:11-86`, pinned 93620/17
+    `test_cleanup_gvcf_before_joint.py:8-13`).
+
+    Spark side runs the sequential `applyInPandas` kernel (running
+    deletion extent per contig); the oracle states the equivalent
+    declarative form (EXISTS over strictly-earlier deletions) — the two
+    agreeing is itself the correctness argument for the kernel.
+    """
+    ev = events_points(spark, sf_dir)
+    r = ev.select(
+        F.concat(F.lit("c"), (F.col("user_id") % 4).cast("string")).alias("chrom"),
+        F.col("ts_us").alias("pos"),
+        (F.col("ts_us") + F.round(F.col("value") * 1000000).cast("bigint")).alias("stop"),
+        ((F.col("event_type") == "purchase") & (F.col("value") > 50)).alias("is_deletion"),
+        (F.col("event_type") == "view").alias("is_null_gt"),
+    )
+    flagged = overlap_buffer_filter(r)
+    return flagged.groupBy("chrom").agg(
+        cnt("n_total"),
+        F.count(F.when(~F.col("kept"), 1)).alias("n_removed"),
+    )

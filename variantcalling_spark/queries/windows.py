@@ -1,1 +1,305 @@
-"""Placeholder — populated in later milestones."""
+"""Window / ordered operator queries (SURVEY.md §2.5, §2.6).
+
+The events table plays the part of the sorted genomic record stream:
+``user_id`` is the contig (partition key), ``ts_us`` the position, and
+``value``-derived spans stand in for record extents (deletion spans,
+gVCF blocks). Every operator here is a pure window-function plan — the
+reference's sequential Python scans re-expressed as partitioned,
+horizontally-scalable windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from variantcalling_spark.operators.metrics import pr_curve
+from variantcalling_spark.operators.ordered import (
+    every_nth,
+    histogram_percentiles,
+    merge_intervals,
+    running_extent_dedup,
+)
+from variantcalling_spark.queries import query
+from variantcalling_spark.queries._helpers import cnt, dec
+from variantcalling_spark.queries.intervals import events_points
+
+# Shared SQL fragment: events as extent rows (start/end in us); the span is
+# value seconds long (value is 2-decimal, so ROUND(value*1e6) is exact).
+SQL_EV_SPANS = """
+  SELECT event_id, user_id, event_type,
+         epoch_us(ts) AS start_us,
+         epoch_us(ts) + CAST(ROUND(value * 1000000) AS BIGINT) AS end_us
+  FROM events
+"""
+
+
+def event_spans(spark, sf_dir):
+    ev = events_points(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts_us").alias("start_us"),
+        (F.col("ts_us") + F.round(F.col("value") * 1000000).cast("bigint")).alias(
+            "end_us"
+        ),
+    )
+
+
+@query(
+    "q40_pr_curve",
+    oracle="""
+WITH ev AS (
+  SELECT value AS score,
+         CASE WHEN event_type = 'purchase' THEN 'tp' ELSE 'fp' END AS label
+  FROM events WHERE event_type IN ('purchase', 'error')
+),
+per_score AS (
+  SELECT score,
+         COUNT(*) FILTER (WHERE label = 'tp') AS n_tp,
+         COUNT(*) FILTER (WHERE label = 'fp') AS n_fp
+  FROM ev GROUP BY score
+),
+cum AS (
+  SELECT score,
+         CAST(SUM(n_tp) OVER w AS BIGINT) AS cum_tp,
+         CAST(SUM(n_fp) OVER w AS BIGINT) AS cum_fp,
+         CAST(SUM(n_tp) OVER () AS BIGINT) AS tot_tp
+  FROM per_score
+  WINDOW w AS (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT score AS threshold, cum_tp, cum_fp,
+       tot_tp - cum_tp AS cum_fn,
+       cum_tp / CAST(cum_tp + cum_fp AS DOUBLE) AS precision,
+       CASE WHEN tot_tp > 0 THEN cum_tp / CAST(tot_tp AS DOUBLE) END AS recall,
+       CASE WHEN cum_tp > 0 THEN
+         2 * (cum_tp / CAST(cum_tp + cum_fp AS DOUBLE)) * (cum_tp / CAST(tot_tp AS DOUBLE))
+           / ((cum_tp / CAST(cum_tp + cum_fp AS DOUBLE)) + (cum_tp / CAST(tot_tp AS DOUBLE)))
+       ELSE 0.0 END AS f1
+FROM cum
+""",
+)
+def q40_pr_curve(spark, sf_dir):
+    """Cumulative-sum precision/recall curve over score thresholds.
+
+    Re-expresses `calc_recall_precision_curve` (`report_utils.py:493-505`,
+    `stats_utils.py:141-210`, pinned `test_stats_utils.py:124-157`):
+    events labeled tp (purchase) / fp (error), scored by `value`. One
+    groupBy per distinct score + one cumulative window — deterministic
+    under score ties, single shuffle, scales to any callset size.
+    """
+    ev = (
+        events_points(spark, sf_dir)
+        .where(F.col("event_type").isin("purchase", "error"))
+        .select(
+            F.col("value").alias("score"),
+            F.when(F.col("event_type") == "purchase", "tp").otherwise("fp").alias("label"),
+        )
+    )
+    return pr_curve(ev, "score", "label")
+
+
+@query(
+    "q41_running_extent_dedup",
+    oracle=f"""
+WITH iv AS ({SQL_EV_SPANS}),
+flagged AS (
+  SELECT user_id, start_us, end_us,
+         COALESCE(start_us >= MAX(end_us) OVER w, TRUE) AS kept
+  FROM iv
+  WINDOW w AS (PARTITION BY user_id ORDER BY start_us, end_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id,
+       COUNT(*) AS n_total,
+       COUNT(*) FILTER (WHERE kept) AS n_kept,
+       COUNT(*) FILTER (WHERE NOT kept) AS n_skipped
+FROM flagged GROUP BY user_id
+""",
+)
+def q41_running_extent_dedup(spark, sf_dir):
+    """Running-extent dedup: drop records overlapped by any earlier extent.
+
+    `gvcf_bed.py:38-69` (skip record if start < running max end on same
+    chrom; pinned skipped==241 `test_gvcf_bed.py:13-31`) as a pure window:
+    `max(end) OVER (partition ORDER BY pos ROWS ... 1 PRECEDING)`.
+    """
+    spans = event_spans(spark, sf_dir)
+    flagged = running_extent_dedup(
+        spans,
+        part_cols=["user_id"],
+        order_cols=["start_us", "end_us", "event_id"],
+        start_col="start_us",
+        end_col="end_us",
+    )
+    return flagged.groupBy("user_id").agg(
+        cnt("n_total"),
+        F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+        F.count(F.when(~F.col("kept"), 1)).alias("n_skipped"),
+    )
+
+
+@query(
+    "q42_interval_merge",
+    oracle=f"""
+WITH iv AS ({SQL_EV_SPANS}),
+b AS (
+  SELECT user_id, start_us, end_us,
+         CASE WHEN MAX(end_us) OVER w IS NULL OR start_us > MAX(end_us) OVER w
+              THEN 1 ELSE 0 END AS is_break
+  FROM iv
+  WINDOW w AS (PARTITION BY user_id ORDER BY start_us, end_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl AS (
+  SELECT user_id, start_us, end_us,
+         SUM(is_break) OVER (PARTITION BY user_id ORDER BY start_us, end_us
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM b
+)
+SELECT user_id,
+       MIN(start_us) AS start_us,
+       MAX(end_us) AS end_us,
+       COUNT(*) AS n_merged
+FROM isl GROUP BY user_id, island
+""",
+)
+def q42_interval_merge(spark, sf_dir):
+    """Union-of-overlaps interval merge (gaps-and-islands).
+
+    `bedtools merge` (`gvcf_hcr_main.py:30-33`, `test_gvcf_bed.py:18-20`):
+    break where start exceeds running max(end); islands -> min/max/count.
+    Partitioned by contig (user), two windows + one groupBy.
+    """
+    spans = event_spans(spark, sf_dir)
+    return merge_intervals(
+        spans.select("user_id", "start_us", "end_us"),
+        part_cols=["user_id"],
+        start_col="start_us",
+        end_col="end_us",
+    )
+
+
+@query(
+    "q43_every_nth",
+    oracle=f"""
+SELECT event_id, user_id
+FROM (
+  SELECT event_id, user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+)
+WHERE (rn - 1) % 10 = 0
+""",
+)
+def q43_every_nth(spark, sf_dir):
+    """Every-nth-row downsample per partition (`df.iloc[::space]`,
+    `coverage_analysis.py:1154-1156`)."""
+    ev = events_points(spark, sf_dir).select("event_id", "user_id", "ts_us")
+    return every_nth(ev, ["user_id"], ["ts_us", "event_id"], 10).select(
+        "event_id", "user_id"
+    )
+
+
+@query(
+    "q44_histogram_percentiles",
+    oracle="""
+WITH hist AS (
+  SELECT event_type, value, COUNT(*) AS cnt
+  FROM events GROUP BY event_type, value
+),
+cdf AS (
+  SELECT event_type, value,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY value
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS tot
+  FROM hist
+)
+SELECT event_type,
+       MIN(CASE WHEN cum >= CEIL(0.05 * tot) THEN value END) AS p05,
+       MIN(CASE WHEN cum >= CEIL(0.25 * tot) THEN value END) AS p25,
+       MIN(CASE WHEN cum >= CEIL(0.50 * tot) THEN value END) AS p50,
+       MIN(CASE WHEN cum >= CEIL(0.75 * tot) THEN value END) AS p75,
+       MIN(CASE WHEN cum >= CEIL(0.95 * tot) THEN value END) AS p95
+FROM cdf GROUP BY event_type
+""",
+)
+def q44_histogram_percentiles(spark, sf_dir):
+    """Exact Q5/Q25/Q50/Q75/Q95 via histogram-CDF — the reference's own
+    percentile method (`generate_stats_from_histogram`,
+    `coverage_analysis.py:522,960-996`, golden
+    `test/system/test_coverage_analysis.py:24-35`). Aggregating the
+    histogram first means the window runs over distinct values, not raw
+    rows — the same trick that makes this viable over 3.1e9 base rows.
+    """
+    ev = events_points(spark, sf_dir)
+    return histogram_percentiles(
+        ev, "value", ["event_type"], [0.05, 0.25, 0.50, 0.75, 0.95]
+    )
+
+
+@query(
+    "q45_hierarchical_rollup",
+    oracle="""
+SELECT event_type,
+       epoch_us(ts) // 86400000000 AS day_bin,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type, epoch_us(ts) // 86400000000
+""",
+)
+def q45_hierarchical_rollup(spark, sf_dir):
+    """Hierarchical window binning: daily aggregates REUSING hourly partials.
+
+    `coverage_analysis.py:435-439,546-592` computes each window size from
+    the previous (w1 | w2). Here the hourly partial aggregate rolls up to
+    daily (hour DIV 24 == us DIV day since epoch-aligned) — demonstrating
+    partial-agg reuse; the oracle aggregates directly, results identical
+    because decimal sums re-aggregate exactly.
+    """
+    ev = events_points(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.expr("ts_us DIV 3600000000").alias("hour_bin")
+    ).agg(F.sum(dec("value")).alias("vsum"), cnt("n"))
+    return (
+        hourly.groupBy(
+            "event_type", F.expr("hour_bin DIV 24").alias("day_bin")
+        )
+        .agg(
+            F.sum("vsum").cast("double").alias("value_sum"),
+            F.sum("n").alias("n"),
+        )
+    )
+
+
+@query(
+    "q46_score_direction",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+)
+SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS first20_avg
+FROM ranked WHERE rn <= 20
+GROUP BY event_type
+""",
+)
+def q46_score_direction(spark, sf_dir):
+    """Score-direction probe: mean of the first 20 rows per class.
+
+    `report_utils.py:435-440` decides score sign by comparing the mean of
+    the first-20 PASS vs non-PASS scores — windowed `row_number() <= 20`
+    + conditional aggregate.
+    """
+    ev = events_points(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("ts_us", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .groupBy("event_type")
+        .agg((F.sum(dec("value")).cast("double") / F.count(F.lit(1))).alias("first20_avg"))
+    )
