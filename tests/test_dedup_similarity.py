@@ -1,0 +1,102 @@
+"""Validation of the approximate operators (MinHash-LSH, SimHash, LSH-ANN)
+against their exact counterparts — the checks the DuckDB oracle can't do."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from variantcalling_spark.operators.dedup import (
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles,
+    simhash,
+)
+from variantcalling_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from variantcalling_spark.queries.dedup import corpus
+from variantcalling_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def aug_corpus(spark, sf_dir):
+    return corpus(spark, sf_dir).cache()
+
+
+def test_minhash_lsh_recall_vs_exact(spark, aug_corpus):
+    """Near-dup pairs (jaccard >= 0.6) found by LSH candidates must cover
+    the exact ground truth (these constructed near-dups have very high
+    similarity, so every band should collide)."""
+    sh = shingles(aug_corpus, n=3).cache()
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(sh, min_jaccard=0.6).collect()
+    }
+    assert truth, "augmented corpus must contain near-duplicates"
+    sigs = minhash_signatures(sh, num_hashes=32)
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(sigs, num_bands=8, rows_per_band=4).collect()
+    }
+    missed = truth - cands
+    recall = 1 - len(missed) / len(truth)
+    assert recall >= 0.95, f"LSH recall {recall:.2f}, missed {sorted(missed)[:5]}"
+
+
+def test_minhash_signature_similarity_estimates_jaccard(spark, aug_corpus):
+    """Signature agreement rate approximates Jaccard for a known
+    exact-duplicate pair (agreement must be 1.0) and differs for
+    unrelated docs."""
+    sh = shingles(aug_corpus, n=3)
+    sigs = {r.doc_id: r.signature for r in minhash_signatures(sh, 16).collect()}
+    # doc 0 has an exact copy at 200000
+    assert sigs[0] == sigs[200000]
+    # unrelated pair: far-apart ids should NOT have identical signatures
+    some_other = next(i for i in sigs if i not in (0, 200000))
+    assert sigs[0] != sigs[some_other]
+
+
+def test_simhash_exact_copy_zero_hamming(spark, aug_corpus):
+    sigs = {r.doc_id: r.simhash for r in simhash(aug_corpus, bits=32).collect()}
+    assert sigs[0] == sigs[200000]  # exact copy -> identical signature
+    # near-copy (first word dropped) -> small hamming distance
+    d = bin(sigs[0] ^ sigs[100000]).count("1")
+    assert d <= 4, f"near-dup hamming {d}"
+
+
+def test_lsh_ann_rerank_is_exact_within_buckets(spark, sf_dir):
+    """Every (query, candidate) cosine produced by the LSH path must equal
+    the exact brute-force cosine for that pair (rerank correctness), and
+    per-query results must be a descending-ranked list."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.cand_id): r.cosine
+        for r in cosine_topk(queries, emb, k=1000).collect()
+    }
+    approx = lsh_cosine_topk(queries, emb, k=3, n_planes=16, prefix_bits=6).collect()
+    assert approx, "LSH ANN returned nothing"
+    for r in approx:
+        assert abs(exact[(r.query_id, r.cand_id)] - r.cosine) < 1e-12
+    by_q: dict[int, list] = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        cosines = [r.cosine for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_multimodal_featurize_batch_shape(spark):
+    from variantcalling_spark.operators.multimodal import (
+        attach_binary_payload,
+        decode_image,
+        featurize_binary,
+    )
+
+    df = spark.createDataFrame([(1, "abc"), (2, "xyzw")], "doc_id long, text string")
+    out = {r.doc_id: r for r in featurize_binary(attach_binary_payload(df)).collect()}
+    assert out[1].n_bytes == 3 and out[1].first_byte == ord("a") and out[1].last_byte == ord("c")
+    assert out[2].n_bytes == 4 and out[2].byte_sum == sum(b"xyzw")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")

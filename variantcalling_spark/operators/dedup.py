@@ -1,0 +1,192 @@
+"""Document deduplication operators: exact, n-gram Jaccard, MinHash-LSH,
+SimHash.
+
+The large-scale training-data dedup family (BASELINE.json north star).
+All are pure DataFrame plans:
+
+- exact: hash-groupBy on a normalized fingerprint — one shuffle.
+- n-gram Jaccard: explode distinct shingles -> self-join on shingle ->
+  per-pair intersection counts -> |A∩B| / (|A|+|B|-|A∩B|). Exact but
+  O(sum of per-shingle doc-frequency^2) — the verification step, not the
+  discovery step, at scale.
+- MinHash-LSH: k min-hashes per doc (xxhash64 with k seeds), banded into
+  b bands of r rows; docs sharing any band bucket become candidate
+  pairs; candidates are verified with exact Jaccard. Discovery cost is
+  linear in corpus size; only near-duplicates collide.
+- SimHash: sign-aggregated weighted word-hash bits -> 64-bit signature;
+  near-dups have small Hamming distance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    ws = F.split(F.col(text_col), " ")
+    k = F.size(ws) - (n - 1)
+    # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0] (DuckDB's
+    # generate_series yields empty) — docs shorter than n words must
+    # produce no shingles, not crash element_at
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, i + j) for j in range(n)]
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(sh)).alias("shingle"),
+    )
+
+
+def exact_dedup_clusters(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate clusters keyed by md5 of the raw text.
+
+    Returns (fingerprint, cluster_size, canonical_id): canonical is the
+    min id — a deterministic keep-one policy. One hash-shuffle, scales
+    to any corpus (the fingerprint is 128 bits regardless of doc size).
+    """
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame, min_jaccard: float = 0.0
+) -> DataFrame:
+    """Exact n-gram Jaccard for all pairs sharing >= 1 shingle.
+
+    Input: (doc_id, shingle) distinct. Output: (doc_a, doc_b, n_a, n_b,
+    n_shared, jaccard) with doc_a < doc_b. Integer-exact arithmetic, so
+    results are deterministic across engines and partitionings.
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+        )
+    )
+    return out.where(F.col("jaccard") >= min_jaccard).select(
+        "doc_a", "doc_b", "n_a", "n_b", "n_shared", "jaccard"
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """k-permutation MinHash signature per doc as an array<bigint>.
+
+    min over shingles of xxhash64(shingle, seed_i) approximates a random
+    permutation minimum; P(signature slot i collides) equals the Jaccard
+    similarity. Expressed as ``num_hashes`` plain MIN aggregations, so
+    map-side partial aggregation applies and the shuffle carries one row
+    per doc, not one per shingle — the 100 TB-friendly form.
+    """
+    cols = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*cols)
+    return agg.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidate pairs.
+
+    Each band's bucket key hashes ``rows_per_band`` consecutive signature
+    slots; the self-join runs per (band, bucket) — an equi-join that
+    shuffle-partitions evenly. Output: distinct (doc_a < doc_b).
+    """
+    bands = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("signature", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """Weighted SimHash signature per document.
+
+    Each word contributes its count to bit j: +w if bit j of
+    xxhash64(word) is set, else -w; the signature bit is 1 where the
+    total is positive. Near-duplicate docs differ in few bits. Expressed
+    as explode -> per-bit conditional SUM aggregations (map-side
+    combinable), then bit-assembled — no UDF.
+    """
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    h = F.xxhash64(F.col("w"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    per_bit = words.groupBy("doc_id").agg(*aggs)
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sig = term if sig is None else sig + term
+    return per_bit.select("doc_id", sig.alias("simhash"))
+
+
+def hamming64(a, b):
+    return F.bit_count(a.bitwiseXOR(b))

@@ -31,6 +31,7 @@ _MODULES = (
     "dedup",
     "text",
     "similarity",
+    "multimodal",
     "streaming_batch",
 )
 

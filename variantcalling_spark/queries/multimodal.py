@@ -1,0 +1,51 @@
+"""Multimodal pipeline query: binary payload -> mapInPandas featurize.
+
+The payload is the utf-8 encoding of document text (pure ASCII here), so
+the byte features are independently computable in SQL — giving the
+mapInPandas plumbing a real oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from variantcalling_spark.operators.multimodal import attach_binary_payload, featurize_binary
+from variantcalling_spark.queries import query
+from variantcalling_spark.queries._helpers import cnt
+from variantcalling_spark.sources import load_table
+
+
+@query(
+    "q70_multimodal_features",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, source,
+         octet_length(encode(text)) AS n_bytes,
+         ascii(substr(text, 1, 1)) AS first_byte,
+         ascii(substr(text, length(text), 1)) AS last_byte
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_media,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(MIN(first_byte) AS INT) AS min_first_byte,
+       CAST(MAX(last_byte) AS INT) AS max_last_byte
+FROM f GROUP BY source
+""",
+)
+def q70_multimodal_features(spark, sf_dir):
+    """Binary-column pipeline: attach opaque payloads, extract byte-level
+    features with an Arrow-batched mapInPandas stage (the slot where a
+    real image/audio decoder runs — stubbed per environment), aggregate
+    per source. The oracle recomputes the features from the text the
+    payload was derived from."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs)
+    feats = featurize_binary(media)
+    joined = feats.join(docs.select("doc_id", "source"), "doc_id")
+    return joined.groupBy("source").agg(
+        cnt("n_media"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.min("first_byte").alias("min_first_byte"),
+        F.max("last_byte").alias("max_last_byte"),
+    )

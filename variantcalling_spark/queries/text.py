@@ -1,1 +1,121 @@
-"""Placeholder — populated in later milestones."""
+"""Text-analysis queries over the documents table: token stats, quality
+scoring, language ID, fingerprinting — the LLM-training-data text ops
+(BASELINE.json north star), all native expressions with SQL oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from variantcalling_spark.functions.text import (
+    STOPWORDS,
+    distinct_token_count,
+    fingerprint,
+    predict_lang,
+    quality_score,
+    stopword_count,
+    token_count,
+)
+from variantcalling_spark.queries import query
+from variantcalling_spark.queries._helpers import cnt
+from variantcalling_spark.sources import load_table
+
+SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@query(
+    "q60_token_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+       CAST(length(text) AS INT) AS n_chars_actual,
+       md5(lower(trim(text))) AS fp
+FROM documents
+""",
+)
+def q60_token_stats(spark, sf_dir):
+    """Token counting + content fingerprint per document (whitespace
+    tokenizer; md5 of normalized text as the rolling-hash stand-in)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        distinct_token_count(F.col("text")).alias("n_distinct"),
+        F.length("text").cast("int").alias("n_chars_actual"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+@query(
+    "q61_quality_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_dist,
+         len(list_filter(string_split(text, ' '), w -> w IN ({SW}))) AS n_stop
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(ROUND(
+         0.4 * (CASE WHEN length(text) BETWEEN 100 AND 400 THEN 1 ELSE 0 END)
+         + 0.4 * (n_dist / CAST(n_tok AS DOUBLE))
+         + 0.2 * LEAST((n_stop / CAST(n_tok AS DOUBLE)) * 5, 1.0), 6) AS DECIMAL(12,6))) AS DOUBLE) AS quality_total
+FROM t GROUP BY source
+""",
+)
+def q61_quality_score(spark, sf_dir):
+    """Document quality scoring: length band + lexical diversity +
+    stopword ratio (the standard LLM data-quality heuristics), aggregated
+    per source with exact decimal summation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", quality_score(F.col("text")).alias("q"))
+        .groupBy("source")
+        .agg(
+            cnt("n_docs"),
+            F.sum(F.col("q").cast("decimal(12,6)")).cast("double").alias("quality_total"),
+        )
+    )
+
+
+@query(
+    "q62_lang_id_confusion",
+    oracle="""
+WITH s AS (
+  SELECT lang AS actual,
+         len(list_filter(string_split(text, ' '), w -> w IN ('der', 'und', 'die'))) AS s_de,
+         len(list_filter(string_split(text, ' '), w -> w IN ('the', 'and', 'of'))) AS s_en,
+         len(list_filter(string_split(text, ' '), w -> w IN ('el', 'la', 'de'))) AS s_es,
+         len(list_filter(string_split(text, ' '), w -> w IN ('le', 'et', 'les'))) AS s_fr,
+         len(list_filter(string_split(text, ' '), w -> w IN ('de5', 'le5', 'he2'))) AS s_zh
+  FROM documents
+),
+p AS (
+  SELECT actual,
+         CASE WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+              WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+              WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+              WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+              WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+              ELSE 'zh' END AS predicted
+  FROM s
+)
+SELECT actual, predicted, COUNT(*) AS n
+FROM p GROUP BY actual, predicted
+""",
+)
+def q62_lang_id_confusion(spark, sf_dir):
+    """Language-ID heuristic (marker-word argmax, deterministic tie-break
+    by language code) evaluated as a confusion matrix against the actual
+    lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("actual"), predict_lang(F.col("text")).alias("predicted")
+        )
+        .groupBy("actual", "predicted")
+        .agg(cnt("n"))
+    )
