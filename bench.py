@@ -23,14 +23,23 @@ from variantcalling_spark.session import get_spark  # noqa: E402
 
 # Representative operator families; updated as coverage widens.
 HEADLINE = [
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q05_local_supplier_volume",
-    "q06_revenue_forecast",
-    "q09_confusion_matrix",
-    "q12_numeric_histogram",
-    "q19_topk_per_group",
-    "q21_cube_rollup",
+    "q01_pricing_summary",        # grouped multi-measure aggregation
+    "q03_shipping_priority",      # 3-way join + agg + top-k
+    "q05_local_supplier_volume",  # broadcast star join
+    "q06_revenue_forecast",       # selective scan (pushdown)
+    "q09_confusion_matrix",       # conditional aggregate
+    "q12_numeric_histogram",      # binned histogram
+    "q19_topk_per_group",         # ranked window
+    "q21_cube_rollup",            # grouping sets
+    "q30_point_in_interval",      # broadcast range join
+    "q34_bucketed_range_join",    # bucketed large x large range join
+    "q40_pr_curve",               # cumulative window curve
+    "q42_interval_merge",         # gaps-and-islands
+    "q52_gvcf_compress",          # applyInPandas sequential kernel
+    "q65_ngram_jaccard",          # shingle self-join dedup
+    "q66_minhash_lsh",            # MinHash-LSH + verify
+    "q68_cosine_topk",            # embedding similarity search
+    "q80_tumbling_window",        # event-time window agg
 ]
 
 

@@ -1,0 +1,67 @@
+"""Physical-plan assertions: the properties that make these plans hold at
+100 TB (predicate pushdown, column pruning, broadcast dimension joins, no
+nested-loop range joins, partial aggregation). A correct result with the
+wrong plan is a regression at scale — these tests pin the plan shape.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from variantcalling_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = all_queries()[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q06_filter_pushdown_and_pruning(spark):
+    p = plan_of(spark, "q06_revenue_forecast")
+    assert "PushedFilters: [" in p
+    # at least one real pushed predicate, not an empty list
+    pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), "no filters pushed to the parquet scan"
+    # column pruning: shipdate filter + 2 measure cols; key columns like
+    # l_orderkey must NOT be read
+    read_schema = p.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_q05_broadcasts_all_dimensions(spark):
+    p = plan_of(spark, "q05_local_supplier_volume")
+    assert p.count("BroadcastHashJoin") >= 3  # supplier, nation, region chain
+    assert "SortMergeJoin" not in p  # the fact table never shuffles for joins
+
+
+def test_q30_interval_join_is_broadcast(spark):
+    p = plan_of(spark, "q30_point_in_interval")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # whatever the strategy, the big (events) side must not sort-merge
+    assert "SortMergeJoin" not in p
+
+
+def test_q34_bucketed_join_is_equi_not_nested_loop(spark):
+    p = plan_of(spark, "q34_bucketed_range_join")
+    assert "NestedLoop" not in p, "bucketed range join degenerated to nested loop"
+
+
+def test_q01_has_partial_aggregation(spark):
+    p = plan_of(spark, "q01_pricing_summary")
+    # partial (map-side) + final aggregate: two HashAggregate levels
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q64_dedup_single_shuffle(spark):
+    p = plan_of(spark, "q64_exact_dedup")
+    # hash-groupBy dedup: exactly one exchange for the fingerprint groupBy
+    assert p.count("Exchange") <= 2
+
+
+def test_kernel_partitions_by_contig(spark):
+    p = plan_of(spark, "q52_gvcf_compress")
+    assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsIn" in p
+    assert "hashpartitioning(chrom" in p, "kernel must partition by contig"

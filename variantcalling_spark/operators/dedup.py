@@ -97,6 +97,40 @@ def jaccard_pairs(
     )
 
 
+def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard for a GIVEN candidate pair set (the LSH verify step).
+
+    Unlike ``jaccard_pairs`` (all pairs sharing a shingle — quadratic in
+    per-shingle document frequency), this joins shingles only onto the
+    candidate pairs: cost O(|candidates| * shingles_per_doc). This is the
+    verification path that keeps MinHash-LSH linear end-to-end at 100 TB.
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("bid"), F.col("shingle").alias("sh_b"))
+    with_a = pairs.join(a, "doc_a")
+    # equi-join on (doc, shingle) composite key — no per-pair cross product
+    shared = (
+        with_a.join(
+            b, (with_a["doc_b"] == b["bid"]) & (with_a["sh_a"] == b["sh_b"])
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+        )
+        .select("doc_a", "doc_b", "n_a", "n_b", "n_shared", "jaccard")
+    )
+
+
 def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
     """k-permutation MinHash signature per doc as an array<bigint>.
 

@@ -33,6 +33,7 @@ _MODULES = (
     "similarity",
     "multimodal",
     "streaming_batch",
+    "pipelines_q",
 )
 
 

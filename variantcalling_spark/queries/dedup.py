@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from variantcalling_spark.operators.dedup import (
     exact_dedup_clusters,
+    jaccard_for_pairs,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -111,8 +112,7 @@ def q66_minhash_lsh(spark, sf_dir):
     sh = shingles(c, n=3)
     sigs = minhash_signatures(sh, num_hashes=32)
     cands = lsh_candidate_pairs(sigs, num_bands=8, rows_per_band=4)
-    exact = jaccard_pairs(sh, min_jaccard=0.0)
-    verified = cands.join(exact, ["doc_a", "doc_b"]).where(F.col("jaccard") >= 0.6)
+    verified = jaccard_for_pairs(cands, sh).where(F.col("jaccard") >= 0.6)
     return verified.select("doc_a", "doc_b", "n_shared", "jaccard")
 
 

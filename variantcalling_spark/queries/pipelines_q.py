@@ -1,0 +1,201 @@
+"""Composed pipeline queries (SURVEY.md §3): the reference's flagship
+pipelines re-expressed as single declarative plans over stand-in tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from variantcalling_spark.pipelines.coverage import coverage_summary
+from variantcalling_spark.pipelines.evaluate_concordance import evaluate_concordance
+from variantcalling_spark.pipelines.sv_stats import binned_type_matrix
+from variantcalling_spark.queries import query
+from variantcalling_spark.queries._helpers import cnt
+from variantcalling_spark.queries.intervals import SQL_IV_A, events_points, intervals_a
+from variantcalling_spark.sources import load_table
+
+
+@query(
+    "q85_evaluate_concordance",
+    oracle="""
+WITH conc AS (
+  SELECT l_returnflag AS category,
+         CASE WHEN l_quantity > 25 THEN 'tp'
+              WHEN l_discount > 0.05 THEN 'fp'
+              ELSE 'fn' END AS classify
+  FROM lineitem
+),
+m AS (
+  SELECT category,
+         COUNT(*) FILTER (WHERE classify = 'tp') AS tp,
+         COUNT(*) FILTER (WHERE classify = 'fp') AS fp,
+         COUNT(*) FILTER (WHERE classify = 'fn') AS fn
+  FROM conc GROUP BY category
+)
+SELECT category, tp, fp, fn,
+       tp / CAST(tp + fp AS DOUBLE) AS precision,
+       tp / CAST(tp + fn AS DOUBLE) AS recall,
+       2 * (tp / CAST(tp + fp AS DOUBLE)) * (tp / CAST(tp + fn AS DOUBLE))
+         / ((tp / CAST(tp + fp AS DOUBLE)) + (tp / CAST(tp + fn AS DOUBLE))) AS f1
+FROM m
+""",
+)
+def q85_evaluate_concordance(spark, sf_dir):
+    """The evaluate_concordance pipeline's `optimal_recall_precision`
+    table (`evaluate_concordance.py:71-108` -> `report_utils.py:206-222`)
+    over a concordance-shaped derivation of lineitem: per-category
+    tp/fp/fn + precision/recall/F1 in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    conc = li.select(
+        F.col("l_returnflag").alias("category"),
+        F.when(F.col("l_quantity") > 25, "tp")
+        .when(F.col("l_discount") > 0.05, "fp")
+        .otherwise("fn")
+        .alias("classify"),
+        F.col("l_extendedprice").alias("score"),
+    )
+    return evaluate_concordance(conc)["optimal_recall_precision"]
+
+
+@query(
+    "q86_coverage_summary",
+    oracle=f"""
+WITH iv AS ({SQL_IV_A}),
+depth AS (
+  -- FLOOR, not bare CAST: Spark's cast(double->int) truncates while
+  -- DuckDB's rounds; FLOOR pins identical semantics
+  SELECT epoch_us(ts) AS pos, user_id % 5 AS grp, CAST(FLOOR(value) AS INT) AS depth
+  FROM events
+),
+annotated AS (
+  SELECT iv.category, d.depth
+  FROM depth d JOIN iv
+    ON d.grp = iv.grp AND d.pos >= iv.start_us AND d.pos < iv.end_us
+),
+hist AS (
+  SELECT category, depth, COUNT(*) AS cnt FROM annotated GROUP BY category, depth
+),
+cdf AS (
+  SELECT category, depth,
+         SUM(cnt) OVER (PARTITION BY category ORDER BY depth
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER (PARTITION BY category) AS tot
+  FROM hist
+),
+pct AS (
+  SELECT category,
+         MIN(CASE WHEN cum >= CEIL(0.05 * tot) THEN depth END) AS p05,
+         MIN(CASE WHEN cum >= CEIL(0.25 * tot) THEN depth END) AS p25,
+         MIN(CASE WHEN cum >= CEIL(0.50 * tot) THEN depth END) AS p50,
+         MIN(CASE WHEN cum >= CEIL(0.75 * tot) THEN depth END) AS p75,
+         MIN(CASE WHEN cum >= CEIL(0.95 * tot) THEN depth END) AS p95
+  FROM cdf GROUP BY category
+),
+stats AS (
+  SELECT category,
+         COUNT(*) AS n_positions,
+         CAST(SUM(CAST(depth AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mean_depth
+  FROM annotated GROUP BY category
+)
+SELECT stats.category, n_positions, mean_depth, p05, p25, p50, p75, p95
+FROM stats JOIN pct ON stats.category = pct.category
+""",
+)
+def q86_coverage_summary(spark, sf_dir):
+    """The coverage full_analysis core (`coverage_analysis.py:412-594`)
+    as ONE plan: depth rows -> broadcast interval join (annotation
+    categories) -> per-category count/mean + histogram-CDF percentiles.
+    The reference's region x interval-file process fan-out collapses into
+    this single declarative job (SURVEY.md §3.3)."""
+    ev = events_points(spark, sf_dir)
+    depth = ev.select(
+        F.col("ts_us").alias("pos"), "grp", F.col("value").cast("int").alias("depth")
+    )
+    iv = intervals_a(spark)
+    return coverage_summary(
+        depth, iv, keys=["grp"], start_col="start_us", end_col="end_us"
+    )
+
+
+@query(
+    "q87_sv_stats_matrix",
+    oracle="""
+WITH binned AS (
+  SELECT o_orderstatus AS sv_type,
+         CASE WHEN o_totalprice < 50000 THEN '0-50k'
+              WHEN o_totalprice < 100000 THEN '50k-100k'
+              WHEN o_totalprice < 200000 THEN '100k-200k'
+              WHEN o_totalprice < 400000 THEN '200k-400k'
+              ELSE '400k+' END AS len_bin
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+),
+counts AS (
+  SELECT sv_type, len_bin, COUNT(*) AS n FROM binned GROUP BY sv_type, len_bin
+),
+domain AS (
+  SELECT t.sv_type, b.len_bin
+  FROM unnest(['F', 'O', 'P']) t(sv_type)
+  CROSS JOIN unnest(['0-50k', '50k-100k', '100k-200k', '200k-400k', '400k+']) b(len_bin)
+)
+SELECT domain.sv_type, domain.len_bin, COALESCE(n, 0) AS n
+FROM domain LEFT JOIN counts
+  ON domain.sv_type = counts.sv_type AND domain.len_bin = counts.len_bin
+""",
+)
+def q87_sv_stats_matrix(spark, sf_dir):
+    """The sv_stats_collect matrix (`sv_stats_collect.py:37-52`): PASS
+    filter -> length binning -> (type x bin) counts REINDEXED to the
+    fixed label domain (zeros included) via a generated domain table —
+    the `unstack().reindex()` pattern in one join."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM")
+    )
+    bin_expr = (
+        F.when(F.col("o_totalprice") < 50000, "0-50k")
+        .when(F.col("o_totalprice") < 100000, "50k-100k")
+        .when(F.col("o_totalprice") < 200000, "100k-200k")
+        .when(F.col("o_totalprice") < 400000, "200k-400k")
+        .otherwise("400k+")
+    )
+    return binned_type_matrix(
+        o,
+        spark,
+        "o_orderstatus",
+        bin_expr,
+        ["F", "O", "P"],
+        ["0-50k", "50k-100k", "100k-200k", "200k-400k", "400k+"],
+    )
+
+
+@query(
+    "q88_hit_fraction",
+    oracle="""
+WITH calls AS (
+  SELECT DISTINCT l_orderkey, l_partkey, l_suppkey FROM lineitem WHERE l_returnflag = 'N'
+),
+truth AS (
+  SELECT DISTINCT l_orderkey, l_partkey, l_suppkey FROM lineitem WHERE l_linestatus = 'F'
+),
+hits AS (SELECT COUNT(*) AS hit_count FROM calls JOIN truth USING (l_orderkey, l_partkey, l_suppkey)),
+gt AS (SELECT COUNT(*) AS gt_count FROM truth)
+SELECT hit_count, gt_count,
+       hit_count / (gt_count + 0.001) AS hit_fraction
+FROM hits, gt
+""",
+)
+def q88_hit_fraction(spark, sf_dir):
+    """The hit-fraction comparison — SURVEY.md §7.2's minimum end-to-end
+    slice (`variant_hit_fraction_caller.py:33-42`): two callsets inner-
+    joined on the composite variant key; hit_count / (gt_count + 0.001)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = ["l_orderkey", "l_partkey", "l_suppkey"]
+    calls = li.where(F.col("l_returnflag") == "N").select(*key).distinct()
+    truth = li.where(F.col("l_linestatus") == "F").select(*key).distinct()
+    hits = calls.join(truth, key).agg(cnt("hit_count"))
+    gt = truth.agg(cnt("gt_count"))
+    return hits.crossJoin(gt).select(
+        "hit_count",
+        "gt_count",
+        (F.col("hit_count") / (F.col("gt_count") + 0.001)).alias("hit_fraction"),
+    )

@@ -1,1 +1,98 @@
-"""Placeholder — populated in later milestones."""
+"""Event-time window aggregations — the batch face of the streaming
+surface (the identical transformations run under Structured Streaming in
+variantcalling_spark/streaming/events.py; tests prove stream == batch).
+
+Window starts are emitted as integer epoch-microseconds so both engines
+hash identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from variantcalling_spark.queries import query
+from variantcalling_spark.queries.intervals import events_points
+from variantcalling_spark.streaming.events import (
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+    with_event_time,
+)
+
+HOUR_US = 3_600_000_000
+HALF_US = 1_800_000_000
+
+
+@query(
+    "q80_tumbling_window",
+    oracle=f"""
+SELECT (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS window_start_us,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q80_tumbling_window(spark, sf_dir):
+    """Tumbling event-time windows (1h) per event type — the Structured
+    Streaming windowed agg (guide §Structured Streaming) run in batch;
+    the same function is driven by a file stream in tests."""
+    ev = with_event_time(events_points(spark, sf_dir))
+    return tumbling_counts(ev, "1 hour")
+
+
+@query(
+    "q81_sliding_window",
+    oracle=f"""
+WITH slid AS (
+  SELECT event_type,
+         (epoch_us(ts) // {HALF_US} - k) * {HALF_US} AS window_start_us
+  FROM events, unnest([0, 1]) t(k)
+)
+SELECT window_start_us, event_type, COUNT(*) AS n
+FROM slid GROUP BY 1, 2
+""",
+)
+def q81_sliding_window(spark, sf_dir):
+    """Sliding windows (1h width, 30m slide): every event belongs to two
+    windows; Spark's window() expansion vs the oracle's explicit
+    2-window unnest must agree exactly."""
+    ev = with_event_time(events_points(spark, sf_dir))
+    return sliding_counts(ev, "1 hour", "30 minutes")
+
+
+@query(
+    "q82_session_window",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+),
+flagged AS (
+  SELECT user_id, ts_us, value,
+         CASE WHEN ts_us - LAG(ts_us) OVER w > {HALF_US}
+                   OR LAG(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+),
+sess AS (
+  SELECT user_id, ts_us, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT MIN(ts_us) AS session_start_us,
+       user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+FROM sess GROUP BY user_id, session_id
+""",
+)
+def q82_session_window(spark, sf_dir):
+    """Per-user session windows (30m inactivity gap).
+
+    Spark side: native `session_window` aggregation (the streaming
+    sessionization operator). Oracle: the classic lag -> cumsum
+    gaps-and-islands — proving the two formulations equivalent.
+    """
+    ev = with_event_time(events_points(spark, sf_dir))
+    return session_windows(ev, "30 minutes")

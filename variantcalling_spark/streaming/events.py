@@ -1,0 +1,72 @@
+"""Structured Streaming surface over the events table.
+
+The reference is batch-only (SURVEY.md §2.9) — its "incremental" mode is
+per-chromosome sharding — so streaming is an engine capability beyond
+parity. The transformations below are plain DataFrame functions applied
+identically to batch frames and streams (the Structured Streaming
+contract): tests drive them through a real file stream with a memory
+sink and assert stream==batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_event_time(df: DataFrame, ts_us_col: str = "ts_us") -> DataFrame:
+    """Attach a proper event-time column from integer microseconds."""
+    return df.withColumn("event_time", F.timestamp_micros(F.col(ts_us_col)))
+
+
+def tumbling_counts(df: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window counts/sums per event type."""
+    return (
+        df.groupBy(F.window("event_time", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+def sliding_counts(df: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    """Sliding event-time windows (each event lands in width/slide windows)."""
+    return (
+        df.groupBy(F.window("event_time", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_windows(df: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows with an inactivity gap."""
+    return (
+        df.groupBy(F.session_window("event_time", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "user_id",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def stream_events_from_dir(spark, path: str, schema) -> DataFrame:
+    """File-source stream with watermark, ready for the window aggs."""
+    raw = spark.readStream.schema(schema).parquet(path)
+    return raw.withWatermark("event_time", "1 hour")
