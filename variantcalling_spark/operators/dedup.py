@@ -24,8 +24,17 @@ from pyspark.sql import functions as F
 
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
-    ws = F.split(F.col(text_col), " ")
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    The split is materialized in its own projection so codegen computes
+    it once per row; referencing the raw ``split(text)`` expression
+    inside the transform lambda re-evaluates the split per element —
+    O(words^2) per doc and ~10x slower end-to-end.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("ws")
+    )
+    ws = F.col("ws")
     k = F.size(ws) - (n - 1)
     # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0] (DuckDB's
     # generate_series yields empty) — docs shorter than n words must
@@ -39,9 +48,8 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
             " ", *[F.element_at(ws, i + j) for j in range(n)]
         ),
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(sh)).alias("shingle"),
+    return tok.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
     )
 
 
@@ -101,33 +109,93 @@ def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     """Exact Jaccard for a GIVEN candidate pair set (the LSH verify step).
 
     Unlike ``jaccard_pairs`` (all pairs sharing a shingle — quadratic in
-    per-shingle document frequency), this joins shingles only onto the
-    candidate pairs: cost O(|candidates| * shingles_per_doc). This is the
-    verification path that keeps MinHash-LSH linear end-to-end at 100 TB.
+    per-shingle document frequency), this collects each doc's shingle
+    set once (one shuffle, one array row per doc) and joins only the
+    candidate pairs against it: cost O(|docs| + |candidates|), with the
+    intersection computed by ``array_intersect`` per pair. Docs are
+    individually bounded, so the per-doc array never approaches executor
+    memory even at corpus scale — the verification path that keeps
+    MinHash-LSH / prefix-filter dedup linear end-to-end at 100 TB.
     """
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("bid"), F.col("shingle").alias("sh_b"))
-    with_a = pairs.join(a, "doc_a")
-    # equi-join on (doc, shingle) composite key — no per-pair cross product
-    shared = (
-        with_a.join(
-            b, (with_a["doc_b"] == b["bid"]) & (with_a["sh_a"] == b["sh_b"])
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh_set"))
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b")
+    )
     return (
-        shared.join(sa, "doc_a")
+        pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("set_a").alias("n_a"),
+            F.size("set_b").alias("n_b"),
+            F.size(F.array_intersect("set_a", "set_b")).alias("n_shared"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_shared")
             / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
         )
-        .select("doc_a", "doc_b", "n_a", "n_b", "n_shared", "jaccard")
+    )
+
+
+def prefix_filtered_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact candidate discovery via prefix + length filtering (the
+    PPJoin/AllPairs family) for a Jaccard threshold ``t``.
+
+    Order each doc's shingles by ascending global document frequency;
+    if Jaccard(A,B) >= t, then A and B must share at least one shingle
+    within each one's first ``n - ceil(t*n) + 1`` shingles (else the
+    intersection is too small), and their sizes must satisfy
+    ``t*n_a <= n_b <= n_a/t``. Both filters are *lossless*: every pair
+    at-or-above threshold survives, so verify(candidates) == all-pairs.
+
+    The self-join runs only over the rare-shingle prefixes, collapsing
+    the O(sum df^2) all-pairs shingle join to near-linear — the exact-
+    dedup path that survives a 100x corpus scale-up.
+    """
+    from pyspark.sql import Window
+
+    doc_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(doc_freq, "shingle")
+        .withColumn(
+            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+    )
+    prefix = ranked.where(
+        F.col("rk")
+        <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).select("doc_id", "shingle", "n_sh")
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingle").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingle").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("sh_a") == F.col("sh_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")))
+            & (F.col("n_a") >= F.ceil(F.lit(threshold) * F.col("n_b"))),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
     )
 
 

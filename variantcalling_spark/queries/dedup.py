@@ -16,6 +16,7 @@ from variantcalling_spark.operators.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
+    prefix_filtered_pairs,
     shingles,
     simhash,
 )
@@ -93,12 +94,19 @@ WHERE n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE) >= 0.6
 """,
 )
 def q65_ngram_jaccard(spark, sf_dir):
-    """Exact word-3-gram Jaccard near-duplicate pairs (threshold 0.6):
-    explode distinct shingles -> self-join on shingle -> integer-exact
-    intersection/union arithmetic. The exact verifier used downstream of
-    MinHash-LSH candidate discovery."""
+    """Exact word-3-gram Jaccard near-duplicate pairs (threshold 0.6).
+
+    Discovery uses lossless prefix + length filtering (PPJoin family):
+    the shingle self-join runs only over each doc's rarest
+    ``n - ceil(0.6*n) + 1`` shingles, then candidates are verified with
+    integer-exact intersection/union arithmetic — identical output to
+    the naive all-pairs shingle join (the oracle), at near-linear cost.
+    """
     sh = shingles(corpus(spark, sf_dir), n=3)
-    return jaccard_pairs(sh, min_jaccard=0.6)
+    cands = prefix_filtered_pairs(sh, threshold=0.6)
+    return jaccard_for_pairs(cands, sh).where(F.col("jaccard") >= 0.6).select(
+        "doc_a", "doc_b", "n_a", "n_b", "n_shared", "jaccard"
+    )
 
 
 @query("q66_minhash_lsh", oracle=None)
