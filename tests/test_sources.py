@@ -1,0 +1,83 @@
+"""Round-trip tests for the VCF / BED / interval_list text sources."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from variantcalling_spark.sources.bed import read_bed, read_interval_list, to_bed_lines
+from variantcalling_spark.sources.vcf import read_vcf, to_vcf_lines, vcf_header
+
+VCF_BODY = "\n".join(
+    [
+        "chr1\t100\trs1\tA\tG\t50.5\tPASS\tDP=30;AF=0.5",
+        "chr1\t200\t.\tC\tT,G\t.\t.\t.",
+        "chr2\t5\t.\tGTT\tG\t10\tLowQual\tSVTYPE=DEL",
+    ]
+)
+
+
+def _write(tmp_path, name, text):
+    p = os.path.join(str(tmp_path), name)
+    with open(p, "w") as f:
+        f.write(text + "\n")
+    return p
+
+
+def test_vcf_parse_fixed_and_info(spark, tmp_path):
+    p = _write(tmp_path, "t.vcf", vcf_header(["chr1", "chr2"]) + "\n" + VCF_BODY)
+    df = read_vcf(spark, p, sample_format=False).orderBy("chrom", "pos")
+    rows = df.collect()
+    assert [r.chrom for r in rows] == ["chr1", "chr1", "chr2"]
+    assert rows[0].alleles == ["A", "G"]
+    assert rows[1].alleles == ["C", "T", "G"]  # multiallelic: REF first
+    assert rows[1].qual is None and rows[1].id is None and rows[1].filter is None
+    assert rows[0].info["DP"] == "30" and rows[0].info["AF"] == "0.5"
+    assert rows[1].info == {}
+    assert rows[2].info["SVTYPE"] == "DEL"
+
+
+def test_vcf_sample_format_map(spark, tmp_path):
+    body = "chr1\t10\t.\tA\tC\t5\tPASS\tDP=9\tGT:GQ:PL\t0/1:40:10,0,60"
+    p = _write(tmp_path, "s.vcf", vcf_header(sample="s1") + "\n" + body)
+    r = read_vcf(spark, p).first()
+    assert r.fmt["GT"] == "0/1"
+    assert r.fmt["PL"] == "10,0,60"
+
+
+def test_vcf_round_trip(spark, tmp_path):
+    p = _write(tmp_path, "rt.vcf", vcf_header() + "\n" + VCF_BODY)
+    df = read_vcf(spark, p, sample_format=False)
+    lines = {r.value for r in to_vcf_lines(df).collect()}
+    # qual prints as double (50.5, 10.0) — compare the reparsed form
+    p2 = os.path.join(str(tmp_path), "out.vcf")
+    with open(p2, "w") as f:
+        f.write("\n".join(sorted(lines)) + "\n")
+    df2 = read_vcf(spark, p2, sample_format=False)
+    key = lambda r: (r.chrom, r.pos, r.ref, tuple(r.alleles), r.filter)  # noqa: E731
+    a = {key(r) for r in df.select("chrom", "pos", "ref", "alleles", "filter").collect()}
+    b = {key(r) for r in df2.select("chrom", "pos", "ref", "alleles", "filter").collect()}
+    assert a == b
+
+
+def test_bed_read_and_headers(spark, tmp_path):
+    text = "track name=x\n#comment\nchr1\t0\t100\tr1\nchr1\t150\t250\tr2\nchr2\t5\t9"
+    p = _write(tmp_path, "a.bed", text)
+    df = read_bed(spark, p).orderBy("chrom", "start")
+    rows = df.collect()
+    assert len(rows) == 3
+    assert rows[0].start == 0 and rows[0].end == 100 and rows[0].name == "r1"
+    assert rows[2].name is None
+    lines = to_bed_lines(df).collect()
+    assert lines[0].value == "chr1\t0\t100"
+
+
+def test_interval_list_converts_to_half_open(spark, tmp_path):
+    text = "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:1000\nchr1\t1\t100\t+\tr1\nchr1\t201\t300\t+\tr2"
+    p = _write(tmp_path, "a.interval_list", text)
+    rows = read_interval_list(spark, p).orderBy("start").collect()
+    # 1-based closed [1,100] -> 0-based half-open [0,100)
+    assert (rows[0].start, rows[0].end) == (0, 100)
+    assert (rows[1].start, rows[1].end) == (200, 300)
+    assert rows[1].name == "r2"

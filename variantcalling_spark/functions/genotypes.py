@@ -67,6 +67,48 @@ def pl_compress3(pl: Column, n_alleles: Column) -> Column:
     return F.array(F.element_at(pl, 1), het_ref, non_ref)
 
 
+def haploid_pl(pl: Column) -> Column:
+    """Diploid-to-haploid PL conversion for a biallelic record.
+
+    Keeps only the homozygous candidates [PL(0/0), PL(1/1)], renormalized
+    so the minimum is 0 — `convert_to_haploid` (`convert_haploid_regions.
+    py:38-70`). Returns struct(pl: array<int>, gt: int, gq: int); GT is
+    the argmin candidate, GQ the distance to the rejected one (capped 99).
+    """
+    rr = F.element_at(pl, 1)
+    aa = F.element_at(pl, 3)
+    m = F.least(rr, aa)
+    return F.struct(
+        F.array((rr - m).cast("int"), (aa - m).cast("int")).alias("pl"),
+        F.when(rr <= aa, F.lit(0)).otherwise(F.lit(1)).cast("int").alias("gt"),
+        F.least(F.greatest(rr, aa) - m, F.lit(99)).cast("int").alias("gq"),
+    )
+
+
+def imputation_reweighted_pl(pl: Column, ds: Column) -> Column:
+    """Imputation-prior PL rescale for a biallelic diploid record.
+
+    Re-expresses `modify_stats_with_imp` + `_convert_ds_to_genotype_
+    imputation_priors` (`correct_genotypes_by_imputation.py:189-251`):
+    the imputed alt-dosage DS in [0,2] becomes Hardy-Weinberg genotype
+    priors [(1-d)^2, 2d(1-d), d^2] with d = DS/2; the prior is applied in
+    Phred space (posterior_pl = pl - 10*log10(prior)) and renormalized to
+    min 0. DS is clamped away from {0,2} so the prior never hits log(0) —
+    matching the reference's epsilon guard on missing/degenerate dosages
+    (`correct_genotypes_by_imputation.py:200-202`). Returns
+    struct(pl: array<double> rounded to 4 dp, gt_index: int).
+    """
+    d = F.least(F.greatest(ds / 2.0, F.lit(0.0005)), F.lit(0.9995))
+    priors = F.array((1 - d) * (1 - d), 2 * d * (1 - d), d * d)
+    post = F.zip_with(pl, priors, lambda x, p: x - 10.0 * F.log10(p))
+    m = F.array_min(post)
+    norm = F.transform(post, lambda x: F.round(x - m, 4))
+    return F.struct(
+        norm.alias("pl"),
+        (F.array_position(norm, F.array_min(norm)) - 1).cast("int").alias("gt_index"),
+    )
+
+
 def classify_genotype_error(gt_truth_1: Column, gt_truth_2: Column,
                             gt_call_1: Column, gt_call_2: Column) -> Column:
     """Genotype-error taxonomy for diploid calls.

@@ -34,6 +34,7 @@ _MODULES = (
     "multimodal",
     "streaming_batch",
     "pipelines_q",
+    "advanced",
 )
 
 

@@ -1,0 +1,389 @@
+"""Second-wave SURVEY.md §2 operators: hmer stat matrix, contingency /
+multinomial stats, annotate-back join, dynamic map lookup, seeded
+stratified sampling, inverse-CDF distribution sampling, and the two
+remaining PL array-math kernels (haploid conversion, imputation
+reweighting).
+
+All are pure DataFrame plans with exact cross-engine arithmetic; the
+"random" sampling operators use an explicit LCG hash so Spark and the
+DuckDB oracle draw identical samples at any partitioning (the Spark-side
+replacement for the reference's seeded `random.shuffle` /
+`np.random.choice`, SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from variantcalling_spark.functions.dna import hmer_run_length
+from variantcalling_spark.functions.genotypes import (
+    haploid_pl,
+    imputation_reweighted_pl,
+)
+from variantcalling_spark.queries import query
+from variantcalling_spark.queries._helpers import cnt
+from variantcalling_spark.queries.genomics import SQL_DOCS_DNA, docs_as_dna
+from variantcalling_spark.sources import load_table
+
+
+@query(
+    "q13_hmer_stat_matrix",
+    oracle=f"""
+WITH d AS ({SQL_DOCS_DNA}),
+feat AS (
+  SELECT CAST(length(seq) - length(ltrim(seq, substr(seq, 1, 1))) AS INT) AS hmer_len,
+         CASE WHEN doc_id % 3 = 0 THEN 'ins' ELSE 'del' END AS indel_classify,
+         CASE WHEN doc_id % 2 = 0 THEN 'hom' ELSE 'het' END AS zyg,
+         CASE WHEN substr(seq, 1, 1) IN ('A', 'G') THEN 'AG' ELSE 'CT' END AS nuc
+  FROM d
+)
+SELECT hmer_len, indel_classify,
+       COUNT(*) FILTER (WHERE zyg = 'hom' AND nuc = 'AG') AS hom_ag,
+       COUNT(*) FILTER (WHERE zyg = 'hom' AND nuc = 'CT') AS hom_ct,
+       COUNT(*) FILTER (WHERE zyg = 'het' AND nuc = 'AG') AS het_ag,
+       COUNT(*) FILTER (WHERE zyg = 'het' AND nuc = 'CT') AS het_ct
+FROM feat GROUP BY hmer_len, indel_classify
+""",
+)
+def q13_hmer_stat_matrix(spark, sf_dir):
+    """Hmer-indel stat matrix: counts per (hmer length x ins/del), split
+    by zygosity and nucleotide class (`run_no_gt_report.py:44-69`, pinned
+    `test_run_no_gt_report.py:84-97`) — one pivot pass over the fixed
+    (zygosity, nuc-class) domain instead of the reference's filtered
+    re-aggregation per cell."""
+    d = docs_as_dna(spark, sf_dir)
+    feat = d.select(
+        hmer_run_length(F.col("seq")).alias("hmer_len"),
+        F.when(F.col("doc_id") % 3 == 0, "ins").otherwise("del").alias("indel_classify"),
+        F.when(F.col("doc_id") % 2 == 0, "hom").otherwise("het").alias("zyg"),
+        F.when(F.substring("seq", 1, 1).isin("A", "G"), "AG").otherwise("CT").alias("nuc"),
+    )
+    piv = (
+        feat.groupBy("hmer_len", "indel_classify")
+        .pivot("zyg", ["hom", "het"])
+        .agg(
+            F.count(F.when(F.col("nuc") == "AG", 1)).alias("ag"),
+            F.count(F.when(F.col("nuc") == "CT", 1)).alias("ct"),
+        )
+    )
+    return piv.select(
+        "hmer_len",
+        "indel_classify",
+        F.col("hom_ag"),
+        F.col("hom_ct"),
+        F.col("het_ag"),
+        F.col("het_ct"),
+    )
+
+
+@query(
+    "q14_contingency_multinomial",
+    oracle="""
+WITH g AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_orderkey % 5 AS INT) AS k1,
+         CAST(l_partkey % 4 AS INT) AS k2,
+         CAST(l_suppkey % 3 + 1 AS INT) AS k3
+  FROM lineitem
+),
+t AS (SELECT *, k1 + k2 + k3 AS n FROM g)
+SELECT l_orderkey, l_linenumber, k1, k2, k3, n,
+       CAST(ROUND(k1 * 100.0 / n) AS INT) AS scaled_k1,
+       CAST(ROUND(k2 * 100.0 / n) AS INT) AS scaled_k2,
+       CAST(ROUND(k3 * 100.0 / n) AS INT) AS scaled_k3,
+       ROUND((k1 + 1.0) / (n + 3.0), 6) AS freq_k1,
+       ROUND((k2 + 1.0) / (n + 3.0), 6) AS freq_k2,
+       ROUND((k3 + 1.0) / (n + 3.0), 6) AS freq_k3,
+       ROUND(ln(CAST(factorial(n) AS DOUBLE))
+             - ln(CAST(factorial(k1) AS DOUBLE))
+             - ln(CAST(factorial(k2) AS DOUBLE))
+             - ln(CAST(factorial(k3) AS DOUBLE))
+             + k1 * ln(0.5) + k2 * ln(0.3) + k3 * ln(0.2), 6) AS log_lik
+FROM t
+""",
+)
+def q14_contingency_multinomial(spark, sf_dir):
+    """Contingency-table scalar kernels (`ugvc/utils/stats_utils.py:
+    12-70`, pinned `test_stats_utils.py:18-110`): scale-to-n with
+    round-to-int, add-one (Laplace) frequencies, and the multinomial
+    log-likelihood ln n! - sum ln k_i! + sum k_i ln p_i — all codegen'd
+    column math (factorial stays exact: n <= 10 here)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_orderkey") % 5).cast("int").alias("k1"),
+        (F.col("l_partkey") % 4).cast("int").alias("k2"),
+        (F.col("l_suppkey") % 3 + 1).cast("int").alias("k3"),
+    ).withColumn("n", F.col("k1") + F.col("k2") + F.col("k3"))
+    lf = lambda c: F.log(F.factorial(c).cast("double"))  # noqa: E731
+    return g.select(
+        "l_orderkey",
+        "l_linenumber",
+        "k1",
+        "k2",
+        "k3",
+        "n",
+        F.round(F.col("k1") * 100.0 / F.col("n"), 0).cast("int").alias("scaled_k1"),
+        F.round(F.col("k2") * 100.0 / F.col("n"), 0).cast("int").alias("scaled_k2"),
+        F.round(F.col("k3") * 100.0 / F.col("n"), 0).cast("int").alias("scaled_k3"),
+        F.round((F.col("k1") + 1.0) / (F.col("n") + 3.0), 6).alias("freq_k1"),
+        F.round((F.col("k2") + 1.0) / (F.col("n") + 3.0), 6).alias("freq_k2"),
+        F.round((F.col("k3") + 1.0) / (F.col("n") + 3.0), 6).alias("freq_k3"),
+        F.round(
+            lf(F.col("n"))
+            - lf(F.col("k1"))
+            - lf(F.col("k2"))
+            - lf(F.col("k3"))
+            + F.col("k1") * F.log(F.lit(0.5))
+            + F.col("k2") * F.log(F.lit(0.3))
+            + F.col("k3") * F.log(F.lit(0.2)),
+            6,
+        ).alias("log_lik"),
+    )
+
+
+@query(
+    "q23_annotate_back_join",
+    oracle="""
+WITH ann AS (
+  SELECT l_orderkey, MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_price
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderkey, o.o_orderstatus,
+       CAST(COALESCE(ann.min_price, -1.0) AS DOUBLE) AS min_price
+FROM orders o LEFT JOIN ann ON ann.l_orderkey = o.o_orderkey
+""",
+)
+def q23_annotate_back_join(spark, sf_dir):
+    """Annotate-back join with duplicate-key pre-aggregation: annotation
+    rows are min-reduced per key BEFORE the left join, so the enriched
+    stream keeps exactly one row per record — `denovo_refinement.py:
+    96-99` (min pair_qual on duplicated (chrom,pos))."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    ann = li.groupBy("l_orderkey").agg(
+        F.min(F.col("l_extendedprice").cast("decimal(12,2)")).alias("min_price")
+    )
+    return o.join(ann, o["o_orderkey"] == ann["l_orderkey"], "left").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.coalesce(F.col("min_price"), F.lit(-1.0)).cast("double").alias("min_price"),
+    )
+
+
+@query(
+    "q24_dynamic_map_lookup",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_custkey % 2 = 0 THEN 'even' ELSE 'odd' END AS which,
+       CASE WHEN c_custkey % 2 = 0 THEN CAST(c_acctbal AS DOUBLE)
+            ELSE CAST(-c_acctbal AS DOUBLE) END AS looked_up
+FROM customer
+""",
+)
+def q24_dynamic_map_lookup(spark, sf_dir):
+    """Row-dependent column lookup restructured as a MapType column +
+    `element_at(map, key)` — the Spark shape for the reference's
+    `x[x['denovosample'] + '-father']` dynamic indexing
+    (`denovo_refinement.py:69-70`)."""
+    c = load_table(spark, sf_dir, "customer")
+    m = F.create_map(
+        F.lit("even"),
+        F.col("c_acctbal").cast("double"),
+        F.lit("odd"),
+        (-F.col("c_acctbal")).cast("double"),
+    )
+    key = F.when(F.col("c_custkey") % 2 == 0, "even").otherwise("odd")
+    return c.select(
+        "c_custkey",
+        key.alias("which"),
+        F.element_at(m, key).alias("looked_up"),
+    )
+
+
+@query(
+    "q25_stratified_sample",
+    oracle="""
+WITH u AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber,
+         (l_orderkey * 2654435761 + l_linenumber * 97) % 4294967296 AS u
+  FROM lineitem
+),
+rn AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                               ORDER BY u, l_orderkey, l_linenumber) AS rn
+  FROM u
+)
+SELECT l_returnflag, l_orderkey, l_linenumber, u
+FROM rn WHERE rn <= 5
+""",
+)
+def q25_stratified_sample(spark, sf_dir):
+    """Deterministic seeded top-k sample per stratum: an explicit LCG
+    hash replaces `random.shuffle` so every engine/partitioning draws the
+    same rows (`collect_hpol_table.py:105-115` take-first-fraction per
+    (hmer length, nuc); SURVEY.md §4 seeded-sampling requirement)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    u = li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        (
+            (F.col("l_orderkey") * F.lit(2654435761).cast("bigint")
+             + F.col("l_linenumber") * 97) % F.lit(4294967296).cast("bigint")
+        ).alias("u"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("u", "l_orderkey", "l_linenumber")
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+@query(
+    "q26_inverse_cdf_sample",
+    oracle="""
+WITH dist AS (
+  SELECT l_returnflag AS val, COUNT(*) AS c FROM lineitem GROUP BY l_returnflag
+),
+cdf AS (
+  SELECT val, c,
+         SUM(c) OVER (ORDER BY val) - c AS lo,
+         SUM(c) OVER (ORDER BY val) AS hi,
+         SUM(c) OVER () AS total
+  FROM dist
+),
+draws AS (
+  SELECT (o_orderkey * 1103515245 + 12345) AS x FROM orders
+)
+SELECT val, COUNT(*) AS n_drawn
+FROM draws JOIN cdf ON x % total >= lo AND x % total < hi
+GROUP BY val
+""",
+)
+def q26_inverse_cdf_sample(spark, sf_dir):
+    """Sampling from an empirical distribution by inverse-CDF range join
+    (`np.random.choice(vals, p=probs)`, `stats_utils.py:213-227`):
+    integer cumulative bounds (exact, order-independent) + an LCG draw
+    per row, range-joined against the broadcast CDF table — seeded and
+    identical on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    dist = li.groupBy(F.col("l_returnflag").alias("val")).agg(cnt("c"))
+    w = Window.orderBy("val")
+    cdf = dist.select(
+        "val",
+        (F.sum("c").over(w) - F.col("c")).alias("lo"),
+        F.sum("c").over(w).alias("hi"),
+        F.sum("c").over(Window.partitionBy()).alias("total"),
+    )
+    draws = o.select(
+        (F.col("o_orderkey") * F.lit(1103515245).cast("bigint") + 12345).alias("x")
+    )
+    joined = draws.join(
+        F.broadcast(cdf),
+        (F.col("x") % F.col("total") >= F.col("lo"))
+        & (F.col("x") % F.col("total") < F.col("hi")),
+    )
+    return joined.groupBy("val").agg(cnt("n_drawn"))
+
+
+@query(
+    "q59_haploid_pl",
+    oracle="""
+WITH pls AS (
+  SELECT o_orderkey,
+         CAST(o_orderkey % 97 AS INT) AS rr,
+         CAST(o_custkey % 89 AS INT) AS ra,
+         CAST(o_orderkey % 83 AS INT) AS aa
+  FROM orders
+)
+SELECT o_orderkey,
+       CAST(rr - LEAST(rr, aa) AS INT) AS hap_pl0,
+       CAST(aa - LEAST(rr, aa) AS INT) AS hap_pl1,
+       CAST(CASE WHEN rr <= aa THEN 0 ELSE 1 END AS INT) AS hap_gt,
+       CAST(LEAST(GREATEST(rr, aa) - LEAST(rr, aa), 99) AS INT) AS hap_gq
+FROM pls
+""",
+)
+def q59_haploid_pl(spark, sf_dir):
+    """Diploid->haploid PL conversion (`convert_to_haploid`,
+    `convert_haploid_regions.py:38-70`, system-pinned tp=16/tn=93
+    `test_convert_haploid_regions.py:50-54`): drop the heterozygous
+    candidate, renormalize to min 0, re-derive GT/GQ — pure array math."""
+    o = load_table(spark, sf_dir, "orders")
+    pl = F.array(
+        (F.col("o_orderkey") % 97).cast("int"),
+        (F.col("o_custkey") % 89).cast("int"),
+        (F.col("o_orderkey") % 83).cast("int"),
+    )
+    h = haploid_pl(pl)
+    return o.select(
+        "o_orderkey",
+        F.element_at(h["pl"], 1).alias("hap_pl0"),
+        F.element_at(h["pl"], 2).alias("hap_pl1"),
+        h["gt"].alias("hap_gt"),
+        h["gq"].alias("hap_gq"),
+    )
+
+
+@query(
+    "q54_imputation_pl_rescale",
+    oracle="""
+WITH v AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_orderkey % 60 AS DOUBLE) AS pl0,
+         CAST(l_partkey % 50 AS DOUBLE) AS pl1,
+         CAST(l_suppkey % 40 AS DOUBLE) AS pl2,
+         LEAST(GREATEST((l_partkey % 201) / 200.0, 0.0005), 0.9995) AS d
+  FROM lineitem
+),
+post AS (
+  SELECT l_orderkey, l_linenumber,
+         pl0 - 10.0 * log10((1 - d) * (1 - d)) AS p0,
+         pl1 - 10.0 * log10(2 * d * (1 - d)) AS p1,
+         pl2 - 10.0 * log10(d * d) AS p2
+  FROM v
+),
+norm AS (
+  SELECT l_orderkey, l_linenumber,
+         ROUND(p0 - LEAST(p0, p1, p2), 4) AS n0,
+         ROUND(p1 - LEAST(p0, p1, p2), 4) AS n1,
+         ROUND(p2 - LEAST(p0, p1, p2), 4) AS n2
+  FROM post
+)
+SELECT l_orderkey, l_linenumber, n0, n1, n2,
+       CAST(CASE WHEN n0 <= n1 AND n0 <= n2 THEN 0
+                 WHEN n1 <= n2 THEN 1 ELSE 2 END AS INT) AS gt_index
+FROM norm
+""",
+)
+def q54_imputation_pl_rescale(spark, sf_dir):
+    """Imputation-prior PL reweighting + argmin genotype re-pick
+    (`modify_stats_with_imp` `correct_genotypes_by_imputation.py:189-251`):
+    Hardy-Weinberg priors from the imputed dosage applied in Phred space,
+    renormalized, genotype re-picked as the posterior argmin — zip_with /
+    array_min / array_position, no UDF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array(
+            (F.col("l_orderkey") % 60).cast("double"),
+            (F.col("l_partkey") % 50).cast("double"),
+            (F.col("l_suppkey") % 40).cast("double"),
+        ).alias("pl"),
+        ((F.col("l_partkey") % 201) / 100.0).alias("ds"),
+    )
+    r = imputation_reweighted_pl(F.col("pl"), F.col("ds"))
+    return v.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(r["pl"], 1).alias("n0"),
+        F.element_at(r["pl"], 2).alias("n1"),
+        F.element_at(r["pl"], 3).alias("n2"),
+        r["gt_index"].alias("gt_index"),
+    )

@@ -199,3 +199,38 @@ def q88_hit_fraction(spark, sf_dir):
         "gt_count",
         (F.col("hit_count") / (F.col("gt_count") + 0.001)).alias("hit_fraction"),
     )
+
+
+@query("q89_ml_filter_score", oracle=None)
+def q89_ml_filter_score(spark, sf_dir):
+    """Variant-filtering model train + score on Spark ML (the reference's
+    sklearn/xgboost `tree_score` pipeline, `docs/filter_variants_
+    pipeline.md`): logistic regression over concordance-shaped features,
+    scored distributively; output is the per-predicted-class score
+    summary. Iterative training is genuinely non-SQL — weak
+    (rows-only) correctness check by design."""
+    from variantcalling_spark.ml import score_with_model, train_filtering_model
+
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = li.select(
+        (F.col("l_quantity").cast("double")).alias("qual"),
+        (F.col("l_discount").cast("double") * 100).alias("vaf"),
+        (F.col("l_extendedprice").cast("double") / 1000).alias("depth"),
+        # separable-ish target: the model must recover this rule
+        F.when((F.col("l_quantity") > 25) | (F.col("l_discount") > 0.05), 1.0)
+        .otherwise(0.0)
+        .alias("label"),
+    )
+    model = train_filtering_model(
+        feats, ["qual", "vaf", "depth"], label_col="label", max_iter=10
+    )
+    scored = score_with_model(model, feats)
+    return (
+        scored.groupBy(F.col("prediction").cast("int").alias("predicted"))
+        .agg(
+            cnt("n"),
+            F.round(F.avg("tree_score"), 3).alias("mean_score"),
+            F.round(F.avg("label"), 3).alias("true_rate"),
+        )
+        .orderBy("predicted")
+    )
