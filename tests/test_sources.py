@@ -81,3 +81,38 @@ def test_interval_list_converts_to_half_open(spark, tmp_path):
     assert (rows[0].start, rows[0].end) == (0, 100)
     assert (rows[1].start, rows[1].end) == (200, 300)
     assert rows[1].name == "r2"
+
+
+def test_fasta_chunks_and_fetch(spark, tmp_path):
+    from variantcalling_spark.sources.fasta import fetch, read_fasta
+
+    seq1 = "ACGTACGTAA" * 7  # 70 bases, uneven vs chunk 16
+    seq2 = "GGGCCCTTTA" * 3  # 30 bases
+    fasta = ">chr1 desc here\n" + "\n".join(
+        seq1[i : i + 12] for i in range(0, len(seq1), 12)
+    ) + "\n>chr2\n" + "\n".join(seq2[i : i + 9] for i in range(0, len(seq2), 9))
+    p = _write(tmp_path, "ref.fa", fasta)
+    chunks = read_fasta(spark, p, chunk_size=16)
+    got1 = "".join(
+        r.seq for r in chunks.where(F.col("chrom") == "chr1").orderBy("chunk_start").collect()
+    )
+    got2 = "".join(
+        r.seq for r in chunks.where(F.col("chrom") == "chr2").orderBy("chunk_start").collect()
+    )
+    assert got1 == seq1 and got2 == seq2
+    # every chunk except the last is exactly chunk_size
+    for r in chunks.where(F.col("chrom") == "chr1").orderBy("chunk_start").collect()[:-1]:
+        assert len(r.seq) == 16
+
+    regions = spark.createDataFrame(
+        [("chr1", 5, 25), ("chr1", 60, 70), ("chr2", 0, 30), ("chr1", 15, 17)],
+        "chrom string, start long, end long",
+    )
+    out = {
+        (r.chrom, r.start, r.end): r.seq
+        for r in fetch(chunks, regions, chunk_size=16).collect()
+    }
+    assert out[("chr1", 5, 25)] == seq1[5:25]
+    assert out[("chr1", 60, 70)] == seq1[60:70]
+    assert out[("chr2", 0, 30)] == seq2
+    assert out[("chr1", 15, 17)] == seq1[15:17]  # chunk-boundary crossing

@@ -83,3 +83,56 @@ def test_stream_incremental_append(spark, event_dir):
     finally:
         q.stop()
     assert n1 > 0
+
+
+def test_stateful_stream_equals_batch(spark, event_dir):
+    from variantcalling_spark.streaming.stateful import (
+        _fold,
+        user_activity_batch,
+        user_activity_stateful,
+    )
+
+    batch_df = spark.read.parquet(event_dir).withColumn(
+        "ts_us", F.unix_micros("event_time")
+    )
+    expected = {
+        r.user_id: (r.first_us, r.last_us, r.n, r.max_gap_us)
+        for r in user_activity_batch(batch_df).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(batch_df.drop("ts_us").schema)
+        .parquet(event_dir)
+        .withColumn("ts_us", F.unix_micros("event_time"))
+    )
+    q = (
+        user_activity_stateful(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM stateful_out").collect()
+    finally:
+        q.stop()
+    # update mode appends one row per user per micro-batch; the final
+    # emission per user must equal the batch fold
+    got = {}
+    for r in rows:
+        got[r.user_id] = (r.first_us, r.last_us, r.n, r.max_gap_us)
+    assert got == expected
+
+
+def test_fold_incremental_equals_full():
+    from variantcalling_spark.streaming.stateful import _fold
+
+    ts = [10, 20, 30, 50, 60, 90]
+    full = _fold(None, ts)
+    # same events split across three time-ordered "micro-batches" (the
+    # watermarked-stream arrival assumption): incremental == full fold
+    s = _fold(None, ts[:2])
+    s = _fold(s, ts[2:4])
+    s = _fold(s, ts[4:])
+    assert s == full

@@ -387,3 +387,126 @@ def q54_imputation_pl_rescale(spark, sf_dir):
         F.element_at(r["pl"], 3).alias("n2"),
         r["gt_index"].alias("gt_index"),
     )
+
+
+@query(
+    "q27_truth_classify",
+    oracle="""
+WITH calls AS (
+  SELECT l_orderkey AS k, CAST(MIN(l_partkey) % 4 AS INT) AS allele
+  FROM lineitem WHERE l_quantity > 10 GROUP BY l_orderkey
+),
+truth AS (
+  SELECT o_orderkey AS k, CAST(o_custkey % 4 AS INT) AS allele
+  FROM orders WHERE o_totalprice > 50000
+),
+j AS (
+  SELECT COALESCE(c.k, t.k) AS k, c.allele AS call_allele, t.allele AS truth_allele
+  FROM calls c FULL OUTER JOIN truth t ON c.k = t.k
+)
+SELECT k, call_allele, truth_allele,
+       CASE WHEN call_allele IS NULL THEN 'fn'
+            WHEN truth_allele IS NULL THEN 'fp'
+            WHEN call_allele = truth_allele THEN 'tp'
+            ELSE 'fp_ca' END AS classify
+FROM j
+""",
+)
+def q27_truth_classify(spark, sf_dir):
+    """Truth-matching classification (the exact-match vcfeval flavor,
+    SURVEY.md §2.3): full outer join of callset vs ground truth on the
+    position key, per-row classify tp / fp / fn / fp_ca (allele
+    mismatch) — the columns every downstream concordance operator
+    consumes (`report_data_loader.py:66-104`, `vcfeval_flavors.py:
+    118-143`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    calls = (
+        li.where(F.col("l_quantity") > 10)
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg((F.min("l_partkey") % 4).cast("int").alias("call_allele"))
+    )
+    truth = o.where(F.col("o_totalprice") > 50000).select(
+        F.col("o_orderkey").alias("tk"), (F.col("o_custkey") % 4).cast("int").alias("truth_allele")
+    )
+    j = calls.join(truth, calls["k"] == truth["tk"], "full")
+    return j.select(
+        F.coalesce(F.col("k"), F.col("tk")).alias("k"),
+        "call_allele",
+        "truth_allele",
+        F.when(F.col("call_allele").isNull(), "fn")
+        .when(F.col("truth_allele").isNull(), "fp")
+        .when(F.col("call_allele") == F.col("truth_allele"), "tp")
+        .otherwise("fp_ca")
+        .alias("classify"),
+    )
+
+
+@query(
+    "q28_phred_codec",
+    oracle="""
+WITH q AS (
+  SELECT o_orderkey,
+         [CAST(o_orderkey % 40 AS INT), CAST(o_custkey % 35 AS INT),
+          CAST(o_orderkey % 25 + 2 AS INT)] AS quals
+  FROM orders
+)
+SELECT o_orderkey,
+       array_to_string(list_transform(quals, x -> chr(x + 33)), '') AS qstring,
+       CAST(list_sum(list_transform(quals, x -> ascii(chr(x + 33)) - 33)) AS BIGINT)
+         AS decoded_sum
+FROM q
+""",
+)
+def q28_phred_codec(spark, sf_dir):
+    """Phred quality-string codec: pack int quals to the chr(q+33) ASCII
+    string and decode back (`math_utils.py:50-64,87-101`, pinned
+    `test_math_utils.py:10-23`) — transform + char/ascii, fully
+    codegen'd."""
+    o = load_table(spark, sf_dir, "orders")
+    quals = F.array(
+        (F.col("o_orderkey") % 40).cast("int"),
+        (F.col("o_custkey") % 35).cast("int"),
+        (F.col("o_orderkey") % 25 + 2).cast("int"),
+    )
+    enc = F.concat_ws("", F.transform(quals, lambda x: F.char(x + 33)))
+    dec_sum = F.aggregate(
+        F.transform(quals, lambda x: F.ascii(F.char(x + 33)) - 33),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return o.select("o_orderkey", enc.alias("qstring"), dec_sum.alias("decoded_sum"))
+
+
+@query(
+    "q29_flow_rle",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         translate(substr(text, 1, 24), 'abcdefghijklmnopqrstuvwxyz ',
+                   'ACGTACGTACGTACGTACGTACGTACG') AS seq
+  FROM documents
+),
+runs AS (
+  SELECT doc_id, seq, regexp_extract_all(seq, '(A+|C+|G+|T+)') AS rs FROM d
+)
+SELECT doc_id,
+       CAST(len(rs) AS INT) AS n_runs,
+       CAST(list_max(list_transform(rs, r -> length(r))) AS INT) AS longest_run,
+       array_to_string(list_transform(rs, r -> substr(r, 1, 1)), '') AS flow_key
+FROM runs
+""",
+)
+def q29_flow_rle(spark, sf_dir):
+    """Flow-key run-length encoding of a DNA sequence (`collect_hpol_
+    table.py:99-104`): collapse homopolymer runs to their base order
+    (the flow key), count runs, longest run — regexp_extract_all +
+    higher-order array functions, no UDF."""
+    d = docs_as_dna(spark, sf_dir)
+    rs = F.regexp_extract_all(F.col("seq"), F.lit("(A+|C+|G+|T+)"), 1)
+    return d.select(
+        "doc_id",
+        F.size(rs).alias("n_runs"),
+        F.array_max(F.transform(rs, F.length)).alias("longest_run"),
+        F.concat_ws("", F.transform(rs, lambda r: F.substring(r, 1, 1))).alias("flow_key"),
+    )

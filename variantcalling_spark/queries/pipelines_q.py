@@ -234,3 +234,85 @@ def q89_ml_filter_score(spark, sf_dir):
         )
         .orderBy("predicted")
     )
+
+
+SQL_TRIO = """
+  SELECT concat('c', CAST(l_orderkey % 4 AS VARCHAR)) AS chrom,
+         l_orderkey * 10 + l_linenumber AS pos,
+         CAST(l_partkey % 3 AS INT) AS gt1,
+         CAST(l_suppkey % 3 AS INT) AS gt2,
+         CAST(l_quantity AS DOUBLE) AS gq
+  FROM lineitem
+"""
+
+
+@query(
+    "q90_denovo_refinement",
+    oracle=f"""
+WITH child AS ({SQL_TRIO}),
+mother AS (
+  SELECT chrom, pos, CAST(gt1 % 2 AS INT) AS gt1, CAST(0 AS INT) AS gt2, gq + 1 AS gq
+  FROM child WHERE pos % 3 <> 0
+),
+father AS (
+  SELECT chrom, pos, CAST(0 AS INT) AS gt1, CAST(gt2 % 2 AS INT) AS gt2, gq + 2 AS gq
+  FROM child WHERE pos % 5 <> 0
+),
+m AS (
+  SELECT chrom, pos, MIN(gt1) AS mother_gt1, MIN(gt2) AS mother_gt2, MIN(gq) AS mother_gq
+  FROM mother GROUP BY chrom, pos
+),
+f AS (
+  SELECT chrom, pos, MIN(gt1) AS father_gt1, MIN(gt2) AS father_gt2, MIN(gq) AS father_gq
+  FROM father GROUP BY chrom, pos
+),
+j AS (
+  SELECT c.*, m.mother_gt1, m.mother_gt2, m.mother_gq,
+         f.father_gt1, f.father_gt2, f.father_gq,
+         GREATEST(c.gt1, c.gt2) AS child_alt
+  FROM child c LEFT JOIN m USING (chrom, pos) LEFT JOIN f USING (chrom, pos)
+),
+flagged AS (
+  SELECT *,
+         child_alt > 0 AND mother_gq IS NOT NULL AND father_gq IS NOT NULL
+         AND NOT COALESCE(child_alt = mother_gt1 OR child_alt = mother_gt2, FALSE)
+         AND NOT COALESCE(child_alt = father_gt1 OR child_alt = father_gt2, FALSE)
+           AS is_denovo
+  FROM j
+)
+SELECT chrom, pos, is_denovo,
+       CASE WHEN is_denovo THEN LEAST(gq, mother_gq, father_gq) END AS denovo_qual
+FROM flagged
+""",
+)
+def q90_denovo_refinement(spark, sf_dir):
+    """De-novo refinement pipeline (`denovo_refinement.py`): trio join
+    with parental column namespacing + duplicate pre-aggregation, alt
+    allele absent from both parents flags the candidate, denovo quality
+    = min of the trio genotype qualities."""
+    from variantcalling_spark.pipelines.denovo import refine_denovo
+
+    li = load_table(spark, sf_dir, "lineitem")
+    child = li.select(
+        F.concat(F.lit("c"), (F.col("l_orderkey") % 4).cast("string")).alias("chrom"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pos"),
+        (F.col("l_partkey") % 3).cast("int").alias("gt1"),
+        (F.col("l_suppkey") % 3).cast("int").alias("gt2"),
+        F.col("l_quantity").cast("double").alias("gq"),
+    )
+    mother = child.where(F.col("pos") % 3 != 0).select(
+        "chrom",
+        "pos",
+        (F.col("gt1") % 2).cast("int").alias("gt1"),
+        F.lit(0).cast("int").alias("gt2"),
+        (F.col("gq") + 1).alias("gq"),
+    )
+    father = child.where(F.col("pos") % 5 != 0).select(
+        "chrom",
+        "pos",
+        F.lit(0).cast("int").alias("gt1"),
+        (F.col("gt2") % 2).cast("int").alias("gt2"),
+        (F.col("gq") + 2).alias("gq"),
+    )
+    out = refine_denovo(child, mother, father)
+    return out.select("chrom", "pos", "is_denovo", "denovo_qual")
