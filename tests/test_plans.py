@@ -65,3 +65,22 @@ def test_kernel_partitions_by_contig(spark):
     p = plan_of(spark, "q52_gvcf_compress")
     assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsIn" in p
     assert "hashpartitioning(chrom" in p, "kernel must partition by contig"
+
+
+def test_results_catalog_round_trip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from variantcalling_spark.pipelines.results import (
+        list_keys,
+        read_result,
+        write_results,
+    )
+
+    root = str(tmp_path / "catalog")
+    a = spark.range(10).withColumn("x", F.col("id") * 2)
+    b = spark.range(3).withColumn("name", F.lit("r"))
+    write_results(root, {"optimal_recall_precision": a, "histogram": b})
+    assert list_keys(root) == ["histogram", "optimal_recall_precision"]
+    back = read_result(spark, root, "optimal_recall_precision")
+    assert back.count() == 10
+    assert {r.x for r in back.collect()} == {i * 2 for i in range(10)}

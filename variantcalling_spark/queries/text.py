@@ -119,3 +119,55 @@ def q62_lang_id_confusion(spark, sf_dir):
         .groupBy("actual", "predicted")
         .agg(cnt("n"))
     )
+
+
+@query(
+    "q63_rolling_fingerprint",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        t -> (length(t) * 131 + ascii(substr(t, 1, 1)) * 31
+                              + ascii(substr(t, length(t), 1))) % 2147483647)
+           AS vs
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(vs, (a, b) -> (a * 1000003 + b) % 2147483647) AS rolling_hash,
+       CAST(len(vs) AS INT) AS n_tokens
+FROM toks
+""",
+)
+def q63_rolling_fingerprint(spark, sf_dir):
+    """Order-sensitive document fingerprint: per-token values folded
+    through a polynomial rolling hash (Rabin-Karp style, mod 2^31-1) —
+    the content-defined fingerprinting primitive for shift-tolerant
+    dedup chunking. Pure higher-order array expressions: transform for
+    token values, aggregate for the left fold (seeded with the first
+    element to match list_reduce)."""
+    docs = load_table(spark, sf_dir, "documents")
+    M = 2147483647
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("ts")
+    ).select(
+        "doc_id",
+        F.transform(
+            F.col("ts"),
+            lambda t: (
+                F.length(t) * 131
+                + F.ascii(F.substring(t, 1, 1)) * 31
+                + F.ascii(F.substring(t, -1, 1))
+            )
+            % M,
+        ).alias("vs"),
+    )
+    rolled = F.aggregate(
+        F.slice(F.col("vs"), 2, F.greatest(F.size("vs") - 1, F.lit(0))),
+        F.element_at(F.col("vs"), 1).cast("bigint"),
+        lambda acc, b: (acc * 1000003 + b) % M,
+    )
+    return toks.select(
+        "doc_id",
+        rolled.alias("rolling_hash"),
+        F.size("vs").alias("n_tokens"),
+    )
