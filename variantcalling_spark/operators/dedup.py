@@ -175,16 +175,24 @@ def prefix_filtered_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     prefix = ranked.where(
         F.col("rk")
         <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    ).select("doc_id", "shingle", "n_sh")
+    ).select("doc_id", "shingle", "n_sh", "rk")
     a = prefix.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shingle").alias("sh_a"),
         F.col("n_sh").alias("n_a"),
+        F.col("rk").alias("rk_a"),
     )
     b = prefix.select(
         F.col("doc_id").alias("doc_b"),
         F.col("shingle").alias("sh_b"),
         F.col("n_sh").alias("n_b"),
+        F.col("rk").alias("rk_b"),
+    )
+    # positional filter (PPJoin): matching at prefix ranks (rk_a, rk_b)
+    # caps the achievable overlap at min(n_a - rk_a, n_b - rk_b) + 1,
+    # which must reach the Jaccard-implied minimum t/(1+t)*(n_a+n_b)
+    min_overlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("n_a") + F.col("n_b"))
     )
     return (
         a.join(
@@ -192,7 +200,12 @@ def prefix_filtered_pairs(sh: DataFrame, threshold: float) -> DataFrame:
             (F.col("sh_a") == F.col("sh_b"))
             & (F.col("doc_a") < F.col("doc_b"))
             & (F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")))
-            & (F.col("n_a") >= F.ceil(F.lit(threshold) * F.col("n_b"))),
+            & (F.col("n_a") >= F.ceil(F.lit(threshold) * F.col("n_b")))
+            & (
+                F.least(F.col("n_a") - F.col("rk_a"), F.col("n_b") - F.col("rk_b"))
+                + 1
+                >= min_overlap
+            ),
         )
         .select("doc_a", "doc_b")
         .distinct()
