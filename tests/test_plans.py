@@ -84,3 +84,30 @@ def test_results_catalog_round_trip(spark, tmp_path):
     back = read_result(spark, root, "optimal_recall_precision")
     assert back.count() == 10
     assert {r.x for r in back.collect()} == {i * 2 for i in range(10)}
+
+
+def test_q63_fingerprint_is_pure_mapside(spark):
+    # rolling hash = scan + project only: shuffling would be a bug
+    p = plan_of(spark, "q63_rolling_fingerprint")
+    assert "Exchange" not in p
+    assert "*(1)" in p  # codegen'd scan stage (toString renders WholeStageCodegen as *(n))
+
+
+def test_q54_pl_rescale_is_pure_mapside(spark):
+    p = plan_of(spark, "q54_imputation_pl_rescale")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p  # no UDF
+
+
+def test_q26_cdf_join_is_broadcast(spark):
+    p = plan_of(spark, "q26_inverse_cdf_sample")
+    assert "Broadcast" in p  # tiny CDF side must broadcast, draws never shuffle for the join
+    assert "CartesianProduct" not in p
+
+
+def test_q65_discovery_join_is_equi(spark):
+    # prefix self-join must hash/sort-merge on the shingle key — a
+    # cartesian/nested-loop here is quadratic in corpus size
+    p = plan_of(spark, "q65_ngram_jaccard")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
