@@ -1,0 +1,122 @@
+"""Integration tests: composed pipelines writing through the keyed
+result catalog, plus hand-built trio cases for denovo refinement."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from variantcalling_spark.pipelines.coverage import (
+    coverage_summary,
+    window_binned_depth,
+)
+from variantcalling_spark.pipelines.denovo import refine_denovo
+from variantcalling_spark.pipelines.evaluate_concordance import evaluate_concordance
+from variantcalling_spark.pipelines.results import read_result, write_results
+
+
+@pytest.fixture()
+def depth(spark):
+    # two contigs, deterministic sawtooth depth over 4000 positions
+    return spark.range(0, 4000).select(
+        F.when(F.col("id") < 2500, "chr1").otherwise("chr2").alias("chrom"),
+        (F.col("id") % 2500).alias("pos"),
+        (F.col("id") % 37).cast("int").alias("depth"),
+    )
+
+
+def test_coverage_full_analysis_to_catalog(spark, depth, tmp_path):
+    intervals = spark.createDataFrame(
+        [
+            ("chr1", 0, 1000, "exome"),
+            ("chr1", 500, 2500, "LCR"),
+            ("chr2", 0, 1500, "exome"),
+        ],
+        "chrom string, start long, end long, category string",
+    )
+    summary = coverage_summary(
+        depth, intervals, keys=["chrom"], depth_col="depth", pos_col="pos"
+    )
+    w100 = window_binned_depth(depth, 100, keys=["chrom"])
+    w500 = window_binned_depth(depth, 500, keys=["chrom"])
+    root = str(tmp_path / "cov")
+    write_results(root, {"stats": summary, "w100": w100, "w500": w500})
+
+    stats = {r.category: r for r in read_result(spark, root, "stats").collect()}
+    # exome covers chr1[0,1000) + chr2[0,1500): 2500 positions
+    assert stats["exome"].n_positions == 2500
+    assert stats["LCR"].n_positions == 2000
+    for r in stats.values():
+        assert 0 <= r.p50 <= 36 and r.p05 <= r.p50 <= r.p95
+
+    # hierarchical consistency (SURVEY §4: windows computable directly):
+    # every 500-window mean == count-weighted mean of its five 100-windows
+    back100 = read_result(spark, root, "w100")
+    from500 = {
+        (r.chrom, r.window_id): r.mean_depth
+        for r in read_result(spark, root, "w500").collect()
+    }
+    rolled = (
+        back100.groupBy("chrom", (F.col("window_id") * 100 / 500).cast("long").alias("w5"))
+        .agg((F.sum(F.col("mean_depth") * F.col("n")) / F.sum("n")).alias("m"))
+        .collect()
+    )
+    for r in rolled:
+        assert abs(from500[(r.chrom, r.w5)] - r.m) < 1e-9
+
+
+def test_evaluate_concordance_to_catalog(spark, tmp_path):
+    rows = []
+    for i in range(200):
+        cls = "tp" if i % 3 else ("fp" if i % 5 else "fn")
+        rows.append(("snp" if i % 2 else "indel", cls, (i % 97) / 97.0 if i % 7 else None))
+    df = spark.createDataFrame(rows, "category string, classify string, score double")
+    results = evaluate_concordance(df)
+    root = str(tmp_path / "conc")
+    write_results(root, results)
+
+    m = {r.category: r for r in read_result(spark, root, "optimal_recall_precision").collect()}
+    for cat in ("snp", "indel"):
+        r = m[cat]
+        assert r.tp + r.fp + r.fn == 100
+        assert 0 <= r.precision <= 1 and 0 <= r.recall <= 1
+    curve = read_result(spark, root, "recall_precision_curve")
+    # cumulative counts are monotone along the threshold sweep
+    pdf = curve.orderBy("category", "threshold").toPandas()
+    for _, g in pdf.groupby("category"):
+        assert g["cum_tp"].is_monotonic_increasing or g["cum_tp"].is_monotonic_decreasing
+        assert ((0 <= g["precision"]) & (g["precision"] <= 1)).all()
+
+
+def test_denovo_refinement_cases(spark):
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "chrom string, pos long, gt1 int, gt2 int, gq double"
+    )
+    child = mk(
+        [
+            ("chr1", 100, 0, 1, 50.0),  # denovo: parents hom-ref
+            ("chr1", 200, 0, 1, 40.0),  # inherited: mother carries the alt
+            ("chr1", 300, 0, 0, 30.0),  # hom-ref child: never denovo
+            ("chr1", 400, 1, 1, 60.0),  # missing father -> not callable
+        ]
+    )
+    mother = mk(
+        [
+            ("chr1", 100, 0, 0, 70.0),
+            ("chr1", 200, 0, 1, 45.0),
+            ("chr1", 300, 0, 0, 80.0),
+            ("chr1", 400, 0, 0, 90.0),
+        ]
+    )
+    father = mk(
+        [
+            ("chr1", 100, 0, 0, 65.0),
+            ("chr1", 200, 0, 0, 55.0),
+            ("chr1", 300, 0, 0, 75.0),
+        ]
+    )
+    out = {r.pos: r for r in refine_denovo(child, mother, father).collect()}
+    assert out[100].is_denovo and out[100].denovo_qual == 50.0  # min(50,70,65)
+    assert not out[200].is_denovo and out[200].denovo_qual is None
+    assert not out[300].is_denovo
+    assert not out[400].is_denovo  # father absent at the site

@@ -136,3 +136,58 @@ def test_fold_incremental_equals_full():
     s = _fold(s, ts[2:4])
     s = _fold(s, ts[4:])
     assert s == full
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with a 1h watermark: an event arriving
+    after its window's watermark has passed must not reopen the window."""
+    import time as _time
+
+    from variantcalling_spark.streaming.events import tumbling_counts
+
+    base = 1_700_000_000_000_000  # us
+    hour = 3_600_000_000
+    d = str(tmp_path / "stream_in")
+    schema = "event_id long, user_id long, event_type string, value double, ts_us long"
+
+    def mk(rows, name):
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "event_time", F.timestamp_micros(F.col("ts_us"))
+        )
+        df.coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.1)  # distinct file mod times -> deterministic batch order
+
+    # batch 1: two events in window W0, one at +2h (advances watermark to +1h)
+    mk(
+        [
+            (1, 1, "click", 1.0, base + 10),
+            (2, 1, "click", 1.0, base + 20),
+            (3, 1, "click", 1.0, base + 2 * hour),
+        ],
+        "b1",
+    )
+
+    batch_schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .parquet(d)
+        .withWatermark("event_time", "1 hour")
+    )
+    q = (
+        tumbling_counts(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1 processed; watermark -> +1h
+        # batch 2: a LATE event for W0 (watermark already >= W0 end)
+        mk([(4, 1, "click", 1.0, base + 30)], "b2")
+        q.processAllAvailable()
+        rows = {r.window_start_us: r.n for r in spark.sql("SELECT * FROM late_out").collect()}
+    finally:
+        q.stop()
+    w0 = (base // hour) * hour
+    # W0 finalized with the 2 on-time events; the late 4th was dropped
+    assert rows.get(w0) == 2
