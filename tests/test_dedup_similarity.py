@@ -100,3 +100,31 @@ def test_multimodal_featurize_batch_shape(spark):
     assert out[2].n_bytes == 4 and out[2].byte_sum == sum(b"xyzw")
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_ivf_ann_recall_vs_exact(spark, sf_dir):
+    from variantcalling_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+        ivf_index,
+    )
+    from variantcalling_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.cand_id) for r in cosine_topk(queries, emb, k=5).collect()
+    }
+    centroids, indexed = ivf_index(emb, n_centroids=8)
+    approx = {
+        (r.query_id, r.cand_id)
+        for r in ivf_cosine_topk(queries, indexed, centroids, k=5, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # nprobe = n_centroids degenerates to exact search
+    full = {
+        (r.query_id, r.cand_id)
+        for r in ivf_cosine_topk(queries, indexed, centroids, k=5, nprobe=8).collect()
+    }
+    assert full == exact

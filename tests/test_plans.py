@@ -111,3 +111,28 @@ def test_q65_discovery_join_is_equi(spark):
     p = plan_of(spark, "q65_ngram_jaccard")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_salted_join_equals_unsalted(spark):
+    from pyspark.sql import functions as F
+
+    from variantcalling_spark.operators.skew import salted_join
+
+    # one pathologically hot key (0) + uniform tail
+    left = spark.range(0, 5000).select(
+        F.when(F.col("id") < 4000, 0).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.createDataFrame(
+        [(0, "hot"), (4200, "a"), (4500, "b"), (9999, "never")], "k long, rv string"
+    )
+    plain = salted_join(left, right, ["k"], n_salts=8)
+    expected = left.join(right, "k")
+    assert plain.count() == expected.count() == 4000 + 2
+    a = {(r.k, r.lv, r.rv) for r in plain.collect()}
+    b = {(r.k, r.lv, r.rv) for r in expected.collect()}
+    assert a == b
+    # left join keeps unmatched rows exactly once
+    lj = salted_join(left, right, ["k"], n_salts=4, how="left")
+    assert lj.count() == 5000
+    assert lj.where(F.col("rv").isNull()).count() == 5000 - 4002

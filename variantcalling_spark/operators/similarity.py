@@ -153,3 +153,112 @@ def lsh_cosine_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+def ivf_index(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Build an IVF (inverted-file) index: KMeans coarse quantizer +
+    per-vector cell assignment.
+
+    Returns (centroids_df, assigned_df). ``centroids_df`` is tiny
+    (n_centroids rows — always broadcast); ``assigned_df`` is the corpus
+    with a ``centroid_id`` cell key, the partition-pruning key for
+    searches. Training is Spark ML KMeans (distributed, seeded).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.select(
+        F.col(id_col).alias("__id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(vecs)
+    assigned = model.transform(vecs).select(
+        F.col("__id").alias(id_col), F.col("prediction").alias("centroid_id")
+    )
+    spark = emb.sparkSession
+    centroids_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "centroid_id int, centroid array<double>",
+    )
+    return centroids_df, emb.join(assigned, id_col)
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    indexed: DataFrame,
+    centroids_df: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: route each query to its ``nprobe`` nearest centroids,
+    exact cosine only within those cells, top-k per query.
+
+    Scale shape: the centroid table broadcasts; the candidate side is
+    filtered by ``centroid_id`` BEFORE any scoring (cell pruning) — cost
+    is |queries| x (corpus / n_centroids) x nprobe instead of
+    |queries| x corpus. Recall vs the exact baseline is tunable with
+    nprobe (pinned in tests).
+    """
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    q_cells = (
+        qv.crossJoin(F.broadcast(centroids_df))
+        .select(
+            "query_id",
+            "qv",
+            "centroid_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("dist2"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy("dist2", "centroid_id")
+            ),
+        )
+        .where(F.col("rk") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    cands = indexed.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        "centroid_id",
+    )
+    pairs = cands.join(F.broadcast(q_cells), "centroid_id").where(
+        F.col("query_id") != F.col("cand_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "cand_id",
+        (
+            dot(F.col("qv"), F.col("cv"))
+            / (
+                F.sqrt(dot(F.col("qv"), F.col("qv")))
+                * F.sqrt(dot(F.col("cv"), F.col("cv")))
+            )
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )

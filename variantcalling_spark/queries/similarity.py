@@ -54,3 +54,18 @@ def q69_lsh_ann(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return lsh_cosine_topk(queries, emb, k=3, n_planes=16, prefix_bits=6)
+
+
+@query("q71_ivf_ann", oracle=None)
+def q71_ivf_ann(spark, sf_dir):
+    """IVF approximate nearest neighbors: Spark ML KMeans coarse
+    quantizer -> cell assignment -> nprobe-cell exact cosine rerank.
+    The classic disk-friendly ANN layout (cells are partition-prunable
+    at 100 TB). Iterative KMeans training is non-SQL -> weak check;
+    recall vs the exact baseline is pinned in tests."""
+    from variantcalling_spark.operators.similarity import ivf_cosine_topk, ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, indexed = ivf_index(emb, n_centroids=8)
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_cosine_topk(queries, indexed, centroids, k=3, nprobe=3)

@@ -171,3 +171,51 @@ def q63_rolling_fingerprint(spark, sf_dir):
         rolled.alias("rolling_hash"),
         F.size("vs").alias("n_tokens"),
     )
+
+
+@query(
+    "q72_bpe_tokens",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+       CAST(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$'))) AS INT)
+         AS n_numeric,
+       CAST(CASE WHEN len(toks) > 0
+                 THEN list_sum(list_transform(toks, x -> length(x)))
+                 ELSE 0 END AS BIGINT) AS total_len
+FROM t
+""",
+)
+def q72_bpe_tokens(spark, sf_dir):
+    """BPE-ish regex tokenization (the GPT-2 pre-tokenizer shape:
+    letter runs | digit runs | single punctuation): token counts, vocab
+    size, numeric-token count, total byte length — the token-budget
+    accounting pass of an LLM data pipeline, pure regexp_extract_all +
+    higher-order functions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
+    )
+    t = docs.select("doc_id", toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.size(
+            F.filter(F.col("toks"), lambda x: x.rlike("^[0-9]+$"))
+        ).alias("n_numeric"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(F.col("toks"), F.length),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("total_len"),
+    )
