@@ -1,0 +1,75 @@
+"""CLI dispatcher tests: each tool runs end-to-end via main(argv)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from variantcalling_spark.__main__ import main
+
+
+def test_help_lists_tools(capsys):
+    assert main(["--help"]) == 0
+    out = capsys.readouterr().out
+    assert "evaluate-concordance" in out and "dedup" in out
+    assert main(["nope"]) == 2
+
+
+def test_cli_evaluate_concordance(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("snp", "tp", 0.9), ("snp", "fp", 0.4), ("snp", "fn", None)] * 10,
+        "category string, classify string, score double",
+    )
+    inp, outp = str(tmp_path / "conc_in"), str(tmp_path / "conc_out")
+    df.write.parquet(inp)
+    assert main(["evaluate-concordance", "--input", inp, "--output", outp]) == 0
+    m = spark.read.parquet(os.path.join(outp, "optimal_recall_precision")).first()
+    assert m.tp == 10 and m.fp == 10 and m.fn == 10
+
+
+def test_cli_coverage_with_bed(spark, tmp_path):
+    depth = spark.range(0, 1000).select(
+        F.lit("chr1").alias("chrom"), F.col("id").alias("pos"),
+        (F.col("id") % 11).cast("int").alias("depth"),
+    )
+    dp = str(tmp_path / "depth")
+    depth.write.parquet(dp)
+    bed = str(tmp_path / "ann.bed")
+    with open(bed, "w") as f:
+        f.write("chr1\t0\t500\tr1\nchr1\t900\t1000\tr2\n")
+    outp = str(tmp_path / "cov_out")
+    assert main([
+        "coverage", "--depth", dp, "--intervals", bed, "--output", outp,
+        "--windows", "100",
+    ]) == 0
+    stats = spark.read.parquet(os.path.join(outp, "stats")).collect()
+    assert stats[0].n_positions == 600  # 500 + 100 annotated positions
+    w100 = spark.read.parquet(os.path.join(outp, "w100"))
+    assert w100.count() == 10
+
+
+def test_cli_vcf_to_parquet_and_dedup(spark, tmp_path):
+    from variantcalling_spark.sources.vcf import vcf_header
+
+    vcf = str(tmp_path / "in.vcf")
+    with open(vcf, "w") as f:
+        f.write(vcf_header(sample="s1") + "\n")
+        f.write("chr1\t10\t.\tA\tC\t50\tPASS\tDP=9\tGT:PL\t0/1:10,0,60\n")
+        f.write("chr1\t20\t.\tG\tT\t30\tPASS\tDP=7\tGT:PL\t1/1:99,10,0\n")
+    vout = str(tmp_path / "variants")
+    assert main(["vcf-to-parquet", "--input", vcf, "--output", vout]) == 0
+    v = spark.read.parquet(vout).orderBy("pos").collect()
+    assert v[0].pl == [10, 0, 60] and v[0].gt == [0, 1]
+    assert v[1].gt == [1, 1]
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w v")],
+        "doc_id long, text string",
+    )
+    dp = str(tmp_path / "docs")
+    docs.write.parquet(dp)
+    dout = str(tmp_path / "dedup_out")
+    assert main(["dedup", "--input", dp, "--output", dout, "--method", "exact"]) == 0
+    clusters = spark.read.parquet(dout).collect()
+    assert len(clusters) == 1 and clusters[0].cluster_size == 2

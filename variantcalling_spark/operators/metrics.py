@@ -68,7 +68,12 @@ def pr_curve(
         .withColumn("cum_fp", F.sum("n_fp").over(w_cum))
         .withColumn("tot_tp", F.sum("n_tp").over(w_all))
     )
-    precision = F.col("cum_tp") / (F.col("cum_tp") + F.col("cum_fp")).cast("double")
+    # a leading threshold bucket can hold only fn rows -> cum_tp+cum_fp=0;
+    # precision is undefined (NULL) there, not a division error
+    precision = F.when(
+        (F.col("cum_tp") + F.col("cum_fp")) > 0,
+        F.col("cum_tp") / (F.col("cum_tp") + F.col("cum_fp")).cast("double"),
+    )
     recall = F.when(F.col("tot_tp") > 0, F.col("cum_tp") / F.col("tot_tp").cast("double"))
     f1 = 2 * precision * recall / (precision + recall)
     return cum.select(
