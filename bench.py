@@ -39,6 +39,7 @@ HEADLINE = [
     "q65_ngram_jaccard",          # shingle self-join dedup
     "q66_minhash_lsh",            # MinHash-LSH + verify
     "q68_cosine_topk",            # embedding similarity search
+    "q74_embedding_neardup_lsh",  # banded hyperplane near-dup + verify
     "q80_tumbling_window",        # event-time window agg
 ]
 

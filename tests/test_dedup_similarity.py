@@ -128,3 +128,27 @@ def test_ivf_ann_recall_vs_exact(spark, sf_dir):
         for r in ivf_cosine_topk(queries, indexed, centroids, k=5, nprobe=8).collect()
     }
     assert full == exact
+
+
+def test_embedding_neardup_lsh_recall_and_precision(spark, sf_dir):
+    """Banded hyperplane discovery (q74) vs the exact all-pairs baseline
+    (q73): precision must be exact by construction (every candidate is
+    re-scored), recall of the constructed near-dups must be high — at
+    cosine >= 0.97 each of the 16 sign bits agrees w.p. ~0.93, so
+    P[>=1 of 4 bands collides] ~ 0.99."""
+    from variantcalling_spark.queries.similarity import neardup_corpus
+    from variantcalling_spark.operators.similarity import (
+        banded_near_dup_pairs,
+        cosine_near_dup_pairs,
+    )
+
+    c = neardup_corpus(spark, sf_dir).cache()
+    exact = {(r.id_a, r.id_b) for r in cosine_near_dup_pairs(c, 0.9).collect()}
+    assert exact, "augmented corpus must contain near-duplicate vectors"
+    approx = {
+        (r.id_a, r.id_b)
+        for r in banded_near_dup_pairs(c, 0.9, n_planes=32, n_bands=4).collect()
+    }
+    assert approx <= exact  # precision 1.0: verify step is the exact predicate
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9

@@ -70,44 +70,79 @@ def cosine_topk(
     )
 
 
+def _plane_signs(n_planes: int, max_dims: int) -> list[list[float]]:
+    """Deterministic +-1 plane matrix, one row per vector dimension.
+
+    splitmix64-style integer mix of (dim, plane) — seeded, identical on
+    every executor, no RNG state to ship.
+    """
+    rows = []
+    for d in range(max_dims):
+        row = []
+        for p in range(n_planes):
+            z = (d * 0x9E3779B97F4A7C15 + p * 0xBF58476D1CE4E5B9 + 1) & (2**64 - 1)
+            z ^= z >> 31
+            z = (z * 0x94D049BB133111EB) & (2**64 - 1)
+            z ^= z >> 29
+            row.append(1.0 if z & 1 else -1.0)
+        rows.append(row)
+    return rows
+
+
+def _projection_sums(vec, n_planes: int, max_dims: int = 96):
+    """Array of n_planes signed projections of ``vec``, in ONE fold:
+    each element contributes x_i * signs_i (literal +-1 plane matrix)
+    to an n_planes-wide running-sum array. One aggregate expression
+    instead of n_planes separate folds — the plan stays small and
+    whole-stage-codegen-friendly."""
+    planes = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{s}D" for s in row) + ")"
+            for row in _plane_signs(n_planes, max_dims)
+        )
+        + ")"
+    )
+    prods = F.zip_with(
+        vec,
+        F.slice(planes, 1, F.size(vec)),
+        lambda x, ps: F.transform(ps, lambda s: s * x),
+    )
+    return F.aggregate(
+        prods,
+        F.array_repeat(F.lit(0.0), n_planes),
+        lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+    )
+
+
+def _sign_bits(sums, offset: int, n_bits: int):
+    """Pack sign bits ``offset .. offset+n_bits-1`` of a projection-sum
+    array into a bigint (n_bits <= 63)."""
+    powers = F.expr("array(" + ",".join(f"{2**p}L" for p in range(n_bits)) + ")")
+    return F.aggregate(
+        F.zip_with(
+            F.slice(sums, offset + 1, n_bits),
+            powers,
+            lambda s, pw: F.when(s > 0, pw).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
 def hyperplane_signature(
     df: DataFrame,
     n_planes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_dims: int = 96,
 ) -> DataFrame:
-    """Sign-of-projection LSH signature (one bit per pseudo-random plane).
-
-    Plane components are deterministic +-1 derived from xxhash64(plane,
-    dim-index): cosine-similar vectors agree on most signs. No stored
-    plane matrix — the "randomness" is recomputed from the hash, so the
-    operator ships nothing to executors.
-    """
-    dims = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
-    bit = lambda p: (  # noqa: E731
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.transform(
-                        dims,
-                        lambda i: F.when(
-                            F.xxhash64(F.lit(p), i).bitwiseAND(F.lit(1)) == 1, 1.0
-                        ).otherwise(-1.0),
-                    ),
-                    lambda x, s: x * s,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            > 0,
-            F.lit(2**p).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint"))
+    """Sign-of-projection LSH signature (one bit per pseudo-random plane,
+    n_planes <= 63), packed into one bigint."""
+    sums = _projection_sums(F.col(vec_col), n_planes, max_dims)
+    return df.select(
+        F.col(id_col).alias("vec_id"), _sign_bits(sums, 0, n_planes).alias("lsh_sig")
     )
-    sig = None
-    for p in range(n_planes):
-        sig = bit(p) if sig is None else sig + bit(p)
-    return df.select(F.col(id_col).alias("vec_id"), sig.alias("lsh_sig"))
 
 
 def lsh_cosine_topk(
@@ -152,6 +187,108 @@ def lsh_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    vecs: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: every (id_a < id_b)
+    pair with cosine >= threshold.
+
+    Expects integer-quantized vectors (see ``QUANT``) so the dot products
+    are order-independent and engine-exact. This is the all-pairs oracle
+    baseline — O(n^2) by definition; the linear-scaling discovery path is
+    ``banded_near_dup_pairs`` (same verified output on near-dup-heavy
+    corpora, recall pinned in tests).
+    """
+    a = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cosine = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va")).cast("double"))
+        * F.sqrt(_dot(F.col("vb"), F.col("vb")).cast("double"))
+    )
+    return (
+        pairs.select("id_a", "id_b", cosine.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def banded_near_dup_pairs(
+    vecs: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 32,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Embedding near-dup discovery at scale: random-hyperplane signature
+    -> banded bucket self-join (candidates collide on >= 1 band) -> exact
+    cosine verification of candidates only.
+
+    The MinHash-LSH shape (operators/dedup.py) applied to the cosine
+    metric: discovery cost is linear in corpus size, precision is exact
+    (every emitted pair re-scored), recall is the banding probability
+    (1-(1-p^r)^b, p = 1 - theta/pi) — pinned vs the exact baseline in
+    tests/test_dedup_similarity.py. Band width r = n_planes/n_bands
+    controls the random-collision rate (~pairs/2^r per band): 8-bit
+    bands keep the verify set ~16x smaller than 4-bit bands at the same
+    recall for high-cosine duplicates.
+    """
+    bits_per_band = n_planes // n_bands
+    # materialize the projection fold once, THEN slice bands off it —
+    # embedding it in each band struct would re-run the fold per band.
+    # The vector rides along so verification needs no second corpus scan.
+    bands = (
+        vecs.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            _projection_sums(F.col(vec_col), n_planes).alias("sums"),
+        )
+        .select(
+            "vec_id",
+            "v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            _sign_bits(
+                                F.col("sums"), b * bits_per_band, bits_per_band
+                            ).alias("slice"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("vec_id", "v", "bb.band", "bb.slice")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cosine = _dot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(_dot(F.col("a.v"), F.col("a.v")).cast("double"))
+        * F.sqrt(_dot(F.col("b.v"), F.col("b.v")).cast("double"))
+    )
+    # score at candidate discovery (cosine is identical on every band a
+    # pair collides in, so distinct() after scoring dedups exactly)
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .distinct()
     )
 
 

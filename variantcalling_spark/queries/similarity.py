@@ -4,9 +4,61 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from variantcalling_spark.operators.similarity import QUANT, cosine_topk, lsh_cosine_topk
+from variantcalling_spark.operators.similarity import (
+    QUANT,
+    _quantize,
+    banded_near_dup_pairs,
+    cosine_near_dup_pairs,
+    cosine_topk,
+    lsh_cosine_topk,
+)
 from variantcalling_spark.queries import query
 from variantcalling_spark.sources import load_table
+
+# Augmented embedding corpus with known near-duplicates (the driver
+# corpus is near-random: max pairwise cosine ~0.51). Both engines build
+# it identically in integer space: exact copies of every 20th vector
+# (+200000 ids) and per-component rescales s_i = 10 + (vec_id+i)%7 - 3
+# in {7..13} of every 10th vector (+100000 ids, cosine ~0.97-0.98).
+# Integer scaling keeps every dot product order-independent and exact.
+NEARDUP_SQL_CORPUS = f"""
+  WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(ROUND(x * {QUANT}) AS BIGINT)) AS qv
+    FROM embeddings
+  )
+  SELECT vec_id, qv AS v FROM q
+  UNION ALL
+  SELECT vec_id + 200000 AS vec_id, qv AS v FROM q WHERE vec_id % 20 = 0
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         [qv[i] * (10 + (vec_id + i - 1) % 7 - 3)
+          for i in generate_series(1, len(qv))] AS v
+  FROM q WHERE vec_id % 10 = 0
+"""
+
+
+def neardup_corpus(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
+    exact = q.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"), F.col("qv")
+    )
+    # perturb BEFORE re-aliasing the id: an `F.col("vec_id")` outer
+    # reference inside the lambda binds to the select's OUTPUT column,
+    # so `vec_id + 100000 AS vec_id` in the same select would feed the
+    # shifted id into the scale factors
+    near = (
+        q.where(F.col("vec_id") % 10 == 0)
+        .select(
+            "vec_id",
+            F.transform(
+                "qv", lambda x, i: x * (10 + (F.col("vec_id") + i) % 7 - 3)
+            ).alias("qv"),
+        )
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "qv")
+    )
+    return q.unionByName(exact).unionByName(near).withColumnRenamed("qv", "v")
 
 
 @query(
@@ -44,6 +96,38 @@ def q68_cosine_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return cosine_topk(queries, emb, k=3)
+
+
+@query(
+    "q73_embedding_neardup",
+    oracle=f"""
+WITH corpus AS ({NEARDUP_SQL_CORPUS})
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
+""",
+)
+def q73_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (threshold 0.9), exact
+    all-pairs baseline: integer-quantized dot products make both engines
+    bit-identical. The O(n^2) oracle for the banded discovery path (q74),
+    same shape as exact-Jaccard (q65) vs MinHash-LSH (q66)."""
+    return cosine_near_dup_pairs(neardup_corpus(spark, sf_dir), threshold=0.9)
+
+
+@query("q74_embedding_neardup_lsh", oracle=None)
+def q74_embedding_neardup_lsh(spark, sf_dir):
+    """Embedding-cosine near-dup discovery at scale: 32 random-hyperplane
+    sign bits -> 4 banded 8-bit bucket self-joins -> exact cosine verify
+    of candidates only (vectors ride the band join; one corpus scan).
+    Linear discovery cost (no all-pairs pass); precision exact by
+    construction, recall vs q73 pinned in tests/test_dedup_similarity.py."""
+    return banded_near_dup_pairs(
+        neardup_corpus(spark, sf_dir), threshold=0.9, n_planes=32, n_bands=4
+    )
 
 
 @query("q69_lsh_ann", oracle=None)
