@@ -136,3 +136,20 @@ def test_salted_join_equals_unsalted(spark):
     lj = salted_join(left, right, ["k"], n_salts=4, how="left")
     assert lj.count() == 5000
     assert lj.where(F.col("rv").isNull()).count() == 5000 - 4002
+
+
+def test_q74_neardup_discovery_is_equi_hash_join(spark):
+    # banded hyperplane discovery must self-join on (band, slice) equi
+    # keys — a nested-loop here is the all-pairs scan the banding exists
+    # to avoid
+    p = plan_of(spark, "q74_embedding_neardup_lsh")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q19_topk_is_two_phase(spark):
+    # phase 1 ranks within (group, input partition); a single global
+    # window would sort the whole table in one partition per group
+    p = plan_of(spark, "q19_topk_per_group")
+    assert p.count("RunningWindowFunction") >= 2 or p.count("Window") >= 2
+    assert "SPARK_PARTITION_ID" in p.upper() or "spark_partition_id" in p

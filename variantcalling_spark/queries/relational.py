@@ -639,21 +639,32 @@ WHERE rn <= 3
 """,
 )
 def q19_topk_per_group(spark, sf_dir):
-    """Deterministic top-k per stratum via ranked window.
+    """Deterministic top-k per stratum, two-phase.
 
     Mirrors the per-(length,nuc) stratified sampling `collect_hpol_table.
     py:105-115` and best-match argmax `quick_fingerprinter.py:114-118`;
     full key tie-break makes the result reproducible across partitionings.
+
+    A single ranked window over the whole table shuffles every row into
+    one partition per group — with 3 groups that is a 3-way sort of the
+    entire input (straggler/OOM shape at 100 TB). Phase 1 takes top-k
+    within each (group, input-partition) — many small parallel sorts, a
+    superset of the global top-k for ANY partition assignment — phase 2
+    ranks the <= k * n_partitions survivors per group.
     """
     from pyspark.sql import Window as W
 
     li = load_table(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_returnflag").orderBy(
-        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
-    )
+    order = [F.desc("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w1 = W.partitionBy("l_returnflag", "__pid").orderBy(*order)
+    w2 = W.partitionBy("l_returnflag").orderBy(*order)
     return (
         li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= 3)
+        .drop("__pid", "rn")
+        .withColumn("rn", F.row_number().over(w2))
         .where(F.col("rn") <= 3)
         .drop("rn")
     )
