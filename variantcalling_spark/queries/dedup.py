@@ -101,8 +101,15 @@ def q65_ngram_jaccard(spark, sf_dir):
     ``n - ceil(0.6*n) + 1`` shingles, then candidates are verified with
     integer-exact intersection/union arithmetic — identical output to
     the naive all-pairs shingle join (the oracle), at near-linear cost.
+
+    The shingle table feeds three consumers (doc-frequency ranking, the
+    prefix self-join, and the verify step) with different partitionings,
+    so exchange reuse can't cover them — persist it once instead of
+    re-shingling the corpus per consumer. Same story at cluster scale:
+    the shingle table is the natural checkpoint of every dedup run (it
+    is also what q66's MinHash path consumes).
     """
-    sh = shingles(corpus(spark, sf_dir), n=3)
+    sh = shingles(corpus(spark, sf_dir), n=3).persist()
     cands = prefix_filtered_pairs(sh, threshold=0.6)
     return jaccard_for_pairs(cands, sh).where(F.col("jaccard") >= 0.6).select(
         "doc_a", "doc_b", "n_a", "n_b", "n_shared", "jaccard"
@@ -117,7 +124,9 @@ def q66_minhash_lsh(spark, sf_dir):
     in corpus size; no all-pairs pass (validated against exact Jaccard
     ground truth in tests/test_dedup_similarity.py)."""
     c = corpus(spark, sf_dir)
-    sh = shingles(c, n=3)
+    # persisted for the same reason as q65 — and because the logical plan
+    # is identical, a run that already executed q65 reuses its cache.
+    sh = shingles(c, n=3).persist()
     sigs = minhash_signatures(sh, num_hashes=32)
     cands = lsh_candidate_pairs(sigs, num_bands=8, rows_per_band=4)
     verified = jaccard_for_pairs(cands, sh).where(F.col("jaccard") >= 0.6)

@@ -114,8 +114,14 @@ def q73_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (threshold 0.9), exact
     all-pairs baseline: integer-quantized dot products make both engines
     bit-identical. The O(n^2) oracle for the banded discovery path (q74),
-    same shape as exact-Jaccard (q65) vs MinHash-LSH (q66)."""
-    return cosine_near_dup_pairs(neardup_corpus(spark, sf_dir), threshold=0.9)
+    same shape as exact-Jaccard (q65) vs MinHash-LSH (q66).
+
+    The corpus is persisted: the self-join reads it on both sides, and
+    without a persist each side re-runs the quantize/augment subtree
+    (a broadcast join has no exchange for ReuseExchange to match)."""
+    return cosine_near_dup_pairs(
+        neardup_corpus(spark, sf_dir).persist(), threshold=0.9
+    )
 
 
 @query("q74_embedding_neardup_lsh", oracle=None)
@@ -124,9 +130,12 @@ def q74_embedding_neardup_lsh(spark, sf_dir):
     sign bits -> 4 banded 8-bit bucket self-joins -> exact cosine verify
     of candidates only (vectors ride the band join; one corpus scan).
     Linear discovery cost (no all-pairs pass); precision exact by
-    construction, recall vs q73 pinned in tests/test_dedup_similarity.py."""
+    construction, recall vs q73 pinned in tests/test_dedup_similarity.py.
+
+    Corpus persisted for the same both-sides-of-a-self-join reason as
+    q73 (and the identical plan means q73/q74 share one cache entry)."""
     return banded_near_dup_pairs(
-        neardup_corpus(spark, sf_dir), threshold=0.9, n_planes=32, n_bands=4
+        neardup_corpus(spark, sf_dir).persist(), threshold=0.9, n_planes=32, n_bands=4
     )
 
 
