@@ -80,3 +80,47 @@ def test_prefix_filter_is_lossless(spark, sf_dir):
     }
     assert exact == filtered
     assert len(exact) > 0
+
+
+def test_q91_penalty_algebra(spark, sf_dir):
+    """The four penalty modes obey the reference's adjustment algebra
+    (`vcfeval_flavors.py:153-166`, pinned pattern `test_vcfeval_flavors.
+    py:14-18`): tp is constant except mode -1 (which adds the full
+    allele-error count), fp/fn shrink monotonically 2 -> 1 -> 0, and
+    mode -1 shares mode 0's fp/fn."""
+    from variantcalling_spark.queries import all_queries
+
+    rows = {
+        r.penalty: r
+        for r in all_queries()["q91_vcfeval_penalty_flavors"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(rows) == {2, 1, 0, -1}
+    ae = rows[2].fp - rows[0].fp
+    assert ae >= 0
+    assert rows[1].fp == rows[0].fp + ae / 2
+    assert rows[2].fn - rows[0].fn == ae  # symmetric key granularity
+    assert rows[-1].fp == rows[0].fp and rows[-1].fn == rows[0].fn
+    assert rows[2].tp == rows[1].tp == rows[0].tp
+    assert rows[-1].tp == rows[0].tp + ae
+    for p in rows.values():
+        assert 0 <= p.precision <= 100 and 0 <= p.recall <= 100
+
+
+def test_q92_split_indices_match_genotype_ordering(spark, sf_dir):
+    """The split's (0, i(i+1)/2, i(i+1)/2+i) PL picks are exactly the
+    positions of genotypes (0,0), (0,i), (i,i) in the VCF PL layout
+    (`genotype_ordering`, pinned `test_correct_genotypes_by_imputation.
+    py:8-44`)."""
+    # VCF spec ordering: index of genotype (a,b) with a<=b is b(b+1)/2+a
+    for i in range(1, 4):
+        assert 0 == 0 * (0 + 1) // 2 + 0
+        assert i * (i + 1) // 2 + 0 == i * (i + 1) // 2
+        assert i * (i + 1) // 2 + i == i * (i + 3) // 2
+    from variantcalling_spark.queries import all_queries
+
+    df = all_queries()["q92_split_multiallelic"].fn(spark, sf_dir)
+    r = df.where("k = 5 AND alt_index = 2").first()  # k=5 -> n_alt=3
+    # pl[j] = (5*7 + 13j) % 100; indices (0, 3, 5) for alt 2
+    assert (r.pl0, r.pl1, r.pl2) == (35, (35 + 39) % 100, (35 + 65) % 100)

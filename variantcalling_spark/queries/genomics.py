@@ -339,3 +339,207 @@ def q53_overlap_cleanup(spark, sf_dir):
         cnt("n_total"),
         F.count(F.when(~F.col("kept"), 1)).alias("n_removed"),
     )
+
+
+# Shared call/truth derivation for the penalty-flavor metrics (the q27
+# shape: position key k, small-domain allele).
+SQL_CALLS_TRUTH = """
+calls AS (
+  SELECT l_orderkey AS k, CAST(MIN(l_partkey) % 4 AS INT) AS allele
+  FROM lineitem WHERE l_quantity > 10 GROUP BY l_orderkey
+),
+truth AS (
+  SELECT o_orderkey AS k, CAST(o_custkey % 4 AS INT) AS allele
+  FROM orders WHERE o_totalprice > 50000
+),
+j AS (
+  SELECT c.k AS ck, t.k AS tk, c.allele AS call_allele, t.allele AS truth_allele
+  FROM calls c FULL OUTER JOIN truth t ON c.k = t.k
+),
+counts AS (
+  SELECT
+    COUNT(*) FILTER (WHERE call_allele = truth_allele) AS tp,
+    COUNT(*) FILTER (WHERE call_allele IS NOT NULL AND truth_allele IS NOT NULL
+                       AND call_allele <> truth_allele) AS ae,
+    COUNT(*) FILTER (WHERE truth_allele IS NULL) AS fp_clean,
+    COUNT(*) FILTER (WHERE call_allele IS NULL) AS fn_clean
+  FROM j
+)
+"""
+
+
+@query(
+    "q91_vcfeval_penalty_flavors",
+    oracle=f"""
+WITH {SQL_CALLS_TRUTH},
+m AS (
+  SELECT p.penalty,
+         CAST(tp AS DOUBLE)
+           + CASE WHEN p.penalty = -1 THEN CAST(ae AS DOUBLE) ELSE 0.0 END AS tp,
+         CAST(fp_clean AS DOUBLE)
+           + CASE WHEN p.penalty = 2 THEN CAST(ae AS DOUBLE)
+                  WHEN p.penalty = 1 THEN CAST(ae AS DOUBLE) / 2.0
+                  ELSE 0.0 END AS fp,
+         CAST(fn_clean AS DOUBLE)
+           + CASE WHEN p.penalty = 2 THEN CAST(ae AS DOUBLE)
+                  WHEN p.penalty = 1 THEN CAST(ae AS DOUBLE) / 2.0
+                  ELSE 0.0 END AS fn
+  FROM counts CROSS JOIN (SELECT UNNEST([2, 1, 0, -1]) AS penalty) p
+)
+SELECT penalty, tp, fp, fn,
+       ROUND(100.0 * tp / (tp + fp), 4) AS precision,
+       ROUND(100.0 * tp / (tp + fn), 4) AS recall,
+       ROUND(2.0 * (100.0 * tp / (tp + fp)) * (100.0 * tp / (tp + fn))
+             / ((100.0 * tp / (tp + fp)) + (100.0 * tp / (tp + fn))), 4) AS f1
+FROM m
+""",
+)
+def q91_vcfeval_penalty_flavors(spark, sf_dir):
+    """Penalty-parameterized concordance metrics (`vcfeval_flavors.py:
+    56-66,146-166`, pinned 4-mode matrix `test/system/test_vcfeval_
+    flavors.py:10-50`): an allele/genotype error is an FP whose position
+    exists in truth (and the matching FN) — penalty 2 counts it twice
+    (plain vcfeval), 1 half-cancels it, 0 cancels it, -1 additionally
+    rewards a TP. One classify join, one aggregate row, four metric rows
+    exploded from literals — the whole flavor sweep is a single pass
+    regardless of callset size (the reference re-runs bcftools per mode).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    calls = (
+        li.where(F.col("l_quantity") > 10)
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg((F.min("l_partkey") % 4).cast("int").alias("call_allele"))
+    )
+    truth = o.where(F.col("o_totalprice") > 50000).select(
+        F.col("o_orderkey").alias("tk"),
+        (F.col("o_custkey") % 4).cast("int").alias("truth_allele"),
+    )
+    j = calls.join(truth, calls["k"] == truth["tk"], "full")
+    counts = j.agg(
+        F.count(F.when(F.col("call_allele") == F.col("truth_allele"), 1)).alias("tp"),
+        F.count(
+            F.when(
+                F.col("call_allele").isNotNull()
+                & F.col("truth_allele").isNotNull()
+                & (F.col("call_allele") != F.col("truth_allele")),
+                1,
+            )
+        ).alias("ae"),
+        F.count(F.when(F.col("truth_allele").isNull(), 1)).alias("fp_clean"),
+        F.count(F.when(F.col("call_allele").isNull(), 1)).alias("fn_clean"),
+    )
+    tp, ae = F.col("tp").cast("double"), F.col("ae").cast("double")
+    fp_c, fn_c = F.col("fp_clean").cast("double"), F.col("fn_clean").cast("double")
+
+    def mode(p):
+        extra = (
+            ae if p == 2 else (ae / F.lit(2.0) if p == 1 else F.lit(0.0))
+        )
+        return F.struct(
+            F.lit(p).alias("penalty"),
+            (tp + (ae if p == -1 else F.lit(0.0))).alias("tp"),
+            (fp_c + extra).alias("fp"),
+            (fn_c + extra).alias("fn"),
+        )
+
+    m = counts.select(
+        F.explode(F.array(*[mode(p) for p in (2, 1, 0, -1)])).alias("m")
+    ).select("m.penalty", "m.tp", "m.fp", "m.fn")
+    pr = F.lit(100.0) * F.col("tp") / (F.col("tp") + F.col("fp"))
+    rc = F.lit(100.0) * F.col("tp") / (F.col("tp") + F.col("fn"))
+    return m.select(
+        "penalty",
+        "tp",
+        "fp",
+        "fn",
+        F.round(pr, 4).alias("precision"),
+        F.round(rc, 4).alias("recall"),
+        F.round(F.lit(2.0) * pr * rc / (pr + rc), 4).alias("f1"),
+    )
+
+
+@query(
+    "q92_split_multiallelic",
+    oracle="""
+WITH v AS (
+  SELECT o_orderkey AS k,
+         CAST(1 + o_orderkey % 3 AS INT) AS n_alt,
+         [CAST((o_orderkey * 7 + j * 13) % 100 AS INT)
+          for j in generate_series(0, ((1 + o_orderkey % 3) + 1) * ((1 + o_orderkey % 3) + 2) // 2 - 1)] AS pl,
+         [CAST((o_custkey + j * 11) % 50 AS INT)
+          for j in generate_series(0, 1 + o_orderkey % 3)] AS ad
+  FROM orders
+),
+split AS (
+  SELECT k, n_alt, CAST(i AS INT) AS alt_index,
+         pl[1] AS pl0,
+         pl[i * (i + 1) // 2 + 1] AS pl1,
+         pl[i * (i + 1) // 2 + i + 1] AS pl2,
+         ad[1] AS ad_ref,
+         ad[i + 1] AS ad_alt
+  FROM v, UNNEST(generate_series(1, n_alt)) AS t(i)
+)
+SELECT k, n_alt, alt_index, pl0, pl1, pl2, ad_ref, ad_alt,
+       CAST(CASE WHEN pl0 <= pl1 AND pl0 <= pl2 THEN 0
+                 WHEN pl1 <= pl2 THEN 1 ELSE 2 END AS INT) AS gt_index
+FROM split
+""",
+)
+def q92_split_multiallelic(spark, sf_dir):
+    """Split a multiallelic record into one biallelic row per alt allele
+    (the inverse of `bcftools norm -m` collapse used at
+    `correct_genotypes_by_imputation.py:425-432`; golden split frames
+    `test/resources/unit/filtering/expected_result_split_multiallelic.
+    pkl`). For alt i the diploid PL layout (`genotype_ordering`, pinned
+    `test/unit/pipelines/test_correct_genotypes_by_imputation.py:8-44`)
+    places (0/0, 0/i, i/i) at indices (0, i(i+1)/2, i(i+1)/2 + i); AD
+    keeps (ref, alt_i). posexplode + array indexing, no UDF — splitting
+    parallelizes per record at any scale.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    n_alt = (F.lit(1) + F.col("o_orderkey") % 3).cast("int")
+    n_gt = ((n_alt + 1) * (n_alt + 2) / 2).cast("int")
+    v = o.select(
+        F.col("o_orderkey").alias("k"),
+        n_alt.alias("n_alt"),
+        F.transform(
+            F.sequence(F.lit(0), n_gt - 1),
+            lambda j: ((F.col("k") * 7 + j * 13) % 100).cast("int"),
+        ).alias("pl"),
+        F.transform(
+            F.sequence(F.lit(0), n_alt),
+            lambda j: ((F.col("o_custkey") + j * 11) % 50).cast("int"),
+        ).alias("ad"),
+    )
+    # NB: F.col("k") inside the lambda binds to the select's output column
+    # (same trick documented in queries/similarity.py::neardup_corpus)
+    s = v.select(
+        "k",
+        "n_alt",
+        F.explode(F.sequence(F.lit(1), F.col("n_alt"))).alias("i"),
+        "pl",
+        "ad",
+    )
+    i = F.col("i")
+    off = (i * (i + 1) / 2).cast("int")
+    split = s.select(
+        "k",
+        "n_alt",
+        i.cast("int").alias("alt_index"),
+        F.element_at("pl", 1).alias("pl0"),
+        F.element_at("pl", off + 1).alias("pl1"),
+        F.element_at("pl", (off + i + 1).cast("int")).alias("pl2"),
+        F.element_at("ad", 1).alias("ad_ref"),
+        F.element_at("ad", (i + 1).cast("int")).alias("ad_alt"),
+    )
+    return split.select(
+        "*",
+        F.when(
+            (F.col("pl0") <= F.col("pl1")) & (F.col("pl0") <= F.col("pl2")), 0
+        )
+        .when(F.col("pl1") <= F.col("pl2"), 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("gt_index"),
+    )
