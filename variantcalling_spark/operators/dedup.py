@@ -276,22 +276,31 @@ def lsh_candidate_pairs(
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """Weighted SimHash signature per document.
 
-    Each word contributes its count to bit j: +w if bit j of
-    xxhash64(word) is set, else -w; the signature bit is 1 where the
-    total is positive. Near-duplicate docs differ in few bits. Expressed
-    as explode -> per-bit conditional SUM aggregations (map-side
+    Each word contributes its count to bit j: +w if bit j of the word
+    hash is set, else -w; the signature bit is 1 where the total is
+    positive. Near-duplicate docs differ in few bits. Expressed as
+    explode -> per-bit conditional SUM aggregations (map-side
     combinable), then bit-assembled — no UDF.
+
+    The word hash is the engine-portable char-fold (31 usable bits)
+    extended by one affine rehash for bits 31..61 (bits <= 62), so the
+    signature — and therefore the whole banded discovery query — is
+    value-reproducible in ANSI SQL.
     """
     words = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("w"),
     ).groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
-    h = F.xxhash64(F.col("w"))
+    v = portable_string_hash(F.col("w"))
+    v2 = (F.lit(1103515245).cast("bigint") * v + 12345) % MERSENNE31
+
+    def word_bit(j):
+        src, off = (v, j) if j < 31 else (v2, j - 31)
+        return F.shiftright(src, off).bitwiseAND(F.lit(1))
+
     aggs = [
         F.sum(
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
-                -F.col("cnt")
-            )
+            F.when(word_bit(j) == 1, F.col("cnt")).otherwise(-F.col("cnt"))
         ).alias(f"b{j}")
         for j in range(bits)
     ]
@@ -305,3 +314,82 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 
 def hamming64(a, b):
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable MinHash (identical bits on Spark and DuckDB/ANSI SQL)
+# ---------------------------------------------------------------------------
+
+MERSENNE31 = 2147483647  # 2^31 - 1
+
+
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Fixed affine coefficients (a_i, b_i) for the universal family
+    h_i(v) = (a_i*v + b_i) mod p. Deterministic LCG-generated so the SQL
+    oracle embeds the same literals."""
+    out = []
+    for i in range(num_hashes):
+        a = (1103515245 * (i + 1) + 12345) % MERSENNE31 or 1
+        b = (69069 * (i + 1) + 1) % MERSENNE31
+        out.append((a, b))
+    return out
+
+
+def portable_string_hash(col):
+    """Polynomial char-fold hash mod 2^31-1: same bits as DuckDB's
+    ``list_reduce(list_transform(string_split(s,''), c -> ascii(c)),
+    (a,b) -> (a*31+b) % p)`` — a seed of 0 matches list_reduce's
+    first-element seeding because 0*31 + c0 = c0."""
+    return F.aggregate(
+        F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * 31 + c) % MERSENNE31,
+    )
+
+
+def portable_minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """MinHash signature with an engine-portable hash family: one
+    char-fold value v per shingle, then k affine permutations
+    (a_i*v + b_i) mod 2^31-1 minimized per doc. Same map-side-combinable
+    MIN-aggregation shape as ``minhash_signatures`` (one shuffled row
+    per doc), but every bit reproducible in ANSI SQL — the whole LSH
+    dedup path becomes oracle-checkable instead of rows-only."""
+    v = portable_string_hash(F.col("shingle"))
+    coeffs = _minhash_coeffs(num_hashes)
+    hashed = sh.select("doc_id", v.alias("v"))
+    cols = [
+        F.min((F.lit(a).cast("bigint") * F.col("v") + F.lit(b)) % MERSENNE31).alias(
+            f"h{i}"
+        )
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*cols)
+    return agg.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def portable_band_buckets(
+    signatures: DataFrame, num_bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """(doc_id, band, bucket) rows with a portable bucket key: the band's
+    signature slots folded by acc*8191 + slot mod 2^31-1 (max interim
+    value < p * 8192 < 2^44 — exact in 64-bit on both engines)."""
+
+    def bucket(b):
+        acc = F.element_at("signature", b * rows_per_band + 1)
+        for r in range(1, rows_per_band):
+            acc = (acc * 8191 + F.element_at("signature", b * rows_per_band + r + 1)) % MERSENNE31
+        return acc
+
+    return signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")

@@ -156,17 +156,23 @@ def lsh_cosine_topk(
 ) -> DataFrame:
     """Approximate cosine top-k: bucket by LSH signature prefix, exact
     rerank within buckets. Recall < 1 by construction; the bucket join is
-    an equi-join that scales linearly (IVF-style candidate pruning)."""
+    an equi-join that scales linearly (IVF-style candidate pruning).
+
+    The signature is computed over the QUANTIZED vector: projections of
+    integers against the ±1 plane literal are integer-valued doubles —
+    order-independent, so buckets (and hence the whole result) are
+    engine-exact and oracle-checkable, not just statistically similar.
+    """
     mask = (1 << prefix_bits) - 1
-    qs = hyperplane_signature(queries, n_planes, id_col, vec_col).select(
+    qv = queries.select(F.col(id_col).alias("query_id"), _quantize(F.col(vec_col)).alias("qv"))
+    cv = candidates.select(F.col(id_col).alias("cand_id"), _quantize(F.col(vec_col)).alias("cv"))
+    qs = hyperplane_signature(qv, n_planes, "query_id", "qv").select(
         F.col("vec_id").alias("query_id"), (F.col("lsh_sig").bitwiseAND(F.lit(mask))).alias("bucket")
     )
-    cs = hyperplane_signature(candidates, n_planes, id_col, vec_col).select(
+    cs = hyperplane_signature(cv, n_planes, "cand_id", "cv").select(
         F.col("vec_id").alias("cand_id"), (F.col("lsh_sig").bitwiseAND(F.lit(mask))).alias("bucket")
     )
     cand_pairs = qs.join(cs, "bucket").where(F.col("query_id") != F.col("cand_id"))
-    qv = queries.select(F.col(id_col).alias("query_id"), _quantize(F.col(vec_col)).alias("qv"))
-    cv = candidates.select(F.col(id_col).alias("cand_id"), _quantize(F.col(vec_col)).alias("cv"))
     scored = (
         cand_pairs.join(F.broadcast(qv), "query_id")
         .join(cv, "cand_id")

@@ -16,6 +16,8 @@ from variantcalling_spark.operators.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
+    portable_band_buckets,
+    portable_minhash_signatures,
     prefix_filtered_pairs,
     shingles,
     simhash,
@@ -116,28 +118,174 @@ def q65_ngram_jaccard(spark, sf_dir):
     )
 
 
-@query("q66_minhash_lsh", oracle=None)
+def _minhash_oracle_sql(num_hashes: int = 32, num_bands: int = 8, rows_per_band: int = 4) -> str:
+    """The full MinHash-LSH pipeline in DuckDB SQL with the same
+    portable hash family as the Spark side — every stage (shingle hash,
+    affine permutations, band-bucket fold, candidate join, exact verify)
+    produces identical bits, so the scale path gets a strong oracle."""
+    from variantcalling_spark.operators.dedup import MERSENNE31, _minhash_coeffs
+
+    p = MERSENNE31
+    coeffs = _minhash_coeffs(num_hashes)
+    sig_cols = ",\n         ".join(
+        f"MIN((CAST({a} AS BIGINT) * v + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+
+    def bucket_expr(b):
+        acc = f"h{b * rows_per_band}"
+        for r in range(1, rows_per_band):
+            acc = f"(({acc}) * 8191 + h{b * rows_per_band + r}) % {p}"
+        return acc
+
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, {bucket_expr(b)} AS bucket FROM sig"
+        for b in range(num_bands)
+    )
+    return f"""
+WITH corpus AS ({SQL_CORPUS}),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+                   for i in generate_series(1, len(string_split(text, ' ')) - 2)]) AS shingle
+    FROM corpus
+  )
+),
+hv AS (
+  SELECT doc_id,
+         list_reduce(list_transform(string_split(shingle, ''), c -> CAST(ascii(c) AS BIGINT)),
+                     (a, b) -> (a * 31 + b) % {p}) AS v
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM hv GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT s.doc_a, s.doc_b, s.n_shared,
+       s.n_shared / CAST(sa.n_sh + sb.n_sh - s.n_shared AS DOUBLE) AS jaccard
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.doc_a
+JOIN sizes sb ON sb.doc_id = s.doc_b
+WHERE s.n_shared / CAST(sa.n_sh + sb.n_sh - s.n_shared AS DOUBLE) >= 0.6
+"""
+
+
+@query("q66_minhash_lsh", oracle=_minhash_oracle_sql())
 def q66_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-duplicate discovery (the 100 TB dedup path):
     32 min-hashes per doc -> 8 bands x 4 rows -> banded bucket self-join
     -> exact Jaccard verification of candidates only. Discovery is linear
-    in corpus size; no all-pairs pass (validated against exact Jaccard
-    ground truth in tests/test_dedup_similarity.py)."""
+    in corpus size; no all-pairs pass.
+
+    Uses the engine-portable hash family (char-fold shingle value +
+    affine permutations mod 2^31-1), so the WHOLE pipeline — discovery
+    included — is value-checked against a DuckDB oracle, not just
+    rows-only; recall vs exact Jaccard is additionally pinned in
+    tests/test_dedup_similarity.py."""
     c = corpus(spark, sf_dir)
     # persisted for the same reason as q65 — and because the logical plan
     # is identical, a run that already executed q65 reuses its cache.
     sh = shingles(c, n=3).persist()
-    sigs = minhash_signatures(sh, num_hashes=32)
-    cands = lsh_candidate_pairs(sigs, num_bands=8, rows_per_band=4)
+    sigs = portable_minhash_signatures(sh, num_hashes=32)
+    bands = portable_band_buckets(sigs, num_bands=8, rows_per_band=4)
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
     verified = jaccard_for_pairs(cands, sh).where(F.col("jaccard") >= 0.6)
-    return verified.select("doc_a", "doc_b", "n_shared", "jaccard")
+    return verified.select(
+        "doc_a", "doc_b", F.col("n_shared").cast("bigint").alias("n_shared"), "jaccard"
+    )
 
 
-@query("q67_simhash", oracle=None)
+def _simhash_oracle_sql(bits: int = 32) -> str:
+    """The SimHash pipeline in DuckDB SQL with the same portable word
+    hash (char-fold v for bits 0..30, affine rehash v2 for bits 31+)."""
+    from variantcalling_spark.operators.dedup import MERSENNE31
+
+    p = MERSENNE31
+
+    def word_bit(j):
+        src, off = ("v", j) if j < 31 else ("v2", j - 31)
+        return f"({src} // {2**off}) % 2"
+
+    per_bit = ",\n         ".join(
+        f"SUM(CASE WHEN {word_bit(j)} = 1 THEN cnt ELSE -cnt END) AS b{j}"
+        for j in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {b} AS band, (simhash // {2**(b*8)}) % 256 AS slice FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH corpus AS ({SQL_CORPUS}),
+words AS (
+  SELECT doc_id, w, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus)
+  GROUP BY doc_id, w
+),
+hv AS (
+  SELECT doc_id, cnt, v, (CAST(1103515245 AS BIGINT) * v + 12345) % {p} AS v2
+  FROM (
+    SELECT doc_id, cnt,
+           list_reduce(list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT)),
+                       (a, b) -> (a * 31 + b) % {p}) AS v
+    FROM words
+  )
+),
+perbit AS (
+  SELECT doc_id,
+         {per_bit}
+  FROM hv GROUP BY doc_id
+),
+sig AS (SELECT doc_id, {sig} AS simhash FROM perbit),
+bands AS (
+{band_selects}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.slice = b.slice AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+"""
+
+
+@query("q67_simhash", oracle=_simhash_oracle_sql())
 def q67_simhash(spark, sf_dir):
     """SimHash near-duplicate discovery: 32-bit weighted word-hash
     signature, banded on 4x8-bit sub-signatures, Hamming distance <= 4.
-    (Signature semantics pinned in tests/test_dedup_similarity.py.)"""
+    Portable word hash -> full value oracle (signature invariants also
+    pinned in tests/test_dedup_similarity.py)."""
     c = corpus(spark, sf_dir)
     sig = simhash(c, bits=32)
     # band on 8-bit slices: near-dups (hamming<=4) collide on >=1 of 4+ slices

@@ -24,7 +24,7 @@ from variantcalling_spark.sources import load_table
 NEARDUP_SQL_CORPUS = f"""
   WITH q AS (
     SELECT vec_id,
-           list_transform(embedding, x -> CAST(ROUND(x * {QUANT}) AS BIGINT)) AS qv
+           list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
     FROM embeddings
   )
   SELECT vec_id, qv AS v FROM q
@@ -66,12 +66,12 @@ def neardup_corpus(spark, sf_dir):
     oracle=f"""
 WITH q AS (
   SELECT vec_id AS query_id,
-         list_transform(embedding, x -> CAST(ROUND(x * {QUANT}) AS BIGINT)) AS qv
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
   FROM embeddings WHERE vec_id < 5
 ),
 c AS (
   SELECT vec_id AS cand_id,
-         list_transform(embedding, x -> CAST(ROUND(x * {QUANT}) AS BIGINT)) AS cv
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS cv
   FROM embeddings
 ),
 scored AS (
@@ -124,7 +124,57 @@ def q73_embedding_neardup(spark, sf_dir):
     )
 
 
-@query("q74_embedding_neardup_lsh", oracle=None)
+def _neardup_lsh_oracle_sql(n_planes: int = 32, n_bands: int = 4, dim: int = 64) -> str:
+    """The banded-hyperplane near-dup pipeline in DuckDB SQL. The plane
+    matrix is a deterministic ±1 literal (operators/similarity.py::
+    _plane_signs) and the vectors are quantized integers, so projection
+    sums are integer-valued doubles — exact on both engines regardless
+    of summation order — and the whole discovery+verify path gets a
+    strong value oracle (driver testdata embeddings are all dim 64)."""
+    from variantcalling_spark.operators.similarity import _plane_signs
+
+    signs = _plane_signs(n_planes, dim)  # [dim][n_planes]
+    bits_per_band = n_planes // n_bands
+
+    def plane_vec(p):
+        return "[" + ",".join(f"{signs[d][p]:.1f}" for d in range(dim)) + "]"
+
+    sums = ",\n         ".join(
+        f"list_dot_product(vd, {plane_vec(p)}) AS s{p}" for p in range(n_planes)
+    )
+
+    def bucket_expr(b):
+        return " + ".join(
+            f"(CASE WHEN s{b * bits_per_band + j} > 0 THEN {2**j} ELSE 0 END)"
+            for j in range(bits_per_band)
+        )
+
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, v, {b} AS band, {bucket_expr(b)} AS bucket FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH corpus AS ({NEARDUP_SQL_CORPUS}),
+sig AS (
+  SELECT vec_id, v,
+         {sums}
+  FROM (SELECT vec_id, v, list_transform(v, x -> CAST(x AS DOUBLE)) AS vd FROM corpus)
+),
+bands AS (
+{band_selects}
+),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT DISTINCT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
+"""
+
+
+@query("q74_embedding_neardup_lsh", oracle=_neardup_lsh_oracle_sql())
 def q74_embedding_neardup_lsh(spark, sf_dir):
     """Embedding-cosine near-dup discovery at scale: 32 random-hyperplane
     sign bits -> 4 banded 8-bit bucket self-joins -> exact cosine verify
@@ -139,11 +189,55 @@ def q74_embedding_neardup_lsh(spark, sf_dir):
     )
 
 
-@query("q69_lsh_ann", oracle=None)
+def _lsh_ann_oracle_sql(n_planes: int = 16, prefix_bits: int = 6, dim: int = 64, k: int = 3) -> str:
+    """LSH-bucketed ANN in DuckDB SQL: only the ``prefix_bits`` planes
+    that form the bucket key need computing; signatures over quantized
+    vectors are integer-valued doubles, hence engine-exact."""
+    from variantcalling_spark.operators.similarity import _plane_signs
+
+    signs = _plane_signs(n_planes, dim)
+
+    def plane_vec(p):
+        return "[" + ",".join(f"{signs[d][p]:.1f}" for d in range(dim)) + "]"
+
+    sums = ",\n         ".join(
+        f"list_dot_product(vd, {plane_vec(p)}) AS s{p}" for p in range(prefix_bits)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN s{p} > 0 THEN {2**p} ELSE 0 END)" for p in range(prefix_bits)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+),
+sig AS (
+  SELECT vec_id, v,
+         {sums}
+  FROM (SELECT vec_id, v, list_transform(v, x -> CAST(x AS DOUBLE)) AS vd FROM base)
+),
+bk AS (SELECT vec_id, v, {bucket} AS bucket FROM sig),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         list_dot_product(q.v, c.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+  FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 5
+)
+SELECT query_id, cand_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+@query("q69_lsh_ann", oracle=_lsh_ann_oracle_sql())
 def q69_lsh_ann(spark, sf_dir):
     """Approximate cosine top-k via random-hyperplane LSH bucketing +
-    exact rerank within buckets — the linear-scaling ANN path (recall
-    vs the exact baseline measured in tests/test_dedup_similarity.py)."""
+    exact rerank within buckets — the linear-scaling ANN path. Quantized
+    projections make buckets engine-exact -> full value oracle (recall
+    vs the exact baseline also measured in tests/test_dedup_similarity.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return lsh_cosine_topk(queries, emb, k=3, n_planes=16, prefix_bits=6)
