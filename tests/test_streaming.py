@@ -191,3 +191,90 @@ def test_watermark_drops_late_data(spark, tmp_path):
     w0 = (base // hour) * hour
     # W0 finalized with the 2 on-time events; the late 4th was dropped
     assert rows.get(w0) == 2
+
+
+def test_stream_stream_join_equals_batch(spark, event_dir):
+    """Watermarked stream-stream interval join == the same function on
+    batch frames."""
+    from variantcalling_spark.streaming.events import view_purchase_joins
+
+    batch_df = spark.read.parquet(event_dir).withColumn(
+        "ts_us", F.unix_micros("event_time")
+    )
+    views_b = batch_df.where(F.col("event_type") == "view")
+    purch_b = batch_df.where(F.col("event_type") == "purchase")
+    expected = {
+        (r.user_id, r.view_ts_us, r.purchase_ts_us)
+        for r in view_purchase_joins(views_b, purch_b).collect()
+    }
+    assert expected, "batch join must find at least one attribution pair"
+
+    def side(event_type):
+        return (
+            spark.readStream.schema(batch_df.drop("ts_us").schema)
+            .parquet(event_dir)
+            .withColumn("ts_us", F.unix_micros("event_time"))
+            .where(F.col("event_type") == event_type)
+            .withWatermark("event_time", "2 hours")
+        )
+
+    q = (
+        view_purchase_joins(side("view"), side("purchase"))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.view_ts_us, r.purchase_ts_us)
+            for r in spark.sql("SELECT * FROM ssj_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
+
+
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicate arriving in a LATER
+    micro-batch (within the watermark) is suppressed."""
+    import time as _time
+
+    from variantcalling_spark.streaming.events import dedup_events
+
+    base = 1_700_000_000_000_000
+    d = str(tmp_path / "dedup_in")
+    schema = "event_id long, user_id long, event_type string, value double, ts_us long"
+
+    def mk(rows):
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "event_time", F.timestamp_micros(F.col("ts_us"))
+        )
+        df.coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.1)
+
+    mk([(1, 1, "click", 1.0, base + 10), (2, 1, "click", 1.0, base + 20)])
+
+    batch_schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .parquet(d)
+        .withWatermark("event_time", "1 hour")
+    )
+    q = (
+        dedup_events(stream, within_watermark=True)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # micro-batch 2 re-delivers event 1 (a retry) plus a new event 3
+        mk([(1, 1, "click", 1.0, base + 10), (3, 1, "click", 1.0, base + 30)])
+        q.processAllAvailable()
+        ids = sorted(r.event_id for r in spark.sql("SELECT * FROM dedup_out").collect())
+    finally:
+        q.stop()
+    assert ids == [1, 2, 3], f"duplicate not suppressed: {ids}"

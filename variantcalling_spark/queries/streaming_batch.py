@@ -13,9 +13,11 @@ from pyspark.sql import functions as F
 from variantcalling_spark.queries import query
 from variantcalling_spark.queries.intervals import events_points
 from variantcalling_spark.streaming.events import (
+    dedup_events,
     session_windows,
     sliding_counts,
     tumbling_counts,
+    view_purchase_joins,
     with_event_time,
 )
 
@@ -96,3 +98,53 @@ def q82_session_window(spark, sf_dir):
     """
     ev = with_event_time(events_points(spark, sf_dir))
     return session_windows(ev, "30 minutes")
+
+
+@query(
+    "q83_stream_stream_join",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_type, value, epoch_us(ts) AS ts_us FROM events
+),
+v AS (SELECT user_id, ts_us AS view_ts_us FROM e WHERE event_type = 'view'),
+p AS (
+  SELECT user_id, ts_us AS purchase_ts_us, value AS purchase_value
+  FROM e WHERE event_type = 'purchase'
+)
+SELECT v.user_id, v.view_ts_us, p.purchase_ts_us, p.purchase_value
+FROM v JOIN p ON v.user_id = p.user_id
+             AND p.purchase_ts_us >= v.view_ts_us
+             AND p.purchase_ts_us <= v.view_ts_us + {HOUR_US}
+""",
+)
+def q83_stream_stream_join(spark, sf_dir):
+    """View-to-purchase attribution within a 1h horizon — the
+    stream-stream interval join (watermark-bounded state in streaming;
+    tests/test_streaming.py proves stream == batch on this function)."""
+    ev = with_event_time(events_points(spark, sf_dir))
+    views = ev.where(F.col("event_type") == "view")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    return view_purchase_joins(views, purchases, "1 hour")
+
+
+@query(
+    "q84_streaming_dedup",
+    oracle="""
+WITH doubled AS (
+  SELECT * FROM events UNION ALL SELECT * FROM events
+)
+SELECT DISTINCT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+FROM doubled
+""",
+)
+def q84_streaming_dedup(spark, sf_dir):
+    """At-least-once delivery dedup: a doubled event feed collapsed back
+    to exactly-once on the unique event key. Batch face of
+    dropDuplicatesWithinWatermark (the watermark-bounded streaming form
+    is exercised against a real duplicated file stream in
+    tests/test_streaming.py)."""
+    ev = events_points(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "ts_us"
+    )
+    doubled = ev.unionByName(ev)
+    return dedup_events(doubled)

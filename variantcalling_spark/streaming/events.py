@@ -70,3 +70,47 @@ def stream_events_from_dir(spark, path: str, schema) -> DataFrame:
     """File-source stream with watermark, ready for the window aggs."""
     raw = spark.readStream.schema(schema).parquet(path)
     return raw.withWatermark("event_time", "1 hour")
+
+
+def view_purchase_joins(views: DataFrame, purchases: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join: each view matched to the same user's
+    purchases within ``horizon`` AFTER the view.
+
+    The time-range condition on the event-time columns is what lets
+    Structured Streaming bound and expire join state (with watermarks on
+    both inputs); the identical function on batch frames is a plain
+    range join. State per key is O(events within horizon), independent
+    of stream length — the property that keeps this runnable forever.
+    """
+    v = views.select(
+        "user_id",
+        F.col("event_time").alias("view_time"),
+        F.col("ts_us").alias("view_ts_us"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_time").alias("purchase_time"),
+        F.col("ts_us").alias("purchase_ts_us"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (v["user_id"] == p["p_user_id"])
+        & (p["purchase_time"] >= v["view_time"])
+        & (p["purchase_time"] <= v["view_time"] + F.expr(f"INTERVAL {horizon}"))
+    )
+    return v.join(p, cond).select(
+        "user_id", "view_ts_us", "purchase_ts_us", "purchase_value"
+    )
+
+
+def dedup_events(df: DataFrame, *, within_watermark: bool = False) -> DataFrame:
+    """Exactly-once event dedup on the unique event key.
+
+    Batch: plain dropDuplicates. Streaming: dropDuplicatesWithinWatermark
+    keeps state only for the watermark horizon — the unbounded-state-safe
+    form of streaming dedup (duplicates are assumed to arrive within the
+    lateness bound, the usual at-least-once-delivery contract).
+    """
+    if within_watermark:
+        return df.dropDuplicatesWithinWatermark(["event_id"])
+    return df.dropDuplicates(["event_id"])
