@@ -169,3 +169,43 @@ def test_hmer_and_revcomp(spark):
     assert by_s["GGGGGA"] == (5, "TCCCCC")
     assert by_s["T"] == (1, "A")
     assert by_s["ACGT"] == (1, "ACGT")  # palindromic revcomp
+
+
+def test_greedy_packing_first_fit_invariants(spark):
+    """Every bin respects capacity (unless a single oversized doc),
+    bins are consecutively numbered per shard, and each doc opens a new
+    bin iff it does not fit in the running one (first-fit-sequential)."""
+    from variantcalling_spark.operators.kernels import greedy_pack_documents
+
+    rows = [
+        (s, s * 1000 + i, tok)
+        for s in range(3)
+        for i, tok in enumerate([400, 500, 200, 1100, 30, 1000, 10])
+    ]
+    df = spark.createDataFrame(rows, "shard int, doc_id long, n_tokens int")
+    out = greedy_pack_documents(df, capacity=1024).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == {0, 1, 2}
+    for shard, recs in by_shard.items():
+        recs.sort(key=lambda r: r.doc_id)
+        # replay first-fit sequentially
+        used, cur = 0, -1
+        for r in recs:
+            if cur >= 0 and used + r.n_tokens <= 1024:
+                used += r.n_tokens
+            else:
+                cur += 1
+                used = r.n_tokens
+            assert r.bin_id == cur, (shard, r.doc_id, r.bin_id, cur)
+        # capacity invariant
+        fill: dict[int, int] = {}
+        for r in recs:
+            fill[r.bin_id] = fill.get(r.bin_id, 0) + r.n_tokens
+        for b, tot in fill.items():
+            members = [r for r in recs if r.bin_id == b]
+            assert tot <= 1024 or len(members) == 1
+        # expected layout for [400,500,200,1100,30,1000,10] @ 1024:
+        # [400+500] [200] no-wait 200 fits (900+... 400+500=900, +200=1100>1024 -> new bin)
+        assert [r.bin_id for r in recs] == [0, 0, 1, 2, 3, 4, 4]

@@ -204,3 +204,39 @@ def overlap_buffer_filter(df: DataFrame) -> DataFrame:
     return df.repartition("chrom").groupBy("chrom").applyInPandas(
         per_contig, schema=OVERLAP_FILTER_SCHEMA
     )
+
+
+PACKING_SCHEMA = "shard int, doc_id long, n_tokens int, bin_id int"
+
+
+def greedy_pack_documents(df: DataFrame, capacity: int) -> DataFrame:
+    """First-fit sequential packing of whole documents into
+    fixed-capacity context windows, per shard.
+
+    Input: (shard, doc_id, n_tokens). Within each shard documents are
+    visited in doc_id order; a document opens a new bin when it does not
+    fit in the current one (docs larger than ``capacity`` get a bin of
+    their own). Path-dependent running state — the same irreducibly
+    sequential class as the gVCF block merge — so it runs as an
+    ``applyInPandas`` kernel per shard: sequential within a shard,
+    parallel across shards (the 100 TB layout: shard = hash of a stable
+    key; only a single shard's doc list is ever held in one task).
+    """
+    import pandas as pd
+
+    def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, used, cur = [], 0, 0
+        for n in pdf["n_tokens"]:
+            if bins and used + n <= capacity:
+                used += n
+            else:
+                cur = cur + 1 if bins else 0
+                used = n
+            bins.append(cur)
+        pdf["bin_id"] = pd.array(bins, dtype="int32")
+        return pdf[["shard", "doc_id", "n_tokens", "bin_id"]]
+
+    return df.repartition("shard").groupBy("shard").applyInPandas(
+        per_shard, schema=PACKING_SCHEMA
+    )

@@ -219,3 +219,196 @@ def q72_bpe_tokens(spark, sf_dir):
             F.lit(0).cast("bigint"),
         ).alias("total_len"),
     )
+
+
+@query(
+    "q75_decontamination",
+    oracle="""
+WITH bench AS (
+  SELECT DISTINCT shingle FROM (
+    SELECT unnest([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+                   for i in generate_series(1, len(string_split(text, ' ')) - 2)]) AS shingle
+    FROM documents WHERE doc_id % 97 = 0
+  )
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+                   for i in generate_series(1, len(string_split(text, ' ')) - 2)]) AS shingle
+    FROM documents WHERE doc_id % 97 <> 0
+  )
+)
+SELECT sh.doc_id, COUNT(*) AS n_hits
+FROM sh JOIN bench ON sh.shingle = bench.shingle
+GROUP BY sh.doc_id
+""",
+)
+def q75_decontamination(spark, sf_dir):
+    """Train/test decontamination: flag training documents sharing any
+    word-3-gram with a benchmark set (here: every 97th doc) and report
+    the overlap count. The benchmark shingle set is tiny relative to the
+    corpus, so it is broadcast — the corpus-side scan never shuffles and
+    the whole check is one map-side join at any corpus size (the
+    standard n-gram-overlap decontamination pass of LLM data pipelines).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from variantcalling_spark.operators.dedup import shingles
+
+    bench_sh = (
+        shingles(docs.where(F.col("doc_id") % 97 == 0), n=3)
+        .select("shingle")
+        .distinct()
+    )
+    train_sh = shingles(docs.where(F.col("doc_id") % 97 != 0), n=3)
+    return (
+        train_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+@query(
+    "q76_sequence_packing",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CAST(doc_id % 8 AS INT) AS shard,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT shard, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start_off
+  FROM t
+),
+b AS (
+  SELECT shard, doc_id, n_tokens, start_off,
+         CAST(start_off // 1024 AS INT) AS bin_id,
+         CASE WHEN start_off // 1024 <> (start_off + n_tokens - 1) // 1024
+              THEN 1 ELSE 0 END AS straddles
+  FROM c
+)
+SELECT shard, bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(straddles) AS BIGINT) AS n_straddling
+FROM b GROUP BY shard, bin_id
+""",
+)
+def q76_sequence_packing(spark, sf_dir):
+    """Concat-and-chunk sequence packing (GPT-style): within each shard,
+    documents are concatenated in doc_id order and cut into 1024-token
+    context windows; a document belongs to the window where it starts,
+    and boundary-straddling docs are counted (they get split in a real
+    tokenizer pipeline). One window cumsum per shard — packing is
+    embarrassingly parallel across shards, and no shard's data ever
+    gathers on one node beyond its own sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("int").alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    w = W.partitionBy("shard").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    c = t.withColumn("start_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    b = c.select(
+        "shard",
+        "n_tokens",
+        (F.col("start_off") / 1024).cast("int").alias("bin_id"),
+        F.when(
+            (F.col("start_off") / 1024).cast("bigint")
+            != ((F.col("start_off") + F.col("n_tokens") - 1) / 1024).cast("bigint"),
+            1,
+        )
+        .otherwise(0)
+        .alias("straddles"),
+    )
+    return b.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("straddles").cast("bigint").alias("n_straddling"),
+    )
+
+
+@query("q77_greedy_packing", oracle=None)
+def q77_greedy_packing(spark, sf_dir):
+    """Whole-document first-fit packing into 1024-token bins per shard
+    (no document split across windows — the padding-free batching
+    layout). Path-dependent running state -> applyInPandas kernel per
+    shard (same class as the gVCF block merge); first-fit invariants
+    pinned in tests/test_kernels.py. Output: per (shard, bin) fill
+    stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    from variantcalling_spark.operators.kernels import greedy_pack_documents
+
+    t = docs.select(
+        (F.col("doc_id") % 8).cast("int").alias("shard"),
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    packed = greedy_pack_documents(t, capacity=1024)
+    return packed.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+@query(
+    "q78_repetition_ratio",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         GREATEST(len(string_split(text, ' ')) - 2, 0) AS n_grams,
+         len(list_distinct([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+                            for i in generate_series(1, len(string_split(text, ' ')) - 2)])) AS n_distinct
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_grams AS INT) AS n_grams,
+       CAST(n_distinct AS INT) AS n_distinct,
+       ROUND(CASE WHEN n_grams = 0 THEN 0.0
+                  ELSE 1.0 - n_distinct / CAST(n_grams AS DOUBLE) END, 6) AS rep_ratio,
+       CASE WHEN n_grams > 0 AND 1.0 - n_distinct / CAST(n_grams AS DOUBLE) > 0.2
+            THEN TRUE ELSE FALSE END AS is_repetitive
+FROM t
+""",
+)
+def q78_repetition_ratio(spark, sf_dir):
+    """Within-document repetition quality signal (the Gopher/C4-family
+    filter): fraction of duplicated word-3-grams per doc, with a > 0.2
+    repetitiveness flag. Pure per-row array expressions — no shuffle at
+    all; the filter runs at scan speed on any corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    k = F.size(ws) - 2
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(ws, i),
+            F.element_at(ws, i + 1),
+            F.element_at(ws, i + 2),
+        ),
+    )
+    t = docs.select(
+        "doc_id",
+        F.greatest(k, F.lit(0)).alias("n_grams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct"),
+    )
+    rep = F.lit(1.0) - F.col("n_distinct") / F.col("n_grams").cast("double")
+    return t.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        F.round(F.when(F.col("n_grams") == 0, 0.0).otherwise(rep), 6).alias("rep_ratio"),
+        ((F.col("n_grams") > 0) & (rep > 0.2)).alias("is_repetitive"),
+    )
