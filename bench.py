@@ -40,6 +40,8 @@ HEADLINE = [
     "q66_minhash_lsh",            # MinHash-LSH + verify
     "q68_cosine_topk",            # embedding similarity search
     "q74_embedding_neardup_lsh",  # banded hyperplane near-dup + verify
+    "q75_decontamination",        # broadcast benchmark-overlap semi-join
+    "q76_sequence_packing",       # per-shard concat-and-chunk packing
     "q80_tumbling_window",        # event-time window agg
 ]
 

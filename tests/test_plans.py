@@ -153,3 +153,24 @@ def test_q19_topk_is_two_phase(spark):
     p = plan_of(spark, "q19_topk_per_group")
     assert p.count("RunningWindowFunction") >= 2 or p.count("Window") >= 2
     assert "SPARK_PARTITION_ID" in p.upper() or "spark_partition_id" in p
+
+
+def test_q75_benchmark_set_is_broadcast(spark):
+    # the benchmark shingle set is small by construction; the corpus
+    # side must not shuffle for the overlap join
+    p = plan_of(spark, "q75_decontamination")
+    assert "BroadcastHashJoin" in p
+
+
+def test_q76_packing_has_no_global_sort(spark):
+    # packing windows partition by shard — a global (single-partition)
+    # ordering would serialize the whole corpus through one task
+    p = plan_of(spark, "q76_sequence_packing")
+    # the cumsum window is hash-partitioned on shard...
+    assert "windowspecdefinition(shard#" in p
+    assert "Exchange hashpartitioning(shard#" in p
+    # ...and every Sort is a within-partition sort (global=false), never
+    # a range-partitioned global ordering
+    for line in p.splitlines():
+        if "Exchange rangepartitioning" in line:
+            raise AssertionError(f"global sort in packing plan: {line.strip()}")
