@@ -72,3 +72,46 @@ def featurize_binary(media: DataFrame, batch_hint: int | None = None) -> DataFra
             )
 
     return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, n_bytes int, checksum bigint"
+_M31 = 2147483647
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 256, every_n: int = 2
+) -> DataFrame:
+    """Frame sampling over binary payloads: split each payload into
+    fixed-size frames, keep every ``every_n``-th, emit one row per kept
+    frame with a rolling byte checksum — the video-frame-sampling shape
+    (one input row -> many output rows) as an Arrow-batched mapInPandas
+    stage. A real pipeline would decode/resize each kept frame in the
+    same loop; the checksum stands in deterministically (and, for ASCII
+    payloads, equals the char-fold the SQL oracle can compute)."""
+
+    def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, sums = [], [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                if not len(content):
+                    continue
+                n_frames = (len(content) - 1) // frame_bytes + 1
+                for idx in range(0, n_frames, every_n):
+                    frame = content[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    acc = 0
+                    for byte in frame:
+                        acc = (acc * 31 + byte) % _M31
+                    ids.append(doc_id)
+                    idxs.append(idx)
+                    sizes.append(len(frame))
+                    sums.append(acc)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "n_bytes": pd.array(sizes, dtype="int32"),
+                    "checksum": pd.array(sums, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(explode_frames, schema=FRAME_SCHEMA)

@@ -49,3 +49,38 @@ def q70_multimodal_features(spark, sf_dir):
         F.min("first_byte").alias("min_first_byte"),
         F.max("last_byte").alias("max_last_byte"),
     )
+
+
+@query(
+    "q93_frame_sampling",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, i AS frame_idx,
+         substr(text, CAST(i * 256 + 1 AS BIGINT), 256) AS frame
+  FROM documents,
+       UNNEST(generate_series(0, CAST((length(text) - 1) // 256 AS BIGINT), 2)) t(i)
+  WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(length(frame) AS INT) AS n_bytes,
+       list_reduce(list_transform(string_split(frame, ''), c -> CAST(ascii(c) AS BIGINT)),
+                   (a, b) -> (a * 31 + b) % 2147483647) AS checksum
+FROM f
+""",
+)
+def q93_frame_sampling(spark, sf_dir):
+    """Video-style frame sampling over binary payloads: 256-byte frames,
+    every 2nd kept, rolling byte checksum per kept frame — a one-to-many
+    Arrow-batched mapInPandas stage (the decoder/resize slot). Payloads
+    are ASCII here, so the SQL oracle reproduces the checksums from the
+    source text character-for-character; with real media the same stage
+    would emit decoded-frame features instead."""
+    from variantcalling_spark.operators.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs)
+    return sample_frames(media, frame_bytes=256, every_n=2)
