@@ -412,3 +412,48 @@ def q78_repetition_ratio(spark, sf_dir):
         F.round(F.when(F.col("n_grams") == 0, 0.0).otherwise(rep), 6).alias("rep_ratio"),
         ((F.col("n_grams") > 0) & (rep > 0.2)).alias("is_repetitive"),
     )
+
+
+@query(
+    "q94_deterministic_shuffle",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id,
+         (CAST(1103515245 AS BIGINT) * doc_id + 12345) % 2147483647 AS skey
+  FROM documents
+),
+b AS (
+  SELECT doc_id, skey, CAST(skey % 16 AS INT) AS bucket FROM keyed
+)
+SELECT bucket,
+       CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY skey, doc_id) AS INT) AS pos,
+       doc_id
+FROM b
+""",
+)
+def q94_deterministic_shuffle(spark, sf_dir):
+    """Deterministic global shuffle for training-data ordering: an
+    affine hash of the stable key is the shuffle key; docs are sharded
+    into 16 buckets by the key and ordered within each bucket — exactly
+    reproducible across engines, task retries, and reruns (no RNG
+    state). Windows partition by bucket, so no single task ever sees
+    more than one bucket — the shuffled order of a 10^9-doc corpus
+    materializes as n_buckets independent sorted shards (readers stream
+    bucket-by-bucket, which is how packed training shards are laid out
+    anyway)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        ((F.lit(1103515245).cast("bigint") * F.col("doc_id") + 12345) % 2147483647).alias(
+            "skey"
+        ),
+    )
+    b = keyed.withColumn("bucket", (F.col("skey") % 16).cast("int"))
+    w = W.partitionBy("bucket").orderBy("skey", "doc_id")
+    return b.select(
+        "bucket",
+        F.row_number().over(w).alias("pos"),
+        "doc_id",
+    )
