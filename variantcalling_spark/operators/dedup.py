@@ -160,22 +160,33 @@ def prefix_filtered_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     from pyspark.sql import Window
 
     doc_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # both window columns share one partitioning+ordering, so Catalyst
+    # evaluates them in a single Window node — one shuffle+sort instead
+    # of two (the count uses an unbounded frame over the same spec)
+    w_ordered = Window.partitionBy("doc_id").orderBy("df", "shingle")
     ranked = (
         sh.join(doc_freq, "shingle")
         .withColumn(
-            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
-        )
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            "n_sh",
+            F.count(F.lit(1)).over(
+                w_ordered.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
             ),
         )
+        .withColumn("rk", F.row_number().over(w_ordered))
     )
-    prefix = ranked.where(
-        F.col("rk")
-        <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    ).select("doc_id", "shingle", "n_sh", "rk")
+    # the prefix table feeds BOTH sides of the self-join below; the two
+    # subtrees get distinct expression ids, so exchange reuse cannot
+    # collapse them — persist once instead of ranking the corpus twice
+    prefix = (
+        ranked.where(
+            F.col("rk")
+            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        )
+        .select("doc_id", "shingle", "n_sh", "rk")
+        .persist()
+    )
     a = prefix.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shingle").alias("sh_a"),
