@@ -347,15 +347,23 @@ def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
 
 
 def portable_string_hash(col):
-    """Polynomial char-fold hash mod 2^31-1: same bits as DuckDB's
-    ``list_reduce(list_transform(string_split(s,''), c -> ascii(c)),
-    (a,b) -> (a*31+b) % p)`` — a seed of 0 matches list_reduce's
-    first-element seeding because 0*31 + c0 = c0."""
-    return F.aggregate(
-        F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("bigint")),
-        F.lit(0).cast("bigint"),
-        lambda acc, c: (acc * 31 + c) % MERSENNE31,
+    """Engine-portable string hash mod 2^31-1: the first 8 hex digits of
+    md5, parsed as an integer. md5 is identical everywhere; Spark parses
+    with native ``conv`` (JVM codegen — ~4x faster than an interpreted
+    higher-order char fold over the whole string), DuckDB with an 8-char
+    hex fold. Uniform by construction (md5), so minhash/simhash quality
+    does not depend on input length or alphabet."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % MERSENNE31
     )
+
+
+# DuckDB rendering of ``portable_string_hash`` (same bits)
+PORTABLE_HASH_SQL = (
+    "list_reduce(list_transform(string_split(substr(md5({col}), 1, 8), ''), "
+    "c -> CAST(CASE WHEN ascii(c) >= 97 THEN ascii(c) - 87 "
+    "ELSE ascii(c) - 48 END AS BIGINT)), (a, b) -> a * 16 + b) % 2147483647"
+)
 
 
 def portable_minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:

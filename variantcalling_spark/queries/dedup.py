@@ -123,9 +123,14 @@ def _minhash_oracle_sql(num_hashes: int = 32, num_bands: int = 8, rows_per_band:
     portable hash family as the Spark side — every stage (shingle hash,
     affine permutations, band-bucket fold, candidate join, exact verify)
     produces identical bits, so the scale path gets a strong oracle."""
-    from variantcalling_spark.operators.dedup import MERSENNE31, _minhash_coeffs
+    from variantcalling_spark.operators.dedup import (
+        MERSENNE31,
+        PORTABLE_HASH_SQL,
+        _minhash_coeffs,
+    )
 
     p = MERSENNE31
+    phash = PORTABLE_HASH_SQL.format(col="shingle")
     coeffs = _minhash_coeffs(num_hashes)
     sig_cols = ",\n         ".join(
         f"MIN((CAST({a} AS BIGINT) * v + {b}) % {p}) AS h{i}"
@@ -154,9 +159,7 @@ sh AS (
   )
 ),
 hv AS (
-  SELECT doc_id,
-         list_reduce(list_transform(string_split(shingle, ''), c -> CAST(ascii(c) AS BIGINT)),
-                     (a, b) -> (a * 31 + b) % {p}) AS v
+  SELECT doc_id, {phash} AS v
   FROM sh
 ),
 sig AS (
@@ -226,10 +229,11 @@ def q66_minhash_lsh(spark, sf_dir):
 
 def _simhash_oracle_sql(bits: int = 32) -> str:
     """The SimHash pipeline in DuckDB SQL with the same portable word
-    hash (char-fold v for bits 0..30, affine rehash v2 for bits 31+)."""
-    from variantcalling_spark.operators.dedup import MERSENNE31
+    hash (md5-derived v for bits 0..30, affine rehash v2 for bits 31+)."""
+    from variantcalling_spark.operators.dedup import MERSENNE31, PORTABLE_HASH_SQL
 
     p = MERSENNE31
+    phash = PORTABLE_HASH_SQL.format(col="w")
 
     def word_bit(j):
         src, off = ("v", j) if j < 31 else ("v2", j - 31)
@@ -257,9 +261,7 @@ words AS (
 hv AS (
   SELECT doc_id, cnt, v, (CAST(1103515245 AS BIGINT) * v + 12345) % {p} AS v2
   FROM (
-    SELECT doc_id, cnt,
-           list_reduce(list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT)),
-                       (a, b) -> (a * 31 + b) % {p}) AS v
+    SELECT doc_id, cnt, {phash} AS v
     FROM words
   )
 ),
