@@ -174,3 +174,57 @@ def test_q76_packing_has_no_global_sort(spark):
     for line in p.splitlines():
         if "Exchange rangepartitioning" in line:
             raise AssertionError(f"global sort in packing plan: {line.strip()}")
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketed, sort-ordered table layout: a join on the bucket key
+    needs NO exchange on either side — the co-located-join layout for
+    repeated large x large joins at 100 TB (bucket count chosen per
+    dataset; both tables must agree)."""
+    import uuid
+
+    from variantcalling_spark.sources import load_table
+
+    db = f"bkt_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db}")
+    try:
+        li = load_table(spark, SF, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice"
+        )
+        o = load_table(spark, SF, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+           .saveAsTable(f"{db}.li_b"))
+        (o.withColumnRenamed("o_orderkey", "l_orderkey")
+           .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+           .saveAsTable(f"{db}.o_b"))
+        j = spark.table(f"{db}.li_b").join(spark.table(f"{db}.o_b"), "l_orderkey")
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in p, "bucketed join shuffled"
+        assert j.count() > 0
+    finally:
+        spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_chrom_partitioned_layout_prunes(spark, tmp_path):
+    """Genomic tables written partitionBy(chrom): a chrom predicate
+    becomes a PartitionFilter — non-matching contigs are never read
+    (the Spark image of tabix region pushdown, SURVEY.md §2.1)."""
+    from pyspark.sql import functions as F
+
+    from variantcalling_spark.queries.intervals import events_points
+
+    d = str(tmp_path / "variants_by_chrom")
+    ev = events_points(spark, SF).select(
+        F.concat(F.lit("chr"), (F.col("user_id") % 4 + 1).cast("string")).alias("chrom"),
+        F.col("ts_us").alias("pos"),
+        "value",
+    )
+    ev.write.partitionBy("chrom").parquet(d)
+    df = spark.read.parquet(d).where(F.col("chrom") == "chr2").select("pos")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in p
+    pf = p.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "chrom" in pf, f"chrom predicate not pushed to partition pruning: {pf}"
+    assert df.count() > 0
