@@ -543,3 +543,63 @@ def q92_split_multiallelic(spark, sf_dir):
         .cast("int")
         .alias("gt_index"),
     )
+
+
+@query(
+    "q95_collapse_multiallelic",
+    oracle="""
+WITH split AS (
+  SELECT o_orderkey AS k,
+         CAST(1 + o_orderkey % 3 AS INT) AS n_alt,
+         CAST(i AS INT) AS alt_index,
+         'ALT' || CAST(i AS VARCHAR) AS alt,
+         CAST((o_custkey + 0 * 11) % 50 AS INT) AS ad_ref,
+         CAST((o_custkey + i * 11) % 50 AS INT) AS ad_alt
+  FROM orders, UNNEST(generate_series(1, 1 + o_orderkey % 3)) t(i)
+)
+SELECT k,
+       CAST(COUNT(*) AS INT) AS n_alt,
+       list(alt ORDER BY alt_index) AS alts,
+       MIN(ad_ref) AS ad_ref,
+       list(ad_alt ORDER BY alt_index) AS ad_alts,
+       CAST(MIN(ad_ref) + SUM(ad_alt) AS BIGINT) AS dp
+FROM split GROUP BY k
+""",
+)
+def q95_collapse_multiallelic(spark, sf_dir):
+    """Collapse biallelic rows back into one multiallelic record per
+    site (`bcftools norm -m+` as used at `correct_genotypes_by_
+    imputation.py:425-432`): alts gathered in allele order, shared
+    ref-depth kept once, per-alt depths as an array, DP recomputed.
+    The same synthetic split rows as q92, so q92 ∘ q95 is a round-trip.
+    One groupBy on the site key; allele order restored with
+    sort_array(collect_list(struct(idx, ...))) — deterministic under
+    any partitioning."""
+    o = load_table(spark, sf_dir, "orders")
+    n_alt = (F.lit(1) + F.col("o_orderkey") % 3).cast("int")
+    split = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.explode(F.sequence(F.lit(1), n_alt)).alias("i"),
+        F.col("o_custkey"),
+    ).select(
+        "k",
+        F.col("i").cast("int").alias("alt_index"),
+        F.concat(F.lit("ALT"), F.col("i").cast("string")).alias("alt"),
+        ((F.col("o_custkey") + 0 * 11) % 50).cast("int").alias("ad_ref"),
+        ((F.col("o_custkey") + F.col("i") * 11) % 50).cast("int").alias("ad_alt"),
+    )
+    g = split.groupBy("k").agg(
+        F.count(F.lit(1)).cast("int").alias("n_alt"),
+        F.sort_array(F.collect_list(F.struct("alt_index", "alt"))).alias("sa"),
+        F.min("ad_ref").alias("ad_ref"),
+        F.sort_array(F.collect_list(F.struct("alt_index", "ad_alt"))).alias("sd"),
+        (F.min("ad_ref") + F.sum("ad_alt")).cast("bigint").alias("dp"),
+    )
+    return g.select(
+        "k",
+        "n_alt",
+        F.col("sa.alt").alias("alts"),
+        "ad_ref",
+        F.col("sd.ad_alt").alias("ad_alts"),
+        "dp",
+    )
