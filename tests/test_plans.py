@@ -228,3 +228,16 @@ def test_chrom_partitioned_layout_prunes(spark, tmp_path):
     pf = p.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "chrom" in pf, f"chrom predicate not pushed to partition pruning: {pf}"
     assert df.count() > 0
+
+
+def test_q96_fact_side_never_broadcast(spark):
+    # empty-interval preservation must come from the tiny reattach join,
+    # never from broadcasting the fact (events) side of an outer join
+    p = plan_of(spark, "q96_interval_map_agg")
+    assert "BroadcastHashJoin" in p
+    import re
+    # every broadcast exchange must sit under a Range (interval gen) or
+    # aggregate subtree, not a parquet events scan
+    for m in re.finditer(r"BroadcastExchange[^\n]*\n((?:.*\n){1,6})", p):
+        ctx = m.group(1)
+        assert "events" not in ctx, f"events broadcast:\n{ctx}"

@@ -331,3 +331,53 @@ def q36_asof_join(spark, sf_dir):
         "last_signup_us",
         (F.col("ts_us") - F.col("last_signup_us")).alias("lag_us"),
     )
+
+
+@query(
+    "q96_interval_map_agg",
+    oracle=f"""
+WITH iv AS ({SQL_IV_A}),
+e AS (SELECT user_id % 5 AS grp, epoch_us(ts) AS ts_us, value FROM events)
+SELECT iv.iv_id,
+       iv.category,
+       COUNT(e.ts_us) AS n_points,
+       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+       CAST(MAX(e.value) AS DOUBLE) AS value_max
+FROM iv LEFT JOIN e
+  ON e.grp = iv.grp AND e.ts_us >= iv.start_us AND e.ts_us < iv.end_us
+GROUP BY iv.iv_id, iv.category
+""",
+)
+def q96_interval_map_agg(spark, sf_dir):
+    """Per-interval aggregation of overlapping points — the
+    `bedtools map` shape (mean/sum/max of depth per target interval;
+    the per-interval flavor of the coverage histograms at
+    `coverage_analysis.py:745-795`). Empty intervals must survive with
+    zero counts (bedtools emits '.'), but an outer join can only
+    broadcast its NON-preserved side — a naive `iv LEFT JOIN events`
+    would broadcast the fact table. So: inner broadcast join + partial
+    aggregate (the fact scan never shuffles), then reattach empty
+    intervals by joining the per-interval aggregate (|intervals| rows)
+    back to the interval table — both tiny. DECIMAL sum ->
+    order-independent, engine-exact."""
+    ev = events_points(spark, sf_dir).select("grp", "ts_us", "value")
+    iv = intervals_a(spark)
+    hit = ev.join(
+        F.broadcast(iv),
+        (ev["grp"] == iv["grp"])
+        & (ev["ts_us"] >= iv["start_us"])
+        & (ev["ts_us"] < iv["end_us"]),
+        "inner",
+    )
+    agg = hit.groupBy("iv_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("value_sum"),
+        F.max("value").cast("double").alias("value_max"),
+    )
+    return iv.join(agg, "iv_id", "left").select(
+        "iv_id",
+        "category",
+        F.coalesce("n_points", F.lit(0)).alias("n_points"),
+        "value_sum",
+        "value_max",
+    )
