@@ -9,12 +9,16 @@ All are pure DataFrame plans:
   per-pair intersection counts -> |A∩B| / (|A|+|B|-|A∩B|). Exact but
   O(sum of per-shingle doc-frequency^2) — the verification step, not the
   discovery step, at scale.
-- MinHash-LSH: k min-hashes per doc (xxhash64 with k seeds), banded into
-  b bands of r rows; docs sharing any band bucket become candidate
-  pairs; candidates are verified with exact Jaccard. Discovery cost is
-  linear in corpus size; only near-duplicates collide.
-- SimHash: sign-aggregated weighted word-hash bits -> 64-bit signature;
+- MinHash-LSH: k min-hashes per doc (engine-portable md5-derived hash +
+  affine permutations mod 2^31-1), banded into b bands of r rows; docs
+  sharing any band bucket become candidate pairs; candidates are
+  verified with exact Jaccard. Discovery cost is linear in corpus size;
+  only near-duplicates collide — and every stage is value-reproducible
+  in ANSI SQL, so the oracle checks discovery, not just verification.
+- SimHash: sign-aggregated weighted word-hash bits -> signature;
   near-dups have small Hamming distance.
+- Connected components: min-label propagation folds verified pairs into
+  duplicate clusters (the keep-one-canonical endgame).
 """
 
 from __future__ import annotations
@@ -412,3 +416,56 @@ def portable_band_buckets(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", max_iters: int = 30
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph by min-label
+    propagation: every node ends with the smallest doc_id reachable from
+    it — the cluster id used to pick one canonical doc per duplicate
+    group (the dedup endgame: pairs -> clusters -> keep-list).
+
+    Each round is one distributed join + min-aggregate; the driver loop
+    only checks a convergence count. Rounds needed = graph diameter,
+    and near-dup clusters are shallow (copies of a common source), so
+    2-4 rounds in practice. ``localCheckpoint`` truncates lineage per
+    round — without it the plan doubles every iteration. For graphs
+    with continent-sized components (not the dedup shape), switch to
+    alternating star contraction; for duplicate clusters this converges
+    faster with less machinery.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        prop = edges.join(labels, edges["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "label"
+        )
+        merged = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("new_label"))
+        )
+        changed = (
+            merged.join(labels, "node")
+            .where(F.col("new_label") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = merged.select(
+            "node", F.col("new_label").alias("label")
+        ).localCheckpoint()
+        if changed == 0:
+            break
+    return labels

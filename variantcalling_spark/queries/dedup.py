@@ -324,3 +324,62 @@ def q67_simhash(spark, sf_dir):
         .distinct()
     )
     return pairs.where(F.col("hamming") <= 4)
+
+
+@query(
+    "q98_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE corpus AS ({SQL_CORPUS}),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+                   for i in generate_series(1, len(string_split(text, ' ')) - 2)]) AS shingle
+    FROM corpus
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+e AS (
+  SELECT doc_a, doc_b FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE) >= 0.6
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM e
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM e
+),
+closure AS (
+  SELECT src AS node, src AS reach FROM edges
+  UNION
+  SELECT c.node, edges.dst AS reach
+  FROM closure c JOIN edges ON edges.src = c.reach
+)
+SELECT MIN(reach) AS cluster_id, COUNT(DISTINCT node) AS n_members
+FROM (SELECT node, MIN(reach) AS reach FROM closure GROUP BY node) labeled
+GROUP BY reach
+""",
+)
+def q98_dedup_clusters(spark, sf_dir):
+    """The dedup endgame: near-duplicate PAIRS (exact Jaccard >= 0.6,
+    PPJoin discovery) folded into duplicate CLUSTERS by min-label
+    connected components, yielding one canonical id per group. Label
+    propagation converges in diameter rounds (shallow for dup clusters);
+    the oracle computes the same components with a recursive CTE.
+    Output: (cluster_id = smallest member, n_members)."""
+    from variantcalling_spark.operators.dedup import connected_components
+
+    sh = shingles(corpus(spark, sf_dir), n=3).persist()
+    cands = prefix_filtered_pairs(sh, threshold=0.6)
+    pairs = jaccard_for_pairs(cands, sh).where(F.col("jaccard") >= 0.6)
+    labels = connected_components(pairs)
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_members")
+    ).select(F.col("label").alias("cluster_id"), "n_members")

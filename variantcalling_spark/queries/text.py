@@ -457,3 +457,47 @@ def q94_deterministic_shuffle(spark, sf_dir):
         F.row_number().over(w).alias("pos"),
         "doc_id",
     )
+
+
+@query(
+    "q97_unigram_lm_score",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+freq AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+total AS (SELECT SUM(c) AS n FROM freq),
+scored AS (
+  SELECT words.doc_id,
+         CAST(-log10(freq.c / CAST(total.n AS DOUBLE)) AS DECIMAL(18,12)) AS nll
+  FROM words JOIN freq ON words.w = freq.w CROSS JOIN total
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_words,
+       ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+FROM scored GROUP BY doc_id
+""",
+)
+def q97_unigram_lm_score(spark, sf_dir):
+    """Unigram language-model scoring (the CCNet/Wikipedia-LM filtering
+    shape): corpus word frequencies -> per-word -log10 p -> per-doc mean
+    negative log-likelihood; low-probability-heavy docs score high and
+    get filtered. Two aggregations + one broadcast join of the frequency
+    table (vocabulary-sized — megabytes even at web scale, since it
+    grows sublinearly in the corpus). The per-word nll doubles sum in
+    DECIMAL so the mean is order-independent — identical at any
+    partition count (the same trick as every measure aggregate here)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    scored = words.join(F.broadcast(freq), "w").crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        (-F.log10(F.col("c") / F.col("n").cast("double")))
+        .cast("decimal(18,12)")
+        .alias("nll"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_words"),
+        F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 6).alias("avg_nll"),
+    )
