@@ -253,11 +253,18 @@ def banded_near_dup_pairs(
         vecs.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("v"),
+            # each vector's norm computed ONCE here — recomputing the
+            # two self-dots per collision row would triple the per-pair
+            # arithmetic in the hot verify loop
+            F.sqrt(
+                _dot(F.col(vec_col), F.col(vec_col)).cast("double")
+            ).alias("norm"),
             _projection_sums(F.col(vec_col), n_planes).alias("sums"),
         )
         .select(
             "vec_id",
             "v",
+            "norm",
             F.explode(
                 F.array(
                     *[
@@ -272,12 +279,11 @@ def banded_near_dup_pairs(
                 )
             ).alias("bb"),
         )
-        .select("vec_id", "v", "bb.band", "bb.slice")
+        .select("vec_id", "v", "norm", "bb.band", "bb.slice")
     )
     a, b = bands.alias("a"), bands.alias("b")
     cosine = _dot(F.col("a.v"), F.col("b.v")) / (
-        F.sqrt(_dot(F.col("a.v"), F.col("a.v")).cast("double"))
-        * F.sqrt(_dot(F.col("b.v"), F.col("b.v")).cast("double"))
+        F.col("a.norm") * F.col("b.norm")
     )
     # score at candidate discovery (cosine is identical on every band a
     # pair collides in, so distinct() after scoring dedups exactly)
