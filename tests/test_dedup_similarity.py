@@ -152,3 +152,42 @@ def test_embedding_neardup_lsh_recall_and_precision(spark, sf_dir):
     assert approx <= exact  # precision 1.0: verify step is the exact predicate
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.9
+
+
+def test_connected_components_vs_union_find(spark):
+    """Min-label propagation must produce exactly the components a plain
+    union-find computes, including chains longer than one round."""
+    from variantcalling_spark.operators.dedup import connected_components
+
+    pairs = [
+        (1, 2), (2, 3), (3, 4),          # chain -> one component {1,2,3,4}
+        (10, 11), (11, 10),              # duplicate edge both ways
+        (20, 21), (22, 21),              # star
+        (30, 31), (32, 33), (31, 32),    # two edges merged by a bridge
+        (40, 41),
+    ]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        r.node: r.label for r in connected_components(df, max_iters=20).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+    # normalize: label = min member of the component
+    comp: dict[int, list[int]] = {}
+    for n, r in expected.items():
+        comp.setdefault(find(r), []).append(n)
+    want = {n: min(members) for root, members in comp.items() for n in members}
+    assert got == want
