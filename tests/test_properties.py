@@ -142,3 +142,42 @@ def test_compress_gvcf_matches_naive(spark, recs):
     assert got == expect
     # conservation: every input record lands in exactly one output row
     assert sum(n for _, n, _ in got) == len(recs)
+
+
+@given(
+    words=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    )
+)
+@settings(**SETTINGS)
+def test_portable_hash_matches_duckdb(spark, words):
+    """The portable string hash (the basis of every value-oracled LSH
+    path) must agree bit-for-bit with its DuckDB rendering on arbitrary
+    printable-ascii strings, including the empty string."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from variantcalling_spark.operators.dedup import (
+        PORTABLE_HASH_SQL,
+        portable_string_hash,
+    )
+
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    got = {r.s: r.v for r in df.select("s", portable_string_hash(F.col("s")).alias("v")).collect()}
+
+    con = duckdb.connect()
+    expr = PORTABLE_HASH_SQL.format(col="s")
+    want = dict(
+        con.execute(
+            f"SELECT s, {expr} FROM (SELECT unnest(?) AS s)", [words]
+        ).fetchall()
+    )
+    assert got == want
