@@ -383,3 +383,125 @@ def q98_dedup_clusters(spark, sf_dir):
     return labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_members")
     ).select(F.col("label").alias("cluster_id"), "n_members")
+
+
+@query(
+    "q99_data_curation_funnel",
+    oracle=f"""
+WITH corpus AS ({SQL_CORPUS}),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+                   for i in generate_series(1, len(string_split(text, ' ')) - 2)]) AS shingle
+    FROM corpus
+  )
+),
+s1 AS (
+  SELECT c.doc_id, c.text FROM corpus c
+  JOIN (SELECT md5(text) AS fp, MIN(doc_id) AS keep_id FROM corpus GROUP BY md5(text)) k
+    ON md5(c.text) = k.fp AND c.doc_id = k.keep_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+near_drop AS (
+  SELECT DISTINCT doc_b FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE) >= 0.6
+),
+s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_b FROM near_drop)),
+bench_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE sh.doc_id % 97 = 0 AND sh.doc_id < 100000
+),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM sh WHERE shingle IN (SELECT shingle FROM bench_sh)
+),
+s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+s4 AS (
+  SELECT * FROM s3
+  WHERE length(text) >= 100
+    AND (len(string_split(text, ' ')) - 2 <= 0
+         OR 1.0 - len(list_distinct([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+                                     for i in generate_series(1, len(string_split(text, ' ')) - 2)]))
+               / CAST(len(string_split(text, ' ')) - 2 AS DOUBLE) <= 0.2)
+)
+SELECT stage, n_docs FROM (
+  SELECT 'a_input' AS stage, COUNT(*) AS n_docs FROM corpus
+  UNION ALL SELECT 'b_exact_dedup', COUNT(*) FROM s1
+  UNION ALL SELECT 'c_near_dedup', COUNT(*) FROM s2
+  UNION ALL SELECT 'd_decontaminated', COUNT(*) FROM s3
+  UNION ALL SELECT 'e_quality', COUNT(*) FROM s4
+)
+""",
+)
+def q99_data_curation_funnel(spark, sf_dir):
+    """The LLM data-curation funnel as ONE composed query: exact dedup
+    (keep min id per md5) -> near-dedup (drop the larger id of every
+    Jaccard >= 0.6 pair, PPJoin discovery) -> benchmark decontamination
+    (drop docs sharing any 3-gram with the benchmark set) -> quality
+    gate (length >= 100, repetition <= 0.2), reporting the survivor
+    count after each stage. Every stage is the already-oracled operator
+    (q64/q65/q75/q78) glued by anti-joins; one pass over the corpus per
+    stage, all joins on keys or broadcast sets — the funnel scales as
+    its slowest stage (near-dedup discovery), nothing multiplies."""
+    c = corpus(spark, sf_dir)
+    sh = shingles(c, n=3).persist()
+
+    keep = exact_dedup_clusters(c).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    s1 = c.join(keep, "doc_id")
+
+    cands = prefix_filtered_pairs(sh, threshold=0.6)
+    near_drop = (
+        jaccard_for_pairs(cands, sh)
+        .where(F.col("jaccard") >= 0.6)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    s2 = s1.join(near_drop, "doc_id", "left_anti")
+
+    bench_sh = (
+        sh.where((F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 100000))
+        .select("shingle")
+        .distinct()
+    )
+    contaminated = (
+        sh.join(F.broadcast(bench_sh), "shingle").select("doc_id").distinct()
+    )
+    s3 = s2.join(contaminated, "doc_id", "left_anti")
+
+    ws = F.split("text", " ")
+    k = F.size(ws) - 2
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+        ),
+    )
+    rep = F.lit(1.0) - F.size(F.array_distinct(grams)) / k.cast("double")
+    s4 = s3.where(
+        (F.length("text") >= 100) & ((k <= 0) | (rep <= 0.2))
+    )
+
+    def stage(name, df):
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        stage("a_input", c)
+        .unionByName(stage("b_exact_dedup", s1))
+        .unionByName(stage("c_near_dedup", s2))
+        .unionByName(stage("d_decontaminated", s3))
+        .unionByName(stage("e_quality", s4))
+    )
