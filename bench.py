@@ -43,6 +43,7 @@ HEADLINE = [
     "q75_decontamination",        # broadcast benchmark-overlap semi-join
     "q76_sequence_packing",       # per-shard concat-and-chunk packing
     "q80_tumbling_window",        # event-time window agg
+    "q99_data_curation_funnel",   # composed dedup->decontam->quality pipeline
 ]
 
 

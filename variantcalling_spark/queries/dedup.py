@@ -447,16 +447,18 @@ def q99_data_curation_funnel(spark, sf_dir):
     (drop docs sharing any 3-gram with the benchmark set) -> quality
     gate (length >= 100, repetition <= 0.2), reporting the survivor
     count after each stage. Every stage is the already-oracled operator
-    (q64/q65/q75/q78) glued by anti-joins; one pass over the corpus per
-    stage, all joins on keys or broadcast sets — the funnel scales as
-    its slowest stage (near-dedup discovery), nothing multiplies."""
+    (q64/q65/q75/q78) glued as per-doc survival FLAGS: each doc gets
+    (kept_exact, kept_near, clean, quality) booleans via three left
+    joins against the (small) drop sets, then ONE aggregate computes
+    every stage count in a single corpus pass — a 5-branch union of
+    per-stage counts would re-evaluate the expensive near-dedup
+    discovery once per branch (measured 4× slower)."""
     c = corpus(spark, sf_dir)
     sh = shingles(c, n=3).persist()
 
     keep = exact_dedup_clusters(c).select(
-        F.col("canonical_id").alias("doc_id")
+        F.col("canonical_id").alias("doc_id"), F.lit(True).alias("kept_exact")
     )
-    s1 = c.join(keep, "doc_id")
 
     cands = prefix_filtered_pairs(sh, threshold=0.6)
     near_drop = (
@@ -464,8 +466,8 @@ def q99_data_curation_funnel(spark, sf_dir):
         .where(F.col("jaccard") >= 0.6)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
+        .withColumn("near_dropped", F.lit(True))
     )
-    s2 = s1.join(near_drop, "doc_id", "left_anti")
 
     bench_sh = (
         sh.where((F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 100000))
@@ -473,9 +475,11 @@ def q99_data_curation_funnel(spark, sf_dir):
         .distinct()
     )
     contaminated = (
-        sh.join(F.broadcast(bench_sh), "shingle").select("doc_id").distinct()
+        sh.join(F.broadcast(bench_sh), "shingle")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
     )
-    s3 = s2.join(contaminated, "doc_id", "left_anti")
 
     ws = F.split("text", " ")
     k = F.size(ws) - 2
@@ -489,19 +493,37 @@ def q99_data_curation_funnel(spark, sf_dir):
         ),
     )
     rep = F.lit(1.0) - F.size(F.array_distinct(grams)) / k.cast("double")
-    s4 = s3.where(
-        (F.length("text") >= 100) & ((k <= 0) | (rep <= 0.2))
-    )
 
-    def stage(name, df):
-        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
-            F.lit(name).alias("stage"), "n_docs"
+    flagged = (
+        c.join(keep, "doc_id", "left")
+        .join(near_drop, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+        .select(
+            F.coalesce("kept_exact", F.lit(False)).alias("f1"),
+            (~F.coalesce("near_dropped", F.lit(False))).alias("f2"),
+            (~F.coalesce("contaminated", F.lit(False))).alias("f3"),
+            ((F.length("text") >= 100) & ((k <= 0) | (rep <= 0.2))).alias("f4"),
         )
-
-    return (
-        stage("a_input", c)
-        .unionByName(stage("b_exact_dedup", s1))
-        .unionByName(stage("c_near_dedup", s2))
-        .unionByName(stage("d_decontaminated", s3))
-        .unionByName(stage("e_quality", s4))
     )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("a"),
+        F.count(F.when(F.col("f1"), 1)).alias("b"),
+        F.count(F.when(F.col("f1") & F.col("f2"), 1)).alias("c"),
+        F.count(F.when(F.col("f1") & F.col("f2") & F.col("f3"), 1)).alias("d"),
+        F.count(
+            F.when(F.col("f1") & F.col("f2") & F.col("f3") & F.col("f4"), 1)
+        ).alias("e"),
+    )
+    stages = F.array(
+        *[
+            F.struct(F.lit(name).alias("stage"), F.col(col).alias("n_docs"))
+            for name, col in [
+                ("a_input", "a"),
+                ("b_exact_dedup", "b"),
+                ("c_near_dedup", "c"),
+                ("d_decontaminated", "d"),
+                ("e_quality", "e"),
+            ]
+        ]
+    )
+    return agg.select(F.explode(stages).alias("s")).select("s.stage", "s.n_docs")
