@@ -381,3 +381,170 @@ def q96_interval_map_agg(spark, sf_dir):
         "value_sum",
         "value_max",
     )
+
+
+@query(
+    "q37_reciprocal_overlap",
+    oracle=f"""
+WITH a AS ({SQL_IV_A}), b AS ({SQL_IV_B})
+SELECT a.iv_id, b.iv_id_b,
+       GREATEST(LEAST(a.end_us, b.end_us) - GREATEST(a.start_us, b.start_us), 0) AS ov_us,
+       ROUND(GREATEST(LEAST(a.end_us, b.end_us) - GREATEST(a.start_us, b.start_us), 0)
+             / CAST(a.end_us - a.start_us AS DOUBLE), 6) AS frac_a,
+       ROUND(GREATEST(LEAST(a.end_us, b.end_us) - GREATEST(a.start_us, b.start_us), 0)
+             / CAST(b.end_us - b.start_us AS DOUBLE), 6) AS frac_b
+FROM a JOIN b
+  ON a.grp = b.grp
+ AND a.start_us < b.end_us AND b.start_us < a.end_us
+WHERE GREATEST(LEAST(a.end_us, b.end_us) - GREATEST(a.start_us, b.start_us), 0)
+        >= 0.5 * (a.end_us - a.start_us)
+  AND GREATEST(LEAST(a.end_us, b.end_us) - GREATEST(a.start_us, b.start_us), 0)
+        >= 0.5 * (b.end_us - b.start_us)
+""",
+)
+def q37_reciprocal_overlap(spark, sf_dir):
+    """Reciprocal-overlap interval matching (`bedtools intersect -f 0.5
+    -r` — the SV truth-matching criterion behind the base/calls keys of
+    `sv_stats_collect.py:160-206`): pairs overlapping >= 50% of BOTH
+    lengths, with exact integer overlap arithmetic. The overlap join is
+    an equi-join on grp refined by range predicates; the smaller family
+    broadcasts."""
+    a = intervals_a(spark)
+    b = intervals_b(spark)
+    ov = F.greatest(
+        F.least(a["end_us"], b["end_us"]) - F.greatest(a["start_us"], b["start_us"]),
+        F.lit(0),
+    )
+    len_a = a["end_us"] - a["start_us"]
+    len_b = b["end_us"] - b["start_us"]
+    return (
+        a.join(
+            F.broadcast(b),
+            (a["grp"] == b["grp"])
+            & (a["start_us"] < b["end_us"])
+            & (b["start_us"] < a["end_us"]),
+        )
+        .where((ov >= 0.5 * len_a) & (ov >= 0.5 * len_b))
+        .select(
+            a["iv_id"],
+            b["iv_id_b"],
+            ov.alias("ov_us"),
+            F.round(ov / len_a.cast("double"), 6).alias("frac_a"),
+            F.round(ov / len_b.cast("double"), 6).alias("frac_b"),
+        )
+    )
+
+
+@query(
+    "q38_closest_interval",
+    oracle=f"""
+WITH iv AS ({SQL_IV_A}),
+e AS (SELECT event_id, user_id % 5 AS grp, epoch_us(ts) AS ts_us FROM events),
+d AS (
+  SELECT e.event_id, e.ts_us, iv.iv_id,
+         CASE WHEN e.ts_us >= iv.start_us AND e.ts_us < iv.end_us THEN 0
+              WHEN e.ts_us < iv.start_us THEN iv.start_us - e.ts_us
+              ELSE e.ts_us - iv.end_us + 1 END AS dist_us
+  FROM e JOIN iv ON e.grp = iv.grp
+)
+SELECT event_id, ts_us, iv_id, dist_us FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY dist_us, iv_id) AS rn
+  FROM d
+) WHERE rn = 1
+""",
+)
+def q38_closest_interval(spark, sf_dir):
+    """Closest-interval annotation (`bedtools closest` — the nearest-
+    feature lookup genomics uses for 'assign variant to nearest gene'):
+    per point, the minimum-distance interval in its group with
+    deterministic id tie-break. The interval side broadcasts; ranking
+    shuffles only (point × per-group-intervals) scored rows. At genome
+    scale the refinement is to pre-bucket intervals so each point scores
+    only its neighborhood — same output, bounded fan-out."""
+    from pyspark.sql import Window as W
+
+    ev = events_points(spark, sf_dir).select("event_id", "grp", "ts_us")
+    iv = intervals_a(spark)
+    dist = (
+        F.when(
+            (ev["ts_us"] >= iv["start_us"]) & (ev["ts_us"] < iv["end_us"]), F.lit(0)
+        )
+        .when(ev["ts_us"] < iv["start_us"], iv["start_us"] - ev["ts_us"])
+        .otherwise(ev["ts_us"] - iv["end_us"] + 1)
+    )
+    d = ev.join(F.broadcast(iv), ev["grp"] == iv["grp"]).select(
+        "event_id", "ts_us", "iv_id", dist.alias("dist_us")
+    )
+    w = W.partitionBy("event_id").orderBy("dist_us", "iv_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "q39_interval_complement",
+    oracle=f"""
+WITH iv AS ({SQL_IV_C}),
+merged AS (
+  SELECT grp, island, MIN(start_us) AS m_start, MAX(end_us) AS m_end
+  FROM (
+    SELECT grp, start_us, end_us,
+           SUM(is_new) OVER (PARTITION BY grp ORDER BY start_us, end_us
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM (
+      SELECT grp, start_us, end_us,
+             CASE WHEN start_us > MAX(end_us) OVER
+                    (PARTITION BY grp ORDER BY start_us, end_us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR MAX(end_us) OVER
+                    (PARTITION BY grp ORDER BY start_us, end_us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+      FROM iv
+    )
+  ) GROUP BY grp, island
+)
+SELECT grp,
+       LAG(m_end) OVER (PARTITION BY grp ORDER BY m_start) AS gap_start_us,
+       m_start AS gap_end_us
+FROM merged
+QUALIFY LAG(m_end) OVER (PARTITION BY grp ORDER BY m_start) IS NOT NULL
+""",
+)
+def q39_interval_complement(spark, sf_dir):
+    """Interval complement (`bedtools complement` / the gaps the HCR
+    files exclude): merge overlapping intervals per group
+    (gaps-and-islands), then each island's gap to its predecessor.
+    Two window passes over the interval table only — never the point
+    table; partitioned by grp so no global sort."""
+    from pyspark.sql import Window as W
+
+    iv = intervals_c(spark)
+    order = [F.col("start_us"), F.col("end_us")]
+    w_prev = (
+        W.partitionBy("grp").orderBy(*order).rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = W.partitionBy("grp").orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    prev_max = F.max("end_us").over(w_prev)
+    flagged = iv.select(
+        "grp",
+        "start_us",
+        "end_us",
+        F.when(
+            prev_max.isNull() | (F.col("start_us") > prev_max), 1
+        ).otherwise(0).alias("is_new"),
+    ).withColumn("island", F.sum("is_new").over(w_run))
+    merged = flagged.groupBy("grp", "island").agg(
+        F.min("start_us").alias("m_start"), F.max("end_us").alias("m_end")
+    )
+    w_gap = W.partitionBy("grp").orderBy("m_start")
+    return (
+        merged.select(
+            "grp",
+            F.lag("m_end").over(w_gap).alias("gap_start_us"),
+            F.col("m_start").alias("gap_end_us"),
+        )
+        .where(F.col("gap_start_us").isNotNull())
+    )
