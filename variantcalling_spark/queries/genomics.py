@@ -603,3 +603,146 @@ def q95_collapse_multiallelic(spark, sf_dir):
         F.col("sd.ad_alt").alias("ad_alts"),
         "dp",
     )
+
+
+@query(
+    "q47_score_calibration",
+    oracle="""
+WITH scored AS (
+  SELECT ROUND(LEAST(GREATEST((l_orderkey % 101) / 100.0, 0.0), 1.0), 2) AS score,
+         CASE WHEN (l_partkey + l_orderkey) % 3 = 0 THEN 1 ELSE 0 END AS is_tp
+  FROM lineitem
+),
+b AS (
+  SELECT CAST(FLOOR(score * 10) AS INT) AS bin, is_tp FROM scored
+)
+SELECT CASE WHEN bin > 9 THEN 9 ELSE bin END AS bin,
+       COUNT(*) AS n,
+       CAST(SUM(is_tp) AS BIGINT) AS n_tp,
+       ROUND(SUM(is_tp) / CAST(COUNT(*) AS DOUBLE), 6) AS observed_rate
+FROM b GROUP BY 1
+""",
+)
+def q47_score_calibration(spark, sf_dir):
+    """Score-calibration (reliability) table: predicted-score deciles vs
+    observed TP fraction — the tree_score calibration check behind the
+    filtering-model reports (`report_utils.py:435-446`, model scoring
+    `docs/filter_variants_pipeline.md`). One conditional aggregate per
+    bin; at callset scale this is a single map-side-combinable pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    score = F.round(
+        F.least(F.greatest((F.col("l_orderkey") % 101) / 100.0, F.lit(0.0)), F.lit(1.0)), 2
+    )
+    is_tp = F.when((F.col("l_partkey") + F.col("l_orderkey")) % 3 == 0, 1).otherwise(0)
+    b = li.select(
+        F.floor(score * 10).cast("int").alias("bin"), is_tp.alias("is_tp")
+    ).withColumn("bin", F.when(F.col("bin") > 9, 9).otherwise(F.col("bin")))
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("is_tp").cast("bigint").alias("n_tp"),
+        F.round(F.sum("is_tp") / F.count(F.lit(1)).cast("double"), 6).alias(
+            "observed_rate"
+        ),
+    )
+
+
+@query(
+    "q48_cumulative_coverage",
+    oracle="""
+WITH depth AS (
+  -- FLOOR before the int cast: DuckDB rounds double->int, Spark truncates
+  SELECT CAST(FLOOR(value) AS INT) % 60 AS d FROM events
+),
+hist AS (SELECT d, COUNT(*) AS n FROM depth GROUP BY d),
+tot AS (SELECT SUM(n) AS t FROM hist)
+SELECT d AS depth,
+       CAST(SUM(n) OVER (ORDER BY d DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_at_least,
+       ROUND(SUM(n) OVER (ORDER BY d DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / CAST(tot.t AS DOUBLE), 6) AS frac_at_least
+FROM hist CROSS JOIN tot
+""",
+)
+def q48_cumulative_coverage(spark, sf_dir):
+    """Cumulative coverage curve: fraction of positions with depth >= d
+    (the 'genome fraction at 10x/20x/30x' QC metric, companion to the
+    histogram/percentile outputs of `coverage_analysis.py:491-534`).
+    Computed from the depth HISTOGRAM — the window runs over ≤ max-depth
+    rows regardless of genome size, so the curve costs one small-table
+    scan after the one-pass histogram aggregate."""
+    from pyspark.sql import Window as W
+
+    ev = events_points(spark, sf_dir)
+    depth = ev.select((F.floor("value").cast("int") % 60).alias("d"))
+    hist = depth.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = hist.agg(F.sum("n").alias("t"))
+    w = W.orderBy(F.desc("d")).rowsBetween(W.unboundedPreceding, 0)
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("depth"),
+            F.sum("n").over(w).cast("bigint").alias("n_at_least"),
+            F.round(
+                F.sum("n").over(w) / F.col("t").cast("double"), 6
+            ).alias("frac_at_least"),
+        )
+    )
+
+
+@query(
+    "q49_titv_ratio",
+    oracle=f"""
+WITH d AS ({SQL_DOCS_DNA}),
+snp AS (
+  SELECT substr(seq, 5, 1) AS ref, substr(seq, 9, 1) AS alt,
+         CAST(doc_id % 4 AS INT) AS qual_bin
+  FROM d WHERE length(seq) >= 9 AND substr(seq, 5, 1) <> substr(seq, 9, 1)
+),
+cls AS (
+  SELECT qual_bin,
+         CASE WHEN (ref = 'A' AND alt = 'G') OR (ref = 'G' AND alt = 'A')
+                OR (ref = 'C' AND alt = 'T') OR (ref = 'T' AND alt = 'C')
+              THEN 1 ELSE 0 END AS is_ti
+  FROM snp
+)
+SELECT qual_bin,
+       CAST(SUM(is_ti) AS BIGINT) AS n_ti,
+       CAST(SUM(1 - is_ti) AS BIGINT) AS n_tv,
+       ROUND(CASE WHEN SUM(1 - is_ti) = 0 THEN 0.0
+                  ELSE SUM(is_ti) / CAST(SUM(1 - is_ti) AS DOUBLE) END, 6) AS titv
+FROM cls GROUP BY qual_bin
+""",
+)
+def q49_titv_ratio(spark, sf_dir):
+    """Transition/transversion ratio per quality bin — the canonical VCF
+    callset QC statistic (expected ~2.0-2.1 genome-wide; deviations flag
+    artifact-heavy bins; the variant-type stratifications of
+    `report_utils.py:508-538` feed the same reports). Pure conditional
+    aggregation over the ref/alt pair."""
+    d = docs_as_dna(spark, sf_dir).where(F.length("seq") >= 9)
+    snp = d.select(
+        F.substring("seq", 5, 1).alias("ref"),
+        F.substring("seq", 9, 1).alias("alt"),
+        (F.col("doc_id") % 4).cast("int").alias("qual_bin"),
+    ).where(F.col("ref") != F.col("alt"))
+    is_ti = (
+        F.when(
+            ((F.col("ref") == "A") & (F.col("alt") == "G"))
+            | ((F.col("ref") == "G") & (F.col("alt") == "A"))
+            | ((F.col("ref") == "C") & (F.col("alt") == "T"))
+            | ((F.col("ref") == "T") & (F.col("alt") == "C")),
+            1,
+        ).otherwise(0)
+    )
+    cls = snp.select("qual_bin", is_ti.alias("is_ti"))
+    n_tv = F.sum(F.lit(1) - F.col("is_ti"))
+    return cls.groupBy("qual_bin").agg(
+        F.sum("is_ti").cast("bigint").alias("n_ti"),
+        n_tv.cast("bigint").alias("n_tv"),
+        F.round(
+            F.when(n_tv == 0, 0.0).otherwise(
+                F.sum("is_ti") / n_tv.cast("double")
+            ),
+            6,
+        ).alias("titv"),
+    )
