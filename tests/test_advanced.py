@@ -124,3 +124,45 @@ def test_q92_split_indices_match_genotype_ordering(spark, sf_dir):
     r = df.where("k = 5 AND alt_index = 2").first()  # k=5 -> n_alt=3
     # pl[j] = (5*7 + 13j) % 100; indices (0, 3, 5) for alt 2
     assert (r.pl0, r.pl1, r.pl2) == (35, (35 + 39) % 100, (35 + 65) % 100)
+
+
+def test_bucketed_closest_equals_broadcast_argmin(spark, sf_dir):
+    """The radius-escalating bucketed nearest-interval join must return
+    exactly the broadcast argmin answer (including distance-0 containment
+    and id tie-breaks), with sparse groups resolving via escalation."""
+    from pyspark.sql import functions as F
+
+    from variantcalling_spark.operators.interval_join import bucketed_closest
+    from variantcalling_spark.queries.intervals import (
+        events_points,
+        intervals_a,
+    )
+
+    ev = events_points(spark, sf_dir).select("event_id", "grp", "ts_us").limit(2000)
+    iv = intervals_a(spark)
+
+    got = {
+        (r.event_id): (r.iv_id, r.dist)
+        for r in bucketed_closest(
+            ev, iv, "ts_us", bucket_width=3_600_000_000, keys=["grp"],
+            start_col="start_us", end_col="end_us",
+        ).collect()
+    }
+
+    dist = (
+        F.when((ev["ts_us"] >= iv["start_us"]) & (ev["ts_us"] < iv["end_us"]), F.lit(0))
+        .when(ev["ts_us"] < iv["start_us"], iv["start_us"] - ev["ts_us"])
+        .otherwise(ev["ts_us"] - iv["end_us"] + 1)
+    )
+    want = {
+        r.event_id: (r.iv_id, r.dist)
+        for r in ev.join(F.broadcast(iv), ev["grp"] == iv["grp"])
+        .select("event_id", iv["iv_id"], dist.alias("dist"))
+        .groupBy("event_id")
+        .agg(
+            F.min_by("iv_id", F.struct("dist", "iv_id")).alias("iv_id"),
+            F.min("dist").alias("dist"),
+        )
+        .collect()
+    }
+    assert got == want

@@ -146,3 +146,118 @@ def count_bases(intervals: DataFrame, group_cols: list[str] | None = None,
     if group_cols:
         return intervals.groupBy(*group_cols).agg(agg)
     return intervals.agg(agg)
+
+
+def bucketed_closest(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    bucket_width: int,
+    keys: list[str] | None = None,
+    start_col: str = "start",
+    end_col: str = "end",
+    id_col: str = "iv_id",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Exact nearest-interval lookup with bounded join fan-out (the
+    scale path for `bedtools closest` when the interval side is too
+    large to broadcast).
+
+    Round k probes the buckets within radius r_k = 2^k of each point's
+    bucket (an equi-join on (keys..., bucket)); a candidate at distance
+    d is provably the global nearest once d < r_k * bucket_width —
+    any interval outside the probed span is at least that far away.
+    Unresolved points escalate to the next radius; each point joins
+    O(2^k) buckets only in the round it resolves, so dense regions
+    resolve in round 0 at ~3 buckets per point. Exactness vs the
+    broadcast argmin is pinned in tests.
+    """
+    keys = keys or []
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"{start_col} DIV {bucket_width}"),
+                F.expr(f"({end_col} - 1) DIV {bucket_width}"),
+            )
+        ),
+    )
+    unresolved = points.withColumn(
+        "__pb", F.expr(f"{point_col} DIV {bucket_width}")
+    )
+    out = None
+    radius = 1
+    for _ in range(max_rounds):
+        probes = unresolved.withColumn(
+            "__bucket",
+            F.explode(F.sequence(F.col("__pb") - radius, F.col("__pb") + radius)),
+        )
+        cond = probes["__bucket"] == iv["__bucket"]
+        for k in keys:
+            cond = cond & (probes[k] == iv[k])
+        dist = (
+            F.when(
+                (probes[point_col] >= iv[start_col])
+                & (probes[point_col] < iv[end_col]),
+                F.lit(0),
+            )
+            .when(probes[point_col] < iv[start_col], iv[start_col] - probes[point_col])
+            .otherwise(probes[point_col] - iv[end_col] + 1)
+        )
+        scored = (
+            probes.join(iv, cond, "inner")
+            .select(
+                *[probes[c] for c in unresolved.columns],
+                iv[id_col].alias("__iv"),
+                dist.alias("__dist"),
+            )
+            .groupBy(*[F.col(c) for c in unresolved.columns])
+            .agg(
+                F.min_by("__iv", F.struct("__dist", "__iv")).alias(id_col),
+                F.min("__dist").alias("dist"),
+            )
+        )
+        resolved = scored.where(F.col("dist") < radius * bucket_width).drop("__pb")
+        out = resolved if out is None else out.unionByName(resolved)
+        done_keys = scored.where(
+            F.col("dist") < radius * bucket_width
+        ).select(*[F.col(c) for c in unresolved.columns])
+        unresolved = unresolved.join(
+            done_keys, on=unresolved.columns, how="left_anti"
+        ).localCheckpoint()
+        if not unresolved.take(1):
+            break
+        radius *= 2
+    # stragglers past max_rounds (pathologically sparse): exact fallback
+    if unresolved.take(1):
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & (unresolved[k] == intervals[k])
+        dist = (
+            F.when(
+                (unresolved[point_col] >= intervals[start_col])
+                & (unresolved[point_col] < intervals[end_col]),
+                F.lit(0),
+            )
+            .when(
+                unresolved[point_col] < intervals[start_col],
+                intervals[start_col] - unresolved[point_col],
+            )
+            .otherwise(unresolved[point_col] - intervals[end_col] + 1)
+        )
+        rest = (
+            unresolved.join(F.broadcast(intervals), cond)
+            .select(
+                *[unresolved[c] for c in unresolved.columns],
+                intervals[id_col].alias("__iv"),
+                dist.alias("__dist"),
+            )
+            .groupBy(*[F.col(c) for c in unresolved.columns])
+            .agg(
+                F.min_by("__iv", F.struct("__dist", "__iv")).alias(id_col),
+                F.min("__dist").alias("dist"),
+            )
+            .drop("__pb")
+        )
+        out = rest if out is None else out.unionByName(rest)
+    return out
