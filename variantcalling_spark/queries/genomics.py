@@ -746,3 +746,136 @@ def q49_titv_ratio(spark, sf_dir):
             6,
         ).alias("titv"),
     )
+
+
+@query(
+    "q100_hardy_weinberg",
+    oracle="""
+WITH gt AS (
+  SELECT l_orderkey % 50 AS site,
+         CASE CAST(l_partkey + l_suppkey AS BIGINT) % 10
+              WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 2
+              WHEN 4 THEN 1 WHEN 5 THEN 1 WHEN 6 THEN 1
+              ELSE 0 END AS n_ref  -- 2=hom-ref, 1=het, 0=hom-alt
+  FROM lineitem
+),
+counts AS (
+  SELECT site,
+         COUNT(*) AS n,
+         COUNT(*) FILTER (WHERE n_ref = 2) AS n_aa,
+         COUNT(*) FILTER (WHERE n_ref = 1) AS n_ab,
+         COUNT(*) FILTER (WHERE n_ref = 0) AS n_bb
+  FROM gt GROUP BY site
+),
+freq AS (
+  SELECT *, (2.0 * n_aa + n_ab) / (2.0 * n) AS p FROM counts
+),
+expect AS (
+  SELECT site, n, n_aa, n_ab, n_bb, p,
+         n * p * p AS e_aa,
+         n * 2.0 * p * (1.0 - p) AS e_ab,
+         n * (1.0 - p) * (1.0 - p) AS e_bb
+  FROM freq
+)
+SELECT site, n, n_aa, n_ab, n_bb,
+       ROUND(p, 6) AS ref_af,
+       ROUND(CASE WHEN e_aa = 0 OR e_ab = 0 OR e_bb = 0 THEN 0.0
+                  ELSE (n_aa - e_aa) * (n_aa - e_aa) / e_aa
+                     + (n_ab - e_ab) * (n_ab - e_ab) / e_ab
+                     + (n_bb - e_bb) * (n_bb - e_bb) / e_bb END, 6) AS hwe_chi2
+FROM expect
+""",
+)
+def q100_hardy_weinberg(spark, sf_dir):
+    """Hardy-Weinberg equilibrium chi-square per site — the genotype-
+    frequency QC behind the HW priors the imputation rescale applies
+    (`correct_genotypes_by_imputation.py:189-206`, q54): observed
+    hom-ref/het/hom-alt counts vs p², 2pq, q² expectations. One
+    conditional aggregate per site; identical expression tree on both
+    engines keeps the chi-square bit-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    code = (F.col("l_partkey") + F.col("l_suppkey")).cast("bigint") % 10
+    n_ref = (
+        F.when(code <= 3, 2).when(code <= 6, 1).otherwise(0)
+    )
+    gt = li.select((F.col("l_orderkey") % 50).alias("site"), n_ref.alias("n_ref"))
+    c = gt.groupBy("site").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("n_ref") == 2, 1)).alias("n_aa"),
+        F.count(F.when(F.col("n_ref") == 1, 1)).alias("n_ab"),
+        F.count(F.when(F.col("n_ref") == 0, 1)).alias("n_bb"),
+    )
+    p = (2.0 * F.col("n_aa") + F.col("n_ab")) / (2.0 * F.col("n"))
+    e_aa = F.col("n") * p * p
+    e_ab = F.col("n") * 2.0 * p * (F.lit(1.0) - p)
+    e_bb = F.col("n") * (F.lit(1.0) - p) * (F.lit(1.0) - p)
+    chi2 = (
+        (F.col("n_aa") - e_aa) * (F.col("n_aa") - e_aa) / e_aa
+        + (F.col("n_ab") - e_ab) * (F.col("n_ab") - e_ab) / e_ab
+        + (F.col("n_bb") - e_bb) * (F.col("n_bb") - e_bb) / e_bb
+    )
+    return c.select(
+        "site",
+        "n",
+        "n_aa",
+        "n_ab",
+        "n_bb",
+        F.round(p, 6).alias("ref_af"),
+        F.round(
+            F.when((e_aa == 0) | (e_ab == 0) | (e_bb == 0), 0.0).otherwise(chi2), 6
+        ).alias("hwe_chi2"),
+    )
+
+
+@query(
+    "q101_mendel_violation_rate",
+    oracle="""
+WITH trio AS (
+  SELECT o_orderkey AS site,
+         CAST(o_orderkey % 3 AS INT) AS gt_father,    -- 0/1/2 alt-allele dosage
+         CAST(o_custkey % 3 AS INT) AS gt_mother,
+         CAST((o_orderkey + o_custkey) % 3 AS INT) AS gt_child,
+         CAST(o_orderkey % 4 AS INT) AS chrom_bin
+  FROM orders
+),
+checked AS (
+  SELECT chrom_bin,
+         CASE
+           -- child allele dosage must be expressible as one allele from
+           -- each parent: child in [floor(f/2)+floor(m/2), ceil(f/2)+ceil(m/2)]
+           WHEN gt_child < (gt_father // 2) + (gt_mother // 2)
+             OR gt_child > ((gt_father + 1) // 2) + ((gt_mother + 1) // 2)
+           THEN 1 ELSE 0 END AS violation
+  FROM trio
+)
+SELECT chrom_bin,
+       COUNT(*) AS n_sites,
+       CAST(SUM(violation) AS BIGINT) AS n_violations,
+       ROUND(SUM(violation) / CAST(COUNT(*) AS DOUBLE), 6) AS violation_rate
+FROM checked GROUP BY chrom_bin
+""",
+)
+def q101_mendel_violation_rate(spark, sf_dir):
+    """Mendelian-consistency rate over trio genotypes — the coarse QC
+    companion to the de-novo refinement pipeline (`denovo_refinement.py`,
+    q90): a child's alt-allele dosage must be attainable from one allele
+    of each parent (hom parents contribute fixed alleles, het parents
+    either). Pure conditional aggregation per chromosome bin."""
+    o = load_table(spark, sf_dir, "orders")
+    f_gt = (F.col("o_orderkey") % 3).cast("int")
+    m_gt = (F.col("o_custkey") % 3).cast("int")
+    c_gt = ((F.col("o_orderkey") + F.col("o_custkey")) % 3).cast("int")
+    lo = (f_gt / 2).cast("int") + (m_gt / 2).cast("int")
+    hi = ((f_gt + 1) / 2).cast("int") + ((m_gt + 1) / 2).cast("int")
+    violation = F.when((c_gt < lo) | (c_gt > hi), 1).otherwise(0)
+    t = o.select(
+        (F.col("o_orderkey") % 4).cast("int").alias("chrom_bin"),
+        violation.alias("violation"),
+    )
+    return t.groupBy("chrom_bin").agg(
+        F.count(F.lit(1)).alias("n_sites"),
+        F.sum("violation").cast("bigint").alias("n_violations"),
+        F.round(
+            F.sum("violation") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("violation_rate"),
+    )
