@@ -166,3 +166,29 @@ def test_bucketed_closest_equals_broadcast_argmin(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_q92_q95_split_collapse_round_trip(spark, sf_dir):
+    """Collapsing the split rows recovers each site's allele count, alt
+    order, shared ref depth, and per-alt depths — q92 and q95 are
+    inverses over the shared derivation."""
+    from variantcalling_spark.queries import all_queries
+
+    split = all_queries()["q92_split_multiallelic"].fn(spark, sf_dir)
+    collapsed = {
+        r.k: r for r in all_queries()["q95_collapse_multiallelic"].fn(spark, sf_dir).collect()
+    }
+    from collections import defaultdict
+
+    by_site = defaultdict(list)
+    for r in split.collect():
+        by_site[r.k].append(r)
+    assert set(by_site) == set(collapsed)
+    for k, rows in by_site.items():
+        rows.sort(key=lambda r: r.alt_index)
+        c = collapsed[k]
+        assert c.n_alt == len(rows) == rows[0].n_alt
+        assert c.ad_ref == rows[0].ad_ref
+        assert list(c.ad_alts) == [r.ad_alt for r in rows]
+        assert list(c.alts) == [f"ALT{r.alt_index}" for r in rows]
+        assert c.dp == c.ad_ref + sum(c.ad_alts)
