@@ -10,12 +10,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+# NB: the xxhash64-based minhash_signatures / lsh_candidate_pairs remain
+# in operators.dedup as the fast non-oracled variants (used by the CLI
+# dedup tool); the queries use the engine-portable family so discovery
+# is value-checked against DuckDB.
 from variantcalling_spark.operators.dedup import (
     exact_dedup_clusters,
     jaccard_for_pairs,
-    jaccard_pairs,
-    lsh_candidate_pairs,
-    minhash_signatures,
     portable_band_buckets,
     portable_minhash_signatures,
     prefix_filtered_pairs,
