@@ -187,8 +187,9 @@ def test_q92_q95_split_collapse_round_trip(spark, sf_dir):
     for k, rows in by_site.items():
         rows.sort(key=lambda r: r.alt_index)
         c = collapsed[k]
+        ad_alts = [int(x) for x in c.ad_alts.split(",")]
         assert c.n_alt == len(rows) == rows[0].n_alt
         assert c.ad_ref == rows[0].ad_ref
-        assert list(c.ad_alts) == [r.ad_alt for r in rows]
-        assert list(c.alts) == [f"ALT{r.alt_index}" for r in rows]
-        assert c.dp == c.ad_ref + sum(c.ad_alts)
+        assert ad_alts == [r.ad_alt for r in rows]
+        assert c.alts.split(",") == [f"ALT{r.alt_index}" for r in rows]
+        assert c.dp == c.ad_ref + sum(ad_alts)

@@ -37,6 +37,75 @@ _MODULES = (
     "advanced",
 )
 
+# Driver-facing ordering. The correctness driver walks ``queries()`` in
+# insertion order with a bounded per-round budget (~50 queries in round 1),
+# so the registry is re-ordered to lead with queries that have no
+# CORRECTNESS row yet (round 1 consumed its budget on the relational /
+# intervals / windows / genomics families, all green). Names listed here
+# come first, in this order; everything else follows in module
+# registration order. Keep newly added queries in this list so they get
+# oracle rows while they are young.
+_PRIORITY = (
+    # Re-check after round-1 fixes (q95 array canonicalization, q52 oracle).
+    "q95_collapse_multiallelic",
+    "q52_gvcf_compress",
+    # Flagship + pipeline family — never driver-checked in round 1.
+    "q85_evaluate_concordance",
+    "q86_coverage_summary",
+    "q87_sv_stats_matrix",
+    "q88_hit_fraction",
+    "q89_ml_filter_score",
+    "q90_denovo_refinement",
+    # Reference-pinned kernels + advanced family.
+    "q54_imputation_pl_rescale",
+    "q59_haploid_pl",
+    "q13_hmer_stat_matrix",
+    "q14_contingency_multinomial",
+    "q23_annotate_back_join",
+    "q24_dynamic_map_lookup",
+    "q25_stratified_sample",
+    "q26_inverse_cdf_sample",
+    "q27_truth_classify",
+    "q28_phred_codec",
+    "q29_flow_rle",
+    # LLM-pipeline families.
+    "q64_exact_dedup",
+    "q65_ngram_jaccard",
+    "q66_minhash_lsh",
+    "q67_simhash",
+    "q98_dedup_clusters",
+    "q99_data_curation_funnel",
+    "q60_token_stats",
+    "q61_quality_score",
+    "q62_lang_id_confusion",
+    "q63_rolling_fingerprint",
+    "q72_bpe_tokens",
+    "q75_decontamination",
+    "q76_sequence_packing",
+    "q77_greedy_packing",
+    "q78_repetition_ratio",
+    "q94_deterministic_shuffle",
+    "q97_unigram_lm_score",
+    "q68_cosine_topk",
+    "q73_embedding_neardup",
+    "q74_embedding_neardup_lsh",
+    "q69_lsh_ann",
+    "q71_ivf_ann",
+    "q70_multimodal_features",
+    "q93_frame_sampling",
+    # Genomics rows past round 1's cutoff.
+    "q48_cumulative_coverage",
+    "q49_titv_ratio",
+    "q100_hardy_weinberg",
+    "q101_mendel_violation_rate",
+    # Streaming (stream==batch pytest equivalence as backup evidence).
+    "q80_tumbling_window",
+    "q81_sliding_window",
+    "q82_session_window",
+    "q83_stream_stream_join",
+    "q84_streaming_dedup",
+)
+
 
 @dataclass
 class Query:
@@ -70,7 +139,14 @@ def _load_all() -> None:
 
 def all_queries() -> dict[str, Query]:
     _load_all()
-    return dict(_REGISTRY)
+    ordered: dict[str, Query] = {}
+    for name in _PRIORITY:
+        if name in _REGISTRY:
+            ordered[name] = _REGISTRY[name]
+    for name, q in _REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = q
+    return ordered
 
 
 def query_callables() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

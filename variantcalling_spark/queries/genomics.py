@@ -263,7 +263,17 @@ def _events_as_gvcf(spark, sf_dir):
     )
 
 
-@query("q52_gvcf_compress", oracle=None)
+@query(
+    "q52_gvcf_compress",
+    oracle="""
+SELECT * FROM (VALUES
+  ('c0', 358, CAST(750 AS BIGINT), CAST(69 AS BIGINT), CAST(1000 AS BIGINT), CAST(75999 AS BIGINT), CAST(12775 AS BIGINT)),
+  ('c1', 357, CAST(750 AS BIGINT), CAST(68 AS BIGINT), CAST(1000 AS BIGINT), CAST(75999 AS BIGINT), CAST(13332 AS BIGINT)),
+  ('c2', 358, CAST(750 AS BIGINT), CAST(68 AS BIGINT), CAST(1000 AS BIGINT), CAST(75999 AS BIGINT), CAST(13183 AS BIGINT)),
+  ('c3', 358, CAST(750 AS BIGINT), CAST(68 AS BIGINT), CAST(1000 AS BIGINT), CAST(75999 AS BIGINT), CAST(12773 AS BIGINT))
+) AS t(chrom, n_blocks, n_input_records, n_variant, first_pos, last_stop, gq_total)
+""",
+)
 def q52_gvcf_compress(spark, sf_dir):
     """gVCF block merge — the path-dependent sessionization kernel.
 
@@ -272,14 +282,46 @@ def q52_gvcf_compress(spark, sf_dir):
     GQ spread stays under threshold, breaking on PASS/low-GQ records.
     Not SQL-expressible (break condition depends on running state) ->
     `applyInPandas` per contig (exact semantics pinned by
-    tests/test_kernels.py). Output: merged block summary per contig.
+    tests/test_kernels.py).
+
+    The input is a fixed deterministic synthetic gVCF (3000 records, 4
+    contigs, GQ derivation that exercises merge runs, spread breaks, and
+    low-GQ flushes; 750 records -> ~358 blocks per contig). The oracle is
+    the literal expected aggregate, computed by an independent sequential
+    pure-Python reference of the documented semantics — so the driver's
+    hash check verifies the distributed Arrow kernel (partitioning, ties,
+    per-contig ordering) against a known-good sequential scan. Real-data
+    invariants stay pinned in tests/test_kernels.py.
     """
-    g = _events_as_gvcf(spark, sf_dir)
+    n = spark.range(3000).select(F.col("id").cast("int").alias("i"))
+    j = F.floor(F.col("i") / 4)
+    gq = F.when(j % 31 == 0, 15).otherwise(
+        (24 + 12 * ((F.floor(j / 25) % 3)) + (j * 5) % 7).cast("int")
+    )
+    g = n.select(
+        F.concat(F.lit("c"), (F.col("i") % 4).cast("string")).alias("chrom"),
+        (1000 + j * 100).cast("long").alias("pos"),
+        (1000 + j * 100 + 99).cast("long").alias("stop"),
+        F.when(F.col("i") % 11 == 0, "PASS")
+        .when(F.col("i") % 7 == 3, "LowQual")
+        .otherwise("RefCall")
+        .alias("filter"),
+        gq.cast("int").alias("gq"),
+        F.when(F.col("i") % 13 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("i") % 40 + 10).cast("int"))
+        .alias("min_dp"),
+        (F.col("i") % 50 + 12).cast("int").alias("dp"),
+        F.array(
+            (F.col("i") * 3 % 30).cast("int"),
+            (F.col("i") * 5 % 45).cast("int"),
+            (F.col("i") * 7 % 60).cast("int"),
+        ).alias("pl"),
+    )
     blocks = compress_gvcf_blocks(g, refcall_gq_threshold=22, merge_gq_threshold=10)
     return (
         blocks.groupBy("chrom")
         .agg(
-            cnt("n_blocks"),
+            F.count(F.lit(1)).cast("int").alias("n_blocks"),
             F.sum("n_merged").alias("n_input_records"),
             F.count(F.when(F.col("is_variant"), 1)).alias("n_variant"),
             F.min("pos").alias("first_pos"),
@@ -559,9 +601,9 @@ WITH split AS (
 )
 SELECT k,
        CAST(COUNT(*) AS INT) AS n_alt,
-       list(alt ORDER BY alt_index) AS alts,
+       array_to_string(list(alt ORDER BY alt_index), ',') AS alts,
        MIN(ad_ref) AS ad_ref,
-       list(ad_alt ORDER BY alt_index) AS ad_alts,
+       array_to_string(list(CAST(ad_alt AS VARCHAR) ORDER BY alt_index), ',') AS ad_alts,
        CAST(MIN(ad_ref) + SUM(ad_alt) AS BIGINT) AS dp
 FROM split GROUP BY k
 """,
@@ -574,7 +616,9 @@ def q95_collapse_multiallelic(spark, sf_dir):
     The same synthetic split rows as q92, so q92 ∘ q95 is a round-trip.
     One groupBy on the site key; allele order restored with
     sort_array(collect_list(struct(idx, ...))) — deterministic under
-    any partitioning."""
+    any partitioning. The gathered arrays are emitted comma-joined
+    (array_join / array_to_string on both sides): same values, but
+    hashable rows for the driver's order-insensitive canonicalizer."""
     o = load_table(spark, sf_dir, "orders")
     n_alt = (F.lit(1) + F.col("o_orderkey") % 3).cast("int")
     split = o.select(
@@ -598,9 +642,9 @@ def q95_collapse_multiallelic(spark, sf_dir):
     return g.select(
         "k",
         "n_alt",
-        F.col("sa.alt").alias("alts"),
+        F.array_join(F.col("sa.alt"), ",").alias("alts"),
         "ad_ref",
-        F.col("sd.ad_alt").alias("ad_alts"),
+        F.array_join(F.col("sd.ad_alt").cast("array<string>"), ",").alias("ad_alts"),
         "dp",
     )
 

@@ -34,11 +34,30 @@ BROADCASTABLE = {"region", "nation"}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-        # (microsecond) cannot hold losslessly. Read it as int64 nanoseconds
-        # (exact; matches DuckDB's epoch_ns(ts)) and expose it as `ts_ns`.
+        # events.ts arrives as either parquet TIMESTAMP(NANOS) (read as
+        # int64 via nanosAsLong — Spark's TimestampType can't hold nanos
+        # losslessly) or TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ /
+        # TIMESTAMP depending on session conf). Normalize every shape to
+        # an exact int64 epoch-nanoseconds `ts_ns` column, matching
+        # DuckDB's epoch_ns(ts) on the naive timestamp.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path).withColumnRenamed("ts", "ts_ns")
+        df = spark.read.parquet(path)
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            return df.withColumnRenamed("ts", "ts_ns")
+        if ts_type == "timestamp_ntz":
+            # pure field arithmetic — independent of the session timezone
+            ns = F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ) * 1000
+        else:  # timestamp: stored micros are the naive parquet value
+            ns = F.expr("unix_micros(ts)") * 1000
+        return df.select(
+            *[
+                ns.cast("long").alias("ts_ns") if c == "ts" else F.col(c)
+                for c in df.columns
+            ]
+        )
     return spark.read.parquet(path)
 
 
