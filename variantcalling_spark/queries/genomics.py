@@ -238,31 +238,6 @@ def q58_genotype_error_classify(spark, sf_dir):
     return cls.groupBy("error_type").agg(cnt("n"))
 
 
-def _events_as_gvcf(spark, sf_dir):
-    """events -> deterministic gVCF-shaped records (chrom, pos, stop,
-    filter, gq, min_dp, dp, pl)."""
-    ev = events_points(spark, sf_dir)
-    return ev.select(
-        F.concat(F.lit("c"), (F.col("user_id") % 4).cast("string")).alias("chrom"),
-        F.col("ts_us").alias("pos"),
-        (F.col("ts_us") + 999).alias("stop"),
-        F.when(F.col("event_type") == "error", "PASS")
-        .when(F.col("event_type") == "signup", "LowQual")
-        .otherwise("RefCall")
-        .alias("filter"),
-        (F.round(F.col("value")).cast("int") % 60).alias("gq"),
-        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("int"))
-        .otherwise((F.col("event_id") % 40 + 10).cast("int"))
-        .alias("min_dp"),
-        (F.col("event_id") % 50 + 12).cast("int").alias("dp"),
-        F.array(
-            (F.col("event_id") % 30).cast("int"),
-            (F.col("event_id") % 45).cast("int"),
-            (F.col("event_id") % 60).cast("int"),
-        ).alias("pl"),
-    )
-
-
 @query(
     "q52_gvcf_compress",
     oracle="""
