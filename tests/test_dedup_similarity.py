@@ -191,3 +191,53 @@ def test_connected_components_vs_union_find(spark):
         comp.setdefault(find(r), []).append(n)
     want = {n: min(members) for root, members in comp.items() for n in members}
     assert got == want
+
+
+def test_projection_sums_arrow_matches_fold(spark):
+    """The Arrow matmul signature stage must be bit-identical to the
+    interpreted expression fold it replaced (quantized integer inputs
+    keep every partial sum exact in both paths)."""
+    from variantcalling_spark.operators.similarity import (
+        _projection_sums,
+        _projection_sums_arrow,
+    )
+
+    vecs = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: ((F.col("id") * 31 + i * 17) % 200001 - 100000).cast("bigint"),
+        ).alias("v"),
+    )
+    both = vecs.select(
+        "vec_id",
+        _projection_sums(F.col("v"), 32).alias("fold"),
+        _projection_sums_arrow(32)(F.col("v")).alias("arrow"),
+    )
+    bad = both.where(F.col("fold") != F.col("arrow")).count()
+    assert bad == 0
+
+
+def test_band_slices_arrow_matches_sign_bits(spark):
+    """The one-pass Arrow band packer must equal the _sign_bits
+    expression over the projection fold, band by band."""
+    from variantcalling_spark.operators.similarity import (
+        _band_slices_arrow,
+        _projection_sums,
+        _sign_bits,
+    )
+
+    vecs = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: ((F.col("id") * 37 + i * 13) % 200001 - 100000).cast("bigint"),
+        ).alias("v"),
+    )
+    sums = _projection_sums(F.col("v"), 32)
+    both = vecs.select(
+        "vec_id",
+        F.array(*[_sign_bits(sums, b * 8, 8) for b in range(4)]).alias("expr_slices"),
+        _band_slices_arrow(32, 4)(F.col("v")).alias("arrow_slices"),
+    )
+    assert both.where(F.col("expr_slices") != F.col("arrow_slices")).count() == 0

@@ -12,6 +12,9 @@ determinism trick the DECIMAL aggregates use.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -54,13 +57,7 @@ def cosine_topk(
     scored = pairs.select(
         "query_id",
         "cand_id",
-        (
-            _dot(F.col("qv"), F.col("cv"))
-            / (
-                F.sqrt(_dot(F.col("qv"), F.col("qv")).cast("double"))
-                * F.sqrt(_dot(F.col("cv"), F.col("cv")).cast("double"))
-            )
-        ).alias("cosine"),
+        _cosine_arrow()(F.col("qv"), F.col("cv")).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
     return (
@@ -115,6 +112,148 @@ def _projection_sums(vec, n_planes: int, max_dims: int = 96):
     )
 
 
+def _projection_sums_arrow(n_planes: int, max_dims: int = 96):
+    """Arrow-vectorized twin of ``_projection_sums``: one numpy int64
+    matmul per batch instead of an interpreted O(dims x n_planes)
+    expression fold per row.
+
+    Bit-identical to the fold: inputs are quantized integers and the
+    plane matrix is +-1, so every partial sum is an integer far below
+    2^53 — int64 matmul followed by a float64 cast reproduces the
+    fold's double values exactly (pinned in tests). This is the hot
+    signature stage of the LSH paths; the sign-bit packing that follows
+    stays a (cheap, O(n_planes)) codegen expression.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.asarray(_plane_signs(n_planes, max_dims), dtype=np.int64)
+
+    @pandas_udf("array<double>")
+    def proj(v: pd.Series) -> pd.Series:
+        vals = v.to_numpy()
+        n = len(vals)
+        out = np.empty(n, dtype=object)
+        if n == 0:
+            return pd.Series(out)
+        lens = np.fromiter(
+            (len(x) if x is not None else -1 for x in vals), dtype=np.int64, count=n
+        )
+        for length in np.unique(lens):
+            idx = np.nonzero(lens == length)[0]
+            if length < 0:
+                continue  # null vectors stay null
+            if length == 0:
+                zero = np.zeros(n_planes, dtype=np.float64)
+                for i in idx:
+                    out[i] = zero
+                continue
+            mat = np.vstack([np.asarray(vals[i], dtype=np.int64) for i in idx])
+            sums = (mat @ planes[:length]).astype(np.float64)
+            for j, i in enumerate(idx):
+                out[i] = sums[j]
+        return pd.Series(out)
+
+    return proj
+
+
+def _band_slices_arrow(n_planes: int, n_bands: int, max_dims: int = 96):
+    """Arrow-vectorized signature + band packing in one pass: project the
+    quantized vector onto ``n_planes`` hyperplanes (int64 matmul) and
+    pack the sign bits into ``n_bands`` bigint band slices. Equivalent to
+    ``_sign_bits`` over ``_projection_sums`` (strict ``> 0`` sign, LSB =
+    first plane of the band) but one numpy pass per batch instead of an
+    interpreted fold per row per band."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.asarray(_plane_signs(n_planes, max_dims), dtype=np.int64)
+    bits_per_band = n_planes // n_bands
+    powers = (1 << np.arange(bits_per_band, dtype=np.int64))
+
+    @pandas_udf("array<bigint>")
+    def slices(v: pd.Series) -> pd.Series:
+        vals = v.to_numpy()
+        n = len(vals)
+        out = np.empty(n, dtype=object)
+        if n == 0:
+            return pd.Series(out)
+        lens = np.fromiter(
+            (len(x) if x is not None else -1 for x in vals), dtype=np.int64, count=n
+        )
+        for length in np.unique(lens):
+            idx = np.nonzero(lens == length)[0]
+            if length < 0:
+                continue
+            if length == 0:
+                zero = np.zeros(n_bands, dtype=np.int64)
+                for i in idx:
+                    out[i] = zero
+                continue
+            mat = np.vstack([np.asarray(vals[i], dtype=np.int64) for i in idx])
+            bits = (mat @ planes[:length]) > 0  # rows x n_planes
+            packed = bits.reshape(len(idx), n_bands, bits_per_band) @ powers
+            for j, i in enumerate(idx):
+                out[i] = packed[j]
+        return pd.Series(out)
+
+    return slices
+
+
+def _cosine_arrow():
+    """Arrow-vectorized exact cosine between two quantized int64 vectors.
+
+    Bit-identical to ``_dot(a,b) / (sqrt(_dot(a,a)) * sqrt(_dot(b,b)))``:
+    int64 dot products are exact (|x| <= ~2e6, dims <= 96 keeps products
+    far below 2^63 and the value below 2^53), and the float64 division
+    matches Spark's bigint->double semantics."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        n = len(a)
+        out = np.empty(n, dtype=np.float64)
+        if n == 0:
+            return pd.Series(out)
+        av, bv = a.to_numpy(), b.to_numpy()
+        lens = np.fromiter((len(x) for x in av), dtype=np.int64, count=n)
+        for length in np.unique(lens):
+            idx = np.nonzero(lens == length)[0]
+            x = np.vstack([np.asarray(av[i], dtype=np.int64) for i in idx])
+            y = np.vstack([np.asarray(bv[i], dtype=np.int64) for i in idx])
+            dot = np.einsum("ij,ij->i", x, y).astype(np.float64)
+            nx = np.sqrt(np.einsum("ij,ij->i", x, x).astype(np.float64))
+            ny = np.sqrt(np.einsum("ij,ij->i", y, y).astype(np.float64))
+            out[idx] = dot / (nx * ny)
+        return pd.Series(out)
+
+    return cos
+
+
+def _cosine_prenorm_arrow():
+    """Like ``_cosine_arrow`` but with both norms precomputed upstream
+    (the banded verify loop computes each vector's norm once, not per
+    collision pair)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series, na: pd.Series, nb: pd.Series) -> pd.Series:
+        n = len(a)
+        out = np.empty(n, dtype=np.float64)
+        if n == 0:
+            return pd.Series(out)
+        av, bv = a.to_numpy(), b.to_numpy()
+        nav, nbv = na.to_numpy(dtype=np.float64), nb.to_numpy(dtype=np.float64)
+        lens = np.fromiter((len(x) for x in av), dtype=np.int64, count=n)
+        for length in np.unique(lens):
+            idx = np.nonzero(lens == length)[0]
+            x = np.vstack([np.asarray(av[i], dtype=np.int64) for i in idx])
+            y = np.vstack([np.asarray(bv[i], dtype=np.int64) for i in idx])
+            dot = np.einsum("ij,ij->i", x, y).astype(np.float64)
+            out[idx] = dot / (nav[idx] * nbv[idx])
+        return pd.Series(out)
+
+    return cos
+
+
 def _sign_bits(sums, offset: int, n_bits: int):
     """Pack sign bits ``offset .. offset+n_bits-1`` of a projection-sum
     array into a bigint (n_bits <= 63)."""
@@ -139,7 +278,7 @@ def hyperplane_signature(
 ) -> DataFrame:
     """Sign-of-projection LSH signature (one bit per pseudo-random plane,
     n_planes <= 63), packed into one bigint."""
-    sums = _projection_sums(F.col(vec_col), n_planes, max_dims)
+    sums = _projection_sums_arrow(n_planes, max_dims)(F.col(vec_col))
     return df.select(
         F.col(id_col).alias("vec_id"), _sign_bits(sums, 0, n_planes).alias("lsh_sig")
     )
@@ -163,15 +302,15 @@ def lsh_cosine_topk(
     order-independent, so buckets (and hence the whole result) are
     engine-exact and oracle-checkable, not just statistically similar.
     """
-    mask = (1 << prefix_bits) - 1
     qv = queries.select(F.col(id_col).alias("query_id"), _quantize(F.col(vec_col)).alias("qv"))
     cv = candidates.select(F.col(id_col).alias("cand_id"), _quantize(F.col(vec_col)).alias("cv"))
-    qs = hyperplane_signature(qv, n_planes, "query_id", "qv").select(
-        F.col("vec_id").alias("query_id"), (F.col("lsh_sig").bitwiseAND(F.lit(mask))).alias("bucket")
-    )
-    cs = hyperplane_signature(cv, n_planes, "cand_id", "cv").select(
-        F.col("vec_id").alias("cand_id"), (F.col("lsh_sig").bitwiseAND(F.lit(mask))).alias("bucket")
-    )
+    # the bucket key is the low ``prefix_bits`` sign bits of the
+    # signature; plane p's signs are independent of n_planes (the
+    # splitmix mix is per (dim, plane)), so only those planes need
+    # computing — exactly what the DuckDB oracle does
+    bucket = _band_slices_arrow(prefix_bits, 1)
+    qs = qv.select("query_id", F.element_at(bucket(F.col("qv")), 1).alias("bucket"))
+    cs = cv.select("cand_id", F.element_at(bucket(F.col("cv")), 1).alias("bucket"))
     cand_pairs = qs.join(cs, "bucket").where(F.col("query_id") != F.col("cand_id"))
     scored = (
         cand_pairs.join(F.broadcast(qv), "query_id")
@@ -179,13 +318,7 @@ def lsh_cosine_topk(
         .select(
             "query_id",
             "cand_id",
-            (
-                _dot(F.col("qv"), F.col("cv"))
-                / (
-                    F.sqrt(_dot(F.col("qv"), F.col("qv")).cast("double"))
-                    * F.sqrt(_dot(F.col("cv"), F.col("cv")).cast("double"))
-                )
-            ).alias("cosine"),
+            _cosine_arrow()(F.col("qv"), F.col("cv")).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
@@ -214,12 +347,12 @@ def cosine_near_dup_pairs(
     a = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cosine = _dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(_dot(F.col("va"), F.col("va")).cast("double"))
-        * F.sqrt(_dot(F.col("vb"), F.col("vb")).cast("double"))
-    )
     return (
-        pairs.select("id_a", "id_b", cosine.alias("cosine"))
+        pairs.select(
+            "id_a",
+            "id_b",
+            _cosine_arrow()(F.col("va"), F.col("vb")).alias("cosine"),
+        )
         .where(F.col("cosine") >= threshold)
     )
 
@@ -245,46 +378,26 @@ def banded_near_dup_pairs(
     bands keep the verify set ~16x smaller than 4-bit bands at the same
     recall for high-cosine duplicates.
     """
-    bits_per_band = n_planes // n_bands
-    # materialize the projection fold once, THEN slice bands off it —
-    # embedding it in each band struct would re-run the fold per band.
-    # The vector rides along so verification needs no second corpus scan.
+    # one Arrow pass computes the projection matmul AND packs all band
+    # slices; the vector and its (once-computed) norm ride the explode so
+    # verification needs no second corpus scan
     bands = (
         vecs.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("v"),
-            # each vector's norm computed ONCE here — recomputing the
-            # two self-dots per collision row would triple the per-pair
-            # arithmetic in the hot verify loop
             F.sqrt(
                 _dot(F.col(vec_col), F.col(vec_col)).cast("double")
             ).alias("norm"),
-            _projection_sums(F.col(vec_col), n_planes).alias("sums"),
+            _band_slices_arrow(n_planes, n_bands)(F.col(vec_col)).alias("slices"),
         )
         .select(
             "vec_id",
             "v",
             "norm",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            _sign_bits(
-                                F.col("sums"), b * bits_per_band, bits_per_band
-                            ).alias("slice"),
-                        )
-                        for b in range(n_bands)
-                    ]
-                )
-            ).alias("bb"),
+            F.posexplode("slices").alias("band", "slice"),
         )
-        .select("vec_id", "v", "norm", "bb.band", "bb.slice")
     )
     a, b = bands.alias("a"), bands.alias("b")
-    cosine = _dot(F.col("a.v"), F.col("b.v")) / (
-        F.col("a.norm") * F.col("b.norm")
-    )
     # score at candidate discovery (cosine is identical on every band a
     # pair collides in, so distinct() after scoring dedups exactly)
     return (
@@ -297,7 +410,9 @@ def banded_near_dup_pairs(
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            cosine.alias("cosine"),
+            _cosine_prenorm_arrow()(
+                F.col("a.v"), F.col("b.v"), F.col("a.norm"), F.col("b.norm")
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
         .distinct()
