@@ -454,7 +454,9 @@ def q99_data_curation_funnel(spark, sf_dir):
     every stage count in a single corpus pass — a 5-branch union of
     per-stage counts would re-evaluate the expensive near-dedup
     discovery once per branch (measured 4× slower)."""
-    c = corpus(spark, sf_dir)
+    # corpus persisted: the funnel scans it for shingling, exact dedup,
+    # and the final flag join — three subtree re-computes otherwise
+    c = corpus(spark, sf_dir).persist()
     sh = shingles(c, n=3).persist()
 
     keep = exact_dedup_clusters(c).select(
