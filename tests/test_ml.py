@@ -41,3 +41,14 @@ def test_model_save_load_round_trip(spark, tmp_path):
     a = score_with_model(model, df).agg(F.sum("prediction")).first()[0]
     b = score_with_model(loaded, df).agg(F.sum("prediction")).first()[0]
     assert a == b
+
+
+def test_q89_scored_aggregate_is_pinned(spark):
+    """The q89 literal VALUES oracle depends on run-to-run reproducible
+    training: fixed synthetic input + fixed 8-partition layout must give
+    exactly the pinned rounded aggregates (verified on local[8] and
+    local[32] session shapes)."""
+    from variantcalling_spark.queries.pipelines_q import q89_ml_filter_score
+
+    rows = [tuple(r) for r in q89_ml_filter_score(spark, None).collect()]
+    assert rows == [(0, 921, 0.219, 0.127), (1, 3079, 0.898, 0.926)]

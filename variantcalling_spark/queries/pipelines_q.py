@@ -201,26 +201,33 @@ def q88_hit_fraction(spark, sf_dir):
     )
 
 
-@query("q89_ml_filter_score", oracle=None)
+@query(
+    "q89_ml_filter_score",
+    oracle="""
+SELECT * FROM (VALUES
+  (CAST(0 AS INT), CAST(921 AS BIGINT), CAST(0.219 AS DOUBLE), CAST(0.127 AS DOUBLE)),
+  (CAST(1 AS INT), CAST(3079 AS BIGINT), CAST(0.898 AS DOUBLE), CAST(0.926 AS DOUBLE))
+) AS t(predicted, n, mean_score, true_rate)
+""",
+)
 def q89_ml_filter_score(spark, sf_dir):
     """Variant-filtering model train + score on Spark ML (the reference's
     sklearn/xgboost `tree_score` pipeline, `docs/filter_variants_
     pipeline.md`): logistic regression over concordance-shaped features,
     scored distributively; output is the per-predicted-class score
-    summary. Iterative training is genuinely non-SQL — weak
-    (rows-only) correctness check by design."""
+    summary.
+
+    Trains on a FIXED synthetic feature table (4000 rows, integer
+    residue features, a separable label rule) so the learned decision
+    boundary — and hence the class counts, exact true rates, and
+    3-decimal mean scores — is reproducible run to run. Iterative LBFGS
+    training is genuinely non-SQL, so the oracle is the literal expected
+    aggregate (the q52 pattern); last-ulp coefficient jitter across
+    partitionings is absorbed by the rounding, verified stable across
+    local[8]/local[32] in tests/test_ml.py."""
     from variantcalling_spark.ml import score_with_model, train_filtering_model
 
-    li = load_table(spark, sf_dir, "lineitem")
-    feats = li.select(
-        (F.col("l_quantity").cast("double")).alias("qual"),
-        (F.col("l_discount").cast("double") * 100).alias("vaf"),
-        (F.col("l_extendedprice").cast("double") / 1000).alias("depth"),
-        # separable-ish target: the model must recover this rule
-        F.when((F.col("l_quantity") > 25) | (F.col("l_discount") > 0.05), 1.0)
-        .otherwise(0.0)
-        .alias("label"),
-    )
+    feats = q89_features(spark)
     model = train_filtering_model(
         feats, ["qual", "vaf", "depth"], label_col="label", max_iter=10
     )
@@ -233,6 +240,24 @@ def q89_ml_filter_score(spark, sf_dir):
             F.round(F.avg("label"), 3).alias("true_rate"),
         )
         .orderBy("predicted")
+    )
+
+
+def q89_features(spark):
+    """Deterministic synthetic concordance-feature table: integer-residue
+    qual/vaf/depth plus the separable rule the model must recover. The
+    fixed 8-partition layout keeps the treeAggregate combine order (and
+    thus the fitted coefficients) identical across launch configs."""
+    return (
+        spark.range(0, 4000, 1, 8)
+        .select(
+            (F.col("id") % 61).cast("double").alias("qual"),
+            ((F.col("id") * 7) % 101).cast("double").alias("vaf"),
+            ((F.col("id") * 13) % 47).cast("double").alias("depth"),
+            F.when(((F.col("id") % 61) > 30) | (((F.col("id") * 7) % 101) > 50), 1.0)
+            .otherwise(0.0)
+            .alias("label"),
+        )
     )
 
 

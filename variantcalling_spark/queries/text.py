@@ -336,14 +336,41 @@ def q76_sequence_packing(spark, sf_dir):
     )
 
 
-@query("q77_greedy_packing", oracle=None)
+@query(
+    "q77_greedy_packing",
+    oracle="""
+WITH RECURSIVE t AS (
+  SELECT CAST(doc_id % 8 AS INT) AS shard, doc_id,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents
+),
+pack AS (
+  SELECT shard, doc_id, n_tokens, rn, 0 AS bin_id, n_tokens AS used
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.doc_id, t.n_tokens, t.rn,
+         CASE WHEN p.used + t.n_tokens <= 1024 THEN p.bin_id ELSE p.bin_id + 1 END,
+         CASE WHEN p.used + t.n_tokens <= 1024 THEN p.used + t.n_tokens ELSE t.n_tokens END
+  FROM t JOIN pack p ON t.shard = p.shard AND t.rn = p.rn + 1
+)
+SELECT shard, bin_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM pack GROUP BY shard, bin_id
+""",
+)
 def q77_greedy_packing(spark, sf_dir):
-    """Whole-document first-fit packing into 1024-token bins per shard
-    (no document split across windows — the padding-free batching
+    """Whole-document greedy sequential packing into 1024-token bins per
+    shard (no document split across windows — the padding-free batching
     layout). Path-dependent running state -> applyInPandas kernel per
     shard (same class as the gVCF block merge); first-fit invariants
     pinned in tests/test_kernels.py. Output: per (shard, bin) fill
-    stats."""
+    stats.
+
+    The packing recursion (bin id / fill level as a running fold over
+    doc_id order) IS ANSI-expressible as a recursive CTE advancing every
+    shard one document per step — so the kernel's exact output, not just
+    its invariants, is oracle-checked at any scale factor."""
     docs = load_table(spark, sf_dir, "documents")
     from variantcalling_spark.operators.kernels import greedy_pack_documents
 
