@@ -98,8 +98,8 @@ def test_multimodal_featurize_batch_shape(spark):
     out = {r.doc_id: r for r in featurize_binary(attach_binary_payload(df)).collect()}
     assert out[1].n_bytes == 3 and out[1].first_byte == ord("a") and out[1].last_byte == ord("c")
     assert out[2].n_bytes == 4 and out[2].byte_sum == sum(b"xyzw")
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+    # no real decoder in this container -> deterministic fake contract
+    assert decode_image(b"\x89PNG").shape == (1, 32, 3)
 
 
 def test_ivf_ann_recall_vs_exact(spark, sf_dir):
@@ -241,3 +241,60 @@ def test_band_slices_arrow_matches_sign_bits(spark):
         _band_slices_arrow(32, 4)(F.col("v")).alias("arrow_slices"),
     )
     assert both.where(F.col("expr_slices") != F.col("arrow_slices")).count() == 0
+
+
+def test_image_decode_resize_and_features(spark):
+    """The deterministic image decoder tiles bytes into (H, 32, 3); the
+    nearest-neighbor resize uses floor index maps; image_features emits
+    exact channel means and the resized checksum."""
+    import numpy as np
+
+    from variantcalling_spark.operators.multimodal import (
+        attach_binary_payload,
+        decode_image_fake,
+        image_features,
+        resize_nearest,
+    )
+
+    content = bytes(range(97)) * 2  # 194 bytes -> H = 3
+    img = decode_image_fake(content)
+    assert img.shape == (3, 32, 3) and img.dtype == np.uint8
+    flat = img.reshape(-1)
+    assert all(flat[p] == content[p % len(content)] for p in range(len(flat)))
+
+    small = resize_nearest(img, 2, 4)
+    assert small.shape == (2, 4, 3)
+    assert (small[1, 3] == img[(1 * 3) // 2, (3 * 32) // 4]).all()
+
+    # empty payload -> 1x32x3 zeros, no crash
+    assert decode_image_fake(b"").sum() == 0
+
+    df = spark.createDataFrame([(1, "abcdef" * 40)], "doc_id long, text string")
+    row = image_features(attach_binary_payload(df)).collect()[0]
+    b = ("abcdef" * 40).encode()
+    exp = decode_image_fake(b)
+    assert row.height == exp.shape[0]
+    assert row.mean_r == exp.reshape(-1, 3)[:, 0].mean()
+    assert row.mean_g == exp.reshape(-1, 3)[:, 1].mean()
+
+
+def test_audio_decode_and_features(spark):
+    """The sign-mixing audio decoder and its waveform stats."""
+    import numpy as np
+
+    from variantcalling_spark.operators.multimodal import (
+        attach_binary_payload,
+        audio_features,
+        decode_audio_fake,
+    )
+
+    s = decode_audio_fake(b"abc")
+    assert list(s) == [(ord(c) * 37) % 256 - 128 for c in "abc"]
+    assert len(decode_audio_fake(b"")) == 0
+
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    row = audio_features(attach_binary_payload(df)).collect()[0]
+    ss = decode_audio_fake(b"hello world").astype(np.int64)
+    assert row.n_samples == len(ss)
+    assert row.rms == float(np.sqrt((ss * ss).sum() / len(ss)))
+    assert row.n_zero_crossings == int((ss[:-1] * ss[1:] < 0).sum())

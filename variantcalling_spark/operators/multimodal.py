@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -35,17 +36,74 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_image(content: bytes):  # pragma: no cover - stub by design
-    """STUB: image decode requires pillow/opencv (not in this container)."""
-    raise NotImplementedError(
-        "image decoding not available in this environment; "
-        "plug a decoder into featurize_binary's batch loop"
-    )
+IMG_W = 32
+IMG_C = 3
+_AUDIO_MUL = 37
 
 
-def decode_audio(content: bytes):  # pragma: no cover - stub by design
-    """STUB: audio decode requires soundfile/ffmpeg (not in this container)."""
-    raise NotImplementedError("audio decoding not available in this environment")
+def decode_image_fake(content: bytes) -> "np.ndarray":
+    """Deterministic stand-in decoder: tile the payload bytes row-major
+    into a (H, 32, 3) uint8 array, H = ceil(len/96) (1 for empty
+    payloads). Every downstream stat is a pure function of the bytes, so
+    the whole decode->featurize pipeline is oracle-checkable in SQL."""
+    n = len(content)
+    h = max(1, -(-n // (IMG_W * IMG_C)))
+    total = h * IMG_W * IMG_C
+    if n == 0:
+        return np.zeros((h, IMG_W, IMG_C), dtype=np.uint8)
+    buf = np.frombuffer(content, dtype=np.uint8)
+    reps = -(-total // n)
+    return np.tile(buf, reps)[:total].reshape(h, IMG_W, IMG_C)
+
+
+def decode_audio_fake(content: bytes) -> "np.ndarray":
+    """Deterministic stand-in decoder: one int16 sample per payload byte,
+    ``(b * 37) % 256 - 128`` — sign-mixing so zero-crossing stats are
+    nontrivial on ASCII payloads, and SQL-reproducible."""
+    if not len(content):
+        return np.zeros(0, dtype=np.int16)
+    buf = np.frombuffer(content, dtype=np.uint8).astype(np.int64)
+    return ((buf * _AUDIO_MUL) % 256 - 128).astype(np.int16)
+
+
+def decode_image(content: bytes):
+    """Decode an image payload to an (H, W, C) uint8 array.
+
+    Tries a real decoder (pillow) when available; this container ships
+    none, so the deterministic fake stands in — same array contract, so
+    swapping in the real decoder changes no downstream plumbing."""
+    try:  # pragma: no cover - pillow absent in this container
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
+    except ImportError:
+        return decode_image_fake(content)
+
+
+def decode_audio(content: bytes):
+    """Decode an audio payload to a 1-D sample array (real decoder when
+    soundfile is available, deterministic fake otherwise)."""
+    try:  # pragma: no cover - soundfile absent in this container
+        import io
+
+        import soundfile
+
+        data, _rate = soundfile.read(io.BytesIO(content), dtype="int16")
+        return data if data.ndim == 1 else data.mean(axis=1).astype("int16")
+    except ImportError:
+        return decode_audio_fake(content)
+
+
+def resize_nearest(img: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
+    """Nearest-neighbor resize via pure numpy index maps (a real resize,
+    not a stub): source row/col of output (y, x) is floor(y*H/out_h),
+    floor(x*W/out_w)."""
+    h, w = img.shape[0], img.shape[1]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return img[ys][:, xs]
 
 
 def featurize_binary(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
@@ -72,6 +130,84 @@ def featurize_binary(media: DataFrame, batch_hint: int | None = None) -> DataFra
             )
 
     return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+IMAGE_FEATURE_SCHEMA = (
+    "doc_id long, height int, width int, mean_r double, mean_g double, "
+    "mean_b double, resized_checksum bigint"
+)
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, n_samples int, rms double, n_zero_crossings int"
+)
+
+
+def image_features(media: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame:
+    """Decode -> per-channel stats -> nearest-neighbor resize -> resized
+    checksum, as one Arrow-batched mapInPandas stage (the production
+    image-featurization shape: decoder and resize run inside the batch
+    loop, never row-at-a-time Python in the plan).
+
+    With the deterministic fake decoder the means and checksum are pure
+    byte functions, so the stage gets a full SQL value oracle (q102)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs, ws, mr, mg, mb, cks = [], [], [], [], [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                img = decode_image(content)
+                h, w = img.shape[0], img.shape[1]
+                means = img.reshape(-1, IMG_C).mean(axis=0, dtype=np.float64)
+                resized = resize_nearest(img, out_h, out_w)
+                acc = 0
+                for v in resized.reshape(-1).astype(np.int64):
+                    acc = (acc * 31 + int(v)) % _M31
+                ids.append(doc_id)
+                hs.append(h)
+                ws.append(w)
+                mr.append(means[0])
+                mg.append(means[1])
+                mb.append(means[2])
+                cks.append(acc)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "width": pd.array(ws, dtype="int32"),
+                    "mean_r": pd.array(mr, dtype="float64"),
+                    "mean_g": pd.array(mg, dtype="float64"),
+                    "mean_b": pd.array(mb, dtype="float64"),
+                    "resized_checksum": pd.array(cks, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(extract, schema=IMAGE_FEATURE_SCHEMA)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode audio -> sample count, RMS, zero-crossing count per payload
+    (the spectrogram-prep shape) as one Arrow-batched mapInPandas stage.
+    Deterministic fake decoder => full SQL value oracle (q103)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, rms, zc = [], [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                s = decode_audio(content).astype(np.int64)
+                n = len(s)
+                ids.append(doc_id)
+                ns.append(n)
+                rms.append(float(np.sqrt((s * s).sum() / n)) if n else 0.0)
+                zc.append(int((s[:-1] * s[1:] < 0).sum()) if n > 1 else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "n_samples": pd.array(ns, dtype="int32"),
+                    "rms": pd.array(rms, dtype="float64"),
+                    "n_zero_crossings": pd.array(zc, dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(extract, schema=AUDIO_FEATURE_SCHEMA)
 
 
 FRAME_SCHEMA = "doc_id long, frame_idx int, n_bytes int, checksum bigint"

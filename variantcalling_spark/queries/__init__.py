@@ -46,64 +46,51 @@ _MODULES = (
 # registration order. Keep newly added queries in this list so they get
 # oracle rows while they are young.
 _PRIORITY = (
-    # Re-check after round-1 fixes (q95 array canonicalization, q52 oracle).
-    "q95_collapse_multiallelic",
-    "q52_gvcf_compress",
-    # Flagship + pipeline family — never driver-checked in round 1.
-    "q85_evaluate_concordance",
-    "q86_coverage_summary",
-    "q87_sv_stats_matrix",
-    "q88_hit_fraction",
-    "q89_ml_filter_score",
-    "q90_denovo_refinement",
-    # Reference-pinned kernels + advanced family.
-    "q54_imputation_pl_rescale",
-    "q59_haploid_pl",
-    "q13_hmer_stat_matrix",
-    "q14_contingency_multinomial",
-    "q23_annotate_back_join",
-    "q24_dynamic_map_lookup",
-    "q25_stratified_sample",
-    "q26_inverse_cdf_sample",
-    "q27_truth_classify",
-    "q28_phred_codec",
-    "q29_flow_rle",
-    # LLM-pipeline families.
-    "q64_exact_dedup",
-    "q65_ngram_jaccard",
-    "q66_minhash_lsh",
-    "q67_simhash",
-    "q98_dedup_clusters",
-    "q99_data_curation_funnel",
-    "q60_token_stats",
-    "q61_quality_score",
-    "q62_lang_id_confusion",
-    "q63_rolling_fingerprint",
-    "q72_bpe_tokens",
-    "q75_decontamination",
-    "q76_sequence_packing",
+    # Round 3 front-of-budget: the driver checks ~50 queries per round.
+    # Never driver-checked (round-2 budget cut off exactly before them).
+    "q83_stream_stream_join",
+    "q84_streaming_dedup",
+    # New this round.
+    "q102_image_decode_features",
+    "q103_audio_features",
+    # Upgraded from no_oracle to full value oracles this round.
     "q77_greedy_packing",
-    "q78_repetition_ratio",
-    "q94_deterministic_shuffle",
-    "q97_unigram_lm_score",
-    "q68_cosine_topk",
-    "q73_embedding_neardup",
-    "q74_embedding_neardup_lsh",
-    "q69_lsh_ann",
+    "q89_ml_filter_score",
     "q71_ivf_ann",
-    "q70_multimodal_features",
-    "q93_frame_sampling",
-    # Genomics rows past round 1's cutoff.
+    # Events-table family: round-2 errs / stale round-1 greens behind the
+    # fixed tables.py import — prove the fix with fresh rows.
+    "q86_coverage_summary",
     "q48_cumulative_coverage",
-    "q49_titv_ratio",
-    "q100_hardy_weinberg",
-    "q101_mendel_violation_rate",
-    # Streaming (stream==batch pytest equivalence as backup evidence).
+    "q12_numeric_histogram",
+    "q30_point_in_interval",
+    "q31_interval_semi_join",
+    "q32_interval_anti_join",
+    "q34_bucketed_range_join",
+    "q36_asof_join",
+    "q96_interval_map_agg",
+    "q38_closest_interval",
+    "q40_pr_curve",
+    "q41_running_extent_dedup",
+    "q42_interval_merge",
+    "q43_every_nth",
+    "q44_histogram_percentiles",
+    "q45_hierarchical_rollup",
+    "q46_score_direction",
+    "q50_phred_math",
+    "q53_overlap_cleanup",
     "q80_tumbling_window",
     "q81_sliding_window",
     "q82_session_window",
-    "q83_stream_stream_join",
-    "q84_streaming_dedup",
+    # Arrow-vectorized this round — re-verify bit parity.
+    "q74_embedding_neardup_lsh",
+    "q69_lsh_ann",
+    "q68_cosine_topk",
+    "q73_embedding_neardup",
+    "q99_data_curation_funnel",
+    # Flagship re-confirmation.
+    "q88_hit_fraction",
+    "q85_evaluate_concordance",
+    "q90_denovo_refinement",
 )
 
 

@@ -84,3 +84,79 @@ def q93_frame_sampling(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = attach_binary_payload(docs)
     return sample_frames(media, frame_bytes=256, every_n=2)
+
+@query(
+    "q102_image_decode_features",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS cs,
+         length(text) AS L,
+         (length(text) - 1) // 96 + 1 AS H
+  FROM documents
+)
+SELECT doc_id,
+       CAST(H AS INT) AS height,
+       CAST(32 AS INT) AS width,
+       list_sum([cs[(p % L) + 1] for p in generate_series(0, H * 96 - 1, 3)])
+         / CAST(H * 32 AS DOUBLE) AS mean_r,
+       list_sum([cs[(p % L) + 1] for p in generate_series(1, H * 96 - 1, 3)])
+         / CAST(H * 32 AS DOUBLE) AS mean_g,
+       list_sum([cs[(p % L) + 1] for p in generate_series(2, H * 96 - 1, 3)])
+         / CAST(H * 32 AS DOUBLE) AS mean_b,
+       list_reduce(
+         [cs[((((((p // 24) * H) // 8) * 32 + ((p % 24) // 3) * 4) * 3 + (p % 3)) % L) + 1]
+          for p in generate_series(0, 191)],
+         (a, b) -> (a * 31 + b) % 2147483647) AS resized_checksum
+FROM base
+""",
+)
+def q102_image_decode_features(spark, sf_dir):
+    """Image decode -> channel means -> nearest-neighbor 8x8 resize ->
+    resized checksum, one Arrow mapInPandas stage (operators/
+    multimodal.py::image_features). The deterministic tiling decoder
+    (real-decoder drop-in, same array contract) makes every output a
+    pure byte function, so the full decode/resize pipeline — not just
+    the plumbing — is value-checked: the oracle recomputes the tiled
+    pixels, the floor-index resize maps, and the mod-2^31-1 checksum
+    from the source characters."""
+    from variantcalling_spark.operators.multimodal import (
+        attach_binary_payload,
+        image_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_features(attach_binary_payload(docs), out_h=8, out_w=8)
+
+
+@query(
+    "q103_audio_features",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''),
+                        c -> (CAST(ascii(c) AS BIGINT) * 37) % 256 - 128) AS ss,
+         length(text) AS L
+  FROM documents
+)
+SELECT doc_id,
+       CAST(L AS INT) AS n_samples,
+       sqrt(list_sum([x * x for x in ss]) / CAST(L AS DOUBLE)) AS rms,
+       CAST(list_sum([CASE WHEN ss[i] * ss[i + 1] < 0 THEN 1 ELSE 0 END
+                      for i in generate_series(1, L - 1)]) AS INT) AS n_zero_crossings
+FROM base
+""",
+)
+def q103_audio_features(spark, sf_dir):
+    """Audio decode -> waveform stats (sample count, RMS, zero
+    crossings), one Arrow mapInPandas stage (operators/multimodal.py::
+    audio_features). The deterministic sign-mixing decoder gives the
+    stage a full value oracle: integer square sums are exact, so the
+    float64 RMS is bit-identical across engines."""
+    from variantcalling_spark.operators.multimodal import (
+        attach_binary_payload,
+        audio_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_features(attach_binary_payload(docs))
