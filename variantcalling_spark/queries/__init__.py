@@ -53,6 +53,7 @@ _PRIORITY = (
     # New this round.
     "q102_image_decode_features",
     "q103_audio_features",
+    "q104_concordance_window_rescue",
     # Upgraded from no_oracle to full value oracles this round.
     "q77_greedy_packing",
     "q89_ml_filter_score",

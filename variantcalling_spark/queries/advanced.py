@@ -510,3 +510,160 @@ def q29_flow_rle(spark, sf_dir):
         F.array_max(F.transform(rs, F.length)).alias("longest_run"),
         F.concat_ws("", F.transform(rs, lambda r: F.substring(r, 1, 1))).alias("flow_key"),
     )
+
+
+@query(
+    "q104_concordance_window_rescue",
+    oracle="""
+WITH calls AS (
+  SELECT concat('c', CAST(l_orderkey % 4 AS VARCHAR)) AS chrom,
+         l_orderkey * 10 + l_linenumber AS pos,
+         CAST(MIN(l_partkey) % 4 AS INT) AS allele
+  FROM lineitem WHERE l_quantity > 10
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT concat('c', CAST(o_orderkey % 4 AS VARCHAR)) AS chrom,
+         o_orderkey * 10 + o_custkey % 7 AS pos,
+         CAST(MIN(o_custkey) % 4 AS INT) AS allele
+  FROM orders WHERE o_totalprice > 50000
+  GROUP BY 1, 2
+),
+fp AS (
+  SELECT c.* FROM calls c ANTI JOIN truth t
+    ON c.chrom = t.chrom AND c.pos = t.pos AND c.allele = t.allele
+),
+fn AS (
+  SELECT t.* FROM truth t ANTI JOIN calls c
+    ON c.chrom = t.chrom AND c.pos = t.pos AND c.allele = t.allele
+),
+cand AS (
+  SELECT f.chrom, f.pos AS f_pos, n.pos AS t_pos, f.allele,
+         abs(f.pos - n.pos) AS dist
+  FROM fp f JOIN fn n
+    ON f.chrom = n.chrom AND f.allele = n.allele
+   AND abs(f.pos - n.pos) <= 3
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY chrom, allele, f_pos ORDER BY dist, t_pos) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY chrom, allele, t_pos ORDER BY dist, f_pos) AS rt
+  FROM cand
+),
+agg AS (
+  SELECT (SELECT COUNT(*) FROM calls c JOIN truth t
+            ON c.chrom = t.chrom AND c.pos = t.pos AND c.allele = t.allele) AS tp_exact,
+         (SELECT COUNT(*) FROM fp) AS fp_exact,
+         (SELECT COUNT(*) FROM fn) AS fn_exact,
+         (SELECT COUNT(*) FROM ranked WHERE rf = 1 AND rt = 1) AS n_rescued
+)
+SELECT tp_exact, fp_exact, fn_exact, n_rescued,
+       tp_exact + n_rescued AS tp_final,
+       fp_exact - n_rescued AS fp_final,
+       fn_exact - n_rescued AS fn_final,
+       ROUND(CAST(tp_exact + n_rescued AS DOUBLE) / (tp_exact + fp_exact), 6) AS precision,
+       ROUND(CAST(tp_exact + n_rescued AS DOUBLE) / (tp_exact + fn_exact), 6) AS recall
+FROM agg
+""",
+)
+def q104_concordance_window_rescue(spark, sf_dir):
+    """Window-rescue concordance flavor (toward vcfeval's haplotype-aware
+    matching, `vcfeval_flavors.py:118-120`, SURVEY.md §7.4 hard-part 5):
+    after exact-key classify, an FP call and an FN truth record on the
+    same chrom with the same allele within ±3 bp are re-matched as a TP
+    when each is the other's single-round mutual nearest neighbor
+    (distance, then position, as the deterministic tie-break) — the
+    local-window re-match that absorbs representation shifts without the
+    full haplotype replay.
+
+    Scale shape: candidate discovery is a banded equi-join — each FP is
+    exploded to its 3 neighboring pos//W bands and joined to FNs on
+    (chrom, allele, band), so cost stays linear in callset size (never
+    an all-pairs position join); the mutual-NN filter is two
+    row_number windows over the (small) candidate set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    w = 3
+    calls = (
+        li.where(F.col("l_quantity") > 10)
+        .groupBy(
+            F.concat(F.lit("c"), (F.col("l_orderkey") % 4).cast("string")).alias("chrom"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pos"),
+        )
+        .agg((F.min("l_partkey") % 4).cast("int").alias("allele"))
+    )
+    truth = (
+        o.where(F.col("o_totalprice") > 50000)
+        .groupBy(
+            F.concat(F.lit("c"), (F.col("o_orderkey") % 4).cast("string")).alias("chrom"),
+            (F.col("o_orderkey") * 10 + F.col("o_custkey") % 7).alias("pos"),
+        )
+        .agg((F.min("o_custkey") % 4).cast("int").alias("allele"))
+    )
+    key = ["chrom", "pos", "allele"]
+    fp = calls.join(truth, key, "left_anti")
+    fn = truth.join(calls, key, "left_anti")
+
+    # banded discovery: FP rows replicated to the 3 candidate bands, FN
+    # rows keep their own band; the equi-join prunes to same-band pairs
+    # before the exact |dist| <= w filter
+    fpb = fp.select(
+        "chrom",
+        "allele",
+        F.col("pos").alias("f_pos"),
+        F.explode(
+            F.array(
+                F.floor(F.col("pos") / w) - 1,
+                F.floor(F.col("pos") / w),
+                F.floor(F.col("pos") / w) + 1,
+            )
+        ).alias("band"),
+    )
+    fnb = fn.select(
+        "chrom",
+        "allele",
+        F.col("pos").alias("t_pos"),
+        F.floor(F.col("pos") / w).alias("band"),
+    )
+    cand = (
+        fpb.join(fnb, ["chrom", "allele", "band"])
+        .where(F.abs(F.col("f_pos") - F.col("t_pos")) <= w)
+        .select(
+            "chrom", "allele", "f_pos", "t_pos",
+            F.abs(F.col("f_pos") - F.col("t_pos")).alias("dist"),
+        )
+        .distinct()
+    )
+    wf = Window.partitionBy("chrom", "allele", "f_pos").orderBy("dist", "t_pos")
+    wt = Window.partitionBy("chrom", "allele", "t_pos").orderBy("dist", "f_pos")
+    rescued = (
+        cand.withColumn("rf", F.row_number().over(wf))
+        .withColumn("rt", F.row_number().over(wt))
+        .where((F.col("rf") == 1) & (F.col("rt") == 1))
+    )
+
+    tp_exact = calls.join(truth, key).agg(cnt("tp_exact"))
+    counts = (
+        tp_exact.crossJoin(fp.agg(cnt("fp_exact")))
+        .crossJoin(fn.agg(cnt("fn_exact")))
+        .crossJoin(rescued.agg(cnt("n_rescued")))
+    )
+    return counts.select(
+        "tp_exact",
+        "fp_exact",
+        "fn_exact",
+        "n_rescued",
+        (F.col("tp_exact") + F.col("n_rescued")).alias("tp_final"),
+        (F.col("fp_exact") - F.col("n_rescued")).alias("fp_final"),
+        (F.col("fn_exact") - F.col("n_rescued")).alias("fn_final"),
+        F.round(
+            (F.col("tp_exact") + F.col("n_rescued"))
+            / (F.col("tp_exact") + F.col("fp_exact")).cast("double"),
+            6,
+        ).alias("precision"),
+        F.round(
+            (F.col("tp_exact") + F.col("n_rescued"))
+            / (F.col("tp_exact") + F.col("fn_exact")).cast("double"),
+            6,
+        ).alias("recall"),
+    )
