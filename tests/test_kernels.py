@@ -209,3 +209,47 @@ def test_greedy_packing_first_fit_invariants(spark):
         # expected layout for [400,500,200,1100,30,1000,10] @ 1024:
         # [400+500] [200] no-wait 200 fits (900+... 400+500=900, +200=1100>1024 -> new bin)
         assert [r.bin_id for r in recs] == [0, 0, 1, 2, 3, 4, 4]
+
+
+def test_depth_runs_bucketed_cumsum_crosses_buckets(spark):
+    """The two-level cumulative sum must be exact across bucket
+    boundaries: reads spanning several tiny buckets produce the same
+    runs a single sequential scan would."""
+    from variantcalling_spark.operators.pileup import reads_to_depth_runs
+
+    reads = spark.createDataFrame(
+        [("c1", 0, 25), ("c1", 5, 15), ("c1", 10, 30), ("c1", 40, 50),
+         ("c2", 3, 9)],
+        "chrom string, start long, end long",
+    )
+    got = {
+        (r.chrom, r.start, r.end): r.depth
+        for r in reads_to_depth_runs(reads, bucket=8).collect()
+    }
+    # sequential reference: difference array over all positions
+    import collections
+
+    delta = collections.defaultdict(int)
+    rows = [("c1", 0, 25), ("c1", 5, 15), ("c1", 10, 30), ("c1", 40, 50), ("c2", 3, 9)]
+    exp = {}
+    for chrom in ("c1", "c2"):
+        d = collections.defaultdict(int)
+        for c, s, e in rows:
+            if c == chrom:
+                d[s] += 1
+                d[e] -= 1
+        bps = sorted(k for k, v in d.items() if v != 0)
+        depth = 0
+        for i, bp in enumerate(bps[:-1]):
+            depth += d[bp]
+            if depth > 0:
+                exp[(chrom, bp, bps[i + 1])] = depth
+    assert got == exp
+    # a read end meeting another's start must NOT split equal-depth runs
+    merged = spark.createDataFrame(
+        [("c1", 0, 10), ("c1", 10, 20)], "chrom string, start long, end long"
+    )
+    out = reads_to_depth_runs(merged, bucket=8).collect()
+    assert [(r.start, r.end, r.depth) for r in sorted(out, key=lambda r: r.start)] == [
+        (0, 20, 1)
+    ]

@@ -54,6 +54,8 @@ _PRIORITY = (
     "q102_image_decode_features",
     "q103_audio_features",
     "q104_concordance_window_rescue",
+    "q105_depth_runs",
+    "q106_pileup_calls",
     # Upgraded from no_oracle to full value oracles this round.
     "q77_greedy_packing",
     "q89_ml_filter_score",

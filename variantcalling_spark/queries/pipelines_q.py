@@ -341,3 +341,90 @@ def q90_denovo_refinement(spark, sf_dir):
     )
     out = refine_denovo(child, mother, father)
     return out.select("chrom", "pos", "is_denovo", "denovo_qual")
+
+
+SQL_READS = """
+  SELECT concat('c', CAST(l_orderkey % 4 AS VARCHAR)) AS chrom,
+         (l_orderkey * 7 + l_linenumber * 13) % 50000 AS start,
+         (l_orderkey * 7 + l_linenumber * 13) % 50000 + 30 + CAST(l_quantity AS BIGINT) AS "end"
+  FROM lineitem
+"""
+
+
+@query(
+    "q105_depth_runs",
+    oracle=f"""
+WITH reads AS ({SQL_READS}),
+deltas AS (
+  SELECT chrom, start AS bp, 1 AS delta FROM reads
+  UNION ALL
+  SELECT chrom, "end" AS bp, -1 AS delta FROM reads
+),
+agg AS (
+  SELECT chrom, bp, SUM(delta) AS d FROM deltas
+  GROUP BY chrom, bp HAVING SUM(delta) <> 0
+),
+cum AS (
+  SELECT chrom, bp AS start,
+         LEAD(bp) OVER (PARTITION BY chrom ORDER BY bp) AS "end",
+         CAST(SUM(d) OVER (PARTITION BY chrom ORDER BY bp) AS BIGINT) AS depth
+  FROM agg
+)
+SELECT chrom, start, "end", depth FROM cum
+WHERE "end" IS NOT NULL AND depth > 0
+""",
+)
+def q105_depth_runs(spark, sf_dir):
+    """Per-base depth from aligned-read intervals (`coverage_analysis.py:
+    653-683`, samtools depth -> bed), as minimal RLE runs via the
+    difference-array: +1/-1 deltas at read boundaries, two-level
+    cumulative sum (within-bucket window + per-chrom bucket-prefix
+    join), zero-net breakpoints dropped. The oracle recomputes with a
+    single whole-chrom window — identical integer arithmetic, so the
+    bucketed decomposition is value-proven, not just shape-tested."""
+    from variantcalling_spark.operators.pileup import reads_to_depth_runs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    reads = li.select(
+        F.concat(F.lit("c"), (F.col("l_orderkey") % 4).cast("string")).alias("chrom"),
+        ((F.col("l_orderkey") * 7 + F.col("l_linenumber") * 13) % 50000).alias("start"),
+        (
+            (F.col("l_orderkey") * 7 + F.col("l_linenumber") * 13) % 50000
+            + 30
+            + F.col("l_quantity").cast("long")
+        ).alias("end"),
+    )
+    return reads_to_depth_runs(reads)
+
+
+@query(
+    "q106_pileup_calls",
+    oracle="""
+SELECT chrom, pos, dp, ad, ROUND(ad / CAST(dp AS DOUBLE), 6) AS af
+FROM (
+  SELECT concat('c', CAST(l_orderkey % 4 AS VARCHAR)) AS chrom,
+         l_orderkey % 5000 AS pos,
+         CAST(COUNT(*) AS BIGINT) AS dp,
+         CAST(SUM(CASE WHEN l_partkey % 5 < 2 THEN 1 ELSE 0 END) AS BIGINT) AS ad
+  FROM lineitem
+  GROUP BY 1, 2
+)
+WHERE dp >= 8 AND ad / CAST(dp AS DOUBLE) >= 0.25
+""",
+)
+def q106_pileup_calls(spark, sf_dir):
+    """mpileup-style variant calling from per-read base observations
+    (`variant_hit_fraction_caller.py:23-28`: bcftools mpileup + the
+    AD/DP >= min_af emission filter): one map-side-combinable
+    (chrom, pos) aggregate — depth, alt-supporting count, allele
+    frequency — then the threshold filter. Scan-speed at any coverage;
+    the downstream hit-fraction join is q88."""
+    from variantcalling_spark.operators.pileup import pileup_call_variants
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = li.select(
+        F.concat(F.lit("c"), (F.col("l_orderkey") % 4).cast("string")).alias("chrom"),
+        (F.col("l_orderkey") % 5000).alias("pos"),
+        (F.col("l_partkey") % 5 < 2).alias("is_alt"),
+    )
+    return pileup_call_variants(obs, min_af=0.25, min_dp=8)
