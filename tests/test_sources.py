@@ -116,3 +116,35 @@ def test_fasta_chunks_and_fetch(spark, tmp_path):
     assert out[("chr1", 60, 70)] == seq1[60:70]
     assert out[("chr2", 0, 30)] == seq2
     assert out[("chr1", 15, 17)] == seq1[15:17]  # chunk-boundary crossing
+
+
+def test_object_store_config_shapes():
+    """Connector config maps (no network: pure dict contracts)."""
+    from variantcalling_spark.session import normalize_cloud_uri, object_store_configs
+
+    s3 = object_store_configs("s3a", anonymous=True, endpoint="http://minio:9000",
+                              path_style_access=True)
+    assert s3["spark.hadoop.fs.s3a.aws.credentials.provider"].endswith(
+        "AnonymousAWSCredentialsProvider"
+    )
+    assert s3["spark.hadoop.fs.s3a.endpoint"] == "http://minio:9000"
+    assert s3["spark.hadoop.fs.s3a.path.style.access"] == "true"
+
+    gs = object_store_configs("gs", keyfile="/k.json")
+    assert gs["spark.hadoop.google.cloud.auth.service.account.json.keyfile"] == "/k.json"
+
+    ab = object_store_configs("abfss", account="acct", account_key="k")
+    assert (
+        ab["spark.hadoop.fs.azure.account.key.acct.dfs.core.windows.net"] == "k"
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        object_store_configs("ftp")
+    with pytest.raises(ValueError):
+        object_store_configs("abfs")
+
+    assert normalize_cloud_uri("s3://b/k.parquet") == "s3a://b/k.parquet"
+    assert normalize_cloud_uri("gs://b/k") == "gs://b/k"
+    assert normalize_cloud_uri("/local/p") == "/local/p"

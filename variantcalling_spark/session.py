@@ -15,8 +15,91 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
-def get_spark(app_name: str = "variantcalling_spark", master: str | None = None) -> SparkSession:
+def object_store_configs(
+    scheme: str,
+    *,
+    anonymous: bool = False,
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    keyfile: str | None = None,
+    account: str | None = None,
+    account_key: str | None = None,
+    path_style_access: bool = False,
+) -> dict[str, str]:
+    """Spark config map for reading an object store (the reference's
+    cloud-sync boundary: gs:// inputs in ``coverage_analysis.py:359``,
+    `cloud_sync` download-or-local resolution).
+
+    Spark-first replacement: no download step at all — the scan reads
+    ``s3a://`` / ``gs://`` / ``abfss://`` URIs directly through the
+    Hadoop connectors, keeping predicate pushdown and partition pruning
+    on remote parquet. Returns plain ``spark.hadoop.*`` builder configs
+    (pure function: testable without network; connector jars ship with
+    the cluster image, not this package).
+    """
+    if scheme in ("s3", "s3a"):
+        c = {
+            # committers: never rename-commit against an object store
+            "spark.hadoop.fs.s3a.committer.name": "magic",
+            "spark.hadoop.mapreduce.outputcommitter.factory.scheme.s3a": (
+                "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory"
+            ),
+        }
+        if anonymous:
+            c["spark.hadoop.fs.s3a.aws.credentials.provider"] = (
+                "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
+            )
+        if access_key:
+            c["spark.hadoop.fs.s3a.access.key"] = access_key
+        if secret_key:
+            c["spark.hadoop.fs.s3a.secret.key"] = secret_key
+        if endpoint:
+            c["spark.hadoop.fs.s3a.endpoint"] = endpoint
+        if path_style_access:
+            c["spark.hadoop.fs.s3a.path.style.access"] = "true"
+        return c
+    if scheme == "gs":
+        c = {
+            "spark.hadoop.fs.gs.impl": (
+                "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFileSystem"
+            ),
+        }
+        if anonymous:
+            c["spark.hadoop.google.cloud.auth.null.enable"] = "true"
+        elif keyfile:
+            c["spark.hadoop.google.cloud.auth.service.account.enable"] = "true"
+            c["spark.hadoop.google.cloud.auth.service.account.json.keyfile"] = keyfile
+        return c
+    if scheme in ("abfs", "abfss"):
+        if not account:
+            raise ValueError("abfs requires account=")
+        c = {}
+        if account_key:
+            c[f"spark.hadoop.fs.azure.account.key.{account}.dfs.core.windows.net"] = (
+                account_key
+            )
+        return c
+    raise ValueError(f"unsupported object-store scheme: {scheme}")
+
+
+def normalize_cloud_uri(uri: str) -> str:
+    """Map user-facing URIs to the connector scheme Spark scans expect
+    (``s3://`` -> ``s3a://``; gs/abfss/file/local paths pass through)."""
+    if uri.startswith("s3://"):
+        return "s3a://" + uri[len("s3://"):]
+    return uri
+
+
+def get_spark(
+    app_name: str = "variantcalling_spark",
+    master: str | None = None,
+    extra_configs: dict[str, str] | None = None,
+) -> SparkSession:
     """Build (or fetch) the tuned SparkSession.
+
+    ``extra_configs`` merges last (e.g. ``object_store_configs("s3a",
+    anonymous=True)`` to scan public buckets directly).
 
     The settings matter at both test scale and 100 TB scale:
 
@@ -45,6 +128,8 @@ def get_spark(app_name: str = "variantcalling_spark", master: str | None = None)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    for k, v in (extra_configs or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
