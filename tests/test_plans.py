@@ -241,3 +241,41 @@ def test_q96_fact_side_never_broadcast(spark):
     for m in re.finditer(r"BroadcastExchange[^\n]*\n((?:.*\n){1,6})", p):
         ctx = m.group(1)
         assert "events" not in ctx, f"events broadcast:\n{ctx}"
+
+
+def test_q104_rescue_discovery_is_equi_join(spark):
+    """The FP<->FN window-rescue candidate join must be a banded
+    equi-join, never a nested-loop over positions."""
+    p = plan_of(spark, "q104_concordance_window_rescue")
+    assert "CartesianProduct" not in p
+    # the discovery join must be keyed on the position band (hash or
+    # sort-merge); nested-loop joins appear only as the final 1-row
+    # count-aggregate combines
+    assert any(
+        kind in seg and "band" in seg.split("\n", 1)[0]
+        for kind in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        for seg in p.split("+- ")
+        if seg.startswith(kind)
+    )
+    for seg in p.split("BroadcastNestedLoopJoin")[1:]:
+        assert "band" not in seg.split("\n", 1)[0]
+
+
+def test_q105_depth_windows_are_bucketed(spark):
+    """The depth cumsum must never run a window over a whole chromosome
+    of breakpoints: every window over the breakpoint table partitions by
+    (chrom, bucket); only the tiny bucket-totals table may use a
+    per-chrom window."""
+    p = plan_of(spark, "q105_depth_runs")
+    assert "CartesianProduct" not in p
+    specs = [
+        seg.split("]", 1)[0]
+        for seg in p.split("windowspecdefinition(")[1:]
+    ]
+    bucketed = [s for s in specs if "bucket" in s]
+    # the breakpoint-level running sum and lead must be bucketed
+    assert bucketed, "no bucketed window specs found"
+    per_chrom_only = [s for s in specs if "bucket" not in s]
+    # per-chrom specs exist only for the bucket-prefix level (ordered by
+    # bucket, i.e. operating on the bucket-totals table)
+    assert all("bucket" in s or "bp" not in s for s in per_chrom_only)
