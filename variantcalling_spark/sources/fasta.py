@@ -11,8 +11,12 @@ human genome is ~3.1 Gbp / chunk_size rows and is either broadcast
 Parsing note: FASTA is line-oriented with order-dependent meaning (a
 sequence line belongs to the most recent header), so the ingest uses
 ``zipWithIndex`` once to pin global line order — the one legitimately
-RDD-touching ingest in the engine — then everything is window/DataFrame
-logic. Ingest runs once per reference build; queries never reparse.
+RDD-touching ingest in the engine — then everything is DataFrame logic.
+Contig tagging is a broadcast lookup against the (tiny, #contigs-row)
+header table, and the within-contig offset is a two-level bucketed
+cumulative sum — no window ever spans a whole file or contig, so the
+ingest scales to any reference. Runs once per build; queries never
+reparse.
 """
 
 from __future__ import annotations
@@ -32,25 +36,57 @@ def read_fasta(spark: SparkSession, path: str, chunk_size: int = 10_000) -> Data
         lambda t: (t[0]["value"], t[1])
     )
     df = spark.createDataFrame(lines, "value string, line_no long")
-    w = Window.orderBy("line_no")
-    tagged = df.withColumn(
-        "chrom",
-        F.last(
-            F.when(
-                F.col("value").startswith(">"),
-                F.regexp_extract(F.col("value"), r">(\S+)", 1),
-            ),
-            ignorenulls=True,
-        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    # contig tagging: a line belongs to the last preceding header. The
+    # header table is #contigs rows — broadcast it as one sorted array
+    # and resolve per line map-side (a global last-non-null window here
+    # would funnel the whole file through one task).
+    headers = df.where(F.col("value").startswith(">")).select(
+        F.col("line_no").alias("h_line"),
+        F.regexp_extract(F.col("value"), r">(\S+)", 1).alias("chrom"),
     )
-    seq_lines = tagged.where(~F.col("value").startswith(">") & (F.length("value") > 0))
-    wc = Window.partitionBy("chrom").orderBy("line_no")
-    with_off = seq_lines.withColumn(
-        "offset",
+    harr = headers.agg(
+        F.array_sort(F.collect_list(F.struct("h_line", "chrom"))).alias("hs")
+    )
+    seq_lines = (
+        df.where(~F.col("value").startswith(">") & (F.length("value") > 0))
+        .crossJoin(F.broadcast(harr))
+        .withColumn(
+            "chrom",
+            F.element_at(
+                F.filter("hs", lambda h: h["h_line"] < F.col("line_no")), -1
+            )["chrom"],
+        )
+        .drop("hs")
+    )
+    # within-contig base offset: two-level cumulative sum of line
+    # lengths (within line-bucket window + per-contig bucket-prefix
+    # join), same decomposition as operators/pileup.py — bounded
+    # partitions at any contig length.
+    lb_size = 4096
+    t = seq_lines.withColumn("lb", F.floor(F.col("line_no") / lb_size))
+    btot = t.groupBy("chrom", "lb").agg(F.sum(F.length("value")).alias("blen"))
+    wb = Window.partitionBy("chrom").orderBy("lb")
+    bpre = btot.select(
+        "chrom",
+        "lb",
         F.coalesce(
-            F.sum(F.length("value")).over(wc.rowsBetween(Window.unboundedPreceding, -1)),
+            F.sum("blen").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
             F.lit(0),
-        ),
+        ).alias("bprefix"),
+    )
+    ww = Window.partitionBy("chrom", "lb").orderBy("line_no")
+    with_off = (
+        t.join(bpre, ["chrom", "lb"])
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum(F.length("value")).over(
+                    ww.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            + F.col("bprefix"),
+        )
     )
     # re-chunk to fixed-size blocks: explode each line into the chunks it
     # overlaps, substring accordingly, then assemble per (chrom, chunk)
