@@ -240,3 +240,8 @@ def greedy_pack_documents(df: DataFrame, capacity: int) -> DataFrame:
     return df.repartition("shard").groupBy("shard").applyInPandas(
         per_shard, schema=PACKING_SCHEMA
     )
+
+
+from variantcalling_spark._serde import register_module_by_value
+
+register_module_by_value(__name__)

@@ -251,3 +251,8 @@ def sample_frames(
             )
 
     return media.mapInPandas(explode_frames, schema=FRAME_SCHEMA)
+
+
+from variantcalling_spark._serde import register_module_by_value
+
+register_module_by_value(__name__)

@@ -132,3 +132,8 @@ def pileup_call_variants(
         "ad",
         F.round(F.col("ad") / F.col("dp").cast("double"), 6).alias("af"),
     )
+
+
+from variantcalling_spark._serde import register_module_by_value
+
+register_module_by_value(__name__)

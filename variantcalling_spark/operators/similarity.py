@@ -526,3 +526,8 @@ def ivf_cosine_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+from variantcalling_spark._serde import register_module_by_value
+
+register_module_by_value(__name__)

@@ -102,3 +102,8 @@ def user_activity_batch(df: DataFrame, ts_us_col: str = "ts_us") -> DataFrame:
         )
 
     return df.groupBy("user_id").applyInPandas(fn, schema=OUTPUT_SCHEMA)
+
+
+from variantcalling_spark._serde import register_module_by_value
+
+register_module_by_value(__name__)
