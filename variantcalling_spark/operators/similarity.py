@@ -140,8 +140,8 @@ def _projection_sums_arrow(n_planes: int, max_dims: int = 96):
         )
         for length in np.unique(lens):
             idx = np.nonzero(lens == length)[0]
-            if length < 0:
-                continue  # null vectors stay null
+            if length < 0 or length > planes.shape[0]:
+                continue  # null / over-max_dims vectors stay null (fold parity)
             if length == 0:
                 zero = np.zeros(n_planes, dtype=np.float64)
                 for i in idx:
@@ -181,8 +181,8 @@ def _band_slices_arrow(n_planes: int, n_bands: int, max_dims: int = 96):
         )
         for length in np.unique(lens):
             idx = np.nonzero(lens == length)[0]
-            if length < 0:
-                continue
+            if length < 0 or length > planes.shape[0]:
+                continue  # null / over-max_dims vectors stay null (fold parity)
             if length == 0:
                 zero = np.zeros(n_bands, dtype=np.int64)
                 for i in idx:
@@ -210,20 +210,31 @@ def _cosine_arrow():
     @pandas_udf("double")
     def cos(a: pd.Series, b: pd.Series) -> pd.Series:
         n = len(a)
-        out = np.empty(n, dtype=np.float64)
+        out = np.full(n, np.nan, dtype=np.float64)
         if n == 0:
             return pd.Series(out)
         av, bv = a.to_numpy(), b.to_numpy()
-        lens = np.fromiter((len(x) for x in av), dtype=np.int64, count=n)
-        for length in np.unique(lens):
-            idx = np.nonzero(lens == length)[0]
+        # null or length-mismatched pairs stay null — the behavior of the
+        # zip_with/aggregate fold this replaces (null-padded products
+        # propagate to a NULL cosine)
+        la = np.fromiter(
+            (len(x) if x is not None else -1 for x in av), dtype=np.int64, count=n
+        )
+        lb = np.fromiter(
+            (len(x) if x is not None else -1 for x in bv), dtype=np.int64, count=n
+        )
+        ok = (la == lb) & (la > 0)
+        for length in np.unique(la[ok]):
+            idx = np.nonzero(ok & (la == length))[0]
             x = np.vstack([np.asarray(av[i], dtype=np.int64) for i in idx])
             y = np.vstack([np.asarray(bv[i], dtype=np.int64) for i in idx])
             dot = np.einsum("ij,ij->i", x, y).astype(np.float64)
             nx = np.sqrt(np.einsum("ij,ij->i", x, x).astype(np.float64))
             ny = np.sqrt(np.einsum("ij,ij->i", y, y).astype(np.float64))
             out[idx] = dot / (nx * ny)
-        return pd.Series(out)
+        res = pd.Series(pd.array(out, dtype="Float64"))
+        res[~ok] = pd.NA  # real NULLs, not NaN (NaN sorts above all doubles)
+        return res
 
     return cos
 
@@ -237,19 +248,28 @@ def _cosine_prenorm_arrow():
     @pandas_udf("double")
     def cos(a: pd.Series, b: pd.Series, na: pd.Series, nb: pd.Series) -> pd.Series:
         n = len(a)
-        out = np.empty(n, dtype=np.float64)
+        out = np.full(n, np.nan, dtype=np.float64)
         if n == 0:
             return pd.Series(out)
         av, bv = a.to_numpy(), b.to_numpy()
-        nav, nbv = na.to_numpy(dtype=np.float64), nb.to_numpy(dtype=np.float64)
-        lens = np.fromiter((len(x) for x in av), dtype=np.int64, count=n)
-        for length in np.unique(lens):
-            idx = np.nonzero(lens == length)[0]
+        nav = na.to_numpy(dtype=np.float64, na_value=np.nan)
+        nbv = nb.to_numpy(dtype=np.float64, na_value=np.nan)
+        la = np.fromiter(
+            (len(x) if x is not None else -1 for x in av), dtype=np.int64, count=n
+        )
+        lb = np.fromiter(
+            (len(x) if x is not None else -1 for x in bv), dtype=np.int64, count=n
+        )
+        ok = (la == lb) & (la > 0)
+        for length in np.unique(la[ok]):
+            idx = np.nonzero(ok & (la == length))[0]
             x = np.vstack([np.asarray(av[i], dtype=np.int64) for i in idx])
             y = np.vstack([np.asarray(bv[i], dtype=np.int64) for i in idx])
             dot = np.einsum("ij,ij->i", x, y).astype(np.float64)
             out[idx] = dot / (nav[idx] * nbv[idx])
-        return pd.Series(out)
+        res = pd.Series(pd.array(out, dtype="Float64"))
+        res[~ok] = pd.NA  # real NULLs, not NaN (NaN sorts above all doubles)
+        return res
 
     return cos
 

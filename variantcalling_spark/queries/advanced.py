@@ -625,6 +625,8 @@ def q104_concordance_window_rescue(spark, sf_dir):
         F.col("pos").alias("t_pos"),
         F.floor(F.col("pos") / w).alias("band"),
     )
+    # no distinct needed: FP rows are unique per (chrom,pos), each FN
+    # carries exactly one band, so a pair can collide in at most one band
     cand = (
         fpb.join(fnb, ["chrom", "allele", "band"])
         .where(F.abs(F.col("f_pos") - F.col("t_pos")) <= w)
@@ -632,7 +634,6 @@ def q104_concordance_window_rescue(spark, sf_dir):
             "chrom", "allele", "f_pos", "t_pos",
             F.abs(F.col("f_pos") - F.col("t_pos")).alias("dist"),
         )
-        .distinct()
     )
     wf = Window.partitionBy("chrom", "allele", "f_pos").orderBy("dist", "t_pos")
     wt = Window.partitionBy("chrom", "allele", "t_pos").orderBy("dist", "f_pos")

@@ -92,22 +92,28 @@ WITH base AS (
   SELECT doc_id,
          list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS cs,
          length(text) AS L,
-         (length(text) - 1) // 96 + 1 AS H
+         -- empty payloads decode to one all-zero row (height 1)
+         CASE WHEN length(text) = 0 THEN 1
+              ELSE (length(text) - 1) // 96 + 1 END AS H
   FROM documents
 )
 SELECT doc_id,
        CAST(H AS INT) AS height,
        CAST(32 AS INT) AS width,
-       list_sum([cs[(p % L) + 1] for p in generate_series(0, H * 96 - 1, 3)])
-         / CAST(H * 32 AS DOUBLE) AS mean_r,
-       list_sum([cs[(p % L) + 1] for p in generate_series(1, H * 96 - 1, 3)])
-         / CAST(H * 32 AS DOUBLE) AS mean_g,
-       list_sum([cs[(p % L) + 1] for p in generate_series(2, H * 96 - 1, 3)])
-         / CAST(H * 32 AS DOUBLE) AS mean_b,
-       list_reduce(
-         [cs[((((((p // 24) * H) // 8) * 32 + ((p % 24) // 3) * 4) * 3 + (p % 3)) % L) + 1]
-          for p in generate_series(0, 191)],
-         (a, b) -> (a * 31 + b) % 2147483647) AS resized_checksum
+       CASE WHEN L = 0 THEN 0.0 ELSE
+         list_sum([cs[(p % L) + 1] for p in generate_series(0, H * 96 - 1, 3)])
+           / CAST(H * 32 AS DOUBLE) END AS mean_r,
+       CASE WHEN L = 0 THEN 0.0 ELSE
+         list_sum([cs[(p % L) + 1] for p in generate_series(1, H * 96 - 1, 3)])
+           / CAST(H * 32 AS DOUBLE) END AS mean_g,
+       CASE WHEN L = 0 THEN 0.0 ELSE
+         list_sum([cs[(p % L) + 1] for p in generate_series(2, H * 96 - 1, 3)])
+           / CAST(H * 32 AS DOUBLE) END AS mean_b,
+       CASE WHEN L = 0 THEN CAST(0 AS BIGINT) ELSE
+         list_reduce(
+           [cs[((((((p // 24) * H) // 8) * 32 + ((p % 24) // 3) * 4) * 3 + (p % 3)) % L) + 1]
+            for p in generate_series(0, 191)],
+           (a, b) -> (a * 31 + b) % 2147483647) END AS resized_checksum
 FROM base
 """,
 )
@@ -141,9 +147,11 @@ WITH base AS (
 )
 SELECT doc_id,
        CAST(L AS INT) AS n_samples,
-       sqrt(list_sum([x * x for x in ss]) / CAST(L AS DOUBLE)) AS rms,
-       CAST(list_sum([CASE WHEN ss[i] * ss[i + 1] < 0 THEN 1 ELSE 0 END
-                      for i in generate_series(1, L - 1)]) AS INT) AS n_zero_crossings
+       CASE WHEN L = 0 THEN 0.0
+            ELSE sqrt(list_sum([x * x for x in ss]) / CAST(L AS DOUBLE)) END AS rms,
+       CAST(COALESCE(list_sum([CASE WHEN ss[i] * ss[i + 1] < 0 THEN 1 ELSE 0 END
+                               for i in generate_series(1, L - 1)]), 0) AS INT)
+         AS n_zero_crossings
 FROM base
 """,
 )
