@@ -56,6 +56,7 @@ _PRIORITY = (
     "q104_concordance_window_rescue",
     "q105_depth_runs",
     "q106_pileup_calls",
+    "q107_joint_genotyping_matrix",
     # Upgraded from no_oracle to full value oracles this round.
     "q77_greedy_packing",
     "q89_ml_filter_score",

@@ -428,3 +428,76 @@ def q106_pileup_calls(spark, sf_dir):
         (F.col("l_partkey") % 5 < 2).alias("is_alt"),
     )
     return pileup_call_variants(obs, min_af=0.25, min_dp=8)
+
+
+@query(
+    "q107_joint_genotyping_matrix",
+    oracle="""
+WITH calls AS (
+  SELECT concat('s', CAST(l_suppkey % 4 AS VARCHAR)) AS sample,
+         concat('c', CAST(l_orderkey % 4 AS VARCHAR)) AS chrom,
+         l_orderkey * 10 + l_linenumber % 3 AS pos,
+         MIN(CAST(l_partkey % 3 AS INT)) AS gt,
+         MIN(CAST(l_quantity AS INT)) AS gq
+  FROM lineitem GROUP BY 1, 2, 3
+),
+wide AS (
+  SELECT chrom, pos,
+         MIN(CASE WHEN sample = 's0' THEN gt END) AS s0_gt,
+         MIN(CASE WHEN sample = 's0' THEN gq END) AS s0_gq,
+         MIN(CASE WHEN sample = 's1' THEN gt END) AS s1_gt,
+         MIN(CASE WHEN sample = 's1' THEN gq END) AS s1_gq,
+         MIN(CASE WHEN sample = 's2' THEN gt END) AS s2_gt,
+         MIN(CASE WHEN sample = 's2' THEN gq END) AS s2_gq,
+         MIN(CASE WHEN sample = 's3' THEN gt END) AS s3_gt,
+         MIN(CASE WHEN sample = 's3' THEN gq END) AS s3_gq
+  FROM calls GROUP BY chrom, pos
+)
+SELECT *,
+       CAST((CASE WHEN s0_gt IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN s1_gt IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN s2_gt IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN s3_gt IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_called,
+       CAST((CASE WHEN s0_gt > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN s1_gt > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN s2_gt > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN s3_gt > 0 THEN 1 ELSE 0 END) AS INT) AS n_alt
+FROM wide
+""",
+)
+def q107_joint_genotyping_matrix(spark, sf_dir):
+    """Multi-sample joint genotyping matrix (ROADMAP #4: the trio
+    column-namespacing join of q90 generalized to N samples): per-sample
+    callsets pivoted to one wide row per (chrom, pos) with an EXPLICIT
+    sample domain — a single groupBy+pivot pass, no per-sample join
+    chain and no domain-discovery job — plus per-site call-rate /
+    alt-count cohort stats computed post-pivot at scan speed. Wide
+    columns (not a map) keep every field predicate-pushable and
+    column-prunable for downstream cohort filters."""
+    li = load_table(spark, sf_dir, "lineitem")
+    samples = ["s0", "s1", "s2", "s3"]
+    calls = (
+        li.groupBy(
+            F.concat(F.lit("s"), (F.col("l_suppkey") % 4).cast("string")).alias("sample"),
+            F.concat(F.lit("c"), (F.col("l_orderkey") % 4).cast("string")).alias("chrom"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber") % 3).alias("pos"),
+        )
+        .agg(
+            F.min((F.col("l_partkey") % 3).cast("int")).alias("gt"),
+            F.min(F.col("l_quantity").cast("int")).alias("gq"),
+        )
+    )
+    wide = (
+        calls.groupBy("chrom", "pos")
+        .pivot("sample", samples)
+        .agg(F.min("gt").alias("gt"), F.min("gq").alias("gq"))
+    )
+    n_called = sum(
+        F.when(F.col(f"{s}_gt").isNotNull(), 1).otherwise(0) for s in samples
+    )
+    n_alt = sum(F.when(F.col(f"{s}_gt") > 0, 1).otherwise(0) for s in samples)
+    return wide.select(
+        "*",
+        n_called.cast("int").alias("n_called"),
+        n_alt.cast("int").alias("n_alt"),
+    )
