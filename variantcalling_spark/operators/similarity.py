@@ -551,3 +551,49 @@ def ivf_cosine_topk(
 from variantcalling_spark._serde import register_module_by_value
 
 register_module_by_value(__name__)
+
+
+def semantic_dedup_flags(
+    indexed: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: within each coarse cluster
+    (``centroid_id`` from ``ivf_index``), drop every vector whose cosine
+    to a LOWER-id vector in the same cluster reaches ``threshold`` —
+    deterministic keep-min-id, single pass, no iteration.
+
+    Scale shape: candidate pairs are generated per cluster (an equi-join
+    on ``centroid_id``), so cost is sum(cluster_size^2), not corpus^2 —
+    the production recipe caps cluster sizes via the quantizer's k.
+    Expects integer-quantized vectors (``QUANT``) so the verification
+    cosines are engine-exact. Output: (vec_id, centroid_id, is_dropped).
+    """
+    a = indexed.select(
+        F.col(id_col).alias("id_a"), F.col("centroid_id"), F.col(vec_col).alias("va")
+    )
+    b = indexed.select(
+        F.col(id_col).alias("id_b"), F.col("centroid_id"), F.col(vec_col).alias("vb")
+    )
+    dropped = (
+        a.join(b, "centroid_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_b",
+            _cosine_arrow()(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return (
+        indexed.select(id_col, "centroid_id")
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "centroid_id",
+            F.coalesce("is_dropped", F.lit(False)).alias("is_dropped"),
+        )
+    )

@@ -57,6 +57,7 @@ _PRIORITY = (
     "q105_depth_runs",
     "q106_pileup_calls",
     "q107_joint_genotyping_matrix",
+    "q108_semantic_dedup",
     # Upgraded from no_oracle to full value oracles this round.
     "q77_greedy_packing",
     "q89_ml_filter_score",

@@ -281,3 +281,47 @@ def q71_ivf_ann(spark, sf_dir):
     centroids, indexed = ivf_index(emb, n_centroids=8)
     queries = emb.where(F.col("vec_id") < 5)
     return ivf_cosine_topk(queries, indexed, centroids, k=3, nprobe=3)
+
+
+@query(
+    "q108_semantic_dedup",
+    oracle="""
+SELECT * FROM (VALUES
+  (0, CAST(23 AS BIGINT), CAST(0 AS BIGINT)),
+  (1, CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+  (2, CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+  (3, CAST(546 AS BIGINT), CAST(46 AS BIGINT)),
+  (4, CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+  (5, CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+  (6, CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+  (7, CAST(1 AS BIGINT), CAST(0 AS BIGINT))
+) AS t(centroid_id, n_vectors, n_dropped)
+""",
+)
+def q108_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (the embedding-space
+    counterpart of q64/q66): KMeans coarse clusters (ivf_index) ->
+    within-cluster exact-cosine pruning, dropping every vector with
+    cosine >= 0.9 to a lower-id cluster-mate — deterministic keep-min-id
+    in one pass. Pair generation is an equi-join on centroid_id, so cost
+    is sum(cluster^2), never corpus^2. Runs on the near-dup-augmented
+    corpus so there is ground truth to drop; per-cluster survivor stats
+    out. Seeded KMeans routing is reproducible (verified identical on
+    local[8]/local[32], the q71 pattern), so the sf0.01 result is
+    pinned as a literal VALUES oracle."""
+    from variantcalling_spark.operators.similarity import (
+        ivf_index,
+        semantic_dedup_flags,
+    )
+
+    corpus = neardup_corpus(spark, sf_dir)
+    centroids, indexed = ivf_index(corpus, n_centroids=8, vec_col="v")
+    flags = semantic_dedup_flags(indexed, threshold=0.9, vec_col="v")
+    return (
+        flags.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.col("is_dropped").cast("long")).alias("n_dropped"),
+        )
+        .orderBy("centroid_id")
+    )
