@@ -58,6 +58,7 @@ _PRIORITY = (
     "q106_pileup_calls",
     "q107_joint_genotyping_matrix",
     "q108_semantic_dedup",
+    "q109_pii_scrub",
     # Upgraded from no_oracle to full value oracles this round.
     "q77_greedy_packing",
     "q89_ml_filter_score",

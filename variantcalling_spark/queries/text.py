@@ -528,3 +528,46 @@ def q97_unigram_lm_score(spark, sf_dir):
         F.count(F.lit(1)).cast("int").alias("n_words"),
         F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 6).alias("avg_nll"),
     )
+
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_DIGITS = r"[0-9]{3,}"
+
+
+@query(
+    "q109_pii_scrub",
+    oracle=f"""
+WITH scrubbed AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS INT) AS n_emails,
+         CAST(len(regexp_extract_all(text, '{PII_DIGITS}')) AS INT) AS n_digit_runs,
+         regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                        '{PII_DIGITS}', '<NUM>', 'g') AS clean
+  FROM documents
+)
+SELECT doc_id, n_emails, n_digit_runs,
+       CAST(length(clean) AS INT) AS clean_len,
+       md5(clean) AS clean_md5
+FROM scrubbed
+""",
+)
+def q109_pii_scrub(spark, sf_dir):
+    """PII scrubbing — the redaction stage every training-data pipeline
+    runs before tokenization: count + replace email addresses and long
+    digit runs with typed placeholders. Pure per-row regexp expressions
+    (JVM codegen, zero shuffle — pipelines with the scan at any corpus
+    size); the md5 of the scrubbed text gives the oracle a
+    character-exact check of the full replacement, not just the
+    counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    email, digits = PII_EMAIL, PII_DIGITS
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email, "<EMAIL>"), digits, "<NUM>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(email)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(digits)).cast("int").alias("n_digit_runs"),
+        F.length(clean).cast("int").alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )
