@@ -278,3 +278,57 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
     finally:
         q.stop()
     assert ids == [1, 2, 3], f"duplicate not suppressed: {ids}"
+
+
+def test_rocksdb_state_store_provider(spark, tmp_path):
+    """The production state-store config must actually run a stateful
+    streaming aggregation in this environment (RocksDB provider ships
+    with Spark; set per-query via the checkpoint's SQL conf)."""
+    from pyspark.sql import functions as F
+
+    from variantcalling_spark.session import streaming_state_configs
+
+    cfgs = streaming_state_configs("rocksdb")
+    assert "RocksDBStateStoreProvider" in cfgs["spark.sql.streaming.stateStore.providerClass"]
+    old = {k: spark.conf.get(k, None) for k in cfgs}
+    for k, v in cfgs.items():
+        spark.conf.set(k, v)
+    try:
+        df = (
+            spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+        )
+        agg = (
+            df.withWatermark("timestamp", "1 second")
+            .groupBy(F.window("timestamp", "1 second"))
+            .count()
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("rocksdb_smoke")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        import time
+
+        # rate source never drains — poll the sink instead of
+        # processAllAvailable (which would wait forever)
+        deadline = time.time() + 60
+        rows = 0
+        while time.time() < deadline:
+            rows = spark.sql("SELECT count(*) FROM rocksdb_smoke").collect()[0][0]
+            if rows > 0:
+                break
+            time.sleep(0.5)
+        q.stop()
+        assert rows > 0
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    import pytest
+
+    with pytest.raises(ValueError):
+        streaming_state_configs("bogus")

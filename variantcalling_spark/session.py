@@ -83,6 +83,34 @@ def object_store_configs(
     raise ValueError(f"unsupported object-store scheme: {scheme}")
 
 
+def streaming_state_configs(provider: str = "rocksdb") -> dict[str, str]:
+    """State-store configs for production streaming (SURVEY §2.9 scale
+    path): the default in-memory HDFS-backed provider keeps every state
+    row on-heap — fine for tests, an OOM risk for large keyed state. The
+    RocksDB provider (ships with Spark) spills state off-heap to local
+    disk with changelog checkpointing, so state size is bounded by disk,
+    not executor heap. Verified working in this environment
+    (tests/test_streaming.py::test_rocksdb_state_store_provider)."""
+    if provider == "rocksdb":
+        return {
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            ),
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+                "true"
+            ),
+        }
+    if provider == "hdfs":
+        return {
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state."
+                "HDFSBackedStateStoreProvider"
+            ),
+        }
+    raise ValueError(f"unknown state-store provider: {provider}")
+
+
 def normalize_cloud_uri(uri: str) -> str:
     """Map user-facing URIs to the connector scheme Spark scans expect
     (``s3://`` -> ``s3a://``; gs/abfss/file/local paths pass through)."""
