@@ -298,3 +298,37 @@ def test_audio_decode_and_features(spark):
     assert row.n_samples == len(ss)
     assert row.rms == float(np.sqrt((ss * ss).sum() / len(ss)))
     assert row.n_zero_crossings == int((ss[:-1] * ss[1:] < 0).sum())
+
+
+def test_star_contraction_matches_label_propagation(spark):
+    """Star contraction must produce the same components as min-label
+    propagation — including on a 65-node path graph (diameter 64, deeper
+    than propagation's default round budget) and a multi-component mixed
+    graph."""
+    from variantcalling_spark.operators.dedup import (
+        connected_components,
+        star_contraction_components,
+    )
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.node, r.label)
+        for r in star_contraction_components(path, max_rounds=12).collect()
+    }
+    assert got == {(i, 0) for i in range(65)}
+
+    mixed = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21), (5, 6), (6, 7), (7, 5)],
+        "doc_a long, doc_b long",
+    )
+    star = {
+        (r.node, r.label)
+        for r in star_contraction_components(mixed).collect()
+    }
+    prop = {
+        (r.node, r.label)
+        for r in connected_components(mixed, max_iters=50).collect()
+    }
+    assert star == prop

@@ -469,3 +469,65 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def star_contraction_components(
+    pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", max_rounds: int = 20
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction — the O(log n)-round algorithm for graphs whose
+    components are DEEP (long chains), where min-label propagation
+    (``connected_components``) needs diameter-many rounds.
+
+    Each round: large-star connects every strictly-larger neighbor of u
+    to min(N(u) ∪ {u}); small-star connects the rest. Both are one
+    groupBy + join over the edge set; the edge set only shrinks toward
+    a star forest, and the driver loop holds just a convergence bit.
+    Output matches ``connected_components``: (node, label) with label =
+    the component's minimum id (equality pinned in tests, including a
+    path graph deeper than label propagation's round budget).
+    """
+    e = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def star(edges: DataFrame, large: bool) -> DataFrame:
+        nbrs = edges.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).unionByName(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select("u", F.least("mv", F.col("u")).alias("m"))
+        j = nbrs.join(mins, "u")
+        picked = j.where(F.col("v") > F.col("u")) if large else j.where(
+            F.col("v") <= F.col("u")
+        )
+        out = picked.select(F.col("v").alias("x"), F.col("m").alias("y")).unionByName(
+            j.select(F.col("u").alias("x"), F.col("m").alias("y"))
+        )
+        return (
+            out.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    for _ in range(max_rounds):
+        nxt = star(star(e, large=True), large=False).localCheckpoint()
+        diff = (
+            nxt.exceptAll(e).limit(1).count() + e.exceptAll(nxt).limit(1).count()
+        )
+        e = nxt
+        if diff == 0:
+            break
+
+    nbrs = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    return (
+        nbrs.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select(F.col("u").alias("node"), F.least("mv", F.col("u")).alias("label"))
+    )
