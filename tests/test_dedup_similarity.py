@@ -332,3 +332,41 @@ def test_star_contraction_matches_label_propagation(spark):
         for r in connected_components(mixed, max_iters=50).collect()
     }
     assert star == prop
+
+
+def test_int_matrix_rejects_float_vectors():
+    """The similarity kernels' contract is integer-quantized vectors;
+    float inputs must raise loudly, never truncate-toward-zero silently
+    (a truncated cosine would be wrong with no warning)."""
+    import numpy as np
+
+    from variantcalling_spark.operators.similarity import _int_matrix
+
+    ints = np.empty(2, dtype=object)
+    ints[0] = np.array([1, 2, 3], dtype=np.int64)
+    ints[1] = np.array([4, 5, 6], dtype=np.int64)
+    mat = _int_matrix(ints, [0, 1])
+    assert mat.dtype == np.int64 and mat.shape == (2, 3)
+
+    floats = np.empty(1, dtype=object)
+    floats[0] = np.array([0.9, 1.1], dtype=np.float64)
+    with pytest.raises(TypeError, match="integer-quantized"):
+        _int_matrix(floats, [0])
+
+
+def test_no_zero_norm_embeddings_after_quantization(spark, sf_dir):
+    """_cosine_arrow maps zero-norm vectors to NULL (documented
+    contract); assert the testdata embeddings never hit that branch, so
+    the NaN->NULL difference vs the old expression fold can't affect any
+    oracle-checked result."""
+    from variantcalling_spark.operators.similarity import _quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    zero_norm = emb.select(
+        F.aggregate(
+            _quantize(F.col("embedding")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x * x,
+        ).alias("nsq")
+    ).where(F.col("nsq") == 0)
+    assert zero_norm.count() == 0

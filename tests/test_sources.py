@@ -132,6 +132,13 @@ def test_object_store_config_shapes():
 
     gs = object_store_configs("gs", keyfile="/k.json")
     assert gs["spark.hadoop.google.cloud.auth.service.account.json.keyfile"] == "/k.json"
+    # modern (hadoop3 2.2.x+) connector reads fs.gs.auth.type, not the
+    # legacy google.cloud.auth.* keys — both generations must be present
+    assert gs["spark.hadoop.fs.gs.auth.type"] == "SERVICE_ACCOUNT_JSON_KEYFILE"
+    assert gs["spark.hadoop.fs.gs.auth.service.account.json.keyfile"] == "/k.json"
+    gs_anon = object_store_configs("gs", anonymous=True)
+    assert gs_anon["spark.hadoop.fs.gs.auth.type"] == "UNAUTHENTICATED"
+    assert gs_anon["spark.hadoop.google.cloud.auth.null.enable"] == "true"
 
     ab = object_store_configs("abfss", account="acct", account_key="k")
     assert (

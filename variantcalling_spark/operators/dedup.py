@@ -134,9 +134,9 @@ def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.size("set_a").alias("n_a"),
-            F.size("set_b").alias("n_b"),
-            F.size(F.array_intersect("set_a", "set_b")).alias("n_shared"),
+            F.size("set_a").cast("long").alias("n_a"),
+            F.size("set_b").cast("long").alias("n_b"),
+            F.size(F.array_intersect("set_a", "set_b")).cast("long").alias("n_shared"),
         )
         .withColumn(
             "jaccard",

@@ -3,10 +3,12 @@
 Images / audio / video ride through the engine as ``BinaryType`` columns
 with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 The Spark-side plumbing (schema, partitioning, batch iteration, UDF
-signatures) is real and tested; the actual media decoders are stubbed —
-the image/audio libraries are not in this container — behind
-``NotImplementedError`` with a deterministic byte-level featurizer
-standing in so pipelines run end-to-end.
+signatures) is real and tested. Media decode is flag-gated: with
+``VCSPARK_REAL_DECODERS=1`` the real decoders (pillow / soundfile) run
+and raise on undecodable payloads; by default a deterministic byte-level
+fake with the identical array contract stands in, keeping q102/q103's
+SQL value oracles bit-stable in every environment (the libraries are
+not in this container).
 """
 
 from __future__ import annotations
@@ -66,38 +68,46 @@ def decode_audio_fake(content: bytes) -> "np.ndarray":
     return ((buf * _AUDIO_MUL) % 256 - 128).astype(np.int16)
 
 
+def _real_decoders_enabled() -> bool:
+    """Real decoders (pillow/soundfile) run only when explicitly opted in
+    via ``VCSPARK_REAL_DECODERS=1``. The default is the deterministic
+    fake: q102/q103's SQL oracles are pure byte functions, so an
+    environment where pillow happens to decode a payload would silently
+    change results (and a try/except fallback would also swallow genuine
+    decode bugs). Opt-in keeps oracle-checked runs bit-stable everywhere
+    while production can flip one env var to get real media decode."""
+    import os
+
+    return os.environ.get("VCSPARK_REAL_DECODERS", "") == "1"
+
+
 def decode_image(content: bytes):
     """Decode an image payload to an (H, W, C) uint8 array.
 
-    Tries a real decoder (pillow) when available; this container ships
-    none, so the deterministic fake stands in — same array contract, so
-    swapping in the real decoder changes no downstream plumbing."""
-    try:  # pragma: no cover - pillow absent in this container
+    Uses pillow when ``VCSPARK_REAL_DECODERS=1`` (raising on undecodable
+    payloads rather than masking them); otherwise the deterministic fake
+    — same array contract, so flipping the flag changes no downstream
+    plumbing."""
+    if _real_decoders_enabled():  # pragma: no cover - pillow absent here
         import io
 
         from PIL import Image
 
         return np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
-    except Exception:
-        # library missing OR payload not a decodable image (e.g. the
-        # text-derived oracle payloads): the deterministic fake keeps the
-        # pipeline total and oracle-stable in every environment
-        return decode_image_fake(content)
+    return decode_image_fake(content)
 
 
 def decode_audio(content: bytes):
-    """Decode an audio payload to a 1-D sample array (real decoder when
-    soundfile is available, deterministic fake otherwise)."""
-    try:  # pragma: no cover - soundfile absent in this container
+    """Decode an audio payload to a 1-D int16 sample array (soundfile
+    when ``VCSPARK_REAL_DECODERS=1``, deterministic fake otherwise)."""
+    if _real_decoders_enabled():  # pragma: no cover - soundfile absent here
         import io
 
         import soundfile
 
         data, _rate = soundfile.read(io.BytesIO(content), dtype="int16")
         return data if data.ndim == 1 else data.mean(axis=1).astype("int16")
-    except Exception:
-        # library missing OR payload not decodable audio — see decode_image
-        return decode_audio_fake(content)
+    return decode_audio_fake(content)
 
 
 def resize_nearest(img: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":

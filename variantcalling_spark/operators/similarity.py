@@ -112,6 +112,23 @@ def _projection_sums(vec, n_planes: int, max_dims: int = 96):
     )
 
 
+def _int_matrix(vals, idx) -> "np.ndarray":
+    """Stack equal-length quantized vectors into an int64 matrix.
+
+    The module contract is integer-quantized vectors (``QUANT``): a
+    silent ``astype(int64)`` on float embeddings would truncate toward
+    zero and produce wrong cosines with no warning, so floating inputs
+    are rejected loudly instead — quantize upstream first.
+    """
+    mat = np.vstack([np.asarray(vals[i]) for i in idx])
+    if mat.dtype.kind == "f":
+        raise TypeError(
+            "similarity kernels expect integer-quantized vectors (QUANT); "
+            f"got floating dtype {mat.dtype} — quantize embeddings upstream"
+        )
+    return mat.astype(np.int64, copy=False)
+
+
 def _projection_sums_arrow(n_planes: int, max_dims: int = 96):
     """Arrow-vectorized twin of ``_projection_sums``: one numpy int64
     matmul per batch instead of an interpreted O(dims x n_planes)
@@ -147,7 +164,7 @@ def _projection_sums_arrow(n_planes: int, max_dims: int = 96):
                 for i in idx:
                     out[i] = zero
                 continue
-            mat = np.vstack([np.asarray(vals[i], dtype=np.int64) for i in idx])
+            mat = _int_matrix(vals, idx)
             sums = (mat @ planes[:length]).astype(np.float64)
             for j, i in enumerate(idx):
                 out[i] = sums[j]
@@ -188,7 +205,7 @@ def _band_slices_arrow(n_planes: int, n_bands: int, max_dims: int = 96):
                 for i in idx:
                     out[i] = zero
                 continue
-            mat = np.vstack([np.asarray(vals[i], dtype=np.int64) for i in idx])
+            mat = _int_matrix(vals, idx)
             bits = (mat @ planes[:length]) > 0  # rows x n_planes
             packed = bits.reshape(len(idx), n_bands, bits_per_band) @ powers
             for j, i in enumerate(idx):
@@ -204,7 +221,15 @@ def _cosine_arrow():
     Bit-identical to ``_dot(a,b) / (sqrt(_dot(a,a)) * sqrt(_dot(b,b)))``:
     int64 dot products are exact (|x| <= ~2e6, dims <= 96 keeps products
     far below 2^63 and the value below 2^53), and the float64 division
-    matches Spark's bigint->double semantics."""
+    matches Spark's bigint->double semantics.
+
+    Zero-norm contract: a zero-norm vector (all dims quantize to 0)
+    yields SQL NULL, not NaN — 0/0 produces NaN in the numpy buffer and
+    the ``Float64`` conversion masks it to NA. NULL sorts LAST in desc
+    ordering where the expression fold's NaN sorted FIRST; this is the
+    intended behavior (a direction-less vector should never win top-k),
+    and the testdata has no zero-norm embeddings post-quantization
+    (asserted in tests), so oracle parity is unaffected."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -226,8 +251,8 @@ def _cosine_arrow():
         ok = (la == lb) & (la > 0)
         for length in np.unique(la[ok]):
             idx = np.nonzero(ok & (la == length))[0]
-            x = np.vstack([np.asarray(av[i], dtype=np.int64) for i in idx])
-            y = np.vstack([np.asarray(bv[i], dtype=np.int64) for i in idx])
+            x = _int_matrix(av, idx)
+            y = _int_matrix(bv, idx)
             dot = np.einsum("ij,ij->i", x, y).astype(np.float64)
             nx = np.sqrt(np.einsum("ij,ij->i", x, x).astype(np.float64))
             ny = np.sqrt(np.einsum("ij,ij->i", y, y).astype(np.float64))
@@ -263,8 +288,8 @@ def _cosine_prenorm_arrow():
         ok = (la == lb) & (la > 0)
         for length in np.unique(la[ok]):
             idx = np.nonzero(ok & (la == length))[0]
-            x = np.vstack([np.asarray(av[i], dtype=np.int64) for i in idx])
-            y = np.vstack([np.asarray(bv[i], dtype=np.int64) for i in idx])
+            x = _int_matrix(av, idx)
+            y = _int_matrix(bv, idx)
             dot = np.einsum("ij,ij->i", x, y).astype(np.float64)
             out[idx] = dot / (nav[idx] * nbv[idx])
         res = pd.Series(pd.array(out, dtype="Float64"))

@@ -46,57 +46,79 @@ _MODULES = (
 # registration order. Keep newly added queries in this list so they get
 # oracle rows while they are young.
 _PRIORITY = (
-    # Round 3 front-of-budget: the driver checks ~50 queries per round.
-    # Never driver-checked (round-2 budget cut off exactly before them).
-    "q83_stream_stream_join",
-    "q84_streaming_dedup",
-    # New this round.
-    "q102_image_decode_features",
-    "q103_audio_features",
+    # Round 4 front-of-budget (~50 checked/round): new queries first, then
+    # re-certify stale greens, oldest first, so no green row ages past ~2
+    # rounds (round-2's silent regression shipped exactly because stale
+    # rows went unchecked).
+    # --- New this round ---
+    "q110_concordance_chain_rescue",
+    "q111_reads_ingest_depth",
+    # --- Last driver-checked in round 1 (oldest, 24) ---
+    "q02_filter_projection",
+    "q03_shipping_priority",
+    "q04_order_priority_semijoin",
+    "q05_local_supplier_volume",
+    "q07_customers_without_orders",
+    "q08_two_granularity_match",
+    "q11_binning_ladder",
+    "q16_set_intersect",
+    "q17_set_except",
+    "q18_union_concat",
+    "q19_topk_per_group",
+    "q22_null_defaulting",
+    "q33_interval_intersect",
+    "q35_count_bases",
+    "q37_reciprocal_overlap",
+    "q39_interval_complement",
+    "q47_score_calibration",
+    "q51_dna_scalars",
+    "q55_trinuc_spectrum",
+    "q56_pl_compress3",
+    "q57_genotype_ordering",
+    "q58_genotype_error_classify",
+    "q91_vcfeval_penalty_flavors",
+    "q92_split_multiallelic",
+    # --- Last driver-checked in round 2 (34); modules touched since ---
+    "q52_gvcf_compress",
+    "q65_ngram_jaccard",
+    "q66_minhash_lsh",
+    "q67_simhash",
+    "q64_exact_dedup",
+    "q98_dedup_clusters",
+    "q76_sequence_packing",
+    "q75_decontamination",
+    "q63_rolling_fingerprint",
+    "q72_bpe_tokens",
+    "q60_token_stats",
+    "q61_quality_score",
+    "q62_lang_id_confusion",
+    "q78_repetition_ratio",
+    "q97_unigram_lm_score",
+    "q70_multimodal_features",
+    "q93_frame_sampling",
+    "q94_deterministic_shuffle",
+    "q13_hmer_stat_matrix",
+    "q14_contingency_multinomial",
+    "q23_annotate_back_join",
+    "q24_dynamic_map_lookup",
+    "q25_stratified_sample",
+    "q26_inverse_cdf_sample",
+    "q27_truth_classify",
+    "q28_phred_codec",
+    "q29_flow_rle",
+    "q49_titv_ratio",
+    "q54_imputation_pl_rescale",
+    "q59_haploid_pl",
+    "q87_sv_stats_matrix",
+    "q95_collapse_multiallelic",
+    "q100_hardy_weinberg",
+    "q101_mendel_violation_rate",
+    # --- Round-3-green queries whose hot paths changed this round ---
+    "q74_embedding_neardup_lsh",
+    "q99_data_curation_funnel",
     "q104_concordance_window_rescue",
     "q105_depth_runs",
     "q106_pileup_calls",
-    "q107_joint_genotyping_matrix",
-    "q108_semantic_dedup",
-    "q109_pii_scrub",
-    # Upgraded from no_oracle to full value oracles this round.
-    "q77_greedy_packing",
-    "q89_ml_filter_score",
-    "q71_ivf_ann",
-    # Events-table family: round-2 errs / stale round-1 greens behind the
-    # fixed tables.py import — prove the fix with fresh rows.
-    "q86_coverage_summary",
-    "q48_cumulative_coverage",
-    "q12_numeric_histogram",
-    "q30_point_in_interval",
-    "q31_interval_semi_join",
-    "q32_interval_anti_join",
-    "q34_bucketed_range_join",
-    "q36_asof_join",
-    "q96_interval_map_agg",
-    "q38_closest_interval",
-    "q40_pr_curve",
-    "q41_running_extent_dedup",
-    "q42_interval_merge",
-    "q43_every_nth",
-    "q44_histogram_percentiles",
-    "q45_hierarchical_rollup",
-    "q46_score_direction",
-    "q50_phred_math",
-    "q53_overlap_cleanup",
-    "q80_tumbling_window",
-    "q81_sliding_window",
-    "q82_session_window",
-    # Arrow-vectorized this round — re-verify bit parity.
-    "q74_embedding_neardup_lsh",
-    "q69_lsh_ann",
-    "q68_cosine_topk",
-    "q73_embedding_neardup",
-    "q99_data_curation_funnel",
-    # Flagship re-confirmation.
-    "q88_hit_fraction",
-    "q85_evaluate_concordance",
-    "q90_denovo_refinement",
 )
 
 

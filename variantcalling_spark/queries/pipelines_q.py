@@ -224,7 +224,10 @@ def q89_ml_filter_score(spark, sf_dir):
     training is genuinely non-SQL, so the oracle is the literal expected
     aggregate (the q52 pattern); last-ulp coefficient jitter across
     partitionings is absorbed by the rounding, verified stable across
-    local[8]/local[32] in tests/test_ml.py."""
+    local[8]/local[32] in tests/test_ml.py. Same Spark-ML-build pinning
+    assumption as q71: a different Spark/BLAS build could move the LBFGS
+    solution and spuriously fail the literal oracle — re-pin on upgrade;
+    the separability test in tests/test_ml.py is the portable check."""
     from variantcalling_spark.ml import score_with_model, train_filtering_model
 
     feats = q89_features(spark)

@@ -274,7 +274,14 @@ def q71_ivf_ann(spark, sf_dir):
     sequential per-row folds (no shuffle-order dependence), so the
     sf0.01 result is pinned as a literal VALUES oracle (verified
     identical on local[8] and local[32]); recall vs the exact baseline
-    is additionally pinned in tests."""
+    is additionally pinned in tests.
+
+    Pinning assumption: the literal values bake in this image's Spark ML
+    build (Spark 4.1 KMeans, its BLAS backend, treeAggregate combine
+    order). An engine upgrade could legitimately move centroids and
+    spuriously fail this oracle — re-pin on upgrade; the tolerance-based
+    recall test in tests/test_dedup_similarity.py is the
+    version-portable check."""
     from variantcalling_spark.operators.similarity import ivf_cosine_topk, ivf_index
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -308,7 +315,9 @@ def q108_semantic_dedup(spark, sf_dir):
     corpus so there is ground truth to drop; per-cluster survivor stats
     out. Seeded KMeans routing is reproducible (verified identical on
     local[8]/local[32], the q71 pattern), so the sf0.01 result is
-    pinned as a literal VALUES oracle."""
+    pinned as a literal VALUES oracle — same Spark-ML-build pinning
+    assumption as q71 (re-pin on engine upgrade; the tolerance-based
+    tests are the portable check)."""
     from variantcalling_spark.operators.similarity import (
         ivf_index,
         semantic_dedup_flags,

@@ -65,11 +65,19 @@ def object_store_configs(
                 "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFileSystem"
             ),
         }
+        # Emit BOTH key generations (they coexist harmlessly): legacy
+        # google.cloud.auth.* for older gcs-connector builds, and the
+        # fs.gs.auth.type contract current releases (hadoop3 2.2.x+)
+        # actually read — legacy-only settings are ignored on a modern
+        # cluster image and reads fail auth.
         if anonymous:
             c["spark.hadoop.google.cloud.auth.null.enable"] = "true"
+            c["spark.hadoop.fs.gs.auth.type"] = "UNAUTHENTICATED"
         elif keyfile:
             c["spark.hadoop.google.cloud.auth.service.account.enable"] = "true"
             c["spark.hadoop.google.cloud.auth.service.account.json.keyfile"] = keyfile
+            c["spark.hadoop.fs.gs.auth.type"] = "SERVICE_ACCOUNT_JSON_KEYFILE"
+            c["spark.hadoop.fs.gs.auth.service.account.json.keyfile"] = keyfile
         return c
     if scheme in ("abfs", "abfss"):
         if not account:
