@@ -121,7 +121,10 @@ def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     memory even at corpus scale — the verification path that keeps
     MinHash-LSH / prefix-filter dedup linear end-to-end at 100 TB.
     """
-    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh_set"))
+    # persisted: both join sides (sa, sb) consume this aggregate, and the
+    # doc_a/doc_b renames defeat exchange reuse — without the persist the
+    # collect_set shuffle over the full shingle table runs twice
+    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh_set")).persist()
     sa = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a")
     )

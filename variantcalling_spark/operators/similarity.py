@@ -424,27 +424,43 @@ def banded_near_dup_pairs(
     recall for high-cosine duplicates.
     """
     # one Arrow pass computes the projection matmul AND packs all band
-    # slices; the vector and its (once-computed) norm ride the explode so
-    # verification needs no second corpus scan
-    bands = (
-        vecs.select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).alias("v"),
-            F.sqrt(
-                _dot(F.col(vec_col), F.col(vec_col)).cast("double")
-            ).alias("norm"),
-            _band_slices_arrow(n_planes, n_bands)(F.col(vec_col)).alias("slices"),
-        )
-        .select(
-            "vec_id",
-            "v",
-            "norm",
-            F.posexplode("slices").alias("band", "slice"),
-        )
+    # slices; the vector, its (once-computed) norm, and the full slice
+    # array ride the explode so verification needs no second corpus scan.
+    # The signature table is persisted BEFORE the self-join: both join
+    # sides are the same subplan differing only by alias, and without
+    # the persist each side re-runs the Arrow signature UDF over the
+    # whole corpus (no ReusedExchange across a broadcast/shuffle split) —
+    # one corpus-sized cache, half the signature compute, at any scale.
+    sig = vecs.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(
+            _dot(F.col(vec_col), F.col(vec_col)).cast("double")
+        ).alias("norm"),
+        _band_slices_arrow(n_planes, n_bands)(F.col(vec_col)).alias("slices"),
+    ).persist()
+    bands = sig.select(
+        "vec_id",
+        "v",
+        "norm",
+        "slices",
+        F.posexplode("slices").alias("band", "slice"),
     )
     a, b = bands.alias("a"), bands.alias("b")
-    # score at candidate discovery (cosine is identical on every band a
-    # pair collides in, so distinct() after scoring dedups exactly)
+    # A pair colliding in k bands would be discovered k times; keep only
+    # the FIRST colliding band (all earlier band slices differ — a cheap
+    # codegen filter over the carried slice arrays). Each surviving pair
+    # is therefore unique BEFORE the Arrow cosine runs — no redundant
+    # scoring, and no distinct() re-shuffle after — which is what keeps
+    # the verify stage linear in |candidate pairs| at corpus scale.
+    first_collision = F.forall(
+        F.zip_with(
+            F.slice(F.col("a.slices"), 1, F.col("a.band")),
+            F.slice(F.col("b.slices"), 1, F.col("b.band")),
+            lambda x, y: x != y,
+        ),
+        lambda differs: differs,
+    )
     return (
         a.join(
             b,
@@ -452,6 +468,7 @@ def banded_near_dup_pairs(
             & (F.col("a.slice") == F.col("b.slice"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
+        .where(first_collision)
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
@@ -460,7 +477,6 @@ def banded_near_dup_pairs(
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
-        .distinct()
     )
 
 

@@ -178,9 +178,14 @@ SELECT DISTINCT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
 def q74_embedding_neardup_lsh(spark, sf_dir):
     """Embedding-cosine near-dup discovery at scale: 32 random-hyperplane
     sign bits -> 4 banded 8-bit bucket self-joins -> exact cosine verify
-    of candidates only (vectors ride the band join; one corpus scan).
-    Linear discovery cost (no all-pairs pass); precision exact by
-    construction, recall vs q73 pinned in tests/test_dedup_similarity.py.
+    of candidates only (vectors ride the band join; one corpus scan,
+    signatures computed once behind a persist). Multi-band collisions
+    are deduped BEFORE scoring via the first-colliding-band filter (a
+    codegen predicate over the carried slice arrays), so each candidate
+    pair is cosine-scored exactly once and no distinct() re-shuffle
+    follows. Linear discovery cost (no all-pairs pass); precision exact
+    by construction, recall vs q73 pinned in
+    tests/test_dedup_similarity.py.
 
     Corpus persisted for the same both-sides-of-a-self-join reason as
     q73 (and the identical plan means q73/q74 share one cache entry)."""
