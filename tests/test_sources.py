@@ -155,3 +155,88 @@ def test_object_store_config_shapes():
     assert normalize_cloud_uri("s3://b/k.parquet") == "s3a://b/k.parquet"
     assert normalize_cloud_uri("gs://b/k") == "gs://b/k"
     assert normalize_cloud_uri("/local/p") == "/local/p"
+
+
+def test_sam_flat_to_depth_runs(spark, tmp_path):
+    """SAM text -> read intervals -> reads_to_depth_runs UNCHANGED:
+    CIGAR reference length (M/D/N/=/X consume, I/S/H/P don't), 1-based
+    POS, unmapped/low-mapq filtering, and the depth runs over the
+    parsed intervals match hand-computed coverage."""
+    from variantcalling_spark.operators.pileup import reads_to_depth_runs
+    from variantcalling_spark.sources.reads import read_sam_flat, sam_to_read_intervals
+
+    sam = "\n".join(
+        [
+            "@HD\tVN:1.6\tSO:coordinate",
+            "@SQ\tSN:c1\tLN:10000",
+            # POS 11 (1-based) -> start 10; 20M -> end 30
+            "r1\t0\tc1\t11\t60\t20M\t*\t0\t0\tAAAA\tFFFF",
+            # overlaps r1: start 20, 5M2D5M -> ref len 12 -> end 32
+            "r2\t0\tc1\t21\t60\t5M2D5M\t*\t0\t0\tAAAA\tFFFF",
+            # insertion + soft clip consume no reference: 3S10M2I -> len 10
+            "r3\t0\tc1\t41\t60\t3S10M2I\t*\t0\t0\tAAAA\tFFFF",
+            # unmapped: dropped
+            "r4\t4\t*\t0\t0\t*\t*\t0\t0\tAAAA\tFFFF",
+            # mapq 5 < min_mapq 10: dropped
+            "r5\t0\tc1\t51\t5\t10M\t*\t0\t0\tAAAA\tFFFF",
+        ]
+    )
+    p = tmp_path / "fixture.sam"
+    p.write_text(sam + "\n")
+
+    intervals = sam_to_read_intervals(read_sam_flat(spark, str(p)), min_mapq=10)
+    got = {(r.chrom, r.start, r.end) for r in intervals.collect()}
+    assert got == {("c1", 10, 30), ("c1", 20, 32), ("c1", 40, 50)}
+
+    runs = {
+        (r.chrom, r.start, r.end, r.depth)
+        for r in reads_to_depth_runs(intervals).collect()
+    }
+    assert runs == {
+        ("c1", 10, 20, 1),
+        ("c1", 20, 30, 2),
+        ("c1", 30, 32, 1),
+        ("c1", 40, 50, 1),
+    }
+
+
+def test_mpileup_to_pileup_calls(spark, tmp_path):
+    """mpileup text -> per-base observations -> pileup_call_variants
+    UNCHANGED: the base-string grammar (^X read starts, $ ends, +N/-N
+    inline indels, * deletions) decodes to the depth/alt counts
+    samtools reports, and the AF filter emits the same calls."""
+    from variantcalling_spark.operators.pileup import pileup_call_variants
+    from variantcalling_spark.sources.reads import (
+        _decode_base_string,
+        mpileup_to_base_observations,
+        read_mpileup,
+    )
+
+    # unit-level grammar pins
+    assert _decode_base_string("..,,") == [False] * 4
+    assert _decode_base_string("^F..$") == [False, False]
+    assert _decode_base_string(".+2AG.") == [False, False]  # indel skipped
+    assert _decode_base_string("AaT*") == [True, True, True, True]
+    assert _decode_base_string(".-3NNNA") == [False, True]
+
+    mp = "\n".join(
+        [
+            # 10 obs, 4 alt -> af 0.4 >= 0.25, dp >= 8: emitted
+            "c1\t100\tA\t10\t..AA,,aa..\tFFFFFFFFFF",
+            # 8 obs, 1 alt -> af 0.125 < 0.25: filtered
+            "c1\t101\tC\t8\t.......T\tFFFFFFFF",
+            # dp 4 < 8: filtered even though all alt
+            "c1\t102\tG\t4\tTTTT\tFFFF",
+            # read-start/end markers + indel don't inflate dp: 8 obs 4 alt
+            "c2\t200\tT\t8\t^F.+1A.$..AAA*\tFFFFFFFF",
+        ]
+    )
+    p = tmp_path / "fixture.pileup"
+    p.write_text(mp + "\n")
+
+    obs = mpileup_to_base_observations(read_mpileup(spark, str(p)))
+    calls = {
+        (r.chrom, r.pos, r.dp, r.ad, r.af)
+        for r in pileup_call_variants(obs, min_af=0.25, min_dp=8).collect()
+    }
+    assert calls == {("c1", 100, 10, 4, 0.4), ("c2", 200, 8, 4, 0.5)}

@@ -434,6 +434,71 @@ def q106_pileup_calls(spark, sf_dir):
 
 
 @query(
+    "q111_reads_ingest_depth",
+    oracle="""
+WITH reads AS (
+  SELECT concat('c', CAST(l_orderkey % 4 AS VARCHAR)) AS chrom,
+         (l_orderkey * 7 + l_linenumber * 13) % 50000 AS start,
+         (l_orderkey * 7 + l_linenumber * 13) % 50000
+           + (20 + CAST(l_quantity AS BIGINT) % 30) + (1 + l_linenumber % 3) AS "end"
+  FROM lineitem
+  WHERE l_linenumber % 7 <> 0 AND l_partkey % 60 >= 20
+),
+deltas AS (
+  SELECT chrom, start AS bp, 1 AS delta FROM reads
+  UNION ALL
+  SELECT chrom, "end" AS bp, -1 AS delta FROM reads
+),
+agg AS (
+  SELECT chrom, bp, SUM(delta) AS d FROM deltas
+  GROUP BY chrom, bp HAVING SUM(delta) <> 0
+),
+cum AS (
+  SELECT chrom, bp AS start,
+         LEAD(bp) OVER (PARTITION BY chrom ORDER BY bp) AS "end",
+         CAST(SUM(d) OVER (PARTITION BY chrom ORDER BY bp) AS BIGINT) AS depth
+  FROM agg
+)
+SELECT chrom, start, "end", depth FROM cum
+WHERE "end" IS NOT NULL AND depth > 0
+""",
+)
+def q111_reads_ingest_depth(spark, sf_dir):
+    """End-to-end text-alignment ingest: construct SAM records (tab
+    format, 1-based POS, mixed-op ``<a>M<b>D5S`` CIGARs, some unmapped
+    flags and sub-threshold MAPQs), then REALLY parse them with the SAM
+    source (`sources/reads.py`: field split, flag/MAPQ filters, CIGAR
+    reference-length fold) and pile the intervals into depth runs
+    (q105's operator, unchanged). The oracle computes each read's span
+    from the generating arithmetic directly — so field extraction,
+    1-based conversion, the CIGAR fold (M and D consume reference, S
+    does not), and both record filters are all value-proven, not just
+    shape-tested. Closes the reference's ``samtools`` text-pipe ingest
+    boundary (`coverage_analysis.py:653-683`) inside the engine."""
+    from variantcalling_spark.operators.pileup import reads_to_depth_runs
+    from variantcalling_spark.sources.reads import (
+        parse_sam_lines,
+        sam_to_read_intervals,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.select(
+        F.format_string(
+            "r%d\t%d\tc%d\t%d\t%d\t%dM%dD5S\t*\t0\t0\t*\t*",
+            F.col("l_orderkey"),
+            F.when(F.col("l_linenumber") % 7 == 0, F.lit(4)).otherwise(F.lit(0)),
+            (F.col("l_orderkey") % 4).cast("int"),
+            ((F.col("l_orderkey") * 7 + F.col("l_linenumber") * 13) % 50000 + 1),
+            (F.col("l_partkey") % 60).cast("int"),
+            (20 + F.col("l_quantity").cast("long") % 30).cast("int"),
+            (1 + F.col("l_linenumber") % 3).cast("int"),
+        ).alias("value")
+    )
+    intervals = sam_to_read_intervals(parse_sam_lines(lines), min_mapq=20)
+    return reads_to_depth_runs(intervals)
+
+
+@query(
     "q107_joint_genotyping_matrix",
     oracle="""
 WITH calls AS (
