@@ -193,3 +193,111 @@ def test_q92_q95_split_collapse_round_trip(spark, sf_dir):
         assert ad_alts == [r.ad_alt for r in rows]
         assert c.alts.split(",") == [f"ALT{r.alt_index}" for r in rows]
         assert c.dp == c.ad_ref + sum(ad_alts)
+
+
+def test_chain_rescue_mnv_snp_pair(spark):
+    """Base-edit group matching: an MNV FP is rescued against its
+    SNP-pair FN decomposition (and vice versa); allele errors at one
+    position never are; a bucket polluted by an extra mismatching
+    record conservatively rescues nothing."""
+    from variantcalling_spark.queries.advanced import chain_rescued_records
+
+    schema = "chrom string, pos long, ref string, alt string"
+    # forward chain at 320/321; reverse chain at 640/641 (bucket 40);
+    # allele error at 100; polluted bucket at 960..962
+    fp = spark.createDataFrame(
+        [
+            ("chr1", 100, "A", "C"),
+            ("chr1", 320, "AC", "GT"),
+            ("chr1", 640, "T", "A"),
+            ("chr1", 641, "G", "C"),
+            ("chr1", 960, "TG", "CA"),
+            ("chr1", 962, "A", "G"),  # extra FP edit pollutes bucket 60
+        ],
+        schema,
+    )
+    fn = spark.createDataFrame(
+        [
+            ("chr1", 100, "A", "G"),
+            ("chr1", 320, "A", "G"),
+            ("chr1", 321, "C", "T"),
+            ("chr1", 640, "TG", "AC"),
+            ("chr1", 960, "T", "C"),
+            ("chr1", 961, "G", "A"),
+        ],
+        schema,
+    )
+    resc_fp, resc_fn = chain_rescued_records(fp, fn, bucket=16)
+    assert {(r.chrom, r.pos) for r in resc_fp.collect()} == {
+        ("chr1", 320),
+        ("chr1", 640),
+        ("chr1", 641),
+    }
+    assert {(r.chrom, r.pos) for r in resc_fn.collect()} == {
+        ("chr1", 320),
+        ("chr1", 321),
+        ("chr1", 640),
+    }
+
+
+def test_chain_rescue_penalty_matrix(spark):
+    """Pinned 4-mode penalty matrix over a chain-rescued classification,
+    mirroring the reference's matrix test (`test/system/
+    test_vcfeval_flavors.py:10-50`; penalty semantics
+    `vcfeval_flavors.py:146-166`): chain-equivalent runs convert to TPs
+    first, then allele/genotype errors are charged per mode (2 = both
+    sides, 1 = half, 0 = none, -1 = none plus a TP reward)."""
+    from variantcalling_spark.queries.advanced import chain_rescued_records
+
+    schema = "chrom string, pos long, ref string, alt string"
+    tp_exact = 24
+    # 2 allele errors (100, 200), 1 chain (MNV 320 vs SNPs 320/321),
+    # 2 clean FPs (400, 420), 2 clean FNs (500, 520)
+    fp = spark.createDataFrame(
+        [
+            ("chr1", 100, "A", "C"),
+            ("chr1", 200, "C", "T"),
+            ("chr1", 320, "AC", "GT"),
+            ("chr1", 400, "G", "A"),
+            ("chr1", 420, "T", "C"),
+        ],
+        schema,
+    )
+    fn = spark.createDataFrame(
+        [
+            ("chr1", 100, "A", "G"),
+            ("chr1", 200, "C", "A"),
+            ("chr1", 320, "A", "G"),
+            ("chr1", 321, "C", "T"),
+            ("chr1", 500, "A", "T"),
+            ("chr1", 520, "C", "G"),
+        ],
+        schema,
+    )
+    resc_fp, resc_fn = chain_rescued_records(fp, fn, bucket=16)
+    n_chain_fp, n_chain_fn = resc_fp.count(), resc_fn.count()
+    assert (n_chain_fp, n_chain_fn) == (1, 2)
+
+    # allele errors: FP and FN sharing (chrom, pos) that were NOT rescued
+    resc_fp_keys = {(r.chrom, r.pos) for r in resc_fp.collect()}
+    resc_fn_keys = {(r.chrom, r.pos) for r in resc_fn.collect()}
+    fp_keys = {(r.chrom, r.pos) for r in fp.collect()} - resc_fp_keys
+    fn_keys = {(r.chrom, r.pos) for r in fn.collect()} - resc_fn_keys
+    ae = len(fp_keys & fn_keys)
+    assert ae == 2
+
+    tp = tp_exact + n_chain_fn
+    fp_n = fp.count() - n_chain_fp
+    fn_n = fn.count() - n_chain_fn
+    assert (tp, fp_n, fn_n) == (26, 4, 4)
+
+    def matrix(p):
+        extra = {2: ae, 1: ae / 2, 0: 0, -1: 0}[p]
+        reward = ae if p == -1 else 0
+        t, f_p, f_n = tp + reward, fp_n - ae + extra, fn_n - ae + extra
+        return (t, f_p, f_n, round(100 * t / (t + f_p), 2), round(100 * t / (t + f_n), 2))
+
+    assert matrix(2) == (26, 4, 4, 86.67, 86.67)
+    assert matrix(1) == (26, 3.0, 3.0, 89.66, 89.66)
+    assert matrix(0) == (26, 2, 2, 92.86, 92.86)
+    assert matrix(-1) == (28, 2, 2, 93.33, 93.33)

@@ -668,3 +668,289 @@ def q104_concordance_window_rescue(spark, sf_dir):
             6,
         ).alias("recall"),
     )
+
+
+def variant_base_edits(df, bucket: int = 16):
+    """Decompose variant records (chrom, pos, ref, alt) into base-level
+    edits (chrom, rpos record key, epos, rb, ab, bucket).
+
+    Same-length ref/alt (SNP/MNV/complex substitution) splits into one
+    edit per differing base at pos+i; length-changing records (indels)
+    stay one edit keyed at pos with the full ref/alt strings. Two
+    variant runs are haplotype-equivalent under this decomposition iff
+    they induce the same base-edit multiset — the representation that
+    makes an MNV equal its SNP decomposition and a split complex call
+    equal its merged form, without applying variants to a reference.
+    Buckets key edits by ``epos // bucket`` for the banded group match
+    in ``chain_rescued_records`` (pure JVM expressions throughout)."""
+    same_len = F.length("ref") == F.length("alt")
+    sub_edits = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.length("ref")),
+            lambda i: F.struct(
+                (F.col("pos") + i - 1).alias("epos"),
+                F.col("ref").substr(i, F.lit(1)).alias("rb"),
+                F.col("alt").substr(i, F.lit(1)).alias("ab"),
+            ),
+        ),
+        lambda e: e["rb"] != e["ab"],
+    )
+    indel_edit = F.array(
+        F.struct(
+            F.col("pos").alias("epos"),
+            F.col("ref").alias("rb"),
+            F.col("alt").alias("ab"),
+        )
+    )
+    return (
+        df.select(
+            "chrom",
+            F.col("pos").alias("rpos"),
+            F.explode(F.when(same_len, sub_edits).otherwise(indel_edit)).alias("e"),
+        )
+        .select(
+            "chrom",
+            "rpos",
+            F.col("e.epos").alias("epos"),
+            F.col("e.rb").alias("rb"),
+            F.col("e.ab").alias("ab"),
+            F.floor(F.col("e.epos") / bucket).alias("bucket"),
+        )
+    )
+
+
+def chain_rescued_records(fp, fn, bucket: int = 16):
+    """Chain (group) rescue toward vcfeval's haplotype replay
+    (`vcfeval_flavors.py:118-120`, SURVEY §7.4 hard-part 5): an FP run
+    and an FN run are re-matched as GROUPS when their base-edit
+    multisets agree — the MNV <-> SNP-pair and split/merge chain cases
+    that single-record windows cannot absorb.
+
+    Mechanics (all linear, no all-pairs): decompose both sides into
+    base edits; aggregate each (chrom, bucket) into a sorted edit
+    signature; inner-join signatures (equal multiset <=> equal sorted
+    signature); a RECORD is rescued iff every bucket its edits touch is
+    a matched bucket (straddling records absorb only on a full match).
+    Single-round approximation vs full replay: equivalence is detected
+    within bucket boundaries, and a bucket polluted by an unrelated
+    mismatching record conservatively rescues nothing.
+
+    Returns (rescued_fp_records, rescued_fn_records) as (chrom, rpos)
+    DataFrames."""
+    out = []
+    fpe = variant_base_edits(fp, bucket)
+    fne = variant_base_edits(fn, bucket)
+    sig = lambda e: e.groupBy("chrom", "bucket").agg(  # noqa: E731
+        F.concat_ws(
+            ";",
+            F.sort_array(
+                F.collect_list(
+                    F.format_string("%d:%s>%s", "epos", "rb", "ab")
+                )
+            ),
+        ).alias("sig")
+    )
+    matched = (
+        sig(fpe)
+        .join(sig(fne).withColumnRenamed("sig", "sig_fn"), ["chrom", "bucket"])
+        .where(F.col("sig") == F.col("sig_fn"))
+        .select("chrom", "bucket")
+    )
+    for edits in (fpe, fne):
+        out.append(
+            edits.join(matched.withColumn("hit", F.lit(1)), ["chrom", "bucket"], "left")
+            .groupBy("chrom", "rpos")
+            .agg(
+                F.count(F.lit(1)).alias("n_edits"),
+                F.count("hit").alias("n_matched"),
+            )
+            .where(F.col("n_edits") == F.col("n_matched"))
+            .select("chrom", F.col("rpos").alias("pos"))
+        )
+    return out[0], out[1]
+
+
+SQL_CHAIN_BASE = """
+  SELECT o_orderkey AS v,
+         concat('c', CAST(o_orderkey % 4 AS VARCHAR)) AS chrom,
+         o_orderkey * 20 AS p,
+         o_orderkey % 6 AS cs,
+         substr('ACGT', CAST(1 + o_orderkey % 4 AS INT), 1) AS b1,
+         substr('ACGT', CAST(1 + (o_orderkey + 1) % 4 AS INT), 1) AS a1,
+         substr('ACGT', CAST(1 + (o_orderkey + 2) % 4 AS INT), 1) AS b2,
+         substr('ACGT', CAST(1 + (o_orderkey + 3) % 4 AS INT), 1) AS a2,
+         substr('ACGT', CAST(1 + (o_orderkey + 2) % 4 AS INT), 1) AS a1w
+  FROM orders
+"""
+
+
+@query(
+    "q110_concordance_chain_rescue",
+    oracle=f"""
+WITH base AS ({SQL_CHAIN_BASE}),
+truth AS (
+  SELECT chrom, p AS pos, b1 AS ref, a1 AS alt FROM base WHERE cs IN (0, 1, 3, 4)
+  UNION ALL
+  SELECT chrom, p + 1, b2, a2 FROM base WHERE cs IN (0, 1, 3, 4)
+  UNION ALL
+  SELECT chrom, p, b1 || b2, a1 || a2 FROM base WHERE cs = 2
+),
+calls AS (
+  SELECT chrom, p AS pos, b1 || b2 AS ref, a1 || a2 AS alt FROM base WHERE cs = 0
+  UNION ALL
+  SELECT chrom, p, b1, a1 FROM base WHERE cs IN (1, 2, 5)
+  UNION ALL
+  SELECT chrom, p + 1, b2, a2 FROM base WHERE cs IN (1, 2, 3, 5)
+  UNION ALL
+  SELECT chrom, p, b1, a1w FROM base WHERE cs = 3
+),
+fp AS (
+  SELECT c.* FROM calls c LEFT JOIN truth t
+    ON c.chrom = t.chrom AND c.pos = t.pos AND c.ref = t.ref AND c.alt = t.alt
+  WHERE t.chrom IS NULL
+),
+fn AS (
+  SELECT t.* FROM truth t LEFT JOIN calls c
+    ON c.chrom = t.chrom AND c.pos = t.pos AND c.ref = t.ref AND c.alt = t.alt
+  WHERE c.chrom IS NULL
+),
+fpe AS (
+  SELECT chrom, rpos, epos, rb, ab, epos // 16 AS bucket FROM (
+    SELECT chrom, pos AS rpos, pos + i - 1 AS epos,
+           substr(ref, CAST(i AS INT), 1) AS rb, substr(alt, CAST(i AS INT), 1) AS ab
+    FROM (SELECT *, unnest(generate_series(1, length(ref))) AS i FROM fp)
+  ) WHERE rb <> ab
+),
+fne AS (
+  SELECT chrom, rpos, epos, rb, ab, epos // 16 AS bucket FROM (
+    SELECT chrom, pos AS rpos, pos + i - 1 AS epos,
+           substr(ref, CAST(i AS INT), 1) AS rb, substr(alt, CAST(i AS INT), 1) AS ab
+    FROM (SELECT *, unnest(generate_series(1, length(ref))) AS i FROM fn)
+  ) WHERE rb <> ab
+),
+fps AS (SELECT chrom, bucket,
+               array_to_string(list_sort(list(epos || ':' || rb || '>' || ab)), ';') AS sig
+        FROM fpe GROUP BY chrom, bucket),
+fns AS (SELECT chrom, bucket,
+               array_to_string(list_sort(list(epos || ':' || rb || '>' || ab)), ';') AS sig
+        FROM fne GROUP BY chrom, bucket),
+matched AS (SELECT fps.chrom, fps.bucket FROM fps JOIN fns
+            ON fps.chrom = fns.chrom AND fps.bucket = fns.bucket AND fps.sig = fns.sig),
+resc_fp AS (
+  SELECT e.chrom, e.rpos FROM fpe e LEFT JOIN matched m
+    ON e.chrom = m.chrom AND e.bucket = m.bucket
+  GROUP BY e.chrom, e.rpos HAVING COUNT(*) = COUNT(m.bucket)
+),
+resc_fn AS (
+  SELECT e.chrom, e.rpos FROM fne e LEFT JOIN matched m
+    ON e.chrom = m.chrom AND e.bucket = m.bucket
+  GROUP BY e.chrom, e.rpos HAVING COUNT(*) = COUNT(m.bucket)
+),
+agg AS (
+  SELECT (SELECT COUNT(*) FROM calls c JOIN truth t
+            ON c.chrom = t.chrom AND c.pos = t.pos AND c.ref = t.ref AND c.alt = t.alt) AS tp_exact,
+         (SELECT COUNT(*) FROM fp) AS fp_exact,
+         (SELECT COUNT(*) FROM fn) AS fn_exact,
+         (SELECT COUNT(*) FROM resc_fp) AS n_chain_fp,
+         (SELECT COUNT(*) FROM resc_fn) AS n_chain_fn
+)
+SELECT tp_exact, fp_exact, fn_exact, n_chain_fp, n_chain_fn,
+       tp_exact + n_chain_fn AS tp_final,
+       fp_exact - n_chain_fp AS fp_final,
+       fn_exact - n_chain_fn AS fn_final,
+       ROUND(CAST(tp_exact + n_chain_fn AS DOUBLE)
+             / (tp_exact + n_chain_fn + fp_exact - n_chain_fp), 6) AS precision,
+       ROUND(CAST(tp_exact + n_chain_fn AS DOUBLE)
+             / (tp_exact + fn_exact), 6) AS recall
+FROM agg
+""",
+)
+def q110_concordance_chain_rescue(spark, sf_dir):
+    """Chain-rescue concordance (the q104 follow-on, deeper into
+    vcfeval's haplotype-aware matching, `vcfeval_flavors.py:118-120`):
+    FP and FN RUNS re-matched as groups via base-edit-multiset equality
+    — an MNV call is rescued against its SNP-pair truth decomposition
+    (and vice versa) even though no single-record window match exists.
+    The constructed callset mixes forward chains (MNV call vs SNP-pair
+    truth), reverse chains (SNP-pair call vs MNV truth), exact matches,
+    allele errors (never rescued), and pure FP/FN runs.
+
+    Scale shape: decomposition is a per-record explode; group matching
+    is an equi-join on (chrom, bucket, signature); record absorption is
+    one aggregate over edits — everything linear in callset size, no
+    all-pairs stage. The 4-mode penalty matrix over chain/allele errors
+    is pinned in tests/test_advanced.py::test_chain_rescue_penalty_matrix."""
+    o = load_table(spark, sf_dir, "orders")
+    acgt = F.lit("ACGT")
+    base = o.select(
+        F.concat(F.lit("c"), (F.col("o_orderkey") % 4).cast("string")).alias("chrom"),
+        (F.col("o_orderkey") * 20).alias("p"),
+        (F.col("o_orderkey") % 6).alias("cs"),
+        acgt.substr((1 + F.col("o_orderkey") % 4).cast("int"), F.lit(1)).alias("b1"),
+        acgt.substr((1 + (F.col("o_orderkey") + 1) % 4).cast("int"), F.lit(1)).alias("a1"),
+        acgt.substr((1 + (F.col("o_orderkey") + 2) % 4).cast("int"), F.lit(1)).alias("b2"),
+        acgt.substr((1 + (F.col("o_orderkey") + 3) % 4).cast("int"), F.lit(1)).alias("a2"),
+        acgt.substr((1 + (F.col("o_orderkey") + 2) % 4).cast("int"), F.lit(1)).alias("a1w"),
+    ).persist()
+
+    def rec(pos, ref, alt):
+        return F.struct(
+            pos.cast("long").alias("pos"), ref.alias("ref"), alt.alias("alt")
+        )
+
+    snp1 = rec(F.col("p"), F.col("b1"), F.col("a1"))
+    snp2 = rec(F.col("p") + 1, F.col("b2"), F.col("a2"))
+    mnv = rec(
+        F.col("p"), F.concat("b1", "b2"), F.concat(F.col("a1"), F.col("a2"))
+    )
+    snp1w = rec(F.col("p"), F.col("b1"), F.col("a1w"))
+    empty = F.array().cast(
+        "array<struct<pos:bigint,ref:string,alt:string>>"
+    )
+    truth = base.select(
+        "chrom",
+        F.explode(
+            F.when(F.col("cs") == 2, F.array(mnv))
+            .when(F.col("cs") == 5, empty)
+            .otherwise(F.array(snp1, snp2))
+        ).alias("r"),
+    ).select("chrom", "r.pos", "r.ref", "r.alt")
+    calls = base.select(
+        "chrom",
+        F.explode(
+            F.when(F.col("cs") == 0, F.array(mnv))
+            .when(F.col("cs") == 3, F.array(snp1w, snp2))
+            .when(F.col("cs") == 4, empty)
+            .otherwise(F.array(snp1, snp2))
+        ).alias("r"),
+    ).select("chrom", "r.pos", "r.ref", "r.alt")
+
+    key = ["chrom", "pos", "ref", "alt"]
+    fp = calls.join(truth, key, "left_anti")
+    fn = truth.join(calls, key, "left_anti")
+    resc_fp, resc_fn = chain_rescued_records(fp, fn, bucket=16)
+
+    counts = (
+        calls.join(truth, key).agg(cnt("tp_exact"))
+        .crossJoin(fp.agg(cnt("fp_exact")))
+        .crossJoin(fn.agg(cnt("fn_exact")))
+        .crossJoin(resc_fp.agg(cnt("n_chain_fp")))
+        .crossJoin(resc_fn.agg(cnt("n_chain_fn")))
+    )
+    tp_f = F.col("tp_exact") + F.col("n_chain_fn")
+    return counts.select(
+        "tp_exact",
+        "fp_exact",
+        "fn_exact",
+        "n_chain_fp",
+        "n_chain_fn",
+        tp_f.alias("tp_final"),
+        (F.col("fp_exact") - F.col("n_chain_fp")).alias("fp_final"),
+        (F.col("fn_exact") - F.col("n_chain_fn")).alias("fn_final"),
+        F.round(
+            tp_f / (tp_f + F.col("fp_exact") - F.col("n_chain_fp")).cast("double"), 6
+        ).alias("precision"),
+        F.round(
+            tp_f / (F.col("tp_exact") + F.col("fn_exact")).cast("double"), 6
+        ).alias("recall"),
+    )
