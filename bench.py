@@ -69,17 +69,65 @@ def main() -> None:
         _ = rows
 
     total = round(sum(per_query.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }
+
+    # Second scale point (10x sf0.1 via replica-with-key-offset,
+    # tools/make_scale.py): shows the data plane AMORTIZING over the
+    # constant local[32] scheduling floor. Opt out with
+    # SPARK_GRAFT_SCALE2=0; auto-generates ~170 MB on first run.
+    scale2 = _second_scale_point(spark, registry)
+    if scale2:
+        result["scale2"] = scale2
+
+    print(json.dumps(result))
+
+
+# Data-plane-heavy subset for the second scale point (the floor-bound
+# micro queries would only re-measure scheduling latency).
+SCALE2_QUERIES = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q19_topk_per_group",
+    "q34_bucketed_range_join",
+    "q65_ngram_jaccard",
+    "q66_minhash_lsh",
+    "q74_embedding_neardup_lsh",
+    "q99_data_curation_funnel",
+]
+
+
+def _second_scale_point(spark, registry) -> dict | None:
+    if os.environ.get("SPARK_GRAFT_SCALE2", "1") == "0":
+        return None
+    try:
+        repo = os.path.dirname(os.path.abspath(__file__))
+        sf1_dir = os.path.join(repo, "benchdata", "sf1")
+        if not os.path.isdir(os.path.join(sf1_dir, "lineitem.parquet")):
+            from tools.make_scale import make_scale
+
+            make_scale(spark, "/root/testdata/sf0.1", sf1_dir, factor=10)
+        names = [n for n in SCALE2_QUERIES if n in registry]
+        for n in names:
+            registry[n].fn(spark, sf1_dir).limit(1).count()
+        per_query: dict[str, float] = {}
+        for n in names:
+            t0 = time.time()
+            registry[n].fn(spark, sf1_dir).count()
+            per_query[n] = round(time.time() - t0, 3)
+        return {
+            "sf": 1.0,
+            "note": "10x sf0.1 replicas with key offsets (tools/make_scale.py)",
+            "value": round(sum(per_query.values()), 3),
+            "queries": per_query,
+        }
+    except Exception:
+        return None
 
 
 if __name__ == "__main__":

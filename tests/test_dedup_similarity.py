@@ -370,3 +370,48 @@ def test_no_zero_norm_embeddings_after_quantization(spark, sf_dir):
         ).alias("nsq")
     ).where(F.col("nsq") == 0)
     assert zero_norm.count() == 0
+
+
+def test_real_image_decoder_contract(monkeypatch):
+    """Exercises the REAL pillow branch of decode_image the day the
+    environment provides it (skips here): same (H, W, 3) uint8 array
+    contract as the deterministic fake, so flipping
+    VCSPARK_REAL_DECODERS=1 changes no downstream plumbing."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+
+    from variantcalling_spark.operators.multimodal import decode_image
+
+    monkeypatch.setenv("VCSPARK_REAL_DECODERS", "1")
+    img = Image.new("RGB", (4, 2), color=(10, 20, 30))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    arr = decode_image(buf.getvalue())
+    assert arr.shape == (2, 4, 3) and arr.dtype == np.uint8
+    assert (arr == [10, 20, 30]).all()
+    # undecodable payloads must RAISE under the flag, not silently fake
+    with pytest.raises(Exception):
+        decode_image(b"not an image")
+
+
+def test_real_audio_decoder_contract(monkeypatch):
+    """Same for the soundfile branch of decode_audio: 1-D int16 samples
+    (stereo averaged), raising on undecodable payloads."""
+    soundfile = pytest.importorskip("soundfile")
+    import io
+
+    import numpy as np
+
+    from variantcalling_spark.operators.multimodal import decode_audio
+
+    monkeypatch.setenv("VCSPARK_REAL_DECODERS", "1")
+    buf = io.BytesIO()
+    samples = np.array([0, 1000, -1000, 32000], dtype=np.int16)
+    soundfile.write(buf, samples, 8000, format="WAV", subtype="PCM_16")
+    out = decode_audio(buf.getvalue())
+    assert out.ndim == 1 and out.dtype == np.int16
+    assert (out == samples).all()
+    with pytest.raises(Exception):
+        decode_audio(b"not audio")

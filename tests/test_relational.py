@@ -50,3 +50,22 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert "sum_qty" in df.columns
+
+
+def test_sql_api_on_registered_views(spark, sf_dir):
+    """The SQL API surface: register_views + spark.sql running the
+    ANSI oracle strings directly, matching the DataFrame path — a user
+    of the reference can paste their SQL at the engine unchanged."""
+    from variantcalling_spark.queries import all_queries
+    from variantcalling_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    qs = all_queries()
+    for name in ("q15_distinct", "q20_value_counts", "q17_set_except",
+                 "q03_shipping_priority"):
+        via_sql = spark.sql(qs[name].oracle)
+        via_df = qs[name].fn(spark, sf_dir)
+        assert sorted(via_sql.columns) == sorted(via_df.columns), name
+        a = {tuple(r) for r in via_sql.collect()}
+        b = {tuple(r) for r in via_df.collect()}
+        assert a == b, f"{name}: sql={len(a)} rows, df={len(b)} rows"
