@@ -279,3 +279,26 @@ def test_q105_depth_windows_are_bucketed(spark):
     # per-chrom specs exist only for the bucket-prefix level (ordered by
     # bucket, i.e. operating on the bucket-totals table)
     assert all("bucket" in s or "bp" not in s for s in per_chrom_only)
+
+
+def test_q110_chain_rescue_is_equi_join_discovery(spark):
+    """Chain-rescue group matching must discover via (chrom, bucket)
+    equi-joins — never an all-pairs position join — and keep partial
+    aggregation for the edit signatures."""
+    p = plan_of(spark, "q110_concordance_chain_rescue")
+    assert "CartesianProduct" not in p
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") + p.count(
+        "BroadcastHashJoin"
+    ) >= 2, "signature match must be an equi-join"
+
+
+def test_q111_sam_parse_stays_jvm(spark):
+    """The SAM-parse -> depth pipeline must be pure JVM: no Python
+    evaluation anywhere in the plan (the CIGAR fold is a higher-order
+    expression, not a UDF), and the cumsum stays two-level (no window
+    over a whole unpartitioned chromosome... pinned as: every Window has
+    a partition spec)."""
+    p = plan_of(spark, "q111_reads_ingest_depth")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "PythonUDF" not in p
+    assert "CartesianProduct" not in p
