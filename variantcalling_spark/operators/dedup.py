@@ -395,30 +395,80 @@ def portable_minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFram
     )
 
 
+def _portable_bucket_expr(b: int, rows_per_band: int):
+    """Portable bucket key for band ``b``: the band's signature slots
+    folded by acc*8191 + slot mod 2^31-1 (max interim value
+    < p * 8192 < 2^44 — exact in 64-bit on both engines)."""
+    acc = F.element_at("signature", b * rows_per_band + 1)
+    for r in range(1, rows_per_band):
+        acc = (
+            acc * 8191 + F.element_at("signature", b * rows_per_band + r + 1)
+        ) % MERSENNE31
+    return acc
+
+
 def portable_band_buckets(
     signatures: DataFrame, num_bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
-    """(doc_id, band, bucket) rows with a portable bucket key: the band's
-    signature slots folded by acc*8191 + slot mod 2^31-1 (max interim
-    value < p * 8192 < 2^44 — exact in 64-bit on both engines)."""
-
-    def bucket(b):
-        acc = F.element_at("signature", b * rows_per_band + 1)
-        for r in range(1, rows_per_band):
-            acc = (acc * 8191 + F.element_at("signature", b * rows_per_band + r + 1)) % MERSENNE31
-        return acc
-
+    """(doc_id, band, bucket) rows with the portable bucket key."""
     return signatures.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _portable_bucket_expr(b, rows_per_band).alias("bucket"),
+                    )
                     for b in range(num_bands)
                 ]
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def portable_band_candidates(
+    signatures: DataFrame, num_bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Unique candidate pairs (doc_a < doc_b) colliding in >= 1 band.
+
+    The q74 recipe applied to MinHash: signatures are persisted (both
+    self-join sides consume the 32-MIN aggregate, and the doc_a/doc_b
+    renames defeat exchange reuse), all band buckets ride the explode as
+    one array, and a pair is emitted only from its FIRST colliding band
+    (a codegen filter over the carried bucket arrays) — so no
+    ``distinct()`` re-shuffle after the join and no redundant pairs
+    enter the verify stage. Output-identical to
+    ``portable_band_buckets`` + self-join + distinct."""
+    sig = signatures.persist()
+    ba = sig.select(
+        "doc_id",
+        F.array(
+            *[_portable_bucket_expr(b, rows_per_band) for b in range(num_bands)]
+        ).alias("buckets"),
+    )
+    bands = ba.select(
+        "doc_id", "buckets", F.posexplode("buckets").alias("band", "bucket")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    first_collision = F.forall(
+        F.zip_with(
+            F.slice(F.col("a.buckets"), 1, F.col("a.band")),
+            F.slice(F.col("b.buckets"), 1, F.col("b.band")),
+            lambda x, y: x != y,
+        ),
+        lambda differs: differs,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(first_collision)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
 
 
 def connected_components(

@@ -18,6 +18,7 @@ from variantcalling_spark.operators.dedup import (
     exact_dedup_clusters,
     jaccard_for_pairs,
     portable_band_buckets,
+    portable_band_candidates,
     portable_minhash_signatures,
     prefix_filtered_pairs,
     shingles,
@@ -210,18 +211,9 @@ def q66_minhash_lsh(spark, sf_dir):
     # is identical, a run that already executed q65 reuses its cache.
     sh = shingles(c, n=3).persist()
     sigs = portable_minhash_signatures(sh, num_hashes=32)
-    bands = portable_band_buckets(sigs, num_bands=8, rows_per_band=4)
-    a, b = bands.alias("a"), bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    # persisted signatures + first-colliding-band dedup (the q74 recipe):
+    # one 32-MIN aggregate pass, no distinct() re-shuffle
+    cands = portable_band_candidates(sigs, num_bands=8, rows_per_band=4)
     verified = jaccard_for_pairs(cands, sh).where(F.col("jaccard") >= 0.6)
     return verified.select(
         "doc_a", "doc_b", F.col("n_shared").cast("bigint").alias("n_shared"), "jaccard"
