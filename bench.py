@@ -98,6 +98,7 @@ SCALE2_QUERIES = [
     "q65_ngram_jaccard",
     "q66_minhash_lsh",
     "q74_embedding_neardup_lsh",
+    "q112_embedding_neardup_lsh_wide",
     "q99_data_curation_funnel",
 ]
 

@@ -53,6 +53,7 @@ _PRIORITY = (
     # --- New this round ---
     "q110_concordance_chain_rescue",
     "q111_reads_ingest_depth",
+    "q112_embedding_neardup_lsh_wide",
     # --- Last driver-checked in round 1 (oldest, 24) ---
     "q02_filter_projection",
     "q03_shipping_priority",

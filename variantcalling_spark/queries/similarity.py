@@ -194,6 +194,28 @@ def q74_embedding_neardup_lsh(spark, sf_dir):
     )
 
 
+@query(
+    "q112_embedding_neardup_lsh_wide",
+    oracle=_neardup_lsh_oracle_sql(n_planes=64, n_bands=4),
+)
+def q112_embedding_neardup_lsh_wide(spark, sf_dir):
+    """q74 with the band-width dial turned for a larger corpus: 64
+    planes -> 4 x 16-bit bands. Random pairs collide per band at
+    ~1/2^16 instead of ~1/2^8, so the verify set stays linear as the
+    corpus grows (the production setting is bits ~ log2 n + c; q74's
+    8-bit bands are the small-corpus point of the same operator).
+    Trade-off made explicit: recall for borderline-0.9 pairs drops
+    (p^16 per band) while exact/near-exact duplicates still collide in
+    every band — and precision stays exact because every emitted pair
+    is re-scored. The oracle recomputes the identical 64-plane banding
+    in SQL, so the wide configuration is value-proven end-to-end, and
+    bench.py's scale2 runs it at 10x to demonstrate the linear
+    behavior."""
+    return banded_near_dup_pairs(
+        neardup_corpus(spark, sf_dir).persist(), threshold=0.9, n_planes=64, n_bands=4
+    )
+
+
 def _lsh_ann_oracle_sql(n_planes: int = 16, prefix_bits: int = 6, dim: int = 64, k: int = 3) -> str:
     """LSH-bucketed ANN in DuckDB SQL: only the ``prefix_bits`` planes
     that form the bucket key need computing; signatures over quantized
