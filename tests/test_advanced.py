@@ -301,3 +301,52 @@ def test_chain_rescue_penalty_matrix(spark):
     assert matrix(1) == (26, 3.0, 3.0, 89.66, 89.66)
     assert matrix(0) == (26, 2, 2, 92.86, 92.86)
     assert matrix(-1) == (28, 2, 2, 93.33, 93.33)
+
+
+def test_haplotype_replay_rescues_indel_chains(spark):
+    """Replay equality (reconstructed sequence) absorbs length-changing
+    split/merge chains that base-edit multisets cannot: a 2-base
+    deletion vs its split deletions, an insertion vs its anchor-shifted
+    re-spelling. Allele errors and reference-inconsistent runs stay
+    unmatched."""
+    from variantcalling_spark.queries.advanced import (
+        chain_rescued_records,
+        replay_rescued_records,
+    )
+
+    schema = "chrom string, pos long, ref string, alt string"
+    # reference is 'ACGT'[pos % 4]; bucket width 32
+    # bucket 0: del-merge chain; bucket 2: ins chain; bucket 4: allele err
+    fp = spark.createDataFrame(
+        [
+            ("chr1", 0, "AC", "A"),    # split deletion, part 1
+            ("chr1", 2, "G", ""),      # split deletion, part 2
+            ("chr1", 64, "A", "AT"),   # split insertion, part 1
+            ("chr1", 65, "C", "TC"),   # split insertion, part 2
+            ("chr1", 128, "A", "G"),   # allele error
+        ],
+        schema,
+    )
+    fn = spark.createDataFrame(
+        [
+            ("chr1", 0, "ACG", "A"),   # merged deletion
+            ("chr1", 64, "A", "ATT"),  # merged insertion
+            ("chr1", 128, "A", "T"),   # allele error (different alt)
+        ],
+        schema,
+    )
+    resc_fp, resc_fn = replay_rescued_records(fp, fn, bucket=32)
+    assert {(r.chrom, r.pos) for r in resc_fp.collect()} == {
+        ("chr1", 0),
+        ("chr1", 2),
+        ("chr1", 64),
+        ("chr1", 65),
+    }
+    assert {(r.chrom, r.pos) for r in resc_fn.collect()} == {
+        ("chr1", 0),
+        ("chr1", 64),
+    }
+    # the base-edit multiset matcher (q110) cannot absorb these chains:
+    # length-changing records stay opaque single edits
+    ch_fp, _ = chain_rescued_records(fp, fn, bucket=32)
+    assert {(r.chrom, r.pos) for r in ch_fp.collect()} == set()

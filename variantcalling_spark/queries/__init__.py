@@ -54,6 +54,7 @@ _PRIORITY = (
     "q110_concordance_chain_rescue",
     "q111_reads_ingest_depth",
     "q112_embedding_neardup_lsh_wide",
+    "q113_concordance_haplotype_replay",
     # --- Last driver-checked in round 1 (oldest, 24) ---
     "q02_filter_projection",
     "q03_shipping_priority",

@@ -954,3 +954,273 @@ def q110_concordance_chain_rescue(spark, sf_dir):
             tp_f / (F.col("tp_exact") + F.col("fn_exact")).cast("double"), 6
         ).alias("recall"),
     )
+
+
+REPLAY_W = 32
+
+
+def _ref_slice(start, length):
+    """Reference substring [start, start+length) of the deterministic
+    periodic reference (base at pos = 'ACGT'[pos % 4]) as a JVM
+    expression — both engines rebuild identical reference sequence from
+    the position alone, so replay is value-checkable with no genome
+    file. Negative/zero lengths yield ''."""
+    pat = F.repeat(F.lit("ACGT"), (length / 4 + 2).cast("int"))
+    return F.when(
+        length > 0, pat.substr((start % 4 + 1).cast("int"), length.cast("int"))
+    ).otherwise(F.lit(""))
+
+
+def replay_signature(df, bucket: int = REPLAY_W):
+    """Per-(chrom, bucket) haplotype REPLAY string: apply the bucket's
+    variant records (sorted by pos, non-overlapping) to the reference
+    window [B*W, (B+1)*W) — leading reference slice + each record's alt
+    + inter-record reference gaps + trailing slice.
+
+    Unlike base-edit multisets (q110), replay equality is insensitive to
+    how length-changing edits are factored: a 2-base deletion equals its
+    split deletions, an insertion equals its anchor-shifted re-spelling —
+    the vcfeval haplotype-equivalence semantic, restricted to bucket
+    windows. All window+aggregate expressions; one shuffle per side."""
+    w = Window.partitionBy("chrom", "bucket").orderBy("pos")
+    e = df.select(
+        "chrom",
+        "pos",
+        "ref",
+        "alt",
+        F.floor(F.col("pos") / bucket).alias("bucket"),
+    )
+    gs = F.coalesce(
+        F.lag(F.col("pos") + F.length("ref")).over(w),
+        F.col("bucket") * bucket,
+    )
+    pieces = e.select(
+        "chrom",
+        "bucket",
+        "pos",
+        F.concat(_ref_slice(gs, F.col("pos") - gs), F.col("alt")).alias("piece"),
+        (F.col("pos") + F.length("ref")).alias("e"),
+    )
+    tail_len = (F.col("bucket") + 1) * bucket - F.col("max_e")
+    return (
+        pieces.groupBy("chrom", "bucket")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "piece"))),
+                    lambda x: x["piece"],
+                ),
+            ).alias("body"),
+            F.max("e").alias("max_e"),
+        )
+        .select(
+            "chrom",
+            "bucket",
+            F.concat(F.col("body"), _ref_slice(F.col("max_e"), tail_len)).alias("sig"),
+        )
+    )
+
+
+def replay_rescued_records(fp, fn, bucket: int = REPLAY_W):
+    """FP/FN records rescued by haplotype replay: buckets whose FP-side
+    and FN-side replay strings are identical convert wholesale (every
+    record in a matched bucket). Returns (rescued_fp, rescued_fn) as
+    (chrom, pos) DataFrames."""
+    matched = (
+        replay_signature(fp, bucket)
+        .join(
+            replay_signature(fn, bucket).withColumnRenamed("sig", "sig_fn"),
+            ["chrom", "bucket"],
+        )
+        .where(F.col("sig") == F.col("sig_fn"))
+        .select("chrom", "bucket")
+    )
+    out = []
+    for df in (fp, fn):
+        out.append(
+            df.select(
+                "chrom", "pos", F.floor(F.col("pos") / bucket).alias("bucket")
+            )
+            .join(matched, ["chrom", "bucket"])
+            .select("chrom", "pos")
+        )
+    return out[0], out[1]
+
+
+SQL_REPLAY_BASE = """
+  SELECT o_orderkey AS v,
+         concat('c', CAST(o_orderkey % 4 AS VARCHAR)) AS chrom,
+         o_orderkey * 40 AS p,
+         o_orderkey % 8 AS cs
+  FROM orders
+"""
+
+_SQL_REPLAY_SIG = """
+  SELECT chrom, bucket,
+         STRING_AGG(piece, '' ORDER BY pos)
+           || CASE WHEN (bucket + 1) * 32 - MAX(e) > 0 THEN
+                substr(repeat('ACGT', CAST(((bucket + 1) * 32 - MAX(e)) / 4 + 2 AS INT)),
+                       CAST(MAX(e) % 4 + 1 AS INT),
+                       CAST((bucket + 1) * 32 - MAX(e) AS INT))
+              ELSE '' END AS sig
+  FROM (
+    SELECT chrom, bucket, pos,
+           CASE WHEN pos - gs > 0 THEN
+             substr(repeat('ACGT', CAST((pos - gs) / 4 + 2 AS INT)),
+                    CAST(gs % 4 + 1 AS INT), CAST(pos - gs AS INT))
+           ELSE '' END || alt AS piece,
+           pos + length(ref) AS e
+    FROM (
+      SELECT *, COALESCE(LAG(pos + length(ref))
+                           OVER (PARTITION BY chrom, bucket ORDER BY pos),
+                         bucket * 32) AS gs
+      FROM (SELECT chrom, pos, ref, alt, pos // 32 AS bucket FROM {side})
+    )
+  )
+  GROUP BY chrom, bucket
+"""
+
+
+@query(
+    "q113_concordance_haplotype_replay",
+    oracle=f"""
+WITH base AS ({SQL_REPLAY_BASE}),
+truth AS (
+  SELECT chrom, p AS pos, 'A' AS ref, 'T' AS alt FROM base WHERE cs IN (0, 1, 3, 4)
+  UNION ALL SELECT chrom, p + 1, 'C', 'G' FROM base WHERE cs IN (0, 1, 3, 4)
+  UNION ALL SELECT chrom, p, 'AC', 'TG' FROM base WHERE cs = 2
+  UNION ALL SELECT chrom, p, 'ACG', 'A' FROM base WHERE cs = 6
+  UNION ALL SELECT chrom, p, 'A', 'ATT' FROM base WHERE cs = 7
+),
+calls AS (
+  SELECT chrom, p AS pos, 'AC' AS ref, 'TG' AS alt FROM base WHERE cs = 0
+  UNION ALL SELECT chrom, p, 'A', 'T' FROM base WHERE cs IN (1, 2, 5)
+  UNION ALL SELECT chrom, p + 1, 'C', 'G' FROM base WHERE cs IN (1, 2, 3, 5)
+  UNION ALL SELECT chrom, p, 'A', 'G' FROM base WHERE cs = 3
+  UNION ALL SELECT chrom, p, 'AC', 'A' FROM base WHERE cs = 6
+  UNION ALL SELECT chrom, p + 2, 'G', '' FROM base WHERE cs = 6
+  UNION ALL SELECT chrom, p, 'A', 'AT' FROM base WHERE cs = 7
+  UNION ALL SELECT chrom, p + 1, 'C', 'TC' FROM base WHERE cs = 7
+),
+fp AS (
+  SELECT c.* FROM calls c LEFT JOIN truth t
+    ON c.chrom = t.chrom AND c.pos = t.pos AND c.ref = t.ref AND c.alt = t.alt
+  WHERE t.chrom IS NULL
+),
+fn AS (
+  SELECT t.* FROM truth t LEFT JOIN calls c
+    ON c.chrom = t.chrom AND c.pos = t.pos AND c.ref = t.ref AND c.alt = t.alt
+  WHERE c.chrom IS NULL
+),
+fps AS ({_SQL_REPLAY_SIG.format(side="fp")}),
+fns AS ({_SQL_REPLAY_SIG.format(side="fn")}),
+matched AS (
+  SELECT fps.chrom, fps.bucket FROM fps JOIN fns
+    ON fps.chrom = fns.chrom AND fps.bucket = fns.bucket AND fps.sig = fns.sig
+),
+agg AS (
+  SELECT (SELECT COUNT(*) FROM calls c JOIN truth t
+            ON c.chrom = t.chrom AND c.pos = t.pos AND c.ref = t.ref AND c.alt = t.alt) AS tp_exact,
+         (SELECT COUNT(*) FROM fp) AS fp_exact,
+         (SELECT COUNT(*) FROM fn) AS fn_exact,
+         (SELECT COUNT(*) FROM fp e JOIN matched m
+            ON e.chrom = m.chrom AND e.pos // 32 = m.bucket) AS n_replay_fp,
+         (SELECT COUNT(*) FROM fn e JOIN matched m
+            ON e.chrom = m.chrom AND e.pos // 32 = m.bucket) AS n_replay_fn
+)
+SELECT tp_exact, fp_exact, fn_exact, n_replay_fp, n_replay_fn,
+       tp_exact + n_replay_fn AS tp_final,
+       fp_exact - n_replay_fp AS fp_final,
+       fn_exact - n_replay_fn AS fn_final,
+       ROUND(CAST(tp_exact + n_replay_fn AS DOUBLE)
+             / (tp_exact + n_replay_fn + fp_exact - n_replay_fp), 6) AS precision,
+       ROUND(CAST(tp_exact + n_replay_fn AS DOUBLE) / (tp_exact + fn_exact), 6) AS recall
+FROM agg
+""",
+)
+def q113_concordance_haplotype_replay(spark, sf_dir):
+    """Haplotype-replay concordance — the full vcfeval matching semantic
+    within bucket windows (`vcfeval_flavors.py:118-120`, closing SURVEY
+    §7.4 hard-part 5): FP and FN runs are re-matched when APPLYING them
+    to the reference yields the same sequence. Strictly stronger than
+    q110's base-edit multisets: a 2-base deletion matches its split
+    deletions and an insertion matches its anchor-shifted re-spelling,
+    cases where no per-base edit correspondence exists. The reference is
+    a deterministic periodic sequence ('ACGT'[pos % 4]) so both engines
+    rebuild it from positions alone — no genome file, full value oracle.
+
+    Constructed callset: MNV chains both directions, exact TPs, allele
+    errors (never rescued), pure FP/FN runs, and the two length-changing
+    chains (split deletion, split insertion) only replay can absorb.
+    Scale shape: replay strings are one window + one aggregate per side
+    over bucket-local records; matching is a (chrom, bucket, sig)
+    equi-join — linear, no all-pairs."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.concat(F.lit("c"), (F.col("o_orderkey") % 4).cast("string")).alias("chrom"),
+        (F.col("o_orderkey") * 40).alias("p"),
+        (F.col("o_orderkey") % 8).alias("cs"),
+    ).persist()
+
+    def rec(pos, ref, alt):
+        return F.struct(
+            pos.cast("long").alias("pos"),
+            F.lit(ref).alias("ref"),
+            F.lit(alt).alias("alt"),
+        )
+
+    p = F.col("p")
+    empty = F.array().cast("array<struct<pos:bigint,ref:string,alt:string>>")
+    snps = F.array(rec(p, "A", "T"), rec(p + 1, "C", "G"))
+    truth = base.select(
+        "chrom",
+        F.explode(
+            F.when(F.col("cs") == 2, F.array(rec(p, "AC", "TG")))
+            .when(F.col("cs") == 6, F.array(rec(p, "ACG", "A")))
+            .when(F.col("cs") == 7, F.array(rec(p, "A", "ATT")))
+            .when(F.col("cs") == 5, empty)
+            .otherwise(snps)
+        ).alias("r"),
+    ).select("chrom", "r.pos", "r.ref", "r.alt")
+    calls = base.select(
+        "chrom",
+        F.explode(
+            F.when(F.col("cs") == 0, F.array(rec(p, "AC", "TG")))
+            .when(F.col("cs") == 3, F.array(rec(p, "A", "G"), rec(p + 1, "C", "G")))
+            .when(F.col("cs") == 4, empty)
+            .when(F.col("cs") == 6, F.array(rec(p, "AC", "A"), rec(p + 2, "G", "")))
+            .when(F.col("cs") == 7, F.array(rec(p, "A", "AT"), rec(p + 1, "C", "TC")))
+            .otherwise(snps)
+        ).alias("r"),
+    ).select("chrom", "r.pos", "r.ref", "r.alt")
+
+    key = ["chrom", "pos", "ref", "alt"]
+    fp = calls.join(truth, key, "left_anti")
+    fn = truth.join(calls, key, "left_anti")
+    resc_fp, resc_fn = replay_rescued_records(fp, fn, bucket=REPLAY_W)
+
+    counts = (
+        calls.join(truth, key).agg(cnt("tp_exact"))
+        .crossJoin(fp.agg(cnt("fp_exact")))
+        .crossJoin(fn.agg(cnt("fn_exact")))
+        .crossJoin(resc_fp.agg(cnt("n_replay_fp")))
+        .crossJoin(resc_fn.agg(cnt("n_replay_fn")))
+    )
+    tp_f = F.col("tp_exact") + F.col("n_replay_fn")
+    return counts.select(
+        "tp_exact",
+        "fp_exact",
+        "fn_exact",
+        "n_replay_fp",
+        "n_replay_fn",
+        tp_f.alias("tp_final"),
+        (F.col("fp_exact") - F.col("n_replay_fp")).alias("fp_final"),
+        (F.col("fn_exact") - F.col("n_replay_fn")).alias("fn_final"),
+        F.round(
+            tp_f / (tp_f + F.col("fp_exact") - F.col("n_replay_fp")).cast("double"), 6
+        ).alias("precision"),
+        F.round(
+            tp_f / (F.col("tp_exact") + F.col("fn_exact")).cast("double"), 6
+        ).alias("recall"),
+    )
