@@ -415,3 +415,43 @@ def test_real_audio_decoder_contract(monkeypatch):
     assert (out == samples).all()
     with pytest.raises(Exception):
         decode_audio(b"not audio")
+
+
+def test_substring_dedup_spans_pinned(spark):
+    """Constructed corpus with a known shared passage: spans must cover
+    exactly the repeated 7-token run in each doc (maximal, merged), and
+    a doc with no duplicated shingle must emit nothing."""
+    from variantcalling_spark.operators.dedup import duplicated_substring_spans
+
+    shared = "the quick brown fox jumps over fences"  # 7 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"{shared} epsilon zeta eta theta iota"),
+            (3, "one two three four five six seven eight nine"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicated_substring_spans(docs, k=5, min_docs=2).collect()
+    }
+    # doc 1: shared run at token positions 2..8; doc 2: positions 0..6.
+    assert rows == {(1, 2, 8, 7), (2, 0, 6, 7)}
+
+
+def test_substring_dedup_merges_adjacent_runs(spark):
+    """Two overlapping duplicated shingle families in one doc merge into
+    a single maximal island, not two abutting spans."""
+    from variantcalling_spark.operators.dedup import duplicated_substring_spans
+
+    a = "a b c d e f g h"          # 8 tokens, all shared with doc 20
+    docs = spark.createDataFrame(
+        [(10, f"x {a} y"), (20, f"{a} tail1 tail2"), (30, "p q r s t u v w")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicated_substring_spans(docs, k=5, min_docs=2).collect()
+    }
+    assert rows == {(10, 1, 8), (20, 0, 7)}

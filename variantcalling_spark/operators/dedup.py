@@ -23,7 +23,7 @@ All are pure DataFrame plans:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -468,6 +468,74 @@ def portable_band_candidates(
         )
         .where(first_collision)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+
+
+def duplicated_substring_spans(
+    docs: DataFrame,
+    k: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level exact dedup: maximal per-document token spans
+    covered by any k-token shingle that occurs in >= ``min_docs``
+    distinct documents (the train-data repeated-passage remover — a
+    finer instrument than whole-document dedup, which keeps a document
+    but cannot flag the boilerplate paragraph it shares with thousands
+    of others).
+
+    Plan shape, built for 10^9 docs:
+    1. one pass shingling each doc into its k-token windows (JVM
+       ``transform``/``slice`` array expressions — no Python);
+    2. shingle document-frequency via groupBy (map-side combinable
+       count-distinct) — cost is vocabulary-sized, not corpus^2;
+    3. equi-join occurrences back to the duplicated-shingle keys (hash
+       shuffle on the shingle — AQE-splittable, no broadcast needed at
+       any scale);
+    4. per-document gaps-and-islands over covered token positions
+       (window partitioned by doc — never wider than one document).
+
+    The shingle relation feeds both the frequency agg and the join
+    probe, so it is persisted for the duration of the plan (same
+    reasoning as the PPJoin shingle table, measured there at 2.5x).
+    Returns (id, span_start, span_end, span_tokens), token-indexed.
+    """
+    w = docs.select(id_col, F.split(F.col(text_col), " ").alias("w")).where(
+        F.size("w") >= k
+    )
+    sh = w.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(w) - {k}),"
+                f" i -> array_join(slice(w, i + 1, {k}), ' '))"
+            )
+        ).alias("pos", "shingle"),
+    ).persist()
+    dup = (
+        sh.groupBy("shingle")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("shingle")
+    )
+    covered = (
+        sh.join(dup, "shingle")
+        .select(id_col, F.explode(F.sequence("pos", F.col("pos") + k - 1)).alias("tpos"))
+        .distinct()
+    )
+    island = F.col("tpos") - F.row_number().over(
+        Window.partitionBy(id_col).orderBy("tpos")
+    )
+    return (
+        covered.withColumn("grp", island)
+        .groupBy(id_col, "grp")
+        .agg(
+            F.min("tpos").cast("int").alias("span_start"),
+            F.max("tpos").cast("int").alias("span_end"),
+            F.count(F.lit(1)).cast("int").alias("span_tokens"),
+        )
+        .drop("grp")
     )
 
 

@@ -51,6 +51,7 @@ _PRIORITY = (
     # rounds (round-2's silent regression shipped exactly because stale
     # rows went unchecked).
     # --- New this round ---
+    "q114_substring_dedup_spans",
     "q110_concordance_chain_rescue",
     "q111_reads_ingest_depth",
     "q112_embedding_neardup_lsh_wide",

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 # dedup tool); the queries use the engine-portable family so discovery
 # is value-checked against DuckDB.
 from variantcalling_spark.operators.dedup import (
+    duplicated_substring_spans,
     exact_dedup_clusters,
     jaccard_for_pairs,
     portable_band_buckets,
@@ -562,3 +563,43 @@ def q99_data_curation_funnel(spark, sf_dir):
         ]
     )
     return agg.select(F.explode(stages).alias("s")).select("s.stage", "s.n_docs")
+
+
+@query(
+    "q114_substring_dedup_spans",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(w[i+1:i+5], ' ') AS shingle
+  FROM toks, UNNEST(range(CAST(len(w) AS BIGINT) - 4)) AS r(i)
+  WHERE len(w) >= 5
+),
+dup AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT s.doc_id, s.pos + CAST(j AS INT) AS tpos
+  FROM sh s JOIN dup d USING (shingle), UNNEST(range(5)) AS u(j)
+),
+isl AS (
+  SELECT doc_id, tpos,
+         tpos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tpos) AS grp
+  FROM cov
+)
+SELECT doc_id, CAST(MIN(tpos) AS INT) AS span_start,
+       CAST(MAX(tpos) AS INT) AS span_end,
+       CAST(COUNT(*) AS INT) AS span_tokens
+FROM isl GROUP BY doc_id, grp
+""",
+)
+def q114_substring_dedup_spans(spark, sf_dir):
+    """Substring-level exact dedup (the Lee et al. 2022 repeated-passage
+    shape, re-expressed relationally instead of via a suffix array): find
+    every maximal token span covered by a 5-token shingle occurring in
+    >= 2 distinct documents. Whole-doc dedup keeps one copy of a page but
+    cannot flag the license boilerplate shared by millions — this
+    operator emits exactly those spans for cutting. Discovery is a
+    shingle document-frequency aggregate + equi-join (linear, vocabulary-
+    bounded); span assembly is per-doc gaps-and-islands. Both engines
+    compute the identical span set."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicated_substring_spans(docs, k=5, min_docs=2)
