@@ -69,3 +69,56 @@ def test_sql_api_on_registered_views(spark, sf_dir):
         a = {tuple(r) for r in via_sql.collect()}
         b = {tuple(r) for r in via_df.collect()}
         assert a == b, f"{name}: sql={len(a)} rows, df={len(b)} rows"
+
+
+def test_domain_mixture_quotas_rebalance(spark, sf_dir):
+    """Temperature sampling must upweight rare domains: the smallest
+    domain's sampled share must exceed its corpus share, and the largest
+    domain's share must shrink; total stays within the 40% budget."""
+    from variantcalling_spark.queries.text import q115_domain_mixture_sampling
+
+    picked = q115_domain_mixture_sampling(spark, sf_dir)
+    by_dom = {r.domain: r for r in picked.groupBy("domain").count()
+              .join(picked.select("domain", "quota").distinct(), "domain")
+              .collect()}
+    # d1 (rare: 3 docs per 100 ids) vs d9 (head: 19 per 100).
+    assert by_dom["d1"].quota * 19 > by_dom["d9"].quota * 3
+
+
+def test_dsir_weights_separate_target_lang(spark, sf_dir):
+    """English (target) docs must receive a higher mean importance
+    weight than non-English docs — the whole point of the estimator."""
+    from pyspark.sql import functions as F
+
+    from variantcalling_spark.queries.text import q117_dsir_importance_weights
+    from variantcalling_spark.sources import load_table
+
+    w = q117_dsir_importance_weights(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    means = dict(
+        w.join(langs, "doc_id")
+        .groupBy(F.col("lang") == "en")
+        .agg(F.avg(F.col("weight") / F.col("n_grams")))
+        .collect()
+    )
+    assert means[True] > means[False]
+
+
+def test_bm25_ranks_term_dense_docs_first(spark, sf_dir):
+    """The top-ranked BM25 doc must actually contain query terms, and
+    ranks must be 1..k dense."""
+    from pyspark.sql import functions as F
+
+    from variantcalling_spark.queries.text import BM25_TERMS, q116_bm25_topk
+    from variantcalling_spark.sources import load_table
+
+    top = q116_bm25_topk(spark, sf_dir).collect()
+    assert sorted(r.rank for r in top) == list(range(1, len(top) + 1))
+    best = min(top, key=lambda r: r.rank)
+    text = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") == best.doc_id)
+        .head()
+        .text
+    )
+    assert any(t in text.split() for t in BM25_TERMS)

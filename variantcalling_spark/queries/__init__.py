@@ -52,6 +52,9 @@ _PRIORITY = (
     # rows went unchecked).
     # --- New this round ---
     "q114_substring_dedup_spans",
+    "q115_domain_mixture_sampling",
+    "q116_bm25_topk",
+    "q117_dsir_importance_weights",
     "q110_concordance_chain_rescue",
     "q111_reads_ingest_depth",
     "q112_embedding_neardup_lsh_wide",

@@ -571,3 +571,276 @@ def q109_pii_scrub(spark, sf_dir):
         F.length(clean).cast("int").alias("clean_len"),
         F.md5(clean).alias("clean_md5"),
     )
+
+
+@query(
+    "q115_domain_mixture_sampling",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id,
+         concat('d', CAST(CAST(FLOOR(sqrt(doc_id % 100)) AS INT) AS VARCHAR)) AS domain
+  FROM documents
+),
+cnts AS (SELECT domain, COUNT(*) AS n FROM docs GROUP BY domain),
+tot AS (SELECT SUM(n) AS n_total, SUM(CAST(sqrt(n) AS DECIMAL(18,9))) AS w_total FROM cnts),
+quotas AS (
+  SELECT domain,
+         CAST(FLOOR(((n_total * 2) // 5)
+           * (CAST(CAST(sqrt(n) AS DECIMAL(18,9)) AS DOUBLE) / CAST(w_total AS DOUBLE))
+           + 0.5) AS INT) AS quota
+  FROM cnts CROSS JOIN tot
+),
+ranked AS (
+  SELECT doc_id, domain,
+         CAST(ROW_NUMBER() OVER (PARTITION BY domain
+                ORDER BY md5(CAST(doc_id AS VARCHAR))) AS INT) AS rn
+  FROM docs
+)
+SELECT r.doc_id, r.domain, r.rn, q.quota
+FROM ranked r JOIN quotas q USING (domain) WHERE r.rn <= q.quota
+""",
+)
+def q115_domain_mixture_sampling(spark, sf_dir):
+    """Temperature-based domain mixture sampling (the multilingual /
+    data-mixing rebalance: p_d ∝ n_d^α with α = 0.5): per-domain quotas
+    from the tempered distribution over a 40% global budget, then a
+    deterministic md5-ordered pick of each domain's quota. Rare domains
+    are upsampled relative to their share, head domains capped — the
+    standard mixture dial for assembling a training corpus from skewed
+    sources. Domains are synthesized with quadratically skewed sizes so
+    the rebalancing is actually exercised. Counts/weights aggregate in
+    one map-side-combinable pass (weights DECIMAL-summed, so the quota
+    doubles are identical at any partition count); quotas broadcast back
+    (one row per domain); ranking is a per-domain window keyed by an
+    engine-portable md5 order — no global sort, no RNG state."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("d"),
+            F.floor(F.sqrt(F.col("doc_id") % 100)).cast("int").cast("string"),
+        ).alias("domain"),
+    )
+    cnts = docs.groupBy("domain").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnts.agg(
+        F.sum("n").alias("n_total"),
+        F.sum(F.sqrt("n").cast("decimal(18,9)")).alias("w_total"),
+    )
+    quotas = cnts.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        F.floor(
+            F.expr("(n_total * 2) div 5")
+            * (
+                F.sqrt("n").cast("decimal(18,9)").cast("double")
+                / F.col("w_total").cast("double")
+            )
+            + F.lit(0.5)
+        )
+        .cast("int")
+        .alias("quota"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("domain").orderBy(F.md5(F.col("doc_id").cast("string")))
+    )
+    return (
+        docs.withColumn("rn", rn.cast("int"))
+        .join(F.broadcast(quotas), "domain")
+        .where(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "domain", "rn", "quota")
+    )
+
+
+BM25_TERMS = ("spark", "join", "window", "stream")
+_BM25_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@query(
+    "q116_bm25_topk",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS dl FROM documents),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(CAST(len(string_split(text, ' ')) AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(*) AS avgdl
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM toks
+  WHERE w IN ({_BM25_IN}) GROUP BY doc_id, w
+),
+idf AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+              * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+              AS DECIMAL(18,12)) AS s
+  FROM tf JOIN idf USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_terms,
+         ROUND(CAST(SUM(s) AS DOUBLE), 6) AS score
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_terms, score,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM agg QUALIFY rank <= 20
+""",
+)
+def q116_bm25_topk(spark, sf_dir):
+    """BM25 keyword retrieval (k1=1.2, b=0.75): the search-side workhorse
+    for corpus exploration and retrieval-based decontamination. Plan is
+    the inverted-index shape — explode tokens, per-(doc, term) tf, tiny
+    per-term df and corpus stats broadcast back, per-term partial scores
+    DECIMAL-cast so the doc-level sum is term-order independent, global
+    top-20 by rounded score (tiebreak doc_id; the final window runs over
+    the ≤|matching docs| aggregate, never the corpus). At 100 TB the only
+    corpus-wide shuffles are the (doc, term) tf aggregate — restricted to
+    query terms at scan time by a pushed-down IN filter — and the doc-id
+    join against per-doc lengths."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("int").alias("dl")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size(F.split("text", " ")).cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    tf = (
+        toks.where(F.col("w").isin(*BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(idf), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                )
+            )
+            .cast("decimal(18,12)")
+            .alias("s"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_terms"),
+        F.round(F.sum("s").cast("double"), 6).alias("score"),
+    )
+    ranked = agg.withColumn(
+        "rank",
+        F.row_number()
+        .over(W.orderBy(F.col("score").desc(), "doc_id"))
+        .cast("int"),
+    )
+    return ranked.where(F.col("rank") <= 20)
+
+
+@query(
+    "q117_dsir_importance_weights",
+    oracle="""
+WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, lang, unnest(w) AS gram FROM w
+  UNION ALL
+  SELECT doc_id, lang,
+         unnest(list_transform(range(CAST(len(w) AS BIGINT) - 1),
+                i -> concat(w[i+1], ' ', w[i+2]))) AS gram
+  FROM w WHERE len(w) >= 2
+),
+bkt AS (SELECT doc_id, lang, list_reduce(list_transform(string_split(substr(md5(gram), 1, 8), ''), c -> CAST(CASE WHEN ascii(c) >= 97 THEN ascii(c) - 87 ELSE ascii(c) - 48 END AS BIGINT)), (a, b) -> a * 16 + b) % 2147483647 % 256 AS b FROM grams),
+per_doc AS (SELECT doc_id, lang, b, COUNT(*) AS c FROM bkt GROUP BY doc_id, lang, b),
+raw AS (SELECT b, SUM(c) AS cr FROM per_doc GROUP BY b),
+tgt AS (SELECT b, SUM(c) AS ct FROM per_doc WHERE lang = 'en' GROUP BY b),
+tots AS (SELECT SUM(c) AS tr, SUM(CASE WHEN lang = 'en' THEN c END) AS tt FROM per_doc),
+lr AS (
+  SELECT raw.b,
+         ln((COALESCE(ct, 0) + 1) / (tt + 256.0)) - ln((cr + 1) / (tr + 256.0)) AS lr
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tots
+),
+weighted AS (
+  SELECT doc_id, c, CAST(c * lr AS DECIMAL(20,10)) AS contrib
+  FROM per_doc JOIN lr USING (b)
+)
+SELECT doc_id, CAST(SUM(c) AS INT) AS n_grams,
+       ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS weight
+FROM weighted GROUP BY doc_id
+""",
+)
+def q117_dsir_importance_weights(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023): hashed n-gram
+    importance weights log p_target/p_raw summed over each document's
+    unigram+bigram features, with the English subset as the target
+    distribution. High-weight docs look like the target domain and get
+    selected for training. Features hash into 256 buckets with the
+    engine-portable md5 char-fold (`operators/dedup.py`), so BOTH
+    engines build bit-identical bucket distributions — the oracle
+    value-checks feature hashing, Laplace smoothing, and the weight sum.
+    Scale shape: one (doc, bucket) aggregate over the exploded grams
+    (map-side combinable; bucket count fixed at 256), bucket log-ratio
+    table is 256 rows broadcast back, per-doc weight sums DECIMAL-cast
+    contributions — order-independent at any partitioning. The gram
+    relation never materializes: explode -> hash -> aggregate pipelines
+    in one stage."""
+    from variantcalling_spark.operators.dedup import portable_string_hash
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    w = docs.select("doc_id", "lang", F.split("text", " ").alias("w"))
+    uni = w.select("doc_id", "lang", F.explode("w").alias("gram"))
+    bi = w.where(F.size("w") >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2),"
+                " i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))"
+            )
+        ).alias("gram"),
+    )
+    grams = uni.unionByName(bi)
+    per_doc = (
+        grams.select(
+            "doc_id", "lang", (portable_string_hash(F.col("gram")) % 256).alias("b")
+        )
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    raw = per_doc.groupBy("b").agg(F.sum("c").alias("cr"))
+    tgt = per_doc.where(F.col("lang") == "en").groupBy("b").agg(F.sum("c").alias("ct"))
+    tots = per_doc.agg(
+        F.sum("c").alias("tr"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c"))).alias("tt"),
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1) / (F.col("tt") + 256.0))
+                - F.log((F.col("cr") + 1) / (F.col("tr") + 256.0))
+            ).alias("lr"),
+        )
+    )
+    weighted = per_doc.join(F.broadcast(lr), "b").select(
+        "doc_id", "c", (F.col("c") * F.col("lr")).cast("decimal(20,10)").alias("contrib")
+    )
+    return weighted.groupBy("doc_id").agg(
+        F.sum("c").cast("int").alias("n_grams"),
+        F.round(F.sum("contrib").cast("double"), 6).alias("weight"),
+    )
