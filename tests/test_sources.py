@@ -240,3 +240,68 @@ def test_mpileup_to_pileup_calls(spark, tmp_path):
         for r in pileup_call_variants(obs, min_af=0.25, min_dp=8).collect()
     }
     assert calls == {("c1", 100, 10, 4, 0.4), ("c2", 200, 8, 4, 0.5)}
+
+
+def test_bam_binary_matches_sam_text(spark, tmp_path):
+    """Binary BAM decode must be record-identical to the text-SAM parse
+    of the same alignments (same schema, same values), and the depth
+    pipeline must produce the same runs from either format."""
+    from variantcalling_spark.operators.pileup import reads_to_depth_runs
+    from variantcalling_spark.sources.bam import bgzf_compress, pack_bam, read_bam
+    from variantcalling_spark.sources.reads import (
+        parse_sam_lines,
+        sam_to_read_intervals,
+    )
+
+    recs = [
+        dict(qname="r1", flag=0, chrom="c1", pos=11, mapq=60, cigar="20M"),
+        dict(qname="r2", flag=0, chrom="c1", pos=21, mapq=60, cigar="5M2D5M"),
+        dict(qname="r3", flag=0, chrom="c1", pos=41, mapq=60, cigar="3S10M2I"),
+        dict(qname="r5", flag=0, chrom="c1", pos=51, mapq=5, cigar="10M"),
+    ]
+    bam_path = tmp_path / "fixture.bam"
+    bam_path.write_bytes(
+        bgzf_compress(pack_bam(recs, refs=[("c1", 10000)]), block_size=128)
+    )
+
+    bam_df = read_bam(spark, str(bam_path))
+    sam_lines = spark.createDataFrame(
+        [
+            (f"{r['qname']}\t{r['flag']}\t{r['chrom']}\t{r['pos']}"
+             f"\t{r['mapq']}\t{r['cigar']}\t*\t0\t0\t*\t*",)
+            for r in recs
+        ],
+        ["value"],
+    )
+    sam_df = parse_sam_lines(sam_lines)
+    key = lambda r: (r.qname, r.flag, r.chrom, r.pos, r.mapq, r.cigar)  # noqa: E731
+    assert sorted(map(key, bam_df.collect())) == sorted(map(key, sam_df.collect()))
+
+    runs = {
+        (r.chrom, r.start, r.end, r.depth)
+        for r in reads_to_depth_runs(
+            sam_to_read_intervals(bam_df, min_mapq=10)
+        ).collect()
+    }
+    assert runs == {
+        ("c1", 10, 20, 1),
+        ("c1", 20, 30, 2),
+        ("c1", 30, 32, 1),
+        ("c1", 40, 50, 1),
+    }
+
+
+def test_bam_unmapped_and_multiblock(spark, tmp_path):
+    """BGZF multi-member files decode whole; unmapped records surface
+    with chrom='*' and are dropped by the interval filter."""
+    from variantcalling_spark.sources.bam import bgzf_compress, pack_bam, read_bam
+    from variantcalling_spark.sources.reads import sam_to_read_intervals
+
+    recs = [dict(qname=f"r{i}", flag=(4 if i % 3 == 0 else 0), chrom="cX",
+                 pos=100 + i, mapq=30, cigar="10M") for i in range(30)]
+    p = tmp_path / "multi.bam"
+    p.write_bytes(bgzf_compress(pack_bam(recs, refs=[("cX", 50000)]), block_size=64))
+    df = read_bam(spark, str(p))
+    assert df.count() == 30
+    assert df.where("flag = 4").count() == 10
+    assert sam_to_read_intervals(df).count() == 20

@@ -55,6 +55,7 @@ _PRIORITY = (
     "q115_domain_mixture_sampling",
     "q116_bm25_topk",
     "q117_dsir_importance_weights",
+    "q118_bam_binary_ingest_depth",
     "q110_concordance_chain_rescue",
     "q111_reads_ingest_depth",
     "q112_embedding_neardup_lsh_wide",

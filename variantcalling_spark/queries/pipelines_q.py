@@ -569,3 +569,88 @@ def q107_joint_genotyping_matrix(spark, sf_dir):
         n_called.cast("int").alias("n_called"),
         n_alt.cast("int").alias("n_alt"),
     )
+
+
+@query(
+    "q118_bam_binary_ingest_depth",
+    oracle="""
+WITH reads AS (
+  SELECT concat('c', CAST(l_orderkey % 4 AS VARCHAR)) AS chrom,
+         (l_orderkey * 7 + l_linenumber * 13) % 50000 AS start,
+         (l_orderkey * 7 + l_linenumber * 13) % 50000
+           + (20 + CAST(l_quantity AS BIGINT) % 30) + (1 + l_linenumber % 3) AS "end"
+  FROM lineitem
+  WHERE l_linenumber % 7 <> 0 AND l_partkey % 60 >= 20
+),
+deltas AS (
+  SELECT chrom, start AS bp, 1 AS delta FROM reads
+  UNION ALL
+  SELECT chrom, "end" AS bp, -1 AS delta FROM reads
+),
+agg AS (
+  SELECT chrom, bp, SUM(delta) AS d FROM deltas
+  GROUP BY chrom, bp HAVING SUM(delta) <> 0
+),
+cum AS (
+  SELECT chrom, bp AS start,
+         LEAD(bp) OVER (PARTITION BY chrom ORDER BY bp) AS "end",
+         CAST(SUM(d) OVER (PARTITION BY chrom ORDER BY bp) AS BIGINT) AS depth
+  FROM agg
+)
+SELECT chrom, start, "end", depth FROM cum
+WHERE "end" IS NOT NULL AND depth > 0
+""",
+)
+def q118_bam_binary_ingest_depth(spark, sf_dir):
+    """Binary-BAM ingest, value-proven end-to-end: each executor batch
+    PACKS its lineitem-derived alignments into a real BGZF-compressed
+    BAM payload (`sources/bam.py::pack_bam` — spec-packed little-endian
+    records, BGZF members with BSIZE fields) and immediately DECODES it
+    with the same parser the `binaryFile` scan uses, then the decoded
+    records flow through the unchanged text-era operators
+    (`sam_to_read_intervals` -> `reads_to_depth_runs`). The oracle
+    recomputes depth runs from the generating arithmetic, so the binary
+    record codec (refID dictionary, 0-based positions, packed CIGAR
+    ops, flag/mapq fields) and both record filters are value-checked —
+    the same proof q111 gives the text-SAM grammar. Encode+decode run
+    inside ONE Arrow mapInPandas stage: no shuffle added over q111's
+    plan, and the file-scan path (`read_bam`) shares the decoder
+    byte-for-byte (pinned equal to the text parse in
+    tests/test_sources.py)."""
+    from variantcalling_spark.operators.pileup import reads_to_depth_runs
+    from variantcalling_spark.sources.bam import (
+        BAM_SCHEMA,
+        bgzf_compress,
+        pack_bam,
+        parse_bam_bytes,
+    )
+    from variantcalling_spark.sources.reads import sam_to_read_intervals
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+
+    def roundtrip(batches):
+        refs = [(f"c{i}", 100000) for i in range(4)]
+        for pdf in batches:
+            recs = [
+                dict(
+                    qname=f"r{ok}",
+                    flag=4 if ln % 7 == 0 else 0,
+                    chrom=f"c{ok % 4}",
+                    pos=(ok * 7 + ln * 13) % 50000 + 1,
+                    mapq=int(pk % 60),
+                    cigar=f"{20 + int(qty) % 30}M{1 + ln % 3}D5S",
+                )
+                for ok, ln, pk, qty in zip(
+                    pdf["l_orderkey"],
+                    pdf["l_linenumber"],
+                    pdf["l_partkey"],
+                    pdf["l_quantity"],
+                )
+            ]
+            yield parse_bam_bytes(bgzf_compress(pack_bam(recs, refs)))
+
+    sam = li.mapInPandas(roundtrip, schema=BAM_SCHEMA)
+    intervals = sam_to_read_intervals(sam, min_mapq=20)
+    return reads_to_depth_runs(intervals)
