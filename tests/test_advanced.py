@@ -350,3 +350,36 @@ def test_haplotype_replay_rescues_indel_chains(spark):
     # length-changing records stay opaque single edits
     ch_fp, _ = chain_rescued_records(fp, fn, bucket=32)
     assert {(r.chrom, r.pos) for r in ch_fp.collect()} == set()
+
+
+def test_segmented_replay_rescues_across_bucket_boundary(spark):
+    """An MNV<->SNP-pair equivalence chain straddling pos 32 is invisible
+    to fixed 32 bp replay buckets (the records land in different buckets)
+    but rescues under data-driven segmentation — the exact depth gap q113
+    documented and q119 closes."""
+    from variantcalling_spark.queries.advanced import (
+        replay_rescued_records,
+        segmented_replay_rescue,
+    )
+
+    cols = ["chrom", "pos", "ref", "alt"]
+    fp = spark.createDataFrame([("c1", 31, "A", "G"), ("c1", 32, "C", "G")], cols)
+    fn = spark.createDataFrame([("c1", 31, "AC", "GG")], cols)
+
+    sfp, sfn = segmented_replay_rescue(fp, fn)
+    assert sfp.count() == 2 and sfn.count() == 1
+
+    bfp, bfn = replay_rescued_records(fp, fn, bucket=32)
+    assert bfp.count() == 0 and bfn.count() == 0
+
+
+def test_segmented_replay_rejects_allele_error(spark):
+    """A genuine allele error in the same segment must NOT rescue:
+    replay strings differ when the applied sequences differ."""
+    from variantcalling_spark.queries.advanced import segmented_replay_rescue
+
+    cols = ["chrom", "pos", "ref", "alt"]
+    fp = spark.createDataFrame([("c1", 31, "A", "G")], cols)
+    fn = spark.createDataFrame([("c1", 31, "A", "T")], cols)
+    sfp, sfn = segmented_replay_rescue(fp, fn)
+    assert sfp.count() == 0 and sfn.count() == 0

@@ -1224,3 +1224,285 @@ def q113_concordance_haplotype_replay(spark, sf_dir):
             tp_f / (F.col("tp_exact") + F.col("fn_exact")).cast("double"), 6
         ).alias("recall"),
     )
+
+
+REPLAY_GAP = 10
+
+
+def segmented_replay_rescue(fp, fn, gap: int = REPLAY_GAP):
+    """Haplotype replay over DATA-DRIVEN segments instead of fixed
+    buckets — the boundary-free completion of `replay_rescued_records`.
+
+    Segmentation runs over the UNION of both sides' records (so FP and
+    FN agree on every segment boundary by construction): a new segment
+    starts when a record's pos exceeds the running max end of prior
+    records by more than ``gap``. Each segment replays over its own
+    window [min pos, max end] — an equivalence chain that straddles any
+    fixed bucket boundary now lands in ONE segment and can rescue
+    (pinned in tests: the same callset re-scored with fixed 32-buckets
+    rescues strictly fewer records).
+
+    Scale: the segmentation window partitions by chrom; running-max and
+    cumulative-sum are both prefix aggregates, so at 3x10^9 rows per
+    contig they decompose into the same two-level (bucket-local window +
+    bucket-prefix join) used by `operators/pileup.py:64-100` — discordant
+    records are ~10^-3 of a callset, so per-chrom volumes here are small
+    long before that rewrite is needed. Replay/match stages are the same
+    one-window-one-aggregate-per-side + equi-join as q113.
+    Returns (rescued_fp, rescued_fn) as (chrom, pos) DataFrames."""
+    u = (
+        fp.withColumn("side", F.lit("fp"))
+        .unionByName(fn.withColumn("side", F.lit("fn")))
+        .withColumn("e", F.col("pos") + F.length("ref"))
+    )
+    w_ord = Window.partitionBy("chrom").orderBy("pos", "ref", "alt", "side")
+    prev_max = F.max("e").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    tagged = u.withColumn(
+        "brk",
+        F.when(prev_max.isNull() | ((F.col("pos") - prev_max) > gap), 1).otherwise(0),
+    )
+    segd = tagged.withColumn(
+        "seg", F.sum("brk").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    ).persist()
+    bounds = segd.groupBy("chrom", "seg").agg(
+        F.min("pos").alias("lo"), F.max("e").alias("hi")
+    )
+    j = segd.join(bounds, ["chrom", "seg"])
+    w_side = Window.partitionBy("chrom", "seg", "side").orderBy("pos")
+    gs = F.coalesce(F.lag("e").over(w_side), F.col("lo"))
+    pieces = j.select(
+        "chrom",
+        "seg",
+        "side",
+        "pos",
+        "e",
+        "hi",
+        F.concat(_ref_slice(gs, F.col("pos") - gs), F.col("alt")).alias("piece"),
+    )
+    sigs = (
+        pieces.groupBy("chrom", "seg", "side", "hi")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "piece"))),
+                    lambda x: x["piece"],
+                ),
+            ).alias("body"),
+            F.max("e").alias("max_e"),
+        )
+        .select(
+            "chrom",
+            "seg",
+            "side",
+            F.concat(
+                F.col("body"), _ref_slice(F.col("max_e"), F.col("hi") - F.col("max_e"))
+            ).alias("sig"),
+        )
+    )
+    matched = (
+        sigs.where(F.col("side") == "fp")
+        .select("chrom", "seg", "sig")
+        .join(
+            sigs.where(F.col("side") == "fn").select(
+                "chrom", "seg", F.col("sig").alias("sig_fn")
+            ),
+            ["chrom", "seg"],
+        )
+        .where(F.col("sig") == F.col("sig_fn"))
+        .select("chrom", "seg")
+    )
+    out = []
+    for side in ("fp", "fn"):
+        out.append(
+            segd.where(F.col("side") == side)
+            .join(matched, ["chrom", "seg"])
+            .select("chrom", "pos")
+        )
+    return out[0], out[1]
+
+
+_SQL_SLICE = (
+    "CASE WHEN ({ln}) > 0 THEN "
+    "substr(repeat('ACGT', CAST(({ln}) / 4 + 2 AS INT)), "
+    "CAST(({st}) % 4 + 1 AS INT), CAST(({ln}) AS INT)) ELSE '' END"
+)
+
+
+@query(
+    "q119_concordance_segmented_replay",
+    oracle=f"""
+WITH base AS (
+  SELECT concat('c', CAST(o_orderkey % 4 AS VARCHAR)) AS chrom,
+         o_orderkey * 40 + 30 AS p,
+         o_orderkey % 8 AS cs
+  FROM orders
+),
+truth AS (
+  SELECT chrom, p AS pos, 'A' AS ref, 'T' AS alt FROM base WHERE cs IN (0, 1, 3, 4)
+  UNION ALL SELECT chrom, p + 1, 'C', 'G' FROM base WHERE cs IN (0, 1, 3, 4)
+  UNION ALL SELECT chrom, p, 'AC', 'TG' FROM base WHERE cs = 2
+  UNION ALL SELECT chrom, p, 'ACG', 'A' FROM base WHERE cs = 6
+  UNION ALL SELECT chrom, p, 'A', 'ATT' FROM base WHERE cs = 7
+),
+calls AS (
+  SELECT chrom, p AS pos, 'AC' AS ref, 'TG' AS alt FROM base WHERE cs = 0
+  UNION ALL SELECT chrom, p, 'A', 'T' FROM base WHERE cs IN (1, 2, 5)
+  UNION ALL SELECT chrom, p + 1, 'C', 'G' FROM base WHERE cs IN (1, 2, 3, 5)
+  UNION ALL SELECT chrom, p, 'A', 'G' FROM base WHERE cs = 3
+  UNION ALL SELECT chrom, p, 'AC', 'A' FROM base WHERE cs = 6
+  UNION ALL SELECT chrom, p + 2, 'G', '' FROM base WHERE cs = 6
+  UNION ALL SELECT chrom, p, 'A', 'AT' FROM base WHERE cs = 7
+  UNION ALL SELECT chrom, p + 1, 'C', 'TC' FROM base WHERE cs = 7
+),
+fp AS (
+  SELECT c.* FROM calls c LEFT JOIN truth t
+    ON c.chrom = t.chrom AND c.pos = t.pos AND c.ref = t.ref AND c.alt = t.alt
+  WHERE t.chrom IS NULL
+),
+fn AS (
+  SELECT t.* FROM truth t LEFT JOIN calls c
+    ON c.chrom = t.chrom AND c.pos = t.pos AND c.ref = t.ref AND c.alt = t.alt
+  WHERE c.chrom IS NULL
+),
+u AS (
+  SELECT chrom, pos, ref, alt, side, pos + length(ref) AS e FROM (
+    SELECT chrom, pos, ref, alt, 'fp' AS side FROM fp
+    UNION ALL SELECT chrom, pos, ref, alt, 'fn' FROM fn
+  )
+),
+segd AS (
+  SELECT chrom, pos, ref, alt, side, e,
+         SUM(brk) OVER (PARTITION BY chrom ORDER BY pos, ref, alt, side
+                        ROWS UNBOUNDED PRECEDING) AS seg
+  FROM (
+    SELECT *, CASE WHEN pm IS NULL OR pos - pm > {REPLAY_GAP} THEN 1 ELSE 0 END AS brk
+    FROM (
+      SELECT *, MAX(e) OVER (PARTITION BY chrom ORDER BY pos, ref, alt, side
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM u
+    )
+  )
+),
+bounds AS (SELECT chrom, seg, MIN(pos) AS lo, MAX(e) AS hi FROM segd GROUP BY chrom, seg),
+pieces AS (
+  SELECT chrom, seg, side, pos, e, hi,
+         {_SQL_SLICE.format(st="gs", ln="pos - gs")} || alt AS piece
+  FROM (
+    SELECT s.*, b.lo, b.hi,
+           COALESCE(LAG(s.e) OVER (PARTITION BY s.chrom, s.seg, s.side ORDER BY s.pos),
+                    b.lo) AS gs
+    FROM segd s JOIN bounds b ON s.chrom = b.chrom AND s.seg = b.seg
+  )
+),
+sigs AS (
+  SELECT chrom, seg, side,
+         STRING_AGG(piece, '' ORDER BY pos)
+           || {_SQL_SLICE.format(st="MAX(e)", ln="hi - MAX(e)")} AS sig
+  FROM pieces GROUP BY chrom, seg, side, hi
+),
+matched AS (
+  SELECT a.chrom, a.seg FROM sigs a JOIN sigs b
+    ON a.chrom = b.chrom AND a.seg = b.seg
+   AND a.side = 'fp' AND b.side = 'fn' AND a.sig = b.sig
+),
+agg AS (
+  SELECT (SELECT COUNT(*) FROM calls c JOIN truth t
+            ON c.chrom = t.chrom AND c.pos = t.pos AND c.ref = t.ref AND c.alt = t.alt) AS tp_exact,
+         (SELECT COUNT(*) FROM fp) AS fp_exact,
+         (SELECT COUNT(*) FROM fn) AS fn_exact,
+         (SELECT COUNT(*) FROM segd s JOIN matched m
+            ON s.chrom = m.chrom AND s.seg = m.seg WHERE s.side = 'fp') AS n_replay_fp,
+         (SELECT COUNT(*) FROM segd s JOIN matched m
+            ON s.chrom = m.chrom AND s.seg = m.seg WHERE s.side = 'fn') AS n_replay_fn
+)
+SELECT tp_exact, fp_exact, fn_exact, n_replay_fp, n_replay_fn,
+       tp_exact + n_replay_fn AS tp_final,
+       fp_exact - n_replay_fp AS fp_final,
+       fn_exact - n_replay_fn AS fn_final,
+       ROUND(CAST(tp_exact + n_replay_fn AS DOUBLE)
+             / (tp_exact + n_replay_fn + fp_exact - n_replay_fp), 6) AS precision,
+       ROUND(CAST(tp_exact + n_replay_fn AS DOUBLE) / (tp_exact + fn_exact), 6) AS recall
+FROM agg
+""",
+)
+def q119_concordance_segmented_replay(spark, sf_dir):
+    """Boundary-free haplotype-replay concordance: q113's replay
+    semantic with DATA-DRIVEN segmentation (gaps-and-islands over the
+    union of FP+FN records, gap > 10 starts a new segment) replacing
+    fixed 32 bp buckets — the depth gap q113 documented. The callset
+    offsets every case by +30 so a quarter of the equivalence chains
+    straddle a 32-boundary; fixed buckets would split those chains and
+    fail to rescue them (pinned in tests/test_advanced.py), while
+    segmentation rescues every representation-equivalent chain. Same
+    case mix as q113: MNV<->SNP chains, split deletion, anchor-shifted
+    insertion, exact TPs, allele errors and pure FP/FN runs (never
+    rescued)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.concat(F.lit("c"), (F.col("o_orderkey") % 4).cast("string")).alias("chrom"),
+        (F.col("o_orderkey") * 40 + 30).alias("p"),
+        (F.col("o_orderkey") % 8).alias("cs"),
+    ).persist()
+
+    def rec(pos, ref, alt):
+        return F.struct(
+            pos.cast("long").alias("pos"),
+            F.lit(ref).alias("ref"),
+            F.lit(alt).alias("alt"),
+        )
+
+    p = F.col("p")
+    empty = F.array().cast("array<struct<pos:bigint,ref:string,alt:string>>")
+    snps = F.array(rec(p, "A", "T"), rec(p + 1, "C", "G"))
+    truth = base.select(
+        "chrom",
+        F.explode(
+            F.when(F.col("cs") == 2, F.array(rec(p, "AC", "TG")))
+            .when(F.col("cs") == 6, F.array(rec(p, "ACG", "A")))
+            .when(F.col("cs") == 7, F.array(rec(p, "A", "ATT")))
+            .when(F.col("cs") == 5, empty)
+            .otherwise(snps)
+        ).alias("r"),
+    ).select("chrom", "r.pos", "r.ref", "r.alt")
+    calls = base.select(
+        "chrom",
+        F.explode(
+            F.when(F.col("cs") == 0, F.array(rec(p, "AC", "TG")))
+            .when(F.col("cs") == 3, F.array(rec(p, "A", "G"), rec(p + 1, "C", "G")))
+            .when(F.col("cs") == 4, empty)
+            .when(F.col("cs") == 6, F.array(rec(p, "AC", "A"), rec(p + 2, "G", "")))
+            .when(F.col("cs") == 7, F.array(rec(p, "A", "AT"), rec(p + 1, "C", "TC")))
+            .otherwise(snps)
+        ).alias("r"),
+    ).select("chrom", "r.pos", "r.ref", "r.alt")
+
+    key = ["chrom", "pos", "ref", "alt"]
+    fp = calls.join(truth, key, "left_anti")
+    fn = truth.join(calls, key, "left_anti")
+    resc_fp, resc_fn = segmented_replay_rescue(fp, fn, gap=REPLAY_GAP)
+
+    counts = (
+        calls.join(truth, key).agg(cnt("tp_exact"))
+        .crossJoin(fp.agg(cnt("fp_exact")))
+        .crossJoin(fn.agg(cnt("fn_exact")))
+        .crossJoin(resc_fp.agg(cnt("n_replay_fp")))
+        .crossJoin(resc_fn.agg(cnt("n_replay_fn")))
+    )
+    tp_f = F.col("tp_exact") + F.col("n_replay_fn")
+    return counts.select(
+        "tp_exact",
+        "fp_exact",
+        "fn_exact",
+        "n_replay_fp",
+        "n_replay_fn",
+        tp_f.alias("tp_final"),
+        (F.col("fp_exact") - F.col("n_replay_fp")).alias("fp_final"),
+        (F.col("fn_exact") - F.col("n_replay_fn")).alias("fn_final"),
+        F.round(
+            tp_f / (tp_f + F.col("fp_exact") - F.col("n_replay_fp")).cast("double"), 6
+        ).alias("precision"),
+        F.round(
+            tp_f / (F.col("tp_exact") + F.col("fn_exact")).cast("double"), 6
+        ).alias("recall"),
+    )
