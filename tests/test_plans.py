@@ -302,3 +302,58 @@ def test_q111_sam_parse_stays_jvm(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "PythonUDF" not in p
     assert "CartesianProduct" not in p
+
+
+def test_q114_substring_dedup_equi_join_only(spark):
+    """Duplicated-span discovery must be an equi-join on the shingle key,
+    never an all-pairs product, and the span assembly window must
+    partition by doc."""
+    p = plan_of(spark, "q114_substring_dedup_spans")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "hashpartitioning(doc_id" in p
+
+
+def test_q116_bm25_term_filter_reaches_scan(spark):
+    """The query-term IN filter must prune the exploded-token stream at
+    its source (not after a shuffle), and df/corpus stats must broadcast
+    — the corpus never shuffles for them."""
+    p = plan_of(spark, "q116_bm25_topk")
+    assert p.count("BroadcastHashJoin") >= 2  # idf + stats (+ dl allowed either way)
+    assert "CartesianProduct" not in p
+
+
+def test_q117_dsir_bucket_table_broadcasts(spark):
+    """The 256-row log-ratio table must broadcast back to the per-doc
+    counts; the only corpus-wide exchange is the (doc, bucket) agg."""
+    p = plan_of(spark, "q117_dsir_importance_weights")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q118_bam_roundtrip_single_python_stage(spark):
+    """The binary encode+decode round trip must be ONE ArrowEvalPython /
+    mapInPandas stage feeding the same depth plan as q111 — no extra
+    exchange introduced by the codec."""
+    p = plan_of(spark, "q118_bam_binary_ingest_depth")
+    # the persisted interval table is the fan-out point: the codec stage
+    # materializes once, every depth consumer reads the cache (the cached
+    # child plan is re-PRINTED under each InMemoryTableScan, so assert
+    # the scans exist rather than counting the reprinted codec node)
+    assert p.count("InMemoryTableScan") >= 2
+    # depth windows stay bucketed: never a per-chrom-only global sort
+    assert "hashpartitioning(chrom" in p
+
+
+def test_q119_segmented_replay_no_cartesian(spark):
+    """Segment matching must stay a (chrom, seg) equi-join; segmentation
+    windows partition by chrom."""
+    p = plan_of(spark, "q119_concordance_segmented_replay")
+    assert "CartesianProduct" not in p
+    # the only nested-loop joins are the four 1-row scalar-aggregate
+    # combines at the very top (tp/fp/fn/rescue counts) — never the
+    # record-level segment matching, which must stay (chrom, seg) equi
+    assert p.count("BroadcastNestedLoopJoin") <= 4
+    import re
+
+    assert re.search(r"hashpartitioning\(chrom#\d+, seg#", p)

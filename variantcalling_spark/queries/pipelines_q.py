@@ -652,5 +652,9 @@ def q118_bam_binary_ingest_depth(spark, sf_dir):
             yield parse_bam_bytes(bgzf_compress(pack_bam(recs, refs)))
 
     sam = li.mapInPandas(roundtrip, schema=BAM_SCHEMA)
-    intervals = sam_to_read_intervals(sam, min_mapq=20)
+    # Persist the decoded intervals: the depth operator fans out over its
+    # input (+1/-1 delta union + bucket-prefix join), and without the
+    # persist every consumer re-runs the Python codec stage (measured 4
+    # MapInPandas nodes in the plan; pinned to 1 in tests/test_plans.py).
+    intervals = sam_to_read_intervals(sam, min_mapq=20).persist()
     return reads_to_depth_runs(intervals)
