@@ -513,27 +513,46 @@ def duplicated_substring_spans(
             )
         ).alias("pos", "shingle"),
     ).persist()
-    dup = (
-        sh.groupBy("shingle")
-        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
-        .where(F.col("nd") >= min_docs)
-        .select("shingle")
+    if min_docs == 2:
+        # "appears in >= 2 distinct docs" == min(doc) != max(doc):
+        # plain MIN/MAX partial-aggregate map-side, where count-distinct
+        # must expand per-key value sets through the shuffle.
+        dup = (
+            sh.groupBy("shingle")
+            .agg(F.min(F.col(id_col)).alias("mn"), F.max(F.col(id_col)).alias("mx"))
+            .where(F.col("mn") != F.col("mx"))
+            .select("shingle")
+        )
+    else:
+        dup = (
+            sh.groupBy("shingle")
+            .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+            .where(F.col("nd") >= min_docs)
+            .select("shingle")
+        )
+    # Span assembly as interval merge over the occurrence intervals
+    # [pos, pos+k) — NOT by exploding covered positions: islands of the
+    # position union are exactly the merged intervals (adjacent = next
+    # start <= running max end), and the merge form skips the k-times
+    # position explode plus its distinct() shuffle (measured ~2x end to
+    # end at sf0.1). Output identical — the SQL oracle still computes
+    # the explode+islands form and the value hashes agree.
+    occ = sh.join(dup, "shingle").select(
+        id_col, "pos", (F.col("pos") + k).alias("e")
     )
-    covered = (
-        sh.join(dup, "shingle")
-        .select(id_col, F.explode(F.sequence("pos", F.col("pos") + k - 1)).alias("tpos"))
-        .distinct()
-    )
-    island = F.col("tpos") - F.row_number().over(
-        Window.partitionBy(id_col).orderBy("tpos")
-    )
+    w_ord = Window.partitionBy(id_col).orderBy("pos")
+    prev_max = F.max("e").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(prev_max.isNull() | (F.col("pos") > prev_max), 1).otherwise(0)
     return (
-        covered.withColumn("grp", island)
+        occ.withColumn("brk", brk)
+        .withColumn(
+            "grp", F.sum("brk").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        )
         .groupBy(id_col, "grp")
         .agg(
-            F.min("tpos").cast("int").alias("span_start"),
-            F.max("tpos").cast("int").alias("span_end"),
-            F.count(F.lit(1)).cast("int").alias("span_tokens"),
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("e") - 1).cast("int").alias("span_end"),
+            (F.max("e") - F.min("pos")).cast("int").alias("span_tokens"),
         )
         .drop("grp")
     )
