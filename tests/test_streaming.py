@@ -332,3 +332,44 @@ def test_rocksdb_state_store_provider(spark, tmp_path):
 
     with pytest.raises(ValueError):
         streaming_state_configs("bogus")
+
+
+def test_stream_static_join_equals_batch(spark, event_dir):
+    """segment_revenue (stream-static broadcast enrichment) driven by a
+    real file stream must equal its batch result — the q120 function,
+    unchanged, with the static dimension a plain batch DataFrame."""
+    from variantcalling_spark.sources import load_table
+    from variantcalling_spark.streaming.events import segment_revenue
+
+    batch_df = spark.read.parquet(event_dir)
+    dim = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    expected = {
+        (r.window_start_us, r.segment): (r.n, r.revenue)
+        for r in segment_revenue(batch_df, dim).collect()
+    }
+    assert expected, "batch side must produce rows"
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .parquet(event_dir)
+        .withWatermark("event_time", "1 hour")
+    )
+    q = (
+        segment_revenue(stream, dim)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("enrich_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.window_start_us, r.segment): (r.n, r.revenue)
+            for r in spark.sql("SELECT * FROM enrich_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected

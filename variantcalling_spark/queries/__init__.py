@@ -57,6 +57,7 @@ _PRIORITY = (
     "q117_dsir_importance_weights",
     "q118_bam_binary_ingest_depth",
     "q119_concordance_segmented_replay",
+    "q120_stream_static_enrich",
     "q110_concordance_chain_rescue",
     "q111_reads_ingest_depth",
     "q112_embedding_neardup_lsh_wide",

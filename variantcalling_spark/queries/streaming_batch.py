@@ -148,3 +148,35 @@ def q84_streaming_dedup(spark, sf_dir):
     )
     doubled = ev.unionByName(ev)
     return dedup_events(doubled)
+
+
+@query(
+    "q120_stream_static_enrich",
+    oracle=f"""
+SELECT (epoch_us(e.ts) // {HOUR_US}) * {HOUR_US} AS window_start_us,
+       c.c_mktsegment AS segment,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+GROUP BY 1, 2
+""",
+)
+def q120_stream_static_enrich(spark, sf_dir):
+    """Stream-static enrichment join: the purchase stream joined to the
+    static customer dimension (broadcast — the stream side never
+    shuffles for the join, and streaming re-plans the static relation
+    each micro-batch so dimension updates land without a restart), then
+    1h windowed revenue per market segment. The missing member of the
+    streaming-join family (q83 covers stream-stream); stream == batch
+    equality of this exact function is proven against a real file stream
+    in tests/test_streaming.py."""
+    from variantcalling_spark.sources import load_table
+    from variantcalling_spark.streaming.events import segment_revenue
+
+    ev = with_event_time(events_points(spark, sf_dir))
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return segment_revenue(ev, dim, "1 hour")

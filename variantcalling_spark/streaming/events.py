@@ -114,3 +114,28 @@ def dedup_events(df: DataFrame, *, within_watermark: bool = False) -> DataFrame:
     if within_watermark:
         return df.dropDuplicatesWithinWatermark(["event_id"])
     return df.dropDuplicates(["event_id"])
+
+
+def segment_revenue(events: DataFrame, dim: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Stream-static enrichment: join the (possibly streaming) event
+    feed to a static dimension on user_id, then windowed revenue per
+    market segment. The static side broadcasts — in streaming mode Spark
+    re-plans the static relation each micro-batch, so dimension updates
+    between batches are picked up without restarting the query, and the
+    stream side never shuffles for the join. Purchase-only filter sits
+    BEFORE the join so the state/exchange carries the selective subset."""
+    purchases = events.where(F.col("event_type") == "purchase")
+    enriched = purchases.join(F.broadcast(dim), "user_id")
+    return (
+        enriched.groupBy(F.window("event_time", width).alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("revenue"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "segment",
+            "n",
+            "revenue",
+        )
+    )
