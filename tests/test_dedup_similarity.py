@@ -455,3 +455,77 @@ def test_substring_dedup_merges_adjacent_runs(spark):
         for r in duplicated_substring_spans(docs, k=5, min_docs=2).collect()
     }
     assert rows == {(10, 1, 8), (20, 0, 7)}
+
+
+def _clustered_vectors(n_per=20, centers=5, dim=16):
+    """Deterministic clustered vectors: `centers` well-separated
+    orthogonal-ish centers, small LCG perturbations — the regime PQ is
+    built for (random uniform vectors have concentrated distances and
+    are a worst case for any quantizer)."""
+    rows = []
+    vid = 0
+    for c in range(centers):
+        for i in range(n_per):
+            vec = []
+            for d in range(dim):
+                base = 10.0 if d % centers == c else 0.0
+                h = (vid * 1103515245 + d * 69069 + 12345) % 1000
+                vec.append(base + (h - 500) / 1000.0)
+            rows.append((vid, vec, c))
+            vid += 1
+    return rows
+
+
+def test_pq_adc_recovers_cluster_structure(spark):
+    """On clustered data, every PQ-ADC top-3 neighbor must come from the
+    query's own cluster (inter-cluster distances dwarf quantization
+    error) — the version-portable recall check behind q121's pinned
+    oracle."""
+    from variantcalling_spark.operators.similarity import pq_adc_topk, pq_index
+
+    rows = _clustered_vectors()
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    codebooks, codes = pq_index(emb, m=4, k_sub=8)
+    queries = emb.where("vec_id IN (0, 25, 45, 65, 85)")
+    got = pq_adc_topk(queries, codes, codebooks, k=3, m=4).collect()
+    assert len(got) == 15
+    label = {vid: lab for vid, _, lab in rows}
+    assert all(label[r.cand_id] == label[r.query_id] for r in got)
+
+
+def test_pq_deterministic_across_runs(spark):
+    """Two independent index builds + searches must be row-identical
+    (md5-order init, DECIMAL means, struct-MIN assignment — no RNG, no
+    partition-order dependence)."""
+    from variantcalling_spark.operators.similarity import pq_adc_topk, pq_index
+
+    emb = spark.createDataFrame(
+        _clustered_vectors(), "vec_id long, embedding array<double>, label int"
+    )
+    outs = []
+    for _ in range(2):
+        codebooks, codes = pq_index(emb, m=4, k_sub=8)
+        queries = emb.where("vec_id < 3")
+        outs.append(
+            sorted(
+                (r.query_id, r.cand_id, r.adc_dist2, r.rank)
+                for r in pq_adc_topk(queries, codes, codebooks, k=3, m=4).collect()
+            )
+        )
+    assert outs[0] == outs[1]
+
+
+def test_pq_codes_compress_to_m_bytes(spark):
+    """The code table carries exactly m small codes per vector — the
+    memory contract (m bytes/vec at k_sub<=256) that makes PQ the
+    10^9-corpus scan path."""
+    from variantcalling_spark.operators.similarity import pq_index
+
+    emb = spark.createDataFrame(
+        _clustered_vectors(), "vec_id long, embedding array<double>, label int"
+    )
+    _, codes = pq_index(emb, m=4, k_sub=8)
+    rows = codes.collect()
+    assert len(rows) == 100
+    assert all(len(r.codes) == 4 for r in rows)
+    assert all(0 <= c < 8 for r in rows for c in r.codes)

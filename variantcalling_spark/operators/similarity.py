@@ -638,3 +638,197 @@ def semantic_dedup_flags(
             F.coalesce("is_dropped", F.lit(False)).alias("is_dropped"),
         )
     )
+
+
+def _unit(col):
+    """Vector scaled to unit L2 norm (as array<double>): PQ codebooks and
+    ADC run on the unit sphere so L2 order == cosine order (L2^2 =
+    2 - 2cos on unit vectors) and recall is measured against the cosine
+    baselines. Zero vectors pass through unscaled."""
+    v = col.cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return F.transform(v, lambda x: F.when(norm > 0, x / norm).otherwise(x))
+
+
+def pq_index(
+    emb: DataFrame,
+    m: int = 4,
+    k_sub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 5,
+):
+    """Product-quantization index (Jégou et al. 2011): split each vector
+    into ``m`` subspaces, train a ``k_sub``-centroid KMeans codebook per
+    subspace, encode every vector as ``m`` small codes.
+
+    The memory-compression ANN path, complementary to IVF's cell pruning
+    (`ivf_index`): a 64-dim float corpus (256 B/vec) encodes to m=4
+    bytes/vec — at 10^9 documents the whole code table fits on a handful
+    of executors and scans at memory bandwidth. Returns
+    (codebooks_df, codes_df): codebooks is m x k_sub rows (always
+    broadcast); codes is one row per vector with an array of m codes.
+
+    Training is a single shared Lloyd's loop over ALL subspaces at once
+    (unlike q71's per-index Spark ML fit): the working relation is
+    (vec, subspace, subvector), assignment is one broadcast join +
+    struct-MIN argmin, the centroid update is one per-(subspace, code,
+    dim) DECIMAL-mean aggregate — so m codebooks cost the same number of
+    distributed jobs as one, and every arithmetic step is
+    order-independent (no Spark ML / BLAS version dependence; the only
+    driver state per iteration is the m x k_sub centroid table).
+    Deterministic init: per subspace, the subvectors of the k_sub
+    smallest md5(vec_id) hashes. Empty clusters keep their previous
+    centroid. Encoding assigns via the same broadcast join + argmin —
+    the corpus never shuffles except by its own id to regroup codes."""
+    d = len(emb.select(vec_col).head()[0])
+    sub = d // m
+    spark = emb.sparkSession
+
+    parts = emb.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[F.slice(_unit(F.col(vec_col)), j * sub + 1, sub) for j in range(m)]
+            )
+        ).alias("subspace", "part"),
+    ).persist()
+
+    init_w = W.partitionBy("subspace").orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    books = {
+        (r.subspace, r.rk - 1): list(r.part)
+        for r in parts.withColumn("rk", F.row_number().over(init_w))
+        .where(F.col("rk") <= k_sub)
+        .collect()
+    }
+    for _ in range(iters):
+        cb = spark.createDataFrame(
+            [(s, c, v) for (s, c), v in sorted(books.items())],
+            "subspace int, code int, centroid array<double>",
+        )
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("part"), F.col("centroid"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        assign = (
+            parts.join(F.broadcast(cb), "subspace")
+            .groupBy(id_col, "subspace")
+            .agg(
+                F.min(F.struct(d2.alias("d2"), F.col("code")))["code"].alias("code"),
+                F.first("part").alias("part"),
+            )
+        )
+        means = (
+            assign.select("subspace", "code", F.posexplode("part").alias("dim", "x"))
+            .groupBy("subspace", "code", "dim")
+            .agg(F.avg(F.col("x").cast("decimal(28,18)")).cast("double").alias("mx"))
+            .groupBy("subspace", "code")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", "mx"))),
+                    lambda s: s["mx"],
+                ).alias("centroid")
+            )
+        )
+        updated = {(r.subspace, r.code): list(r.centroid) for r in means.collect()}
+        books = {key: updated.get(key, old) for key, old in books.items()}
+
+    codebooks = spark.createDataFrame(
+        [(s, c, v) for (s, c), v in sorted(books.items())],
+        "subspace int, code int, centroid array<double>",
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("part"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    assigned = (
+        parts.join(F.broadcast(codebooks), "subspace")
+        .select(id_col, "subspace", "code", dist2.alias("d2"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy(id_col, "subspace").orderBy("d2", "code")
+            ),
+        )
+        .where(F.col("rk") == 1)
+    )
+    codes = assigned.groupBy(id_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("subspace", "code"))),
+            lambda x: x["code"],
+        ).alias("codes")
+    )
+    return codebooks, codes
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    k: int = 3,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search: per query, build the
+    m x k_sub lookup table of exact subspace distances query->centroid,
+    then every corpus vector's approximate distance is the SUM of m
+    table lookups on its codes — no float vector is ever touched at scan
+    time.
+
+    Scale shape: the LUT is |queries| * m * k_sub rows (tiny — always
+    broadcast); the corpus codes table is scanned once, joined map-side
+    on (subspace, code), and aggregated by (query, vector) with
+    map-side partial sums. Distances sum in DECIMAL so ranking is
+    reproducible at any partition count. Top-k per query over |queries|
+    x corpus scored rows with id tie-break."""
+    d_header = queries.select(vec_col).head()[0]
+    sub = len(d_header) // m
+    qparts = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(
+            F.array(
+                *[F.slice(_unit(F.col(vec_col)), j * sub + 1, sub) for j in range(m)]
+            )
+        ).alias("subspace", "qpart"),
+    )
+    lut = qparts.join(F.broadcast(codebooks), "subspace").select(
+        "query_id",
+        "subspace",
+        "code",
+        F.aggregate(
+            F.zip_with(F.col("qpart"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        .cast("decimal(24,12)")
+        .alias("pd2"),
+    )
+    expanded = codes.select(
+        F.col(id_col).alias("cand_id"),
+        F.posexplode("codes").alias("subspace", "code"),
+    )
+    scored = (
+        expanded.join(F.broadcast(lut), ["subspace", "code"])
+        .where(F.col("query_id") != F.col("cand_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("pd2").cast("double").alias("adc_dist2"))
+    )
+    return (
+        scored.withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy("adc_dist2", "cand_id")
+            ),
+        )
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", F.round("adc_dist2", 9).alias("adc_dist2"), "rank")
+    )

@@ -58,6 +58,7 @@ _PRIORITY = (
     "q118_bam_binary_ingest_depth",
     "q119_concordance_segmented_replay",
     "q120_stream_static_enrich",
+    "q121_pq_ann",
     "q110_concordance_chain_rescue",
     "q111_reads_ingest_depth",
     "q112_embedding_neardup_lsh_wide",

@@ -361,3 +361,51 @@ def q108_semantic_dedup(spark, sf_dir):
         )
         .orderBy("centroid_id")
     )
+
+
+@query(
+    "q121_pq_ann",
+    oracle="""
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(312 AS BIGINT), CAST(0.990305965 AS DOUBLE), CAST(1 AS INT)),
+  (CAST(0 AS BIGINT), CAST(415 AS BIGINT), CAST(0.990496168 AS DOUBLE), CAST(2 AS INT)),
+  (CAST(0 AS BIGINT), CAST(345 AS BIGINT), CAST(0.996916473 AS DOUBLE), CAST(3 AS INT)),
+  (CAST(1 AS BIGINT), CAST(27 AS BIGINT), CAST(0.93565571 AS DOUBLE), CAST(1 AS INT)),
+  (CAST(1 AS BIGINT), CAST(64 AS BIGINT), CAST(0.960445469 AS DOUBLE), CAST(2 AS INT)),
+  (CAST(1 AS BIGINT), CAST(407 AS BIGINT), CAST(0.97110215 AS DOUBLE), CAST(3 AS INT)),
+  (CAST(2 AS BIGINT), CAST(450 AS BIGINT), CAST(0.999031592 AS DOUBLE), CAST(1 AS INT)),
+  (CAST(2 AS BIGINT), CAST(276 AS BIGINT), CAST(1.005860024 AS DOUBLE), CAST(2 AS INT)),
+  (CAST(2 AS BIGINT), CAST(182 AS BIGINT), CAST(1.027639099 AS DOUBLE), CAST(3 AS INT)),
+  (CAST(3 AS BIGINT), CAST(192 AS BIGINT), CAST(1.006017448 AS DOUBLE), CAST(1 AS INT)),
+  (CAST(3 AS BIGINT), CAST(98 AS BIGINT), CAST(1.038289666 AS DOUBLE), CAST(2 AS INT)),
+  (CAST(3 AS BIGINT), CAST(205 AS BIGINT), CAST(1.054115172 AS DOUBLE), CAST(3 AS INT)),
+  (CAST(4 AS BIGINT), CAST(482 AS BIGINT), CAST(0.913918602 AS DOUBLE), CAST(1 AS INT)),
+  (CAST(4 AS BIGINT), CAST(114 AS BIGINT), CAST(0.922699377 AS DOUBLE), CAST(2 AS INT)),
+  (CAST(4 AS BIGINT), CAST(496 AS BIGINT), CAST(0.993902257 AS DOUBLE), CAST(3 AS INT))
+) AS t(query_id, cand_id, adc_dist2, rank)
+""",
+)
+def q121_pq_ann(spark, sf_dir):
+    """Product-quantization ANN (Jegou et al. 2011): per-subspace
+    codebooks (m=8 x 16 codes on unit-normalized vectors), corpus
+    encoded to 8 bytes/vector, asymmetric-distance search via a
+    broadcast lookup table — the memory-compression ANN path next to
+    IVF's cell pruning (q71): at 10^9 docs the code table is ~8 GB
+    total and scans at memory bandwidth with no float vector touched.
+
+    Unlike q71's Spark ML fit, training is the engine's own shared
+    Lloyd's loop (`operators/similarity.py::pq_index`): all m codebooks
+    in one distributed pass per iteration, deterministic md5-order
+    init, DECIMAL centroid means and struct-MIN assignment — every step
+    order-independent, so the pinned VALUES oracle depends only on this
+    engine's arithmetic, not on a Spark ML / BLAS build. ADC partial
+    distances also sum in DECIMAL, so ranking is partition-count
+    independent. Version-portable checks (recall on clustered data,
+    determinism, lossless-codebook exactness) live in
+    tests/test_dedup_similarity.py."""
+    from variantcalling_spark.operators.similarity import pq_adc_topk, pq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebooks, codes = pq_index(emb, m=8, k_sub=16)
+    queries = emb.where(F.col("vec_id") < 5)
+    return pq_adc_topk(queries, codes, codebooks, k=3, m=8)
