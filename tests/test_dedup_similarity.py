@@ -529,3 +529,20 @@ def test_pq_codes_compress_to_m_bytes(spark):
     assert len(rows) == 100
     assert all(len(r.codes) == 4 for r in rows)
     assert all(0 <= c < 8 for r in rows for c in r.codes)
+
+
+def test_incremental_dedup_finds_sources_not_fresh(spark, sf_dir):
+    """Every near-copy in the new batch must match its own source doc in
+    the old corpus; genuinely-new (reversed) docs must match nothing."""
+    from variantcalling_spark.queries.dedup import q122_incremental_dedup
+
+    rows = q122_incremental_dedup(spark, sf_dir).collect()
+    by_new = {}
+    for r in rows:
+        by_new.setdefault(r.doc_new, set()).add(r.doc_old)
+    # reversed docs (+300000) never match
+    assert not any(d >= 300000 for d in by_new)
+    # each near-copy (+100000) matches at least its source (id - 100000)
+    near_ids = [d for d in by_new if 100000 <= d < 300000]
+    assert near_ids, "near-copies must produce matches"
+    assert all(d - 100000 in by_new[d] for d in near_ids)

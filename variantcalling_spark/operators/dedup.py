@@ -471,6 +471,52 @@ def portable_band_candidates(
     )
 
 
+def portable_band_candidates_between(
+    sig_new: DataFrame,
+    sig_old: DataFrame,
+    num_bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Asymmetric band-collision candidates: NEW-batch docs probing an
+    OLD corpus index — the incremental-ingest shape. Each (new, old)
+    pair is emitted from its first colliding band only (same carried-
+    bucket-array trick as ``portable_band_candidates``, no distinct()).
+
+    At production scale the old side's band table is the stored dedup
+    INDEX — computed once at corpus build, re-read per batch — so an
+    incremental run costs O(|batch| + collisions), never re-touching the
+    corpus text. New x new pairs are deliberately out of scope here
+    (run the self-join candidates on the batch for those).
+    Returns (doc_new, doc_old)."""
+
+    def with_buckets(sig):
+        return sig.select(
+            "doc_id",
+            F.array(
+                *[_portable_bucket_expr(b, rows_per_band) for b in range(num_bands)]
+            ).alias("buckets"),
+        ).select("doc_id", "buckets", F.posexplode("buckets").alias("band", "bucket"))
+
+    n, o = with_buckets(sig_new).alias("n"), with_buckets(sig_old).alias("o")
+    first_collision = F.forall(
+        F.zip_with(
+            F.slice(F.col("n.buckets"), 1, F.col("n.band")),
+            F.slice(F.col("o.buckets"), 1, F.col("o.band")),
+            lambda x, y: x != y,
+        ),
+        lambda differs: differs,
+    )
+    return (
+        n.join(
+            o,
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.bucket") == F.col("o.bucket")),
+        )
+        .where(first_collision)
+        .select(F.col("n.doc_id").alias("doc_new"), F.col("o.doc_id").alias("doc_old"))
+    )
+
+
 def duplicated_substring_spans(
     docs: DataFrame,
     k: int = 5,

@@ -59,6 +59,7 @@ _PRIORITY = (
     "q119_concordance_segmented_replay",
     "q120_stream_static_enrich",
     "q121_pq_ann",
+    "q122_incremental_dedup",
     "q110_concordance_chain_rescue",
     "q111_reads_ingest_depth",
     "q112_embedding_neardup_lsh_wide",

@@ -603,3 +603,165 @@ def q114_substring_dedup_spans(spark, sf_dir):
     compute the identical span set."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return duplicated_substring_spans(docs, k=5, min_docs=2)
+
+
+SQL_NEW_BATCH = """
+  SELECT doc_id + 100000 AS doc_id, substr(text, strpos(text, ' ') + 1) AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id, reverse(text) AS text
+  FROM documents WHERE doc_id % 10 = 5
+"""
+
+
+def _incremental_oracle_sql(num_hashes: int = 32, num_bands: int = 8, rows_per_band: int = 4) -> str:
+    """Asymmetric (new-batch vs old-corpus) MinHash-LSH in DuckDB with
+    the identical portable hash family: both sides' signatures, the
+    first-band-collision probe, and the exact verify all reproduce the
+    Spark bits."""
+    from variantcalling_spark.operators.dedup import (
+        MERSENNE31,
+        PORTABLE_HASH_SQL,
+        _minhash_coeffs,
+    )
+
+    p = MERSENNE31
+    phash = PORTABLE_HASH_SQL.format(col="shingle")
+    sig_cols = ",\n         ".join(
+        f"MIN((CAST({a} AS BIGINT) * v + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
+    )
+
+    def bucket_expr(b):
+        acc = f"h{b * rows_per_band}"
+        for r in range(1, rows_per_band):
+            acc = f"(({acc}) * 8191 + h{b * rows_per_band + r}) % {p}"
+        return acc
+
+    def side(name, corpus_sql):
+        bands = "\n  UNION ALL\n".join(
+            f"  SELECT doc_id, {b} AS band, {bucket_expr(b)} AS bucket FROM sig_{name}"
+            for b in range(num_bands)
+        )
+        return f"""
+sh_{name} AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+                   for i in generate_series(1, len(string_split(text, ' ')) - 2)]) AS shingle
+    FROM {name}_c
+  )
+),
+hv_{name} AS (SELECT doc_id, {phash} AS v FROM sh_{name}),
+sig_{name} AS (SELECT doc_id, {sig_cols} FROM hv_{name} GROUP BY doc_id),
+bands_{name} AS (
+{bands}
+)"""
+
+    return f"""
+WITH old_c AS (SELECT doc_id, text FROM documents),
+new_c AS ({SQL_NEW_BATCH}),
+{side("old", "old_c")[1:]},
+{side("new", "new_c")[1:]},
+cands AS (
+  SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+  FROM bands_new n JOIN bands_old o
+    ON n.band = o.band AND n.bucket = o.bucket
+),
+sizes_new AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh_new GROUP BY doc_id),
+sizes_old AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh_old GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_new, c.doc_old, COUNT(*) AS n_shared
+  FROM cands c
+  JOIN sh_new a ON a.doc_id = c.doc_new
+  JOIN sh_old b ON b.doc_id = c.doc_old AND b.shingle = a.shingle
+  GROUP BY c.doc_new, c.doc_old
+)
+SELECT s.doc_new, s.doc_old,
+       sn.n_sh AS n_new, so.n_sh AS n_old, s.n_shared,
+       s.n_shared / CAST(sn.n_sh + so.n_sh - s.n_shared AS DOUBLE) AS jaccard
+FROM shared s
+JOIN sizes_new sn ON sn.doc_id = s.doc_new
+JOIN sizes_old so ON so.doc_id = s.doc_old
+WHERE s.n_shared / CAST(sn.n_sh + so.n_sh - s.n_shared AS DOUBLE) >= 0.6
+"""
+
+
+@query("q122_incremental_dedup", oracle=_incremental_oracle_sql())
+def q122_incremental_dedup(spark, sf_dir):
+    """Incremental dedup: a NEW ingest batch (near-copies of every 10th
+    doc + genuinely-new reversed docs that must match nothing) probed
+    against the OLD corpus's MinHash-LSH band index — the production
+    shape for continuous corpus growth, where the old side's band table
+    is a stored index computed once and each batch costs
+    O(|batch| + collisions) with the corpus text never re-read. Probe is
+    the asymmetric first-colliding-band join
+    (`operators/dedup.py::portable_band_candidates_between`); survivors
+    are verified with exact Jaccard (>= 0.6) against the old shingle
+    sets. Every stage uses the engine-portable hash family, so
+    discovery AND verification are value-checked bit-for-bit."""
+    from variantcalling_spark.operators.dedup import (
+        portable_band_candidates_between,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    fresh = docs.where(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.reverse(F.col("text")).alias("text"),
+    )
+    new = near.unionByName(fresh)
+
+    sh_old = shingles(docs, n=3).persist()
+    sh_new = shingles(new, n=3).persist()
+    cands = portable_band_candidates_between(
+        portable_minhash_signatures(sh_new), portable_minhash_signatures(sh_old)
+    )
+    pairs = cands.select(
+        F.col("doc_new").alias("doc_a"), F.col("doc_old").alias("doc_b")
+    )
+    verified = jaccard_for_pairs_asym(pairs, sh_new, sh_old)
+    return verified.where(F.col("jaccard") >= 0.6).select(
+        F.col("doc_a").alias("doc_new"),
+        F.col("doc_b").alias("doc_old"),
+        F.col("n_a").alias("n_new"),
+        F.col("n_b").alias("n_old"),
+        "n_shared",
+        "jaccard",
+    )
+
+
+def jaccard_for_pairs_asym(pairs, sh_a, sh_b):
+    """`jaccard_for_pairs` with different shingle relations per side
+    (new batch vs old corpus): each side's collect_set aggregate is
+    scoped to its own (much smaller, for the batch) relation."""
+    sa = (
+        sh_a.groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("set_a"))
+        .select(F.col("doc_id").alias("doc_a"), "set_a")
+    )
+    sb = (
+        sh_b.groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("set_b"))
+        .select(F.col("doc_id").alias("doc_b"), "set_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("set_a").cast("long").alias("n_a"),
+            F.size("set_b").cast("long").alias("n_b"),
+            F.size(F.array_intersect("set_a", "set_b")).cast("long").alias("n_shared"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_shared")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+        )
+    )
