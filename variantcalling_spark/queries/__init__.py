@@ -60,6 +60,8 @@ _PRIORITY = (
     "q120_stream_static_enrich",
     "q121_pq_ann",
     "q122_incremental_dedup",
+    "q123_gvcf_hcr",
+    "q124_sample_identity_matrix",
     "q110_concordance_chain_rescue",
     "q111_reads_ingest_depth",
     "q112_embedding_neardup_lsh_wide",

@@ -658,3 +658,166 @@ def q118_bam_binary_ingest_depth(spark, sf_dir):
     # MapInPandas nodes in the plan; pinned to 1 in tests/test_plans.py).
     intervals = sam_to_read_intervals(sam, min_mapq=20).persist()
     return reads_to_depth_runs(intervals)
+
+
+@query(
+    "q123_gvcf_hcr",
+    oracle="""
+WITH blocks AS (
+  SELECT concat('c', CAST(l_orderkey % 4 AS VARCHAR)) AS chrom,
+         (l_orderkey * 7 + l_linenumber * 11) % 100000 AS start,
+         (l_orderkey * 7 + l_linenumber * 11) % 100000
+           + 1 + CAST(l_quantity AS BIGINT) % 50 AS "end",
+         CAST(l_partkey % 100 AS INT) AS gq,
+         l_suppkey % 5 <> 0 AS has_gt
+  FROM lineitem
+),
+hc AS (SELECT chrom, start, "end" FROM blocks WHERE gq >= 20 AND has_gt),
+segd AS (
+  SELECT chrom, start, "end",
+         SUM(brk) OVER (PARTITION BY chrom ORDER BY start, "end"
+                        ROWS UNBOUNDED PRECEDING) AS seg
+  FROM (
+    SELECT *, CASE WHEN pm IS NULL OR start > pm THEN 1 ELSE 0 END AS brk
+    FROM (
+      SELECT *, MAX("end") OVER (PARTITION BY chrom ORDER BY start, "end"
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM hc
+    )
+  )
+)
+SELECT chrom, MIN(start) AS start, MAX("end") AS "end",
+       CAST(COUNT(*) AS INT) AS n_blocks
+FROM segd GROUP BY chrom, seg
+""",
+)
+def q123_gvcf_hcr(spark, sf_dir):
+    """High-confidence-region extraction from gVCF blocks (reference
+    `pipelines/vcfbed/gvcf_hcr_main.py:21-35`: gvcf_to_bed with a GQ
+    threshold + genotype presence, then `bedtools merge`): filter blocks
+    on GQ >= 20 AND has-GT, then merge overlapping/bookended intervals
+    per chrom (running-max gaps-and-islands — merge when the next start
+    <= running max end, bedtools' default distance-0 semantics). Output
+    is the HCR BED plus blocks-per-region. One filter + one per-chrom
+    window + one aggregate; at 3x10^9 blocks the window decomposes into
+    the two-level bucketed form like every prefix aggregate here."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    blocks = li.select(
+        F.concat(F.lit("c"), (F.col("l_orderkey") % 4).cast("string")).alias("chrom"),
+        ((F.col("l_orderkey") * 7 + F.col("l_linenumber") * 11) % 100000).alias(
+            "start"
+        ),
+        (
+            (F.col("l_orderkey") * 7 + F.col("l_linenumber") * 11) % 100000
+            + 1
+            + F.col("l_quantity").cast("long") % 50
+        ).alias("end"),
+        (F.col("l_partkey") % 100).cast("int").alias("gq"),
+        (F.col("l_suppkey") % 5 != 0).alias("has_gt"),
+    )
+    hc = blocks.where((F.col("gq") >= 20) & F.col("has_gt")).select(
+        "chrom", "start", "end"
+    )
+    w_ord = W.partitionBy("chrom").orderBy("start", "end")
+    pm = F.max("end").over(w_ord.rowsBetween(W.unboundedPreceding, -1))
+    segd = hc.withColumn(
+        "brk", F.when(pm.isNull() | (F.col("start") > pm), 1).otherwise(0)
+    ).withColumn("seg", F.sum("brk").over(w_ord.rowsBetween(W.unboundedPreceding, 0)))
+    return (
+        segd.groupBy("chrom", "seg")
+        .agg(
+            F.min("start").alias("start"),
+            F.max("end").alias("end"),
+            F.count(F.lit(1)).cast("int").alias("n_blocks"),
+        )
+        .drop("seg")
+    )
+
+
+@query(
+    "q124_sample_identity_matrix",
+    oracle="""
+WITH calls AS (
+  SELECT concat('s', CAST(l_suppkey % 4 AS VARCHAR)) AS sample,
+         concat('c', CAST(l_orderkey % 4 AS VARCHAR)) AS chrom,
+         l_orderkey * 10 AS pos,
+         MIN(CAST(l_partkey % 3 AS INT)) AS gt
+  FROM lineitem GROUP BY 1, 2, 3
+),
+truth AS (
+  SELECT concat('t', CAST(o_orderkey % 3 AS VARCHAR)) AS truth_id,
+         concat('c', CAST(o_orderkey % 4 AS VARCHAR)) AS chrom,
+         o_orderkey * 10 AS pos,
+         CAST(o_custkey % 3 AS INT) AS gt
+  FROM orders
+),
+m AS (
+  SELECT c.sample, t.truth_id,
+         COUNT(*) AS n_sites,
+         COUNT(*) FILTER (WHERE c.gt = t.gt) AS n_match
+  FROM calls c JOIN truth t ON c.chrom = t.chrom AND c.pos = t.pos
+  GROUP BY c.sample, t.truth_id
+)
+SELECT sample, truth_id, n_sites, n_match,
+       ROUND(n_match / CAST(n_sites AS DOUBLE), 6) AS match_rate,
+       CAST(ROW_NUMBER() OVER (PARTITION BY sample
+              ORDER BY n_match / CAST(n_sites AS DOUBLE) DESC, truth_id) AS INT) AS rank
+FROM m
+""",
+)
+def q124_sample_identity_matrix(spark, sf_dir):
+    """Quick-fingerprinting sample-identity matrix (reference
+    `comparison/quick_fingerprinter.py`: every sample's calls checked
+    against every candidate ground truth inside HCR, best hit fraction
+    wins): calls x truths genotype-concordance at shared sites — an
+    equi-join on (chrom, pos), conditional-count aggregate per
+    (sample, truth), per-sample best-match ranking. The all-pairs is in
+    the tiny (samples x truths) aggregate output, never in the join:
+    site matching is hash-partitioned by position, so the matrix costs
+    one shuffle regardless of cohort size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    calls = (
+        li.groupBy(
+            F.concat(F.lit("s"), (F.col("l_suppkey") % 4).cast("string")).alias(
+                "sample"
+            ),
+            F.concat(F.lit("c"), (F.col("l_orderkey") % 4).cast("string")).alias(
+                "chrom"
+            ),
+            (F.col("l_orderkey") * 10).alias("pos"),
+        )
+        .agg(F.min((F.col("l_partkey") % 3).cast("int")).alias("gt"))
+    )
+    truth = o.select(
+        F.concat(F.lit("t"), (F.col("o_orderkey") % 3).cast("string")).alias(
+            "truth_id"
+        ),
+        F.concat(F.lit("c"), (F.col("o_orderkey") % 4).cast("string")).alias("chrom"),
+        (F.col("o_orderkey") * 10).alias("pos"),
+        (F.col("o_custkey") % 3).cast("int").alias("gt_t"),
+    )
+    m = (
+        calls.join(truth, ["chrom", "pos"])
+        .groupBy("sample", "truth_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sites"),
+            F.count(F.when(F.col("gt") == F.col("gt_t"), 1)).alias("n_match"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rate = F.col("n_match") / F.col("n_sites").cast("double")
+    return m.select(
+        "sample",
+        "truth_id",
+        "n_sites",
+        "n_match",
+        F.round(rate, 6).alias("match_rate"),
+        F.row_number()
+        .over(W.partitionBy("sample").orderBy(rate.desc(), "truth_id"))
+        .cast("int")
+        .alias("rank"),
+    )
