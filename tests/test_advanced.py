@@ -383,3 +383,46 @@ def test_segmented_replay_rejects_allele_error(spark):
     fn = spark.createDataFrame([("c1", 31, "A", "T")], cols)
     sfp, sfn = segmented_replay_rescue(fp, fn)
     assert sfp.count() == 0 and sfn.count() == 0
+
+
+def test_bridging_snv_cases(spark, monkeypatch, tmp_path):
+    """Constructed sequences pin the calibrate_bridging_snvs semantics:
+    a bridging alt-hmer rescues; a symmetric tandem repeat is excluded;
+    an edge-adjacent hmer (min arm 0) is excluded; low qual is excluded."""
+    import pandas as pd
+
+    from variantcalling_spark.queries.genomics import q125_bridging_snv_calibration
+
+    #                 1-based pos 12 = variant site (ref base), alt = rotation
+    cases = {
+        # ref 'A' -> alt 'C'; C-run on both sides (2 up, 1 down): bridges
+        10: "GGGGGGGGGCCACGGGGGGGGGGG",
+        # ref 'A' -> alt 'C': tandem TCC A CCT? build symmetric: up==down==2,
+        # before == after == 'A' == ref -> excluded
+        20: "GGGGGGGGACCACCAGGGGGGGGG",
+        # ref 'A' -> alt 'C': run only downstream (up 0): min arm 0 -> excluded
+        31: "GGGGGGGGGGGACCCGGGGGGGGG",
+        # same as case 10 but low qual (short text -> qual < 30)... qual is
+        # n_chars%100 so control it via text length instead: covered below.
+        40: "GGGGGGGGGCCACGGGGGGGGGGG",
+    }
+    # build a documents parquet: text whose translate() is the DNA itself
+    # (sequences already use only ACGT chars, translate leaves them be),
+    # n_chars drives qual: 50 (>=30) except doc 40 -> 120 -> qual 20
+    rows = []
+    for doc_id, seq in cases.items():
+        n_chars = 120 if doc_id == 40 else 50
+        rows.append((doc_id, seq, "en", "src0", n_chars))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(pdf), str(sf / "documents.parquet"))
+
+    out = {r.doc_id: r for r in q125_bridging_snv_calibration(spark, str(sf)).collect()}
+    assert out[10].rescued and not out[10].is_tandem and out[10].hmer_size == 4
+    assert not out[20].rescued and out[20].is_tandem
+    assert not out[31].rescued and out[31].up_len == 0
+    assert not out[40].rescued and out[40].qual == 20  # low qual

@@ -62,6 +62,7 @@ _PRIORITY = (
     "q122_incremental_dedup",
     "q123_gvcf_hcr",
     "q124_sample_identity_matrix",
+    "q125_bridging_snv_calibration",
     "q110_concordance_chain_rescue",
     "q111_reads_ingest_depth",
     "q112_embedding_neardup_lsh_wide",

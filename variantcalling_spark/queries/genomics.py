@@ -898,3 +898,108 @@ def q101_mendel_violation_rate(spark, sf_dir):
             F.sum("violation") / F.count(F.lit(1)).cast("double"), 6
         ).alias("violation_rate"),
     )
+
+
+def _run_len_sql(side: str, alt: str = "alt") -> str:
+    """Cumulative-AND run length of the alt base next to the variant
+    position (1-based pos 12, window 4) as portable SQL: sum of
+    prefix-AND indicators — identical text runs on both engines."""
+    idxs = [11, 10, 9, 8] if side == "up" else [13, 14, 15, 16]
+    terms = []
+    for depth in range(1, 5):
+        cond = " AND ".join(f"substr(seq, {i}, 1) = {alt}" for i in idxs[:depth])
+        terms.append(f"CAST(({cond}) AS INT)")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "q125_bridging_snv_calibration",
+    oracle=f"""
+WITH d AS ({SQL_DOCS_DNA}),
+v AS (
+  SELECT doc_id, seq,
+         substr(seq, 12, 1) AS ref,
+         translate(substr(seq, 12, 1), 'ACGT', 'CGTA') AS alt,
+         CAST(n_chars % 100 AS INT) AS qual,
+         doc_id % 3 <> 0 AS is_filtered
+  FROM d JOIN documents USING (doc_id)
+  WHERE length(seq) >= 16
+),
+runs AS (
+  SELECT doc_id, ref, alt, qual, is_filtered,
+         {_run_len_sql("up")} AS up_len,
+         {_run_len_sql("down")} AS down_len,
+         substr(seq, 11 - {_run_len_sql("up")}, 1) AS base_before,
+         substr(seq, 13 + {_run_len_sql("down")}, 1) AS base_after
+  FROM v
+)
+SELECT doc_id, ref, alt, qual, up_len, down_len,
+       1 + up_len + down_len AS hmer_size,
+       (base_before = base_after AND base_before = ref
+        AND up_len = down_len) AS is_tandem,
+       (is_filtered AND qual >= 30
+        AND 1 + up_len + down_len >= 3
+        AND NOT (base_before = base_after AND base_before = ref
+                 AND up_len = down_len)
+        AND LEAST(up_len, down_len) >= 1) AS rescued
+FROM runs
+""",
+)
+def q125_bridging_snv_calibration(spark, sf_dir):
+    """Bridging-SNV recalibration (reference `pipelines/vcfbed/
+    calibrate_bridging_snvs.py:9-66`): a filtered SNP whose ALT base
+    extends a reference homopolymer on both sides ("bridges" it) is a
+    flow-technology artifact candidate and gets rescued — unless the
+    context is a symmetric tandem repeat (base-before == base-after ==
+    REF with equal arm lengths), the reference's explicit exclusion.
+    Re-expressed as pure string expressions over the deterministic
+    docs-DNA sequences: up/downstream run lengths are cumulative-AND
+    prefix indicators (fixed window 4 — the same generated expression
+    text runs on both engines), hmer arithmetic and the tandem/edge
+    rules are plain CASE algebra. Zero shuffles: pipelines with the
+    scan at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs_as_dna(spark, sf_dir).join(docs.select("doc_id", "n_chars"), "doc_id")
+    v = d.where(F.length("seq") >= 16).select(
+        "doc_id",
+        "seq",
+        F.expr("substr(seq, 12, 1)").alias("ref"),
+        F.expr("translate(substr(seq, 12, 1), 'ACGT', 'CGTA')").alias("alt"),
+        (F.col("n_chars") % 100).cast("int").alias("qual"),
+        (F.col("doc_id") % 3 != 0).alias("is_filtered"),
+    )
+    up, down = _run_len_sql("up"), _run_len_sql("down")
+    runs = v.select(
+        "doc_id",
+        "ref",
+        "alt",
+        "qual",
+        "is_filtered",
+        F.expr(up).alias("up_len"),
+        F.expr(down).alias("down_len"),
+        F.expr(f"substr(seq, 11 - {up}, 1)").alias("base_before"),
+        F.expr(f"substr(seq, 13 + {down}, 1)").alias("base_after"),
+    )
+    tandem = (
+        (F.col("base_before") == F.col("base_after"))
+        & (F.col("base_before") == F.col("ref"))
+        & (F.col("up_len") == F.col("down_len"))
+    )
+    hmer = 1 + F.col("up_len") + F.col("down_len")
+    return runs.select(
+        "doc_id",
+        "ref",
+        "alt",
+        "qual",
+        "up_len",
+        "down_len",
+        hmer.alias("hmer_size"),
+        tandem.alias("is_tandem"),
+        (
+            F.col("is_filtered")
+            & (F.col("qual") >= 30)
+            & (hmer >= 3)
+            & ~tandem
+            & (F.least("up_len", "down_len") >= 1)
+        ).alias("rescued"),
+    )
