@@ -63,6 +63,7 @@ _PRIORITY = (
     "q123_gvcf_hcr",
     "q124_sample_identity_matrix",
     "q125_bridging_snv_calibration",
+    "q126_bpe_merge_mining",
     "q110_concordance_chain_rescue",
     "q111_reads_ingest_depth",
     "q112_embedding_neardup_lsh_wide",

@@ -844,3 +844,49 @@ def q117_dsir_importance_weights(spark, sf_dir):
         F.sum("c").cast("int").alias("n_grams"),
         F.round(F.sum("contrib").cast("double"), 6).alias("weight"),
     )
+
+
+@query(
+    "q126_bpe_merge_mining",
+    oracle="""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+pairs AS (
+  SELECT unnest([substr(w, i, 2) for i in generate_series(1, length(w) - 1)]) AS pair
+  FROM words WHERE length(w) >= 2
+),
+counts AS (SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair)
+SELECT pair, n,
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS INT) AS rank
+FROM counts QUALIFY rank <= 20
+""",
+)
+def q126_bpe_merge_mining(spark, sf_dir):
+    """Tokenizer induction's inner loop — BPE merge-pair mining: count
+    every adjacent symbol pair inside words across the corpus and rank
+    the top candidates (each top pair becomes the next merge rule when
+    training a BPE vocabulary). One exploded projection (adjacent pairs
+    via substr over a sequence — pure JVM) + one map-side-combinable
+    count + a top-k over the tiny pair-vocabulary aggregate. At corpus
+    scale the shuffle carries one row per DISTINCT pair per partition
+    (alphabet-squared bounded), never per occurrence."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).where(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as W
+
+    return (
+        counts.withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.col("n").desc(), "pair")).cast("int"),
+        )
+        .where(F.col("rank") <= 20)
+    )
