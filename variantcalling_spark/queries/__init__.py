@@ -49,8 +49,12 @@ _PRIORITY = (
     # Round 4 front-of-budget (~50 checked/round): new queries first, then
     # re-certify stale greens, oldest first, so no green row ages past ~2
     # rounds (round-2's silent regression shipped exactly because stale
-    # rows went unchecked).
-    # --- New this round ---
+    # rows went unchecked). The full local sweep (tools/check_correctness)
+    # covers ALL queries each round regardless of the driver budget.
+    # ROUND 5 ROTATION NOTE: after the r4 driver run, the oldest rows are
+    # the tail of the round-2 block below (q28 onward) plus the r3-green
+    # five at the end — lead round 5 with those, then r4's new queries.
+    # --- New in round 4 ---
     "q114_substring_dedup_spans",
     "q115_domain_mixture_sampling",
     "q116_bm25_topk",
