@@ -133,6 +133,10 @@ def main() -> int:
             continue
         t_spark = time.time() - t0
         t_spark_total += t_spark
+        # queries persist shared intermediates and never unpersist (each
+        # call is a fresh plan); drop them so ~125 queries' caches don't
+        # accumulate into LRU-eviction thrash late in the sweep
+        spark.catalog.clearCache()
         if name not in oracles:
             print(f"weak {name}: rows={len(spark_pdf)} ({t_spark:.1f}s) [no oracle]")
             n_weak += 1
