@@ -181,3 +181,109 @@ def test_portable_hash_matches_duckdb(spark, words):
         ).fetchall()
     )
     assert got == want
+
+
+# --- round-4 operators ---
+
+words_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]), min_size=5, max_size=14
+    ).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+def naive_dup_spans(docs, k=3, min_docs=2):
+    """Single-threaded reference: duplicated k-shingle covered positions
+    -> maximal islands per doc."""
+    sh_occ = {}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        for i in range(len(toks) - k + 1):
+            sh_occ.setdefault(" ".join(toks[i : i + k]), []).append((doc_id, i))
+    dup = {s for s, occ in sh_occ.items() if len({d for d, _ in occ}) >= min_docs}
+    covered = {}
+    for s in dup:
+        for doc_id, i in sh_occ[s]:
+            covered.setdefault(doc_id, set()).update(range(i, i + k))
+    out = set()
+    for doc_id, pos in covered.items():
+        pos = sorted(pos)
+        start = prev = pos[0]
+        for p in pos[1:]:
+            if p > prev + 1:
+                out.add((doc_id, start, prev, prev - start + 1))
+                start = p
+            prev = p
+        out.add((doc_id, start, prev, prev - start + 1))
+    return out
+
+
+@given(texts=words_strategy)
+@settings(**SETTINGS)
+def test_substring_dedup_spans_match_naive(spark, texts):
+    from variantcalling_spark.operators.dedup import duplicated_substring_spans
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicated_substring_spans(df, k=3, min_docs=2).collect()
+    }
+    assert got == naive_dup_spans(docs, k=3, min_docs=2)
+
+
+bam_records_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # flag selector
+        st.integers(min_value=1, max_value=99999),  # pos (1-based)
+        st.integers(min_value=0, max_value=60),     # mapq
+        st.lists(                                   # cigar ops
+            st.tuples(
+                st.integers(min_value=1, max_value=120),
+                st.sampled_from(list("MIDNSHP=X")),
+            ),
+            min_size=0,
+            max_size=4,
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(recs=bam_records_strategy)
+@settings(**SETTINGS)
+def test_bam_record_codec_round_trip(recs):
+    """pack_bam -> bgzf -> parse_bam_bytes must reproduce every field of
+    every record for arbitrary flags/positions/CIGARs (no Spark needed —
+    the codec is the unit under test)."""
+    from variantcalling_spark.sources.bam import (
+        bgzf_compress,
+        pack_bam,
+        parse_bam_bytes,
+    )
+
+    flags = [0, 4, 16, 1024]
+    rows = [
+        dict(
+            qname=f"r{i}",
+            flag=flags[fs],
+            chrom="cX" if flags[fs] != 4 else "*",
+            pos=pos if flags[fs] != 4 else 0,
+            mapq=mapq,
+            cigar="".join(f"{n}{op}" for n, op in ops) if ops else "*",
+        )
+        for i, (fs, pos, mapq, ops) in enumerate(recs)
+    ]
+    raw = pack_bam(rows, refs=[("cX", 10**6)])
+    df = parse_bam_bytes(bgzf_compress(raw, block_size=96))
+    assert len(df) == len(rows)
+    for want, got in zip(rows, df.to_dict("records")):
+        assert got["qname"] == want["qname"]
+        assert got["flag"] == want["flag"]
+        assert got["chrom"] == want["chrom"]
+        assert got["pos"] == want["pos"]
+        assert got["mapq"] == want["mapq"]
+        assert got["cigar"] == want["cigar"]
