@@ -128,6 +128,9 @@ def _second_scale_point(spark, registry) -> dict | None:
         # the scale measurements (q65 measured 6.4s isolated vs 16s
         # contended). Warm-up below re-materializes what scale2 needs.
         spark.catalog.clearCache()
+        # Re-seed the pre-AQE shuffle partitions for 10x the input —
+        # the SCALE.md recipe (seed ~ bytes / 128 MB) applied per phase.
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
         for n in names:
             registry[n].fn(spark, sf1_dir).limit(1).count()
         per_query: dict[str, float] = {}

@@ -12,7 +12,15 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# Pre-AQE shuffle-partition seed. SCALE.md's recipe is "seed ~ input
+# bytes / 128 MB, let AQE right-size" — for the local benchmark scales
+# (sf0.1 ~ 200 MB total) that is single digits, and a CPU-count seed
+# only adds per-stage scheduling floor (measured ~20% on the floor-bound
+# headline queries). Results are partition-count independent by design
+# (DECIMAL aggregates / deterministic hashes), so this is pure latency.
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get(
+    "SPARK_GRAFT_SHUFFLE_PARTITIONS", "8"
+)
 
 
 def object_store_configs(
@@ -162,7 +170,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode executors live inside the driver JVM, so this IS the
+        # executor heap: 8g left the bench's second scale point at the
+        # eviction edge (storage thrash made repeat runs swing 2-3x);
+        # the dev box has 128 GiB — size the heap so persisted
+        # intermediates at 10x sf0.1 stay resident
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
     for k, v in (extra_configs or {}).items():
         builder = builder.config(k, v)
