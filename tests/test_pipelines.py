@@ -120,3 +120,53 @@ def test_denovo_refinement_cases(spark):
     assert not out[200].is_denovo and out[200].denovo_qual is None
     assert not out[300].is_denovo
     assert not out[400].is_denovo  # father absent at the site
+
+
+def test_results_catalog_upsert_resolution(spark, tmp_path):
+    """Merge-on-read upsert: later versions override, tombstones delete,
+    snapshot reads see the past, compaction preserves resolution."""
+    from variantcalling_spark.pipelines.results import (
+        _versions,
+        compact_result,
+        read_result_latest,
+        upsert_result,
+    )
+
+    root = str(tmp_path / "catalog")
+    mk = ["sample", "metric"]
+
+    v1 = upsert_result(root, "qc", spark.createDataFrame(
+        [("s1", "depth", 30.0), ("s2", "depth", 28.0)], mk + ["value"]))
+    v2 = upsert_result(root, "qc", spark.createDataFrame(
+        [("s1", "depth", 31.5), ("s1", "titv", 2.1)], mk + ["value"]))
+    assert (v1, v2) == (1, 2)
+
+    got = {
+        (r.sample, r.metric): r.value
+        for r in read_result_latest(spark, root, "qc", mk).collect()
+    }
+    assert got == {("s1", "depth"): 31.5, ("s2", "depth"): 28.0, ("s1", "titv"): 2.1}
+
+    # time travel: snapshot at v1 ignores the later upsert
+    old = {
+        (r.sample, r.metric): r.value
+        for r in read_result_latest(spark, root, "qc", mk, as_of_version=1).collect()
+    }
+    assert old == {("s1", "depth"): 30.0, ("s2", "depth"): 28.0}
+
+    # tombstone delete
+    upsert_result(root, "qc", spark.createDataFrame(
+        [("s2", "depth", 0.0)], mk + ["value"]), delete=True)
+    got = {
+        (r.sample, r.metric) for r in read_result_latest(spark, root, "qc", mk).collect()
+    }
+    assert got == {("s1", "depth"), ("s1", "titv")}
+
+    # compaction folds the chain and keeps the same resolved rows
+    compact_result(spark, root, "qc", mk)
+    assert len(_versions(root, "qc")) == 1
+    got2 = {
+        (r.sample, r.metric): r.value
+        for r in read_result_latest(spark, root, "qc", mk).collect()
+    }
+    assert got2 == {("s1", "depth"): 31.5, ("s1", "titv"): 2.1}

@@ -29,3 +29,89 @@ def list_keys(catalog_root: str) -> list[str]:
         d for d in os.listdir(catalog_root)
         if os.path.isdir(os.path.join(catalog_root, d))
     )
+
+
+# ---- merge-on-read upsert (ROADMAP item: catalog upsert without a
+# table-format dependency) -------------------------------------------------
+#
+# Each upsert lands as a new immutable version partition ``v=N`` under the
+# key directory — writes never rewrite existing files (object-store safe,
+# concurrent-reader safe). Readers resolve latest-version-per-merge-key at
+# read time (merge-on-read); tombstone rows (__deleted=true) hide earlier
+# versions. ``compact_result`` folds the version chain back into one base
+# version. The same layout Delta/Iceberg formalize, reduced to plain
+# partitioned parquet + a resolution window — swap in a real table format
+# by replacing these four functions.
+
+_DELETED = "__deleted"
+
+
+def _versions(catalog_root: str, key: str) -> list[int]:
+    d = os.path.join(catalog_root, key)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(name[2:]) for name in os.listdir(d)
+        if name.startswith("v=") and name[2:].isdigit()
+    )
+
+
+def upsert_result(
+    catalog_root: str, key: str, df: DataFrame, *, delete: bool = False
+) -> int:
+    """Write ``df`` as the next immutable version of ``key``. With
+    ``delete=True`` the rows are tombstones: any earlier version of the
+    same merge keys disappears from resolved reads. Returns the version
+    number written."""
+    from pyspark.sql import functions as F
+
+    v = (_versions(catalog_root, key) or [0])[-1] + 1
+    out = df.withColumn(_DELETED, F.lit(bool(delete)))
+    out.write.mode("errorifexists").parquet(
+        os.path.join(catalog_root, key, f"v={v}")
+    )
+    return v
+
+
+def read_result_latest(
+    spark: SparkSession,
+    catalog_root: str,
+    key: str,
+    merge_keys: list[str],
+    as_of_version: int | None = None,
+) -> DataFrame:
+    """Merge-on-read resolution: latest version per merge key, tombstones
+    dropped. ``as_of_version`` gives snapshot reads (time travel): only
+    versions <= N participate — partition pruning on the ``v`` directory
+    column means later versions are never even opened."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("basePath", os.path.join(catalog_root, key)).parquet(
+        os.path.join(catalog_root, key)
+    )
+    if as_of_version is not None:
+        df = df.where(F.col("v") <= as_of_version)
+    w = Window.partitionBy(*merge_keys).orderBy(F.col("v").desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & ~F.col(_DELETED))
+        .drop("__rn", "v", _DELETED)
+    )
+
+
+def compact_result(
+    spark: SparkSession, catalog_root: str, key: str, merge_keys: list[str]
+) -> int:
+    """Fold the version chain into a single new base version holding the
+    resolved rows, then drop the superseded version directories. Readers
+    racing the swap still resolve correctly: the new base version wins
+    every merge-key window by construction before the old dirs go."""
+    import shutil
+
+    old = _versions(catalog_root, key)
+    resolved = read_result_latest(spark, catalog_root, key, merge_keys)
+    v = upsert_result(catalog_root, key, resolved)
+    for n in old:
+        shutil.rmtree(os.path.join(catalog_root, key, f"v={n}"))
+    return v
