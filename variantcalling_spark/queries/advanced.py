@@ -1478,8 +1478,11 @@ def q119_concordance_segmented_replay(spark, sf_dir):
     ).select("chrom", "r.pos", "r.ref", "r.alt")
 
     key = ["chrom", "pos", "ref", "alt"]
-    fp = calls.join(truth, key, "left_anti")
-    fn = truth.join(calls, key, "left_anti")
+    # persisted: each side feeds three consumers (the segmentation union,
+    # its own scalar count, and — for fp/fn — the rescued-record joins);
+    # without the persist every consumer re-runs the anti-join
+    fp = calls.join(truth, key, "left_anti").persist()
+    fn = truth.join(calls, key, "left_anti").persist()
     resc_fp, resc_fn = segmented_replay_rescue(fp, fn, gap=REPLAY_GAP)
 
     counts = (
