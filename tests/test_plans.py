@@ -357,3 +357,38 @@ def test_q119_segmented_replay_no_cartesian(spark):
     import re
 
     assert re.search(r"hashpartitioning\(chrom#\d+, seg#", p)
+
+
+def test_auto_bucket_width_matches_manual_join(spark):
+    """The statistics-chosen bucket width must (a) land near the median
+    interval length as a power of two and (b) produce exactly the same
+    join output as any manual width — bucketing is a pure partitioning
+    choice, never a semantics choice."""
+    from variantcalling_spark.operators.interval_join import (
+        auto_bucketed_point_in_interval_join,
+        bucketed_point_in_interval_join,
+        choose_bucket_width,
+    )
+
+    iv = spark.createDataFrame(
+        [("c1", i * 40, i * 40 + 25 + (i % 7)) for i in range(300)],
+        "chrom string, start long, end long",
+    )
+    pts = spark.createDataFrame(
+        [("c1", p * 7) for p in range(900)], "chrom string, pos long"
+    )
+    w = choose_bucket_width(iv)
+    assert w in (32, 64)  # median length ~28 -> next power of two
+    auto = {
+        (r.pos, r.start)
+        for r in auto_bucketed_point_in_interval_join(
+            pts, iv, "pos", keys=["chrom"]
+        ).collect()
+    }
+    manual = {
+        (r.pos, r.start)
+        for r in bucketed_point_in_interval_join(
+            pts, iv, "pos", 1000, keys=["chrom"]
+        ).collect()
+    }
+    assert auto == manual and auto
