@@ -426,3 +426,48 @@ def test_bridging_snv_cases(spark, monkeypatch, tmp_path):
     assert not out[20].rescued and out[20].is_tandem
     assert not out[31].rescued and out[31].up_len == 0
     assert not out[40].rescued and out[40].qual == 20  # low qual
+
+
+def test_diplotype_replay_refuses_phase_flip_with_anchor(spark):
+    """The discriminator the single-sequence methods cannot see: a
+    cis/trans flip against an exactly-matched neighbor SNP. With the TP
+    anchor in the window the haplotype PAIRS differ -> no rescue; the
+    same records without the anchor degrade to the (wrong) rescue —
+    proving the anchor is what carries the phase information."""
+    from variantcalling_spark.queries.advanced import diplotype_replay_rescue
+
+    cols = ["chrom", "pos", "ref", "alt", "gt"]
+    schema = "chrom string, pos long, ref string, alt string, gt string"
+    fp = spark.createDataFrame([("c1", 101, "C", "G", "1|0")], cols)
+    fn = spark.createDataFrame([("c1", 101, "C", "G", "0|1")], cols)
+    tp = spark.createDataFrame([("c1", 100, "A", "T", "1|0")], cols)
+    no_tp = spark.createDataFrame([], schema)
+
+    rfp, rfn = diplotype_replay_rescue(fp, fn, tp)
+    assert rfp.count() == 0 and rfn.count() == 0
+
+    rfp, rfn = diplotype_replay_rescue(fp, fn, no_tp)
+    assert rfp.count() == 1 and rfn.count() == 1
+
+
+def test_diplotype_replay_rescues_phased_chains(spark):
+    """Phased MNV<->SNP-pair on one haplotype and a hom split deletion
+    both rescue; an allele error in the same shape never does."""
+    from variantcalling_spark.queries.advanced import diplotype_replay_rescue
+
+    cols = ["chrom", "pos", "ref", "alt", "gt"]
+    schema = "chrom string, pos long, ref string, alt string, gt string"
+    no_tp = spark.createDataFrame([], schema)
+
+    fp = spark.createDataFrame(
+        [("c1", 100, "A", "T", "1|0"), ("c1", 101, "C", "G", "1|0"),
+         ("c2", 200, "AC", "A", "1|1"), ("c2", 202, "G", "", "1|1")], cols)
+    fn = spark.createDataFrame(
+        [("c1", 100, "AC", "TG", "1|0"), ("c2", 200, "ACG", "A", "1|1")], cols)
+    rfp, rfn = diplotype_replay_rescue(fp, fn, no_tp)
+    assert rfp.count() == 4 and rfn.count() == 2
+
+    fp = spark.createDataFrame([("c3", 300, "A", "G", "1|0")], cols)
+    fn = spark.createDataFrame([("c3", 300, "A", "T", "1|0")], cols)
+    rfp, rfn = diplotype_replay_rescue(fp, fn, no_tp)
+    assert rfp.count() == 0 and rfn.count() == 0

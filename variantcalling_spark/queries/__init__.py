@@ -68,6 +68,7 @@ _PRIORITY = (
     "q124_sample_identity_matrix",
     "q125_bridging_snv_calibration",
     "q126_bpe_merge_mining",
+    "q127_concordance_diplotype_replay",
     "q110_concordance_chain_rescue",
     "q111_reads_ingest_depth",
     "q112_embedding_neardup_lsh_wide",

@@ -1509,3 +1509,394 @@ def q119_concordance_segmented_replay(spark, sf_dir):
             tp_f / (F.col("tp_exact") + F.col("fn_exact")).cast("double"), 6
         ).alias("recall"),
     )
+
+
+def diplotype_replay_rescue(fp, fn, tp, gap: int = REPLAY_GAP):
+    """Phased DIPLOTYPE replay (the vcfeval semantic q119 approximates
+    one level below): each side rebuilds TWO haplotype strings per
+    segment from phased genotypes ('a|b' — hap1 applies when a=1, hap2
+    when b=1), and a segment rescues only when the UNORDERED PAIR of
+    haplotype strings matches. Exact TP records falling within
+    ``gap`` of a segment join BOTH sides' replays as phase anchors —
+    without them a cis/trans flip against an exactly-matched neighbor
+    SNP would falsely rescue (pinned in tests; this is precisely the
+    case single-sequence replay cannot see).
+
+    Inputs carry (chrom, pos, ref, alt, gt). Scale shape: q119's
+    segmentation windows + one extra broadcast join assigning anchor
+    TPs to segments; per-(segment, side, hap) replay is the same
+    window+aggregate; matching equi-joins on the sorted signature pair.
+    Returns (rescued_fp, rescued_fn) as (chrom, pos) DataFrames —
+    anchor TPs are never counted as rescued."""
+    u = (
+        fp.withColumn("side", F.lit("fp"))
+        .unionByName(fn.withColumn("side", F.lit("fn")))
+        .withColumn("e", F.col("pos") + F.length("ref"))
+    )
+    w_ord = Window.partitionBy("chrom").orderBy("pos", "ref", "alt", "gt", "side")
+    prev_max = F.max("e").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    segd = (
+        u.withColumn(
+            "brk",
+            F.when(prev_max.isNull() | ((F.col("pos") - prev_max) > gap), 1).otherwise(
+                0
+            ),
+        )
+        .withColumn(
+            "seg", F.sum("brk").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .persist()
+    )
+    bounds = segd.groupBy("chrom", "seg").agg(
+        F.min("pos").alias("lo"), F.max("e").alias("hi")
+    )
+    tp_seg = (
+        tp.join(F.broadcast(bounds), "chrom")
+        .where(
+            (F.col("pos") >= F.col("lo") - gap)
+            & (F.col("pos") + F.length("ref") <= F.col("hi") + gap)
+        )
+        .select("chrom", "seg", "pos", "ref", "alt", "gt")
+    )
+    ext = tp_seg.groupBy("chrom", "seg").agg(
+        F.min("pos").alias("tmin"),
+        F.max(F.col("pos") + F.length("ref")).alias("tmax"),
+    )
+    bounds2 = (
+        bounds.join(ext, ["chrom", "seg"], "left")
+        .select(
+            "chrom",
+            "seg",
+            F.least("lo", F.coalesce("tmin", "lo")).alias("lo"),
+            F.greatest("hi", F.coalesce("tmax", "hi")).alias("hi"),
+        )
+    )
+    sides = segd.select("chrom", "seg", "side").distinct()
+    recs = segd.select("chrom", "seg", "side", "pos", "ref", "alt", "gt").unionByName(
+        tp_seg.join(sides, ["chrom", "seg"]).select(
+            "chrom", "seg", "side", "pos", "ref", "alt", "gt"
+        )
+    )
+    happed = recs.select(
+        "chrom",
+        "seg",
+        "side",
+        "pos",
+        "ref",
+        "alt",
+        F.explode(
+            F.filter(
+                F.array(F.lit(1), F.lit(2)),
+                lambda h: F.substring(F.col("gt"), h * 2 - 1, 1) == "1",
+            )
+        ).alias("hap"),
+    ).join(bounds2, ["chrom", "seg"]).withColumn("e", F.col("pos") + F.length("ref"))
+    w_side = Window.partitionBy("chrom", "seg", "side", "hap").orderBy("pos")
+    gs = F.coalesce(F.lag("e").over(w_side), F.col("lo"))
+    grouped = (
+        happed.select(
+            "chrom",
+            "seg",
+            "side",
+            "hap",
+            "pos",
+            "e",
+            "hi",
+            F.concat(_ref_slice(gs, F.col("pos") - gs), F.col("alt")).alias("piece"),
+        )
+        .groupBy("chrom", "seg", "side", "hap", "hi")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "piece"))),
+                    lambda x: x["piece"],
+                ),
+            ).alias("body"),
+            F.max("e").alias("max_e"),
+        )
+        .select(
+            "chrom",
+            "seg",
+            "side",
+            "hap",
+            F.concat(
+                F.col("body"), _ref_slice(F.col("max_e"), F.col("hi") - F.col("max_e"))
+            ).alias("sig"),
+        )
+    )
+    domain = (
+        sides.crossJoin(
+            F.broadcast(
+                sides.sparkSession.createDataFrame([(1,), (2,)], "hap int")
+            )
+        )
+        .join(bounds2, ["chrom", "seg"])
+    )
+    sigs = domain.join(grouped, ["chrom", "seg", "side", "hap"], "left").select(
+        "chrom",
+        "seg",
+        "side",
+        F.coalesce(
+            "sig", _ref_slice(F.col("lo"), F.col("hi") - F.col("lo"))
+        ).alias("sig"),
+    )
+    pairs = sigs.groupBy("chrom", "seg", "side").agg(
+        F.min("sig").alias("sig_lo"), F.max("sig").alias("sig_hi")
+    )
+    matched = (
+        pairs.where(F.col("side") == "fp")
+        .select("chrom", "seg", "sig_lo", "sig_hi")
+        .join(
+            pairs.where(F.col("side") == "fn").select(
+                "chrom", "seg", F.col("sig_lo").alias("flo"), F.col("sig_hi").alias("fhi")
+            ),
+            ["chrom", "seg"],
+        )
+        .where((F.col("sig_lo") == F.col("flo")) & (F.col("sig_hi") == F.col("fhi")))
+        .select("chrom", "seg")
+    )
+    out = []
+    for side in ("fp", "fn"):
+        out.append(
+            segd.where(F.col("side") == side)
+            .join(matched, ["chrom", "seg"])
+            .select("chrom", "pos")
+        )
+    return out[0], out[1]
+
+
+@query(
+    "q127_concordance_diplotype_replay",
+    oracle=f"""
+WITH base AS (
+  SELECT concat('c', CAST(o_orderkey % 4 AS VARCHAR)) AS chrom,
+         o_orderkey * 40 + 30 AS p,
+         o_orderkey % 8 AS cs
+  FROM orders
+),
+truth AS (
+  SELECT chrom, p AS pos, 'AC' AS ref, 'TG' AS alt, '1|0' AS gt FROM base WHERE cs = 0
+  UNION ALL SELECT chrom, p, 'A', 'T', '1|0' FROM base WHERE cs IN (1, 3, 7)
+  UNION ALL SELECT chrom, p + 1, 'C', 'G', '0|1' FROM base WHERE cs IN (1, 7)
+  UNION ALL SELECT chrom, p, 'AC', 'TG', '1|1' FROM base WHERE cs = 2
+  UNION ALL SELECT chrom, p, 'A', 'T', '1|1' FROM base WHERE cs = 4
+  UNION ALL SELECT chrom, p, 'ACG', 'A', '1|0' FROM base WHERE cs = 6
+),
+calls AS (
+  SELECT chrom, p AS pos, 'A' AS ref, 'T' AS alt, '1|0' AS gt FROM base WHERE cs IN (0, 1, 7)
+  UNION ALL SELECT chrom, p + 1, 'C', 'G', '1|0' FROM base WHERE cs IN (0, 1)
+  UNION ALL SELECT chrom, p + 1, 'C', 'G', '0|1' FROM base WHERE cs = 7
+  UNION ALL SELECT chrom, p, 'A', 'T', '1|1' FROM base WHERE cs = 2
+  UNION ALL SELECT chrom, p + 1, 'C', 'G', '1|1' FROM base WHERE cs = 2
+  UNION ALL SELECT chrom, p, 'A', 'G', '1|0' FROM base WHERE cs = 3
+  UNION ALL SELECT chrom, p, 'A', 'T', '0|1' FROM base WHERE cs = 5
+  UNION ALL SELECT chrom, p, 'AC', 'A', '1|0' FROM base WHERE cs = 6
+  UNION ALL SELECT chrom, p + 2, 'G', '', '1|0' FROM base WHERE cs = 6
+),
+fp AS (
+  SELECT c.* FROM calls c LEFT JOIN truth t
+    ON c.chrom = t.chrom AND c.pos = t.pos AND c.ref = t.ref
+   AND c.alt = t.alt AND c.gt = t.gt
+  WHERE t.chrom IS NULL
+),
+fn AS (
+  SELECT t.* FROM truth t LEFT JOIN calls c
+    ON c.chrom = t.chrom AND c.pos = t.pos AND c.ref = t.ref
+   AND c.alt = t.alt AND c.gt = t.gt
+  WHERE c.chrom IS NULL
+),
+tp AS (
+  SELECT c.chrom, c.pos, c.ref, c.alt, c.gt FROM calls c JOIN truth t
+    ON c.chrom = t.chrom AND c.pos = t.pos AND c.ref = t.ref
+   AND c.alt = t.alt AND c.gt = t.gt
+),
+u AS (
+  SELECT chrom, pos, ref, alt, gt, side, pos + length(ref) AS e FROM (
+    SELECT chrom, pos, ref, alt, gt, 'fp' AS side FROM fp
+    UNION ALL SELECT chrom, pos, ref, alt, gt, 'fn' FROM fn
+  )
+),
+segd AS (
+  SELECT chrom, pos, ref, alt, gt, side, e,
+         SUM(brk) OVER (PARTITION BY chrom ORDER BY pos, ref, alt, gt, side
+                        ROWS UNBOUNDED PRECEDING) AS seg
+  FROM (
+    SELECT *, CASE WHEN pm IS NULL OR pos - pm > {REPLAY_GAP} THEN 1 ELSE 0 END AS brk
+    FROM (
+      SELECT *, MAX(e) OVER (PARTITION BY chrom ORDER BY pos, ref, alt, gt, side
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM u
+    )
+  )
+),
+bounds AS (SELECT chrom, seg, MIN(pos) AS lo, MAX(e) AS hi FROM segd GROUP BY chrom, seg),
+tp_seg AS (
+  SELECT b.chrom, b.seg, t.pos, t.ref, t.alt, t.gt
+  FROM tp t JOIN bounds b ON t.chrom = b.chrom
+  WHERE t.pos >= b.lo - {REPLAY_GAP} AND t.pos + length(t.ref) <= b.hi + {REPLAY_GAP}
+),
+ext AS (
+  SELECT chrom, seg, MIN(pos) AS tmin, MAX(pos + length(ref)) AS tmax
+  FROM tp_seg GROUP BY chrom, seg
+),
+bounds2 AS (
+  SELECT b.chrom, b.seg,
+         LEAST(b.lo, COALESCE(e.tmin, b.lo)) AS lo,
+         GREATEST(b.hi, COALESCE(e.tmax, b.hi)) AS hi
+  FROM bounds b LEFT JOIN ext e ON b.chrom = e.chrom AND b.seg = e.seg
+),
+sides AS (SELECT DISTINCT chrom, seg, side FROM segd),
+recs AS (
+  SELECT chrom, seg, side, pos, ref, alt, gt FROM segd
+  UNION ALL
+  SELECT t.chrom, t.seg, s.side, t.pos, t.ref, t.alt, t.gt
+  FROM tp_seg t JOIN sides s ON t.chrom = s.chrom AND t.seg = s.seg
+),
+happed AS (
+  SELECT r.chrom, r.seg, r.side, r.pos, r.ref, r.alt,
+         unnest([h for h in [1, 2] if substr(r.gt, h * 2 - 1, 1) = '1']) AS hap,
+         b.lo, b.hi, r.pos + length(r.ref) AS e
+  FROM recs r JOIN bounds2 b ON r.chrom = b.chrom AND r.seg = b.seg
+),
+pieces AS (
+  SELECT chrom, seg, side, hap, pos, e, hi,
+         {_SQL_SLICE.format(st="gs", ln="pos - gs")} || alt AS piece
+  FROM (
+    SELECT *, COALESCE(LAG(e) OVER (PARTITION BY chrom, seg, side, hap ORDER BY pos),
+                       lo) AS gs
+    FROM happed
+  )
+),
+grouped AS (
+  SELECT chrom, seg, side, hap,
+         STRING_AGG(piece, '' ORDER BY pos)
+           || {_SQL_SLICE.format(st="MAX(e)", ln="hi - MAX(e)")} AS sig
+  FROM pieces GROUP BY chrom, seg, side, hap, hi
+),
+domain AS (
+  SELECT s.chrom, s.seg, s.side, h.hap, b.lo, b.hi
+  FROM sides s CROSS JOIN (SELECT unnest([1, 2]) AS hap) h
+  JOIN bounds2 b ON s.chrom = b.chrom AND s.seg = b.seg
+),
+sigs AS (
+  SELECT d.chrom, d.seg, d.side,
+         COALESCE(g.sig, {_SQL_SLICE.format(st="d.lo", ln="d.hi - d.lo")}) AS sig
+  FROM domain d LEFT JOIN grouped g
+    ON d.chrom = g.chrom AND d.seg = g.seg AND d.side = g.side AND d.hap = g.hap
+),
+pairs AS (
+  SELECT chrom, seg, side, MIN(sig) AS sig_lo, MAX(sig) AS sig_hi
+  FROM sigs GROUP BY chrom, seg, side
+),
+matched AS (
+  SELECT a.chrom, a.seg FROM pairs a JOIN pairs b
+    ON a.chrom = b.chrom AND a.seg = b.seg
+   AND a.side = 'fp' AND b.side = 'fn'
+   AND a.sig_lo = b.sig_lo AND a.sig_hi = b.sig_hi
+),
+agg AS (
+  SELECT (SELECT COUNT(*) FROM tp) AS tp_exact,
+         (SELECT COUNT(*) FROM fp) AS fp_exact,
+         (SELECT COUNT(*) FROM fn) AS fn_exact,
+         (SELECT COUNT(*) FROM segd s JOIN matched m
+            ON s.chrom = m.chrom AND s.seg = m.seg WHERE s.side = 'fp') AS n_replay_fp,
+         (SELECT COUNT(*) FROM segd s JOIN matched m
+            ON s.chrom = m.chrom AND s.seg = m.seg WHERE s.side = 'fn') AS n_replay_fn
+)
+SELECT tp_exact, fp_exact, fn_exact, n_replay_fp, n_replay_fn,
+       tp_exact + n_replay_fn AS tp_final,
+       fp_exact - n_replay_fp AS fp_final,
+       fn_exact - n_replay_fn AS fn_final
+FROM agg
+""",
+)
+def q127_concordance_diplotype_replay(spark, sf_dir):
+    """Phased DIPLOTYPE replay concordance — the full vcfeval semantic:
+    each side rebuilds BOTH haplotype strings per segment from phased
+    genotypes and a segment rescues only when the unordered haplotype
+    PAIR matches, with exact-TP records anchoring phase inside the
+    window. The constructed callset's discriminator case (cs=1) is a
+    cis/trans flip against an exactly-matched neighbor SNP: every
+    single-sequence or multiset method (q104/q110/q113/q119) would
+    rescue it; diplotype replay correctly refuses (pinned in tests,
+    with and without the anchor). Case mix also covers phased MNV
+    chains, hom split SNPs, a phased split deletion, allele errors,
+    and pure FP/FN runs."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.concat(F.lit("c"), (F.col("o_orderkey") % 4).cast("string")).alias("chrom"),
+        (F.col("o_orderkey") * 40 + 30).alias("p"),
+        (F.col("o_orderkey") % 8).alias("cs"),
+    ).persist()
+
+    def rec(pos, ref, alt, gt):
+        return F.struct(
+            pos.cast("long").alias("pos"),
+            F.lit(ref).alias("ref"),
+            F.lit(alt).alias("alt"),
+            F.lit(gt).alias("gt"),
+        )
+
+    p = F.col("p")
+    empty = F.array().cast(
+        "array<struct<pos:bigint,ref:string,alt:string,gt:string>>"
+    )
+    trans_pair = F.array(rec(p, "A", "T", "1|0"), rec(p + 1, "C", "G", "0|1"))
+    truth = base.select(
+        "chrom",
+        F.explode(
+            F.when(F.col("cs") == 0, F.array(rec(p, "AC", "TG", "1|0")))
+            .when(F.col("cs").isin(1, 7), trans_pair)
+            .when(F.col("cs") == 2, F.array(rec(p, "AC", "TG", "1|1")))
+            .when(F.col("cs") == 3, F.array(rec(p, "A", "T", "1|0")))
+            .when(F.col("cs") == 4, F.array(rec(p, "A", "T", "1|1")))
+            .when(F.col("cs") == 6, F.array(rec(p, "ACG", "A", "1|0")))
+            .otherwise(empty)
+        ).alias("r"),
+    ).select("chrom", "r.pos", "r.ref", "r.alt", "r.gt")
+    calls = base.select(
+        "chrom",
+        F.explode(
+            F.when(
+                F.col("cs").isin(0, 1),
+                F.array(rec(p, "A", "T", "1|0"), rec(p + 1, "C", "G", "1|0")),
+            )
+            .when(F.col("cs") == 7, trans_pair)
+            .when(
+                F.col("cs") == 2,
+                F.array(rec(p, "A", "T", "1|1"), rec(p + 1, "C", "G", "1|1")),
+            )
+            .when(F.col("cs") == 3, F.array(rec(p, "A", "G", "1|0")))
+            .when(F.col("cs") == 5, F.array(rec(p, "A", "T", "0|1")))
+            .when(
+                F.col("cs") == 6,
+                F.array(rec(p, "AC", "A", "1|0"), rec(p + 2, "G", "", "1|0")),
+            )
+            .otherwise(empty)
+        ).alias("r"),
+    ).select("chrom", "r.pos", "r.ref", "r.alt", "r.gt")
+
+    key = ["chrom", "pos", "ref", "alt", "gt"]
+    fp = calls.join(truth, key, "left_anti").persist()
+    fn = truth.join(calls, key, "left_anti").persist()
+    tp = calls.join(truth.select(key), key).select(*key)
+    resc_fp, resc_fn = diplotype_replay_rescue(fp, fn, tp, gap=REPLAY_GAP)
+
+    counts = (
+        tp.agg(cnt("tp_exact"))
+        .crossJoin(fp.agg(cnt("fp_exact")))
+        .crossJoin(fn.agg(cnt("fn_exact")))
+        .crossJoin(resc_fp.agg(cnt("n_replay_fp")))
+        .crossJoin(resc_fn.agg(cnt("n_replay_fn")))
+    )
+    return counts.select(
+        "tp_exact",
+        "fp_exact",
+        "fn_exact",
+        "n_replay_fp",
+        "n_replay_fn",
+        (F.col("tp_exact") + F.col("n_replay_fn")).alias("tp_final"),
+        (F.col("fp_exact") - F.col("n_replay_fp")).alias("fp_final"),
+        (F.col("fn_exact") - F.col("n_replay_fn")).alias("fn_final"),
+    )
