@@ -546,3 +546,26 @@ def test_incremental_dedup_finds_sources_not_fresh(spark, sf_dir):
     near_ids = [d for d in by_new if 100000 <= d < 300000]
     assert near_ids, "near-copies must produce matches"
     assert all(d - 100000 in by_new[d] for d in near_ids)
+
+
+def test_rowwise_signature_equals_aggregate_form(spark, sf_dir):
+    """The shuffle-free projection form of the MinHash signature must be
+    bit-identical to the aggregate form — it is the streaming-ingest
+    contract (and a correctness guard for q122's probe path)."""
+    from variantcalling_spark.operators.dedup import (
+        portable_minhash_signatures,
+        rowwise_minhash_signatures,
+        shingles,
+    )
+    from variantcalling_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    agg = {
+        r.doc_id: list(r.signature)
+        for r in portable_minhash_signatures(shingles(docs, n=3)).collect()
+    }
+    row = {
+        r.doc_id: list(r.signature)
+        for r in rowwise_minhash_signatures(docs, n=3).collect()
+    }
+    assert agg == row and len(agg) > 0

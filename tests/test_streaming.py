@@ -373,3 +373,55 @@ def test_stream_static_join_equals_batch(spark, event_dir):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_streaming_ingest_dedup_candidates(spark, tmp_path):
+    """Dedup-at-ingest: a document STREAM maps through the shuffle-free
+    rowwise MinHash projection and probes the static corpus band index
+    with a stateless stream-static join — append mode, zero streaming
+    state — and must discover exactly the batch path's candidates."""
+    from variantcalling_spark.operators.dedup import (
+        portable_band_candidates_between,
+        portable_minhash_signatures,
+        rowwise_minhash_signatures,
+        shingles,
+    )
+    from variantcalling_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    # new batch: near-copies (first word dropped) of every 5th doc
+    new = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    new_dir = str(tmp_path / "incoming")
+    new.coalesce(2).write.mode("overwrite").parquet(new_dir)
+
+    old_sigs = portable_minhash_signatures(shingles(docs, n=3)).persist()
+    batch = {
+        (r.doc_new, r.doc_old)
+        for r in portable_band_candidates_between(
+            rowwise_minhash_signatures(spark.read.parquet(new_dir), n=3), old_sigs
+        ).collect()
+    }
+    assert batch, "near-copies must collide with their sources"
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(new_dir)
+    q = (
+        portable_band_candidates_between(
+            rowwise_minhash_signatures(stream, n=3), old_sigs
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ingest_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.doc_new, r.doc_old)
+            for r in spark.sql("SELECT * FROM ingest_dedup").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch

@@ -717,3 +717,50 @@ def star_contraction_components(
         .agg(F.min("v").alias("mv"))
         .select(F.col("u").alias("node"), F.least("mv", F.col("u")).alias("label"))
     )
+
+
+def rowwise_minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """``portable_minhash_signatures`` as a PURE PROJECTION — shingle,
+    hash, and minimize entirely inside array expressions on each row, no
+    explode, no groupBy, no shuffle (equality with the aggregate form is
+    pinned in tests).
+
+    This is the streaming-ingest form: Structured Streaming forbids (or
+    state-taxes) aggregations feeding joins, and at ingest time a
+    document's signature is a per-record fact anyway. A document stream
+    maps through this projection and probes the stored corpus band index
+    with a stateless stream-static join
+    (`portable_band_candidates_between`) — dedup-at-ingest with zero
+    stream-side shuffle and zero streaming state. The batch/aggregate
+    form remains preferable over a pre-exploded shingle relation that
+    other consumers share."""
+    w = F.split(F.col(text_col), " ")
+    sh_arr = F.when(
+        F.size(w) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - n),
+                lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+            )
+        ),
+    )
+    v_arr = F.transform(sh_arr, portable_string_hash)
+
+    def perm(a: int, b: int):
+        return lambda x: (F.lit(a).cast("bigint") * x + F.lit(b)) % MERSENNE31
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(v_arr, perm(a, b)))
+            for a, b in _minhash_coeffs(num_hashes)
+        ]
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("signature")).where(
+        F.col("signature").isNotNull()
+    )
