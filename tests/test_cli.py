@@ -73,3 +73,34 @@ def test_cli_vcf_to_parquet_and_dedup(spark, tmp_path):
     assert main(["dedup", "--input", dp, "--output", dout, "--method", "exact"]) == 0
     clusters = spark.read.parquet(dout).collect()
     assert len(clusters) == 1 and clusters[0].cluster_size == 2
+
+
+def test_cli_bam_to_parquet(spark, tmp_path):
+    from variantcalling_spark.sources.bam import bgzf_compress, pack_bam
+
+    recs = [dict(qname=f"r{i}", flag=0, chrom="c1", pos=100 + i * 5, mapq=40,
+                 cigar="20M") for i in range(20)]
+    bam = tmp_path / "in.bam"
+    bam.write_bytes(bgzf_compress(pack_bam(recs, refs=[("c1", 100000)])))
+    outp, dp = str(tmp_path / "aln"), str(tmp_path / "depth")
+    assert main(["bam-to-parquet", "--input", str(bam), "--output", outp,
+                 "--depth-output", dp, "--min-mapq", "20"]) == 0
+    aln = spark.read.parquet(outp)
+    assert aln.count() == 20 and set(aln.columns) >= {"qname", "flag", "chrom", "pos"}
+    depth = spark.read.parquet(dp)
+    assert depth.where("depth >= 1").count() > 0
+
+
+def test_cli_gvcf_hcr(spark, tmp_path):
+    blocks = spark.createDataFrame(
+        [("c1", 0, 100, 30, True), ("c1", 100, 200, 30, True),   # merge
+         ("c1", 300, 400, 10, True),                             # low GQ: out
+         ("c1", 500, 600, 50, False),                            # no GT: out
+         ("c2", 0, 50, 25, True)],
+        "chrom string, start long, end long, gq int, has_gt boolean",
+    )
+    inp, bed = str(tmp_path / "blocks"), str(tmp_path / "hcr_bed")
+    blocks.write.parquet(inp)
+    assert main(["gvcf-hcr", "--input", inp, "--bed", bed]) == 0
+    lines = {tuple(r.value.split("\t")) for r in spark.read.text(bed).collect()}
+    assert lines == {("c1", "0", "200"), ("c2", "0", "50")}

@@ -145,6 +145,63 @@ def cmd_vcf_to_parquet(argv: list[str]) -> int:
     return 0
 
 
+def cmd_bam_to_parquet(argv: list[str]) -> int:
+    """Binary alignment ingest (the reference's ``samtools view`` pipe as
+    an in-engine scan): .bam file(s) -> typed alignment parquet, plus an
+    optional depth-runs table in one pass."""
+    ap = argparse.ArgumentParser(prog="bam-to-parquet")
+    ap.add_argument("--input", required=True, help=".bam file or directory")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--depth-output", help="also write RLE depth runs here")
+    ap.add_argument("--min-mapq", type=int, default=0)
+    a = ap.parse_args(argv)
+    from variantcalling_spark.operators.pileup import reads_to_depth_runs
+    from variantcalling_spark.sources.bam import read_bam
+    from variantcalling_spark.sources.reads import sam_to_read_intervals
+
+    spark = _spark()
+    records = read_bam(spark, a.input).persist()
+    records.write.mode("overwrite").parquet(a.output)
+    if a.depth_output:
+        intervals = sam_to_read_intervals(records, min_mapq=a.min_mapq)
+        reads_to_depth_runs(intervals).write.mode("overwrite").parquet(
+            a.depth_output
+        )
+    return 0
+
+
+def cmd_gvcf_hcr(argv: list[str]) -> int:
+    """High-confidence-region extraction (reference ``gvcf_hcr`` CLI):
+    gVCF block parquet (chrom, start, end, gq, has_gt) -> merged HCR
+    BED text."""
+    ap = argparse.ArgumentParser(prog="gvcf-hcr")
+    ap.add_argument("--input", required=True, help="parquet of gvcf blocks")
+    ap.add_argument("--bed", required=True, help="output BED path")
+    ap.add_argument("--gq-threshold", type=int, default=20)
+    a = ap.parse_args(argv)
+    from pyspark.sql import Window as W
+
+    spark = _spark()
+    blocks = spark.read.parquet(a.input)
+    hc = blocks.where(
+        (F.col("gq") >= a.gq_threshold) & F.col("has_gt")
+    ).select("chrom", "start", "end")
+    w_ord = W.partitionBy("chrom").orderBy("start", "end")
+    pm = F.max("end").over(w_ord.rowsBetween(W.unboundedPreceding, -1))
+    segd = hc.withColumn(
+        "brk", F.when(pm.isNull() | (F.col("start") > pm), 1).otherwise(0)
+    ).withColumn("seg", F.sum("brk").over(w_ord.rowsBetween(W.unboundedPreceding, 0)))
+    merged = segd.groupBy("chrom", "seg").agg(
+        F.min("start").alias("start"), F.max("end").alias("end")
+    )
+    from variantcalling_spark.sources.bed import to_bed_lines
+
+    to_bed_lines(merged.select("chrom", "start", "end")).coalesce(1).write.mode(
+        "overwrite"
+    ).text(a.bed)
+    return 0
+
+
 TOOLS = {
     "evaluate-concordance": cmd_evaluate_concordance,
     "coverage": cmd_coverage,
@@ -152,6 +209,8 @@ TOOLS = {
     "denovo-refine": cmd_denovo_refine,
     "dedup": cmd_dedup,
     "vcf-to-parquet": cmd_vcf_to_parquet,
+    "bam-to-parquet": cmd_bam_to_parquet,
+    "gvcf-hcr": cmd_gvcf_hcr,
 }
 
 
