@@ -69,6 +69,7 @@ _PRIORITY = (
     "q125_bridging_snv_calibration",
     "q126_bpe_merge_mining",
     "q127_concordance_diplotype_replay",
+    "q128_hard_negative_mining",
     "q110_concordance_chain_rescue",
     "q111_reads_ingest_depth",
     "q112_embedding_neardup_lsh_wide",

@@ -409,3 +409,73 @@ def q121_pq_ann(spark, sf_dir):
     codebooks, codes = pq_index(emb, m=8, k_sub=16)
     queries = emb.where(F.col("vec_id") < 5)
     return pq_adc_topk(queries, codes, codebooks, k=3, m=8)
+
+
+@query(
+    "q128_hard_negative_mining",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+c AS (
+  SELECT vec_id AS cand_id, label AS clabel,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS cv
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, cand_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+  FROM q, c WHERE query_id <> cand_id AND qlabel <> clabel
+)
+SELECT query_id, cand_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 3
+""",
+)
+def q128_hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining for contrastive embedding training: per
+    anchor, the most-similar candidates carrying a DIFFERENT class
+    label — the negatives that actually move a contrastive loss, vs the
+    uninformative random negatives in-batch sampling yields. Same
+    broadcast-anchors plan as the cosine baseline (candidate scan never
+    shuffles; the label inequality prunes pairs before scoring), with
+    the Arrow-vectorized quantized-integer cosine kernel, so the whole
+    ranking is engine-exact. At 10^9 candidates this composes with the
+    ANN paths (q69/q71/q121) — score only bucket/cell survivors, then
+    apply the same different-label filter."""
+    from variantcalling_spark.operators.similarity import _cosine_arrow, _quantize
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        _quantize(F.col("embedding")).alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("clabel"),
+        _quantize(F.col("embedding")).alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(
+            (F.col("query_id") != F.col("cand_id"))
+            & (F.col("qlabel") != F.col("clabel"))
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            _cosine_arrow()(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
