@@ -725,6 +725,7 @@ def rowwise_minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 32,
+    include_shingles: bool = False,
 ) -> DataFrame:
     """``portable_minhash_signatures`` as a PURE PROJECTION — shingle,
     hash, and minimize entirely inside array expressions on each row, no
@@ -761,6 +762,9 @@ def rowwise_minhash_signatures(
             for a, b in _minhash_coeffs(num_hashes)
         ]
     )
-    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("signature")).where(
-        F.col("signature").isNotNull()
-    )
+    cols = [F.col(id_col).alias("doc_id"), sig.alias("signature")]
+    if include_shingles:
+        # carry the distinct-shingle array alongside (the verify step's
+        # input) — still one projection, no explode, no collect_set
+        cols.append(sh_arr.alias("sh_set"))
+    return docs.select(*cols).where(F.col("signature").isNotNull())

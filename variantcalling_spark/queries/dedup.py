@@ -716,52 +716,45 @@ def q122_incremental_dedup(spark, sf_dir):
     )
     new = near.unionByName(fresh)
 
-    sh_old = shingles(docs, n=3).persist()
-    sh_new = shingles(new, n=3).persist()
+    # Rowwise form end to end: signature AND distinct-shingle array as
+    # pure projections — no shingle explode, no signature groupBy, no
+    # collect_set re-shuffle (bit-equal to the aggregate path, pinned in
+    # tests). Each side persists once: probe and verify both consume it.
+    from variantcalling_spark.operators.dedup import rowwise_minhash_signatures
+
+    new_t = rowwise_minhash_signatures(new, n=3, include_shingles=True).persist()
+    old_t = rowwise_minhash_signatures(docs, n=3, include_shingles=True).persist()
     cands = portable_band_candidates_between(
-        portable_minhash_signatures(sh_new), portable_minhash_signatures(sh_old)
+        new_t.select("doc_id", "signature"), old_t.select("doc_id", "signature")
     )
-    pairs = cands.select(
-        F.col("doc_new").alias("doc_a"), F.col("doc_old").alias("doc_b")
-    )
-    verified = jaccard_for_pairs_asym(pairs, sh_new, sh_old)
-    return verified.where(F.col("jaccard") >= 0.6).select(
-        F.col("doc_a").alias("doc_new"),
-        F.col("doc_b").alias("doc_old"),
-        F.col("n_a").alias("n_new"),
-        F.col("n_b").alias("n_old"),
-        "n_shared",
-        "jaccard",
-    )
-
-
-def jaccard_for_pairs_asym(pairs, sh_a, sh_b):
-    """`jaccard_for_pairs` with different shingle relations per side
-    (new batch vs old corpus): each side's collect_set aggregate is
-    scoped to its own (much smaller, for the batch) relation."""
-    sa = (
-        sh_a.groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("set_a"))
-        .select(F.col("doc_id").alias("doc_a"), "set_a")
-    )
-    sb = (
-        sh_b.groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("set_b"))
-        .select(F.col("doc_id").alias("doc_b"), "set_b")
-    )
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+    verified = (
+        cands.join(
+            new_t.select(
+                F.col("doc_id").alias("doc_new"), F.col("sh_set").alias("set_new")
+            ),
+            "doc_new",
+        )
+        .join(
+            old_t.select(
+                F.col("doc_id").alias("doc_old"), F.col("sh_set").alias("set_old")
+            ),
+            "doc_old",
+        )
         .select(
-            "doc_a",
-            "doc_b",
-            F.size("set_a").cast("long").alias("n_a"),
-            F.size("set_b").cast("long").alias("n_b"),
-            F.size(F.array_intersect("set_a", "set_b")).cast("long").alias("n_shared"),
+            "doc_new",
+            "doc_old",
+            F.size("set_new").cast("long").alias("n_new"),
+            F.size("set_old").cast("long").alias("n_old"),
+            F.size(F.array_intersect("set_new", "set_old"))
+            .cast("long")
+            .alias("n_shared"),
         )
         .withColumn(
             "jaccard",
             F.col("n_shared")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+            / (F.col("n_new") + F.col("n_old") - F.col("n_shared")).cast("double"),
         )
+    )
+    return verified.where(F.col("jaccard") >= 0.6).select(
+        "doc_new", "doc_old", "n_new", "n_old", "n_shared", "jaccard"
     )
