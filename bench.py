@@ -104,8 +104,11 @@ SCALE2_QUERIES = [
     "q34_bucketed_range_join",
     "q65_ngram_jaccard",
     "q66_minhash_lsh",
-    "q74_embedding_neardup_lsh",
+    # q74's fixed 8-bit bands are the small-corpus point of the banding
+    # dial and go superlinear at 10x BY CONSTRUCTION (random collisions
+    # ~n^2/2^8); the scale story belongs to the width-scaled variants:
     "q112_embedding_neardup_lsh_wide",
+    "q129_adaptive_neardup",
     "q99_data_curation_funnel",
     "q122_incremental_dedup",
 ]

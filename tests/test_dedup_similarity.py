@@ -154,6 +154,53 @@ def test_embedding_neardup_lsh_recall_and_precision(spark, sf_dir):
     assert recall >= 0.9
 
 
+def test_adaptive_band_bits_rule():
+    """bits = max(8, ceil(log2 n) + 2): floors at 8 for tiny corpora,
+    tracks log2(n) above — the candidate set stays ~n/4 per band."""
+    from variantcalling_spark.operators.similarity import adaptive_band_bits
+
+    assert adaptive_band_bits(10) == 8
+    assert adaptive_band_bits(64) == 8
+    assert adaptive_band_bits(575) == 12  # the sf0.01 neardup corpus -> q129 oracle
+    assert adaptive_band_bits(2300) == 14
+    assert adaptive_band_bits(23000) == 17
+    assert adaptive_band_bits(1_000_000_000) == 32
+
+
+def test_adaptive_neardup_equals_explicit_width(spark, sf_dir):
+    """The adaptive wrapper is exactly banded_near_dup_pairs at the width
+    the rule picks — and exact duplicates survive ANY width (their sign
+    bits agree plane-by-plane, so they collide in every band)."""
+    from variantcalling_spark.operators.similarity import (
+        adaptive_band_bits,
+        adaptive_banded_near_dup_pairs,
+        banded_near_dup_pairs,
+    )
+    from variantcalling_spark.queries.similarity import neardup_corpus
+
+    c = neardup_corpus(spark, sf_dir).cache()
+    n = c.count()
+    bits = adaptive_band_bits(n)
+    got = {
+        (r.id_a, r.id_b, round(r.cosine, 9))
+        for r in adaptive_banded_near_dup_pairs(c, 0.9, n_bands=4).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, round(r.cosine, 9))
+        for r in banded_near_dup_pairs(
+            c, 0.9, n_planes=bits * 4, n_bands=4
+        ).collect()
+    }
+    assert got == want
+    copies = {
+        (v, v + 200000)
+        for (v,) in c.select("vec_id").collect()
+        if v % 20 == 0 and v < 100000
+    }
+    found = {(a, b) for (a, b, _) in got}
+    assert copies <= found, "exact +200000 copies must collide at any band width"
+
+
 def test_connected_components_vs_union_find(spark):
     """Min-label propagation must produce exactly the components a plain
     union-find computes, including chains longer than one round."""

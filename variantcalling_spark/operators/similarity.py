@@ -480,6 +480,56 @@ def banded_near_dup_pairs(
     )
 
 
+def adaptive_band_bits(n_rows: int, floor_bits: int = 8, extra_bits: int = 2) -> int:
+    """The band-width scale rule made executable: ``bits = max(floor,
+    ceil(log2 n) + extra)``.
+
+    Random (non-duplicate) pairs collide in a band with probability
+    ~1/2^bits, so the expected random-candidate count is ~n^2/2^bits per
+    band. Setting bits ~ log2(n) + c pins that to ~n/2^c — the verify
+    stage stays LINEAR in corpus size as the corpus grows, which is the
+    whole point of banding. q74 fixes bits=8 (the small-corpus point,
+    value-oracled); this rule is what a 100 TB deployment runs, where n
+    is known from table statistics.
+    """
+    import math
+
+    return max(floor_bits, math.ceil(math.log2(max(n_rows, 2))) + extra_bits)
+
+
+def adaptive_banded_near_dup_pairs(
+    vecs: DataFrame,
+    threshold: float = 0.9,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """``banded_near_dup_pairs`` with the band width chosen from the
+    corpus size (``adaptive_band_bits``), the way AQE chooses shuffle
+    partition counts from runtime statistics.
+
+    ``n_rows`` defaults to a ``count()`` of ``vecs`` — one cheap
+    columnar-scan action (count-star over parquet metadata / a cached
+    relation; the corpus is persisted by every caller that self-joins
+    it anyway). At warehouse scale the count comes free from table
+    statistics. True duplicates still collide in every band regardless
+    of width (their sign bits agree plane-by-plane), so widening bands
+    with n preserves recall for the high-cosine pairs dedup targets
+    while keeping the candidate set linear.
+    """
+    n = n_rows if n_rows is not None else vecs.count()
+    bits = adaptive_band_bits(n)
+    return banded_near_dup_pairs(
+        vecs,
+        threshold=threshold,
+        n_planes=bits * n_bands,
+        n_bands=n_bands,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
 def ivf_index(
     emb: DataFrame,
     n_centroids: int = 16,

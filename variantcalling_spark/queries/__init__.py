@@ -55,6 +55,7 @@ _PRIORITY = (
     # the tail of the round-2 block below (q28 onward) plus the r3-green
     # five at the end — lead round 5 with those, then r4's new queries.
     # --- New in round 4 ---
+    "q129_adaptive_neardup",
     "q114_substring_dedup_spans",
     "q115_domain_mixture_sampling",
     "q116_bm25_topk",

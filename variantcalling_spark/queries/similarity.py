@@ -216,6 +216,31 @@ def q112_embedding_neardup_lsh_wide(spark, sf_dir):
     )
 
 
+@query(
+    "q129_adaptive_neardup",
+    oracle=_neardup_lsh_oracle_sql(n_planes=48, n_bands=4),
+)
+def q129_adaptive_neardup(spark, sf_dir):
+    """The band-width dial on autopilot: ``adaptive_banded_near_dup_pairs``
+    picks bits = max(8, ceil(log2 n) + 2) from the corpus row count, so
+    the random-collision candidate set stays ~n/4 per band at ANY corpus
+    size — q74 (8-bit) and q112 (16-bit) are two fixed points of this one
+    rule. The sf0.01 oracle corpus is 575 vectors -> 12-bit bands ->
+    48 planes, and the oracle recomputes that exact 48-plane banding in
+    SQL, so the adaptive path is value-proven end-to-end at the driver's
+    scale factor. bench.py's scale2 runs this query at 10x, where the
+    rule lands on 17-bit bands and the runtime stays linear (the fixed
+    8-bit q74 goes superlinear there by construction — that contrast is
+    the point)."""
+    from variantcalling_spark.operators.similarity import (
+        adaptive_banded_near_dup_pairs,
+    )
+
+    return adaptive_banded_near_dup_pairs(
+        neardup_corpus(spark, sf_dir).persist(), threshold=0.9, n_bands=4
+    )
+
+
 def _lsh_ann_oracle_sql(n_planes: int = 16, prefix_bits: int = 6, dim: int = 64, k: int = 3) -> str:
     """LSH-bucketed ANN in DuckDB SQL: only the ``prefix_bits`` planes
     that form the bucket key need computing; signatures over quantized
