@@ -471,3 +471,38 @@ def test_diplotype_replay_rescues_phased_chains(spark):
     fn = spark.createDataFrame([("c3", 300, "A", "T", "1|0")], cols)
     rfp, rfn = diplotype_replay_rescue(fp, fn, no_tp)
     assert rfp.count() == 0 and rfn.count() == 0
+
+
+def test_segment_union_two_level_equals_window(spark):
+    """The bucket-decomposed segmentation (`two_level=True`) assigns the
+    exact segments of the per-chrom window form, including chains that
+    cross a pos-bucket boundary and a record whose long REF spans it."""
+    import pyspark.sql.functions as F
+    from variantcalling_spark.queries.advanced import _segment_union
+
+    rows = []
+    # dense chain straddling the 64 KiB bucket edge at 65536
+    for pos in (65520, 65530, 65534, 65537, 65545):
+        rows.append(("c1", pos, "ACGTACGTAC", "T", "fp"))
+    # isolated records far apart -> their own segments
+    rows += [("c1", 10, "A", "T", "fn"), ("c1", 200000, "A", "G", "fp")]
+    # second chrom, independent numbering
+    rows += [("c2", 65534, "AAAA", "C", "fn"), ("c2", 65540, "A", "G", "fp")]
+    u = spark.createDataFrame(
+        rows, "chrom string, pos long, ref string, alt string, side string"
+    ).withColumn("e", F.col("pos") + F.length("ref"))
+
+    order = ["pos", "ref", "alt", "side"]
+    base = {
+        (r.chrom, r.pos, r.side): r.seg
+        for r in _segment_union(u, order, gap=10, two_level=False).collect()
+    }
+    deco = {
+        (r.chrom, r.pos, r.side): r.seg
+        for r in _segment_union(u, order, gap=10, two_level=True).collect()
+    }
+    assert base == deco
+    # sanity: the straddling chain is ONE segment, isolated rows are not
+    segs = {base[("c1", p, "fp")] for p in (65520, 65530, 65534, 65537, 65545)}
+    assert len(segs) == 1
+    assert base[("c1", 200000, "fp")] not in segs

@@ -1228,6 +1228,127 @@ def q113_concordance_haplotype_replay(spark, sf_dir):
 
 REPLAY_GAP = 10
 
+# Position-bucket width for the two-level segmentation windows. 2^16 bp
+# per bucket keeps per-bucket row counts small at any callset density
+# while the bucket-summary tables stay ~rows/occupancy — tiny.
+SEG_BUCKET = 1 << 16
+
+
+def _segment_union(
+    u, order_cols, gap: int, bucket: int = SEG_BUCKET, two_level: bool = False
+):
+    """Assign gaps-and-islands segment ids over a (chrom-keyed) record
+    union: order rows by ``order_cols`` within chrom, start a new
+    segment when a row's pos exceeds the running max of all previous
+    rows' ends by more than ``gap``.
+
+    Two physical strategies, same output (equality pinned in
+    tests/test_advanced.py):
+
+    - ``two_level=False`` (default): one window per chromosome. The
+      right plan while per-chrom row counts fit one task comfortably —
+      discordant records are ~10^-3 of a callset, so even a 3x10^9-row
+      callset segments ~10^6 rows per contig this way. Measured at
+      sf0.1 (84k rows/chrom) this beats the decomposition ~2x: the
+      bucket machinery's extra joins/aggregates cost more than the
+      4-way-limited sort saves.
+    - ``two_level=True``: the `operators/pileup.py:64-100` recipe —
+      running max-end and break cumsum decompose into (bucket-local
+      window) + (tiny bucket-summary prefix), because the pos-leading
+      order is refined by pos-bucket order:
+      ``prev_max = greatest(local running max, previous buckets' max)``
+      and ``seg = local brk cumsum + previous buckets' brk total``.
+      ONE record shuffle into (chrom, pos-bucket) partitions —
+      thousands-way parallel — for when a single contig's discordants
+      outgrow a task (deep-resequencing or somatic callsets).
+
+    Returns ``u`` plus a ``seg`` column; input must carry chrom, pos, e.
+    """
+    if not two_level:
+        w_ord = Window.partitionBy("chrom").orderBy(*order_cols)
+        prev_max = F.max("e").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+        return u.withColumn(
+            "brk",
+            F.when(
+                prev_max.isNull() | ((F.col("pos") - prev_max) > gap), 1
+            ).otherwise(0),
+        ).withColumn(
+            "seg", F.sum("brk").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        ).drop("brk")
+    u2 = u.withColumn("_bk", F.floor(F.col("pos") / bucket))
+    wb = Window.partitionBy("chrom").orderBy("_bk")
+    bpre = (
+        u2.groupBy("chrom", "_bk")
+        .agg(F.max("e").alias("_bmax"))
+        .select(
+            "chrom",
+            "_bk",
+            F.max("_bmax")
+            .over(wb.rowsBetween(Window.unboundedPreceding, -1))
+            .alias("_pmax"),
+        )
+    )
+    wl = Window.partitionBy("chrom", "_bk").orderBy(*order_cols)
+    local_prev = F.max("e").over(wl.rowsBetween(Window.unboundedPreceding, -1))
+    prev = F.greatest(local_prev, F.col("_pmax"))  # greatest skips nulls
+    t = (
+        u2.join(bpre, ["chrom", "_bk"])
+        .withColumn(
+            "brk",
+            F.when(prev.isNull() | ((F.col("pos") - prev) > gap), 1).otherwise(0),
+        )
+        .persist()
+    )
+    spre = (
+        t.groupBy("chrom", "_bk")
+        .agg(F.sum("brk").alias("_bsum"))
+        .select(
+            "chrom",
+            "_bk",
+            F.coalesce(
+                F.sum("_bsum").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).alias("_spre"),
+        )
+    )
+    # t is already (chrom, _bk)-partitioned and order_cols-sorted from the
+    # first window, so the second window plans sort-free over the cache
+    return (
+        t.join(spre, ["chrom", "_bk"])
+        .withColumn(
+            "seg",
+            (
+                F.col("_spre")
+                + F.sum("brk").over(wl.rowsBetween(Window.unboundedPreceding, 0))
+            ),
+        )
+        .drop("_bk", "_pmax", "_spre", "brk")
+    )
+
+
+def _assemble_sig(arr, lo, hi, max_e):
+    """Segment replay signature from a pre-sorted record array instead of
+    a lag window + string aggregate: piece_i covers [prev_e_i, pos_i)
+    of the periodic reference plus alt_i, where prev_e_i is the previous
+    array element's end (segment lo for the first) — exactly
+    ``coalesce(lag(e) over (order by pos), lo)`` — and the tail pads
+    [max_e, hi). Folding the lag into the aggregation removes one
+    whole shuffle+sort of the record table per call site."""
+    body = F.concat_ws(
+        "",
+        F.transform(
+            arr,
+            lambda x, i: F.concat(
+                _ref_slice(
+                    F.coalesce(F.get(arr, i - 1)["e"], lo),
+                    x["pos"] - F.coalesce(F.get(arr, i - 1)["e"], lo),
+                ),
+                x["alt"],
+            ),
+        ),
+    )
+    return F.concat(body, _ref_slice(max_e, hi - max_e))
+
 
 def segmented_replay_rescue(fp, fn, gap: int = REPLAY_GAP):
     """Haplotype replay over DATA-DRIVEN segments instead of fixed
@@ -1242,63 +1363,38 @@ def segmented_replay_rescue(fp, fn, gap: int = REPLAY_GAP):
     (pinned in tests: the same callset re-scored with fixed 32-buckets
     rescues strictly fewer records).
 
-    Scale: the segmentation window partitions by chrom; running-max and
-    cumulative-sum are both prefix aggregates, so at 3x10^9 rows per
-    contig they decompose into the same two-level (bucket-local window +
-    bucket-prefix join) used by `operators/pileup.py:64-100` — discordant
-    records are ~10^-3 of a callset, so per-chrom volumes here are small
-    long before that rewrite is needed. Replay/match stages are the same
-    one-window-one-aggregate-per-side + equi-join as q113.
+    Scale: segmentation is `_segment_union` — per-chrom window by
+    default (discordants are ~10^-3 of a callset, so per-contig volumes
+    stay task-sized far up the scale curve), with the two-level
+    bucket decomposition available behind a flag for callsets whose
+    single-contig discordants outgrow a task (output equality pinned in
+    tests). Per-segment replay folds the piece lag into the signature
+    aggregation (`_assemble_sig`), so the rescue after segmentation is
+    one aggregate per side + an equi-join on the signatures.
     Returns (rescued_fp, rescued_fn) as (chrom, pos) DataFrames."""
     u = (
         fp.withColumn("side", F.lit("fp"))
         .unionByName(fn.withColumn("side", F.lit("fn")))
         .withColumn("e", F.col("pos") + F.length("ref"))
     )
-    w_ord = Window.partitionBy("chrom").orderBy("pos", "ref", "alt", "side")
-    prev_max = F.max("e").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
-    tagged = u.withColumn(
-        "brk",
-        F.when(prev_max.isNull() | ((F.col("pos") - prev_max) > gap), 1).otherwise(0),
-    )
-    segd = tagged.withColumn(
-        "seg", F.sum("brk").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    segd = _segment_union(
+        u, ["pos", "ref", "alt", "side"], gap, two_level=False
     ).persist()
     bounds = segd.groupBy("chrom", "seg").agg(
         F.min("pos").alias("lo"), F.max("e").alias("hi")
     )
     j = segd.join(bounds, ["chrom", "seg"])
-    w_side = Window.partitionBy("chrom", "seg", "side").orderBy("pos")
-    gs = F.coalesce(F.lag("e").over(w_side), F.col("lo"))
-    pieces = j.select(
+    grouped = j.groupBy("chrom", "seg", "side", "lo", "hi").agg(
+        F.sort_array(F.collect_list(F.struct("pos", "e", "alt"))).alias("arr"),
+        F.max("e").alias("max_e"),
+    )
+    sigs = grouped.select(
         "chrom",
         "seg",
         "side",
-        "pos",
-        "e",
-        "hi",
-        F.concat(_ref_slice(gs, F.col("pos") - gs), F.col("alt")).alias("piece"),
-    )
-    sigs = (
-        pieces.groupBy("chrom", "seg", "side", "hi")
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "piece"))),
-                    lambda x: x["piece"],
-                ),
-            ).alias("body"),
-            F.max("e").alias("max_e"),
-        )
-        .select(
-            "chrom",
-            "seg",
-            "side",
-            F.concat(
-                F.col("body"), _ref_slice(F.col("max_e"), F.col("hi") - F.col("max_e"))
-            ).alias("sig"),
-        )
+        _assemble_sig(
+            F.col("arr"), F.col("lo"), F.col("hi"), F.col("max_e")
+        ).alias("sig"),
     )
     matched = (
         sigs.where(F.col("side") == "fp")
@@ -1533,20 +1629,9 @@ def diplotype_replay_rescue(fp, fn, tp, gap: int = REPLAY_GAP):
         .unionByName(fn.withColumn("side", F.lit("fn")))
         .withColumn("e", F.col("pos") + F.length("ref"))
     )
-    w_ord = Window.partitionBy("chrom").orderBy("pos", "ref", "alt", "gt", "side")
-    prev_max = F.max("e").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
-    segd = (
-        u.withColumn(
-            "brk",
-            F.when(prev_max.isNull() | ((F.col("pos") - prev_max) > gap), 1).otherwise(
-                0
-            ),
-        )
-        .withColumn(
-            "seg", F.sum("brk").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
-        )
-        .persist()
-    )
+    segd = _segment_union(
+        u, ["pos", "ref", "alt", "gt", "side"], gap, two_level=False
+    ).persist()
     bounds = segd.groupBy("chrom", "seg").agg(
         F.min("pos").alias("lo"), F.max("e").alias("hi")
     )
@@ -1591,28 +1676,10 @@ def diplotype_replay_rescue(fp, fn, tp, gap: int = REPLAY_GAP):
             )
         ).alias("hap"),
     ).join(bounds2, ["chrom", "seg"]).withColumn("e", F.col("pos") + F.length("ref"))
-    w_side = Window.partitionBy("chrom", "seg", "side", "hap").orderBy("pos")
-    gs = F.coalesce(F.lag("e").over(w_side), F.col("lo"))
     grouped = (
-        happed.select(
-            "chrom",
-            "seg",
-            "side",
-            "hap",
-            "pos",
-            "e",
-            "hi",
-            F.concat(_ref_slice(gs, F.col("pos") - gs), F.col("alt")).alias("piece"),
-        )
-        .groupBy("chrom", "seg", "side", "hap", "hi")
+        happed.groupBy("chrom", "seg", "side", "hap", "lo", "hi")
         .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "piece"))),
-                    lambda x: x["piece"],
-                ),
-            ).alias("body"),
+            F.sort_array(F.collect_list(F.struct("pos", "e", "alt"))).alias("arr"),
             F.max("e").alias("max_e"),
         )
         .select(
@@ -1620,8 +1687,8 @@ def diplotype_replay_rescue(fp, fn, tp, gap: int = REPLAY_GAP):
             "seg",
             "side",
             "hap",
-            F.concat(
-                F.col("body"), _ref_slice(F.col("max_e"), F.col("hi") - F.col("max_e"))
+            _assemble_sig(
+                F.col("arr"), F.col("lo"), F.col("hi"), F.col("max_e")
             ).alias("sig"),
         )
     )
