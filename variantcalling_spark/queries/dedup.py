@@ -758,3 +758,110 @@ def q122_incremental_dedup(spark, sf_dir):
     return verified.where(F.col("jaccard") >= 0.6).select(
         "doc_new", "doc_old", "n_new", "n_old", "n_shared", "jaccard"
     )
+
+
+def _quality_sql(text_expr: str = "text") -> str:
+    """The q61 per-doc quality formula as a DuckDB expression over
+    ``text_expr`` (same weights/rounding as
+    ``functions/text.py::quality_score``)."""
+    from variantcalling_spark.functions.text import STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""ROUND(
+      0.4 * (CASE WHEN length({text_expr}) BETWEEN 100 AND 400 THEN 1 ELSE 0 END)
+      + 0.4 * (len(list_distinct(string_split({text_expr}, ' ')))
+               / CAST(len(string_split({text_expr}, ' ')) AS DOUBLE))
+      + 0.2 * LEAST((len(list_filter(string_split({text_expr}, ' '), w -> w IN ({sw})))
+               / CAST(len(string_split({text_expr}, ' ')) AS DOUBLE)) * 5, 1.0), 6)"""
+
+
+@query(
+    "q131_cluster_representatives",
+    oracle=f"""
+WITH RECURSIVE corpus AS ({SQL_CORPUS}),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+                   for i in generate_series(1, len(string_split(text, ' ')) - 2)]) AS shingle
+    FROM corpus
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+e AS (
+  SELECT doc_a, doc_b FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE) >= 0.6
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM e
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM e
+),
+closure AS (
+  SELECT src AS node, src AS reach FROM edges
+  UNION
+  SELECT c.node, edges.dst AS reach
+  FROM closure c JOIN edges ON edges.src = c.reach
+),
+labeled AS (SELECT node, MIN(reach) AS cluster_id FROM closure GROUP BY node),
+qual AS (SELECT doc_id, {_quality_sql()} AS q FROM corpus),
+m AS (
+  SELECT l.cluster_id, l.node, qual.q
+  FROM labeled l JOIN qual ON qual.doc_id = l.node
+),
+r AS (
+  SELECT cluster_id, node, q,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY q DESC, node) AS rn,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM m
+)
+SELECT cluster_id, node AS rep_id, n_members, q AS rep_quality
+FROM r WHERE rn = 1
+""",
+)
+def q131_cluster_representatives(spark, sf_dir):
+    """Quality-aware canonical selection: near-dup clusters (q98's
+    PPJoin pairs -> min-label connected components) keep their
+    HIGHEST-QUALITY member (q61's composite score; doc_id tie-break)
+    instead of the smallest id — the curation policy that preserves the
+    cleanest copy of each duplicated page rather than an arbitrary one.
+    One quality projection over the corpus, one per-cluster argmax
+    window (clusters are near-dup groups — tiny partitions at any
+    corpus size), so the selection adds a single shuffle on top of the
+    component labels."""
+    from pyspark.sql import Window as W
+
+    from variantcalling_spark.functions.text import quality_score
+    from variantcalling_spark.operators.dedup import connected_components
+
+    c = corpus(spark, sf_dir).persist()
+    sh = shingles(c, n=3).persist()
+    cands = prefix_filtered_pairs(sh, threshold=0.6)
+    pairs = jaccard_for_pairs(cands, sh).where(F.col("jaccard") >= 0.6)
+    labels = connected_components(pairs)
+    qual = c.select("doc_id", quality_score(F.col("text")).alias("q"))
+    m = labels.select(F.col("label").alias("cluster_id"), F.col("node")).join(
+        qual, F.col("node") == F.col("doc_id")
+    )
+    w = W.partitionBy("cluster_id")
+    r = m.select(
+        "cluster_id",
+        "node",
+        "q",
+        F.row_number().over(w.orderBy(F.col("q").desc(), "node")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
+    )
+    return r.where(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("node").alias("rep_id"),
+        "n_members",
+        F.col("q").alias("rep_quality"),
+    )

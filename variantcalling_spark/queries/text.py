@@ -890,3 +890,90 @@ def q126_bpe_merge_mining(spark, sf_dir):
         )
         .where(F.col("rank") <= 20)
     )
+
+
+@query(
+    "q130_perplexity_buckets",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+freq AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+total AS (SELECT SUM(c) AS n FROM freq),
+scored AS (
+  SELECT words.doc_id,
+         CAST(-log10(freq.c / CAST(total.n AS DOUBLE)) AS DECIMAL(18,12)) AS nll
+  FROM words JOIN freq ON words.w = freq.w CROSS JOIN total
+),
+per_doc AS (
+  SELECT doc_id, ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+  FROM scored GROUP BY doc_id
+),
+tiled AS (
+  SELECT d.lang, p.doc_id, p.avg_nll,
+         NTILE(3) OVER (PARTITION BY d.lang ORDER BY p.avg_nll, p.doc_id) AS t
+  FROM per_doc p JOIN documents d USING (doc_id)
+)
+SELECT lang,
+       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket,
+       COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(CAST(avg_nll AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_nll
+FROM tiled GROUP BY 1, 2
+""",
+)
+def q130_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing: per-doc unigram-LM mean NLL
+    (q97's scoring) split into head/middle/tail tertiles WITHIN each
+    language — the standard language-balanced quality partition used to
+    sample training mixes (head = most-fluent third). Tertiles are exact
+    NTILE(3) with a full (avg_nll, doc_id) tie-break so both engines
+    tile identically. Scale: the LM join is a broadcast of the
+    vocabulary-sized frequency table; the tertile window partitions by
+    language — at web scale the production variant replaces the exact
+    per-language sort with sampled quantile cutpoints (one
+    approxQuantile pass + a stateless bucket projection), trading exact
+    tertile boundaries for no large sort; the bucketing semantics are
+    otherwise identical."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    per_doc = (
+        words.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (-F.log10(F.col("c") / F.col("n").cast("double")))
+            .cast("decimal(18,12)")
+            .alias("nll"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_nll"
+            )
+        )
+    )
+    tiled = per_doc.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "lang",
+        "avg_nll",
+        F.ntile(3)
+        .over(W.partitionBy("lang").orderBy("avg_nll", "doc_id"))
+        .alias("t"),
+    )
+    return tiled.groupBy(
+        "lang",
+        F.when(F.col("t") == 1, "head")
+        .when(F.col("t") == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    ).agg(
+        cnt("n_docs"),
+        F.round(
+            F.sum(F.col("avg_nll").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_nll"),
+    )
