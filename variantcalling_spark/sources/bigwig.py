@@ -1,0 +1,480 @@
+"""bigWig sink/scan — the last alignment-adjacent format gap.
+
+The reference compresses per-base depth bedgraphs to bigWig browser
+tracks by shelling to UCSC ``bedGraphToBigWig``
+(``ugvc/pipelines/coverage_analysis.py:686-714``) and reads values back
+with pyBigWig (``coverage_analysis.py:771-786``). Spark-first
+re-expression of the same boundary, from the public format description
+(Kent et al., "BigWig and BigBed: enabling browsing of large
+distributed datasets", Bioinformatics 26(17), 2010, and the UCSC
+bbiFile layout it documents):
+
+- **Section encoding is distributed**: ``to_bigwig_sections`` packs
+  sorted depth runs into zlib-compressed bedGraph-type wig sections
+  with one ``applyInPandas`` pass per chromosome — the expensive part
+  (struct packing + compression) scales with the cluster, exactly like
+  parquet page encoding.
+- **File assembly is the single-writer boundary**: ``assemble_bigwig``
+  is a pure-bytes function over already-materialized section records
+  (header + chromosome B+ tree + data + R-tree index + total summary).
+  A bigWig is ONE indexed binary file, so the final concatenation is
+  inherently sequential — the callers that materialize sections live
+  outside the engine package (``tools/make_bigwig.py``, tests), keeping
+  every in-package operator driver-collect-free.
+- **The scan is parallel again**: ``bigwig_scan`` parses the (tiny)
+  R-tree on the driver and fans section decode out through
+  ``mapInPandas`` — sections play the role of parquet row groups.
+
+Caveats, stated honestly: zoom levels are not written (``zoomLevels=0``
+— readers fall back to full-resolution data; the reference's use is
+value lookup, not browser zoom rendering), and cross-validation against
+pyBigWig is a skip-marked test that activates wherever that library
+exists (this container has none — the same contract-test pattern as the
+real media decoders).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+BIGWIG_MAGIC = 0x888FFC26
+CHROM_TREE_MAGIC = 0x78CA4C91
+RTREE_MAGIC = 0x2468ACE0
+BBI_VERSION = 4
+
+# struct layouts (all little-endian, per the bbiFile description).
+# Format STRINGS, not struct.Struct objects: the scan/pack closures ship
+# to executors by-value (cloudpickle), and Struct instances don't pickle.
+_HEADER = "<IHHQQQHHQQIQ"  # 64 bytes
+_TOTAL_SUMMARY = "<Qdddd"  # 40 bytes
+_CHROM_TREE_HDR = "<IIIIQQ"  # 32 bytes
+_NODE_HDR = "<BBH"  # 4 bytes
+_RTREE_HDR = "<IIQIIIIQII"  # 48 bytes
+_RTREE_LEAF_ITEM = "<IIIIQQ"  # 32 bytes
+_RTREE_CHILD_ITEM = "<IIIIQ"  # 24 bytes
+_WIG_SECTION_HDR = "<IIIIIBBH"  # 24 bytes
+_BEDGRAPH_ITEM = "<IIf"  # 12 bytes
+
+WIG_TYPE_BEDGRAPH = 1
+RTREE_BLOCK_SIZE = 256
+
+
+def chrom_id_map(chrom_sizes: dict[str, int]) -> dict[str, int]:
+    """Chromosome ids in sorted-name order — the B+ tree key order, so
+    ids ascend with keys and (chromIx, start) section order is the
+    file's natural sort."""
+    return {name: i for i, name in enumerate(sorted(chrom_sizes))}
+
+
+def encode_section(
+    chrom_id: int, items: list[tuple[int, int, float]], compress: bool = True
+) -> tuple[bytes, int]:
+    """One bedGraph-type wig section from sorted (start, end, value)
+    runs. Returns (blob, uncompressed_size)."""
+    start = items[0][0]
+    end = items[-1][1]
+    raw = struct.pack(_WIG_SECTION_HDR, 
+        chrom_id, start, end, 0, 0, WIG_TYPE_BEDGRAPH, 0, len(items)
+    ) + b"".join(struct.pack(_BEDGRAPH_ITEM, s, e, float(v)) for s, e, v in items)
+    return (zlib.compress(raw) if compress else raw), len(raw)
+
+
+def decode_section(blob: bytes, compressed: bool) -> list[tuple[int, int, int, float]]:
+    """Inverse of ``encode_section``: (chrom_id, start, end, value) rows."""
+    raw = zlib.decompress(blob) if compressed else blob
+    chrom_id, _s, _e, _step, _span, typ, _r, n = struct.unpack_from(_WIG_SECTION_HDR, raw, 0)
+    if typ != WIG_TYPE_BEDGRAPH:
+        raise ValueError(f"unsupported wig section type {typ} (bedGraph only)")
+    out = []
+    off = struct.calcsize(_WIG_SECTION_HDR)
+    for _ in range(n):
+        s, e, v = struct.unpack_from(_BEDGRAPH_ITEM, raw, off)
+        out.append((chrom_id, s, e, v))
+        off += struct.calcsize(_BEDGRAPH_ITEM)
+    return out
+
+
+def to_bigwig_sections(
+    runs,
+    chrom_ids: dict[str, int],
+    items_per_section: int = 512,
+    compress: bool = True,
+):
+    """Distributed section packing: runs ``(chrom, start, end, depth)``
+    -> one row per wig section, carrying the compressed blob plus the
+    per-section summary contributions (base-weighted, per the bbi total
+    summary definition) so assembly never re-reads the data.
+
+    One ``applyInPandas`` per chromosome group; inside a group the runs
+    are sorted by start and chunked. Output rows shuffle once on the
+    chrom key — section payloads are already compressed when they move.
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    ids = dict(chrom_ids)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("start")
+        cid = ids[pdf["chrom"].iloc[0]]
+        rows = []
+        items = list(
+            zip(
+                pdf["start"].astype(int),
+                pdf["end"].astype(int),
+                pdf["depth"].astype(float),
+            )
+        )
+        for i in range(0, len(items), items_per_section):
+            chunk = items[i : i + items_per_section]
+            blob, raw_size = encode_section(cid, chunk, compress)
+            covered = sum(e - s for s, e, _ in chunk)
+            rows.append(
+                {
+                    "chrom_id": cid,
+                    "start_bp": chunk[0][0],
+                    "end_bp": chunk[-1][1],
+                    "n_items": len(chunk),
+                    "raw_size": raw_size,
+                    "blob": bytearray(blob),
+                    "valid_count": covered,
+                    "min_val": min(v for _, _, v in chunk),
+                    "max_val": max(v for _, _, v in chunk),
+                    "sum_data": float(sum(v * (e - s) for s, e, v in chunk)),
+                    "sum_squares": float(
+                        sum(v * v * (e - s) for s, e, v in chunk)
+                    ),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    schema = (
+        "chrom_id int, start_bp long, end_bp long, n_items int, raw_size int, "
+        "blob binary, valid_count long, min_val double, max_val double, "
+        "sum_data double, sum_squares double"
+    )
+    return (
+        runs.select("chrom", "start", "end", "depth")
+        .groupBy("chrom")
+        .applyInPandas(pack, schema=schema)
+    )
+
+
+def _chrom_btree(chrom_sizes: dict[str, int], chrom_ids: dict[str, int]) -> bytes:
+    names = sorted(chrom_sizes)
+    key_size = max((len(n) for n in names), default=1)
+    hdr = struct.pack(_CHROM_TREE_HDR, 
+        CHROM_TREE_MAGIC, RTREE_BLOCK_SIZE, key_size, 8, len(names), 0
+    )
+    node = struct.pack(_NODE_HDR, 1, 0, len(names))
+    items = b"".join(
+        n.encode().ljust(key_size, b"\0")
+        + struct.pack("<II", chrom_ids[n], chrom_sizes[n])
+        for n in names
+    )
+    return hdr + node + items
+
+
+def _build_rtree(leaf_items: list[tuple], block_size: int = RTREE_BLOCK_SIZE):
+    """Nested node structure bottom-up. A leaf item is
+    (start_cid, start, end_cid, end, offset, size); internal levels
+    group block_size children."""
+    level = [("leaf", leaf_items[i : i + block_size]) for i in range(0, len(leaf_items), block_size)]
+    if not level:
+        level = [("leaf", [])]
+    while len(level) > 1:
+        level = [
+            ("node", level[i : i + block_size])
+            for i in range(0, len(level), block_size)
+        ]
+    return level[0]
+
+
+def _node_bounds(node):
+    kind, children = node
+    if kind == "leaf":
+        if not children:
+            return (0, 0, 0, 0)
+        return (children[0][0], children[0][1], children[-1][2], children[-1][3])
+    first = _node_bounds(children[0])
+    last = _node_bounds(children[-1])
+    return (first[0], first[1], last[2], last[3])
+
+
+def _serialize_rtree(root, base_offset: int) -> bytes:
+    """Pre-order layout: each internal node's child offsets are computed
+    from the running cursor (parent precedes children, children written
+    in order)."""
+
+    def node_size(node):
+        kind, children = node
+        per = struct.calcsize(_RTREE_LEAF_ITEM) if kind == "leaf" else struct.calcsize(_RTREE_CHILD_ITEM)
+        return struct.calcsize(_NODE_HDR) + len(children) * per
+
+    out = bytearray()
+
+    def write(node, offset):
+        kind, children = node
+        if kind == "leaf":
+            out.extend(struct.pack(_NODE_HDR, 1, 0, len(children)))
+            for sc, sb, ec, eb, off, size in children:
+                out.extend(struct.pack(_RTREE_LEAF_ITEM, sc, sb, ec, eb, off, size))
+            return offset + node_size(node)
+        out.extend(struct.pack(_NODE_HDR, 0, 0, len(children)))
+        child_off = offset + node_size(node)
+        offs = []
+        for ch in children:
+            offs.append(child_off)
+            child_off = _subtree_end(ch, child_off)
+        for ch, off in zip(children, offs):
+            sc, sb, ec, eb = _node_bounds(ch)
+            out.extend(struct.pack(_RTREE_CHILD_ITEM, sc, sb, ec, eb, off))
+        cur = offset + node_size(node)
+        for ch in children:
+            cur = write(ch, cur)
+        return cur
+
+    def _subtree_end(node, offset):
+        kind, children = node
+        end = offset + node_size(node)
+        if kind == "node":
+            for ch in children:
+                end = _subtree_end(ch, end)
+        return end
+
+    write(root, base_offset)
+    return bytes(out)
+
+
+def assemble_bigwig(
+    sections: list,
+    chrom_sizes: dict[str, int],
+    path: str,
+    compress: bool = True,
+) -> dict:
+    """Single-writer file assembly from materialized section records
+    (dicts or Rows with the ``to_bigwig_sections`` schema). Pure bytes +
+    local IO — no Spark objects, so the engine package never collects;
+    callers hand in whatever iterator they materialized.
+
+    Returns the summary dict (validCount/min/max/sumData/sumSquares)
+    for caller-side assertions.
+    """
+    secs = sorted(
+        (dict(s.asDict()) if hasattr(s, "asDict") else dict(s) for s in sections),
+        key=lambda s: (s["chrom_id"], s["start_bp"]),
+    )
+    chrom_ids = chrom_id_map(chrom_sizes)
+    btree = _chrom_btree(chrom_sizes, chrom_ids)
+
+    header_size = struct.calcsize(_HEADER)
+    total_summary_offset = header_size
+    chrom_tree_offset = total_summary_offset + struct.calcsize(_TOTAL_SUMMARY)
+    full_data_offset = chrom_tree_offset + len(btree)
+
+    cursor = full_data_offset + 8  # uint64 item count precedes sections
+    leaf_items = []
+    for s in secs:
+        size = len(s["blob"])
+        leaf_items.append(
+            (
+                s["chrom_id"],
+                int(s["start_bp"]),
+                s["chrom_id"],
+                int(s["end_bp"]),
+                cursor,
+                size,
+            )
+        )
+        cursor += size
+    full_index_offset = cursor
+
+    root = _build_rtree(leaf_items)
+    sc, sb, ec, eb = _node_bounds(root)
+    rtree_hdr = struct.pack(_RTREE_HDR, 
+        RTREE_MAGIC,
+        RTREE_BLOCK_SIZE,
+        len(leaf_items),
+        sc,
+        sb,
+        ec,
+        eb,
+        full_index_offset,
+        min(len(leaf_items), RTREE_BLOCK_SIZE) or 1,
+        0,
+    )
+    rtree = rtree_hdr + _serialize_rtree(root, full_index_offset + struct.calcsize(_RTREE_HDR))
+
+    n_items = sum(int(s["n_items"]) for s in secs)
+    valid = sum(int(s["valid_count"]) for s in secs)
+    summary = {
+        "validCount": valid,
+        "minVal": min((s["min_val"] for s in secs), default=0.0),
+        "maxVal": max((s["max_val"] for s in secs), default=0.0),
+        "sumData": float(sum(s["sum_data"] for s in secs)),
+        "sumSquares": float(sum(s["sum_squares"] for s in secs)),
+    }
+    uncompress_buf = max((int(s["raw_size"]) for s in secs), default=0) if compress else 0
+
+    header = struct.pack(_HEADER, 
+        BIGWIG_MAGIC,
+        BBI_VERSION,
+        0,  # zoomLevels: none written (full-resolution data only)
+        chrom_tree_offset,
+        full_data_offset,
+        full_index_offset,
+        0,  # fieldCount (0 for bigWig)
+        0,  # definedFieldCount
+        0,  # autoSqlOffset
+        total_summary_offset,
+        uncompress_buf,
+        0,  # extension/reserved
+    )
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(
+            struct.pack(_TOTAL_SUMMARY, 
+                summary["validCount"],
+                summary["minVal"],
+                summary["maxVal"],
+                summary["sumData"],
+                summary["sumSquares"],
+            )
+        )
+        f.write(btree)
+        f.write(struct.pack("<Q", n_items))
+        for s in secs:
+            f.write(bytes(s["blob"]))
+        f.write(rtree)
+    return summary
+
+
+def read_bigwig_index(path: str):
+    """Driver-side parse of the small metadata: header fields, chrom
+    id -> (name, size), and the R-tree leaf (offset, size) list — the
+    bigWig analog of reading a parquet footer."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    (
+        magic,
+        version,
+        zoom_levels,
+        chrom_tree_offset,
+        full_data_offset,
+        full_index_offset,
+        _fc,
+        _dfc,
+        _auto,
+        total_summary_offset,
+        uncompress_buf,
+        _ext,
+    ) = struct.unpack_from(_HEADER, buf, 0)
+    if magic != BIGWIG_MAGIC:
+        raise ValueError(f"not a bigWig file (magic {magic:#x})")
+
+    tmagic, _bs, key_size, _vs, n_chroms, _r = struct.unpack_from(_CHROM_TREE_HDR, 
+        buf, chrom_tree_offset
+    )
+    if tmagic != CHROM_TREE_MAGIC:
+        raise ValueError("bad chromosome B+ tree magic")
+    off = chrom_tree_offset + struct.calcsize(_CHROM_TREE_HDR)
+    is_leaf, _, count = struct.unpack_from(_NODE_HDR, buf, off)
+    off += struct.calcsize(_NODE_HDR)
+    chroms = {}
+    if is_leaf:
+        for _ in range(count):
+            name = buf[off : off + key_size].rstrip(b"\0").decode()
+            cid, size = struct.unpack_from("<II", buf, off + key_size)
+            chroms[cid] = (name, size)
+            off += key_size + 8
+
+    rmagic = struct.unpack_from("<I", buf, full_index_offset)[0]
+    if rmagic != RTREE_MAGIC:
+        raise ValueError("bad R-tree magic")
+    sections: list[tuple[int, int]] = []
+
+    def walk(node_off):
+        is_leaf, _, count = struct.unpack_from(_NODE_HDR, buf, node_off)
+        item_off = node_off + struct.calcsize(_NODE_HDR)
+        if is_leaf:
+            for _ in range(count):
+                *_bounds, doff, dsize = struct.unpack_from(_RTREE_LEAF_ITEM, buf, item_off)
+                sections.append((doff, dsize))
+                item_off += struct.calcsize(_RTREE_LEAF_ITEM)
+        else:
+            children = []
+            for _ in range(count):
+                *_bounds, coff = struct.unpack_from(_RTREE_CHILD_ITEM, buf, item_off)
+                children.append(coff)
+                item_off += struct.calcsize(_RTREE_CHILD_ITEM)
+            for coff in children:
+                walk(coff)
+
+    n_leaf = struct.unpack_from(_RTREE_HDR, buf, full_index_offset)[2]
+    if n_leaf:
+        walk(full_index_offset + struct.calcsize(_RTREE_HDR))
+
+    n_items = struct.unpack_from("<Q", buf, full_data_offset)[0]
+    return {
+        "version": version,
+        "zoom_levels": zoom_levels,
+        "compressed": uncompress_buf > 0,
+        "n_items": n_items,
+        "summary": dict(
+            zip(
+                ("validCount", "minVal", "maxVal", "sumData", "sumSquares"),
+                struct.unpack_from(_TOTAL_SUMMARY, buf, total_summary_offset),
+            )
+        ),
+        "chroms": chroms,
+        "sections": sections,
+    }
+
+
+def bigwig_scan(spark, path: str):
+    """Parallel bigWig read: the driver parses the index (small — same
+    trust model as a parquet footer), then section decode fans out
+    through ``mapInPandas``; every task seeks and reads only its own
+    byte ranges. Returns ``(chrom, start, end, value)`` with chrom
+    resolved through a broadcast id map."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    idx = read_bigwig_index(path)
+    compressed = idx["compressed"]
+    names = {cid: name for cid, (name, _size) in idx["chroms"].items()}
+    secs = spark.createDataFrame(
+        [(o, s) for o, s in idx["sections"]], "offset long, size int"
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            with open(path, "rb") as f:
+                for off, size in zip(pdf["offset"], pdf["size"]):
+                    f.seek(int(off))
+                    for cid, s, e, v in decode_section(f.read(int(size)), compressed):
+                        rows.append((names[cid], s, e, float(v)))
+            yield pd.DataFrame(
+                rows, columns=["chrom", "start", "end", "value"]
+            )
+
+    return secs.mapInPandas(
+        decode, schema="chrom string, start long, end long, value double"
+    ).select(
+        "chrom",
+        F.col("start").cast("long"),
+        F.col("end").cast("long"),
+        "value",
+    )
+
+
+# The scan/pack closures run on executors: register this module for
+# by-value closure serialization so workers need no package install
+# (same policy as the Arrow kernels, _serde.py).
+from variantcalling_spark._serde import register_module_by_value
+
+register_module_by_value(__name__)
