@@ -134,6 +134,15 @@ def _second_scale_point(spark, registry) -> dict | None:
         # Re-seed the pre-AQE shuffle partitions for 10x the input —
         # the SCALE.md recipe (seed ~ bytes / 128 MB) applied per phase.
         spark.conf.set("spark.sql.shuffle.partitions", "32")
+        # Protocol note (alternatives measured, both worse): per-query
+        # clearCache isolation makes the big-persist queries pay a cold
+        # concurrent cache-population race (q65 spread 9-180s), and a
+        # materialize-then-time "warm" protocol plans the big joins over
+        # InMemoryRelations and measured 3-7x SLOWER than the pipelined
+        # cold plans (q66 23s warm vs 3.5s here). The original protocol
+        # — one warm-up loop, one timed loop, shared cache — is what the
+        # sf0.1 phase uses and gives the most representative numbers;
+        # expect +-30% run-to-run on the persist-heavy entries.
         for n in names:
             registry[n].fn(spark, sf1_dir).limit(1).count()
         per_query: dict[str, float] = {}
