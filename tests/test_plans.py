@@ -392,3 +392,25 @@ def test_auto_bucket_width_matches_manual_join(spark):
         ).collect()
     }
     assert auto == manual and auto
+
+
+def test_q129_adaptive_neardup_no_nested_loop(spark):
+    p = plan_of(spark, "q129_adaptive_neardup")
+    # the adaptive width must not change the join strategy: banded
+    # discovery stays a (band, slice) equi self-join
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_q130_perplexity_frequency_join_broadcasts(spark):
+    p = plan_of(spark, "q130_perplexity_buckets")
+    # the vocabulary-sized frequency table broadcasts; the word table
+    # (corpus-sized) must never sort-merge for the LM join
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q131_cluster_reps_no_cartesian(spark):
+    p = plan_of(spark, "q131_cluster_representatives")
+    # PPJoin discovery + component labeling + argmax window: everything
+    # is equi-join / window, nothing degenerates to an all-pairs product
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

@@ -287,3 +287,79 @@ def test_bam_record_codec_round_trip(recs):
         assert got["pos"] == want["pos"]
         assert got["mapq"] == want["mapq"]
         assert got["cigar"] == want["cigar"]
+
+
+runs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=100_000),  # start
+        st.integers(min_value=1, max_value=500),  # length
+        st.integers(min_value=0, max_value=1 << 20),  # integer depth value
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(runs=runs_strategy, compress=st.booleans())
+@settings(**SETTINGS)
+def test_bigwig_section_codec_roundtrip(runs, compress):
+    """encode_section/decode_section are exact inverses for arbitrary
+    sorted run lists (pure codec — no Spark in the loop, so hypothesis
+    can push many cases). Integer depths stay exact through the
+    float32 value field (all < 2^24)."""
+    from variantcalling_spark.sources.bigwig import decode_section, encode_section
+
+    items = sorted((s, s + ln, float(v)) for s, ln, v in runs)
+    blob, raw_size = encode_section(3, items, compress)
+    assert raw_size == 24 + 12 * len(items)
+    assert decode_section(blob, compress) == [(3, s, e, v) for s, e, v in items]
+
+
+@given(runs=runs_strategy)
+@settings(**SETTINGS)
+def test_bigwig_file_roundtrip_pure(runs, tmp_path_factory):
+    """Whole-file assembly/index round-trip on arbitrary inputs, driven
+    through the pure encode/assemble/read path (one section per call
+    keeps it Spark-free and fast): every section registered in the
+    R-tree must come back with its exact byte range."""
+    import os
+
+    from variantcalling_spark.sources.bigwig import (
+        assemble_bigwig,
+        decode_section,
+        encode_section,
+        read_bigwig_index,
+    )
+
+    items = sorted((s, s + ln, float(v)) for s, ln, v in runs)
+    half = max(1, len(items) // 2)
+    secs = []
+    for chunk in (items[:half], items[half:]):
+        if not chunk:
+            continue
+        blob, raw = encode_section(0, chunk)
+        secs.append(
+            {
+                "chrom_id": 0,
+                "start_bp": chunk[0][0],
+                "end_bp": chunk[-1][1],
+                "n_items": len(chunk),
+                "raw_size": raw,
+                "blob": blob,
+                "valid_count": sum(e - s for s, e, _ in chunk),
+                "min_val": min(v for _, _, v in chunk),
+                "max_val": max(v for _, _, v in chunk),
+                "sum_data": sum(v * (e - s) for s, e, v in chunk),
+                "sum_squares": sum(v * v * (e - s) for s, e, v in chunk),
+            }
+        )
+    path = os.path.join(tmp_path_factory.mktemp("bw"), "prop.bw")
+    assemble_bigwig(secs, {"c0": 200_000}, path)
+    idx = read_bigwig_index(path)
+    assert idx["n_items"] == len(items)
+    got = []
+    with open(path, "rb") as f:
+        data = f.read()
+    for off, size in idx["sections"]:
+        got.extend(decode_section(data[off : off + size], True))
+    assert sorted(got) == [(0, s, e, v) for s, e, v in items]
