@@ -639,6 +639,57 @@ def ivf_cosine_topk(
     )
 
 
+def knn_graph(
+    vecs: DataFrame,
+    k: int = 3,
+    prefix_bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus-wide kNN graph: EVERY vector's top-k cosine neighbors
+    within its LSH bucket — the graph primitive under SemDeDup/D4-style
+    semantic curation, graph-based filtering, and diversity sampling
+    (``lsh_cosine_topk`` answers point queries; this builds the whole
+    graph in one pass).
+
+    No broadcast of the query side: the bucketed self-join carries the
+    quantized vector and its once-computed norm on both aliases of ONE
+    persisted relation, so cost is Σ bucket² pair scorings + a
+    per-vector top-k window over tiny (bucket-bounded) partitions.
+    ``prefix_bits`` is the same collision dial as the banded near-dup
+    paths — production sizes it ~log2(n/target_bucket). Quantized
+    integer projections keep buckets and cosines engine-exact, so the
+    whole graph is value-oracle-checkable."""
+    bucket = _band_slices_arrow(prefix_bits, 1)
+    base = vecs.select(
+        F.col(id_col).alias("vec_id"), _quantize(F.col(vec_col)).alias("v")
+    )
+    b = base.select(
+        "vec_id",
+        "v",
+        F.element_at(bucket(F.col("v")), 1).alias("bucket"),
+        F.sqrt(_dot(F.col("v"), F.col("v")).cast("double")).alias("norm"),
+    ).persist()
+    a, c = b.alias("a"), b.alias("c")
+    scored = a.join(
+        c,
+        (F.col("a.bucket") == F.col("c.bucket"))
+        & (F.col("a.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        _cosine_prenorm_arrow()(
+            F.col("a.v"), F.col("c.v"), F.col("a.norm"), F.col("c.norm")
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 from variantcalling_spark._serde import register_module_by_value
 
 register_module_by_value(__name__)

@@ -56,6 +56,7 @@ _PRIORITY = (
     # five at the end — lead round 5 with those, then r4's new queries.
     # --- New in round 4 ---
     "q129_adaptive_neardup",
+    "q132_knn_graph",
     "q130_perplexity_buckets",
     "q131_cluster_representatives",
     "q114_substring_dedup_spans",

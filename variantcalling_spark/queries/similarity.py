@@ -284,6 +284,62 @@ SELECT query_id, cand_id, cosine, rank FROM (
 """
 
 
+def _knn_graph_oracle_sql(prefix_bits: int = 6, dim: int = 64, k: int = 3) -> str:
+    """q69's bucket computation without the query filter: the whole
+    corpus ranks its in-bucket neighbors."""
+    from variantcalling_spark.operators.similarity import _plane_signs
+
+    signs = _plane_signs(prefix_bits, dim)
+
+    def plane_vec(p):
+        return "[" + ",".join(f"{signs[d][p]:.1f}" for d in range(dim)) + "]"
+
+    sums = ",\n         ".join(
+        f"list_dot_product(vd, {plane_vec(p)}) AS s{p}" for p in range(prefix_bits)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN s{p} > 0 THEN {2**p} ELSE 0 END)" for p in range(prefix_bits)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+),
+sig AS (
+  SELECT vec_id, v,
+         {sums}
+  FROM (SELECT vec_id, v, list_transform(v, x -> CAST(x AS DOUBLE)) AS vd FROM base)
+),
+bk AS (SELECT vec_id, v, {bucket} AS bucket FROM sig),
+scored AS (
+  SELECT a.vec_id AS vec_id, c.vec_id AS neighbor_id,
+         list_dot_product(a.v, c.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+  FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+)
+SELECT vec_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+@query("q132_knn_graph", oracle=_knn_graph_oracle_sql())
+def q132_knn_graph(spark, sf_dir):
+    """Corpus-wide kNN graph (every vector's top-3 in-bucket cosine
+    neighbors) — the primitive under SemDeDup/D4 semantic curation and
+    graph-based diversity filtering; q69 answers point lookups, this
+    builds the whole graph in one bucketed self-join with no broadcast
+    of either side. Buckets, cosines, and ranks are engine-exact
+    (quantized integer projections + full tie-break), so the complete
+    graph is value-checked against the identical SQL."""
+    from variantcalling_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_graph(emb, k=3, prefix_bits=6)
+
+
 @query("q69_lsh_ann", oracle=_lsh_ann_oracle_sql())
 def q69_lsh_ann(spark, sf_dir):
     """Approximate cosine top-k via random-hyperplane LSH bucketing +
