@@ -414,3 +414,11 @@ def test_q131_cluster_reps_no_cartesian(spark):
     # PPJoin discovery + component labeling + argmax window: everything
     # is equi-join / window, nothing degenerates to an all-pairs product
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q132_knn_graph_no_broadcast_of_corpus(spark):
+    p = plan_of(spark, "q132_knn_graph")
+    # the bucketed self-join must not degenerate — and neither side of
+    # the corpus-sized join may broadcast (the point-query path q69
+    # broadcasts its 5 queries; the graph build cannot)
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
