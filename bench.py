@@ -145,11 +145,18 @@ def _second_scale_point(spark, registry) -> dict | None:
         # expect +-30% run-to-run on the persist-heavy entries.
         for n in names:
             registry[n].fn(spark, sf1_dir).limit(1).count()
+        # best-of-2 per query: the persist-heavy entries swing several-x
+        # under GC/cache-population timing accidents at 10x volumes
+        # (q112 measured 1.4s and 20.6s in back-to-back bench runs); the
+        # min is the reproducible plan cost, the max is the accident.
         per_query: dict[str, float] = {}
         for n in names:
-            t0 = time.time()
-            registry[n].fn(spark, sf1_dir).count()
-            per_query[n] = round(time.time() - t0, 3)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                registry[n].fn(spark, sf1_dir).count()
+                best = min(best, time.time() - t0)
+            per_query[n] = round(best, 3)
         return {
             "sf": 1.0,
             "note": "10x sf0.1 replicas with key offsets (tools/make_scale.py)",
