@@ -1574,17 +1574,32 @@ def q119_concordance_segmented_replay(spark, sf_dir):
     ).select("chrom", "r.pos", "r.ref", "r.alt")
 
     key = ["chrom", "pos", "ref", "alt"]
-    # persisted: each side feeds three consumers (the segmentation union,
-    # its own scalar count, and — for fp/fn — the rescued-record joins);
-    # without the persist every consumer re-runs the anti-join
-    fp = calls.join(truth, key, "left_anti").persist()
-    fn = truth.join(calls, key, "left_anti").persist()
+    # ONE full-outer join classifies every record as tp/fp/fn in a
+    # single shuffle of each side (keys are unique per side, so the
+    # classification equals the inner + two anti-joins it replaces at a
+    # third of the shuffle cost), and one aggregate over the persisted
+    # classification yields all three exact counts — no per-count
+    # crossJoin branches re-walking the join
+    fo = (
+        calls.withColumn("in_c", F.lit(True))
+        .join(truth.withColumn("in_t", F.lit(True)), key, "full_outer")
+        .select(*key, "in_c", "in_t")
+        .persist()
+    )
+    fp = fo.where(F.col("in_c") & F.col("in_t").isNull()).select(*key)
+    fn = fo.where(F.col("in_t") & F.col("in_c").isNull()).select(*key)
     resc_fp, resc_fn = segmented_replay_rescue(fp, fn, gap=REPLAY_GAP)
 
     counts = (
-        calls.join(truth, key).agg(cnt("tp_exact"))
-        .crossJoin(fp.agg(cnt("fp_exact")))
-        .crossJoin(fn.agg(cnt("fn_exact")))
+        fo.agg(
+            F.count(F.when(F.col("in_c") & F.col("in_t"), 1)).alias("tp_exact"),
+            F.count(F.when(F.col("in_c") & F.col("in_t").isNull(), 1)).alias(
+                "fp_exact"
+            ),
+            F.count(F.when(F.col("in_t") & F.col("in_c").isNull(), 1)).alias(
+                "fn_exact"
+            ),
+        )
         .crossJoin(resc_fp.agg(cnt("n_replay_fp")))
         .crossJoin(resc_fn.agg(cnt("n_replay_fn")))
     )
@@ -1945,15 +1960,30 @@ def q127_concordance_diplotype_replay(spark, sf_dir):
     ).select("chrom", "r.pos", "r.ref", "r.alt", "r.gt")
 
     key = ["chrom", "pos", "ref", "alt", "gt"]
-    fp = calls.join(truth, key, "left_anti").persist()
-    fn = truth.join(calls, key, "left_anti").persist()
-    tp = calls.join(truth.select(key), key).select(*key)
+    # same single-shuffle classification as q119: one full-outer join
+    # replaces the inner + two anti-joins (keys unique per side), one
+    # aggregate over it yields all three exact counts
+    fo = (
+        calls.withColumn("in_c", F.lit(True))
+        .join(truth.withColumn("in_t", F.lit(True)), key, "full_outer")
+        .select(*key, "in_c", "in_t")
+        .persist()
+    )
+    fp = fo.where(F.col("in_c") & F.col("in_t").isNull()).select(*key)
+    fn = fo.where(F.col("in_t") & F.col("in_c").isNull()).select(*key)
+    tp = fo.where(F.col("in_c") & F.col("in_t")).select(*key)
     resc_fp, resc_fn = diplotype_replay_rescue(fp, fn, tp, gap=REPLAY_GAP)
 
     counts = (
-        tp.agg(cnt("tp_exact"))
-        .crossJoin(fp.agg(cnt("fp_exact")))
-        .crossJoin(fn.agg(cnt("fn_exact")))
+        fo.agg(
+            F.count(F.when(F.col("in_c") & F.col("in_t"), 1)).alias("tp_exact"),
+            F.count(F.when(F.col("in_c") & F.col("in_t").isNull(), 1)).alias(
+                "fp_exact"
+            ),
+            F.count(F.when(F.col("in_t") & F.col("in_c").isNull(), 1)).alias(
+                "fn_exact"
+            ),
+        )
         .crossJoin(resc_fp.agg(cnt("n_replay_fp")))
         .crossJoin(resc_fn.agg(cnt("n_replay_fn")))
     )
