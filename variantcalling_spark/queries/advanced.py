@@ -601,8 +601,15 @@ def q104_concordance_window_rescue(spark, sf_dir):
         .agg((F.min("o_custkey") % 4).cast("int").alias("allele"))
     )
     key = ["chrom", "pos", "allele"]
-    fp = calls.join(truth, key, "left_anti")
-    fn = truth.join(calls, key, "left_anti")
+    # single-shuffle tp/fp/fn classification (the q119 shape)
+    fo = (
+        calls.withColumn("in_c", F.lit(True))
+        .join(truth.withColumn("in_t", F.lit(True)), key, "full_outer")
+        .select(*key, "in_c", "in_t")
+        .persist()
+    )
+    fp = fo.where(F.col("in_c") & F.col("in_t").isNull()).select(*key)
+    fn = fo.where(F.col("in_t") & F.col("in_c").isNull()).select(*key)
 
     # banded discovery: FP rows replicated to the 3 candidate bands, FN
     # rows keep their own band; the equi-join prunes to same-band pairs
@@ -643,10 +650,16 @@ def q104_concordance_window_rescue(spark, sf_dir):
         .where((F.col("rf") == 1) & (F.col("rt") == 1))
     )
 
-    tp_exact = calls.join(truth, key).agg(cnt("tp_exact"))
     counts = (
-        tp_exact.crossJoin(fp.agg(cnt("fp_exact")))
-        .crossJoin(fn.agg(cnt("fn_exact")))
+        fo.agg(
+            F.count(F.when(F.col("in_c") & F.col("in_t"), 1)).alias("tp_exact"),
+            F.count(F.when(F.col("in_c") & F.col("in_t").isNull(), 1)).alias(
+                "fp_exact"
+            ),
+            F.count(F.when(F.col("in_t") & F.col("in_c").isNull(), 1)).alias(
+                "fn_exact"
+            ),
+        )
         .crossJoin(rescued.agg(cnt("n_rescued")))
     )
     return counts.select(
@@ -926,14 +939,29 @@ def q110_concordance_chain_rescue(spark, sf_dir):
     ).select("chrom", "r.pos", "r.ref", "r.alt")
 
     key = ["chrom", "pos", "ref", "alt"]
-    fp = calls.join(truth, key, "left_anti")
-    fn = truth.join(calls, key, "left_anti")
+    # single-shuffle tp/fp/fn classification (the q119 shape): one
+    # full-outer join + one aggregate instead of inner + two anti-joins
+    # + per-count crossJoin branches
+    fo = (
+        calls.withColumn("in_c", F.lit(True))
+        .join(truth.withColumn("in_t", F.lit(True)), key, "full_outer")
+        .select(*key, "in_c", "in_t")
+        .persist()
+    )
+    fp = fo.where(F.col("in_c") & F.col("in_t").isNull()).select(*key)
+    fn = fo.where(F.col("in_t") & F.col("in_c").isNull()).select(*key)
     resc_fp, resc_fn = chain_rescued_records(fp, fn, bucket=16)
 
     counts = (
-        calls.join(truth, key).agg(cnt("tp_exact"))
-        .crossJoin(fp.agg(cnt("fp_exact")))
-        .crossJoin(fn.agg(cnt("fn_exact")))
+        fo.agg(
+            F.count(F.when(F.col("in_c") & F.col("in_t"), 1)).alias("tp_exact"),
+            F.count(F.when(F.col("in_c") & F.col("in_t").isNull(), 1)).alias(
+                "fp_exact"
+            ),
+            F.count(F.when(F.col("in_t") & F.col("in_c").isNull(), 1)).alias(
+                "fn_exact"
+            ),
+        )
         .crossJoin(resc_fp.agg(cnt("n_chain_fp")))
         .crossJoin(resc_fn.agg(cnt("n_chain_fn")))
     )
@@ -1196,14 +1224,27 @@ def q113_concordance_haplotype_replay(spark, sf_dir):
     ).select("chrom", "r.pos", "r.ref", "r.alt")
 
     key = ["chrom", "pos", "ref", "alt"]
-    fp = calls.join(truth, key, "left_anti")
-    fn = truth.join(calls, key, "left_anti")
+    # single-shuffle tp/fp/fn classification (the q119 shape)
+    fo = (
+        calls.withColumn("in_c", F.lit(True))
+        .join(truth.withColumn("in_t", F.lit(True)), key, "full_outer")
+        .select(*key, "in_c", "in_t")
+        .persist()
+    )
+    fp = fo.where(F.col("in_c") & F.col("in_t").isNull()).select(*key)
+    fn = fo.where(F.col("in_t") & F.col("in_c").isNull()).select(*key)
     resc_fp, resc_fn = replay_rescued_records(fp, fn, bucket=REPLAY_W)
 
     counts = (
-        calls.join(truth, key).agg(cnt("tp_exact"))
-        .crossJoin(fp.agg(cnt("fp_exact")))
-        .crossJoin(fn.agg(cnt("fn_exact")))
+        fo.agg(
+            F.count(F.when(F.col("in_c") & F.col("in_t"), 1)).alias("tp_exact"),
+            F.count(F.when(F.col("in_c") & F.col("in_t").isNull(), 1)).alias(
+                "fp_exact"
+            ),
+            F.count(F.when(F.col("in_t") & F.col("in_c").isNull(), 1)).alias(
+                "fn_exact"
+            ),
+        )
         .crossJoin(resc_fp.agg(cnt("n_replay_fp")))
         .crossJoin(resc_fn.agg(cnt("n_replay_fn")))
     )
