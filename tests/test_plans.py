@@ -422,3 +422,10 @@ def test_q132_knn_graph_no_broadcast_of_corpus(spark):
     # the corpus-sized join may broadcast (the point-query path q69
     # broadcasts its 5 queries; the graph build cannot)
     assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_q133_decontam_spans_benchmark_broadcasts(spark):
+    p = plan_of(spark, "q133_decontamination_spans")
+    # the benchmark shingle set must broadcast: the training-corpus scan
+    # never shuffles for the membership probe
+    assert "BroadcastHashJoin" in p

@@ -586,6 +586,12 @@ def duplicated_substring_spans(
     occ = sh.join(dup, "shingle").select(
         id_col, "pos", (F.col("pos") + k).alias("e")
     )
+    return _merge_occurrence_spans(occ, id_col)
+
+
+def _merge_occurrence_spans(occ: DataFrame, id_col: str) -> DataFrame:
+    """Merge per-doc occurrence intervals (pos, e) into maximal spans
+    (gaps-and-islands; window never wider than one document)."""
     w_ord = Window.partitionBy(id_col).orderBy("pos")
     prev_max = F.max("e").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
     brk = F.when(prev_max.isNull() | (F.col("pos") > prev_max), 1).otherwise(0)
@@ -602,6 +608,58 @@ def duplicated_substring_spans(
         )
         .drop("grp")
     )
+
+
+def contaminated_substring_spans(
+    train: DataFrame,
+    bench: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level train/test decontamination: the maximal token spans of
+    each TRAINING document covered by any k-token shingle that appears
+    in the BENCHMARK corpus — the eval-contamination remover that CUTS
+    the leaked passage instead of dropping (or keeping!) the whole
+    document (q75's doc-level flag is the coarse pass; this is the
+    surgical one).
+
+    Scale shape: the benchmark shingle set is distinct'd and broadcast
+    (eval suites are megabytes against a corpus of terabytes), so the
+    training side never shuffles for the membership probe; span
+    assembly is the same per-document interval merge as
+    ``duplicated_substring_spans``. One corpus scan, zero corpus-wide
+    shuffles. Returns (id, span_start, span_end, span_tokens).
+    """
+    w = train.select(id_col, F.split(F.col(text_col), " ").alias("w")).where(
+        F.size("w") >= k
+    )
+    sh = w.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(w) - {k}),"
+                f" i -> array_join(slice(w, i + 1, {k}), ' '))"
+            )
+        ).alias("pos", "shingle"),
+    )
+    bench_sh = (
+        bench.select(F.split(F.col(text_col), " ").alias("w"))
+        .where(F.size("w") >= k)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(w) - {k}),"
+                    f" i -> array_join(slice(w, i + 1, {k}), ' '))"
+                )
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+    occ = sh.join(F.broadcast(bench_sh), "shingle").select(
+        id_col, "pos", (F.col("pos") + k).alias("e")
+    )
+    return _merge_occurrence_spans(occ, id_col)
 
 
 def connected_components(

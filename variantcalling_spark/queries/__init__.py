@@ -57,6 +57,7 @@ _PRIORITY = (
     # --- New in round 4 ---
     "q129_adaptive_neardup",
     "q132_knn_graph",
+    "q133_decontamination_spans",
     "q130_perplexity_buckets",
     "q131_cluster_representatives",
     "q114_substring_dedup_spans",

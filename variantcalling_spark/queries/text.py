@@ -977,3 +977,61 @@ def q130_perplexity_buckets(spark, sf_dir):
             6,
         ).alias("mean_nll"),
     )
+
+
+@query(
+    "q133_decontamination_spans",
+    oracle="""
+WITH bench AS (
+  SELECT DISTINCT shingle FROM (
+    SELECT unnest([array_to_string(w[i+1:i+3], ' ')
+                   for i in generate_series(0, len(w) - 3)]) AS shingle
+    FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 97 = 0)
+    WHERE len(w) >= 3
+  )
+),
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id % 97 <> 0
+),
+sh AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(w[i+1:i+3], ' ') AS shingle
+  FROM toks, UNNEST(range(CAST(len(w) AS BIGINT) - 2)) AS r(i)
+  WHERE len(w) >= 3
+),
+cov AS (
+  SELECT DISTINCT s.doc_id, s.pos + CAST(j AS INT) AS tpos
+  FROM sh s JOIN bench b USING (shingle), UNNEST(range(3)) AS u(j)
+),
+isl AS (
+  SELECT doc_id, tpos,
+         tpos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tpos) AS grp
+  FROM cov
+)
+SELECT doc_id, CAST(MIN(tpos) AS INT) AS span_start,
+       CAST(MAX(tpos) AS INT) AS span_end,
+       CAST(COUNT(*) AS INT) AS span_tokens
+FROM isl GROUP BY doc_id, grp
+""",
+)
+def q133_decontamination_spans(spark, sf_dir):
+    """Span-level decontamination: the exact token spans of each
+    training document covered by a word-3-gram that appears in the
+    benchmark set (every 97th doc — q75's fixture). q75 flags whole
+    documents; this emits the leaked passages for CUTTING, the
+    eval-contamination remover that keeps the clean 99% of a
+    contaminated page. The benchmark shingle set broadcasts (eval
+    suites are megabytes against terabytes of corpus), so the training
+    scan never shuffles for the probe; span assembly is the per-doc
+    interval merge shared with q114 — and the oracle recomputes the
+    explode+islands form, value-proving the merge-form equivalence on
+    this query too."""
+    from variantcalling_spark.operators.dedup import contaminated_substring_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return contaminated_substring_spans(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0),
+        k=3,
+    )
