@@ -798,8 +798,21 @@ def rowwise_minhash_signatures(
     (`portable_band_candidates_between`) — dedup-at-ingest with zero
     stream-side shuffle and zero streaming state. The batch/aggregate
     form remains preferable over a pre-exploded shingle relation that
-    other consumers share."""
-    w = F.split(F.col(text_col), " ")
+    other consumers share.
+
+    Still "one logical pass", but staged as CHAINED projections so each
+    expensive array is materialized once per row: the split would
+    otherwise re-evaluate per shingle inside the slice lambda (the
+    O(words^2) anti-pattern documented at ``shingles()``), and the
+    shingle-build+hash chain would re-evaluate once per hash function
+    (num_hashes x) as each band-min transform's array argument. Catalyst
+    keeps the stages apart (CollapseProject refuses to inline non-cheap
+    expressions referenced more than once)."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("ws"),
+    )
+    w = F.col("ws")
     sh_arr = F.when(
         F.size(w) >= n,
         F.array_distinct(
@@ -809,20 +822,24 @@ def rowwise_minhash_signatures(
             )
         ),
     )
-    v_arr = F.transform(sh_arr, portable_string_hash)
+    hashed = tok.select("doc_id", sh_arr.alias("sh_set")).select(
+        "doc_id",
+        "sh_set",
+        F.transform("sh_set", portable_string_hash).alias("v_arr"),
+    )
 
     def perm(a: int, b: int):
         return lambda x: (F.lit(a).cast("bigint") * x + F.lit(b)) % MERSENNE31
 
     sig = F.array(
         *[
-            F.array_min(F.transform(v_arr, perm(a, b)))
+            F.array_min(F.transform("v_arr", perm(a, b)))
             for a, b in _minhash_coeffs(num_hashes)
         ]
     )
-    cols = [F.col(id_col).alias("doc_id"), sig.alias("signature")]
+    cols = ["doc_id", sig.alias("signature")]
     if include_shingles:
         # carry the distinct-shingle array alongside (the verify step's
-        # input) — still one projection, no explode, no collect_set
-        cols.append(sh_arr.alias("sh_set"))
-    return docs.select(*cols).where(F.col("signature").isNotNull())
+        # input) — still projection-only, no explode, no collect_set
+        cols.append("sh_set")
+    return hashed.select(*cols).where(F.col("signature").isNotNull())

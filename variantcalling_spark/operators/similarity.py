@@ -750,7 +750,20 @@ def _unit(col):
     norm = F.sqrt(
         F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
     )
-    return F.transform(v, lambda x: F.when(norm > 0, x / norm).otherwise(x))
+    # let-bind norm via a 1-element array: as transform's array argument
+    # it evaluates ONCE; capturing the O(d) aggregate inside the inner
+    # lambda would re-evaluate it per element (O(d^2) per vector) — the
+    # split-materialization rule of operators/dedup.py applied to a
+    # scalar that must stay inside one Column expression.
+    return F.get(
+        F.transform(
+            F.array(norm),
+            lambda nrm: F.transform(
+                v, lambda x: F.when(nrm > 0, x / nrm).otherwise(x)
+            ),
+        ),
+        0,
+    )
 
 
 def pq_index(

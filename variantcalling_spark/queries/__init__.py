@@ -46,67 +46,17 @@ _MODULES = (
 # registration order. Keep newly added queries in this list so they get
 # oracle rows while they are young.
 _PRIORITY = (
-    # Round 4 front-of-budget (~50 checked/round): new queries first, then
-    # re-certify stale greens, oldest first, so no green row ages past ~2
-    # rounds (round-2's silent regression shipped exactly because stale
-    # rows went unchecked). The full local sweep (tools/check_correctness)
-    # covers ALL queries each round regardless of the driver budget.
-    # ROUND 5 ROTATION NOTE: after the r4 driver run, the oldest rows are
-    # the tail of the round-2 block below (q28 onward) plus the r3-green
-    # five at the end — lead round 5 with those, then r4's new queries.
-    # --- New in round 4 ---
-    "q129_adaptive_neardup",
-    "q132_knn_graph",
-    "q133_decontamination_spans",
-    "q130_perplexity_buckets",
-    "q131_cluster_representatives",
-    "q114_substring_dedup_spans",
-    "q115_domain_mixture_sampling",
-    "q116_bm25_topk",
-    "q117_dsir_importance_weights",
-    "q118_bam_binary_ingest_depth",
-    "q119_concordance_segmented_replay",
-    "q120_stream_static_enrich",
-    "q121_pq_ann",
-    "q122_incremental_dedup",
-    "q123_gvcf_hcr",
-    "q124_sample_identity_matrix",
-    "q125_bridging_snv_calibration",
-    "q126_bpe_merge_mining",
-    "q127_concordance_diplotype_replay",
-    "q128_hard_negative_mining",
-    "q110_concordance_chain_rescue",
-    "q111_reads_ingest_depth",
-    "q112_embedding_neardup_lsh_wide",
-    "q113_concordance_haplotype_replay",
-    # --- Last driver-checked in round 1 (oldest, 24) ---
-    "q02_filter_projection",
-    "q03_shipping_priority",
-    "q04_order_priority_semijoin",
-    "q05_local_supplier_volume",
-    "q07_customers_without_orders",
-    "q08_two_granularity_match",
-    "q11_binning_ladder",
-    "q16_set_intersect",
-    "q17_set_except",
-    "q18_union_concat",
-    "q19_topk_per_group",
-    "q22_null_defaulting",
-    "q33_interval_intersect",
-    "q35_count_bases",
-    "q37_reciprocal_overlap",
-    "q39_interval_complement",
-    "q47_score_calibration",
-    "q51_dna_scalars",
-    "q55_trinuc_spectrum",
-    "q56_pl_compress3",
-    "q57_genotype_ordering",
-    "q58_genotype_error_classify",
-    "q91_vcfeval_penalty_flavors",
-    "q92_split_multiallelic",
-    # --- Last driver-checked in round 2 (34); modules touched since ---
-    "q52_gvcf_compress",
-    "q65_ngram_jaccard",
+    # Round 5 front-of-budget (~50 checked/round): new r5 queries first,
+    # then re-certify stale greens oldest-first, so no green row ages
+    # past ~2 rounds (round-2's silent regression shipped exactly
+    # because stale rows went unchecked). The full local sweep
+    # (tools/check_correctness) covers ALL queries each round
+    # regardless of the driver budget.
+    # ROUND 6 ROTATION NOTE: after the r5 driver run the oldest rows
+    # will be the round-4 block (q110-q133) — lead round 6 with those.
+    # --- New in round 5 ---
+    "q134_auto_bucketed_interval_join",
+    # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",
     "q64_exact_dedup",
@@ -139,12 +89,19 @@ _PRIORITY = (
     "q95_collapse_multiallelic",
     "q100_hardy_weinberg",
     "q101_mendel_violation_rate",
-    # --- Round-3-green queries whose hot paths changed this round ---
+    # --- Round-3-green, never driver-checked since ---
     "q74_embedding_neardup_lsh",
     "q99_data_curation_funnel",
     "q104_concordance_window_rescue",
     "q105_depth_runs",
     "q106_pileup_calls",
+    # --- Hot paths touched in round 5 (re-certify even though r4-green) ---
+    "q52_gvcf_compress",
+    "q65_ngram_jaccard",
+    "q112_embedding_neardup_lsh_wide",
+    "q121_pq_ann",
+    "q122_incremental_dedup",
+    "q129_adaptive_neardup",
 )
 
 

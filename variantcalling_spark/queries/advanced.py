@@ -503,8 +503,14 @@ def q29_flow_rle(spark, sf_dir):
     (the flow key), count runs, longest run — regexp_extract_all +
     higher-order array functions, no UDF."""
     d = docs_as_dna(spark, sf_dir)
-    rs = F.regexp_extract_all(F.col("seq"), F.lit("(A+|C+|G+|T+)"), 1)
-    return d.select(
+    # materialize the regex run-extraction once; referencing it from
+    # three sibling expressions would run the regex 3x per row
+    t = d.select(
+        "doc_id",
+        F.regexp_extract_all(F.col("seq"), F.lit("(A+|C+|G+|T+)"), 1).alias("rs"),
+    )
+    rs = F.col("rs")
+    return t.select(
         "doc_id",
         F.size(rs).alias("n_runs"),
         F.array_max(F.transform(rs, F.length)).alias("longest_run"),

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from variantcalling_spark.operators.interval_join import (
+    auto_bucketed_point_in_interval_join,
     bucketed_point_in_interval_join,
     count_bases,
     interval_overlap_join,
@@ -246,6 +247,39 @@ def q34_bucketed_range_join(spark, sf_dir):
     joined = bucketed_point_in_interval_join(
         ev, iv, "ts_us", bucket_width=HOUR, keys=["grp"],
         start_col="start_us", end_col="end_us",
+    )
+    return joined.groupBy("category").agg(
+        cnt("n"), F.sum(dec("value")).cast("double").alias("value_sum")
+    )
+
+
+@query(
+    "q134_auto_bucketed_interval_join",
+    oracle=f"""
+WITH iv AS ({SQL_IV_C}),
+ev AS (SELECT epoch_us(ts) AS ts_us, user_id % 5 AS grp, value FROM events)
+SELECT iv.category,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ev.value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+FROM ev JOIN iv
+  ON ev.grp = iv.grp AND ev.ts_us >= iv.start_us AND ev.ts_us < iv.end_us
+GROUP BY iv.category
+""",
+)
+def q134_auto_bucketed_interval_join(spark, sf_dir):
+    """q34's bucketed range join with the bucket width chosen from DATA
+    STATISTICS instead of a hand constant: `choose_bucket_width` takes
+    the interval-length median via an approx-quantile sketch (one
+    map-side-combinable pass) and clamps to a power of two — the knee of
+    the explosion-factor / bucket-occupancy cost curve. Same answer as
+    q34 by construction; what is under test is that the width dial the
+    fixed-width plan documents as "pick by hand" is computed, making the
+    operator self-tuning at any scale (ROADMAP item 1 in operator form).
+    """
+    ev = events_points(spark, sf_dir).select("ts_us", "grp", "value")
+    iv = intervals_c(spark)
+    joined = auto_bucketed_point_in_interval_join(
+        ev, iv, "ts_us", keys=["grp"], start_col="start_us", end_col="end_us"
     )
     return joined.groupBy("category").agg(
         cnt("n"), F.sum(dec("value")).cast("double").alias("value_sum")

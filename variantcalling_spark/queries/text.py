@@ -412,7 +412,11 @@ def q78_repetition_ratio(spark, sf_dir):
     repetitiveness flag. Pure per-row array expressions — no shuffle at
     all; the filter runs at scan speed on any corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
+    # Materialize the split in its own projection (operators/dedup.py
+    # shingles() rule): capturing the raw split(text) expression inside
+    # the transform lambda re-evaluates it per element — O(words^2)/doc.
+    tok = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    ws = F.col("ws")
     k = F.size(ws) - 2
     idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
         F.array().cast("array<int>")
@@ -426,7 +430,7 @@ def q78_repetition_ratio(spark, sf_dir):
             F.element_at(ws, i + 2),
         ),
     )
-    t = docs.select(
+    t = tok.select(
         "doc_id",
         F.greatest(k, F.lit(0)).alias("n_grams"),
         F.size(F.array_distinct(grams)).alias("n_distinct"),
