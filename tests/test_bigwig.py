@@ -72,6 +72,21 @@ def test_roundtrip_compressed(spark, tmp_path):
     assert summary["sumData"] == pytest.approx(stats.sd)
 
 
+def test_overlapping_run_section_bounds():
+    """Section chromEnd must be the MAX run end: with overlapping runs
+    an earlier long run extends past the last-by-start run, and
+    understated bounds would let external region readers skip a block
+    that overlaps their query window."""
+    import struct
+    import zlib
+
+    items = [(100, 900, 1.0), (200, 300, 2.0)]  # first run is longest
+    blob, _ = encode_section(0, items)
+    # wig section header: chromId, chromStart, chromEnd, ...
+    _, start, end = struct.unpack_from("<III", zlib.decompress(blob), 0)
+    assert (start, end) == (100, 900)
+
+
 def test_roundtrip_uncompressed(spark, tmp_path):
     path = os.path.join(tmp_path, "plain.bw")
     df = _runs_df(spark, n=300)
@@ -102,7 +117,7 @@ def test_empty_runs(spark, tmp_path):
     summary = _write(spark, empty, path)
     assert summary["validCount"] == 0
     idx = read_bigwig_index(path)
-    assert idx["sections"] == [] and idx["n_items"] == 0
+    assert idx["sections"] == [] and idx["n_sections"] == 0
     assert bigwig_scan(spark, path).count() == 0
 
 
@@ -111,7 +126,8 @@ def test_index_metadata(spark, tmp_path):
     df = _runs_df(spark, n=200)
     _write(spark, df, path)
     idx = read_bigwig_index(path)
-    assert idx["n_items"] == 200
+    # UCSC dataCount semantics: counts data SECTIONS, not intervals
+    assert idx["n_sections"] == len(idx["sections"]) > 0
     assert {name for name, _ in idx["chroms"].values()} == set(CHROM_SIZES)
     assert all(size == 60000 for _, size in idx["chroms"].values())
 

@@ -71,9 +71,14 @@ def encode_section(
     chrom_id: int, items: list[tuple[int, int, float]], compress: bool = True
 ) -> tuple[bytes, int]:
     """One bedGraph-type wig section from sorted (start, end, value)
-    runs. Returns (blob, uncompressed_size)."""
+    runs. Returns (blob, uncompressed_size).
+
+    The section chromEnd is the MAX run end, not the last-by-start run's
+    end: with overlapping runs an earlier long run can extend past the
+    last one, and understated bounds would let external region readers
+    (pyBigWig.values) skip a block that actually overlaps the query."""
     start = items[0][0]
-    end = items[-1][1]
+    end = max(e for _, e, _ in items)
     raw = struct.pack(_WIG_SECTION_HDR, 
         chrom_id, start, end, 0, 0, WIG_TYPE_BEDGRAPH, 0, len(items)
     ) + b"".join(struct.pack(_BEDGRAPH_ITEM, s, e, float(v)) for s, e, v in items)
@@ -135,7 +140,9 @@ def to_bigwig_sections(
                 {
                     "chrom_id": cid,
                     "start_bp": chunk[0][0],
-                    "end_bp": chunk[-1][1],
+                    # max end, not last-by-start end: R-tree leaf bounds
+                    # must cover every run even if runs overlap
+                    "end_bp": max(e for _, e, _ in chunk),
                     "n_items": len(chunk),
                     "raw_size": raw_size,
                     "blob": bytearray(blob),
@@ -307,7 +314,6 @@ def assemble_bigwig(
     )
     rtree = rtree_hdr + _serialize_rtree(root, full_index_offset + struct.calcsize(_RTREE_HDR))
 
-    n_items = sum(int(s["n_items"]) for s in secs)
     valid = sum(int(s["valid_count"]) for s in secs)
     summary = {
         "validCount": valid,
@@ -344,7 +350,11 @@ def assemble_bigwig(
             )
         )
         f.write(btree)
-        f.write(struct.pack("<Q", n_items))
+        # UCSC dataCount semantics: the uint64 at fullDataOffset is the
+        # number of data SECTIONS for bigWig (what bedGraphToBigWig
+        # writes and bbiItemCount/bigWigInfo primaryDataCount read),
+        # not the total interval count.
+        f.write(struct.pack("<Q", len(secs)))
         for s in secs:
             f.write(bytes(s["blob"]))
         f.write(rtree)
@@ -383,12 +393,21 @@ def read_bigwig_index(path: str):
     is_leaf, _, count = struct.unpack_from(_NODE_HDR, buf, off)
     off += struct.calcsize(_NODE_HDR)
     chroms = {}
-    if is_leaf:
-        for _ in range(count):
-            name = buf[off : off + key_size].rstrip(b"\0").decode()
-            cid, size = struct.unpack_from("<II", buf, off + key_size)
-            chroms[cid] = (name, size)
-            off += key_size + 8
+    if not is_leaf:
+        # externally produced files with > blockSize contigs use a
+        # multi-level chrom B+ tree; fail fast on the driver instead of
+        # an opaque executor KeyError from an empty chrom map
+        raise ValueError(
+            "unsupported bigWig: multi-level chromosome B+ tree "
+            f"({n_chroms} contigs, root is not a leaf); this reader "
+            "handles single-leaf chrom trees (files written by "
+            "write_bigwig, or external files with few contigs)"
+        )
+    for _ in range(count):
+        name = buf[off : off + key_size].rstrip(b"\0").decode()
+        cid, size = struct.unpack_from("<II", buf, off + key_size)
+        chroms[cid] = (name, size)
+        off += key_size + 8
 
     rmagic = struct.unpack_from("<I", buf, full_index_offset)[0]
     if rmagic != RTREE_MAGIC:
@@ -416,12 +435,14 @@ def read_bigwig_index(path: str):
     if n_leaf:
         walk(full_index_offset + struct.calcsize(_RTREE_HDR))
 
-    n_items = struct.unpack_from("<Q", buf, full_data_offset)[0]
+    # UCSC dataCount: number of data sections (primaryDataCount), not
+    # the total interval count
+    n_sections = struct.unpack_from("<Q", buf, full_data_offset)[0]
     return {
         "version": version,
         "zoom_levels": zoom_levels,
         "compressed": uncompress_buf > 0,
-        "n_items": n_items,
+        "n_sections": n_sections,
         "summary": dict(
             zip(
                 ("validCount", "minVal", "maxVal", "sumData", "sumSquares"),
