@@ -420,48 +420,80 @@ def test_no_zero_norm_embeddings_after_quantization(spark, sf_dir):
 
 
 def test_real_image_decoder_contract(monkeypatch):
-    """Exercises the REAL pillow branch of decode_image the day the
-    environment provides it (skips here): same (H, W, 3) uint8 array
-    contract as the deterministic fake, so flipping
-    VCSPARK_REAL_DECODERS=1 changes no downstream plumbing."""
-    Image = pytest.importorskip("PIL.Image")
-    import io
-
+    """Exercises the REAL branch of decode_image in every environment:
+    a genuine binary format (uncompressed 24-bit BMP via the vendored
+    stdlib codec) round-trips through the same (H, W, 3) uint8 array
+    contract the pillow branch uses, so flipping VCSPARK_REAL_DECODERS=1
+    changes no downstream plumbing. When pillow is present the PNG path
+    is cross-checked too."""
     import numpy as np
 
+    from variantcalling_spark.operators.media_codecs import decode_bmp, encode_bmp
     from variantcalling_spark.operators.multimodal import decode_image
 
     monkeypatch.setenv("VCSPARK_REAL_DECODERS", "1")
-    img = Image.new("RGB", (4, 2), color=(10, 20, 30))
-    buf = io.BytesIO()
-    img.save(buf, format="PNG")
-    arr = decode_image(buf.getvalue())
+    img = np.full((2, 4, 3), [10, 20, 30], dtype=np.uint8)
+    img[1, 3] = [200, 100, 50]  # corner pixel pins row order + BGR swap
+    payload = encode_bmp(img)
+    arr = decode_image(payload)
     assert arr.shape == (2, 4, 3) and arr.dtype == np.uint8
-    assert (arr == [10, 20, 30]).all()
+    assert (arr == img).all()
+    # codec-level round trip with a width that needs row padding
+    odd = np.arange(3 * 3 * 3, dtype=np.uint8).reshape(3, 3, 3)
+    assert (decode_bmp(encode_bmp(odd)) == odd).all()
     # undecodable payloads must RAISE under the flag, not silently fake
     with pytest.raises(Exception):
         decode_image(b"not an image")
+    with pytest.raises(ValueError):
+        decode_image(b"BM" + b"\0" * 60)  # BMP magic, garbage header
+    try:
+        from PIL import Image  # optional cross-check, not a skip
+    except ImportError:
+        return
+    import io
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    assert (decode_image(buf.getvalue()) == img).all()
 
 
 def test_real_audio_decoder_contract(monkeypatch):
-    """Same for the soundfile branch of decode_audio: 1-D int16 samples
-    (stereo averaged), raising on undecodable payloads."""
-    soundfile = pytest.importorskip("soundfile")
-    import io
-
+    """Same for the audio branch: RIFF/WAVE PCM-16 (stdlib codec)
+    round-trips as 1-D int16 samples with stereo averaged to mono,
+    raising on undecodable payloads. soundfile cross-checked when
+    present."""
     import numpy as np
 
+    from variantcalling_spark.operators.media_codecs import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
     from variantcalling_spark.operators.multimodal import decode_audio
 
     monkeypatch.setenv("VCSPARK_REAL_DECODERS", "1")
-    buf = io.BytesIO()
     samples = np.array([0, 1000, -1000, 32000], dtype=np.int16)
-    soundfile.write(buf, samples, 8000, format="WAV", subtype="PCM_16")
-    out = decode_audio(buf.getvalue())
+    out = decode_audio(encode_wav_pcm16(samples, 8000))
     assert out.ndim == 1 and out.dtype == np.int16
     assert (out == samples).all()
+    # stereo averages to mono through the public decode_audio contract
+    stereo = np.array([[100, 300], [-200, -400]], dtype=np.int16)
+    mono = decode_audio(encode_wav_pcm16(stereo, 8000, channels=2))
+    assert (mono == np.array([200, -300], dtype=np.int16)).all()
+    got, rate = decode_wav_pcm16(encode_wav_pcm16(samples, 44100))
+    assert rate == 44100 and (got == samples).all()
     with pytest.raises(Exception):
         decode_audio(b"not audio")
+    with pytest.raises(Exception):
+        decode_audio(b"RIFF\0\0\0\0WAVEjunk")  # WAV magic, garbage body
+    try:
+        import soundfile  # optional cross-check, not a skip
+    except ImportError:
+        return
+    import io
+
+    buf = io.BytesIO()
+    soundfile.write(buf, samples, 8000, format="WAV", subtype="PCM_16")
+    assert (decode_audio(buf.getvalue()) == samples).all()
 
 
 def test_substring_dedup_spans_pinned(spark):

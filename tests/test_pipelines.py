@@ -170,3 +170,55 @@ def test_results_catalog_upsert_resolution(spark, tmp_path):
         for r in read_result_latest(spark, root, "qc", mk).collect()
     }
     assert got2 == {("s1", "depth"): 31.5, ("s1", "titv"): 2.1}
+
+
+def test_results_catalog_concurrent_writers(spark, tmp_path):
+    """Two interleaved upserts to one key must BOTH land (optimistic
+    commit): the version slot is claimed with an atomic mkdir, so
+    writers that raced from the same observed latest version retry onto
+    distinct slots instead of overwriting or erroring out."""
+    import threading
+
+    from variantcalling_spark.pipelines.results import (
+        _versions,
+        read_result_latest,
+        upsert_result,
+    )
+
+    root = str(tmp_path / "catalog")
+    mk = ["sample", "metric"]
+    upsert_result(root, "qc", spark.createDataFrame(
+        [("s1", "depth", 1.0)], mk + ["value"]))
+
+    # true interleaving: both writers listed versions before either
+    # wrote — force it by pre-building the DataFrames, then racing the
+    # claim+write from threads sharing one SparkSession
+    n_writers = 4
+    dfs = [
+        spark.createDataFrame([(f"w{i}", "depth", float(i))], mk + ["value"])
+        for i in range(n_writers)
+    ]
+    versions, errors = [None] * n_writers, []
+    barrier = threading.Barrier(n_writers)
+
+    def write(i):
+        try:
+            barrier.wait()
+            versions[i] = upsert_result(root, "qc", dfs[i])
+        except Exception as exc:  # pragma: no cover - failure diagnostics
+            errors.append(exc)
+
+    threads = [threading.Thread(target=write, args=(i,)) for i in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors
+    assert sorted(versions) == [2, 3, 4, 5]  # all landed, all distinct
+    assert _versions(root, "qc") == [1, 2, 3, 4, 5]
+    got = {
+        r.sample: r.value
+        for r in read_result_latest(spark, root, "qc", mk).collect()
+    }
+    assert got == {"s1": 1.0, "w0": 0.0, "w1": 1.0, "w2": 2.0, "w3": 3.0}

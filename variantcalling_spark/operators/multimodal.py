@@ -84,12 +84,19 @@ def _real_decoders_enabled() -> bool:
 def decode_image(content: bytes):
     """Decode an image payload to an (H, W, C) uint8 array.
 
-    Uses pillow when ``VCSPARK_REAL_DECODERS=1`` (raising on undecodable
-    payloads rather than masking them); otherwise the deterministic fake
-    — same array contract, so flipping the flag changes no downstream
-    plumbing."""
-    if _real_decoders_enabled():  # pragma: no cover - pillow absent here
-        import io
+    Under ``VCSPARK_REAL_DECODERS=1`` the real branch runs (raising on
+    undecodable payloads rather than masking them): uncompressed 24-bit
+    BMP decodes through the vendored stdlib codec
+    (``operators/media_codecs.py`` — no dependency, so this REAL format
+    round-trips in CI), every other format through pillow. Otherwise
+    the deterministic fake — same array contract, so flipping the flag
+    changes no downstream plumbing."""
+    if _real_decoders_enabled():
+        from variantcalling_spark.operators import media_codecs
+
+        if media_codecs.is_bmp(content):
+            return media_codecs.decode_bmp(content)
+        import io  # pragma: no cover - pillow absent here
 
         from PIL import Image
 
@@ -98,10 +105,17 @@ def decode_image(content: bytes):
 
 
 def decode_audio(content: bytes):
-    """Decode an audio payload to a 1-D int16 sample array (soundfile
-    when ``VCSPARK_REAL_DECODERS=1``, deterministic fake otherwise)."""
-    if _real_decoders_enabled():  # pragma: no cover - soundfile absent here
-        import io
+    """Decode an audio payload to a 1-D int16 sample array (stereo
+    averaged to mono). Under ``VCSPARK_REAL_DECODERS=1``: RIFF/WAVE
+    PCM-16 decodes through the vendored stdlib codec (CI-executable,
+    no dependency), other formats through soundfile; otherwise the
+    deterministic fake."""
+    if _real_decoders_enabled():
+        from variantcalling_spark.operators import media_codecs
+
+        if media_codecs.is_wav(content):
+            return media_codecs.decode_wav_pcm16(content)[0]
+        import io  # pragma: no cover - soundfile absent here
 
         import soundfile
 

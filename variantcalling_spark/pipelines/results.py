@@ -57,20 +57,45 @@ def _versions(catalog_root: str, key: str) -> list[int]:
 
 
 def upsert_result(
-    catalog_root: str, key: str, df: DataFrame, *, delete: bool = False
+    catalog_root: str,
+    key: str,
+    df: DataFrame,
+    *,
+    delete: bool = False,
+    max_retries: int = 16,
 ) -> int:
     """Write ``df`` as the next immutable version of ``key``. With
     ``delete=True`` the rows are tombstones: any earlier version of the
     same merge keys disappears from resolved reads. Returns the version
-    number written."""
+    number written.
+
+    Concurrency: the version slot is CLAIMED with an atomic ``mkdir``
+    before any data is written — two interleaved writers that both saw
+    the same latest version race on the mkdir, the loser retries on the
+    next slot, and both upserts land as distinct versions (the
+    optimistic-commit protocol Delta/Iceberg implement with conditional
+    metadata swaps, reduced to the POSIX primitive; an object-store
+    deployment swaps the mkdir claim for a conditional put or a real
+    table format — same four-function surface)."""
     from pyspark.sql import functions as F
 
-    v = (_versions(catalog_root, key) or [0])[-1] + 1
+    key_dir = os.path.join(catalog_root, key)
+    os.makedirs(key_dir, exist_ok=True)
     out = df.withColumn(_DELETED, F.lit(bool(delete)))
-    out.write.mode("errorifexists").parquet(
-        os.path.join(catalog_root, key, f"v={v}")
+    v = (_versions(catalog_root, key) or [0])[-1] + 1
+    for _ in range(max_retries):
+        path = os.path.join(key_dir, f"v={v}")
+        try:
+            os.mkdir(path)  # atomic claim of the version slot
+        except FileExistsError:
+            v += 1
+            continue
+        out.write.mode("overwrite").parquet(path)
+        return v
+    raise RuntimeError(
+        f"upsert_result: lost the version race {max_retries} times on "
+        f"{key!r} — writer storm; back off or compact"
     )
-    return v
 
 
 def read_result_latest(

@@ -22,7 +22,7 @@ from variantcalling_spark.functions.genotypes import (
     imputation_reweighted_pl,
 )
 from variantcalling_spark.queries import query
-from variantcalling_spark.queries._helpers import cnt
+from variantcalling_spark.queries._helpers import cnt, managed_persist
 from variantcalling_spark.queries.genomics import SQL_DOCS_DNA, docs_as_dna
 from variantcalling_spark.sources import load_table
 
@@ -612,7 +612,7 @@ def q104_concordance_window_rescue(spark, sf_dir):
         calls.withColumn("in_c", F.lit(True))
         .join(truth.withColumn("in_t", F.lit(True)), key, "full_outer")
         .select(*key, "in_c", "in_t")
-        .persist()
+        .transform(managed_persist)
     )
     fp = fo.where(F.col("in_c") & F.col("in_t").isNull()).select(*key)
     fn = fo.where(F.col("in_t") & F.col("in_c").isNull()).select(*key)
@@ -910,7 +910,7 @@ def q110_concordance_chain_rescue(spark, sf_dir):
         acgt.substr((1 + (F.col("o_orderkey") + 2) % 4).cast("int"), F.lit(1)).alias("b2"),
         acgt.substr((1 + (F.col("o_orderkey") + 3) % 4).cast("int"), F.lit(1)).alias("a2"),
         acgt.substr((1 + (F.col("o_orderkey") + 2) % 4).cast("int"), F.lit(1)).alias("a1w"),
-    ).persist()
+    ).transform(managed_persist)
 
     def rec(pos, ref, alt):
         return F.struct(
@@ -952,7 +952,7 @@ def q110_concordance_chain_rescue(spark, sf_dir):
         calls.withColumn("in_c", F.lit(True))
         .join(truth.withColumn("in_t", F.lit(True)), key, "full_outer")
         .select(*key, "in_c", "in_t")
-        .persist()
+        .transform(managed_persist)
     )
     fp = fo.where(F.col("in_c") & F.col("in_t").isNull()).select(*key)
     fn = fo.where(F.col("in_t") & F.col("in_c").isNull()).select(*key)
@@ -1195,7 +1195,7 @@ def q113_concordance_haplotype_replay(spark, sf_dir):
         F.concat(F.lit("c"), (F.col("o_orderkey") % 4).cast("string")).alias("chrom"),
         (F.col("o_orderkey") * 40).alias("p"),
         (F.col("o_orderkey") % 8).alias("cs"),
-    ).persist()
+    ).transform(managed_persist)
 
     def rec(pos, ref, alt):
         return F.struct(
@@ -1235,7 +1235,7 @@ def q113_concordance_haplotype_replay(spark, sf_dir):
         calls.withColumn("in_c", F.lit(True))
         .join(truth.withColumn("in_t", F.lit(True)), key, "full_outer")
         .select(*key, "in_c", "in_t")
-        .persist()
+        .transform(managed_persist)
     )
     fp = fo.where(F.col("in_c") & F.col("in_t").isNull()).select(*key)
     fn = fo.where(F.col("in_t") & F.col("in_c").isNull()).select(*key)
@@ -1344,7 +1344,7 @@ def _segment_union(
             "brk",
             F.when(prev.isNull() | ((F.col("pos") - prev) > gap), 1).otherwise(0),
         )
-        .persist()
+        .transform(managed_persist)
     )
     spre = (
         t.groupBy("chrom", "_bk")
@@ -1426,7 +1426,7 @@ def segmented_replay_rescue(fp, fn, gap: int = REPLAY_GAP):
     )
     segd = _segment_union(
         u, ["pos", "ref", "alt", "side"], gap, two_level=False
-    ).persist()
+    ).transform(managed_persist)
     bounds = segd.groupBy("chrom", "seg").agg(
         F.min("pos").alias("lo"), F.max("e").alias("hi")
     )
@@ -1586,7 +1586,7 @@ def q119_concordance_segmented_replay(spark, sf_dir):
         F.concat(F.lit("c"), (F.col("o_orderkey") % 4).cast("string")).alias("chrom"),
         (F.col("o_orderkey") * 40 + 30).alias("p"),
         (F.col("o_orderkey") % 8).alias("cs"),
-    ).persist()
+    ).transform(managed_persist)
 
     def rec(pos, ref, alt):
         return F.struct(
@@ -1631,7 +1631,7 @@ def q119_concordance_segmented_replay(spark, sf_dir):
         calls.withColumn("in_c", F.lit(True))
         .join(truth.withColumn("in_t", F.lit(True)), key, "full_outer")
         .select(*key, "in_c", "in_t")
-        .persist()
+        .transform(managed_persist)
     )
     fp = fo.where(F.col("in_c") & F.col("in_t").isNull()).select(*key)
     fn = fo.where(F.col("in_t") & F.col("in_c").isNull()).select(*key)
@@ -1693,7 +1693,7 @@ def diplotype_replay_rescue(fp, fn, tp, gap: int = REPLAY_GAP):
     )
     segd = _segment_union(
         u, ["pos", "ref", "alt", "gt", "side"], gap, two_level=False
-    ).persist()
+    ).transform(managed_persist)
     bounds = segd.groupBy("chrom", "seg").agg(
         F.min("pos").alias("lo"), F.max("e").alias("hi")
     )
@@ -1957,7 +1957,7 @@ def q127_concordance_diplotype_replay(spark, sf_dir):
         F.concat(F.lit("c"), (F.col("o_orderkey") % 4).cast("string")).alias("chrom"),
         (F.col("o_orderkey") * 40 + 30).alias("p"),
         (F.col("o_orderkey") % 8).alias("cs"),
-    ).persist()
+    ).transform(managed_persist)
 
     def rec(pos, ref, alt, gt):
         return F.struct(
@@ -2014,7 +2014,7 @@ def q127_concordance_diplotype_replay(spark, sf_dir):
         calls.withColumn("in_c", F.lit(True))
         .join(truth.withColumn("in_t", F.lit(True)), key, "full_outer")
         .select(*key, "in_c", "in_t")
-        .persist()
+        .transform(managed_persist)
     )
     fp = fo.where(F.col("in_c") & F.col("in_t").isNull()).select(*key)
     fn = fo.where(F.col("in_t") & F.col("in_c").isNull()).select(*key)
