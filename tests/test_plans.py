@@ -429,3 +429,29 @@ def test_q133_decontam_spans_benchmark_broadcasts(spark):
     # the benchmark shingle set must broadcast: the training-corpus scan
     # never shuffles for the membership probe
     assert "BroadcastHashJoin" in p
+
+
+def test_q78_split_materialized_not_inlined(spark):
+    """The word split must live in its OWN projection: HOF lambdas are
+    interpreted per element (no codegen CSE), so an inlined split would
+    re-evaluate once per element_at reference — O(words^2) per doc
+    (judge-measured ~1.8x+ at sf0.01, growing with doc length). One
+    split( occurrence in the optimized plan == materialized once."""
+    df = all_queries()["q78_repetition_ratio"].fn(spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("split(") == 1
+
+
+def test_rowwise_minhash_staged_projections(spark):
+    """rowwise_minhash_signatures must keep split -> shingles -> hashes
+    as separate projections: collapsed, the shingle+hash chain would
+    re-evaluate once per hash function and the split once per shingle."""
+    from variantcalling_spark.operators.dedup import rowwise_minhash_signatures
+    from variantcalling_spark.sources import load_table
+
+    df = rowwise_minhash_signatures(load_table(spark, SF, "documents"))
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("split(") == 1
+    # the shingle-hash transform feeding the band mins appears once,
+    # referenced by name, not inlined 32x
+    assert opt.count("xxhash64") <= 2
