@@ -178,8 +178,87 @@ def test_pybigwig_cross_validation(tmp_path):
             "sum_squares": 4.0 * 100 + 25.0 * 150,
         }
     )
-    assemble_bigwig(secs, {"chr1": 1000}, path)
+    import struct as _struct
+    import zlib as _zlib
+
+    # one 4096-bp zoom level covering both runs (hand-built record)
+    zraw = _struct.pack(
+        "<IIIIffff", 0, 100, 350, 250, 2.0, 5.0, 950.0, 4150.0
+    )
+    zsec = {
+        "chrom_id": 0,
+        "start_bp": 100,
+        "end_bp": 350,
+        "n_items": 1,
+        "raw_size": len(zraw),
+        "blob": _zlib.compress(zraw),
+    }
+    assemble_bigwig(secs, {"chr1": 1000}, path, zoom_levels=[(4096, [zsec])])
     bw = pbw.open(path)
     assert bw.chroms() == {"chr1": 1000}
     assert bw.intervals("chr1") == ((100, 200, 2.0), (200, 350, 5.0))
+    assert bw.header()["nLevels"] == 1
+    # approximate stats route through the zoom level
+    assert bw.stats("chr1", 0, 1000, exact=False)[0] == pytest.approx(
+        950.0 / 250, rel=1e-6
+    )
     bw.close()
+
+
+def test_zoom_levels_roundtrip(spark, tmp_path):
+    """Zoom levels written + read back: the level-0 records must equal a
+    direct Spark recomputation of the window reduction from the runs
+    (valid_count/extent exact; stats at float32 precision, as stored),
+    and the header must advertise the level count."""
+    from variantcalling_spark.sources.bigwig import (
+        bigwig_zoom_scan,
+        to_zoom_sections,
+        zoom_reduce,
+    )
+
+    path = os.path.join(tmp_path, "zoomed.bw")
+    df = _runs_df(spark, n=400)
+    ids = chrom_id_map(CHROM_SIZES)
+    secs = to_bigwig_sections(df, ids, 64).collect()
+    reductions = [1024, 4096]
+    zl = [(r, to_zoom_sections(df, ids, r).collect()) for r in reductions]
+    assemble_bigwig(secs, CHROM_SIZES, path, zoom_levels=zl)
+
+    idx = read_bigwig_index(path)
+    assert idx["zoom_levels"] == 2
+    assert [z["reduction"] for z in idx["zooms"]] == reductions
+    for z in idx["zooms"]:
+        assert z["n_records"] > 0 and z["sections"]
+
+    got = {
+        (r.chrom, r.start, r.end): r
+        for r in bigwig_zoom_scan(spark, path, level=0).collect()
+    }
+    want = {
+        (r.chrom, r.zstart, r.zend): r for r in zoom_reduce(df, 1024).collect()
+    }
+    assert set(got) == set(want) and len(got) > 4
+    import numpy as np
+
+    for k, g in got.items():
+        w = want[k]
+        assert g.valid_count == w.valid_count
+        assert g.min_val == np.float32(w.min_val)
+        assert g.max_val == np.float32(w.max_val)
+        assert g.sum_data == np.float32(w.sum_data)
+        assert g.sum_squares == np.float32(w.sum_squares)
+
+    # full-resolution scan unaffected by the appended zoom blocks
+    assert bigwig_scan(spark, path).count() == 400
+
+
+def test_zoom_reduction_ladder_from_stats(spark):
+    from variantcalling_spark.sources.bigwig import choose_zoom_reductions
+
+    df = _runs_df(spark, n=100)  # 40 bp runs -> base 400
+    reds = choose_zoom_reductions(df, CHROM_SIZES)
+    assert reds and reds[0] == 400
+    assert all(b == a * 4 for a, b in zip(reds, reds[1:]))
+    assert reds[-1] <= max(CHROM_SIZES.values()) // 2
+    # empty runs -> no levels, and assembly writes zoomLevels=0
+    assert choose_zoom_reductions(df.where(F.lit(False)), CHROM_SIZES) == []

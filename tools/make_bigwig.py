@@ -36,8 +36,10 @@ def main(argv: list[str]) -> int:
     from variantcalling_spark.session import get_spark
     from variantcalling_spark.sources.bigwig import (
         assemble_bigwig,
+        choose_zoom_reductions,
         chrom_id_map,
         to_bigwig_sections,
+        to_zoom_sections,
     )
 
     chrom_sizes = {}
@@ -51,11 +53,18 @@ def main(argv: list[str]) -> int:
     runs = spark.read.parquet(runs_path).select(
         "chrom", "start", "end", F.col("depth").cast("double").alias("depth")
     )
-    sections = to_bigwig_sections(runs, chrom_id_map(chrom_sizes)).collect()
-    summary = assemble_bigwig(sections, chrom_sizes, out_path)
+    ids = chrom_id_map(chrom_sizes)
+    sections = to_bigwig_sections(runs, ids).collect()
+    # zoom ladder from data statistics (UCSC-style: ~10x mean span, x4
+    # per level); each level is one distributed reduce + pack pass
+    reductions = choose_zoom_reductions(runs, chrom_sizes)
+    zoom_levels = [
+        (red, to_zoom_sections(runs, ids, red).collect()) for red in reductions
+    ]
+    summary = assemble_bigwig(sections, chrom_sizes, out_path, zoom_levels=zoom_levels)
     print(
-        f"{out_path}: {len(sections)} sections, "
-        f"{summary['validCount']} bases covered, "
+        f"{out_path}: {len(sections)} sections, {len(zoom_levels)} zoom "
+        f"levels {reductions}, {summary['validCount']} bases covered, "
         f"max depth {summary['maxVal']:.0f}"
     )
     return 0

@@ -25,12 +25,18 @@ bbiFile layout it documents):
   R-tree on the driver and fans section decode out through
   ``mapInPandas`` — sections play the role of parquet row groups.
 
-Caveats, stated honestly: zoom levels are not written (``zoomLevels=0``
-— readers fall back to full-resolution data; the reference's use is
-value lookup, not browser zoom rendering), and cross-validation against
-pyBigWig is a skip-marked test that activates wherever that library
-exists (this container has none — the same contract-test pattern as the
-real media decoders).
+- **Zoom levels are real** (round 5): ``zoom_reduce`` computes each
+  reduction level as one distributed explode+groupBy (map-side
+  combinable), ``to_zoom_sections`` packs 32-byte bbi zoom records per
+  chromosome, and assembly writes the zoom headers + per-level data and
+  R-trees, so genome browsers render wide views from the precomputed
+  summaries instead of full-resolution data. ``bigwig_zoom_scan`` reads
+  a level back in parallel.
+
+Caveat, stated honestly: cross-validation against pyBigWig is a
+skip-marked test that activates wherever that library exists (this
+container has none — the same contract-test pattern as the real media
+decoders).
 """
 
 from __future__ import annotations
@@ -55,6 +61,8 @@ _RTREE_LEAF_ITEM = "<IIIIQQ"  # 32 bytes
 _RTREE_CHILD_ITEM = "<IIIIQ"  # 24 bytes
 _WIG_SECTION_HDR = "<IIIIIBBH"  # 24 bytes
 _BEDGRAPH_ITEM = "<IIf"  # 12 bytes
+_ZOOM_HEADER = "<IIQQ"  # 24 bytes: reductionLevel, reserved, dataOffset, indexOffset
+_ZOOM_RECORD = "<IIIIffff"  # 32 bytes: chromId, start, end, validCount, min, max, sumData, sumSquares
 
 WIG_TYPE_BEDGRAPH = 1
 RTREE_BLOCK_SIZE = 256
@@ -169,6 +177,123 @@ def to_bigwig_sections(
     )
 
 
+def zoom_reduce(runs, reduction: int):
+    """Distributed zoom reduction: depth runs -> one summary row per
+    ``reduction``-bp window (the bbi zoom record fields: covered bases,
+    min/max depth, base-weighted sum and sum of squares). Pure
+    DataFrame ops: runs explode to the windows they span (a run is
+    typically much shorter than the reduction, so fan-out ~1), overlap
+    arithmetic clips, and one map-side-combinable groupBy aggregates —
+    the same shape at any scale. Zoom record start/end are the ACTUAL
+    covered extent within the window (tight bounds for the R-tree)."""
+    from pyspark.sql import functions as F
+
+    red = int(reduction)
+    w = runs.select(
+        "chrom",
+        "start",
+        "end",
+        F.col("depth").cast("double").alias("depth"),
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start") / red), F.floor((F.col("end") - 1) / red)
+            )
+        ).alias("win"),
+    )
+    ov_s = F.greatest(F.col("start"), F.col("win") * red)
+    ov_e = F.least(F.col("end"), (F.col("win") + 1) * red)
+    ov = ov_e - ov_s
+    return w.groupBy("chrom", "win").agg(
+        F.min(ov_s).cast("long").alias("zstart"),
+        F.max(ov_e).cast("long").alias("zend"),
+        F.sum(ov).cast("long").alias("valid_count"),
+        F.min("depth").alias("min_val"),
+        F.max("depth").alias("max_val"),
+        F.sum(F.col("depth") * ov).alias("sum_data"),
+        F.sum(F.col("depth") * F.col("depth") * ov).alias("sum_squares"),
+    )
+
+
+def to_zoom_sections(
+    runs,
+    chrom_ids: dict[str, int],
+    reduction: int,
+    items_per_section: int = 512,
+    compress: bool = True,
+):
+    """``zoom_reduce`` packed into zlib-compressed zoom-record sections
+    (32-byte bbi zoom records), one ``applyInPandas`` per chromosome —
+    the zoom analog of ``to_bigwig_sections``."""
+    import pandas as pd
+
+    ids = dict(chrom_ids)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("zstart")
+        cid = ids[pdf["chrom"].iloc[0]]
+        recs = list(
+            zip(
+                pdf["zstart"].astype(int),
+                pdf["zend"].astype(int),
+                pdf["valid_count"].astype(int),
+                pdf["min_val"].astype(float),
+                pdf["max_val"].astype(float),
+                pdf["sum_data"].astype(float),
+                pdf["sum_squares"].astype(float),
+            )
+        )
+        rows = []
+        for i in range(0, len(recs), items_per_section):
+            chunk = recs[i : i + items_per_section]
+            raw = b"".join(
+                struct.pack(_ZOOM_RECORD, cid, zs, ze, vc, mn, mx, sd, sq)
+                for zs, ze, vc, mn, mx, sd, sq in chunk
+            )
+            rows.append(
+                {
+                    "chrom_id": cid,
+                    "start_bp": chunk[0][0],
+                    "end_bp": max(r[1] for r in chunk),
+                    "n_items": len(chunk),
+                    "raw_size": len(raw),
+                    "blob": bytearray(zlib.compress(raw) if compress else raw),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    schema = (
+        "chrom_id int, start_bp long, end_bp long, n_items int, "
+        "raw_size int, blob binary"
+    )
+    return zoom_reduce(runs, reduction).groupBy("chrom").applyInPandas(
+        pack, schema=schema
+    )
+
+
+def choose_zoom_reductions(
+    runs, chrom_sizes: dict[str, int], max_levels: int = 8
+) -> list[int]:
+    """UCSC-style reduction ladder from data statistics: initial level
+    ~10x the mean run span (min 16), x4 per level, stopping once a
+    level would exceed half the largest chromosome. One lightweight
+    aggregate pass."""
+    from pyspark.sql import functions as F
+
+    row = runs.agg(
+        F.avg(F.col("end") - F.col("start")).alias("mean_span")
+    ).first()
+    if row is None or row.mean_span is None:
+        return []
+    base = max(16, int(row.mean_span * 10))
+    cap = max(chrom_sizes.values(), default=0) // 2
+    levels = []
+    red = base
+    while len(levels) < max_levels and red <= cap:
+        levels.append(red)
+        red *= 4
+    return levels
+
+
 def _chrom_btree(chrom_sizes: dict[str, int], chrom_ids: dict[str, int]) -> bytes:
     names = sorted(chrom_sizes)
     key_size = max((len(n) for n in names), default=1)
@@ -260,11 +385,19 @@ def assemble_bigwig(
     chrom_sizes: dict[str, int],
     path: str,
     compress: bool = True,
+    zoom_levels: list | None = None,
 ) -> dict:
     """Single-writer file assembly from materialized section records
     (dicts or Rows with the ``to_bigwig_sections`` schema). Pure bytes +
     local IO — no Spark objects, so the engine package never collects;
     callers hand in whatever iterator they materialized.
+
+    ``zoom_levels``: optional ``[(reduction, zoom_section_records), ...]``
+    pairs from ``to_zoom_sections`` (coarsest last, per UCSC
+    convention of ascending reductionLevel). Each level gets its own
+    data block + R-tree and a 24-byte zoom header after the common
+    header; readers (genome browsers) pick the coarsest level finer
+    than their pixel resolution instead of scanning full data.
 
     Returns the summary dict (validCount/min/max/sumData/sumSquares)
     for caller-side assertions.
@@ -273,11 +406,20 @@ def assemble_bigwig(
         (dict(s.asDict()) if hasattr(s, "asDict") else dict(s) for s in sections),
         key=lambda s: (s["chrom_id"], s["start_bp"]),
     )
+    zooms = []
+    for red, zsecs in zoom_levels or []:
+        zs = sorted(
+            (dict(s.asDict()) if hasattr(s, "asDict") else dict(s) for s in zsecs),
+            key=lambda s: (s["chrom_id"], s["start_bp"]),
+        )
+        if zs:  # empty levels are dropped, not written as dead headers
+            zooms.append((int(red), zs))
     chrom_ids = chrom_id_map(chrom_sizes)
     btree = _chrom_btree(chrom_sizes, chrom_ids)
 
     header_size = struct.calcsize(_HEADER)
-    total_summary_offset = header_size
+    zoom_hdr_bytes = len(zooms) * struct.calcsize(_ZOOM_HEADER)
+    total_summary_offset = header_size + zoom_hdr_bytes
     chrom_tree_offset = total_summary_offset + struct.calcsize(_TOTAL_SUMMARY)
     full_data_offset = chrom_tree_offset + len(btree)
 
@@ -314,6 +456,52 @@ def assemble_bigwig(
     )
     rtree = rtree_hdr + _serialize_rtree(root, full_index_offset + struct.calcsize(_RTREE_HDR))
 
+    # zoom levels: per level, a u32 record count + sections + R-tree,
+    # appended after the full-data index; offsets recorded in the zoom
+    # headers written right after the common header
+    cursor = full_index_offset + len(rtree)
+    zoom_headers: list[tuple[int, int, int]] = []  # (reduction, data_off, index_off)
+    zoom_blocks: list[bytes] = []
+    for red, zs in zooms:
+        data_off = cursor
+        block = bytearray(struct.pack("<I", sum(int(s["n_items"]) for s in zs)))
+        cursor += len(block)
+        zleafs = []
+        for s in zs:
+            size = len(s["blob"])
+            zleafs.append(
+                (
+                    s["chrom_id"],
+                    int(s["start_bp"]),
+                    s["chrom_id"],
+                    int(s["end_bp"]),
+                    cursor,
+                    size,
+                )
+            )
+            block += bytes(s["blob"])
+            cursor += size
+        index_off = cursor
+        zroot = _build_rtree(zleafs)
+        zsc, zsb, zec, zeb = _node_bounds(zroot)
+        zhdr = struct.pack(_RTREE_HDR,
+            RTREE_MAGIC,
+            RTREE_BLOCK_SIZE,
+            len(zleafs),
+            zsc,
+            zsb,
+            zec,
+            zeb,
+            index_off,
+            min(len(zleafs), RTREE_BLOCK_SIZE) or 1,
+            0,
+        )
+        zrtree = zhdr + _serialize_rtree(zroot, index_off + struct.calcsize(_RTREE_HDR))
+        block += zrtree
+        cursor += len(zrtree)
+        zoom_headers.append((red, data_off, index_off))
+        zoom_blocks.append(bytes(block))
+
     valid = sum(int(s["valid_count"]) for s in secs)
     summary = {
         "validCount": valid,
@@ -322,12 +510,15 @@ def assemble_bigwig(
         "sumData": float(sum(s["sum_data"] for s in secs)),
         "sumSquares": float(sum(s["sum_squares"] for s in secs)),
     }
-    uncompress_buf = max((int(s["raw_size"]) for s in secs), default=0) if compress else 0
+    raw_sizes = [int(s["raw_size"]) for s in secs] + [
+        int(s["raw_size"]) for _, zs in zooms for s in zs
+    ]
+    uncompress_buf = max(raw_sizes, default=0) if compress else 0
 
-    header = struct.pack(_HEADER, 
+    header = struct.pack(_HEADER,
         BIGWIG_MAGIC,
         BBI_VERSION,
-        0,  # zoomLevels: none written (full-resolution data only)
+        len(zooms),
         chrom_tree_offset,
         full_data_offset,
         full_index_offset,
@@ -340,8 +531,10 @@ def assemble_bigwig(
     )
     with open(path, "wb") as f:
         f.write(header)
+        for red, data_off, index_off in zoom_headers:
+            f.write(struct.pack(_ZOOM_HEADER, red, 0, data_off, index_off))
         f.write(
-            struct.pack(_TOTAL_SUMMARY, 
+            struct.pack(_TOTAL_SUMMARY,
                 summary["validCount"],
                 summary["minVal"],
                 summary["maxVal"],
@@ -358,6 +551,8 @@ def assemble_bigwig(
         for s in secs:
             f.write(bytes(s["blob"]))
         f.write(rtree)
+        for block in zoom_blocks:
+            f.write(block)
     return summary
 
 
@@ -409,7 +604,47 @@ def read_bigwig_index(path: str):
         chroms[cid] = (name, size)
         off += key_size + 8
 
-    rmagic = struct.unpack_from("<I", buf, full_index_offset)[0]
+    sections = _walk_rtree_sections(buf, full_index_offset)
+
+    # zoom headers follow the common header; each level carries its own
+    # u32 record count + sections + R-tree
+    zooms = []
+    zh = struct.calcsize(_HEADER)
+    for _ in range(zoom_levels):
+        red, _res, zdata_off, zindex_off = struct.unpack_from(_ZOOM_HEADER, buf, zh)
+        zh += struct.calcsize(_ZOOM_HEADER)
+        zooms.append(
+            {
+                "reduction": red,
+                "n_records": struct.unpack_from("<I", buf, zdata_off)[0],
+                "sections": _walk_rtree_sections(buf, zindex_off),
+            }
+        )
+
+    # UCSC dataCount: number of data sections (primaryDataCount), not
+    # the total interval count
+    n_sections = struct.unpack_from("<Q", buf, full_data_offset)[0]
+    return {
+        "version": version,
+        "zoom_levels": zoom_levels,
+        "compressed": uncompress_buf > 0,
+        "n_sections": n_sections,
+        "summary": dict(
+            zip(
+                ("validCount", "minVal", "maxVal", "sumData", "sumSquares"),
+                struct.unpack_from(_TOTAL_SUMMARY, buf, total_summary_offset),
+            )
+        ),
+        "chroms": chroms,
+        "sections": sections,
+        "zooms": zooms,
+    }
+
+
+def _walk_rtree_sections(buf: bytes, index_offset: int) -> list[tuple[int, int]]:
+    """Enumerate (offset, size) of every leaf block under an R-tree
+    (full-data or zoom-level — same structure)."""
+    rmagic = struct.unpack_from("<I", buf, index_offset)[0]
     if rmagic != RTREE_MAGIC:
         raise ValueError("bad R-tree magic")
     sections: list[tuple[int, int]] = []
@@ -431,27 +666,10 @@ def read_bigwig_index(path: str):
             for coff in children:
                 walk(coff)
 
-    n_leaf = struct.unpack_from(_RTREE_HDR, buf, full_index_offset)[2]
+    n_leaf = struct.unpack_from(_RTREE_HDR, buf, index_offset)[2]
     if n_leaf:
-        walk(full_index_offset + struct.calcsize(_RTREE_HDR))
-
-    # UCSC dataCount: number of data sections (primaryDataCount), not
-    # the total interval count
-    n_sections = struct.unpack_from("<Q", buf, full_data_offset)[0]
-    return {
-        "version": version,
-        "zoom_levels": zoom_levels,
-        "compressed": uncompress_buf > 0,
-        "n_sections": n_sections,
-        "summary": dict(
-            zip(
-                ("validCount", "minVal", "maxVal", "sumData", "sumSquares"),
-                struct.unpack_from(_TOTAL_SUMMARY, buf, total_summary_offset),
-            )
-        ),
-        "chroms": chroms,
-        "sections": sections,
-    }
+        walk(index_offset + struct.calcsize(_RTREE_HDR))
+    return sections
 
 
 def bigwig_scan(spark, path: str):
@@ -490,6 +708,68 @@ def bigwig_scan(spark, path: str):
         F.col("start").cast("long"),
         F.col("end").cast("long"),
         "value",
+    )
+
+
+def decode_zoom_section(blob: bytes, compressed: bool):
+    """Inverse of the ``to_zoom_sections`` packing: list of
+    (chrom_id, start, end, valid_count, min, max, sum_data, sum_squares)."""
+    raw = zlib.decompress(blob) if compressed else blob
+    size = struct.calcsize(_ZOOM_RECORD)
+    return [
+        struct.unpack_from(_ZOOM_RECORD, raw, off)
+        for off in range(0, len(raw), size)
+    ]
+
+
+def bigwig_zoom_scan(spark, path: str, level: int = 0):
+    """Parallel read of one zoom level: same fan-out shape as
+    ``bigwig_scan`` (driver parses the tiny index, executors seek their
+    own byte ranges), yielding the precomputed window summaries a
+    browser would render at wide zoom. Zoom record stats are float32 in
+    the file; they surface as double."""
+    import pandas as pd
+
+    idx = read_bigwig_index(path)
+    if level >= len(idx["zooms"]):
+        raise ValueError(
+            f"zoom level {level} not present ({len(idx['zooms'])} levels)"
+        )
+    z = idx["zooms"][level]
+    compressed = idx["compressed"]
+    names = {cid: name for cid, (name, _size) in idx["chroms"].items()}
+    secs = spark.createDataFrame(
+        [(o, s) for o, s in z["sections"]], "offset long, size int"
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            with open(path, "rb") as f:
+                for off, size in zip(pdf["offset"], pdf["size"]):
+                    f.seek(int(off))
+                    for cid, s, e, vc, mn, mx, sd, sq in decode_zoom_section(
+                        f.read(int(size)), compressed
+                    ):
+                        rows.append(
+                            (names[cid], s, e, vc, float(mn), float(mx),
+                             float(sd), float(sq))
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "chrom", "start", "end", "valid_count",
+                    "min_val", "max_val", "sum_data", "sum_squares",
+                ],
+            )
+
+    return secs.mapInPandas(
+        decode,
+        schema=(
+            "chrom string, start long, end long, valid_count long, "
+            "min_val double, max_val double, sum_data double, "
+            "sum_squares double"
+        ),
     )
 
 
