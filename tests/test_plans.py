@@ -455,3 +455,41 @@ def test_rowwise_minhash_staged_projections(spark):
     # the shingle-hash transform feeding the band mins appears once,
     # referenced by name, not inlined 32x
     assert opt.count("xxhash64") <= 2
+
+
+def test_round5_queries_no_cartesian(spark):
+    """New round-5 discovery plans must stay equi-join shaped: no
+    nested-loop/cartesian anywhere (containment prefix filter, CDC
+    chunking, cluster split)."""
+    for name in (
+        "q135_cdc_chunk_dedup",
+        "q137_leakage_safe_split",
+        "q139_containment_pairs",
+    ):
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_q138_weighted_sample_is_topk(spark):
+    """A-ES weighted sampling must run as a distributed top-k
+    (TakeOrderedAndProject: per-partition heaps merged on the driver),
+    never a full global sort materialization."""
+    p = plan_of(spark, "q138_weighted_sample")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q140_cutpoints_broadcast_no_global_sort(spark):
+    """The cutpoint variant's whole point: the corpus-side bucket
+    projection joins the per-language cutpoints by BROADCAST, and no
+    window/sort over the full per-language doc set exists (that is
+    q130's NTILE plan)."""
+    p = plan_of(spark, "q140_perplexity_cutpoint_buckets")
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p
+
+
+def test_q141_vocab_broadcasts(spark):
+    p = plan_of(spark, "q141_vocab_oov")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p  # top-V vocab, not a full sort

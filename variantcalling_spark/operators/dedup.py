@@ -230,6 +230,64 @@ def prefix_filtered_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def containment_candidate_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """Lossless candidate discovery for shingle CONTAINMENT
+    ``|A∩B| / |A| >= t`` — the asymmetric relation behind quote /
+    excerpt / subset detection, where Jaccard fails (a short passage
+    fully contained in a long document has tiny Jaccard but containment
+    ~1).
+
+    Asymmetric prefix filter: if ``|A∩B| >= ceil(t*|A|)`` then at most
+    ``|A| - ceil(t*|A|)`` of A's shingles miss B, so A's first
+    ``|A| - ceil(t*|A|) + 1`` shingles in ascending global-df order
+    must hit B (pigeonhole) — only the CONTAINED side prunes to its
+    prefix; the container side keeps all shingles but pays no window.
+    Size filter: ``|B| >= ceil(t*|A|)`` (intersection can't exceed
+    |B|). Both lossless, so verify(candidates) == all-pairs. Returns
+    directed (doc_a = contained candidate, doc_b = container)."""
+    from pyspark.sql import Window
+
+    doc_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w_ordered = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        sh.join(doc_freq, "shingle")
+        .withColumn(
+            "n_sh",
+            F.count(F.lit(1)).over(
+                w_ordered.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w_ordered))
+    )
+    a = ranked.where(
+        F.col("rk")
+        <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingle").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_b")).join(
+        sh, "doc_id"
+    ).select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingle").alias("sh_b"),
+        "n_b",
+    )
+    return (
+        a.join(
+            b,
+            (F.col("sh_a") == F.col("sh_b"))
+            & (F.col("doc_a") != F.col("doc_b"))
+            & (F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a"))),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
     """k-permutation MinHash signature per doc as an array<bigint>.
 
@@ -514,6 +572,64 @@ def portable_band_candidates_between(
         )
         .where(first_collision)
         .select(F.col("n.doc_id").alias("doc_new"), F.col("o.doc_id").alias("doc_old"))
+    )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    boundary_mod: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking at token granularity: a chunk boundary
+    opens at every token whose portable hash ≡ 0 (mod ``boundary_mod``),
+    so chunk boundaries are a function of CONTENT, not position — an
+    insertion early in a document shifts every byte offset but leaves
+    all later chunk hashes identical, which is what makes chunk-level
+    storage dedup (LBFS/rsync lineage) and shifted-passage detection
+    work where fixed-width blocks fail.
+
+    Returns one row per (doc_id, chunk_id, chunk_hash, n_tokens).
+    Expected chunk length is ``boundary_mod`` tokens. Plan: explode to
+    (doc, pos, token), one per-document running-sum window for chunk
+    ids, one groupBy to assemble chunks — partitions by doc_id, so the
+    window never spans documents and the shape holds at any corpus
+    size."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
+    )
+    flagged = tok.select(
+        "doc_id",
+        "pos",
+        "token",
+        (
+            (F.col("pos") > 0)
+            & (portable_string_hash(F.col("token")) % boundary_mod == 0)
+        )
+        .cast("int")
+        .alias("b"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    withids = flagged.withColumn("chunk_id", F.sum("b").over(w))
+    return (
+        withids.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "token"))),
+                    lambda x: x["token"],
+                ),
+            ).alias("chunk"),
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            portable_string_hash(F.col("chunk")).alias("chunk_hash"),
+            "n_tokens",
+        )
     )
 
 

@@ -56,6 +56,13 @@ _PRIORITY = (
     # will be the round-4 block (q110-q133) — lead round 6 with those.
     # --- New in round 5 ---
     "q134_auto_bucketed_interval_join",
+    "q135_cdc_chunk_dedup",
+    "q136_curriculum_phases",
+    "q137_leakage_safe_split",
+    "q138_weighted_sample",
+    "q139_containment_pairs",
+    "q140_perplexity_cutpoint_buckets",
+    "q141_vocab_oov",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

@@ -865,3 +865,226 @@ def q131_cluster_representatives(spark, sf_dir):
         "n_members",
         F.col("q").alias("rep_quality"),
     )
+
+
+def _cdc_oracle_sql(boundary_mod: int = 8) -> str:
+    from variantcalling_spark.operators.dedup import PORTABLE_HASH_SQL
+
+    ph_tok = PORTABLE_HASH_SQL.format(col="tok")
+    ph_chunk = PORTABLE_HASH_SQL.format(col="chunk")
+    return f"""
+WITH corpus AS ({SQL_CORPUS}),
+tok AS (
+  SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+    SELECT doc_id, unnest(list_transform(string_split(text, ' '),
+      (x, i) -> struct_pack(pos := i - 1, tok := x))) AS u
+    FROM corpus
+  )
+),
+flg AS (
+  SELECT doc_id, pos, tok,
+    CASE WHEN pos > 0 AND ({ph_tok}) % {boundary_mod} = 0 THEN 1 ELSE 0 END AS b
+  FROM tok
+),
+cid AS (
+  SELECT doc_id, pos, tok,
+    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+  FROM flg
+),
+chunks AS (
+  SELECT doc_id, chunk_id, string_agg(tok, ' ' ORDER BY pos) AS chunk,
+         COUNT(*) AS n_tokens
+  FROM cid GROUP BY doc_id, chunk_id
+),
+h AS (SELECT doc_id, chunk_id, n_tokens, {ph_chunk} AS chunk_hash FROM chunks),
+dup AS (SELECT chunk_hash, COUNT(DISTINCT doc_id) AS nd FROM h GROUP BY chunk_hash)
+SELECT doc_id,
+  COUNT(*) AS n_chunks,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN nd > 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS dup_tokens,
+  ROUND(SUM(CASE WHEN nd > 1 THEN n_tokens ELSE 0 END)
+        / CAST(SUM(n_tokens) AS DOUBLE), 6) AS dup_mass
+FROM h JOIN dup USING (chunk_hash)
+GROUP BY doc_id
+HAVING SUM(CASE WHEN nd > 1 THEN n_tokens ELSE 0 END)
+       / CAST(SUM(n_tokens) AS DOUBLE) >= 0.5
+"""
+
+
+@query("q135_cdc_chunk_dedup", oracle=_cdc_oracle_sql())
+def q135_cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined chunk dedup (the LBFS/rsync boundary rule at
+    token granularity): chunk boundaries open where the token's portable
+    hash ≡ 0 (mod 8), so boundaries survive insertions/shifts that break
+    fixed-width blocking; chunks are hashed and the TOKEN MASS covered
+    by chunks duplicated across documents is reported per document,
+    keeping docs with >= 50% duplicated mass. The dropped-first-word
+    near-copies of the augmented corpus share every chunk after the
+    first boundary — exactly the property fixed-width chunking loses to
+    offset shift — so they surface alongside the exact copies, while
+    incidental single-token chunk collisions stay under the mass
+    threshold. Plan: explode + one per-document window + two groupBys,
+    all partitioned by doc/chunk hash — no all-pairs anything."""
+    from variantcalling_spark.operators.dedup import cdc_chunks
+
+    chunks = cdc_chunks(corpus(spark, sf_dir), boundary_mod=8)
+    dup = chunks.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    dup_mass = F.sum(F.when(F.col("nd") > 1, F.col("n_tokens")).otherwise(0))
+    tot_mass = F.sum("n_tokens")
+    return (
+        chunks.join(dup, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            tot_mass.cast("bigint").alias("n_tokens"),
+            dup_mass.cast("bigint").alias("dup_tokens"),
+            F.round(dup_mass / tot_mass.cast("double"), 6).alias("dup_mass"),
+        )
+        .where(F.col("dup_tokens") / F.col("n_tokens").cast("double") >= 0.5)
+    )
+
+
+def _leakage_split_oracle_sql(train_pct: int = 8) -> str:
+    from variantcalling_spark.operators.dedup import PORTABLE_HASH_SQL
+
+    ph = PORTABLE_HASH_SQL.format(col="CAST(cluster_id AS VARCHAR)")
+    return f"""
+WITH RECURSIVE corpus AS ({SQL_CORPUS}),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+                   for i in generate_series(1, len(string_split(text, ' ')) - 2)]) AS shingle
+    FROM corpus
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+e AS (
+  SELECT doc_a, doc_b FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE) >= 0.6
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM e
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM e
+),
+closure AS (
+  SELECT src AS node, src AS reach FROM edges
+  UNION
+  SELECT c.node, edges.dst AS reach
+  FROM closure c JOIN edges ON edges.src = c.reach
+),
+labeled AS (SELECT node, MIN(reach) AS label FROM closure GROUP BY node),
+assign AS (
+  SELECT c.doc_id, COALESCE(l.label, c.doc_id) AS cluster_id
+  FROM corpus c LEFT JOIN labeled l ON l.node = c.doc_id
+)
+SELECT doc_id, cluster_id,
+  CASE WHEN ({ph}) % 10 < {train_pct} THEN 'train' ELSE 'val' END AS split
+FROM assign
+"""
+
+
+@query("q137_leakage_safe_split", oracle=_leakage_split_oracle_sql())
+def q137_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val split: near-duplicate CLUSTERS (exact
+    Jaccard >= 0.6 via PPJoin discovery, min-label connected components)
+    are the unit of assignment, not documents — a hash split at document
+    granularity puts near-copies of one passage on both sides of the
+    split and inflates eval (the classic contamination-by-duplication
+    failure). Every doc gets cluster_id = its component label (itself if
+    unpaired) and split = md5-hash(cluster_id) mod 10 -> 80/20, so all
+    members of a cluster land on the same side by construction.
+    Deterministic, shuffle-bounded: the split itself is a pure
+    projection over the component labels."""
+    from variantcalling_spark.operators.dedup import (
+        connected_components,
+        portable_string_hash,
+    )
+
+    c = corpus(spark, sf_dir)
+    sh = shingles(c, n=3).persist()
+    cands = prefix_filtered_pairs(sh, threshold=0.6)
+    pairs = jaccard_for_pairs(cands, sh).where(F.col("jaccard") >= 0.6)
+    labels = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    cluster = F.coalesce(F.col("label"), F.col("doc_id"))
+    return (
+        c.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            cluster.alias("cluster_id"),
+            F.when(
+                portable_string_hash(cluster.cast("string")) % 10 < 8, "train"
+            )
+            .otherwise("val")
+            .alias("split"),
+        )
+    )
+
+
+@query(
+    "q139_containment_pairs",
+    oracle=f"""
+WITH corpus AS ({SQL_CORPUS}),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+                   for i in generate_series(1, len(string_split(text, ' ')) - 2)]) AS shingle
+    FROM corpus
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_shared,
+       ROUND(n_shared / CAST(sa.n_sh AS DOUBLE), 6) AS containment
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_shared / CAST(sa.n_sh AS DOUBLE) >= 0.9
+""",
+)
+def q139_containment_pairs(spark, sf_dir):
+    """Asymmetric containment detection |A∩B|/|A| >= 0.9 — the quote /
+    excerpt / subset relation whole-document Jaccard misses (a passage
+    fully inside a longer doc has low Jaccard but containment ~1; the
+    augmented corpus's dropped-first-word docs are contained in their
+    originals at ~0.98 while Jaccard is lower). Discovery via the
+    asymmetric prefix filter (contained side prunes to its rare-shingle
+    prefix, container side stays whole — lossless by pigeonhole), exact
+    array_intersect verify; the oracle spells the naive all-sharing-
+    pairs algebra. Directed pairs: both directions emitted for mutual
+    containment (exact copies)."""
+    from variantcalling_spark.operators.dedup import containment_candidate_pairs
+
+    sh = shingles(corpus(spark, sf_dir), n=3).persist()
+    cands = containment_candidate_pairs(sh, threshold=0.9)
+    verified = jaccard_for_pairs(cands, sh)
+    cont = F.col("n_shared") / F.col("n_a").cast("double")
+    return (
+        verified.where(cont >= 0.9)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            F.round(cont, 6).alias("containment"),
+        )
+    )

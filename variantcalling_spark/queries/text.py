@@ -1039,3 +1039,275 @@ def q133_decontamination_spans(spark, sf_dir):
         docs.where(F.col("doc_id") % 97 == 0),
         k=3,
     )
+
+
+def _weighted_sample_oracle_sql(k: int = 50) -> str:
+    from variantcalling_spark.operators.dedup import PORTABLE_HASH_SQL
+
+    ph = PORTABLE_HASH_SQL.format(col="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH w AS (
+  SELECT doc_id, CAST(doc_id % 10 + 1 AS INT) AS weight,
+         ({ph} + 1) / 2147483648.0 AS u
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, weight, ln(u) / weight AS skey FROM w
+)
+SELECT doc_id, weight, skey
+FROM keyed ORDER BY skey DESC, doc_id LIMIT {k}
+"""
+
+
+@query("q138_weighted_sample", oracle=_weighted_sample_oracle_sql())
+def q138_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement, Efraimidis-Spirakis A-ES:
+    each doc draws a deterministic uniform u from an md5-based hash of
+    its id and competes with key = ln(u)/weight; the global top-k by key
+    is EXACTLY a weighted sample without replacement (the one-pass,
+    merge-able formulation every distributed sampler uses — per-partition
+    top-k heaps merge on the driver, which is what Spark's sort+limit
+    physical plan does). Weights here derive from the id so both engines
+    agree; production plugs in quality scores. The sample is
+    reproducible run-to-run and engine-to-engine — the property a
+    training-data pipeline needs for auditability."""
+    from variantcalling_spark.operators.dedup import portable_string_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 10 + 1).cast("int")
+    u = (portable_string_hash(F.col("doc_id").cast("string")) + 1) / F.lit(
+        2147483648.0
+    )
+    keyed = docs.select(
+        "doc_id",
+        w.alias("weight"),
+        (F.log(u) / w).alias("skey"),
+    )
+    return keyed.orderBy(F.col("skey").desc(), "doc_id").limit(50)
+
+
+@query(
+    "q140_perplexity_cutpoint_buckets",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+freq AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+total AS (SELECT SUM(c) AS n FROM freq),
+scored AS (
+  SELECT words.doc_id,
+         CAST(-log10(freq.c / CAST(total.n AS DOUBLE)) AS DECIMAL(18,12)) AS nll
+  FROM words JOIN freq ON words.w = freq.w CROSS JOIN total
+),
+per_doc AS (
+  SELECT doc_id, ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+  FROM scored GROUP BY doc_id
+),
+langd AS (
+  SELECT d.lang, p.doc_id, p.avg_nll
+  FROM per_doc p JOIN documents d USING (doc_id)
+),
+cuts AS (
+  SELECT lang,
+         ROUND(CAST(quantile_cont(avg_nll, 1.0/3) AS DOUBLE), 6) AS cut_lo,
+         ROUND(CAST(quantile_cont(avg_nll, 2.0/3) AS DOUBLE), 6) AS cut_hi
+  FROM langd GROUP BY lang
+)
+SELECT l.lang,
+       CASE WHEN l.avg_nll <= c.cut_lo THEN 'head'
+            WHEN l.avg_nll <= c.cut_hi THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket,
+       COUNT(*) AS n_docs,
+       c.cut_lo, c.cut_hi
+FROM langd l JOIN cuts c USING (lang)
+GROUP BY l.lang, 2, c.cut_lo, c.cut_hi
+""",
+)
+def q140_perplexity_cutpoint_buckets(spark, sf_dir):
+    """q130's language-balanced perplexity partition via QUANTILE
+    CUTPOINTS instead of an exact per-language NTILE sort — the
+    production shape q130's docstring promised: one percentile
+    aggregate per language (map-side combinable sketch input), then a
+    STATELESS bucket projection against the broadcast cutpoints. No
+    per-language global sort ever happens, so the plan is
+    insensitive to language skew (one giant language no longer owns one
+    giant sorted partition). Exact interpolated percentiles here so the
+    oracle is value-checkable (DuckDB quantile_cont, same type-7
+    definition); at web scale approxQuantile is the drop-in with the
+    identical downstream projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    per_doc = (
+        words.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (-F.log10(F.col("c") / F.col("n").cast("double")))
+            .cast("decimal(18,12)")
+            .alias("nll"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_nll"
+            )
+        )
+    )
+    langd = per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+    cuts = langd.groupBy("lang").agg(
+        F.round(F.percentile("avg_nll", F.lit(1.0) / 3), 6).alias("cut_lo"),
+        F.round(F.percentile("avg_nll", F.lit(2.0) / 3), 6).alias("cut_hi"),
+    )
+    bucket = (
+        F.when(F.col("avg_nll") <= F.col("cut_lo"), "head")
+        .when(F.col("avg_nll") <= F.col("cut_hi"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        langd.join(F.broadcast(cuts), "lang")
+        .select("lang", bucket.alias("ppl_bucket"), "cut_lo", "cut_hi")
+        .groupBy("lang", "ppl_bucket", "cut_lo", "cut_hi")
+        .agg(cnt("n_docs"))
+        .select("lang", "ppl_bucket", "n_docs", "cut_lo", "cut_hi")
+    )
+
+
+@query(
+    "q136_curriculum_phases",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         ROUND(len(list_distinct(string_split(text, ' ')))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS quality
+  FROM documents
+),
+ordered AS (
+  SELECT doc_id, n_tokens, quality,
+         SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM t
+)
+SELECT CAST((cum_tokens - 1) // 4000 AS INT) AS phase,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS phase_tokens,
+       ROUND(CAST(SUM(CAST(quality AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_quality,
+       MIN(doc_id) AS first_doc
+FROM ordered GROUP BY 1
+""",
+)
+def q136_curriculum_phases(spark, sf_dir):
+    """Curriculum phase assignment: documents ranked by a quality signal
+    (lexical diversity) feed training phases of a fixed token budget
+    (4000 tokens/phase) — highest-quality data in the earliest phases,
+    each phase's manifest deterministic and reproducible. The running
+    token total is a global cumulative window: Spark executes it as a
+    range-partitioned sort (no single-partition bottleneck) + one
+    partial-cumsum pass, the same two-level cumsum shape the coverage
+    curves use. Output: per phase, doc count, token mass, mean quality,
+    first manifest entry."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).select(
+        "doc_id",
+        F.size("ws").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct("ws")) / F.size("ws").cast("double"), 6
+        ).alias("quality"),
+    )
+    w = W.orderBy(F.col("quality").desc(), "doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ordered = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        ordered.select(
+            ((F.col("cum_tokens") - 1) / 4000).cast("int").alias("phase"),
+            "doc_id",
+            "n_tokens",
+            "quality",
+        )
+        .groupBy("phase")
+        .agg(
+            cnt("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("phase_tokens"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(12,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_quality"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+@query(
+    "q141_vocab_oov",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+freq AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+vocab AS (
+  SELECT w FROM freq ORDER BY c DESC, w LIMIT 40
+),
+flagged AS (
+  SELECT words.doc_id,
+         CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END AS oov
+  FROM words LEFT JOIN vocab ON words.w = vocab.w
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tok, SUM(oov) AS n_oov FROM flagged
+  GROUP BY doc_id
+),
+d AS (SELECT lang, doc_id FROM documents)
+SELECT d.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_oov) AS BIGINT) AS oov_tokens,
+       ROUND(SUM(n_oov) / CAST(SUM(n_tok) AS DOUBLE), 6) AS oov_rate
+FROM per_doc JOIN d USING (doc_id)
+GROUP BY d.lang
+""",
+)
+def q141_vocab_oov(spark, sf_dir):
+    """Vocabulary truncation + OOV accounting (the tokenizer-budget
+    question: what does a size-V vocab cost per language?): corpus
+    token frequencies -> deterministic top-V vocabulary (frequency then
+    lexicographic tie-break) -> per-language OOV token rates under that
+    vocab. The vocabulary is an orderBy+limit (top-V via partial
+    per-partition heaps, never a full sort materialized) broadcast to a
+    stateless membership projection — the corpus is scanned once and
+    never shuffled on content."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(40)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    flagged = words.join(F.broadcast(vocab), "w", "left")
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            cnt("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.sum("n_oov").cast("bigint").alias("oov_tokens"),
+            F.round(
+                F.sum("n_oov") / F.sum("n_tok").cast("double"), 6
+            ).alias("oov_rate"),
+        )
+    )
