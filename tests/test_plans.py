@@ -493,3 +493,17 @@ def test_q141_vocab_broadcasts(spark):
     p = plan_of(spark, "q141_vocab_oov")
     assert "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p  # top-V vocab, not a full sort
+
+
+def test_q136_corpus_window_is_bucket_partitioned(spark):
+    """The per-document cumsum window must partition by the quality
+    bucket (two-level decomposition); only the <=51-row bucket-prefix
+    window may be unpartitioned. An unpartitioned window over doc_id
+    would move the whole corpus to one partition."""
+    df = all_queries()["q136_curriculum_phases"].fn(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", p)
+    doc_specs = [s for s in specs if "doc_id" in s]
+    assert doc_specs and all("qb#" in s for s in doc_specs)

@@ -356,7 +356,8 @@ def test_bigwig_file_roundtrip_pure(runs, tmp_path_factory):
     path = os.path.join(tmp_path_factory.mktemp("bw"), "prop.bw")
     assemble_bigwig(secs, {"c0": 200_000}, path)
     idx = read_bigwig_index(path)
-    assert idx["n_items"] == len(items)
+    # UCSC dataCount semantics: the header count is data SECTIONS
+    assert idx["n_sections"] == len(secs)
     got = []
     with open(path, "rb") as f:
         data = f.read()

@@ -1205,11 +1205,14 @@ def q136_curriculum_phases(spark, sf_dir):
     (lexical diversity) feed training phases of a fixed token budget
     (4000 tokens/phase) — highest-quality data in the earliest phases,
     each phase's manifest deterministic and reproducible. The running
-    token total is a global cumulative window: Spark executes it as a
-    range-partitioned sort (no single-partition bottleneck) + one
-    partial-cumsum pass, the same two-level cumsum shape the coverage
-    curves use. Output: per phase, doc count, token mass, mean quality,
-    first manifest entry."""
+    token total is a GLOBAL cumsum, decomposed two-level so no window
+    ever owns the corpus (the fasta/pileup prefix-sum shape): quality
+    buckets (a monotone function of the sort key) get per-bucket totals,
+    the tiny bucket table prefix-sums at driver scale, and the
+    within-bucket windows partition by bucket — a naive
+    ``Window.orderBy(quality)`` would move every row to ONE partition.
+    Output: per phase, doc count, token mass, mean quality, first
+    manifest entry."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1222,10 +1225,27 @@ def q136_curriculum_phases(spark, sf_dir):
             F.size(F.array_distinct("ws")) / F.size("ws").cast("double"), 6
         ).alias("quality"),
     )
-    w = W.orderBy(F.col("quality").desc(), "doc_id").rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    # bucket key: monotone non-increasing in quality, so (qb asc,
+    # quality desc, doc_id) == the global (quality desc, doc_id) order
+    # and equal-quality docs can never straddle a bucket
+    t = toks.withColumn(
+        "qb", F.floor((1 - F.col("quality")) * 50).cast("int")
     )
-    ordered = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    btot = t.groupBy("qb").agg(F.sum("n_tokens").alias("blen"))
+    wb = W.orderBy("qb")  # <= 51 rows: bucket-prefix stage is tiny
+    bpre = btot.select(
+        "qb",
+        F.coalesce(
+            F.sum("blen").over(wb.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("bprefix"),
+    )
+    ww = W.partitionBy("qb").orderBy(
+        F.col("quality").desc(), "doc_id"
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    ordered = t.join(F.broadcast(bpre), "qb").withColumn(
+        "cum_tokens", F.sum("n_tokens").over(ww) + F.col("bprefix")
+    )
     return (
         ordered.select(
             ((F.col("cum_tokens") - 1) / 4000).cast("int").alias("phase"),
