@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from variantcalling_spark._persist import managed_persist
+
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
@@ -124,7 +126,7 @@ def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     # persisted: both join sides (sa, sb) consume this aggregate, and the
     # doc_a/doc_b renames defeat exchange reuse — without the persist the
     # collect_set shuffle over the full shingle table runs twice
-    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh_set")).persist()
+    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh_set")).transform(managed_persist)
     sa = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a")
     )
@@ -192,7 +194,7 @@ def prefix_filtered_pairs(sh: DataFrame, threshold: float) -> DataFrame:
             <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
         )
         .select("doc_id", "shingle", "n_sh", "rk")
-        .persist()
+        .transform(managed_persist)
     )
     a = prefix.select(
         F.col("doc_id").alias("doc_a"),
@@ -498,7 +500,7 @@ def portable_band_candidates(
     ``distinct()`` re-shuffle after the join and no redundant pairs
     enter the verify stage. Output-identical to
     ``portable_band_buckets`` + self-join + distinct."""
-    sig = signatures.persist()
+    sig = signatures.transform(managed_persist)
     ba = sig.select(
         "doc_id",
         F.array(
@@ -674,7 +676,7 @@ def duplicated_substring_spans(
                 f" i -> array_join(slice(w, i + 1, {k}), ' '))"
             )
         ).alias("pos", "shingle"),
-    ).persist()
+    ).transform(managed_persist)
     if min_docs == 2:
         # "appears in >= 2 distinct docs" == min(doc) != max(doc):
         # plain MIN/MAX partial-aggregate map-side, where count-distinct

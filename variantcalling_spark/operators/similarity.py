@@ -18,6 +18,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from variantcalling_spark._persist import managed_persist
+
 QUANT = 100_000
 
 
@@ -438,7 +440,7 @@ def banded_near_dup_pairs(
             _dot(F.col(vec_col), F.col(vec_col)).cast("double")
         ).alias("norm"),
         _band_slices_arrow(n_planes, n_bands)(F.col(vec_col)).alias("slices"),
-    ).persist()
+    ).transform(managed_persist)
     bands = sig.select(
         "vec_id",
         "v",
@@ -669,7 +671,7 @@ def knn_graph(
         "v",
         F.element_at(bucket(F.col("v")), 1).alias("bucket"),
         F.sqrt(_dot(F.col("v"), F.col("v")).cast("double")).alias("norm"),
-    ).persist()
+    ).transform(managed_persist)
     a, c = b.alias("a"), b.alias("c")
     scored = a.join(
         c,
@@ -808,7 +810,7 @@ def pq_index(
                 *[F.slice(_unit(F.col(vec_col)), j * sub + 1, sub) for j in range(m)]
             )
         ).alias("subspace", "part"),
-    ).persist()
+    ).transform(managed_persist)
 
     init_w = W.partitionBy("subspace").orderBy(
         F.md5(F.col(id_col).cast("string")), id_col

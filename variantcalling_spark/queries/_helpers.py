@@ -36,34 +36,10 @@ def cnt(alias: str) -> Column:
     return F.count(F.lit(1)).alias(alias)
 
 
-# Bounded persist bookkeeping: query functions persist shared
-# intermediates but return LAZY DataFrames, so they can never unpersist
-# themselves (the caller's action materializes the cache). A long-lived
-# session running the full registry would accumulate one cached
-# relation per persist site; this ring keeps at most _PERSIST_CAP of
-# them alive, unpersisting the oldest (non-blocking) once the cap is
-# hit. The cap comfortably exceeds any single bench/correctness phase,
-# so warm-run cache reuse within a phase is unaffected.
-_PERSIST_CAP = 48
-_persist_ring: "deque" = None  # type: ignore[assignment]
-
-
-def managed_persist(df):
-    """``df.persist()`` with session-lifetime bounded accumulation.
-    Chains as ``df.transform(managed_persist)``."""
-    from collections import deque
-
-    global _persist_ring
-    if _persist_ring is None:
-        _persist_ring = deque()
-    df = df.persist()
-    _persist_ring.append(df)
-    while len(_persist_ring) > _PERSIST_CAP:
-        try:
-            _persist_ring.popleft().unpersist(blocking=False)
-        except Exception:
-            pass  # session already stopped; nothing to release
-    return df
+# Bounded persist bookkeeping lives in the layer-neutral _persist
+# module (operators chain through it too); re-exported here for the
+# query modules.
+from variantcalling_spark._persist import managed_persist  # noqa: E402,F401
 
 
 # SQL-side fragment builders (DuckDB dialect-compatible ANSI SQL).

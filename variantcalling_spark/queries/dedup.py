@@ -26,6 +26,7 @@ from variantcalling_spark.operators.dedup import (
     simhash,
 )
 from variantcalling_spark.queries import query
+from variantcalling_spark.queries._helpers import managed_persist
 from variantcalling_spark.sources import load_table
 
 SQL_CORPUS = """
@@ -114,7 +115,7 @@ def q65_ngram_jaccard(spark, sf_dir):
     the shingle table is the natural checkpoint of every dedup run (it
     is also what q66's MinHash path consumes).
     """
-    sh = shingles(corpus(spark, sf_dir), n=3).persist()
+    sh = shingles(corpus(spark, sf_dir), n=3).transform(managed_persist)
     cands = prefix_filtered_pairs(sh, threshold=0.6)
     return jaccard_for_pairs(cands, sh).where(F.col("jaccard") >= 0.6).select(
         "doc_a", "doc_b", "n_a", "n_b", "n_shared", "jaccard"
@@ -210,7 +211,7 @@ def q66_minhash_lsh(spark, sf_dir):
     c = corpus(spark, sf_dir)
     # persisted for the same reason as q65 — and because the logical plan
     # is identical, a run that already executed q65 reuses its cache.
-    sh = shingles(c, n=3).persist()
+    sh = shingles(c, n=3).transform(managed_persist)
     sigs = portable_minhash_signatures(sh, num_hashes=32)
     # persisted signatures + first-colliding-band dedup (the q74 recipe):
     # one 32-MIN aggregate pass, no distinct() re-shuffle
@@ -370,7 +371,7 @@ def q98_dedup_clusters(spark, sf_dir):
     Output: (cluster_id = smallest member, n_members)."""
     from variantcalling_spark.operators.dedup import connected_components
 
-    sh = shingles(corpus(spark, sf_dir), n=3).persist()
+    sh = shingles(corpus(spark, sf_dir), n=3).transform(managed_persist)
     cands = prefix_filtered_pairs(sh, threshold=0.6)
     pairs = jaccard_for_pairs(cands, sh).where(F.col("jaccard") >= 0.6)
     labels = connected_components(pairs)
@@ -459,13 +460,13 @@ def q99_data_curation_funnel(spark, sf_dir):
     pools busy instead of idling behind one branch's barrier."""
     # corpus persisted: the funnel scans it for shingling, exact dedup,
     # and the final flag join — three subtree re-computes otherwise
-    c = corpus(spark, sf_dir).persist()
-    sh = shingles(c, n=3).persist()
+    c = corpus(spark, sf_dir).transform(managed_persist)
+    sh = shingles(c, n=3).transform(managed_persist)
 
     keep = (
         exact_dedup_clusters(c)
         .select(F.col("canonical_id").alias("doc_id"), F.lit(True).alias("kept_exact"))
-        .persist()
+        .transform(managed_persist)
     )
 
     cands = prefix_filtered_pairs(sh, threshold=0.6)
@@ -475,7 +476,7 @@ def q99_data_curation_funnel(spark, sf_dir):
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("near_dropped", F.lit(True))
-        .persist()
+        .transform(managed_persist)
     )
 
     bench_sh = (
@@ -488,7 +489,7 @@ def q99_data_curation_funnel(spark, sf_dir):
         .select("doc_id")
         .distinct()
         .withColumn("contaminated", F.lit(True))
-        .persist()
+        .transform(managed_persist)
     )
 
     # materialize the shared shingle cache once, then overlap the three
@@ -722,8 +723,8 @@ def q122_incremental_dedup(spark, sf_dir):
     # tests). Each side persists once: probe and verify both consume it.
     from variantcalling_spark.operators.dedup import rowwise_minhash_signatures
 
-    new_t = rowwise_minhash_signatures(new, n=3, include_shingles=True).persist()
-    old_t = rowwise_minhash_signatures(docs, n=3, include_shingles=True).persist()
+    new_t = rowwise_minhash_signatures(new, n=3, include_shingles=True).transform(managed_persist)
+    old_t = rowwise_minhash_signatures(docs, n=3, include_shingles=True).transform(managed_persist)
     cands = portable_band_candidates_between(
         new_t.select("doc_id", "signature"), old_t.select("doc_id", "signature")
     )
@@ -842,8 +843,8 @@ def q131_cluster_representatives(spark, sf_dir):
     from variantcalling_spark.functions.text import quality_score
     from variantcalling_spark.operators.dedup import connected_components
 
-    c = corpus(spark, sf_dir).persist()
-    sh = shingles(c, n=3).persist()
+    c = corpus(spark, sf_dir).transform(managed_persist)
+    sh = shingles(c, n=3).transform(managed_persist)
     cands = prefix_filtered_pairs(sh, threshold=0.6)
     pairs = jaccard_for_pairs(cands, sh).where(F.col("jaccard") >= 0.6)
     labels = connected_components(pairs)
@@ -1013,7 +1014,7 @@ def q137_leakage_safe_split(spark, sf_dir):
     )
 
     c = corpus(spark, sf_dir)
-    sh = shingles(c, n=3).persist()
+    sh = shingles(c, n=3).transform(managed_persist)
     cands = prefix_filtered_pairs(sh, threshold=0.6)
     pairs = jaccard_for_pairs(cands, sh).where(F.col("jaccard") >= 0.6)
     labels = connected_components(pairs).withColumnRenamed("node", "doc_id")
@@ -1073,7 +1074,7 @@ def q139_containment_pairs(spark, sf_dir):
     containment (exact copies)."""
     from variantcalling_spark.operators.dedup import containment_candidate_pairs
 
-    sh = shingles(corpus(spark, sf_dir), n=3).persist()
+    sh = shingles(corpus(spark, sf_dir), n=3).transform(managed_persist)
     cands = containment_candidate_pairs(sh, threshold=0.9)
     verified = jaccard_for_pairs(cands, sh)
     cont = F.col("n_shared") / F.col("n_a").cast("double")

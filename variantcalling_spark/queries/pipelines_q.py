@@ -10,7 +10,7 @@ from variantcalling_spark.pipelines.coverage import coverage_summary
 from variantcalling_spark.pipelines.evaluate_concordance import evaluate_concordance
 from variantcalling_spark.pipelines.sv_stats import binned_type_matrix
 from variantcalling_spark.queries import query
-from variantcalling_spark.queries._helpers import cnt
+from variantcalling_spark.queries._helpers import cnt, managed_persist
 from variantcalling_spark.queries.intervals import SQL_IV_A, events_points, intervals_a
 from variantcalling_spark.sources import load_table
 
@@ -656,7 +656,7 @@ def q118_bam_binary_ingest_depth(spark, sf_dir):
     # input (+1/-1 delta union + bucket-prefix join), and without the
     # persist every consumer re-runs the Python codec stage (measured 4
     # MapInPandas nodes in the plan; pinned to 1 in tests/test_plans.py).
-    intervals = sam_to_read_intervals(sam, min_mapq=20).persist()
+    intervals = sam_to_read_intervals(sam, min_mapq=20).transform(managed_persist)
     return reads_to_depth_runs(intervals)
 
 

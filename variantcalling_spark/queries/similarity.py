@@ -13,6 +13,7 @@ from variantcalling_spark.operators.similarity import (
     lsh_cosine_topk,
 )
 from variantcalling_spark.queries import query
+from variantcalling_spark.queries._helpers import managed_persist
 from variantcalling_spark.sources import load_table
 
 # Augmented embedding corpus with known near-duplicates (the driver
@@ -120,7 +121,7 @@ def q73_embedding_neardup(spark, sf_dir):
     without a persist each side re-runs the quantize/augment subtree
     (a broadcast join has no exchange for ReuseExchange to match)."""
     return cosine_near_dup_pairs(
-        neardup_corpus(spark, sf_dir).persist(), threshold=0.9
+        neardup_corpus(spark, sf_dir).transform(managed_persist), threshold=0.9
     )
 
 
@@ -190,7 +191,7 @@ def q74_embedding_neardup_lsh(spark, sf_dir):
     Corpus persisted for the same both-sides-of-a-self-join reason as
     q73 (and the identical plan means q73/q74 share one cache entry)."""
     return banded_near_dup_pairs(
-        neardup_corpus(spark, sf_dir).persist(), threshold=0.9, n_planes=32, n_bands=4
+        neardup_corpus(spark, sf_dir).transform(managed_persist), threshold=0.9, n_planes=32, n_bands=4
     )
 
 
@@ -212,7 +213,7 @@ def q112_embedding_neardup_lsh_wide(spark, sf_dir):
     bench.py's scale2 runs it at 10x to demonstrate the linear
     behavior."""
     return banded_near_dup_pairs(
-        neardup_corpus(spark, sf_dir).persist(), threshold=0.9, n_planes=64, n_bands=4
+        neardup_corpus(spark, sf_dir).transform(managed_persist), threshold=0.9, n_planes=64, n_bands=4
     )
 
 
@@ -237,7 +238,7 @@ def q129_adaptive_neardup(spark, sf_dir):
     )
 
     return adaptive_banded_near_dup_pairs(
-        neardup_corpus(spark, sf_dir).persist(), threshold=0.9, n_bands=4
+        neardup_corpus(spark, sf_dir).transform(managed_persist), threshold=0.9, n_bands=4
     )
 
 

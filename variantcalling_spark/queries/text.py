@@ -17,7 +17,7 @@ from variantcalling_spark.functions.text import (
     token_count,
 )
 from variantcalling_spark.queries import query
-from variantcalling_spark.queries._helpers import cnt
+from variantcalling_spark.queries._helpers import cnt, managed_persist
 from variantcalling_spark.sources import load_table
 
 SW = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -822,7 +822,7 @@ def q117_dsir_importance_weights(spark, sf_dir):
         )
         .groupBy("doc_id", "lang", "b")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
+        .transform(managed_persist)
     )
     raw = per_doc.groupBy("b").agg(F.sum("c").alias("cr"))
     tgt = per_doc.where(F.col("lang") == "en").groupBy("b").agg(F.sum("c").alias("ct"))
