@@ -821,3 +821,56 @@ def q124_sample_identity_matrix(spark, sf_dir):
         .cast("int")
         .alias("rank"),
     )
+
+
+@query(
+    "q142_zoom_reduction",
+    oracle="""
+WITH runs AS (
+  SELECT 'c' || (o_orderkey % 4) AS chrom,
+         o_orderkey * 50 AS s,
+         o_orderkey * 50 + (o_orderkey % 40) + 10 AS e,
+         CAST(o_custkey % 7 + 1 AS DOUBLE) AS depth
+  FROM orders
+),
+w AS (
+  SELECT chrom, s, e, depth,
+         unnest(generate_series(s // 1024, (e - 1) // 1024)) AS win
+  FROM runs
+)
+SELECT chrom, win,
+  CAST(MIN(GREATEST(s, win * 1024)) AS BIGINT) AS zstart,
+  CAST(MAX(LEAST(e, (win + 1) * 1024)) AS BIGINT) AS zend,
+  CAST(SUM(LEAST(e, (win + 1) * 1024) - GREATEST(s, win * 1024)) AS BIGINT)
+    AS valid_count,
+  MIN(depth) AS min_val,
+  MAX(depth) AS max_val,
+  SUM(depth * (LEAST(e, (win + 1) * 1024) - GREATEST(s, win * 1024)))
+    AS sum_data,
+  SUM(depth * depth * (LEAST(e, (win + 1) * 1024) - GREATEST(s, win * 1024)))
+    AS sum_squares
+FROM w GROUP BY chrom, win
+""",
+)
+def q142_zoom_reduction(spark, sf_dir):
+    """The bigWig zoom-level reduction as an oracled query: depth runs
+    -> one bbi zoom record per 1024-bp window (covered bases, min/max
+    depth, base-weighted sum and sum of squares) via
+    ``sources/bigwig.py::zoom_reduce`` — the distributed pass behind
+    every zoom level the sink writes. Explode-to-spanned-windows (fan-out
+    ~1 when runs are shorter than the reduction) + one map-side-
+    combinable groupBy; all sums are exact integers in doubles, so both
+    engines agree bit-for-bit. Runs are synthesized disjoint from orders
+    (stride 200 > max length 50 per chromosome)."""
+    from variantcalling_spark.sources.bigwig import zoom_reduce
+
+    o = load_table(spark, sf_dir, "orders")
+    runs = o.select(
+        F.concat(F.lit("c"), (F.col("o_orderkey") % 4).cast("string")).alias(
+            "chrom"
+        ),
+        (F.col("o_orderkey") * 50).alias("start"),
+        (F.col("o_orderkey") * 50 + F.col("o_orderkey") % 40 + 10).alias("end"),
+        (F.col("o_custkey") % 7 + 1).cast("double").alias("depth"),
+    )
+    return zoom_reduce(runs, 1024)
