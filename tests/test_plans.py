@@ -507,3 +507,15 @@ def test_q136_corpus_window_is_bucket_partitioned(spark):
     specs = re.findall(r"windowspecdefinition\([^)]*\)", p)
     doc_specs = [s for s in specs if "doc_id" in s]
     assert doc_specs and all("qb#" in s for s in doc_specs)
+
+
+def test_cdc_chunks_is_shuffle_free(spark):
+    """Content-defined chunking must be pure per-row array algebra: no
+    Exchange anywhere in the operator's plan (the earlier draft paid
+    three shuffles of the token stream for the same result)."""
+    from variantcalling_spark.operators.dedup import cdc_chunks
+    from variantcalling_spark.sources import load_table
+
+    df = cdc_chunks(load_table(spark, SF, "documents"))
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p

@@ -592,46 +592,77 @@ def cdc_chunks(
     work where fixed-width blocks fail.
 
     Returns one row per (doc_id, chunk_id, chunk_hash, n_tokens).
-    Expected chunk length is ``boundary_mod`` tokens. Plan: explode to
-    (doc, pos, token), one per-document running-sum window for chunk
-    ids, one groupBy to assemble chunks — partitions by doc_id, so the
-    window never spans documents and the shape holds at any corpus
-    size."""
+    Expected chunk length is ``boundary_mod`` tokens.
+
+    Plan: the whole chunking is PER-ROW array algebra — boundary
+    positions are a filter over the token-hash array, chunks are slices
+    between consecutive boundaries — so the operator is a pure
+    projection with ONE explode and ZERO shuffles (an earlier draft
+    used explode + per-doc window + assembly groupBy: three shuffles of
+    the full token stream; this shape has none). Each expensive array
+    is materialized in its own projection (the ``shingles()``
+    staging rule)."""
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
+        F.split(F.col(text_col), " ").alias("ws"),
     )
-    flagged = tok.select(
+    # boundary positions: 1-based index i (i > 1) whose token hash ≡ 0,
+    # plus the sentinel bounds [0, n] — consecutive pairs delimit
+    # chunks. The hash runs INSIDE the single position transform (once
+    # per element, O(n)); staging the hash array in its own projection
+    # is unsafe here because it would be referenced exactly once and
+    # CollapseProject would inline the whole transform into the
+    # element_at lambda — O(n^2) md5 per document (measured 4x slower).
+    bpos = tok.select(
         "doc_id",
-        "pos",
-        "token",
-        (
-            (F.col("pos") > 0)
-            & (portable_string_hash(F.col("token")) % boundary_mod == 0)
-        )
-        .cast("int")
-        .alias("b"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    withids = flagged.withColumn("chunk_id", F.sum("b").over(w))
-    return (
-        withids.groupBy("doc_id", "chunk_id")
-        .agg(
-            F.concat_ws(
-                " ",
+        "ws",
+        F.concat(
+            F.array(F.lit(0)),
+            F.filter(
                 F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "token"))),
-                    lambda x: x["token"],
+                    # guard: sequence(2, 1) DESCENDS in Spark — docs with
+                    # fewer than 2 tokens must yield no interior boundary
+                    F.when(
+                        F.size("ws") >= 2, F.sequence(F.lit(2), F.size("ws"))
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda i: F.when(
+                        portable_string_hash(F.element_at("ws", i))
+                        % boundary_mod
+                        == 0,
+                        i - 1,
+                    ),
                 ),
-            ).alias("chunk"),
-            F.count(F.lit(1)).cast("int").alias("n_tokens"),
-        )
-        .select(
-            "doc_id",
-            "chunk_id",
-            portable_string_hash(F.col("chunk")).alias("chunk_hash"),
-            "n_tokens",
-        )
+                lambda x: x.isNotNull(),
+            ),
+            F.array(F.size("ws")),
+        ).alias("bp"),
+    )
+    chunks = bpos.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("bp") - 1),
+                lambda j: F.struct(
+                    F.array_join(
+                        F.slice(
+                            "ws",
+                            F.element_at("bp", j) + 1,
+                            F.element_at("bp", j + 1) - F.element_at("bp", j),
+                        ),
+                        " ",
+                    ).alias("chunk"),
+                    (
+                        F.element_at("bp", j + 1) - F.element_at("bp", j)
+                    ).cast("int").alias("n_tokens"),
+                ),
+            )
+        ).alias("chunk_id", "c"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        portable_string_hash(F.col("c")["chunk"]).alias("chunk_hash"),
+        F.col("c")["n_tokens"].alias("n_tokens"),
     )
 
 

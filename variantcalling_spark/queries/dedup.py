@@ -928,7 +928,11 @@ def q135_cdc_chunk_dedup(spark, sf_dir):
     all partitioned by doc/chunk hash — no all-pairs anything."""
     from variantcalling_spark.operators.dedup import cdc_chunks
 
-    chunks = cdc_chunks(corpus(spark, sf_dir), boundary_mod=8)
+    # both the global chunk-frequency side and the per-doc side consume
+    # the chunk table; persist so the chunking projection runs once
+    chunks = cdc_chunks(corpus(spark, sf_dir), boundary_mod=8).transform(
+        managed_persist
+    )
     dup = chunks.groupBy("chunk_hash").agg(
         F.countDistinct("doc_id").alias("nd")
     )
