@@ -64,6 +64,7 @@ _PRIORITY = (
     "q140_perplexity_cutpoint_buckets",
     "q141_vocab_oov",
     "q142_zoom_reduction",
+    "q143_gc_bias_curve",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

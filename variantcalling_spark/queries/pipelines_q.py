@@ -874,3 +874,89 @@ def q142_zoom_reduction(spark, sf_dir):
         (F.col("o_custkey") % 7 + 1).cast("double").alias("depth"),
     )
     return zoom_reduce(runs, 1024)
+
+
+def _gc_bias_oracle_sql() -> str:
+    from variantcalling_spark.operators.dedup import PORTABLE_HASH_SQL
+
+    ph = PORTABLE_HASH_SQL.format(col="chrom || ':' || CAST(win AS VARCHAR)")
+    return f"""
+WITH runs AS (
+  SELECT 'c' || (o_orderkey % 4) AS chrom,
+         o_orderkey * 50 AS s,
+         o_orderkey * 50 + (o_orderkey % 40) + 10 AS e,
+         CAST(o_custkey % 7 + 1 AS DOUBLE) AS depth
+  FROM orders
+),
+w AS (
+  SELECT chrom, s, e, depth,
+         unnest(generate_series(s // 1024, (e - 1) // 1024)) AS win
+  FROM runs
+),
+z AS (
+  SELECT chrom, win,
+    SUM(LEAST(e, (win + 1) * 1024) - GREATEST(s, win * 1024)) AS valid_count,
+    SUM(depth * (LEAST(e, (win + 1) * 1024) - GREATEST(s, win * 1024)))
+      AS sum_data
+  FROM w GROUP BY chrom, win
+),
+gc AS (
+  SELECT chrom, win, valid_count, sum_data,
+         CAST(({ph}) % 101 AS INT) AS gc_pct
+  FROM z
+)
+SELECT CAST(LEAST(gc_pct // 10, 9) AS INT) AS gc_decile,
+       COUNT(*) AS n_windows,
+       CAST(SUM(valid_count) AS BIGINT) AS covered_bases,
+       ROUND(SUM(sum_data) / SUM(valid_count), 6) AS mean_depth
+FROM gc GROUP BY 1
+"""
+
+
+@query("q143_gc_bias_curve", oracle=_gc_bias_oracle_sql())
+def q143_gc_bias_curve(spark, sf_dir):
+    """Coverage-vs-GC bias curve — the QC view behind the reference's
+    GC-content stratification (`report_data_loader.py:88` carries
+    `gc_content` as a first-class stratifier; `coverage_analysis.py`
+    computes per-window depth): per-1024-bp-window mean depth grouped
+    into GC-content deciles, exposing amplification bias (depth
+    depression at GC extremes). Window depth summaries come from the
+    SAME distributed reduction the bigWig zoom sink uses
+    (`zoom_reduce` — one explode + map-side-combinable groupBy);
+    window GC is a deterministic md5 stand-in so both engines agree
+    (production joins the reference-genome GC track, an identical
+    broadcast shape). All sums are exact integers in doubles."""
+    from variantcalling_spark.operators.dedup import portable_string_hash
+    from variantcalling_spark.sources.bigwig import zoom_reduce
+
+    o = load_table(spark, sf_dir, "orders")
+    runs = o.select(
+        F.concat(F.lit("c"), (F.col("o_orderkey") % 4).cast("string")).alias(
+            "chrom"
+        ),
+        (F.col("o_orderkey") * 50).alias("start"),
+        (F.col("o_orderkey") * 50 + F.col("o_orderkey") % 40 + 10).alias("end"),
+        (F.col("o_custkey") % 7 + 1).cast("double").alias("depth"),
+    )
+    z = zoom_reduce(runs, 1024)
+    gc_pct = (
+        portable_string_hash(
+            F.concat(F.col("chrom"), F.lit(":"), F.col("win").cast("string"))
+        )
+        % 101
+    ).cast("int")
+    return (
+        z.select(
+            "valid_count",
+            "sum_data",
+            F.least(F.floor(gc_pct / 10), F.lit(9)).cast("int").alias("gc_decile"),
+        )
+        .groupBy("gc_decile")
+        .agg(
+            cnt("n_windows"),
+            F.sum("valid_count").cast("bigint").alias("covered_bases"),
+            F.round(F.sum("sum_data") / F.sum("valid_count"), 6).alias(
+                "mean_depth"
+            ),
+        )
+    )
