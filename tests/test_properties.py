@@ -364,3 +364,82 @@ def test_bigwig_file_roundtrip_pure(runs, tmp_path_factory):
     for off, size in idx["sections"]:
         got.extend(decode_section(data[off : off + size], True))
     assert sorted(got) == [(0, s, e, v) for s, e, v in items]
+
+
+@given(texts=words_strategy)
+@settings(**SETTINGS)
+def test_cdc_chunks_reconstruct_and_match_naive(spark, texts):
+    """CDC chunking invariants on arbitrary inputs: chunks partition the
+    token stream exactly (concatenating a doc's chunks in chunk_id order
+    reproduces the text), chunk ids are dense from 0, and the boundary
+    rule matches a single-threaded reference."""
+    import hashlib
+
+    from variantcalling_spark.operators.dedup import cdc_chunks
+
+    M31 = 2147483647
+    mod = 4
+
+    def phash(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % M31
+
+    def naive(doc_id, text):
+        ws = text.split(" ")
+        chunks, cur = [], [ws[0]]
+        for t in ws[1:]:
+            if phash(t) % mod == 0:
+                chunks.append(cur)
+                cur = [t]
+            else:
+                cur.append(t)
+        chunks.append(cur)
+        return [
+            (doc_id, i, phash(" ".join(c)), len(c))
+            for i, c in enumerate(chunks)
+        ]
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_hash, r.n_tokens)
+        for r in cdc_chunks(df, boundary_mod=mod).collect()
+    )
+    want = sorted(row for d, t in docs for row in naive(d, t))
+    assert got == want
+    # token partition: per doc, chunk token counts sum to the doc length
+    for d, t in docs:
+        assert sum(n for dd, _, _, n in got if dd == d) == len(t.split(" "))
+
+
+@given(texts=words_strategy)
+@settings(**SETTINGS)
+def test_containment_prefix_filter_is_lossless(spark, texts):
+    """Every pair at-or-above the containment threshold must survive the
+    asymmetric prefix filter: verify(candidates) == verify(all pairs)."""
+    from variantcalling_spark.operators.dedup import (
+        containment_candidate_pairs,
+        jaccard_for_pairs,
+        shingles,
+    )
+    from pyspark.sql import functions as F
+
+    t = 0.6
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    sh = shingles(df, n=2)
+    shl = sh.collect()
+    sets: dict[int, set] = {}
+    for r in shl:
+        sets.setdefault(r.doc_id, set()).add(r.shingle)
+    want = set()
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a != b and len(sa & sb) / len(sa) >= t:
+                want.add((a, b))
+    cands = containment_candidate_pairs(sh, threshold=t)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_for_pairs(cands, sh)
+        .where(F.col("n_shared") / F.col("n_a") >= t)
+        .collect()
+    }
+    assert got == want
