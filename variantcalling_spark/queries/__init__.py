@@ -65,6 +65,7 @@ _PRIORITY = (
     "q141_vocab_oov",
     "q142_zoom_reduction",
     "q143_gc_bias_curve",
+    "q144_knn_pagerank",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

@@ -561,3 +561,116 @@ def q128_hard_negative_mining(spark, sf_dir):
         .where(F.col("rank") <= 3)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+PR_SCALE = 1_000_000_000_000  # fixed-point 1e12: rank mass as bigint
+PR_ITERS = 3
+
+
+def _pagerank_oracle_sql() -> str:
+    knn = _knn_graph_oracle_sql()
+    parts = [
+        f"""
+WITH knn AS (SELECT * FROM ({knn}) q0),
+edges AS (SELECT vec_id AS src, neighbor_id AS dst FROM knn),
+nodes AS (SELECT vec_id AS node FROM embeddings),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (
+  SELECT node, CAST({PR_SCALE} // (SELECT n FROM nn) AS BIGINT) AS r
+  FROM nodes
+)"""
+    ]
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        parts.append(
+            f""",
+it{i} AS (
+  SELECT e.dst AS node, SUM({prev}.r // o.deg) AS s
+  FROM edges e JOIN {prev} ON {prev}.node = e.src
+  JOIN outdeg o ON o.src = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node,
+         CAST((15 * {PR_SCALE}) // (100 * (SELECT n FROM nn))
+              + (85 * COALESCE(it{i}.s, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN it{i} USING (node)
+)"""
+        )
+        prev = f"r{i}"
+    parts.append(
+        f"""
+SELECT node, rank_scaled, rk FROM (
+  SELECT node, r AS rank_scaled,
+         CAST(ROW_NUMBER() OVER (ORDER BY r DESC, node) AS INT) AS rk
+  FROM {prev}
+) WHERE rk <= 20
+"""
+    )
+    return "".join(parts)
+
+
+@query("q144_knn_pagerank", oracle=_pagerank_oracle_sql())
+def q144_knn_pagerank(spark, sf_dir):
+    """Centrality-weighted data selection: PageRank over the corpus kNN
+    graph (the D4/SemDeDup substrate) surfaces the most-central
+    embeddings — the documents whose neighborhoods are densest, the
+    natural keep-set of a diversity-aware curation pass. An ITERATIVE
+    distributed algorithm carried to a full value oracle: rank mass
+    lives in fixed-point bigints (scale 1e12) with floor-division
+    damping, so every iteration is integer-exact and order-independent
+    — the oracle unrolls the same {PR_ITERS} iterations as SQL CTEs.
+    Plan: per iteration one equi-join of edges to ranks + one
+    map-side-combinable SUM; the edge table partitioning is reused
+    across iterations; no collect until the final top-20."""
+    from variantcalling_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = (
+        knn_graph(emb, k=3, prefix_bits=6)
+        .select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
+        .transform(managed_persist)
+    )
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr(f"CAST({PR_SCALE} AS BIGINT) DIV n").alias("r")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("r DIV deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (
+                    F.expr(f"CAST(15 * {PR_SCALE} AS BIGINT) DIV (100 * n)")
+                    + F.expr("85 * COALESCE(s, CAST(0 AS BIGINT)) DIV 100")
+                ).cast("bigint").alias("r"),
+            )
+        )
+    from pyspark.sql import Window as W2
+
+    # top-20 via orderBy+limit (TakeOrdered: per-partition heaps, scale-
+    # safe) FIRST; the row_number window then ranks only 20 rows — a
+    # global window over the full ranks table would single-partition it
+    top = ranks.orderBy(F.col("r").desc(), "node").limit(20)
+    return top.select(
+        "node",
+        F.col("r").alias("rank_scaled"),
+        F.row_number()
+        .over(W2.orderBy(F.col("r").desc(), "node"))
+        .cast("int")
+        .alias("rk"),
+    )
