@@ -125,6 +125,10 @@ SCALE2_QUERIES = [
     "q129_adaptive_neardup",
     "q99_data_curation_funnel",
     "q122_incremental_dedup",
+    # round-5 families: shuffle-free CDC chunking (scan-bound) and the
+    # iterative fixed-point PageRank (join+agg per iteration)
+    "q135_cdc_chunk_dedup",
+    "q144_knn_pagerank",
 ]
 
 

@@ -253,3 +253,31 @@ def test_depth_runs_bucketed_cumsum_crosses_buckets(spark):
     assert [(r.start, r.end, r.depth) for r in sorted(out, key=lambda r: r.start)] == [
         (0, 20, 1)
     ]
+
+
+def test_apply_bpe_merges_semantics(spark):
+    """BPE encode against hand-computed merges: priority order wins over
+    position, leftmost-first within a priority, merged symbols cascade
+    (the 'ab'+'c' -> 'abc' chain), unlisted pairs never merge."""
+    from variantcalling_spark.operators.kernels import apply_bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "abcab xa"), (2, "bb"), (3, "")], ["doc_id", "text"]
+    )
+    merges = [("a", "b"), ("ab", "c")]
+    out = {r.doc_id: r for r in apply_bpe_merges(docs, merges).collect()}
+    # 'abcab' -> a+b first (priority 0, leftmost): [ab, c, ab] -> ab+c:
+    # [abc, ab]; 'xa' has no listed pair
+    assert out[1].tokens == "abc ab|x a" and out[1].n_tokens == 4
+    assert out[1].n_words == 2
+    assert out[2].tokens == "b b"  # ('b','b') not a listed merge
+    assert out[3].n_words == 0 and out[3].n_tokens == 0
+
+    # closes the induction loop: merges mined by the q126 counting pass
+    # are directly consumable
+    docs2 = spark.createDataFrame([(1, "aaab aab")], ["doc_id", "text"])
+    mined = [("a", "a"), ("a", "b")]
+    enc = apply_bpe_merges(docs2, mined).collect()[0]
+    # aaab: [a,a,a,b] -> aa (leftmost, prio 0) -> [aa,a,b] -> a+b
+    # (prio 1) -> [aa, ab]; aab: [a,a,b] -> [aa, b], (aa,b) unlisted
+    assert enc.tokens == "aa ab|aa b"

@@ -245,3 +245,62 @@ def greedy_pack_documents(df: DataFrame, capacity: int) -> DataFrame:
 from variantcalling_spark._serde import register_module_by_value
 
 register_module_by_value(__name__)
+
+
+def apply_bpe_merges(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BPE ENCODING: apply an ordered merge list (the output of the
+    q126 mining loop, lowest index = highest priority) to every word —
+    the tokenizer-application half of BPE, closing the induction loop.
+
+    Each word starts as characters; repeatedly the highest-priority
+    adjacent pair present is merged (leftmost-first within a priority),
+    until no listed pair remains — the standard BPE encode semantics.
+    Inherently iterative-per-word (the merge chosen at step k depends
+    on step k-1's symbol sequence), so this is an Arrow-batched
+    ``mapInPandas`` kernel, not an expression; the merge table is tiny
+    (vocab-sized) and ships inside the closure like a broadcast.
+    Returns (doc_id, n_words, n_tokens, tokens) where tokens is the
+    space-joined per-word symbol stream with '|' between words.
+    """
+    prio = {pair: i for i, pair in enumerate(merges)}
+
+    def encode_word(w: str) -> list[str]:
+        syms = list(w)
+        while len(syms) >= 2:
+            best, best_i = None, -1
+            for i in range(len(syms) - 1):
+                p = prio.get((syms[i], syms[i + 1]))
+                if p is not None and (best is None or p < best):
+                    best, best_i = p, i
+            if best is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return syms
+
+    def run(batches):
+        for pdf in batches:
+            ids, nw, nt, toks = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in str(text).split(" ") if w]
+                enc = [encode_word(w) for w in words]
+                ids.append(doc_id)
+                nw.append(len(words))
+                nt.append(sum(len(e) for e in enc))
+                toks.append("|".join(" ".join(e) for e in enc))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "n_words": pd.array(nw, dtype="int32"),
+                    "n_tokens": pd.array(nt, dtype="int32"),
+                    "tokens": pd.array(toks, dtype="object"),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema="doc_id long, n_words int, n_tokens int, tokens string"
+    )
