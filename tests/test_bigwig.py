@@ -141,17 +141,31 @@ def test_depth_runs_to_bigwig_integration(spark, sf_dir, tmp_path):
     runs = all_queries()["q105_depth_runs"].fn(spark, sf_dir)
     sizes = {f"c{i}": 51000 for i in range(4)}
     path = os.path.join(tmp_path, "q105.bw")
-    secs = to_bigwig_sections(
-        runs.withColumn("depth", F.col("depth").cast("double")),
-        chrom_id_map(sizes),
-        items_per_section=512,
-    ).collect()
-    assemble_bigwig(secs, sizes, path)
+    from variantcalling_spark.sources.bigwig import (
+        bigwig_zoom_scan,
+        choose_zoom_reductions,
+        to_zoom_sections,
+        zoom_reduce,
+    )
+
+    r = runs.withColumn("depth", F.col("depth").cast("double"))
+    ids = chrom_id_map(sizes)
+    secs = to_bigwig_sections(r, ids, items_per_section=512).collect()
+    reds = choose_zoom_reductions(r, sizes)
+    zl = [(red, to_zoom_sections(r, ids, red).collect()) for red in reds]
+    assemble_bigwig(secs, sizes, path, zoom_levels=zl)
     got = bigwig_scan(spark, path)
     want = runs.select(
         "chrom", "start", "end", F.col("depth").cast("double").alias("value")
     )
     assert _as_set(got) == _as_set(want)
+    # zoom ladder written from the real depth runs and readable back:
+    # level-0 window count matches a direct recomputation
+    assert read_bigwig_index(path)["zoom_levels"] == len(reds) > 0
+    assert (
+        bigwig_zoom_scan(spark, path, level=0).count()
+        == zoom_reduce(r, reds[0]).count()
+    )
 
 
 def test_pybigwig_cross_validation(tmp_path):

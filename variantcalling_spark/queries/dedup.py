@@ -26,7 +26,7 @@ from variantcalling_spark.operators.dedup import (
     simhash,
 )
 from variantcalling_spark.queries import query
-from variantcalling_spark.queries._helpers import managed_persist
+from variantcalling_spark.queries._helpers import cnt, managed_persist
 from variantcalling_spark.sources import load_table
 
 SQL_CORPUS = """
@@ -1091,5 +1091,91 @@ def q139_containment_pairs(spark, sf_dir):
             "n_b",
             "n_shared",
             F.round(cont, 6).alias("containment"),
+        )
+    )
+
+
+@query(
+    "q145_contained_doc_pruning",
+    oracle=f"""
+WITH corpus AS ({SQL_CORPUS}),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+                   for i in generate_series(1, len(string_split(text, ' ')) - 2)]) AS shingle
+    FROM corpus
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+contained AS (
+  SELECT DISTINCT doc_a AS doc_id
+  FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_shared / CAST(sa.n_sh AS DOUBLE) >= 0.9
+    AND (sb.n_sh > sa.n_sh OR (sb.n_sh = sa.n_sh AND doc_b < doc_a))
+),
+flagged AS (
+  SELECT c.doc_id,
+         CASE WHEN c.doc_id >= 200000 THEN 'exact_copy'
+              WHEN c.doc_id >= 100000 THEN 'near_copy'
+              ELSE 'base' END AS grp,
+         CASE WHEN ct.doc_id IS NULL THEN 0 ELSE 1 END AS removed
+  FROM corpus c LEFT JOIN contained ct USING (doc_id)
+)
+SELECT grp, COUNT(*) AS n_docs,
+       CAST(SUM(removed) AS BIGINT) AS n_removed,
+       CAST(SUM(1 - removed) AS BIGINT) AS n_kept
+FROM flagged GROUP BY grp
+""",
+)
+def q145_contained_doc_pruning(spark, sf_dir):
+    """Quote/excerpt pruning — the funnel built on asymmetric
+    containment (q139's operator composed into a removal decision):
+    drop every document >= 0.9-contained in a STRICTLY LARGER document
+    (equal-size mutual containments tie-break by id so exactly one
+    survives). On the augmented corpus the constructed exact and
+    dropped-first-word near copies are removed while base documents
+    survive — reported per provenance group. Discovery is the lossless
+    contained-side prefix filter (never all-pairs); the removal is one
+    anti-join shape (left join + null test) over the corpus."""
+    from variantcalling_spark.operators.dedup import containment_candidate_pairs
+
+    c = corpus(spark, sf_dir)
+    sh = shingles(c, n=3).transform(managed_persist)
+    ver = jaccard_for_pairs(containment_candidate_pairs(sh, threshold=0.9), sh)
+    contained = (
+        ver.where(
+            (F.col("n_shared") / F.col("n_a").cast("double") >= 0.9)
+            & (
+                (F.col("n_b") > F.col("n_a"))
+                | ((F.col("n_b") == F.col("n_a")) & (F.col("doc_b") < F.col("doc_a")))
+            )
+        )
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    grp = (
+        F.when(F.col("doc_id") >= 200000, "exact_copy")
+        .when(F.col("doc_id") >= 100000, "near_copy")
+        .otherwise("base")
+    )
+    removed = F.when(F.col("hit").isNull(), 0).otherwise(1)
+    return (
+        c.join(contained, "doc_id", "left")
+        .select(grp.alias("grp"), removed.alias("removed"))
+        .groupBy("grp")
+        .agg(
+            cnt("n_docs"),
+            F.sum("removed").cast("bigint").alias("n_removed"),
+            F.sum(1 - F.col("removed")).cast("bigint").alias("n_kept"),
         )
     )
