@@ -126,9 +126,14 @@ SCALE2_QUERIES = [
     "q99_data_curation_funnel",
     "q122_incremental_dedup",
     # round-5 families: shuffle-free CDC chunking (scan-bound) and the
-    # iterative fixed-point PageRank (join+agg per iteration)
+    # ADAPTIVE-bits kNN graph. q144's PageRank substrate and q132 use
+    # FIXED prefix_bits=6 (required by their value oracles) — at 10x
+    # data their in-bucket pair count grows ~quadratically BY
+    # CONSTRUCTION, the same fixed-dial exclusion as q74 above; q146 is
+    # the adaptive production path (bits = ceil(log2(n/9)); constant
+    # bucket occupancy, linear pair growth) and is what scales here.
     "q135_cdc_chunk_dedup",
-    "q144_knn_pagerank",
+    "q146_adaptive_knn_graph",
 ]
 
 

@@ -648,3 +648,18 @@ def test_rowwise_signature_equals_aggregate_form(spark, sf_dir):
         for r in rowwise_minhash_signatures(docs, n=3).collect()
     }
     assert agg == row and len(agg) > 0
+
+
+def test_adaptive_knn_bits_rule():
+    from variantcalling_spark.operators.similarity import adaptive_knn_bits
+
+    assert adaptive_knn_bits(575) == 6      # the q132-oracle fixed point
+    assert adaptive_knn_bits(5750) == 10    # 10x data -> ~10x pairs
+    assert adaptive_knn_bits(5) == 4        # floor
+    # monotone non-decreasing, and occupancy n/2^bits stays <= target
+    prev = 0
+    for n in (10, 100, 1000, 10_000, 100_000, 1_000_000):
+        b = adaptive_knn_bits(n)
+        assert b >= prev
+        prev = b
+        assert n / 2**b <= 9 or b == 4

@@ -948,3 +948,39 @@ def pq_adc_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "cand_id", F.round("adc_dist2", 9).alias("adc_dist2"), "rank")
     )
+
+
+def adaptive_knn_bits(n_rows: int, target_bucket: int = 9, floor_bits: int = 4) -> int:
+    """Bucket-width rule for the kNN graph: prefix_bits ≈
+    log2(n / target_bucket), clamped to ``floor_bits``. Expected bucket
+    occupancy stays ~``target_bucket`` at ANY corpus size, so the
+    in-bucket pair count (Σ bucket² ≈ n·target_bucket) grows LINEARLY
+    with n — the fixed-bits graph (q132's oracle point) grows its pair
+    count quadratically instead. target_bucket must exceed k (every
+    vector needs k in-bucket neighbors to rank); 9 covers the k=3
+    default three times over."""
+    import math
+
+    if n_rows <= target_bucket:
+        return floor_bits
+    return max(floor_bits, math.ceil(math.log2(n_rows / target_bucket)))
+
+
+def adaptive_knn_graph(
+    vecs: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """``knn_graph`` with the bucket dial on autopilot (the q129-for-q74
+    pattern applied to the graph substrate): bits from
+    ``adaptive_knn_bits`` over the corpus row count, so 10x the corpus
+    means ~10x the pairs, not 100x. At sf0.01 (575 vectors) the rule
+    lands on 6 bits — exactly q132's oracle configuration — so the
+    adaptive path is value-proven at the driver's scale factor through
+    the same SQL."""
+    n = n_rows if n_rows is not None else vecs.count()
+    return knn_graph(
+        vecs, k=k, prefix_bits=adaptive_knn_bits(n), id_col=id_col, vec_col=vec_col
+    )

@@ -674,3 +674,21 @@ def q144_knn_pagerank(spark, sf_dir):
         .cast("int")
         .alias("rk"),
     )
+
+
+@query("q146_adaptive_knn_graph", oracle=_knn_graph_oracle_sql())
+def q146_adaptive_knn_graph(spark, sf_dir):
+    """q132's corpus kNN graph with the bucket dial on AUTOPILOT
+    (the q129-for-q74 pattern applied to the graph substrate):
+    prefix_bits = max(4, ceil(log2(n / 9))) from the corpus row count,
+    so expected bucket occupancy — and with it the in-bucket pair count
+    per vector — is constant at any corpus size: 10x the data means
+    ~10x the pairs, where the fixed-bits graph pays ~100x. At sf0.01
+    (575 vectors) the rule lands on exactly 6 bits — q132's oracle
+    configuration — so the adaptive path is value-proven end-to-end
+    through the identical SQL; bench.py's scale2 runs this variant at
+    10x (1024 buckets) to demonstrate the linear behavior."""
+    from variantcalling_spark.operators.similarity import adaptive_knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return adaptive_knn_graph(emb, k=3)
