@@ -134,6 +134,9 @@ SCALE2_QUERIES = [
     # bucket occupancy, linear pair growth) and is what scales here.
     "q135_cdc_chunk_dedup",
     "q146_adaptive_knn_graph",
+    # iterative graph family: PageRank now rides the adaptive graph, so
+    # its 10x point is join+agg-bound, not pair-explosion-bound
+    "q144_knn_pagerank",
 ]
 
 

@@ -623,12 +623,15 @@ def q144_knn_pagerank(spark, sf_dir):
     — the oracle unrolls the same {PR_ITERS} iterations as SQL CTEs.
     Plan: per iteration one equi-join of edges to ranks + one
     map-side-combinable SUM; the edge table partitioning is reused
-    across iterations; no collect until the final top-20."""
-    from variantcalling_spark.operators.similarity import knn_graph
+    across iterations; no collect until the final top-20. The graph
+    substrate is the ADAPTIVE-bits variant (q146), which lands on the
+    oracle's 6-bit configuration at sf0.01 and keeps the pair count
+    linear at any corpus size."""
+    from variantcalling_spark.operators.similarity import adaptive_knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings")
     edges = (
-        knn_graph(emb, k=3, prefix_bits=6)
+        adaptive_knn_graph(emb, k=3)
         .select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
         .transform(managed_persist)
     )
