@@ -68,6 +68,7 @@ _PRIORITY = (
     "q144_knn_pagerank",
     "q145_contained_doc_pruning",
     "q146_adaptive_knn_graph",
+    "q147_bpe_encode",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

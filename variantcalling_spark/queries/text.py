@@ -1331,3 +1331,115 @@ def q141_vocab_oov(spark, sf_dir):
             ).alias("oov_rate"),
         )
     )
+
+
+@query(
+    "q147_bpe_encode",
+    oracle="""
+WITH RECURSIVE pairs AS (
+  SELECT unnest([substr(w, i, 2) for i in generate_series(1, length(w) - 1)]) AS pair
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) >= 2
+),
+mined AS (
+  SELECT substr(pair, 1, 1) || '|' || substr(pair, 2, 1) AS pair,
+         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS INT) AS prio
+  FROM (SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair)
+  QUALIFY prio <= 8
+),
+vocab AS (
+  SELECT DISTINCT w FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+),
+enc AS (
+  SELECT w, string_split(w, '') AS syms FROM vocab
+  UNION ALL
+  SELECT e.w,
+    list_concat(
+      list_concat(e.syms[1:bi.best_i - 1],
+                  [e.syms[bi.best_i] || e.syms[bi.best_i + 1]]),
+      e.syms[bi.best_i + 2:]
+    ) AS syms
+  FROM enc e,
+  LATERAL (
+    SELECT MIN(m.prio) AS best
+    FROM unnest(generate_series(1, len(e.syms) - 1)) AS t(i)
+    JOIN mined m ON m.pair = e.syms[i] || '|' || e.syms[i + 1]
+  ) b,
+  LATERAL (
+    SELECT MIN(i) AS best_i
+    FROM unnest(generate_series(1, len(e.syms) - 1)) AS t(i)
+    JOIN mined m ON m.pair = e.syms[i] || '|' || e.syms[i + 1]
+    WHERE m.prio = b.best
+  ) bi
+  WHERE b.best IS NOT NULL
+),
+final AS (
+  SELECT w, len(syms) AS n_sym FROM enc e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM unnest(generate_series(1, len(e.syms) - 1)) AS t(i)
+    JOIN mined m ON m.pair = e.syms[i] || '|' || e.syms[i + 1]
+  )
+),
+docw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+)
+SELECT doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+       CAST(SUM(n_sym) AS BIGINT) AS n_tokens
+FROM docw JOIN final USING (w)
+GROUP BY doc_id
+""",
+)
+def q147_bpe_encode(spark, sf_dir):
+    """BPE ENCODING value-proven end-to-end: the top-8 merge rules are
+    mined from the corpus (q126's counting pass, rank = priority), then
+    applied to every word by the iterative `apply_bpe_merges` kernel —
+    and the ORACLE replays the identical merge loop as a recursive SQL
+    CTE (leftmost-best-priority per step), so the Python kernel's
+    per-step semantics are value-checked, not just spot-tested. The
+    mined merge table is a driver-collected 8-row codebook (the IVF/PQ
+    bounded-driver-state pattern); the kernel encodes each document's
+    words in Arrow batches. Output: per-doc word/char/BPE-token counts
+    — the before/after compression ledger of a tokenizer change."""
+    from pyspark.sql import Window as W
+
+    from variantcalling_spark.operators.kernels import apply_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).where(
+        F.length("w") >= 2
+    )
+    pair_counts = (
+        words.select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = (
+        pair_counts.withColumn(
+            "prio", F.row_number().over(W.orderBy(F.col("n").desc(), "pair"))
+        )
+        .where(F.col("prio") <= 8)
+        .orderBy("prio")
+        .collect()
+    )
+    merges = [(r.pair[0], r.pair[1]) for r in top]
+    enc = apply_bpe_merges(docs, merges)
+    chars = docs.select(
+        "doc_id",
+        F.length(F.regexp_replace("text", " ", "")).cast("bigint").alias("n_chars"),
+    )
+    return enc.join(chars, "doc_id").select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "n_chars",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
