@@ -519,3 +519,32 @@ def test_cdc_chunks_is_shuffle_free(spark):
     df = cdc_chunks(load_table(spark, SF, "documents"))
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p
+
+
+def test_zoom_reduce_single_aggregation(spark):
+    """The zoom reduction must be explode -> ONE hash aggregate (with a
+    map-side partial): exactly one shuffle, no window, no join."""
+    from variantcalling_spark.sources.bigwig import zoom_reduce
+    from variantcalling_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, SF, "orders")
+    runs = o.select(
+        F.concat(F.lit("c"), (F.col("o_orderkey") % 4).cast("string")).alias("chrom"),
+        (F.col("o_orderkey") * 50).alias("start"),
+        (F.col("o_orderkey") * 50 + 20).alias("end"),
+        F.lit(1.0).alias("depth"),
+    )
+    p = zoom_reduce(runs, 1024)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 1
+    assert "partial" in p  # map-side combine before the shuffle
+    assert "Window" not in p and "Join" not in p
+
+
+def test_q144_pagerank_edges_reused_no_cartesian(spark):
+    p = plan_of(spark, "q144_knn_pagerank")
+    assert "CartesianProduct" not in p
+    # the kNN edge relation is persisted and re-read per iteration
+    assert "InMemoryTableScan" in p
+    # final top-20 is a TakeOrdered, not a global sort of the ranks table
+    assert "TakeOrderedAndProject" in p

@@ -69,6 +69,8 @@ _PRIORITY = (
     "q145_contained_doc_pruning",
     "q146_adaptive_knn_graph",
     "q147_bpe_encode",
+    "q148_sample_qc",
+    "q149_king_kinship",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

@@ -960,3 +960,163 @@ def q143_gc_bias_curve(spark, sf_dir):
             ),
         )
     )
+
+
+SQL_COHORT_CALLS = """
+  SELECT 's' || (l_suppkey % 4) AS sample,
+         'c' || (l_orderkey % 4) AS chrom,
+         l_orderkey * 10 + l_linenumber % 3 AS pos,
+         CAST(MIN(l_partkey % 3) AS INT) AS gt,
+         CAST(MIN(CAST(l_quantity AS INT)) AS INT) AS gq
+  FROM lineitem
+  GROUP BY 1, 2, 3
+"""
+
+
+def _cohort_calls(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.concat(F.lit("s"), (F.col("l_suppkey") % 4).cast("string")).alias(
+            "sample"
+        ),
+        F.concat(F.lit("c"), (F.col("l_orderkey") % 4).cast("string")).alias(
+            "chrom"
+        ),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber") % 3).alias("pos"),
+    ).agg(
+        F.min((F.col("l_partkey") % 3).cast("int")).alias("gt"),
+        F.min(F.col("l_quantity").cast("int")).alias("gq"),
+    )
+
+
+@query(
+    "q148_sample_qc",
+    oracle=f"""
+WITH calls AS ({SQL_COHORT_CALLS}),
+alt_carriers AS (
+  SELECT chrom, pos, COUNT(*) AS n_carriers
+  FROM calls WHERE gt > 0 GROUP BY chrom, pos
+)
+SELECT c.sample,
+       COUNT(*) AS n_sites,
+       CAST(SUM(CASE WHEN c.gt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_het,
+       CAST(SUM(CASE WHEN c.gt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hom_alt,
+       ROUND(SUM(CASE WHEN c.gt = 1 THEN 1 ELSE 0 END)
+             / CAST(SUM(CASE WHEN c.gt = 2 THEN 1 ELSE 0 END) AS DOUBLE), 6)
+         AS het_hom_ratio,
+       CAST(SUM(CASE WHEN c.gt > 0 AND ac.n_carriers = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_singletons,
+       ROUND(CAST(SUM(CAST(c.gq AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_gq
+FROM calls c
+LEFT JOIN alt_carriers ac ON ac.chrom = c.chrom AND ac.pos = c.pos
+GROUP BY c.sample
+""",
+)
+def q148_sample_qc(spark, sf_dir):
+    """Per-sample callset QC — the cohort health dashboard behind every
+    joint-calling run (plink/bcftools `stats` shape; the reference's
+    per-sample concordance stats are the truth-based cousin): site
+    count, het and hom-alt counts, het/hom ratio (the contamination /
+    ploidy-problem tell), singleton count (sites where this sample is
+    the cohort's ONLY alt carrier — the sequencing-error tell), and
+    DECIMAL-exact mean GQ. One groupBy over the per-sample calls plus a
+    broadcast-sized per-site carrier count joined back — no pivot, no
+    per-sample pass."""
+    calls = _cohort_calls(spark, sf_dir)
+    carriers = (
+        calls.where(F.col("gt") > 0)
+        .groupBy("chrom", "pos")
+        .agg(F.count(F.lit(1)).alias("n_carriers"))
+    )
+    het = F.sum(F.when(F.col("gt") == 1, 1).otherwise(0))
+    hom = F.sum(F.when(F.col("gt") == 2, 1).otherwise(0))
+    return (
+        calls.join(carriers, ["chrom", "pos"], "left")
+        .groupBy("sample")
+        .agg(
+            cnt("n_sites"),
+            het.cast("bigint").alias("n_het"),
+            hom.cast("bigint").alias("n_hom_alt"),
+            F.round(het / hom.cast("double"), 6).alias("het_hom_ratio"),
+            F.sum(
+                F.when((F.col("gt") > 0) & (F.col("n_carriers") == 1), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_singletons"),
+            F.round(
+                F.sum(F.col("gq").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_gq"),
+        )
+    )
+
+
+@query(
+    "q149_king_kinship",
+    oracle=f"""
+WITH calls AS ({SQL_COHORT_CALLS}),
+pairs AS (
+  SELECT a.sample AS sample_i, b.sample AS sample_j,
+         COUNT(*) AS n_shared,
+         SUM(CASE WHEN a.gt = 1 AND b.gt = 1 THEN 1 ELSE 0 END) AS n_both_het,
+         SUM(CASE WHEN (a.gt = 0 AND b.gt = 2) OR (a.gt = 2 AND b.gt = 0)
+                  THEN 1 ELSE 0 END) AS n_opp_hom,
+         SUM(CASE WHEN a.gt = 1 THEN 1 ELSE 0 END) AS n_het_i,
+         SUM(CASE WHEN b.gt = 1 THEN 1 ELSE 0 END) AS n_het_j
+  FROM calls a JOIN calls b
+    ON a.chrom = b.chrom AND a.pos = b.pos AND a.sample < b.sample
+  GROUP BY a.sample, b.sample
+)
+SELECT sample_i, sample_j, CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(n_both_het AS BIGINT) AS n_both_het,
+       CAST(n_opp_hom AS BIGINT) AS n_opp_hom,
+       ROUND((n_both_het - 2.0 * n_opp_hom) / (n_het_i + n_het_j), 6)
+         AS kinship
+FROM pairs
+""",
+)
+def q149_king_kinship(spark, sf_dir):
+    """Pairwise KING-robust kinship over the cohort (Manichaikul 2010,
+    the plink2 `--make-king` estimator): φ̂ = (N_both-het − 2·N_opposite-
+    hom) / (N_het,i + N_het,j) over sites called in both samples —
+    unrelated pairs sit near 0, duplicates near 0.5, and opposite
+    homozygotes drive the estimate negative (the sample-swap /
+    contamination screen; q124's hit-fraction identity check is the
+    truth-based cousin of this cohort-internal one). One equi-join on
+    (chrom, pos) with the sample-order predicate — the J² pair space
+    materializes only per co-called site, never as a cross join —
+    then one map-side-combinable aggregate per pair."""
+    calls = _cohort_calls(spark, sf_dir)
+    a = calls.select(
+        "chrom", "pos", F.col("sample").alias("sample_i"), F.col("gt").alias("gt_i")
+    )
+    b = calls.select(
+        "chrom", "pos", F.col("sample").alias("sample_j"), F.col("gt").alias("gt_j")
+    )
+    both_het = F.sum(
+        F.when((F.col("gt_i") == 1) & (F.col("gt_j") == 1), 1).otherwise(0)
+    )
+    opp_hom = F.sum(
+        F.when(
+            ((F.col("gt_i") == 0) & (F.col("gt_j") == 2))
+            | ((F.col("gt_i") == 2) & (F.col("gt_j") == 0)),
+            1,
+        ).otherwise(0)
+    )
+    het_i = F.sum(F.when(F.col("gt_i") == 1, 1).otherwise(0))
+    het_j = F.sum(F.when(F.col("gt_j") == 1, 1).otherwise(0))
+    return (
+        a.join(b, ["chrom", "pos"])
+        .where(F.col("sample_i") < F.col("sample_j"))
+        .groupBy("sample_i", "sample_j")
+        .agg(
+            cnt("n_shared"),
+            both_het.cast("bigint").alias("n_both_het"),
+            opp_hom.cast("bigint").alias("n_opp_hom"),
+            F.round(
+                (both_het - 2.0 * opp_hom) / (het_i + het_j), 6
+            ).alias("kinship"),
+        )
+    )
