@@ -548,3 +548,12 @@ def test_q144_pagerank_edges_reused_no_cartesian(spark):
     assert "InMemoryTableScan" in p
     # final top-20 is a TakeOrdered, not a global sort of the ranks table
     assert "TakeOrderedAndProject" in p
+
+
+def test_q149_kinship_is_equijoin(spark):
+    """The J^2 pair space must materialize per co-called SITE via the
+    (chrom, pos) equi-join — never as a cartesian of the sample lists."""
+    p = plan_of(spark, "q149_king_kinship")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial" in p  # map-side combine on the pair aggregate
