@@ -71,6 +71,7 @@ _PRIORITY = (
     "q147_bpe_encode",
     "q148_sample_qc",
     "q149_king_kinship",
+    "q150_soft_dedup_weights",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

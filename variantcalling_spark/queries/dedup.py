@@ -1179,3 +1179,90 @@ def q145_contained_doc_pruning(spark, sf_dir):
             F.sum(1 - F.col("removed")).cast("bigint").alias("n_kept"),
         )
     )
+
+
+@query(
+    "q150_soft_dedup_weights",
+    oracle=f"""
+WITH RECURSIVE corpus AS ({SQL_CORPUS}),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+                   for i in generate_series(1, len(string_split(text, ' ')) - 2)]) AS shingle
+    FROM corpus
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+e AS (
+  SELECT doc_a, doc_b FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE) >= 0.6
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM e
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM e
+),
+closure AS (
+  SELECT src AS node, src AS reach FROM edges
+  UNION
+  SELECT c.node, edges.dst AS reach
+  FROM closure c JOIN edges ON edges.src = c.reach
+),
+labeled AS (SELECT node, MIN(reach) AS label FROM closure GROUP BY node),
+assign AS (
+  SELECT c.doc_id, COALESCE(l.label, c.doc_id) AS cluster_id,
+         len(string_split(c.text, ' ')) AS n_tokens
+  FROM corpus c LEFT JOIN labeled l ON l.node = c.doc_id
+),
+csize AS (SELECT cluster_id, COUNT(*) AS n_members FROM assign GROUP BY cluster_id)
+SELECT a.doc_id, a.cluster_id, cs.n_members,
+       ROUND(1.0 / cs.n_members, 6) AS weight,
+       ROUND(a.n_tokens / CAST(cs.n_members AS DOUBLE), 6) AS effective_tokens
+FROM assign a JOIN csize cs USING (cluster_id)
+""",
+)
+def q150_soft_dedup_weights(spark, sf_dir):
+    """SOFT deduplication (the SlimPajama/DataComp reweighting
+    alternative to dropping): every document keeps a training weight of
+    1/|its near-dup cluster| — duplicate content contributes one
+    document's worth of gradient mass in expectation regardless of how
+    many copies exist, without the information loss of hard removal.
+    Clusters are the same PPJoin-pairs -> connected-components labels
+    the hard-dedup paths use (q98/q137); the weights are a broadcast
+    cluster-size join — the marginal cost of soft over hard dedup is
+    one tiny aggregate."""
+    from variantcalling_spark.operators.dedup import connected_components
+
+    c = corpus(spark, sf_dir)
+    sh = shingles(c, n=3).transform(managed_persist)
+    cands = prefix_filtered_pairs(sh, threshold=0.6)
+    pairs = jaccard_for_pairs(cands, sh).where(F.col("jaccard") >= 0.6)
+    labels = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    assign = (
+        c.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+            "n_tokens",
+        )
+    )
+    csize = assign.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return assign.join(F.broadcast(csize), "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "n_members",
+        F.round(F.lit(1.0) / F.col("n_members"), 6).alias("weight"),
+        F.round(F.col("n_tokens") / F.col("n_members").cast("double"), 6).alias(
+            "effective_tokens"
+        ),
+    )
