@@ -276,3 +276,35 @@ def test_zoom_reduction_ladder_from_stats(spark):
     assert reds[-1] <= max(CHROM_SIZES.values()) // 2
     # empty runs -> no levels, and assembly writes zoomLevels=0
     assert choose_zoom_reductions(df.where(F.lit(False)), CHROM_SIZES) == []
+
+
+def test_zoom_multi_level_rtree(spark, tmp_path):
+    """>256 zoom sections force an internal R-tree level on the ZOOM
+    index path (same builder as the data index, different offset base);
+    the zoom scan must enumerate every leaf and reproduce the
+    reduction exactly."""
+    from variantcalling_spark.sources.bigwig import (
+        bigwig_zoom_scan,
+        to_zoom_sections,
+        zoom_reduce,
+    )
+
+    path = os.path.join(tmp_path, "zoomdeep.bw")
+    df = _runs_df(spark, n=1600)
+    ids = chrom_id_map(CHROM_SIZES)
+    secs = to_bigwig_sections(df, ids, 512).collect()
+    # reduction 64 -> many windows; 1 record/section -> >256 sections
+    zs = to_zoom_sections(df, ids, 64, items_per_section=1).collect()
+    assert len(zs) > 256
+    assemble_bigwig(secs, CHROM_SIZES, path, zoom_levels=[(64, zs)])
+    idx = read_bigwig_index(path)
+    assert len(idx["zooms"][0]["sections"]) == len(zs)
+    got = {
+        (r.chrom, r.start, r.end, r.valid_count)
+        for r in bigwig_zoom_scan(spark, path, 0).collect()
+    }
+    want = {
+        (r.chrom, r.zstart, r.zend, r.valid_count)
+        for r in zoom_reduce(df, 64).collect()
+    }
+    assert got == want
