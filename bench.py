@@ -215,31 +215,36 @@ SCALE3_QUERIES = [
 def _third_scale_point(spark, registry) -> dict | None:
     if os.environ.get("SPARK_GRAFT_SCALE3", "0") != "1":
         return None
-    repo = os.path.dirname(os.path.abspath(__file__))
-    sf10_dir = os.path.join(repo, "benchdata", "sf10")
-    if not os.path.isdir(os.path.join(sf10_dir, "lineitem.parquet")):
-        from tools.make_scale import make_scale
+    try:
+        repo = os.path.dirname(os.path.abspath(__file__))
+        sf10_dir = os.path.join(repo, "benchdata", "sf10")
+        if not os.path.isdir(os.path.join(sf10_dir, "lineitem.parquet")):
+            from tools.make_scale import make_scale
 
-        make_scale(spark, "/root/testdata/sf0.1", sf10_dir, factor=100)
-    names = [n for n in SCALE3_QUERIES if n in registry]
-    spark.catalog.clearCache()
-    spark.conf.set("spark.sql.shuffle.partitions", "64")
-    for n in names:
-        registry[n].fn(spark, sf10_dir).limit(1).count()
-    per_query: dict[str, float] = {}
-    for n in names:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            registry[n].fn(spark, sf10_dir).count()
-            best = min(best, time.time() - t0)
-        per_query[n] = round(best, 3)
-    return {
-        "sf": 10.0,
-        "note": "100x sf0.1 replicas (opt-in SPARK_GRAFT_SCALE3=1)",
-        "value": round(sum(per_query.values()), 3),
-        "queries": per_query,
-    }
+            make_scale(spark, "/root/testdata/sf0.1", sf10_dir, factor=100)
+        names = [n for n in SCALE3_QUERIES if n in registry]
+        spark.catalog.clearCache()
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        for n in names:
+            registry[n].fn(spark, sf10_dir).limit(1).count()
+        per_query: dict[str, float] = {}
+        for n in names:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                registry[n].fn(spark, sf10_dir).count()
+                best = min(best, time.time() - t0)
+            per_query[n] = round(best, 3)
+        return {
+            "sf": 10.0,
+            "note": "100x sf0.1 replicas (opt-in SPARK_GRAFT_SCALE3=1)",
+            "value": round(sum(per_query.values()), 3),
+            "queries": per_query,
+        }
+    except Exception:
+        # same guarantee as scale2: a failed optional phase must never
+        # abort the bench after the earlier phases already measured
+        return None
 
 
 if __name__ == "__main__":

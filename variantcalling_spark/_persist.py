@@ -19,14 +19,34 @@ _PERSIST_CAP = 48
 _persist_ring: deque = deque()
 
 
+def _same_plan(a, b) -> bool:
+    try:
+        return bool(
+            a._jdf.queryExecution()
+            .analyzed()
+            .sameResult(b._jdf.queryExecution().analyzed())
+        )
+    except Exception:
+        return False
+
+
 def managed_persist(df):
     """``df.persist()`` with session-lifetime bounded accumulation.
-    Chains as ``df.transform(managed_persist)``."""
+    Chains as ``df.transform(managed_persist)``.
+
+    Eviction is PLAN-AWARE: Spark's CacheManager dedups identical
+    logical plans to one cache entry (q65's shingle table IS q66's),
+    so unpersisting an old ring element whose plan a newer element
+    shares would drop a cache entry the newer consumer still relies
+    on — such evictees are skipped (the newer element owns the entry)."""
     df = df.persist()
     _persist_ring.append(df)
     while len(_persist_ring) > _PERSIST_CAP:
+        victim = _persist_ring.popleft()
+        if any(_same_plan(victim, kept) for kept in _persist_ring):
+            continue  # a live ring entry shares this cache entry
         try:
-            _persist_ring.popleft().unpersist(blocking=False)
+            victim.unpersist(blocking=False)
         except Exception:
             pass  # session already stopped; nothing to release
     return df

@@ -151,6 +151,33 @@ def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     )
 
 
+def _df_ranked_shingles(sh: DataFrame) -> DataFrame:
+    """Shared scaffolding of the prefix-filter family: each doc's
+    shingles ranked by ascending global document frequency (rare
+    first), carrying the doc's shingle count. Both window columns share
+    one partitioning+ordering, so Catalyst evaluates them in a single
+    Window node — one shuffle+sort instead of two (the count uses an
+    unbounded frame over the same spec). The ``rk <= n_sh -
+    ceil(t*n_sh) + 1`` prefix predicate applied on top is what the
+    symmetric (Jaccard) and asymmetric (containment) filters share."""
+    from pyspark.sql import Window
+
+    doc_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w_ordered = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    return (
+        sh.join(doc_freq, "shingle")
+        .withColumn(
+            "n_sh",
+            F.count(F.lit(1)).over(
+                w_ordered.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w_ordered))
+    )
+
+
 def prefix_filtered_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     """Exact candidate discovery via prefix + length filtering (the
     PPJoin/AllPairs family) for a Jaccard threshold ``t``.
@@ -166,25 +193,7 @@ def prefix_filtered_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     the O(sum df^2) all-pairs shingle join to near-linear — the exact-
     dedup path that survives a 100x corpus scale-up.
     """
-    from pyspark.sql import Window
-
-    doc_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    # both window columns share one partitioning+ordering, so Catalyst
-    # evaluates them in a single Window node — one shuffle+sort instead
-    # of two (the count uses an unbounded frame over the same spec)
-    w_ordered = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    ranked = (
-        sh.join(doc_freq, "shingle")
-        .withColumn(
-            "n_sh",
-            F.count(F.lit(1)).over(
-                w_ordered.rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            ),
-        )
-        .withColumn("rk", F.row_number().over(w_ordered))
-    )
+    ranked = _df_ranked_shingles(sh)
     # the prefix table feeds BOTH sides of the self-join below; the two
     # subtrees get distinct expression ids, so exchange reuse cannot
     # collapse them — persist once instead of ranking the corpus twice
@@ -247,22 +256,7 @@ def containment_candidate_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     Size filter: ``|B| >= ceil(t*|A|)`` (intersection can't exceed
     |B|). Both lossless, so verify(candidates) == all-pairs. Returns
     directed (doc_a = contained candidate, doc_b = container)."""
-    from pyspark.sql import Window
-
-    doc_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    w_ordered = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    ranked = (
-        sh.join(doc_freq, "shingle")
-        .withColumn(
-            "n_sh",
-            F.count(F.lit(1)).over(
-                w_ordered.rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            ),
-        )
-        .withColumn("rk", F.row_number().over(w_ordered))
-    )
+    ranked = _df_ranked_shingles(sh)
     a = ranked.where(
         F.col("rk")
         <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1

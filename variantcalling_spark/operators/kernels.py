@@ -294,13 +294,17 @@ def apply_bpe_merges(
                 toks.append("|".join(" ".join(e) for e in enc))
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.array(ids, dtype="int64"),
+                    # keep the caller's id dtype — Arrow casts to the
+                    # schema derived from the input column below
+                    id_col: pd.array(ids, dtype="object"),
                     "n_words": pd.array(nw, dtype="int32"),
                     "n_tokens": pd.array(nt, dtype="int32"),
                     "tokens": pd.array(toks, dtype="object"),
                 }
             )
 
+    id_type = docs.schema[id_col].dataType.simpleString()
     return docs.select(id_col, text_col).mapInPandas(
-        run, schema="doc_id long, n_words int, n_tokens int, tokens string"
+        run,
+        schema=f"{id_col} {id_type}, n_words int, n_tokens int, tokens string",
     )

@@ -95,7 +95,17 @@ def decode_image(content: bytes):
         from variantcalling_spark.operators import media_codecs
 
         if media_codecs.is_bmp(content):
-            return media_codecs.decode_bmp(content)
+            try:
+                return media_codecs.decode_bmp(content)
+            except ValueError as codec_err:
+                # BMP variant the vendored codec doesn't cover (palette,
+                # 32-bit, top-down): fall through to pillow when present
+                # rather than failing a payload the library branch could
+                # decode; without pillow the codec's error stands
+                try:
+                    import PIL  # noqa: F401
+                except ImportError:
+                    raise codec_err
         import io  # pragma: no cover - pillow absent here
 
         from PIL import Image
@@ -114,7 +124,16 @@ def decode_audio(content: bytes):
         from variantcalling_spark.operators import media_codecs
 
         if media_codecs.is_wav(content):
-            return media_codecs.decode_wav_pcm16(content)[0]
+            try:
+                return media_codecs.decode_wav_pcm16(content)[0]
+            except Exception as codec_err:
+                # non-PCM-16 WAV (float/PCM-24/ADPCM): fall through to
+                # soundfile when present (same rationale as decode_image);
+                # without it the codec's error stands
+                try:
+                    import soundfile  # noqa: F401
+                except ImportError:
+                    raise codec_err
         import io  # pragma: no cover - soundfile absent here
 
         import soundfile

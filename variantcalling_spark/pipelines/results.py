@@ -90,7 +90,10 @@ def upsert_result(
         except FileExistsError:
             v += 1
             continue
-        out.write.mode("overwrite").parquet(path)
+        # append INTO the claimed (empty) directory: mode("overwrite")
+        # would delete-and-recreate it, momentarily releasing the claim
+        # so a racer could re-mkdir the same slot mid-write
+        out.write.mode("append").parquet(path)
         return v
     raise RuntimeError(
         f"upsert_result: lost the version race {max_retries} times on "

@@ -1237,9 +1237,10 @@ def q150_soft_dedup_weights(spark, sf_dir):
     document's worth of gradient mass in expectation regardless of how
     many copies exist, without the information loss of hard removal.
     Clusters are the same PPJoin-pairs -> connected-components labels
-    the hard-dedup paths use (q98/q137); the weights are a broadcast
-    cluster-size join — the marginal cost of soft over hard dedup is
-    one tiny aggregate."""
+    the hard-dedup paths use (q98/q137); the weights come from one
+    cluster-size aggregate equi-joined back (AQE broadcasts it when
+    genuinely small) — the marginal cost of soft over hard dedup is
+    one aggregate + one join."""
     from variantcalling_spark.operators.dedup import connected_components
 
     c = corpus(spark, sf_dir)
@@ -1256,8 +1257,11 @@ def q150_soft_dedup_weights(spark, sf_dir):
             "n_tokens",
         )
     )
+    # csize has one row per CLUSTER — O(n_docs) with mostly-singleton
+    # corpora, so no forced broadcast: the equi-join shuffles on
+    # cluster_id and AQE picks broadcast when the table is actually small
     csize = assign.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
-    return assign.join(F.broadcast(csize), "cluster_id").select(
+    return assign.join(csize, "cluster_id").select(
         "doc_id",
         "cluster_id",
         "n_members",

@@ -1437,9 +1437,16 @@ def q147_bpe_encode(spark, sf_dir):
         "doc_id",
         F.length(F.regexp_replace("text", " ", "")).cast("bigint").alias("n_chars"),
     )
-    return enc.join(chars, "doc_id").select(
-        "doc_id",
-        F.col("n_words").cast("long").alias("n_words"),
-        "n_chars",
-        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    return (
+        enc.join(chars, "doc_id")
+        # the oracle's docw JOIN emits no row for documents with zero
+        # non-empty words; drop the kernel's (0,0) rows to match on any
+        # corpus, not just one that happens to lack empty documents
+        .where(F.col("n_words") > 0)
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            "n_chars",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        )
     )
