@@ -663,3 +663,49 @@ def test_adaptive_knn_bits_rule():
         assert b >= prev
         prev = b
         assert n / 2**b <= 9 or b == 4
+
+
+def test_managed_persist_plan_aware_eviction(spark, monkeypatch):
+    """Evicting a ring entry must NOT drop a cache entry a newer entry
+    with the identical logical plan still relies on (Spark dedups
+    identical plans to one cache entry)."""
+    from variantcalling_spark import _persist
+    from variantcalling_spark._persist import managed_persist
+
+    monkeypatch.setattr(_persist, "_PERSIST_CAP", 1)
+    monkeypatch.setattr(_persist, "_persist_ring", type(_persist._persist_ring)())
+
+    base = spark.range(100).selectExpr("id", "id * 2 AS v")
+    a = managed_persist(base)
+    a.count()
+    # identical plan: CacheManager points b at a's cache entry
+    b = managed_persist(spark.range(100).selectExpr("id", "id * 2 AS v"))
+    # cap=1 forced a's eviction attempt — but b shares the plan, so the
+    # cache entry must survive
+    assert b.storageLevel.useMemory
+    # a DIFFERENT plan evicts the shared one once it is the only holder
+    c = managed_persist(spark.range(5).selectExpr("id"))
+    c.count()
+    assert not b.storageLevel.useMemory  # now released (no newer sharer)
+    assert c.storageLevel.useMemory
+
+
+def test_adaptive_knn_graph_equals_fixed_at_rule_point(spark, sf_dir):
+    from variantcalling_spark.operators.similarity import (
+        adaptive_knn_bits,
+        adaptive_knn_graph,
+        knn_graph,
+    )
+    from variantcalling_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    bits = adaptive_knn_bits(emb.count())
+    got = {
+        (r.vec_id, r.neighbor_id, r.rank)
+        for r in adaptive_knn_graph(emb, k=3).collect()
+    }
+    want = {
+        (r.vec_id, r.neighbor_id, r.rank)
+        for r in knn_graph(emb, k=3, prefix_bits=bits).collect()
+    }
+    assert got == want and got

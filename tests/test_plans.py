@@ -465,6 +465,8 @@ def test_round5_queries_no_cartesian(spark):
         "q135_cdc_chunk_dedup",
         "q137_leakage_safe_split",
         "q139_containment_pairs",
+        "q145_contained_doc_pruning",
+        "q150_soft_dedup_weights",
     ):
         p = plan_of(spark, name)
         assert "CartesianProduct" not in p, name
