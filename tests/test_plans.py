@@ -467,10 +467,40 @@ def test_round5_queries_no_cartesian(spark):
         "q139_containment_pairs",
         "q145_contained_doc_pruning",
         "q150_soft_dedup_weights",
+        "q152_community_modularity",
     ):
         p = plan_of(spark, name)
         assert "CartesianProduct" not in p, name
-        assert "BroadcastNestedLoopJoin" not in p, name
+        # q152 carries the blessed 1-row-aggregate broadcast combine
+        # (crossJoin(broadcast(m2 total))); everything else must be
+        # pure equi-join.
+        if name != "q152_community_modularity":
+            assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_q151_lpa_deterministic_and_labels_are_nodes(spark):
+    """Synchronous LPA oscillates by construction (2-cycles on near-
+    bipartite neighborhoods) — the semantic is the FIXED unrolled round
+    count, so the property that matters is determinism: two independent
+    builds must agree label-for-label despite the shuffles and window
+    tie-breaks in between. Labels must also be a subset of member node
+    ids (they propagate, never invent values)."""
+    from pyspark.sql import functions as F
+    from variantcalling_spark.queries.similarity import _lpa_edges_and_labels
+
+    _, a = _lpa_edges_and_labels(spark, SF)
+    _, b = _lpa_edges_and_labels(spark, SF)
+    diff = (
+        a.withColumnRenamed("label", "la")
+        .join(b.withColumnRenamed("label", "lb"), "node")
+        .where(F.col("la") != F.col("lb"))
+        .count()
+    )
+    assert diff == 0
+    orphan = a.select(F.col("label").alias("node")).distinct().join(
+        a.select("node"), "node", "left_anti"
+    )
+    assert orphan.count() == 0
 
 
 def test_q138_weighted_sample_is_topk(spark):

@@ -72,6 +72,8 @@ _PRIORITY = (
     "q148_sample_qc",
     "q149_king_kinship",
     "q150_soft_dedup_weights",
+    "q151_label_propagation",
+    "q152_community_modularity",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

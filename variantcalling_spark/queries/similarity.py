@@ -695,3 +695,212 @@ def q146_adaptive_knn_graph(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return adaptive_knn_graph(emb, k=3)
+
+
+LPA_ITERS = 3
+
+
+def _lpa_cte_sql() -> str:
+    """Shared CTE chain: symmetrized kNN edges + LPA_ITERS rounds of
+    synchronous majority label propagation, fully deterministic
+    (argmax by count with min-label tie-break; isolated nodes keep
+    their label). Ends with a ``communities(node, community)`` CTE."""
+    knn = _knn_graph_oracle_sql()
+    parts = [
+        f"""
+WITH knn AS (SELECT * FROM ({knn}) q0),
+e0 AS (SELECT vec_id AS src, neighbor_id AS dst FROM knn),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+  )
+),
+nodes AS (SELECT vec_id AS node FROM embeddings),
+l0 AS (SELECT node, node AS label FROM nodes)"""
+    ]
+    prev = "l0"
+    for i in range(1, LPA_ITERS + 1):
+        parts.append(
+            f""",
+c{i} AS (
+  SELECT e.dst AS node, l.label, COUNT(*) AS c
+  FROM edges e JOIN {prev} l ON l.node = e.src
+  GROUP BY e.dst, l.label
+),
+p{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+),
+l{i} AS (
+  SELECT n.node, COALESCE(p.label, l.label) AS label
+  FROM nodes n JOIN {prev} l USING (node) LEFT JOIN p{i} p USING (node)
+)"""
+        )
+        prev = f"l{i}"
+    parts.append(f""",
+communities AS (SELECT node, label AS community FROM {prev})""")
+    return "".join(parts)
+
+
+def _lpa_edges_and_labels(spark, sf_dir):
+    """Spark side of the shared LPA chain: returns (edges, labels)
+    DataFrames — edges symmetrized+distinct, labels after LPA_ITERS
+    synchronous majority rounds. Per iteration: one equi-join of edges
+    to labels, one (node,label) count aggregate (map-side combinable),
+    one per-node argmax window, one left join back to carry isolated
+    nodes — all partitioned by node/dst keys, no driver state, no
+    collect. The edge table is persisted once and reused across
+    iterations (same pattern as q144's PageRank loop)."""
+    from pyspark.sql import Window as W
+    from variantcalling_spark.operators.similarity import adaptive_knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e0 = adaptive_knn_graph(emb, k=3).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    edges = (
+        e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .transform(managed_persist)
+    )
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = W.partitionBy("node").orderBy(F.desc("c"), "label")
+    for _ in range(LPA_ITERS):
+        counts = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        pick = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            nodes.join(labels, "node")
+            .join(pick, "node", "left")
+            .select("node", F.coalesce("new_label", "label").alias("label"))
+        )
+    return edges, labels
+
+
+@query(
+    "q151_label_propagation",
+    oracle=_lpa_cte_sql()
+    + """
+SELECT node, community, comm_size FROM (
+  SELECT node, community,
+         COUNT(*) OVER (PARTITION BY community) AS comm_size
+  FROM communities
+)
+""",
+)
+def q151_label_propagation(spark, sf_dir):
+    """Community detection over the corpus kNN graph (the SemDeDup/D4
+    substrate) via synchronous label propagation — the clustering
+    primitive a curation pipeline uses to group topically-redundant
+    documents beyond pairwise near-dup edges. Determinism is designed
+    in so the ITERATIVE algorithm carries a full value oracle: majority
+    vote with (count DESC, label ASC) tie-break, isolated nodes keep
+    their label, fixed synchronous rounds — the oracle unrolls the same
+    rounds as SQL CTEs. Plan per round: edges⋈labels equi-join +
+    map-side-combinable count + per-node argmax window; the symmetrized
+    edge table persists once across rounds. At 100 TB this is the
+    standard O(E) per-round LPA — no component diameter dependence,
+    bounded rounds by construction."""
+    from pyspark.sql import Window as W
+
+    _, labels = _lpa_edges_and_labels(spark, sf_dir)
+    return labels.select(
+        "node",
+        F.col("label").alias("community"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("label"))
+        .alias("comm_size"),
+    )
+
+
+@query(
+    "q152_community_modularity",
+    oracle=_lpa_cte_sql()
+    + """
+, m2t AS (SELECT COUNT(*) AS m2 FROM edges),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+cin AS (
+  SELECT ca.community, COUNT(*) AS in_edges
+  FROM edges e
+  JOIN communities ca ON ca.node = e.src
+  JOIN communities cb ON cb.node = e.dst
+  WHERE ca.community = cb.community
+  GROUP BY ca.community
+),
+cdeg AS (
+  SELECT c.community, CAST(SUM(d.d) AS BIGINT) AS deg_sum, COUNT(*) AS n_nodes
+  FROM communities c JOIN deg d USING (node)
+  GROUP BY c.community
+)
+SELECT community, n_nodes, in_edges, deg_sum, contrib_num, m2 AS contrib_den
+FROM (
+  SELECT cdeg.community,
+         CAST(cdeg.n_nodes AS BIGINT) AS n_nodes,
+         CAST(COALESCE(cin.in_edges, 0) AS BIGINT) AS in_edges,
+         cdeg.deg_sum,
+         CAST((SELECT m2 FROM m2t) * COALESCE(cin.in_edges, 0)
+           - cdeg.deg_sum * cdeg.deg_sum AS BIGINT) AS contrib_num,
+         CAST((SELECT m2 FROM m2t) * (SELECT m2 FROM m2t) AS BIGINT) AS m2
+  FROM cdeg LEFT JOIN cin USING (community)
+) WHERE n_nodes >= 2
+""",
+)
+def q152_community_modularity(spark, sf_dir):
+    """Newman modularity of the LPA partition, EXACT: per community,
+    the contribution numerator m2·in_c − deg_c² over denominator m2²
+    (Σ num / den = Q) stays in bigint rationals — no floating-point
+    summation order anywhere, so the value oracle is bit-exact. This is
+    the quality gate a curation pipeline runs after clustering: low-Q
+    partitions mean the kNN bucket dial (q146) is set wrong for the
+    corpus. Plan: the in-community edge count is edges⋈communities
+    twice on (src,dst) equi-keys; degree and community sums are
+    map-side-combinable aggregates; the 1-row m2 total broadcasts."""
+    edges, labels = _lpa_edges_and_labels(spark, sf_dir)
+    labels = managed_persist(labels.select("node", F.col("label").alias("community")))
+    m2t = edges.agg(F.count(F.lit(1)).alias("m2"))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    cin = (
+        edges.join(
+            labels.select(F.col("node").alias("src"), F.col("community").alias("ca")),
+            "src",
+        )
+        .join(
+            labels.select(F.col("node").alias("dst"), F.col("community").alias("cb")),
+            "dst",
+        )
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("in_edges"))
+    )
+    cdeg = (
+        labels.join(deg, "node")
+        .groupBy("community")
+        .agg(F.sum("d").alias("deg_sum"), F.count(F.lit(1)).alias("n_nodes"))
+    )
+    return (
+        cdeg.join(cin, "community", "left")
+        .crossJoin(F.broadcast(m2t))
+        .where(F.col("n_nodes") >= 2)
+        .select(
+            "community",
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.coalesce("in_edges", F.lit(0).cast("bigint")).alias("in_edges"),
+            "deg_sum",
+            (
+                F.col("m2") * F.coalesce("in_edges", F.lit(0).cast("bigint"))
+                - F.col("deg_sum") * F.col("deg_sum")
+            ).alias("contrib_num"),
+            (F.col("m2") * F.col("m2")).alias("contrib_den"),
+        )
+    )
