@@ -425,3 +425,65 @@ def test_streaming_ingest_dedup_candidates(spark, tmp_path):
     finally:
         q.stop()
     assert got == batch
+
+
+def test_streaming_ingest_dedup_probe_equals_batch(spark, tmp_path):
+    """Round-5 lead: q122's incremental dedup as a REAL readStream
+    probing a stored band index. The corpus index is built once and
+    written to parquet; near-copy + genuinely-new documents arrive as
+    two parquet files (two micro-batches); the stream maps through the
+    rowwise signature projection (stateless), equi-joins the static
+    index, and Jaccard-verifies with carried shingle arrays. The memory
+    sink must equal the identical batch computation pair-for-pair, and
+    every near-copy must be caught while reversed docs match nothing."""
+    from variantcalling_spark.streaming.ingest_dedup import (
+        build_band_index,
+        streaming_dedup_probe,
+    )
+
+    docs = (
+        spark.read.parquet(os.path.join(SF, "documents.parquet"))
+        .select("doc_id", "text")
+    )
+    idx_dir = str(tmp_path / "band_index")
+    build_band_index(docs).write.mode("overwrite").parquet(idx_dir)
+    index = spark.read.parquet(idx_dir)
+
+    near = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    fresh = docs.where(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.reverse(F.col("text")).alias("text"),
+    )
+    in_dir = str(tmp_path / "ingest_in")
+    near.coalesce(1).write.mode("append").parquet(in_dir)
+    fresh.coalesce(1).write.mode("append").parquet(in_dir)
+
+    new_batch = spark.read.parquet(in_dir)
+    expected = {
+        (r.doc_new, r.doc_old, r.jaccard)
+        for r in streaming_dedup_probe(new_batch, index).collect()
+    }
+    n_near = near.count()
+    assert len({p[0] for p in expected}) == n_near, "every near-copy caught"
+    assert not any(p[0] >= 300000 for p in expected), "reversed docs match nothing"
+
+    stream = spark.readStream.schema(new_batch.schema).parquet(in_dir)
+    q = (
+        streaming_dedup_probe(stream, index)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ingest_dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.doc_new, r.doc_old, r.jaccard)
+            for r in spark.sql("SELECT * FROM ingest_dedup_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected

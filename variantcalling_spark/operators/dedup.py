@@ -530,6 +530,7 @@ def portable_band_candidates_between(
     sig_old: DataFrame,
     num_bands: int = 8,
     rows_per_band: int = 4,
+    carry_new: tuple[str, ...] = (),
 ) -> DataFrame:
     """Asymmetric band-collision candidates: NEW-batch docs probing an
     OLD corpus index — the incremental-ingest shape. Each (new, old)
@@ -541,17 +542,28 @@ def portable_band_candidates_between(
     incremental run costs O(|batch| + collisions), never re-touching the
     corpus text. New x new pairs are deliberately out of scope here
     (run the self-join candidates on the batch for those).
-    Returns (doc_new, doc_old)."""
+    Returns (doc_new, doc_old [, carry_new...]).
 
-    def with_buckets(sig):
+    ``carry_new`` columns from ``sig_new`` ride through the probe (e.g.
+    the distinct-shingle array the Jaccard verify consumes): on a
+    STREAMING new side the probe output cannot be joined back to the
+    stream (stream-stream self-join), so verify inputs must travel with
+    the candidate rows. Pure projections — carrying them adds no
+    shuffle on either path."""
+
+    def with_buckets(sig, extra=()):
         return sig.select(
             "doc_id",
+            *extra,
             F.array(
                 *[_portable_bucket_expr(b, rows_per_band) for b in range(num_bands)]
             ).alias("buckets"),
-        ).select("doc_id", "buckets", F.posexplode("buckets").alias("band", "bucket"))
+        ).select(
+            "doc_id", *extra, "buckets", F.posexplode("buckets").alias("band", "bucket")
+        )
 
-    n, o = with_buckets(sig_new).alias("n"), with_buckets(sig_old).alias("o")
+    n = with_buckets(sig_new, carry_new).alias("n")
+    o = with_buckets(sig_old).alias("o")
     first_collision = F.forall(
         F.zip_with(
             F.slice(F.col("n.buckets"), 1, F.col("n.band")),
@@ -567,7 +579,11 @@ def portable_band_candidates_between(
             & (F.col("n.bucket") == F.col("o.bucket")),
         )
         .where(first_collision)
-        .select(F.col("n.doc_id").alias("doc_new"), F.col("o.doc_id").alias("doc_old"))
+        .select(
+            F.col("n.doc_id").alias("doc_new"),
+            F.col("o.doc_id").alias("doc_old"),
+            *[F.col(f"n.{c}") for c in carry_new],
+        )
     )
 
 
