@@ -468,6 +468,8 @@ def test_round5_queries_no_cartesian(spark):
         "q145_contained_doc_pruning",
         "q150_soft_dedup_weights",
         "q152_community_modularity",
+        "q153_hwe_exact_chi2",
+        "q154_distinct_ngram_diversity",
     ):
         p = plan_of(spark, name)
         assert "CartesianProduct" not in p, name

@@ -74,6 +74,8 @@ _PRIORITY = (
     "q150_soft_dedup_weights",
     "q151_label_propagation",
     "q152_community_modularity",
+    "q153_hwe_exact_chi2",
+    "q154_distinct_ngram_diversity",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

@@ -1120,3 +1120,77 @@ def q149_king_kinship(spark, sf_dir):
             ).alias("kinship"),
         )
     )
+
+
+@query(
+    "q153_hwe_exact_chi2",
+    oracle=f"""
+WITH calls AS ({SQL_COHORT_CALLS}),
+site AS (
+  SELECT chrom, pos,
+         COUNT(*) AS n,
+         CAST(SUM(CASE WHEN gt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref_hom,
+         CAST(SUM(CASE WHEN gt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_het,
+         CAST(SUM(CASE WHEN gt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hom_alt
+  FROM calls GROUP BY chrom, pos
+)
+SELECT chrom, pos, n, n_ref_hom, n_het, n_hom_alt, chi2_num, chi2_den,
+       ROUND(chi2_num / CAST(chi2_den AS DOUBLE), 6) AS chi2
+FROM (
+  SELECT *,
+         CAST(n * (4 * n_ref_hom * n_hom_alt - n_het * n_het)
+                * (4 * n_ref_hom * n_hom_alt - n_het * n_het) AS BIGINT)
+           AS chi2_num,
+         CAST((2 * n_ref_hom + n_het) * (2 * n_ref_hom + n_het)
+                * (2 * n_hom_alt + n_het) * (2 * n_hom_alt + n_het) AS BIGINT)
+           AS chi2_den
+  FROM site
+)
+WHERE 2 * n_ref_hom + n_het > 0 AND 2 * n_hom_alt + n_het > 0
+""",
+)
+def q153_hwe_exact_chi2(spark, sf_dir):
+    """Hardy-Weinberg equilibrium chi-square per site — the third leg of
+    the cohort-QC family (q148 per-sample, q149 pairwise kinship, this
+    per-site): systematic HWE departure flags genotyping artifacts and
+    population structure before any downstream association work
+    (plink --hardy shape). EXACT: the 1-df chi-square collapses
+    algebraically to N·(4·n_AA·n_aa − n_Aa²)² / (a²·b²) with
+    a = 2·n_AA + n_Aa, b = 2·n_aa + n_Aa — numerator and denominator
+    stay in bigints (no p-hat floats, no expected-count division), the
+    reported double is a single rounded quotient. Monomorphic sites
+    (a = 0 or b = 0, chi2 undefined) are excluded. Plan: ONE per-site
+    groupBy over the cohort calls — map-side-combinable counts, one
+    shuffle on (chrom, pos), projections thereafter."""
+    calls = _cohort_calls(spark, sf_dir)
+    site = calls.groupBy("chrom", "pos").agg(
+        cnt("n"),
+        F.sum(F.when(F.col("gt") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ref_hom"),
+        F.sum(F.when(F.col("gt") == 1, 1).otherwise(0)).cast("bigint").alias("n_het"),
+        F.sum(F.when(F.col("gt") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hom_alt"),
+    )
+    d = 4 * F.col("n_ref_hom") * F.col("n_hom_alt") - F.col("n_het") * F.col("n_het")
+    a = 2 * F.col("n_ref_hom") + F.col("n_het")
+    b = 2 * F.col("n_hom_alt") + F.col("n_het")
+    return (
+        site.withColumn("chi2_num", (F.col("n") * d * d).cast("bigint"))
+        .withColumn("chi2_den", (a * a * b * b).cast("bigint"))
+        .where((a > 0) & (b > 0))
+        .select(
+            "chrom",
+            "pos",
+            "n",
+            "n_ref_hom",
+            "n_het",
+            "n_hom_alt",
+            "chi2_num",
+            "chi2_den",
+            F.round(F.col("chi2_num") / F.col("chi2_den").cast("double"), 6).alias(
+                "chi2"
+            ),
+        )
+    )

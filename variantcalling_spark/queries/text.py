@@ -1450,3 +1450,73 @@ def q147_bpe_encode(spark, sf_dir):
             F.col("n_tokens").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+@query(
+    "q154_distinct_ngram_diversity",
+    oracle="""
+WITH tok AS (SELECT lang, string_split(text, ' ') AS ws FROM documents),
+grams AS (
+  SELECT lang, 1 AS n, unnest(ws) AS gram FROM tok
+  UNION ALL
+  SELECT lang, 2 AS n,
+         unnest([ws[i] || ' ' || ws[i+1]
+                 for i in generate_series(1, len(ws) - 1)]) AS gram
+  FROM tok
+  UNION ALL
+  SELECT lang, 3 AS n,
+         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                 for i in generate_series(1, len(ws) - 2)]) AS gram
+  FROM tok
+)
+SELECT lang, CAST(n AS INT) AS n,
+       COUNT(*) AS total_ngrams,
+       CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+       ROUND(COUNT(DISTINCT gram) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS distinct_ratio
+FROM grams GROUP BY lang, n
+""",
+)
+def q154_distinct_ngram_diversity(spark, sf_dir):
+    """Corpus diversity profile: distinct-n ratio (unique n-grams over
+    total n-grams, n = 1..3) per language slice — the standard
+    repetitiveness/diversity dial a curation pipeline reads before
+    setting dedup aggressiveness (low distinct-2/3 means boilerplate-
+    heavy slices; the generation-side metric of the same name guards
+    against mode collapse). Single corpus scan: the split stages once
+    per row (the q78 rule), each n-gram family builds as per-row array
+    algebra TAGGED with its n, and one explode of the concatenated
+    tagged arrays feeds one (lang, n) aggregate — count-distinct is the
+    only shuffle, on cardinality bounded by the vocabulary, not the
+    corpus. At 100 TB swap exact COUNT(DISTINCT) for HLL
+    (approx_count_distinct) without touching the plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.split("text", " ").alias("ws"))
+    w = F.col("ws")
+
+    def ngrams(n: int):
+        arr = F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - n),
+                lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.transform(
+            arr, lambda g: F.struct(F.lit(n).cast("int").alias("n"), g.alias("gram"))
+        )
+
+    tagged = tok.select(
+        "lang", F.explode(F.concat(ngrams(1), ngrams(2), ngrams(3))).alias("t")
+    )
+    return (
+        tagged.select("lang", F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
+        .groupBy("lang", "n")
+        .agg(
+            cnt("total_ngrams"),
+            F.count_distinct("gram").cast("bigint").alias("distinct_ngrams"),
+            F.round(
+                F.count_distinct("gram") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("distinct_ratio"),
+        )
+    )
