@@ -470,13 +470,15 @@ def test_round5_queries_no_cartesian(spark):
         "q152_community_modularity",
         "q153_hwe_exact_chi2",
         "q154_distinct_ngram_diversity",
+        "q155_site_frequency_spectrum",
+        "q156_gap_interpolation",
     ):
         p = plan_of(spark, name)
         assert "CartesianProduct" not in p, name
-        # q152 carries the blessed 1-row-aggregate broadcast combine
-        # (crossJoin(broadcast(m2 total))); everything else must be
+        # q152/q155 carry the blessed 1-row-aggregate broadcast combine
+        # (crossJoin(broadcast(<total>))); everything else must be
         # pure equi-join.
-        if name != "q152_community_modularity":
+        if name not in ("q152_community_modularity", "q155_site_frequency_spectrum"):
             assert "BroadcastNestedLoopJoin" not in p, name
 
 

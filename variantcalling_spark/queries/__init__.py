@@ -76,6 +76,8 @@ _PRIORITY = (
     "q152_community_modularity",
     "q153_hwe_exact_chi2",
     "q154_distinct_ngram_diversity",
+    "q155_site_frequency_spectrum",
+    "q156_gap_interpolation",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

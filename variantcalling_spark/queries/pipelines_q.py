@@ -1194,3 +1194,58 @@ def q153_hwe_exact_chi2(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "q155_site_frequency_spectrum",
+    oracle=f"""
+WITH calls AS ({SQL_COHORT_CALLS}),
+site AS (
+  SELECT chrom, pos,
+         CAST(SUM(gt) AS BIGINT) AS ac,
+         CAST(2 * COUNT(*) AS BIGINT) AS an
+  FROM calls GROUP BY chrom, pos
+)
+SELECT ac,
+       CAST(LEAST(ac, an - ac) AS BIGINT) AS folded_ac,
+       COUNT(*) AS n_sites,
+       ROUND(COUNT(*) / CAST((SELECT COUNT(*) FROM site WHERE ac > 0) AS DOUBLE), 6)
+         AS frac_of_segregating
+FROM site
+WHERE ac > 0
+GROUP BY ac, LEAST(ac, an - ac)
+""",
+)
+def q155_site_frequency_spectrum(spark, sf_dir):
+    """Site-frequency spectrum — the population-genetics summary every
+    cohort callset report leads with (plink --freq counts shape): how
+    many segregating sites carry each alt-allele count. Excess
+    singletons flag sequencing error; a shifted spectrum flags
+    population structure — the cohort-level cousin of q148's per-sample
+    singleton tell. Also reports the folded count min(AC, AN-AC)
+    (ancestral-allele-agnostic form). Plan: per-site SUM(gt) groupBy
+    (map-side combinable), then a spectrum groupBy over one row per
+    SITE — second shuffle input is orders of magnitude smaller than the
+    calls; the segregating-site total is a 1-row broadcast."""
+    calls = _cohort_calls(spark, sf_dir)
+    site = calls.groupBy("chrom", "pos").agg(
+        F.sum("gt").cast("bigint").alias("ac"),
+        (2 * F.count(F.lit(1))).cast("bigint").alias("an"),
+    ).where(F.col("ac") > 0)
+    site = managed_persist(site)
+    tot = site.agg(F.count(F.lit(1)).alias("n_seg"))
+    return (
+        site.groupBy(
+            "ac", F.least(F.col("ac"), F.col("an") - F.col("ac")).alias("folded_ac")
+        )
+        .agg(cnt("n_sites"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "ac",
+            "folded_ac",
+            "n_sites",
+            F.round(F.col("n_sites") / F.col("n_seg").cast("double"), 6).alias(
+                "frac_of_segregating"
+            ),
+        )
+    )

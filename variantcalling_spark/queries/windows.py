@@ -303,3 +303,105 @@ def q46_score_direction(spark, sf_dir):
         .groupBy("event_type")
         .agg((F.sum(dec("value")).cast("double") / F.count(F.lit(1))).alias("first20_avg"))
     )
+
+
+HOUR_US_Q156 = 3_600_000_000
+
+
+@query(
+    "q156_gap_interpolation",
+    oracle=f"""
+WITH pts AS (
+  SELECT user_id % 5 AS grp,
+         (epoch_us(ts) // {HOUR_US_Q156}) AS hr,
+         CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS v
+  FROM events
+  GROUP BY 1, 2
+),
+known AS (SELECT * FROM pts WHERE hr % 3 = 0),
+bounds AS (SELECT grp, MIN(hr) AS h0, MAX(hr) AS h1 FROM known GROUP BY grp),
+grid AS (SELECT grp, unnest(generate_series(h0, h1)) AS hr FROM bounds),
+nb AS (
+  SELECT g.grp, g.hr, k.v,
+         LAST_VALUE(k.v IGNORE NULLS)
+           OVER (PARTITION BY g.grp ORDER BY g.hr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         LAST_VALUE(CASE WHEN k.v IS NOT NULL THEN g.hr END IGNORE NULLS)
+           OVER (PARTITION BY g.grp ORDER BY g.hr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+         FIRST_VALUE(k.v IGNORE NULLS)
+           OVER (PARTITION BY g.grp ORDER BY g.hr
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         FIRST_VALUE(CASE WHEN k.v IS NOT NULL THEN g.hr END IGNORE NULLS)
+           OVER (PARTITION BY g.grp ORDER BY g.hr
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM grid g LEFT JOIN known k ON k.grp = g.grp AND k.hr = g.hr
+)
+SELECT grp, hr,
+       CASE WHEN v IS NOT NULL THEN 0 ELSE 1 END AS interpolated,
+       ROUND(CASE
+         WHEN v IS NOT NULL THEN v
+         ELSE pv + (nv - pv) * CAST(hr - ph AS DOUBLE) / (nh - ph)
+       END, 6) AS value
+FROM nb
+""",
+)
+def q156_gap_interpolation(spark, sf_dir):
+    """Linear gap interpolation over a keyed series — the imputation
+    step behind masked-region coverage fills and evenly-gridded
+    time-series features (pandas ``interpolate(method='linear')``
+    semantics, distributed): known hourly revenue points (every 3rd
+    hour kept, the rest masked) are re-gridded to every hour and the
+    gaps linearly interpolated between bracketing knowns. Exact by
+    construction: DECIMAL hourly sums, integer hour arithmetic, one
+    rounded quotient per filled row; edge rows outside the known hull
+    never appear (the grid spans [min known, max known] per key). Plan:
+    per-key bounds -> F.sequence grid explode -> equi-join knowns ->
+    two bounded-direction windows (last/first ignoreNulls) partitioned
+    by key — no self-join, no point x point pairing; at genome scale
+    the key is the contig bucket, exactly q44/q45's partitioning."""
+    pts = (
+        events_points(spark, sf_dir)
+        .groupBy(
+            "grp", F.expr(f"ts_us DIV {HOUR_US_Q156}").alias("hr")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("v")
+        )
+    )
+    known = pts.where(F.col("hr") % 3 == 0)
+    bounds = known.groupBy("grp").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    grid = bounds.select(
+        "grp", F.explode(F.sequence("h0", "h1")).alias("hr")
+    )
+    g = grid.join(known, ["grp", "hr"], "left")
+    wp = W.partitionBy("grp").orderBy("hr").rowsBetween(W.unboundedPreceding, 0)
+    wf = W.partitionBy("grp").orderBy("hr").rowsBetween(0, W.unboundedFollowing)
+    known_hr = F.when(F.col("v").isNotNull(), F.col("hr"))
+    nb = g.select(
+        "grp",
+        "hr",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(known_hr, ignorenulls=True).over(wp).alias("ph"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(known_hr, ignorenulls=True).over(wf).alias("nh"),
+    )
+    return nb.select(
+        "grp",
+        "hr",
+        F.when(F.col("v").isNotNull(), 0).otherwise(1).cast("int").alias(
+            "interpolated"
+        ),
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+                F.col("pv")
+                + (F.col("nv") - F.col("pv"))
+                * (F.col("hr") - F.col("ph")).cast("double")
+                / (F.col("nh") - F.col("ph"))
+            ),
+            6,
+        ).alias("value"),
+    )
