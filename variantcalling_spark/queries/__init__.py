@@ -78,6 +78,7 @@ _PRIORITY = (
     "q154_distinct_ngram_diversity",
     "q155_site_frequency_spectrum",
     "q156_gap_interpolation",
+    "q157_minimizer_sketch",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

@@ -1003,3 +1003,127 @@ def q125_bridging_snv_calibration(spark, sf_dir):
             & (F.least("up_len", "down_len") >= 1)
         ).alias("rescued"),
     )
+
+
+MINIMIZER_K = 5
+MINIMIZER_W = 4
+_MM_HASH_SQL = (
+    "list_reduce(list_transform(string_split(substr(md5(k), 1, 8), ''), "
+    "c -> CAST(CASE WHEN ascii(c) >= 97 THEN ascii(c) - 87 "
+    "ELSE ascii(c) - 48 END AS BIGINT)), (a, b) -> a * 16 + b) % 2147483647"
+)
+
+
+@query(
+    "q157_minimizer_sketch",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         translate(substr(text, 1, 120), '{DNA_FROM}', '{DNA_TO}') AS seq
+  FROM documents
+),
+km AS (
+  SELECT doc_id,
+         CASE WHEN length(seq) >= {MINIMIZER_K}
+              THEN [substr(seq, i, {MINIMIZER_K})
+                    for i in generate_series(1, length(seq) - {MINIMIZER_K} + 1)]
+              ELSE [] END AS kmers
+  FROM d
+),
+hs AS (
+  SELECT doc_id, kmers,
+         list_transform(kmers, k -> {_MM_HASH_SQL}) AS hashes
+  FROM km
+),
+mins AS (
+  SELECT doc_id,
+         len(kmers) AS n_kmers,
+         CASE WHEN len(kmers) >= {MINIMIZER_W}
+              THEN list_distinct([
+                kmers[list_position(hashes[j:j+{MINIMIZER_W}-1],
+                                    list_min(hashes[j:j+{MINIMIZER_W}-1])) + j - 1]
+                for j in generate_series(1, len(kmers) - {MINIMIZER_W} + 1)])
+              ELSE [] END AS sketch
+  FROM hs
+)
+SELECT doc_id,
+       CAST(n_kmers AS INT) AS n_kmers,
+       CAST(len(sketch) AS INT) AS sketch_size,
+       ROUND(len(sketch) / CAST(n_kmers AS DOUBLE), 6) AS density,
+       list_aggregate(sketch, 'min') AS sketch_min,
+       list_aggregate(sketch, 'max') AS sketch_max
+FROM mins WHERE n_kmers >= {MINIMIZER_W}
+""",
+)
+def q157_minimizer_sketch(spark, sf_dir):
+    """(w,k)-minimizer sketch per sequence — the seeding primitive of
+    minimap2-class read mappers and of k-mer-based sequence dedup: in
+    every window of {MINIMIZER_W} consecutive {MINIMIZER_K}-mers keep
+    the k-mer with the minimum hash (leftmost on ties), distinct per
+    sequence. Both engines select minimizers with the shared portable
+    md5 hash, so window argmin choices — not just sizes — are
+    value-proven via the per-doc sketch size and density (expected
+    ~2/(w+1)). Pure per-row array algebra: k-mers, hashes, and window
+    argmins build as CHAINED projections (each array referenced 2+
+    times, so CollapseProject keeps the stages — the q78/rowwise-
+    signature rule); no explode, no shuffle at all — scan-speed at any
+    corpus size, the same shape the streaming ingest path could map
+    over document batches."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.translate(F.substring("text", 1, 120), DNA_FROM, DNA_TO).alias("seq"),
+    )
+    seq = F.col("seq")
+    k, w = MINIMIZER_K, MINIMIZER_W
+    km = d.select(
+        "doc_id",
+        F.when(
+            F.length(seq) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.length(seq) - k + 1),
+                lambda i: seq.substr(i, F.lit(k)),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("kmers"),
+    )
+    from variantcalling_spark.operators.dedup import portable_string_hash
+
+    hs = km.select(
+        "doc_id",
+        "kmers",
+        F.transform("kmers", portable_string_hash).alias("hashes"),
+    )
+    kmers, hashes = F.col("kmers"), F.col("hashes")
+
+    def win_min(j):
+        sl = F.slice(hashes, j, w)
+        return F.element_at(
+            kmers, (F.array_position(sl, F.array_min(sl)) + j - 1).cast("int")
+        )
+
+    mins = hs.select(
+        "doc_id",
+        F.size(kmers).alias("n_kmers"),
+        F.when(
+            F.size(kmers) >= w,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(kmers) - w + 1), win_min
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("sketch"),
+    )
+    return mins.where(F.col("n_kmers") >= w).select(
+        "doc_id",
+        F.col("n_kmers").cast("int").alias("n_kmers"),
+        F.size("sketch").cast("int").alias("sketch_size"),
+        F.round(F.size("sketch") / F.col("n_kmers").cast("double"), 6).alias(
+            "density"
+        ),
+        F.array_min("sketch").alias("sketch_min"),
+        F.array_max("sketch").alias("sketch_max"),
+    )
