@@ -904,3 +904,76 @@ def q152_community_modularity(spark, sf_dir):
             (F.col("m2") * F.col("m2")).alias("contrib_den"),
         )
     )
+
+
+@query(
+    "q158_label_centroid_similarity",
+    oracle=f"""
+WITH q AS (
+  SELECT label,
+         list_transform(embedding,
+                        x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+e AS (SELECT label, unnest(generate_series(1, len(qv))) AS dim, unnest(qv) AS v FROM q),
+s AS (SELECT label, dim, CAST(SUM(v) AS BIGINT) AS sv FROM e GROUP BY label, dim),
+c AS (SELECT label, list(sv ORDER BY dim) AS vec FROM s GROUP BY label),
+n AS (SELECT label, COUNT(*) AS n FROM q GROUP BY label),
+cn AS (SELECT c.label, c.vec, n.n FROM c JOIN n USING (label))
+SELECT a.label AS label_a, b.label AS label_b,
+       a.n AS n_a, b.n AS n_b,
+       ROUND(list_dot_product(a.vec, b.vec)
+             / (sqrt(list_dot_product(a.vec, a.vec))
+                * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
+FROM cn a JOIN cn b ON a.label < b.label
+""",
+)
+def q158_label_centroid_similarity(spark, sf_dir):
+    """Per-class embedding centroids + the inter-class similarity
+    matrix — the domain-drift / class-overlap report a curation
+    pipeline reads before mixing sources (near-parallel centroids mean
+    two "domains" are the same distribution; SemDeDup/D4 cluster stats
+    are the unsupervised cousin). EXACT across engines: centroids stay
+    as elementwise BIGINT sums of quantized vectors (cosine is
+    scale-invariant, so sums ARE centroids — no float means), and the
+    integer dot products are < 2^53, so the one rounded division
+    matches bit-for-bit. Plan: posexplode to (label, dim) partial sums
+    (map-side combinable, the k-means-update shape from ivf_index),
+    reassembled per label via sort_array(collect_list); the pairwise
+    stage joins k centroid rows — broadcast-tiny, Σk² pairs where k is
+    the class count, never the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("label", _quantize(F.col("embedding")).alias("qv"))
+    sums = (
+        q.select("label", F.posexplode("qv").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.sum("v").alias("sv"))
+    )
+    cent = sums.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "sv"))), lambda p: p.sv
+        ).alias("vec")
+    )
+    counts = q.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    from variantcalling_spark.operators.similarity import _dot
+
+    cn = cent.join(counts, "label")
+    a, b = cn.alias("a"), F.broadcast(cn.alias("b"))
+    av, bv = F.col("a.vec"), F.col("b.vec")
+    return (
+        a.join(b, F.col("a.label") < F.col("b.label"))
+        .select(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.round(
+                _dot(av, bv).cast("double")
+                / (
+                    F.sqrt(_dot(av, av).cast("double"))
+                    * F.sqrt(_dot(bv, bv).cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
