@@ -80,6 +80,7 @@ _PRIORITY = (
     "q156_gap_interpolation",
     "q157_minimizer_sketch",
     "q158_label_centroid_similarity",
+    "q159_duplication_profile",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

@@ -1270,3 +1270,84 @@ def q150_soft_dedup_weights(spark, sf_dir):
             "effective_tokens"
         ),
     )
+
+
+def _q159_oracle() -> str:
+    from variantcalling_spark.queries import _REGISTRY
+
+    spans = _REGISTRY["q114_substring_dedup_spans"].oracle
+    return f"""
+WITH spans AS ({spans}),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id
+),
+d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN p.dup_tokens IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_with_dup,
+       ROUND(SUM(CASE WHEN p.dup_tokens IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_doc_frac,
+       CAST(SUM(d.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(COALESCE(p.dup_tokens, 0)) AS BIGINT) AS dup_span_tokens,
+       ROUND(SUM(COALESCE(p.dup_tokens, 0)) / CAST(SUM(d.n_tokens) AS DOUBLE), 6)
+         AS dup_token_frac
+FROM d LEFT JOIN per_doc p USING (doc_id)
+GROUP BY d.source
+"""
+
+
+@query("q159_duplication_profile", oracle=_q159_oracle())
+def q159_duplication_profile(spark, sf_dir):
+    """Corpus duplication profile — the report a curation run publishes
+    BEFORE deciding how aggressively to cut (the Lee et al. 2022
+    'what fraction of the corpus is repeated passages' table): per
+    source, how many documents contain any duplicated span (q114's
+    substring machinery) and what fraction of the source's token mass
+    sits inside those spans. Composes the span operator with one
+    per-doc aggregate and one per-source aggregate; the span side
+    collapses to one row per affected document before touching the
+    document table, so the final join is duplicated-docs-sized, not
+    span-sized."""
+    from variantcalling_spark.operators.dedup import duplicated_substring_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicated_substring_spans(
+        docs.select("doc_id", "text"), k=5, min_docs=2
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_tokens").cast("bigint").alias("dup_tokens")
+    )
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    has_dup = F.sum(
+        F.when(F.col("dup_tokens").isNotNull(), 1).otherwise(0)
+    )
+    return (
+        d.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            cnt("n_docs"),
+            has_dup.cast("bigint").alias("n_docs_with_dup"),
+            F.round(has_dup / F.count(F.lit(1)).cast("double"), 6).alias(
+                "dup_doc_frac"
+            ),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum(F.coalesce("dup_tokens", F.lit(0).cast("bigint")))
+            .cast("bigint")
+            .alias("dup_span_tokens"),
+            F.round(
+                F.sum(F.coalesce("dup_tokens", F.lit(0).cast("bigint")))
+                / F.sum("n_tokens").cast("double"),
+                6,
+            ).alias("dup_token_frac"),
+        )
+    )
