@@ -140,6 +140,11 @@ SCALE2_QUERIES = [
     # iterative graph family: PageRank now rides the adaptive graph, so
     # its 10x point is join+agg-bound, not pair-explosion-bound
     "q144_knn_pagerank",
+    # LPA communities (late r5): 3 synchronous rounds over the adaptive
+    # graph — measured 3.4s sf0.1 -> 4.0s at 10x (round-count and
+    # scheduling floor dominate; the per-round join+argmax scales with
+    # E, which the adaptive bits hold linear in n)
+    "q151_label_propagation",
 ]
 
 
