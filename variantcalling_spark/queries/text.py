@@ -1520,3 +1520,80 @@ def q154_distinct_ngram_diversity(spark, sf_dir):
             ).alias("distinct_ratio"),
         )
     )
+
+
+@query(
+    "q160_source_vocab_overlap",
+    oracle="""
+WITH sv AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+sz AS (SELECT source, COUNT(*) AS n_words FROM sv GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+  FROM sv a JOIN sv b ON a.word = b.word AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT s.source_a, s.source_b,
+       za.n_words AS n_words_a, zb.n_words AS n_words_b, s.n_shared,
+       ROUND(s.n_shared
+             / CAST(za.n_words + zb.n_words - s.n_shared AS DOUBLE), 6)
+         AS jaccard
+FROM shared s
+JOIN sz za ON za.source = s.source_a
+JOIN sz zb ON zb.source = s.source_b
+""",
+)
+def q160_source_vocab_overlap(spark, sf_dir):
+    """Lexical domain-overlap matrix: pairwise vocabulary Jaccard
+    between sources — the word-level complement of q158's embedding
+    centroid similarity (two 'domains' sharing most of their vocabulary
+    are one distribution for mixing purposes; near-zero overlap means a
+    language/register boundary worth stratifying on). Plan: one scan to
+    the distinct (source, word) relation — vocabulary-sized, not
+    corpus-sized — then the pairwise intersection is an equi-join ON
+    THE WORD (each vocabulary entry emits only the source pairs that
+    actually share it; never a source x source cross of full
+    vocabularies), and per-source sizes join back broadcast-tiny.
+    Identical shape to the PPJoin shared-shingle count at the heart of
+    q65, lifted from documents to domains."""
+    docs = load_table(spark, sf_dir, "documents")
+    sv = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+        .transform(managed_persist)
+    )
+    sz = sv.groupBy("source").agg(cnt("n_words"))
+    a = sv.select(F.col("source").alias("source_a"), "word")
+    b = sv.select(F.col("source").alias("source_b"), "word")
+    shared = (
+        a.join(b, "word")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(cnt("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sz.select(F.col("source").alias("source_a"), F.col("n_words").alias("n_words_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("source").alias("source_b"), F.col("n_words").alias("n_words_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_words_a",
+            "n_words_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_words_a") + F.col("n_words_b") - F.col("n_shared")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
