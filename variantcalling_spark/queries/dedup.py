@@ -1351,3 +1351,104 @@ def q159_duplication_profile(spark, sf_dir):
             ).alias("dup_token_frac"),
         )
     )
+
+
+PSI_BINS = 10
+PSI_WIDTH = 8
+
+
+@query(
+    "q161_ingest_distribution_drift",
+    oracle=f"""
+WITH newb AS ({SQL_NEW_BATCH}),
+ob AS (
+  SELECT LEAST(len(string_split(text, ' ')) // {PSI_WIDTH}, {PSI_BINS - 1}) AS bin
+  FROM documents
+),
+nb AS (
+  SELECT LEAST(len(string_split(text, ' ')) // {PSI_WIDTH}, {PSI_BINS - 1}) AS bin
+  FROM newb
+),
+oc AS (SELECT bin, COUNT(*) AS n_old FROM ob GROUP BY bin),
+ncnt AS (SELECT bin, COUNT(*) AS n_new FROM nb GROUP BY bin),
+tot AS (SELECT (SELECT COUNT(*) FROM ob) AS t_old, (SELECT COUNT(*) FROM nb) AS t_new),
+bins AS (SELECT unnest(generate_series(0, {PSI_BINS - 1})) AS bin)
+SELECT CAST(b.bin AS BIGINT) AS bin,
+       CAST(COALESCE(oc.n_old, 0) AS BIGINT) AS n_old,
+       CAST(COALESCE(ncnt.n_new, 0) AS BIGINT) AS n_new,
+       ROUND(
+         ((COALESCE(oc.n_old, 0) + 1) / CAST(t.t_old + {PSI_BINS} AS DOUBLE)
+          - (COALESCE(ncnt.n_new, 0) + 1) / CAST(t.t_new + {PSI_BINS} AS DOUBLE))
+         * ln(((COALESCE(oc.n_old, 0) + 1) * (t.t_new + {PSI_BINS}))
+              / CAST((COALESCE(ncnt.n_new, 0) + 1) * (t.t_old + {PSI_BINS}) AS DOUBLE)),
+         6) AS psi_contrib
+FROM bins b
+LEFT JOIN oc ON oc.bin = b.bin
+LEFT JOIN ncnt ON ncnt.bin = b.bin
+CROSS JOIN tot t
+""",
+)
+def q161_ingest_distribution_drift(spark, sf_dir):
+    """Population-stability-index drift between the stored corpus and an
+    ingest batch — the monitoring gate a continuous pipeline evaluates
+    alongside q122's dedup probe (PSI > 0.2 on the length distribution
+    means the new crawl slice is a different population; retune filters
+    before ingesting). Laplace-smoothed per-bin contributions
+    (p_a − p_b)·ln(p_a/p_b) computed from exact integer counts — the
+    single ln argument is a ratio of int64 products, bit-identical on
+    both engines before the one rounded multiply. Fixed bin edges
+    (width {PSI_WIDTH}, clamp to {PSI_BINS}), so the bin assignment is
+    pure projection; two scan-aggregates + a {PSI_BINS}-row assembly —
+    no shuffle larger than the bin domain."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    fresh = docs.where(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.reverse(F.col("text")).alias("text"),
+    )
+    newb = near.unionByName(fresh)
+
+    def binned(df):
+        return df.select(
+            F.least(
+                F.size(F.split("text", " ")) / F.lit(PSI_WIDTH),
+                F.lit(PSI_BINS - 1),
+            )
+            .cast("bigint")
+            .alias("bin")
+        )
+
+    spark_b = spark
+    oc = binned(docs).groupBy("bin").agg(cnt("n_old"))
+    ncnt = binned(newb).groupBy("bin").agg(cnt("n_new"))
+    t_old = binned(docs).agg(F.count(F.lit(1)).alias("t_old"))
+    t_new = binned(newb).agg(F.count(F.lit(1)).alias("t_new"))
+    bins = spark_b.range(PSI_BINS).select(F.col("id").alias("bin"))
+    no = F.coalesce("n_old", F.lit(0).cast("bigint"))
+    nn = F.coalesce("n_new", F.lit(0).cast("bigint"))
+    B = PSI_BINS
+    return (
+        bins.join(oc, "bin", "left")
+        .join(ncnt, "bin", "left")
+        .crossJoin(F.broadcast(t_old))
+        .crossJoin(F.broadcast(t_new))
+        .select(
+            "bin",
+            no.alias("n_old"),
+            nn.alias("n_new"),
+            F.round(
+                (
+                    (no + 1) / (F.col("t_old") + B).cast("double")
+                    - (nn + 1) / (F.col("t_new") + B).cast("double")
+                )
+                * F.log(
+                    ((no + 1) * (F.col("t_new") + B))
+                    / ((nn + 1) * (F.col("t_old") + B)).cast("double")
+                ),
+                6,
+            ).alias("psi_contrib"),
+        )
+    )
