@@ -83,6 +83,7 @@ _PRIORITY = (
     "q159_duplication_profile",
     "q160_source_vocab_overlap",
     "q161_ingest_distribution_drift",
+    "q162_media_content_dedup",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

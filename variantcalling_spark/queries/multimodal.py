@@ -168,3 +168,113 @@ def q103_audio_features(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return audio_features(attach_binary_payload(docs))
+
+
+MCD_H, MCD_W, MCD_C = 8, 8, 3
+MCD_GROUPS = 50
+MCD_DOCS = 200
+_MCD_XPPM_OFFSET = 14 + 24  # file header (14) + info-header offset of xppm
+
+
+def _mcd_pixel(g: str, y: str, x: str, c: str) -> str:
+    return f"(({g} * 7 + {y} * 13 + {x} * 5 + {c} * 31) % 256)"
+
+
+@query(
+    "q162_media_content_dedup",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, doc_id % {MCD_GROUPS} AS g FROM documents
+  WHERE doc_id < {MCD_DOCS}
+),
+keys AS (
+  SELECT doc_id, g,
+         md5(array_to_string(
+           [{_mcd_pixel("g", f"(i // {MCD_W * MCD_C})",
+                        f"((i % {MCD_W * MCD_C}) // {MCD_C})",
+                        f"(i % {MCD_C})")}
+            for i in generate_series(0, {MCD_H * MCD_W * MCD_C - 1})], '-'))
+           AS content_key
+  FROM d
+)
+SELECT content_key,
+       COUNT(*) AS n_files,
+       CAST(COUNT(DISTINCT doc_id % 3) AS BIGINT) AS n_byte_variants,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id
+FROM keys GROUP BY content_key
+""",
+)
+def q162_media_content_dedup(spark, sf_dir):
+    """CONTENT-level media dedup: files whose bytes differ (metadata
+    headers vary) but whose decoded pixels are identical collapse to
+    one canonical copy — the image-corpus analogue of near-dup text
+    (re-encoded/re-tagged crawl images are the common case; byte-hash
+    dedup misses them all). Pipeline: deterministic 8x8 RGB images
+    (content keyed to doc_id % {MCD_GROUPS}) are ENCODED to real
+    uncompressed BMPs with a doc-varying x-pixels-per-meter header
+    field, then DECODED back by the stdlib codec and grouped by the md5
+    of the canonical pixel string. The oracle reconstructs the pixel
+    strings arithmetically — so equality proves the BMP decode inverts
+    the encode for every byte of pixel data, engine-independently,
+    while n_byte_variants > 1 within groups proves the byte-level
+    hashes genuinely differed. Plan: two Arrow mapInPandas stages
+    (encode, decode+canonicalize) with zero shuffle until the final
+    content-key groupBy."""
+    import pandas as pd
+
+    from variantcalling_spark.operators.media_codecs import decode_bmp, encode_bmp
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < MCD_DOCS)
+    )
+
+    def encode(batches):
+        import numpy as np
+        import struct
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                g = int(doc_id) % MCD_GROUPS
+                y, x, c = np.meshgrid(
+                    np.arange(MCD_H), np.arange(MCD_W), np.arange(MCD_C),
+                    indexing="ij",
+                )
+                img = ((g * 7 + y * 13 + x * 5 + c * 31) % 256).astype("uint8")
+                raw = bytearray(encode_bmp(img))
+                # metadata-only byte variation: x pixels-per-meter
+                struct.pack_into("<i", raw, _MCD_XPPM_OFFSET, 2835 + int(doc_id) % 3)
+                out.append(bytes(raw))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": out})
+
+    media = base.mapInPandas(encode, schema="doc_id long, content binary")
+
+    def decode(batches):
+        for pdf in batches:
+            keys = [
+                "-".join(str(v) for v in decode_bmp(content).flatten())
+                for content in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "pixel_str": keys,
+                 "content": pdf["content"]}
+            )
+
+    decoded = media.mapInPandas(
+        decode, schema="doc_id long, pixel_str string, content binary"
+    )
+    return (
+        decoded.select(
+            "doc_id",
+            F.md5(F.encode("pixel_str", "utf-8")).alias("content_key"),
+            F.md5("content").alias("byte_key"),
+        )
+        .groupBy("content_key")
+        .agg(
+            cnt("n_files"),
+            F.count_distinct("byte_key").cast("bigint").alias("n_byte_variants"),
+            F.min("doc_id").cast("bigint").alias("keep_id"),
+        )
+    )
