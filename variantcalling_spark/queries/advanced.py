@@ -1435,6 +1435,10 @@ def segmented_replay_rescue(fp, fn, gap: int = REPLAY_GAP):
         F.sort_array(F.collect_list(F.struct("pos", "e", "alt"))).alias("arr"),
         F.max("e").alias("max_e"),
     )
+    # persist: the signature table feeds BOTH sides of the match
+    # self-join, and `matched` feeds both rescue outputs — without the
+    # persist each of the four consumers re-runs the whole
+    # bounds-join + collect_list + assembly chain (segd alone is cached)
     sigs = grouped.select(
         "chrom",
         "seg",
@@ -1442,7 +1446,7 @@ def segmented_replay_rescue(fp, fn, gap: int = REPLAY_GAP):
         _assemble_sig(
             F.col("arr"), F.col("lo"), F.col("hi"), F.col("max_e")
         ).alias("sig"),
-    )
+    ).transform(managed_persist)
     matched = (
         sigs.where(F.col("side") == "fp")
         .select("chrom", "seg", "sig")
@@ -1454,6 +1458,7 @@ def segmented_replay_rescue(fp, fn, gap: int = REPLAY_GAP):
         )
         .where(F.col("sig") == F.col("sig_fn"))
         .select("chrom", "seg")
+        .transform(managed_persist)
     )
     out = []
     for side in ("fp", "fn"):
@@ -1697,13 +1702,37 @@ def diplotype_replay_rescue(fp, fn, tp, gap: int = REPLAY_GAP):
     bounds = segd.groupBy("chrom", "seg").agg(
         F.min("pos").alias("lo"), F.max("e").alias("hi")
     )
+    # anchor-TP -> segment assignment is a point-in-interval join on
+    # the gap-widened segment windows. NOT a chrom-keyed join + range
+    # filter: chrom alone has a handful of values, so that shape
+    # degenerates to a per-chrom cross product (|tp| x |segments/chrom|
+    # pairs - measured 20s at sf0.1, the whole query's cost). The
+    # bucketed equi-join pairs each TP with only the segments whose
+    # windows share its bucket; the residual end-containment predicate
+    # then filters exactly (pos+len(ref) <= whi implies pos < whi, so
+    # the half-open point test loses nothing).
+    from variantcalling_spark.operators.interval_join import (
+        auto_bucketed_point_in_interval_join,
+    )
+
+    iv = bounds.select(
+        "chrom",
+        "seg",
+        (F.col("lo") - gap).alias("wlo"),
+        (F.col("hi") + gap).alias("whi"),
+    )
     tp_seg = (
-        tp.join(F.broadcast(bounds), "chrom")
-        .where(
-            (F.col("pos") >= F.col("lo") - gap)
-            & (F.col("pos") + F.length("ref") <= F.col("hi") + gap)
+        auto_bucketed_point_in_interval_join(
+            tp.select("chrom", "pos", "ref", "alt", "gt"),
+            iv,
+            "pos",
+            keys=["chrom"],
+            start_col="wlo",
+            end_col="whi",
         )
+        .where(F.col("pos") + F.length("ref") <= F.col("whi"))
         .select("chrom", "seg", "pos", "ref", "alt", "gt")
+        .transform(managed_persist)
     )
     ext = tp_seg.groupBy("chrom", "seg").agg(
         F.min("pos").alias("tmin"),
@@ -1717,8 +1746,12 @@ def diplotype_replay_rescue(fp, fn, tp, gap: int = REPLAY_GAP):
             F.least("lo", F.coalesce("tmin", "lo")).alias("lo"),
             F.greatest("hi", F.coalesce("tmax", "hi")).alias("hi"),
         )
+        # tp_seg/bounds2/sides each feed TWO consumers below (ext+recs,
+        # happed+domain, recs+domain): persist or every branch re-runs
+        # the anchor-assignment join
+        .transform(managed_persist)
     )
-    sides = segd.select("chrom", "seg", "side").distinct()
+    sides = segd.select("chrom", "seg", "side").distinct().transform(managed_persist)
     recs = segd.select("chrom", "seg", "side", "pos", "ref", "alt", "gt").unionByName(
         tp_seg.join(sides, ["chrom", "seg"]).select(
             "chrom", "seg", "side", "pos", "ref", "alt", "gt"
@@ -1772,7 +1805,7 @@ def diplotype_replay_rescue(fp, fn, tp, gap: int = REPLAY_GAP):
     )
     pairs = sigs.groupBy("chrom", "seg", "side").agg(
         F.min("sig").alias("sig_lo"), F.max("sig").alias("sig_hi")
-    )
+    ).transform(managed_persist)
     matched = (
         pairs.where(F.col("side") == "fp")
         .select("chrom", "seg", "sig_lo", "sig_hi")
@@ -1784,6 +1817,7 @@ def diplotype_replay_rescue(fp, fn, tp, gap: int = REPLAY_GAP):
         )
         .where((F.col("sig_lo") == F.col("flo")) & (F.col("sig_hi") == F.col("fhi")))
         .select("chrom", "seg")
+        .transform(managed_persist)
     )
     out = []
     for side in ("fp", "fn"):
