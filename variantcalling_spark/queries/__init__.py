@@ -84,6 +84,7 @@ _PRIORITY = (
     "q160_source_vocab_overlap",
     "q161_ingest_distribution_drift",
     "q162_media_content_dedup",
+    "q163_weighted_quantiles",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

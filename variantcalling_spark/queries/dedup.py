@@ -1452,3 +1452,90 @@ def q161_ingest_distribution_drift(spark, sf_dir):
             ).alias("psi_contrib"),
         )
     )
+
+
+WQ_SCALE = 1_000_000
+
+
+@query(
+    "q163_weighted_quantiles",
+    oracle=f"""
+WITH corpus AS ({SQL_CORPUS}),
+cs AS (
+  SELECT doc_id, text, COUNT(*) OVER (PARTITION BY md5(text)) AS cluster_size
+  FROM corpus
+),
+w AS (
+  SELECT c.doc_id,
+         d.source,
+         CAST(len(string_split(c.text, ' ')) AS BIGINT) AS value,
+         CAST({WQ_SCALE} // c.cluster_size AS BIGINT) AS wt
+  FROM cs c JOIN documents d ON d.doc_id = c.doc_id % 100000
+),
+cum AS (
+  SELECT source, doc_id, value, wt,
+         SUM(wt) OVER (PARTITION BY source ORDER BY value, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+         SUM(wt) OVER (PARTITION BY source) AS totw
+  FROM w
+)
+SELECT source,
+       CAST(MAX(totw) AS BIGINT) AS total_weight,
+       CAST(MIN(CASE WHEN cumw * 2 >= totw THEN value END) AS BIGINT) AS w_median,
+       CAST(MIN(CASE WHEN cumw * 10 >= totw * 9 THEN value END) AS BIGINT) AS w_p90
+FROM cum GROUP BY source
+""",
+)
+def q163_weighted_quantiles(spark, sf_dir):
+    """Weighted quantiles under soft dedup — the statistic that makes
+    q150's duplicate-discounted weights actionable: per source, the
+    length distribution where each exact-dup cluster contributes ONE
+    document's mass total (a boilerplate page duplicated 200x no longer
+    drags the corpus median). Integer micro-weights
+    ({WQ_SCALE} DIV cluster_size) keep every cumulative sum and the
+    threshold tests (cumw*2 >= tot, cumw*10 >= 9*tot — no division)
+    bigint-exact with a deterministic (value, doc_id) accumulation
+    order, so the quantile picks are bit-reproducible cross-engine.
+    Plan: one md5 window for cluster sizes, one ordered window per
+    source for the cumulative weight, one aggregate — the canonical
+    distributed weighted-quantile shape (at petabyte scale the ordered
+    window swaps for the q44 histogram-bucket two-phase form)."""
+    from pyspark.sql import Window as W
+
+    c = corpus(spark, sf_dir)
+    cs = c.withColumn(
+        "cluster_size",
+        F.count(F.lit(1)).over(W.partitionBy(F.md5("text"))),
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("orig_id"), "source"
+    )
+    w = (
+        cs.withColumn("orig_id", F.col("doc_id") % 100000)
+        .join(docs, "orig_id")
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).cast("bigint").alias("value"),
+            F.expr(f"CAST({WQ_SCALE} DIV cluster_size AS BIGINT)").alias("wt"),
+        )
+    )
+    wo = W.partitionBy("source").orderBy("value", "doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wt_all = W.partitionBy("source")
+    cum = w.select(
+        "source",
+        "value",
+        F.sum("wt").over(wo).alias("cumw"),
+        F.sum("wt").over(wt_all).alias("totw"),
+    )
+    return cum.groupBy("source").agg(
+        F.max("totw").cast("bigint").alias("total_weight"),
+        F.min(F.when(F.col("cumw") * 2 >= F.col("totw"), F.col("value")))
+        .cast("bigint")
+        .alias("w_median"),
+        F.min(F.when(F.col("cumw") * 10 >= F.col("totw") * 9, F.col("value")))
+        .cast("bigint")
+        .alias("w_p90"),
+    )
