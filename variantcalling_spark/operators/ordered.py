@@ -131,3 +131,116 @@ def histogram_percentiles(
             ).alias(name)
         )
     return cdf.groupBy(*group_cols).agg(*aggs)
+
+
+def weighted_quantile_windowed(
+    w: DataFrame,
+    quantiles: list[tuple[int, int]],
+    group_cols: list[str],
+    value_col: str = "value",
+    weight_col: str = "wt",
+    tie_col: str = "doc_id",
+) -> DataFrame:
+    """Exact weighted quantiles via one ordered window per group (the
+    q163 shape): for each (num, den) pick the min value whose ordered
+    cumulative weight satisfies cumw*den >= tot*num. Integer weights +
+    deterministic (value, tie) order make every pick bit-reproducible.
+    Right while per-group row counts fit a task's sort."""
+    wo = (
+        W.partitionBy(*group_cols)
+        .orderBy(value_col, tie_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wt_all = W.partitionBy(*group_cols)
+    cum = w.select(
+        *group_cols,
+        value_col,
+        F.sum(weight_col).over(wo).alias("__cumw"),
+        F.sum(weight_col).over(wt_all).alias("__totw"),
+    )
+    aggs = [F.max("__totw").cast("bigint").alias("total_weight")]
+    for num, den in quantiles:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("__cumw") * den >= F.col("__totw") * num, F.col(value_col)
+                )
+            )
+            .cast("bigint")
+            .alias(f"q{num}_{den}")
+        )
+    return cum.groupBy(*group_cols).agg(*aggs)
+
+
+def weighted_quantile_bucketed(
+    w: DataFrame,
+    quantiles: list[tuple[int, int]],
+    group_cols: list[str],
+    value_col: str = "value",
+    weight_col: str = "wt",
+    tie_col: str = "doc_id",
+    bucket_width: int = 16,
+) -> DataFrame:
+    """``weighted_quantile_windowed`` decomposed for petabyte groups —
+    the two-phase form q163's docstring promises (same recipe as
+    ``histogram_percentiles`` and the pileup two-level cumsum):
+
+    1. per-(group, value-bucket) weight sums — map-side combinable, ONE
+       full-data shuffle sized by the bucket domain, never a full-group
+       sort;
+    2. bucket-level prefix sums over the TINY bucket relation find the
+       crossing bucket for each quantile;
+    3. only the crossing bucket's rows are re-scanned (equi-join on
+       (group, bucket)) with a bucket-LOCAL ordered window — each
+       window covers one bucket's rows, so no task ever sorts a whole
+       group.
+
+    Output equality with the windowed form is pinned in tests (same
+    thresholds, same (value, tie) order, integer arithmetic
+    throughout)."""
+    wb = w.withColumn("__bk", F.expr(f"{value_col} DIV {bucket_width}"))
+    b = wb.groupBy(*group_cols, "__bk").agg(F.sum(weight_col).alias("__bw"))
+    wo_b = W.partitionBy(*group_cols).orderBy("__bk")
+    b = b.select(
+        *group_cols,
+        "__bk",
+        (F.sum("__bw").over(wo_b.rowsBetween(W.unboundedPreceding, 0)) - F.col("__bw"))
+        .alias("__pre"),
+        F.sum("__bw").over(wo_b.rowsBetween(W.unboundedPreceding, 0)).alias("__cumb"),
+        F.sum("__bw")
+        .over(W.partitionBy(*group_cols))
+        .alias("__totw"),
+    )
+    out = None
+    for num, den in quantiles:
+        crossing = (
+            b.where(F.col("__cumb") * den >= F.col("__totw") * num)
+            .groupBy(*group_cols)
+            .agg(
+                F.min("__bk").alias("__bk"),
+                F.max("__totw").alias("__totw"),
+            )
+            .join(
+                b.select(*group_cols, "__bk", "__pre"), [*group_cols, "__bk"]
+            )
+        )
+        local = W.partitionBy(*group_cols, "__bk").orderBy(
+            value_col, tie_col
+        ).rowsBetween(W.unboundedPreceding, 0)
+        picked = (
+            wb.join(crossing, [*group_cols, "__bk"])
+            .withColumn("__cumw", F.col("__pre") + F.sum(weight_col).over(local))
+            .where(F.col("__cumw") * den >= F.col("__totw") * num)
+            .groupBy(*group_cols)
+            .agg(
+                F.max("__totw").cast("bigint").alias("total_weight"),
+                F.min(value_col).cast("bigint").alias(f"q{num}_{den}"),
+            )
+        )
+        if out is None:
+            out = picked
+        else:
+            out = out.join(
+                picked.drop("total_weight"), group_cols, "inner"
+            )
+    return out

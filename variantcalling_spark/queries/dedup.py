@@ -1498,8 +1498,10 @@ def q163_weighted_quantiles(spark, sf_dir):
     order, so the quantile picks are bit-reproducible cross-engine.
     Plan: one md5 window for cluster sizes, one ordered window per
     source for the cumulative weight, one aggregate — the canonical
-    distributed weighted-quantile shape (at petabyte scale the ordered
-    window swaps for the q44 histogram-bucket two-phase form)."""
+    distributed weighted-quantile shape. At petabyte group sizes swap
+    in ``operators/ordered.py::weighted_quantile_bucketed`` (the
+    histogram-bucket two-phase decomposition; output equality with
+    this windowed form is pinned in tests/test_ordered.py)."""
     from pyspark.sql import Window as W
 
     c = corpus(spark, sf_dir)
