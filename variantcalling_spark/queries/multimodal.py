@@ -278,3 +278,113 @@ def q162_media_content_dedup(spark, sf_dir):
             F.min("doc_id").cast("bigint").alias("keep_id"),
         )
     )
+
+
+ACD_N = 32
+ACD_GROUPS = 40
+ACD_DOCS = 160
+
+
+def _acd_sample(g: str, i: str) -> str:
+    return f"((({g}) * 31 + ({i}) * 17) % 2048 - 1024)"
+
+
+@query(
+    "q164_audio_content_dedup",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, doc_id % {ACD_GROUPS} AS g FROM documents
+  WHERE doc_id < {ACD_DOCS}
+),
+keys AS (
+  SELECT doc_id, g,
+         md5(array_to_string(
+           [{_acd_sample("g", "i")} for i in generate_series(0, {ACD_N - 1})],
+           '-')) AS content_key
+  FROM d
+)
+SELECT content_key,
+       COUNT(*) AS n_files,
+       CAST(COUNT(DISTINCT doc_id % 3) AS BIGINT) AS n_byte_variants,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id
+FROM keys GROUP BY content_key
+""",
+)
+def q164_audio_content_dedup(spark, sf_dir):
+    """q162's content-level dedup for AUDIO: WAV files whose bytes
+    differ (a LIST/INFO metadata chunk carries a per-file tag — the
+    re-tagged-download case) but whose PCM samples are identical
+    collapse to one canonical copy. The encode side writes real
+    RIFF/WAVE PCM-16 via the stdlib codec, then splices a well-formed
+    LIST chunk between fmt and data (RIFF size patched); the decode
+    side's chunk walker skips it, recovering the exact int16 samples,
+    which hash to the content key. The oracle rebuilds the sample
+    sequence arithmetically, so the green hash proves WAV decode
+    inverts encode through foreign metadata chunks — the second codec
+    of the family, same two-mapInPandas zero-pre-shuffle plan."""
+    import pandas as pd
+
+    from variantcalling_spark.operators.media_codecs import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < ACD_DOCS)
+    )
+
+    def encode(batches):
+        import struct
+
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                g = int(doc_id) % ACD_GROUPS
+                i = np.arange(ACD_N)
+                samples = ((g * 31 + i * 17) % 2048 - 1024).astype("int16")
+                raw = encode_wav_pcm16(samples)
+                # splice a LIST/INFO chunk after fmt (ends at byte 36 in
+                # the stdlib writer's fixed layout); readers skip it
+                tag = f"tag{int(doc_id) % 3}".encode()
+                payload = b"INFO" + tag + b"\0" * (len(tag) % 2)
+                chunk = b"LIST" + struct.pack("<I", len(payload)) + payload
+                patched = bytearray(raw[:36] + chunk + raw[36:])
+                struct.pack_into(
+                    "<I", patched, 4, struct.unpack_from("<I", raw, 4)[0] + len(chunk)
+                )
+                out.append(bytes(patched))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": out})
+
+    media = base.mapInPandas(encode, schema="doc_id long, content binary")
+
+    def decode(batches):
+        for pdf in batches:
+            keys = []
+            for content in pdf["content"]:
+                samples, _rate = decode_wav_pcm16(content)
+                keys.append("-".join(str(int(v)) for v in samples))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "sample_str": keys,
+                 "content": pdf["content"]}
+            )
+
+    decoded = media.mapInPandas(
+        decode, schema="doc_id long, sample_str string, content binary"
+    )
+    return (
+        decoded.select(
+            "doc_id",
+            F.md5(F.encode("sample_str", "utf-8")).alias("content_key"),
+            F.md5("content").alias("byte_key"),
+        )
+        .groupBy("content_key")
+        .agg(
+            cnt("n_files"),
+            F.count_distinct("byte_key").cast("bigint").alias("n_byte_variants"),
+            F.min("doc_id").cast("bigint").alias("keep_id"),
+        )
+    )
