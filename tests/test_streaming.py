@@ -487,3 +487,60 @@ def test_streaming_ingest_dedup_probe_equals_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_streaming_psi_monitor_foreachbatch(spark, tmp_path):
+    """foreachBatch drift monitor: two parquet files arrive as two
+    micro-batches (maxFilesPerTrigger=1); each batch's PSI against the
+    stored corpus histogram must equal the same function computed in
+    plain batch mode over that file — and the drifted batch (reversed
+    half-length docs) must score strictly higher drift than the
+    same-distribution batch."""
+    import time as _time
+
+    from variantcalling_spark.streaming.psi_monitor import (
+        batch_psi,
+        corpus_histogram,
+        monitor_stream,
+    )
+
+    docs = (
+        spark.read.parquet(os.path.join(SF, "documents.parquet"))
+        .select("doc_id", "text")
+    )
+    hist = corpus_histogram(docs)
+    hist_dir = str(tmp_path / "hist")
+    hist.write.mode("overwrite").parquet(hist_dir)
+    hist = spark.read.parquet(hist_dir)
+
+    same = docs.where(F.col("doc_id") % 7 == 0)
+    drifted = docs.where(F.col("doc_id") % 7 == 3).select(
+        "doc_id",
+        F.expr("substr(text, 1, CAST(length(text) / 2 AS INT))").alias("text"),
+    )
+    in_dir = str(tmp_path / "psi_in")
+    same.coalesce(1).write.mode("append").parquet(in_dir)
+    _time.sleep(1.1)
+    drifted.coalesce(1).write.mode("append").parquet(in_dir)
+
+    expected = {
+        (same.count(), batch_psi(same, hist)),
+        (drifted.count(), batch_psi(drifted, hist)),
+    }
+
+    sink: list = []
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = monitor_stream(stream, hist, sink)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert {(n, psi) for _bid, n, psi in sink} == expected
+    assert len(sink) == 2
+    psi_same = batch_psi(same, hist)
+    psi_drift = batch_psi(drifted, hist)
+    assert psi_drift > psi_same
