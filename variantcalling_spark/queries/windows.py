@@ -405,3 +405,102 @@ def q156_gap_interpolation(spark, sf_dir):
             6,
         ).alias("value"),
     )
+
+
+@query(
+    "q165_groupwise_ols_trend",
+    oracle=f"""
+WITH pts AS (
+  SELECT user_id % 5 AS grp,
+         CAST(epoch_us(ts) // {HOUR_US_Q156} AS BIGINT) AS x,
+         CAST(SUM(CAST(value AS DECIMAL(14,2))) * 100 AS BIGINT) AS yc
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT grp, MIN(x) AS x0 FROM pts GROUP BY grp),
+z AS (
+  SELECT p.grp, p.x - b.x0 AS x, p.yc
+  FROM pts p JOIN b USING (grp)
+),
+s AS (
+  SELECT grp,
+         COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(yc) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * yc) AS BIGINT) AS sxy,
+         CAST(SUM(yc * yc) AS BIGINT) AS syy
+  FROM z GROUP BY grp
+)
+, h AS (
+  SELECT grp, n,
+         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS det,
+         CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS inum,
+         CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS vary
+  FROM s
+)
+SELECT grp, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(num AS DOUBLE) / (100.0 * CAST(det AS DOUBLE)), 6) AS slope,
+       ROUND(CAST(inum AS DOUBLE) / (100.0 * CAST(det AS DOUBLE)), 6)
+         AS intercept,
+       ROUND(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+             / (CAST(det AS DOUBLE) * CAST(vary AS DOUBLE)), 6) AS r2
+FROM h
+""",
+)
+def q165_groupwise_ols_trend(spark, sf_dir):
+    """Per-group ordinary-least-squares trend line — the QC regression
+    behind 'is coverage drifting along the flow cell / is activity
+    trending' dashboards: slope, intercept, and R² of the hourly value
+    series per group, EXACT from sufficient statistics. All five OLS
+    sums (Σx, Σy, Σx², Σxy, Σy²) accumulate as BIGINTs (x re-based per
+    group so x² sums stay small; y in exact cents via the DECIMAL
+    aggregate ×100), so the closed-form slope/intercept/R² are single
+    rounded divisions of integer-valued terms — no float summation
+    order anywhere, the same discipline as q152/q153. Plan: the hourly
+    rollup groupBy, a per-group min join (broadcast-tiny), one
+    sufficient-stats groupBy — map-side combinable throughout; the
+    regression itself is a projection. At 100 TB this is the canonical
+    'reduce to sufficient statistics' shape — no point ever pairs with
+    another point."""
+    # cents stay on the DECIMAL path end to end: a *100-via-double
+    # detour would truncate on Spark but round on DuckDB for values the
+    # binary fraction cannot represent (measured: sy off by 49 cents)
+    pts = (
+        events_points(spark, sf_dir)
+        .groupBy("grp", F.expr(f"ts_us DIV {HOUR_US_Q156}").alias("x"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(14,2)")) * 100)
+            .cast("bigint")
+            .alias("yc")
+        )
+    )
+    b = pts.groupBy("grp").agg(F.min("x").alias("x0"))
+    z = pts.join(F.broadcast(b), "grp").select(
+        "grp", (F.col("x") - F.col("x0")).alias("x"), "yc"
+    )
+    s = z.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("yc").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("yc")).cast("bigint").alias("sxy"),
+        F.sum(F.col("yc") * F.col("yc")).cast("bigint").alias("syy"),
+    )
+    D = "decimal(38,0)"
+    n, sx, sy = F.col("n").cast(D), F.col("sx").cast(D), F.col("sy").cast(D)
+    sxx, sxy, syy = F.col("sxx").cast(D), F.col("sxy").cast(D), F.col("syy").cast(D)
+    # exact wide arithmetic (decimal128 here, HUGEINT in the oracle);
+    # the exact integer-valued terms cast to double identically on both
+    # engines, so the single rounded divisions match bit-for-bit
+    det = (n * sxx - sx * sx).cast("double")
+    num = (n * sxy - sx * sy).cast("double")
+    inum = (sy * sxx - sx * sxy).cast("double")
+    vary = (n * syy - sy * sy).cast("double")
+    return s.select(
+        "grp",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(num / (100.0 * det), 6).alias("slope"),
+        F.round(inum / (100.0 * det), 6).alias("intercept"),
+        F.round(num * num / (det * vary), 6).alias("r2"),
+    )
