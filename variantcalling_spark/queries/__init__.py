@@ -87,6 +87,7 @@ _PRIORITY = (
     "q163_weighted_quantiles",
     "q164_audio_content_dedup",
     "q165_groupwise_ols_trend",
+    "q166_chi2_independence",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

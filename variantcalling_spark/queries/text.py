@@ -1597,3 +1597,74 @@ def q160_source_vocab_overlap(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+CHI_BUCKET_W = 20
+CHI_BUCKETS = 5
+
+
+@query(
+    "q166_chi2_independence",
+    oracle=f"""
+WITH d AS (
+  SELECT lang,
+         LEAST(len(string_split(text, ' ')) // {CHI_BUCKET_W}, {CHI_BUCKETS - 1})
+           AS bucket
+  FROM documents
+),
+o AS (SELECT lang, bucket, COUNT(*) AS obs FROM d GROUP BY lang, bucket),
+r AS (SELECT lang, COUNT(*) AS row_n FROM d GROUP BY lang),
+c AS (SELECT bucket, COUNT(*) AS col_n FROM d GROUP BY bucket),
+t AS (SELECT COUNT(*) AS n FROM d)
+SELECT o.lang, CAST(o.bucket AS BIGINT) AS bucket, o.obs, r.row_n, c.col_n,
+       CAST((o.obs * t.n - r.row_n * c.col_n)
+            * (o.obs * t.n - r.row_n * c.col_n) AS BIGINT) AS contrib_num,
+       CAST(t.n * r.row_n * c.col_n AS BIGINT) AS contrib_den,
+       ROUND((o.obs * t.n - r.row_n * c.col_n)
+             * (o.obs * t.n - r.row_n * c.col_n)
+             / CAST(t.n * r.row_n * c.col_n AS DOUBLE), 6) AS contrib
+FROM o JOIN r USING (lang) JOIN c USING (bucket) CROSS JOIN t
+""",
+)
+def q166_chi2_independence(spark, sf_dir):
+    """Chi-square test of independence between language and document-
+    length bucket — the contingency-table follow-up to q14 (which
+    builds the table; this grades it): is length distribution
+    independent of language, or does one slice need its own filter
+    thresholds? EXACT per-cell contributions via the same rational
+    discipline as q153's HWE: (O·N − r·c)² over N·r·c stays in
+    bigints, one rounded quotient per cell, Σ contrib_num/contrib_den
+    = χ² with (R−1)(C−1) df. Plan: one scan to (lang, bucket), three
+    map-side-combinable aggregates, broadcast margins, a 1-row total —
+    the observation table never re-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.least(
+            F.size(F.split("text", " ")) / F.lit(CHI_BUCKET_W),
+            F.lit(CHI_BUCKETS - 1),
+        )
+        .cast("bigint")
+        .alias("bucket"),
+    ).transform(managed_persist)
+    o = d.groupBy("lang", "bucket").agg(cnt("obs"))
+    r = d.groupBy("lang").agg(cnt("row_n"))
+    c = d.groupBy("bucket").agg(cnt("col_n"))
+    t = d.agg(F.count(F.lit(1)).alias("n"))
+    dev = F.col("obs") * F.col("n") - F.col("row_n") * F.col("col_n")
+    den = F.col("n") * F.col("row_n") * F.col("col_n")
+    return (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "bucket")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "bucket",
+            "obs",
+            "row_n",
+            "col_n",
+            (dev * dev).cast("bigint").alias("contrib_num"),
+            den.cast("bigint").alias("contrib_den"),
+            F.round((dev * dev) / den.cast("double"), 6).alias("contrib"),
+        )
+    )
