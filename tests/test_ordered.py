@@ -59,3 +59,36 @@ def test_weighted_quantile_bucketed_equals_windowed(spark):
             ).collect()
         }
         assert a == bkt and a
+
+
+def test_q167_auc_matches_naive_pairwise(spark):
+    """The histogram Mann-Whitney AUC must equal the O(n^2) definition
+    (P(score_pos > score_neg) + 0.5*P(tie)) computed naively per
+    contig on the driver."""
+    from collections import defaultdict
+
+    from variantcalling_spark.queries import all_queries
+
+    got = {
+        r.chrom: (r.n_pos, r.n_neg, r.auc_num, r.auc_den)
+        for r in all_queries()["q167_exact_auc"].fn(spark, SF).collect()
+    }
+    assert got
+
+    from variantcalling_spark.queries.pipelines_q import _cohort_calls
+
+    rows = _cohort_calls(spark, SF).collect()
+    by_chrom = defaultdict(lambda: ([], []))
+    for r in rows:
+        by_chrom[r.chrom][0 if r.gt > 0 else 1].append(r.gq)
+    for chrom, (pos, neg) in by_chrom.items():
+        if not pos or not neg:
+            assert chrom not in got
+            continue
+        wins = sum(1 for p in pos for q in neg if p > q)
+        ties = sum(1 for p in pos for q in neg if p == q)
+        np_, nn_, num, den = got[chrom]
+        assert (np_, nn_) == (len(pos), len(neg))
+        # auc = (wins + ties/2) / (np*nn)  ==  num/den with den=2*np*nn
+        assert num == 2 * wins + ties, chrom
+        assert den == 2 * len(pos) * len(neg)

@@ -88,6 +88,7 @@ _PRIORITY = (
     "q164_audio_content_dedup",
     "q165_groupwise_ols_trend",
     "q166_chi2_independence",
+    "q167_exact_auc",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

@@ -1249,3 +1249,100 @@ def q155_site_frequency_spectrum(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "q167_exact_auc",
+    oracle=f"""
+WITH calls AS ({SQL_COHORT_CALLS}),
+lab AS (
+  SELECT chrom, gq AS score, CASE WHEN gt > 0 THEN 1 ELSE 0 END AS y
+  FROM calls
+),
+h AS (
+  SELECT chrom, score,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(1 - y) AS BIGINT) AS n_neg
+  FROM lab GROUP BY chrom, score
+),
+rk AS (
+  SELECT chrom, score, n_pos, n_neg,
+         COALESCE(SUM(n_pos + n_neg) OVER (PARTITION BY chrom ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM h
+),
+u AS (
+  SELECT chrom,
+         CAST(SUM(n_pos) AS BIGINT) AS np,
+         CAST(SUM(n_neg) AS BIGINT) AS nn,
+         CAST(SUM(n_pos * (2 * below + n_pos + n_neg + 1)) AS BIGINT) AS r2sum
+  FROM rk GROUP BY chrom
+)
+SELECT chrom, np AS n_pos, nn AS n_neg,
+       CAST(r2sum - np * (np + 1) AS BIGINT) AS auc_num,
+       CAST(2 * np * nn AS BIGINT) AS auc_den,
+       ROUND((r2sum - np * (np + 1)) / CAST(2 * np * nn AS DOUBLE), 6) AS auc
+FROM u WHERE np > 0 AND nn > 0
+""",
+)
+def q167_exact_auc(spark, sf_dir):
+    """Exact ROC-AUC per contig via the score-histogram form — the
+    metric behind every 'does GQ separate carriers from non-carriers'
+    calibration check, computed the only way that scales: aggregate to
+    per-(group, score) positive/negative counts FIRST (map-side
+    combinable; the shuffle is score-domain-sized, never row-sized),
+    then average tie ranks over the tiny histogram: a tie group
+    spanning ranks [below+1, below+cnt] contributes
+    n_pos·(2·below+cnt+1) to the doubled rank sum, so
+    AUC = (Σ2r − n⁺(n⁺+1)) / (2·n⁺·n⁻) stays a bigint rational with
+    one rounded division (Mann-Whitney U with tie correction, exact —
+    no per-row global sort anywhere). Numerator/denominator are
+    returned alongside so downstream micro/macro averaging stays
+    exact."""
+    calls = _cohort_calls(spark, sf_dir)
+    lab = calls.select(
+        "chrom",
+        F.col("gq").alias("score"),
+        F.when(F.col("gt") > 0, 1).otherwise(0).alias("y"),
+    )
+    h = lab.groupBy("chrom", "score").agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("n_neg"),
+    )
+    from pyspark.sql import Window as W
+
+    wb = (
+        W.partitionBy("chrom")
+        .orderBy("score")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    rk = h.withColumn(
+        "below",
+        F.coalesce(
+            F.sum(F.col("n_pos") + F.col("n_neg")).over(wb),
+            F.lit(0).cast("bigint"),
+        ),
+    )
+    u = rk.groupBy("chrom").agg(
+        F.sum("n_pos").cast("bigint").alias("np"),
+        F.sum("n_neg").cast("bigint").alias("nn"),
+        F.sum(
+            F.col("n_pos")
+            * (2 * F.col("below") + F.col("n_pos") + F.col("n_neg") + 1)
+        )
+        .cast("bigint")
+        .alias("r2sum"),
+    )
+    num = F.col("r2sum") - F.col("np") * (F.col("np") + 1)
+    den = 2 * F.col("np") * F.col("nn")
+    return (
+        u.where((F.col("np") > 0) & (F.col("nn") > 0))
+        .select(
+            "chrom",
+            F.col("np").alias("n_pos"),
+            F.col("nn").alias("n_neg"),
+            num.cast("bigint").alias("auc_num"),
+            den.cast("bigint").alias("auc_den"),
+            F.round(num / den.cast("double"), 6).alias("auc"),
+        )
+    )
