@@ -89,6 +89,7 @@ _PRIORITY = (
     "q165_groupwise_ols_trend",
     "q166_chi2_independence",
     "q167_exact_auc",
+    "q168_vocab_entropy",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

@@ -1668,3 +1668,59 @@ def q166_chi2_independence(spark, sf_dir):
             F.round((dev * dev) / den.cast("double"), 6).alias("contrib"),
         )
     )
+
+
+@query(
+    "q168_vocab_entropy",
+    oracle="""
+WITH w AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+),
+c AS (SELECT source, word, COUNT(*) AS cnt FROM w GROUP BY source, word),
+t AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot, COUNT(*) AS vocab
+      FROM c GROUP BY source)
+SELECT c.source,
+       CAST(MAX(t.vocab) AS BIGINT) AS vocab_size,
+       MAX(t.tot) AS total_tokens,
+       CAST(SUM(CAST(ROUND(
+         (c.cnt / CAST(t.tot AS DOUBLE)) * ln(CAST(t.tot AS DOUBLE) / c.cnt),
+         9) AS DECIMAL(18,9))) AS DOUBLE) AS entropy_nats
+FROM c JOIN t ON t.source = c.source
+GROUP BY c.source
+""",
+)
+def q168_vocab_entropy(spark, sf_dir):
+    """Unigram vocabulary entropy per source — the information-density
+    dial (low entropy = templated/boilerplate slice, high = diverse
+    prose) that complements q154's distinct-n ratios. The float reduce
+    is made ORDER-INDEPENDENT: each word's contribution
+    p·ln(1/p) is computed from exact integer ratios (identical doubles
+    on both engines), rounded to 9 places, and summed as
+    DECIMAL(18,9) — so the entropy total is bit-reproducible no matter
+    how partitions combine, the same trick the money aggregates use.
+    Plan: one (source, word) count — the only vocab-sized shuffle —
+    then a broadcast per-source total and one DECIMAL aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("source", "word")
+        .agg(cnt("cnt"))
+    )
+    t = c.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    contrib = F.round(
+        (F.col("cnt") / F.col("tot").cast("double"))
+        * F.log(F.col("tot").cast("double") / F.col("cnt")),
+        9,
+    ).cast("decimal(18,9)")
+    return (
+        c.join(F.broadcast(t), "source")
+        .groupBy("source")
+        .agg(
+            F.max("vocab").cast("bigint").alias("vocab_size"),
+            F.max("tot").alias("total_tokens"),
+            F.sum(contrib).cast("double").alias("entropy_nats"),
+        )
+    )
