@@ -92,3 +92,45 @@ def test_q167_auc_matches_naive_pairwise(spark):
         # auc = (wins + ties/2) / (np*nn)  ==  num/den with den=2*np*nn
         assert num == 2 * wins + ties, chrom
         assert den == 2 * len(pos) * len(neg)
+
+
+def test_incremental_stats_parquet_roundtrip_and_associativity(spark, tmp_path):
+    """Deployment shape: stored stats read back from parquet, merged
+    with two successive deltas — result equals one full recompute, and
+    merge order (one-by-one vs deltas-first) doesn't matter."""
+    from pyspark.sql import functions as F
+
+    from variantcalling_spark.pipelines.incremental import (
+        build_source_stats,
+        merge_source_stats,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text", "source")
+    )
+    d1 = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text", "source"
+    )
+    d2 = docs.where(F.col("doc_id") % 3 == 1).select(
+        (F.col("doc_id") + 600000).alias("doc_id"),
+        F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
+        "source",
+    )
+    p = str(tmp_path / "stats")
+    build_source_stats(docs).write.mode("overwrite").parquet(p)
+    stored = spark.read.parquet(p)
+
+    one_by_one = merge_source_stats(
+        merge_source_stats(stored, build_source_stats(d1)), build_source_stats(d2)
+    )
+    deltas_first = merge_source_stats(
+        stored, merge_source_stats(build_source_stats(d1), build_source_stats(d2))
+    )
+    full = build_source_stats(docs.unionByName(d1).unionByName(d2))
+
+    def key(df):
+        return {tuple(r) for r in df.collect()}
+
+    assert key(one_by_one) == key(full)
+    assert key(deltas_first) == key(full)

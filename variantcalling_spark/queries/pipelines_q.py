@@ -1346,3 +1346,63 @@ def q167_exact_auc(spark, sf_dir):
             F.round(num / den.cast("double"), 6).alias("auc"),
         )
     )
+
+
+SQL_DOC_DELTA = """
+  SELECT doc_id + 100000 AS doc_id,
+         substr(text, strpos(text, ' ') + 1) AS text,
+         source
+  FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+@query(
+    "q169_incremental_aggregates",
+    oracle=f"""
+WITH delta AS ({SQL_DOC_DELTA}),
+alld AS (
+  SELECT source, text FROM documents
+  UNION ALL SELECT source, text FROM delta
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+       CAST(MIN(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+       CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+       ROUND(SUM(len(string_split(text, ' ')))
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_tokens
+FROM alld GROUP BY source
+""",
+)
+def q169_incremental_aggregates(spark, sf_dir):
+    """Materialized-view merge law, value-proven: the Spark side
+    maintains the per-source stats table INCREMENTALLY — aggregate the
+    stored corpus once, aggregate the ingest delta alone, merge the
+    two algebraically (`pipelines/incremental.py`) — while the oracle
+    recomputes over corpus ∪ delta from scratch. Hash equality IS the
+    proof that the merge path equals full recomputation, which is what
+    licenses never re-reading 100 TB per ingest. avg re-derives from
+    merged sum/count (the sum/count pair is the mergeable carrier;
+    a stored avg would not merge)."""
+    from variantcalling_spark.pipelines.incremental import (
+        build_source_stats,
+        merge_source_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    delta = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
+        "source",
+    )
+    merged = merge_source_stats(build_source_stats(docs), build_source_stats(delta))
+    return merged.select(
+        "source",
+        "n_docs",
+        "sum_tokens",
+        "min_tokens",
+        "max_tokens",
+        F.round(
+            F.col("sum_tokens") / F.col("n_docs").cast("double"), 6
+        ).alias("avg_tokens"),
+    )
