@@ -134,3 +134,37 @@ def test_incremental_stats_parquet_roundtrip_and_associativity(spark, tmp_path):
 
     assert key(one_by_one) == key(full)
     assert key(deltas_first) == key(full)
+
+
+def test_approx_toolbox_error_bounds(spark):
+    """The 'swap exact for approx at web scale' claims (q154/q168
+    docstrings) made executable: approx_count_distinct lands within
+    its configured rsd of the exact distinct count on every language
+    slice, and approx_percentile with accuracy=10000 is exact on the
+    driver corpus (n << accuracy). Plans stay map-side combinable —
+    neither op shuffles rows, only sketches."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    w = docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+    both = (
+        w.groupBy("lang")
+        .agg(
+            F.count_distinct("word").alias("exact"),
+            F.approx_count_distinct("word", rsd=0.02).alias("approx"),
+        )
+        .collect()
+    )
+    assert both
+    for r in both:
+        assert abs(r.approx - r.exact) <= max(3 * 0.02 * r.exact, 1), (
+            r.lang, r.exact, r.approx
+        )
+
+    n = docs.select(F.size(F.split("text", " ")).alias("v"))
+    row = n.agg(
+        F.expr("approx_percentile(v, array(0.5, 0.9), 10000)").alias("ap"),
+        F.expr("percentile(v, array(0.5, 0.9))").alias("ex"),
+    ).collect()[0]
+    for a, e in zip(row.ap, row.ex):
+        assert abs(a - e) <= 1, (row.ap, row.ex)
