@@ -91,6 +91,7 @@ _PRIORITY = (
     "q167_exact_auc",
     "q168_vocab_entropy",
     "q169_incremental_aggregates",
+    "q170_spearman_correlation",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

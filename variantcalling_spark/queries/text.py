@@ -1724,3 +1724,119 @@ def q168_vocab_entropy(spark, sf_dir):
             F.sum(contrib).cast("double").alias("entropy_nats"),
         )
     )
+
+
+def _rank2_sql(col: str, part: str) -> str:
+    """Doubled average rank per distinct value via cumulative counts
+    (ties share min_rank+max_rank = 2*below + cnt + 1)."""
+    return f"""
+  SELECT {part}, {col} AS v,
+         2 * COALESCE(SUM(cnt) OVER (PARTITION BY {part} ORDER BY {col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cnt + 1 AS r2
+  FROM (SELECT {part}, {col}, COUNT(*) AS cnt
+        FROM pairs GROUP BY {part}, {col})
+"""
+
+
+@query(
+    "q170_spearman_correlation",
+    oracle=f"""
+WITH pairs AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+  FROM documents
+),
+rx AS ({_rank2_sql("x", "source")}),
+ry AS ({_rank2_sql("y", "source")}),
+rnk AS (
+  SELECT p.source, rx.r2 AS a, ry.r2 AS b
+  FROM pairs p
+  JOIN rx ON rx.source = p.source AND rx.v = p.x
+  JOIN ry ON ry.source = p.source AND ry.v = p.y
+),
+s AS (
+  SELECT source, COUNT(*) AS n,
+         CAST(SUM(a) AS HUGEINT) AS sa, CAST(SUM(b) AS HUGEINT) AS sb,
+         CAST(SUM(a * a) AS HUGEINT) AS saa,
+         CAST(SUM(a * b) AS HUGEINT) AS sab,
+         CAST(SUM(b * b) AS HUGEINT) AS sbb
+  FROM rnk GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n * sab - sa * sb AS DOUBLE)
+             / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 6) AS spearman
+FROM s
+""",
+)
+def q170_spearman_correlation(spark, sf_dir):
+    """Exact Spearman rank correlation per source (token count vs
+    distinct-token count — the redundancy signal): Pearson over
+    tie-averaged ranks, with ranks computed the SCALABLE way — per
+    distinct value from cumulative histogram counts (the q167 trick:
+    a tie group's doubled average rank is 2·below + cnt + 1), joined
+    back to rows by value. No per-row global sort; the rank relations
+    are value-domain-sized. Doubled ranks keep everything integer;
+    sufficient statistics go wide (decimal128/HUGEINT) and the single
+    rounded closed form matches bit-for-bit (q165's discipline applied
+    to rank space). Completes the correlation family: q165 gives the
+    parametric line, this gives the monotone-association grade."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    # distinct-count needs the split staged once (q78 rule)
+    tok = docs.select("source", F.split("text", " ").alias("ws"))
+    pairs = tok.select(
+        "source",
+        F.size("ws").cast("bigint").alias("x"),
+        F.size(F.array_distinct("ws")).cast("bigint").alias("y"),
+    ).transform(managed_persist)
+
+    def rank2(col):
+        cnts = pairs.groupBy("source", col).agg(cnt("cnt"))
+        wb = (
+            W.partitionBy("source")
+            .orderBy(col)
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        return cnts.select(
+            "source",
+            F.col(col).alias("v"),
+            (
+                2 * F.coalesce(F.sum("cnt").over(wb), F.lit(0).cast("bigint"))
+                + F.col("cnt")
+                + 1
+            ).alias("r2"),
+        )
+
+    rnk = (
+        pairs.join(
+            rank2("x").withColumnRenamed("v", "x").withColumnRenamed("r2", "a"),
+            ["source", "x"],
+        )
+        .join(
+            rank2("y").withColumnRenamed("v", "y").withColumnRenamed("r2", "b"),
+            ["source", "y"],
+        )
+        .select("source", "a", "b")
+    )
+    D = "decimal(38,0)"
+    s = rnk.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a").cast(D).alias("sa"),
+        F.sum("b").cast(D).alias("sb"),
+        F.sum(F.col("a") * F.col("a")).cast(D).alias("saa"),
+        F.sum(F.col("a") * F.col("b")).cast(D).alias("sab"),
+        F.sum(F.col("b") * F.col("b")).cast(D).alias("sbb"),
+    )
+    n = F.col("n").cast(D)
+    num = (n * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    da = (n * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    db = (n * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    return s.select(
+        "source",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(num / (F.sqrt(da) * F.sqrt(db)), 6).alias("spearman"),
+    )
