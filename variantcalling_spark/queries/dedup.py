@@ -1541,3 +1541,110 @@ def q163_weighted_quantiles(spark, sf_dir):
         .cast("bigint")
         .alias("w_p90"),
     )
+
+
+@query(
+    "q171_ks_two_sample",
+    oracle=f"""
+WITH newb AS ({SQL_NEW_BATCH}),
+a AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM documents),
+b AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM newb),
+na AS (SELECT COUNT(*) AS n FROM a),
+nb AS (SELECT COUNT(*) AS n FROM b),
+h AS (
+  SELECT v, SUM(ca) AS ca, SUM(cb) AS cb FROM (
+    SELECT v, COUNT(*) AS ca, 0 AS cb FROM a GROUP BY v
+    UNION ALL
+    SELECT v, 0 AS ca, COUNT(*) AS cb FROM b GROUP BY v
+  ) GROUP BY v
+),
+cum AS (
+  SELECT v,
+         SUM(ca) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+         SUM(cb) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+  FROM h
+),
+d AS (
+  SELECT MAX(ABS(CAST(cuma * (SELECT n FROM nb)
+                      - cumb * (SELECT n FROM na) AS BIGINT))) AS ks_num
+  FROM cum
+)
+SELECT CAST((SELECT n FROM na) AS BIGINT) AS n_a,
+       CAST((SELECT n FROM nb) AS BIGINT) AS n_b,
+       CAST(d.ks_num AS BIGINT) AS ks_num,
+       CAST((SELECT n FROM na) * (SELECT n FROM nb) AS BIGINT) AS ks_den,
+       ROUND(d.ks_num / CAST((SELECT n FROM na) * (SELECT n FROM nb) AS DOUBLE), 6)
+         AS ks_stat
+FROM d
+""",
+)
+def q171_ks_two_sample(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov statistic between the stored
+    corpus and the ingest batch — the UNBINNED companion of q161's PSI
+    (PSI answers 'how much drift per fixed bin'; KS answers 'what is
+    the largest CDF gap anywhere', immune to bin-edge choices). Exact
+    by cross-multiplication: D = max|cumA·n_B − cumB·n_A| / (n_A·n_B)
+    never forms a float CDF — the sup is a MAX over bigints. Plan:
+    per-side value histograms (map-side combinable), one merged
+    cumulative window over the DISTINCT-VALUE domain (never row-sized),
+    a 1-row max. The same shape serves corpus-vs-corpus AB comparisons
+    at any scale."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    fresh = docs.where(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.reverse(F.col("text")).alias("text"),
+    )
+    newb = near.unionByName(fresh)
+
+    def vals(df):
+        return df.select(F.size(F.split("text", " ")).cast("bigint").alias("v"))
+
+    a, b = vals(docs), vals(newb)
+    ha = a.groupBy("v").agg(cnt("ca")).withColumn("cb", F.lit(0).cast("bigint"))
+    hb = (
+        b.groupBy("v")
+        .agg(cnt("cb"))
+        .select("v", F.lit(0).cast("bigint").alias("ca"), "cb")
+    )
+    h = (
+        ha.select("v", "ca", "cb")
+        .unionByName(hb)
+        .groupBy("v")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    from pyspark.sql import Window as W
+
+    wc = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    na = a.agg(F.count(F.lit(1)).alias("n_a"))
+    nb = b.agg(F.count(F.lit(1)).alias("n_b"))
+    cum = h.select(
+        "v",
+        F.sum("ca").over(wc).alias("cuma"),
+        F.sum("cb").over(wc).alias("cumb"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .agg(
+            F.max(
+                F.abs(F.col("cuma") * F.col("n_b") - F.col("cumb") * F.col("n_a"))
+            ).alias("ks_num"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
+    )
+    return d.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("ks_num").cast("bigint").alias("ks_num"),
+        (F.col("n_a") * F.col("n_b")).cast("bigint").alias("ks_den"),
+        F.round(
+            F.col("ks_num") / (F.col("n_a") * F.col("n_b")).cast("double"), 6
+        ).alias("ks_stat"),
+    )
