@@ -1840,3 +1840,73 @@ def q170_spearman_correlation(spark, sf_dir):
         F.col("n").cast("bigint").alias("n"),
         F.round(num / (F.sqrt(da) * F.sqrt(db)), 6).alias("spearman"),
     )
+
+
+@query(
+    "q172_token_gini",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+  FROM documents
+),
+r AS (
+  SELECT source, v,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY v, doc_id) AS i
+  FROM d
+),
+s AS (
+  SELECT source,
+         COUNT(*) AS n,
+         CAST(SUM(v) AS BIGINT) AS sv,
+         CAST(SUM(i * v) AS BIGINT) AS siv
+  FROM r GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs, sv AS total_tokens,
+       CAST(2 * siv - (n + 1) * sv AS BIGINT) AS gini_num,
+       CAST(n * sv AS BIGINT) AS gini_den,
+       ROUND((2 * siv - (n + 1) * sv) / CAST(n * sv AS DOUBLE), 6) AS gini
+FROM s
+""",
+)
+def q172_token_gini(spark, sf_dir):
+    """Token-mass concentration per source: the Gini coefficient of
+    document lengths — is a source's token budget spread across many
+    documents or dominated by a few giants (the sampling-strategy
+    dial: high-Gini sources need size-stratified sampling or the big
+    docs swamp every batch). Exact: with documents sorted by
+    (length, doc_id), G = (2·Σi·v_i − (n+1)·Σv_i) / (n·Σv_i) stays a
+    bigint rational — the sorted-index formula needs only a per-source
+    rank window and two sums, no pairwise |v_i − v_j| expansion. The
+    rank window partitions per source; at extreme group sizes the
+    histogram-rank trick from q167/q170 substitutes (lengths have a
+    bounded domain)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("v"),
+    )
+    r = d.withColumn(
+        "i",
+        F.row_number().over(W.partitionBy("source").orderBy("v", "doc_id")).cast(
+            "bigint"
+        ),
+    )
+    s = r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("bigint").alias("sv"),
+        F.sum(F.col("i") * F.col("v")).cast("bigint").alias("siv"),
+    )
+    num = 2 * F.col("siv") - (F.col("n") + 1) * F.col("sv")
+    den = F.col("n") * F.col("sv")
+    return s.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("sv").alias("total_tokens"),
+        num.cast("bigint").alias("gini_num"),
+        den.cast("bigint").alias("gini_den"),
+        F.round(num / den.cast("double"), 6).alias("gini"),
+    )
