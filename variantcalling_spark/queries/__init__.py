@@ -94,6 +94,7 @@ _PRIORITY = (
     "q170_spearman_correlation",
     "q171_ks_two_sample",
     "q172_token_gini",
+    "q173_graph_triangles",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

@@ -977,3 +977,73 @@ def q158_label_centroid_similarity(spark, sf_dir):
             ).alias("cosine"),
         )
     )
+
+
+@query(
+    "q173_graph_triangles",
+    oracle=_lpa_cte_sql()
+    + """
+, deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+tri AS (
+  SELECT COUNT(*) AS triangles FROM edges e1
+  JOIN edges e2 ON e2.src = e1.dst AND e2.dst > e1.dst
+  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+  WHERE e1.src < e1.dst
+),
+wed AS (
+  SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS wedges FROM deg
+)
+SELECT CAST(tri.triangles AS BIGINT) AS triangles,
+       wed.wedges,
+       CAST(3 * tri.triangles AS BIGINT) AS cc_num,
+       wed.wedges AS cc_den,
+       ROUND(3 * tri.triangles / CAST(wed.wedges AS DOUBLE), 6)
+         AS clustering_coefficient
+FROM tri CROSS JOIN wed
+""",
+)
+def q173_graph_triangles(spark, sf_dir):
+    """Triangle count + global clustering coefficient of the corpus kNN
+    graph — the transitivity check on the near-dup substrate: high
+    clustering means neighborhoods are genuine topical clusters
+    (SemDeDup-able); near-zero means the bucket dial is producing
+    random pairings. Exact: triangles by the ordered node-iterator
+    join (each triangle counted once via a < b < c ordering — two
+    equi-joins on the symmetrized edge table, join keys are node ids
+    so skew is bucket-bounded by the adaptive graph construction), and
+    the coefficient 3·triangles / Σ d(d−1)/2 stays a bigint rational.
+    Shares the q151/q152 edge CTE, so the whole graph-analytics family
+    (communities, modularity, PageRank, transitivity) rides ONE
+    substrate definition."""
+    edges, _ = _lpa_edges_and_labels(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    e1 = edges.where(F.col("src") < F.col("dst"))
+    tri = (
+        e1.alias("e1")
+        .join(
+            edges.alias("e2"),
+            (F.col("e2.src") == F.col("e1.dst"))
+            & (F.col("e2.dst") > F.col("e1.dst")),
+        )
+        .join(
+            edges.alias("e3"),
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    wed = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("bigint")).alias("wedges")
+    )
+    return (
+        tri.crossJoin(F.broadcast(wed))
+        .select(
+            F.col("triangles").cast("bigint").alias("triangles"),
+            F.col("wedges").cast("bigint").alias("wedges"),
+            (3 * F.col("triangles")).cast("bigint").alias("cc_num"),
+            F.col("wedges").cast("bigint").alias("cc_den"),
+            F.round(
+                3 * F.col("triangles") / F.col("wedges").cast("double"), 6
+            ).alias("clustering_coefficient"),
+        )
+    )
