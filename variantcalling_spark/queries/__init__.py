@@ -95,6 +95,7 @@ _PRIORITY = (
     "q171_ks_two_sample",
     "q172_token_gini",
     "q173_graph_triangles",
+    "q174_mutual_knn_pairs",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

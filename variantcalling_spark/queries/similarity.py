@@ -1047,3 +1047,46 @@ def q173_graph_triangles(spark, sf_dir):
             ).alias("clustering_coefficient"),
         )
     )
+
+
+@query(
+    "q174_mutual_knn_pairs",
+    oracle=f"""
+WITH knn AS ({_knn_graph_oracle_sql()})
+SELECT a.vec_id AS id_a, a.neighbor_id AS id_b, a.cosine,
+       a.rank AS rank_ab, b.rank AS rank_ba
+FROM knn a JOIN knn b
+  ON b.vec_id = a.neighbor_id AND b.neighbor_id = a.vec_id
+WHERE a.vec_id < a.neighbor_id
+""",
+)
+def q174_mutual_knn_pairs(spark, sf_dir):
+    """Reciprocal nearest neighbors: pairs where each vector appears in
+    the OTHER's top-k — the high-precision subset of the kNN graph
+    (asymmetric hub neighbors drop out), which is the standard
+    candidate set for conservative semantic dedup and for
+    agglomerative cluster seeding (RNN chains). One self-equi-join of
+    the kNN edge list on the reversed key pair; emitted once per pair
+    via the id ordering; both directions' ranks ride along so
+    downstream can tighten to mutual-top-1. Cost is |E| join |E| on
+    exact keys — edge-list-sized, independent of corpus width."""
+    from variantcalling_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = knn_graph(emb, k=3).transform(managed_persist)
+    a, b = knn.alias("a"), knn.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.vec_id") == F.col("a.neighbor_id"))
+            & (F.col("b.neighbor_id") == F.col("a.vec_id")),
+        )
+        .where(F.col("a.vec_id") < F.col("a.neighbor_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("a.neighbor_id").alias("id_b"),
+            F.col("a.cosine").alias("cosine"),
+            F.col("a.rank").alias("rank_ab"),
+            F.col("b.rank").alias("rank_ba"),
+        )
+    )
