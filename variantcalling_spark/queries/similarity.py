@@ -1090,3 +1090,71 @@ def q174_mutual_knn_pairs(spark, sf_dir):
             F.col("b.rank").alias("rank_ba"),
         )
     )
+
+
+@query(
+    "q175_mutual_nn_clusters",
+    oracle=f"""
+WITH RECURSIVE knn AS ({_knn_graph_oracle_sql()}),
+m AS (
+  SELECT a.vec_id AS id_a, a.neighbor_id AS id_b
+  FROM knn a JOIN knn b
+    ON b.vec_id = a.neighbor_id AND b.neighbor_id = a.vec_id
+  WHERE a.vec_id < a.neighbor_id AND a.cosine >= 0.2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM m
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM m
+),
+closure AS (
+  SELECT src AS node, src AS reach FROM edges
+  UNION
+  SELECT c.node, edges.dst AS reach
+  FROM closure c JOIN edges ON edges.src = c.reach
+)
+SELECT MIN(reach) AS cluster_id, CAST(COUNT(DISTINCT node) AS BIGINT) AS n_members
+FROM (SELECT node, MIN(reach) AS reach FROM closure GROUP BY node) labeled
+GROUP BY reach
+HAVING COUNT(DISTINCT node) >= 2
+""",
+)
+def q175_mutual_nn_clusters(spark, sf_dir):
+    """Conservative semantic micro-clusters: connected components over
+    the RECIPROCAL-nearest-neighbor edges (q174's high-precision
+    subset, cosine-floored) — the agglomerative seeding step of
+    RNN-chain clustering, and the cautious alternative to q108's
+    threshold dedup when false merges are expensive (each cluster is
+    held together only by mutually-confirmed neighbor links). Mutual
+    filtering first makes the component graph far sparser than the raw
+    kNN graph, so min-label propagation converges in a couple of
+    rounds; the oracle replays the same components as a recursive
+    CTE (the q98 pattern on the embedding side)."""
+    from variantcalling_spark.operators.dedup import connected_components
+    from variantcalling_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = knn_graph(emb, k=3).transform(managed_persist)
+    a, b = knn.alias("a"), knn.alias("b")
+    m = (
+        a.join(
+            b,
+            (F.col("b.vec_id") == F.col("a.neighbor_id"))
+            & (F.col("b.neighbor_id") == F.col("a.vec_id")),
+        )
+        .where(
+            (F.col("a.vec_id") < F.col("a.neighbor_id"))
+            & (F.col("a.cosine") >= 0.2)
+        )
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("a.neighbor_id").alias("doc_b"),
+        )
+    )
+    labels = connected_components(m)
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .where(F.col("n_members") >= 2)
+        .select(F.col("label").alias("cluster_id"), "n_members")
+    )
