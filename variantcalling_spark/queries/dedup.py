@@ -1648,3 +1648,65 @@ def q171_ks_two_sample(spark, sf_dir):
             F.col("ks_num") / (F.col("n_a") * F.col("n_b")).cast("double"), 6
         ).alias("ks_stat"),
     )
+
+
+def _q176_oracle() -> str:
+    from variantcalling_spark.queries import _REGISTRY
+
+    q122 = _REGISTRY["q122_incremental_dedup"].oracle
+    return f"""
+WITH matches AS ({q122}),
+newb AS ({SQL_NEW_BATCH}),
+best AS (
+  SELECT doc_new, MAX(jaccard) AS best_jaccard
+  FROM matches GROUP BY doc_new
+)
+SELECT n.doc_id AS doc_new,
+       ROUND(COALESCE(b.best_jaccard, 0.0), 6) AS best_jaccard,
+       ROUND(1.0 - COALESCE(b.best_jaccard, 0.0), 6) AS novelty,
+       CASE WHEN b.doc_new IS NULL THEN 1 ELSE 0 END AS no_collision
+FROM newb n LEFT JOIN best b ON b.doc_new = n.doc_id
+"""
+
+
+@query("q176_ingest_novelty", oracle=_q176_oracle())
+def q176_ingest_novelty(spark, sf_dir):
+    """Novelty-first ingest ranking: each new document scored by
+    1 − (best verified Jaccard against the stored corpus index) — the
+    selection signal for 'prioritize data we do not already have'
+    (D4's dedup-then-diversify intuition at the lexical level, and the
+    natural companion report to q122's match list: q122 says what to
+    DROP, this ranks what to KEEP FIRST). Near-copies score ~0
+    novelty, the reversed docs score exactly 1.0 with no_collision=1
+    (the index probe never even surfaced them — novelty of the
+    never-collided is free, no verify cost). Cost is q122's probe plus
+    one per-doc max and an anti-join-shaped left join on the batch."""
+    from variantcalling_spark.queries import _REGISTRY
+
+    matches = _REGISTRY["q122_incremental_dedup"].fn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    fresh = docs.where(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.reverse(F.col("text")).alias("text"),
+    )
+    newb = near.unionByName(fresh).select("doc_id")
+    best = matches.groupBy("doc_new").agg(F.max("jaccard").alias("best_jaccard"))
+    return (
+        newb.join(best, newb["doc_id"] == best["doc_new"], "left")
+        .select(
+            newb["doc_id"].alias("doc_new"),
+            F.round(F.coalesce("best_jaccard", F.lit(0.0)), 6).alias(
+                "best_jaccard"
+            ),
+            F.round(1.0 - F.coalesce("best_jaccard", F.lit(0.0)), 6).alias(
+                "novelty"
+            ),
+            F.when(best["doc_new"].isNull(), 1).otherwise(0).cast("int").alias(
+                "no_collision"
+            ),
+        )
+    )
