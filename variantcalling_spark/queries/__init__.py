@@ -98,6 +98,7 @@ _PRIORITY = (
     "q174_mutual_knn_pairs",
     "q175_mutual_nn_clusters",
     "q176_ingest_novelty",
+    "q177_zipf_hapax",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

@@ -1910,3 +1910,99 @@ def q172_token_gini(spark, sf_dir):
         den.cast("bigint").alias("gini_den"),
         F.round(num / den.cast("double"), 6).alias("gini"),
     )
+
+
+@query(
+    "q177_zipf_hapax",
+    oracle="""
+WITH w AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+),
+c AS (SELECT source, word, COUNT(*) AS cnt FROM w GROUP BY source, word),
+r AS (
+  SELECT source, cnt,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, word) AS rnk
+  FROM c
+),
+z AS (
+  SELECT source,
+         CAST(ROUND(ln(CAST(rnk AS DOUBLE)), 12) AS DECIMAL(28,12)) AS x,
+         CAST(ROUND(ln(CAST(cnt AS DOUBLE)), 12) AS DECIMAL(28,12)) AS y,
+         CAST(ROUND(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE)), 12)
+              AS DECIMAL(28,12)) AS xx,
+         CAST(ROUND(ln(CAST(rnk AS DOUBLE)) * ln(CAST(cnt AS DOUBLE)), 12)
+              AS DECIMAL(28,12)) AS xy,
+         CASE WHEN cnt = 1 THEN 1 ELSE 0 END AS hapax
+  FROM r
+),
+s AS (
+  SELECT source, COUNT(*) AS n,
+         CAST(SUM(hapax) AS BIGINT) AS hapax_count,
+         CAST(SUM(x) AS DECIMAL(38,12)) AS sx,
+         CAST(SUM(y) AS DECIMAL(38,12)) AS sy,
+         CAST(SUM(xx) AS DECIMAL(38,12)) AS sxx,
+         CAST(SUM(xy) AS DECIMAL(38,12)) AS sxy
+  FROM z GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS vocab_size, hapax_count,
+       ROUND(hapax_count / CAST(n AS DOUBLE), 6) AS hapax_ratio,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             6) AS zipf_slope
+FROM s
+""",
+)
+def q177_zipf_hapax(spark, sf_dir):
+    """Zipf slope + hapax ratio per source — the two corpus-health
+    statistics a data audit reads first (natural prose runs a Zipf
+    slope near −1 with a long hapax tail; machine-generated or
+    templated slices deviate on both). Exactness by the q168 recipe:
+    ln(rank) and ln(count) come from exact integers (identical doubles
+    both engines), each OLS term rounds to 12 places and sums as
+    DECIMAL — order-independent — and the closed-form slope is rounded
+    once. Ranks use the deterministic (count DESC, word) ordering; the
+    rank window partitions per source over the VOCABULARY relation,
+    never the corpus."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("source", "word")
+        .agg(cnt("cnt"))
+    )
+    r = c.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(F.desc("cnt"), "word")
+        ),
+    )
+    DEC = "decimal(28,12)"
+    lx = F.log(F.col("rnk").cast("double"))
+    ly = F.log(F.col("cnt").cast("double"))
+    z = r.select(
+        "source",
+        F.round(lx, 12).cast(DEC).alias("x"),
+        F.round(ly, 12).cast(DEC).alias("y"),
+        F.round(lx * lx, 12).cast(DEC).alias("xx"),
+        F.round(lx * ly, 12).cast(DEC).alias("xy"),
+        F.when(F.col("cnt") == 1, 1).otherwise(0).alias("hapax"),
+    )
+    s = z.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("hapax").cast("bigint").alias("hapax_count"),
+        F.sum("x").cast("decimal(38,12)").alias("sx"),
+        F.sum("y").cast("decimal(38,12)").alias("sy"),
+        F.sum("xx").cast("decimal(38,12)").alias("sxx"),
+        F.sum("xy").cast("decimal(38,12)").alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    return s.select(
+        "source",
+        n.cast("bigint").alias("vocab_size"),
+        "hapax_count",
+        F.round(F.col("hapax_count") / n.cast("double"), 6).alias("hapax_ratio"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("zipf_slope"),
+    )
