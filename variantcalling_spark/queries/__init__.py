@@ -99,6 +99,8 @@ _PRIORITY = (
     "q175_mutual_nn_clusters",
     "q176_ingest_novelty",
     "q177_zipf_hapax",
+    "q178_dispersion_index",
+    "q179_sessionization_stats",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

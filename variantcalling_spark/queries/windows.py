@@ -504,3 +504,131 @@ def q165_groupwise_ols_trend(spark, sf_dir):
         F.round(inum / (100.0 * det), 6).alias("intercept"),
         F.round(num * num / (det * vary), 6).alias("r2"),
     )
+
+
+@query(
+    "q178_dispersion_index",
+    oracle=f"""
+WITH pts AS (
+  SELECT user_id % 5 AS grp,
+         CAST(epoch_us(ts) // {HOUR_US_Q156} AS BIGINT) AS hr,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT grp, COUNT(*) AS n,
+         CAST(SUM(c) AS BIGINT) AS sc,
+         CAST(SUM(c * c) AS BIGINT) AS scc
+  FROM pts GROUP BY grp
+)
+SELECT grp, CAST(n AS BIGINT) AS n_hours, sc AS n_events,
+       CAST(n * scc - sc * sc AS BIGINT) AS disp_num,
+       CAST(n * sc AS BIGINT) AS disp_den,
+       ROUND((n * scc - sc * sc) / CAST(n * sc AS DOUBLE), 6)
+         AS dispersion_index
+FROM s
+""",
+)
+def q178_dispersion_index(spark, sf_dir):
+    """Variance-to-mean ratio (index of dispersion) of hourly event
+    counts per group — the burstiness detector: ~1 means Poisson-like
+    arrivals, >>1 means bursts (scraper traffic, batch replays — the
+    slices an ingest pipeline rate-limits or reweights). Exact
+    rational: D = (n·Σc² − (Σc)²) / (n·Σc) from three integer sums —
+    the q153/q166 discipline applied to count data. Two
+    map-side-combinable aggregates total (hour rollup, then sufficient
+    stats); no windows, no joins."""
+    pts = (
+        events_points(spark, sf_dir)
+        .groupBy("grp", F.expr(f"ts_us DIV {HOUR_US_Q156}").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = pts.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("scc"),
+    )
+    num = F.col("n") * F.col("scc") - F.col("sc") * F.col("sc")
+    den = F.col("n") * F.col("sc")
+    return s.select(
+        "grp",
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.col("sc").alias("n_events"),
+        num.cast("bigint").alias("disp_num"),
+        den.cast("bigint").alias("disp_den"),
+        F.round(num / den.cast("double"), 6).alias("dispersion_index"),
+    )
+
+
+SESSION_GAP_US = 1_800_000_000  # 30 minutes
+
+
+@query(
+    "q179_sessionization_stats",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t FROM events
+),
+g AS (
+  SELECT user_id, t,
+         CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                   > {SESSION_GAP_US}
+              OR LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM ev
+),
+sess AS (
+  SELECT user_id, t,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+),
+per AS (
+  SELECT user_id, sid, COUNT(*) AS n_events,
+         CAST(MAX(t) - MIN(t) AS BIGINT) AS dur_us
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id % 5 AS grp,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_singletons,
+       CAST(MAX(dur_us) AS BIGINT) AS max_dur_us,
+       CAST(SUM(dur_us) AS BIGINT) AS total_dur_us
+FROM per GROUP BY user_id % 5
+""",
+)
+def q179_sessionization_stats(spark, sf_dir):
+    """Batch sessionization (30-min inactivity gap) with per-group
+    session statistics — the batch face of q82's streaming session
+    windows, and the same gaps-and-islands machinery as q42 applied to
+    event timestamps: LAG-based session breaks, running-sum session
+    ids, per-session rollup, per-group summary (singleton sessions are
+    the bot/bounce tell). Windows partition per user — millions of
+    small partitions at scale, never a global sort; everything
+    downstream is map-side-combinable integer sums."""
+    from pyspark.sql import Window as W
+
+    ev = events_points(spark, sf_dir).select("user_id", F.col("ts_us").alias("t"))
+    wo = W.partitionBy("user_id").orderBy("t")
+    lag = F.lag("t").over(wo)
+    g = ev.withColumn(
+        "brk",
+        F.when(lag.isNull() | ((F.col("t") - lag) > SESSION_GAP_US), 1).otherwise(0),
+    )
+    sess = g.withColumn(
+        "sid", F.sum("brk").over(wo.rowsBetween(W.unboundedPreceding, 0))
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("t") - F.min("t")).cast("bigint").alias("dur_us"),
+    )
+    return per.groupBy((F.col("user_id") % 5).alias("grp")).agg(
+        cnt("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_singletons"),
+        F.max("dur_us").cast("bigint").alias("max_dur_us"),
+        F.sum("dur_us").cast("bigint").alias("total_dur_us"),
+    )
