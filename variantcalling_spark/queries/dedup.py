@@ -1710,3 +1710,97 @@ def q176_ingest_novelty(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "q180_edit_distance_neardup",
+    oracle=f"""
+WITH corpus AS ({SQL_CORPUS}),
+w AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus
+),
+rare AS (
+  SELECT word FROM w GROUP BY word
+  HAVING COUNT(*) BETWEEN 2 AND 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM w a JOIN rare USING (word) JOIN w b USING (word)
+  WHERE a.doc_id < b.doc_id
+),
+v AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,
+         CAST(GREATEST(length(ta.text), length(tb.text)) AS BIGINT) AS max_len
+  FROM cand c
+  JOIN corpus ta ON ta.doc_id = c.doc_a
+  JOIN corpus tb ON tb.doc_id = c.doc_b
+  WHERE ABS(length(ta.text) - length(tb.text))
+        <= GREATEST(length(ta.text), length(tb.text)) // 5
+)
+SELECT doc_a, doc_b, edit_dist, max_len,
+       ROUND(1.0 - edit_dist / CAST(max_len AS DOUBLE), 6) AS similarity
+FROM v
+WHERE edit_dist * 5 <= max_len
+""",
+)
+def q180_edit_distance_neardup(spark, sf_dir):
+    """Character-level near-dup discovery: edit-distance similarity
+    ≥ 0.8, the finest-grained member of the dedup family (catches the
+    single-character OCR/encoding mutations that token-level Jaccard
+    rounds away). Scale shape: candidates come from an equi-join on
+    RARE shared words (df 2-4 — the rare-token banding that makes
+    pair count collision-bounded instead of n²), a length-difference
+    filter prunes before the quadratic kernel (|lenA−lenB| is a lower
+    bound on edit distance), and only survivors pay `levenshtein` —
+    which runs built-in on BOTH engines (JVM codegen here, native in
+    the oracle), value-proving the two implementations agree
+    character-for-character. Threshold arithmetic stays integer
+    (dist·5 ≤ maxlen)."""
+    c = corpus(spark, sf_dir).transform(managed_persist)
+    w = (
+        c.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+        .transform(managed_persist)
+    )
+    rare = (
+        w.groupBy("word")
+        .agg(cnt("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= 4))
+        .select("word")
+    )
+    a = w.join(rare, "word").select("word", F.col("doc_id").alias("doc_a"))
+    b = w.select("word", F.col("doc_id").alias("doc_b"))
+    cand = (
+        a.join(b, "word")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = c.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = c.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    v = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .where(
+            F.abs(F.length("text_a") - F.length("text_b"))
+            <= F.expr("GREATEST(length(text_a), length(text_b)) DIV 5")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("text_a", "text_b").cast("bigint").alias("edit_dist"),
+            F.greatest(F.length("text_a"), F.length("text_b"))
+            .cast("bigint")
+            .alias("max_len"),
+        )
+    )
+    return v.where(F.col("edit_dist") * 5 <= F.col("max_len")).select(
+        "doc_a",
+        "doc_b",
+        "edit_dist",
+        "max_len",
+        F.round(1.0 - F.col("edit_dist") / F.col("max_len").cast("double"), 6).alias(
+            "similarity"
+        ),
+    )
