@@ -1406,3 +1406,83 @@ def q169_incremental_aggregates(spark, sf_dir):
             F.col("sum_tokens") / F.col("n_docs").cast("double"), 6
         ).alias("avg_tokens"),
     )
+
+
+@query(
+    "q181_flagstat",
+    oracle="""
+WITH p AS (
+  SELECT CASE WHEN l_partkey % 2 = 1 THEN 1 ELSE 0 END AS paired,
+         CASE WHEN l_partkey % 2 = 1 AND l_suppkey % 3 = 0 THEN 1 ELSE 0 END
+           AS proper,
+         CASE WHEN l_linenumber % 7 = 0 THEN 1 ELSE 0 END AS unmapped,
+         CASE WHEN l_orderkey % 11 = 0 THEN 1 ELSE 0 END AS secondary,
+         CASE WHEN CAST(l_quantity AS BIGINT) % 9 < 2 THEN 1 ELSE 0 END AS dup
+  FROM lineitem
+)
+SELECT COUNT(*) AS n_total,
+       CAST(SUM(1 - unmapped) AS BIGINT) AS n_mapped,
+       CAST(SUM(paired) AS BIGINT) AS n_paired,
+       CAST(SUM(proper) AS BIGINT) AS n_proper_pair,
+       CAST(SUM(secondary) AS BIGINT) AS n_secondary,
+       CAST(SUM(dup) AS BIGINT) AS n_duplicates,
+       ROUND(SUM(1 - unmapped) / CAST(COUNT(*) AS DOUBLE), 6) AS frac_mapped
+FROM p
+""",
+)
+def q181_flagstat(spark, sf_dir):
+    """``samtools flagstat`` over the engine's own SAM parser: alignment
+    lines carry a full flag mix (paired 0x1, proper-pair 0x2, unmapped
+    0x4, secondary 0x100, duplicate 0x400, composed arithmetically),
+    get REALLY parsed by `sources/reads.py::parse_sam_lines`, and the
+    flagstat summary extracts each bit with bitwiseAND from the parsed
+    integer — while the oracle recomputes the same counts from the
+    generating predicates directly. Equality proves line parsing + bit
+    extraction end to end (the q111 recipe applied to the flag word).
+    One scan, one 1-row aggregate; conditional sums are map-side
+    combinable — flagstat at 100 TB is scan-speed."""
+    from variantcalling_spark.sources.reads import parse_sam_lines
+
+    li = load_table(spark, sf_dir, "lineitem")
+    flag = (
+        (F.col("l_partkey") % 2)  # paired
+        + 2 * F.when((F.col("l_partkey") % 2 == 1) & (F.col("l_suppkey") % 3 == 0), 1).otherwise(0)
+        + 4 * F.when(F.col("l_linenumber") % 7 == 0, 1).otherwise(0)
+        + 256 * F.when(F.col("l_orderkey") % 11 == 0, 1).otherwise(0)
+        + 1024 * F.when(F.col("l_quantity").cast("bigint") % 9 < 2, 1).otherwise(0)
+    )
+    lines = li.select(
+        F.format_string(
+            "r%d\t%d\tc%d\t%d\t%d\t10M\t*\t0\t0\t*\t*",
+            F.col("l_orderkey"),
+            flag.cast("int"),
+            (F.col("l_orderkey") % 4).cast("int"),
+            (F.col("l_orderkey") % 50000 + 1).cast("long"),
+            (F.col("l_suppkey") % 60).cast("int"),
+        ).alias("value")
+    )
+    sam = parse_sam_lines(lines)
+    b = F.col("flag")
+    return sam.agg(
+        cnt("n_total"),
+        F.sum(F.when(b.bitwiseAND(4) == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_mapped"),
+        F.sum(F.when(b.bitwiseAND(1) != 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_paired"),
+        F.sum(F.when(b.bitwiseAND(2) != 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_proper_pair"),
+        F.sum(F.when(b.bitwiseAND(256) != 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_secondary"),
+        F.sum(F.when(b.bitwiseAND(1024) != 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_duplicates"),
+        F.round(
+            F.sum(F.when(b.bitwiseAND(4) == 0, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("frac_mapped"),
+    )
