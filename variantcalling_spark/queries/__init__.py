@@ -103,6 +103,7 @@ _PRIORITY = (
     "q179_sessionization_stats",
     "q180_edit_distance_neardup",
     "q181_flagstat",
+    "q182_bigram_lm_score",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

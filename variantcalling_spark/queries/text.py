@@ -2006,3 +2006,105 @@ def q177_zipf_hapax(spark, sf_dir):
         F.round(F.col("hapax_count") / n.cast("double"), 6).alias("hapax_ratio"),
         F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("zipf_slope"),
     )
+
+
+LM_LAMBDA = 0.7
+
+
+@query(
+    "q182_bigram_lm_score",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (
+  SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+                         for i in generate_series(1, len(w) - 1)]) AS b
+  FROM tok WHERE len(w) >= 2
+),
+uni AS (
+  SELECT unnest(w) AS word FROM tok
+),
+c1 AS (SELECT word, COUNT(*) AS c FROM uni GROUP BY word),
+n1 AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c1),
+c2 AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b),
+ch AS (SELECT string_split(b, ' ')[1] AS w1, CAST(SUM(c) AS BIGINT) AS h
+       FROM c2 GROUP BY 1),
+scored AS (
+  SELECT bg.doc_id,
+         CAST(-log10(
+           {LM_LAMBDA} * (c2.c / CAST(ch.h AS DOUBLE))
+           + {1 - LM_LAMBDA} * (c1.c / CAST(n1.n AS DOUBLE))
+         ) AS DECIMAL(18,12)) AS nll
+  FROM bg
+  JOIN c2 ON c2.b = bg.b
+  JOIN ch ON ch.w1 = string_split(bg.b, ' ')[1]
+  JOIN c1 ON c1.word = string_split(bg.b, ' ')[2]
+  CROSS JOIN n1
+)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+       ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+FROM scored GROUP BY doc_id
+""",
+)
+def q182_bigram_lm_score(spark, sf_dir):
+    """Interpolated bigram LM scoring — q97's unigram filter upgraded
+    one order (the CCNet/KenLM shape: P = λ·P(w2|w1) + (1−λ)·P(w2),
+    λ={LM_LAMBDA}; history counts are exact bigram-start totals, so
+    the conditional is a true MLE). Repetitive/templated text scores
+    LOW nll under its own corpus LM — the inverse signal of the
+    quality filters, used together. Same scale shape as q97: model
+    tables (unigram, bigram, history) are vocabulary-bounded and
+    broadcast; per-token nll doubles land in DECIMAL so the per-doc
+    mean is partition-order-independent. The bigram array builds
+    per-row (staged split, q78 rule) — no self-join of the token
+    stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.split("text", " ").alias("w"))
+    w = F.col("w")
+    bg = (
+        tok.where(F.size(w) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - 2),
+                    lambda i: F.array_join(F.slice(w, i + 1, 2), " "),
+                )
+            ).alias("b"),
+        )
+        .transform(managed_persist)
+    )
+    uni = tok.select(F.explode("w").alias("word"))
+    c1 = uni.groupBy("word").agg(cnt("c"))
+    n1 = c1.agg(F.sum("c").cast("bigint").alias("n"))
+    c2 = bg.groupBy("b").agg(cnt("c"))
+    ch = (
+        c2.select(F.split("b", " ")[0].alias("w1"), "c")
+        .groupBy("w1")
+        .agg(F.sum("c").cast("bigint").alias("h"))
+    )
+    scored = (
+        bg.withColumn("w1", F.split("b", " ")[0])
+        .withColumn("w2", F.split("b", " ")[1])
+        .join(F.broadcast(c2), "b")
+        .join(F.broadcast(ch), "w1")
+        .join(
+            F.broadcast(c1.select(F.col("word").alias("w2"), F.col("c").alias("c1"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "doc_id",
+            (
+                -F.log10(
+                    LM_LAMBDA * (F.col("c") / F.col("h").cast("double"))
+                    + (1 - LM_LAMBDA) * (F.col("c1") / F.col("n").cast("double"))
+                )
+            )
+            .cast("decimal(18,12)")
+            .alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 6).alias("avg_nll"),
+    )
