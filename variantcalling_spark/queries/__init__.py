@@ -104,6 +104,8 @@ _PRIORITY = (
     "q180_edit_distance_neardup",
     "q181_flagstat",
     "q182_bigram_lm_score",
+    "q183_mad_robust",
+    "q184_trimmed_mean",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

@@ -2108,3 +2108,166 @@ def q182_bigram_lm_score(spark, sf_dir):
         F.count(F.lit(1)).cast("int").alias("n_bigrams"),
         F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 6).alias("avg_nll"),
     )
+
+
+@query(
+    "q183_mad_robust",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+  FROM documents
+),
+h AS (SELECT source, v, COUNT(*) AS c FROM d GROUP BY source, v),
+cum AS (
+  SELECT source, v, c,
+         SUM(c) OVER (PARTITION BY source ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(c) OVER (PARTITION BY source) AS tot
+  FROM h
+),
+med AS (
+  SELECT source, MIN(CASE WHEN cw * 2 >= tot THEN v END) AS median
+  FROM cum GROUP BY source
+),
+dev AS (
+  SELECT d.source, ABS(d.v - m.median) AS av
+  FROM d JOIN med m USING (source)
+),
+h2 AS (SELECT source, av, COUNT(*) AS c FROM dev GROUP BY source, av),
+cum2 AS (
+  SELECT source, av, c,
+         SUM(c) OVER (PARTITION BY source ORDER BY av
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(c) OVER (PARTITION BY source) AS tot
+  FROM h2
+)
+SELECT c2.source, m.median,
+       CAST(MIN(CASE WHEN c2.cw * 2 >= c2.tot THEN c2.av END) AS BIGINT) AS mad
+FROM cum2 c2 JOIN med m ON m.source = c2.source
+GROUP BY c2.source, m.median
+""",
+)
+def q183_mad_robust(spark, sf_dir):
+    """Median absolute deviation per source — the robust spread measure
+    outlier-heavy corpus slices need (a handful of giant documents
+    inflate a standard deviation but leave the MAD untouched). Both
+    medians use the histogram form (per-(group, value) counts +
+    cumulative threshold pick, the q163/q167 machinery): shuffles are
+    value-domain-sized, the deviation pass is one broadcast join of the
+    5-row median table, and every pick is an integer comparison — no
+    floats anywhere in the statistic."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("v"),
+    ).transform(managed_persist)
+
+    def hist_median(df, col, out):
+        h = df.groupBy("source", col).agg(cnt("c"))
+        wc = (
+            W.partitionBy("source")
+            .orderBy(col)
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        wt = W.partitionBy("source")
+        cum = h.select(
+            "source",
+            col,
+            F.sum("c").over(wc).alias("cw"),
+            F.sum("c").over(wt).alias("tot"),
+        )
+        return cum.groupBy("source").agg(
+            F.min(
+                F.when(F.col("cw") * 2 >= F.col("tot"), F.col(col))
+            ).alias(out)
+        )
+
+    med = hist_median(d, "v", "median")
+    dev = d.join(F.broadcast(med), "source").select(
+        "source", "median", F.abs(F.col("v") - F.col("median")).alias("av")
+    )
+    mad = hist_median(dev, "av", "mad")
+    return (
+        med.join(mad, "source")
+        .select("source", "median", F.col("mad").cast("bigint").alias("mad"))
+    )
+
+
+TRIM_PCT = 5  # trim 5% from each tail
+
+
+@query(
+    "q184_trimmed_mean",
+    oracle=f"""
+WITH d AS (
+  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+  FROM documents
+),
+h AS (SELECT source, v, COUNT(*) AS c FROM d GROUP BY source, v),
+cum AS (
+  SELECT source, v, c,
+         SUM(c) OVER (PARTITION BY source ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(c) OVER (PARTITION BY source) AS tot
+  FROM h
+),
+kept AS (
+  SELECT source, v,
+         -- of this value's c copies (ranks cw-c+1 .. cw), keep those
+         -- with rank in (lo, tot-lo]: exact per-value kept count
+         GREATEST(0, LEAST(cw, tot - (tot * {TRIM_PCT}) // 100)
+                     - GREATEST(cw - c, (tot * {TRIM_PCT}) // 100)) AS k
+  FROM cum
+)
+SELECT source,
+       CAST(SUM(k) AS BIGINT) AS n_kept,
+       CAST(SUM(k * v) AS BIGINT) AS sum_kept,
+       ROUND(SUM(k * v) / CAST(SUM(k) AS DOUBLE), 6) AS trimmed_mean
+FROM kept WHERE k > 0 GROUP BY source
+""",
+)
+def q184_trimmed_mean(spark, sf_dir):
+    """{TRIM_PCT}%-trimmed mean per source — the robust location
+    estimate between the mean (outlier-fragile) and the median
+    (discards magnitude): drop the lowest and highest {TRIM_PCT}% of
+    documents by length, average the rest. Computed WITHOUT sorting
+    rows: per-(group, value) counts carry rank RANGES (a value's c
+    copies occupy ranks cw−c+1..cw), so the kept count per value is
+    interval arithmetic against the two trim cutoffs — integer-exact,
+    value-domain-sized, one rounded division at the end. The same
+    histogram discipline as q163/q167/q183 — rank logic without a
+    rank window over rows."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", F.size(F.split("text", " ")).cast("bigint").alias("v")
+    )
+    h = d.groupBy("source", "v").agg(cnt("c"))
+    wc = W.partitionBy("source").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    wt = W.partitionBy("source")
+    cum = h.select(
+        "source",
+        "v",
+        "c",
+        F.sum("c").over(wc).alias("cw"),
+        F.sum("c").over(wt).alias("tot"),
+    )
+    lo = F.expr(f"(tot * {TRIM_PCT}) DIV 100")
+    hi = F.col("tot") - lo
+    k = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(F.col("cw"), hi) - F.greatest(F.col("cw") - F.col("c"), lo),
+    )
+    kept = cum.select("source", "v", k.alias("k")).where(F.col("k") > 0)
+    return kept.groupBy("source").agg(
+        F.sum("k").cast("bigint").alias("n_kept"),
+        F.sum(F.col("k") * F.col("v")).cast("bigint").alias("sum_kept"),
+        F.round(
+            F.sum(F.col("k") * F.col("v")) / F.sum("k").cast("double"), 6
+        ).alias("trimmed_mean"),
+    )
