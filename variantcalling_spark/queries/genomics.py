@@ -1127,3 +1127,62 @@ def q157_minimizer_sketch(spark, sf_dir):
         F.array_min("sketch").alias("sketch_min"),
         F.array_max("sketch").alias("sketch_max"),
     )
+
+
+KSPEC_K = 8
+
+
+@query(
+    "q185_kmer_spectrum",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         translate(substr(text, 1, 120), '{DNA_FROM}', '{DNA_TO}') AS seq
+  FROM documents
+),
+km AS (
+  SELECT unnest([substr(seq, i, {KSPEC_K})
+                 for i in generate_series(1, length(seq) - {KSPEC_K} + 1)]) AS kmer
+  FROM d WHERE length(seq) >= {KSPEC_K}
+),
+cnts AS (SELECT kmer, COUNT(*) AS mult FROM km GROUP BY kmer)
+SELECT CAST(mult AS BIGINT) AS multiplicity,
+       COUNT(*) AS n_kmers,
+       CAST(SUM(mult) AS BIGINT) AS total_occurrences
+FROM cnts GROUP BY mult
+""",
+)
+def q185_kmer_spectrum(spark, sf_dir):
+    """k-mer multiplicity spectrum (the jellyfish-histo / GenomeScope
+    curve): how many distinct {KSPEC_K}-mers occur exactly m times —
+    the error-vs-repeat profile genome assemblers and coverage
+    estimators read first (the m=1 spike is sequencing error; the main
+    mode sits at the true coverage depth). Plan: per-row k-mer arrays
+    off the staged sequence (q157's projection chain without the
+    hashing), one explode, the k-mer count groupBy (map-side
+    combinable; 4^k-bounded key space), then a SECOND groupBy over one
+    row per DISTINCT k-mer — each stage's shuffle is orders of
+    magnitude smaller than the last, the canonical two-level histogram
+    shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.translate(F.substring("text", 1, 120), DNA_FROM, DNA_TO).alias("seq")
+    )
+    seq = F.col("seq")
+    k = KSPEC_K
+    km = (
+        d.where(F.length(seq) >= k)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(seq) - k + 1),
+                    lambda i: seq.substr(i, F.lit(k)),
+                )
+            ).alias("kmer")
+        )
+    )
+    cnts = km.groupBy("kmer").agg(cnt("mult"))
+    return cnts.groupBy(F.col("mult").cast("bigint").alias("multiplicity")).agg(
+        cnt("n_kmers"),
+        F.sum("mult").cast("bigint").alias("total_occurrences"),
+    )
