@@ -107,6 +107,7 @@ _PRIORITY = (
     "q183_mad_robust",
     "q184_trimmed_mean",
     "q185_kmer_spectrum",
+    "q186_personalized_pagerank",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

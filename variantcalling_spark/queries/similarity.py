@@ -1158,3 +1158,127 @@ def q175_mutual_nn_clusters(spark, sf_dir):
         .where(F.col("n_members") >= 2)
         .select(F.col("label").alias("cluster_id"), "n_members")
     )
+
+
+PPR_SEEDS = 10  # seed set: vec_id < 10
+
+
+def _ppr_oracle_sql() -> str:
+    knn = _knn_graph_oracle_sql()
+    parts = [
+        f"""
+WITH knn AS (SELECT * FROM ({knn}) q0),
+edges AS (SELECT vec_id AS src, neighbor_id AS dst FROM knn),
+nodes AS (SELECT vec_id AS node FROM embeddings),
+seeds AS (SELECT node FROM nodes WHERE node < {PPR_SEEDS}),
+ns AS (SELECT COUNT(*) AS n FROM seeds),
+outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (
+  SELECT n.node,
+         CASE WHEN n.node < {PPR_SEEDS}
+              THEN CAST({PR_SCALE} // (SELECT n FROM ns) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS r
+  FROM nodes n
+)"""
+    ]
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        parts.append(
+            f""",
+it{i} AS (
+  SELECT e.dst AS node, SUM({prev}.r // o.deg) AS s
+  FROM edges e JOIN {prev} ON {prev}.node = e.src
+  JOIN outdeg o ON o.src = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node,
+         CAST(CASE WHEN n.node < {PPR_SEEDS}
+                   THEN (15 * {PR_SCALE}) // (100 * (SELECT n FROM ns))
+                   ELSE 0 END
+              + (85 * COALESCE(it{i}.s, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN it{i} USING (node)
+)"""
+        )
+        prev = f"r{i}"
+    parts.append(
+        f"""
+SELECT node, rank_scaled, rk FROM (
+  SELECT node, r AS rank_scaled,
+         CAST(ROW_NUMBER() OVER (ORDER BY r DESC, node) AS INT) AS rk
+  FROM {prev} WHERE node >= {PPR_SEEDS} AND r > 0
+) WHERE rk <= 20
+"""
+    )
+    return "".join(parts)
+
+
+@query("q186_personalized_pagerank", oracle=_ppr_oracle_sql())
+def q186_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank from a seed set — the graph-expansion
+    primitive behind 'find more data like THIS' retrieval: teleport
+    mass restarts only at the seed documents, so rank concentrates in
+    the seeds' graph neighborhood and the top non-seed nodes ARE the
+    semantic expansion of the seed topic (topic-conditioned data
+    selection, the graph cousin of q128's hard negatives). Same
+    integer fixed-point discipline as q144 — bigint rank mass, floor
+    division, unrolled-CTE oracle — with the teleport vector
+    concentrated on the seeds; output excludes the seeds themselves
+    and zero-mass nodes (unreached from the seed neighborhood)."""
+    from variantcalling_spark.operators.similarity import adaptive_knn_graph
+    from pyspark.sql import Window as W2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = (
+        adaptive_knn_graph(emb, k=3)
+        .select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
+        .transform(managed_persist)
+    )
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    ns = nodes.where(F.col("node") < PPR_SEEDS).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    seed_mass = F.when(
+        F.col("node") < PPR_SEEDS,
+        F.expr(f"CAST({PR_SCALE} AS BIGINT) DIV n"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    ranks = nodes.crossJoin(F.broadcast(ns)).select("node", seed_mass.alias("r"))
+    teleport = F.when(
+        F.col("node") < PPR_SEEDS,
+        F.expr(f"CAST(15 * {PR_SCALE} AS BIGINT) DIV (100 * n)"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("node"), F.expr("r DIV deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(ns))
+            .select(
+                "node",
+                (
+                    teleport
+                    + F.expr("85 * COALESCE(s, CAST(0 AS BIGINT)) DIV 100")
+                )
+                .cast("bigint")
+                .alias("r"),
+            )
+        )
+    top = (
+        ranks.where((F.col("node") >= PPR_SEEDS) & (F.col("r") > 0))
+        .orderBy(F.col("r").desc(), "node")
+        .limit(20)
+    )
+    return top.select(
+        "node",
+        F.col("r").alias("rank_scaled"),
+        F.row_number()
+        .over(W2.orderBy(F.col("r").desc(), "node"))
+        .cast("int")
+        .alias("rk"),
+    )
