@@ -108,6 +108,7 @@ _PRIORITY = (
     "q184_trimmed_mean",
     "q185_kmer_spectrum",
     "q186_personalized_pagerank",
+    "q187_target_coverage_metrics",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

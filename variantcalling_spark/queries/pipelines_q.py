@@ -1486,3 +1486,125 @@ def q181_flagstat(spark, sf_dir):
             6,
         ).alias("frac_mapped"),
     )
+
+
+HS_DEPTHS = (1, 4, 8)
+
+
+@query(
+    "q187_target_coverage_metrics",
+    oracle=f"""
+WITH reads AS (
+  SELECT concat('c', CAST(l_orderkey % 4 AS VARCHAR)) AS chrom,
+         (l_orderkey * 7 + l_linenumber * 13) % 50000 AS start,
+         (l_orderkey * 7 + l_linenumber * 13) % 50000
+           + (20 + CAST(l_quantity AS BIGINT) % 30) AS "end"
+  FROM lineitem
+),
+deltas AS (
+  SELECT chrom, start AS bp, 1 AS delta FROM reads
+  UNION ALL SELECT chrom, "end" AS bp, -1 AS delta FROM reads
+),
+agg AS (
+  SELECT chrom, bp, SUM(delta) AS d FROM deltas
+  GROUP BY chrom, bp HAVING SUM(delta) <> 0
+),
+runs AS (
+  SELECT chrom, bp AS start,
+         LEAD(bp) OVER (PARTITION BY chrom ORDER BY bp) AS "end",
+         CAST(SUM(d) OVER (PARTITION BY chrom ORDER BY bp) AS BIGINT) AS depth
+  FROM agg
+),
+targets AS (
+  SELECT concat('c', CAST(c AS VARCHAR)) AS chrom,
+         j * 997 AS tstart, j * 997 + 400 AS tend,
+         'panel' || CAST(j % 3 AS VARCHAR) AS category
+  FROM generate_series(0, 3) cs(c), generate_series(0, 49) js(j)
+),
+tot AS (
+  SELECT category, CAST(SUM(tend - tstart) AS BIGINT) AS target_bases
+  FROM targets GROUP BY category
+),
+ov AS (
+  SELECT t.category, r.depth,
+         LEAST(r."end", t.tend) - GREATEST(r.start, t.tstart) AS bases
+  FROM runs r JOIN targets t
+    ON t.chrom = r.chrom AND r.start < t.tend AND t.tstart < r."end"
+  WHERE r."end" IS NOT NULL AND r.depth > 0
+)
+SELECT tot.category, tot.target_bases,
+       {", ".join(
+         f'''CAST(COALESCE(SUM(CASE WHEN ov.depth >= {d} THEN ov.bases END), 0) AS BIGINT)
+           AS bases_{d}x,
+       ROUND(COALESCE(SUM(CASE WHEN ov.depth >= {d} THEN ov.bases END), 0)
+             / CAST(tot.target_bases AS DOUBLE), 6) AS pct_{d}x'''
+         for d in HS_DEPTHS)}
+FROM tot LEFT JOIN ov ON ov.category = tot.category
+GROUP BY tot.category, tot.target_bases
+""",
+)
+def q187_target_coverage_metrics(spark, sf_dir):
+    """Hybrid-selection coverage metrics (picard HsMetrics
+    PCT_TARGET_BASES_{{1,4,8}}X): depth runs from the read pileup
+    intersected with the capture-panel intervals, per-panel fraction
+    of target bases at-or-above each depth. q48 answers this
+    genome-wide from the depth histogram; panels need the
+    INTERSECTION first — the broadcast interval-overlap join
+    (`operators/interval_join.py::interval_overlap_join`: target BEDs
+    are always broadcast-small) clips each depth run to each target,
+    then per-category conditional sums are map-side combinable.
+    Targets left-join so a panel with zero coverage still reports
+    0.0, not absence."""
+    from variantcalling_spark.operators.interval_join import interval_overlap_join
+    from variantcalling_spark.operators.pileup import reads_to_depth_runs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    reads = li.select(
+        F.concat(F.lit("c"), (F.col("l_orderkey") % 4).cast("string")).alias("chrom"),
+        ((F.col("l_orderkey") * 7 + F.col("l_linenumber") * 13) % 50000).alias(
+            "start"
+        ),
+        (
+            (F.col("l_orderkey") * 7 + F.col("l_linenumber") * 13) % 50000
+            + (20 + F.col("l_quantity").cast("bigint") % 30)
+        ).alias("end"),
+    )
+    runs = reads_to_depth_runs(reads).where(F.col("depth") > 0)
+    spark_b = spark
+    targets = (
+        spark_b.range(4)
+        .select(F.col("id").alias("c"))
+        .crossJoin(spark_b.range(50).select(F.col("id").alias("j")))
+        .select(
+            F.concat(F.lit("c"), F.col("c").cast("string")).alias("chrom"),
+            (F.col("j") * 997).alias("start"),
+            (F.col("j") * 997 + 400).alias("end"),
+            F.concat(F.lit("panel"), (F.col("j") % 3).cast("string")).alias(
+                "category"
+            ),
+        )
+    )
+    tot = targets.groupBy("category").agg(
+        F.sum(F.col("end") - F.col("start")).cast("bigint").alias("target_bases")
+    )
+    ov = interval_overlap_join(
+        runs, targets.select("chrom", "start", "end", "category"), keys=["chrom"]
+    ).select(
+        "category",
+        "depth",
+        (F.col("overlap_end") - F.col("overlap_start")).alias("bases"),
+    )
+    aggs = []
+    for d in HS_DEPTHS:
+        covered = F.sum(F.when(F.col("depth") >= d, F.col("bases")))
+        aggs.append(
+            F.coalesce(covered, F.lit(0)).cast("bigint").alias(f"bases_{d}x")
+        )
+        aggs.append(
+            F.round(
+                F.coalesce(covered, F.lit(0)) / F.col("target_bases").cast("double"),
+                6,
+            ).alias(f"pct_{d}x")
+        )
+    joined = tot.join(ov, "category", "left")
+    return joined.groupBy("category", "target_bases").agg(*aggs)
