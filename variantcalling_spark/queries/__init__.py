@@ -109,6 +109,8 @@ _PRIORITY = (
     "q185_kmer_spectrum",
     "q186_personalized_pagerank",
     "q187_target_coverage_metrics",
+    "q188_mark_duplicates",
+    "q189_n50_stats",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

@@ -1186,3 +1186,73 @@ def q185_kmer_spectrum(spark, sf_dir):
         cnt("n_kmers"),
         F.sum("mult").cast("bigint").alias("total_occurrences"),
     )
+
+
+@query(
+    "q189_n50_stats",
+    oracle="""
+WITH runs AS (
+  SELECT concat('c', CAST(l_orderkey % 4 AS VARCHAR)) AS chrom,
+         CAST(20 + (l_orderkey * 7 + l_linenumber * 13) % 980 AS BIGINT) AS len
+  FROM lineitem WHERE l_partkey % 5 = 0
+),
+h AS (SELECT chrom, len, COUNT(*) AS c FROM runs GROUP BY chrom, len),
+cum AS (
+  SELECT chrom, len, c,
+         SUM(c * len) OVER (PARTITION BY chrom ORDER BY len DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumbp,
+         SUM(c * len) OVER (PARTITION BY chrom) AS totbp,
+         SUM(c) OVER (PARTITION BY chrom) AS n
+  FROM h
+)
+SELECT chrom,
+       CAST(MAX(n) AS BIGINT) AS n_segments,
+       CAST(MAX(totbp) AS BIGINT) AS total_bp,
+       CAST(MAX(CASE WHEN cumbp * 2 >= totbp THEN len END) AS BIGINT) AS n50,
+       CAST(MAX(CASE WHEN cumbp * 10 >= totbp * 9 THEN len END) AS BIGINT) AS n90
+FROM cum GROUP BY chrom
+""",
+)
+def q189_n50_stats(spark, sf_dir):
+    """N50/N90 per contig — assembly's headline statistic (the length L
+    such that segments ≥ L hold half / 90% of the total bases), applied
+    to the high-confidence-region segment lengths a callset QC report
+    summarizes. Same histogram discipline as the weighted quantiles:
+    per-(chrom, length) counts, a descending cumulative base-pair
+    window over the tiny length domain, integer threshold tests
+    (cumbp·2 ≥ tot; ·10 ≥ 9·tot) — the pick is MAX(len) among
+    qualifying lengths because the walk is descending. No row sort,
+    no floats in the statistic."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    runs = li.where(F.col("l_partkey") % 5 == 0).select(
+        F.concat(F.lit("c"), (F.col("l_orderkey") % 4).cast("string")).alias("chrom"),
+        (20 + (F.col("l_orderkey") * 7 + F.col("l_linenumber") * 13) % 980)
+        .cast("bigint")
+        .alias("len"),
+    )
+    h = runs.groupBy("chrom", "len").agg(cnt("c"))
+    wd = (
+        W.partitionBy("chrom")
+        .orderBy(F.desc("len"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wt = W.partitionBy("chrom")
+    cum = h.select(
+        "chrom",
+        "len",
+        F.sum(F.col("c") * F.col("len")).over(wd).alias("cumbp"),
+        F.sum(F.col("c") * F.col("len")).over(wt).alias("totbp"),
+        F.sum("c").over(wt).alias("n"),
+    )
+    return cum.groupBy("chrom").agg(
+        F.max("n").cast("bigint").alias("n_segments"),
+        F.max("totbp").cast("bigint").alias("total_bp"),
+        F.max(F.when(F.col("cumbp") * 2 >= F.col("totbp"), F.col("len")))
+        .cast("bigint")
+        .alias("n50"),
+        F.max(F.when(F.col("cumbp") * 10 >= F.col("totbp") * 9, F.col("len")))
+        .cast("bigint")
+        .alias("n90"),
+    )

@@ -1608,3 +1608,82 @@ def q187_target_coverage_metrics(spark, sf_dir):
         )
     joined = tot.join(ov, "category", "left")
     return joined.groupBy("category", "target_bases").agg(*aggs)
+
+
+@query(
+    "q188_mark_duplicates",
+    oracle="""
+WITH p AS (
+  SELECT 'c' || CAST(l_orderkey % 4 AS VARCHAR) AS chrom,
+         l_orderkey % 20000 + 1 AS pos,
+         CASE WHEN l_partkey % 3 = 0 THEN 16 ELSE 0 END AS strand,
+         CAST(l_suppkey % 60 AS INT) AS mapq
+  FROM lineitem
+  WHERE l_linenumber % 7 <> 0
+),
+g AS (
+  SELECT chrom, pos, strand, COUNT(*) AS n_reads, MAX(mapq) AS best_mapq
+  FROM p GROUP BY chrom, pos, strand
+)
+SELECT chrom,
+       CAST(SUM(n_reads) AS BIGINT) AS n_mapped,
+       CAST(SUM(CASE WHEN n_reads > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_groups,
+       CAST(SUM(n_reads - 1) AS BIGINT) AS n_duplicates,
+       ROUND(SUM(n_reads - 1) / CAST(SUM(n_reads) AS DOUBLE), 6) AS dup_rate,
+       ROUND(CAST(SUM(CAST(best_mapq AS DECIMAL(18,6)) * n_reads) AS DOUBLE)
+             / SUM(n_reads), 6) AS mean_best_mapq
+FROM g GROUP BY chrom
+""",
+)
+def q188_mark_duplicates(spark, sf_dir):
+    """The MarkDuplicates primitive (picard/sambamba core): mapped reads
+    sharing (chrom, unclipped start, strand) form a duplicate group;
+    the best-MAPQ member survives, the rest are flagged — PCR/optical
+    duplicate rate per contig is the library-complexity dial every
+    sequencing QC report leads with. Reads REALLY parse through the
+    SAM source (flags carry strand 0x10, unmapped records drop via the
+    0x4 filter, the q181 discipline); the duplicate grouping is ONE
+    groupBy on the position key — at 100 TB this is the shuffle
+    MarkDuplicates always pays, here with map-side combine since only
+    counts and maxima travel. Mean best-MAPQ goes through DECIMAL so
+    the per-contig means are partition-order-independent."""
+    from variantcalling_spark.sources.reads import parse_sam_lines
+
+    li = load_table(spark, sf_dir, "lineitem")
+    flag = (
+        4 * F.when(F.col("l_linenumber") % 7 == 0, 1).otherwise(0)
+        + 16 * F.when(F.col("l_partkey") % 3 == 0, 1).otherwise(0)
+    )
+    lines = li.select(
+        F.format_string(
+            "r%d\t%d\tc%d\t%d\t%d\t10M\t*\t0\t0\t*\t*",
+            F.col("l_orderkey"),
+            flag.cast("int"),
+            (F.col("l_orderkey") % 4).cast("int"),
+            (F.col("l_orderkey") % 20000 + 1).cast("long"),
+            (F.col("l_suppkey") % 60).cast("int"),
+        ).alias("value")
+    )
+    sam = parse_sam_lines(lines).where(F.col("flag").bitwiseAND(4) == 0)
+    g = sam.groupBy(
+        "chrom",
+        "pos",
+        F.col("flag").bitwiseAND(16).alias("strand"),
+    ).agg(cnt("n_reads"), F.max("mapq").alias("best_mapq"))
+    return g.groupBy("chrom").agg(
+        F.sum("n_reads").cast("bigint").alias("n_mapped"),
+        F.sum(F.when(F.col("n_reads") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_groups"),
+        F.sum(F.col("n_reads") - 1).cast("bigint").alias("n_duplicates"),
+        F.round(
+            F.sum(F.col("n_reads") - 1) / F.sum("n_reads").cast("double"), 6
+        ).alias("dup_rate"),
+        F.round(
+            F.sum(F.col("best_mapq").cast("decimal(18,6)") * F.col("n_reads"))
+            .cast("double")
+            / F.sum("n_reads"),
+            6,
+        ).alias("mean_best_mapq"),
+    )
