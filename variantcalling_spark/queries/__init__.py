@@ -111,6 +111,7 @@ _PRIORITY = (
     "q187_target_coverage_metrics",
     "q188_mark_duplicates",
     "q189_n50_stats",
+    "q190_quantile_normalization",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

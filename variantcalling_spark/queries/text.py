@@ -2271,3 +2271,83 @@ def q184_trimmed_mean(spark, sf_dir):
             F.sum(F.col("k") * F.col("v")) / F.sum("k").cast("double"), 6
         ).alias("trimmed_mean"),
     )
+
+
+@query(
+    "q190_quantile_normalization",
+    oracle="""
+WITH d AS (
+  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+  FROM documents
+),
+h AS (SELECT source, v, COUNT(*) AS c FROM d GROUP BY source, v),
+cum AS (
+  SELECT source, v, c,
+         SUM(c) OVER (PARTITION BY source ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(c) OVER (PARTITION BY source) AS ns
+  FROM h
+),
+hp AS (SELECT v, COUNT(*) AS c FROM d GROUP BY v),
+cump AS (
+  SELECT v AS u,
+         SUM(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+         SUM(c) OVER () AS np
+  FROM hp
+)
+SELECT c1.source, c1.v,
+       CAST(c1.c AS BIGINT) AS n_docs,
+       CAST(MIN(c2.u) AS BIGINT) AS normalized_v
+FROM cum c1 JOIN cump c2
+  ON c2.cp * c1.ns >= c1.cw * c2.np
+GROUP BY c1.source, c1.v, c1.c
+""",
+)
+def q190_quantile_normalization(spark, sf_dir):
+    """Quantile normalization across sources — the batch-effect
+    correction classic (microarray heritage, now the distribution-
+    alignment step when mixing corpus slices whose length/quality
+    distributions must not leak the source): each (source, value) maps
+    to the POOLED distribution's value at the same CDF position,
+    F_pooled⁻¹(F_source(v)), computed exactly by integer
+    cross-multiplication (cp·n_s ≥ cw·n_pool — no float CDF ever
+    forms, the q171 trick inverted). Both histograms are value-domain-
+    sized; the inverse lookup is a non-equi join of two TINY cumulative
+    relations (broadcast pooled side) + a MIN — rows never pair."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", F.size(F.split("text", " ")).cast("bigint").alias("v")
+    ).transform(managed_persist)
+    h = d.groupBy("source", "v").agg(cnt("c"))
+    wc = W.partitionBy("source").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = h.select(
+        "source",
+        "v",
+        "c",
+        F.sum("c").over(wc).alias("cw"),
+        F.sum("c").over(W.partitionBy("source")).alias("ns"),
+    )
+    hp = d.groupBy("v").agg(cnt("c"))
+    wp = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cump = hp.select(
+        F.col("v").alias("u"),
+        F.sum("c").over(wp).alias("cp"),
+        F.sum("c").over(W.partitionBy()).alias("np"),
+    )
+    return (
+        cum.join(
+            F.broadcast(cump),
+            F.col("cp") * F.col("ns") >= F.col("cw") * F.col("np"),
+        )
+        .groupBy("source", "v", "c")
+        .agg(F.min("u").cast("bigint").alias("normalized_v"))
+        .select(
+            "source",
+            "v",
+            F.col("c").cast("bigint").alias("n_docs"),
+            "normalized_v",
+        )
+    )
