@@ -112,6 +112,7 @@ _PRIORITY = (
     "q188_mark_duplicates",
     "q189_n50_stats",
     "q190_quantile_normalization",
+    "q191_pmi_collocations",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

@@ -2351,3 +2351,104 @@ def q190_quantile_normalization(spark, sf_dir):
             "normalized_v",
         )
     )
+
+
+PMI_MIN_COUNT = 5
+
+
+@query(
+    "q191_pmi_collocations",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (
+  SELECT unnest([w[i] || ' ' || w[i+1]
+                 for i in generate_series(1, len(w) - 1)]) AS b
+  FROM tok WHERE len(w) >= 2
+),
+c2 AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b HAVING COUNT(*) >= {PMI_MIN_COUNT}),
+n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bg),
+uni AS (SELECT unnest(w) AS word FROM tok),
+c1 AS (SELECT word, COUNT(*) AS c FROM uni GROUP BY word),
+n1 AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c1),
+scored AS (
+  SELECT c2.b AS bigram, c2.c AS n_pair,
+         ROUND(ln((CAST(c2.c AS DOUBLE) / (SELECT n FROM n2))
+                  / ((ca.c / CAST((SELECT n FROM n1) AS DOUBLE))
+                     * (cb.c / CAST((SELECT n FROM n1) AS DOUBLE)))), 6) AS pmi
+  FROM c2
+  JOIN c1 ca ON ca.word = string_split(c2.b, ' ')[1]
+  JOIN c1 cb ON cb.word = string_split(c2.b, ' ')[2]
+)
+SELECT bigram, n_pair, pmi,
+       CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, bigram) AS INT) AS rk
+FROM scored
+QUALIFY rk <= 20
+""",
+)
+def q191_pmi_collocations(spark, sf_dir):
+    """Collocation mining: top-20 adjacent word pairs by pointwise
+    mutual information (min count {PMI_MIN_COUNT}) — the phrase-
+    detection pass (word2phrase / gensim Phrases shape) a tokenization
+    pipeline runs before vocabulary induction, and the statistical
+    sibling of q126's raw-frequency merge mining (PMI surfaces
+    SELECTIVE pairs, not merely frequent ones). The single ln argument
+    is one ratio of exact integer products — identical doubles on both
+    engines before the rounded compare — and the ranking tie-breaks on
+    the bigram string. Counts are vocabulary-bounded; the corpus
+    shuffles once for bigram counts, once for unigrams."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.split("text", " ").alias("w"))
+    w = F.col("w")
+    bg = tok.where(F.size(w) >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 2),
+                lambda i: F.array_join(F.slice(w, i + 1, 2), " "),
+            )
+        ).alias("b")
+    ).transform(managed_persist)
+    c2 = bg.groupBy("b").agg(cnt("c")).where(F.col("c") >= PMI_MIN_COUNT)
+    n2 = bg.agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    uni = tok.select(F.explode("w").alias("word"))
+    c1 = uni.groupBy("word").agg(cnt("c1c"))
+    n1 = c1.agg(F.sum("c1c").cast("bigint").alias("n1"))
+    scored = (
+        c2.withColumn("w1", F.split("b", " ")[0])
+        .withColumn("w2", F.split("b", " ")[1])
+        .join(
+            F.broadcast(c1.select(F.col("word").alias("w1"), F.col("c1c").alias("ca"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(c1.select(F.col("word").alias("w2"), F.col("c1c").alias("cb"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            F.col("b").alias("bigram"),
+            F.col("c").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("c").cast("double") / F.col("n2"))
+                    / (
+                        (F.col("ca") / F.col("n1").cast("double"))
+                        * (F.col("cb") / F.col("n1").cast("double"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(F.desc("pmi"), "bigram").limit(20)
+    return top.select(
+        "bigram",
+        "n_pair",
+        "pmi",
+        F.row_number()
+        .over(W.orderBy(F.desc("pmi"), "bigram"))
+        .cast("int")
+        .alias("rk"),
+    )
