@@ -113,6 +113,8 @@ _PRIORITY = (
     "q189_n50_stats",
     "q190_quantile_normalization",
     "q191_pmi_collocations",
+    "q192_cohort_retention",
+    "q193_funnel_conversion",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

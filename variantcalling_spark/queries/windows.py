@@ -21,7 +21,7 @@ from variantcalling_spark.operators.ordered import (
     running_extent_dedup,
 )
 from variantcalling_spark.queries import query
-from variantcalling_spark.queries._helpers import cnt, dec
+from variantcalling_spark.queries._helpers import cnt, dec, managed_persist
 from variantcalling_spark.queries.intervals import events_points
 
 # Shared SQL fragment: events as extent rows (start/end in us); the span is
@@ -631,4 +631,139 @@ def q179_sessionization_stats(spark, sf_dir):
         .alias("n_singletons"),
         F.max("dur_us").cast("bigint").alias("max_dur_us"),
         F.sum("dur_us").cast("bigint").alias("total_dur_us"),
+    )
+
+
+WEEK_US = 7 * 24 * 3_600_000_000
+
+
+@query(
+    "q192_cohort_retention",
+    oracle=f"""
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // {WEEK_US} AS BIGINT) AS wk
+  FROM events
+),
+first_wk AS (SELECT user_id, MIN(wk) AS cohort_wk FROM act GROUP BY user_id),
+sizes AS (SELECT cohort_wk, COUNT(*) AS cohort_size FROM first_wk GROUP BY cohort_wk),
+ret AS (
+  SELECT f.cohort_wk, a.wk - f.cohort_wk AS weeks_since,
+         COUNT(DISTINCT a.user_id) AS n_active
+  FROM act a JOIN first_wk f USING (user_id)
+  GROUP BY f.cohort_wk, a.wk - f.cohort_wk
+)
+SELECT r.cohort_wk, CAST(r.weeks_since AS BIGINT) AS weeks_since,
+       s.cohort_size, CAST(r.n_active AS BIGINT) AS n_active,
+       ROUND(r.n_active / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+FROM ret r JOIN sizes s USING (cohort_wk)
+WHERE r.weeks_since <= 8
+""",
+)
+def q192_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix — the warehouse staple behind
+    every growth dashboard (and, for a training-data pipeline, the
+    contributor-churn view of a crowdsourced corpus): users grouped by
+    first-activity week, fraction still active k weeks later. Exact
+    throughout: week buckets are integer DIV, activity is a DISTINCT
+    (user, week) relation — one shuffle, orders smaller than the event
+    stream — and the retention matrix is two joins over per-user and
+    per-cohort aggregates. The 9-column triangle bounds output
+    regardless of scale."""
+    act = (
+        events_points(spark, sf_dir)
+        .select("user_id", F.expr(f"ts_us DIV {WEEK_US}").alias("wk"))
+        .distinct()
+        .transform(managed_persist)
+    )
+    first_wk = act.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sizes = first_wk.groupBy("cohort_wk").agg(cnt("cohort_size"))
+    ret = (
+        act.join(first_wk, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("weeks_since"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    return (
+        ret.join(sizes, "cohort_wk")
+        .where(F.col("weeks_since") <= 8)
+        .select(
+            "cohort_wk",
+            F.col("weeks_since").cast("bigint").alias("weeks_since"),
+            "cohort_size",
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.round(
+                F.col("n_active") / F.col("cohort_size").cast("double"), 6
+            ).alias("retention"),
+        )
+    )
+
+
+@query(
+    "q193_funnel_conversion",
+    oracle="""
+WITH t AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+  FROM events GROUP BY user_id
+),
+stages AS (
+  SELECT user_id,
+         CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS s1,
+         CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END AS s2,
+         CASE WHEN t_view IS NOT NULL AND t_click > t_view
+               AND t_purchase > t_click THEN 1 ELSE 0 END AS s3
+  FROM t
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(s1) AS BIGINT) AS n_view,
+       CAST(SUM(s2) AS BIGINT) AS n_view_click,
+       CAST(SUM(s3) AS BIGINT) AS n_view_click_purchase,
+       ROUND(SUM(s2) / CAST(NULLIF(SUM(s1), 0) AS DOUBLE), 6) AS click_rate,
+       ROUND(SUM(s3) / CAST(NULLIF(SUM(s2), 0) AS DOUBLE), 6) AS purchase_rate
+FROM stages
+""",
+)
+def q193_funnel_conversion(spark, sf_dir):
+    """Ordered funnel conversion (view -> click -> purchase, timestamps
+    strictly increasing per user) — the sequence-analytics staple: each
+    stage requires the PREVIOUS stage's earliest event to precede this
+    stage's earliest (min-timestamp semantics, the standard windowless
+    funnel form). One conditional-min groupBy per user — map-side
+    combinable, never a per-user sort — then a 1-row aggregate; NULL
+    comparisons resolve to false on both engines so missing stages
+    drop out without explicit guards."""
+    ev = events_points(spark, sf_dir)
+
+    def tmin(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts_us")))
+
+    t = ev.groupBy("user_id").agg(
+        tmin("view").alias("t_view"),
+        tmin("click").alias("t_click"),
+        tmin("purchase").alias("t_purchase"),
+    )
+    s1 = F.when(F.col("t_view").isNotNull(), 1).otherwise(0)
+    s2 = F.when(
+        F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")), 1
+    ).otherwise(0)
+    s3 = F.when(
+        F.col("t_view").isNotNull()
+        & (F.col("t_click") > F.col("t_view"))
+        & (F.col("t_purchase") > F.col("t_click")),
+        1,
+    ).otherwise(0)
+    stages = t.select(s1.alias("s1"), s2.alias("s2"), s3.alias("s3"))
+    return stages.agg(
+        cnt("n_users"),
+        F.sum("s1").cast("bigint").alias("n_view"),
+        F.sum("s2").cast("bigint").alias("n_view_click"),
+        F.sum("s3").cast("bigint").alias("n_view_click_purchase"),
+        F.round(
+            F.sum("s2") / F.nullif(F.sum("s1"), F.lit(0)).cast("double"), 6
+        ).alias("click_rate"),
+        F.round(
+            F.sum("s3") / F.nullif(F.sum("s2"), F.lit(0)).cast("double"), 6
+        ).alias("purchase_rate"),
     )
