@@ -115,6 +115,8 @@ _PRIORITY = (
     "q191_pmi_collocations",
     "q192_cohort_retention",
     "q193_funnel_conversion",
+    "q194_association_rules",
+    "q195_pareto_concentration",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from variantcalling_spark.queries import query
-from variantcalling_spark.queries._helpers import cnt, dec, dsum, dsum_col
+from variantcalling_spark.queries._helpers import cnt, dec, dsum, dsum_col, managed_persist
 from variantcalling_spark.sources import load_table
 
 
@@ -667,4 +667,157 @@ def q19_topk_per_group(spark, sf_dir):
         .withColumn("rn", F.row_number().over(w2))
         .where(F.col("rn") <= 3)
         .drop("rn")
+    )
+
+
+BASKET_MIN_SUPPORT = 3
+
+
+@query(
+    "q194_association_rules",
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey % 200 AS item
+  FROM lineitem
+),
+n_b AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n FROM items),
+item_n AS (SELECT item, COUNT(*) AS c FROM items GROUP BY item),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS support
+  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY a.item, b.item
+  HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT p.item_a, p.item_b, CAST(p.support AS BIGINT) AS support,
+       ROUND(p.support / CAST(ca.c AS DOUBLE), 6) AS confidence,
+       ROUND((p.support * (SELECT n FROM n_b))
+             / (CAST(ca.c AS DOUBLE) * cb.c), 6) AS lift
+FROM pairs p
+JOIN item_n ca ON ca.item = p.item_a
+JOIN item_n cb ON cb.item = p.item_b
+""",
+)
+def q194_association_rules(spark, sf_dir):
+    """Market-basket association rules (support / confidence / lift) —
+    the classic co-occurrence mining op, run here over order baskets
+    (parts bucketed to 200 classes): which item classes ship together
+    more than chance. Scale shape: the pair self-join is ON THE BASKET
+    KEY, so pair count is Σ basket_size² (TPC-H orders hold ≤ 7
+    lines — bounded fan-out, never an item×item cross); the support
+    floor prunes before the stats joins, and item counts + basket
+    total broadcast. Lift's numerator is an exact integer product —
+    one rounded division per rule on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (
+        li.select(
+            F.col("l_orderkey").alias("basket"),
+            (F.col("l_partkey") % 200).alias("item"),
+        )
+        .distinct()
+        .transform(managed_persist)
+    )
+    n_b = items.agg(F.count_distinct("basket").cast("bigint").alias("n"))
+    item_n = items.groupBy("item").agg(cnt("c"))
+    a = items.select("basket", F.col("item").alias("item_a"))
+    b = items.select("basket", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "basket")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(cnt("support"))
+        .where(F.col("support") >= BASKET_MIN_SUPPORT)
+    )
+    return (
+        pairs.join(
+            F.broadcast(item_n.select(F.col("item").alias("item_a"), F.col("c").alias("ca"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(item_n.select(F.col("item").alias("item_b"), F.col("c").alias("cb"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_b))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("support").cast("bigint").alias("support"),
+            F.round(F.col("support") / F.col("ca").cast("double"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("support") * F.col("n"))
+                / (F.col("ca").cast("double") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "q195_pareto_concentration",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT o_custkey, rev_c,
+         ROW_NUMBER() OVER (ORDER BY rev_c DESC, o_custkey) AS rnk,
+         COUNT(*) OVER () AS n,
+         SUM(rev_c) OVER () AS tot
+  FROM cust
+)
+SELECT CAST(n AS BIGINT) AS n_customers, CAST(tot AS BIGINT) AS total_rev_cents,
+       CAST(SUM(CASE WHEN rnk * 10 <= n THEN rev_c ELSE 0 END) AS BIGINT)
+         AS top10pct_rev_cents,
+       ROUND(SUM(CASE WHEN rnk * 10 <= n THEN rev_c ELSE 0 END)
+             / CAST(tot AS DOUBLE), 6) AS top10pct_share,
+       CAST(SUM(CASE WHEN rnk * 5 <= n THEN rev_c ELSE 0 END) AS BIGINT)
+         AS top20pct_rev_cents,
+       ROUND(SUM(CASE WHEN rnk * 5 <= n THEN rev_c ELSE 0 END)
+             / CAST(tot AS DOUBLE), 6) AS top20pct_share
+FROM r GROUP BY n, tot
+""",
+)
+def q195_pareto_concentration(spark, sf_dir):
+    """Pareto (80/20) revenue concentration: what share of revenue the
+    top 10% / 20% of customers carry — the concentration report that
+    pairs with q172's Gini (Gini grades the whole curve; this reads
+    two named points off it). Revenue stays in exact DECIMAL cents;
+    rank thresholds are integer cross-multiplications (rnk·10 ≤ n);
+    the customer relation (already one row per customer) takes one
+    global rank window — at extreme cardinalities the q184 rank-range
+    histogram substitutes, same discipline."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    r = cust.select(
+        "o_custkey",
+        "rev_c",
+        F.row_number()
+        .over(W.orderBy(F.desc("rev_c"), "o_custkey"))
+        .alias("rnk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+        F.sum("rev_c").over(W.partitionBy()).alias("tot"),
+    )
+    top10 = F.sum(F.when(F.col("rnk") * 10 <= F.col("n"), F.col("rev_c")).otherwise(0))
+    top20 = F.sum(F.when(F.col("rnk") * 5 <= F.col("n"), F.col("rev_c")).otherwise(0))
+    return r.groupBy("n", "tot").agg(
+        top10.cast("bigint").alias("top10pct_rev_cents"),
+        F.round(top10 / F.col("tot").cast("double"), 6).alias("top10pct_share"),
+        top20.cast("bigint").alias("top20pct_rev_cents"),
+        F.round(top20 / F.col("tot").cast("double"), 6).alias("top20pct_share"),
+    ).select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("tot").alias("total_rev_cents"),
+        "top10pct_rev_cents",
+        "top10pct_share",
+        "top20pct_rev_cents",
+        "top20pct_share",
     )
