@@ -117,6 +117,7 @@ _PRIORITY = (
     "q193_funnel_conversion",
     "q194_association_rules",
     "q195_pareto_concentration",
+    "q196_skyline_2d",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

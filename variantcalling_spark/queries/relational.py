@@ -821,3 +821,52 @@ def q195_pareto_concentration(spark, sf_dir):
         "top20pct_rev_cents",
         "top20pct_share",
     )
+
+
+@query(
+    "q196_skyline_2d",
+    oracle="""
+WITH p AS (
+  SELECT p_partkey,
+         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+         CAST(p_size AS BIGINT) AS psize
+  FROM part
+),
+w AS (
+  SELECT p_partkey, price_c, psize,
+         MAX(psize) OVER (ORDER BY price_c
+           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_cheaper
+  FROM p
+)
+SELECT p_partkey, price_c, psize
+FROM w
+WHERE best_cheaper IS NULL OR psize >= best_cheaper
+""",
+)
+def q196_skyline_2d(spark, sf_dir):
+    """2-D skyline (Pareto-optimal set): parts where no STRICTLY
+    cheaper part offers a STRICTLY larger size — the multi-criteria
+    shortlist query (price/quality frontiers, model-selection
+    curves). The naive form is an O(n²) dominance self-join; this is
+    ONE range-frame window: sorted by price, a part survives iff its
+    size is ≥ the best size seen at strictly lower prices
+    (RANGE .. 1 PRECEDING excludes equal-price peers, which cannot
+    strictly under-price). Exact DECIMAL cents as the range key; the
+    global sort is the only shuffle — at extreme cardinalities
+    pre-aggregate to (price, max size) first (vastly smaller, same
+    answer), the q167 histogram discipline."""
+    from pyspark.sql import Window as W
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_c"),
+        F.col("p_size").cast("bigint").alias("psize"),
+    )
+    wr = W.orderBy("price_c").rangeBetween(W.unboundedPreceding, -1)
+    w = p.withColumn("best_cheaper", F.max("psize").over(wr))
+    return w.where(
+        F.col("best_cheaper").isNull() | (F.col("psize") >= F.col("best_cheaper"))
+    ).select("p_partkey", "price_c", "psize")
