@@ -118,6 +118,8 @@ _PRIORITY = (
     "q194_association_rules",
     "q195_pareto_concentration",
     "q196_skyline_2d",
+    "q197_cusum_changepoint",
+    "q198_ld_r2_pairs",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

@@ -1687,3 +1687,113 @@ def q188_mark_duplicates(spark, sf_dir):
             6,
         ).alias("mean_best_mapq"),
     )
+
+
+LD_WINDOW = 40
+
+
+@query(
+    "q198_ld_r2_pairs",
+    oracle=f"""
+WITH calls AS ({SQL_COHORT_CALLS}),
+a AS (
+  SELECT chrom, sample, pos, CAST(gt AS BIGINT) AS gt,
+         unnest([pos // {LD_WINDOW}, pos // {LD_WINDOW} + 1]) AS bk
+  FROM calls
+),
+b AS (
+  SELECT chrom, sample, pos, CAST(gt AS BIGINT) AS gt,
+         pos // {LD_WINDOW} AS bk
+  FROM calls
+),
+pr AS (
+  SELECT a.chrom, a.pos AS pos_a, b.pos AS pos_b,
+         COUNT(*) AS n,
+         CAST(SUM(a.gt) AS BIGINT) AS sx, CAST(SUM(b.gt) AS BIGINT) AS sy,
+         CAST(SUM(a.gt * a.gt) AS BIGINT) AS sxx,
+         CAST(SUM(b.gt * b.gt) AS BIGINT) AS syy,
+         CAST(SUM(a.gt * b.gt) AS BIGINT) AS sxy
+  FROM a JOIN b
+    ON b.chrom = a.chrom AND b.sample = a.sample AND b.bk = a.bk
+   AND b.pos > a.pos AND b.pos - a.pos <= {LD_WINDOW}
+  GROUP BY a.chrom, a.pos, b.pos
+)
+SELECT chrom, pos_a, pos_b, CAST(n AS BIGINT) AS n,
+       CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS BIGINT) AS r2_num,
+       CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS BIGINT) AS r2_den,
+       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE), 6)
+         AS r2
+FROM pr
+WHERE n >= 3 AND (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+""",
+)
+def q198_ld_r2_pairs(spark, sf_dir):
+    """Pairwise linkage-disequilibrium r² between nearby sites (the
+    plink --r2 genotypic-correlation form): squared Pearson
+    correlation of genotype dosages over the samples both sites share,
+    for site pairs within {LD_WINDOW} bp — the pruning input of every
+    GWAS pipeline (LD-prune before association, tag-SNP selection).
+    Exact: r² is a bigint rational from the q165 sufficient-statistic
+    algebra on 0/1/2 dosages. Scale shape: the pair discovery is the
+    BANDED range self-join (a-side exploded to two adjacent position
+    buckets, equi-join on (chrom, sample, bucket) + distance
+    refinement — the q127 anchor-join lesson, never a per-chrom
+    cross); monomorphic-in-sample pairs drop via the zero-variance
+    guard."""
+    calls = _cohort_calls(spark, sf_dir)
+    base = calls.select(
+        "chrom", "sample", "pos", F.col("gt").cast("bigint").alias("gt")
+    )
+    a = base.select(
+        "chrom",
+        "sample",
+        "pos",
+        "gt",
+        F.explode(
+            F.array(
+                F.expr(f"pos DIV {LD_WINDOW}"),
+                F.expr(f"pos DIV {LD_WINDOW} + 1"),
+            )
+        ).alias("bk"),
+    )
+    b = base.withColumn("bk", F.expr(f"pos DIV {LD_WINDOW}"))
+    aa, bb = a.alias("a"), b.alias("b")
+    pr = (
+        aa.join(
+            bb,
+            (F.col("b.chrom") == F.col("a.chrom"))
+            & (F.col("b.sample") == F.col("a.sample"))
+            & (F.col("b.bk") == F.col("a.bk"))
+            & (F.col("b.pos") > F.col("a.pos"))
+            & (F.col("b.pos") - F.col("a.pos") <= LD_WINDOW),
+        )
+        .groupBy(
+            F.col("a.chrom").alias("chrom"),
+            F.col("a.pos").alias("pos_a"),
+            F.col("b.pos").alias("pos_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("a.gt").cast("bigint").alias("sx"),
+            F.sum("b.gt").cast("bigint").alias("sy"),
+            F.sum(F.col("a.gt") * F.col("a.gt")).cast("bigint").alias("sxx"),
+            F.sum(F.col("b.gt") * F.col("b.gt")).cast("bigint").alias("syy"),
+            F.sum(F.col("a.gt") * F.col("b.gt")).cast("bigint").alias("sxy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        pr.where((F.col("n") >= 3) & (dx * dy > 0))
+        .select(
+            "chrom",
+            "pos_a",
+            "pos_b",
+            F.col("n").cast("bigint").alias("n"),
+            (num * num).cast("bigint").alias("r2_num"),
+            (dx * dy).cast("bigint").alias("r2_den"),
+            F.round((num * num) / (dx * dy).cast("double"), 6).alias("r2"),
+        )
+    )

@@ -767,3 +767,85 @@ def q193_funnel_conversion(spark, sf_dir):
             F.sum("s3") / F.nullif(F.sum("s2"), F.lit(0)).cast("double"), 6
         ).alias("purchase_rate"),
     )
+
+
+@query(
+    "q197_cusum_changepoint",
+    oracle=f"""
+WITH pts AS (
+  SELECT user_id % 5 AS grp,
+         CAST(epoch_us(ts) // {HOUR_US_Q156} AS BIGINT) AS hr,
+         CAST(SUM(CAST(value AS DECIMAL(14,2))) * 100 AS BIGINT) AS yc
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT grp, hr, yc,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY hr) AS k,
+         SUM(yc) OVER (PARTITION BY grp ORDER BY hr
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(yc) OVER (PARTITION BY grp) AS tot,
+         COUNT(*) OVER (PARTITION BY grp) AS n
+  FROM pts
+),
+dev AS (
+  SELECT grp, hr, n,
+         ABS(CAST(n * cum - k * tot AS BIGINT)) AS d
+  FROM s
+),
+mx AS (SELECT grp, MAX(d) AS max_dev FROM dev GROUP BY grp)
+SELECT m.grp, m.max_dev,
+       CAST(MAX(d.n) AS BIGINT) AS n_hours,
+       CAST(MIN(d.hr) AS BIGINT) AS changepoint_hr
+FROM mx m JOIN dev d ON d.grp = m.grp AND d.d = m.max_dev
+GROUP BY m.grp, m.max_dev
+""",
+)
+def q197_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point detection per group — where does the hourly
+    revenue series most depart from its own average trajectory (the
+    classic single change-point estimator: argmax |CUSUM deviation|).
+    INTEGER-EXACT by clearing the mean's division: the deviation
+    cum_k − k·mean scales by n to n·cum_k − k·tot, all bigints from
+    exact cents — no float CUSUM, and the argmax hour tie-breaks to
+    the earliest. One ordered window per group + a max + an equi-join
+    back on the (grp, max) pair; series length bounds the window, the
+    same q156/q165 hourly-rollup substrate."""
+    from pyspark.sql import Window as W
+
+    pts = (
+        events_points(spark, sf_dir)
+        .groupBy("grp", F.expr(f"ts_us DIV {HOUR_US_Q156}").alias("hr"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(14,2)")) * 100)
+            .cast("bigint")
+            .alias("yc")
+        )
+    )
+    wo = W.partitionBy("grp").orderBy("hr")
+    wt = W.partitionBy("grp")
+    s = pts.select(
+        "grp",
+        "hr",
+        F.row_number().over(wo).cast("bigint").alias("k"),
+        F.sum("yc").over(wo.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        F.sum("yc").over(wt).alias("tot"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    dev = s.select(
+        "grp",
+        "hr",
+        "n",
+        F.abs(
+            (F.col("n") * F.col("cum") - F.col("k") * F.col("tot")).cast("bigint")
+        ).alias("d"),
+    ).transform(managed_persist)
+    mx = dev.groupBy("grp").agg(F.max("d").alias("max_dev"))
+    return (
+        mx.join(dev, ["grp"])
+        .where(F.col("d") == F.col("max_dev"))
+        .groupBy("grp", "max_dev")
+        .agg(
+            F.max("n").cast("bigint").alias("n_hours"),
+            F.min("hr").cast("bigint").alias("changepoint_hr"),
+        )
+    )
