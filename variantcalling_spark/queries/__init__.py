@@ -120,6 +120,8 @@ _PRIORITY = (
     "q196_skyline_2d",
     "q197_cusum_changepoint",
     "q198_ld_r2_pairs",
+    "q199_ld_prune",
+    "q200_gwas_prep_funnel",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

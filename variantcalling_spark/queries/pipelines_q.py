@@ -1797,3 +1797,161 @@ def q198_ld_r2_pairs(spark, sf_dir):
             F.round((num * num) / (dx * dy).cast("double"), 6).alias("r2"),
         )
     )
+
+
+LD_PRUNE_R2 = 0.5
+
+
+def _q198_oracle() -> str:
+    from variantcalling_spark.queries import _REGISTRY
+
+    return _REGISTRY["q198_ld_r2_pairs"].oracle
+
+
+@query(
+    "q199_ld_prune",
+    oracle=f"""
+WITH calls AS ({SQL_COHORT_CALLS}),
+sites AS (SELECT DISTINCT chrom, pos FROM calls),
+ld AS ({_q198_oracle()}),
+pruned AS (
+  SELECT DISTINCT chrom, pos_b AS pos FROM ld WHERE r2 >= {LD_PRUNE_R2}
+)
+SELECT s.chrom,
+       COUNT(*) AS n_sites,
+       CAST(SUM(CASE WHEN p.pos IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN p.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pruned,
+       ROUND(SUM(CASE WHEN p.pos IS NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS keep_rate
+FROM sites s LEFT JOIN pruned p ON p.chrom = s.chrom AND p.pos = s.pos
+GROUP BY s.chrom
+""",
+)
+def q199_ld_prune(spark, sf_dir):
+    """LD pruning (deterministic single-pass form): drop any site whose
+    r² against an EARLIER site within the window reaches
+    {LD_PRUNE_R2} — the tag-SNP thinning GWAS runs before association
+    (plink --indep-pairwise's windowed intent without the
+    order-dependent greedy state, so both engines compute the
+    identical keep-set). Composes the registered q198 pair SQL; the
+    prune set is a DISTINCT over the flagged right-ends and the
+    keep-set is a left-anti-shaped join. Per-chrom keep rates are the
+    report."""
+    from variantcalling_spark.queries import _REGISTRY
+
+    ld = _REGISTRY["q198_ld_r2_pairs"].fn(spark, sf_dir)
+    calls = _cohort_calls(spark, sf_dir)
+    sites = calls.select("chrom", "pos").distinct()
+    pruned = (
+        ld.where(F.col("r2") >= LD_PRUNE_R2)
+        .select("chrom", F.col("pos_b").alias("pos"))
+        .distinct()
+        .withColumn("is_pruned", F.lit(1))
+    )
+    j = sites.join(pruned, ["chrom", "pos"], "left")
+    return j.groupBy("chrom").agg(
+        cnt("n_sites"),
+        F.sum(F.when(F.col("is_pruned").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("is_pruned").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pruned"),
+        F.round(
+            F.sum(F.when(F.col("is_pruned").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("keep_rate"),
+    )
+
+
+HWE_CHI2_CUT = 4.0  # ~p 0.046 at 1 df
+
+
+@query(
+    "q200_gwas_prep_funnel",
+    oracle=f"""
+WITH calls AS ({SQL_COHORT_CALLS}),
+site AS (
+  SELECT chrom, pos,
+         COUNT(*) AS n,
+         CAST(SUM(CASE WHEN gt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS aa,
+         CAST(SUM(CASE WHEN gt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ab,
+         CAST(SUM(CASE WHEN gt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS bb
+  FROM calls GROUP BY chrom, pos
+),
+poly AS (
+  SELECT *, 2 * aa + ab AS ra, 2 * bb + ab AS al FROM site
+  WHERE 2 * aa + ab > 0 AND 2 * bb + ab > 0
+),
+hwe AS (
+  SELECT chrom, pos FROM poly
+  WHERE n * (4 * aa * bb - ab * ab) * (4 * aa * bb - ab * ab)
+        <= {HWE_CHI2_CUT} * (ra * ra * al * al)
+),
+ld AS ({{LD}}),
+pruned AS (
+  SELECT DISTINCT chrom, pos_b AS pos FROM ld WHERE r2 >= {LD_PRUNE_R2}
+),
+survivors AS (
+  SELECT h.chrom, h.pos FROM hwe h
+  LEFT JOIN pruned p ON p.chrom = h.chrom AND p.pos = h.pos
+  WHERE p.pos IS NULL
+)
+SELECT 'a_total_sites' AS stage, (SELECT COUNT(*) FROM site) AS n
+UNION ALL SELECT 'b_polymorphic', (SELECT COUNT(*) FROM poly)
+UNION ALL SELECT 'c_hwe_pass', (SELECT COUNT(*) FROM hwe)
+UNION ALL SELECT 'd_ld_pruned_kept', (SELECT COUNT(*) FROM survivors)
+""".replace("{LD}", "SELECT * FROM (" + _q198_oracle() + ") ldq"),
+)
+def q200_gwas_prep_funnel(spark, sf_dir):
+    """The GWAS-prep funnel — the genomics twin of q99's curation
+    funnel, composing the cohort family end to end: all sites →
+    polymorphic (q155's segregation predicate) → HWE pass (q153's
+    exact chi-square ≤ {HWE_CHI2_CUT}, still a pure integer comparison
+    — the cutoff multiplies through the rational, no division) →
+    LD-thinned survivors (q198/q199's banded r² prune). One row per
+    stage; every stage is the REGISTERED machinery, so this funnel is
+    regression cover for four queries at once — and the integer-exact
+    HWE filter demonstrates threshold tests on rationals without ever
+    materializing the quotient."""
+    calls = _cohort_calls(spark, sf_dir)
+    site = calls.groupBy("chrom", "pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("gt") == 0, 1).otherwise(0)).cast("bigint").alias("aa"),
+        F.sum(F.when(F.col("gt") == 1, 1).otherwise(0)).cast("bigint").alias("ab"),
+        F.sum(F.when(F.col("gt") == 2, 1).otherwise(0)).cast("bigint").alias("bb"),
+    ).transform(managed_persist)
+    ra = 2 * F.col("aa") + F.col("ab")
+    al = 2 * F.col("bb") + F.col("ab")
+    poly = site.where((ra > 0) & (al > 0)).withColumn("ra", ra).withColumn("al", al)
+    poly = managed_persist(poly)
+    d = 4 * F.col("aa") * F.col("bb") - F.col("ab") * F.col("ab")
+    hwe = poly.where(
+        F.col("n") * d * d
+        <= F.lit(HWE_CHI2_CUT)
+        * (F.col("ra") * F.col("ra") * F.col("al") * F.col("al"))
+    ).select("chrom", "pos").transform(managed_persist)
+    from variantcalling_spark.queries import _REGISTRY
+
+    ld = _REGISTRY["q198_ld_r2_pairs"].fn(spark, sf_dir)
+    pruned = (
+        ld.where(F.col("r2") >= LD_PRUNE_R2)
+        .select("chrom", F.col("pos_b").alias("pos"))
+        .distinct()
+    )
+    survivors = hwe.join(pruned, ["chrom", "pos"], "left_anti")
+    stages = [
+        ("a_total_sites", site),
+        ("b_polymorphic", poly),
+        ("c_hwe_pass", hwe),
+        ("d_ld_pruned_kept", survivors),
+    ]
+    out = None
+    for name, df in stages:
+        row = df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("stage"), "n"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
