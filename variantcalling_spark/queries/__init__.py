@@ -122,6 +122,7 @@ _PRIORITY = (
     "q198_ld_r2_pairs",
     "q199_ld_prune",
     "q200_gwas_prep_funnel",
+    "q201_split_integrity_audit",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

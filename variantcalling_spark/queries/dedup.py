@@ -1804,3 +1804,66 @@ def q180_edit_distance_neardup(spark, sf_dir):
             "similarity"
         ),
     )
+
+
+def _q201_oracle() -> str:
+    from variantcalling_spark.queries import _REGISTRY
+
+    split = _REGISTRY["q137_leakage_safe_split"].oracle
+    pairs = _REGISTRY["q65_ngram_jaccard"].oracle
+    return f"""
+WITH split AS ({split}),
+pairs AS (SELECT doc_a, doc_b FROM ({pairs}) p WHERE jaccard >= 0.6)
+SELECT
+  CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_neardup_pairs,
+  CAST((SELECT COUNT(*)
+        FROM pairs pr
+        JOIN split sa ON sa.doc_id = pr.doc_a
+        JOIN split sb ON sb.doc_id = pr.doc_b
+        WHERE sa.split <> sb.split) AS BIGINT) AS n_straddling,
+  CAST((SELECT COUNT(*) FROM split WHERE split = 'train') AS BIGINT) AS n_train,
+  CAST((SELECT COUNT(*) FROM split WHERE split = 'holdout') AS BIGINT)
+    AS n_holdout
+"""
+
+
+@query("q201_split_integrity_audit", oracle=_q201_oracle())
+def q201_split_integrity_audit(spark, sf_dir):
+    """Split-integrity audit — the verification pass a training run
+    executes BEFORE trusting q137's leakage-safe split: join every
+    verified near-dup pair (q65's exact-Jaccard machinery) against the
+    split assignment and count pairs whose members landed on different
+    sides. By q137's construction (components get one side) the count
+    is provably zero, and this query makes that property EXECUTABLE
+    regression cover rather than a docstring claim — if any upstream
+    change (hash family, component algorithm, threshold drift)
+    breaks the invariant, this row stops matching its oracle. Cost:
+    the pair table joined twice against the split projection —
+    pair-set-sized, not corpus-sized."""
+    from variantcalling_spark.queries import _REGISTRY
+
+    split = _REGISTRY["q137_leakage_safe_split"].fn(spark, sf_dir).transform(
+        managed_persist
+    )
+    pairs = (
+        _REGISTRY["q65_ngram_jaccard"]
+        .fn(spark, sf_dir)
+        .where(F.col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b")
+    )
+    sa = split.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    sb = split.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    straddle = (
+        pairs.join(sa, "doc_a").join(sb, "doc_b").where(F.col("sa") != F.col("sb"))
+    )
+    n_pairs = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_neardup_pairs"))
+    n_str = straddle.agg(F.count(F.lit(1)).cast("bigint").alias("n_straddling"))
+    n_tr = split.where(F.col("split") == "train").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train")
+    )
+    n_ho = split.where(F.col("split") == "holdout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_holdout")
+    )
+    return (
+        n_pairs.crossJoin(n_str).crossJoin(n_tr).crossJoin(n_ho)
+    )
