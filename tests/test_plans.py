@@ -593,3 +593,19 @@ def test_q149_kinship_is_equijoin(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "partial" in p  # map-side combine on the pair aggregate
+
+
+def test_late_round5_discovery_plans_no_cartesian(spark):
+    """The late-round-5 banded/bucketed discovery paths must stay
+    equi-join shaped: rare-token edit-distance banding (q180), basket
+    self-join (q194), LD position-bucket self-join (q198), mutual-NN
+    reversed-key join (q174). (1-row-aggregate broadcast combines are
+    exempt elsewhere; none of these need one on the discovery path.)"""
+    for name in (
+        "q180_edit_distance_neardup",
+        "q194_association_rules",
+        "q198_ld_r2_pairs",
+        "q174_mutual_knn_pairs",
+    ):
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p, name
