@@ -615,6 +615,25 @@ SQL_NEW_BATCH = """
 """
 
 
+def new_batch(spark, sf_dir):
+    """The canonical ingest batch every incremental-path query probes
+    with (SQL twin: ``SQL_NEW_BATCH``): near-copies of every 10th doc
+    (first word dropped) plus genuinely-new reversed docs that must
+    match nothing. One definition — q122 (dedup probe), q161 (PSI
+    drift), q171 (KS), q176 (novelty) all share it."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    fresh = docs.where(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.reverse(F.col("text")).alias("text"),
+    )
+    return near.unionByName(fresh)
+
+
+
 def _incremental_oracle_sql(num_hashes: int = 32, num_bands: int = 8, rows_per_band: int = 4) -> str:
     """Asymmetric (new-batch vs old-corpus) MinHash-LSH in DuckDB with
     the identical portable hash family: both sides' signatures, the
@@ -707,15 +726,7 @@ def q122_incremental_dedup(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    near = docs.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
-    )
-    fresh = docs.where(F.col("doc_id") % 10 == 5).select(
-        (F.col("doc_id") + 300000).alias("doc_id"),
-        F.reverse(F.col("text")).alias("text"),
-    )
-    new = near.unionByName(fresh)
+    new = new_batch(spark, sf_dir)
 
     # Rowwise form end to end: signature AND distinct-shingle array as
     # pure projections — no shingle explode, no signature groupBy, no
@@ -1401,15 +1412,7 @@ def q161_ingest_distribution_drift(spark, sf_dir):
     pure projection; two scan-aggregates + a {PSI_BINS}-row assembly —
     no shuffle larger than the bin domain."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    near = docs.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
-    )
-    fresh = docs.where(F.col("doc_id") % 10 == 5).select(
-        (F.col("doc_id") + 300000).alias("doc_id"),
-        F.reverse(F.col("text")).alias("text"),
-    )
-    newb = near.unionByName(fresh)
+    newb = new_batch(spark, sf_dir)
 
     def binned(df):
         return df.select(
@@ -1592,15 +1595,7 @@ def q171_ks_two_sample(spark, sf_dir):
     a 1-row max. The same shape serves corpus-vs-corpus AB comparisons
     at any scale."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    near = docs.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
-    )
-    fresh = docs.where(F.col("doc_id") % 10 == 5).select(
-        (F.col("doc_id") + 300000).alias("doc_id"),
-        F.reverse(F.col("text")).alias("text"),
-    )
-    newb = near.unionByName(fresh)
+    newb = new_batch(spark, sf_dir)
 
     def vals(df):
         return df.select(F.size(F.split("text", " ")).cast("bigint").alias("v"))
@@ -1684,16 +1679,7 @@ def q176_ingest_novelty(spark, sf_dir):
     from variantcalling_spark.queries import _REGISTRY
 
     matches = _REGISTRY["q122_incremental_dedup"].fn(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    near = docs.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
-    )
-    fresh = docs.where(F.col("doc_id") % 10 == 5).select(
-        (F.col("doc_id") + 300000).alias("doc_id"),
-        F.reverse(F.col("text")).alias("text"),
-    )
-    newb = near.unionByName(fresh).select("doc_id")
+    newb = new_batch(spark, sf_dir).select("doc_id")
     best = matches.groupBy("doc_new").agg(F.max("jaccard").alias("best_jaccard"))
     return (
         newb.join(best, newb["doc_id"] == best["doc_new"], "left")
