@@ -168,3 +168,44 @@ def test_approx_toolbox_error_bounds(spark):
     ).collect()[0]
     for a, e in zip(row.ap, row.ex):
         assert abs(a - e) <= 1, (row.ap, row.ex)
+
+
+def test_mad_and_trimmed_mean_match_naive(spark):
+    """q183's histogram medians and q184's rank-range trimmed mean vs
+    plain-Python sort-based references on the driver corpus — the
+    oracles mirror the histogram construction, so this pins the
+    SEMANTICS (lower-median convention, 5%-per-tail trim on sorted
+    order) independently."""
+    from pyspark.sql import functions as F
+
+    from variantcalling_spark.queries import all_queries
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    vals = {}
+    for r in docs.select(
+        "source", F.size(F.split("text", " ")).alias("v")
+    ).collect():
+        vals.setdefault(r.source, []).append(r.v)
+
+    def lower_median(xs):
+        xs = sorted(xs)
+        # min value with cum*2 >= n  ==  element at index ceil(n/2)-1
+        return xs[(len(xs) + 1) // 2 - 1]
+
+    got_mad = {
+        r.source: (r.median, r.mad)
+        for r in all_queries()["q183_mad_robust"].fn(spark, SF).collect()
+    }
+    got_tm = {
+        r.source: (r.n_kept, r.sum_kept)
+        for r in all_queries()["q184_trimmed_mean"].fn(spark, SF).collect()
+    }
+    assert set(got_mad) == set(vals) == set(got_tm)
+    for src, xs in vals.items():
+        med = lower_median(xs)
+        mad = lower_median([abs(x - med) for x in xs])
+        assert got_mad[src] == (med, mad), src
+        xs_sorted = sorted(xs)
+        lo = len(xs) * 5 // 100
+        kept = xs_sorted[lo : len(xs) - lo]
+        assert got_tm[src] == (len(kept), sum(kept)), src
