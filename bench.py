@@ -145,6 +145,12 @@ SCALE2_QUERIES = [
     # scheduling floor dominate; the per-round join+argmax scales with
     # E, which the adaptive bits hold linear in n)
     "q151_label_propagation",
+    # key-bounded pair generation (late r5): basket self-join and LD
+    # position-bucket self-join — pair counts are sum(group_size^2),
+    # measured 1.15 -> 2.31s and 2.63 -> 4.07s for 10x data (sublinear;
+    # the banding is what q127's anchor-join fix institutionalized)
+    "q194_association_rules",
+    "q198_ld_r2_pairs",
 ]
 
 
