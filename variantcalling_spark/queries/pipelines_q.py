@@ -1955,3 +1955,93 @@ def q200_gwas_prep_funnel(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "q202_switch_error_rate",
+    oracle="""
+WITH het AS (
+  SELECT 'c' || CAST(l_orderkey % 4 AS VARCHAR) AS chrom,
+         l_orderkey * 10 + l_linenumber AS pos,
+         CASE WHEN MIN(l_partkey) % 2 = 0 THEN '0|1' ELSE '1|0' END AS gt_a,
+         CASE WHEN (MIN(l_partkey) + MIN(l_suppkey)) % 2 = 0
+              THEN '0|1' ELSE '1|0' END AS gt_b
+  FROM lineitem WHERE l_quantity < 30
+  GROUP BY 1, 2
+),
+agr AS (
+  SELECT chrom, pos,
+         CASE WHEN gt_a = gt_b THEN 1 ELSE 0 END AS agree
+  FROM het
+),
+sw AS (
+  SELECT chrom, agree,
+         LAG(agree) OVER (PARTITION BY chrom ORDER BY pos) AS prev_agree
+  FROM agr
+)
+SELECT chrom,
+       COUNT(*) AS n_het_sites,
+       CAST(SUM(CASE WHEN prev_agree IS NOT NULL AND agree <> prev_agree
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_switches,
+       ROUND(SUM(CASE WHEN prev_agree IS NOT NULL AND agree <> prev_agree
+                      THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) - 1 AS DOUBLE), 6) AS switch_error_rate
+FROM sw GROUP BY chrom
+""",
+)
+def q202_switch_error_rate(spark, sf_dir):
+    """Phasing switch-error rate between two phased callsets (the
+    whatshap-compare / long-read-phasing eval metric, and the
+    POSITION-SEQUENCE cousin of q127's per-segment diplotype match):
+    at each shared het site the two callsets either agree or disagree
+    on phase orientation; a SWITCH is where that relative orientation
+    flips between consecutive sites — global flips cost one switch,
+    not one error per site, which is exactly what makes this the right
+    phaser metric. One LAG window per contig over the het-site
+    sequence + one counting aggregate; at genome scale the window
+    partitions per contig like every ordered operator here."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # the synthetic lineitem carries duplicate (orderkey, linenumber)
+    # pairs — one het record per site via MIN aggregates (a LAG over a
+    # non-unique ordering would be engine-dependent)
+    het = (
+        li.where(F.col("l_quantity") < 30)
+        .groupBy(
+            F.concat(F.lit("c"), (F.col("l_orderkey") % 4).cast("string")).alias(
+                "chrom"
+            ),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pos"),
+        )
+        .agg(
+            F.min("l_partkey").alias("pk"), F.min("l_suppkey").alias("sk")
+        )
+        .select(
+            "chrom",
+            "pos",
+            F.when(F.col("pk") % 2 == 0, "0|1").otherwise("1|0").alias("gt_a"),
+            F.when((F.col("pk") + F.col("sk")) % 2 == 0, "0|1")
+            .otherwise("1|0")
+            .alias("gt_b"),
+        )
+    )
+    agr = het.select(
+        "chrom",
+        "pos",
+        F.when(F.col("gt_a") == F.col("gt_b"), 1).otherwise(0).alias("agree"),
+    )
+    wo = W.partitionBy("chrom").orderBy("pos")
+    sw = agr.withColumn("prev_agree", F.lag("agree").over(wo))
+    switch = F.when(
+        F.col("prev_agree").isNotNull()
+        & (F.col("agree") != F.col("prev_agree")),
+        1,
+    ).otherwise(0)
+    return sw.groupBy("chrom").agg(
+        cnt("n_het_sites"),
+        F.sum(switch).cast("bigint").alias("n_switches"),
+        F.round(
+            F.sum(switch) / (F.count(F.lit(1)) - 1).cast("double"), 6
+        ).alias("switch_error_rate"),
+    )
