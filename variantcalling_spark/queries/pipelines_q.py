@@ -2045,3 +2045,78 @@ def q202_switch_error_rate(spark, sf_dir):
             F.sum(switch) / (F.count(F.lit(1)) - 1).cast("double"), 6
         ).alias("switch_error_rate"),
     )
+
+
+@query(
+    "q203_cohens_kappa",
+    oracle="""
+WITH lab AS (
+  SELECT CAST(l_partkey % 3 AS INT) AS rater_a,
+         CAST((l_partkey + CASE WHEN l_suppkey % 5 = 0 THEN 1 ELSE 0 END) % 3
+              AS INT) AS rater_b
+  FROM lineitem
+),
+cm AS (SELECT rater_a, rater_b, COUNT(*) AS c FROM lab GROUP BY rater_a, rater_b),
+n_t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cm),
+diag AS (SELECT CAST(SUM(c) AS BIGINT) AS d FROM cm WHERE rater_a = rater_b),
+marg AS (
+  SELECT CAST(SUM(ra.rc * rb.cc) AS BIGINT) AS e FROM
+    (SELECT rater_a AS k, SUM(c) AS rc FROM cm GROUP BY rater_a) ra
+    JOIN (SELECT rater_b AS k, SUM(c) AS cc FROM cm GROUP BY rater_b) rb
+      ON rb.k = ra.k
+)
+SELECT n_t.n, diag.d AS n_agree,
+       CAST(n_t.n * diag.d - marg.e AS BIGINT) AS kappa_num,
+       CAST(n_t.n * n_t.n - marg.e AS BIGINT) AS kappa_den,
+       ROUND((n_t.n * diag.d - marg.e)
+             / CAST(n_t.n * n_t.n - marg.e AS DOUBLE), 6) AS kappa
+FROM n_t CROSS JOIN diag CROSS JOIN marg
+""",
+)
+def q203_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa between two raters — the chance-corrected
+    agreement metric (annotation-quality control for labeled training
+    data; the reference's concordance stats are the truth-based
+    cousin, kappa is the no-truth pairwise one). Exact: clearing
+    denominators gives κ = (N·Σdiag − Σ rᵢcᵢ) / (N² − Σ rᵢcᵢ), a
+    bigint rational from the confusion matrix — the q153/q166
+    discipline on the agreement family. One (a, b) groupBy over the
+    pairs (the only data-sized shuffle), then class-count joins over
+    the k-row matrix."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lab = li.select(
+        (F.col("l_partkey") % 3).cast("int").alias("rater_a"),
+        (
+            (
+                F.col("l_partkey")
+                + F.when(F.col("l_suppkey") % 5 == 0, 1).otherwise(0)
+            )
+            % 3
+        )
+        .cast("int")
+        .alias("rater_b"),
+    )
+    cm = lab.groupBy("rater_a", "rater_b").agg(cnt("c")).transform(managed_persist)
+    n_t = cm.agg(F.sum("c").cast("bigint").alias("n"))
+    diag = cm.where(F.col("rater_a") == F.col("rater_b")).agg(
+        F.sum("c").cast("bigint").alias("d")
+    )
+    ra = cm.groupBy(F.col("rater_a").alias("k")).agg(F.sum("c").alias("rc"))
+    rb = cm.groupBy(F.col("rater_b").alias("k")).agg(F.sum("c").alias("cc"))
+    marg = (
+        ra.join(rb, "k")
+        .agg(F.sum(F.col("rc") * F.col("cc")).cast("bigint").alias("e"))
+    )
+    num = F.col("n") * F.col("d") - F.col("e")
+    den = F.col("n") * F.col("n") - F.col("e")
+    return (
+        n_t.crossJoin(F.broadcast(diag))
+        .crossJoin(F.broadcast(marg))
+        .select(
+            "n",
+            F.col("d").alias("n_agree"),
+            num.cast("bigint").alias("kappa_num"),
+            den.cast("bigint").alias("kappa_den"),
+            F.round(num / den.cast("double"), 6).alias("kappa"),
+        )
+    )
