@@ -125,6 +125,7 @@ _PRIORITY = (
     "q201_split_integrity_audit",
     "q202_switch_error_rate",
     "q203_cohens_kappa",
+    "q204_blocking_quality",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

@@ -1853,3 +1853,112 @@ def q201_split_integrity_audit(spark, sf_dir):
     return (
         n_pairs.crossJoin(n_str).crossJoin(n_tr).crossJoin(n_ho)
     )
+
+
+def _q204_oracle() -> str:
+    from variantcalling_spark.queries import _REGISTRY
+
+    truth = _REGISTRY["q65_ngram_jaccard"].oracle
+    return f"""
+WITH corpus AS ({SQL_CORPUS}),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM corpus),
+w AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus
+),
+rare AS (
+  SELECT word FROM w GROUP BY word HAVING COUNT(*) BETWEEN 2 AND 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM w a JOIN rare USING (word) JOIN w b USING (word)
+  WHERE a.doc_id < b.doc_id
+),
+truth AS (
+  SELECT doc_a, doc_b FROM ({truth}) t WHERE jaccard >= 0.6
+),
+hit AS (
+  SELECT COUNT(*) AS h FROM truth t
+  JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+)
+SELECT (SELECT n FROM nn) AS n_docs,
+       CAST((SELECT n FROM nn) * ((SELECT n FROM nn) - 1) / 2 AS BIGINT)
+         AS n_possible_pairs,
+       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidate_pairs,
+       ROUND(1.0 - (SELECT COUNT(*) FROM cand)
+             / CAST((SELECT n FROM nn) * ((SELECT n FROM nn) - 1) / 2 AS DOUBLE),
+             6) AS reduction_ratio,
+       CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_pairs,
+       CAST((SELECT h FROM hit) AS BIGINT) AS n_true_in_blocks,
+       ROUND((SELECT h FROM hit)
+             / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 6)
+         AS pairs_completeness
+"""
+
+
+@query("q204_blocking_quality", oracle=_q204_oracle())
+def q204_blocking_quality(spark, sf_dir):
+    """Entity-resolution blocking evaluation — the two numbers every
+    record-linkage textbook grades a blocking scheme on: REDUCTION
+    RATIO (what fraction of the n·(n−1)/2 possible pairs the blocks
+    prune away) and PAIRS COMPLETENESS (what fraction of TRUE
+    duplicate pairs survive into some block — blocking recall). The
+    scheme under test is q180's rare-token banding; ground truth is
+    q65's exact-Jaccard pairs. High RR with PC ≈ 1 is the certificate
+    that a candidate generator is safe to deploy — this query makes
+    that certificate a value-oracled row, the q201 pattern applied to
+    blocking instead of splitting."""
+    from variantcalling_spark.queries import _REGISTRY
+
+    c = corpus(spark, sf_dir)
+    nn = c.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = (
+        c.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+        .transform(managed_persist)
+    )
+    rare = (
+        w.groupBy("word")
+        .agg(cnt("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= 4))
+        .select("word")
+    )
+    a = w.join(rare, "word").select("word", F.col("doc_id").alias("doc_a"))
+    b = w.select("word", F.col("doc_id").alias("doc_b"))
+    cand = (
+        a.join(b, "word")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .transform(managed_persist)
+    )
+    truth = (
+        _REGISTRY["q65_ngram_jaccard"]
+        .fn(spark, sf_dir)
+        .where(F.col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b")
+        .transform(managed_persist)
+    )
+    hit = truth.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("h")
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("nc"))
+    n_true = truth.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+    poss = (F.col("n") * (F.col("n") - 1) / 2).cast("bigint")
+    return (
+        nn.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_true))
+        .crossJoin(F.broadcast(hit))
+        .select(
+            F.col("n").alias("n_docs"),
+            poss.alias("n_possible_pairs"),
+            F.col("nc").alias("n_candidate_pairs"),
+            F.round(1.0 - F.col("nc") / poss.cast("double"), 6).alias(
+                "reduction_ratio"
+            ),
+            F.col("nt").alias("n_true_pairs"),
+            F.col("h").alias("n_true_in_blocks"),
+            F.round(F.col("h") / F.col("nt").cast("double"), 6).alias(
+                "pairs_completeness"
+            ),
+        )
+    )
