@@ -2120,3 +2120,59 @@ def q203_cohens_kappa(spark, sf_dir):
             F.round(num / den.cast("double"), 6).alias("kappa"),
         )
     )
+
+
+@query(
+    "q205_brier_reliability",
+    oracle=f"""
+WITH calls AS ({SQL_COHORT_CALLS}),
+lab AS (
+  SELECT gq AS s, CASE WHEN gt > 0 THEN 1 ELSE 0 END AS y FROM calls
+  WHERE gq BETWEEN 0 AND 50
+),
+b AS (
+  SELECT s, COUNT(*) AS n_k, CAST(SUM(y) AS BIGINT) AS o_k
+  FROM lab GROUP BY s
+)
+SELECT CAST(s AS INT) AS score, CAST(n_k AS BIGINT) AS n_k, o_k,
+       ROUND(o_k / CAST(n_k AS DOUBLE), 6) AS obs_rate,
+       ROUND(s / 50.0, 6) AS pred_prob,
+       CAST((s * n_k - 50 * o_k) * (s * n_k - 50 * o_k) AS BIGINT) AS rel_num,
+       CAST(2500 * n_k AS BIGINT) AS rel_den,
+       ROUND((s * n_k - 50 * o_k) * (s * n_k - 50 * o_k)
+             / CAST(2500 * n_k AS DOUBLE), 6) AS reliability_contrib
+FROM b
+""",
+)
+def q205_brier_reliability(spark, sf_dir):
+    """Calibration reliability diagram with EXACT per-bin Brier
+    reliability contributions — the proper-scoring companion to q167's
+    AUC (AUC grades ranking; reliability grades whether predicted
+    probabilities MEAN what they say — the quality filters' scores
+    feed sampling weights, so miscalibration silently reweights the
+    corpus). With integer scores s/50 as predicted probability, the
+    reliability term n_k·(p_k − ō_k)² clears denominators to
+    (s·n_k − 50·o_k)² / (2500·n_k) — a bigint rational per bin
+    (Σ over bins / N = the Murphy-decomposition reliability). One
+    score-domain groupBy; everything else is projection."""
+    calls = _cohort_calls(spark, sf_dir)
+    lab = calls.where(F.col("gq").between(0, 50)).select(
+        F.col("gq").alias("s"),
+        F.when(F.col("gt") > 0, 1).otherwise(0).alias("y"),
+    )
+    b = lab.groupBy("s").agg(
+        cnt("n_k"), F.sum("y").cast("bigint").alias("o_k")
+    )
+    dev = F.col("s") * F.col("n_k") - 50 * F.col("o_k")
+    return b.select(
+        F.col("s").cast("int").alias("score"),
+        F.col("n_k").cast("bigint").alias("n_k"),
+        "o_k",
+        F.round(F.col("o_k") / F.col("n_k").cast("double"), 6).alias("obs_rate"),
+        F.round(F.col("s") / F.lit(50.0), 6).alias("pred_prob"),
+        (dev * dev).cast("bigint").alias("rel_num"),
+        (2500 * F.col("n_k")).cast("bigint").alias("rel_den"),
+        F.round((dev * dev) / (2500 * F.col("n_k")).cast("double"), 6).alias(
+            "reliability_contrib"
+        ),
+    )
