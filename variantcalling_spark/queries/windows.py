@@ -849,3 +849,115 @@ def q197_cusum_changepoint(spark, sf_dir):
             F.min("hr").cast("bigint").alias("changepoint_hr"),
         )
     )
+
+
+DAY_US = 24 * 3_600_000_000
+
+
+@query(
+    "q206_kaplan_meier",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t1
+  FROM events GROUP BY user_id
+),
+horizon AS (SELECT MAX(epoch_us(ts)) AS tmax FROM events),
+subj AS (
+  SELECT user_id,
+         CASE WHEN t1 IS NOT NULL AND t1 > t0
+              THEN (t1 - t0) // {DAY_US} ELSE (h.tmax - t0) // {DAY_US} END
+           AS dur,
+         CASE WHEN t1 IS NOT NULL AND t1 > t0 THEN 1 ELSE 0 END AS observed
+  FROM per_user CROSS JOIN horizon h
+  WHERE t0 IS NOT NULL
+),
+h AS (
+  SELECT dur, CAST(SUM(observed) AS BIGINT) AS d,
+         COUNT(*) AS leaving
+  FROM subj GROUP BY dur
+),
+rk AS (
+  SELECT dur, d,
+         CAST(SUM(leaving) OVER (ORDER BY dur DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+  FROM h
+),
+steps AS (
+  SELECT dur, d, n_risk,
+         CAST(ROUND(ln((n_risk - d) / CAST(n_risk AS DOUBLE)), 9)
+              AS DECIMAL(18,9)) AS lstep
+  FROM rk WHERE d > 0 AND n_risk > d
+)
+SELECT dur AS duration_day, n_risk, d AS n_events,
+       ROUND(exp(CAST(SUM(lstep) OVER (ORDER BY dur
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6)
+         AS survival
+FROM steps
+""",
+)
+def q206_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curve for signup -> first-purchase
+    time-to-event (users without a purchase are right-censored at the
+    observation horizon) — the survival-analysis staple behind churn
+    and conversion-latency reporting, with the estimator's PRODUCT
+    made order-independent: each step's ln((n−d)/n) comes from an
+    exact integer ratio (identical doubles cross-engine), rounds to 9
+    places, and the ordered DECIMAL cumulative sum exponentiates once
+    per output row — the q168 reduce discipline applied to Π instead
+    of Σ. Risk sets come from the duration histogram via a DESCENDING
+    cumulative window (who survives to t = everyone leaving at ≥ t) —
+    value-domain-sized, never a subject×time expansion."""
+    from pyspark.sql import Window as W
+
+    ev = events_points(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_us"))).alias("t1"),
+    )
+    horizon = ev.agg(F.max("ts_us").alias("tmax"))
+    observed = F.col("t1").isNotNull() & (F.col("t1") > F.col("t0"))
+    subj = (
+        per_user.where(F.col("t0").isNotNull())
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.when(observed, F.expr(f"(t1 - t0) DIV {DAY_US}"))
+            .otherwise(F.expr(f"(tmax - t0) DIV {DAY_US}"))
+            .alias("dur"),
+            F.when(observed, 1).otherwise(0).alias("observed"),
+        )
+    )
+    h = subj.groupBy("dur").agg(
+        F.sum("observed").cast("bigint").alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    wdesc = W.orderBy(F.desc("dur")).rowsBetween(W.unboundedPreceding, 0)
+    rk = h.select(
+        "dur",
+        "d",
+        F.sum("leaving").over(wdesc).cast("bigint").alias("n_risk"),
+    )
+    steps = rk.where((F.col("d") > 0) & (F.col("n_risk") > F.col("d"))).select(
+        "dur",
+        "d",
+        "n_risk",
+        F.round(
+            F.log(
+                (F.col("n_risk") - F.col("d")) / F.col("n_risk").cast("double")
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("lstep"),
+    )
+    wasc = W.orderBy("dur").rowsBetween(W.unboundedPreceding, 0)
+    return steps.select(
+        F.col("dur").alias("duration_day"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.round(F.exp(F.sum("lstep").over(wasc).cast("double")), 6).alias(
+            "survival"
+        ),
+    )
