@@ -22,7 +22,7 @@ from variantcalling_spark.operators.kernels import (
     overlap_buffer_filter,
 )
 from variantcalling_spark.queries import query
-from variantcalling_spark.queries._helpers import cnt
+from variantcalling_spark.queries._helpers import cnt, managed_persist
 from variantcalling_spark.queries.intervals import events_points
 from variantcalling_spark.sources import load_table
 
@@ -1255,4 +1255,144 @@ def q189_n50_stats(spark, sf_dir):
         F.max(F.when(F.col("cumbp") * 10 >= F.col("totbp") * 9, F.col("len")))
         .cast("bigint")
         .alias("n90"),
+    )
+
+
+MASH_MIN_SHARED = 3
+MASH_K = 8  # 4^8 possible k-mers: k=5 over the 4-letter alphabet has only
+MASH_W = 4  # 1024 and the minimizer join degenerates toward all-pairs
+
+
+@query(
+    "q207_mash_distance",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         translate(substr(text, 1, 120), '{DNA_FROM}', '{DNA_TO}') AS seq
+  FROM documents
+),
+km AS (
+  SELECT doc_id,
+         CASE WHEN length(seq) >= {MASH_K}
+              THEN [substr(seq, i, {MASH_K})
+                    for i in generate_series(1, length(seq) - {MASH_K} + 1)]
+              ELSE [] END AS kmers
+  FROM d
+),
+hs AS (
+  SELECT doc_id, kmers,
+         list_transform(kmers, k -> {_MM_HASH_SQL}) AS hashes
+  FROM km
+),
+mins AS (
+  SELECT doc_id,
+         CASE WHEN len(kmers) >= {MASH_W}
+              THEN list_distinct([
+                kmers[list_position(hashes[j:j+{MASH_W}-1],
+                                    list_min(hashes[j:j+{MASH_W}-1])) + j - 1]
+                for j in generate_series(1, len(kmers) - {MASH_W} + 1)])
+              ELSE [] END AS sketch
+  FROM hs WHERE len(kmers) >= {MASH_W}
+),
+sk AS (SELECT doc_id, unnest(sketch) AS m FROM mins),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sk FROM sk GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS sh
+  FROM sk a JOIN sk b ON a.m = b.m AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= {MASH_MIN_SHARED}
+)
+SELECT s.doc_a, s.doc_b, CAST(s.sh AS BIGINT) AS n_shared,
+       CAST(za.n_sk AS BIGINT) AS n_a, CAST(zb.n_sk AS BIGINT) AS n_b,
+       ROUND(-ln(2.0 * s.sh / (za.n_sk + zb.n_sk)) / {MASH_K}, 6)
+         AS mash_distance
+FROM shared s
+JOIN sizes za ON za.doc_id = s.doc_a
+JOIN sizes zb ON zb.doc_id = s.doc_b
+""",
+)
+def q207_mash_distance(spark, sf_dir):
+    """Mash-style sketch distance between sequences — the k-mer-sketch
+    ANI estimator (Mash 2016): D = −ln(2j/(1+j))/k over the minimizer
+    sketches q157 builds, which ALGEBRAICALLY COLLAPSES — with
+    j = sh/(n_a+n_b−sh), 2j/(1+j) = 2·sh/(n_a+n_b) — to a single ln
+    of an exact integer ratio, so the whole distance is one rounded
+    expression cross-engine. Discovery is the sketch equi-join ON THE
+    MINIMIZER (pairs only where sketches actually collide — the
+    sketch-space analogue of the shingle PPJoin), floored at
+    {MASH_MIN_SHARED} shared minimizers; sketch sizes join back
+    broadcast. The genomics twin of the document near-dup chain: same
+    plan shapes, sequence alphabet."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.translate(F.substring("text", 1, 120), DNA_FROM, DNA_TO).alias("seq"),
+    )
+    seq = F.col("seq")
+    k, w = MASH_K, MASH_W
+    km = d.where(F.length(seq) >= k).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.length(seq) - k + 1),
+            lambda i: seq.substr(i, F.lit(k)),
+        ).alias("kmers"),
+    )
+    from variantcalling_spark.operators.dedup import portable_string_hash
+
+    hs = km.select(
+        "doc_id", "kmers", F.transform("kmers", portable_string_hash).alias("hashes")
+    )
+    kmers, hashes = F.col("kmers"), F.col("hashes")
+
+    def win_min(j):
+        sl = F.slice(hashes, j, w)
+        return F.element_at(
+            kmers, (F.array_position(sl, F.array_min(sl)) + j - 1).cast("int")
+        )
+
+    # persist BEFORE the explode: Generate inlines a generated-array
+    # expression into its own evaluation, so without the barrier the
+    # whole window-argmin chain re-evaluates once per OUTPUT row
+    # (~40x per doc — measured 94s -> 4s at sf0.01; the cdc_chunks
+    # counter-lesson at operators/dedup.py applied to explode)
+    mins = hs.where(F.size(kmers) >= w).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.size(kmers) - w + 1), win_min)
+        ).alias("sketch"),
+    ).transform(managed_persist)
+    sk = mins.select("doc_id", F.explode("sketch").alias("m")).transform(
+        managed_persist
+    )
+    sizes = sk.groupBy("doc_id").agg(cnt("n_sk"))
+    a = sk.select("m", F.col("doc_id").alias("doc_a"))
+    b = sk.select("m", F.col("doc_id").alias("doc_b"))
+    shared = (
+        a.join(b, "m")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(cnt("sh"))
+        .where(F.col("sh") >= MASH_MIN_SHARED)
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sk").alias("n_a"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sk").alias("n_b"))),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("sh").cast("bigint").alias("n_shared"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                -F.log(2.0 * F.col("sh") / (F.col("n_a") + F.col("n_b")))
+                / F.lit(float(k)),
+                6,
+            ).alias("mash_distance"),
+        )
     )
