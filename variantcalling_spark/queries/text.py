@@ -2452,3 +2452,61 @@ def q191_pmi_collocations(spark, sf_dir):
         .cast("int")
         .alias("rk"),
     )
+
+
+WILSON_Z2_X100 = 384  # z^2 * 100 for z = 1.96 (3.8416 -> 384/100)
+
+
+@query(
+    "q208_wilson_intervals",
+    oracle=f"""
+WITH d AS (
+  SELECT source,
+         COUNT(*) AS n,
+         CAST(SUM(CASE WHEN len(string_split(text, ' ')) >= 60
+                       THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM documents GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n, k,
+       ROUND(k / CAST(n AS DOUBLE), 6) AS p_hat,
+       ROUND((100.0 * k + {WILSON_Z2_X100} / 2.0
+              - sqrt({WILSON_Z2_X100})
+                * sqrt((100.0 * k * (n - k)) / n + {WILSON_Z2_X100} / 4.0))
+             / (100.0 * n + {WILSON_Z2_X100}), 6) AS wilson_lo,
+       ROUND((100.0 * k + {WILSON_Z2_X100} / 2.0
+              + sqrt({WILSON_Z2_X100})
+                * sqrt((100.0 * k * (n - k)) / n + {WILSON_Z2_X100} / 4.0))
+             / (100.0 * n + {WILSON_Z2_X100}), 6) AS wilson_hi
+FROM d
+""",
+)
+def q208_wilson_intervals(spark, sf_dir):
+    """Wilson score intervals on per-source pass rates (docs ≥ 60
+    tokens as the pass predicate) — the error bars every proportion in
+    a QC dashboard should carry (the Wald interval misbehaves at small
+    n and extreme p; Wilson is the standard fix). Determinism by
+    scaling: z² is carried as the integer {WILSON_Z2_X100}/100, so
+    every term inside the two sqrts is an exact integer ratio —
+    identical doubles cross-engine — and the interval is two rounded
+    expressions. One conditional-count groupBy; the interval math is a
+    projection over k rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.groupBy("source").agg(
+        cnt("n"),
+        F.sum(F.when(F.size(F.split("text", " ")) >= 60, 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    z2 = float(WILSON_Z2_X100)
+    n, k = F.col("n"), F.col("k")
+    center = 100.0 * k + z2 / 2.0
+    half = F.sqrt(F.lit(z2)) * F.sqrt((100.0 * k * (n - k)) / n + z2 / 4.0)
+    den = 100.0 * n + z2
+    return d.select(
+        "source",
+        n.cast("bigint").alias("n"),
+        "k",
+        F.round(k / n.cast("double"), 6).alias("p_hat"),
+        F.round((center - half) / den, 6).alias("wilson_lo"),
+        F.round((center + half) / den, 6).alias("wilson_hi"),
+    )
