@@ -2510,3 +2510,90 @@ def q208_wilson_intervals(spark, sf_dir):
         F.round((center - half) / den, 6).alias("wilson_lo"),
         F.round((center + half) / den, 6).alias("wilson_hi"),
     )
+
+
+EMERGE_MIN_COUNT = 10
+
+
+@query(
+    "q209_emerging_terms",
+    oracle=f"""
+WITH w AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 'early' ELSE 'late' END AS half,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+c AS (
+  SELECT half, word, COUNT(*) AS cnt FROM w GROUP BY half, word
+  HAVING COUNT(*) >= {EMERGE_MIN_COUNT}
+),
+r AS (
+  SELECT half, word, cnt,
+         CAST(ROW_NUMBER() OVER (PARTITION BY half ORDER BY cnt DESC, word)
+              AS BIGINT) AS rnk
+  FROM c
+),
+j AS (
+  SELECT e.word, e.cnt AS cnt_early, l.cnt AS cnt_late,
+         e.rnk AS rank_early, l.rnk AS rank_late,
+         e.rnk - l.rnk AS rank_gain
+  FROM r e JOIN r l ON l.word = e.word
+  WHERE e.half = 'early' AND l.half = 'late'
+)
+SELECT word, cnt_early, cnt_late, rank_early, rank_late, rank_gain,
+       CAST(ROW_NUMBER() OVER (ORDER BY rank_gain DESC, word) AS INT) AS rk
+FROM j
+QUALIFY rk <= 15
+""",
+)
+def q209_emerging_terms(spark, sf_dir):
+    """Emerging-terms report: words whose frequency RANK improved most
+    between the early and late halves of the corpus — the trending-
+    vocabulary dial a continuously-crawled corpus watches (new jargon,
+    spam campaigns, topic drift; rank deltas are robust where raw
+    count deltas just echo volume changes). Per-half counts with a
+    min-count floor, one rank window per half over the floored
+    VOCABULARY (never the token stream), a self-join on the word, and
+    a top-15 by rank gain with deterministic tie-breaks. The q177/
+    q191 vocabulary-relation discipline applied to change over
+    time."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, "early").otherwise("late").alias("half"),
+        F.explode(F.split("text", " ")).alias("word"),
+    )
+    c = (
+        w.groupBy("half", "word")
+        .agg(cnt("cnt"))
+        .where(F.col("cnt") >= EMERGE_MIN_COUNT)
+    )
+    r = c.withColumn(
+        "rnk",
+        F.row_number()
+        .over(W.partitionBy("half").orderBy(F.desc("cnt"), "word"))
+        .cast("bigint"),
+    ).transform(managed_persist)
+    e = r.where(F.col("half") == "early").select(
+        "word", F.col("cnt").alias("cnt_early"), F.col("rnk").alias("rank_early")
+    )
+    late = r.where(F.col("half") == "late").select(
+        "word", F.col("cnt").alias("cnt_late"), F.col("rnk").alias("rank_late")
+    )
+    j = e.join(late, "word").withColumn(
+        "rank_gain", F.col("rank_early") - F.col("rank_late")
+    )
+    top = j.orderBy(F.desc("rank_gain"), "word").limit(15)
+    return top.select(
+        "word",
+        "cnt_early",
+        "cnt_late",
+        "rank_early",
+        "rank_late",
+        "rank_gain",
+        F.row_number()
+        .over(W.orderBy(F.desc("rank_gain"), "word"))
+        .cast("int")
+        .alias("rk"),
+    )
