@@ -131,6 +131,7 @@ _PRIORITY = (
     "q207_mash_distance",
     "q208_wilson_intervals",
     "q209_emerging_terms",
+    "q210_idf_weighted_containment",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

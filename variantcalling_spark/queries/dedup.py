@@ -1962,3 +1962,106 @@ def q204_blocking_quality(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "q210_idf_weighted_containment",
+    oracle=f"""
+WITH corpus AS ({SQL_CORPUS}),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM corpus),
+w AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus
+),
+idf AS (
+  SELECT word,
+         CAST(ROUND(ln((SELECT n FROM nn) / CAST(COUNT(*) AS DOUBLE)), 9)
+              AS DECIMAL(18,9)) AS idf
+  FROM w GROUP BY word
+),
+dw AS (SELECT w.doc_id, w.word, idf.idf FROM w JOIN idf USING (word)),
+mass AS (
+  SELECT doc_id, CAST(SUM(idf) AS DECIMAL(28,9)) AS m FROM dw GROUP BY doc_id
+),
+rare AS (SELECT word, idf FROM idf
+         WHERE idf >= (SELECT CAST(ROUND(ln(8.0), 9) AS DECIMAL(18,9)))),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(r.idf) AS DECIMAL(28,9)) AS sm
+  FROM dw a JOIN rare r ON r.word = a.word
+  JOIN dw b ON b.word = a.word AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.doc_a, s.doc_b,
+       ROUND(CAST(s.sm AS DOUBLE), 6) AS shared_idf_mass,
+       ROUND(CAST(s.sm AS DOUBLE) / CAST(LEAST(ma.m, mb.m) AS DOUBLE), 6)
+         AS weighted_containment
+FROM shared s
+JOIN mass ma ON ma.doc_id = s.doc_a
+JOIN mass mb ON mb.doc_id = s.doc_b
+WHERE CAST(s.sm AS DOUBLE) * 2 >= CAST(LEAST(ma.m, mb.m) AS DOUBLE)
+""",
+)
+def q210_idf_weighted_containment(spark, sf_dir):
+    """IDF-weighted containment — q139's quote/excerpt detector made
+    robust to boilerplate: shared COMMON words contribute almost
+    nothing (idf ≈ 0), so a pair only fires when the smaller document's
+    RARE-word mass is substantially contained in the other (threshold:
+    half the smaller side's total idf mass). Per-word idf values are
+    rounded-then-DECIMAL (the q168 reduce trick), so every mass sum is
+    order-independent; candidate pairs band on rare words only
+    (idf ≥ ln 8 ⇔ df ≤ n/8) — the discovery join never touches
+    stopwords, which is both the precision fix and the scale fix."""
+    c = corpus(spark, sf_dir)
+    nn = c.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = (
+        c.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+        .transform(managed_persist)
+    )
+    idf = (
+        w.groupBy("word")
+        .agg(cnt("df"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "word",
+            F.round(F.log(F.col("n") / F.col("df").cast("double")), 9)
+            .cast("decimal(18,9)")
+            .alias("idf"),
+        )
+        .transform(managed_persist)
+    )
+    dw = w.join(F.broadcast(idf), "word").transform(managed_persist)
+    mass = dw.groupBy("doc_id").agg(
+        F.sum("idf").cast("decimal(28,9)").alias("m")
+    )
+    import math
+
+    rare = idf.where(
+        F.col("idf") >= F.lit(round(math.log(8.0), 9)).cast("decimal(18,9)")
+    )
+    a = dw.join(rare.select("word"), "word").select(
+        "word", F.col("doc_id").alias("doc_a")
+    )
+    b = dw.select("word", F.col("doc_id").alias("doc_b"), "idf")
+    shared = (
+        a.join(b, "word")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("idf").cast("decimal(28,9)").alias("sm"))
+    )
+    ma = mass.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("ma"))
+    mb = mass.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("mb"))
+    least_m = F.least(F.col("ma"), F.col("mb"))
+    return (
+        shared.join(F.broadcast(ma), "doc_a")
+        .join(F.broadcast(mb), "doc_b")
+        .where(F.col("sm").cast("double") * 2 >= least_m.cast("double"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("sm").cast("double"), 6).alias("shared_idf_mass"),
+            F.round(
+                F.col("sm").cast("double") / least_m.cast("double"), 6
+            ).alias("weighted_containment"),
+        )
+    )
