@@ -132,6 +132,7 @@ _PRIORITY = (
     "q208_wilson_intervals",
     "q209_emerging_terms",
     "q210_idf_weighted_containment",
+    "q211_roh_segments",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

@@ -2176,3 +2176,94 @@ def q205_brier_reliability(spark, sf_dir):
             "reliability_contrib"
         ),
     )
+
+
+ROH_MIN_SITES = 25
+
+
+@query(
+    "q211_roh_segments",
+    oracle=f"""
+WITH calls AS ({SQL_COHORT_CALLS}),
+h AS (
+  SELECT sample, chrom, pos,
+         CASE WHEN gt IN (0, 2) THEN 1 ELSE 0 END AS hom
+  FROM calls
+),
+g AS (
+  SELECT sample, chrom, pos, hom,
+         CASE WHEN LAG(hom) OVER w IS NULL OR hom <> LAG(hom) OVER w
+              THEN 1 ELSE 0 END AS brk
+  FROM h
+  WINDOW w AS (PARTITION BY sample, chrom ORDER BY pos)
+),
+runs AS (
+  SELECT sample, chrom, pos, hom,
+         SUM(brk) OVER (PARTITION BY sample, chrom ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM g
+),
+seg AS (
+  SELECT sample, chrom, run_id,
+         COUNT(*) AS n_sites,
+         CAST(MIN(pos) AS BIGINT) AS start_pos,
+         CAST(MAX(pos) AS BIGINT) AS end_pos
+  FROM runs WHERE hom = 1
+  GROUP BY sample, chrom, run_id
+)
+SELECT sample,
+       COUNT(*) AS n_roh,
+       CAST(SUM(n_sites) AS BIGINT) AS total_sites_in_roh,
+       CAST(SUM(end_pos - start_pos) AS BIGINT) AS total_roh_span,
+       CAST(MAX(n_sites) AS BIGINT) AS longest_roh_sites
+FROM seg WHERE n_sites >= {ROH_MIN_SITES}
+GROUP BY sample
+""",
+)
+def q211_roh_segments(spark, sf_dir):
+    """Runs of homozygosity per sample (plink --homozyg shape): maximal
+    stretches of consecutive homozygous calls with ≥ {ROH_MIN_SITES}
+    sites — the consanguinity / autozygosity QC the cohort pipeline
+    reports beside q149's kinship (long ROH = recent parental
+    relatedness; the two cross-validate). Classic gaps-and-islands:
+    per-(sample, chrom) LAG break on the hom/het flag, running-sum run
+    ids, per-run rollup, per-sample summary — the q42/q179 machinery
+    on genotype state, windows never wider than one sample-contig."""
+    from pyspark.sql import Window as W
+
+    calls = _cohort_calls(spark, sf_dir)
+    h = calls.select(
+        "sample",
+        "chrom",
+        "pos",
+        F.when(F.col("gt").isin(0, 2), 1).otherwise(0).alias("hom"),
+    )
+    wo = W.partitionBy("sample", "chrom").orderBy("pos")
+    lag = F.lag("hom").over(wo)
+    g = h.withColumn(
+        "brk", F.when(lag.isNull() | (F.col("hom") != lag), 1).otherwise(0)
+    )
+    runs = g.withColumn(
+        "run_id", F.sum("brk").over(wo.rowsBetween(W.unboundedPreceding, 0))
+    )
+    seg = (
+        runs.where(F.col("hom") == 1)
+        .groupBy("sample", "chrom", "run_id")
+        .agg(
+            cnt("n_sites"),
+            F.min("pos").cast("bigint").alias("start_pos"),
+            F.max("pos").cast("bigint").alias("end_pos"),
+        )
+    )
+    return (
+        seg.where(F.col("n_sites") >= ROH_MIN_SITES)
+        .groupBy("sample")
+        .agg(
+            cnt("n_roh"),
+            F.sum("n_sites").cast("bigint").alias("total_sites_in_roh"),
+            F.sum(F.col("end_pos") - F.col("start_pos"))
+            .cast("bigint")
+            .alias("total_roh_span"),
+            F.max("n_sites").cast("bigint").alias("longest_roh_sites"),
+        )
+    )
