@@ -133,6 +133,7 @@ _PRIORITY = (
     "q209_emerging_terms",
     "q210_idf_weighted_containment",
     "q211_roh_segments",
+    "q212_decile_lift",
     # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
     "q66_minhash_lsh",
     "q67_simhash",

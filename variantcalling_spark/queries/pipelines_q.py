@@ -2267,3 +2267,104 @@ def q211_roh_segments(spark, sf_dir):
             F.max("n_sites").cast("bigint").alias("longest_roh_sites"),
         )
     )
+
+
+@query(
+    "q212_decile_lift",
+    oracle=f"""
+WITH calls AS ({SQL_COHORT_CALLS}),
+lab AS (
+  SELECT chrom, pos, gq AS s, CASE WHEN gt > 0 THEN 1 ELSE 0 END AS y
+  FROM calls WHERE sample = 's0'
+),
+r AS (
+  SELECT y,
+         ROW_NUMBER() OVER (ORDER BY s DESC, chrom, pos) AS rnk,
+         COUNT(*) OVER () AS n
+  FROM lab
+),
+d AS (
+  SELECT y, CAST(((rnk - 1) * 10) // n + 1 AS BIGINT) AS decile, n FROM r
+),
+t AS (SELECT CAST(SUM(y) AS BIGINT) AS tot_pos, COUNT(*) AS tot_n FROM d),
+agg AS (
+  SELECT decile, COUNT(*) AS n_k, CAST(SUM(y) AS BIGINT) AS pos_k
+  FROM d GROUP BY decile
+),
+cum AS (
+  SELECT decile, n_k, pos_k,
+         CAST(SUM(n_k) OVER (ORDER BY decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+         CAST(SUM(pos_k) OVER (ORDER BY decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+  FROM agg
+)
+SELECT c.decile, CAST(c.n_k AS BIGINT) AS n, c.pos_k AS n_pos,
+       ROUND(c.pos_k / CAST(c.n_k AS DOUBLE), 6) AS response_rate,
+       ROUND((c.cum_pos * t.tot_n) / (CAST(c.cum_n AS DOUBLE) * t.tot_pos), 6)
+         AS cumulative_lift,
+       ROUND(c.cum_pos / CAST(t.tot_pos AS DOUBLE), 6) AS cumulative_gain
+FROM cum c CROSS JOIN t
+""",
+)
+def q212_decile_lift(spark, sf_dir):
+    """Decile lift/gains table for a ranking score (here s0's GQ
+    ranking carrier status) — the third leg of the model-eval family:
+    q167 grades ranking globally (AUC), q205 grades probability
+    calibration, this is the OPERATING table ('score the top decile,
+    capture X% of positives at Y× lift') that decides where to set a
+    triage cutoff. Deciles by integer rank arithmetic
+    ((rnk−1)·10 DIV n — no percentile floats), lift as an exact
+    integer cross-ratio rounded once; the rank window orders by
+    (score DESC, chrom, pos) so ties split deterministically on both
+    engines."""
+    from pyspark.sql import Window as W
+
+    calls = _cohort_calls(spark, sf_dir)
+    lab = calls.where(F.col("sample") == "s0").select(
+        "chrom",
+        "pos",
+        F.col("gq").alias("s"),
+        F.when(F.col("gt") > 0, 1).otherwise(0).alias("y"),
+    )
+    r = lab.select(
+        "y",
+        F.row_number()
+        .over(W.orderBy(F.desc("s"), "chrom", "pos"))
+        .alias("rnk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    d = r.select(
+        "y", F.expr("CAST(((rnk - 1) * 10) DIV n + 1 AS BIGINT)").alias("decile")
+    )
+    t = d.agg(
+        F.sum("y").cast("bigint").alias("tot_pos"),
+        F.count(F.lit(1)).alias("tot_n"),
+    )
+    agg = d.groupBy("decile").agg(
+        cnt("n_k"), F.sum("y").cast("bigint").alias("pos_k")
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    cum = agg.select(
+        "decile",
+        "n_k",
+        "pos_k",
+        F.sum("n_k").over(wc).cast("bigint").alias("cum_n"),
+        F.sum("pos_k").over(wc).cast("bigint").alias("cum_pos"),
+    )
+    return cum.crossJoin(F.broadcast(t)).select(
+        "decile",
+        F.col("n_k").cast("bigint").alias("n"),
+        F.col("pos_k").alias("n_pos"),
+        F.round(F.col("pos_k") / F.col("n_k").cast("double"), 6).alias(
+            "response_rate"
+        ),
+        F.round(
+            (F.col("cum_pos") * F.col("tot_n"))
+            / (F.col("cum_n").cast("double") * F.col("tot_pos")),
+            6,
+        ).alias("cumulative_lift"),
+        F.round(F.col("cum_pos") / F.col("tot_pos").cast("double"), 6).alias(
+            "cumulative_gain"
+        ),
+    )
