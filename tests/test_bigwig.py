@@ -308,3 +308,21 @@ def test_zoom_multi_level_rtree(spark, tmp_path):
         for r in zoom_reduce(df, 64).collect()
     }
     assert got == want
+
+
+def test_zoom_reduce_drops_degenerate_runs(spark):
+    """Zero/negative-length runs must emit NO windows (Spark's
+    sequence() DESCENDS when end <= start, which used to fabricate
+    spurious windows with negative clipped overlap)."""
+    from variantcalling_spark.sources.bigwig import zoom_reduce
+
+    df = spark.createDataFrame(
+        [("chr1", 100, 100, 7), ("chr1", 300, 200, 9), ("chr1", 0, 10, 3)],
+        ["chrom", "start", "end", "depth"],
+    )
+    rows = zoom_reduce(df, 64).collect()
+    # only the one real run survives
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.chrom, r.win, r.zstart, r.zend, r.valid_count) == ("chr1", 0, 0, 10, 10)
+    assert r.min_val == 3.0 and r.max_val == 3.0 and r.sum_data == 30.0

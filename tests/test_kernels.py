@@ -281,3 +281,23 @@ def test_apply_bpe_merges_semantics(spark):
     # aaab: [a,a,a,b] -> aa (leftmost, prio 0) -> [aa,a,b] -> a+b
     # (prio 1) -> [aa, ab]; aab: [a,a,b] -> [aa, b], (aa,b) unlisted
     assert enc.tokens == "aa ab|aa b"
+
+
+def test_apply_bpe_merges_all_occurrences_per_pass(spark):
+    """Reference (GPT-2/HF) BPE merges ALL occurrences of the chosen
+    pair per pass. The one-occurrence-per-step variant diverges when a
+    merge creates a higher-priority pair overlapping a remaining
+    occurrence: merges [(ab,a),(a,b)] on 'abab' — per-pass gives
+    [ab, ab] (merge both (a,b) first; (ab,ab) unlisted), while
+    one-at-a-time would give [aba, b] (first merge creates (ab,a),
+    priority 0, which then steals the second 'a'). Pinned to the
+    reference answer; greedy left-to-right non-overlap pinned on runs."""
+    from variantcalling_spark.operators.kernels import apply_bpe_merges
+
+    docs = spark.createDataFrame([(1, "abab"), (2, "aaaaa")], ["doc_id", "text"])
+    merges = [("ab", "a"), ("a", "b"), ("a", "a")]
+    out = {r.doc_id: r for r in apply_bpe_merges(docs, merges).collect()}
+    assert out[1].tokens == "ab ab" and out[1].n_tokens == 2
+    # runs pair greedily left-to-right within the pass: aaaaa -> [aa,aa,a]
+    # -> no listed pair over merged symbols remains
+    assert out[2].tokens == "aa aa a" and out[2].n_tokens == 3

@@ -222,3 +222,35 @@ def test_results_catalog_concurrent_writers(spark, tmp_path):
         for r in read_result_latest(spark, root, "qc", mk).collect()
     }
     assert got == {"s1": 1.0, "w0": 0.0, "w1": 1.0, "w2": 2.0, "w3": 3.0}
+
+
+def test_results_catalog_ignores_uncommitted_claim(spark, tmp_path):
+    """Torn-read protection: a version dir that was CLAIMED (mkdir) but
+    whose parquet write has not committed (no _SUCCESS marker) must be
+    invisible to read_result_latest and left alone by compact_result."""
+    import os
+
+    from variantcalling_spark.pipelines.results import (
+        compact_result,
+        read_result_latest,
+        upsert_result,
+    )
+
+    root = str(tmp_path)
+    mk = ["sample", "metric"]
+    upsert_result(root, "qc", spark.createDataFrame(
+        [("s1", "depth", 30.0)], ["sample", "metric", "value"]))
+    # simulate an in-flight writer: claimed slot, partial file, no _SUCCESS
+    torn = os.path.join(root, "qc", "v=2")
+    os.mkdir(torn)
+    with open(os.path.join(torn, "part-00000.parquet"), "wb") as f:
+        f.write(b"PAR1 garbage: not a complete footer")
+    got = {(r.sample, r.metric, r.value)
+           for r in read_result_latest(spark, root, "qc", mk).collect()}
+    assert got == {("s1", "depth", 30.0)}
+    # compaction folds committed versions but leaves the in-flight claim
+    compact_result(spark, root, "qc", mk)
+    assert os.path.isdir(torn)
+    got2 = {(r.sample, r.metric, r.value)
+            for r in read_result_latest(spark, root, "qc", mk).collect()}
+    assert got2 == got

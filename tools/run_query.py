@@ -83,8 +83,18 @@ def main() -> int:
 
     t0 = time.time()
     if args.format == "show":
-        df.show(args.limit, truncate=False)
-        n = df.count()
+        # run ONCE: collect limit+1 rows to both display and report the
+        # row count (a separate df.count() would re-execute the query,
+        # doubling cost and skewing the printed elapsed time)
+        rows = df.limit(args.limit + 1).collect()
+        spark.createDataFrame(rows[: args.limit], df.schema).show(
+            args.limit, truncate=False
+        )
+        n = (
+            len(rows)
+            if len(rows) <= args.limit
+            else f">{args.limit} (limit+1 probe; exact count skipped)"
+        )
     else:
         if not args.out:
             ap.error(f"--out is required for --format {args.format}")

@@ -258,8 +258,12 @@ def apply_bpe_merges(
     the tokenizer-application half of BPE, closing the induction loop.
 
     Each word starts as characters; repeatedly the highest-priority
-    adjacent pair present is merged (leftmost-first within a priority),
-    until no listed pair remains — the standard BPE encode semantics.
+    adjacent pair present is selected and ALL its non-overlapping
+    occurrences are merged left-to-right in one pass, until no listed
+    pair remains — the GPT-2/HF reference BPE encode semantics (a
+    one-occurrence-per-step variant can diverge when a merge creates a
+    higher-priority pair overlapping a remaining occurrence; pinned in
+    tests/test_kernels.py).
     Inherently iterative-per-word (the merge chosen at step k depends
     on step k-1's symbol sequence), so this is an Arrow-batched
     ``mapInPandas`` kernel, not an expression; the merge table is tiny
@@ -272,14 +276,23 @@ def apply_bpe_merges(
     def encode_word(w: str) -> list[str]:
         syms = list(w)
         while len(syms) >= 2:
-            best, best_i = None, -1
+            best = None
             for i in range(len(syms) - 1):
                 p = prio.get((syms[i], syms[i + 1]))
                 if p is not None and (best is None or p < best):
-                    best, best_i = p, i
+                    best = p
             if best is None:
                 break
-            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+            u, v = merges[best]
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == u and syms[i + 1] == v:
+                    out.append(u + v)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
         return syms
 
     def run(batches):

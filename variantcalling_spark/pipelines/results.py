@@ -56,6 +56,19 @@ def _versions(catalog_root: str, key: str) -> list[int]:
     )
 
 
+def _committed_versions(catalog_root: str, key: str) -> list[int]:
+    """Versions whose write COMMITTED: the mkdir claim makes ``v=N``
+    visible before any parquet lands, so readers must gate on the
+    ``_SUCCESS`` marker Spark writes at job commit — otherwise a
+    concurrent reader can resolve a torn, partially-written latest
+    version."""
+    d = os.path.join(catalog_root, key)
+    return [
+        n for n in _versions(catalog_root, key)
+        if os.path.exists(os.path.join(d, f"v={n}", "_SUCCESS"))
+    ]
+
+
 def upsert_result(
     catalog_root: str,
     key: str,
@@ -115,8 +128,16 @@ def read_result_latest(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    df = spark.read.option("basePath", os.path.join(catalog_root, key)).parquet(
-        os.path.join(catalog_root, key)
+    key_dir = os.path.join(catalog_root, key)
+    committed = _committed_versions(catalog_root, key)
+    if not committed:
+        raise FileNotFoundError(
+            f"read_result_latest: no committed versions under {key_dir!r}"
+        )
+    # enumerate only committed (_SUCCESS-marked) version dirs so a
+    # claimed-but-still-writing version is never half-read (torn read)
+    df = spark.read.option("basePath", key_dir).parquet(
+        *[os.path.join(key_dir, f"v={n}") for n in committed]
     )
     if as_of_version is not None:
         df = df.where(F.col("v") <= as_of_version)
@@ -137,7 +158,10 @@ def compact_result(
     every merge-key window by construction before the old dirs go."""
     import shutil
 
-    old = _versions(catalog_root, key)
+    # fold only COMMITTED versions; an uncommitted claim belongs to a
+    # writer still in flight (or crashed debris) and is left alone —
+    # readers already ignore it via the _SUCCESS gate
+    old = _committed_versions(catalog_root, key)
     resolved = read_result_latest(spark, catalog_root, key, merge_keys)
     v = upsert_result(catalog_root, key, resolved)
     for n in old:

@@ -1808,7 +1808,7 @@ SELECT
         JOIN split sb ON sb.doc_id = pr.doc_b
         WHERE sa.split <> sb.split) AS BIGINT) AS n_straddling,
   CAST((SELECT COUNT(*) FROM split WHERE split = 'train') AS BIGINT) AS n_train,
-  CAST((SELECT COUNT(*) FROM split WHERE split = 'holdout') AS BIGINT)
+  CAST((SELECT COUNT(*) FROM split WHERE split = 'val') AS BIGINT)
     AS n_holdout
 """
 
@@ -1847,7 +1847,7 @@ def q201_split_integrity_audit(spark, sf_dir):
     n_tr = split.where(F.col("split") == "train").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_train")
     )
-    n_ho = split.where(F.col("split") == "holdout").agg(
+    n_ho = split.where(F.col("split") == "val").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_holdout")
     )
     return (

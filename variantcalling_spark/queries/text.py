@@ -1353,13 +1353,16 @@ vocab AS (
   ) WHERE w <> ''
 ),
 enc AS (
+  -- merge-all-per-pass (GPT-2/HF semantics): wrap every symbol as
+  -- \x1f sym \x1f (boundary \x1f\x1f between symbols), then one
+  -- replace() of \x1f u \x1f\x1f v \x1f -> \x1f uv \x1f merges ALL
+  -- greedy left-to-right non-overlapping occurrences of the chosen
+  -- pair, exactly the kernel's per-pass step
   SELECT w, string_split(w, '') AS syms FROM vocab
   UNION ALL
   SELECT e.w,
-    list_concat(
-      list_concat(e.syms[1:bi.best_i - 1],
-                  [e.syms[bi.best_i] || e.syms[bi.best_i + 1]]),
-      e.syms[bi.best_i + 2:]
+    string_split(
+      substr(m2.merged, 2, length(m2.merged) - 2), chr(31) || chr(31)
     ) AS syms
   FROM enc e,
   LATERAL (
@@ -1368,11 +1371,15 @@ enc AS (
     JOIN mined m ON m.pair = e.syms[i] || '|' || e.syms[i + 1]
   ) b,
   LATERAL (
-    SELECT MIN(i) AS best_i
-    FROM unnest(generate_series(1, len(e.syms) - 1)) AS t(i)
-    JOIN mined m ON m.pair = e.syms[i] || '|' || e.syms[i + 1]
-    WHERE m.prio = b.best
-  ) bi
+    SELECT m.pair AS bp FROM mined m WHERE m.prio = b.best
+  ) bp,
+  LATERAL (
+    SELECT replace(
+      chr(31) || array_to_string(e.syms, chr(31) || chr(31)) || chr(31),
+      chr(31) || replace(bp.bp, '|', chr(31) || chr(31)) || chr(31),
+      chr(31) || replace(bp.bp, '|', '') || chr(31)
+    ) AS merged
+  ) m2
   WHERE b.best IS NOT NULL
 ),
 final AS (
@@ -1400,8 +1407,10 @@ def q147_bpe_encode(spark, sf_dir):
     mined from the corpus (q126's counting pass, rank = priority), then
     applied to every word by the iterative `apply_bpe_merges` kernel —
     and the ORACLE replays the identical merge loop as a recursive SQL
-    CTE (leftmost-best-priority per step), so the Python kernel's
-    per-step semantics are value-checked, not just spot-tested. The
+    CTE (best-priority pair chosen per pass, ALL its non-overlapping
+    occurrences merged left-to-right via a boundary-wrapped replace()
+    — the GPT-2/HF reference semantics), so the Python kernel's
+    per-pass semantics are value-checked, not just spot-tested. The
     mined merge table is a driver-collected 8-row codebook (the IVF/PQ
     bounded-driver-state pattern); the kernel encodes each document's
     words in Arrow batches. Output: per-doc word/char/BPE-token counts

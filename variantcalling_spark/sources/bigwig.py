@@ -189,6 +189,11 @@ def zoom_reduce(runs, reduction: int):
     from pyspark.sql import functions as F
 
     red = int(reduction)
+    # guard: a zero/negative-length run would make the sequence() below
+    # DESCEND (floor((end-1)/red) < floor(start/red)) and emit spurious
+    # windows with negative clipped overlap — public operator, so drop
+    # degenerate runs instead of relying on callers
+    runs = runs.where(F.col("end") > F.col("start"))
     w = runs.select(
         "chrom",
         "start",
