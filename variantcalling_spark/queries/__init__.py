@@ -46,65 +46,20 @@ _MODULES = (
 # registration order. Keep newly added queries in this list so they get
 # oracle rows while they are young.
 _PRIORITY = (
-    # Round 5 front-of-budget (~50 checked/round): new r5 queries first,
-    # then re-certify stale greens oldest-first, so no green row ages
-    # past ~2 rounds (round-2's silent regression shipped exactly
-    # because stale rows went unchecked). The full local sweep
-    # (tools/check_correctness) covers ALL queries each round
-    # regardless of the driver budget.
-    # ROUND 6 ROTATION NOTE: after the r5 driver run the oldest rows
-    # will be the round-4 block (q110-q133) — lead round 6 with those.
-    # --- New in round 5 ---
-    "q134_auto_bucketed_interval_join",
-    "q135_cdc_chunk_dedup",
-    "q136_curriculum_phases",
-    "q137_leakage_safe_split",
-    "q138_weighted_sample",
-    "q139_containment_pairs",
-    "q140_perplexity_cutpoint_buckets",
-    "q141_vocab_oov",
-    "q142_zoom_reduction",
-    "q143_gc_bias_curve",
-    "q144_knn_pagerank",
-    "q145_contained_doc_pruning",
-    "q146_adaptive_knn_graph",
-    "q147_bpe_encode",
-    "q148_sample_qc",
-    "q149_king_kinship",
-    "q150_soft_dedup_weights",
-    "q151_label_propagation",
-    "q152_community_modularity",
-    "q153_hwe_exact_chi2",
-    "q154_distinct_ngram_diversity",
-    "q155_site_frequency_spectrum",
-    "q156_gap_interpolation",
-    "q157_minimizer_sketch",
-    "q158_label_centroid_similarity",
-    "q159_duplication_profile",
-    "q160_source_vocab_overlap",
-    "q161_ingest_distribution_drift",
-    "q162_media_content_dedup",
-    "q163_weighted_quantiles",
-    "q164_audio_content_dedup",
-    "q165_groupwise_ols_trend",
-    "q166_chi2_independence",
-    "q167_exact_auc",
-    "q168_vocab_entropy",
-    "q169_incremental_aggregates",
-    "q170_spearman_correlation",
-    "q171_ks_two_sample",
-    "q172_token_gini",
-    "q173_graph_triangles",
-    "q174_mutual_knn_pairs",
-    "q175_mutual_nn_clusters",
-    "q176_ingest_novelty",
-    "q177_zipf_hapax",
-    "q178_dispersion_index",
-    "q179_sessionization_stats",
-    "q180_edit_distance_neardup",
-    "q181_flagstat",
-    "q182_bigram_lm_score",
-    "q183_mad_robust",
+    # Driver budget is ~50 rows/round; the full local sweep
+    # (tools/check_correctness.py) covers ALL queries every round, so this
+    # order only decides WHICH rows the driver re-certifies.
+    # ROUND 6 ordering:
+    #   1. new round-6 queries (rows while young) — add them HERE, at the
+    #      top of the "New in round 6" section;
+    #   2. q184-q212: registered late in round 5, AFTER the r5 driver
+    #      budget was spent — they have no driver row at all yet;
+    #   3. the round-2-vintage greens (scheduled for r5, squeezed out by
+    #      the same budget) and the round-3 stragglers;
+    #   4. round-5-touched hot paths, then the round-4 block (q110-q133);
+    #   5. everything else (r5-fresh rows) in module order.
+    # --- New in round 6 ---
+    # --- Never driver-checked (late-r5 registrations) ---
     "q184_trimmed_mean",
     "q185_kmer_spectrum",
     "q186_personalized_pagerank",
@@ -134,7 +89,7 @@ _PRIORITY = (
     "q210_idf_weighted_containment",
     "q211_roh_segments",
     "q212_decile_lift",
-    # --- Oldest greens: round-2 vintage (r4 re-checked q52/q65 only) ---
+    # --- Oldest driver rows: round-2 vintage ---
     "q66_minhash_lsh",
     "q67_simhash",
     "q64_exact_dedup",
@@ -167,19 +122,40 @@ _PRIORITY = (
     "q95_collapse_multiallelic",
     "q100_hardy_weinberg",
     "q101_mendel_violation_rate",
-    # --- Round-3-green, never driver-checked since ---
+    # --- Round-3-green stragglers ---
     "q74_embedding_neardup_lsh",
     "q99_data_curation_funnel",
     "q104_concordance_window_rescue",
     "q105_depth_runs",
     "q106_pileup_calls",
-    # --- Hot paths touched in round 5 (re-certify even though r4-green) ---
+    # --- Round-5-touched hot paths ---
     "q52_gvcf_compress",
     "q65_ngram_jaccard",
     "q112_embedding_neardup_lsh_wide",
     "q121_pq_ann",
     "q122_incremental_dedup",
     "q129_adaptive_neardup",
+    # --- Round-4 block ---
+    "q125_bridging_snv_calibration",
+    "q114_substring_dedup_spans",
+    "q131_cluster_representatives",
+    "q115_domain_mixture_sampling",
+    "q116_bm25_topk",
+    "q117_dsir_importance_weights",
+    "q126_bpe_merge_mining",
+    "q130_perplexity_buckets",
+    "q133_decontamination_spans",
+    "q132_knn_graph",
+    "q128_hard_negative_mining",
+    "q120_stream_static_enrich",
+    "q111_reads_ingest_depth",
+    "q118_bam_binary_ingest_depth",
+    "q123_gvcf_hcr",
+    "q124_sample_identity_matrix",
+    "q110_concordance_chain_rescue",
+    "q113_concordance_haplotype_replay",
+    "q119_concordance_segmented_replay",
+    "q127_concordance_diplotype_replay",
 )
 
 
