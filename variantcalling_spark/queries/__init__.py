@@ -59,6 +59,12 @@ _PRIORITY = (
     #   4. round-5-touched hot paths, then the round-4 block (q110-q133);
     #   5. everything else (r5-fresh rows) in module order.
     # --- New in round 6 ---
+    "q213_fisher_strand",
+    "q214_bqsr_table",
+    "q215_rag_chunking",
+    "q216_embedding_quantization",
+    "q217_ann_recall_eval",
+    "q218_contamination_estimate",
     # --- Never driver-checked (late-r5 registrations) ---
     "q184_trimmed_mean",
     "q185_kmer_spectrum",

@@ -1396,3 +1396,234 @@ def q207_mash_distance(spark, sf_dir):
             ).alias("mash_distance"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: variant-annotation statistics (GATK annotation parity shapes)
+# ---------------------------------------------------------------------------
+
+def _fisher_pmf(k: str) -> str:
+    """Hypergeometric pmf of a 2x2 table with cell (alt_fwd) = ``k``,
+    margins r1/r2/c1/c2 and total nn, as IEEE-deterministic SQL: all
+    factorials are <= 16! (cells capped at 4), every factorial <= 18!
+    is an EXACT double, and products/divisions are correctly-rounded
+    IEEE ops — so Spark and DuckDB produce bit-identical doubles for
+    the identically-parenthesized expression."""
+    def f(x: str) -> str:
+        # DuckDB's factorial is INTEGER-only and lambda vars are BIGINT
+        return f"factorial(CAST({x} AS INT))"
+
+    return (
+        f"((((CAST({f('r1')} AS DOUBLE) * {f('r2')}) * {f('c1')})"
+        f" * {f('c2')})"
+        f" / ((((CAST({f('nn')} AS DOUBLE)"
+        f" * {f(k)}) * {f(f'r1 - ({k})')})"
+        f" * {f(f'c1 - ({k})')}) * {f(f'(r2 - c1) + ({k})')}))"
+    )
+
+
+_FISHER_CELLS_SQL = """
+  SELECT site,
+         CAST(LEAST(SUM(CASE WHEN is_alt AND fwd THEN 1 ELSE 0 END), 4) AS INT) AS alt_fwd,
+         CAST(LEAST(SUM(CASE WHEN is_alt AND NOT fwd THEN 1 ELSE 0 END), 4) AS INT) AS alt_rev,
+         CAST(LEAST(SUM(CASE WHEN NOT is_alt AND fwd THEN 1 ELSE 0 END), 4) AS INT) AS ref_fwd,
+         CAST(LEAST(SUM(CASE WHEN NOT is_alt AND NOT fwd THEN 1 ELSE 0 END), 4) AS INT) AS ref_rev
+  FROM (
+    SELECT event_id % 250 AS site,
+           (event_id // 250) % 2 = 0 AS fwd,
+           value > 10 AS is_alt
+    FROM events
+  ) GROUP BY site
+"""
+
+
+@query(
+    "q213_fisher_strand",
+    oracle=f"""
+WITH cells AS ({_FISHER_CELLS_SQL}),
+m AS (
+  SELECT site, alt_fwd, alt_rev, ref_fwd, ref_rev,
+         alt_fwd + alt_rev AS r1, ref_fwd + ref_rev AS r2,
+         alt_fwd + ref_fwd AS c1, alt_rev + ref_rev AS c2,
+         alt_fwd + alt_rev + ref_fwd + ref_rev AS nn
+  FROM cells
+),
+m2 AS (SELECT *, {_fisher_pmf('alt_fwd')} AS pobs FROM m),
+p AS (
+  SELECT *,
+    list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(
+          list_filter(generate_series(GREATEST(0, c1 - r2), LEAST(r1, c1)),
+                      k -> {_fisher_pmf('k')} <= pobs * 1.0000000001),
+          k -> {_fisher_pmf('k')})),
+      (acc, x) -> acc + x) AS p_two
+  FROM m2
+)
+SELECT site, alt_fwd, alt_rev, ref_fwd, ref_rev,
+       ROUND(p_two, 10) AS p_fisher,
+       ROUND(-10 * log10(p_two), 4) AS fs_phred,
+       ROUND(
+         ln(((ref_fwd + 1.0) * (alt_rev + 1.0)) / ((alt_fwd + 1.0) * (ref_rev + 1.0))
+            + ((alt_fwd + 1.0) * (ref_rev + 1.0)) / ((ref_fwd + 1.0) * (alt_rev + 1.0)))
+         + ln(LEAST(ref_fwd + 1.0, ref_rev + 1.0) / GREATEST(ref_fwd + 1.0, ref_rev + 1.0))
+         - ln(LEAST(alt_fwd + 1.0, alt_rev + 1.0) / GREATEST(alt_fwd + 1.0, alt_rev + 1.0)),
+         6) AS sor
+FROM p
+""",
+)
+def q213_fisher_strand(spark, sf_dir):
+    """Strand-bias annotations — the exact FISHER'S TEST (GATK
+    FisherStrand/FS) and STRAND ODDS RATIO (GATK StrandOddsRatio/SOR)
+    the reference pipeline consumes as VCF INFO columns for filtering
+    (`vcf_pipeline_utils.py` INFO annotations; SB/FS usage in the
+    filtering models). Per site: the 2x2 (alt/ref x fwd/rev) read-count
+    table -> two-sided Fisher exact p (sum of all hypergeometric tables
+    at-or-below the observed pmf) -> PHRED scale, plus the GATK SOR
+    (ln symmetric odds ratio with +1 pseudocounts, ref/alt ratio
+    corrected).
+
+    Exactness at scale: cells are capped at 4 (GATK itself downsamples
+    the SB table), so every factorial is <= 16! — exactly representable
+    doubles — and the pmf is a fixed tree of correctly-rounded IEEE
+    mul/div: bit-identical on any engine, any partitioning. The tail
+    sum folds the <=17-element k-range in ascending order (seeded with
+    0.0 on both engines), so even the double SUM is order-fixed. One
+    scan + one map-side-combinable groupBy; the Fisher machinery is a
+    pure projection — no shuffle after the cell aggregate, and the
+    LEAST() cap makes per-site state O(1) regardless of depth (100 TB
+    of reads still aggregates to 4x4-bounded tables)."""
+    ev = load_table(spark, sf_dir, "events")
+    reads = ev.select(
+        (F.col("event_id") % 250).alias("site"),
+        (F.expr("event_id DIV 250") % 2 == 0).alias("fwd"),
+        (F.col("value") > 10).alias("is_alt"),
+    )
+
+    def _cell(cond, name):
+        return F.least(
+            F.sum(F.when(cond, 1).otherwise(0)), F.lit(4)
+        ).cast("int").alias(name)
+
+    cells = reads.groupBy("site").agg(
+        _cell(F.col("is_alt") & F.col("fwd"), "alt_fwd"),
+        _cell(F.col("is_alt") & ~F.col("fwd"), "alt_rev"),
+        _cell(~F.col("is_alt") & F.col("fwd"), "ref_fwd"),
+        _cell(~F.col("is_alt") & ~F.col("fwd"), "ref_rev"),
+    )
+    m = cells.select(
+        "*",
+        (F.col("alt_fwd") + F.col("alt_rev")).alias("r1"),
+        (F.col("ref_fwd") + F.col("ref_rev")).alias("r2"),
+        (F.col("alt_fwd") + F.col("ref_fwd")).alias("c1"),
+        (F.col("alt_rev") + F.col("ref_rev")).alias("c2"),
+        (
+            F.col("alt_fwd") + F.col("alt_rev") + F.col("ref_fwd") + F.col("ref_rev")
+        ).alias("nn"),
+    )
+    # stage pobs as a column FIRST: referencing it inside the lambdas
+    # below is a trivial capture (the repo's HOF-lambda rule — a
+    # non-trivial captured expression re-evaluates per element)
+    m2 = m.withColumn("pobs", F.expr(_fisher_pmf("alt_fwd")))
+    p = m2.withColumn(
+        "p_two",
+        F.expr(
+            f"""aggregate(
+              filter(sequence(greatest(0, c1 - r2), least(r1, c1)),
+                     k -> {_fisher_pmf('k')} <= pobs * 1.0000000001),
+              cast(0.0 as double), (acc, x) -> acc + {_fisher_pmf('x')})"""
+        ),
+    )
+    one = F.lit(1.0)
+    rf, rr = F.col("ref_fwd") + one, F.col("ref_rev") + one
+    af, ar = F.col("alt_fwd") + one, F.col("alt_rev") + one
+    return p.select(
+        "site",
+        "alt_fwd",
+        "alt_rev",
+        "ref_fwd",
+        "ref_rev",
+        F.round("p_two", 10).alias("p_fisher"),
+        F.round(-10.0 * F.log10("p_two"), 4).alias("fs_phred"),
+        F.round(
+            F.log((rf * ar) / (af * rr) + (af * rr) / (rf * ar))
+            + F.log(F.least(rf, rr) / F.greatest(rf, rr))
+            - F.log(F.least(af, ar) / F.greatest(af, ar)),
+            6,
+        ).alias("sor"),
+    )
+
+
+@query(
+    "q214_bqsr_table",
+    oracle=f"""
+WITH dna AS ({SQL_DOCS_DNA}),
+d AS (
+  SELECT dna.doc_id, dna.seq, doc.source AS rg,
+         20 + (dna.doc_id % 4) * 5 AS reported_q
+  FROM dna JOIN documents doc ON doc.doc_id = dna.doc_id
+  WHERE length(dna.seq) >= 2
+),
+obs AS (
+  SELECT rg, reported_q,
+         (pos - 2) // 8 AS cycle_bin,
+         substr(seq, CAST(pos - 1 AS INT), 2) AS context,
+         CASE WHEN (doc_id * 31 + pos) % 23 = 0 THEN 1 ELSE 0 END AS is_err
+  FROM d, unnest(generate_series(2, length(seq))) AS t(pos)
+)
+SELECT rg, reported_q, cycle_bin, context,
+       COUNT(*) AS n_obs,
+       CAST(SUM(is_err) AS BIGINT) AS n_err,
+       ROUND(-10 * log10((SUM(is_err) + 1.0) / (COUNT(*) + 2.0)), 4)
+         AS empirical_q,
+       ROUND(-10 * log10((SUM(is_err) + 1.0) / (COUNT(*) + 2.0)) - reported_q, 4)
+         AS delta_q
+FROM obs
+GROUP BY rg, reported_q, cycle_bin, context
+""",
+)
+def q214_bqsr_table(spark, sf_dir):
+    """BASE-QUALITY RECALIBRATION TABLE (GATK BQSR GatherBqsrReports
+    shape; the reference's flow-based pipeline consumes recalibrated
+    qualities upstream of calling): bin every observed base by
+    (read group, reported quality, cycle bin, dinucleotide context)
+    and compute the empirical quality with the +1/+2 Yates shrink,
+    plus the reported-vs-empirical delta the recalibration applies.
+
+    This is THE canonical map-side-combinable pipeline: one scan over
+    reads (here the deterministic DNA derivation of documents),
+    per-base explode is a pure projection, and the state per group is
+    two counters — the 100 TB shape is a partial-agg tree whose final
+    table is (RG x Q x cycle x 16 contexts)-bounded, i.e. tiny, no
+    matter how many bases were scanned. Reference cites:
+    recalibration consumers in `lpr/train_lib_prep_recalibration_model.py`,
+    flow-quality handling in the ppmSeq/flow utils."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs_as_dna(spark, sf_dir)
+        .join(docs.select("doc_id", F.col("source").alias("rg")), "doc_id")
+        .withColumn("reported_q", (20 + (F.col("doc_id") % 4) * 5).cast("bigint"))
+        .where(F.length("seq") >= 2)
+    )
+    obs = d.select(
+        "rg",
+        "reported_q",
+        F.explode(F.sequence(F.lit(2), F.length("seq"))).alias("pos"),
+        "doc_id",
+        "seq",
+    ).select(
+        "rg",
+        "reported_q",
+        F.expr("(pos - 2) DIV 8").alias("cycle_bin"),
+        F.expr("substr(seq, CAST(pos - 1 AS INT), 2)").alias("context"),
+        F.when((F.col("doc_id") * 31 + F.col("pos")) % 23 == 0, 1)
+        .otherwise(0)
+        .alias("is_err"),
+    )
+    emp = -10.0 * F.log10((F.sum("is_err") + F.lit(1.0)) / (F.count(F.lit(1)) + F.lit(2.0)))
+    return obs.groupBy("rg", "reported_q", "cycle_bin", "context").agg(
+        cnt("n_obs"),
+        F.sum("is_err").cast("bigint").alias("n_err"),
+        F.round(emp, 4).alias("empirical_q"),
+        F.round(emp - F.col("reported_q"), 4).alias("delta_q"),
+    )

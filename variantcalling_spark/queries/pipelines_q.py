@@ -2368,3 +2368,98 @@ def q212_decile_lift(spark, sf_dir):
             "cumulative_gain"
         ),
     )
+
+
+@query(
+    "q218_contamination_estimate",
+    oracle="""
+WITH obs AS (
+  SELECT user_id % 6 AS sample_id,
+         event_id % 100 AS site,
+         COUNT(*) AS n,
+         COUNT(*) FILTER (WHERE value > 10) AS alt
+  FROM events
+  GROUP BY 1, 2
+),
+sites AS (
+  SELECT sample_id, site, n, alt, (site % 3) / 2.0 AS p_true
+  FROM obs
+),
+grid AS (SELECT c / 1000.0 AS c FROM unnest(generate_series(0, 250, 25)) AS t(c)),
+ll AS (
+  SELECT s.sample_id, g.c,
+         CAST(SUM(CAST(ROUND(
+           alt * ln(LEAST(GREATEST((1 - g.c) * p_true + g.c * 0.3, 0.001), 0.999))
+           + (n - alt) * ln(1 - LEAST(GREATEST((1 - g.c) * p_true + g.c * 0.3, 0.001), 0.999)),
+           8) AS DECIMAL(26,8))) AS DOUBLE) AS loglik
+  FROM sites s CROSS JOIN grid g
+  GROUP BY s.sample_id, g.c
+),
+best AS (
+  SELECT sample_id, c, loglik,
+         ROW_NUMBER() OVER (PARTITION BY sample_id
+                            ORDER BY loglik DESC, c ASC) AS rn
+  FROM ll
+)
+SELECT sample_id,
+       ROUND(c, 3) AS contamination_hat,
+       ROUND(loglik, 4) AS loglik
+FROM best WHERE rn = 1
+""",
+)
+def q218_contamination_estimate(spark, sf_dir):
+    """CONTAMINATION-FRACTION ESTIMATE (VerifyBamID / GATK
+    CalculateContamination shape — the reference's QC layer flags
+    cross-sample contamination before trusting a callset, cf. the
+    het/hom-ratio screen in q124 and `quick_fingerprinter.py`): per
+    sample, maximize a binomial site likelihood over a contamination
+    grid. Expected alt fraction at a site under contamination c is
+    (1-c)*p_true + c*pop_af (eps-clamped); the MLE is the grid argmax.
+
+    Scale shape: sites aggregate first (one map-side-combinable
+    groupBy over reads), THEN cross-join the tiny 11-point grid — the
+    likelihood surface is (samples x grid)-sized, never read-sized, so
+    100 TB of reads costs one aggregation pass + a broadcast-sized
+    grid expansion. Determinism: each site x grid log-likelihood term
+    is rounded to 8 decimals and summed as DECIMAL (exact,
+    order-independent), so the argmax and the reported likelihood are
+    partition-invariant."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.groupBy(
+            (F.col("user_id") % 6).alias("sample_id"),
+            (F.col("event_id") % 100).alias("site"),
+        )
+        .agg(
+            cnt("n"),
+            F.sum(F.when(F.col("value") > 10, 1).otherwise(0)).alias("alt"),
+        )
+        .withColumn("p_true", (F.col("site") % 3) / F.lit(2.0))
+    )
+    grid = spark.range(0, 251, 25).select((F.col("id") / 1000.0).alias("c"))
+    p = F.least(
+        F.greatest((1 - F.col("c")) * F.col("p_true") + F.col("c") * 0.3, F.lit(0.001)),
+        F.lit(0.999),
+    )
+    term = F.round(
+        F.col("alt") * F.log(p) + (F.col("n") - F.col("alt")) * F.log(1 - p), 8
+    ).cast("decimal(26,8)")
+    ll = (
+        obs.crossJoin(F.broadcast(grid))
+        .groupBy("sample_id", "c")
+        .agg(F.sum(term).cast("double").alias("loglik"))
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("sample_id").orderBy(F.col("loglik").desc(), F.col("c").asc())
+    )
+    return (
+        ll.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "sample_id",
+            F.round("c", 3).alias("contamination_hat"),
+            F.round("loglik", 4).alias("loglik"),
+        )
+    )

@@ -13,7 +13,7 @@ from variantcalling_spark.operators.similarity import (
     lsh_cosine_topk,
 )
 from variantcalling_spark.queries import query
-from variantcalling_spark.queries._helpers import managed_persist
+from variantcalling_spark.queries._helpers import cnt, managed_persist
 from variantcalling_spark.sources import load_table
 
 # Augmented embedding corpus with known near-duplicates (the driver
@@ -1281,4 +1281,226 @@ def q186_personalized_pagerank(spark, sf_dir):
         .over(W2.orderBy(F.col("r").desc(), "node"))
         .cast("int")
         .alias("rk"),
+    )
+
+
+@query(
+    "q216_embedding_quantization",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, label, x,
+         list_min(x) AS mn, list_max(x) AS mx,
+         (list_max(x) - list_min(x)) / 255.0 AS scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, label, x, mn, mx, scale,
+         list_transform(x, e ->
+           CASE WHEN scale > 0
+                THEN LEAST(255, GREATEST(0, CAST(FLOOR((e - mn) / scale + 0.5) AS INT)))
+                ELSE 0 END) AS code
+  FROM s
+),
+e AS (
+  SELECT vec_id, label, mn, mx, scale, code,
+         list_transform(
+           list_zip(x, code),
+           p -> abs(p[1] - (mn + p[2] * scale))) AS err
+  FROM q
+)
+SELECT vec_id, label,
+       ROUND(mn, 9) AS vmin,
+       ROUND(mx, 9) AS vmax,
+       ROUND(list_max(err), 9) AS max_abs_err,
+       ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(err, z -> z * z)),
+             (a, b) -> a + b) / len(err), 12) AS mse,
+       CAST(len(list_distinct(code)) AS INT) AS n_distinct_codes,
+       CAST(len(list_filter(code, c -> c = 0 OR c = 255)) AS INT) AS n_saturated
+FROM e
+""",
+)
+def q216_embedding_quantization(spark, sf_dir):
+    """INT8 SCALAR QUANTIZATION of the embedding store (the 4x
+    vector-memory compression every large ANN deployment applies
+    before indexing — FAISS SQ8 / Milvus SQ shape): per-vector min/max
+    affine scale to codes 0..255, then the reconstruction-error ledger
+    (max abs error, MSE, code diversity, saturation count) that decides
+    whether SQ8 is safe for the corpus or PQ (q121) is needed.
+
+    Exactness: float->double widening is exact, the quantize/dequantize
+    chain is a fixed tree of correctly-rounded IEEE ops on identical
+    inputs (FLOOR(x+0.5) instead of engine-varying ROUND-half modes),
+    and the MSE fold is seeded and ascending on both engines — so the
+    whole ledger is bit-deterministic under any partitioning. Scale
+    shape: pure per-row projection, zero shuffle, zero UDF — quantizing
+    100 TB of vectors runs at scan speed next to the parquet reader."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("x"),
+    )
+    s = v.select(
+        "*",
+        F.array_min("x").alias("mn"),
+        F.array_max("x").alias("mx"),
+        ((F.array_max("x") - F.array_min("x")) / F.lit(255.0)).alias("scale"),
+    )
+    # mn/scale are projected columns: trivial captures in the lambdas
+    q = s.withColumn(
+        "code",
+        F.expr(
+            """transform(x, e ->
+                 CASE WHEN scale > 0
+                      THEN LEAST(255, GREATEST(0, CAST(FLOOR((e - mn) / scale + 0.5) AS INT)))
+                      ELSE 0 END)"""
+        ),
+    )
+    e = q.withColumn(
+        "err",
+        F.expr(
+            "transform(arrays_zip(x, code), p -> abs(p.x - (mn + p.code * scale)))"
+        ),
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.round("mn", 9).alias("vmin"),
+        F.round("mx", 9).alias("vmax"),
+        F.round(F.array_max("err"), 9).alias("max_abs_err"),
+        F.round(
+            F.expr(
+                "aggregate(transform(err, z -> z * z), cast(0.0 as double), (a, b) -> a + b)"
+            )
+            / F.size("err"),
+            12,
+        ).alias("mse"),
+        F.size(F.array_distinct("code")).alias("n_distinct_codes"),
+        F.size(F.expr("filter(code, c -> c = 0 OR c = 255)")).alias("n_saturated"),
+    )
+
+
+def _ann_recall_oracle_sql(
+    prefix_bits: int = 6, dim: int = 64, k: int = 10, n_queries: int = 40
+) -> str:
+    """Exact top-k and LSH-bucket top-k (q68's and q69's shapes, k=10)
+    joined into a per-query recall@k ledger."""
+    from variantcalling_spark.operators.similarity import _plane_signs
+
+    signs = _plane_signs(prefix_bits, dim)
+
+    def plane_vec(p):
+        return "[" + ",".join(f"{signs[d][p]:.1f}" for d in range(dim)) + "]"
+
+    sums = ",\n         ".join(
+        f"list_dot_product(vd, {plane_vec(p)}) AS s{p}" for p in range(prefix_bits)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN s{p} > 0 THEN {2**p} ELSE 0 END)" for p in range(prefix_bits)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+),
+ex AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v, c.v)
+                      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+                      c.vec_id) AS INT) AS rank
+    FROM base q JOIN base c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < {n_queries}
+  ) WHERE rank <= {k}
+),
+sig AS (
+  SELECT vec_id, v,
+         {sums}
+  FROM (SELECT vec_id, v, list_transform(v, x -> CAST(x AS DOUBLE)) AS vd FROM base)
+),
+bk AS (SELECT vec_id, v, {bucket} AS bucket FROM sig),
+ap AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v, c.v)
+                      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+                      c.vec_id) AS INT) AS rank
+    FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    WHERE q.vec_id < {n_queries}
+  ) WHERE rank <= {k}
+)
+SELECT ex.query_id,
+       COUNT(*) AS n_exact,
+       CAST(COALESCE(MAX(r.n_retrieved), 0) AS BIGINT) AS n_retrieved,
+       CAST(SUM(CASE WHEN ap.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       ROUND(SUM(CASE WHEN ap.cand_id IS NOT NULL THEN 1 ELSE 0 END) / CAST({k} AS DOUBLE), 6)
+         AS recall_at_k
+FROM ex
+LEFT JOIN ap ON ap.query_id = ex.query_id AND ap.cand_id = ex.cand_id
+LEFT JOIN (SELECT query_id, COUNT(*) AS n_retrieved FROM ap GROUP BY query_id) r
+  ON r.query_id = ex.query_id
+GROUP BY ex.query_id
+"""
+
+
+@query("q217_ann_recall_eval", oracle=_ann_recall_oracle_sql())
+def q217_ann_recall_eval(spark, sf_dir):
+    """ANN QUALITY HARNESS — recall@10 of the LSH-bucketed ANN (q69's
+    production path) against the exact brute-force top-10 (q68's
+    baseline), per query: the evaluation loop every ANN deployment
+    runs before trusting approximate retrieval, and the number that
+    decides prefix_bits/n_bands tuning (cf. the adaptive rules
+    q129/q146 make executable). Output: per-query exact/retrieved/hit
+    counts and recall@10.
+
+    Scale shape: the exact arm broadcasts only the BOUNDED query
+    sample (recall is estimated on a sample, never all-pairs on the
+    corpus); the approximate arm is the same linear bucketed equi-join
+    the production path runs. Join of the two top-k sets is
+    (queries x k)-sized — negligible. Engine-exact: quantized integer
+    dot products and full tie-breaks on both arms, so recall is
+    value-checked, not statistically eyeballed."""
+    from variantcalling_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").transform(managed_persist)
+    queries = emb.where(F.col("vec_id") < 40)
+    k = 10
+    ex = cosine_topk(queries, emb, k=k).select("query_id", "cand_id")
+    ap = lsh_cosine_topk(
+        queries, emb, k=k, n_planes=16, prefix_bits=6
+    ).select("query_id", F.col("cand_id").alias("ap_cand"))
+    ap = ap.transform(managed_persist)
+    retr = ap.groupBy("query_id").agg(cnt("n_retrieved"))
+    hits = ex.join(
+        ap,
+        (ex.query_id == ap.query_id) & (ex.cand_id == ap.ap_cand),
+        "left",
+    ).select(ex.query_id.alias("qid"), "cand_id", "ap_cand")
+    return (
+        hits.groupBy("qid")
+        .agg(
+            cnt("n_exact"),
+            F.sum(F.when(F.col("ap_cand").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hit"),
+        )
+        .join(retr, F.col("qid") == retr.query_id, "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_exact",
+            F.coalesce(F.col("n_retrieved"), F.lit(0)).cast("bigint").alias("n_retrieved"),
+            "n_hit",
+            F.round(F.col("n_hit") / F.lit(float(k)), 6).alias("recall_at_k"),
+        )
     )

@@ -2606,3 +2606,77 @@ def q209_emerging_terms(spark, sf_dir):
         .cast("int")
         .alias("rk"),
     )
+
+
+@query(
+    "q215_rag_chunking",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tok, len(string_split(text, ' ')) AS n
+  FROM documents
+),
+st AS (
+  SELECT doc_id, tok, n, CAST(s AS BIGINT) AS start_tok
+  FROM toks, unnest(generate_series(0, GREATEST(n - 1, 0), 24)) AS t(s)
+  WHERE s = 0 OR s < n
+),
+ch AS (
+  SELECT doc_id, n, start_tok,
+         start_tok // 24 AS chunk_id,
+         list_slice(tok, CAST(start_tok + 1 AS INT), CAST(start_tok + 32 AS INT)) AS chunk
+  FROM st
+)
+SELECT doc_id, chunk_id, start_tok,
+       CAST(len(chunk) AS INT) AS n_chunk_tokens,
+       md5(array_to_string(chunk, ' ')) AS fingerprint,
+       chunk[1] AS first_tok,
+       chunk[len(chunk)] AS last_tok
+FROM ch
+""",
+)
+def q215_rag_chunking(spark, sf_dir):
+    """RAG-PREP CHUNKING LEDGER: split every document into
+    32-token sliding windows with stride 24 (25% overlap) — the
+    retrieval-corpus preparation step every RAG/embedding pipeline
+    runs before vectorizing — emitting per-chunk token extent and an
+    md5 content fingerprint (the dedup/join key of the chunk store).
+    Contrast with q135's content-defined chunking: CDC re-synchronizes
+    after edits for dedup, while FIXED-STRIDE windows guarantee
+    bounded chunk size and overlap for retrieval context.
+
+    Scale shape: pure per-row array algebra — split once, explode the
+    stride grid, slice — zero shuffle, zero UDF; 100 TB of documents
+    chunk at scan speed and the fingerprint gives the downstream
+    exact-dedup groupBy its hash key for free."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("tok"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    st = toks.select(
+        "doc_id",
+        "tok",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)), F.lit(24))
+        ).alias("start_tok0"),
+    ).select(
+        "doc_id", "tok", "n", F.col("start_tok0").cast("bigint").alias("start_tok")
+    ).where((F.col("start_tok") == 0) | (F.col("start_tok") < F.col("n")))
+    ch = st.select(
+        "doc_id",
+        "n",
+        "start_tok",
+        F.expr("start_tok DIV 24").alias("chunk_id"),
+        F.expr("slice(tok, CAST(start_tok + 1 AS INT), 32)").alias("chunk"),
+    )
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        "start_tok",
+        F.size("chunk").alias("n_chunk_tokens"),
+        F.md5(F.array_join("chunk", " ")).alias("fingerprint"),
+        F.element_at("chunk", 1).alias("first_tok"),
+        F.element_at("chunk", F.size("chunk")).alias("last_tok"),
+    )
