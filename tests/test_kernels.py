@@ -301,3 +301,27 @@ def test_apply_bpe_merges_all_occurrences_per_pass(spark):
     # runs pair greedily left-to-right within the pass: aaaaa -> [aa,aa,a]
     # -> no listed pair over merged symbols remains
     assert out[2].tokens == "aa aa a" and out[2].n_tokens == 3
+
+
+def test_nw_align_scores(spark):
+    """Needleman-Wunsch kernel against hand-computed scores (match +2,
+    mismatch -1, gap -2), including empty-side and identical-string
+    edges, plus the classic substitution-vs-indel tradeoff."""
+    from variantcalling_spark.operators.kernels import nw_align_scores
+
+    rows = [
+        (0, "ACGT", "ACGT"),    # identical: 4 matches = 8
+        (1, "ACGT", ""),        # all gaps: -8
+        (2, "", ""),            # empty: 0
+        (3, "ACGT", "AGGT"),    # one substitution: 3*2 - 1 = 5
+        (4, "ACGT", "AGT"),     # one deletion: 3*2 - 2 = 4
+        (5, "AAAA", "TTTT"),    # all mismatch (-4) beats all-gap (-16)
+    ]
+    df = spark.createDataFrame(rows, ["pair_id", "a", "b"])
+    out = {r.pair_id: r for r in nw_align_scores(df).collect()}
+    assert out[0].nw_score == 8 and out[0].norm_score == 2.0
+    assert out[1].nw_score == -8 and (out[1].n, out[1].m) == (4, 0)
+    assert out[2].nw_score == 0 and out[2].norm_score == 0.0
+    assert out[3].nw_score == 5
+    assert out[4].nw_score == 4
+    assert out[5].nw_score == -4

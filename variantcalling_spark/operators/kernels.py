@@ -321,3 +321,79 @@ def apply_bpe_merges(
         run,
         schema=f"{id_col} {id_type}, n_words int, n_tokens int, tokens string",
     )
+
+
+def nw_align_scores(
+    pairs: DataFrame,
+    match: int = 2,
+    mismatch: int = -1,
+    gap: int = -2,
+    id_col: str = "pair_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Pairwise NEEDLEMAN-WUNSCH global alignment score (linear gap
+    penalty) — the alignment primitive under haplotype comparison and
+    read-to-reference scoring (the reference shells out to aligners /
+    vcfeval for this; `flow_based_read.py` and the concordance replay
+    family consume alignment-equivalence downstream).
+
+    Arrow-batched ``mapInPandas`` kernel: per pair an O(n*m) DP with
+    per-ROW numpy vectorization — the within-row left-gap chain
+    cur[j] = max(tmp[j], cur[j-1]+gap) is solved closed-form as a
+    running max of tmp[j] - gap*j (np.maximum.accumulate), so no
+    per-cell Python loop survives. Integer arithmetic throughout:
+    bit-exact on any engine/partitioning. The DuckDB oracle replays
+    the identical DP as a WAVEFRONT (anti-diagonal) recursive CTE —
+    each diagonal is a pure map over the two previous diagonals
+    (see queries/genomics.py::q219) — pinning every cell's recurrence,
+    not just the final score.
+
+    Scale shape: pairs partition freely (each row is independent);
+    state per pair is two DP rows, O(min-side) memory.
+    """
+    import numpy as np
+
+    out_schema = (
+        f"{id_col} bigint, n int, m int, nw_score int, norm_score double"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, ns, ms, scores, norms = [], [], [], [], []
+            for pid, a, b in zip(pdf[id_col], pdf[a_col], pdf[b_col]):
+                a = "" if a is None else str(a)
+                b = "" if b is None else str(b)
+                n, m = len(a), len(b)
+                av = np.frombuffer(a.encode("latin1"), dtype=np.uint8)
+                bv = np.frombuffer(b.encode("latin1"), dtype=np.uint8)
+                prev = gap * np.arange(m + 1, dtype=np.int64)
+                j_idx = np.arange(m + 1, dtype=np.int64)
+                for i in range(1, n + 1):
+                    s_vec = np.where(av[i - 1] == bv, match, mismatch).astype(
+                        np.int64
+                    ) if m else np.empty(0, dtype=np.int64)
+                    tmp = np.maximum(prev[:-1] + s_vec, prev[1:] + gap) if m else prev[1:]
+                    g = np.empty(m + 1, dtype=np.int64)
+                    g[0] = gap * i
+                    if m:
+                        g[1:] = tmp - gap * j_idx[1:]
+                    acc = np.maximum.accumulate(g)
+                    prev = acc + gap * j_idx
+                score = int(prev[-1])
+                ids.append(pid)
+                ns.append(n)
+                ms.append(m)
+                scores.append(score)
+                norms.append(round(score / float(max(n, m, 1)), 6))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype="int64"),
+                    "n": pd.array(ns, dtype="int32"),
+                    "m": pd.array(ms, dtype="int32"),
+                    "nw_score": pd.array(scores, dtype="int32"),
+                    "norm_score": pd.array(norms, dtype="float64"),
+                }
+            )
+
+    return pairs.select(id_col, a_col, b_col).mapInPandas(run, schema=out_schema)

@@ -65,6 +65,9 @@ _PRIORITY = (
     "q216_embedding_quantization",
     "q217_ann_recall_eval",
     "q218_contamination_estimate",
+    "q219_nw_alignment",
+    "q220_insert_size_metrics",
+    "q221_ir_eval",
     # --- Never driver-checked (late-r5 registrations) ---
     "q184_trimmed_mean",
     "q185_kmer_spectrum",

@@ -1627,3 +1627,80 @@ def q214_bqsr_table(spark, sf_dir):
         F.round(emp, 4).alias("empirical_q"),
         F.round(emp - F.col("reported_q"), 4).alias("delta_q"),
     )
+
+
+def _nw_wavefront_oracle_sql(match: int = 2, mismatch: int = -1, gap: int = -2) -> str:
+    """Needleman-Wunsch as a WAVEFRONT recursive CTE: anti-diagonal d+1
+    is a pure map over diagonals d (cur) and d-1 (prev) — the within-row
+    left-dependency that makes row-order DP sequential disappears on
+    anti-diagonals, which is exactly why wavefront alignment
+    parallelizes. Cell (i, j=d+1-i); boundaries are gap*i / gap*j; the
+    final diagonal d = n+m holds the single cell (n, m)."""
+    val = f"""
+      CASE WHEN i = 0 THEN CAST({gap} * (d + 1) AS INT)
+           WHEN d + 1 - i = 0 THEN CAST({gap} * i AS INT)
+           ELSE GREATEST(
+             prev[CAST(i - GREATEST(0, d - 1 - m) AS INT)]
+               + CASE WHEN substr(a, CAST(i AS INT), 1) = substr(b, CAST(d + 1 - i AS INT), 1)
+                      THEN {match} ELSE {mismatch} END,
+             cur[CAST(i - GREATEST(0, d - m) AS INT)] + {gap},
+             cur[CAST(i + 1 - GREATEST(0, d - m) AS INT)] + {gap})
+      END"""
+    return f"""
+WITH RECURSIVE dna AS ({SQL_DOCS_DNA}),
+pairs AS (
+  SELECT ea.doc_id // 2 AS pair_id, ea.seq AS a, eb.seq AS b,
+         CAST(length(ea.seq) AS INT) AS n, CAST(length(eb.seq) AS INT) AS m
+  FROM dna ea JOIN dna eb ON eb.doc_id = ea.doc_id + 1
+  WHERE ea.doc_id % 2 = 0
+),
+rec AS (
+  SELECT pair_id, a, b, n, m, 0 AS d,
+         [CAST(0 AS INT)] AS cur, CAST(NULL AS INT[]) AS prev
+  FROM pairs
+  UNION ALL
+  SELECT pair_id, a, b, n, m, d + 1,
+         list_transform(generate_series(GREATEST(0, d + 1 - m), LEAST(n, d + 1)),
+                        i -> {val}) AS cur,
+         cur AS prev
+  FROM rec WHERE d < n + m
+)
+SELECT pair_id, n, m,
+       cur[1] AS nw_score,
+       ROUND(cur[1] / CAST(GREATEST(n, m, 1) AS DOUBLE), 6) AS norm_score
+FROM rec WHERE d = n + m
+"""
+
+
+@query("q219_nw_alignment", oracle=_nw_wavefront_oracle_sql())
+def q219_nw_alignment(spark, sf_dir):
+    """PAIRWISE GLOBAL ALIGNMENT (Needleman-Wunsch, match +2 /
+    mismatch -1 / gap -2) over the derived DNA corpus: consecutive
+    document pairs align and report the DP score plus a
+    length-normalized identity proxy — the alignment primitive under
+    read scoring and haplotype comparison (the reference delegates to
+    external aligners/vcfeval; the concordance replay family
+    q110-q127 consumes alignment equivalence downstream; built-in
+    levenshtein covers unit-cost only, q180).
+
+    Engine side: Arrow kernel with per-row numpy vectorization (the
+    left-gap chain solved by a running max — no per-cell Python); the
+    ORACLE replays the identical DP as a wavefront recursive CTE where
+    every anti-diagonal is a pure map over the previous two, so all
+    O(n*m) cell recurrences are value-pinned, not just the end score.
+    Integer DP throughout -> bit-exact on both engines. Scale: each
+    pair is independent (pure mapInPandas, no shuffle); memory is two
+    DP rows per pair."""
+    from variantcalling_spark.operators.kernels import nw_align_scores
+
+    dna = docs_as_dna(spark, sf_dir).transform(managed_persist)
+    a = dna.where(F.col("doc_id") % 2 == 0).select(
+        F.expr("doc_id DIV 2").alias("pair_id"), F.col("seq").alias("a")
+    )
+    b = dna.select(
+        F.expr("(doc_id - 1) DIV 2").alias("pair_id"),
+        F.col("seq").alias("b"),
+        (F.col("doc_id") % 2).alias("par"),
+    ).where(F.col("par") == 1).drop("par")
+    pairs = a.join(b, "pair_id")
+    return nw_align_scores(pairs)

@@ -2463,3 +2463,119 @@ def q218_contamination_estimate(spark, sf_dir):
             F.round("loglik", 4).alias("loglik"),
         )
     )
+
+
+@query(
+    "q220_insert_size_metrics",
+    oracle="""
+WITH frag AS (
+  SELECT o_orderpriority AS library,
+         CASE WHEN o_orderkey % 20 = 0 THEN 'RF'
+              WHEN o_orderkey % 20 IN (1, 2) THEN 'TANDEM'
+              ELSE 'FR' END AS orientation,
+         CAST(FLOOR(o_totalprice) AS INT) % 800 + 50 AS insert_size
+  FROM orders
+),
+r AS (
+  SELECT library, orientation, insert_size,
+         ROW_NUMBER() OVER (PARTITION BY library, orientation
+                            ORDER BY insert_size) AS rn,
+         COUNT(*) OVER (PARTITION BY library, orientation) AS n
+  FROM frag
+),
+med AS (
+  SELECT library, orientation, n, insert_size AS median_insert
+  FROM r WHERE rn = (n + 1) // 2
+),
+dev AS (
+  SELECT f.library, f.orientation, m.n, m.median_insert,
+         ABS(f.insert_size - m.median_insert) AS adev,
+         ROW_NUMBER() OVER (PARTITION BY f.library, f.orientation
+                            ORDER BY ABS(f.insert_size - m.median_insert)) AS rn
+  FROM frag f JOIN med m USING (library, orientation)
+),
+mad AS (
+  SELECT library, orientation, n, median_insert, adev AS mad_insert
+  FROM dev WHERE rn = (n + 1) // 2
+)
+SELECT m.library, m.orientation,
+       CAST(m.n AS BIGINT) AS n_fragments,
+       m.median_insert, m.mad_insert,
+       ROUND(CAST(s.mean_dec AS DOUBLE), 4) AS mean_insert,
+       s.min_insert, s.max_insert
+FROM mad m JOIN (
+  SELECT library, orientation,
+         SUM(CAST(insert_size AS DECIMAL(18,2))) / COUNT(*) AS mean_dec,
+         MIN(insert_size) AS min_insert, MAX(insert_size) AS max_insert
+  FROM frag GROUP BY library, orientation
+) s USING (library, orientation)
+""",
+)
+def q220_insert_size_metrics(spark, sf_dir):
+    """INSERT-SIZE METRICS (Picard CollectInsertSizeMetrics shape —
+    the library-QC report the reference's coverage/QC layer sits
+    beside): per (library, pair orientation FR/RF/TANDEM) the fragment
+    count, exact lower-median insert, exact MAD, DECIMAL-exact mean,
+    and min/max — the numbers that catch adapter-dimer and chimeric
+    libraries before calling.
+
+    Exactness: median and MAD are picked by row_number (no engine
+    interpolation semantics); the mean is a DECIMAL sum. Scale shape:
+    two bounded window passes partitioned by (library, orientation) —
+    the same per-group-ordered pattern as the percentile family
+    (q44/q163); groups are library-sized so no window spans the
+    table."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    frag = orders.select(
+        F.col("o_orderpriority").alias("library"),
+        F.when(F.col("o_orderkey") % 20 == 0, "RF")
+        .when((F.col("o_orderkey") % 20).isin(1, 2), "TANDEM")
+        .otherwise("FR")
+        .alias("orientation"),
+        (
+            F.expr("CAST(FLOOR(o_totalprice) AS INT) % 800") + 50
+        ).alias("insert_size"),
+    ).transform(managed_persist)
+    grp = ["library", "orientation"]
+    r = frag.select(
+        *grp,
+        "insert_size",
+        F.row_number()
+        .over(W.partitionBy(*grp).orderBy("insert_size"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy(*grp)).alias("n"),
+    )
+    # exact lower median: rn == (n + 1) DIV 2
+    med = r.where(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        *grp, "n", F.col("insert_size").alias("median_insert")
+    )
+    dev = frag.join(med, grp).select(
+        *grp,
+        "n",
+        "median_insert",
+        F.abs(F.col("insert_size") - F.col("median_insert")).alias("adev"),
+    )
+    dr = dev.withColumn(
+        "rn", F.row_number().over(W.partitionBy(*grp).orderBy("adev"))
+    )
+    mad = dr.where(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        *grp, "n", "median_insert", F.col("adev").alias("mad_insert")
+    )
+    s = frag.groupBy(*grp).agg(
+        (F.sum(F.col("insert_size").cast("decimal(18,2)")) / F.count(F.lit(1))).alias(
+            "mean_dec"
+        ),
+        F.min("insert_size").alias("min_insert"),
+        F.max("insert_size").alias("max_insert"),
+    )
+    return mad.join(s, grp).select(
+        *grp,
+        F.col("n").cast("bigint").alias("n_fragments"),
+        "median_insert",
+        "mad_insert",
+        F.round(F.col("mean_dec").cast("double"), 4).alias("mean_insert"),
+        "min_insert",
+        "max_insert",
+    )

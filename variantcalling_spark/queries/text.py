@@ -2680,3 +2680,172 @@ def q215_rag_chunking(spark, sf_dir):
         F.element_at("chunk", 1).alias("first_tok"),
         F.element_at("chunk", F.size("chunk")).alias("last_tok"),
     )
+
+
+@query(
+    "q221_ir_eval",
+    oracle="""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+dfreq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM toks WHERE w <> '' GROUP BY w),
+qterms AS (
+  SELECT w AS term, df FROM dfreq
+  WHERE df >= 5
+  ORDER BY df ASC, w LIMIT 10
+),
+dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS dl FROM documents),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(CAST(len(string_split(text, ' ')) AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(*) AS avgdl
+  FROM documents
+),
+tf AS (
+  SELECT t.doc_id, q.term, COUNT(*) AS tf
+  FROM toks t JOIN qterms q ON t.w = q.term
+  GROUP BY t.doc_id, q.term
+),
+scored AS (
+  SELECT tf.term, tf.doc_id, tf.tf,
+         CAST(ln((n_docs - q.df + 0.5) / (q.df + 0.5) + 1)
+              * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+              AS DECIMAL(18,12)) AS s
+  FROM tf JOIN qterms q USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+ranked AS (
+  SELECT term, doc_id, tf >= 2 AS rel,
+         CAST(ROW_NUMBER() OVER (PARTITION BY term ORDER BY s DESC, doc_id) AS INT) AS rank
+  FROM scored
+),
+per_q AS (
+  SELECT term,
+         COUNT(*) AS n_candidates,
+         COUNT(*) FILTER (WHERE rel) AS n_relevant,
+         COALESCE(MIN(rank) FILTER (WHERE rel AND rank <= 10), 0) AS first_rel,
+         CAST(SUM(CASE WHEN rel AND rank <= 10
+                  THEN CAST(ROUND(1.0 / log2(rank + 1.0), 12) AS DECIMAL(20,12))
+                  ELSE CAST(0 AS DECIMAL(20,12)) END) AS DOUBLE) AS dcg
+  FROM ranked GROUP BY term
+),
+ideal AS (
+  SELECT term,
+         CAST((SELECT SUM(CAST(ROUND(1.0 / log2(r + 1.0), 12) AS DECIMAL(20,12)))
+               FROM unnest(generate_series(1, CAST(LEAST(n_relevant, 10) AS INT))) AS t(r))
+           AS DOUBLE) AS idcg
+  FROM per_q
+)
+SELECT p.term,
+       CAST(p.n_candidates AS BIGINT) AS n_candidates,
+       CAST(p.n_relevant AS BIGINT) AS n_relevant,
+       ROUND(CASE WHEN p.first_rel > 0 THEN 1.0 / p.first_rel ELSE 0.0 END, 6)
+         AS mrr_at_10,
+       ROUND(CASE WHEN i.idcg > 0 THEN p.dcg / i.idcg ELSE 0.0 END, 6)
+         AS ndcg_at_10
+FROM per_q p JOIN ideal i USING (term)
+""",
+)
+def q221_ir_eval(spark, sf_dir):
+    """IR RETRIEVAL-QUALITY HARNESS — MRR@10 and nDCG@10 of BM25
+    ranking (q116's scoring machinery) over a deterministic query set:
+    the evaluation loop a retrieval/RAG deployment runs before
+    trusting its ranker, sibling of q217's ANN recall harness. Query
+    terms are the 10 rarest terms with df >= 5 (the selective ones); graded
+    relevance is binary (term frequency >= 2 in the doc).
+
+    Scale shape: the corpus is scanned once into an inverted postings
+    slice filtered to the 10 query terms (pushed-down semi-join — the
+    99.99% of postings for other terms never shuffle); df/avgdl ride
+    a broadcast; ranking windows are per-term candidate-set-sized; the
+    metric join is (queries x k). Determinism: BM25 scores snap to
+    DECIMAL(18,12) before ranking (q116's rule), DCG terms snap to
+    DECIMAL(20,12) before the order-free exact sum, ranks tie-break on
+    doc_id — partition-invariant end to end."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").transform(managed_persist)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    dfreq = (
+        toks.where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    qterms = (
+        dfreq.where(F.col("df") >= 5)
+        .orderBy(F.col("df").asc(), "w")
+        .limit(10)
+        .select(F.col("w").alias("term"), "df")
+    )
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size(F.split("text", " ")).cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    tf = (
+        toks.join(F.broadcast(qterms), toks.w == qterms.term)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                )
+            ).cast("decimal(18,12)").alias("s"),
+        )
+    )
+    ranked = scored.select(
+        "term",
+        "doc_id",
+        (F.col("tf") >= 2).alias("rel"),
+        F.row_number()
+        .over(W.partitionBy("term").orderBy(F.col("s").desc(), "doc_id"))
+        .alias("rank"),
+    )
+    dcg_term = F.when(
+        F.col("rel") & (F.col("rank") <= 10),
+        F.round(1.0 / F.log2(F.col("rank") + 1.0), 12).cast("decimal(20,12)"),
+    ).otherwise(F.lit(0).cast("decimal(20,12)"))
+    per_q = ranked.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(F.when(F.col("rel"), 1).otherwise(0)).cast("bigint").alias("n_relevant"),
+        F.coalesce(
+            F.min(F.when(F.col("rel") & (F.col("rank") <= 10), F.col("rank"))),
+            F.lit(0),
+        ).alias("first_rel"),
+        F.sum(dcg_term).cast("double").alias("dcg"),
+    )
+    ideal = per_q.select(
+        "term",
+        F.expr(
+            """CAST(aggregate(
+                 sequence(1, CAST(LEAST(n_relevant, 10) AS INT)),
+                 CAST(0 AS DECIMAL(20,12)),
+                 (acc, r) -> CAST(acc + CAST(ROUND(1.0 / log2(r + 1.0), 12) AS DECIMAL(20,12)) AS DECIMAL(20,12)),
+                 acc -> acc) AS DOUBLE)"""
+        ).alias("idcg"),
+    )
+    return per_q.join(ideal, "term").select(
+        "term",
+        "n_candidates",
+        "n_relevant",
+        F.round(
+            F.when(F.col("first_rel") > 0, 1.0 / F.col("first_rel")).otherwise(0.0), 6
+        ).alias("mrr_at_10"),
+        F.round(
+            F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).otherwise(0.0), 6
+        ).alias("ndcg_at_10"),
+    )
