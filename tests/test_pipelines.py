@@ -254,3 +254,19 @@ def test_results_catalog_ignores_uncommitted_claim(spark, tmp_path):
     got2 = {(r.sample, r.metric, r.value)
             for r in read_result_latest(spark, root, "qc", mk).collect()}
     assert got2 == got
+
+
+def test_isotonic_calibration_monotone(spark):
+    """The fitted curve must be monotone nondecreasing in score and
+    preserve the global positive mass (PAV pools, never re-weights)."""
+    from variantcalling_spark.queries import all_queries
+
+    q = all_queries()["q222_isotonic_calibration"]
+    rows = sorted(
+        q.fn(spark, "/root/testdata/sf0.001").collect(), key=lambda r: r.score
+    )
+    fitted = [r.fitted_rate for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(fitted, fitted[1:]))
+    mass_fit = sum(r.fitted_rate * r.n for r in rows)
+    mass_raw = sum(r.n_pos for r in rows)
+    assert abs(mass_fit - mass_raw) / mass_raw < 1e-9

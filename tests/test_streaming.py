@@ -544,3 +544,56 @@ def test_streaming_psi_monitor_foreachbatch(spark, tmp_path):
     psi_same = batch_psi(same, hist)
     psi_drift = batch_psi(drifted, hist)
     assert psi_drift > psi_same
+
+
+def test_stream_session_window_equals_batch(spark, event_dir):
+    """Native session windows (F.session_window, 30-min gap) driven by a
+    real file stream must equal the batch session aggregation — the
+    streaming face of the sessionization family (q82's gaps-and-islands
+    semantics, expressed with Spark's built-in session windows). One
+    microbatch + update mode => the memory sink holds exactly the final
+    session states."""
+    batch_df = spark.read.parquet(event_dir)
+
+    def sessions(df):
+        return df.groupBy(
+            F.session_window("event_time", "30 minutes").alias("sw"),
+            "user_id",
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("value_sum"),
+        ).select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n",
+            "value_sum",
+        )
+
+    expected = {
+        (r.session_start, r.user_id): (r.session_end, r.n, r.value_sum)
+        for r in sessions(batch_df).collect()
+    }
+    assert len(expected) > 50
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .parquet(event_dir)
+        .withWatermark("event_time", "1 hour")
+    )
+    q = (
+        sessions(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("session_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.session_start, r.user_id): (r.session_end, r.n, r.value_sum)
+            for r in spark.sql("SELECT * FROM session_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected

@@ -68,6 +68,8 @@ _PRIORITY = (
     "q219_nw_alignment",
     "q220_insert_size_metrics",
     "q221_ir_eval",
+    "q222_isotonic_calibration",
+    "q223_clustering_nmi",
     # --- Never driver-checked (late-r5 registrations) ---
     "q184_trimmed_mean",
     "q185_kmer_spectrum",

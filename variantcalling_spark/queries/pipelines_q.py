@@ -2579,3 +2579,111 @@ def q220_insert_size_metrics(spark, sf_dir):
         "min_insert",
         "max_insert",
     )
+
+
+@query(
+    "q222_isotonic_calibration",
+    oracle="""
+WITH bins AS (
+  SELECT CAST(FLOOR(value) AS INT) AS score,
+         COUNT(*) AS w,
+         COUNT(*) FILTER (WHERE event_type = 'error') AS pos
+  FROM events GROUP BY 1
+),
+b AS (
+  SELECT score, w, pos,
+         CAST(ROW_NUMBER() OVER (ORDER BY score) AS INT) AS i,
+         SUM(w) OVER (ORDER BY score) AS cw,
+         SUM(pos) OVER (ORDER BY score) AS cp
+  FROM bins
+),
+pairs AS (
+  SELECT a.i AS ai, bb.i AS bi,
+         CAST(bb.cp - (a.cp - a.pos) AS DOUBLE)
+           / CAST(bb.cw - (a.cw - a.w) AS DOUBLE) AS r
+  FROM b a JOIN b bb ON bb.i >= a.i
+),
+t AS (
+  SELECT ai, bi,
+         MIN(r) OVER (PARTITION BY ai ORDER BY bi DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tmin
+  FROM pairs
+),
+fit AS (SELECT bi AS i, MAX(tmin) AS fitted FROM t GROUP BY bi)
+SELECT b.score,
+       CAST(b.w AS BIGINT) AS n,
+       CAST(b.pos AS BIGINT) AS n_pos,
+       ROUND(b.pos / CAST(b.w AS DOUBLE), 10) AS raw_rate,
+       ROUND(f.fitted, 10) AS fitted_rate
+FROM b JOIN fit f ON f.i = b.i
+""",
+)
+def q222_isotonic_calibration(spark, sf_dir):
+    """ISOTONIC (PAV) SCORE CALIBRATION — the monotone probability
+    calibration step between a filtering model's raw scores (q89) and
+    its operating thresholds (q205 measures the calibration this
+    repairs): fit the best monotone-nondecreasing rate curve over
+    score bins, via the exact minimax identity
+    fitted[i] = max_{a<=i} min_{b>=i} mean(y[a..b]) — equivalent to
+    pool-adjacent-violators but expressed as two windows over a pair
+    table instead of a sequential pooling stack.
+
+    Scale discipline: raw events first aggregate to SCORE BINS (one
+    map-side-combinable groupBy — the only pass over the data); the
+    O(bins^2) pair table and its windows touch only the tiny binned
+    summary, the same bins-then-exact pattern as the weighted-quantile
+    operator (ordered.py::weighted_quantile_bucketed). Exactness:
+    prefix sums are integer, each candidate mean is ONE bigint/bigint
+    IEEE division, and min/max never round — bit-identical on both
+    engines with no epsilon anywhere."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    bins = ev.groupBy(
+        F.floor("value").cast("int").alias("score")
+    ).agg(
+        cnt("w"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("pos"),
+    )
+    wo = W.orderBy("score")
+    b = bins.select(
+        "score",
+        "w",
+        "pos",
+        F.row_number().over(wo).cast("int").alias("i"),
+        F.sum("w").over(wo).alias("cw"),
+        F.sum("pos").over(wo).alias("cp"),
+    ).transform(managed_persist)
+    a = b.select(
+        F.col("i").alias("ai"),
+        (F.col("cp") - F.col("pos")).alias("cp0"),
+        (F.col("cw") - F.col("w")).alias("cw0"),
+    )
+    bb = b.select(F.col("i").alias("bi"), "cp", "cw")
+    pairs = a.join(bb, F.col("bi") >= F.col("ai")).select(
+        "ai",
+        "bi",
+        (
+            (F.col("cp") - F.col("cp0")).cast("double")
+            / (F.col("cw") - F.col("cw0")).cast("double")
+        ).alias("r"),
+    )
+    t = pairs.select(
+        "ai",
+        "bi",
+        F.min("r")
+        .over(
+            W.partitionBy("ai")
+            .orderBy(F.col("bi").desc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("tmin"),
+    )
+    fit = t.groupBy("bi").agg(F.max("tmin").alias("fitted"))
+    return b.join(fit, b.i == fit.bi).select(
+        "score",
+        F.col("w").cast("bigint").alias("n"),
+        F.col("pos").cast("bigint").alias("n_pos"),
+        F.round(F.col("pos") / F.col("w").cast("double"), 10).alias("raw_rate"),
+        F.round("fitted", 10).alias("fitted_rate"),
+    )

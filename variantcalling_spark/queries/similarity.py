@@ -1504,3 +1504,132 @@ def q217_ann_recall_eval(spark, sf_dir):
             F.round(F.col("n_hit") / F.lit(float(k)), 6).alias("recall_at_k"),
         )
     )
+
+
+def _cluster_nmi_oracle_sql(prefix_bits: int = 6, dim: int = 64) -> str:
+    from variantcalling_spark.operators.similarity import _plane_signs
+
+    signs = _plane_signs(prefix_bits, dim)
+
+    def plane_vec(p):
+        return "[" + ",".join(f"{signs[d][p]:.1f}" for d in range(dim)) + "]"
+
+    sums = ",\n         ".join(
+        f"list_dot_product(vd, {plane_vec(p)}) AS s{p}" for p in range(prefix_bits)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN s{p} > 0 THEN {2**p} ELSE 0 END)" for p in range(prefix_bits)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+),
+sig AS (
+  SELECT vec_id, label, {sums}
+  FROM (SELECT vec_id, label, list_transform(v, x -> CAST(x AS DOUBLE)) AS vd FROM base)
+),
+bk AS (SELECT vec_id, label, {bucket} AS cluster FROM sig),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM bk),
+cij AS (SELECT cluster, label, COUNT(*) AS nij FROM bk GROUP BY cluster, label),
+ci AS (SELECT cluster, COUNT(*) AS ni FROM bk GROUP BY cluster),
+cj AS (SELECT label, COUNT(*) AS nj FROM bk GROUP BY label),
+mi AS (
+  SELECT CAST(SUM(CAST(ROUND(
+           (nij / n.n) * ln((n.n * nij) / (CAST(ni AS DOUBLE) * nj)), 12)
+           AS DECIMAL(24,12))) AS DOUBLE) AS mi
+  FROM cij JOIN ci USING (cluster) JOIN cj USING (label) CROSS JOIN n
+),
+hc AS (
+  SELECT CAST(SUM(CAST(ROUND(-(ni / n.n) * ln(ni / n.n), 12)
+           AS DECIMAL(24,12))) AS DOUBLE) AS h_cluster
+  FROM ci CROSS JOIN n
+),
+hl AS (
+  SELECT CAST(SUM(CAST(ROUND(-(nj / n.n) * ln(nj / n.n), 12)
+           AS DECIMAL(24,12))) AS DOUBLE) AS h_label
+  FROM cj CROSS JOIN n
+)
+SELECT CAST(n.n AS BIGINT) AS n_points,
+       CAST((SELECT COUNT(*) FROM ci) AS BIGINT) AS n_clusters,
+       CAST((SELECT COUNT(*) FROM cj) AS BIGINT) AS n_labels,
+       ROUND(mi.mi, 6) AS mutual_info,
+       ROUND(hc.h_cluster, 6) AS h_cluster,
+       ROUND(hl.h_label, 6) AS h_label,
+       ROUND(mi.mi / sqrt(hc.h_cluster * hl.h_label), 6) AS nmi
+FROM n, mi, hc, hl
+"""
+
+
+@query("q223_clustering_nmi", oracle=_cluster_nmi_oracle_sql())
+def q223_clustering_nmi(spark, sf_dir):
+    """CLUSTERING-QUALITY HARNESS — Normalized Mutual Information of a
+    discovered clustering against ground-truth labels: the number that
+    grades SemDeDup/D4-style semantic curation substrates (q108, q151,
+    q175) before trusting their cluster boundaries. The discovered
+    clustering here is the engine-exact 6-bit hyperplane LSH bucket
+    (q69's production bucketing) scored against ``embeddings.label``;
+    NMI = I(C;L) / sqrt(H(C) H(L)).
+
+    Scale shape: three map-side-combinable groupBys over one
+    projection pass (contingency cells, cluster margins, label
+    margins — all cluster-count-sized), then scalar combines of
+    three 1-row aggregates; the corpus never shuffles on content.
+    Determinism: every entropy/MI term is rounded to 12 decimals and
+    summed as DECIMAL (order-free exact), margins are integers."""
+    from variantcalling_spark.operators.similarity import (
+        _band_slices_arrow,
+        _quantize,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = _band_slices_arrow(6, 1)
+    bk = emb.select(
+        "vec_id",
+        "label",
+        F.element_at(bucket(_quantize(F.col("embedding"))), 1).alias("cluster"),
+    ).transform(managed_persist)
+    n = bk.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    cij = bk.groupBy("cluster", "label").agg(cnt("nij"))
+    ci = bk.groupBy("cluster").agg(cnt("ni")).transform(managed_persist)
+    cj = bk.groupBy("label").agg(cnt("nj")).transform(managed_persist)
+    mi_term = F.round(
+        (F.col("nij") / F.col("n"))
+        * F.log((F.col("n") * F.col("nij")) / (F.col("ni").cast("double") * F.col("nj"))),
+        12,
+    ).cast("decimal(24,12)")
+    mi = (
+        cij.join(F.broadcast(ci), "cluster")
+        .join(F.broadcast(cj), "label")
+        .crossJoin(F.broadcast(n))
+        .agg(F.sum(mi_term).cast("double").alias("mi"))
+    )
+    ent = lambda cdf, cname, alias: (  # noqa: E731
+        cdf.crossJoin(F.broadcast(n)).agg(
+            F.sum(
+                F.round(
+                    -(F.col(cname) / F.col("n")) * F.log(F.col(cname) / F.col("n")), 12
+                ).cast("decimal(24,12)")
+            )
+            .cast("double")
+            .alias(alias)
+        )
+    )
+    hc = ent(ci, "ni", "h_cluster")
+    hl = ent(cj, "nj", "h_label")
+    nc = ci.agg(cnt("n_clusters"))
+    nl = cj.agg(cnt("n_labels"))
+    return (
+        n.crossJoin(nc).crossJoin(nl).crossJoin(mi).crossJoin(hc).crossJoin(hl).select(
+            F.col("n").cast("bigint").alias("n_points"),
+            "n_clusters",
+            "n_labels",
+            F.round("mi", 6).alias("mutual_info"),
+            F.round("h_cluster", 6).alias("h_cluster"),
+            F.round("h_label", 6).alias("h_label"),
+            F.round(
+                F.col("mi") / F.sqrt(F.col("h_cluster") * F.col("h_label")), 6
+            ).alias("nmi"),
+        )
+    )
