@@ -70,6 +70,8 @@ _PRIORITY = (
     "q221_ir_eval",
     "q222_isotonic_calibration",
     "q223_clustering_nmi",
+    "q224_kneser_ney_lm",
+    "q225_vqsr_tranches",
     # --- Never driver-checked (late-r5 registrations) ---
     "q184_trimmed_mean",
     "q185_kmer_spectrum",

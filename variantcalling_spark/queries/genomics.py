@@ -1704,3 +1704,106 @@ def q219_nw_alignment(spark, sf_dir):
     ).where(F.col("par") == 1).drop("par")
     pairs = a.join(b, "pair_id")
     return nw_align_scores(pairs)
+
+
+@query(
+    "q225_vqsr_tranches",
+    oracle="""
+WITH calls AS (
+  SELECT event_id, value AS score, event_id % 7 = 0 AS is_truth
+  FROM events
+),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM calls WHERE is_truth),
+tr AS (
+  SELECT score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, event_id) AS rn
+  FROM calls WHERE is_truth
+),
+targets AS (SELECT unnest([900, 950, 990, 999]) AS target_permille),
+thr AS (
+  SELECT t.target_permille, tr.score AS min_score
+  FROM targets t CROSS JOIN nt
+  JOIN tr ON tr.rn = CAST(CEIL(t.target_permille * nt.n_truth / 1000.0) AS BIGINT)
+),
+agg AS (
+  SELECT thr.target_permille, thr.min_score,
+         CAST(COUNT(*) AS BIGINT) AS n_total_ge,
+         CAST(COUNT(*) FILTER (WHERE c.is_truth) AS BIGINT) AS n_truth_ge
+  FROM thr JOIN calls c ON c.score >= thr.min_score
+  GROUP BY thr.target_permille, thr.min_score
+)
+SELECT a.target_permille, ROUND(a.min_score, 6) AS min_score,
+       nt.n_truth, a.n_truth_ge, a.n_total_ge,
+       ROUND(a.n_truth_ge / CAST(nt.n_truth AS DOUBLE), 6) AS truth_sensitivity,
+       ROUND(a.n_truth_ge / CAST(a.n_total_ge AS DOUBLE), 6) AS truth_precision
+FROM agg a CROSS JOIN nt
+""",
+)
+def q225_vqsr_tranches(spark, sf_dir):
+    """VQSR TRANCHE TABLE (GATK ApplyVQSR/.tranches artifact — the
+    reference's filtering layer consumes tranche-style
+    sensitivity-indexed thresholds; cf. the threshold machinery in
+    `filtering/` and q40's PR curve): for each truth-sensitivity
+    target (90/95/99/99.9%), the minimal score threshold retaining
+    that fraction of truth sites, plus the retained-call counts and
+    the realized sensitivity/precision at that cut — the table that
+    turns a continuous recalibration score into named filter levels.
+
+    Scale shape: one window over the TRUTH subset (truth-set-sized,
+    not callset-sized) picks the thresholds by rank; the 4-row
+    threshold table broadcasts against the callset for the retained
+    counts (one scan, map-side combinable). Determinism: thresholds
+    are data values picked by integer rank (full tie-break), counts
+    are exact."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    calls = ev.select(
+        "event_id",
+        F.col("value").alias("score"),
+        (F.col("event_id") % 7 == 0).alias("is_truth"),
+    ).transform(managed_persist)
+    truth = calls.where("is_truth")
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    tr = truth.select(
+        "score",
+        F.row_number()
+        .over(W.orderBy(F.col("score").desc(), "event_id"))
+        .alias("rn"),
+    )
+    targets = spark.createDataFrame(
+        [(900,), (950,), (990,), (999,)], ["target_permille"]
+    ).select(F.col("target_permille").cast("int").alias("target_permille"))
+    thr = (
+        targets.crossJoin(F.broadcast(nt))
+        .withColumn(
+            "k",
+            F.ceil(F.col("target_permille") * F.col("n_truth") / 1000.0).cast("bigint"),
+        )
+        .join(tr, F.col("rn") == F.col("k"))
+        .select("target_permille", F.col("score").alias("min_score"))
+    )
+    agg = (
+        calls.crossJoin(F.broadcast(thr))
+        .where(F.col("score") >= F.col("min_score"))
+        .groupBy("target_permille", "min_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total_ge"),
+            F.sum(F.when(F.col("is_truth"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_truth_ge"),
+        )
+    )
+    return agg.crossJoin(F.broadcast(nt)).select(
+        "target_permille",
+        F.round("min_score", 6).alias("min_score"),
+        "n_truth",
+        "n_truth_ge",
+        "n_total_ge",
+        F.round(F.col("n_truth_ge") / F.col("n_truth").cast("double"), 6).alias(
+            "truth_sensitivity"
+        ),
+        F.round(F.col("n_truth_ge") / F.col("n_total_ge").cast("double"), 6).alias(
+            "truth_precision"
+        ),
+    )

@@ -2849,3 +2849,112 @@ def q221_ir_eval(spark, sf_dir):
             F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).otherwise(0.0), 6
         ).alias("ndcg_at_10"),
     )
+
+
+@query(
+    "q224_kneser_ney_lm",
+    oracle="""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (
+  SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+                         for i in generate_series(1, len(w) - 1)]) AS b
+  FROM tok WHERE len(w) >= 2
+),
+c2 AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b),
+ch AS (SELECT string_split(b, ' ')[1] AS w1,
+              CAST(SUM(c) AS BIGINT) AS h,
+              CAST(COUNT(*) AS BIGINT) AS t1
+       FROM c2 GROUP BY 1),
+cont AS (SELECT string_split(b, ' ')[2] AS w2,
+                CAST(COUNT(*) AS BIGINT) AS t2
+         FROM c2 GROUP BY 1),
+tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM c2),
+scored AS (
+  SELECT bg.doc_id,
+         CAST(-log10(
+           GREATEST(c2.c - 0.75, 0) / CAST(ch.h AS DOUBLE)
+           + (0.75 * ch.t1 / CAST(ch.h AS DOUBLE))
+             * (cont.t2 / CAST(tt.t AS DOUBLE))
+         ) AS DECIMAL(18,12)) AS nll
+  FROM bg
+  JOIN c2 ON c2.b = bg.b
+  JOIN ch ON ch.w1 = string_split(bg.b, ' ')[1]
+  JOIN cont ON cont.w2 = string_split(bg.b, ' ')[2]
+  CROSS JOIN tt
+)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+       ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+FROM scored GROUP BY doc_id
+""",
+)
+def q224_kneser_ney_lm(spark, sf_dir):
+    """KNESER-NEY bigram LM scoring — the smoothing KenLM/CCNet
+    actually ship (q182's interpolated MLE upgraded to the
+    absolute-discount form): P(w2|w1) = max(c(w1 w2) - D, 0)/c(w1 .)
+    + D.t1(w1)/c(w1 .) * Pcont(w2), with D = 0.75 and the CONTINUATION
+    probability Pcont(w2) = |{w1 : c(w1 w2) > 0}| / |bigram types| —
+    the 'how many contexts does w2 complete' correction that separates
+    genuinely productive words from words frequent only inside one
+    collocation (the 'San Francisco' effect).
+
+    Same scale shape as q97/q182: all model tables (bigram counts,
+    per-history totals+types, continuation types) are
+    vocabulary-bounded broadcasts; the corpus token stream is scanned
+    once, bigrams build per-row from a staged split (q78 rule), and
+    per-bigram nll doubles snap to DECIMAL so the per-doc mean is
+    partition-order-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.split("text", " ").alias("w"))
+    w = F.col("w")
+    bg = (
+        tok.where(F.size(w) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - 2),
+                    lambda i: F.array_join(F.slice(w, i + 1, 2), " "),
+                )
+            ).alias("b"),
+        )
+        .transform(managed_persist)
+    )
+    c2 = bg.groupBy("b").agg(cnt("c")).transform(managed_persist)
+    ch = (
+        c2.select(F.split("b", " ")[0].alias("w1"), "c")
+        .groupBy("w1")
+        .agg(
+            F.sum("c").cast("bigint").alias("h"),
+            F.count(F.lit(1)).cast("bigint").alias("t1"),
+        )
+    )
+    cont = (
+        c2.select(F.split("b", " ")[1].alias("w2"))
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t2"))
+    )
+    tt = c2.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    scored = (
+        bg.withColumn("w1", F.split("b", " ")[0])
+        .withColumn("w2", F.split("b", " ")[1])
+        .join(F.broadcast(c2), "b")
+        .join(F.broadcast(ch), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "doc_id",
+            (
+                -F.log10(
+                    F.greatest(F.col("c") - 0.75, F.lit(0.0)) / F.col("h").cast("double")
+                    + (0.75 * F.col("t1") / F.col("h").cast("double"))
+                    * (F.col("t2") / F.col("t").cast("double"))
+                )
+            )
+            .cast("decimal(18,12)")
+            .alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 6).alias("avg_nll"),
+    )
