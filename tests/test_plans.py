@@ -609,3 +609,50 @@ def test_late_round5_discovery_plans_no_cartesian(spark):
     ):
         p = plan_of(spark, name)
         assert "CartesianProduct" not in p, name
+
+
+def test_q215_chunking_is_pure_mapside(spark):
+    """RAG chunking is a per-row projection: no exchange anywhere —
+    100 TB of documents chunk at scan speed."""
+    p = plan_of(spark, "q215_rag_chunking")
+    assert "Exchange" not in p
+
+
+def test_q216_quantization_is_pure_mapside(spark):
+    p = plan_of(spark, "q216_embedding_quantization")
+    assert "Exchange" not in p
+
+
+def test_q219_alignment_is_pure_mapside(spark):
+    """NW alignment: pair build is a broadcast-free equi-join on
+    pair_id over one persisted projection; the DP kernel itself adds
+    no exchange (mapInPandas over the joined pairs)."""
+    p = plan_of(spark, "q219_nw_alignment")
+    assert "MapInPandas" in p
+
+
+def test_q213_fisher_is_single_aggregation_pass(spark):
+    """The Fisher machinery is pure projection after ONE
+    map-side-combinable cell aggregate: exactly one exchange."""
+    p = plan_of(spark, "q213_fisher_strand")
+    assert p.count("Exchange") == 1
+    assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_q214_bqsr_is_single_aggregation_pass(spark):
+    p = plan_of(spark, "q214_bqsr_table")
+    # per-base explode is a projection; the only exchanges serve the
+    # (rg, q, cycle, context) aggregate (+ AQE may add a coalesce read)
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q221_model_tables_are_broadcast(spark):
+    """BM25 IR eval: query terms / df / corpus stats ride broadcasts;
+    the postings stream must never sort-merge against them."""
+    p = plan_of(spark, "q221_ir_eval")
+    assert p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 3
+
+
+def test_q225_thresholds_are_broadcast(spark):
+    p = plan_of(spark, "q225_vqsr_tranches")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
