@@ -72,6 +72,8 @@ _PRIORITY = (
     "q223_clustering_nmi",
     "q224_kneser_ney_lm",
     "q225_vqsr_tranches",
+    "q226_bbit_minhash",
+    "q227_hll_distinct",
     # --- Never driver-checked (late-r5 registrations) ---
     "q184_trimmed_mean",
     "q185_kmer_spectrum",

@@ -2065,3 +2065,252 @@ def q210_idf_weighted_containment(spark, sf_dir):
             ).alias("weighted_containment"),
         )
     )
+
+
+def _bbit_minhash_oracle_sql(num_hashes: int = 32, num_bands: int = 8, rows_per_band: int = 4) -> str:
+    """q66's portable signature pipeline, then per candidate pair the
+    full-width MinHash estimator vs the 1-bit (parity) estimator."""
+    from variantcalling_spark.operators.dedup import (
+        MERSENNE31,
+        PORTABLE_HASH_SQL,
+        _minhash_coeffs,
+    )
+
+    p = MERSENNE31
+    phash = PORTABLE_HASH_SQL.format(col="shingle")
+    coeffs = _minhash_coeffs(num_hashes)
+    sig_cols = ",\n         ".join(
+        f"MIN((CAST({a} AS BIGINT) * v + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+
+    def bucket_expr(b):
+        acc = f"h{b * rows_per_band}"
+        for r in range(1, rows_per_band):
+            acc = f"(({acc}) * 8191 + h{b * rows_per_band + r}) % {p}"
+        return acc
+
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, {bucket_expr(b)} AS bucket FROM sig"
+        for b in range(num_bands)
+    )
+    full_eq = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    par_eq = " + ".join(
+        f"(CASE WHEN sa.h{i} % 2 = sb.h{i} % 2 THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH corpus AS ({SQL_CORPUS}),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+                   for i in generate_series(1, len(string_split(text, ' ')) - 2)]) AS shingle
+    FROM corpus
+  )
+),
+hv AS (SELECT doc_id, {phash} AS v FROM sh),
+sig AS (SELECT doc_id, {sig_cols} FROM hv GROUP BY doc_id),
+bands AS (
+{band_selects}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         ({full_eq}) AS n_eq,
+         ({par_eq}) AS n_par_eq
+  FROM cands c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(n_eq AS INT) AS n_eq,
+       ROUND(n_eq / {num_hashes}.0, 6) AS minhash_est,
+       ROUND(GREATEST(2.0 * n_par_eq / {num_hashes}.0 - 1.0, 0.0), 6) AS bbit_est,
+       ROUND(ABS(n_eq / {num_hashes}.0
+                 - GREATEST(2.0 * n_par_eq / {num_hashes}.0 - 1.0, 0.0)), 6) AS abs_gap
+FROM est
+"""
+
+
+@query("q226_bbit_minhash", oracle=_bbit_minhash_oracle_sql())
+def q226_bbit_minhash(spark, sf_dir):
+    """B-BIT MINWISE HASHING (Li & König 2010) compression ledger: keep
+    only the PARITY BIT of each of the 32 portable min-hashes (32 bits
+    per doc instead of 32 x 64) and estimate Jaccard with the 1-bit
+    collision correction J = 2c - 1 (c = matching-bit fraction; random
+    bits collide half the time). For every q66-discovered candidate
+    pair, report the full-width estimator, the 1-bit estimator, and
+    their gap — the storage-vs-accuracy dial a 100 TB dedup index
+    tunes (32x signature compression for a variance increase the
+    ledger makes visible).
+
+    Scale shape: identical to q66's banded equi-join discovery; the
+    estimators are pure projections over the already-joined signature
+    pairs. Integer bit arithmetic -> bit-exact cross-engine."""
+    from variantcalling_spark.operators.dedup import (
+        portable_band_buckets,
+        portable_minhash_signatures,
+    )
+
+    c = corpus(spark, sf_dir)
+    sh = shingles(c, n=3).transform(managed_persist)
+    sigs = portable_minhash_signatures(sh, num_hashes=32).transform(managed_persist)
+    bands = portable_band_buckets(sigs, num_bands=8, rows_per_band=4)
+    ba = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    bb = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cands = (
+        ba.join(bb, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"))
+    est = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (a, b) -> a + b)"
+            ).alias("n_eq"),
+            F.expr(
+                "aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x % 2 = y % 2 THEN 1 ELSE 0 END), 0, (a, b) -> a + b)"
+            ).alias("n_par_eq"),
+        )
+    )
+    k = 32.0
+    bbit = F.greatest(2.0 * F.col("n_par_eq") / F.lit(k) - 1.0, F.lit(0.0))
+    return est.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_eq").cast("int").alias("n_eq"),
+        F.round(F.col("n_eq") / F.lit(k), 6).alias("minhash_est"),
+        F.round(bbit, 6).alias("bbit_est"),
+        F.round(F.abs(F.col("n_eq") / F.lit(k) - bbit), 6).alias("abs_gap"),
+    )
+
+
+_HLL_ALPHA_256 = "0.7182725932495458"  # 0.7213 / (1 + 1.079/256)
+
+
+def _hll_oracle_sql() -> str:
+    from variantcalling_spark.operators.dedup import PORTABLE_HASH_SQL
+
+    phash = PORTABLE_HASH_SQL.format(col="word")
+    return f"""
+WITH words AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+w AS (SELECT word FROM words WHERE word <> ''),
+hv AS (SELECT word, {phash} AS h FROM w),
+cells AS (
+  SELECT h % 256 AS bucket,
+         CASE WHEN h // 256 = 0 THEN 24
+              ELSE CAST(23 - FLOOR(LOG2(h // 256)) AS INT) END AS rho
+  FROM hv
+),
+regs AS (
+  SELECT sp.bucket, COALESCE(MAX(c.rho), 0) AS reg
+  FROM (SELECT unnest(generate_series(0, 255)) AS bucket) sp
+  LEFT JOIN cells c ON c.bucket = sp.bucket
+  GROUP BY sp.bucket
+),
+s AS (
+  SELECT CAST(SUM(CAST(POW(2.0, -reg) AS DECIMAL(38,30))) AS DOUBLE) AS z,
+         CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+  FROM regs
+),
+ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM w),
+est AS (
+  SELECT ex.n_exact, s.v_zero,
+         CAST({_HLL_ALPHA_256} AS DOUBLE) * 256.0 * 256.0 / s.z AS e_raw
+  FROM s CROSS JOIN ex
+)
+SELECT n_exact, v_zero,
+       ROUND(e_raw, 4) AS raw_estimate,
+       ROUND(CASE WHEN e_raw <= 2.5 * 256 AND v_zero > 0
+                  THEN 256.0 * ln(256.0 / v_zero) ELSE e_raw END, 4)
+         AS hll_estimate,
+       ROUND(ABS(CASE WHEN e_raw <= 2.5 * 256 AND v_zero > 0
+                      THEN 256.0 * ln(256.0 / v_zero) ELSE e_raw END - n_exact)
+             / n_exact, 6) AS rel_error
+FROM est
+"""
+
+
+@query("q227_hll_distinct", oracle=_hll_oracle_sql())
+def q227_hll_distinct(spark, sf_dir):
+    """HYPERLOGLOG cardinality sketch IN PURE SQL (Flajolet 2007,
+    m = 256 registers, with the linear-counting small-range
+    correction), graded against the exact distinct count — the
+    cardinality member of the sketch toolbox (MinHash q66, SimHash
+    q67, minimizers q157, Mash q207) and the estimator a 100 TB
+    vocabulary/join-planning pass uses instead of COUNT(DISTINCT)
+    (q154's documented swap, now executable). Built on the portable
+    md5 hash so registers are BIT-IDENTICAL on both engines — unlike
+    approx_count_distinct, whose HLL++ implementation (and thus
+    estimate) is engine-private and un-oracle-able.
+
+    Scale shape: one projection + one 256-group MAX aggregate
+    (map-side combinable — registers merge by MAX, the same
+    commutative-monoid shape as MinHash MIN aggs); the register table
+    is 256 rows on any input size. Exactness: 2^-reg summed as exact
+    DECIMAL(38,30) binary fractions (order-free); rho from
+    FLOOR(LOG2(int)) is boundary-safe because log2 of an exact power
+    of two is exact IEEE."""
+    from variantcalling_spark.operators.dedup import portable_string_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+        .transform(managed_persist)
+    )
+    hv = w.select(portable_string_hash(F.col("word")).alias("h"))
+    cells = hv.select(
+        (F.col("h") % 256).alias("bucket"),
+        F.when(F.expr("h DIV 256") == 0, F.lit(24))
+        .otherwise((23 - F.floor(F.log2(F.expr("h DIV 256")))).cast("int"))
+        .alias("rho"),
+    )
+    spine = spark.range(0, 256).select(F.col("id").alias("bucket"))
+    regs = (
+        spine.join(cells, "bucket", "left")
+        .groupBy("bucket")
+        .agg(F.coalesce(F.max("rho"), F.lit(0)).alias("reg"))
+    )
+    s = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("reg")).cast("decimal(38,30)"))
+        .cast("double")
+        .alias("z"),
+        F.sum(F.when(F.col("reg") == 0, 1).otherwise(0)).cast("bigint").alias("v_zero"),
+    )
+    ex = w.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    est = s.crossJoin(ex).withColumn(
+        "e_raw", F.lit(float(_HLL_ALPHA_256)) * 256.0 * 256.0 / F.col("z")
+    )
+    corrected = F.when(
+        (F.col("e_raw") <= 2.5 * 256) & (F.col("v_zero") > 0),
+        256.0 * F.log(256.0 / F.col("v_zero")),
+    ).otherwise(F.col("e_raw"))
+    return est.select(
+        "n_exact",
+        "v_zero",
+        F.round("e_raw", 4).alias("raw_estimate"),
+        F.round(corrected, 4).alias("hll_estimate"),
+        F.round(F.abs(corrected - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+            "rel_error"
+        ),
+    )
