@@ -74,6 +74,7 @@ _PRIORITY = (
     "q225_vqsr_tranches",
     "q226_bbit_minhash",
     "q227_hll_distinct",
+    "q228_cms_heavy_hitters",
     # --- Never driver-checked (late-r5 registrations) ---
     "q184_trimmed_mean",
     "q185_kmer_spectrum",

@@ -2314,3 +2314,129 @@ def q227_hll_distinct(spark, sf_dir):
             "rel_error"
         ),
     )
+
+
+def _cms_oracle_sql(d: int = 4, w: int = 512) -> str:
+    from variantcalling_spark.operators.dedup import (
+        MERSENNE31,
+        PORTABLE_HASH_SQL,
+        _minhash_coeffs,
+    )
+
+    p = MERSENNE31
+    phash = PORTABLE_HASH_SQL.format(col="word")
+    coeffs = _minhash_coeffs(d)
+    row_selects = "\n  UNION ALL\n".join(
+        f"  SELECT {i} AS row_i, (CAST({a} AS BIGINT) * v + {b}) % {p} % {w} AS bucket, word FROM hv"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    cand_cells = "\n  UNION ALL\n".join(
+        f"  SELECT word, c, {i} AS row_i, (CAST({a} AS BIGINT) * v + {b}) % {p} % {w} AS bucket FROM cand"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+t AS (SELECT word FROM toks WHERE word <> ''),
+hv AS (SELECT word, {phash} AS v FROM t),
+cells AS (
+{row_selects}
+),
+cms AS (SELECT row_i, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY row_i, bucket),
+exact AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY word),
+cand0 AS (SELECT word, c FROM exact ORDER BY c DESC, word LIMIT 20),
+cand AS (SELECT word, c, {phash} AS v FROM cand0),
+cc AS (
+{cand_cells}
+),
+est AS (
+  SELECT cc.word, cc.c, MIN(cms.cnt) AS cms_count
+  FROM cc JOIN cms ON cms.row_i = cc.row_i AND cms.bucket = cc.bucket
+  GROUP BY cc.word, cc.c
+)
+SELECT word, c AS exact_count, cms_count,
+       CAST(cms_count - c AS BIGINT) AS overestimate,
+       ROUND((cms_count - c) / CAST(c AS DOUBLE), 6) AS rel_overestimate
+FROM est
+"""
+
+
+@query("q228_cms_heavy_hitters", oracle=_cms_oracle_sql())
+def q228_cms_heavy_hitters(spark, sf_dir):
+    """COUNT-MIN SKETCH frequency estimation (Cormode-Muthukrishnan,
+    d=4 rows x w=512 buckets) graded against exact counts for the
+    top-20 heavy hitters — the frequency member of the sketch toolbox
+    (cardinality: q227 HLL; similarity: q66/q67), and the structure a
+    100 TB streaming token-frequency pass keeps in 4x512 integers of
+    state instead of a vocabulary-sized hash map. CMS guarantees
+    estimate >= truth; the ledger shows the one-sided collision error
+    the (d, w) dial trades against memory.
+
+    Scale shape: the sketch build is one map-side-combinable
+    (row, bucket) COUNT over a 4-way projected explode — state is
+    2048 cells on ANY corpus; the probe joins 20 candidates x 4 cells
+    against it. All-integer arithmetic, engine-portable hashes ->
+    bit-exact."""
+    from variantcalling_spark.operators.dedup import (
+        MERSENNE31,
+        _minhash_coeffs,
+        portable_string_hash,
+    )
+
+    d, w = 4, 512
+    coeffs = _minhash_coeffs(d)
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .transform(managed_persist)
+    )
+    hv = t.select("word", portable_string_hash(F.col("word")).alias("v"))
+    rows = [
+        hv.select(
+            F.lit(i).alias("row_i"),
+            ((F.lit(a).cast("bigint") * F.col("v") + F.lit(b)) % MERSENNE31 % w).alias(
+                "bucket"
+            ),
+        )
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    cells = rows[0]
+    for r in rows[1:]:
+        cells = cells.unionByName(r)
+    cms = cells.groupBy("row_i", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    exact = t.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cand0 = exact.orderBy(F.col("c").desc(), "word").limit(20)
+    cand = cand0.select("word", "c", portable_string_hash(F.col("word")).alias("v"))
+    crows = [
+        cand.select(
+            "word",
+            "c",
+            F.lit(i).alias("row_i"),
+            ((F.lit(a).cast("bigint") * F.col("v") + F.lit(b)) % MERSENNE31 % w).alias(
+                "bucket"
+            ),
+        )
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    cc = crows[0]
+    for r in crows[1:]:
+        cc = cc.unionByName(r)
+    est = (
+        cc.join(F.broadcast(cms.hint("broadcast")).alias("cms"), ["row_i", "bucket"])
+        .groupBy("word", "c")
+        .agg(F.min("cnt").alias("cms_count"))
+    )
+    return est.select(
+        "word",
+        F.col("c").alias("exact_count"),
+        "cms_count",
+        (F.col("cms_count") - F.col("c")).cast("bigint").alias("overestimate"),
+        F.round(
+            (F.col("cms_count") - F.col("c")) / F.col("c").cast("double"), 6
+        ).alias("rel_overestimate"),
+    )
