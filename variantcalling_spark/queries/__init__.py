@@ -75,6 +75,8 @@ _PRIORITY = (
     "q226_bbit_minhash",
     "q227_hll_distinct",
     "q228_cms_heavy_hitters",
+    "q229_hpol_table",
+    "q230_somatic_gt_subtraction",
     # --- Never driver-checked (late-r5 registrations) ---
     "q184_trimmed_mean",
     "q185_kmer_spectrum",

@@ -1807,3 +1807,228 @@ def q225_vqsr_tranches(spark, sf_dir):
             "truth_precision"
         ),
     )
+
+
+@query(
+    "q229_hpol_table",
+    oracle=f"""
+WITH dna AS ({SQL_DOCS_DNA}),
+d AS (SELECT doc_id, seq, length(seq) AS n FROM dna WHERE length(seq) >= 1),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total_len FROM d),
+ch AS (
+  SELECT doc_id, n, pos, substr(seq, CAST(pos AS INT), 1) AS base,
+         CASE WHEN pos = 1 OR substr(seq, CAST(pos AS INT), 1) <> substr(seq, CAST(pos - 1 AS INT), 1)
+              THEN 1 ELSE 0 END AS is_start
+  FROM d, unnest(generate_series(1, n)) AS t(pos)
+),
+runs0 AS (
+  SELECT doc_id, n, pos, base,
+         SUM(is_start) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+  FROM ch
+),
+runs AS (
+  SELECT doc_id, MAX(n) AS n, run_id, MIN(pos) AS pos, MAX(base) AS base,
+         CAST(COUNT(*) AS INT) AS hlen
+  FROM runs0 GROUP BY doc_id, run_id
+),
+q AS (
+  SELECT r.doc_id, r.pos, r.hlen, r.base,
+         CAST(CEIL(20.0 * r.n / tot.total_len) AS BIGINT) AS take,
+         ROW_NUMBER() OVER (PARTITION BY r.doc_id, r.hlen, r.base
+                            ORDER BY md5(CAST(r.doc_id AS VARCHAR) || ':' || CAST(r.pos AS VARCHAR)), r.pos)
+           AS rn
+  FROM runs r CROSS JOIN tot
+  WHERE r.hlen <= 8
+)
+SELECT doc_id, pos, hlen, base FROM q WHERE rn <= take
+""",
+)
+def q229_hpol_table(spark, sf_dir):
+    """HOMOPOLYMER LOCATION TABLE (`scripts/collect_hpol_table.py:65-120`
+    — the reference samples up to N homopolymer loci per (length,
+    nucleotide) stratum from its reference genome, proportionally to
+    interval length, for the hmer-calibration pipelines that q13/q51
+    consume downstream): RLE the derived DNA corpus into runs
+    (gaps-and-islands on the char-change flag — the same machinery as
+    q42/q211), then take a per-(sequence, length, base) quota
+    proportional to sequence length, picked by deterministic md5 rank
+    (the engine's seeded stand-in for the reference's
+    random.shuffle).
+
+    Scale shape: per-base explode is a projection; the run window
+    partitions by sequence (never the table); the quota rank windows
+    partition by (sequence, length, base) — bounded strata. One-pass,
+    no joins except the 1-row total-length broadcast."""
+    from pyspark.sql import Window as W
+
+    d = docs_as_dna(spark, sf_dir).where(F.length("seq") >= 1).select(
+        "doc_id", "seq", F.length("seq").alias("n")
+    )
+    tot = d.agg(F.sum("n").cast("double").alias("total_len"))
+    ch = d.select(
+        "doc_id",
+        "n",
+        "seq",
+        F.explode(F.sequence(F.lit(1), F.col("n"))).alias("pos"),
+    ).select(
+        "doc_id",
+        "n",
+        "pos",
+        F.expr("substr(seq, CAST(pos AS INT), 1)").alias("base"),
+        F.expr(
+            """CASE WHEN pos = 1 OR substr(seq, CAST(pos AS INT), 1) <> substr(seq, CAST(pos - 1 AS INT), 1)
+               THEN 1 ELSE 0 END"""
+        ).alias("is_start"),
+    )
+    runs0 = ch.withColumn(
+        "run_id", F.sum("is_start").over(W.partitionBy("doc_id").orderBy("pos"))
+    )
+    runs = runs0.groupBy("doc_id", "run_id").agg(
+        F.max("n").alias("n"),
+        F.min("pos").alias("pos"),
+        F.max("base").alias("base"),
+        F.count(F.lit(1)).cast("int").alias("hlen"),
+    )
+    q = (
+        runs.where(F.col("hlen") <= 8)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "pos",
+            "hlen",
+            "base",
+            F.ceil(20.0 * F.col("n") / F.col("total_len")).cast("bigint").alias("take"),
+            F.row_number()
+            .over(
+                W.partitionBy("doc_id", "hlen", "base").orderBy(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("doc_id").cast("string"),
+                            F.col("pos").cast("string"),
+                        )
+                    ),
+                    "pos",
+                )
+            )
+            .alias("rn"),
+        )
+    )
+    return q.where(F.col("rn") <= F.col("take")).select(
+        "doc_id", F.col("pos").cast("bigint").alias("pos"), "hlen", "base"
+    )
+
+
+_SOMATIC_CALLS_SQL = """
+  SELECT (user_id % 4) AS chrom,
+         event_id AS pos,
+         CASE WHEN event_id % 11 = 0
+              THEN substr('ACGT', CAST(event_id % 4 + 1 AS INT), 1) || 'A'
+              ELSE substr('ACGT', CAST(event_id % 4 + 1 AS INT), 1) END AS ref,
+         substr('ACGT', CAST((event_id // 4) % 4 + 1 AS INT), 1) AS alt
+  FROM events WHERE {side}
+"""
+
+
+@query(
+    "q230_somatic_gt_subtraction",
+    oracle=f"""
+WITH tumor AS ({_SOMATIC_CALLS_SQL.format(side="value > 8")}),
+normal AS ({_SOMATIC_CALLS_SQL.format(side="value <= 8 OR event_id % 3 = 0")}),
+shared AS (
+  SELECT t.chrom, t.pos,
+         MAX(CASE WHEN t.ref = n.ref AND t.alt = n.alt THEN 1 ELSE 0 END)
+           AS any_same_allele,
+         MAX(CASE WHEN length(t.ref) > length(t.alt)
+                   AND length(n.ref) > length(n.alt) THEN 1 ELSE 0 END)
+           AS both_del
+  FROM (SELECT DISTINCT chrom, pos, ref, alt FROM tumor) t
+  JOIN (SELECT DISTINCT chrom, pos, ref, alt FROM normal) n
+    ON n.chrom = t.chrom AND n.pos = t.pos
+  GROUP BY t.chrom, t.pos
+)
+SELECT t.chrom, t.pos, t.ref, t.alt,
+       CASE WHEN s.pos IS NULL THEN 'somatic_kept'
+            WHEN s.any_same_allele = 1 THEN 'problematic_shared_allele'
+            WHEN s.both_del = 1 THEN 'problematic_both_deletion'
+            ELSE 'somatic_kept_shared_pos' END AS class
+FROM tumor t
+LEFT JOIN shared s ON s.chrom = t.chrom AND s.pos = t.pos
+""",
+)
+def q230_somatic_gt_subtraction(spark, sf_dir):
+    """SOMATIC GROUND-TRUTH SUBTRACTION
+    (`scripts/create_somatic_gt_file.py:50-126,273-328` — build the
+    tumor-minus-normal truth set for Mutect comparison): tumor calls
+    classified against the normal callset at POSITION granularity,
+    with the reference's two problematic-position rules — a shared
+    position carrying ANY identical allele is removed (germline
+    leak-through), and a position where BOTH callsets hold a deletion
+    is removed (alignment-ambiguous) — while shared positions with
+    disjoint alleles stay in the subtraction. The class column is the
+    union of the reference's two outputs (the gt VCF rows =
+    somatic_kept*, the problematic BED = problematic_*).
+
+    Scale shape: the tumor side is scanned once; the per-position
+    overlap summary is a (chrom, pos)-grouped aggregate of the
+    position-granularity join (q08's isec machinery, -c all flavor),
+    then a single left join back — both shuffles on the same
+    (chrom, pos) key so AQE can reuse the partitioning; no broadcast
+    assumption on either callset (tumor and normal are both
+    full-size)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def calls(cond):
+        return ev.where(cond).select(
+            (F.col("user_id") % 4).alias("chrom"),
+            F.col("event_id").alias("pos"),
+            F.when(
+                F.col("event_id") % 11 == 0,
+                F.concat(
+                    F.expr("substr('ACGT', CAST(event_id % 4 + 1 AS INT), 1)"),
+                    F.lit("A"),
+                ),
+            )
+            .otherwise(F.expr("substr('ACGT', CAST(event_id % 4 + 1 AS INT), 1)"))
+            .alias("ref"),
+            F.expr("substr('ACGT', CAST((event_id DIV 4) % 4 + 1 AS INT), 1)").alias(
+                "alt"
+            ),
+        )
+
+    tumor = calls(F.col("value") > 8).transform(managed_persist)
+    normal = calls((F.col("value") <= 8) | (F.col("event_id") % 3 == 0))
+    t = tumor.select("chrom", "pos", "ref", "alt").distinct().alias("t")
+    n = normal.select("chrom", "pos", "ref", "alt").distinct().alias("n")
+    shared = (
+        t.join(n, ["chrom", "pos"])
+        .groupBy("chrom", "pos")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("t.ref") == F.col("n.ref"))
+                    & (F.col("t.alt") == F.col("n.alt")),
+                    1,
+                ).otherwise(0)
+            ).alias("any_same_allele"),
+            F.max(
+                F.when(
+                    (F.length("t.ref") > F.length("t.alt"))
+                    & (F.length("n.ref") > F.length("n.alt")),
+                    1,
+                ).otherwise(0)
+            ).alias("both_del"),
+        )
+        .withColumn("shared_flag", F.lit(1))
+    )
+    return tumor.join(shared, ["chrom", "pos"], "left").select(
+        "chrom",
+        "pos",
+        "ref",
+        "alt",
+        F.when(F.col("shared_flag").isNull(), "somatic_kept")
+        .when(F.col("any_same_allele") == 1, "problematic_shared_allele")
+        .when(F.col("both_del") == 1, "problematic_both_deletion")
+        .otherwise("somatic_kept_shared_pos")
+        .alias("class"),
+    )
