@@ -77,6 +77,7 @@ _PRIORITY = (
     "q228_cms_heavy_hitters",
     "q229_hpol_table",
     "q230_somatic_gt_subtraction",
+    "q231_training_consistency_report",
     # --- Never driver-checked (late-r5 registrations) ---
     "q184_trimmed_mean",
     "q185_kmer_spectrum",

@@ -2687,3 +2687,186 @@ def q222_isotonic_calibration(spark, sf_dir):
         F.round(F.col("pos") / F.col("w").cast("double"), 10).alias("raw_rate"),
         F.round("fitted", 10).alias("fitted_rate"),
     )
+
+
+@query(
+    "q231_training_consistency_report",
+    oracle="""
+WITH sites AS (
+  SELECT DISTINCT user_id % 6 AS sample_id,
+         (event_id * 13) % 3 AS chrom,
+         (event_id * 7) % 1000 AS pos
+  FROM events
+),
+truth AS (
+  SELECT DISTINCT chrom, pos FROM sites WHERE sample_id IN (0, 1)
+),
+hf AS (
+  SELECT s.sample_id,
+         CAST(COUNT(*) AS BIGINT) AS n_calls,
+         CAST(COUNT(t.pos) AS BIGINT) AS n_hits,
+         COUNT(t.pos) / CAST(COUNT(*) AS DOUBLE) AS hit_fraction
+  FROM sites s LEFT JOIN truth t ON t.chrom = s.chrom AND t.pos = s.pos
+  GROUP BY s.sample_id
+),
+cls AS (
+  SELECT sample_id, n_calls, n_hits, hit_fraction,
+         CASE WHEN sample_id < 4 THEN 'target' ELSE 'normal' END AS role,
+         CASE
+           WHEN sample_id >= 4 THEN
+             CASE WHEN hit_fraction > 0.8 THEN 'error_not_complementary'
+                  ELSE 'complementary_ok' END
+           WHEN hit_fraction >= 0.9 THEN 'match'
+           WHEN hit_fraction <= 0.8 THEN 'suspected_normal_in_tumor'
+           ELSE 'error_ambiguous'
+         END AS class
+  FROM hf
+),
+suspect_vs_normal AS (
+  SELECT s.sample_id, g.sample_id AS normal_id,
+         COUNT(n.pos) / CAST(
+           (SELECT COUNT(*) FROM sites x WHERE x.sample_id = s.sample_id)
+           AS DOUBLE) AS hf2
+  FROM (SELECT DISTINCT sample_id FROM cls
+        WHERE class = 'suspected_normal_in_tumor') c
+  JOIN sites s ON s.sample_id = c.sample_id
+  CROSS JOIN (SELECT DISTINCT sample_id FROM sites WHERE sample_id >= 4) g
+  LEFT JOIN sites n ON n.sample_id = g.sample_id
+                    AND n.chrom = s.chrom AND n.pos = s.pos
+  GROUP BY s.sample_id, g.sample_id
+),
+best AS (
+  SELECT sample_id, normal_id AS best_normal, hf2 AS best_normal_hf
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY sample_id
+                                 ORDER BY hf2 DESC, normal_id) AS rn
+    FROM suspect_vs_normal
+  ) WHERE rn = 1
+)
+SELECT c.sample_id, c.role, c.n_calls, c.n_hits,
+       ROUND(c.hit_fraction, 6) AS hit_fraction,
+       CASE WHEN c.class = 'suspected_normal_in_tumor' THEN
+         CASE WHEN b.best_normal_hf >= 0.6 THEN 'normal_in_tumor_matched'
+              ELSE 'error_no_normal_match' END
+       ELSE c.class END AS class,
+       b.best_normal,
+       ROUND(b.best_normal_hf, 6) AS best_normal_hf
+FROM cls c LEFT JOIN best b ON b.sample_id = c.sample_id
+""",
+)
+def q231_training_consistency_report(spark, sf_dir):
+    """TRAINING-SET CONSISTENCY CHECK
+    (`pipelines/deepvariant/training_set_consistency_check.py:74-180` —
+    before a DeepVariant training run, validate that every target
+    sample CORRELATES with its ground truth, every normal sample
+    ANTI-correlates, and every low-hit target is explained as a
+    normal-in-tumor swap by matching it against the normals' germline
+    callsets): per-sample hit fraction vs the truth site set (the
+    `variant_hit_fraction_caller.py` metric, q124's machinery), the
+    reference's threshold classification, and for suspected
+    normal-in-tumor samples the best-matching normal by pairwise hit
+    fraction with deterministic tie-break.
+
+    Scale shape: site sets join on (chrom, pos) — hash-partitioned,
+    sample count never multiplies the shuffle; the suspect x normal
+    matrix is (suspects x normals)-sized aggregate output. All counts
+    exact; fractions are single IEEE divisions."""
+    ev = load_table(spark, sf_dir, "events")
+    sites = (
+        ev.select(
+            (F.col("user_id") % 6).alias("sample_id"),
+            ((F.col("event_id") * 13) % 3).alias("chrom"),
+            ((F.col("event_id") * 7) % 1000).alias("pos"),
+        )
+        .distinct()
+        .transform(managed_persist)
+    )
+    truth = (
+        sites.where(F.col("sample_id").isin(0, 1)).select("chrom", "pos").distinct()
+    )
+    hf = (
+        sites.join(truth.withColumn("hit", F.lit(1)), ["chrom", "pos"], "left")
+        .groupBy("sample_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_calls"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+        )
+        .withColumn(
+            "hit_fraction", F.col("n_hits") / F.col("n_calls").cast("double")
+        )
+    )
+    cls = hf.select(
+        "*",
+        F.when(F.col("sample_id") < 4, "target").otherwise("normal").alias("role"),
+        F.when(
+            F.col("sample_id") >= 4,
+            F.when(F.col("hit_fraction") > 0.8, "error_not_complementary").otherwise(
+                "complementary_ok"
+            ),
+        )
+        .when(F.col("hit_fraction") >= 0.9, "match")
+        .when(F.col("hit_fraction") <= 0.8, "suspected_normal_in_tumor")
+        .otherwise("error_ambiguous")
+        .alias("class"),
+    ).transform(managed_persist)
+    suspects = cls.where(F.col("class") == "suspected_normal_in_tumor").select(
+        "sample_id", "n_calls"
+    )
+    normals = sites.where(F.col("sample_id") >= 4).select(
+        F.col("sample_id").alias("normal_id"), "chrom", "pos"
+    )
+    svn = (
+        suspects.join(
+            sites.select("sample_id", "chrom", "pos"), "sample_id"
+        )
+        .join(
+            normals,
+            ["chrom", "pos"],
+        )
+        .groupBy("sample_id", "normal_id", "n_calls")
+        .agg(cnt("n_shared"))
+    )
+    # every (suspect, normal) pair must appear even with zero overlap
+    pair_spine = suspects.crossJoin(
+        normals.select("normal_id").distinct()
+    )
+    svn_full = pair_spine.join(svn, ["sample_id", "normal_id", "n_calls"], "left").select(
+        "sample_id",
+        "normal_id",
+        (
+            F.coalesce(F.col("n_shared"), F.lit(0)) / F.col("n_calls").cast("double")
+        ).alias("hf2"),
+    )
+    from pyspark.sql import Window as W
+
+    best = (
+        svn_full.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("sample_id").orderBy(F.col("hf2").desc(), "normal_id")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "sample_id",
+            F.col("normal_id").alias("best_normal"),
+            F.col("hf2").alias("best_normal_hf"),
+        )
+    )
+    return cls.join(best, "sample_id", "left").select(
+        "sample_id",
+        "role",
+        "n_calls",
+        "n_hits",
+        F.round("hit_fraction", 6).alias("hit_fraction"),
+        F.when(
+            F.col("class") == "suspected_normal_in_tumor",
+            F.when(F.col("best_normal_hf") >= 0.6, "normal_in_tumor_matched").otherwise(
+                "error_no_normal_match"
+            ),
+        )
+        .otherwise(F.col("class"))
+        .alias("class"),
+        "best_normal",
+        F.round("best_normal_hf", 6).alias("best_normal_hf"),
+    )
