@@ -151,6 +151,11 @@ SCALE2_QUERIES = [
     # the banding is what q127's anchor-join fix institutionalized)
     "q194_association_rules",
     "q198_ld_r2_pairs",
+    # round-6 families: the mapInPandas DP kernel (per-pair independent,
+    # scan-bound) and the count-min sketch build (2048-cell state on any
+    # corpus — its 10x point measures the pure scan+combine cost)
+    "q219_nw_alignment",
+    "q228_cms_heavy_hitters",
 ]
 
 
