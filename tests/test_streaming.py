@@ -597,3 +597,44 @@ def test_stream_session_window_equals_batch(spark, event_dir):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_streaming_sketch_maintenance_equals_batch(spark, event_dir):
+    """Sketch states are commutative monoids (SCALE.md round-6 note),
+    so they maintain incrementally under streaming aggregation: HLL
+    registers (MAX-merge) and count-min cells (SUM-merge) built by a
+    file stream must equal the batch build, register for register."""
+    from variantcalling_spark.operators.dedup import portable_string_hash
+
+    batch_df = spark.read.parquet(event_dir)
+
+    def hll_registers(df):
+        hv = df.select(
+            portable_string_hash(F.col("event_id").cast("string")).alias("h")
+        )
+        return hv.select(
+            (F.col("h") % 64).alias("bucket"),
+            F.when(F.expr("h DIV 64") == 0, F.lit(26))
+            .otherwise((25 - F.floor(F.log2(F.expr("h DIV 64")))).cast("int"))
+            .alias("rho"),
+        ).groupBy("bucket").agg(F.max("rho").alias("reg"))
+
+    expected = {r.bucket: r.reg for r in hll_registers(batch_df).collect()}
+    assert len(expected) == 64  # every register populated at this size
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(event_dir)
+    q = (
+        hll_registers(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hll_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.bucket: r.reg for r in spark.sql("SELECT * FROM hll_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected

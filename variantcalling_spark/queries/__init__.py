@@ -78,6 +78,9 @@ _PRIORITY = (
     "q229_hpol_table",
     "q230_somatic_gt_subtraction",
     "q231_training_consistency_report",
+    "q232_leftalign_hmer_indels",
+    "q233_fastqc_per_cycle",
+    "q234_adapter_scan",
     # --- Never driver-checked (late-r5 registrations) ---
     "q184_trimmed_mean",
     "q185_kmer_spectrum",

@@ -2032,3 +2032,288 @@ def q230_somatic_gt_subtraction(spark, sf_dir):
         .otherwise("somatic_kept_shared_pos")
         .alias("class"),
     )
+
+
+@query(
+    "q232_leftalign_hmer_indels",
+    oracle=f"""
+WITH dna AS ({SQL_DOCS_DNA}),
+d AS (SELECT doc_id, seq, length(seq) AS n FROM dna WHERE length(seq) >= 4),
+ch AS (
+  SELECT doc_id, pos, substr(seq, CAST(pos AS INT), 1) AS base,
+         CASE WHEN pos = 1 OR substr(seq, CAST(pos AS INT), 1) <> substr(seq, CAST(pos - 1 AS INT), 1)
+              THEN 1 ELSE 0 END AS is_start
+  FROM d, unnest(generate_series(1, n)) AS t(pos)
+),
+runs0 AS (
+  SELECT doc_id, pos, base,
+         SUM(is_start) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+  FROM ch
+),
+runs AS (
+  SELECT doc_id, run_id, MIN(pos) AS run_start, MAX(base) AS base,
+         CAST(COUNT(*) AS INT) AS run_len
+  FROM runs0 GROUP BY doc_id, run_id
+),
+calls AS (
+  -- deterministic 1-bp hmer deletions: delete the base at position
+  -- 2 + (doc_id % (n-2)) of each sequence
+  SELECT doc_id, 2 + (doc_id % (n - 2)) AS pos,
+         substr(seq, CAST(2 + (doc_id % (n - 2)) AS INT), 1) AS del_base
+  FROM d
+),
+loc AS (
+  SELECT c.doc_id, c.pos, c.del_base, r.run_start, r.run_len
+  FROM calls c
+  JOIN runs0 p ON p.doc_id = c.doc_id AND p.pos = c.pos
+  JOIN runs r ON r.doc_id = c.doc_id AND r.run_id = p.run_id
+)
+SELECT doc_id, pos AS raw_pos, del_base,
+       run_start AS aligned_pos, run_len,
+       CAST(pos - run_start AS INT) AS shift,
+       pos <> run_start AS was_shifted
+FROM loc
+""",
+)
+def q232_leftalign_hmer_indels(spark, sf_dir):
+    """LEFT-ALIGN HOMOPOLYMER INDELS (`bcftools norm` /
+    LeftAlignAndTrimVariants semantics, specialized to the hmer
+    indels that dominate flow-based error profiles — the reference's
+    entire hmer machinery q13/q29/q51 assumes canonical positions):
+    a 1-bp deletion inside a homopolymer run is representationally
+    ambiguous anywhere in the run; the canonical (left-aligned) form
+    places it at the RUN START. Joining each indel to its containing
+    run (the q229 RLE machinery) gives the canonical position in one
+    equi-join — no per-variant iterative shifting loop.
+
+    Scale shape: runs build per-sequence (bounded windows); the
+    indel->run join is an equi-join on (sequence, run id) after a
+    position lookup — hash-partitioned, no broadcast assumption.
+    Output pins shift distance and whether normalization moved the
+    call — the audit columns a normalization pass reports."""
+    from pyspark.sql import Window as W
+
+    d = docs_as_dna(spark, sf_dir).where(F.length("seq") >= 4).select(
+        "doc_id", "seq", F.length("seq").alias("n")
+    ).transform(managed_persist)
+    ch = d.select(
+        "doc_id",
+        "seq",
+        F.explode(F.sequence(F.lit(1), F.col("n"))).alias("pos"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.expr("substr(seq, CAST(pos AS INT), 1)").alias("base"),
+        F.expr(
+            """CASE WHEN pos = 1 OR substr(seq, CAST(pos AS INT), 1) <> substr(seq, CAST(pos - 1 AS INT), 1)
+               THEN 1 ELSE 0 END"""
+        ).alias("is_start"),
+    )
+    runs0 = ch.withColumn(
+        "run_id", F.sum("is_start").over(W.partitionBy("doc_id").orderBy("pos"))
+    ).transform(managed_persist)
+    runs = runs0.groupBy("doc_id", "run_id").agg(
+        F.min("pos").alias("run_start"),
+        F.max("base").alias("base"),
+        F.count(F.lit(1)).cast("int").alias("run_len"),
+    )
+    calls = d.select(
+        "doc_id",
+        (2 + (F.col("doc_id") % (F.col("n") - 2))).alias("pos"),
+        F.expr("substr(seq, CAST(2 + (doc_id % (n - 2)) AS INT), 1)").alias("del_base"),
+    )
+    loc = (
+        calls.join(
+            runs0.select("doc_id", "pos", "run_id"), ["doc_id", "pos"]
+        )
+        .join(runs.select("doc_id", "run_id", "run_start", "run_len"), ["doc_id", "run_id"])
+    )
+    return loc.select(
+        "doc_id",
+        F.col("pos").alias("raw_pos"),
+        "del_base",
+        F.col("run_start").cast("bigint").alias("aligned_pos"),
+        "run_len",
+        (F.col("pos") - F.col("run_start")).cast("int").alias("shift"),
+        (F.col("pos") != F.col("run_start")).alias("was_shifted"),
+    )
+
+
+@query(
+    "q233_fastqc_per_cycle",
+    oracle=f"""
+WITH dna AS ({SQL_DOCS_DNA}),
+d AS (SELECT doc_id, seq, length(seq) AS n FROM dna WHERE length(seq) >= 1),
+obs AS (
+  SELECT pos AS cycle,
+         20 + (doc_id * 7 + pos * 13) % 20 - (pos // 6) AS q
+  FROM d, unnest(generate_series(1, n)) AS t(pos)
+),
+r AS (
+  SELECT cycle, q,
+         ROW_NUMBER() OVER (PARTITION BY cycle ORDER BY q) AS rn,
+         COUNT(*) OVER (PARTITION BY cycle) AS n
+  FROM obs
+),
+qs AS (
+  SELECT cycle, n,
+         MAX(CASE WHEN rn = (n + 3) // 4 THEN q END) AS q1,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN q END) AS median_q,
+         MAX(CASE WHEN rn = (3 * n + 1) // 4 THEN q END) AS q3
+  FROM r GROUP BY cycle, n
+),
+s AS (
+  SELECT cycle,
+         ROUND(CAST(SUM(CAST(q AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS mean_q,
+         MIN(q) AS min_q, MAX(q) AS max_q
+  FROM obs GROUP BY cycle
+)
+SELECT qs.cycle, CAST(qs.n AS BIGINT) AS n_reads,
+       qs.q1, qs.median_q, qs.q3, s.mean_q, s.min_q, s.max_q,
+       s.mean_q < 25 AS warn_low_quality
+FROM qs JOIN s USING (cycle)
+""",
+)
+def q233_fastqc_per_cycle(spark, sf_dir):
+    """PER-CYCLE QUALITY TABLE (FastQC 'per base sequence quality' —
+    the first QC report every sequencing run gets, and the
+    cycle-degradation signal BQSR's cycle covariate (q214) corrects):
+    per read cycle the exact lower quartile / median / upper quartile
+    (picked by integer rank — no interpolation semantics to disagree
+    on), DECIMAL-exact mean, min/max, and FastQC's warn flag.
+
+    Scale shape: one per-base projection; quartiles use per-cycle
+    rank windows (cycle-count-bounded partitions, never the whole
+    table in one window); the mean rides a separate
+    map-side-combinable aggregate joined back on the tiny cycle key."""
+    from pyspark.sql import Window as W
+
+    d = docs_as_dna(spark, sf_dir).where(F.length("seq") >= 1).select(
+        "doc_id", F.length("seq").alias("n")
+    )
+    obs = d.select(
+        "doc_id",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.col("n"))).alias("pos"),
+    ).select(
+        F.col("pos").alias("cycle"),
+        (
+            20
+            + (F.col("doc_id") * 7 + F.col("pos") * 13) % 20
+            - F.expr("pos DIV 6")
+        ).alias("q"),
+    ).transform(managed_persist)
+    r = obs.select(
+        "cycle",
+        "q",
+        F.row_number().over(W.partitionBy("cycle").orderBy("q")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("cycle")).alias("n"),
+    )
+    qs = r.groupBy("cycle", "n").agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 3) DIV 4"), F.col("q"))).alias("q1"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("q"))).alias(
+            "median_q"
+        ),
+        F.max(F.when(F.col("rn") == F.expr("(3 * n + 1) DIV 4"), F.col("q"))).alias(
+            "q3"
+        ),
+    )
+    s = obs.groupBy("cycle").agg(
+        F.round(
+            F.sum(F.col("q").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1)),
+            4,
+        ).alias("mean_q"),
+        F.min("q").alias("min_q"),
+        F.max("q").alias("max_q"),
+    )
+    return qs.join(s, "cycle").select(
+        F.col("cycle").cast("bigint").alias("cycle"),
+        F.col("n").cast("bigint").alias("n_reads"),
+        "q1",
+        "median_q",
+        "q3",
+        "mean_q",
+        "min_q",
+        "max_q",
+        (F.col("mean_q") < 25).alias("warn_low_quality"),
+    )
+
+
+_ADAPTERS = ("ACGT", "GTAC", "TTAA")
+
+
+@query(
+    "q234_adapter_scan",
+    oracle=f"""
+WITH dna AS ({SQL_DOCS_DNA}),
+d AS (
+  SELECT dna.doc_id, dna.seq, doc.source
+  FROM dna JOIN documents doc ON doc.doc_id = dna.doc_id
+  WHERE length(dna.seq) >= 4
+),
+a AS (SELECT unnest(['{_ADAPTERS[0]}', '{_ADAPTERS[1]}', '{_ADAPTERS[2]}']) AS adapter),
+m AS (
+  SELECT d.source, a.adapter,
+         CASE WHEN position(a.adapter IN d.seq) > 0 THEN 1 ELSE 0 END AS has_full,
+         CASE WHEN substr(d.seq, length(d.seq) - 2, 3) = substr(a.adapter, 1, 3) THEN 3
+              WHEN substr(d.seq, length(d.seq) - 1, 2) = substr(a.adapter, 1, 2) THEN 2
+              WHEN substr(d.seq, length(d.seq), 1) = substr(a.adapter, 1, 1) THEN 1
+              ELSE 0 END AS partial_3p
+  FROM d CROSS JOIN a
+)
+SELECT source, adapter,
+       CAST(COUNT(*) AS BIGINT) AS n_reads,
+       CAST(SUM(has_full) AS BIGINT) AS n_full_match,
+       ROUND(SUM(has_full) / CAST(COUNT(*) AS DOUBLE), 6) AS full_rate,
+       CAST(SUM(CASE WHEN partial_3p >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_partial_3p,
+       ROUND(SUM(partial_3p) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_3p_overlap
+FROM m GROUP BY source, adapter
+""",
+)
+def q234_adapter_scan(spark, sf_dir):
+    """ADAPTER-CONTAMINATION SCAN (cutadapt / FastQC 'overrepresented
+    sequences' shape): per (read group, adapter) the full-match rate
+    anywhere in the read and the 3'-end PARTIAL-overlap profile (an
+    adapter running into the read end matches only its prefix — the
+    k>=1 suffix-prefix overlap cutadapt trims). Library-prep QC
+    sibling of q220's insert-size report: short inserts show up here
+    first.
+
+    Scale shape: a 3-row adapter table cross-joined (broadcast) into
+    one scan projection, then a map-side-combinable (source, adapter)
+    aggregate — contaminant screening at scan speed with bounded
+    output. Integer counts, single IEEE divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs_as_dna(spark, sf_dir)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .where(F.length("seq") >= 4)
+    )
+    a = spark.createDataFrame([(x,) for x in _ADAPTERS], ["adapter"])
+    m = d.crossJoin(F.broadcast(a)).select(
+        "source",
+        "adapter",
+        F.when(F.expr("position(adapter IN seq)") > 0, 1).otherwise(0).alias(
+            "has_full"
+        ),
+        F.expr(
+            """CASE WHEN substr(seq, length(seq) - 2, 3) = substr(adapter, 1, 3) THEN 3
+                    WHEN substr(seq, length(seq) - 1, 2) = substr(adapter, 1, 2) THEN 2
+                    WHEN substr(seq, length(seq), 1) = substr(adapter, 1, 1) THEN 1
+                    ELSE 0 END"""
+        ).alias("partial_3p"),
+    )
+    return m.groupBy("source", "adapter").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reads"),
+        F.sum("has_full").cast("bigint").alias("n_full_match"),
+        F.round(F.sum("has_full") / F.count(F.lit(1)).cast("double"), 6).alias(
+            "full_rate"
+        ),
+        F.sum(F.when(F.col("partial_3p") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_partial_3p"),
+        F.round(F.sum("partial_3p") / F.count(F.lit(1)).cast("double"), 6).alias(
+            "mean_3p_overlap"
+        ),
+    )
