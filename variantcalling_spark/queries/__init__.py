@@ -81,6 +81,10 @@ _PRIORITY = (
     "q232_leftalign_hmer_indels",
     "q233_fastqc_per_cycle",
     "q234_adapter_scan",
+    "q235_embedding_isotropy",
+    "q236_transmission_phasing",
+    "q237_prs_score",
+    "q238_tajimas_d",
     # --- Never driver-checked (late-r5 registrations) ---
     "q184_trimmed_mean",
     "q185_kmer_spectrum",

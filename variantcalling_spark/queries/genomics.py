@@ -2317,3 +2317,265 @@ def q234_adapter_scan(spark, sf_dir):
             "mean_3p_overlap"
         ),
     )
+
+
+@query(
+    "q236_transmission_phasing",
+    oracle="""
+WITH trio AS (
+  SELECT CAST(o_orderkey % 5 AS INT) AS trio_id,
+         CAST(o_orderkey % 3 AS INT) AS f,
+         CAST(o_custkey % 3 AS INT) AS m,
+         CAST((o_orderkey + o_custkey) % 3 AS INT) AS c
+  FROM orders
+),
+cls AS (
+  SELECT trio_id,
+         CASE
+           WHEN c < (f // 2) + (m // 2)
+             OR c > ((f + 1) // 2) + ((m + 1) // 2) THEN 'mendel_violation'
+           WHEN c <> 1 THEN 'hom_uninformative'
+           WHEN f >= 1 AND m <= 1 AND NOT (m >= 1 AND f <= 1)
+             THEN 'phased_paternal_alt'
+           WHEN m >= 1 AND f <= 1 AND NOT (f >= 1 AND m <= 1)
+             THEN 'phased_maternal_alt'
+           ELSE 'unphaseable_both_het'
+         END AS class
+  FROM trio
+)
+SELECT trio_id,
+       COUNT(*) AS n_sites,
+       COUNT(*) FILTER (WHERE class = 'phased_paternal_alt') AS n_paternal,
+       COUNT(*) FILTER (WHERE class = 'phased_maternal_alt') AS n_maternal,
+       COUNT(*) FILTER (WHERE class = 'unphaseable_both_het') AS n_unphaseable,
+       COUNT(*) FILTER (WHERE class = 'hom_uninformative') AS n_uninformative,
+       COUNT(*) FILTER (WHERE class = 'mendel_violation') AS n_violations,
+       ROUND((COUNT(*) FILTER (WHERE class LIKE 'phased%'))
+             / CAST(NULLIF(COUNT(*) FILTER (WHERE class LIKE 'phased%')
+                           + COUNT(*) FILTER (WHERE class = 'unphaseable_both_het'), 0)
+                    AS DOUBLE), 6) AS het_phaseable_fraction
+FROM cls GROUP BY trio_id
+""",
+)
+def q236_transmission_phasing(spark, sf_dir):
+    """PHASE-BY-TRANSMISSION (the trio phasing whatshap/GATK
+    PhaseByTransmission perform, upstream of q202's switch-error
+    metric and beside q90/q101's trio machinery): a het child site is
+    phased when exactly one parent can have donated the alt allele
+    (alt-carrier parent x ref-capable parent); both-het trios are the
+    classic unphaseable configuration; hom child sites are
+    uninformative; impossible dosages are Mendel violations (q101's
+    bound test). Per trio: the transmission ledger and the
+    het-phaseable fraction — the number that says how much of the
+    genome transmission phasing resolves before read-backed phasing
+    must take over.
+
+    Scale shape: pure conditional aggregation over one scan — the
+    same partial-agg tree as q101, with a 5-class CASE instead of a
+    bound test."""
+    o = load_table(spark, sf_dir, "orders")
+    f = (F.col("o_orderkey") % 3).cast("int")
+    m = (F.col("o_custkey") % 3).cast("int")
+    c = ((F.col("o_orderkey") + F.col("o_custkey")) % 3).cast("int")
+    lo = (f / 2).cast("int") + (m / 2).cast("int")
+    hi = ((f + 1) / 2).cast("int") + ((m + 1) / 2).cast("int")
+    pat = (f >= 1) & (m <= 1)
+    mat = (m >= 1) & (f <= 1)
+    cls = o.select(
+        (F.col("o_orderkey") % 5).cast("int").alias("trio_id"),
+        F.when((c < lo) | (c > hi), "mendel_violation")
+        .when(c != 1, "hom_uninformative")
+        .when(pat & ~mat, "phased_paternal_alt")
+        .when(mat & ~pat, "phased_maternal_alt")
+        .otherwise("unphaseable_both_het")
+        .alias("class"),
+    )
+    ccount = lambda name: F.sum(  # noqa: E731
+        F.when(F.col("class") == name, 1).otherwise(0)
+    ).cast("bigint")
+    phased = F.sum(
+        F.when(F.col("class").startswith("phased"), 1).otherwise(0)
+    ).cast("bigint")
+    unph = ccount("unphaseable_both_het")
+    return cls.groupBy("trio_id").agg(
+        F.count(F.lit(1)).alias("n_sites"),
+        ccount("phased_paternal_alt").alias("n_paternal"),
+        ccount("phased_maternal_alt").alias("n_maternal"),
+        unph.alias("n_unphaseable"),
+        ccount("hom_uninformative").alias("n_uninformative"),
+        ccount("mendel_violation").alias("n_violations"),
+        F.round(
+            phased / F.nullif(phased + unph, F.lit(0)).cast("double"), 6
+        ).alias("het_phaseable_fraction"),
+    )
+
+
+# Tajima constants for n = 12 chromosomes (6 diploid samples), computed
+# once: a1 = sum 1/i, e1 = c1/a1, e2 = c2/(a1^2 + a2) per Tajima (1989).
+_TAJ_N = 12
+_TAJ_A1 = "3.0198773448773446"
+_TAJ_E1 = "0.02079558537315068"
+_TAJ_E2 = "0.004887841156061376"
+
+
+@query(
+    "q237_prs_score",
+    oracle="""
+WITH gt AS (
+  SELECT CAST(l_suppkey % 8 AS INT) AS sample_id,
+         l_orderkey % 500 AS site,
+         MIN(CAST(l_partkey % 3 AS INT)) AS dosage
+  FROM lineitem GROUP BY 1, 2
+),
+w AS (
+  SELECT DISTINCT site,
+         CAST((site * 31) % 7 - 3 AS DECIMAL(5,1)) / 10 AS beta
+  FROM gt
+),
+s AS (
+  SELECT g.sample_id,
+         CAST(COUNT(*) AS BIGINT) AS n_sites,
+         CAST(SUM(w.beta * g.dosage) AS DOUBLE) AS prs
+  FROM gt g JOIN w USING (site)
+  GROUP BY g.sample_id
+)
+SELECT sample_id, n_sites, ROUND(prs, 6) AS prs,
+       CAST(ROW_NUMBER() OVER (ORDER BY prs DESC, sample_id) AS INT) AS risk_rank
+FROM s
+""",
+)
+def q237_prs_score(spark, sf_dir):
+    """POLYGENIC RISK SCORE (PLINK ``--score`` semantics: per sample
+    the effect-size-weighted sum of alt-allele dosages over a weight
+    panel): the downstream consumer of the GWAS-prep funnel
+    q199/q200 — its pruned, associated sites become the beta panel.
+    Exact: betas are one-decimal DECIMALs, dosage is integer, so the
+    DECIMAL sum is order-independent and the risk ranking is
+    partition-invariant with full tie-breaks.
+
+    Scale shape: genotypes aggregate per (sample, site) once
+    (map-side combinable); the weight panel is site-keyed and rides
+    the same shuffle key — at biobank scale (millions of samples x
+     1M panel sites) this is one co-partitioned join + one
+    per-sample sum, the canonical PRS batch job."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    gt = li.groupBy(
+        (F.col("l_suppkey") % 8).cast("int").alias("sample_id"),
+        (F.col("l_orderkey") % 500).alias("site"),
+    ).agg(F.min((F.col("l_partkey") % 3).cast("int")).alias("dosage"))
+    gt = gt.transform(managed_persist)
+    w = gt.select("site").distinct().select(
+        "site",
+        (
+            ((F.col("site") * 31) % 7 - 3).cast("decimal(5,1)") / 10
+        ).alias("beta"),
+    )
+    s = (
+        gt.join(w, "site")
+        .groupBy("sample_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sites"),
+            F.sum(F.col("beta") * F.col("dosage")).cast("double").alias("prs"),
+        )
+    )
+    return s.select(
+        "sample_id",
+        "n_sites",
+        F.round("prs", 6).alias("prs"),
+        F.row_number()
+        .over(W.orderBy(F.col("prs").desc(), "sample_id"))
+        .cast("int")
+        .alias("risk_rank"),
+    )
+
+
+@query(
+    "q238_tajimas_d",
+    oracle=f"""
+WITH gt AS (
+  SELECT CAST(l_suppkey % 6 AS INT) AS sample_id,
+         l_orderkey % 2000 AS site,
+         MIN(CAST(l_partkey % 3 AS INT)) AS dosage
+  FROM lineitem GROUP BY 1, 2
+),
+ac AS (
+  SELECT site, CAST(SUM(dosage) AS BIGINT) AS ac
+  FROM gt GROUP BY site
+  HAVING COUNT(*) = 6
+),
+seg AS (
+  SELECT site // 100 AS win, ac,
+         2 * ac * ({_TAJ_N} - ac) AS pi_num
+  FROM ac WHERE ac > 0 AND ac < {_TAJ_N}
+),
+w AS (
+  SELECT win,
+         CAST(COUNT(*) AS BIGINT) AS s_sites,
+         CAST(SUM(pi_num) AS BIGINT) AS pi_num_sum
+  FROM seg GROUP BY win
+)
+SELECT win,
+       s_sites,
+       ROUND(pi_num_sum / CAST({_TAJ_N} * ({_TAJ_N} - 1) AS DOUBLE), 6) AS pi,
+       ROUND(s_sites / CAST({_TAJ_A1} AS DOUBLE), 6) AS theta_w,
+       ROUND(
+         (pi_num_sum / CAST({_TAJ_N} * ({_TAJ_N} - 1) AS DOUBLE)
+          - s_sites / CAST({_TAJ_A1} AS DOUBLE))
+         / sqrt(CAST({_TAJ_E1} AS DOUBLE) * s_sites
+                + CAST({_TAJ_E2} AS DOUBLE) * s_sites * (s_sites - 1)),
+         6) AS tajima_d
+FROM w WHERE s_sites >= 2
+""",
+)
+def q238_tajimas_d(spark, sf_dir):
+    """TAJIMA'S D per genomic window (vcftools ``--TajimaD`` shape —
+    the classic neutrality test contrasting pairwise diversity pi
+    against Watterson's theta from the segregating-site count; joins
+    the cohort population-genetics family q100/q153/q155/q198):
+    per-site alt-allele counts over a complete 6-sample (n=12
+    chromosome) cohort, windowed sums, and the D statistic with the
+    Tajima (1989) variance constants precomputed for n=12.
+
+    Exactness: pi's numerator stays an INTEGER sum (2*AC*(n-AC)
+    summed as bigint) and divides by n(n-1) exactly once at the end;
+    the constants are compile-time literals identical in both
+    engines; sqrt/divisions are single IEEE ops. Scale shape: one
+    genotype aggregate -> one site aggregate -> one window aggregate,
+    all map-side combinable; no windows over the row stream."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = _TAJ_N
+    gt = li.groupBy(
+        (F.col("l_suppkey") % 6).cast("int").alias("sample_id"),
+        (F.col("l_orderkey") % 2000).alias("site"),
+    ).agg(F.min((F.col("l_partkey") % 3).cast("int")).alias("dosage"))
+    ac = (
+        gt.groupBy("site")
+        .agg(
+            F.sum("dosage").cast("bigint").alias("ac"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .where(F.col("n_samples") == 6)
+    )
+    seg = ac.where((F.col("ac") > 0) & (F.col("ac") < n)).select(
+        F.expr("site DIV 100").alias("win"),
+        (2 * F.col("ac") * (n - F.col("ac"))).alias("pi_num"),
+    )
+    w = seg.groupBy("win").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s_sites"),
+        F.sum("pi_num").cast("bigint").alias("pi_num_sum"),
+    )
+    pi = F.col("pi_num_sum") / F.lit(float(n * (n - 1)))
+    th = F.col("s_sites") / F.lit(float(_TAJ_A1))
+    denom = F.sqrt(
+        F.lit(float(_TAJ_E1)) * F.col("s_sites")
+        + F.lit(float(_TAJ_E2)) * F.col("s_sites") * (F.col("s_sites") - 1)
+    )
+    return w.where(F.col("s_sites") >= 2).select(
+        "win",
+        "s_sites",
+        F.round(pi, 6).alias("pi"),
+        F.round(th, 6).alias("theta_w"),
+        F.round((pi - th) / denom, 6).alias("tajima_d"),
+    )

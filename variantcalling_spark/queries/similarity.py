@@ -1633,3 +1633,102 @@ def q223_clustering_nmi(spark, sf_dir):
             ).alias("nmi"),
         )
     )
+
+
+@query(
+    "q235_embedding_isotropy",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+  FROM embeddings
+),
+nrm AS (
+  SELECT vec_id, x,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(x, e -> e * e)), (a, b) -> a + b)) AS nn
+  FROM v
+),
+u AS (
+  SELECT vec_id, nn,
+         list_transform(x, e -> ROUND(e / nn, 12)) AS uv
+  FROM nrm WHERE nn > 0
+),
+dims AS (
+  SELECT d, CAST(SUM(CAST(uv[CAST(d AS INT)] AS DECIMAL(24,12))) AS DOUBLE) AS s
+  FROM u, unnest(generate_series(1, len(uv))) AS t(d)
+  GROUP BY d
+),
+tot AS (
+  SELECT CAST(SUM(CAST(ROUND(s * s, 10) AS DECIMAL(28,10))) AS DOUBLE) AS ssum
+  FROM dims
+),
+cnt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(nn, 8) AS DECIMAL(24,8))) AS DOUBLE) AS norm_sum
+  FROM u
+)
+SELECT cnt.n,
+       ROUND(cnt.norm_sum / cnt.n, 6) AS mean_norm,
+       ROUND((tot.ssum - cnt.n) / (CAST(cnt.n AS DOUBLE) * (cnt.n - 1)), 8)
+         AS mean_pairwise_cosine
+FROM cnt CROSS JOIN tot
+""",
+)
+def q235_embedding_isotropy(spark, sf_dir):
+    """EMBEDDING-SPACE ISOTROPY AUDIT — the representation-quality
+    number behind the 'all-but-the-top' / anisotropy literature and
+    the first thing to check before trusting cosine similarity on a
+    new embedding model (an anisotropic space inflates every cosine,
+    poisoning the q73/q74 thresholds and q108's SemDeDup): the MEAN
+    PAIRWISE COSINE over all n^2 pairs computed WITHOUT any pair
+    table, via the identity sum_{i<>j} cos(i,j) = ||sum u_i||^2 - n
+    over unit vectors — one per-dimension sum aggregate replaces the
+    O(n^2) join.
+
+    Scale shape: normalize per-row, one (dim)-grouped DECIMAL sum
+    (64 groups on any corpus), one 64-row combine — 100 TB of vectors
+    audit at scan speed. The same sum-of-vectors trick the centroid
+    computations (q71/q121/q158) already exploit, applied to a
+    whole-corpus statistic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("x")
+    )
+    nrm = v.select(
+        "vec_id",
+        "x",
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(x, e -> e * e), cast(0.0 as double), (a, b) -> a + b)"
+            )
+        ).alias("nn"),
+    )
+    u = nrm.where(F.col("nn") > 0).select(
+        "vec_id",
+        "nn",
+        F.expr("transform(x, e -> ROUND(e / nn, 12))").alias("uv"),
+    ).transform(managed_persist)
+    dims = (
+        u.select(F.posexplode("uv").alias("d0", "val"))
+        .select((F.col("d0") + 1).alias("d"), "val")
+        .groupBy("d")
+        .agg(F.sum(F.col("val").cast("decimal(24,12)")).cast("double").alias("s"))
+    )
+    tot = dims.agg(
+        F.sum(F.round(F.col("s") * F.col("s"), 10).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("ssum")
+    )
+    cnt = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round("nn", 8).cast("decimal(24,8)")).cast("double").alias("norm_sum"),
+    )
+    return cnt.crossJoin(tot).select(
+        "n",
+        F.round(F.col("norm_sum") / F.col("n"), 6).alias("mean_norm"),
+        F.round(
+            (F.col("ssum") - F.col("n"))
+            / (F.col("n").cast("double") * (F.col("n") - 1)),
+            8,
+        ).alias("mean_pairwise_cosine"),
+    )
