@@ -85,6 +85,9 @@ _PRIORITY = (
     "q236_transmission_phasing",
     "q237_prs_score",
     "q238_tajimas_d",
+    "q239_fst_hudson",
+    "q240_ld_decay",
+    "q241_umi_correction",
     # --- Never driver-checked (late-r5 registrations) ---
     "q184_trimmed_mean",
     "q185_kmer_spectrum",

@@ -2870,3 +2870,322 @@ def q231_training_consistency_report(spark, sf_dir):
         "best_normal",
         F.round("best_normal_hf", 6).alias("best_normal_hf"),
     )
+
+
+@query(
+    "q239_fst_hudson",
+    oracle="""
+WITH gt AS (
+  SELECT CAST(l_suppkey % 6 AS INT) AS sample_id,
+         l_orderkey % 2000 AS site,
+         MIN(CAST(l_partkey % 3 AS INT)) AS dosage
+  FROM lineitem GROUP BY 1, 2
+),
+ac AS (
+  SELECT site,
+         CAST(SUM(CASE WHEN sample_id < 3 THEN dosage ELSE 0 END) AS BIGINT) AS ac1,
+         CAST(SUM(CASE WHEN sample_id >= 3 THEN dosage ELSE 0 END) AS BIGINT) AS ac2,
+         COUNT(*) FILTER (WHERE sample_id < 3) AS ns1,
+         COUNT(*) FILTER (WHERE sample_id >= 3) AS ns2
+  FROM gt GROUP BY site
+  HAVING COUNT(*) FILTER (WHERE sample_id < 3) = 3
+     AND COUNT(*) FILTER (WHERE sample_id >= 3) = 3
+),
+p AS (
+  SELECT site // 100 AS win,
+         ac1 / 6.0 AS p1, ac2 / 6.0 AS p2
+  FROM ac
+  WHERE ac1 + ac2 > 0 AND ac1 + ac2 < 12
+),
+terms AS (
+  SELECT win,
+         CAST(ROUND((p1 - p2) * (p1 - p2)
+               - p1 * (1 - p1) / 5.0 - p2 * (1 - p2) / 5.0, 10)
+              AS DECIMAL(24,10)) AS num,
+         CAST(ROUND(p1 * (1 - p2) + p2 * (1 - p1), 10)
+              AS DECIMAL(24,10)) AS den
+  FROM p
+)
+SELECT win,
+       CAST(COUNT(*) AS BIGINT) AS n_sites,
+       ROUND(CAST(SUM(num) AS DOUBLE), 6) AS num_sum,
+       ROUND(CAST(SUM(den) AS DOUBLE), 6) AS den_sum,
+       ROUND(CAST(SUM(num) AS DOUBLE) / CAST(SUM(den) AS DOUBLE), 6) AS fst_hudson
+FROM terms GROUP BY win
+HAVING CAST(SUM(den) AS DOUBLE) > 0
+""",
+)
+def q239_fst_hudson(spark, sf_dir):
+    """HUDSON'S FST per window (the Bhatia-2013-recommended
+    two-population differentiation estimator, vcftools
+    ``--weir-fst-pop`` territory; extends the cohort popgen family
+    q100/q153/q155/q238): per segregating site the Hudson
+    numerator/denominator from the two populations' allele
+    frequencies (sample-size-corrected), combined per window as a
+    RATIO OF SUMS (the unbiased form — never the mean of ratios).
+
+    Determinism: per-site terms are rounded to 10 decimals and summed
+    as DECIMAL (order-free); the window FST is one IEEE division of
+    two exact sums. Scale shape: genotype aggregate -> per-site
+    population counts (one conditional aggregate, no join between
+    populations — they ride the same groupBy) -> window aggregate;
+    all map-side combinable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    gt = li.groupBy(
+        (F.col("l_suppkey") % 6).cast("int").alias("sample_id"),
+        (F.col("l_orderkey") % 2000).alias("site"),
+    ).agg(F.min((F.col("l_partkey") % 3).cast("int")).alias("dosage"))
+    ac = (
+        gt.groupBy("site")
+        .agg(
+            F.sum(F.when(F.col("sample_id") < 3, F.col("dosage")).otherwise(0))
+            .cast("bigint")
+            .alias("ac1"),
+            F.sum(F.when(F.col("sample_id") >= 3, F.col("dosage")).otherwise(0))
+            .cast("bigint")
+            .alias("ac2"),
+            F.sum(F.when(F.col("sample_id") < 3, 1).otherwise(0)).alias("ns1"),
+            F.sum(F.when(F.col("sample_id") >= 3, 1).otherwise(0)).alias("ns2"),
+        )
+        .where((F.col("ns1") == 3) & (F.col("ns2") == 3))
+    )
+    p = ac.where(
+        (F.col("ac1") + F.col("ac2") > 0) & (F.col("ac1") + F.col("ac2") < 12)
+    ).select(
+        F.expr("site DIV 100").alias("win"),
+        (F.col("ac1") / F.lit(6.0)).alias("p1"),
+        (F.col("ac2") / F.lit(6.0)).alias("p2"),
+    )
+    num = F.round(
+        (F.col("p1") - F.col("p2")) * (F.col("p1") - F.col("p2"))
+        - F.col("p1") * (1 - F.col("p1")) / 5.0
+        - F.col("p2") * (1 - F.col("p2")) / 5.0,
+        10,
+    ).cast("decimal(24,10)")
+    den = F.round(
+        F.col("p1") * (1 - F.col("p2")) + F.col("p2") * (1 - F.col("p1")), 10
+    ).cast("decimal(24,10)")
+    w = p.groupBy("win").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sites"),
+        F.sum(num).cast("double").alias("nsum"),
+        F.sum(den).cast("double").alias("dsum"),
+    )
+    return w.where(F.col("dsum") > 0).select(
+        "win",
+        "n_sites",
+        F.round("nsum", 6).alias("num_sum"),
+        F.round("dsum", 6).alias("den_sum"),
+        F.round(F.col("nsum") / F.col("dsum"), 6).alias("fst_hudson"),
+    )
+
+
+def _q240_oracle() -> str:
+    from variantcalling_spark.queries import _REGISTRY
+
+    ld = _REGISTRY["q198_ld_r2_pairs"].oracle
+    return f"""
+WITH ld AS ({ld})
+SELECT (pos_b - pos_a) // 8 AS dist_bin,
+       CAST(((pos_b - pos_a) // 8) * 8 AS BIGINT) AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(CAST(ROUND(r2, 10) AS DECIMAL(22,10))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_r2
+FROM ld
+GROUP BY 1, 2
+"""
+
+
+@query("q240_ld_decay", oracle=_q240_oracle())
+def q240_ld_decay(spark, sf_dir):
+    """LD DECAY CURVE — mean r² by inter-site distance bin (the plot
+    every GWAS/imputation paper shows; decides imputation panel
+    density and the q199 pruning window): q198's exact pairwise LD
+    machinery rolled up into 8-bp distance bins (5 bins across q198's 40-bp pairing window). Recombination makes
+    mean r² fall with distance; the curve's half-decay length is the
+    tag-SNP spacing.
+
+    Determinism: per-pair r² (bigint rationals) snap to DECIMAL before
+    the order-free bin sums. Scale shape: inherits q198's banded
+    self-join (pair count = sum of bucket sizes squared, never n²);
+    the rollup adds one tiny aggregate over the pair table."""
+    from variantcalling_spark.queries import _REGISTRY
+
+    ld = _REGISTRY["q198_ld_r2_pairs"].fn(spark, sf_dir)
+    return (
+        ld.select(
+            F.expr("(pos_b - pos_a) DIV 8").alias("dist_bin"),
+            (F.expr("(pos_b - pos_a) DIV 8") * 8).cast("bigint").alias("bin_lo"),
+            F.round("r2", 10).cast("decimal(22,10)").alias("r2d"),
+        )
+        .groupBy("dist_bin", "bin_lo")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.sum("r2d").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_r2"
+            ),
+        )
+    )
+
+
+_UMI_SQL = """
+  SELECT site, umi0 AS umi FROM (
+    SELECT event_id % 50 AS site,
+           substr('ACGT', CAST(((event_id // 50) * 2) % 4 + 1 AS INT), 1)
+        || substr('ACGT', CAST(((event_id // 50) * 3) % 4 + 1 AS INT), 1)
+        || substr('ACGT', CAST(((event_id // 50) * 5) % 4 + 1 AS INT), 1)
+        || substr('ACGT', CAST(((event_id // 50) * 7) % 4 + 1 AS INT), 1)
+        || substr('ACGT', CAST(((event_id // 50) * 11) % 4 + 1 AS INT), 1)
+        || substr('ACGT', CAST(((event_id // 50) * 13) % 4 + 1 AS INT), 1)
+          AS base_umi,
+           event_id
+    FROM events
+  ), LATERAL (
+    SELECT CASE WHEN event_id % 37 = 0
+      THEN substr(base_umi, 1, CAST(event_id % 6 AS INT))
+        || substr('ACGT', CAST((event_id // 37) % 4 + 1 AS INT), 1)
+        || substr(base_umi, CAST(event_id % 6 + 2 AS INT))
+      ELSE base_umi END AS umi0
+  )
+"""
+
+
+@query(
+    "q241_umi_correction",
+    oracle=f"""
+WITH reads AS ({_UMI_SQL}),
+cnt AS (SELECT site, umi, CAST(COUNT(*) AS BIGINT) AS c FROM reads GROUP BY site, umi),
+masked AS (
+  SELECT site, umi, c, i,
+         substr(umi, 1, CAST(i - 1 AS INT)) || '#' || substr(umi, CAST(i + 1 AS INT)) AS mk
+  FROM cnt, unnest(generate_series(1, 6)) AS t(i)
+),
+adj AS (
+  SELECT a.site, a.umi AS u, a.c AS cu, b.umi AS v, b.c AS cv
+  FROM masked a JOIN masked b
+    ON b.site = a.site AND b.i = a.i AND b.mk = a.mk AND b.umi <> a.umi
+  WHERE b.c >= 2 * a.c - 1
+    AND (b.c > a.c OR (b.c = a.c AND b.umi < a.umi))
+),
+rep AS (
+  SELECT site, u, v AS rep_umi
+  FROM (
+    SELECT site, u, v,
+           ROW_NUMBER() OVER (PARTITION BY site, u ORDER BY cv DESC, v) AS rn
+    FROM adj
+  ) WHERE rn = 1
+)
+SELECT c.site,
+       CAST(COUNT(*) AS BIGINT) AS n_raw_umis,
+       CAST(COUNT(DISTINCT COALESCE(r.rep_umi, c.umi)) AS BIGINT) AS n_corrected_umis,
+       CAST(COUNT(r.rep_umi) AS BIGINT) AS n_merged,
+       CAST(SUM(c.c) AS BIGINT) AS total_reads
+FROM cnt c LEFT JOIN rep r ON r.site = c.site AND r.u = c.umi
+GROUP BY c.site
+""",
+)
+def q241_umi_correction(spark, sf_dir):
+    """UMI ERROR CORRECTION (UMI-tools 'directional' adjacency — the
+    molecular-dedup step before consensus calling, sibling of q188's
+    MarkDuplicates): a sequencing error in the UMI inflates molecule
+    counts; a UMI merges into a Hamming-1 neighbor whose read count
+    DOMINATES it (c_v >= 2*c_u - 1, count-then-lexicographic
+    direction), collapsing error satellites into their true molecule.
+    Output: per-site raw vs corrected UMI counts — the dedup-rate
+    ledger.
+
+    Scale shape: Hamming-1 discovery is the MASKED-POSITION BAND join
+    (each 6-mer UMI explodes to 6 one-position-wildcarded keys; equal
+    keys <=> Hamming distance <= 1) — an equi-join linear in UMIs per
+    site, never the all-pairs UMI matrix; the same banding family as
+    q67's SimHash and q180's rare-token blocking. Single-pass
+    dominant-neighbor assignment (deterministic tie-breaks); deep
+    error chains — vanishingly rare at real UMI error rates — would
+    compose with the q98 component machinery."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    g = F.expr("event_id DIV 50")
+    base_umi = F.concat(
+        *[
+            F.expr(f"substr('ACGT', CAST(((event_id DIV 50) * {m}) % 4 + 1 AS INT), 1)")
+            for m in (2, 3, 5, 7, 11, 13)
+        ]
+    )
+    reads = ev.select(
+        (F.col("event_id") % 50).alias("site"),
+        base_umi.alias("base_umi"),
+        "event_id",
+    ).select(
+        "site",
+        F.when(
+            F.col("event_id") % 37 == 0,
+            F.concat(
+                F.expr("substr(base_umi, 1, CAST(event_id % 6 AS INT))"),
+                F.expr("substr('ACGT', CAST((event_id DIV 37) % 4 + 1 AS INT), 1)"),
+                F.expr("substr(base_umi, CAST(event_id % 6 + 2 AS INT))"),
+            ),
+        )
+        .otherwise(F.col("base_umi"))
+        .alias("umi"),
+    )
+    cnt_t = (
+        reads.groupBy("site", "umi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .transform(managed_persist)
+    )
+    masked = cnt_t.select(
+        "site",
+        "umi",
+        "c",
+        F.explode(F.sequence(F.lit(1), F.lit(6))).alias("i"),
+    ).select(
+        "site",
+        "umi",
+        "c",
+        "i",
+        F.expr(
+            "concat(substr(umi, 1, CAST(i - 1 AS INT)), '#', substr(umi, CAST(i + 1 AS INT)))"
+        ).alias("mk"),
+    )
+    a = masked.select(
+        "site", "i", "mk", F.col("umi").alias("u"), F.col("c").alias("cu")
+    )
+    b = masked.select(
+        "site", "i", "mk", F.col("umi").alias("v"), F.col("c").alias("cv")
+    )
+    adj = a.join(b, ["site", "i", "mk"]).where(
+        (F.col("v") != F.col("u"))
+        & (F.col("cv") >= 2 * F.col("cu") - 1)
+        & ((F.col("cv") > F.col("cu")) | ((F.col("cv") == F.col("cu")) & (F.col("v") < F.col("u"))))
+    )
+    rep = (
+        adj.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("site", "u").orderBy(F.col("cv").desc(), "v")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("site", "u", F.col("v").alias("rep_umi"))
+    )
+    cl = cnt_t.alias("cl")
+    rp = rep.select(
+        F.col("site").alias("r_site"), F.col("u").alias("r_u"), "rep_umi"
+    )
+    return (
+        cl.join(
+            rp,
+            (F.col("cl.site") == F.col("r_site")) & (F.col("cl.umi") == F.col("r_u")),
+            "left",
+        )
+        .select(F.col("cl.site").alias("site"), "umi", "c", "rep_umi")
+        .groupBy("site")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_raw_umis"),
+            F.countDistinct(F.coalesce(F.col("rep_umi"), F.col("umi")))
+            .cast("bigint")
+            .alias("n_corrected_umis"),
+            F.count("rep_umi").cast("bigint").alias("n_merged"),
+            F.sum("c").cast("bigint").alias("total_reads"),
+        )
+    )
