@@ -656,3 +656,22 @@ def test_q221_model_tables_are_broadcast(spark):
 def test_q225_thresholds_are_broadcast(spark):
     p = plan_of(spark, "q225_vqsr_tranches")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_no_row_python_anywhere(spark):
+    """GLOBAL UDF-surface invariant: no registered query may plan a
+    row-at-a-time Python node (BatchEvalPython) — the only sanctioned
+    Python paths are Arrow-vectorized (mapInPandas / applyInPandas /
+    pandas_udf). Walks every plan in the registry via the same
+    extraction tools/plan_audit.py ships."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from plan_audit import audit_plan
+
+    offenders = []
+    for name, q in all_queries().items():
+        plan = q.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        if audit_plan(plan)["n_batch_python"]:
+            offenders.append(name)
+    assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
