@@ -88,6 +88,7 @@ _PRIORITY = (
     "q239_fst_hudson",
     "q240_ld_decay",
     "q241_umi_correction",
+    "q242_hll_set_algebra",
     # --- Never driver-checked (late-r5 registrations) ---
     "q184_trimmed_mean",
     "q185_kmer_spectrum",

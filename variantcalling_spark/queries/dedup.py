@@ -2440,3 +2440,184 @@ def q228_cms_heavy_hitters(spark, sf_dir):
             (F.col("cms_count") - F.col("c")) / F.col("c").cast("double"), 6
         ).alias("rel_overestimate"),
     )
+
+
+def _hll_set_algebra_oracle_sql() -> str:
+    from variantcalling_spark.operators.dedup import PORTABLE_HASH_SQL
+
+    phash = PORTABLE_HASH_SQL.format(col="word")
+    return f"""
+WITH w AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+ww AS (SELECT source, word FROM w WHERE word <> ''),
+hv AS (SELECT source, word, {phash} AS h FROM ww),
+cells AS (
+  SELECT source, h % 256 AS bucket,
+         CASE WHEN h // 256 = 0 THEN 24
+              ELSE CAST(23 - FLOOR(LOG2(h // 256)) AS INT) END AS rho
+  FROM hv
+),
+-- per-source registers AND the union's registers from the SAME cells:
+-- union-of-sets == MAX-merge of registers (the mergeability property)
+regs_src AS (
+  SELECT source, bucket, MAX(rho) AS reg FROM cells GROUP BY source, bucket
+),
+spine AS (
+  SELECT s.source, b.bucket
+  FROM (SELECT DISTINCT source FROM ww) s,
+       (SELECT unnest(generate_series(0, 255)) AS bucket) b
+),
+full_src AS (
+  SELECT sp.source, sp.bucket, COALESCE(r.reg, 0) AS reg
+  FROM spine sp LEFT JOIN regs_src r
+    ON r.source = sp.source AND r.bucket = sp.bucket
+),
+est_src AS (
+  SELECT source,
+         CAST({_HLL_ALPHA_256} AS DOUBLE) * 65536.0
+           / CAST(SUM(CAST(POW(2.0, -reg) AS DECIMAL(38,30))) AS DOUBLE) AS e_raw,
+         CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v0
+  FROM full_src GROUP BY source
+),
+corr_src AS (
+  SELECT source,
+         CASE WHEN e_raw <= 640 AND v0 > 0 THEN 256.0 * ln(256.0 / v0)
+              ELSE e_raw END AS est
+  FROM est_src
+),
+regs_union AS (
+  SELECT bucket, MAX(reg) AS reg FROM full_src GROUP BY bucket
+),
+est_union AS (
+  SELECT CAST({_HLL_ALPHA_256} AS DOUBLE) * 65536.0
+           / CAST(SUM(CAST(POW(2.0, -reg) AS DECIMAL(38,30))) AS DOUBLE) AS e_raw,
+         CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v0
+  FROM regs_union
+),
+corr_union AS (
+  SELECT CASE WHEN e_raw <= 640 AND v0 > 0 THEN 256.0 * ln(256.0 / v0)
+              ELSE e_raw END AS u_est
+  FROM est_union
+),
+exact_u AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS n_exact_union FROM ww),
+sum_src AS (
+  SELECT CAST(SUM(CAST(ROUND(est, 6) AS DECIMAL(24,6))) AS DOUBLE) AS sum_est,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM corr_src
+)
+SELECT s.n_sources,
+       ROUND(s.sum_est, 4) AS sum_of_source_estimates,
+       ROUND(u.u_est, 4) AS union_estimate,
+       e.n_exact_union,
+       ROUND(ABS(u.u_est - e.n_exact_union) / e.n_exact_union, 6)
+         AS union_rel_error,
+       ROUND(GREATEST(s.sum_est - u.u_est, 0.0), 4)
+         AS est_cross_source_overlap
+FROM sum_src s CROSS JOIN corr_union u CROSS JOIN exact_u e
+"""
+
+
+@query("q242_hll_set_algebra", oracle=_hll_set_algebra_oracle_sql())
+def q242_hll_set_algebra(spark, sf_dir):
+    """HLL SET ALGEBRA — the MERGEABILITY property that makes sketches
+    the 100 TB cardinality tool: per-source vocabulary registers and
+    the cross-corpus UNION cardinality computed by MAX-merging the
+    SAME registers (never rescanning), plus the inclusion-exclusion
+    overlap estimate sum(sources) - union that quantifies cross-source
+    vocabulary sharing (the q160 source-overlap question answered in
+    256 integers of state per source). One pass builds every source's
+    sketch; union/overlap are register-table combines.
+
+    Determinism: identical to q227 — portable hashes, exact DECIMAL
+    binary-fraction sums, literal alpha; source estimates snap to
+    DECIMAL before the order-free cross-source sum."""
+    from variantcalling_spark.operators.dedup import portable_string_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    ww = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+        .transform(managed_persist)
+    )
+    hv = ww.select("source", portable_string_hash(F.col("word")).alias("h"))
+    cells = hv.select(
+        "source",
+        (F.col("h") % 256).alias("bucket"),
+        F.when(F.expr("h DIV 256") == 0, F.lit(24))
+        .otherwise((23 - F.floor(F.log2(F.expr("h DIV 256")))).cast("int"))
+        .alias("rho"),
+    )
+    regs_src = cells.groupBy("source", "bucket").agg(F.max("rho").alias("reg"))
+    spine = (
+        ww.select("source")
+        .distinct()
+        .crossJoin(spark.range(0, 256).select(F.col("id").alias("bucket")))
+    )
+    full_src = (
+        spine.join(regs_src, ["source", "bucket"], "left")
+        .select("source", "bucket", F.coalesce("reg", F.lit(0)).alias("reg"))
+        .transform(managed_persist)
+    )
+    alpha = float(_HLL_ALPHA_256)
+
+    def estimate(regs, keys):
+        est = regs.groupBy(*keys).agg(
+            (
+                F.lit(alpha)
+                * 65536.0
+                / F.sum(F.pow(F.lit(2.0), -F.col("reg")).cast("decimal(38,30)")).cast(
+                    "double"
+                )
+            ).alias("e_raw"),
+            F.sum(F.when(F.col("reg") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("v0"),
+        ) if keys else regs.agg(
+            (
+                F.lit(alpha)
+                * 65536.0
+                / F.sum(F.pow(F.lit(2.0), -F.col("reg")).cast("decimal(38,30)")).cast(
+                    "double"
+                )
+            ).alias("e_raw"),
+            F.sum(F.when(F.col("reg") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("v0"),
+        )
+        return est.withColumn(
+            "est",
+            F.when(
+                (F.col("e_raw") <= 640) & (F.col("v0") > 0),
+                256.0 * F.log(256.0 / F.col("v0")),
+            ).otherwise(F.col("e_raw")),
+        )
+
+    corr_src = estimate(full_src, ["source"])
+    regs_union = full_src.groupBy("bucket").agg(F.max("reg").alias("reg"))
+    corr_union = estimate(regs_union, []).select(F.col("est").alias("u_est"))
+    exact_u = ww.agg(F.countDistinct("word").cast("bigint").alias("n_exact_union"))
+    sum_src = corr_src.agg(
+        F.sum(F.round("est", 6).cast("decimal(24,6)")).cast("double").alias("sum_est"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    return (
+        sum_src.crossJoin(corr_union)
+        .crossJoin(exact_u)
+        .select(
+            "n_sources",
+            F.round("sum_est", 4).alias("sum_of_source_estimates"),
+            F.round("u_est", 4).alias("union_estimate"),
+            "n_exact_union",
+            F.round(
+                F.abs(F.col("u_est") - F.col("n_exact_union"))
+                / F.col("n_exact_union"),
+                6,
+            ).alias("union_rel_error"),
+            F.round(
+                F.greatest(F.col("sum_est") - F.col("u_est"), F.lit(0.0)), 4
+            ).alias("est_cross_source_overlap"),
+        )
+    )
