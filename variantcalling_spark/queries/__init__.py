@@ -89,6 +89,8 @@ _PRIORITY = (
     "q240_ld_decay",
     "q241_umi_correction",
     "q242_hll_set_algebra",
+    "q243_ctfidf_topics",
+    "q244_bh_fdr",
     # --- Never driver-checked (late-r5 registrations) ---
     "q184_trimmed_mean",
     "q185_kmer_spectrum",

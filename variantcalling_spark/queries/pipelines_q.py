@@ -3189,3 +3189,138 @@ def q241_umi_correction(spark, sf_dir):
             F.sum("c").cast("bigint").alias("total_reads"),
         )
     )
+
+
+@query(
+    "q244_bh_fdr",
+    oracle="""
+WITH gt AS (
+  SELECT CAST(l_suppkey % 6 AS INT) AS sample_id,
+         l_orderkey % 2000 AS site,
+         MIN(CAST(l_partkey % 3 AS INT)) AS dosage
+  FROM lineitem GROUP BY 1, 2
+),
+cells AS (
+  SELECT site, dosage,
+         CASE WHEN sample_id < 3 THEN 1 ELSE 0 END AS grp,
+         COUNT(*) AS o
+  FROM gt GROUP BY 1, 2, 3
+),
+marg AS (
+  SELECT site,
+         SUM(o) AS n,
+         SUM(CASE WHEN grp = 1 THEN o ELSE 0 END) AS n_case
+  FROM cells GROUP BY site HAVING SUM(o) = 6
+),
+chi AS (
+  SELECT c.site,
+         SUM(POW(c.o - rd.row_n * (CASE WHEN c.grp = 1 THEN m.n_case
+                                        ELSE m.n - m.n_case END) / CAST(m.n AS DOUBLE), 2)
+             / (rd.row_n * (CASE WHEN c.grp = 1 THEN m.n_case
+                                 ELSE m.n - m.n_case END) / CAST(m.n AS DOUBLE)))
+           AS chi2
+  FROM cells c
+  JOIN marg m USING (site)
+  JOIN (SELECT site, dosage, SUM(o) AS row_n FROM cells GROUP BY site, dosage) rd
+    ON rd.site = c.site AND rd.dosage = c.dosage
+  WHERE m.n_case > 0 AND m.n_case < m.n
+  GROUP BY c.site
+),
+p AS (
+  SELECT site, chi2,
+         CAST(ROUND(exp(-chi2 / 2), 12) AS DECIMAL(18,12)) AS pd
+  FROM chi
+),
+r AS (
+  SELECT site, chi2, CAST(pd AS DOUBLE) AS p_value,
+         ROW_NUMBER() OVER (ORDER BY pd, site) AS rk,
+         COUNT(*) OVER () AS m
+  FROM p
+),
+q AS (
+  SELECT site, chi2, p_value,
+         MIN(p_value * m / rk) OVER (ORDER BY rk DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q_value
+  FROM r
+)
+SELECT site, ROUND(chi2, 6) AS chi2, p_value, q_value,
+       q_value <= 0.05 AS significant
+FROM q
+""",
+)
+def q244_bh_fdr(spark, sf_dir):
+    """BENJAMINI-HOCHBERG FDR q-VALUES — the multiple-testing
+    correction every genome-wide scan applies before calling hits
+    (the missing step between the per-site tests q153/q166/q199 and a
+    defensible discovery list): per-site chi-square (genotype x
+    case/control, df=2 so p = exp(-chi2/2) exactly), then the BH
+    step-up q_i = min_{j>=i} p_j * m / j as ONE reverse running-min
+    window over the p-ranked sites.
+
+    Determinism: p snaps to DECIMAL(18,12) before ranking; q values
+    are pure IEEE mul/div/min over identical doubles — emitted
+    UN-rounded and still bit-identical. Scale note: the global
+    p-ranking window is test-count-sized (sites after aggregation),
+    not read-sized; a biobank-scale run partitions the rank by
+    p-value range exactly like the weighted-quantile two-phase
+    operator."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    gt = li.groupBy(
+        (F.col("l_suppkey") % 6).cast("int").alias("sample_id"),
+        (F.col("l_orderkey") % 2000).alias("site"),
+    ).agg(F.min((F.col("l_partkey") % 3).cast("int")).alias("dosage"))
+    cells = gt.groupBy(
+        "site", "dosage", F.when(F.col("sample_id") < 3, 1).otherwise(0).alias("grp")
+    ).agg(F.count(F.lit(1)).alias("o")).transform(managed_persist)
+    marg = (
+        cells.groupBy("site")
+        .agg(
+            F.sum("o").alias("n"),
+            F.sum(F.when(F.col("grp") == 1, F.col("o")).otherwise(0)).alias("n_case"),
+        )
+        .where(F.col("n") == 6)
+    )
+    rd = cells.groupBy("site", "dosage").agg(F.sum("o").alias("row_n"))
+    e = F.col("row_n") * F.when(
+        F.col("grp") == 1, F.col("n_case")
+    ).otherwise(F.col("n") - F.col("n_case")) / F.col("n").cast("double")
+    chi = (
+        cells.join(marg, "site")
+        .join(rd, ["site", "dosage"])
+        .where((F.col("n_case") > 0) & (F.col("n_case") < F.col("n")))
+        .groupBy("site")
+        .agg(F.sum(F.pow(F.col("o") - e, 2) / e).alias("chi2"))
+    )
+    p = chi.select(
+        "site",
+        "chi2",
+        F.round(F.exp(-F.col("chi2") / 2), 12).cast("decimal(18,12)").alias("pd"),
+    )
+    r = p.select(
+        "site",
+        "chi2",
+        F.col("pd").cast("double").alias("p_value"),
+        F.row_number().over(W.orderBy("pd", "site")).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("m"),
+    )
+    q = r.select(
+        "site",
+        "chi2",
+        "p_value",
+        F.min(F.col("p_value") * F.col("m") / F.col("rk"))
+        .over(
+            W.orderBy(F.col("rk").desc()).rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        )
+        .alias("q_value"),
+    )
+    return q.select(
+        "site",
+        F.round("chi2", 6).alias("chi2"),
+        "p_value",
+        "q_value",
+        (F.col("q_value") <= 0.05).alias("significant"),
+    )

@@ -2958,3 +2958,93 @@ def q224_kneser_ney_lm(spark, sf_dir):
         F.count(F.lit(1)).cast("int").alias("n_bigrams"),
         F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 6).alias("avg_nll"),
     )
+
+
+@query(
+    "q243_ctfidf_topics",
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+t AS (SELECT source, w FROM toks WHERE w <> ''),
+tf AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY source, w),
+cls AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS class_tokens FROM tf GROUP BY source),
+df AS (SELECT w, CAST(SUM(tf) AS BIGINT) AS corpus_tf FROM tf GROUP BY w),
+avg_sz AS (
+  SELECT CAST(SUM(class_tokens) AS DOUBLE) / COUNT(*) AS a FROM cls
+),
+scored AS (
+  SELECT tf.source, tf.w, tf.tf,
+         CAST((tf.tf / CAST(cls.class_tokens AS DOUBLE))
+              * ln(1 + avg_sz.a / df.corpus_tf) AS DECIMAL(18,12)) AS ctfidf
+  FROM tf JOIN cls USING (source) JOIN df USING (w) CROSS JOIN avg_sz
+)
+SELECT source, w AS term, tf,
+       CAST(ctfidf AS DOUBLE) AS ctfidf,
+       rank
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY ctfidf DESC, w) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+)
+def q243_ctfidf_topics(spark, sf_dir):
+    """CLASS-BASED TF-IDF topic terms (the BERTopic c-TF-IDF formula —
+    the step that turns clusters/sources into human-readable topic
+    labels after the q151/q108 grouping machinery has formed them):
+    per source the top-10 terms by (term share within the class) x
+    ln(1 + avg class size / corpus term count) — frequent-in-class,
+    rare-overall wins.
+
+    Scale shape: one token scan -> class-term counts (map-side
+    combinable); class sizes and corpus counts are vocabulary- and
+    class-bounded broadcasts; ranking windows partition per class.
+    Determinism: scores snap to DECIMAL(18,12) before ranking
+    (the q116 rule), full tie-breaks."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    tf = t.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    ).transform(managed_persist)
+    cls = tf.groupBy("source").agg(
+        F.sum("tf").cast("bigint").alias("class_tokens")
+    )
+    dfw = tf.groupBy("w").agg(F.sum("tf").cast("bigint").alias("corpus_tf"))
+    avg_sz = cls.agg(
+        (F.sum("class_tokens").cast("double") / F.count(F.lit(1))).alias("a")
+    )
+    scored = (
+        tf.join(F.broadcast(cls), "source")
+        .join(F.broadcast(dfw), "w")
+        .crossJoin(F.broadcast(avg_sz))
+        .select(
+            "source",
+            "w",
+            "tf",
+            (
+                (F.col("tf") / F.col("class_tokens").cast("double"))
+                * F.log(1 + F.col("a") / F.col("corpus_tf"))
+            ).cast("decimal(18,12)").alias("ctfidf"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rank",
+            F.row_number()
+            .over(W.partitionBy("source").orderBy(F.col("ctfidf").desc(), "w"))
+            .cast("int"),
+        )
+        .where(F.col("rank") <= 10)
+        .select(
+            "source",
+            F.col("w").alias("term"),
+            "tf",
+            F.col("ctfidf").cast("double").alias("ctfidf"),
+            "rank",
+        )
+    )
