@@ -443,3 +443,91 @@ def test_containment_prefix_filter_is_lossless(spark, texts):
         .collect()
     }
     assert got == want
+
+
+# ---- round-6 kernels ------------------------------------------------------
+
+dna_strategy = st.lists(
+    st.text(alphabet="ACGT", min_size=0, max_size=10), min_size=2, max_size=8
+)
+
+
+def naive_nw(a, b, match=2, mis=-1, gap=-2):
+    n, m = len(a), len(b)
+    dp = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(n + 1):
+        dp[i][0] = gap * i
+    for j in range(m + 1):
+        dp[0][j] = gap * j
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            s = match if a[i - 1] == b[j - 1] else mis
+            dp[i][j] = max(dp[i - 1][j - 1] + s, dp[i - 1][j] + gap, dp[i][j - 1] + gap)
+    return dp[n][m]
+
+
+@given(seqs=dna_strategy)
+@settings(**SETTINGS)
+def test_nw_kernel_matches_naive_dp(spark, seqs):
+    """The vectorized NW kernel (running-max closed form for the
+    left-gap chain) must equal the O(n*m) cell-by-cell reference DP on
+    arbitrary strings, including empty sides."""
+    from variantcalling_spark.operators.kernels import nw_align_scores
+
+    pairs = [(i, seqs[i], seqs[(i + 1) % len(seqs)]) for i in range(len(seqs))]
+    df = spark.createDataFrame(pairs, "pair_id long, a string, b string")
+    got = {r.pair_id: r.nw_score for r in nw_align_scores(df).collect()}
+    for pid, a, b in pairs:
+        assert got[pid] == naive_nw(a, b), (a, b)
+
+
+def reference_bpe(word, merges):
+    """GPT-2/HF reference encode: pick the lowest-rank pair present,
+    merge ALL its occurrences greedily left-to-right, repeat."""
+    ranks = {p: i for i, p in enumerate(merges)}
+    syms = list(word)
+    while len(syms) >= 2:
+        pairs = {(syms[i], syms[i + 1]) for i in range(len(syms) - 1)}
+        best = min(pairs, key=lambda p: ranks.get(p, len(merges)))
+        if best not in ranks:
+            break
+        u, v = best
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == u and syms[i + 1] == v:
+                out.append(u + v)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+bpe_words = st.lists(
+    st.text(alphabet="abc", min_size=0, max_size=8), min_size=1, max_size=5
+)
+bpe_merges = st.lists(
+    st.tuples(st.text(alphabet="abc", min_size=1, max_size=2),
+              st.text(alphabet="abc", min_size=1, max_size=2)),
+    min_size=0,
+    max_size=6,
+    unique=True,
+)
+
+
+@given(words=bpe_words, merges=bpe_merges)
+@settings(**SETTINGS)
+def test_bpe_kernel_matches_reference(spark, words, merges):
+    """apply_bpe_merges must agree with the independent HF-style
+    reference encoder on arbitrary words and merge tables, including
+    hierarchical merges over already-merged symbols."""
+    from variantcalling_spark.operators.kernels import apply_bpe_merges
+
+    df = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    out = apply_bpe_merges(df, merges).collect()[0]
+    want = [reference_bpe(w, merges) for w in words if w]
+    assert out.tokens == "|".join(" ".join(e) for e in want)
+    assert out.n_tokens == sum(len(e) for e in want)
