@@ -91,6 +91,8 @@ _PRIORITY = (
     "q242_hll_set_algebra",
     "q243_ctfidf_topics",
     "q244_bh_fdr",
+    "q245_logrank_test",
+    "q246_poisson_bootstrap",
     # --- Never driver-checked (late-r5 registrations) ---
     "q184_trimmed_mean",
     "q185_kmer_spectrum",

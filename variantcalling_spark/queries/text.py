@@ -3048,3 +3048,166 @@ def q243_ctfidf_topics(spark, sf_dir):
             "rank",
         )
     )
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative pmf), exact literals
+_POIS_T = "0.36787944117144233, 0.7357588823428847, 0.919698602928606, 0.9810118431238462, 0.9963401531726563"
+
+
+@query(
+    "q246_poisson_bootstrap",
+    oracle=f"""
+WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+b AS (SELECT unnest(generate_series(0, 39)) AS rep),
+u AS (
+  SELECT d.source, d.n_chars, b.rep,
+         (list_reduce(list_transform(
+            string_split(substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(b.rep AS VARCHAR)), 1, 8), ''),
+            c -> CAST(CASE WHEN ascii(c) >= 97 THEN ascii(c) - 87
+                           ELSE ascii(c) - 48 END AS BIGINT)),
+            (a, x) -> a * 16 + x) % 2147483647) / 2147483647.0 AS uu
+  FROM d CROSS JOIN b
+),
+w AS (
+  SELECT source, rep, n_chars,
+         CASE WHEN uu < {_POIS_T.split(', ')[0]} THEN 0
+              WHEN uu < {_POIS_T.split(', ')[1]} THEN 1
+              WHEN uu < {_POIS_T.split(', ')[2]} THEN 2
+              WHEN uu < {_POIS_T.split(', ')[3]} THEN 3
+              WHEN uu < {_POIS_T.split(', ')[4]} THEN 4
+              ELSE 5 END AS k
+  FROM u
+),
+reps AS (
+  SELECT source, rep,
+         CAST(SUM(CAST(k AS BIGINT) * n_chars) AS BIGINT) AS sx,
+         CAST(SUM(k) AS BIGINT) AS sw
+  FROM w GROUP BY source, rep
+  HAVING SUM(k) > 0
+),
+means AS (
+  SELECT source, rep, sx / CAST(sw AS DOUBLE) AS m,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY sx / CAST(sw AS DOUBLE), rep) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS nb
+  FROM reps
+),
+ci AS (
+  SELECT source,
+         MAX(CASE WHEN rk = GREATEST(CAST(CEIL(0.025 * nb) AS BIGINT), 1) THEN m END) AS ci_lo,
+         MAX(CASE WHEN rk = CAST(FLOOR(0.975 * nb) AS BIGINT) THEN m END) AS ci_hi
+  FROM means GROUP BY source
+),
+pt AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS point_mean
+  FROM d GROUP BY source
+)
+SELECT p.source, p.n_docs,
+       ROUND(p.point_mean, 6) AS point_mean,
+       ROUND(c.ci_lo, 6) AS ci_lo,
+       ROUND(c.ci_hi, 6) AS ci_hi,
+       ROUND(c.ci_hi - c.ci_lo, 6) AS ci_width
+FROM pt p JOIN ci c USING (source)
+""",
+)
+def q246_poisson_bootstrap(spark, sf_dir):
+    """POISSON BOOTSTRAP confidence intervals (the distributed
+    bootstrap of Chamandy et al. / Google — resampling WITHOUT
+    shuffling: each row draws an independent Poisson(1) multiplicity
+    per replicate, so 40 bootstrap replicates of a per-source mean
+    cost one scan with a 40-way rowwise explode, never 40 shuffled
+    resamples): per source the point mean of n_chars plus the
+    2.5/97.5-percentile CI over replicate means.
+
+    Determinism: the Poisson draw is an inverse-CDF lookup on the
+    portable md5 hash of (doc, replicate) against exact cumulative-pmf
+    literals — identical multiplicities on any engine/partitioning;
+    replicate means are bigint/bigint IEEE divisions; CI bounds are
+    rank-picked data values. Scale shape: (source, replicate) partial
+    aggregates are map-side combinable; the percentile windows touch
+    the (sources x 40)-row replicate table only."""
+    from pyspark.sql import Window as W
+
+    from variantcalling_spark.operators.dedup import (
+        MERSENNE31,
+        portable_string_hash,
+    )
+
+    t = [float(x) for x in _POIS_T.split(", ")]
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    b = spark.range(0, 40).select(F.col("id").alias("rep"))
+    u = docs.crossJoin(F.broadcast(b)).select(
+        "source",
+        "n_chars",
+        "rep",
+        (
+            portable_string_hash(
+                F.concat_ws(
+                    ":", F.col("doc_id").cast("string"), F.col("rep").cast("string")
+                )
+            )
+            / F.lit(float(MERSENNE31))
+        ).alias("uu"),
+    )
+    k = (
+        F.when(F.col("uu") < t[0], 0)
+        .when(F.col("uu") < t[1], 1)
+        .when(F.col("uu") < t[2], 2)
+        .when(F.col("uu") < t[3], 3)
+        .when(F.col("uu") < t[4], 4)
+        .otherwise(5)
+    )
+    reps = (
+        u.select("source", "rep", "n_chars", k.alias("k"))
+        .groupBy("source", "rep")
+        .agg(
+            F.sum(F.col("k").cast("bigint") * F.col("n_chars"))
+            .cast("bigint")
+            .alias("sx"),
+            F.sum("k").cast("bigint").alias("sw"),
+        )
+        .where(F.col("sw") > 0)
+    )
+    means = reps.select(
+        "source",
+        "rep",
+        (F.col("sx") / F.col("sw").cast("double")).alias("m"),
+    ).select(
+        "source",
+        "m",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("m", "rep"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("nb"),
+    )
+    ci = means.groupBy("source").agg(
+        F.max(
+            F.when(
+                F.col("rk")
+                == F.greatest(F.ceil(0.025 * F.col("nb")).cast("bigint"), F.lit(1)),
+                F.col("m"),
+            )
+        ).alias("ci_lo"),
+        F.max(
+            F.when(
+                F.col("rk") == F.floor(0.975 * F.col("nb")).cast("bigint"), F.col("m")
+            )
+        ).alias("ci_hi"),
+    )
+    pt = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (
+            F.sum(F.col("n_chars").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("point_mean"),
+    )
+    return pt.join(ci, "source").select(
+        "source",
+        "n_docs",
+        F.round("point_mean", 6).alias("point_mean"),
+        F.round("ci_lo", 6).alias("ci_lo"),
+        F.round("ci_hi", 6).alias("ci_hi"),
+        F.round(F.col("ci_hi") - F.col("ci_lo"), 6).alias("ci_width"),
+    )

@@ -961,3 +961,132 @@ def q206_kaplan_meier(spark, sf_dir):
             "survival"
         ),
     )
+
+
+@query(
+    "q245_logrank_test",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t1
+  FROM events GROUP BY user_id
+),
+horizon AS (SELECT MAX(epoch_us(ts)) AS tmax FROM events),
+subj AS (
+  SELECT user_id, user_id % 2 AS grp,
+         CASE WHEN t1 IS NOT NULL AND t1 > t0
+              THEN (t1 - t0) // {DAY_US} ELSE (h.tmax - t0) // {DAY_US} END AS dur,
+         CASE WHEN t1 IS NOT NULL AND t1 > t0 THEN 1 ELSE 0 END AS observed
+  FROM per_user CROSS JOIN horizon h
+  WHERE t0 IS NOT NULL
+),
+h AS (
+  SELECT dur,
+         CAST(SUM(observed) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN grp = 1 THEN observed ELSE 0 END) AS BIGINT) AS d1,
+         COUNT(*) AS leaving,
+         COUNT(*) FILTER (WHERE grp = 1) AS leaving1
+  FROM subj GROUP BY dur
+),
+rk AS (
+  SELECT dur, d, d1,
+         CAST(SUM(leaving) OVER (ORDER BY dur DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n,
+         CAST(SUM(leaving1) OVER (ORDER BY dur DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n1
+  FROM h
+),
+terms AS (
+  SELECT dur,
+         CAST(ROUND(d1 - d * n1 / CAST(n AS DOUBLE), 10) AS DECIMAL(24,10)) AS oe,
+         CAST(ROUND(CASE WHEN n > 1
+             THEN d * (n1 / CAST(n AS DOUBLE)) * (1 - n1 / CAST(n AS DOUBLE))
+                  * (n - d) / CAST(n - 1 AS DOUBLE)
+             ELSE 0 END, 10) AS DECIMAL(24,10)) AS var_t,
+         d1
+  FROM rk WHERE d > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_event_times,
+       CAST(SUM(d1) AS BIGINT) AS observed_grp1,
+       ROUND(CAST(SUM(oe) AS DOUBLE), 6) AS o_minus_e_sum,
+       ROUND(CAST(SUM(var_t) AS DOUBLE), 6) AS var_sum,
+       ROUND(POW(CAST(SUM(oe) AS DOUBLE), 2) / CAST(SUM(var_t) AS DOUBLE), 6)
+         AS logrank_chi2
+FROM terms
+""",
+)
+def q245_logrank_test(spark, sf_dir):
+    """LOG-RANK TEST between two survival groups (the hypothesis-test
+    companion of q206's Kaplan-Meier curves — 'do odd and even user
+    cohorts convert at the same rate?'): at every event time the
+    observed-minus-expected group-1 events under the hypergeometric
+    null, summed into the Mantel-Cox chi-square (df=1; the statistic
+    is the deliverable — its p-value needs erf, which neither engine
+    exposes portably, and the chi2 itself is what meta-analyses pool).
+
+    Determinism: risk sets are integer reverse-cumulatives; per-time
+    O-E and variance terms are IEEE rationals snapped to DECIMAL
+    before the order-free sums. Scale shape: identical to q206 — the
+    duration histogram (time-domain-sized) carries everything; no
+    window ever spans the subject table."""
+    from pyspark.sql import Window as W
+
+    ev = events_points(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_us"))).alias("t1"),
+    )
+    horizon = ev.agg(F.max("ts_us").alias("tmax"))
+    observed = (F.col("t1").isNotNull()) & (F.col("t1") > F.col("t0"))
+    subj = (
+        per_user.crossJoin(F.broadcast(horizon))
+        .where(F.col("t0").isNotNull())
+        .select(
+            (F.col("user_id") % 2).alias("grp"),
+            F.when(observed, F.expr(f"(t1 - t0) DIV {DAY_US}"))
+            .otherwise(F.expr(f"(tmax - t0) DIV {DAY_US}"))
+            .alias("dur"),
+            F.when(observed, 1).otherwise(0).alias("observed"),
+        )
+    )
+    h = subj.groupBy("dur").agg(
+        F.sum("observed").cast("bigint").alias("d"),
+        F.sum(F.when(F.col("grp") == 1, F.col("observed")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.count(F.lit(1)).alias("leaving"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("leaving1"),
+    )
+    wdesc = W.orderBy(F.col("dur").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    rk = h.select(
+        "dur",
+        "d",
+        "d1",
+        F.sum("leaving").over(wdesc).cast("bigint").alias("n"),
+        F.sum("leaving1").over(wdesc).cast("bigint").alias("n1"),
+    )
+    p1 = F.col("n1") / F.col("n").cast("double")
+    oe = F.round(F.col("d1") - F.col("d") * p1, 10).cast("decimal(24,10)")
+    var_t = F.round(
+        F.when(
+            F.col("n") > 1,
+            F.col("d") * p1 * (1 - p1) * (F.col("n") - F.col("d"))
+            / (F.col("n") - 1).cast("double"),
+        ).otherwise(0.0),
+        10,
+    ).cast("decimal(24,10)")
+    terms = rk.where(F.col("d") > 0).select(
+        "dur", "d1", oe.alias("oe"), var_t.alias("var_t")
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_event_times"),
+        F.sum("d1").cast("bigint").alias("observed_grp1"),
+        F.round(F.sum("oe").cast("double"), 6).alias("o_minus_e_sum"),
+        F.round(F.sum("var_t").cast("double"), 6).alias("var_sum"),
+        F.round(
+            F.pow(F.sum("oe").cast("double"), 2) / F.sum("var_t").cast("double"), 6
+        ).alias("logrank_chi2"),
+    )
