@@ -397,3 +397,69 @@ def nw_align_scores(
             )
 
     return pairs.select(id_col, a_col, b_col).mapInPandas(run, schema=out_schema)
+
+
+def sw_align_scores(
+    pairs: DataFrame,
+    match: int = 2,
+    mismatch: int = -1,
+    gap: int = -2,
+    id_col: str = "pair_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """SMITH-WATERMAN local alignment score — ``nw_align_scores``'s
+    local twin: cells clamp at 0 (an alignment may start anywhere) and
+    the score is the MAX over all cells (it may end anywhere). Same
+    vectorized row recurrence with the running-max closed form for the
+    left-gap chain, same wavefront recursive-CTE oracle shape
+    (queries/genomics.py::q247) with GREATEST(0, ...) per cell and a
+    best-so-far fold carried through the recursion."""
+    import numpy as np
+
+    out_schema = f"{id_col} bigint, n int, m int, sw_score int"
+
+    def run(batches):
+        for pdf in batches:
+            ids, ns, ms, scores = [], [], [], []
+            for pid, a, b in zip(pdf[id_col], pdf[a_col], pdf[b_col]):
+                a = "" if a is None else str(a)
+                b = "" if b is None else str(b)
+                n, m = len(a), len(b)
+                av = np.frombuffer(a.encode("latin1"), dtype=np.uint8)
+                bv = np.frombuffer(b.encode("latin1"), dtype=np.uint8)
+                prev = np.zeros(m + 1, dtype=np.int64)
+                j_idx = np.arange(m + 1, dtype=np.int64)
+                best = 0
+                for i in range(1, n + 1):
+                    if m:
+                        s_vec = np.where(av[i - 1] == bv, match, mismatch).astype(
+                            np.int64
+                        )
+                        tmp = np.maximum(prev[:-1] + s_vec, prev[1:] + gap)
+                    else:
+                        tmp = prev[1:]
+                    g = np.empty(m + 1, dtype=np.int64)
+                    g[0] = 0
+                    if m:
+                        g[1:] = tmp - gap * j_idx[1:]
+                    acc = np.maximum.accumulate(g)
+                    cur = np.maximum(acc + gap * j_idx, 0)
+                    cur[0] = 0
+                    if m:
+                        best = max(best, int(cur.max()))
+                    prev = cur
+                ids.append(pid)
+                ns.append(n)
+                ms.append(m)
+                scores.append(best)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype="int64"),
+                    "n": pd.array(ns, dtype="int32"),
+                    "m": pd.array(ms, dtype="int32"),
+                    "sw_score": pd.array(scores, dtype="int32"),
+                }
+            )
+
+    return pairs.select(id_col, a_col, b_col).mapInPandas(run, schema=out_schema)

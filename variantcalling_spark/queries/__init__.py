@@ -93,6 +93,9 @@ _PRIORITY = (
     "q244_bh_fdr",
     "q245_logrank_test",
     "q246_poisson_bootstrap",
+    "q247_sw_local_alignment",
+    "q248_good_turing",
+    "q249_heaps_law",
     # --- Never driver-checked (late-r5 registrations) ---
     "q184_trimmed_mean",
     "q185_kmer_spectrum",

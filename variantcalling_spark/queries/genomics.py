@@ -2579,3 +2579,75 @@ def q238_tajimas_d(spark, sf_dir):
         F.round(th, 6).alias("theta_w"),
         F.round((pi - th) / denom, 6).alias("tajima_d"),
     )
+
+
+def _sw_wavefront_oracle_sql(match: int = 2, mismatch: int = -1, gap: int = -2) -> str:
+    """q219's wavefront CTE with the Smith-Waterman local clamp
+    (GREATEST(0, ...)) per cell and a best-so-far fold carried through
+    the recursion (local alignments end anywhere, so the answer is the
+    max over every diagonal, not the final cell)."""
+    val = f"""
+      CASE WHEN i = 0 OR d + 1 - i = 0 THEN 0
+           ELSE GREATEST(0,
+             prev[CAST(i - GREATEST(0, d - 1 - m) AS INT)]
+               + CASE WHEN substr(a, CAST(i AS INT), 1) = substr(b, CAST(d + 1 - i AS INT), 1)
+                      THEN {match} ELSE {mismatch} END,
+             cur[CAST(i - GREATEST(0, d - m) AS INT)] + {gap},
+             cur[CAST(i + 1 - GREATEST(0, d - m) AS INT)] + {gap})
+      END"""
+    return f"""
+WITH RECURSIVE dna AS ({SQL_DOCS_DNA}),
+pairs AS (
+  SELECT ea.doc_id // 2 AS pair_id, ea.seq AS a, eb.seq AS b,
+         CAST(length(ea.seq) AS INT) AS n, CAST(length(eb.seq) AS INT) AS m
+  FROM dna ea JOIN dna eb ON eb.doc_id = ea.doc_id + 1
+  WHERE ea.doc_id % 2 = 0
+),
+rec AS (
+  SELECT pair_id, a, b, n, m, 0 AS d,
+         [CAST(0 AS INT)] AS cur, CAST(NULL AS INT[]) AS prev,
+         CAST(0 AS INT) AS best
+  FROM pairs
+  UNION ALL
+  SELECT pair_id, a, b, n, m, d + 1,
+         nxt.cur2 AS cur, cur AS prev,
+         GREATEST(best, CAST(COALESCE(list_max(nxt.cur2), 0) AS INT)) AS best
+  FROM rec,
+  LATERAL (
+    SELECT list_transform(generate_series(GREATEST(0, d + 1 - m), LEAST(n, d + 1)),
+                          i -> {val}) AS cur2
+  ) nxt
+  WHERE d < n + m
+)
+SELECT pair_id, n, m, best AS sw_score
+FROM rec WHERE d = n + m
+"""
+
+
+@query("q247_sw_local_alignment", oracle=_sw_wavefront_oracle_sql())
+def q247_sw_local_alignment(spark, sf_dir):
+    """SMITH-WATERMAN local alignment score over the q219 pair frame —
+    the LOCAL twin of the global NW alignment (alignments start and
+    end anywhere: cells clamp at 0, the score is the max over all
+    cells), i.e. the scoring core of BLAST seeds and soft-clip-aware
+    read alignment. Together q219+q247 close the classic alignment
+    pair.
+
+    Same architecture as q219: Arrow kernel with the running-max
+    closed form (the zero-clamp composes with it because a clamped
+    cell's gap chain 0 + gap*k is always dominated by the final
+    clamp), wavefront recursive-CTE oracle with a best-so-far fold —
+    every cell value-pinned. Integer DP, zero shuffle, pairs
+    partition freely."""
+    from variantcalling_spark.operators.kernels import sw_align_scores
+
+    dna = docs_as_dna(spark, sf_dir).transform(managed_persist)
+    a = dna.where(F.col("doc_id") % 2 == 0).select(
+        F.expr("doc_id DIV 2").alias("pair_id"), F.col("seq").alias("a")
+    )
+    b = dna.select(
+        F.expr("(doc_id - 1) DIV 2").alias("pair_id"),
+        F.col("seq").alias("b"),
+        (F.col("doc_id") % 2).alias("par"),
+    ).where(F.col("par") == 1).drop("par")
+    return sw_align_scores(a.join(b, "pair_id"))

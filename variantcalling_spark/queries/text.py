@@ -3211,3 +3211,179 @@ def q246_poisson_bootstrap(spark, sf_dir):
         F.round("ci_hi", 6).alias("ci_hi"),
         F.round(F.col("ci_hi") - F.col("ci_lo"), 6).alias("ci_width"),
     )
+
+
+@query(
+    "q248_good_turing",
+    oracle="""
+WITH t AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+tt AS (SELECT w FROM t WHERE w <> ''),
+wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS r FROM tt GROUP BY w),
+nr AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM wc GROUP BY r),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tt),
+n1 AS (SELECT COALESCE(MAX(n_r), 0) AS v FROM nr WHERE r = 1)
+SELECT a.r, a.n_r,
+       CASE WHEN b.n_r IS NOT NULL
+            THEN ROUND((a.r + 1) * b.n_r / CAST(a.n_r AS DOUBLE), 6) END
+         AS r_star,
+       ROUND(n1.v / CAST(tot.n_tokens AS DOUBLE), 8) AS p0_unseen_mass
+FROM nr a
+LEFT JOIN nr b ON b.r = a.r + 1
+CROSS JOIN tot CROSS JOIN n1
+""",
+)
+def q248_good_turing(spark, sf_dir):
+    """GOOD-TURING frequency smoothing table (the count-of-counts
+    estimator under Katz backoff and the classic answer to 'how much
+    probability mass do UNSEEN words deserve?' — completes the LM
+    smoothing family q97/q182/q224): per observed count r the species
+    count N_r and the adjusted count r* = (r+1) N_{r+1}/N_r, plus the
+    Good-Turing unseen mass N_1/N that a held-out vocabulary will
+    claim.
+
+    Scale shape: word counts (one shuffle) -> count-of-counts (a
+    count-DOMAIN-sized aggregate — hundreds of rows for any corpus)
+    -> a self-join on r+1 over that tiny table (the full count domain is
+    emitted — it is count-of-counts-sized, i.e. tiny, by construction).
+    The heavy table never joins anything."""
+    docs = load_table(spark, sf_dir, "documents")
+    tt = docs.select(F.explode(F.split("text", " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    wc = tt.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    nr = wc.groupBy("r").agg(F.count(F.lit(1)).cast("bigint").alias("n_r")).transform(
+        managed_persist
+    )
+    tot = tt.agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+    n1 = nr.where(F.col("r") == 1).agg(F.coalesce(F.max("n_r"), F.lit(0)).alias("v"))
+    b = nr.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
+    return (
+        nr.join(b, "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "r",
+            "n_r",
+            F.when(
+                F.col("n_r1").isNotNull(),
+                F.round((F.col("r") + 1) * F.col("n_r1") / F.col("n_r").cast("double"), 6),
+            ).alias("r_star"),
+            F.round(F.col("v") / F.col("n_tokens").cast("double"), 8).alias(
+                "p0_unseen_mass"
+            ),
+        )
+    )
+
+
+@query(
+    "q249_heaps_law",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+t AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+first_seen AS (SELECT w, MIN(doc_id) AS fd FROM t GROUP BY w),
+cp AS (SELECT unnest([32, 64, 128, 256, 500]) AS k),
+stats AS (
+  SELECT cp.k,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM t WHERE t.doc_id < cp.k) AS n_tokens,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM first_seen f WHERE f.fd < cp.k) AS vocab
+  FROM cp
+),
+pts AS (
+  SELECT k, n_tokens, vocab,
+         CAST(ROUND(ln(n_tokens), 10) AS DECIMAL(20,10)) AS x,
+         CAST(ROUND(ln(vocab), 10) AS DECIMAL(20,10)) AS y
+  FROM stats WHERE n_tokens > 0 AND vocab > 0
+),
+ols AS (
+  SELECT COUNT(*) AS np,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,15))) AS DOUBLE) AS sxy
+  FROM pts
+)
+SELECT p.k, p.n_tokens, p.vocab,
+       ROUND((o.np * o.sxy - o.sx * o.sy) / (o.np * o.sxx - o.sx * o.sx), 6)
+         AS heaps_beta,
+       ROUND(exp((o.sy - (o.np * o.sxy - o.sx * o.sy) / (o.np * o.sxx - o.sx * o.sx) * o.sx) / o.np), 4)
+         AS heaps_k
+FROM pts p CROSS JOIN ols o
+""",
+)
+def q249_heaps_law(spark, sf_dir):
+    """HEAPS' LAW FIT — vocabulary growth V = K * N^beta over corpus
+    prefixes (the planning number for tokenizer-vocab sizing and the
+    q227-HLL question asked as a growth law; pairs with q177's Zipf
+    exponent, its analytic sibling): vocabulary size at doc-count
+    checkpoints via FIRST-SEEN doc per word (one aggregate — no
+    order-dependent running distinct), then a log-log OLS for
+    (K, beta).
+
+    Determinism: checkpoint counts are exact integers; ln values snap
+    to DECIMAL before the OLS sufficient-statistic sums (the q165
+    algebra); slope/intercept are IEEE expressions over identical
+    sums. Scale shape: first-seen is one min-aggregate; each
+    checkpoint is a filtered count over the tiny first-seen/vocab
+    tables, not a corpus rescan."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .transform(managed_persist)
+    )
+    first_seen = t.groupBy("w").agg(F.min("doc_id").alias("fd")).transform(
+        managed_persist
+    )
+    cp = spark.createDataFrame([(32,), (64,), (128,), (256,), (500,)], ["k"]).select(
+        F.col("k").cast("int").alias("k")
+    )
+    tok_k = (
+        t.crossJoin(F.broadcast(cp))
+        .where(F.col("doc_id") < F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+    )
+    voc_k = (
+        first_seen.crossJoin(F.broadcast(cp))
+        .where(F.col("fd") < F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
+    )
+    pts = (
+        tok_k.join(voc_k, "k")
+        .where((F.col("n_tokens") > 0) & (F.col("vocab") > 0))
+        .select(
+            "k",
+            "n_tokens",
+            "vocab",
+            F.round(F.log("n_tokens"), 10).cast("decimal(20,10)").alias("x"),
+            F.round(F.log("vocab"), 10).cast("decimal(20,10)").alias("y"),
+        )
+        .transform(managed_persist)
+    )
+    ols = pts.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(30,15)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(30,15)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    beta = (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return pts.crossJoin(F.broadcast(ols)).select(
+        "k",
+        "n_tokens",
+        "vocab",
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(F.exp((F.col("sy") - beta * F.col("sx")) / F.col("np")), 4).alias(
+            "heaps_k"
+        ),
+    )
