@@ -96,6 +96,9 @@ _PRIORITY = (
     "q247_sw_local_alignment",
     "q248_good_turing",
     "q249_heaps_law",
+    "q250_str_catalog",
+    "q251_knn_classification",
+    "q252_scd2_dimension",
     # --- Never driver-checked (late-r5 registrations) ---
     "q184_trimmed_mean",
     "q185_kmer_spectrum",

@@ -2651,3 +2651,146 @@ def q247_sw_local_alignment(spark, sf_dir):
         (F.col("doc_id") % 2).alias("par"),
     ).where(F.col("par") == 1).drop("par")
     return sw_align_scores(a.join(b, "pair_id"))
+
+
+@query(
+    "q250_str_catalog",
+    oracle=f"""
+WITH d AS (
+  -- STR-prone derivation: a 3-letter cyclic alphabet over 40 chars
+  -- (the 4-letter 24-char docs_as_dna map almost never produces
+  -- >= 3-copy tandem repeats — a vacuous catalog, the q201 lesson)
+  SELECT doc_id,
+         translate(substr(text, 1, 40), 'abcdefghijklmnopqrstuvwxyz ',
+                   'ACGACGACGACGACGACGACGACGACG') AS seq,
+         length(translate(substr(text, 1, 40), 'abcdefghijklmnopqrstuvwxyz ',
+                   'ACGACGACGACGACGACGACGACGACG')) AS n
+  FROM documents
+  WHERE length(text) >= 6
+),
+per AS (SELECT unnest([2, 3]) AS p),
+m AS (
+  SELECT d.doc_id, d.seq, d.n, per.p, pos,
+         CASE WHEN substr(d.seq, CAST(pos AS INT), 1)
+                 = substr(d.seq, CAST(pos + per.p AS INT), 1)
+              THEN 1 ELSE 0 END AS mt
+  FROM d CROSS JOIN per, unnest(generate_series(1, d.n - per.p)) AS t(pos)
+),
+flg AS (
+  SELECT doc_id, seq, p, pos, mt,
+         CASE WHEN pos = 1 OR mt <> LAG(mt) OVER (PARTITION BY doc_id, p ORDER BY pos)
+                   OR LAG(pos) OVER (PARTITION BY doc_id, p ORDER BY pos) <> pos - 1
+              THEN 1 ELSE 0 END AS brk
+  FROM m
+),
+runs0 AS (
+  SELECT doc_id, seq, p, pos, mt,
+         SUM(brk) OVER (PARTITION BY doc_id, p ORDER BY pos) AS rid
+  FROM flg
+),
+runs AS (
+  SELECT doc_id, MAX(seq) AS seq, p, rid, MIN(pos) AS start_pos,
+         CAST(COUNT(*) AS INT) AS run_len
+  FROM runs0 WHERE mt = 1
+  GROUP BY doc_id, p, rid
+),
+str_cand AS (
+  SELECT doc_id, p AS period, start_pos,
+         run_len + p AS region_len,
+         (run_len + p) // p AS n_copies,
+         substr(seq, CAST(start_pos AS INT), CAST(p AS INT)) AS unit
+  FROM runs
+  WHERE (run_len + p) // p >= 3
+)
+SELECT doc_id, period, CAST(start_pos AS BIGINT) AS start_pos,
+       CAST(region_len AS INT) AS region_len,
+       CAST(n_copies AS INT) AS n_copies, unit
+FROM str_cand
+WHERE NOT (period > 1 AND substr(unit, 1, 1) = substr(unit, 2, 1))
+""",
+)
+def q250_str_catalog(spark, sf_dir):
+    """SHORT-TANDEM-REPEAT CATALOG (Tandem Repeats Finder / HipSTR
+    reference-panel shape — STR loci are the hmer family's big
+    sibling and a flow-sequencing error hotspot, cf. q13/q229): detect
+    period-2/3 tandem repeats via the classic SELF-SIMILARITY trick —
+    seq[i] == seq[i+p] flags, whose maximal runs of length L mark a
+    repeat region of length L+p with >= (L+p)/p unit copies — then
+    gaps-and-islands the flags (q211/q229 machinery), keep >= 3
+    copies, and drop degenerate homopolymer units (those belong to
+    q229).
+
+    Scale shape: per-(sequence, period) flag projection; run windows
+    partition by (sequence, period) — bounded; no joins. The flag
+    trick makes period detection a PROJECTION instead of substring
+    cross-matching."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    str_map = "ACGACGACGACGACGACGACGACGACG"
+    d = (
+        docs.where(F.length("text") >= 6)
+        .select(
+            "doc_id",
+            F.translate(F.substring("text", 1, 40), DNA_FROM, str_map).alias("seq"),
+        )
+        .select("doc_id", "seq", F.length("seq").alias("n"))
+    )
+    per = spark.createDataFrame([(2,), (3,)], ["p"]).select(
+        F.col("p").cast("int").alias("p")
+    )
+    m = (
+        d.crossJoin(F.broadcast(per))
+        .select(
+            "doc_id",
+            "seq",
+            "p",
+            F.explode(F.sequence(F.lit(1), F.col("n") - F.col("p"))).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "seq",
+            "p",
+            "pos",
+            F.when(
+                F.expr("substr(seq, CAST(pos AS INT), 1)")
+                == F.expr("substr(seq, CAST(pos + p AS INT), 1)"),
+                1,
+            )
+            .otherwise(0)
+            .alias("mt"),
+        )
+    )
+    wo = W.partitionBy("doc_id", "p").orderBy("pos")
+    flg = m.select(
+        "*",
+        F.when(
+            (F.col("pos") == 1)
+            | (F.col("mt") != F.lag("mt").over(wo))
+            | (F.lag("pos").over(wo) != F.col("pos") - 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    runs0 = flg.withColumn("rid", F.sum("brk").over(wo))
+    runs = (
+        runs0.where(F.col("mt") == 1)
+        .groupBy("doc_id", "p", "rid")
+        .agg(
+            F.max("seq").alias("seq"),
+            F.min("pos").alias("start_pos"),
+            F.count(F.lit(1)).cast("int").alias("run_len"),
+        )
+    )
+    cand = runs.select(
+        "doc_id",
+        F.col("p").alias("period"),
+        F.col("start_pos").cast("bigint").alias("start_pos"),
+        (F.col("run_len") + F.col("p")).cast("int").alias("region_len"),
+        F.expr("CAST((run_len + p) DIV p AS INT)").alias("n_copies"),
+        F.expr("substr(seq, CAST(start_pos AS INT), CAST(p AS INT))").alias("unit"),
+    ).where(F.col("n_copies") >= 3)
+    return cand.where(
+        ~((F.col("period") > 1) & (F.expr("substr(unit, 1, 1) = substr(unit, 2, 1)")))
+    )

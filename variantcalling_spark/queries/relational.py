@@ -870,3 +870,88 @@ def q196_skyline_2d(spark, sf_dir):
     return w.where(
         F.col("best_cheaper").isNull() | (F.col("psize") >= F.col("best_cheaper"))
     ).select("p_partkey", "price_c", "psize")
+
+
+@query(
+    "q252_scd2_dimension",
+    oracle="""
+WITH changes AS (
+  SELECT user_id,
+         epoch_us(ts) AS ts_us,
+         event_id,
+         CASE CAST(FLOOR(value) AS INT) % 4
+              WHEN 0 THEN 'bronze' WHEN 1 THEN 'silver'
+              WHEN 2 THEN 'gold' ELSE 'platinum' END AS tier
+  FROM events WHERE event_type IN ('signup', 'purchase')
+),
+dedup AS (
+  -- collapse consecutive same-value changes (no-op updates make no version)
+  SELECT * FROM (
+    SELECT user_id, ts_us, event_id, tier,
+           LAG(tier) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+             AS prev_tier
+    FROM changes
+  ) WHERE prev_tier IS NULL OR tier <> prev_tier
+),
+scd AS (
+  SELECT user_id, tier,
+         ts_us AS valid_from,
+         LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS valid_to,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+              AS INT) AS version
+  FROM dedup
+)
+SELECT user_id, version, tier, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM scd
+""",
+)
+def q252_scd2_dimension(spark, sf_dir):
+    """SLOWLY-CHANGING-DIMENSION TYPE 2 BUILD — the warehouse pattern
+    behind every dimension table with history (Kimball SCD2; the
+    batch twin of the results catalog's version chain,
+    pipelines/results.py): an attribute-change event stream becomes
+    validity-interval rows (valid_from / valid_to / version /
+    is_current), with NO-OP updates collapsed first so only real
+    transitions mint versions (the LAG-compare idempotence rule that
+    keeps reprocessed feeds from inflating history).
+
+    Scale shape: two windows partitioned by the dimension key — the
+    canonical distribute-by-entity pattern; no window spans the
+    table, no joins. Deterministic: (ts, event_id) total order."""
+    from pyspark.sql import Window as W
+
+    from variantcalling_spark.queries.intervals import events_points
+
+    ev = events_points(spark, sf_dir)
+    changes = ev.where(F.col("event_type").isin("signup", "purchase")).select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.element_at(
+            F.array(F.lit("bronze"), F.lit("silver"), F.lit("gold"), F.lit("platinum")),
+            (F.floor("value").cast("int") % 4) + 1,
+        ).alias("tier"),
+    )
+    wo = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    dedup = (
+        changes.withColumn("prev_tier", F.lag("tier").over(wo))
+        .where(F.col("prev_tier").isNull() | (F.col("tier") != F.col("prev_tier")))
+        .drop("prev_tier")
+    )
+    scd = dedup.select(
+        "user_id",
+        "tier",
+        F.col("ts_us").alias("valid_from"),
+        F.lead("ts_us").over(wo).alias("valid_to"),
+        F.row_number().over(wo).cast("int").alias("version"),
+    )
+    return scd.select(
+        "user_id",
+        "version",
+        "tier",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )

@@ -1732,3 +1732,105 @@ def q235_embedding_isotropy(spark, sf_dir):
             8,
         ).alias("mean_pairwise_cosine"),
     )
+
+
+@query(
+    "q251_knn_classification",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+),
+knn AS (
+  SELECT query_id, true_label, n_label, rank FROM (
+    SELECT q.vec_id AS query_id, q.label AS true_label, c.label AS n_label,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v, c.v)
+                      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+                      c.vec_id) AS INT) AS rank
+    FROM base q JOIN base c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 60
+  ) WHERE rank <= 10
+),
+votes AS (
+  SELECT query_id, true_label, n_label,
+         COUNT(*) AS n_votes, MIN(rank) AS best_rank
+  FROM knn GROUP BY query_id, true_label, n_label
+),
+pred AS (
+  SELECT query_id, true_label, n_label AS predicted
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY n_votes DESC, best_rank, n_label) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT true_label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       ROUND(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+FROM pred GROUP BY true_label
+""",
+)
+def q251_knn_classification(spark, sf_dir):
+    """kNN-CLASSIFICATION EVAL — leave-one-out 10-NN majority vote
+    over the embedding store, scored against the ground-truth label
+    column: the LABEL-QUALITY harness that tells you whether the
+    embedding space separates your classes before you trust it for
+    SemDeDup clustering (q108), hard-negative mining (q128), or
+    retrieval routing — joins the eval-harness family (recall q217,
+    nDCG q221, NMI q223). Vote tie-breaks: vote count, then best
+    (closest) rank, then label — fully deterministic.
+
+    Scale shape: the exact arm runs on a BOUNDED query sample (60
+    queries); a production-scale run swaps in the q69 bucketed
+    candidate join unchanged (the vote/accuracy algebra is identical
+    over any candidate generator)."""
+    from pyspark.sql import Window as W
+
+    from variantcalling_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").transform(managed_persist)
+    queries = emb.where(F.col("vec_id") < 60)
+    nn = cosine_topk(queries, emb, k=10).select("query_id", "cand_id", "rank")
+    lbl = emb.select("vec_id", "label")
+    knn = (
+        nn.join(
+            lbl.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")),
+            "query_id",
+        )
+        .join(
+            lbl.select(F.col("vec_id").alias("cand_id"), F.col("label").alias("n_label")),
+            "cand_id",
+        )
+    )
+    votes = knn.groupBy("query_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("n_votes"), F.min("rank").alias("best_rank")
+    )
+    pred = (
+        votes.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("n_votes").desc(), "best_rank", "n_label"
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("query_id", "true_label", F.col("n_label").alias("predicted"))
+    )
+    return pred.groupBy("true_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum(F.when(F.col("predicted") == F.col("true_label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+        F.round(
+            F.sum(F.when(F.col("predicted") == F.col("true_label"), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("accuracy"),
+    )
