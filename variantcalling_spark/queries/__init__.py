@@ -99,6 +99,7 @@ _PRIORITY = (
     "q250_str_catalog",
     "q251_knn_classification",
     "q252_scd2_dimension",
+    "q253_dbscan",
     # --- Never driver-checked (late-r5 registrations) ---
     "q184_trimmed_mean",
     "q185_kmer_spectrum",

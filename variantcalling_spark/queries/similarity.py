@@ -1834,3 +1834,197 @@ def q251_knn_classification(spark, sf_dir):
             6,
         ).alias("accuracy"),
     )
+
+
+_DBSCAN_EPS_Q = 4000       # eps = 0.04 in 1e5-quantized units
+_DBSCAN_MINPTS = 4         # neighbors within eps, INCLUDING self
+
+
+@query(
+    "q253_dbscan",
+    oracle=f"""
+WITH RECURSIVE pts AS (
+  SELECT vec_id,
+         CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 100000) AS BIGINT) AS xq,
+         CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 100000) AS BIGINT) AS yq
+  FROM embeddings
+),
+cells AS (
+  SELECT vec_id, xq, yq,
+         xq // {_DBSCAN_EPS_Q} AS cx, yq // {_DBSCAN_EPS_Q} AS cy
+  FROM pts
+),
+probes AS (
+  SELECT c.vec_id, c.xq, c.yq, c.cx + dx.d AS px, c.cy + dy.d AS py
+  FROM cells c,
+       (SELECT unnest([-1, 0, 1]) AS d) dx,
+       (SELECT unnest([-1, 0, 1]) AS d) dy
+),
+nbr AS (
+  SELECT p.vec_id AS a, b.vec_id AS b
+  FROM probes p JOIN cells b ON b.cx = p.px AND b.cy = p.py
+  WHERE b.vec_id <> p.vec_id
+    AND (p.xq - b.xq) * (p.xq - b.xq) + (p.yq - b.yq) * (p.yq - b.yq)
+        <= {_DBSCAN_EPS_Q} * {_DBSCAN_EPS_Q}
+),
+deg AS (SELECT a AS vec_id, COUNT(*) + 1 AS n_nbr FROM nbr GROUP BY a),
+core AS (
+  SELECT p.vec_id FROM pts p
+  JOIN deg d ON d.vec_id = p.vec_id
+  WHERE d.n_nbr >= {_DBSCAN_MINPTS}
+),
+ce AS (
+  SELECT n.a AS src, n.b AS dst FROM nbr n
+  JOIN core ca ON ca.vec_id = n.a
+  JOIN core cb ON cb.vec_id = n.b
+),
+closure AS (
+  SELECT vec_id AS node, vec_id AS reach FROM core
+  UNION
+  SELECT c.node, ce.dst AS reach FROM closure c JOIN ce ON ce.src = c.reach
+),
+lbl AS (SELECT node, MIN(reach) AS cluster_id FROM closure GROUP BY node),
+border AS (
+  SELECT n.a AS vec_id, MIN(l.cluster_id) AS cluster_id
+  FROM nbr n
+  JOIN lbl l ON l.node = n.b
+  WHERE n.a NOT IN (SELECT vec_id FROM core)
+  GROUP BY n.a
+),
+assigned AS (
+  SELECT node AS vec_id, cluster_id, 'core' AS role FROM lbl
+  UNION ALL
+  SELECT vec_id, cluster_id, 'border' AS role FROM border
+),
+noise AS (
+  SELECT p.vec_id FROM pts p
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM assigned)
+)
+SELECT cluster_id,
+       CAST(COUNT(*) FILTER (WHERE role = 'core') AS BIGINT) AS n_core,
+       CAST(COUNT(*) FILTER (WHERE role = 'border') AS BIGINT) AS n_border,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM assigned GROUP BY cluster_id
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS cluster_id,
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(COUNT(*) AS BIGINT)
+FROM noise
+""",
+)
+def q253_dbscan(spark, sf_dir):
+    """DBSCAN density clustering (Ester 1996 — the named clustering
+    that needs NO k and finds noise, complementing the centroid family
+    q71/q121/q158) over the first two embedding components: grid cells
+    of side eps make exact eps-neighborhood discovery an EQUI-JOIN
+    (each point probes its 9 neighbor cells — the classic spatial-join
+    banding), core points have >= minPts neighbors including self,
+    clusters are connected components of the core-core graph (the q98
+    star-contraction operator), border points attach to their minimum
+    core-neighbor cluster, the rest is noise. Output: per-cluster
+    core/border/total counts plus the noise row (cluster_id = -1).
+
+    Exactness: coordinates quantize to integers, so every distance
+    comparison is integer arithmetic — bit-identical clustering, no
+    epsilon ambiguity at the eps boundary. Scale shape: candidate
+    pairs are sum-of-cell-size^2 (density-bounded), never n^2;
+    components contract in O(log n) rounds."""
+    from variantcalling_spark.operators.dedup import star_contraction_components
+
+    eps, minpts = _DBSCAN_EPS_Q, _DBSCAN_MINPTS
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.round(F.expr("CAST(embedding[0] AS DOUBLE)") * 100000)
+        .cast("bigint")
+        .alias("xq"),
+        F.round(F.expr("CAST(embedding[1] AS DOUBLE)") * 100000)
+        .cast("bigint")
+        .alias("yq"),
+    ).transform(managed_persist)
+    cells = pts.select(
+        "vec_id",
+        "xq",
+        "yq",
+        F.expr(f"xq DIV {eps}").alias("cx"),
+        F.expr(f"yq DIV {eps}").alias("cy"),
+    ).transform(managed_persist)
+    d3 = spark.createDataFrame([(-1,), (0,), (1,)], ["d"])
+    probes = (
+        cells.crossJoin(F.broadcast(d3.select(F.col("d").alias("dx"))))
+        .crossJoin(F.broadcast(d3.select(F.col("d").alias("dy"))))
+        .select(
+            F.col("vec_id").alias("a"),
+            F.col("xq").alias("ax"),
+            F.col("yq").alias("ay"),
+            (F.col("cx") + F.col("dx")).alias("px"),
+            (F.col("cy") + F.col("dy")).alias("py"),
+        )
+    )
+    nbr = (
+        probes.join(
+            cells.select(
+                F.col("vec_id").alias("b"),
+                F.col("xq").alias("bx"),
+                F.col("yq").alias("by"),
+                F.col("cx").alias("px"),
+                F.col("cy").alias("py"),
+            ),
+            ["px", "py"],
+        )
+        .where(
+            (F.col("b") != F.col("a"))
+            & (
+                (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+                + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+                <= eps * eps
+            )
+        )
+        .select("a", "b")
+        .transform(managed_persist)
+    )
+    deg = nbr.groupBy("a").agg((F.count(F.lit(1)) + 1).alias("n_nbr"))
+    core = deg.where(F.col("n_nbr") >= minpts).select(F.col("a").alias("vec_id"))
+    core = core.transform(managed_persist)
+    ce = (
+        nbr.join(core.select(F.col("vec_id").alias("a")), "a")
+        .join(core.select(F.col("vec_id").alias("b")), "b")
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+    )
+    lbl = star_contraction_components(ce).select(
+        F.col("node").alias("vec_id"), F.col("label").alias("cluster_id")
+    )
+    # singleton cores (no core neighbor) are their own cluster
+    lbl = lbl.unionByName(
+        core.join(lbl.select("vec_id"), "vec_id", "left_anti").select(
+            "vec_id", F.col("vec_id").alias("cluster_id")
+        )
+    ).transform(managed_persist)
+    border = (
+        nbr.join(core.select(F.col("vec_id").alias("a")), "a", "left_anti")
+        .join(lbl.select(F.col("vec_id").alias("b"), "cluster_id"), "b")
+        .groupBy("a")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+        .select(F.col("a").alias("vec_id"), "cluster_id")
+    )
+    assigned = lbl.select("vec_id", "cluster_id", F.lit("core").alias("role")).unionByName(
+        border.select("vec_id", "cluster_id", F.lit("border").alias("role"))
+    ).transform(managed_persist)
+    noise_n = pts.join(assigned.select("vec_id"), "vec_id", "left_anti").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    summary = assigned.groupBy("cluster_id").agg(
+        F.sum(F.when(F.col("role") == "core", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_core"),
+        F.sum(F.when(F.col("role") == "border", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_border"),
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+    )
+    noise_row = noise_n.select(
+        F.lit(-1).cast("bigint").alias("cluster_id"),
+        F.lit(0).cast("bigint").alias("n_core"),
+        F.lit(0).cast("bigint").alias("n_border"),
+        "n_total",
+    )
+    return summary.unionByName(noise_row)
