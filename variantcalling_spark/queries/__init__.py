@@ -100,6 +100,10 @@ _PRIORITY = (
     "q251_knn_classification",
     "q252_scd2_dimension",
     "q253_dbscan",
+    "q254_community_conductance",
+    "q255_bfs_distances",
+    "q256_temporal_lookup",
+    "q257_bloom_filter",
     # --- Never driver-checked (late-r5 registrations) ---
     "q184_trimmed_mean",
     "q185_kmer_spectrum",

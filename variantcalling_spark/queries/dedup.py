@@ -2621,3 +2621,177 @@ def q242_hll_set_algebra(spark, sf_dir):
             ).alias("est_cross_source_overlap"),
         )
     )
+
+
+def _bloom_oracle_sql(m: int = 4096, k: int = 3) -> str:
+    from variantcalling_spark.operators.dedup import (
+        MERSENNE31,
+        PORTABLE_HASH_SQL,
+        _minhash_coeffs,
+    )
+
+    p = MERSENNE31
+    phash = PORTABLE_HASH_SQL.format(col="word")
+    coeffs = _minhash_coeffs(k)
+    set_bits = "\n  UNION ALL\n".join(
+        f"  SELECT (CAST({a} AS BIGINT) * v + {b}) % {p} % {m} AS bit FROM hv"
+        for a, b in coeffs
+    )
+    probe_bits = ", ".join(
+        f"(CAST({a} AS BIGINT) * v + {b}) % {p} % {m}" for a, b in coeffs
+    )
+    return f"""
+WITH members AS (
+  SELECT DISTINCT word FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    WHERE doc_id % 2 = 0
+  ) WHERE word <> ''
+),
+held AS (
+  SELECT DISTINCT word FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    WHERE doc_id % 2 = 1
+  ) WHERE word <> ''
+),
+probes0 AS (
+  SELECT h.word FROM held h
+  WHERE h.word NOT IN (SELECT word FROM members)
+  UNION ALL
+  SELECT 'xq_' || CAST(i AS VARCHAR) AS word
+  FROM unnest(generate_series(1, 2000)) AS t(i)
+),
+hv AS (SELECT word, {phash} AS v FROM members),
+bits AS (SELECT DISTINCT bit FROM (
+{set_bits}
+)),
+pv AS (SELECT word, {phash} AS v FROM probes0),
+pb AS (
+  SELECT word, unnest([{probe_bits}]) AS bit FROM pv
+),
+hit AS (
+  SELECT pb.word,
+         CAST(COUNT(*) AS BIGINT) AS n_probe_bits,
+         CAST(COUNT(b.bit) AS BIGINT) AS n_set
+  FROM pb LEFT JOIN bits b ON b.bit = pb.bit
+  GROUP BY pb.word
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+         CAST(SUM(CASE WHEN n_set = n_probe_bits THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_false_positives
+  FROM hit
+),
+fill AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bits_set FROM bits),
+nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members FROM members)
+SELECT nm.n_members, fill.n_bits_set,
+       ROUND(fill.n_bits_set / {m}.0, 6) AS fill_ratio,
+       stats.n_probes, stats.n_false_positives,
+       ROUND(stats.n_false_positives / CAST(stats.n_probes AS DOUBLE), 6)
+         AS measured_fpr,
+       ROUND(POW(fill.n_bits_set / {m}.0, {k}), 6) AS predicted_fpr
+FROM nm CROSS JOIN fill CROSS JOIN stats
+"""
+
+
+@query("q257_bloom_filter", oracle=_bloom_oracle_sql())
+def q257_bloom_filter(spark, sf_dir):
+    """BLOOM FILTER in pure SQL (m=4096 bits, k=3 portable hashes) —
+    the membership member of the sketch toolbox (cardinality q227,
+    frequency q228, similarity q66/q226): build the bit set from the
+    even-doc vocabulary, probe with held-out non-members plus
+    synthetic never-seen keys, and report the MEASURED false-positive
+    rate against the fill-ratio prediction (1-e^(-kn/m))^k ~
+    (fill)^k — the dial a 100 TB semi-join pushdown (the classic
+    Bloom-join) tunes before shipping the filter to the scan side.
+
+    Scale shape: the bit set is a DISTINCT over k row-projected
+    hashes — at most m=4096 rows on ANY corpus (the bit-array as a
+    relation); probes are a k-way explode + one equi-join against it.
+    All-integer, engine-portable — bit-exact."""
+    from variantcalling_spark.operators.dedup import (
+        MERSENNE31,
+        _minhash_coeffs,
+        portable_string_hash,
+    )
+
+    m, k = 4096, 3
+    coeffs = _minhash_coeffs(k)
+    docs = load_table(spark, sf_dir, "documents")
+
+    def vocab(parity):
+        return (
+            docs.where(F.col("doc_id") % 2 == parity)
+            .select(F.explode(F.split("text", " ")).alias("word"))
+            .where(F.col("word") != "")
+            .distinct()
+        )
+
+    members = vocab(0).transform(managed_persist)
+    held = vocab(1)
+    probes0 = held.join(members, "word", "left_anti").unionByName(
+        spark.range(1, 2001).select(
+            F.concat(F.lit("xq_"), F.col("id").cast("string")).alias("word")
+        )
+    )
+    hv = members.select(portable_string_hash(F.col("word")).alias("v"))
+    bit_rows = [
+        hv.select(
+            ((F.lit(a).cast("bigint") * F.col("v") + F.lit(b)) % MERSENNE31 % m).alias(
+                "bit"
+            )
+        )
+        for a, b in coeffs
+    ]
+    bits = bit_rows[0]
+    for r in bit_rows[1:]:
+        bits = bits.unionByName(r)
+    bits = bits.distinct().transform(managed_persist)
+    pv = probes0.select("word", portable_string_hash(F.col("word")).alias("v"))
+    pb = pv.select(
+        "word",
+        F.explode(
+            F.array(
+                *[
+                    (F.lit(a).cast("bigint") * F.col("v") + F.lit(b))
+                    % MERSENNE31
+                    % m
+                    for a, b in coeffs
+                ]
+            )
+        ).alias("bit"),
+    )
+    hit = (
+        pb.join(bits.withColumn("is_set", F.lit(1)), "bit", "left")
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probe_bits"),
+            F.sum(F.coalesce(F.col("is_set"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_set"),
+        )
+    )
+    stats = hit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum(F.when(F.col("n_set") == F.col("n_probe_bits"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_positives"),
+    )
+    fill = bits.agg(F.count(F.lit(1)).cast("bigint").alias("n_bits_set"))
+    nm = members.agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    return (
+        nm.crossJoin(fill)
+        .crossJoin(stats)
+        .select(
+            "n_members",
+            "n_bits_set",
+            F.round(F.col("n_bits_set") / float(m), 6).alias("fill_ratio"),
+            "n_probes",
+            "n_false_positives",
+            F.round(
+                F.col("n_false_positives") / F.col("n_probes").cast("double"), 6
+            ).alias("measured_fpr"),
+            F.round(F.pow(F.col("n_bits_set") / float(m), k), 6).alias(
+                "predicted_fpr"
+            ),
+        )
+    )

@@ -955,3 +955,90 @@ def q252_scd2_dimension(spark, sf_dir):
         "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+def _q256_oracle() -> str:
+    from variantcalling_spark.queries import _REGISTRY
+
+    scd = _REGISTRY["q252_scd2_dimension"].oracle
+    return f"""
+WITH scd AS ({scd}),
+ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value
+  FROM events WHERE event_type = 'click'
+),
+hit AS (
+  SELECT e.user_id, e.ts_us, e.value, s.tier
+  FROM ev e JOIN scd s
+    ON s.user_id = e.user_id
+   AND e.ts_us >= s.valid_from
+   AND (s.valid_to IS NULL OR e.ts_us < s.valid_to)
+)
+SELECT tier,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+FROM hit GROUP BY tier
+UNION ALL
+SELECT 'no_dimension_row' AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+FROM ev e
+WHERE NOT EXISTS (
+  SELECT 1 FROM scd s
+  WHERE s.user_id = e.user_id AND e.ts_us >= s.valid_from
+    AND (s.valid_to IS NULL OR e.ts_us < s.valid_to)
+)
+"""
+
+
+@query("q256_temporal_lookup", oracle=_q256_oracle())
+def q256_temporal_lookup(spark, sf_dir):
+    """POINT-IN-VALIDITY TEMPORAL LOOKUP — the canonical SCD2 consumer
+    (every fact row asks 'what was the dimension worth WHEN THIS
+    HAPPENED?'): click events joined against q252's versioned tier
+    dimension on (entity key, validity interval), open-ended current
+    rows included, with facts predating any version surfaced as
+    no_dimension_row (silently dropping them is the classic temporal
+    join bug). Output: value mass by as-was tier.
+
+    Scale shape: the join is EQUI on the entity key — per-entity
+    version chains are short, so the interval predicate is a cheap
+    residual filter on co-partitioned rows (no range-bucketing
+    needed when the entity key already bounds the candidates); both
+    aggregates are DECIMAL-exact."""
+    from variantcalling_spark.queries import _REGISTRY
+    from variantcalling_spark.queries.intervals import events_points
+
+    scd = _REGISTRY["q252_scd2_dimension"].fn(spark, sf_dir).transform(
+        managed_persist
+    )
+    ev = (
+        events_points(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select("user_id", "ts_us", "value")
+        .transform(managed_persist)
+    )
+    cond = (
+        (F.col("e.user_id") == F.col("s.user_id"))
+        & (F.col("e.ts_us") >= F.col("s.valid_from"))
+        & (F.col("s.valid_to").isNull() | (F.col("e.ts_us") < F.col("s.valid_to")))
+    )
+    hit = ev.alias("e").join(scd.alias("s"), cond).select(
+        "s.tier", "e.value"
+    )
+    matched = hit.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("value_sum"),
+    )
+    unmatched = (
+        ev.alias("e")
+        .join(scd.alias("s"), cond, "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(F.lit("no_dimension_row").alias("tier"), "n_events", "value_sum")
+    )
+    return matched.unionByName(unmatched)

@@ -2028,3 +2028,183 @@ def q253_dbscan(spark, sf_dir):
         "n_total",
     )
     return summary.unionByName(noise_row)
+
+
+def _conductance_oracle_sql() -> str:
+    return (
+        _lpa_cte_sql()
+        + """
+, m2t AS (SELECT COUNT(*) AS m2 FROM edges),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+vol AS (
+  SELECT c.community, CAST(SUM(d.d) AS BIGINT) AS vol, COUNT(*) AS n_nodes
+  FROM communities c JOIN deg d USING (node)
+  GROUP BY c.community
+),
+cut AS (
+  SELECT ca.community, CAST(COUNT(*) AS BIGINT) AS cut_edges
+  FROM edges e
+  JOIN communities ca ON ca.node = e.src
+  JOIN communities cb ON cb.node = e.dst
+  WHERE ca.community <> cb.community
+  GROUP BY ca.community
+)
+SELECT v.community,
+       CAST(v.n_nodes AS BIGINT) AS n_nodes,
+       v.vol,
+       COALESCE(c.cut_edges, 0) AS cut_edges,
+       ROUND(COALESCE(c.cut_edges, 0)
+             / CAST(LEAST(v.vol, (SELECT m2 FROM m2t) - v.vol) AS DOUBLE), 6)
+         AS conductance
+FROM vol v LEFT JOIN cut c USING (community)
+WHERE LEAST(v.vol, (SELECT m2 FROM m2t) - v.vol) > 0 AND v.n_nodes >= 2
+"""
+    )
+
+
+@query("q254_community_conductance", oracle=_conductance_oracle_sql())
+def q254_community_conductance(spark, sf_dir):
+    """COMMUNITY CONDUCTANCE — the cut-quality grade phi(S) =
+    cut(S) / min(vol(S), vol(V\\S)) for every LPA community over the
+    kNN graph: the standard 'is this cluster actually separated?'
+    metric that complements modularity (q152 asks 'better than
+    random?', conductance asks 'how leaky is the boundary?') and the
+    graders SemDeDup-style semantic curation needs before trusting
+    cluster boundaries (with q223's NMI when labels exist, this when
+    they don't).
+
+    Scale shape: shares the q151/q152 substrate — one symmetrized
+    edge table, two label joins on equi-keys, map-side-combinable
+    volume/cut aggregates; integer cut/volume ratios, single IEEE
+    division."""
+    edges, labels = _lpa_edges_and_labels(spark, sf_dir)
+    labels = managed_persist(labels.select("node", F.col("label").alias("community")))
+    m2t = edges.agg(F.count(F.lit(1)).alias("m2"))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    vol = (
+        labels.join(deg, "node")
+        .groupBy("community")
+        .agg(
+            F.sum("d").cast("bigint").alias("vol"),
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        )
+    )
+    cut = (
+        edges.join(
+            labels.select(F.col("node").alias("src"), F.col("community").alias("ca")),
+            "src",
+        )
+        .join(
+            labels.select(F.col("node").alias("dst"), F.col("community").alias("cb")),
+            "dst",
+        )
+        .where(F.col("ca") != F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cut_edges"))
+    )
+    return (
+        vol.join(cut, "community", "left")
+        .crossJoin(F.broadcast(m2t))
+        .where(
+            (F.least(F.col("vol"), F.col("m2") - F.col("vol")) > 0)
+            & (F.col("n_nodes") >= 2)
+        )
+        .select(
+            "community",
+            "n_nodes",
+            "vol",
+            F.coalesce("cut_edges", F.lit(0).cast("bigint")).alias("cut_edges"),
+            F.round(
+                F.coalesce("cut_edges", F.lit(0).cast("bigint"))
+                / F.least(F.col("vol"), F.col("m2") - F.col("vol")).cast("double"),
+                6,
+            ).alias("conductance"),
+        )
+    )
+
+
+_BFS_MAX_HOPS = 6
+
+
+def _bfs_oracle_sql() -> str:
+    knn = _knn_graph_oracle_sql()
+    return f"""
+WITH RECURSIVE knn AS (SELECT * FROM ({knn}) q0),
+e0 AS (SELECT vec_id AS src, neighbor_id AS dst FROM knn),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+  )
+),
+nodes AS (SELECT vec_id AS node FROM embeddings),
+reach AS (
+  SELECT node, 0 AS dist FROM nodes WHERE node % 100 = 0
+  UNION
+  SELECT e.dst AS node, r.dist + 1 AS dist
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.dist < {_BFS_MAX_HOPS}
+),
+best AS (SELECT node, MIN(dist) AS dist FROM reach GROUP BY node)
+SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM best GROUP BY dist
+UNION ALL
+SELECT -1 AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM nodes n WHERE n.node NOT IN (SELECT node FROM best)
+"""
+
+
+@query("q255_bfs_distances", oracle=_bfs_oracle_sql())
+def q255_bfs_distances(spark, sf_dir):
+    """BFS HOP-DISTANCE PROFILE from a seed set over the kNN graph
+    (single-source/multi-seed shortest paths, hop metric — the graph
+    family's reachability member beside PageRank q144/q186 and
+    LPA q151): how many vectors sit 1, 2, ... {max} hops from the
+    seeds (every 100th vector), and how many are unreachable within
+    the horizon — the coverage question behind graph-based
+    diversity/propagation curation (a label spreads only as far as
+    the graph reaches).
+
+    Scale shape: classic distributed frontier BFS — {max} bounded
+    rounds of (frontier JOIN edges) with min-dist folding, the q144
+    fixed-iteration pattern (driver holds only the round counter);
+    each round is one equi-join + one map-side-combinable MIN."""
+    from variantcalling_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e0 = knn_graph(emb, k=3, prefix_bits=6).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    edges = (
+        e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .transform(managed_persist)
+    )
+    nodes = emb.select(F.col("vec_id").alias("node")).transform(managed_persist)
+    seeds = nodes.where(F.col("node") % 100 == 0).select(
+        "node", F.lit(0).alias("dist")
+    )
+    # proper frontier BFS with EAGER lineage truncation per round
+    # (star_contraction's localCheckpoint recipe): each round joins
+    # ONLY the newly-reached nodes against the edge table and
+    # anti-joins already-settled nodes — per-round cost is
+    # frontier-sized, settled hop distances are final, and the DAG
+    # never deepens past one round
+    dist = seeds.localCheckpoint()
+    frontier = dist
+    for k in range(_BFS_MAX_HOPS):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(k + 1).alias("dist"))
+        )
+        frontier = nxt.localCheckpoint()
+        if not frontier.take(1):
+            break
+        dist = dist.unionByName(frontier).localCheckpoint()
+    hist = dist.groupBy("dist").agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    unreach = nodes.join(dist.select("node"), "node", "left_anti").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    ).select(F.lit(-1).alias("dist"), "n_nodes")
+    return hist.unionByName(unreach)
