@@ -104,6 +104,8 @@ _PRIORITY = (
     "q255_bfs_distances",
     "q256_temporal_lookup",
     "q257_bloom_filter",
+    "q258_rrf_hybrid_retrieval",
+    "q259_silhouette",
     # --- Never driver-checked (late-r5 registrations) ---
     "q184_trimmed_mean",
     "q185_kmer_spectrum",

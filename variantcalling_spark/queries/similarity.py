@@ -2208,3 +2208,257 @@ def q255_bfs_distances(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     ).select(F.lit(-1).alias("dist"), "n_nodes")
     return hist.unionByName(unreach)
+
+
+def _rrf_oracle_sql(kq: int = 60, topk: int = 20, qvec: int = 7) -> str:
+    return f"""
+WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS dl FROM documents),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(CAST(len(string_split(text, ' ')) AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(*) AS avgdl
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+dfreq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM toks WHERE w <> '' GROUP BY w),
+qterm AS (SELECT w AS term, df FROM dfreq WHERE df >= 5 ORDER BY df ASC, w LIMIT 1),
+tf AS (
+  SELECT t.doc_id, COUNT(*) AS tf FROM toks t JOIN qterm q ON t.w = q.term
+  GROUP BY t.doc_id
+),
+bm AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY
+           CAST(ln((n_docs - q.df + 0.5) / (q.df + 0.5) + 1)
+                * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+                AS DECIMAL(18,12)) DESC, doc_id) AS INT) AS r_bm25
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN qterm q
+),
+base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+),
+qv AS (SELECT v FROM base WHERE vec_id = {qvec}),
+ann AS (
+  SELECT c.vec_id AS doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY
+           list_dot_product(q.v, c.v)
+             / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+           c.vec_id) AS INT) AS r_ann
+  FROM base c CROSS JOIN qv q WHERE c.vec_id <> {qvec}
+),
+fused AS (
+  SELECT COALESCE(bm.doc_id, ann.doc_id) AS doc_id, bm.r_bm25, ann.r_ann,
+         (CASE WHEN bm.r_bm25 IS NOT NULL THEN 1.0 / ({kq} + bm.r_bm25) ELSE 0.0 END)
+         + (CASE WHEN ann.r_ann IS NOT NULL THEN 1.0 / ({kq} + ann.r_ann) ELSE 0.0 END)
+           AS rrf
+  FROM bm FULL OUTER JOIN ann ON ann.doc_id = bm.doc_id
+)
+SELECT doc_id, r_bm25, r_ann, ROUND(rrf, 10) AS rrf_score, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
+  FROM fused
+) WHERE rank <= {topk}
+"""
+
+
+@query("q258_rrf_hybrid_retrieval", oracle=_rrf_oracle_sql())
+def q258_rrf_hybrid_retrieval(spark, sf_dir):
+    """RECIPROCAL RANK FUSION — the standard HYBRID RETRIEVAL
+    combiner (lexical BM25 + dense ANN, fused by
+    sum 1/(60 + rank) — Cormack's RRF, what every production RAG
+    stack runs because neither ranker's scores are calibrated against
+    the other's): the rarest query term drives the q116 BM25 arm, a
+    fixed query vector drives the q68 exact-cosine arm (doc_id ==
+    vec_id — document embeddings), a FULL OUTER join preserves
+    single-arm hits, top-20 by fused score.
+
+    Scale shape: each arm keeps its own scale path (postings
+    semi-join / candidate scoring); the fusion joins two
+    top-list-sized relations. Determinism: ranks come from
+    DECIMAL-snapped scores with id tie-breaks; the fused score is a
+    two-term sum of exact reciprocals in fixed order."""
+    from pyspark.sql import Window as W
+
+    kq, topk, qvec = 60, 20, 7
+    docs = load_table(spark, sf_dir, "documents").transform(managed_persist)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    dfreq = (
+        toks.where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    qterm = (
+        dfreq.where(F.col("df") >= 5)
+        .orderBy(F.col("df").asc(), "w")
+        .limit(1)
+        .select(F.col("w").alias("term"), "df")
+    )
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size(F.split("text", " ")).cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    tf = (
+        toks.join(F.broadcast(qterm), toks.w == qterm.term)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    score = (
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    ).cast("decimal(18,12)")
+    bm = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(qterm))
+        .select("doc_id", score.alias("s"))
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("s").desc(), "doc_id"))
+            .cast("int")
+            .alias("r_bm25"),
+        )
+    )
+    from variantcalling_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # full ranking: k larger than any corpus (rank filter is a no-op)
+    ann = (
+        cosine_topk(emb.where(F.col("vec_id") == qvec), emb, k=1 << 40)
+        .select(F.col("cand_id").alias("doc_id"), F.col("rank").alias("r_ann"))
+    )
+    fused = (
+        bm.join(ann, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "r_bm25",
+            "r_ann",
+            (
+                F.coalesce(1.0 / (kq + F.col("r_bm25")), F.lit(0.0))
+                + F.coalesce(1.0 / (kq + F.col("r_ann")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    return (
+        fused.withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.col("rrf").desc(), "doc_id")).cast("int"),
+        )
+        .where(F.col("rank") <= topk)
+        .select("doc_id", "r_bm25", "r_ann", F.round("rrf", 10).alias("rrf_score"), "rank")
+    )
+
+
+@query(
+    "q259_silhouette",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS v
+  FROM embeddings WHERE vec_id < 120
+),
+pair_d AS (
+  SELECT a.vec_id AS i, a.label AS li, b.label AS lj,
+         1.0 - list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+           AS d
+  FROM base a JOIN base b ON a.vec_id <> b.vec_id
+),
+agg AS (
+  SELECT i, li, lj,
+         CAST(SUM(CAST(ROUND(d, 12) AS DECIMAL(20,12))) AS DOUBLE) AS dsum,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pair_d GROUP BY i, li, lj
+),
+a_term AS (
+  SELECT i, li, dsum / n AS a FROM agg WHERE lj = li AND n > 0
+),
+b_term AS (
+  SELECT i, MIN(dsum / n) AS b FROM agg WHERE lj <> li GROUP BY i
+),
+sil AS (
+  SELECT a.li AS label,
+         (b.b - a.a) / GREATEST(a.a, b.b) AS s
+  FROM a_term a JOIN b_term b USING (i)
+  WHERE GREATEST(a.a, b.b) > 0
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       ROUND(CAST(SUM(CAST(ROUND(s, 10) AS DECIMAL(22,10))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_silhouette
+FROM sil GROUP BY label
+""",
+)
+def q259_silhouette(spark, sf_dir):
+    """EXACT SILHOUETTE COEFFICIENT per class (Rousseeuw 1987 — the
+    geometric clustering grade completing the eval set: NMI q223
+    scores against labels, conductance q254 scores the graph cut,
+    silhouette scores the METRIC separation s = (b - a)/max(a, b)):
+    cosine-distance silhouette over a bounded sample against the
+    ground-truth labels, per-class means.
+
+    Scale discipline: silhouette is inherently all-pairs, so it runs
+    on a BOUNDED AUDIT SAMPLE (120 points — the statistic estimates
+    cluster quality, it does not need the corpus; the same
+    bounded-sample rule as q217/q251); per-(point, class) distance
+    sums are DECIMAL-snapped, a/b are single divisions, and the class
+    mean snaps again — partition-invariant. A corpus-scale variant
+    would swap exact pair distances for the q121 PQ-ADC
+    approximation unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from variantcalling_spark.operators.similarity import _cosine_arrow, _quantize
+
+    base = (
+        emb.where(F.col("vec_id") < 120)
+        .select("vec_id", "label", _quantize(F.col("embedding")).alias("v"))
+        .transform(managed_persist)
+    )
+    a = base.select(
+        F.col("vec_id").alias("i"), F.col("label").alias("li"), F.col("v").alias("va")
+    )
+    b = base.select(
+        F.col("vec_id").alias("j"), F.col("label").alias("lj"), F.col("v").alias("vb")
+    )
+    pair_d = (
+        a.join(b, F.col("i") != F.col("j"))
+        .select(
+            "i",
+            "li",
+            "lj",
+            (1.0 - _cosine_arrow()(F.col("va"), F.col("vb"))).alias("d"),
+        )
+    )
+    agg = pair_d.groupBy("i", "li", "lj").agg(
+        F.sum(F.round("d", 12).cast("decimal(20,12)")).cast("double").alias("dsum"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    ).transform(managed_persist)
+    a_term = agg.where((F.col("lj") == F.col("li")) & (F.col("n") > 0)).select(
+        "i", "li", (F.col("dsum") / F.col("n")).alias("a")
+    )
+    b_term = (
+        agg.where(F.col("lj") != F.col("li"))
+        .groupBy("i")
+        .agg(F.min(F.col("dsum") / F.col("n")).alias("b"))
+    )
+    sil = (
+        a_term.join(b_term, "i")
+        .where(F.greatest("a", "b") > 0)
+        .select(
+            F.col("li").alias("label"),
+            ((F.col("b") - F.col("a")) / F.greatest("a", "b")).alias("s"),
+        )
+    )
+    return sil.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.round(
+            F.sum(F.round("s", 10).cast("decimal(22,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_silhouette"),
+    )
