@@ -2794,3 +2794,77 @@ def q250_str_catalog(spark, sf_dir):
     return cand.where(
         ~((F.col("period") > 1) & (F.expr("substr(unit, 1, 1) = substr(unit, 2, 1)")))
     )
+
+
+@query(
+    "q261_n50_stats",
+    oracle="""
+WITH contigs AS (
+  SELECT source, doc_id, n_chars AS clen FROM documents
+),
+ranked AS (
+  SELECT source, clen,
+         SUM(clen) OVER (
+           PARTITION BY source ORDER BY clen DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(clen) OVER (PARTITION BY source) AS total,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY clen DESC, doc_id) AS rnk
+  FROM contigs
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_contigs,
+       CAST(MAX(total) AS BIGINT) AS total_bases,
+       CAST(MAX(clen) AS BIGINT) AS max_len,
+       CAST(MAX(CASE WHEN 2 * cum >= total THEN clen END) AS BIGINT) AS n50,
+       CAST(MIN(CASE WHEN 2 * cum >= total THEN rnk END) AS BIGINT) AS l50,
+       CAST(MAX(CASE WHEN 10 * cum >= 9 * total THEN clen END) AS BIGINT) AS n90
+FROM ranked
+GROUP BY source
+""",
+)
+def q261_n50_stats(spark, sf_dir):
+    """N50 / L50 / N90 ASSEMBLY-CONTIGUITY STATISTICS per source — the
+    canonical genome-assembly QC table (QUAST / assembly-stats shape):
+    N50 = the contig length at which the descending-length cumulative
+    sum first covers half the assembly; L50 = how many contigs that
+    takes; N90 the 90% analog. Document lengths stand in for contig
+    lengths, grouped per source (one assembly per source).
+
+    Scale discipline: one window over (source) ordered by length — the
+    partition key is the assembly, so no window spans more than one
+    group; all arithmetic is BIGINT-exact (`2*cum >= total` instead of
+    a float 0.5 threshold), so the result is bit-stable under any
+    partitioning; the final aggregate is 5 rows. At 100 TB the window
+    shuffles each assembly's contig list once — the minimum any exact
+    N50 needs — and conditional MAX/MIN aggregates avoid a second
+    pass."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.col("n_chars").alias("clen")
+    )
+    w_ord = (
+        W.partitionBy("source")
+        .orderBy(F.col("clen").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = docs.select(
+        "source",
+        "clen",
+        F.sum("clen").over(w_ord).alias("cum"),
+        F.sum("clen").over(W.partitionBy("source")).alias("total"),
+        F.row_number()
+        .over(W.partitionBy("source").orderBy(F.col("clen").desc(), "doc_id"))
+        .alias("rnk"),
+    )
+    half = 2 * F.col("cum") >= F.col("total")
+    ninety = 10 * F.col("cum") >= 9 * F.col("total")
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_contigs"),
+        F.max("total").cast("bigint").alias("total_bases"),
+        F.max("clen").cast("bigint").alias("max_len"),
+        F.max(F.when(half, F.col("clen"))).cast("bigint").alias("n50"),
+        F.min(F.when(half, F.col("rnk"))).cast("bigint").alias("l50"),
+        F.max(F.when(ninety, F.col("clen"))).cast("bigint").alias("n90"),
+    )

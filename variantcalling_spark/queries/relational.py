@@ -1042,3 +1042,106 @@ def q256_temporal_lookup(spark, sf_dir):
         .select(F.lit("no_dimension_row").alias("tier"), "n_events", "value_sum")
     )
     return matched.unionByName(unmatched)
+
+
+# --------------------------------------------------------------------------
+# Data-quality statistics (round 6, second half)
+# --------------------------------------------------------------------------
+# Benford first-digit probabilities, inlined as identical double literals
+# on both engines (libm log10 could differ by 1 ulp between JVM and
+# DuckDB; a shared literal table cannot).
+_BENFORD_P = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+_BENFORD_SQL_CASE = "CASE digit " + " ".join(
+    f"WHEN '{d}' THEN CAST({p!r} AS DOUBLE)" for d, p in _BENFORD_P.items()
+) + " END"
+
+
+@query(
+    "q260_benford_digit_test",
+    oracle=f"""
+WITH digits AS (
+  SELECT l_returnflag AS flag,
+         substr(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+  FROM lineitem
+  WHERE l_extendedprice >= 1
+),
+counts AS (
+  SELECT flag, digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM digits GROUP BY flag, digit
+),
+with_n AS (
+  SELECT flag, digit, n_obs,
+         SUM(n_obs) OVER (PARTITION BY flag) AS n_total,
+         {_BENFORD_SQL_CASE} AS p_exp
+  FROM counts
+),
+contrib AS (
+  SELECT flag, digit, n_obs, n_total, p_exp,
+         ROUND((n_obs - n_total * p_exp) * (n_obs - n_total * p_exp)
+               / (n_total * p_exp), 10) AS contrib
+  FROM with_n
+)
+SELECT flag, digit, n_obs,
+       ROUND(CAST(n_obs AS DOUBLE) / n_total, 6) AS p_obs,
+       ROUND(p_exp, 6) AS p_benford,
+       ROUND(CAST(SUM(CAST(contrib AS DECIMAL(22,10)))
+                  OVER (PARTITION BY flag) AS DOUBLE), 6) AS chi2_flag
+FROM contrib
+""",
+)
+def q260_benford_digit_test(spark, sf_dir):
+    """BENFORD'S-LAW FIRST-DIGIT TEST per return flag — the classic
+    numeric-data-quality / fraud screen (a synthetic-data detector in a
+    training-data pipeline: generated numbers rarely follow Benford;
+    complements the distribution-drift monitor q161 and the dispersion
+    index q178). chi-squared goodness-of-fit of the leading-digit
+    histogram against p_d = log10(1 + 1/d).
+
+    Scale discipline: one map-side digit projection + one (flag, digit)
+    groupBy (27 groups) — the fact table is touched once, everything
+    after the first aggregate is constant-size. The expected-probability
+    table is an inlined literal CASE (9 rows), not a join. chi2 is a
+    window SUM over DECIMAL-snapped contributions, so the 9-term sum is
+    summation-order independent."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    digits = li.where(F.col("l_extendedprice") >= 1).select(
+        F.col("l_returnflag").alias("flag"),
+        F.substring(
+            F.floor("l_extendedprice").cast("bigint").cast("string"), 1, 1
+        ).alias("digit"),
+    )
+    counts = digits.groupBy("flag", "digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    p_exp = F.coalesce(
+        *[
+            F.when(F.col("digit") == str(d), F.lit(p))
+            for d, p in _BENFORD_P.items()
+        ]
+    )
+    w_flag = W.partitionBy("flag")
+    with_n = counts.withColumn("n_total", F.sum("n_obs").over(w_flag)).withColumn(
+        "p_exp", p_exp
+    )
+    contrib = with_n.withColumn(
+        "contrib",
+        F.round(
+            (F.col("n_obs") - F.col("n_total") * F.col("p_exp"))
+            * (F.col("n_obs") - F.col("n_total") * F.col("p_exp"))
+            / (F.col("n_total") * F.col("p_exp")),
+            10,
+        ),
+    )
+    return contrib.select(
+        "flag",
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs").cast("double") / F.col("n_total"), 6).alias("p_obs"),
+        F.round("p_exp", 6).alias("p_benford"),
+        F.round(
+            F.sum(F.col("contrib").cast("decimal(22,10)")).over(w_flag).cast("double"),
+            6,
+        ).alias("chi2_flag"),
+    )

@@ -22,6 +22,7 @@ from variantcalling_spark.operators.ordered import (
 )
 from variantcalling_spark.queries import query
 from variantcalling_spark.queries._helpers import cnt, dec, managed_persist
+from variantcalling_spark.sources import load_table
 from variantcalling_spark.queries.intervals import events_points
 
 # Shared SQL fragment: events as extent rows (start/end in us); the span is
@@ -1089,4 +1090,62 @@ def q245_logrank_test(spark, sf_dir):
         F.round(
             F.pow(F.sum("oe").cast("double"), 2) / F.sum("var_t").cast("double"), 6
         ).alias("logrank_chi2"),
+    )
+
+
+@query(
+    "q262_markov_transitions",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type AS cur,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+trans AS (
+  SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ordered WHERE nxt IS NOT NULL
+  GROUP BY cur, nxt
+)
+SELECT cur, nxt, n,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY cur), 6) AS p
+FROM trans
+""",
+)
+def q262_markov_transitions(spark, sf_dir):
+    """FIRST-ORDER MARKOV TRANSITION MATRIX over per-user event
+    sequences — the behavioral-sequence model behind session
+    next-action prediction and synthetic-sequence QC (a learned
+    transition matrix far from uniform flags bot traffic; the
+    sequence-mining complement of the association rules q194 and the
+    sessionization stats q179). P(next | current) with deterministic
+    (ts, event_id) tie-breaks.
+
+    Scale discipline: one LEAD window partitioned by user (user
+    sequences are short and hash-partition evenly — no global sort),
+    then one (cur, nxt) groupBy whose cardinality is |event_type|^2
+    (tiny). The row-level probability is a window over the 25-row
+    transition table. Exact BIGINT counts; the single division is
+    snapped with round(, 6) on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    ordered = ev.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts_ns", "event_id"))
+        .alias("nxt"),
+    )
+    trans = (
+        ordered.where(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return trans.select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(W.partitionBy("cur")), 6
+        ).alias("p"),
     )
