@@ -2078,3 +2078,135 @@ def q127_concordance_diplotype_replay(spark, sf_dir):
         (F.col("fp_exact") - F.col("n_replay_fp")).alias("fp_final"),
         (F.col("fn_exact") - F.col("n_replay_fn")).alias("fn_final"),
     )
+
+
+_CUPED_CUT_NS = 1705363200 * 1_000_000_000  # 2024-01-16 00:00:00 UTC
+
+
+@query(
+    "q265_cuped_adjustment",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         user_id % 2 AS arm,
+         CAST(COALESCE(SUM(CASE WHEN epoch_ns(ts) < {_CUPED_CUT_NS}
+                    THEN CAST(value AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS x,
+         CAST(COALESCE(SUM(CASE WHEN epoch_ns(ts) >= {_CUPED_CUT_NS}
+                    THEN CAST(value AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS y
+  FROM events GROUP BY user_id
+),
+moments AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+  FROM per_user
+),
+theta_t AS (
+  SELECT n, sx / n AS xbar,
+         (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta
+  FROM moments
+),
+adj AS (
+  SELECT p.arm, p.y,
+         p.y - t.theta * (p.x - t.xbar) AS y_cuped,
+         t.theta
+  FROM per_user p CROSS JOIN theta_t t
+)
+SELECT CAST(arm AS BIGINT) AS arm,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(CAST(ROUND(y, 8) AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 6) AS mean_y,
+       ROUND(CAST(SUM(CAST(ROUND(y_cuped, 8) AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 6) AS mean_y_cuped,
+       ROUND(CAST(SUM(CAST(ROUND(y * y, 6) AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+             - POW(CAST(SUM(CAST(ROUND(y, 8) AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 2), 4) AS var_y,
+       ROUND(CAST(SUM(CAST(ROUND(y_cuped * y_cuped, 6) AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+             - POW(CAST(SUM(CAST(ROUND(y_cuped, 8) AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 2), 4) AS var_y_cuped,
+       ROUND(MAX(theta), 6) AS theta
+FROM adj GROUP BY arm
+""",
+)
+def q265_cuped_adjustment(spark, sf_dir):
+    """CUPED VARIANCE-REDUCED EXPERIMENT READOUT (Deng et al. 2013, the
+    controlled-experiment workhorse): per-user pre-period metric x is
+    the covariate, post-period metric y the outcome; theta = cov(x,y)/
+    var(x) fitted pooled, per-arm means reported raw and adjusted plus
+    the per-arm variance before/after — the A/B-analytics completion of
+    the testing family (Wilson q208, chi2 q166, KS q171, lift q212).
+
+    Scale discipline: one pass over events -> per-user conditional sums
+    (exact DECIMAL); the theta fit needs only 5 pooled moments (one
+    map-side-combinable aggregate, 1 row broadcast back); the adjusted
+    metric is a projection. Nothing all-pairs, nothing iterative; the
+    corpus shuffles once on user_id. Double moments are snapped
+    (round -> DECIMAL sum) so partition order cannot move a bit."""
+    ev = load_table(spark, sf_dir, "events")
+    dv = F.col("value").cast("decimal(12,2)")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts_ns") < _CUPED_CUT_NS, dv)), F.lit(0)
+        ).cast("double").alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts_ns") >= _CUPED_CUT_NS, dv)), F.lit(0)
+        ).cast("double").alias("y"),
+    ).withColumn("arm", F.col("user_id") % 2).transform(managed_persist)
+    dx = F.col("x").cast("decimal(18,2)")
+    dy = F.col("y").cast("decimal(18,2)")
+    moments = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+    )
+    theta_t = moments.select(
+        (F.col("sx") / F.col("n")).alias("xbar"),
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        ).alias("theta"),
+    )
+    adj = per_user.crossJoin(F.broadcast(theta_t)).select(
+        "arm",
+        "y",
+        (F.col("y") - F.col("theta") * (F.col("x") - F.col("xbar"))).alias("y_cuped"),
+        "theta",
+    )
+
+    def snap_mean(c, out):
+        return (
+            F.sum(F.round(F.col(c), 8).cast("decimal(30,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias(out)
+
+    def snap_sq_mean(c):
+        return F.sum(
+            F.round(F.col(c) * F.col(c), 6).cast("decimal(30,6)")
+        ).cast("double") / F.count(F.lit(1))
+
+    return adj.groupBy(F.col("arm").cast("bigint").alias("arm")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(snap_mean("y", "m"), 6).alias("mean_y"),
+        F.round(snap_mean("y_cuped", "m"), 6).alias("mean_y_cuped"),
+        F.round(
+            snap_sq_mean("y")
+            - F.pow(
+                F.sum(F.round(F.col("y"), 8).cast("decimal(30,8)")).cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ),
+            4,
+        ).alias("var_y"),
+        F.round(
+            snap_sq_mean("y_cuped")
+            - F.pow(
+                F.sum(F.round(F.col("y_cuped"), 8).cast("decimal(30,8)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                2,
+            ),
+            4,
+        ).alias("var_y_cuped"),
+        F.round(F.max("theta"), 6).alias("theta"),
+    )

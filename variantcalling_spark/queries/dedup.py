@@ -2795,3 +2795,113 @@ def q257_bloom_filter(spark, sf_dir):
             ),
         )
     )
+
+
+def _kmv_oracle_sql() -> str:
+    from variantcalling_spark.operators.dedup import PORTABLE_HASH_SQL
+
+    ph = PORTABLE_HASH_SQL.format(col="CAST(l_partkey AS VARCHAR)")
+    return f"""
+WITH hv AS (
+  SELECT DISTINCT l_returnflag AS flag, {ph} AS h
+  FROM lineitem
+),
+ranked AS (
+  SELECT flag, h,
+         ROW_NUMBER() OVER (PARTITION BY flag ORDER BY h) AS rnk
+  FROM hv
+),
+per_flag AS (
+  SELECT flag,
+         CAST(COUNT(*) AS BIGINT) AS n_exact,
+         CAST(MAX(CASE WHEN rnk = 64 THEN h END) AS BIGINT) AS kth_hash
+  FROM ranked GROUP BY flag
+),
+merged AS (
+  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rnk
+  FROM (SELECT DISTINCT h FROM hv)
+),
+global_row AS (
+  SELECT '__all__' AS flag,
+         (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) FROM hv) AS n_exact,
+         CAST(MAX(CASE WHEN rnk = 64 THEN h END) AS BIGINT) AS kth_hash
+  FROM merged
+),
+u AS (SELECT * FROM per_flag UNION ALL SELECT * FROM global_row)
+SELECT flag, n_exact, kth_hash,
+       ROUND(63.0 * 2147483647.0 / kth_hash, 4) AS kmv_estimate,
+       ROUND(ABS(63.0 * 2147483647.0 / kth_hash - n_exact) / n_exact, 6)
+         AS rel_error
+FROM u
+"""
+
+
+@query("q263_kmv_distinct", oracle=_kmv_oracle_sql())
+def q263_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values / bottom-k theta) DISTINCT-COUNT SKETCH —
+    the third mergeable cardinality sketch beside HLL (q227/q242) and
+    b-bit minhash (q226): keep the k=64 smallest hash values; estimate
+    D = (k-1) * M / h_k. The '__all__' row is computed by MERGING the
+    per-group bottom-k sets (union -> re-take bottom k), while the
+    oracle computes it directly from the full hash set — their
+    equality is the sketch's merge property made executable (the q242
+    rule applied to theta sketches).
+
+    Scale discipline: one distinct-project of (group, key) then a
+    bottom-k per group — row_number over the per-group hash order, kept
+    rows <= k per group, so the merge input is |groups| * k rows
+    regardless of corpus size. The estimate arithmetic is a single
+    division off an exact BIGINT hash. At 100 TB the sketch state per
+    group is 64 bigints — the shape that lets a 1000-executor scan
+    maintain per-partition bottom-k and merge on combine."""
+    from pyspark.sql import Window as W
+
+    from variantcalling_spark.operators.dedup import MERSENNE31, portable_string_hash
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hv = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            portable_string_hash(F.col("l_partkey").cast("string")).alias("h"),
+        )
+        .distinct()
+        .transform(managed_persist)
+    )
+    K = 64
+    ranked = hv.withColumn(
+        "rnk", F.row_number().over(W.partitionBy("flag").orderBy("h"))
+    )
+    kset = ranked.where(F.col("rnk") <= K).transform(managed_persist)
+    per_flag = ranked.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.max(F.when(F.col("rnk") == K, F.col("h"))).cast("bigint").alias("kth_hash"),
+    )
+    # merge path: union of per-group bottom-k sets -> re-rank -> bottom k
+    merged = (
+        kset.select("h")
+        .distinct()
+        .withColumn("rnk", F.row_number().over(W.orderBy("h")))
+    )
+    n_exact_all = hv.select("h").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    global_row = (
+        merged.agg(
+            F.max(F.when(F.col("rnk") == K, F.col("h")))
+            .cast("bigint")
+            .alias("kth_hash")
+        )
+        .crossJoin(F.broadcast(n_exact_all))
+        .select(F.lit("__all__").alias("flag"), "n_exact", "kth_hash")
+    )
+    u = per_flag.unionByName(global_row)
+    est = (K - 1) * F.lit(float(MERSENNE31)) / F.col("kth_hash")
+    return u.select(
+        "flag",
+        "n_exact",
+        "kth_hash",
+        F.round(est, 4).alias("kmv_estimate"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+            "rel_error"
+        ),
+    )

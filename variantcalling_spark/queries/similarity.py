@@ -2462,3 +2462,106 @@ def q259_silhouette(spark, sf_dir):
             6,
         ).alias("mean_silhouette"),
     )
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 5
+
+
+def _kcore_oracle_sql() -> str:
+    knn = _knn_graph_oracle_sql()
+    parts = [
+        f"""
+WITH knn AS (SELECT * FROM ({knn}) q0),
+sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT vec_id AS src, neighbor_id AS dst FROM knn
+    UNION ALL
+    SELECT neighbor_id AS src, vec_id AS dst FROM knn
+  ) WHERE src <> dst
+),
+alive0 AS (SELECT DISTINCT src AS node FROM sym)"""
+    ]
+    prev = "alive0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f""",
+deg{i} AS (
+  SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM sym e
+  JOIN {prev} a ON a.node = e.src
+  JOIN {prev} b ON b.node = e.dst
+  GROUP BY e.src
+),
+alive{i} AS (SELECT node FROM deg{i} WHERE deg >= {KCORE_K})"""
+        )
+        prev = f"alive{i}"
+    rows = "\n  UNION ALL\n".join(
+        f"  SELECT {i} AS round, (SELECT CAST(COUNT(*) AS BIGINT) FROM alive{i}) AS n_alive"
+        for i in range(KCORE_ROUNDS + 1)
+    )
+    parts.append(
+        f"""
+SELECT CAST(round AS INT) AS round, n_alive FROM (
+{rows}
+) t
+"""
+    )
+    return "".join(parts)
+
+
+@query("q264_kcore_peeling", oracle=_kcore_oracle_sql())
+def q264_kcore_peeling(spark, sf_dir):
+    """K-CORE PEELING over the corpus kNN graph — the density-based
+    keep-set selector completing the graph-analytics family (PageRank
+    q144 ranks by centrality, conductance q254 grades communities,
+    k-core isolates the maximal subgraph of minimum degree k — the
+    SemDeDup/D4-style 'dense semantic neighborhoods' a curation pass
+    keeps or caps). Bounded synchronous peeling: {KCORE_ROUNDS} rounds
+    of drop-degree-<k, reporting survivors per round (round 0 = all
+    nodes with an edge).
+
+    Scale discipline: the graph substrate is the adaptive-bits kNN
+    graph (pair count linear in corpus size); each peeling round is two
+    semi-join-shaped equi-joins (edges against the alive set, both
+    endpoints) + one map-side-combinable degree count, with the alive
+    set persisted per round — lineage stays bounded exactly as the BFS
+    frontier rule (q255). Rounds are a fixed budget, the convergence
+    ledger IS the output, so the plan depth is known at submit time."""
+    from variantcalling_spark.operators.similarity import adaptive_knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = adaptive_knn_graph(emb, k=3).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    # localCheckpoint, not persist: five self-referential rounds over the
+    # (already large) knn-graph plan would otherwise nest the full lineage
+    # per round -- the q255 frontier rule (truncate, then iterate).
+    sym = (
+        knn.unionByName(knn.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    alive = sym.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    ledger = [(0, alive)]
+    for i in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            sym.join(alive.withColumnRenamed("node", "src"), "src")
+            .join(alive.select(F.col("node").alias("dst")), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        )
+        alive = (
+            deg.where(F.col("deg") >= KCORE_K)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint()
+        )
+        ledger.append((i, alive))
+    rows = None
+    for i, a in ledger:
+        r = a.agg(F.count(F.lit(1)).cast("bigint").alias("n_alive")).select(
+            F.lit(i).cast("int").alias("round"), "n_alive"
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
