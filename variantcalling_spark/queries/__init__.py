@@ -59,6 +59,16 @@ _PRIORITY = (
     #   4. round-5-touched hot paths, then the round-4 block (q110-q133);
     #   5. everything else (r5-fresh rows) in module order.
     # --- New in round 6 ---
+    "q260_benford_digit_test",
+    "q261_n50_stats",
+    "q262_markov_transitions",
+    "q263_kmv_distinct",
+    "q264_kcore_peeling",
+    "q265_cuped_adjustment",
+    "q266_gopher_quality_flags",
+    "q267_ewma_smoothing",
+    "q268_liftover",
+    "q269_fellegi_sunter",
     "q213_fisher_strand",
     "q214_bqsr_table",
     "q215_rag_chunking",

@@ -2210,3 +2210,98 @@ def q265_cuped_adjustment(spark, sf_dir):
         ).alias("var_y_cuped"),
         F.round(F.max("theta"), 6).alias("theta"),
     )
+
+
+# Fellegi-Sunter field parameters: P(agree|match)=m, P(agree|unmatch)=u.
+# Agreement / disagreement log2-weights inlined as shared double literals.
+_FS_FIELDS = {
+    "digit": (0.9, 0.1),
+    "bal": (0.85, 0.2),
+    "cent": (0.8, 0.25),
+}
+_FS_W = {
+    k: (__import__("math").log2(m / u), __import__("math").log2((1 - m) / (1 - u)))
+    for k, (m, u) in _FS_FIELDS.items()
+}
+
+
+def _fs_oracle_sql() -> str:
+    terms = " + ".join(
+        f"CASE WHEN a_{k} = 1 THEN CAST({wa!r} AS DOUBLE) "
+        f"ELSE CAST({wd!r} AS DOUBLE) END"
+        for k, (wa, wd) in _FS_W.items()
+    )
+    return f"""
+WITH c AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         c_custkey % 10 AS dig,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS balb,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) % 10 AS centb
+  FROM customer
+),
+pairs AS (
+  SELECT CASE WHEN a.dig = b.dig THEN 1 ELSE 0 END AS a_digit,
+         CASE WHEN a.balb = b.balb THEN 1 ELSE 0 END AS a_bal,
+         CASE WHEN a.centb = b.centb THEN 1 ELSE 0 END AS a_cent
+  FROM c a JOIN c b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
+)
+SELECT a_digit, a_bal, a_cent,
+       ROUND({terms}, 4) AS fs_score,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs
+GROUP BY a_digit, a_bal, a_cent
+"""
+
+
+@query("q269_fellegi_sunter", oracle=_fs_oracle_sql())
+def q269_fellegi_sunter(spark, sf_dir):
+    """FELLEGI-SUNTER PROBABILISTIC RECORD LINKAGE (1969; the Splink /
+    deterministic-EM shape): candidate pairs from blocking on
+    (nation, segment), per-field agreement vector, match score
+    sum(log2(m/u)) for agreements + sum(log2((1-m)/(1-u))) for
+    disagreements, reported as the agreement-pattern x score ledger —
+    the probabilistic step ABOVE the blocking-quality audit q204 (which
+    grades candidate generation; this scores the candidates).
+
+    Scale discipline: pairs exist only inside blocks (the q204
+    substrate), so the self-join is an equi-join on the block key —
+    Sum(block^2), never corpus^2; the agreement projection and weight
+    arithmetic are map-side; output is the 8-row pattern lattice. The
+    m/u parameters are shared literals, so scores are bit-identical
+    without any float aggregation (counts are the only aggregate)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        (F.col("c_custkey") % 10).alias("dig"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("balb"),
+        (F.round(F.col("c_acctbal") * 100).cast("bigint") % 10).alias("centb"),
+    )
+    a = cust.alias("a")
+    b = cust.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.when(F.col("a.dig") == F.col("b.dig"), 1).otherwise(0).alias("a_digit"),
+        F.when(F.col("a.balb") == F.col("b.balb"), 1).otherwise(0).alias("a_bal"),
+        F.when(F.col("a.centb") == F.col("b.centb"), 1).otherwise(0).alias("a_cent"),
+    )
+    score = None
+    for k, (wa, wd) in _FS_W.items():
+        t = F.when(F.col(f"a_{k}") == 1, F.lit(wa)).otherwise(F.lit(wd))
+        score = t if score is None else score + t
+    return pairs.groupBy("a_digit", "a_bal", "a_cent").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    ).select(
+        "a_digit",
+        "a_bal",
+        "a_cent",
+        F.round(score, 4).alias("fs_score"),
+        "n_pairs",
+    )

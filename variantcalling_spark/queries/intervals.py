@@ -582,3 +582,92 @@ def q39_interval_complement(spark, sf_dir):
         )
         .where(F.col("gap_start_us").isNotNull())
     )
+
+
+@query(
+    "q268_liftover",
+    oracle=f"""
+WITH chain AS (
+  SELECT iv_id, start_us, end_us, grp, category,
+         start_us + (iv_id % 7 - 3) * {HOUR} AS dst_start
+  FROM ({SQL_IV_A}) iv
+),
+ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id % 5 AS grp FROM events),
+mapped AS (
+  SELECT c.category,
+         e.ts_us - c.start_us + c.dst_start AS dst_pos
+  FROM ev e JOIN chain c
+    ON e.grp = c.grp AND e.ts_us >= c.start_us AND e.ts_us < c.end_us
+),
+m AS (
+  SELECT category,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dst_pos) AS BIGINT) AS sum_dst_pos,
+         CAST(MIN(dst_pos) AS BIGINT) AS min_dst_pos,
+         CAST(MAX(dst_pos) AS BIGINT) AS max_dst_pos
+  FROM mapped GROUP BY category
+),
+um AS (
+  SELECT '__unmapped__' AS category,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(NULL AS BIGINT) AS sum_dst_pos,
+         CAST(NULL AS BIGINT) AS min_dst_pos,
+         CAST(NULL AS BIGINT) AS max_dst_pos
+  FROM ev e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM chain c
+    WHERE e.grp = c.grp AND e.ts_us >= c.start_us AND e.ts_us < c.end_us
+  )
+)
+SELECT * FROM m UNION ALL SELECT * FROM um
+""",
+)
+def q268_liftover(spark, sf_dir):
+    """COORDINATE LIFTOVER through a chain table (UCSC liftOver /
+    CrossMap shape, `bedtools shift` semantics per block): each chain
+    block maps its source interval to a destination offset; points
+    landing in a block are remapped pos -> pos - src_start + dst_start,
+    points outside every block are reported '__unmapped__' — the
+    assembly-migration operator the interval family was still missing
+    (annotate q30, semi q31, subtract q32 — this one REWRITES the
+    coordinate).
+
+    Scale discipline: the chain table is genome-annotation-sized
+    (thousands of blocks), so it broadcasts; the point side never
+    shuffles — plan = scan -> broadcast range join -> arithmetic
+    projection -> 5-group aggregate, plus one broadcast anti-join for
+    the unmapped ledger. The remap itself is pure int64 arithmetic.
+    All positions stay BIGINT-exact; sums stay under 2^63 by
+    construction (us-epoch * row counts)."""
+    ev = events_points(spark, sf_dir).select("event_id", "ts_us", "grp")
+    chain = intervals_a(spark).withColumn(
+        "dst_start",
+        F.col("start_us") + (F.col("iv_id") % 7 - 3) * F.lit(HOUR),
+    )
+    hit = point_in_interval_join(
+        ev, chain, "ts_us", keys=["grp"], start_col="start_us", end_col="end_us"
+    ).select(
+        "category",
+        (F.col("ts_us") - F.col("start_us") + F.col("dst_start")).alias("dst_pos"),
+    )
+    m = hit.groupBy("category").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dst_pos").cast("bigint").alias("sum_dst_pos"),
+        F.min("dst_pos").cast("bigint").alias("min_dst_pos"),
+        F.max("dst_pos").cast("bigint").alias("max_dst_pos"),
+    )
+    um = (
+        point_in_interval_join(
+            ev, chain, "ts_us", keys=["grp"], how="left_anti",
+            start_col="start_us", end_col="end_us",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.lit("__unmapped__").alias("category"),
+            "n",
+            F.lit(None).cast("bigint").alias("sum_dst_pos"),
+            F.lit(None).cast("bigint").alias("min_dst_pos"),
+            F.lit(None).cast("bigint").alias("max_dst_pos"),
+        )
+    )
+    return m.unionByName(um)

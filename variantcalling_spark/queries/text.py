@@ -3387,3 +3387,97 @@ def q249_heaps_law(spark, sf_dir):
             "heaps_k"
         ),
     )
+
+
+_GOPHER_STOPS = ("the", "a", "of", "to", "and")
+
+
+@query(
+    "q266_gopher_quality_flags",
+    oracle=f"""
+WITH ws AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+),
+feats AS (
+  SELECT doc_id, source,
+         len(w) AS n_words,
+         list_sum(list_transform(w, x -> length(x))) AS n_chars_words,
+         len(list_intersect(list_distinct(w),
+             ['{"','".join(_GOPHER_STOPS)}'])) AS n_stops,
+         len(list_filter(w, x -> length(x) <= 2)) AS n_short
+  FROM ws
+),
+flags AS (
+  SELECT source,
+         CASE WHEN n_words BETWEEN 30 AND 10000 THEN 1 ELSE 0 END AS f_wordcount,
+         CASE WHEN n_words > 0
+                   AND CAST(n_chars_words AS DOUBLE) / n_words >= 3
+                   AND CAST(n_chars_words AS DOUBLE) / n_words <= 10
+              THEN 1 ELSE 0 END AS f_meanlen,
+         CASE WHEN n_stops >= 2 THEN 1 ELSE 0 END AS f_stop,
+         CASE WHEN CAST(n_short AS DOUBLE) / n_words <= 0.1 THEN 1 ELSE 0 END AS f_short
+  FROM feats
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(f_wordcount) AS BIGINT) AS n_pass_wordcount,
+       CAST(SUM(f_meanlen) AS BIGINT) AS n_pass_meanlen,
+       CAST(SUM(f_stop) AS BIGINT) AS n_pass_stop,
+       CAST(SUM(f_short) AS BIGINT) AS n_pass_shortratio,
+       CAST(SUM(f_wordcount * f_meanlen * f_stop * f_short) AS BIGINT) AS n_pass_all
+FROM flags GROUP BY source
+""",
+)
+def q266_gopher_quality_flags(spark, sf_dir):
+    """GOPHER-RULE QUALITY FLAGS per source (Rae et al. 2021 §A1.1, the
+    rule-based pre-filter every web-scale corpus runs before model-based
+    scoring — the named-rule-set complement of the composite quality
+    score q61 and the curation funnel q99): word-count bounds, mean-
+    word-length band [3,10], minimum-stopword evidence (>= 2 distinct of
+    a 5-word set), and short-word-ratio cap, reported as a per-source
+    pass matrix.
+
+    Scale discipline: the split projects ONCE into a column and every
+    feature is a higher-order function over that array (the documented
+    q78 rule: no split-in-lambda re-evaluation); one map-side pass, one
+    20-group aggregate. Flags are exact ints; the two ratios compare
+    against DECIMAL-exact thresholds only inside a CASE, so no float
+    ever aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select("source", F.split("text", " ").alias("w"))
+    feats = ws.select(
+        "source",
+        F.size("w").alias("n_words"),
+        F.aggregate(
+            F.transform("w", lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+        ).alias("n_chars_words"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct("w"),
+                F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+            )
+        ).alias("n_stops"),
+        F.size(F.filter("w", lambda x: F.length(x) <= 2)).alias("n_short"),
+    )
+    mean_len = F.col("n_chars_words").cast("double") / F.col("n_words")
+    flags = feats.select(
+        "source",
+        F.when(F.col("n_words").between(30, 10000), 1).otherwise(0).alias("f_wordcount"),
+        F.when(
+            (F.col("n_words") > 0) & (mean_len >= 3) & (mean_len <= 10), 1
+        ).otherwise(0).alias("f_meanlen"),
+        F.when(F.col("n_stops") >= 2, 1).otherwise(0).alias("f_stop"),
+        F.when(
+            F.col("n_short").cast("double") / F.col("n_words") <= 0.1, 1
+        ).otherwise(0).alias("f_short"),
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("f_wordcount").cast("bigint").alias("n_pass_wordcount"),
+        F.sum("f_meanlen").cast("bigint").alias("n_pass_meanlen"),
+        F.sum("f_stop").cast("bigint").alias("n_pass_stop"),
+        F.sum("f_short").cast("bigint").alias("n_pass_shortratio"),
+        F.sum(
+            F.col("f_wordcount") * F.col("f_meanlen") * F.col("f_stop") * F.col("f_short")
+        ).cast("bigint").alias("n_pass_all"),
+    )

@@ -1149,3 +1149,75 @@ def q262_markov_transitions(spark, sf_dir):
             F.col("n").cast("double") / F.sum("n").over(W.partitionBy("cur")), 6
         ).alias("p"),
     )
+
+
+_EWMA_W = 8  # bounded lag window
+_EWMA_A = 0.5  # alpha: weight (1-a)^i, binary-exact literals
+
+
+@query(
+    "q267_ewma_smoothing",
+    oracle=f"""
+WITH lagged AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn_desc,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+         {", ".join(f"LAG(value, {i}) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS l{i}" for i in range(8))}
+  FROM events
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       ROUND(value, 2) AS last_value,
+       ROUND((
+         {" + ".join(f"COALESCE(l{i} * {0.5 ** i!r}, 0.0)" for i in range(8))}
+       ) / (
+         {" + ".join(f"CASE WHEN l{i} IS NOT NULL THEN {0.5 ** i!r} ELSE 0.0 END" for i in range(8))}
+       ), 6) AS ewma
+FROM lagged
+WHERE rn_desc = 1
+""",
+)
+def q267_ewma_smoothing(spark, sf_dir):
+    """EWMA SMOOTHING over per-user event streams — the time-series
+    smoother of the monitoring family (OLS trend q165, drift q161,
+    sessionization q179): exponentially weighted moving average with
+    alpha=0.5 over the last 8 observations, reported at each user's
+    most-recent event (the live 'smoothed metric now' a dashboard
+    serves).
+
+    Scale discipline: the bounded-window formulation — 8 explicit LAGs
+    instead of an unbounded running recurrence — makes the state finite
+    and the plan ONE window over (user) with no recursion; weights
+    (1-a)^i are binary-exact literals (powers of 0.5), the weighted sum
+    is a fixed-order 8-term expression, so both engines produce the
+    identical double before the final round. At 100 TB the window
+    partitions by user and never sees more than one user's history per
+    task."""
+    ev = load_table(spark, sf_dir, "events")
+    w_asc = W.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    w_desc = W.partitionBy("user_id").orderBy(
+        F.col("ts_ns").desc(), F.col("event_id").desc()
+    )
+    lags = [F.lag("value", i).over(w_asc).alias(f"l{i}") for i in range(_EWMA_W)]
+    lagged = ev.select(
+        "user_id",
+        "value",
+        F.row_number().over(w_desc).alias("rn_desc"),
+        F.count(F.lit(1)).over(W.partitionBy("user_id")).alias("n_events"),
+        *lags,
+    ).where(F.col("rn_desc") == 1)
+    num = None
+    den = None
+    for i in range(_EWMA_W):
+        wgt = F.lit(_EWMA_A ** i)
+        t = F.coalesce(F.col(f"l{i}") * wgt, F.lit(0.0))
+        d = F.when(F.col(f"l{i}").isNotNull(), wgt).otherwise(F.lit(0.0))
+        num = t if num is None else num + t
+        den = d if den is None else den + d
+    return lagged.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("value", 2).alias("last_value"),
+        F.round(num / den, 6).alias("ewma"),
+    )
