@@ -59,6 +59,11 @@ _PRIORITY = (
     #   4. round-5-touched hot paths, then the round-4 block (q110-q133);
     #   5. everything else (r5-fresh rows) in module order.
     # --- New in round 6 ---
+    "q270_sorted_neighborhood",
+    "q271_max_interval_overlap",
+    "q272_winsorized_means",
+    "q273_event_funnel",
+    "q274_retention_cohorts",
     "q260_benford_digit_test",
     "q261_n50_stats",
     "q262_markov_transitions",

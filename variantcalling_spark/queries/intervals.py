@@ -671,3 +671,68 @@ def q268_liftover(spark, sf_dir):
         )
     )
     return m.unionByName(um)
+
+
+@query(
+    "q271_max_interval_overlap",
+    oracle=f"""
+WITH iv AS ({SQL_IV_C}),
+pts AS (
+  SELECT grp, start_us AS pos, 1 AS delta FROM iv
+  UNION ALL
+  SELECT grp, end_us AS pos, -1 AS delta FROM iv
+),
+netted AS (
+  SELECT grp, pos, SUM(delta) AS net FROM pts GROUP BY grp, pos
+),
+swept AS (
+  SELECT grp, pos,
+         SUM(net) OVER (
+           PARTITION BY grp ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth
+  FROM netted
+)
+SELECT grp,
+       CAST(MAX(depth) AS BIGINT) AS max_depth,
+       CAST(COUNT(*) AS BIGINT) AS n_breakpoints,
+       CAST(MIN(CASE WHEN depth = 0 THEN pos END) AS BIGINT) AS first_gap_pos
+FROM swept GROUP BY grp
+""",
+)
+def q271_max_interval_overlap(spark, sf_dir):
+    """MAXIMUM INTERVAL OVERLAP by sweep line — `bedtools genomecov`'s
+    peak-depth statistic computed WITHOUT expanding per-base rows: each
+    interval contributes +1 at start and -1 at end, breakpoints are
+    netted per position, and a per-contig ordered cumsum is the depth
+    profile; its max is the peak pileup, the first zero-depth
+    breakpoint the first coverage gap. The missing member of the
+    interval family: merge (q42) finds the islands, covered-bases
+    (q35) the total, THIS one the depth profile's extremes.
+
+    Scale discipline: the sweep is 2 rows per interval regardless of
+    interval LENGTH (the per-base explode a naive genomecov would do is
+    the anti-pattern); netting is a map-side-combinable (grp, pos)
+    aggregate and the running sum partitions by contig — no window
+    spans more than one grp. All integer-exact."""
+    iv = intervals_c(spark)
+    pts = iv.select(
+        "grp", F.col("start_us").alias("pos"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select("grp", F.col("end_us").alias("pos"), F.lit(-1).alias("delta"))
+    )
+    netted = pts.groupBy("grp", "pos").agg(F.sum("delta").alias("net"))
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("grp")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    swept = netted.select("grp", "pos", F.sum("net").over(w).alias("depth"))
+    return swept.groupBy("grp").agg(
+        F.max("depth").cast("bigint").alias("max_depth"),
+        F.count(F.lit(1)).cast("bigint").alias("n_breakpoints"),
+        F.min(F.when(F.col("depth") == 0, F.col("pos"))).cast("bigint").alias(
+            "first_gap_pos"
+        ),
+    )

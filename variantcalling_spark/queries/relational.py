@@ -1145,3 +1145,100 @@ def q260_benford_digit_test(spark, sf_dir):
             6,
         ).alias("chi2_flag"),
     )
+
+
+@query(
+    "q272_winsorized_means",
+    oracle="""
+WITH v AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS price FROM lineitem
+),
+ranked AS (
+  SELECT flag, price,
+         ROW_NUMBER() OVER (PARTITION BY flag ORDER BY price) AS rn,
+         COUNT(*) OVER (PARTITION BY flag) AS n
+  FROM v
+),
+cuts AS (
+  SELECT flag,
+         MAX(n) AS n,
+         MAX(CASE WHEN rn = (n + 19) // 20 THEN price END) AS p05,
+         MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN price END) AS p95
+  FROM ranked GROUP BY flag
+),
+clipped AS (
+  SELECT r.flag, r.price, c.p05, c.p95,
+         GREATEST(c.p05, LEAST(r.price, c.p95)) AS wprice
+  FROM ranked r JOIN cuts c USING (flag)
+)
+SELECT flag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MAX(p05), 2) AS p05,
+       ROUND(MAX(p95), 2) AS p95,
+       ROUND(CAST(SUM(CAST(price AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS mean_raw,
+       ROUND(CAST(SUM(CAST(wprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS mean_winsorized,
+       CAST(SUM(CASE WHEN price < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+       CAST(SUM(CASE WHEN price > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high
+FROM clipped GROUP BY flag
+""",
+)
+def q272_winsorized_means(spark, sf_dir):
+    """WINSORIZED MEAN per group — the robust-aggregation companion of
+    the MAD report (q183) and weighted quantiles (q163): clip each
+    group's values at exact p05/p95 and report raw vs winsorized means
+    with clip counts (the outlier-robust metric a reward-model or
+    quality-score aggregation should publish instead of a raw mean).
+
+    Scale discipline: exact percentiles via integer-rank selection
+    ((n+19)//20 — INTEGER arithmetic, no float quantile epsilon, so
+    both engines select the identical element); one window per group +
+    one 3-row cut table joined back broadcast; means are DECIMAL-exact.
+    The window is the unavoidable exact-quantile sort, partitioned by
+    group — at 100 TB swap in the histogram-inversion percentile (q44)
+    for the approximate path, unchanged downstream."""
+    from pyspark.sql import Window as W
+
+    v = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("price")
+    )
+    ranked = v.select(
+        "flag",
+        "price",
+        F.row_number().over(W.partitionBy("flag").orderBy("price")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("flag")).alias("n"),
+    )
+    cuts = ranked.groupBy("flag").agg(
+        F.max(F.when(F.col("rn") == (F.col("n") + 19).cast("bigint") / 20, None)).alias("_drop"),
+        F.max(
+            F.when(F.col("rn") == F.floor((F.col("n") + 19) / 20), F.col("price"))
+        ).alias("p05"),
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((19 * F.col("n") + 19) / 20), F.col("price")
+            )
+        ).alias("p95"),
+    ).drop("_drop")
+    clipped = ranked.join(F.broadcast(cuts), "flag").select(
+        "flag",
+        "price",
+        "p05",
+        "p95",
+        F.greatest(F.col("p05"), F.least(F.col("price"), F.col("p95"))).alias("wprice"),
+    )
+    return clipped.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.max("p05"), 2).alias("p05"),
+        F.round(F.max("p95"), 2).alias("p95"),
+        F.round(
+            F.sum(dec("price")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_raw"),
+        F.round(
+            F.sum(dec("wprice")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_winsorized"),
+        F.sum(F.when(F.col("price") < F.col("p05"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("price") > F.col("p95"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_high"),
+    )

@@ -1221,3 +1221,181 @@ def q267_ewma_smoothing(spark, sf_dir):
         F.round("value", 2).alias("last_value"),
         F.round(num / den, 6).alias("ewma"),
     )
+
+
+@query(
+    "q273_event_funnel",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_ns(ts) AS t FROM events
+),
+s1 AS (
+  SELECT user_id, MIN(t) AS t_view FROM ev WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.t) AS t_click
+  FROM ev e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.t > s1.t_view
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.t) AS t_purchase
+  FROM ev e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.t > s2.t_click
+  GROUP BY e.user_id
+),
+counts AS (
+  SELECT 0 AS stage_ix, 'all_users' AS stage,
+         (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM ev) AS n_users
+  UNION ALL
+  SELECT 1, 'viewed', (SELECT CAST(COUNT(*) AS BIGINT) FROM s1)
+  UNION ALL
+  SELECT 2, 'clicked_after_view', (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+  UNION ALL
+  SELECT 3, 'purchased_after_click', (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)
+)
+SELECT CAST(stage_ix AS INT) AS stage_ix, stage, n_users,
+       ROUND(CAST(n_users AS DOUBLE)
+             / LAG(n_users) OVER (ORDER BY stage_ix), 6) AS conversion
+FROM counts
+""",
+)
+def q273_event_funnel(spark, sf_dir):
+    """ORDERED CONVERSION FUNNEL (view -> click -> purchase, each stage
+    strictly AFTER the previous stage's first completion) — the
+    product-analytics report sessionization q179 and the curation
+    funnel q99 both gesture at, with the strict-ordering semantic that
+    makes it a sequence operator rather than three filters: a click
+    before the first view does not count.
+
+    Scale discipline: each stage is one filtered per-user MIN + one
+    equi-join on user_id against the (shrinking) previous stage — the
+    stage tables are strictly decreasing in size, joins are
+    hash-partition-friendly on the same key, and nothing resembles a
+    per-user sort or all-events window. Output is the 4-row funnel
+    ledger; conversion is a LAG over it."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts_ns").alias("t")
+    ).transform(managed_persist)
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_view"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("t") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("t") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_purchase"))
+    )
+    rows = (
+        ev.agg(F.countDistinct("user_id").cast("bigint").alias("n_users")).select(
+            F.lit(0).cast("int").alias("stage_ix"), F.lit("all_users").alias("stage"), "n_users"
+        )
+        .unionByName(
+            s1.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+                F.lit(1).cast("int").alias("stage_ix"), F.lit("viewed").alias("stage"), "n_users"
+            )
+        )
+        .unionByName(
+            s2.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+                F.lit(2).cast("int").alias("stage_ix"),
+                F.lit("clicked_after_view").alias("stage"),
+                "n_users",
+            )
+        )
+        .unionByName(
+            s3.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+                F.lit(3).cast("int").alias("stage_ix"),
+                F.lit("purchased_after_click").alias("stage"),
+                "n_users",
+            )
+        )
+    )
+    return rows.select(
+        "stage_ix",
+        "stage",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double")
+            / F.lag("n_users").over(W.orderBy("stage_ix")),
+            6,
+        ).alias("conversion"),
+    )
+
+
+@query(
+    "q274_retention_cohorts",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, CAST(FLOOR(CAST(epoch_ns(ts) AS DOUBLE)
+        / (7.0 * 86400.0 * 1e9)) AS BIGINT) AS week
+  FROM events
+),
+first_week AS (
+  SELECT user_id, MIN(week) AS cohort FROM ev GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT e.user_id, f.cohort, e.week - f.cohort AS offset_w
+  FROM ev e JOIN first_week f USING (user_id)
+),
+cohort_size AS (
+  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_cohort FROM first_week GROUP BY cohort
+)
+SELECT a.cohort, a.offset_w,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       MAX(c.n_cohort) AS n_cohort,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(c.n_cohort), 6) AS retention
+FROM active a JOIN cohort_size c USING (cohort)
+GROUP BY a.cohort, a.offset_w
+""",
+)
+def q274_retention_cohorts(spark, sf_dir):
+    """RETENTION COHORT MATRIX — the canonical growth-analytics
+    triangle: users grouped by first-active week (cohort), per-week
+    activity re-expressed as an offset from the cohort week, retention
+    = active fraction of the cohort at each offset. Completes the
+    behavioral family (funnel q273 = ordering, sessionization q179 =
+    gaps, THIS = longevity).
+
+    Scale discipline: week bucketing is a map-side projection; the
+    cohort assignment is one per-user MIN; the activity matrix is a
+    DISTINCT on (user, cohort, offset) — all shuffles hash on user_id
+    or the tiny (cohort, offset) pair, and the cohort-size table is a
+    broadcast-scale dimension. Integer week arithmetic (floor of
+    ns/week) is exact on both engines via a double division of
+    magnitudes far below 2^53 per component."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("ts_ns").cast("double") / F.lit(7.0 * 86400.0 * 1e9))
+        .cast("bigint")
+        .alias("week"),
+    ).transform(managed_persist)
+    first_week = ev.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    active = (
+        ev.join(first_week, "user_id")
+        .select("user_id", "cohort", (F.col("week") - F.col("cohort")).alias("offset_w"))
+        .distinct()
+    )
+    cohort_size = first_week.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cohort")
+    )
+    return (
+        active.join(F.broadcast(cohort_size), "cohort")
+        .groupBy("cohort", "offset_w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active"),
+            F.max("n_cohort").alias("n_cohort"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.max("n_cohort"), 6
+            ).alias("retention"),
+        )
+    )
