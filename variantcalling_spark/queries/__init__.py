@@ -59,6 +59,11 @@ _PRIORITY = (
     #   4. round-5-touched hot paths, then the round-4 block (q110-q133);
     #   5. everything else (r5-fresh rows) in module order.
     # --- New in round 6 ---
+    "q275_wgs_uniformity_metrics",
+    "q276_depth_normalization",
+    "q277_anova_f",
+    "q278_pmi_collocations",
+    "q279_label_noise_matrix",
     "q270_sorted_neighborhood",
     "q271_max_interval_overlap",
     "q272_winsorized_means",

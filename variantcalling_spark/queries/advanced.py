@@ -2382,3 +2382,82 @@ def q270_sorted_neighborhood(spark, sf_dir):
             "hit_rate"
         ),
     )
+
+
+@query(
+    "q277_anova_f",
+    oracle="""
+WITH g AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(n_chars) AS BIGINT) AS s_g,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss_g
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(s_g) AS BIGINT) AS s,
+         CAST(SUM(ss_g) AS BIGINT) AS ss,
+         CAST(SUM(CAST(ROUND(CAST(s_g AS DOUBLE) * s_g / n_g, 6)
+                       AS DECIMAL(30,6))) AS DOUBLE) AS sum_sq_over_n
+  FROM g
+)
+SELECT k, n,
+       ROUND(sum_sq_over_n - CAST(s AS DOUBLE) * s / n, 4) AS ss_between,
+       ROUND(CAST(ss AS DOUBLE) - sum_sq_over_n, 4) AS ss_within,
+       ROUND(((sum_sq_over_n - CAST(s AS DOUBLE) * s / n) / (k - 1))
+             / ((CAST(ss AS DOUBLE) - sum_sq_over_n) / (n - k)), 6) AS f_stat,
+       ROUND((sum_sq_over_n - CAST(s AS DOUBLE) * s / n)
+             / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n), 6) AS eta_squared
+FROM tot
+""",
+)
+def q277_anova_f(spark, sf_dir):
+    """ONE-WAY ANOVA F-STATISTIC across sources (document length as the
+    response) — the k-group mean-difference test completing the
+    hypothesis-testing family (chi2 q166 = categorical, KS q171 =
+    two-sample distribution, log-rank q245 = survival, ANOVA = k-group
+    means): F = (SSB/(k-1)) / (SSW/(n-k)) plus the eta-squared effect
+    size, computed entirely from per-group (n, sum, sum-of-squares)
+    moments.
+
+    Scale discipline: the sufficient statistics are one
+    map-side-combinable aggregate (3 BIGINT-exact sums per group — the
+    lengths are ints so even sum-of-squares stays exact); the F
+    assembly is arithmetic over a k-row table. This is the canonical
+    'reduce to moments' pattern — nothing but the first aggregate ever
+    touches the corpus. The one double-precision group term
+    (s_g^2/n_g) is snapped to DECIMAL before the cross-group sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("n_chars").cast("bigint").alias("s_g"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("ss_g"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.sum("ss_g").cast("bigint").alias("ss"),
+        F.sum(
+            F.round(F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g"), 6).cast(
+                "decimal(30,6)"
+            )
+        )
+        .cast("double")
+        .alias("sum_sq_over_n"),
+    )
+    ssb = F.col("sum_sq_over_n") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ssw = F.col("ss").cast("double") - F.col("sum_sq_over_n")
+    sst = F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    return tot.select(
+        "k",
+        "n",
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6).alias(
+            "f_stat"
+        ),
+        F.round(ssb / sst, 6).alias("eta_squared"),
+    )

@@ -2868,3 +2868,174 @@ def q261_n50_stats(spark, sf_dir):
         F.min(F.when(half, F.col("rnk"))).cast("bigint").alias("l50"),
         F.max(F.when(ninety, F.col("clen"))).cast("bigint").alias("n90"),
     )
+
+
+_DEPTH_BIN_US = 600_000_000  # 10-minute "positions" on the event timeline
+
+
+@query(
+    "q275_wgs_uniformity_metrics",
+    oracle=f"""
+WITH depth AS (
+  SELECT user_id % 5 AS grp,
+         epoch_us(ts) // {_DEPTH_BIN_US} AS bin,
+         CAST(COUNT(*) AS BIGINT) AS d
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT grp, d,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY d, bin) AS rn,
+         COUNT(*) OVER (PARTITION BY grp) AS n,
+         SUM(d) OVER (PARTITION BY grp) AS total
+  FROM depth
+)
+SELECT grp,
+       CAST(MAX(n) AS BIGINT) AS n_bins,
+       ROUND(CAST(MAX(total) AS DOUBLE) / MAX(n), 6) AS mean_depth,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN d END) AS BIGINT) AS median_depth,
+       CAST(MAX(CASE WHEN rn = (n + 4) // 5 THEN d END) AS BIGINT) AS p20_depth,
+       ROUND((CAST(MAX(total) AS DOUBLE) / MAX(n))
+             / MAX(CASE WHEN rn = (n + 4) // 5 THEN d END), 6) AS fold80,
+       CAST(SUM(CASE WHEN d >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_5x,
+       CAST(SUM(CASE WHEN d >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_10x
+FROM ranked GROUP BY grp
+""",
+)
+def q275_wgs_uniformity_metrics(spark, sf_dir):
+    """COVERAGE-UNIFORMITY METRICS (Picard CollectWgsMetrics shape —
+    the fold-80 penalty report `coverage_analysis.py` renders): per
+    contig, the binned depth profile's mean, exact median, exact 20th
+    percentile, fold80 = mean/p20 (how much extra sequencing uniform
+    coverage would need), and >=5x / >=10x callable-bin counts.
+
+    Scale discipline: depth comes from a (grp, bin) COUNT — 2 integer
+    projections and one map-side-combinable aggregate, never per-base
+    rows; the exact percentiles use integer-rank selection over the
+    BINNED profile (bins-per-contig is bounded), partitioned per
+    contig. Identical rank arithmetic both engines: (n+1)//2 and
+    (n+4)//5, no float quantiles."""
+    from pyspark.sql import Window as W
+
+    ev = events_points(spark, sf_dir)
+    depth = ev.groupBy(
+        F.col("grp"), F.expr(f"ts_us DIV {_DEPTH_BIN_US}").alias("bin")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    ranked = depth.select(
+        "grp",
+        "d",
+        F.row_number().over(W.partitionBy("grp").orderBy("d", "bin")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("grp")).alias("n"),
+        F.sum("d").over(W.partitionBy("grp")).alias("total"),
+    )
+    med_rank = F.floor((F.col("n") + 1) / 2)
+    p20_rank = F.floor((F.col("n") + 4) / 5)
+    return ranked.groupBy("grp").agg(
+        F.max("n").cast("bigint").alias("n_bins"),
+        F.round(F.max("total").cast("double") / F.max("n"), 6).alias("mean_depth"),
+        F.max(F.when(F.col("rn") == med_rank, F.col("d")))
+        .cast("bigint")
+        .alias("median_depth"),
+        F.max(F.when(F.col("rn") == p20_rank, F.col("d")))
+        .cast("bigint")
+        .alias("p20_depth"),
+        F.round(
+            (F.max("total").cast("double") / F.max("n"))
+            / F.max(F.when(F.col("rn") == p20_rank, F.col("d"))),
+            6,
+        ).alias("fold80"),
+        F.sum(F.when(F.col("d") >= 5, 1).otherwise(0)).cast("bigint").alias("n_ge_5x"),
+        F.sum(F.when(F.col("d") >= 10, 1).otherwise(0)).cast("bigint").alias("n_ge_10x"),
+    )
+
+
+_DS_TARGET = 4  # target mean depth per bin
+_DS_HASH_MOD = 10_000
+
+
+@query(
+    "q276_depth_normalization",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, user_id % 5 AS grp,
+         epoch_us(ts) // {_DEPTH_BIN_US} AS bin,
+         list_reduce(list_transform(string_split(substr(md5(CAST(event_id AS VARCHAR)), 1, 8), ''),
+           c -> CAST(CASE WHEN ascii(c) >= 97 THEN ascii(c) - 87
+                ELSE ascii(c) - 48 END AS BIGINT)), (a, b) -> a * 16 + b)
+           % 2147483647 % {_DS_HASH_MOD} AS hmod
+  FROM events
+),
+depth AS (
+  SELECT grp, bin, CAST(COUNT(*) AS BIGINT) AS d FROM ev GROUP BY grp, bin
+),
+keep AS (
+  SELECT e.grp, e.bin,
+         CASE WHEN e.hmod < ({_DS_TARGET} * {_DS_HASH_MOD}) // d.d
+              THEN 1 ELSE 0 END AS kept
+  FROM ev e JOIN depth d ON e.grp = d.grp AND e.bin = d.bin
+),
+after AS (
+  SELECT grp, bin, CAST(SUM(kept) AS BIGINT) AS d_after
+  FROM keep GROUP BY grp, bin
+),
+j AS (
+  SELECT d.grp, d.d, a.d_after FROM depth d JOIN after a
+    ON a.grp = d.grp AND a.bin = d.bin
+)
+SELECT grp,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       ROUND(CAST(SUM(d) AS DOUBLE) / COUNT(*), 6) AS mean_before,
+       ROUND(CAST(SUM(d_after) AS DOUBLE) / COUNT(*), 6) AS mean_after,
+       CAST(MAX(d) AS BIGINT) AS max_before,
+       CAST(MAX(d_after) AS BIGINT) AS max_after
+FROM j GROUP BY grp
+""",
+)
+def q276_depth_normalization(spark, sf_dir):
+    """DETERMINISTIC DOWNSAMPLING TO TARGET DEPTH (samtools view -s /
+    GATK DownsampleSam shape, and equally the per-domain document
+    subsampling of a corpus-mixing pipeline q115): per (contig, bin),
+    keep each read with probability target/depth — decided by a
+    PORTABLE HASH of the read id against the per-bin threshold, so the
+    'sample' is a pure function of the data (reproducible across
+    engines, runs, and partitionings; no RNG state). Reports the
+    before/after depth profile.
+
+    Scale discipline: one depth aggregate, one equi-join of reads to
+    their bin's threshold (both sides hash on (grp, bin) — at genome
+    scale the depth table is small per contig and AQE broadcasts it),
+    one filtered re-aggregate. The keep decision is integer arithmetic
+    on an md5-derived hash — the same engine-portable hash the dedup
+    family uses."""
+    from variantcalling_spark.operators.dedup import portable_string_hash
+
+    ev = events_points(spark, sf_dir).select(
+        "event_id",
+        "grp",
+        F.expr(f"ts_us DIV {_DEPTH_BIN_US}").alias("bin"),
+        (portable_string_hash(F.col("event_id").cast("string")) % _DS_HASH_MOD).alias(
+            "hmod"
+        ),
+    ).transform(managed_persist)
+    depth = ev.groupBy("grp", "bin").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    keep = ev.join(depth, ["grp", "bin"]).select(
+        "grp",
+        "bin",
+        F.when(
+            F.col("hmod") < F.floor(F.lit(_DS_TARGET * _DS_HASH_MOD) / F.col("d")), 1
+        )
+        .otherwise(0)
+        .alias("kept"),
+    )
+    after = keep.groupBy("grp", "bin").agg(
+        F.sum("kept").cast("bigint").alias("d_after")
+    )
+    j = depth.join(after, ["grp", "bin"])
+    return j.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.round(F.sum("d").cast("double") / F.count(F.lit(1)), 6).alias("mean_before"),
+        F.round(F.sum("d_after").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_after"
+        ),
+        F.max("d").cast("bigint").alias("max_before"),
+        F.max("d_after").cast("bigint").alias("max_after"),
+    )

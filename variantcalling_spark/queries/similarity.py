@@ -2565,3 +2565,119 @@ def q264_kcore_peeling(spark, sf_dir):
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows
+
+
+@query(
+    "q279_label_noise_matrix",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+),
+knn AS (
+  SELECT query_id, true_label, n_label, rank FROM (
+    SELECT q.vec_id AS query_id, q.label AS true_label, c.label AS n_label,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v, c.v)
+                      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+                      c.vec_id) AS INT) AS rank
+    FROM base q JOIN base c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 120
+  ) WHERE rank <= 10
+),
+votes AS (
+  SELECT query_id, true_label, n_label,
+         COUNT(*) AS n_votes, MIN(rank) AS best_rank
+  FROM knn GROUP BY query_id, true_label, n_label
+),
+pred AS (
+  SELECT query_id, true_label, n_label AS predicted, n_votes
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY n_votes DESC, best_rank, n_label) AS rn
+    FROM votes
+  ) WHERE rn = 1
+),
+joint AS (
+  SELECT true_label, predicted,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN n_votes >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_confident
+  FROM pred GROUP BY true_label, predicted
+)
+SELECT true_label, predicted, n, n_confident,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY true_label), 6) AS frac_of_true,
+       CASE WHEN predicted <> true_label THEN 1 ELSE 0 END AS is_offdiag
+FROM joint
+""",
+)
+def q279_label_noise_matrix(spark, sf_dir):
+    """LABEL-NOISE JOINT MATRIX (Northcutt et al. confident-learning
+    shape): the full (given label x kNN-predicted label) joint-count
+    matrix over a bounded audit sample, with a CONFIDENT off-diagonal
+    count (>= 8 of 10 neighbor votes disagreeing with the given label
+    — the rows a cleanlab-style pipeline would flag for relabeling).
+    Extends the per-class accuracy harness (q251) to the full Q-matrix
+    a noise-rate estimate needs.
+
+    Scale shape: identical substrate to q251 (bounded exact kNN —
+    swap in the bucketed candidate generator q69 for corpus scale,
+    the vote/joint algebra is unchanged); the joint matrix is
+    |labels|^2 rows, the row-normalizer a window over that tiny
+    table. Vote tie-breaks fully deterministic (count, best rank,
+    label)."""
+    from pyspark.sql import Window as W
+
+    from variantcalling_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").transform(managed_persist)
+    queries = emb.where(F.col("vec_id") < 120)
+    nn = cosine_topk(queries, emb, k=10).select("query_id", "cand_id", "rank")
+    lbl = emb.select("vec_id", "label")
+    knn = (
+        nn.join(
+            lbl.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")),
+            "query_id",
+        )
+        .join(
+            lbl.select(F.col("vec_id").alias("cand_id"), F.col("label").alias("n_label")),
+            "cand_id",
+        )
+    )
+    votes = knn.groupBy("query_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("n_votes"), F.min("rank").alias("best_rank")
+    )
+    pred = (
+        votes.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("n_votes").desc(), "best_rank", "n_label"
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("true_label", F.col("n_label").alias("predicted"), "n_votes")
+    )
+    joint = pred.groupBy("true_label", "predicted").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("n_votes") >= 8, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_confident"),
+    )
+    return joint.select(
+        "true_label",
+        "predicted",
+        "n",
+        "n_confident",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("true_label")),
+            6,
+        ).alias("frac_of_true"),
+        F.when(F.col("predicted") != F.col("true_label"), 1).otherwise(0).alias(
+            "is_offdiag"
+        ),
+    )
