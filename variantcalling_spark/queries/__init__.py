@@ -59,6 +59,13 @@ _PRIORITY = (
     #   4. round-5-touched hot paths, then the round-4 block (q110-q133);
     #   5. everything else (r5-fresh rows) in module order.
     # --- New in round 6 ---
+    "q280_dup_ngram_fraction",
+    "q281_inverted_index",
+    "q282_skipgram_cooccurrence",
+    "q283_cusum_changepoint",
+    "q284_attribution_last_touch",
+    "q285_cochran_armitage",
+    "q286_nelson_aalen",
     "q275_wgs_uniformity_metrics",
     "q276_depth_normalization",
     "q277_anova_f",

@@ -3039,3 +3039,95 @@ def q276_depth_normalization(spark, sf_dir):
         F.max("d").cast("bigint").alias("max_before"),
         F.max("d_after").cast("bigint").alias("max_after"),
     )
+
+
+@query(
+    "q285_cochran_armitage",
+    oracle=f"""
+WITH geno AS (
+  SELECT CASE WHEN substr(seq, 1, 1) = 'G' THEN 1 ELSE 0 END
+         + CASE WHEN substr(seq, 2, 1) = 'G' THEN 1 ELSE 0 END AS g,
+         CAST(doc_id % 2 AS BIGINT) AS is_case
+  FROM ({SQL_DOCS_DNA}) d WHERE length(seq) >= 2
+),
+counts AS (
+  SELECT g,
+         CAST(SUM(is_case) AS BIGINT) AS r_g,
+         CAST(COUNT(*) AS BIGINT) AS n_g
+  FROM geno GROUP BY g
+),
+tot AS (
+  SELECT CAST(SUM(r_g) AS BIGINT) AS r,
+         CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(g * r_g) AS BIGINT) AS swr,
+         CAST(SUM(g * n_g) AS BIGINT) AS swn,
+         CAST(SUM(g * g * n_g) AS BIGINT) AS swwn
+  FROM counts
+)
+SELECT n, r,
+       CAST(n * swr - r * swn AS BIGINT) AS t_num,
+       ROUND((CAST(r AS DOUBLE) * (n - r) / n)
+             * (CAST(n AS DOUBLE) * swwn - CAST(swn AS DOUBLE) * swn), 4) AS v_scaled,
+       ROUND((CAST(n AS DOUBLE) * swr - CAST(r AS DOUBLE) * swn)
+             / sqrt((CAST(r AS DOUBLE) * (n - r) / n)
+                    * (CAST(n AS DOUBLE) * swwn - CAST(swn AS DOUBLE) * swn)), 6)
+         AS z_trend,
+       ROUND(POW(CAST(n AS DOUBLE) * swr - CAST(r AS DOUBLE) * swn, 2)
+             / ((CAST(r AS DOUBLE) * (n - r) / n)
+                * (CAST(n AS DOUBLE) * swwn - CAST(swn AS DOUBLE) * swn)), 6)
+         AS chi2_trend
+FROM tot
+""",
+)
+def q285_cochran_armitage(spark, sf_dir):
+    """COCHRAN-ARMITAGE TREND TEST — the GWAS per-variant association
+    workhorse (the additive-model test plink runs at every site; joins
+    the population-genetics stats family: HWE q153, FST q239, LD q240,
+    Tajima's D q238): dose weights w = g in (0,1,2) over genotype
+    copy-count vs case/control, T = N*Sum(w r_g) - R*Sum(w n_g),
+    Var ~ R(N-R)/N * (N*Sum(w^2 n_g) - Sum(w n_g)^2), Z = T/sqrt(V).
+
+    Scale discipline: the whole test reduces to FIVE integer moments
+    of the 3-row genotype-count table — one map-side-combinable
+    aggregate over the callset, then scalar arithmetic; at biobank
+    scale this runs per-variant as a grouped aggregate with the same
+    shape. T is reported as an exact BIGINT numerator; Z/chi2 are
+    single double expressions snapped at 6."""
+    d = docs_as_dna(spark, sf_dir).where(F.length("seq") >= 2)
+    geno = d.select(
+        (
+            F.when(F.substring("seq", 1, 1) == "G", 1).otherwise(0)
+            + F.when(F.substring("seq", 2, 1) == "G", 1).otherwise(0)
+        ).alias("g"),
+        (F.col("doc_id") % 2).cast("bigint").alias("is_case"),
+    )
+    counts = geno.groupBy("g").agg(
+        F.sum("is_case").cast("bigint").alias("r_g"),
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+    )
+    tot = counts.agg(
+        F.sum("r_g").cast("bigint").alias("r"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum(F.col("g") * F.col("r_g")).cast("bigint").alias("swr"),
+        F.sum(F.col("g") * F.col("n_g")).cast("bigint").alias("swn"),
+        F.sum(F.col("g") * F.col("g") * F.col("n_g")).cast("bigint").alias("swwn"),
+    )
+    t_num = F.col("n") * F.col("swr") - F.col("r") * F.col("swn")
+    v = (
+        F.col("r").cast("double") * (F.col("n") - F.col("r")) / F.col("n")
+    ) * (
+        F.col("n").cast("double") * F.col("swwn")
+        - F.col("swn").cast("double") * F.col("swn")
+    )
+    t_dbl = (
+        F.col("n").cast("double") * F.col("swr")
+        - F.col("r").cast("double") * F.col("swn")
+    )
+    return tot.select(
+        "n",
+        "r",
+        t_num.cast("bigint").alias("t_num"),
+        F.round(v, 4).alias("v_scaled"),
+        F.round(t_dbl / F.sqrt(v), 6).alias("z_trend"),
+        F.round(F.pow(t_dbl, 2) / v, 6).alias("chi2_trend"),
+    )

@@ -3592,3 +3592,242 @@ def q278_pmi_collocations(spark, sf_dir):
         )
         .where(F.col("rank") <= 20)
     )
+
+
+@query(
+    "q280_dup_ngram_fraction",
+    oracle="""
+WITH ws AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+),
+tri AS (
+  SELECT doc_id, source,
+         [w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
+          for i in generate_series(1, len(w) - 2)] AS t
+  FROM ws WHERE len(w) >= 3
+),
+per_doc AS (
+  SELECT doc_id, source,
+         len(t) AS n_tri,
+         len(list_distinct(t)) AS n_distinct,
+         ROUND(CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t), 8) AS frac_dup
+  FROM tri
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(frac_dup AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_dup_fraction,
+       CAST(SUM(CASE WHEN frac_dup > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over_threshold
+FROM per_doc GROUP BY source
+""",
+)
+def q280_dup_ngram_fraction(spark, sf_dir):
+    """DUPLICATE-TRIGRAM FRACTION per document (the Gopher §A1.1
+    repetition rule family: 'fraction of duplicate n-grams' — the
+    WITHIN-document repetition detector, complementing the cross-corpus
+    span dedup q114 and the top-word repetition ratio q78): per doc,
+    1 - distinct/total over word trigrams; per source, the mean and
+    the count of docs over the 0.2 removal threshold.
+
+    Scale discipline: entirely map-side per document — the trigram
+    array is a transform over the materialized split column (q78
+    rule), the dup fraction a size/array_distinct expression; only the
+    20-group summary shuffles. Per-doc fractions snap to 8 digits and
+    sum in DECIMAL."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select("source", F.split("text", " ").alias("w")).where(
+        F.size("w") >= 3
+    )
+    tri = ws.select(
+        "source",
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("w"), i),
+                F.element_at(F.col("w"), i + 1),
+                F.element_at(F.col("w"), i + 2),
+            ),
+        ).alias("t"),
+    )
+    per_doc = tri.select(
+        "source",
+        F.round(
+            (F.size("t") - F.size(F.array_distinct("t"))).cast("double")
+            / F.size("t"),
+            8,
+        ).alias("frac_dup"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum(F.col("frac_dup").cast("decimal(20,8)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_dup_fraction"),
+        F.sum(F.when(F.col("frac_dup") > 0.2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_over_threshold"),
+    )
+
+
+@query(
+    "q281_inverted_index",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+cf_t AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cf FROM toks GROUP BY term
+),
+pairs AS (
+  SELECT DISTINCT term, doc_id FROM toks
+),
+postings AS (
+  SELECT term,
+         CAST(COUNT(*) AS BIGINT) AS df,
+         array_to_string(
+           list_transform(
+             list_slice(list_sort(list(doc_id)), 1, 8),
+             x -> CAST(x AS VARCHAR)), ',') AS head_postings
+  FROM pairs GROUP BY term
+)
+SELECT p.term, p.df, c.cf, p.head_postings
+FROM postings p JOIN cf_t c USING (term)
+WHERE p.term <> ''
+""",
+)
+def q281_inverted_index(spark, sf_dir):
+    """INVERTED-INDEX CONSTRUCTION — the index-build operator under the
+    BM25 scorer (q116) and IR-eval harness (q221), made explicit:
+    per term, document frequency, collection frequency, and the head
+    of the sorted posting list (first 8 doc ids — the structure a
+    distributed index shard serializes). This is the 'build' half of
+    retrieval; q116/q221 are the 'query' half.
+
+    Scale discipline: tokenize-explode is map-side; distinct (term,
+    doc) then one groupBy term — both shuffles hash on term, which is
+    exactly how a distributed index is sharded; posting lists are
+    BOUNDED (head-8) before any driver sees them, and sort_array over
+    a collect_set touches only per-term groups. cf rides a second
+    map-side-combinable count joined on the same key (no extra corpus
+    pass at the storage layer: both aggregates scan once each, and a
+    single-pass combined agg would shuffle occurrences — the distinct
+    is what keeps the big shuffle minimal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).transform(managed_persist)
+    cf_t = toks.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("cf"))
+    pairs = toks.distinct()
+    postings = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.sort_array(F.collect_set("doc_id")), 1, 8),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("head_postings"),
+    )
+    return postings.join(cf_t, "term").where(F.col("term") != "").select(
+        "term", "df", "cf", "head_postings"
+    )
+
+
+@query(
+    "q282_skipgram_cooccurrence",
+    oracle="""
+WITH ws AS (
+  SELECT string_split(text, ' ') AS w FROM documents
+),
+pos AS (
+  SELECT w, unnest(generate_series(1, len(w))) AS i FROM ws
+),
+pairs AS (
+  SELECT w[i] AS center,
+         unnest([w[j] for j in generate_series(GREATEST(1, i - 2), LEAST(len(w), i + 2))
+                 if j <> i]) AS context
+  FROM pos
+),
+counts AS (
+  SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs GROUP BY center, context
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM counts),
+cm AS (SELECT center, CAST(SUM(n) AS BIGINT) AS n_c FROM counts GROUP BY center),
+xm AS (SELECT context, CAST(SUM(n) AS BIGINT) AS n_x FROM counts GROUP BY context)
+SELECT c.center, c.context, c.n,
+       ROUND(GREATEST(0.0,
+         ln((CAST(c.n AS DOUBLE) * t.nn) / (CAST(cm.n_c AS DOUBLE) * xm.n_x))
+         - ln(5.0)), 6) AS sppmi
+FROM counts c
+JOIN cm ON cm.center = c.center
+JOIN xm ON xm.context = c.context
+CROSS JOIN tot t
+WHERE c.n >= 100
+""",
+)
+def q282_skipgram_cooccurrence(spark, sf_dir):
+    """SKIP-GRAM CO-OCCURRENCE MATRIX with shifted positive PMI
+    (Levy & Goldberg 2014: SGNS implicitly factorizes the
+    PMI - ln(k) matrix; k=5): counts over a +-2 word window — the
+    substrate of every count-based embedding (GloVe, SVD-of-PPMI) and
+    the windowed generalization of the adjacent-pair PMI (q278).
+
+    Scale discipline: context extraction is per-position array
+    indexing over the materialized split column (q78 rule) — each
+    token emits at most 4 pairs, so the exploded volume is 4x tokens,
+    map-side; the count, the two marginals, and the scalar total are
+    all map-side-combinable aggregates keyed by vocabulary terms; the
+    PMI join probes vocabulary-sized tables on their keys. At corpus
+    scale this is one shuffle of (center, context) partial counts —
+    the canonical co-occurrence build. SPPMI is one ln over exact
+    BIGINT ratios, clamped then snapped."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select(F.split("text", " ").alias("w"))
+    pos = ws.select("w", F.explode(F.sequence(F.lit(1), F.size("w"))).alias("i"))
+    pairs = pos.select(
+        F.element_at(F.col("w"), F.col("i")).alias("center"),
+        F.explode(
+            F.transform(
+                F.filter(
+                    F.sequence(
+                        F.greatest(F.lit(1), F.col("i") - 2),
+                        F.least(F.size("w"), F.col("i") + 2),
+                    ),
+                    lambda j: j != F.col("i"),
+                ),
+                lambda j: F.element_at(F.col("w"), j),
+            )
+        ).alias("context"),
+    )
+    counts = pairs.groupBy("center", "context").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).transform(managed_persist)
+    tot = counts.agg(F.sum("n").cast("bigint").alias("nn"))
+    cm = counts.groupBy("center").agg(F.sum("n").cast("bigint").alias("n_c"))
+    xm = counts.groupBy("context").agg(F.sum("n").cast("bigint").alias("n_x"))
+    return (
+        counts.where(F.col("n") >= 100)
+        .join(F.broadcast(cm), "center")
+        .join(F.broadcast(xm), "context")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "center",
+            "context",
+            "n",
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.log(
+                        (F.col("n").cast("double") * F.col("nn"))
+                        / (F.col("n_c").cast("double") * F.col("n_x"))
+                    )
+                    - F.log(F.lit(5.0)),
+                ),
+                6,
+            ).alias("sppmi"),
+        )
+    )

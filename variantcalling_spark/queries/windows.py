@@ -1399,3 +1399,319 @@ def q274_retention_cohorts(spark, sf_dir):
             ).alias("retention"),
         )
     )
+
+
+@query(
+    "q283_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         epoch_ns(ts) // 86400000000000 AS day,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM daily GROUP BY event_type
+),
+walk AS (
+  SELECT d.event_type, d.day,
+         CAST(SUM(CAST(d.x AS DECIMAL(18,2))) OVER (
+           PARTITION BY d.event_type ORDER BY d.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           - ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.day)
+             * (s.total / s.n_days) AS cusum,
+         s.n_days, s.total
+  FROM daily d JOIN stats s USING (event_type)
+),
+ranked AS (
+  SELECT event_type, day, cusum, n_days, total,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY ROUND(ABS(cusum), 6) DESC, day) AS rn
+  FROM walk
+)
+SELECT event_type,
+       n_days,
+       ROUND(total / n_days, 6) AS daily_mean,
+       CAST(day AS BIGINT) AS changepoint_day,
+       ROUND(ABS(cusum), 6) AS max_abs_cusum
+FROM ranked WHERE rn = 1
+""",
+)
+def q283_cusum_changepoint(spark, sf_dir):
+    """CUSUM CHANGEPOINT DETECTION per event series (Page 1954 — the
+    classic mean-shift locator of pipeline monitoring: where did the
+    daily metric's level change?): the cumulative sum of deviations
+    from the series mean peaks AT the changepoint; report each
+    series' peak |CUSUM| and its day — the monitoring complement of
+    drift (q161, distributional) and EWMA (q267, smoothing).
+
+    Scale discipline: daily pre-aggregation first (map-side
+    combinable, exact DECIMAL), so the walk runs over days-per-series
+    rows, not events; the cusum is expressed as exact-decimal prefix
+    sum minus t*mean (one window per series, partitioned by series) —
+    no running double accumulation, so partitioning cannot move a
+    bit; argmax via rank over the snapped statistic with a day
+    tie-break."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("ts_ns DIV 86400000000000").alias("day"),
+    ).agg(F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("x"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.col("x").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+    w_ord = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    walk = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "n_days",
+        "total",
+        (
+            F.sum(F.col("x").cast("decimal(18,2)")).over(w_ord).cast("double")
+            - F.row_number().over(W.partitionBy("event_type").orderBy("day"))
+            * (F.col("total") / F.col("n_days"))
+        ).alias("cusum"),
+    )
+    ranked = walk.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(
+                F.round(F.abs("cusum"), 6).desc(), "day"
+            )
+        ),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "event_type",
+        "n_days",
+        F.round(F.col("total") / F.col("n_days"), 6).alias("daily_mean"),
+        F.col("day").cast("bigint").alias("changepoint_day"),
+        F.round(F.abs("cusum"), 6).alias("max_abs_cusum"),
+    )
+
+
+_ATTR_LOOKBACK_NS = 3 * 86400000000000  # 3-day attribution window
+
+
+@query(
+    "q284_attribution_last_touch",
+    oracle=f"""
+WITH purchases AS (
+  SELECT event_id, user_id, epoch_ns(ts) AS t, value
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, epoch_ns(ts) AS t_click,
+         CAST(regexp_extract(props, '[0-9]+') AS BIGINT) % 5 AS campaign
+  FROM events WHERE event_type = 'click'
+),
+touched AS (
+  SELECT p.event_id, p.value, c.campaign,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY c.t_click DESC, c.campaign) AS rn
+  FROM purchases p JOIN clicks c
+    ON c.user_id = p.user_id
+   AND c.t_click < p.t
+   AND c.t_click >= p.t - {_ATTR_LOOKBACK_NS}
+),
+attributed AS (
+  SELECT 'campaign_' || CAST(campaign AS VARCHAR) AS bucket, value
+  FROM touched WHERE rn = 1
+),
+organic AS (
+  SELECT 'organic' AS bucket, p.value
+  FROM purchases p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM clicks c
+    WHERE c.user_id = p.user_id
+      AND c.t_click < p.t AND c.t_click >= p.t - {_ATTR_LOOKBACK_NS}
+  )
+),
+u AS (SELECT * FROM attributed UNION ALL SELECT * FROM organic)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM u GROUP BY bucket
+""",
+)
+def q284_attribution_last_touch(spark, sf_dir):
+    """LAST-TOUCH ATTRIBUTION — the as-of-join business report: each
+    purchase is attributed to the user's most recent click within a
+    3-day lookback (campaign parsed from the event payload), otherwise
+    'organic'; revenue rolls up per campaign. The APPLIED form of the
+    as-of join (q36) with an anti-join residual ledger — an attribution
+    table is exactly what a training-data lineage tracker produces
+    when it assigns each derived example to its most recent upstream
+    snapshot.
+
+    Scale discipline: both sides hash on user_id; the lookback bound
+    caps the exploded candidate set per purchase before the rank
+    (bounded as-of, not unbounded history); the rn=1 window partitions
+    by purchase. The anti-join shares the join keys. Revenue is
+    DECIMAL-exact; campaign parse is one regexp on the payload —
+    map-side."""
+    ev = load_table(spark, sf_dir, "events").transform(managed_persist)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts_ns").alias("t"), "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts_ns").alias("t_click"),
+        (F.regexp_extract("props", "[0-9]+", 0).cast("bigint") % 5).alias("campaign"),
+    )
+    cond = (
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("c.t_click") < F.col("p.t"))
+        & (F.col("c.t_click") >= F.col("p.t") - _ATTR_LOOKBACK_NS)
+    )
+    touched = (
+        purchases.alias("p")
+        .join(clicks.alias("c"), cond)
+        .select(
+            "p.event_id",
+            "p.value",
+            "c.campaign",
+            F.row_number()
+            .over(
+                W.partitionBy("p.event_id").orderBy(
+                    F.col("c.t_click").desc(), "c.campaign"
+                )
+            )
+            .alias("rn"),
+        )
+    )
+    attributed = touched.where(F.col("rn") == 1).select(
+        F.concat(F.lit("campaign_"), F.col("campaign").cast("string")).alias("bucket"),
+        "value",
+    )
+    organic = (
+        purchases.alias("p")
+        .join(clicks.alias("c"), cond, "left_anti")
+        .select(F.lit("organic").alias("bucket"), "value")
+    )
+    return attributed.unionByName(organic).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("revenue"),
+    )
+
+
+@query(
+    "q286_nelson_aalen",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t1
+  FROM events GROUP BY user_id
+),
+horizon AS (SELECT MAX(epoch_us(ts)) AS tmax FROM events),
+subj AS (
+  SELECT user_id,
+         CASE WHEN t1 IS NOT NULL AND t1 > t0
+              THEN (t1 - t0) // {DAY_US} ELSE (h.tmax - t0) // {DAY_US} END
+           AS dur,
+         CASE WHEN t1 IS NOT NULL AND t1 > t0 THEN 1 ELSE 0 END AS observed
+  FROM per_user CROSS JOIN horizon h
+  WHERE t0 IS NOT NULL
+),
+h AS (
+  SELECT dur, CAST(SUM(observed) AS BIGINT) AS d,
+         COUNT(*) AS leaving
+  FROM subj GROUP BY dur
+),
+rk AS (
+  SELECT dur, d,
+         CAST(SUM(leaving) OVER (ORDER BY dur DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+  FROM h
+),
+steps AS (
+  SELECT dur, d, n_risk,
+         CAST(ROUND(CAST(d AS DOUBLE) / n_risk, 10) AS DECIMAL(18,10)) AS hstep,
+         CAST(ROUND(CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE) * n_risk), 12)
+              AS DECIMAL(20,12)) AS vstep
+  FROM rk WHERE d > 0
+)
+SELECT dur AS duration_day, n_risk, d AS n_events,
+       ROUND(CAST(SUM(hstep) OVER w AS DOUBLE), 6) AS cum_hazard,
+       ROUND(CAST(SUM(vstep) OVER w AS DOUBLE), 9) AS var_hazard,
+       ROUND(exp(-CAST(SUM(hstep) OVER w AS DOUBLE)), 6) AS fh_survival
+FROM steps
+WINDOW w AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def q286_nelson_aalen(spark, sf_dir):
+    """NELSON-AALEN CUMULATIVE HAZARD + Fleming-Harrington survival —
+    the hazard-scale counterpart of Kaplan-Meier (q206, same risk-set
+    substrate): H(t) = sum d_i/n_i over event times <= t, its
+    variance estimate sum d_i/n_i^2, and exp(-H) as the FH survival
+    curve (the small-sample-robust alternative a lifelines user
+    expects beside KM).
+
+    Scale discipline: identical shape to q206 — per-user MIN pair,
+    one duration histogram, the risk set as a reverse cumulative sum,
+    and the hazard as a forward cumulative sum of DECIMAL-snapped
+    steps (exact, order-independent); event times per cohort are
+    bounded so the unpartitioned windows run over a tiny aggregate,
+    not the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    t_us = F.expr("ts_ns DIV 1000")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", t_us)).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", t_us)).alias("t1"),
+    )
+    horizon = ev.agg(F.max(t_us).alias("tmax"))
+    observed = F.col("t1").isNotNull() & (F.col("t1") > F.col("t0"))
+    subj = (
+        per_user.where(F.col("t0").isNotNull())
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(observed, F.expr(f"(t1 - t0) DIV {DAY_US}"))
+            .otherwise(F.expr(f"(tmax - t0) DIV {DAY_US}"))
+            .alias("dur"),
+            F.when(observed, 1).otherwise(0).alias("observed"),
+        )
+    )
+    h = subj.groupBy("dur").agg(
+        F.sum("observed").cast("bigint").alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    w_desc = W.orderBy(F.col("dur").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    rk = h.select(
+        "dur", "d", F.sum("leaving").over(w_desc).cast("bigint").alias("n_risk")
+    )
+    steps = rk.where(F.col("d") > 0).select(
+        "dur",
+        "d",
+        "n_risk",
+        F.round(F.col("d").cast("double") / F.col("n_risk"), 10)
+        .cast("decimal(18,10)")
+        .alias("hstep"),
+        F.round(
+            F.col("d").cast("double") / (F.col("n_risk").cast("double") * F.col("n_risk")),
+            12,
+        )
+        .cast("decimal(20,12)")
+        .alias("vstep"),
+    )
+    w_asc = W.orderBy("dur").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return steps.select(
+        F.col("dur").alias("duration_day"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.round(F.sum("hstep").over(w_asc).cast("double"), 6).alias("cum_hazard"),
+        F.round(F.sum("vstep").over(w_asc).cast("double"), 9).alias("var_hazard"),
+        F.round(F.exp(-F.sum("hstep").over(w_asc).cast("double")), 6).alias(
+            "fh_survival"
+        ),
+    )
