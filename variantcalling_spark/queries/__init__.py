@@ -59,6 +59,11 @@ _PRIORITY = (
     #   4. round-5-touched hot paths, then the round-4 block (q110-q133);
     #   5. everything else (r5-fresh rows) in module order.
     # --- New in round 6 ---
+    "q287_seasonal_profile",
+    "q288_sprt_ledger",
+    "q289_kfold_balance_audit",
+    "q290_quantile_normalization",
+    "q291_callable_loci",
     "q280_dup_ngram_fraction",
     "q281_inverted_index",
     "q282_skipgram_cooccurrence",

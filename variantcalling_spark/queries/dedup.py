@@ -2905,3 +2905,75 @@ def q263_kmv_distinct(spark, sf_dir):
             "rel_error"
         ),
     )
+
+
+def _kfold_oracle_sql() -> str:
+    from variantcalling_spark.operators.dedup import PORTABLE_HASH_SQL
+
+    ph = PORTABLE_HASH_SQL.format(col="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH assigned AS (
+  SELECT lang, {ph} % 5 AS fold FROM documents
+),
+cells AS (
+  SELECT lang, fold, CAST(COUNT(*) AS BIGINT) AS n
+  FROM assigned GROUP BY lang, fold
+),
+per_lang AS (
+  SELECT lang,
+         CAST(SUM(n) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_folds_hit,
+         CAST(MAX(n) AS BIGINT) AS max_fold,
+         CAST(MIN(n) AS BIGINT) AS min_fold
+  FROM cells GROUP BY lang
+)
+SELECT lang, n_docs, n_folds_hit, max_fold, min_fold,
+       ROUND(CAST(max_fold AS DOUBLE) / min_fold, 6) AS imbalance,
+       ROUND(CAST(max_fold AS DOUBLE) * 5 / n_docs, 6) AS max_share_x5
+FROM per_lang
+"""
+
+
+@query("q289_kfold_balance_audit", oracle=_kfold_oracle_sql())
+def q289_kfold_balance_audit(spark, sf_dir):
+    """DETERMINISTIC K-FOLD ASSIGNMENT + BALANCE AUDIT — the
+    cross-validation prep step beside the leakage-safe split (q137)
+    and the split-integrity audit (q201): folds are a pure function
+    of the stable id (portable hash mod k=5 — reproducible across
+    engines and runs, no RNG), and the audit reports per-stratum fold
+    balance (max/min fold size, share) so a skewed stratum is caught
+    BEFORE training 5 models on it.
+
+    Scale discipline: assignment is a map-side hash projection; the
+    audit is one (stratum, fold) count then a k-row-per-stratum
+    aggregate — nothing shuffles but the tiny cell table. The same
+    hash feeds the incremental path: new documents land in stable
+    folds without touching old ones."""
+    from variantcalling_spark.operators.dedup import portable_string_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.select(
+        "lang", (portable_string_hash(F.col("doc_id").cast("string")) % 5).alias("fold")
+    )
+    cells = assigned.groupBy("lang", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    per_lang = cells.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_folds_hit"),
+        F.max("n").cast("bigint").alias("max_fold"),
+        F.min("n").cast("bigint").alias("min_fold"),
+    )
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "n_folds_hit",
+        "max_fold",
+        "min_fold",
+        F.round(F.col("max_fold").cast("double") / F.col("min_fold"), 6).alias(
+            "imbalance"
+        ),
+        F.round(F.col("max_fold").cast("double") * 5 / F.col("n_docs"), 6).alias(
+            "max_share_x5"
+        ),
+    )

@@ -3131,3 +3131,89 @@ def q285_cochran_armitage(spark, sf_dir):
         F.round(t_dbl / F.sqrt(v), 6).alias("z_trend"),
         F.round(F.pow(t_dbl, 2) / v, 6).alias("chi2_trend"),
     )
+
+
+@query(
+    "q291_callable_loci",
+    oracle=f"""
+WITH depth AS (
+  SELECT user_id % 5 AS grp,
+         epoch_us(ts) // {_DEPTH_BIN_US} AS bin,
+         CAST(COUNT(*) AS BIGINT) AS d
+  FROM events GROUP BY 1, 2
+),
+classified AS (
+  SELECT grp, bin,
+         CASE WHEN d < 2 THEN 'LOW_COVERAGE'
+              WHEN d <= 10 THEN 'CALLABLE'
+              ELSE 'EXCESSIVE_COVERAGE' END AS state
+  FROM depth
+),
+islands AS (
+  SELECT grp, state, bin,
+         bin - ROW_NUMBER() OVER (PARTITION BY grp, state ORDER BY bin) AS island
+  FROM classified
+),
+segs AS (
+  SELECT grp, state, island,
+         CAST(COUNT(*) AS BIGINT) AS seg_bins,
+         CAST(MIN(bin) AS BIGINT) AS seg_start
+  FROM islands GROUP BY grp, state, island
+)
+SELECT grp, state,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(seg_bins) AS BIGINT) AS total_bins,
+       CAST(MAX(seg_bins) AS BIGINT) AS longest_segment,
+       CAST(MIN(seg_start) AS BIGINT) AS first_segment_start
+FROM segs GROUP BY grp, state
+""",
+)
+def q291_callable_loci(spark, sf_dir):
+    """CALLABLE-LOCI SEGMENTATION (GATK CallableLoci shape — classify
+    the genome by depth, then emit RUN-LENGTH segments per state:
+    LOW_COVERAGE / CALLABLE / EXCESSIVE_COVERAGE): the classified
+    complement of the uniformity metrics (q275 grades the depth
+    distribution; this one says WHERE the genome is usable, the BED
+    file a caller consumes as its confident-region mask, cf. the
+    gVCF->HCR bed of q123).
+
+    Scale discipline: depth from a binned count (never per-base); the
+    state classification is a map-side CASE; contiguous same-state
+    runs via the gaps-and-islands idiom with the island key
+    bin - row_number PARTITIONED BY (contig, state) — coverage gaps
+    break runs automatically because missing bins shift the
+    difference; two bounded aggregates end the plan. Everything
+    integer-exact."""
+    from pyspark.sql import Window as W
+
+    ev = events_points(spark, sf_dir)
+    depth = ev.groupBy(
+        "grp", F.expr(f"ts_us DIV {_DEPTH_BIN_US}").alias("bin")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    classified = depth.select(
+        "grp",
+        "bin",
+        F.when(F.col("d") < 2, "LOW_COVERAGE")
+        .when(F.col("d") <= 10, "CALLABLE")
+        .otherwise("EXCESSIVE_COVERAGE")
+        .alias("state"),
+    )
+    islands = classified.select(
+        "grp",
+        "state",
+        "bin",
+        (
+            F.col("bin")
+            - F.row_number().over(W.partitionBy("grp", "state").orderBy("bin"))
+        ).alias("island"),
+    )
+    segs = islands.groupBy("grp", "state", "island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("seg_bins"),
+        F.min("bin").cast("bigint").alias("seg_start"),
+    )
+    return segs.groupBy("grp", "state").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum("seg_bins").cast("bigint").alias("total_bins"),
+        F.max("seg_bins").cast("bigint").alias("longest_segment"),
+        F.min("seg_start").cast("bigint").alias("first_segment_start"),
+    )

@@ -1242,3 +1242,76 @@ def q272_winsorized_means(spark, sf_dir):
         .cast("bigint")
         .alias("n_clipped_high"),
     )
+
+
+@query(
+    "q290_quantile_normalization",
+    oracle="""
+WITH ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+),
+binned AS (
+  SELECT source,
+         (100 * (rn - 1)) // n AS pct_bin,
+         n_chars
+  FROM ranked
+),
+cell AS (
+  SELECT source, pct_bin,
+         ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS m_sb
+  FROM binned GROUP BY source, pct_bin
+)
+SELECT pct_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_sources,
+       ROUND(CAST(SUM(CAST(m_sb AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6)
+         AS reference_value,
+       ROUND(MAX(m_sb) - MIN(m_sb), 6) AS cross_source_spread
+FROM cell GROUP BY pct_bin
+""",
+)
+def q290_quantile_normalization(spark, sf_dir):
+    """QUANTILE NORMALIZATION REFERENCE PROFILE (the microarray /
+    RNA-seq batch-harmonization classic — Bolstad 2003): rank each
+    group's values, bucket ranks into percentiles, and define the
+    reference distribution as the cross-group mean at each percentile
+    — the mapping table that replaces each group's p-th quantile with
+    the consensus value, removing batch effects while preserving rank
+    order. The batch-correction complement of the drift monitor
+    (q161) and ANOVA (q277).
+
+    Scale discipline: one rank window per group (the exact-quantile
+    sort, partitioned by group), integer percentile bucketing
+    ((100*(rn-1))//n — no float ranks), then two tiny aggregates
+    (group x 100 cells, then 100 rows). Per-cell means snap at 6
+    before the cross-group DECIMAL mean."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("n"),
+    )
+    binned = ranked.select(
+        "source",
+        F.floor((100 * (F.col("rn") - 1)) / F.col("n")).alias("pct_bin"),
+        "n_chars",
+    )
+    cell = binned.groupBy("source", "pct_bin").agg(
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6).alias("m_sb")
+    )
+    return cell.groupBy("pct_bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.round(
+            F.sum(F.col("m_sb").cast("decimal(20,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("reference_value"),
+        F.round(F.max("m_sb") - F.min("m_sb"), 6).alias("cross_source_spread"),
+    )

@@ -1715,3 +1715,215 @@ def q286_nelson_aalen(spark, sf_dir):
             "fh_survival"
         ),
     )
+
+
+@query(
+    "q287_seasonal_profile",
+    oracle="""
+WITH hours AS (
+  SELECT event_type,
+         (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+         value
+  FROM events
+),
+cells AS (
+  SELECT event_type, hod,
+         CAST(COUNT(*) AS BIGINT) AS n_c,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s_c,
+         CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+              AS DOUBLE) AS ss_c
+  FROM hours GROUP BY event_type, hod
+),
+tot AS (
+  SELECT event_type,
+         CAST(SUM(n_c) AS BIGINT) AS n,
+         CAST(SUM(CAST(s_c AS DECIMAL(20,2))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(ss_c AS DECIMAL(24,4))) AS DOUBLE) AS ss,
+         CAST(SUM(CAST(ROUND(s_c * s_c / n_c, 6) AS DECIMAL(30,6))) AS DOUBLE)
+           AS sum_sq_over_n
+  FROM cells GROUP BY event_type
+),
+peaks AS (
+  SELECT event_type,
+         CAST(MAX(hod) FILTER (WHERE rn_peak = 1) AS BIGINT) AS peak_hour,
+         CAST(MAX(hod) FILTER (WHERE rn_trough = 1) AS BIGINT) AS trough_hour
+  FROM (
+    SELECT event_type, hod,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+             ORDER BY ROUND(s_c / n_c, 6) DESC, hod) AS rn_peak,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+             ORDER BY ROUND(s_c / n_c, 6) ASC, hod) AS rn_trough
+    FROM cells
+  ) GROUP BY event_type
+)
+SELECT t.event_type, t.n,
+       ROUND(t.s / t.n, 6) AS grand_mean,
+       ROUND((t.sum_sq_over_n - t.s * t.s / t.n)
+             / (t.ss - t.s * t.s / t.n), 6) AS seasonal_r2,
+       p.peak_hour, p.trough_hour
+FROM tot t JOIN peaks p USING (event_type)
+""",
+)
+def q287_seasonal_profile(spark, sf_dir):
+    """HOUR-OF-DAY SEASONAL DECOMPOSITION per metric series — the
+    'is this series seasonal, and when does it peak' report (the
+    classify-before-you-model step of forecasting, and a drift
+    denoiser for the monitoring family q161/q283): seasonal R^2 =
+    between-hour sum of squares / total (exactly the ANOVA q277
+    identity applied to the hour factor) plus peak/trough hours.
+
+    Scale discipline: the corpus reduces to 24 cells x series of
+    (n, sum, sum-of-squares) in ONE map-side-combinable aggregate;
+    everything else is arithmetic over that 120-row table (windows
+    included). DECIMAL snaps at the cell boundary keep every cross-
+    cell sum order-independent; peak selection ranks the SNAPPED
+    hourly means with an hour tie-break."""
+    ev = load_table(spark, sf_dir, "events")
+    dv = F.col("value").cast("decimal(12,2)")
+    cells = ev.groupBy(
+        "event_type", (F.expr("ts_ns DIV 3600000000000") % 24).alias("hod")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_c"),
+        F.sum(dv).cast("double").alias("s_c"),
+        F.sum(dv * dv).cast("double").alias("ss_c"),
+    ).transform(managed_persist)
+    tot = cells.groupBy("event_type").agg(
+        F.sum("n_c").cast("bigint").alias("n"),
+        F.sum(F.col("s_c").cast("decimal(20,2)")).cast("double").alias("s"),
+        F.sum(F.col("ss_c").cast("decimal(24,4)")).cast("double").alias("ss"),
+        F.sum(
+            F.round(F.col("s_c") * F.col("s_c") / F.col("n_c"), 6).cast(
+                "decimal(30,6)"
+            )
+        )
+        .cast("double")
+        .alias("sum_sq_over_n"),
+    )
+    hourly_mean = F.round(F.col("s_c") / F.col("n_c"), 6)
+    ranked = cells.select(
+        "event_type",
+        "hod",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy(hourly_mean.desc(), "hod"))
+        .alias("rn_peak"),
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy(hourly_mean.asc(), "hod"))
+        .alias("rn_trough"),
+    )
+    peaks = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn_peak") == 1, F.col("hod"))).cast("bigint").alias("peak_hour"),
+        F.max(F.when(F.col("rn_trough") == 1, F.col("hod"))).cast("bigint").alias("trough_hour"),
+    )
+    ssb = F.col("sum_sq_over_n") - F.col("s") * F.col("s") / F.col("n")
+    sst = F.col("ss") - F.col("s") * F.col("s") / F.col("n")
+    return tot.join(peaks, "event_type").select(
+        "event_type",
+        "n",
+        F.round(F.col("s") / F.col("n"), 6).alias("grand_mean"),
+        F.round(ssb / sst, 6).alias("seasonal_r2"),
+        "peak_hour",
+        "trough_hour",
+    )
+
+
+_SPRT_P0 = 0.18
+_SPRT_P1 = 0.22
+_SPRT_LA = __import__("math").log(_SPRT_P1 / _SPRT_P0)          # success step
+_SPRT_LB = __import__("math").log((1 - _SPRT_P1) / (1 - _SPRT_P0))  # failure step
+_SPRT_THRESH = __import__("math").log(19.0)  # alpha = beta = 0.05
+
+
+@query(
+    "q288_sprt_ledger",
+    oracle=f"""
+WITH obs AS (
+  SELECT user_id % 2 AS arm,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x,
+         ROW_NUMBER() OVER (PARTITION BY user_id % 2
+                            ORDER BY epoch_ns(ts), event_id) AS t,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id % 2 ORDER BY epoch_ns(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM events
+),
+walk AS (
+  SELECT arm, t, s,
+         s * CAST({_SPRT_LA!r} AS DOUBLE)
+         + (t - s) * CAST({_SPRT_LB!r} AS DOUBLE) AS llr
+  FROM obs
+)
+SELECT CAST(arm AS BIGINT) AS arm,
+       CAST(MAX(t) AS BIGINT) AS n_obs,
+       CAST(MAX(s) AS BIGINT) AS n_success,
+       ROUND(MAX(CASE WHEN t = (SELECT MAX(t) FROM walk w2 WHERE w2.arm = walk.arm)
+                 THEN llr END), 6) AS final_llr,
+       CAST(MIN(CASE WHEN llr >= CAST({_SPRT_THRESH!r} AS DOUBLE) THEN t END) AS BIGINT)
+         AS first_cross_hi,
+       CAST(MIN(CASE WHEN llr <= -CAST({_SPRT_THRESH!r} AS DOUBLE) THEN t END) AS BIGINT)
+         AS first_cross_lo,
+       CASE
+         WHEN COALESCE(MIN(CASE WHEN llr >= CAST({_SPRT_THRESH!r} AS DOUBLE) THEN t END), 9223372036854775807)
+              < COALESCE(MIN(CASE WHEN llr <= -CAST({_SPRT_THRESH!r} AS DOUBLE) THEN t END), 9223372036854775807)
+           THEN 'accept_h1'
+         WHEN COALESCE(MIN(CASE WHEN llr <= -CAST({_SPRT_THRESH!r} AS DOUBLE) THEN t END), 9223372036854775807)
+              < COALESCE(MIN(CASE WHEN llr >= CAST({_SPRT_THRESH!r} AS DOUBLE) THEN t END), 9223372036854775807)
+           THEN 'accept_h0'
+         ELSE 'continue'
+       END AS decision
+FROM walk GROUP BY arm
+""",
+)
+def q288_sprt_ledger(spark, sf_dir):
+    """SPRT SEQUENTIAL TEST LEDGER (Wald 1945 — the always-valid
+    sequential complement of the fixed-horizon A/B family
+    q208/q265): per arm, the log-likelihood-ratio walk for
+    H1: p=0.22 vs H0: p=0.18 over the time-ordered success stream,
+    its first boundary crossing (ln 19 for alpha=beta=0.05) and the
+    stop decision a sequential monitor would have taken.
+
+    Scale discipline: the LLR at step t has the CLOSED FORM
+    s_t*ln(p1/p0) + (t-s_t)*ln(q1/q0) — so the walk needs only an
+    integer cumulative-success window (exact any partitioning), never
+    a floating cumsum; one window per arm ordered by time + one 2-row
+    aggregate. The boundary scan is a conditional MIN, not a loop.
+    Step literals are shared Python-formatted doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    w_ord = W.partitionBy("arm").orderBy("ts_ns", "event_id")
+    obs = ev.select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
+        "ts_ns",
+        "event_id",
+    ).select(
+        "arm",
+        F.row_number().over(w_ord).alias("t"),
+        F.sum("x").over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("s"),
+    )
+    llr = F.col("s") * F.lit(_SPRT_LA) + (F.col("t") - F.col("s")) * F.lit(_SPRT_LB)
+    walk = obs.select("arm", "t", "s", llr.alias("llr")).transform(managed_persist)
+    n_max = walk.groupBy("arm").agg(F.max("t").alias("t_max"))
+    big = F.lit(9223372036854775807)
+    hi = F.min(F.when(F.col("llr") >= _SPRT_THRESH, F.col("t")))
+    lo = F.min(F.when(F.col("llr") <= -_SPRT_THRESH, F.col("t")))
+    agg = walk.join(F.broadcast(n_max), "arm").groupBy("arm").agg(
+        F.max("t").cast("bigint").alias("n_obs"),
+        F.max("s").cast("bigint").alias("n_success"),
+        F.round(
+            F.max(F.when(F.col("t") == F.col("t_max"), F.col("llr"))), 6
+        ).alias("final_llr"),
+        hi.cast("bigint").alias("first_cross_hi"),
+        lo.cast("bigint").alias("first_cross_lo"),
+        F.when(F.coalesce(hi, big) < F.coalesce(lo, big), "accept_h1")
+        .when(F.coalesce(lo, big) < F.coalesce(hi, big), "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )
+    return agg.select(
+        F.col("arm").cast("bigint").alias("arm"),
+        "n_obs",
+        "n_success",
+        "final_llr",
+        "first_cross_hi",
+        "first_cross_lo",
+        "decision",
+    )
