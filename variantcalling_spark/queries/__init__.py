@@ -74,7 +74,6 @@ _PRIORITY = (
     "q275_wgs_uniformity_metrics",
     "q276_depth_normalization",
     "q277_anova_f",
-    "q278_pmi_collocations",
     "q279_label_noise_matrix",
     "q270_sorted_neighborhood",
     "q271_max_interval_overlap",

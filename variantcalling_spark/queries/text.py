@@ -3484,117 +3484,6 @@ def q266_gopher_quality_flags(spark, sf_dir):
 
 
 @query(
-    "q278_pmi_collocations",
-    oracle="""
-WITH ws AS (
-  SELECT string_split(text, ' ') AS w FROM documents
-),
-uni AS (
-  SELECT unnest(w) AS tok FROM ws
-),
-u_counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS u FROM uni GROUP BY tok),
-nu AS (SELECT CAST(SUM(u) AS BIGINT) AS n_uni FROM u_counts),
-bi AS (
-  SELECT unnest([w[i] || ' ' || w[i + 1]
-                 for i in generate_series(1, len(w) - 1)]) AS pair
-  FROM ws WHERE len(w) >= 2
-),
-b_counts AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS b FROM bi GROUP BY pair),
-nb AS (SELECT CAST(SUM(b) AS BIGINT) AS n_bi FROM b_counts),
-scored AS (
-  SELECT bc.pair, bc.b,
-         ua.u AS u_a, ub.u AS u_b,
-         ROUND(ln((CAST(bc.b AS DOUBLE) * nu.n_uni * nu.n_uni)
-                  / (CAST(nb.n_bi AS DOUBLE) * ua.u * ub.u)), 6) AS pmi
-  FROM b_counts bc
-  JOIN u_counts ua ON ua.tok = string_split(bc.pair, ' ')[1]
-  JOIN u_counts ub ON ub.tok = string_split(bc.pair, ' ')[2]
-  CROSS JOIN nu CROSS JOIN nb
-  WHERE bc.b >= 30
-)
-SELECT pair, b, u_a, u_b, pmi,
-       CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, pair) AS INT) AS rank
-FROM scored QUALIFY rank <= 20
-""",
-)
-def q278_pmi_collocations(spark, sf_dir):
-    """PMI COLLOCATION MINING (Church & Hanks 1990 — the phrase
-    detector of word2vec-style preprocessing and the idiom scorer of
-    corpus linguistics): pointwise mutual information
-    ln(P(ab) / (P(a)P(b))) over adjacent word pairs, minimum support
-    30, top-20 ledger — the association strength complement of the raw
-    BPE pair frequencies (q126) and the association RULES over baskets
-    (q194).
-
-    Scale discipline: the split projects once; bigrams are a transform
-    over the MATERIALIZED array column (the q78 rule); unigram and
-    bigram counts are two map-side-combinable aggregates; the PMI join
-    probes the (vocabulary-sized) unigram table twice on its key —
-    at web scale both sides hash on token, and the support filter
-    prunes the bigram table before any join. PMI is one ln of a ratio
-    of exact BIGINT products (magnitudes bounded by design), snapped
-    to 6 digits."""
-    from pyspark.sql import Window as W
-
-    docs = load_table(spark, sf_dir, "documents")
-    ws = docs.select(F.split("text", " ").alias("w")).transform(managed_persist)
-    uni = ws.select(F.explode("w").alias("tok"))
-    u_counts = uni.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("u"))
-    nu = u_counts.agg(F.sum("u").cast("bigint").alias("n_uni"))
-    bi = ws.where(F.size("w") >= 2).select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("w") - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(F.col("w"), i), F.element_at(F.col("w"), i + 1)
-                ),
-            )
-        ).alias("pair")
-    )
-    b_counts = (
-        bi.groupBy("pair")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("b"))
-        .where(F.col("b") >= 30)
-    )
-    nb_total = bi.agg(F.count(F.lit(1)).cast("bigint").alias("n_bi"))
-    split_pair = F.split("pair", " ")
-    withtoks = b_counts.select(
-        "pair", "b",
-        split_pair.getItem(0).alias("tok_a"),
-        split_pair.getItem(1).alias("tok_b"),
-    )
-    scored = (
-        withtoks.join(
-            F.broadcast(u_counts.select(F.col("tok").alias("tok_a"), F.col("u").alias("u_a"))),
-            "tok_a",
-        )
-        .join(
-            F.broadcast(u_counts.select(F.col("tok").alias("tok_b"), F.col("u").alias("u_b"))),
-            "tok_b",
-        )
-        .crossJoin(F.broadcast(nu))
-        .crossJoin(F.broadcast(nb_total))
-        .select(
-            "pair", "b", "u_a", "u_b",
-            F.round(
-                F.log(
-                    (F.col("b").cast("double") * F.col("n_uni") * F.col("n_uni"))
-                    / (F.col("n_bi").cast("double") * F.col("u_a") * F.col("u_b"))
-                ),
-                6,
-            ).alias("pmi"),
-        )
-    )
-    return (
-        scored.withColumn(
-            "rank",
-            F.row_number().over(W.orderBy(F.col("pmi").desc(), "pair")).cast("int"),
-        )
-        .where(F.col("rank") <= 20)
-    )
-
-
-@query(
     "q280_dup_ngram_fraction",
     oracle="""
 WITH ws AS (
@@ -3774,7 +3663,7 @@ def q282_skipgram_cooccurrence(spark, sf_dir):
     (Levy & Goldberg 2014: SGNS implicitly factorizes the
     PMI - ln(k) matrix; k=5): counts over a +-2 word window — the
     substrate of every count-based embedding (GloVe, SVD-of-PPMI) and
-    the windowed generalization of the adjacent-pair PMI (q278).
+    the windowed generalization of the adjacent-pair PMI (q191).
 
     Scale discipline: context extraction is per-position array
     indexing over the materialized split column (q78 rule) — each
