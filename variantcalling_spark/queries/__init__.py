@@ -59,6 +59,11 @@ _PRIORITY = (
     #   4. round-5-touched hot paths, then the round-4 block (q110-q133);
     #   5. everything else (r5-fresh rows) in module order.
     # --- New in round 6 ---
+    "q292_bradley_terry",
+    "q293_mann_whitney",
+    "q294_lof_outliers",
+    "q295_theil_sen",
+    "q296_mcnemar",
     "q287_seasonal_profile",
     "q288_sprt_ledger",
     "q289_kfold_balance_audit",

@@ -2681,3 +2681,122 @@ def q279_label_noise_matrix(spark, sf_dir):
             "is_offdiag"
         ),
     )
+
+
+def _lof_oracle_sql() -> str:
+    knn = _knn_graph_oracle_sql()
+    return f"""
+WITH knn AS (SELECT * FROM ({knn}) q0),
+edges AS (
+  SELECT vec_id, neighbor_id, 1.0 - cosine AS dist FROM knn
+),
+kdist AS (
+  SELECT vec_id AS node, MAX(dist) AS kd, CAST(COUNT(*) AS BIGINT) AS nk
+  FROM edges GROUP BY vec_id
+),
+reach AS (
+  SELECT e.vec_id, e.neighbor_id,
+         ROUND(CASE WHEN ko.kd > e.dist THEN ko.kd ELSE e.dist END, 12) AS rd
+  FROM edges e JOIN kdist ko ON ko.node = e.neighbor_id
+),
+lrd AS (
+  SELECT r.vec_id AS node,
+         ROUND(k.nk / CAST(SUM(CAST(r.rd AS DECIMAL(20,12))) AS DOUBLE), 9) AS lrd
+  FROM reach r JOIN kdist k ON k.node = r.vec_id
+  GROUP BY r.vec_id, k.nk
+),
+lof AS (
+  SELECT e.vec_id,
+         k.nk,
+         lp.lrd AS lrd_p,
+         ROUND(CAST(SUM(CAST(lo.lrd AS DECIMAL(16,9))) AS DOUBLE)
+               / k.nk / lp.lrd, 6) AS lof
+  FROM edges e
+  JOIN kdist k ON k.node = e.vec_id
+  JOIN lrd lp ON lp.node = e.vec_id
+  JOIN lrd lo ON lo.node = e.neighbor_id
+  GROUP BY e.vec_id, k.nk, lp.lrd
+)
+SELECT vec_id, CAST(nk AS BIGINT) AS n_neighbors, lrd_p AS lrd, lof,
+       CAST(ROW_NUMBER() OVER (ORDER BY lof DESC, vec_id) AS INT) AS rk
+FROM lof
+QUALIFY rk <= 20
+"""
+
+
+@query("q294_lof_outliers", oracle=_lof_oracle_sql())
+def q294_lof_outliers(spark, sf_dir):
+    """LOCAL OUTLIER FACTOR over the corpus kNN graph (Breunig 2000 —
+    the density-relative outlier score behind embedding-space anomaly
+    triage: a point is anomalous if its neighborhood is SPARSER than
+    its neighbors' neighborhoods; the density complement of q253's
+    DBSCAN labels and q183's global MAD z-scores): k-distance,
+    reachability distance, local reachability density and the final
+    LOF ratio, top-20 ledger.
+
+    Scale discipline: every LOF stage is an EQUI-JOIN on the shared
+    kNN edge substrate (q146's adaptive-bits graph — pair count linear
+    in the corpus): k-dist is a per-node MAX, reach-dist a
+    neighbor-keyed join, lrd and LOF per-node aggregates over <= k
+    rows each. Nothing touches raw vectors after the graph is built.
+    Distances are 1 - cosine of exact integer dot products (bit-equal
+    cross-engine); per-stage round + DECIMAL sums keep the <= k-term
+    reductions order-free."""
+    from variantcalling_spark.operators.similarity import adaptive_knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = (
+        adaptive_knn_graph(emb, k=3)
+        .select("vec_id", "neighbor_id", (F.lit(1.0) - F.col("cosine")).alias("dist"))
+        .transform(managed_persist)
+    )
+    kdist = edges.groupBy(F.col("vec_id").alias("node")).agg(
+        F.max("dist").alias("kd"), F.count(F.lit(1)).cast("bigint").alias("nk")
+    ).transform(managed_persist)
+    reach = edges.join(
+        F.broadcast(kdist.select(F.col("node").alias("neighbor_id"), "kd")),
+        "neighbor_id",
+    ).select(
+        "vec_id",
+        "neighbor_id",
+        F.round(F.greatest(F.col("kd"), F.col("dist")), 12).alias("rd"),
+    )
+    lrd = (
+        reach.groupBy("vec_id")
+        .agg(F.sum(F.col("rd").cast("decimal(20,12)")).cast("double").alias("srd"))
+        .join(F.broadcast(kdist.select(F.col("node").alias("vec_id"), "nk")), "vec_id")
+        .select(
+            F.col("vec_id").alias("node"),
+            F.round(F.col("nk") / F.col("srd"), 9).alias("lrd"),
+        )
+        .transform(managed_persist)
+    )
+    lof = (
+        edges.join(
+            F.broadcast(lrd.select(F.col("node").alias("neighbor_id"), F.col("lrd").alias("lrd_o"))),
+            "neighbor_id",
+        )
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("lrd_o").cast("decimal(16,9)")).cast("double").alias("slrd"))
+        .join(F.broadcast(kdist.select(F.col("node").alias("vec_id"), "nk")), "vec_id")
+        .join(F.broadcast(lrd.select(F.col("node").alias("vec_id"), F.col("lrd").alias("lrd_p"))), "vec_id")
+        .select(
+            "vec_id",
+            F.col("nk").cast("bigint").alias("n_neighbors"),
+            F.col("lrd_p").alias("lrd"),
+            F.round(F.col("slrd") / F.col("nk") / F.col("lrd_p"), 6).alias("lof"),
+        )
+    )
+    top = lof.orderBy(F.col("lof").desc(), "vec_id").limit(20)
+    from pyspark.sql import Window as W2
+
+    return top.select(
+        "vec_id",
+        "n_neighbors",
+        "lrd",
+        "lof",
+        F.row_number()
+        .over(W2.orderBy(F.col("lof").desc(), "vec_id"))
+        .cast("int")
+        .alias("rk"),
+    )

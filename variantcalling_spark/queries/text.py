@@ -3720,3 +3720,104 @@ def q282_skipgram_cooccurrence(spark, sf_dir):
             ).alias("sppmi"),
         )
     )
+
+
+@query(
+    "q296_mcnemar",
+    oracle="""
+WITH s AS (
+  SELECT lang = 'en' AS truth,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN ('the', 'and', 'of'))) AS s_en,
+         GREATEST(
+           len(list_filter(string_split(text, ' '), w -> w IN ('der', 'und', 'die'))),
+           len(list_filter(string_split(text, ' '), w -> w IN ('el', 'la', 'de'))),
+           len(list_filter(string_split(text, ' '), w -> w IN ('le', 'et', 'les'))),
+           len(list_filter(string_split(text, ' '), w -> w IN ('de5', 'le5', 'he2')))
+         ) AS s_other
+  FROM documents
+),
+preds AS (
+  SELECT truth, s_en >= 2 AS pred_a, s_en > s_other AS pred_b FROM s
+),
+cells AS (
+  SELECT CAST(SUM(CASE WHEN pred_a = truth AND pred_b = truth THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         CAST(SUM(CASE WHEN pred_a = truth AND pred_b <> truth THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+         CAST(SUM(CASE WHEN pred_a <> truth AND pred_b = truth THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only,
+         CAST(SUM(CASE WHEN pred_a <> truth AND pred_b <> truth THEN 1 ELSE 0 END) AS BIGINT) AS n_neither,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM preds
+)
+SELECT n_both, n_a_only, n_b_only, n_neither,
+       ROUND(CAST(n_both + n_a_only AS DOUBLE) / n, 6) AS acc_a,
+       ROUND(CAST(n_both + n_b_only AS DOUBLE) / n, 6) AS acc_b,
+       ROUND(CASE WHEN n_a_only + n_b_only = 0 THEN 0.0
+                  ELSE (ABS(n_a_only - n_b_only) - 1)
+                       * (ABS(n_a_only - n_b_only) - 1)
+                       / CAST(n_a_only + n_b_only AS DOUBLE) END, 6)
+         AS mcnemar_chi2
+FROM cells
+""",
+)
+def q296_mcnemar(spark, sf_dir):
+    """McNEMAR'S PAIRED CLASSIFIER TEST (Edwards-corrected — THE test
+    for "is classifier A actually better than B on the SAME examples",
+    the statistically sound way to compare two quality filters before
+    swapping one into the curation funnel; complements q203's kappa
+    which measures agreement, not superiority): classifier A = en
+    marker-count threshold, classifier B = marker argmax, ground truth
+    the lang column; chi2 = (|b - c| - 1)^2 / (b + c) over the
+    DISCORDANT cells only.
+
+    Scale discipline: one corpus scan projects both predictions from a
+    single split (the q78 materialization rule), reduced by one
+    map-side-combinable 5-counter aggregate; the test statistic is
+    arithmetic over one row. Exact integer cells; the two divisions
+    snap at 6 digits."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select(
+        (F.col("lang") == "en").alias("truth"), F.split("text", " ").alias("w")
+    )
+
+    def marker_count(*words):
+        arr = F.array(*[F.lit(x) for x in words])
+        return F.size(F.filter(F.col("w"), lambda t: F.array_contains(arr, t)))
+
+    s = ws.select(
+        "truth",
+        marker_count("the", "and", "of").alias("s_en"),
+        F.greatest(
+            marker_count("der", "und", "die"),
+            marker_count("el", "la", "de"),
+            marker_count("le", "et", "les"),
+            marker_count("de5", "le5", "he2"),
+        ).alias("s_other"),
+    )
+    preds = s.select(
+        "truth",
+        (F.col("s_en") >= 2).alias("pred_a"),
+        (F.col("s_en") > F.col("s_other")).alias("pred_b"),
+    )
+    t, pa, pb = F.col("truth"), F.col("pred_a"), F.col("pred_b")
+    cells = preds.agg(
+        F.sum(F.when((pa == t) & (pb == t), 1).otherwise(0)).cast("bigint").alias("n_both"),
+        F.sum(F.when((pa == t) & (pb != t), 1).otherwise(0)).cast("bigint").alias("n_a_only"),
+        F.sum(F.when((pa != t) & (pb == t), 1).otherwise(0)).cast("bigint").alias("n_b_only"),
+        F.sum(F.when((pa != t) & (pb != t), 1).otherwise(0)).cast("bigint").alias("n_neither"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    b, c = F.col("n_a_only"), F.col("n_b_only")
+    return cells.select(
+        "n_both",
+        "n_a_only",
+        "n_b_only",
+        "n_neither",
+        F.round((F.col("n_both") + b).cast("double") / F.col("n"), 6).alias("acc_a"),
+        F.round((F.col("n_both") + c).cast("double") / F.col("n"), 6).alias("acc_b"),
+        F.round(
+            F.when(b + c == 0, F.lit(0.0)).otherwise(
+                (F.abs(b - c) - 1) * (F.abs(b - c) - 1) / (b + c).cast("double")
+            ),
+            6,
+        ).alias("mcnemar_chi2"),
+    )

@@ -1927,3 +1927,420 @@ def q288_sprt_ledger(spark, sf_dir):
         "first_cross_lo",
         "decision",
     )
+
+
+_BT_ITERS = 8
+
+
+def _bt_oracle_sql() -> str:
+    parts = [
+        """
+WITH ordered AS (
+  SELECT user_id, event_type AS cur, value AS cur_v,
+         LEAD(event_type) OVER w AS nxt,
+         LEAD(value) OVER w AS nxt_v
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+),
+m AS (
+  SELECT CASE WHEN cur < nxt THEN cur ELSE nxt END AS a,
+         CASE WHEN cur < nxt THEN nxt ELSE cur END AS b,
+         CASE WHEN (CASE WHEN cur < nxt THEN cur_v ELSE nxt_v END)
+                 > (CASE WHEN cur < nxt THEN nxt_v ELSE cur_v END)
+              THEN 1 ELSE 0 END AS wa
+  FROM ordered
+  WHERE nxt IS NOT NULL AND cur <> nxt AND cur_v <> nxt_v
+),
+pairs AS MATERIALIZED (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(wa) AS BIGINT) AS wa
+  FROM m GROUP BY a, b
+),
+edges AS MATERIALIZED (
+  SELECT a AS i, b AS j, n, wa AS w FROM pairs
+  UNION ALL
+  SELECT b AS i, a AS j, n, n - wa AS w FROM pairs
+),
+items AS MATERIALIZED (
+  SELECT i AS item, CAST(SUM(n) AS BIGINT) AS n_matches,
+         CAST(SUM(w) AS BIGINT) AS wins
+  FROM edges GROUP BY i
+),
+p0 AS MATERIALIZED (
+  SELECT item, ROUND(1.0 / (SELECT COUNT(*) FROM items), 12) AS p FROM items
+)"""
+    ]
+    prev = "p0"
+    for t in range(1, _BT_ITERS + 1):
+        parts.append(
+            f""",
+d{t} AS MATERIALIZED (
+  SELECT e.i AS item,
+         CAST(SUM(CAST(ROUND(e.n / (pi.p + pj.p), 12) AS DECIMAL(20,12)))
+              AS DOUBLE) AS den
+  FROM edges e
+  JOIN {prev} pi ON pi.item = e.i
+  JOIN {prev} pj ON pj.item = e.j
+  GROUP BY e.i
+),
+r{t} AS MATERIALIZED (
+  SELECT it.item, ROUND((it.wins + 0.5) / d{t}.den, 12) AS pr
+  FROM items it JOIN d{t} ON d{t}.item = it.item
+),
+p{t} AS MATERIALIZED (
+  SELECT item,
+         ROUND(pr / (SELECT CAST(SUM(CAST(pr AS DECIMAL(16,12))) AS DOUBLE)
+                     FROM r{t}), 12) AS p
+  FROM r{t}
+)"""
+        )
+        prev = f"p{t}"
+    parts.append(
+        f"""
+SELECT it.item, it.n_matches, it.wins,
+       ROUND(p.p, 8) AS strength,
+       CAST(ROW_NUMBER() OVER (ORDER BY p.p DESC, it.item) AS INT) AS rk
+FROM items it JOIN {prev} p ON p.item = it.item
+"""
+    )
+    return "".join(parts)
+
+
+@query("q292_bradley_terry", oracle=_bt_oracle_sql())
+def q292_bradley_terry(spark, sf_dir):
+    """BRADLEY-TERRY STRENGTH RANKING from pairwise preferences
+    (Hunter 2004 MM algorithm — the model behind chatbot-arena
+    leaderboards and RLHF reward baselines): consecutive same-user
+    events of different types form a "match" won by the higher value;
+    eight minorization-maximization iterations
+    p_i <- (W_i + 0.5) / sum_j n_ij/(p_i + p_j), renormalized each
+    round, yield the item strengths and the leaderboard.
+
+    Scale discipline: the corpus reduces in ONE lead-window pass + one
+    groupBy to an item-pair match table (|items|^2 rows, item-domain-
+    bounded — at 100 TB the number of compared models/variants stays
+    tiny even when the preference stream doesn't). Each MM iteration
+    is two broadcast joins + one aggregate over that tiny table; the
+    oracle unrolls the same 8 iterations as SQL CTEs. Per-term
+    round(,12) + DECIMAL sums make every iteration partition-order
+    free; the half-win prior keeps strengths strictly positive (an
+    all-loss item stays rankable)."""
+    ev = load_table(spark, sf_dir, "events")
+    w_ord = W.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    cur, nxt = F.col("cur"), F.col("nxt")
+    cur_v, nxt_v = F.col("cur_v"), F.col("nxt_v")
+    ordered = ev.select(
+        F.col("event_type").alias("cur"),
+        F.col("value").alias("cur_v"),
+        F.lead("event_type").over(w_ord).alias("nxt"),
+        F.lead("value").over(w_ord).alias("nxt_v"),
+    )
+    a_v = F.when(cur < nxt, cur_v).otherwise(nxt_v)
+    b_v = F.when(cur < nxt, nxt_v).otherwise(cur_v)
+    m = ordered.where(
+        nxt.isNotNull() & (cur != nxt) & (cur_v != nxt_v)
+    ).select(
+        F.when(cur < nxt, cur).otherwise(nxt).alias("a"),
+        F.when(cur < nxt, nxt).otherwise(cur).alias("b"),
+        F.when(a_v > b_v, 1).otherwise(0).alias("wa"),
+    )
+    pairs = m.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("wa").cast("bigint").alias("wa"),
+    )
+    edges = (
+        pairs.select(
+            F.col("a").alias("i"), F.col("b").alias("j"), "n", F.col("wa").alias("w")
+        )
+        .unionByName(
+            pairs.select(
+                F.col("b").alias("i"),
+                F.col("a").alias("j"),
+                "n",
+                (F.col("n") - F.col("wa")).alias("w"),
+            )
+        )
+        .transform(managed_persist)
+    )
+    items = (
+        edges.groupBy(F.col("i").alias("item"))
+        .agg(
+            F.sum("n").cast("bigint").alias("n_matches"),
+            F.sum("w").cast("bigint").alias("wins"),
+        )
+        .transform(managed_persist)
+    )
+    k = items.agg(F.count(F.lit(1)).alias("k"))
+    p = items.crossJoin(F.broadcast(k)).select(
+        "item", F.round(F.lit(1.0) / F.col("k"), 12).alias("p")
+    )
+    for _ in range(_BT_ITERS):
+        d = (
+            edges.join(
+                F.broadcast(
+                    p.select(F.col("item").alias("i"), F.col("p").alias("p_i"))
+                ),
+                "i",
+            )
+            .join(
+                F.broadcast(
+                    p.select(F.col("item").alias("j"), F.col("p").alias("p_j"))
+                ),
+                "j",
+            )
+            .select(
+                F.col("i").alias("item"),
+                F.round(F.col("n") / (F.col("p_i") + F.col("p_j")), 12)
+                .cast("decimal(20,12)")
+                .alias("term"),
+            )
+            .groupBy("item")
+            .agg(F.sum("term").cast("double").alias("den"))
+        )
+        r = items.join(d, "item").select(
+            "item",
+            F.round((F.col("wins") + F.lit(0.5)) / F.col("den"), 12).alias("pr"),
+        )
+        r = r.localCheckpoint(eager=True)  # q255 rule: truncate iterative lineage
+        s = r.agg(F.sum(F.col("pr").cast("decimal(16,12)")).cast("double").alias("s"))
+        p = r.crossJoin(F.broadcast(s)).select(
+            "item", F.round(F.col("pr") / F.col("s"), 12).alias("p")
+        )
+    out = items.join(p, "item")
+    return out.select(
+        "item",
+        "n_matches",
+        "wins",
+        F.round(F.col("p"), 8).alias("strength"),
+        F.row_number()
+        .over(W.orderBy(F.col("p").desc(), "item"))
+        .cast("int")
+        .alias("rk"),
+    )
+
+
+@query(
+    "q293_mann_whitney",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         CASE WHEN ((epoch_ns(ts) // 86400000000000) + 3) % 7 >= 5
+              THEN 1 ELSE 0 END AS wkend,
+         value AS v
+  FROM events
+),
+rk AS (
+  SELECT event_type, wkend, v,
+         RANK() OVER (PARTITION BY event_type ORDER BY v) AS rmin,
+         COUNT(*) OVER (PARTITION BY event_type, v) AS tc
+  FROM s
+),
+grpagg AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN wkend = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend,
+         CAST(SUM(CASE WHEN wkend = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_weekday,
+         CAST(SUM(CASE WHEN wkend = 1 THEN 2 * rmin + tc - 1 ELSE 0 END)
+              AS BIGINT) AS two_r1
+  FROM rk GROUP BY event_type
+),
+ties AS (
+  SELECT event_type, CAST(SUM(t * t * t - t) AS BIGINT) AS tsum
+  FROM (SELECT event_type, v, COUNT(*) AS t FROM s GROUP BY event_type, v)
+  GROUP BY event_type
+)
+SELECT g.event_type, n_weekend, n_weekday,
+       ROUND(two_r1 / 2.0 - n_weekend * (n_weekend + 1) / 2.0, 1) AS u1,
+       ROUND((two_r1 / 2.0 - n_weekend * (n_weekend + 1) / 2.0
+              - n_weekend * n_weekday / 2.0)
+             / sqrt((n_weekend * n_weekday / 12.0)
+                    * ((n_weekend + n_weekday + 1)
+                       - tsum / (CAST(n_weekend + n_weekday AS DOUBLE)
+                                 * (n_weekend + n_weekday - 1)))), 6) AS z
+FROM grpagg g JOIN ties t ON t.event_type = g.event_type
+""",
+)
+def q293_mann_whitney(spark, sf_dir):
+    """MANN-WHITNEY U RANK-SUM TEST per metric series, weekend vs
+    weekday (the distribution-free two-sample test — the robust
+    complement of q265's mean-based CUPED readout and the two-sample
+    sibling of q171's KS statistic): U from rank sums with the exact
+    tie-corrected normal approximation.
+
+    Scale discipline: average ranks come from RANK + a tie-count
+    window, so rank sums are INTEGER algebra (2*rmin + tc - 1 sums as
+    exact bigints; the only halving happens once at the end —
+    multiples of 0.5 are IEEE-exact at any magnitude that matters).
+    Tie correction aggregates the (event_type, value) histogram, never
+    the row stream. One sort-window per series partition; day-of-week
+    is pure integer epoch arithmetic, identical on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.when(
+            (F.expr("ts_ns DIV 86400000000000") + 3) % 7 >= 5, 1
+        ).otherwise(0).alias("wkend"),
+        F.col("value").alias("v"),
+    )
+    rk = s.select(
+        "event_type",
+        "wkend",
+        "v",
+        F.rank().over(W.partitionBy("event_type").orderBy("v")).alias("rmin"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type", "v")).alias("tc"),
+    )
+    grpagg = rk.groupBy("event_type").agg(
+        F.sum(F.when(F.col("wkend") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_weekend"),
+        F.sum(F.when(F.col("wkend") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_weekday"),
+        F.sum(
+            F.when(F.col("wkend") == 1, 2 * F.col("rmin") + F.col("tc") - 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("two_r1"),
+    )
+    ties = (
+        s.groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("bigint")
+            .alias("tsum")
+        )
+    )
+    n1, n2 = F.col("n_weekend"), F.col("n_weekday")
+    r1 = F.col("two_r1") / 2.0
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    var = (n1 * n2 / 12.0) * (
+        (n1 + n2 + 1) - F.col("tsum") / ((n1 + n2).cast("double") * (n1 + n2 - 1))
+    )
+    return grpagg.join(ties, "event_type").select(
+        "event_type",
+        "n_weekend",
+        "n_weekday",
+        F.round(u1, 1).alias("u1"),
+        F.round((u1 - n1 * n2 / 2.0) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+@query(
+    "q295_theil_sen",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         epoch_ns(ts) // 86400000000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM events GROUP BY event_type, day
+),
+rel AS (
+  SELECT event_type,
+         day - MIN(day) OVER (PARTITION BY event_type) AS d,
+         m
+  FROM daily
+),
+slopes AS (
+  SELECT a.event_type,
+         ROUND((b.m - a.m) / (b.d - a.d), 9) AS sl
+  FROM rel a JOIN rel b
+    ON a.event_type = b.event_type AND b.d > a.d
+),
+med AS (
+  SELECT event_type, sl,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY sl) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS np
+  FROM slopes
+),
+slope_pick AS (
+  SELECT event_type, CAST(np AS BIGINT) AS n_pairs, sl AS ts_slope
+  FROM med WHERE rn = (np + 1) // 2
+),
+resid AS (
+  SELECT r.event_type, ROUND(r.m - s.ts_slope * r.d, 9) AS ic
+  FROM rel r JOIN slope_pick s ON s.event_type = r.event_type
+),
+icmed AS (
+  SELECT event_type, ic,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ic) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS nd
+  FROM resid
+)
+SELECT s.event_type, CAST(i.nd AS BIGINT) AS n_days, s.n_pairs,
+       s.ts_slope, i.ic AS ts_intercept
+FROM slope_pick s
+JOIN icmed i ON i.event_type = s.event_type AND i.rn = (i.nd + 1) // 2
+""",
+)
+def q295_theil_sen(spark, sf_dir):
+    """THEIL-SEN ROBUST TREND per metric series (median of pairwise
+    slopes — the 29%-breakdown robust complement of q165's group-wise
+    OLS; the estimator monitoring pipelines reach for when a deploy
+    spike would drag a least-squares slope): slope = lower median of
+    all pairwise daily-mean slopes, intercept = lower median of the
+    residuals at that slope.
+
+    Scale discipline: the row stream collapses to CALENDAR-BOUNDED
+    daily means first (one map-side-combinable aggregate with DECIMAL
+    sums) — the O(days^2) pair join runs on ~30 rows per series no
+    matter how many raw events back them; at 100 TB the pair table
+    grows with elapsed time, not data volume. Exact lower-median by
+    row_number (the q220 rank-pick convention, no engine
+    interpolation); slopes snap to 9 digits before ranking so the
+    median PICK, not just its value, is cross-engine identical."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_ns DIV 86400000000000").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum(dec("value")).cast("double") / F.count(F.lit(1)), 6).alias("m"),
+    )
+    rel = daily.select(
+        "event_type",
+        (F.col("day") - F.min("day").over(W.partitionBy("event_type"))).alias("d"),
+        "m",
+    ).transform(managed_persist)
+    b = rel.select(
+        "event_type", F.col("d").alias("d2"), F.col("m").alias("m2")
+    )
+    slopes = (
+        rel.join(b, "event_type")
+        .where(F.col("d2") > F.col("d"))
+        .select(
+            "event_type",
+            F.round((F.col("m2") - F.col("m")) / (F.col("d2") - F.col("d")), 9).alias(
+                "sl"
+            ),
+        )
+    )
+    wm = W.partitionBy("event_type").orderBy("sl")
+    med = slopes.select(
+        "event_type",
+        "sl",
+        F.row_number().over(wm).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("np"),
+    )
+    slope_pick = med.where(F.col("rn") == F.expr("(np + 1) DIV 2")).select(
+        "event_type", F.col("np").cast("bigint").alias("n_pairs"), F.col("sl").alias("ts_slope")
+    )
+    resid = rel.join(F.broadcast(slope_pick), "event_type").select(
+        "event_type",
+        F.round(F.col("m") - F.col("ts_slope") * F.col("d"), 9).alias("ic"),
+    )
+    wi = W.partitionBy("event_type").orderBy("ic")
+    icmed = resid.select(
+        "event_type",
+        "ic",
+        F.row_number().over(wi).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("nd"),
+    ).where(F.col("rn") == F.expr("(nd + 1) DIV 2"))
+    return slope_pick.join(icmed, "event_type").select(
+        "event_type",
+        F.col("nd").cast("bigint").alias("n_days"),
+        "n_pairs",
+        "ts_slope",
+        F.col("ic").alias("ts_intercept"),
+    )
