@@ -59,6 +59,11 @@ _PRIORITY = (
     #   4. round-5-touched hot paths, then the round-4 block (q110-q133);
     #   5. everything else (r5-fresh rows) in module order.
     # --- New in round 6 ---
+    "q297_adamic_adar",
+    "q298_acf",
+    "q299_jsd_source_drift",
+    "q300_temperature_mixture",
+    "q301_kendall_tau",
     "q292_bradley_terry",
     "q293_mann_whitney",
     "q294_lof_outliers",

@@ -2800,3 +2800,142 @@ def q294_lof_outliers(spark, sf_dir):
         .cast("int")
         .alias("rk"),
     )
+
+
+def _adamic_adar_oracle_sql() -> str:
+    knn = _knn_graph_oracle_sql()
+    return f"""
+WITH knn AS (SELECT * FROM ({knn}) q0),
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(vec_id, neighbor_id) AS u,
+                  GREATEST(vec_id, neighbor_id) AS v
+  FROM knn
+),
+adj AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM und UNION ALL SELECT v AS a, u AS b FROM und
+),
+deg AS MATERIALIZED (
+  SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY a
+),
+cand AS (
+  SELECT x.a AS u, y.b AS v, x.b AS w
+  FROM adj x JOIN adj y ON y.a = x.b AND x.a < y.b
+),
+nonedge AS (
+  SELECT c.u, c.v, c.w
+  FROM cand c LEFT JOIN und e ON e.u = c.u AND e.v = c.v
+  WHERE e.u IS NULL
+),
+scored AS (
+  SELECT n.u, n.v,
+         CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM(CAST(ROUND(1.0 / ln(d.d), 10) AS DECIMAL(14,10))) AS DOUBLE) AS aa
+  FROM nonedge n JOIN deg d ON d.node = n.w
+  GROUP BY n.u, n.v
+)
+SELECT s.u, s.v, s.cn,
+       ROUND(s.aa, 6) AS adamic_adar,
+       ROUND(s.cn / CAST(du.d + dv.d - s.cn AS DOUBLE), 6) AS jaccard,
+       CAST(ROW_NUMBER() OVER (ORDER BY s.aa DESC, s.u, s.v) AS INT) AS rk
+FROM scored s
+JOIN deg du ON du.node = s.u
+JOIN deg dv ON dv.node = s.v
+QUALIFY rk <= 30
+"""
+
+
+@query("q297_adamic_adar", oracle=_adamic_adar_oracle_sql())
+def q297_adamic_adar(spark, sf_dir):
+    """LINK PREDICTION over the corpus kNN graph (Adamic-Adar /
+    common-neighbors / Jaccard — the "which documents SHOULD be
+    neighbors" score behind graph-densification and candidate
+    recall for semantic dedup: a 2-hop pair with many shared
+    neighbors is a near-dup the banding missed): for every
+    non-adjacent 2-hop pair, common-neighbor count, Adamic-Adar
+    sum 1/ln(deg(w)), and neighborhood Jaccard; top-30 ledger.
+
+    Scale discipline: candidates come from ONE self-join of the
+    adjacency list on the shared middle node — Sum(deg^2) pairs, never
+    all-pairs; the anti-join back to the edge set and the degree
+    probes are equi-joins on node id. deg(w) >= 2 for any common
+    neighbor, so 1/ln(deg) is always finite; per-term round +
+    DECIMAL sum keeps the <= deg-sized reductions order-free. The
+    substrate is q146's adaptive-bits graph (pair count linear in
+    corpus size)."""
+    from variantcalling_spark.operators.similarity import adaptive_knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    und = (
+        adaptive_knn_graph(emb, k=3)
+        .select(
+            F.least("vec_id", "neighbor_id").alias("u"),
+            F.greatest("vec_id", "neighbor_id").alias("v"),
+        )
+        .distinct()
+        .transform(managed_persist)
+    )
+    adj = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        und.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    ).transform(managed_persist)
+    deg = adj.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    cand = (
+        adj.select(F.col("a").alias("u"), F.col("b").alias("w"))
+        .join(
+            adj.select(F.col("a").alias("w"), F.col("b").alias("v")),
+            "w",
+        )
+        .where(F.col("u") < F.col("v"))
+    )
+    nonedge = cand.join(und, ["u", "v"], "left_anti")
+    scored = (
+        nonedge.join(
+            F.broadcast(deg.select(F.col("node").alias("w"), "d")), "w"
+        )
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cn"),
+            F.sum(
+                F.round(F.lit(1.0) / F.log(F.col("d")), 10).cast("decimal(14,10)")
+            )
+            .cast("double")
+            .alias("aa"),
+        )
+    )
+    out = (
+        scored.join(
+            F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("du"))),
+            "u",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))),
+            "v",
+        )
+        .select(
+            "u",
+            "v",
+            "cn",
+            F.round(F.col("aa"), 6).alias("adamic_adar"),
+            F.round(
+                F.col("cn")
+                / (F.col("du") + F.col("dv") - F.col("cn")).cast("double"),
+                6,
+            ).alias("jaccard"),
+            F.col("aa").alias("_aa_raw"),
+        )
+    )
+    top = out.orderBy(F.col("_aa_raw").desc(), "u", "v").limit(30)
+    from pyspark.sql import Window as W2
+
+    return top.select(
+        "u",
+        "v",
+        "cn",
+        "adamic_adar",
+        "jaccard",
+        F.row_number()
+        .over(W2.orderBy(F.col("_aa_raw").desc(), "u", "v"))
+        .cast("int")
+        .alias("rk"),
+    )

@@ -3821,3 +3821,205 @@ def q296_mcnemar(spark, sf_dir):
             6,
         ).alias("mcnemar_chi2"),
     )
+
+
+@query(
+    "q299_jsd_source_drift",
+    oracle="""
+WITH tok AS MATERIALIZED (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+src_counts AS MATERIALIZED (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY source, w
+),
+src_tot AS MATERIALIZED (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM src_counts GROUP BY source
+),
+corpus AS MATERIALIZED (
+  SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM src_counts GROUP BY w
+),
+tot AS MATERIALIZED (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM corpus),
+grid AS (
+  SELECT st.source, st.n_s, c.w,
+         ROUND(COALESCE(sc.c, 0) / CAST(st.n_s AS DOUBLE), 8) AS p,
+         ROUND(c.cw / CAST((SELECT n FROM tot) AS DOUBLE), 8) AS q
+  FROM src_tot st
+  CROSS JOIN corpus c
+  LEFT JOIN src_counts sc ON sc.source = st.source AND sc.w = c.w
+),
+terms AS (
+  SELECT source, n_s,
+         CASE WHEN p > 0
+              THEN ROUND(p * ln(p / ((p + q) / 2)), 10) ELSE 0 END AS pt,
+         ROUND(q * ln(q / ((p + q) / 2)), 10) AS qt
+  FROM grid
+)
+SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+       ROUND(0.5 * (CAST(SUM(CAST(pt AS DECIMAL(20,10))) AS DOUBLE)
+                    + CAST(SUM(CAST(qt AS DECIMAL(20,10))) AS DOUBLE)), 6) AS jsd,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY ROUND(0.5 * (CAST(SUM(CAST(pt AS DECIMAL(20,10))) AS DOUBLE)
+                    + CAST(SUM(CAST(qt AS DECIMAL(20,10))) AS DOUBLE)), 6) DESC,
+         source) AS INT) AS rk
+FROM terms GROUP BY source
+""",
+)
+def q299_jsd_source_drift(spark, sf_dir):
+    """JENSEN-SHANNON DIVERGENCE of each source's unigram distribution
+    from the corpus distribution — the vocabulary-level domain-shift
+    ledger (which shards are lexically farthest from the mix they
+    feed? — the categorical complement of q161's numeric PSI and the
+    pairwise-overlap q160 reduced to one number per source): JSD(p,q)
+    = 0.5 KL(p||m) + 0.5 KL(q||m), m the midpoint.
+
+    Scale discipline: the corpus reduces to a (source x vocabulary)
+    count grid — vocabulary-bounded, never corpus-bounded; the
+    missing-cell completion is a broadcast-sized cross join of the
+    source ledger with the vocab table. Probabilities snap to 8
+    digits, each entropy term to 10 before DECIMAL sums, so both KL
+    arms are partition-order free. One corpus scan total."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    src_counts = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).transform(managed_persist)
+    src_tot = src_counts.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_s")
+    )
+    corpus = src_counts.groupBy("w").agg(F.sum("c").cast("bigint").alias("cw"))
+    tot = corpus.agg(F.sum("cw").cast("bigint").alias("n"))
+    grid = (
+        src_tot.crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(src_counts), ["source", "w"], "left")
+        .select(
+            "source",
+            "n_s",
+            F.round(
+                F.coalesce(F.col("c"), F.lit(0)) / F.col("n_s").cast("double"), 8
+            ).alias("p"),
+            F.round(F.col("cw") / F.col("n").cast("double"), 8).alias("q"),
+        )
+    )
+    p, q = F.col("p"), F.col("q")
+    mid = (p + q) / 2
+    terms = grid.select(
+        "source",
+        "n_s",
+        F.when(p > 0, F.round(p * F.log(p / mid), 10)).otherwise(F.lit(0.0)).alias(
+            "pt"
+        ),
+        F.round(q * F.log(q / mid), 10).alias("qt"),
+    )
+    jsd = F.round(
+        0.5
+        * (
+            F.sum(F.col("pt").cast("decimal(20,10)")).cast("double")
+            + F.sum(F.col("qt").cast("decimal(20,10)")).cast("double")
+        ),
+        6,
+    )
+    agg = terms.groupBy("source").agg(
+        F.max("n_s").cast("bigint").alias("n_tokens"), jsd.alias("jsd")
+    )
+    from pyspark.sql import Window as W
+
+    return agg.select(
+        "source",
+        "n_tokens",
+        "jsd",
+        F.row_number()
+        .over(W.orderBy(F.col("jsd").desc(), "source"))
+        .cast("int")
+        .alias("rk"),
+    )
+
+
+_MIX_ALPHA = 0.3
+_MIX_BUDGET = 1000
+
+
+@query(
+    "q300_temperature_mixture",
+    oracle=f"""
+WITH per_src AS MATERIALIZED (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS MATERIALIZED (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS nd, CAST(SUM(n_tokens) AS BIGINT) AS nt
+  FROM per_src
+),
+powed AS MATERIALIZED (
+  SELECT source, n_docs, n_tokens,
+         ROUND(n_docs / CAST((SELECT nd FROM tot) AS DOUBLE), 10) AS share_d,
+         ROUND(exp({_MIX_ALPHA!r} * ln(n_docs / CAST((SELECT nd FROM tot) AS DOUBLE))), 10) AS pw_d,
+         ROUND(exp({_MIX_ALPHA!r} * ln(n_tokens / CAST((SELECT nt FROM tot) AS DOUBLE))), 10) AS pw_t
+  FROM per_src
+),
+norms AS (
+  SELECT CAST(SUM(CAST(pw_d AS DECIMAL(14,10))) AS DOUBLE) AS sd,
+         CAST(SUM(CAST(pw_t AS DECIMAL(14,10))) AS DOUBLE) AS st
+  FROM powed
+)
+SELECT p.source, p.n_docs, p.n_tokens,
+       ROUND(p.pw_d / n.sd, 8) AS w_docs,
+       ROUND(p.pw_t / n.st, 8) AS w_tokens,
+       ROUND(ROUND(p.pw_d / n.sd, 8) * {_MIX_BUDGET}, 4) AS expected_docs,
+       ROUND(ROUND(p.pw_d / n.sd, 8) / p.share_d, 6) AS upsample_factor
+FROM powed p CROSS JOIN norms n
+""",
+)
+def q300_temperature_mixture(spark, sf_dir):
+    """TEMPERATURE-SCALED DOMAIN MIXTURE (the multilingual/multi-domain
+    sampling law of XLM-R / mT5: q_s proportional to p_s^alpha,
+    alpha=0.3 — flattens the source distribution so rare shards are
+    upsampled without letting any shard dominate; the analytic
+    counterpart of q115's quota-based mixture draw): per-source
+    doc-share and token-share weights, the expected-docs allocation at
+    a 1000-doc budget, and each shard's upsample factor.
+
+    Scale discipline: one corpus scan reduces to the source ledger
+    (domain-bounded); everything downstream is arithmetic over that
+    tiny table. p^alpha is computed as exp(alpha*ln p) — the one
+    transcendental composition both engines evaluate identically —
+    then snapped to 10 digits; normalizers are DECIMAL sums, weights
+    snap at 8 before the budget multiply."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_docs").cast("bigint").alias("nd"),
+        F.sum("n_tokens").cast("bigint").alias("nt"),
+    )
+    a = F.lit(_MIX_ALPHA)
+    powed = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs") / F.col("nd").cast("double"), 10).alias("share_d"),
+        F.round(
+            F.exp(a * F.log(F.col("n_docs") / F.col("nd").cast("double"))), 10
+        ).alias("pw_d"),
+        F.round(
+            F.exp(a * F.log(F.col("n_tokens") / F.col("nt").cast("double"))), 10
+        ).alias("pw_t"),
+    ).transform(managed_persist)
+    norms = powed.agg(
+        F.sum(F.col("pw_d").cast("decimal(14,10)")).cast("double").alias("sd"),
+        F.sum(F.col("pw_t").cast("decimal(14,10)")).cast("double").alias("st"),
+    )
+    w_docs = F.round(F.col("pw_d") / F.col("sd"), 8)
+    return powed.crossJoin(F.broadcast(norms)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        w_docs.alias("w_docs"),
+        F.round(F.col("pw_t") / F.col("st"), 8).alias("w_tokens"),
+        F.round(w_docs * _MIX_BUDGET, 4).alias("expected_docs"),
+        F.round(w_docs / F.col("share_d"), 6).alias("upsample_factor"),
+    )

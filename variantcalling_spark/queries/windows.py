@@ -2344,3 +2344,216 @@ def q295_theil_sen(spark, sf_dir):
         "ts_slope",
         F.col("ic").alias("ts_intercept"),
     )
+
+
+@query(
+    "q298_acf",
+    oracle="""
+WITH hourly AS MATERIALIZED (
+  SELECT event_type,
+         epoch_ns(ts) // 3600000000000 AS h,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM events GROUP BY event_type, h
+),
+stats AS MATERIALIZED (
+  SELECT event_type,
+         ROUND(CAST(SUM(CAST(m AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 6) AS mbar,
+         CAST(COUNT(*) AS BIGINT) AS n_hours
+  FROM hourly GROUP BY event_type
+),
+dev AS MATERIALIZED (
+  SELECT h.event_type, h.h, h.m - s.mbar AS d
+  FROM hourly h JOIN stats s ON s.event_type = h.event_type
+),
+den AS MATERIALIZED (
+  SELECT event_type,
+         CAST(SUM(CAST(ROUND(d * d, 10) AS DECIMAL(24,10))) AS DOUBLE) AS ss
+  FROM dev GROUP BY event_type
+),
+lagged AS (
+  SELECT a.event_type, k.k,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CAST(ROUND(a.d * b.d, 10) AS DECIMAL(24,10))) AS DOUBLE) AS sp
+  FROM dev a
+  CROSS JOIN (SELECT unnest(generate_series(1, 6)) AS k) k
+  JOIN dev b ON b.event_type = a.event_type AND b.h = a.h + k.k
+  GROUP BY a.event_type, k.k
+)
+SELECT l.event_type, CAST(l.k AS INT) AS lag_hours, l.n_pairs, s.n_hours,
+       ROUND(l.sp / d.ss, 6) AS acf
+FROM lagged l
+JOIN den d ON d.event_type = l.event_type
+JOIN stats s ON s.event_type = l.event_type
+""",
+)
+def q298_acf(spark, sf_dir):
+    """AUTOCORRELATION FUNCTION at lags 1-6 h per metric series (the
+    Box-Jenkins identification step: is the series AR-ish, seasonal,
+    or white noise? — feeds the q287 seasonality and q267 smoothing
+    choices): ACF(k) = sum dev_t*dev_{t+k} / sum dev_t^2 over the
+    hourly-mean grid.
+
+    Scale discipline: the row stream collapses to CALENDAR-BOUNDED
+    hourly means first; lag alignment is an EQUI-join on (series,
+    h+k) — gap-safe where a row-offset LAG window would silently pair
+    across missing hours — fanned out by a 6-row lag spine. Deviations
+    subtract two 6-dp-snapped values (exact in IEEE); products snap to
+    10 digits before DECIMAL sums, so numerator and denominator are
+    partition-order free."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.expr("ts_ns DIV 3600000000000").alias("h")
+    ).agg(
+        F.round(F.sum(dec("value")).cast("double") / F.count(F.lit(1)), 6).alias("m")
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.col("m").cast("decimal(16,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mbar"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+    )
+    dev = hourly.join(F.broadcast(stats), "event_type").select(
+        "event_type", "h", (F.col("m") - F.col("mbar")).alias("d")
+    ).transform(managed_persist)
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.round(F.col("d") * F.col("d"), 10).cast("decimal(24,10)"))
+        .cast("double")
+        .alias("ss")
+    )
+    ks = spark.range(1, 7).select(F.col("id").alias("k"))
+    b = dev.select(
+        "event_type", F.col("h").alias("h2"), F.col("d").alias("d2")
+    )
+    lagged = (
+        dev.crossJoin(F.broadcast(ks))
+        .withColumn("h2", F.col("h") + F.col("k"))
+        .join(b, ["event_type", "h2"])
+        .groupBy("event_type", "k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.round(F.col("d") * F.col("d2"), 10).cast("decimal(24,10)"))
+            .cast("double")
+            .alias("sp"),
+        )
+    )
+    return (
+        lagged.join(F.broadcast(den), "event_type")
+        .join(F.broadcast(stats.select("event_type", "n_hours")), "event_type")
+        .select(
+            "event_type",
+            F.col("k").cast("int").alias("lag_hours"),
+            "n_pairs",
+            "n_hours",
+            F.round(F.col("sp") / F.col("ss"), 6).alias("acf"),
+        )
+    )
+
+
+@query(
+    "q301_kendall_tau",
+    oracle="""
+WITH daily AS MATERIALIZED (
+  SELECT event_type,
+         epoch_ns(ts) // 86400000000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS c,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM events GROUP BY event_type, day
+),
+pairs AS (
+  SELECT a.event_type,
+         CASE WHEN (a.m < b.m AND a.c < b.c) OR (a.m > b.m AND a.c > b.c)
+              THEN 1 ELSE 0 END AS conc,
+         CASE WHEN (a.m < b.m AND a.c > b.c) OR (a.m > b.m AND a.c < b.c)
+              THEN 1 ELSE 0 END AS disc,
+         CASE WHEN a.m = b.m AND a.c <> b.c THEN 1 ELSE 0 END AS tie_m,
+         CASE WHEN a.c = b.c AND a.m <> b.m THEN 1 ELSE 0 END AS tie_c,
+         CASE WHEN a.m = b.m AND a.c = b.c THEN 1 ELSE 0 END AS tie_both
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.day > a.day
+),
+agg AS (
+  SELECT event_type,
+         CAST(SUM(conc) AS BIGINT) AS n_conc,
+         CAST(SUM(disc) AS BIGINT) AS n_disc,
+         CAST(SUM(tie_m) AS BIGINT) AS t_m,
+         CAST(SUM(tie_c) AS BIGINT) AS t_c,
+         CAST(SUM(tie_both) AS BIGINT) AS t_both,
+         CAST(COUNT(*) AS BIGINT) AS n0
+  FROM pairs GROUP BY event_type
+)
+SELECT event_type, n_conc, n_disc, t_m, t_c, t_both,
+       ROUND((n_conc - n_disc)
+             / sqrt(CAST(n0 - t_m - t_both AS DOUBLE)
+                    * (n0 - t_c - t_both)), 6) AS tau_b
+FROM agg
+""",
+)
+def q301_kendall_tau(spark, sf_dir):
+    """KENDALL TAU-B rank correlation between daily MEAN VALUE and
+    daily EVENT COUNT per series (does traffic move with intensity? —
+    the ordinal, tie-aware complement of q170's Spearman rho and the
+    pairwise sibling of q295's Theil-Sen): concordant/discordant pair
+    counts with the full tie decomposition and the tau-b denominator.
+
+    Scale discipline: the pair table is over CALENDAR-BOUNDED daily
+    aggregates (~30 rows/series regardless of corpus size) — the
+    O(days^2) join never touches the raw stream, which reduces in one
+    map-side-combinable pass. Every cell is an exact integer; tau-b
+    is one sqrt division snapped at 6 digits."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_ns DIV 86400000000000").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.round(F.sum(dec("value")).cast("double") / F.count(F.lit(1)), 6).alias("m"),
+    ).transform(managed_persist)
+    b = daily.select(
+        "event_type",
+        F.col("day").alias("day2"),
+        F.col("c").alias("c2"),
+        F.col("m").alias("m2"),
+    )
+    am, bm, ac, bc = F.col("m"), F.col("m2"), F.col("c"), F.col("c2")
+    pairs = (
+        daily.join(b, "event_type")
+        .where(F.col("day2") > F.col("day"))
+        .select(
+            "event_type",
+            F.when(((am < bm) & (ac < bc)) | ((am > bm) & (ac > bc)), 1)
+            .otherwise(0)
+            .alias("conc"),
+            F.when(((am < bm) & (ac > bc)) | ((am > bm) & (ac < bc)), 1)
+            .otherwise(0)
+            .alias("disc"),
+            F.when((am == bm) & (ac != bc), 1).otherwise(0).alias("tie_m"),
+            F.when((ac == bc) & (am != bm), 1).otherwise(0).alias("tie_c"),
+            F.when((am == bm) & (ac == bc), 1).otherwise(0).alias("tie_both"),
+        )
+    )
+    agg = pairs.groupBy("event_type").agg(
+        F.sum("conc").cast("bigint").alias("n_conc"),
+        F.sum("disc").cast("bigint").alias("n_disc"),
+        F.sum("tie_m").cast("bigint").alias("t_m"),
+        F.sum("tie_c").cast("bigint").alias("t_c"),
+        F.sum("tie_both").cast("bigint").alias("t_both"),
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+    )
+    n0 = F.col("n0")
+    return agg.select(
+        "event_type",
+        "n_conc",
+        "n_disc",
+        "t_m",
+        "t_c",
+        "t_both",
+        F.round(
+            (F.col("n_conc") - F.col("n_disc"))
+            / F.sqrt(
+                (n0 - F.col("t_m") - F.col("t_both")).cast("double")
+                * (n0 - F.col("t_c") - F.col("t_both"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )
