@@ -463,3 +463,65 @@ def sw_align_scores(
             )
 
     return pairs.select(id_col, a_col, b_col).mapInPandas(run, schema=out_schema)
+
+
+def holt_linear_smooth(
+    df: DataFrame,
+    key_col: str = "series",
+    t_col: str = "t",
+    val_col: str = "m",
+    alpha: float = 0.4,
+    beta: float = 0.2,
+    horizon: int = 7,
+) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing per series: the
+    level/trend recursion l_t = a*m_t + (1-a)*(l_{t-1}+b_{t-1}),
+    b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1}, initialized l_1 = m_1,
+    b_1 = m_2 - m_1, plus the h-step-ahead forecast l_T + h*b_T.
+
+    The recursion is inherently sequential PER SERIES but series are
+    independent — the textbook ``applyInPandas`` shape: Spark hash-
+    partitions by key, each group runs a bounded left-to-right scan.
+    Arithmetic is plain float64 with the exact expression shapes a
+    recursive-CTE replay uses (same multiply/add order), so a SQL
+    oracle reproduces the walk bit-for-bit without intermediate
+    rounding. Returns one row per series: (key, n_obs, level, trend,
+    forecast).
+    """
+    import pandas as pd  # noqa: F811 (module-level import exists)
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(t_col, kind="mergesort")
+        vals = pdf[val_col].to_numpy(dtype="float64")
+        key = pdf[key_col].iloc[0]
+        n = len(vals)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    key_col: [key],
+                    "n_obs": [n],
+                    "level": [float(vals[0]) if n else None],
+                    "trend": [0.0],
+                    "forecast": [float(vals[0]) if n else None],
+                }
+            )
+        level = float(vals[0])
+        trend = float(vals[1]) - float(vals[0])
+        for t in range(1, n):
+            new_level = alpha * float(vals[t]) + (1.0 - alpha) * (level + trend)
+            trend = beta * (new_level - level) + (1.0 - beta) * trend
+            level = new_level
+        return pd.DataFrame(
+            {
+                key_col: [key],
+                "n_obs": [n],
+                "level": [level],
+                "trend": [trend],
+                "forecast": [level + horizon * trend],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(
+        per_series,
+        schema=f"{key_col} string, n_obs long, level double, trend double, forecast double",
+    )

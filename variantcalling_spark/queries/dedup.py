@@ -2977,3 +2977,191 @@ def q289_kfold_balance_audit(spark, sf_dir):
             "max_share_x5"
         ),
     )
+
+
+_KMV_SRC = ("src0", "src1", "src2", "src3", "src4")
+
+
+def _kmv_overlap_oracle_sql() -> str:
+    from variantcalling_spark.operators.dedup import PORTABLE_HASH_SQL
+
+    ph = PORTABLE_HASH_SQL.format(col="s")
+    srcs = ", ".join(f"'{s}'" for s in _KMV_SRC)
+    return f"""
+WITH ws AS MATERIALIZED (
+  SELECT source, string_split(text, ' ') AS w FROM documents
+  WHERE source IN ({srcs})
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT source,
+         unnest([w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
+                 for i in generate_series(1, len(w) - 2)]) AS s
+  FROM ws WHERE len(w) >= 3
+),
+hv AS MATERIALIZED (
+  SELECT DISTINCT source, {ph} AS v FROM sh
+),
+sk AS MATERIALIZED (
+  SELECT source, v FROM (
+    SELECT source, v, ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS rn
+    FROM hv
+  ) WHERE rn <= 64
+),
+na AS MATERIALIZED (
+  SELECT source, CAST(COUNT(DISTINCT s) AS BIGINT) AS n FROM sh GROUP BY source
+),
+prs AS MATERIALIZED (
+  SELECT a.source AS sa, b.source AS sb
+  FROM na a JOIN na b ON a.source < b.source
+),
+uv AS MATERIALIZED (
+  SELECT sa, sb, v FROM (
+    SELECT p.sa, p.sb, s.v FROM prs p JOIN sk s ON s.source = p.sa
+    UNION
+    SELECT p.sa, p.sb, s.v FROM prs p JOIN sk s ON s.source = p.sb
+  )
+),
+uk AS MATERIALIZED (
+  SELECT sa, sb, v FROM (
+    SELECT sa, sb, v, ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY v) AS rn
+    FROM uv
+  ) WHERE rn <= 64
+),
+ukth AS MATERIALIZED (
+  SELECT sa, sb, CAST(MAX(v) AS BIGINT) AS vk FROM uk GROUP BY sa, sb
+),
+inboth AS MATERIALIZED (
+  SELECT u.sa, u.sb, CAST(COUNT(*) AS BIGINT) AS nb
+  FROM uk u
+  JOIN sk x ON x.source = u.sa AND x.v = u.v
+  JOIN sk y ON y.source = u.sb AND y.v = u.v
+  GROUP BY u.sa, u.sb
+),
+ex AS MATERIALIZED (
+  SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON b.s = a.s AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.sa AS src_a, p.sb AS src_b,
+       CAST(xa.n + xb.n - COALESCE(e.inter, 0) AS BIGINT) AS exact_union,
+       ROUND(63.0 * 2147483647.0 / k.vk, 4) AS est_union,
+       ROUND(COALESCE(e.inter, 0)
+             / CAST(xa.n + xb.n - COALESCE(e.inter, 0) AS DOUBLE), 6)
+         AS exact_jaccard,
+       ROUND(COALESCE(b.nb, 0) / 64.0, 6) AS est_jaccard,
+       ROUND(ABS(COALESCE(b.nb, 0) / 64.0
+                 - COALESCE(e.inter, 0)
+                   / CAST(xa.n + xb.n - COALESCE(e.inter, 0) AS DOUBLE)), 6)
+         AS jaccard_abs_err
+FROM prs p
+JOIN ukth k ON k.sa = p.sa AND k.sb = p.sb
+LEFT JOIN inboth b ON b.sa = p.sa AND b.sb = p.sb
+LEFT JOIN ex e ON e.sa = p.sa AND e.sb = p.sb
+JOIN na xa ON xa.source = p.sa
+JOIN na xb ON xb.source = p.sb
+"""
+
+
+@query("q303_kmv_source_overlap", oracle=_kmv_overlap_oracle_sql())
+def q303_kmv_source_overlap(spark, sf_dir):
+    """KMV INTERSECTION SKETCH for pairwise source overlap (the theta-
+    sketch set-algebra rung above q263's cardinality-only KMV — this is
+    the use-case ROADMAP said the intersection sketch needed: q160
+    computes exact pairwise vocab overlap with a full self-join, which
+    at web scale is the expensive way to ask "which shards duplicate
+    each other"): per-source bottom-64 sketches over trigram shingles,
+    union estimate (k-1)M/h_k per pair, Jaccard estimate rho = |union
+    sketch members present in both sketches|/k, both graded against
+    the exact answer.
+
+    Scale discipline: after one shingle scan, ALL pair arithmetic runs
+    on |sources| x 64 sketch rows — pairs cost sketch-sized joins, not
+    corpus-sized ones (the exact arms here are the audit, not the
+    production path). Hash values are the engine-portable md5 fold;
+    every estimate is integer arithmetic plus one division."""
+    from pyspark.sql import Window as W
+
+    from variantcalling_spark.operators.dedup import (
+        MERSENNE31,
+        portable_string_hash,
+        shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isin(*_KMV_SRC)
+    )
+    sh = (
+        shingles(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", F.col("shingle").alias("s"))
+        .distinct()
+        .transform(managed_persist)
+    )
+    hv = sh.select("source", portable_string_hash(F.col("s")).alias("v")).distinct()
+    sk = (
+        hv.withColumn("rn", F.row_number().over(W.partitionBy("source").orderBy("v")))
+        .where(F.col("rn") <= 64)
+        .select("source", "v")
+        .transform(managed_persist)
+    )
+    na = sh.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    prs = (
+        na.select(F.col("source").alias("sa"))
+        .join(na.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb"))
+        .transform(managed_persist)
+    )
+    uv = (
+        prs.join(sk.select(F.col("source").alias("sa"), "v"), "sa")
+        .select("sa", "sb", "v")
+        .unionByName(
+            prs.join(sk.select(F.col("source").alias("sb"), "v"), "sb").select(
+                "sa", "sb", "v"
+            )
+        )
+        .distinct()
+    )
+    uk = (
+        uv.withColumn(
+            "rn", F.row_number().over(W.partitionBy("sa", "sb").orderBy("v"))
+        )
+        .where(F.col("rn") <= 64)
+        .select("sa", "sb", "v")
+        .transform(managed_persist)
+    )
+    ukth = uk.groupBy("sa", "sb").agg(F.max("v").cast("bigint").alias("vk"))
+    both = (
+        uk.join(
+            sk.select(F.col("source").alias("sa"), "v"), ["sa", "v"]
+        )
+        .join(sk.select(F.col("source").alias("sb"), "v"), ["sb", "v"])
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    )
+    ex = (
+        sh.select(F.col("source").alias("sa"), "s")
+        .join(sh.select(F.col("source").alias("sb"), "s"), "s")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    est_union = F.lit(63.0) * F.lit(float(MERSENNE31)) / F.col("vk")
+    inter = F.coalesce(F.col("inter"), F.lit(0))
+    exact_union = (F.col("n_a") + F.col("n_b") - inter).cast("bigint")
+    est_j = F.coalesce(F.col("nb"), F.lit(0)) / F.lit(64.0)
+    exact_j = inter / exact_union.cast("double")
+    return (
+        prs.join(ukth, ["sa", "sb"])
+        .join(both, ["sa", "sb"], "left")
+        .join(ex, ["sa", "sb"], "left")
+        .join(F.broadcast(na.select(F.col("source").alias("sa"), F.col("n").alias("n_a"))), "sa")
+        .join(F.broadcast(na.select(F.col("source").alias("sb"), F.col("n").alias("n_b"))), "sb")
+        .select(
+            F.col("sa").alias("src_a"),
+            F.col("sb").alias("src_b"),
+            exact_union.alias("exact_union"),
+            F.round(est_union, 4).alias("est_union"),
+            F.round(exact_j, 6).alias("exact_jaccard"),
+            F.round(est_j, 6).alias("est_jaccard"),
+            F.round(F.abs(est_j - exact_j), 6).alias("jaccard_abs_err"),
+        )
+    )

@@ -2939,3 +2939,201 @@ def q297_adamic_adar(spark, sf_dir):
         .cast("int")
         .alias("rk"),
     )
+
+
+_MMR_LAM = 0.7
+_MMR_STEPS = 4
+_MMR_POOL = 12
+
+
+def _mmr_oracle_sql() -> str:
+    lam, om = repr(_MMR_LAM), repr(1.0 - _MMR_LAM)
+    cos = (
+        "list_dot_product({a}.v, {b}.v) / (sqrt(list_dot_product({a}.v, {a}.v))"
+        " * sqrt(list_dot_product({b}.v, {b}.v)))"
+    )
+    parts = [
+        f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+),
+qs AS MATERIALIZED (
+  SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 2
+),
+cands AS MATERIALIZED (
+  SELECT query_id, cand_id, rel FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           {cos.format(a='q', b='c')} AS rel,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {cos.format(a='q', b='c')} DESC, c.vec_id) AS rn
+    FROM qs q JOIN base c ON c.vec_id <> q.vec_id
+  ) WHERE rn <= {_MMR_POOL}
+),
+cv AS MATERIALIZED (
+  SELECT c.query_id, c.cand_id, b.v
+  FROM cands c JOIN base b ON b.vec_id = c.cand_id
+),
+sims AS MATERIALIZED (
+  SELECT a.query_id, a.cand_id AS c1, b.cand_id AS c2,
+         {cos.format(a='a', b='b')} AS sim
+  FROM cv a JOIN cv b
+    ON b.query_id = a.query_id AND b.cand_id <> a.cand_id
+),
+sel1 AS MATERIALIZED (
+  SELECT query_id, cand_id, score, 1 AS step FROM (
+    SELECT query_id, cand_id, ROUND({lam} * rel, 10) AS score,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY ROUND({lam} * rel, 10) DESC, cand_id) AS rn
+    FROM cands
+  ) WHERE rn = 1
+)"""
+    ]
+    prev = "sel1"
+    for t in range(2, _MMR_STEPS + 1):
+        parts.append(
+            f""",
+s{t} AS MATERIALIZED (
+  SELECT query_id, cand_id, score, {t} AS step FROM (
+    SELECT query_id, cand_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY score DESC, cand_id) AS rn
+    FROM (
+      SELECT c.query_id, c.cand_id,
+             ROUND({lam} * c.rel - {om} * MAX(sm.sim), 10) AS score
+      FROM cands c
+      JOIN {prev} sel ON sel.query_id = c.query_id
+      JOIN sims sm ON sm.query_id = c.query_id
+        AND sm.c1 = c.cand_id AND sm.c2 = sel.cand_id
+      LEFT JOIN {prev} ex
+        ON ex.query_id = c.query_id AND ex.cand_id = c.cand_id
+      WHERE ex.cand_id IS NULL
+      GROUP BY c.query_id, c.cand_id, c.rel
+    )
+  ) WHERE rn = 1
+),
+sel{t} AS MATERIALIZED (
+  SELECT * FROM {prev} UNION ALL SELECT * FROM s{t}
+)"""
+        )
+        prev = f"sel{t}"
+    parts.append(
+        f"""
+SELECT s.query_id, CAST(s.step AS INT) AS step, s.cand_id,
+       ROUND(c.rel, 6) AS rel, ROUND(s.score, 6) AS mmr_score
+FROM {prev} s
+JOIN cands c ON c.query_id = s.query_id AND c.cand_id = s.cand_id
+"""
+    )
+    return "".join(parts)
+
+
+@query("q304_mmr_rerank", oracle=_mmr_oracle_sql())
+def q304_mmr_rerank(spark, sf_dir):
+    """MAXIMAL MARGINAL RELEVANCE RE-RANKING (Carbonell-Goldstein 1998
+    — the diversity re-rank every RAG retrieval stack bolts onto its
+    top-k: greedily pick the candidate maximizing
+    lambda*rel - (1-lambda)*max_sim_to_already_picked, so the context
+    window carries non-redundant passages; the selection-time
+    complement of q131's cluster representatives): 4 greedy picks at
+    lambda=0.7 from each query's top-12 cosine pool.
+
+    Scale discipline: the greedy recursion is bounded by the POOL, not
+    the corpus — relevance scoring is the one corpus-sized pass (q68's
+    broadcast-queries shape); the per-step argmax runs over <= 12
+    candidate rows x <= 3 selected rows per query. The oracle unrolls
+    the same 4 selection steps as materialized CTEs; cosines are exact
+    integer dot products (bit-equal cross-engine) and scores snap to
+    10 digits BEFORE each argmax so the pick itself, not just its
+    value, is engine-identical. Per-step localCheckpoint per the q255
+    iterative-lineage rule."""
+    from pyspark.sql import Window as W2
+
+    from variantcalling_spark.operators.similarity import _cosine_arrow
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", _quantize(F.col("embedding")).alias("v")
+    ).transform(managed_persist)
+    qs = base.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    lam, om = F.lit(_MMR_LAM), F.lit(1.0 - _MMR_LAM)
+    cosfn = _cosine_arrow()
+    scored = (
+        base.crossJoin(F.broadcast(qs))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            cosfn(F.col("qv"), F.col("v")).alias("rel"),
+        )
+    )
+    wq = W2.partitionBy("query_id").orderBy(F.col("rel").desc(), "cand_id")
+    cands = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= _MMR_POOL)
+        .select("query_id", "cand_id", "rel")
+        .transform(managed_persist)
+    )
+    cv = cands.join(
+        base.select(F.col("vec_id").alias("cand_id"), "v"), "cand_id"
+    ).select("query_id", "cand_id", "v")
+    b = cv.select(
+        "query_id", F.col("cand_id").alias("c2"), F.col("v").alias("v2")
+    )
+    sims = (
+        cv.join(b, "query_id")
+        .where(F.col("cand_id") != F.col("c2"))
+        .select(
+            "query_id",
+            F.col("cand_id").alias("c1"),
+            "c2",
+            cosfn(F.col("v"), F.col("v2")).alias("sim"),
+        )
+        .transform(managed_persist)
+    )
+    ws = W2.partitionBy("query_id").orderBy(F.col("score").desc(), "cand_id")
+    sel = (
+        cands.select(
+            "query_id",
+            "cand_id",
+            F.round(lam * F.col("rel"), 10).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(ws))
+        .where(F.col("rn") == 1)
+        .select("query_id", "cand_id", "score", F.lit(1).alias("step"))
+        .localCheckpoint(eager=True)
+    )
+    for t in range(2, _MMR_STEPS + 1):
+        picked = (
+            cands.join(sel.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_anti")
+            .join(
+                sel.select("query_id", F.col("cand_id").alias("c2")), "query_id"
+            )
+            .join(
+                sims.select("query_id", F.col("c1").alias("cand_id"), "c2", "sim"),
+                ["query_id", "cand_id", "c2"],
+            )
+            .groupBy("query_id", "cand_id", "rel")
+            .agg(F.max("sim").alias("maxsim"))
+            .select(
+                "query_id",
+                "cand_id",
+                F.round(lam * F.col("rel") - om * F.col("maxsim"), 10).alias(
+                    "score"
+                ),
+            )
+            .withColumn("rn", F.row_number().over(ws))
+            .where(F.col("rn") == 1)
+            .select("query_id", "cand_id", "score", F.lit(t).alias("step"))
+        )
+        sel = sel.unionByName(picked).localCheckpoint(eager=True)
+    return sel.join(cands, ["query_id", "cand_id"]).select(
+        "query_id",
+        F.col("step").cast("int").alias("step"),
+        "cand_id",
+        F.round(F.col("rel"), 6).alias("rel"),
+        F.round(F.col("score"), 6).alias("mmr_score"),
+    )

@@ -2557,3 +2557,78 @@ def q301_kendall_tau(spark, sf_dir):
             6,
         ).alias("tau_b"),
     )
+
+
+_HOLT_A = 0.4
+_HOLT_B = 0.2
+
+
+@query(
+    "q302_holt_linear",
+    oracle=f"""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT event_type,
+         epoch_ns(ts) // 86400000000000 AS day,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM events GROUP BY event_type, day
+),
+rel AS MATERIALIZED (
+  SELECT event_type, m,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+),
+walk AS (
+  SELECT r1.event_type, 1 AS t, r1.m AS l, r2.m - r1.m AS b
+  FROM rel r1 JOIN rel r2 ON r2.event_type = r1.event_type AND r2.rn = 2
+  WHERE r1.rn = 1
+  UNION ALL
+  SELECT w.event_type, w.t + 1,
+         {_HOLT_A!r} * r.m + {1.0 - _HOLT_A!r} * (w.l + w.b),
+         {_HOLT_B!r} * (({_HOLT_A!r} * r.m + {1.0 - _HOLT_A!r} * (w.l + w.b)) - w.l)
+           + {1.0 - _HOLT_B!r} * w.b
+  FROM walk w JOIN rel r ON r.event_type = w.event_type AND r.rn = w.t + 1
+)
+SELECT w.event_type, CAST(w.t AS BIGINT) AS n_obs,
+       ROUND(w.l, 6) AS level, ROUND(w.b, 6) AS trend,
+       ROUND(w.l + 7 * w.b, 6) AS forecast
+FROM walk w
+JOIN (SELECT event_type, MAX(rn) AS mx FROM rel GROUP BY event_type) q
+  ON q.event_type = w.event_type AND w.t = q.mx
+""",
+)
+def q302_holt_linear(spark, sf_dir):
+    """HOLT LINEAR (double-exponential) SMOOTHING per metric series —
+    the level+trend forecaster one rung above q267's flat EWMA (which
+    cannot track a trending series), with a 7-day-ahead forecast; the
+    classic capacity-planning readout. alpha=0.4, beta=0.2,
+    l_1 = m_1, b_1 = m_2 - m_1.
+
+    Scale discipline: the recursion is inherently sequential PER
+    SERIES, so it runs as an ``applyInPandas`` kernel over
+    CALENDAR-BOUNDED daily means — Spark hash-partitions the series;
+    each group is a ~30-step float64 scan. The ORACLE replays the walk
+    as a recursive CTE with the IDENTICAL multiply/add shapes (1-alpha
+    injected as the computed Python double, not a re-derived literal),
+    so kernel and SQL agree bit-for-bit with NO intermediate rounding
+    — the strongest cross-engine pin the sequential family has."""
+    from variantcalling_spark.operators.kernels import holt_linear_smooth
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_ns DIV 86400000000000").alias("day")
+    ).agg(
+        F.round(F.sum(dec("value")).cast("double") / F.count(F.lit(1)), 6).alias("m")
+    )
+    out = holt_linear_smooth(
+        daily.select(F.col("event_type").alias("series"), F.col("day").alias("t"), "m"),
+        alpha=_HOLT_A,
+        beta=_HOLT_B,
+        horizon=7,
+    )
+    return out.select(
+        F.col("series").alias("event_type"),
+        "n_obs",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast", 6).alias("forecast"),
+    )
