@@ -709,3 +709,59 @@ def test_adaptive_knn_graph_equals_fixed_at_rule_point(spark, sf_dir):
         for r in knn_graph(emb, k=3, prefix_bits=bits).collect()
     }
     assert got == want and got
+
+
+def test_kmv_overlap_error_bound(spark, sf_dir):
+    """q303's KMV Jaccard estimate is a k=64 bottom-k estimator: its
+    standard error is ~sqrt(J(1-J)/k) <= 0.0625, so |est - exact| must
+    stay within a loose 4-sigma band (0.25) on every pair, and the
+    union estimate within 35% relative — the executable accuracy claim
+    of the sketch (the q263 grading convention applied to the
+    intersection estimator)."""
+    from variantcalling_spark.queries import all_queries
+
+    rows = all_queries()["q303_kmv_source_overlap"].fn(spark, sf_dir).collect()
+    assert rows, "no source pairs at smoke scale"
+    for r in rows:
+        assert r.jaccard_abs_err <= 0.25, r
+        rel = abs(r.est_union - r.exact_union) / r.exact_union
+        assert rel <= 0.35, r
+
+
+def test_mmr_rerank_semantics(spark, sf_dir):
+    """q304 MMR invariants: per query, exactly one pick per step, all
+    picks distinct, step-1 is the plain-relevance argmax, and every
+    later pick's mmr_score stays within (1-lambda)*|sim| of lambda*rel
+    (cosines may be negative, so the "penalty" can legitimately add —
+    the bound is two-sided)."""
+    from variantcalling_spark.queries import all_queries
+
+    rows = all_queries()["q304_mmr_rerank"].fn(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 2
+    for qid, rs in by_q.items():
+        assert sorted(r.step for r in rs) == [1, 2, 3, 4]
+        assert len({r.cand_id for r in rs}) == 4
+        s1 = next(r for r in rs if r.step == 1)
+        assert max(r.rel for r in rs) <= s1.rel + 1e-9
+        # s1.rel is itself 6dp-rounded, so recomputing lambda*rel can
+        # drift a full ulp-of-the-6th-digit: allow 2e-6
+        assert abs(s1.mmr_score - 0.7 * s1.rel) <= 2e-6
+        for r in rs:
+            if r.step > 1:
+                assert abs(r.mmr_score - 0.7 * r.rel) <= 0.3 + 1e-9
+
+
+def test_lof_scores_positive_and_ranked(spark, sf_dir):
+    """q294 LOF sanity at smoke scale: 20 rows, strictly positive
+    scores and lrds, rank ordered by score descending."""
+    from variantcalling_spark.queries import all_queries
+
+    rows = all_queries()["q294_lof_outliers"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    scores = [r.lof for r in sorted(rows, key=lambda r: r.rk)]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.lrd > 0 for r in rows)

@@ -325,3 +325,37 @@ def test_nw_align_scores(spark):
     assert out[3].nw_score == 5
     assert out[4].nw_score == 4
     assert out[5].nw_score == -4
+
+
+def test_holt_linear_smooth(spark):
+    """Holt kernel against a hand-computed walk (alpha=0.4, beta=0.2):
+    l1=10, b1=2 -> t=2: l=0.4*12+0.6*12=12.0, b=0.2*2+0.8*2=2.0 ->
+    t=3: l=0.4*14+0.6*14=14.0, b=2.0 (a perfect linear series keeps
+    level on the line and trend constant); plus the n=1 degenerate."""
+    from variantcalling_spark.operators.kernels import holt_linear_smooth
+
+    rows = [("s1", 0, 10.0), ("s1", 1, 12.0), ("s1", 2, 14.0), ("one", 5, 7.0)]
+    df = spark.createDataFrame(rows, ["series", "t", "m"])
+    out = {r.series: r for r in holt_linear_smooth(df).collect()}
+    assert out["s1"].n_obs == 3
+    assert abs(out["s1"].level - 14.0) < 1e-12
+    assert abs(out["s1"].trend - 2.0) < 1e-12
+    assert abs(out["s1"].forecast - 28.0) < 1e-12
+    assert out["one"].n_obs == 1 and out["one"].level == 7.0
+    assert out["one"].trend == 0.0
+
+
+def test_holt_out_of_order_input(spark):
+    """The kernel sorts by t inside each group: shuffled input rows
+    produce the same walk as ordered ones."""
+    from variantcalling_spark.operators.kernels import holt_linear_smooth
+
+    ordered = [("s", t, float(v)) for t, v in enumerate([5, 9, 4, 12, 8])]
+    shuffled = [ordered[i] for i in (3, 0, 4, 1, 2)]
+    a = holt_linear_smooth(
+        spark.createDataFrame(ordered, ["series", "t", "m"])
+    ).collect()[0]
+    b = holt_linear_smooth(
+        spark.createDataFrame(shuffled, ["series", "t", "m"])
+    ).collect()[0]
+    assert (a.level, a.trend, a.forecast) == (b.level, b.trend, b.forecast)
