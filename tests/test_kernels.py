@@ -359,3 +359,26 @@ def test_holt_out_of_order_input(spark):
         spark.createDataFrame(shuffled, ["series", "t", "m"])
     ).collect()[0]
     assert (a.level, a.trend, a.forecast) == (b.level, b.trend, b.forecast)
+
+
+def test_dtw_pair_distances(spark):
+    """DTW kernel against hand-computed DPs: identical series -> 0,
+    singletons -> |a-b|, repeated-element stretch pays per matched
+    step, and warping absorbs a phase shift a plain L1 would not."""
+    from variantcalling_spark.operators.kernels import dtw_pair_distances
+
+    rows = [
+        ("a", "b", [1, 2, 3], [1, 2, 3]),          # identical: 0
+        ("c", "d", [1], [5]),                       # singletons: 4
+        ("e", "f", [0, 0], [1]),                    # stretch: 1 + 1 = 2
+        ("g", "h", [0, 1, 2, 3], [1, 2, 3, 3]),     # shift: warp cost 1
+    ]
+    df = spark.createDataFrame(rows, ["ea", "eb", "xa", "xb"])
+    out = {(r.ea, r.eb): r for r in dtw_pair_distances(df).collect()}
+    assert out[("a", "b")].dtw_micro == 0
+    assert out[("c", "d")].dtw_micro == 4
+    assert out[("e", "f")].dtw_micro == 2
+    # warp: 0->1 costs 1, then diagonal matches 1,2,3 and the final 3
+    # re-matches: total 1
+    assert out[("g", "h")].dtw_micro == 1
+    assert out[("g", "h")].n_a == 4 and out[("g", "h")].n_b == 4

@@ -525,3 +525,74 @@ def holt_linear_smooth(
         per_series,
         schema=f"{key_col} string, n_obs long, level double, trend double, forecast double",
     )
+
+
+DTW_BIG = 10**15  # boundary sentinel: far above any path cost, no overflow
+
+
+def dtw_pair_distances(
+    pairs: DataFrame,
+    ka_col: str = "ea",
+    kb_col: str = "eb",
+    a_col: str = "xa",
+    b_col: str = "xb",
+) -> DataFrame:
+    """DYNAMIC TIME WARPING distance between integer-valued series
+    pairs: D[i][j] = |xa_i - xb_j| + min(D[i-1][j], D[i][j-1],
+    D[i-1][j-1]), boundaries +inf except D[0][0] = 0 — the elastic
+    alignment distance for time series (the numeric sibling of the
+    q219/q247 string DPs; series pre-quantized to integer units so the
+    whole DP is bit-exact on any engine).
+
+    Arrow-batched ``mapInPandas``; pairs are independent rows; state
+    is two DP rows. The within-row left dependency (cur[j-1]) has no
+    running-max closed form once positive costs are added, so the
+    inner loop is per-cell — acceptable because inputs are
+    CALENDAR-BOUNDED series (the caller aggregates to a daily grid),
+    not corpus-sized sequences. The DuckDB oracle replays the DP as a
+    wavefront recursive CTE (anti-diagonals), pinning every cell."""
+
+    out_schema = (
+        f"{ka_col} string, {kb_col} string, n_a bigint, n_b bigint, "
+        "dtw_micro bigint"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            kas, kbs, ns, ms, ds = [], [], [], [], []
+            for ka, kb, xa, xb in zip(
+                pdf[ka_col], pdf[kb_col], pdf[a_col], pdf[b_col]
+            ):
+                a = [int(v) for v in xa]
+                b = [int(v) for v in xb]
+                n, m = len(a), len(b)
+                prev = [0] + [DTW_BIG] * m
+                for i in range(1, n + 1):
+                    cur = [DTW_BIG] * (m + 1)
+                    ai = a[i - 1]
+                    for j in range(1, m + 1):
+                        best = prev[j - 1]
+                        if prev[j] < best:
+                            best = prev[j]
+                        if cur[j - 1] < best:
+                            best = cur[j - 1]
+                        cur[j] = abs(ai - b[j - 1]) + best
+                    prev = cur
+                kas.append(ka)
+                kbs.append(kb)
+                ns.append(n)
+                ms.append(m)
+                ds.append(prev[m])
+            yield pd.DataFrame(
+                {
+                    ka_col: kas,
+                    kb_col: kbs,
+                    "n_a": pd.array(ns, dtype="int64"),
+                    "n_b": pd.array(ms, dtype="int64"),
+                    "dtw_micro": pd.array(ds, dtype="int64"),
+                }
+            )
+
+    return pairs.select(ka_col, kb_col, a_col, b_col).mapInPandas(
+        run, schema=out_schema
+    )

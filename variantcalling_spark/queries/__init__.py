@@ -59,6 +59,9 @@ _PRIORITY = (
     #   4. round-5-touched hot paths, then the round-4 block (q110-q133);
     #   5. everything else (r5-fresh rows) in module order.
     # --- New in round 6 ---
+    "q305_position_attribution",
+    "q306_em_gaussian",
+    "q307_dtw_distance",
     "q302_holt_linear",
     "q303_kmv_source_overlap",
     "q304_mmr_rerank",

@@ -2632,3 +2632,451 @@ def q302_holt_linear(spark, sf_dir):
         F.round("trend", 6).alias("trend"),
         F.round("forecast", 6).alias("forecast"),
     )
+
+
+@query(
+    "q305_position_attribution",
+    oracle=f"""
+WITH purchases AS (
+  SELECT event_id, user_id, epoch_ns(ts) AS t, value
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, epoch_ns(ts) AS t_click,
+         CAST(regexp_extract(props, '[0-9]+') AS BIGINT) % 5 AS campaign
+  FROM events WHERE event_type = 'click'
+),
+touched AS (
+  SELECT p.event_id, p.value, c.campaign,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY c.t_click, c.campaign) AS rn_asc,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY c.t_click DESC, c.campaign DESC) AS rn_desc,
+         COUNT(*) OVER (PARTITION BY p.event_id) AS k
+  FROM purchases p JOIN clicks c
+    ON c.user_id = p.user_id
+   AND c.t_click < p.t
+   AND c.t_click >= p.t - {{LOOKBACK}}
+),
+credited AS (
+  SELECT 'campaign_' || CAST(campaign AS VARCHAR) AS bucket, value,
+         ROUND(CASE WHEN k = 1 THEN 1.0
+                    WHEN k = 2 THEN 0.5
+                    WHEN rn_asc = 1 OR rn_desc = 1 THEN 0.4
+                    ELSE 0.2 / (k - 2) END, 8) AS credit
+  FROM touched
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       ROUND(CAST(SUM(CAST(credit AS DECIMAL(12,8))) AS DOUBLE), 4)
+         AS attributed_conversions,
+       ROUND(CAST(SUM(CAST(ROUND(credit * value, 6) AS DECIMAL(18,6)))
+                  AS DOUBLE), 4) AS attributed_revenue
+FROM credited GROUP BY bucket
+""".replace("{LOOKBACK}", str(_ATTR_LOOKBACK_NS)),
+)
+def q305_position_attribution(spark, sf_dir):
+    """POSITION-BASED (U-SHAPED) MULTI-TOUCH ATTRIBUTION — the 40/20/40
+    model beside q284's last-touch: first and last qualifying touches
+    take 0.4 of the conversion each, the middle touches split 0.2
+    (k=1 -> 1.0, k=2 -> 0.5/0.5). The industry-standard answer to
+    "last-touch starves discovery campaigns".
+
+    Scale discipline: the touch table is the SAME user-keyed
+    conversion x lookback-click join as q284 (per-user bounded — at
+    100 TB the join is user-partitioned and the lookback predicate
+    prunes it); positions come from two windows per conversion, k from
+    one count window. Credits snap to 8 digits, revenue terms to 6,
+    then DECIMAL sums — conservation holds to rounding: sum of credits
+    per conversion is 1 by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts_ns").alias("t"), "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts_ns").alias("t_click"),
+        (F.regexp_extract("props", "[0-9]+", 0).cast("bigint") % 5).alias(
+            "campaign"
+        ),
+    )
+    touched = (
+        purchases.join(clicks, "user_id")
+        .where(
+            (F.col("t_click") < F.col("t"))
+            & (F.col("t_click") >= F.col("t") - F.lit(_ATTR_LOOKBACK_NS))
+        )
+        .select(
+            "event_id",
+            "value",
+            "campaign",
+            F.row_number()
+            .over(W.partitionBy("event_id").orderBy("t_click", "campaign"))
+            .alias("rn_asc"),
+            F.row_number()
+            .over(
+                W.partitionBy("event_id").orderBy(
+                    F.col("t_click").desc(), F.col("campaign").desc()
+                )
+            )
+            .alias("rn_desc"),
+            F.count(F.lit(1)).over(W.partitionBy("event_id")).alias("k"),
+        )
+    )
+    k = F.col("k")
+    credit = F.round(
+        F.when(k == 1, F.lit(1.0))
+        .when(k == 2, F.lit(0.5))
+        .when((F.col("rn_asc") == 1) | (F.col("rn_desc") == 1), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (k - 2)),
+        8,
+    )
+    credited = touched.select(
+        F.concat(F.lit("campaign_"), F.col("campaign").cast("string")).alias(
+            "bucket"
+        ),
+        "value",
+        credit.alias("credit"),
+    )
+    return credited.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.round(
+            F.sum(F.col("credit").cast("decimal(12,8)")).cast("double"), 4
+        ).alias("attributed_conversions"),
+        F.round(
+            F.sum(
+                F.round(F.col("credit") * F.col("value"), 6).cast("decimal(18,6)")
+            ).cast("double"),
+            4,
+        ).alias("attributed_revenue"),
+    )
+
+
+_EM_ITERS = 4
+
+
+def _em_oracle_sql() -> str:
+    parts = [
+        """
+WITH hist AS MATERIALIZED (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS c,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY c
+),
+tot AS MATERIALIZED (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM hist),
+cum AS MATERIALIZED (
+  SELECT c, n, SUM(n) OVER (ORDER BY c) AS cum FROM hist
+),
+init AS MATERIALIZED (
+  SELECT
+    (SELECT MIN(c) FROM cum
+      WHERE cum >= CAST(CEIL(0.25 * (SELECT nn FROM tot)) AS BIGINT)) / 100.0
+      AS mu1,
+    (SELECT MIN(c) FROM cum
+      WHERE cum >= CAST(CEIL(0.75 * (SELECT nn FROM tot)) AS BIGINT)) / 100.0
+      AS mu2,
+    (SELECT ROUND(
+       CAST(SUM(CAST(ROUND(n * (c / 100.0) * (c / 100.0), 4) AS DECIMAL(24,4)))
+            AS DOUBLE) / (SELECT nn FROM tot)
+       - (CAST(SUM(CAST(ROUND(n * (c / 100.0), 2) AS DECIMAL(20,2)))
+               AS DOUBLE) / (SELECT nn FROM tot))
+         * (CAST(SUM(CAST(ROUND(n * (c / 100.0), 2) AS DECIMAL(20,2)))
+                 AS DOUBLE) / (SELECT nn FROM tot)), 8)
+     FROM hist) AS v0,
+    0.5 AS pi1
+),
+p0 AS MATERIALIZED (
+  SELECT mu1, v0 AS var1, mu2, v0 AS var2, pi1 FROM init
+)"""
+    ]
+    prev = "p0"
+    for t in range(1, _EM_ITERS + 1):
+        parts.append(
+            f""",
+e{t} AS MATERIALIZED (
+  SELECT h.c, h.n, h.c / 100.0 AS x,
+         ROUND(
+           CASE WHEN
+             p.pi1 * exp(-(h.c / 100.0 - p.mu1) * (h.c / 100.0 - p.mu1)
+                         / (2 * p.var1)) / sqrt(p.var1)
+             + (1 - p.pi1) * exp(-(h.c / 100.0 - p.mu2) * (h.c / 100.0 - p.mu2)
+                                 / (2 * p.var2)) / sqrt(p.var2) > 0
+           THEN
+             p.pi1 * exp(-(h.c / 100.0 - p.mu1) * (h.c / 100.0 - p.mu1)
+                         / (2 * p.var1)) / sqrt(p.var1)
+             / (p.pi1 * exp(-(h.c / 100.0 - p.mu1) * (h.c / 100.0 - p.mu1)
+                            / (2 * p.var1)) / sqrt(p.var1)
+                + (1 - p.pi1) * exp(-(h.c / 100.0 - p.mu2) * (h.c / 100.0 - p.mu2)
+                                    / (2 * p.var2)) / sqrt(p.var2))
+           ELSE 0.5 END, 10) AS r
+  FROM hist h CROSS JOIN {prev} p
+),
+m{t} AS MATERIALIZED (
+  SELECT
+    CAST(SUM(CAST(ROUND(n * r, 10) AS DECIMAL(26,10))) AS DOUBLE) AS sr1,
+    CAST(SUM(CAST(ROUND(n * r * x, 8) AS DECIMAL(26,8))) AS DOUBLE) AS sx1,
+    CAST(SUM(CAST(ROUND(n * r * x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx1,
+    CAST(SUM(CAST(ROUND(n * (1 - r), 10) AS DECIMAL(26,10))) AS DOUBLE) AS sr2,
+    CAST(SUM(CAST(ROUND(n * (1 - r) * x, 8) AS DECIMAL(26,8))) AS DOUBLE) AS sx2,
+    CAST(SUM(CAST(ROUND(n * (1 - r) * x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx2
+  FROM e{t}
+),
+p{t} AS MATERIALIZED (
+  SELECT ROUND(sx1 / sr1, 8) AS mu1,
+         ROUND(sxx1 / sr1 - ROUND(sx1 / sr1, 8) * ROUND(sx1 / sr1, 8), 8) AS var1,
+         ROUND(sx2 / sr2, 8) AS mu2,
+         ROUND(sxx2 / sr2 - ROUND(sx2 / sr2, 8) * ROUND(sx2 / sr2, 8), 8) AS var2,
+         ROUND(sr1 / (SELECT nn FROM tot), 8) AS pi1
+  FROM m{t}
+)"""
+        )
+        prev = f"p{t}"
+    parts.append(
+        f"""
+SELECT (SELECT nn FROM tot) AS n,
+       ROUND(CASE WHEN mu1 <= mu2 THEN pi1 ELSE 1 - pi1 END, 6) AS pi_lo,
+       ROUND(CASE WHEN mu1 <= mu2 THEN mu1 ELSE mu2 END, 6) AS mu_lo,
+       ROUND(sqrt(CASE WHEN mu1 <= mu2 THEN var1 ELSE var2 END), 6) AS sd_lo,
+       ROUND(CASE WHEN mu1 <= mu2 THEN mu2 ELSE mu1 END, 6) AS mu_hi,
+       ROUND(sqrt(CASE WHEN mu1 <= mu2 THEN var2 ELSE var1 END), 6) AS sd_hi
+FROM {prev}
+"""
+    )
+    return "".join(parts)
+
+
+@query("q306_em_gaussian", oracle=_em_oracle_sql())
+def q306_em_gaussian(spark, sf_dir):
+    """TWO-COMPONENT GAUSSIAN MIXTURE via EM (the soft-clustering
+    classic — the distributional complement of the hard k-means
+    codebooks in the PQ/IVF family, and the model behind bimodality
+    checks on quality/latency metrics): 4 EM iterations over the VALUE
+    HISTOGRAM, quartile-initialized, components reported low/high by
+    mean.
+
+    Scale discipline: the E-step runs on the value-domain histogram
+    (cents), never the row stream — the corpus reduces once to
+    (cent, count) and every iteration is one broadcast of 5 parameters
+    + one map-side-combinable aggregate over that bounded table. Per-
+    iteration parameters are 5 scalars collected to the driver (the
+    bounded-Lloyd's-loop pattern the similarity family already uses);
+    every snap (r at 10, moments at 10/8/6, params at 8) happens
+    IN-ENGINE on both sides, so the oracle's unrolled iterations agree
+    exactly. The responsibility guard (d1+d2 <= 0 -> 0.5) keeps far
+    tails NaN-free."""
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.groupBy(F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("c"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .transform(managed_persist)
+    )
+    tot = hist.agg(F.sum("n").cast("bigint").alias("nn")).collect()[0]
+    nn = tot.nn
+    cum = hist.select(
+        "c", "n", F.sum("n").over(W.orderBy("c")).alias("cum")
+    )
+    mu1 = (
+        cum.where(F.col("cum") >= int(math.ceil(0.25 * nn)))
+        .agg(F.min("c"))
+        .collect()[0][0]
+        / 100.0
+    )
+    mu2 = (
+        cum.where(F.col("cum") >= int(math.ceil(0.75 * nn)))
+        .agg(F.min("c"))
+        .collect()[0][0]
+        / 100.0
+    )
+    x = F.col("c") / F.lit(100.0)
+    v0row = hist.agg(
+        F.round(
+            F.sum(F.round(F.col("n") * x * x, 4).cast("decimal(24,4)")).cast(
+                "double"
+            )
+            / nn
+            - (
+                F.sum(F.round(F.col("n") * x, 2).cast("decimal(20,2)")).cast(
+                    "double"
+                )
+                / nn
+            )
+            * (
+                F.sum(F.round(F.col("n") * x, 2).cast("decimal(20,2)")).cast(
+                    "double"
+                )
+                / nn
+            ),
+            8,
+        ).alias("v0")
+    ).collect()[0]
+    var1 = var2 = v0row.v0
+    pi1 = 0.5
+    for _ in range(_EM_ITERS):
+        p_mu1, p_v1, p_mu2, p_v2, p_pi = (
+            F.lit(mu1),
+            F.lit(var1),
+            F.lit(mu2),
+            F.lit(var2),
+            F.lit(pi1),
+        )
+        d1 = p_pi * F.exp(-(x - p_mu1) * (x - p_mu1) / (2 * p_v1)) / F.sqrt(p_v1)
+        d2 = (
+            (1 - p_pi)
+            * F.exp(-(x - p_mu2) * (x - p_mu2) / (2 * p_v2))
+            / F.sqrt(p_v2)
+        )
+        r = F.round(
+            F.when(d1 + d2 > 0, d1 / (d1 + d2)).otherwise(F.lit(0.5)), 10
+        )
+        e = hist.select("c", "n", x.alias("x"), r.alias("r"))
+        nr, xr = F.col("n") * F.col("r"), F.col("n") * F.col("r") * F.col("x")
+        n2, x2 = F.col("n") * (1 - F.col("r")), F.col("n") * (1 - F.col("r")) * F.col("x")
+        m = e.agg(
+            F.sum(F.round(nr, 10).cast("decimal(26,10)")).cast("double").alias("sr1"),
+            F.sum(F.round(xr, 8).cast("decimal(26,8)")).cast("double").alias("sx1"),
+            F.sum(F.round(xr * F.col("x"), 6).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sxx1"),
+            F.sum(F.round(n2, 10).cast("decimal(26,10)")).cast("double").alias("sr2"),
+            F.sum(F.round(x2, 8).cast("decimal(26,8)")).cast("double").alias("sx2"),
+            F.sum(F.round(x2 * F.col("x"), 6).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sxx2"),
+        )
+        upd = m.select(
+            F.round(F.col("sx1") / F.col("sr1"), 8).alias("mu1"),
+            F.round(
+                F.col("sxx1") / F.col("sr1")
+                - F.round(F.col("sx1") / F.col("sr1"), 8)
+                * F.round(F.col("sx1") / F.col("sr1"), 8),
+                8,
+            ).alias("var1"),
+            F.round(F.col("sx2") / F.col("sr2"), 8).alias("mu2"),
+            F.round(
+                F.col("sxx2") / F.col("sr2")
+                - F.round(F.col("sx2") / F.col("sr2"), 8)
+                * F.round(F.col("sx2") / F.col("sr2"), 8),
+                8,
+            ).alias("var2"),
+            F.round(F.col("sr1") / F.lit(float(nn)), 8).alias("pi1"),
+        ).collect()[0]
+        mu1, var1, mu2, var2, pi1 = (
+            upd.mu1,
+            upd.var1,
+            upd.mu2,
+            upd.var2,
+            upd.pi1,
+        )
+    lo_first = mu1 <= mu2
+    pi_lo = pi1 if lo_first else 1 - pi1
+    mu_lo, v_lo = (mu1, var1) if lo_first else (mu2, var2)
+    mu_hi, v_hi = (mu2, var2) if lo_first else (mu1, var1)
+    return hist.agg(F.sum("n").cast("bigint").alias("n")).select(
+        "n",
+        F.round(F.lit(pi_lo), 6).alias("pi_lo"),
+        F.round(F.lit(mu_lo), 6).alias("mu_lo"),
+        F.round(F.sqrt(F.lit(v_lo)), 6).alias("sd_lo"),
+        F.round(F.lit(mu_hi), 6).alias("mu_hi"),
+        F.round(F.sqrt(F.lit(v_hi)), 6).alias("sd_hi"),
+    )
+
+
+def _dtw_oracle_sql() -> str:
+    from variantcalling_spark.operators.kernels import DTW_BIG
+
+    val = f"""
+      CASE WHEN i = 0 OR d + 1 - i = 0 THEN CAST({DTW_BIG} AS BIGINT)
+           ELSE ABS(xa[CAST(i AS INT)] - xb[CAST(d + 1 - i AS INT)])
+                + LEAST(
+                    prev[CAST(i - GREATEST(0, d - 1 - m) AS INT)],
+                    cur[CAST(i - GREATEST(0, d - m) AS INT)],
+                    cur[CAST(i + 1 - GREATEST(0, d - m) AS INT)])
+      END"""
+    return f"""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT event_type,
+         epoch_ns(ts) // 86400000000000 AS day,
+         CAST(ROUND(ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                          / COUNT(*), 6) * 1000000) AS BIGINT) AS mi
+  FROM events GROUP BY event_type, day
+),
+arrs AS MATERIALIZED (
+  SELECT event_type, list(mi ORDER BY day) AS xs, CAST(COUNT(*) AS INT) AS len
+  FROM daily GROUP BY event_type
+),
+pairs AS MATERIALIZED (
+  SELECT a.event_type AS ea, b.event_type AS eb,
+         a.xs AS xa, b.xs AS xb, a.len AS n, b.len AS m
+  FROM arrs a JOIN arrs b ON a.event_type < b.event_type
+),
+rec AS (
+  SELECT ea, eb, xa, xb, n, m, 0 AS d,
+         [CAST(0 AS BIGINT)] AS cur, CAST(NULL AS BIGINT[]) AS prev
+  FROM pairs
+  UNION ALL
+  SELECT ea, eb, xa, xb, n, m, d + 1,
+         list_transform(generate_series(GREATEST(0, d + 1 - m), LEAST(n, d + 1)),
+                        i -> {val}) AS cur,
+         cur AS prev
+  FROM rec WHERE d < n + m
+)
+SELECT ea, eb, CAST(n AS BIGINT) AS n_a, CAST(m AS BIGINT) AS n_b,
+       ROUND(cur[1] / 1000000.0, 6) AS dtw,
+       ROUND(cur[1] / ((n + m) * 1000000.0), 6) AS dtw_norm
+FROM rec WHERE d = n + m
+"""
+
+
+@query("q307_dtw_distance", oracle=_dtw_oracle_sql())
+def q307_dtw_distance(spark, sf_dir):
+    """DYNAMIC TIME WARPING distance between every pair of metric
+    series (the elastic-alignment similarity under time-series
+    clustering and motif search — tolerant of phase shifts that break
+    the rigid lag alignment of q298's ACF and the pointwise deltas of
+    q171's KS): full DP over the daily-mean grids, plus the
+    path-length-normalized distance.
+
+    Scale discipline: series collapse to CALENDAR-BOUNDED daily grids
+    quantized to integer micro-units, so the O(len^2) DP is integer-
+    exact and bounded by elapsed days, not corpus size; pairs
+    distribute freely through an Arrow ``mapInPandas`` kernel (two DP
+    rows of state). The ORACLE replays the identical DP as a wavefront
+    recursive CTE over anti-diagonals — every cell pinned, the q219
+    convention extended to numeric series."""
+    from variantcalling_spark.operators.kernels import dtw_pair_distances
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_ns DIV 86400000000000").alias("day")
+    ).agg(
+        F.expr(
+            "CAST(ROUND(ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)"
+            " / COUNT(*), 6) * 1000000) AS BIGINT)"
+        ).alias("mi")
+    )
+    arrs = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "mi"))),
+            lambda s: s.getField("mi"),
+        ).alias("xs")
+    ).transform(managed_persist)
+    pairs = (
+        arrs.select(F.col("event_type").alias("ea"), F.col("xs").alias("xa"))
+        .join(
+            arrs.select(F.col("event_type").alias("eb"), F.col("xs").alias("xb")),
+            F.col("ea") < F.col("eb"),
+        )
+    )
+    out = dtw_pair_distances(pairs)
+    return out.select(
+        "ea",
+        "eb",
+        "n_a",
+        "n_b",
+        F.round(F.col("dtw_micro") / 1000000.0, 6).alias("dtw"),
+        F.round(
+            F.col("dtw_micro") / ((F.col("n_a") + F.col("n_b")) * 1000000.0), 6
+        ).alias("dtw_norm"),
+    )
