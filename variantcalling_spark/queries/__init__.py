@@ -59,6 +59,10 @@ _PRIORITY = (
     #   4. round-5-touched hot paths, then the round-4 block (q110-q133);
     #   5. everything else (r5-fresh rows) in module order.
     # --- New in round 6 ---
+    "q308_facility_location",
+    "q309_welch_ttest",
+    "q310_mann_kendall",
+    "q311_degree_assortativity",
     "q305_position_attribution",
     "q306_em_gaussian",
     "q307_dtw_distance",

@@ -3137,3 +3137,260 @@ def q304_mmr_rerank(spark, sf_dir):
         F.round(F.col("rel"), 6).alias("rel"),
         F.round(F.col("score"), 6).alias("mmr_score"),
     )
+
+
+def _assortativity_oracle_sql() -> str:
+    knn = _knn_graph_oracle_sql()
+    return f"""
+WITH knn AS (SELECT * FROM ({knn}) q0),
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(vec_id, neighbor_id) AS u,
+                  GREATEST(vec_id, neighbor_id) AS v
+  FROM knn
+),
+adj AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM und UNION ALL SELECT v AS a, u AS b FROM und
+),
+deg AS MATERIALIZED (
+  SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY a
+),
+ends AS (
+  SELECT da.d AS x, db.d AS y
+  FROM adj e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM ends
+)
+SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+       ROUND(CAST(sx AS DOUBLE) / m2, 4) AS mean_end_degree,
+       ROUND((m2 * sxy - sx * sx)
+             / CAST(m2 * sxx - sx * sx AS DOUBLE), 6) AS assortativity
+FROM sums
+"""
+
+
+@query("q311_degree_assortativity", oracle=_assortativity_oracle_sql())
+def q311_degree_assortativity(spark, sf_dir):
+    """DEGREE ASSORTATIVITY of the corpus kNN graph (Newman 2002 — do
+    well-connected documents neighbor other well-connected documents?
+    Positive r = hub-clumping, the structure that makes centrality-
+    weighted selection like q144 concentrate; negative r = hub-spoke.
+    Completes the graph-structure panel: triangles q173, conductance
+    q254, k-core q264): Pearson correlation of end degrees over every
+    edge, both orientations (the symmetric-graph convention, which
+    makes sigma_x = sigma_y and the formula one integer ratio).
+
+    Scale discipline: two equi-joins decorate each edge with its end
+    degrees; ALL moments are exact BIGINT sums (degrees are small
+    integers), so r is a single division — no per-edge doubles
+    anywhere."""
+    from variantcalling_spark.operators.similarity import adaptive_knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    und = (
+        adaptive_knn_graph(emb, k=3)
+        .select(
+            F.least("vec_id", "neighbor_id").alias("u"),
+            F.greatest("vec_id", "neighbor_id").alias("v"),
+        )
+        .distinct()
+        .transform(managed_persist)
+    )
+    adj = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        und.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = adj.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    ends = (
+        adj.join(F.broadcast(deg.select(F.col("node").alias("a"), F.col("d").alias("x"))), "a")
+        .join(F.broadcast(deg.select(F.col("node").alias("b"), F.col("d").alias("y"))), "b")
+        .select("x", "y")
+    )
+    sums = ends.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m2"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    m2, sx, sxx, sxy = F.col("m2"), F.col("sx"), F.col("sxx"), F.col("sxy")
+    return sums.select(
+        F.expr("m2 DIV 2").cast("bigint").alias("n_edges"),
+        F.round(sx.cast("double") / m2, 4).alias("mean_end_degree"),
+        F.round(
+            (m2 * sxy - sx * sx) / (m2 * sxx - sx * sx).cast("double"), 6
+        ).alias("assortativity"),
+    )
+
+
+_FL_STEPS = 4
+
+
+def _facility_location_oracle_sql() -> str:
+    knn = _knn_graph_oracle_sql()
+    parts = [
+        f"""
+WITH knn AS (SELECT * FROM ({knn}) q0),
+adj AS MATERIALIZED (
+  SELECT DISTINCT a, b, sim FROM (
+    SELECT vec_id AS a, neighbor_id AS b, cosine AS sim FROM knn
+    UNION ALL
+    SELECT neighbor_id AS a, vec_id AS b, cosine AS sim FROM knn
+    UNION ALL
+    SELECT vec_id AS a, vec_id AS b, 1.0 AS sim FROM embeddings
+  )
+),
+best0 AS MATERIALIZED (
+  SELECT vec_id AS node, 0.0 AS best FROM embeddings
+)"""
+    ]
+    prev = "best0"
+    for t in range(1, _FL_STEPS + 1):
+        parts.append(
+            f""",
+g{t} AS MATERIALIZED (
+  SELECT a.a AS c,
+         CAST(SUM(CAST(ROUND(GREATEST(0, a.sim - b.best), 12)
+                       AS DECIMAL(20,12))) AS DOUBLE) AS gain
+  FROM adj a JOIN {prev} b ON b.node = a.b
+  GROUP BY a.a
+),
+pick{t} AS MATERIALIZED (
+  SELECT c AS node, gain FROM (
+    SELECT c, gain,
+           ROW_NUMBER() OVER (ORDER BY ROUND(gain, 10) DESC, c) AS rn
+    FROM g{t}
+  ) WHERE rn = 1
+),
+best{t} AS MATERIALIZED (
+  SELECT b.node, GREATEST(b.best, COALESCE(pa.sim, -1)) AS best
+  FROM {prev} b
+  LEFT JOIN (
+    SELECT a.b AS node, a.sim FROM adj a JOIN pick{t} p ON p.node = a.a
+  ) pa ON pa.node = b.node
+),
+cov{t} AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(ROUND(best, 12) AS DECIMAL(18,12))) AS DOUBLE) AS cov
+  FROM best{t}
+)"""
+        )
+        prev = f"best{t}"
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {t} AS step, p.node, ROUND(p.gain, 6) AS gain,"
+        f" ROUND((SELECT cov FROM cov{t}), 6) AS coverage FROM pick{t} p"
+        for t in range(1, _FL_STEPS + 1)
+    )
+    parts.append(f"\nSELECT CAST(step AS INT) AS step, node, gain, coverage FROM ({selects})\n")
+    return "".join(parts)
+
+
+@query("q308_facility_location", oracle=_facility_location_oracle_sql())
+def q308_facility_location(spark, sf_dir):
+    """SUBMODULAR FACILITY-LOCATION GREEDY SELECTION (the coreset /
+    data-selection objective: pick k documents maximizing
+    sum_v max_sim(v, selected) — Nemhauser greedy carries the 1-1/e
+    guarantee; this is the corpus-COVERAGE complement of q304's
+    query-relevance MMR and the selection-time twin of q108's
+    SemDeDup pruning): 4 greedy picks over the kNN similarity graph
+    with per-step marginal gain and cumulative coverage.
+
+    Scale discipline: coverage is evaluated on the SPARSE kNN graph
+    (plus self-edges), so each marginal-gain pass is one equi-join of
+    the edge table against the |corpus|-row best-coverage vector and
+    one map-side-combinable SUM — never a dense n^2 kernel; the
+    best vector updates by a broadcast-sized join against the picked
+    node's edges. Gains snap (12-dp terms, DECIMAL sums, 10-dp
+    argmax) so every PICK is engine-identical; per-step
+    localCheckpoint per the q255 rule."""
+    from variantcalling_spark.operators.similarity import adaptive_knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = adaptive_knn_graph(emb, k=3)
+    adj = (
+        edges.select(
+            F.col("vec_id").alias("a"),
+            F.col("neighbor_id").alias("b"),
+            F.col("cosine").alias("sim"),
+        )
+        .unionByName(
+            edges.select(
+                F.col("neighbor_id").alias("a"),
+                F.col("vec_id").alias("b"),
+                F.col("cosine").alias("sim"),
+            )
+        )
+        .unionByName(
+            emb.select(
+                F.col("vec_id").alias("a"),
+                F.col("vec_id").alias("b"),
+                F.lit(1.0).alias("sim"),
+            )
+        )
+        .distinct()
+        .transform(managed_persist)
+    )
+    best = emb.select(F.col("vec_id").alias("node"), F.lit(0.0).alias("best"))
+    best = best.localCheckpoint(eager=True)
+    picks = []
+    for t in range(1, _FL_STEPS + 1):
+        g = (
+            adj.join(best.withColumnRenamed("node", "b"), "b")
+            .select(
+                F.col("a").alias("c"),
+                F.round(F.greatest(F.lit(0.0), F.col("sim") - F.col("best")), 12)
+                .cast("decimal(20,12)")
+                .alias("term"),
+            )
+            .groupBy("c")
+            .agg(F.sum("term").cast("double").alias("gain"))
+        )
+        from pyspark.sql import Window as W2
+
+        pick = (
+            g.withColumn(
+                "rn",
+                F.row_number().over(
+                    W2.orderBy(F.round(F.col("gain"), 10).desc(), "c")
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .select(F.col("c").alias("node"), "gain")
+            .localCheckpoint(eager=True)
+        )
+        pa = adj.join(
+            pick.select(F.col("node").alias("a")), "a"
+        ).select(F.col("b").alias("node"), "sim")
+        best = (
+            best.join(pa, "node", "left")
+            .select(
+                "node",
+                F.greatest(
+                    F.col("best"), F.coalesce(F.col("sim"), F.lit(-1.0))
+                ).alias("best"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cov = best.agg(
+            F.round(
+                F.sum(F.round(F.col("best"), 12).cast("decimal(18,12)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("coverage")
+        )
+        picks.append(
+            pick.crossJoin(F.broadcast(cov)).select(
+                F.lit(t).cast("int").alias("step"),
+                "node",
+                F.round(F.col("gain"), 6).alias("gain"),
+                "coverage",
+            )
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

@@ -3080,3 +3080,205 @@ def q307_dtw_distance(spark, sf_dir):
             F.col("dtw_micro") / ((F.col("n_a") + F.col("n_b")) * 1000000.0), 6
         ).alias("dtw_norm"),
     )
+
+
+@query(
+    "q309_welch_ttest",
+    oracle="""
+WITH stats AS MATERIALIZED (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6)
+           AS mean,
+         ROUND((CAST(SUM(CAST(value AS DECIMAL(12,2))
+                         * CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                - COUNT(*) * ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                                        AS DOUBLE) / COUNT(*), 6)
+                           * ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                                        AS DOUBLE) / COUNT(*), 6))
+               / (COUNT(*) - 1), 6) AS var
+  FROM events GROUP BY event_type
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       a.n AS n_a, b.n AS n_b,
+       ROUND(a.mean - b.mean, 6) AS mean_diff,
+       ROUND((a.mean - b.mean)
+             / sqrt(a.var / a.n + b.var / b.n), 6) AS welch_t,
+       ROUND((a.var / a.n + b.var / b.n) * (a.var / a.n + b.var / b.n)
+             / ((a.var / a.n) * (a.var / a.n) / (a.n - 1)
+                + (b.var / b.n) * (b.var / b.n) / (b.n - 1)), 2) AS welch_df
+FROM stats a JOIN stats b ON a.event_type < b.event_type
+""",
+)
+def q309_welch_ttest(spark, sf_dir):
+    """WELCH'S UNEQUAL-VARIANCE t-TEST for every series pair — the
+    pairwise drill-down after q277's one-way ANOVA says "something
+    differs" (Welch never assumes pooled variance, so heteroscedastic
+    metric series don't produce false certainty), with the
+    Welch-Satterthwaite effective degrees of freedom.
+
+    Scale discipline: the corpus reduces once to per-group (n, mean,
+    variance) sufficient statistics via exact DECIMAL sums snapped at
+    6 digits; the pair table is group-domain-bounded and every t/df is
+    closed-form arithmetic over snapped inputs — identical doubles on
+    both engines before the final rounds."""
+    ev = load_table(spark, sf_dir, "events")
+    dv = dec("value")
+    mean_expr = F.round(F.sum(dv).cast("double") / F.count(F.lit(1)), 6)
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        mean_expr.alias("mean"),
+        F.round(
+            (
+                F.sum(dv * dv).cast("double")
+                - F.count(F.lit(1)) * mean_expr * mean_expr
+            )
+            / (F.count(F.lit(1)) - 1),
+            6,
+        ).alias("var"),
+    ).transform(managed_persist)
+    b = stats.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    j = stats.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    ).join(b, F.col("type_a") < F.col("type_b"))
+    va_n = F.col("var_a") / F.col("n_a")
+    vb_n = F.col("var_b") / F.col("n_b")
+    return j.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        F.round(F.col("mean_a") - F.col("mean_b"), 6).alias("mean_diff"),
+        F.round(
+            (F.col("mean_a") - F.col("mean_b")) / F.sqrt(va_n + vb_n), 6
+        ).alias("welch_t"),
+        F.round(
+            (va_n + vb_n) * (va_n + vb_n)
+            / (
+                va_n * va_n / (F.col("n_a") - 1)
+                + vb_n * vb_n / (F.col("n_b") - 1)
+            ),
+            2,
+        ).alias("welch_df"),
+    )
+
+
+@query(
+    "q310_mann_kendall",
+    oracle="""
+WITH daily AS MATERIALIZED (
+  SELECT event_type,
+         epoch_ns(ts) // 86400000000000 AS day,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM events GROUP BY event_type, day
+),
+pairs AS (
+  SELECT a.event_type,
+         CASE WHEN b.m > a.m THEN 1 WHEN b.m < a.m THEN -1 ELSE 0 END AS sgn
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.day > a.day
+),
+s AS (
+  SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat
+  FROM pairs GROUP BY event_type
+),
+nd AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY event_type
+),
+ties AS (
+  SELECT event_type,
+         CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tsum
+  FROM (SELECT event_type, m, COUNT(*) AS t FROM daily GROUP BY event_type, m)
+  WHERE t > 1 GROUP BY event_type
+)
+SELECT n.event_type, n.n AS n_days, s.s_stat,
+       ROUND((n.n * (n.n - 1) * (2 * n.n + 5) - COALESCE(t.tsum, 0)) / 18.0, 6)
+         AS var_s,
+       ROUND(CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                  WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                  ELSE 0 END
+             / sqrt((n.n * (n.n - 1) * (2 * n.n + 5) - COALESCE(t.tsum, 0))
+                    / 18.0), 6) AS mk_z
+FROM nd n JOIN s ON s.event_type = n.event_type
+LEFT JOIN ties t ON t.event_type = n.event_type
+""",
+)
+def q310_mann_kendall(spark, sf_dir):
+    """MANN-KENDALL TREND TEST per metric series — the nonparametric
+    "is there a monotonic trend at all" SIGNIFICANCE test that pairs
+    with q295's Theil-Sen slope MAGNITUDE (the two are the standard
+    couple in environmental/SRE trend monitoring): S = sum of pairwise
+    sign(m_j - m_i), tie-corrected variance, continuity-corrected z.
+
+    Scale discipline: the sign-pair join runs on CALENDAR-BOUNDED
+    daily means (the q295 pair table reused with a cheaper payload);
+    S and the tie spectrum are exact integers; variance and z are one
+    division and one sqrt over integer inputs."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_ns DIV 86400000000000").alias("day")
+    ).agg(
+        F.round(F.sum(dec("value")).cast("double") / F.count(F.lit(1)), 6).alias("m")
+    ).transform(managed_persist)
+    b = daily.select(
+        "event_type", F.col("day").alias("day2"), F.col("m").alias("m2")
+    )
+    pairs = (
+        daily.join(b, "event_type")
+        .where(F.col("day2") > F.col("day"))
+        .select(
+            "event_type",
+            F.when(F.col("m2") > F.col("m"), 1)
+            .when(F.col("m2") < F.col("m"), -1)
+            .otherwise(0)
+            .alias("sgn"),
+        )
+    )
+    s = pairs.groupBy("event_type").agg(
+        F.sum("sgn").cast("bigint").alias("s_stat")
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ties = (
+        daily.groupBy("event_type", "m")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .where(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tsum")
+        )
+    )
+    n = F.col("n")
+    var_s = (n * (n - 1) * (2 * n + 5) - F.coalesce(F.col("tsum"), F.lit(0))) / 18.0
+    s_st = F.col("s_stat")
+    return (
+        nd.join(s, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            "s_stat",
+            F.round(var_s, 6).alias("var_s"),
+            F.round(
+                F.when(s_st > 0, s_st - 1)
+                .when(s_st < 0, s_st + 1)
+                .otherwise(0)
+                / F.sqrt(var_s),
+                6,
+            ).alias("mk_z"),
+        )
+    )
