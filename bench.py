@@ -156,6 +156,13 @@ SCALE2_QUERIES = [
     # corpus — its 10x point measures the pure scan+combine cost)
     "q219_nw_alignment",
     "q228_cms_heavy_hitters",
+    # round-6 second-session families: LOF rides the adaptive kNN
+    # substrate (every stage an equi-join on the edge table — its 10x
+    # point measures graph-analytics join cost), and facility-location
+    # greedy selection (4 gain passes = 4 edge-table joins + SUMs; the
+    # per-step localCheckpoint keeps lineage flat at any scale)
+    "q294_lof_outliers",
+    "q308_facility_location",
 ]
 
 

@@ -3991,7 +3991,7 @@ def q300_temperature_mixture(spark, sf_dir):
     per_src = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
-    )
+    ).transform(managed_persist)
     tot = per_src.agg(
         F.sum("n_docs").cast("bigint").alias("nd"),
         F.sum("n_tokens").cast("bigint").alias("nt"),
