@@ -305,3 +305,39 @@ def test_bam_unmapped_and_multiblock(spark, tmp_path):
     assert df.count() == 30
     assert df.where("flag = 4").count() == 10
     assert sam_to_read_intervals(df).count() == 20
+
+
+def test_fastq_file_roundtrip(spark, tmp_path):
+    """write_fastq -> read_fastq over the sharded layout preserves
+    every record; the scan is one task per shard and the header
+    parser keeps only the id token."""
+    from variantcalling_spark.sources.fastq import read_fastq, write_fastq
+
+    rows = [
+        ("r1 extra comment", "ACGT", "IIII"),
+        ("r2", "GGCC", "!!!!"),
+        ("r3", "A", "J"),
+    ]
+    df = spark.createDataFrame(rows, ["read_id", "seq", "qual"]).repartition(2)
+    path = str(tmp_path / "reads_fastq")
+    write_fastq(df, path)
+    back = {r.read_id: r for r in read_fastq(spark, path).collect()}
+    assert set(back) == {"r1", "r2", "r3"}  # id token only, comment dropped
+    assert back["r2"].seq == "GGCC" and back["r2"].qual == "!!!!"
+    assert back["r3"].seq == "A"
+
+
+def test_fastq_parser_rejects_malformed():
+    """Strict grammar: misaligned fragments and seq/qual mismatches
+    raise instead of silently skipping."""
+    import pytest
+
+    from variantcalling_spark.sources.fastq import parse_fastq_text
+
+    with pytest.raises(ValueError):
+        parse_fastq_text("@r1\nACGT\n+\n")  # qual shorter than seq
+    with pytest.raises(ValueError):
+        parse_fastq_text("@r1\nACGT\n+\nIIII\nleftover")
+    with pytest.raises(ValueError):
+        parse_fastq_text("r1\nACGT\n+\nIIII")  # missing '@'
+    assert parse_fastq_text("@r1\nACGT\n+r1\nIIII\n") == [("r1", "ACGT", "IIII")]

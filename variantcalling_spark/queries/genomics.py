@@ -3217,3 +3217,92 @@ def q291_callable_loci(spark, sf_dir):
         F.max("seg_bins").cast("bigint").alias("longest_segment"),
         F.min("seg_start").cast("bigint").alias("first_segment_start"),
     )
+
+
+@query(
+    "q312_fastq_roundtrip",
+    oracle=f"""
+WITH dna AS ({SQL_DOCS_DNA}),
+d AS (SELECT doc_id, seq, length(seq) AS n FROM dna WHERE length(seq) >= 1),
+q AS (
+  SELECT doc_id, n,
+         CAST(SUM(20 + (doc_id * 7 + pos * 13) % 20 - (pos // 6)) AS BIGINT)
+           AS sq
+  FROM d, unnest(generate_series(1, n)) AS t(pos)
+  GROUP BY doc_id, n
+)
+SELECT 'r' || CAST(d.doc_id AS VARCHAR) AS read_id,
+       CAST(d.n AS BIGINT) AS read_len,
+       CAST(length(d.seq)
+            - length(replace(replace(d.seq, 'G', ''), 'C', '')) AS BIGINT)
+         AS gc_count,
+       ROUND(q.sq / CAST(d.n AS DOUBLE), 4) AS mean_q
+FROM d JOIN q ON q.doc_id = d.doc_id
+""",
+)
+def q312_fastq_roundtrip(spark, sf_dir):
+    """FASTQ CODEC, value-proven end-to-end (the raw-reads leg that
+    completes the alignment-format family: text SAM/mpileup q111,
+    binary BAM/BGZF q118, and now the pre-alignment FASTQ those
+    pipelines consume upstream): each executor batch FORMATS its
+    derived reads into real 4-line Phred+33 FASTQ text and immediately
+    re-parses it with the SAME grammar the sharded file scan
+    (`sources/fastq.py::read_fastq`) uses; per-read stats (length, GC
+    count, mean quality) then come from the PARSED records while the
+    oracle recomputes them from the generating arithmetic — any codec
+    defect (header token split, +separator, seq/qual alignment,
+    Phred+33 offset) breaks the value hash.
+
+    Scale discipline: format+parse ride ONE Arrow mapInPandas stage
+    (zero shuffle added); quality decode is a JVM-side char fold
+    (`qual_to_phred`), and the file sink/scan pair is record-aligned
+    sharded text — fully parallel both directions, single-writer
+    concatenation explicitly out of the engine."""
+    from variantcalling_spark.sources.fastq import (
+        FASTQ_SCHEMA,
+        parse_fastq_text,
+        qual_to_phred,
+    )
+
+    dna = docs_as_dna(spark, sf_dir).where(F.length("seq") >= 1)
+    reads = dna.select(
+        F.concat(F.lit("r"), F.col("doc_id").cast("string")).alias("read_id"),
+        "seq",
+        F.expr(
+            "array_join(transform(sequence(1, length(seq)),"
+            " i -> char(33 + 20 + (doc_id * 7 + i * 13) % 20 - (i DIV 6))), '')"
+        ).alias("qual"),
+    )
+
+    import pandas as pd  # noqa: F811
+
+    def roundtrip(batches):
+        for pdf in batches:
+            frag = "\n".join(
+                f"@{r}\n{s}\n+\n{q}"
+                for r, s, q in zip(pdf["read_id"], pdf["seq"], pdf["qual"])
+            )
+            recs = parse_fastq_text(frag) if len(pdf) else []
+            yield pd.DataFrame(
+                {
+                    "read_id": [r[0] for r in recs],
+                    "seq": [r[1] for r in recs],
+                    "qual": [r[2] for r in recs],
+                }
+            )
+
+    parsed = reads.mapInPandas(roundtrip, schema=FASTQ_SCHEMA)
+    return parsed.select(
+        "read_id",
+        F.length("seq").cast("bigint").alias("read_len"),
+        (F.length("seq") - F.length(F.translate("seq", "GC", "")))
+        .cast("bigint")
+        .alias("gc_count"),
+        F.round(
+            F.aggregate(
+                qual_to_phred("qual"), F.lit(0).cast("bigint"), lambda a, x: a + x
+            )
+            / F.length("qual").cast("double"),
+            4,
+        ).alias("mean_q"),
+    )
