@@ -382,3 +382,23 @@ def test_dtw_pair_distances(spark):
     # re-matches: total 1
     assert out[("g", "h")].dtw_micro == 1
     assert out[("g", "h")].n_a == 4 and out[("g", "h")].n_b == 4
+
+
+def test_viterbi_decode_basic_and_tiebreak(spark):
+    """Viterbi kernel: a clean two-regime observation string decodes to
+    one switch; with all-equal weights every argmax ties and the
+    LOW-tie-break must yield the all-zero path."""
+    from variantcalling_spark.operators.kernels import viterbi_decode_2state
+
+    rows = [("s", t, o) for t, o in enumerate([0, 0, 0, 1, 1, 1], start=1)]
+    df = spark.createDataFrame(rows, ["series", "t", "obs"])
+    out = viterbi_decode_2state(
+        df, emit_match=0, emit_miss=-1000, t_stay=-100, t_switch=-900, init=0
+    ).collect()
+    path = [r.state for r in sorted(out, key=lambda r: r.t)]
+    assert path == [0, 0, 0, 1, 1, 1]
+
+    tied = viterbi_decode_2state(
+        df, emit_match=0, emit_miss=0, t_stay=0, t_switch=0, init=0
+    ).collect()
+    assert [r.state for r in sorted(tied, key=lambda r: r.t)] == [0] * 6

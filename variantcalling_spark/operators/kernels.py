@@ -596,3 +596,67 @@ def dtw_pair_distances(
     return pairs.select(ka_col, kb_col, a_col, b_col).mapInPandas(
         run, schema=out_schema
     )
+
+
+def viterbi_decode_2state(
+    df: DataFrame,
+    emit_match: int,
+    emit_miss: int,
+    t_stay: int,
+    t_switch: int,
+    init: int,
+    key_col: str = "series",
+    t_col: str = "t",
+    obs_col: str = "obs",
+) -> DataFrame:
+    """Exact 2-state VITERBI DECODE per series with INTEGER log-scores
+    (scaled log-probabilities passed as integer weights, so the whole
+    DP is bigint arithmetic — bit-exact on any engine): states {0, 1},
+    emission weight ``emit_match`` when state == obs else ``emit_miss``,
+    transition ``t_stay``/``t_switch``, uniform ``init``. Ties break
+    LOW: a candidate from previous-state 1 wins only on strictly
+    greater score, and the final state is 1 only if strictly better.
+
+    The per-series forward pass + backtrace is inherently sequential,
+    so it runs as ``applyInPandas`` over independent series (the q302
+    recursion shape); the SQL oracle replays forward scores AND
+    backpointers as one recursive CTE and walks the backtrace as a
+    second. Returns one row per observation: (key, t, state)."""
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(t_col, kind="mergesort")
+        key = pdf[key_col].iloc[0]
+        obs = pdf[obs_col].astype("int64").tolist()
+        ts = pdf[t_col].astype("int64").tolist()
+        n = len(obs)
+        if n == 0:
+            return pd.DataFrame({key_col: [], t_col: [], "state": []})
+
+        def emit(s: int, o: int) -> int:
+            return emit_match if s == o else emit_miss
+
+        s0 = init + emit(0, obs[0])
+        s1 = init + emit(1, obs[0])
+        bps: list[tuple[int, int]] = [(0, 0)]
+        for t in range(1, n):
+            c00, c10 = s0 + t_stay, s1 + t_switch   # into state 0
+            c01, c11 = s0 + t_switch, s1 + t_stay   # into state 1
+            b0 = 0 if c00 >= c10 else 1
+            b1 = 0 if c01 >= c11 else 1
+            ns0 = emit(0, obs[t]) + max(c00, c10)
+            ns1 = emit(1, obs[t]) + max(c01, c11)
+            s0, s1 = ns0, ns1
+            bps.append((b0, b1))
+        state = 0 if s0 >= s1 else 1
+        states = [0] * n
+        states[n - 1] = state
+        for t in range(n - 1, 0, -1):
+            state = bps[t][state]
+            states[t - 1] = state
+        return pd.DataFrame(
+            {key_col: [key] * n, t_col: ts, "state": states}
+        )
+
+    return df.groupBy(key_col).applyInPandas(
+        per_series, schema=f"{key_col} string, {t_col} long, state int"
+    )

@@ -59,6 +59,9 @@ _PRIORITY = (
     #   4. round-5-touched hot paths, then the round-4 block (q110-q133);
     #   5. everything else (r5-fresh rows) in module order.
     # --- New in round 6 ---
+    "q313_event_paths",
+    "q314_rfm_segmentation",
+    "q315_viterbi_segments",
     "q312_fastq_roundtrip",
     "q308_facility_location",
     "q309_welch_ttest",

@@ -3282,3 +3282,321 @@ def q310_mann_kendall(spark, sf_dir):
             ).alias("mk_z"),
         )
     )
+
+
+@query(
+    "q313_event_paths",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type AS e1,
+         LEAD(event_type, 1) OVER w AS e2,
+         LEAD(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+),
+paths AS (
+  SELECT e1 || '>' || e2 || '>' || e3 AS path
+  FROM ordered WHERE e3 IS NOT NULL
+),
+counts AS (
+  SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM paths GROUP BY path
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts)
+SELECT path, n,
+       ROUND(n / CAST((SELECT t FROM tot) AS DOUBLE), 6) AS share,
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS INT) AS rk
+FROM counts
+QUALIFY rk <= 10
+""",
+)
+def q313_event_paths(spark, sf_dir):
+    """TOP NAVIGATION PATHS: the most frequent 3-step event-type
+    sequences across user streams (the path-discovery pass behind
+    funnel DESIGN — q273 measures a funnel you already chose; this
+    surfaces which funnels exist — and the 2nd-order extension of
+    q262's 1-step Markov matrix).
+
+    Scale discipline: two LEAD windows per user partition (short, even
+    sequences), one groupBy whose cardinality is |event_type|^3
+    (domain-bounded), share arithmetic over that tiny table."""
+    ev = load_table(spark, sf_dir, "events")
+    w_ord = W.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    ordered = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w_ord).alias("e2"),
+        F.lead("event_type", 2).over(w_ord).alias("e3"),
+    )
+    counts = (
+        ordered.where(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .transform(managed_persist)
+    )
+    tot = counts.agg(F.sum("n").cast("bigint").alias("t"))
+    top = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "path", "n", F.round(F.col("n") / F.col("t").cast("double"), 6).alias("share")
+        )
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )
+    return top.select(
+        "path",
+        "n",
+        "share",
+        F.row_number()
+        .over(W.orderBy(F.col("n").desc(), "path"))
+        .cast("int")
+        .alias("rk"),
+    )
+
+
+@query(
+    "q314_rfm_segmentation",
+    oracle="""
+WITH maxd AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS d0 FROM orders),
+cust AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                   (SELECT d0 FROM maxd)) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+         NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+  FROM cust
+)
+SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(monetary AS DECIMAL(16,2))) AS DOUBLE) AS segment_revenue,
+       CAST(SUM(frequency) AS BIGINT) AS segment_orders
+FROM scored GROUP BY r_score, f_score, m_score
+""",
+)
+def q314_rfm_segmentation(spark, sf_dir):
+    """RFM CUSTOMER SEGMENTATION (recency / frequency / monetary
+    quintiles — the warehouse-classic behavioral segmentation that
+    feeds churn targeting and LTV models; the customer-axis sibling of
+    q212's model-score deciles): per-customer R/F/M from the orders
+    stream, NTILE(5) scores with deterministic (metric, custkey)
+    tie-breaks — higher = better on every axis — and the 125-cell
+    segment profile.
+
+    Scale discipline: the order stream reduces once to the customer
+    ledger (exact DECIMAL monetary sums); the three NTILE windows rank
+    that customer-domain table, and the output is segment-bounded.
+    At 100 TB the windows sort customers, not orders — and NTILE's
+    rank arithmetic is engine-identical given the pinned total
+    ordering."""
+    o = load_table(spark, sf_dir, "orders")
+    maxd = o.agg(F.max(F.to_date("o_orderdate")).alias("d0"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_d"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("d0"), F.col("last_d")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(W.orderBy(F.col("recency_days").desc(), "o_custkey"))
+        .alias("r_score"),
+        F.ntile(5).over(W.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(5).over(W.orderBy("monetary", "o_custkey")).alias("m_score"),
+    )
+    return scored.groupBy(
+        F.col("r_score").cast("int").alias("r_score"),
+        F.col("f_score").cast("int").alias("f_score"),
+        F.col("m_score").cast("int").alias("m_score"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.col("monetary").cast("decimal(16,2)"))
+        .cast("double")
+        .alias("segment_revenue"),
+        F.sum("frequency").cast("bigint").alias("segment_orders"),
+    )
+
+
+import math as _math
+
+_VIT_EMIT_MATCH = round(_math.log(0.75) * 1e6)   # -287682
+_VIT_EMIT_MISS = round(_math.log(0.25) * 1e6)    # -1386294
+_VIT_T_STAY = round(_math.log(0.8) * 1e6)        # -223144
+_VIT_T_SWITCH = round(_math.log(0.2) * 1e6)      # -1609438
+_VIT_INIT = round(_math.log(0.5) * 1e6)          # -693147
+
+
+def _viterbi_oracle_sql() -> str:
+    em, ex = _VIT_EMIT_MATCH, _VIT_EMIT_MISS
+    st, sw, init = _VIT_T_STAY, _VIT_T_SWITCH, _VIT_INIT
+    return f"""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT event_type,
+         epoch_ns(ts) // 86400000000000 AS day,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM events GROUP BY event_type, day
+),
+med AS MATERIALIZED (
+  SELECT event_type, m AS med FROM (
+    SELECT event_type, m,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY m) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM daily
+  ) WHERE rn = (n + 1) // 2
+),
+rel AS MATERIALIZED (
+  SELECT d.event_type,
+         ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.day) AS t,
+         CASE WHEN d.m > x.med THEN 1 ELSE 0 END AS obs
+  FROM daily d JOIN med x ON x.event_type = d.event_type
+),
+walk AS (
+  SELECT event_type, t,
+         CAST({init} + CASE WHEN obs = 0 THEN {em} ELSE {ex} END AS BIGINT) AS s0,
+         CAST({init} + CASE WHEN obs = 1 THEN {em} ELSE {ex} END AS BIGINT) AS s1,
+         0 AS b0, 0 AS b1
+  FROM rel WHERE t = 1
+  UNION ALL
+  SELECT r.event_type, r.t,
+         CASE WHEN r.obs = 0 THEN {em} ELSE {ex} END
+           + GREATEST(w.s0 + {st}, w.s1 + {sw}),
+         CASE WHEN r.obs = 1 THEN {em} ELSE {ex} END
+           + GREATEST(w.s0 + {sw}, w.s1 + {st}),
+         CASE WHEN w.s0 + {st} >= w.s1 + {sw} THEN 0 ELSE 1 END,
+         CASE WHEN w.s0 + {sw} >= w.s1 + {st} THEN 0 ELSE 1 END
+  FROM walk w JOIN rel r
+    ON r.event_type = w.event_type AND r.t = w.t + 1
+),
+fwd AS MATERIALIZED (SELECT * FROM walk),
+fin AS MATERIALIZED (
+  SELECT event_type, t AS tmax,
+         CASE WHEN s0 >= s1 THEN 0 ELSE 1 END AS state
+  FROM fwd f
+  WHERE t = (SELECT MAX(t) FROM fwd f2 WHERE f2.event_type = f.event_type)
+),
+bt AS (
+  SELECT event_type, tmax AS t, state FROM fin
+  UNION ALL
+  SELECT b.event_type, b.t - 1,
+         CASE WHEN b.state = 0 THEN f.b0 ELSE f.b1 END
+  FROM bt b JOIN fwd f ON f.event_type = b.event_type AND f.t = b.t
+  WHERE b.t > 1
+),
+path AS MATERIALIZED (SELECT event_type, t, state FROM bt),
+brk AS (
+  SELECT event_type, t, state,
+         CASE WHEN LAG(state) OVER (PARTITION BY event_type ORDER BY t) = state
+              THEN 0 ELSE 1 END AS b
+  FROM path
+),
+sid AS (
+  SELECT event_type, t, state,
+         SUM(b) OVER (PARTITION BY event_type ORDER BY t) AS seg
+  FROM brk
+)
+SELECT event_type, CAST(seg AS INT) AS seg_id, CAST(state AS INT) AS state,
+       CAST(MIN(t) AS BIGINT) AS t_start, CAST(MAX(t) AS BIGINT) AS t_end,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM sid GROUP BY event_type, seg, state
+"""
+
+
+@query("q315_viterbi_segments", oracle=_viterbi_oracle_sql())
+def q315_viterbi_segments(spark, sf_dir):
+    """2-STATE HMM VITERBI SEGMENTATION per metric series (the decoder
+    at the core of callable-loci/CNV state calling and burst detection
+    — where q283's CUSUM finds ONE changepoint, Viterbi finds the
+    whole piecewise state path under an explicit noise model):
+    high/low observations vs the series median, stay=0.8 /
+    emit-correct=0.75 HMM, maximum-a-posteriori state path, emitted as
+    gaps-and-islands segments.
+
+    Scale discipline: the DP runs on INTEGER log-weights (x1e6 scaled,
+    compile-time literals shared by both engines) over CALENDAR-
+    BOUNDED daily observations, sequential per series via
+    ``applyInPandas`` (series are independent); the ORACLE replays
+    forward scores AND backpointers as one recursive CTE and walks the
+    backtrace as a second — every DP cell and every argmax pinned,
+    ties breaking LOW on both sides. Segmentation is two windows."""
+    from variantcalling_spark.operators.kernels import viterbi_decode_2state
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_ns DIV 86400000000000").alias("day")
+    ).agg(
+        F.round(F.sum(dec("value")).cast("double") / F.count(F.lit(1)), 6).alias("m")
+    ).transform(managed_persist)
+    wmed = W.partitionBy("event_type").orderBy("m")
+    med = (
+        daily.select(
+            "event_type",
+            "m",
+            F.row_number().over(wmed).alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("m").alias("med"))
+    )
+    rel = daily.join(F.broadcast(med), "event_type").select(
+        F.col("event_type").alias("series"),
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("day"))
+        .cast("long")
+        .alias("t"),
+        F.when(F.col("m") > F.col("med"), 1).otherwise(0).alias("obs"),
+    )
+    path = viterbi_decode_2state(
+        rel,
+        emit_match=_VIT_EMIT_MATCH,
+        emit_miss=_VIT_EMIT_MISS,
+        t_stay=_VIT_T_STAY,
+        t_switch=_VIT_T_SWITCH,
+        init=_VIT_INIT,
+    )
+    w_ord = W.partitionBy("series").orderBy("t")
+    brk = path.select(
+        "series",
+        "t",
+        "state",
+        F.when(F.lag("state").over(w_ord) == F.col("state"), 0)
+        .otherwise(1)
+        .alias("b"),
+    )
+    sid = brk.select(
+        "series",
+        "t",
+        "state",
+        F.sum("b").over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("seg"),
+    )
+    return sid.groupBy(
+        F.col("series").alias("event_type"),
+        F.col("seg").cast("int").alias("seg_id"),
+        F.col("state").cast("int").alias("state"),
+    ).agg(
+        F.min("t").cast("bigint").alias("t_start"),
+        F.max("t").cast("bigint").alias("t_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
