@@ -59,6 +59,9 @@ _PRIORITY = (
     #   4. round-5-touched hot paths, then the round-4 block (q110-q133);
     #   5. everything else (r5-fresh rows) in module order.
     # --- New in round 6 ---
+    "q316_best_split",
+    "q317_standardized_rates",
+    "q318_exponential_gof",
     "q313_event_paths",
     "q314_rfm_segmentation",
     "q315_viterbi_segments",

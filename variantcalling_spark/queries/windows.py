@@ -3600,3 +3600,320 @@ def q315_viterbi_segments(spark, sf_dir):
         F.max("t").cast("bigint").alias("t_end"),
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
     )
+
+
+@query(
+    "q316_best_split",
+    oracle="""
+WITH labeled AS MATERIALIZED (
+  SELECT value AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+tot AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+  FROM labeled
+),
+cells AS MATERIALIZED (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(y) AS BIGINT) AS p
+  FROM labeled GROUP BY v
+),
+cum AS (
+  SELECT v,
+         SUM(c) OVER (ORDER BY v) AS nl,
+         SUM(p) OVER (ORDER BY v) AS pl
+  FROM cells
+),
+cand AS (
+  SELECT v AS threshold, nl, pl,
+         (SELECT n FROM tot) - nl AS nr,
+         (SELECT pos FROM tot) - pl AS pr
+  FROM cum WHERE nl < (SELECT n FROM tot)
+),
+scored AS (
+  SELECT threshold, nl, pl, nr, pr,
+         ROUND(
+           (nl * 1.0 / (SELECT n FROM tot))
+             * (2.0 * (pl * 1.0 / nl) * (1 - pl * 1.0 / nl))
+           + (nr * 1.0 / (SELECT n FROM tot))
+             * (2.0 * (pr * 1.0 / nr) * (1 - pr * 1.0 / nr)), 10) AS wgini
+  FROM cand
+),
+base AS (
+  SELECT ROUND(2.0 * ((SELECT pos FROM tot) * 1.0 / (SELECT n FROM tot))
+               * (1 - (SELECT pos FROM tot) * 1.0 / (SELECT n FROM tot)), 10)
+    AS gini0
+)
+SELECT s.threshold, CAST(s.nl AS BIGINT) AS n_left,
+       CAST(s.pl AS BIGINT) AS pos_left,
+       CAST(s.nr AS BIGINT) AS n_right, CAST(s.pr AS BIGINT) AS pos_right,
+       ROUND((SELECT gini0 FROM base) - s.wgini, 6) AS gini_gain
+FROM scored s
+ORDER BY s.wgini ASC, s.threshold ASC LIMIT 1
+""",
+)
+def q316_best_split(spark, sf_dir):
+    """OPTIMAL 1-D SPLIT (decision stump / supervised binning — the
+    CART split-search primitive behind every tree ensemble and the
+    principled way to pick a quality-filter threshold, next to q222's
+    isotonic calibration): the value threshold minimizing weighted
+    Gini impurity for 'is this a purchase event', with the impurity
+    gain over the unsplit base.
+
+    Scale discipline: candidate thresholds come from the VALUE-DOMAIN
+    histogram (one map-side-combinable aggregate), cumulative
+    left-counts from one window over that bounded table — the classic
+    sort-once scan-all-splits trick; every count is an exact BIGINT
+    and the impurity is arithmetic over two counts, snapped at 10
+    before the argmin so the PICK is engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    labeled = ev.select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    cells = labeled.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("y").cast("bigint").alias("p"),
+    ).transform(managed_persist)
+    tot = cells.agg(
+        F.sum("c").cast("bigint").alias("n"), F.sum("p").cast("bigint").alias("pos")
+    )
+    cum = cells.select(
+        "v",
+        F.sum("c").over(W.orderBy("v")).alias("nl"),
+        F.sum("p").over(W.orderBy("v")).alias("pl"),
+    )
+    cand = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("nl") < F.col("n"))
+        .select(
+            F.col("v").alias("threshold"),
+            "nl",
+            "pl",
+            (F.col("n") - F.col("nl")).alias("nr"),
+            (F.col("pos") - F.col("pl")).alias("pr"),
+            "n",
+            "pos",
+        )
+    )
+    rl = F.col("pl") * 1.0 / F.col("nl")
+    rr = F.col("pr") * 1.0 / F.col("nr")
+    wgini = F.round(
+        (F.col("nl") * 1.0 / F.col("n")) * (2.0 * rl * (1 - rl))
+        + (F.col("nr") * 1.0 / F.col("n")) * (2.0 * rr * (1 - rr)),
+        10,
+    )
+    r0 = F.col("pos") * 1.0 / F.col("n")
+    gini0 = F.round(2.0 * r0 * (1 - r0), 10)
+    scored = cand.select(
+        "threshold",
+        F.col("nl").alias("n_left"),
+        F.col("pl").alias("pos_left"),
+        F.col("nr").alias("n_right"),
+        F.col("pr").alias("pos_right"),
+        wgini.alias("wgini"),
+        gini0.alias("gini0"),
+    )
+    best = scored.orderBy(F.col("wgini").asc(), F.col("threshold").asc()).limit(1)
+    return best.select(
+        "threshold",
+        "n_left",
+        "pos_left",
+        "n_right",
+        "pos_right",
+        F.round(F.col("gini0") - F.col("wgini"), 6).alias("gini_gain"),
+    )
+
+
+@query(
+    "q317_standardized_rates",
+    oracle="""
+WITH base AS MATERIALIZED (
+  SELECT user_id % 2 AS arm,
+         (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+strata AS MATERIALIZED (
+  SELECT arm, hod, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS k
+  FROM base GROUP BY arm, hod
+),
+ref AS MATERIALIZED (
+  SELECT hod, CAST(SUM(n) AS BIGINT) AS nw FROM strata GROUP BY hod
+),
+reftot AS MATERIALIZED (SELECT CAST(SUM(nw) AS BIGINT) AS nt FROM ref),
+crude AS (
+  SELECT arm,
+         CAST(SUM(n) AS BIGINT) AS n_obs,
+         CAST(SUM(k) AS BIGINT) AS n_events,
+         ROUND(SUM(k) / CAST(SUM(n) AS DOUBLE), 6) AS crude_rate
+  FROM strata GROUP BY arm
+),
+std AS (
+  SELECT s.arm,
+         CAST(SUM(CAST(ROUND(r.nw * (s.k * 1.0 / s.n), 8) AS DECIMAL(20,8)))
+              AS DOUBLE) / (SELECT nt FROM reftot) AS std_rate
+  FROM strata s JOIN ref r ON r.hod = s.hod
+  GROUP BY s.arm
+)
+SELECT c.arm, c.n_obs, c.n_events, c.crude_rate,
+       ROUND(s.std_rate, 6) AS standardized_rate,
+       ROUND(s.std_rate - c.crude_rate, 6) AS confounding_gap
+FROM crude c JOIN std s ON s.arm = c.arm
+""",
+)
+def q317_standardized_rates(spark, sf_dir):
+    """DIRECT RATE STANDARDIZATION (the epidemiology classic applied
+    to experiment readouts: re-weight each arm's hour-of-day stratum
+    rates by the POOLED traffic mix, so an arm that happens to see
+    more night traffic isn't penalized — the confounder-adjustment
+    rung between the raw comparison and q265's covariate CUPED):
+    crude vs standardized purchase rate per arm and the confounding
+    gap.
+
+    Scale discipline: one pass to (arm x 24-stratum) counts, the
+    reference weights from the same table; the standardized rate is a
+    24-term sum of rounded stratum terms via DECIMAL — everything
+    after the first aggregate is domain-bounded arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 2).alias("arm"),
+        (F.expr("ts_ns DIV 3600000000000") % 24).alias("hod"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    strata = base.groupBy("arm", "hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("k"),
+    ).transform(managed_persist)
+    ref = strata.groupBy("hod").agg(F.sum("n").cast("bigint").alias("nw"))
+    reftot = ref.agg(F.sum("nw").cast("bigint").alias("nt"))
+    crude = strata.groupBy("arm").agg(
+        F.sum("n").cast("bigint").alias("n_obs"),
+        F.sum("k").cast("bigint").alias("n_events"),
+        F.round(F.sum("k") / F.sum("n").cast("double"), 6).alias("crude_rate"),
+    )
+    std = (
+        strata.join(F.broadcast(ref), "hod")
+        .select(
+            "arm",
+            F.round(F.col("nw") * (F.col("k") * 1.0 / F.col("n")), 8)
+            .cast("decimal(20,8)")
+            .alias("term"),
+        )
+        .groupBy("arm")
+        .agg(F.sum("term").cast("double").alias("s"))
+        .crossJoin(F.broadcast(reftot))
+        .select("arm", (F.col("s") / F.col("nt")).alias("std_rate"))
+    )
+    return crude.join(std, "arm").select(
+        "arm",
+        "n_obs",
+        "n_events",
+        "crude_rate",
+        F.round(F.col("std_rate"), 6).alias("standardized_rate"),
+        F.round(F.col("std_rate") - F.col("crude_rate"), 6).alias(
+            "confounding_gap"
+        ),
+    )
+
+
+@query(
+    "q318_exponential_gof",
+    oracle="""
+WITH deltas AS MATERIALIZED (
+  SELECT event_type,
+         (epoch_ns(ts)
+          - LAG(epoch_ns(ts)) OVER (PARTITION BY event_type
+                                    ORDER BY epoch_ns(ts), event_id))
+           / 1000000000.0 AS dt
+  FROM events
+),
+d AS MATERIALIZED (
+  SELECT event_type, dt FROM deltas WHERE dt IS NOT NULL AND dt > 0
+),
+fit AS MATERIALIZED (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(COUNT(*) / CAST(SUM(CAST(ROUND(dt, 3) AS DECIMAL(18,3)))
+                               AS DOUBLE), 10) AS lambda
+  FROM d GROUP BY event_type
+),
+ranked AS (
+  SELECT d.event_type, d.dt, f.n, f.lambda,
+         ROW_NUMBER() OVER (PARTITION BY d.event_type
+                            ORDER BY d.dt, d.dt) AS rn
+  FROM d JOIN fit f ON f.event_type = d.event_type
+),
+ks AS (
+  SELECT event_type, n, lambda,
+         MAX(GREATEST(
+           ABS(rn * 1.0 / n - (1 - exp(-lambda * dt))),
+           ABS((rn - 1) * 1.0 / n - (1 - exp(-lambda * dt)))
+         )) AS ks_stat
+  FROM ranked GROUP BY event_type, n, lambda
+)
+SELECT event_type, n, ROUND(lambda, 8) AS lambda_per_sec,
+       ROUND(1.0 / lambda, 4) AS mean_gap_sec,
+       ROUND(ks_stat, 6) AS ks_stat,
+       ROUND(ks_stat * sqrt(CAST(n AS DOUBLE)), 4) AS ks_scaled
+FROM ks
+""",
+)
+def q318_exponential_gof(spark, sf_dir):
+    """EXPONENTIAL GOODNESS-OF-FIT for inter-arrival times per event
+    series (is the stream Poisson? — the bot/burst screen behind
+    rate-limit tuning and the parametric ONE-sample complement of
+    q171's two-sample KS): MLE lambda = n / sum(dt), then the exact
+    one-sample KS distance between the empirical CDF and
+    1 - exp(-lambda*t), with the sqrt(n)-scaled statistic.
+
+    Scale discipline: inter-arrivals from one LAG window per series;
+    lambda from an exact DECIMAL sum of millisecond-snapped gaps; the
+    KS sup runs as a rank window + one aggregate (both CDF envelopes
+    checked — the sup can land on either side of a step). exp() is
+    the shared-libm transcendental the oracle family already pins."""
+    ev = load_table(spark, sf_dir, "events")
+    w_ord = W.partitionBy("event_type").orderBy("ts_ns", "event_id")
+    deltas = ev.select(
+        "event_type",
+        ((F.col("ts_ns") - F.lag("ts_ns").over(w_ord)) / 1000000000.0).alias("dt"),
+    )
+    d = deltas.where(F.col("dt").isNotNull() & (F.col("dt") > 0)).transform(
+        managed_persist
+    )
+    fit = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.count(F.lit(1))
+            / F.sum(F.round(F.col("dt"), 3).cast("decimal(18,3)")).cast("double"),
+            10,
+        ).alias("lambda"),
+    )
+    ranked = d.join(F.broadcast(fit), "event_type").select(
+        "event_type",
+        "dt",
+        "n",
+        "lambda",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("dt", "dt"))
+        .alias("rn"),
+    )
+    cdf = 1 - F.exp(-F.col("lambda") * F.col("dt"))
+    ks = ranked.groupBy("event_type", "n", "lambda").agg(
+        F.max(
+            F.greatest(
+                F.abs(F.col("rn") * 1.0 / F.col("n") - cdf),
+                F.abs((F.col("rn") - 1) * 1.0 / F.col("n") - cdf),
+            )
+        ).alias("ks_stat")
+    )
+    return ks.select(
+        "event_type",
+        "n",
+        F.round(F.col("lambda"), 8).alias("lambda_per_sec"),
+        F.round(1.0 / F.col("lambda"), 4).alias("mean_gap_sec"),
+        F.round(F.col("ks_stat"), 6).alias("ks_stat"),
+        F.round(F.col("ks_stat") * F.sqrt(F.col("n").cast("double")), 4).alias(
+            "ks_scaled"
+        ),
+    )
