@@ -660,3 +660,77 @@ def viterbi_decode_2state(
     return df.groupBy(key_col).applyInPandas(
         per_series, schema=f"{key_col} string, {t_col} long, state int"
     )
+
+
+def hmm_posterior_2state(
+    df: DataFrame,
+    p_stay: float,
+    p_emit: float,
+    key_col: str = "series",
+    t_col: str = "t",
+    obs_col: str = "obs",
+) -> DataFrame:
+    """Forward-backward POSTERIOR DECODING for the symmetric 2-state
+    HMM (states {0,1}, P(stay)=p_stay, P(emit obs==state)=p_emit,
+    uniform init): per-observation P(state=1 | all observations) — the
+    smoothing counterpart of Viterbi's single best path.
+
+    Per-series sequential scans (q302 shape) with PER-STEP
+    NORMALIZATION, mirroring the recursive-CTE oracle's expression
+    shapes exactly (same multiply/add/divide order) — NO intermediate
+    rounding anywhere, the q302 bit-exact discipline: identical IEEE
+    sequences on both engines. The caller rounds the emitted posterior
+    in-engine. Returns (key, t, obs, p_state1 unrounded)."""
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(t_col, kind="mergesort")
+        key = pdf[key_col].iloc[0]
+        obs = pdf[obs_col].astype("int64").tolist()
+        ts = pdf[t_col].astype("int64").tolist()
+        n = len(obs)
+        if n == 0:
+            return pd.DataFrame(
+                {key_col: [], t_col: [], obs_col: [], "p_state1": []}
+            )
+        p_sw, p_miss = 1.0 - p_stay, 1.0 - p_emit
+
+        def emit(s: int, o: int) -> float:
+            return p_emit if s == o else p_miss
+
+        a0 = 0.5 * emit(0, obs[0])
+        a1 = 0.5 * emit(1, obs[0])
+        c = a0 + a1
+        alphas = [(a0 / c, a1 / c)]
+        for t in range(1, n):
+            pa0, pa1 = alphas[-1]
+            a0 = emit(0, obs[t]) * (pa0 * p_stay + pa1 * p_sw)
+            a1 = emit(1, obs[t]) * (pa0 * p_sw + pa1 * p_stay)
+            c = a0 + a1
+            alphas.append((a0 / c, a1 / c))
+        betas = [(0.5, 0.5)] * n
+        betas[n - 1] = (0.5, 0.5)
+        for t in range(n - 2, -1, -1):
+            nb0, nb1 = betas[t + 1]
+            e0, e1 = emit(0, obs[t + 1]), emit(1, obs[t + 1])
+            b0 = p_stay * e0 * nb0 + p_sw * e1 * nb1
+            b1 = p_sw * e0 * nb0 + p_stay * e1 * nb1
+            c = b0 + b1
+            betas[t] = (b0 / c, b1 / c)
+        ps = []
+        for t in range(n):
+            g0 = alphas[t][0] * betas[t][0]
+            g1 = alphas[t][1] * betas[t][1]
+            ps.append(g1 / (g0 + g1))
+        return pd.DataFrame(
+            {
+                key_col: [key] * n,
+                t_col: ts,
+                obs_col: obs,
+                "p_state1": ps,
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(
+        per_series,
+        schema=f"{key_col} string, {t_col} long, {obs_col} int, p_state1 double",
+    )

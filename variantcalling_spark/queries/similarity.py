@@ -3394,3 +3394,124 @@ def q308_facility_location(spark, sf_dir):
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+_JL_DIMS = 16
+_JL_SRC_DIM = 64
+
+
+def _jl_oracle_sql() -> str:
+    from variantcalling_spark.operators.similarity import _plane_signs
+
+    signs = _plane_signs(_JL_DIMS, _JL_SRC_DIM)
+
+    def plane_vec(p: int) -> str:
+        return "[" + ",".join(f"{signs[d][p]:.1f}" for d in range(_JL_SRC_DIM)) + "]"
+
+    projs = ",\n         ".join(
+        f"CAST(list_dot_product(vd, {plane_vec(p)}) AS BIGINT) AS y{p}"
+        for p in range(_JL_DIMS)
+    )
+    dproj = " + ".join(
+        f"(a.y{p} - b.y{p}) * (a.y{p} - b.y{p})" for p in range(_JL_DIMS)
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+),
+proj AS MATERIALIZED (
+  SELECT vec_id, v,
+         {projs}
+  FROM (SELECT vec_id, v, list_transform(v, x -> CAST(x AS DOUBLE)) AS vd FROM base)
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_dot_product(
+           list_transform(list_zip(a.v, b.v), t -> CAST(t[1] - t[2] AS DOUBLE)),
+           list_transform(list_zip(a.v, b.v), t -> CAST(t[1] - t[2] AS DOUBLE))
+         ) AS BIGINT) AS orig_sq,
+         CAST({dproj} AS BIGINT) AS proj_sq
+  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id % 2 = 0
+)
+SELECT id_a, id_b, orig_sq,
+       ROUND(proj_sq / {float(_JL_DIMS)!r}, 4) AS proj_sq_scaled,
+       ROUND(proj_sq / ({float(_JL_DIMS)!r} * orig_sq), 6) AS distortion
+FROM pairs
+WHERE orig_sq > 0
+"""
+
+
+@query("q320_jl_projection", oracle=_jl_oracle_sql())
+def q320_jl_projection(spark, sf_dir):
+    """JOHNSON-LINDENSTRAUSS +-1 RANDOM PROJECTION (64 -> 16 dims)
+    with a distance-preservation audit — the dimensionality-reduction
+    slot beside the SQ8 scalar quantizer (q216) and PQ codebooks
+    (q121): project every embedding through the deterministic
+    splitmix +-1 plane matrix the LSH family already uses, then for
+    consecutive-id pairs compare projected squared distance / k
+    against the original squared distance (E[ratio] = 1 — the JL
+    lemma made executable).
+
+    Scale discipline: the projection is a per-row integer dot-product
+    fold (zero shuffle, exact bigints since inputs are quantized
+    ints); the audit joins consecutive ids (equi-join on id+1). Both
+    distances are exact integers; the two ratios are single rounded
+    divisions."""
+    from variantcalling_spark.operators.similarity import _plane_signs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", _quantize(F.col("embedding")).alias("v"))
+    signs = _plane_signs(_JL_DIMS, _JL_SRC_DIM)
+    proj_cols = [
+        F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.array(*[F.lit(signs[d][p]) for d in range(_JL_SRC_DIM)]),
+                lambda x, s: x.cast("double") * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        .cast("bigint")
+        .alias(f"y{p}")
+        for p in range(_JL_DIMS)
+    ]
+    proj = base.select("vec_id", "v", *proj_cols).transform(managed_persist)
+    a = proj.where(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        *[F.col(f"y{p}").alias(f"a{p}") for p in range(_JL_DIMS)],
+    )
+    b = proj.select(
+        (F.col("vec_id") - 1).alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        *[F.col(f"y{p}").alias(f"b{p}") for p in range(_JL_DIMS)],
+    )
+    joined = a.join(b, "id_a")
+    diff = F.zip_with(F.col("va"), F.col("vb"), lambda x, y: (x - y).cast("double"))
+    orig_sq = (
+        F.aggregate(diff, F.lit(0.0), lambda acc, d: acc + d * d)
+        .cast("bigint")
+        .alias("orig_sq")
+    )
+    proj_sq_expr = None
+    for p in range(_JL_DIMS):
+        term = (F.col(f"a{p}") - F.col(f"b{p}")) * (F.col(f"a{p}") - F.col(f"b{p}"))
+        proj_sq_expr = term if proj_sq_expr is None else proj_sq_expr + term
+    pairs = joined.select(
+        "id_a", "id_b", orig_sq, proj_sq_expr.cast("bigint").alias("proj_sq")
+    ).where(F.col("orig_sq") > 0)
+    k = float(_JL_DIMS)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "orig_sq",
+        F.round(F.col("proj_sq") / F.lit(k), 4).alias("proj_sq_scaled"),
+        F.round(F.col("proj_sq") / (F.lit(k) * F.col("orig_sq")), 6).alias(
+            "distortion"
+        ),
+    )

@@ -3917,3 +3917,129 @@ def q318_exponential_gof(spark, sf_dir):
             "ks_scaled"
         ),
     )
+
+
+_HMM_STAY = 0.8
+_HMM_EMIT = 0.75
+
+
+def _hmm_posterior_oracle_sql() -> str:
+    st = f"CAST({_HMM_STAY!r} AS DOUBLE)"
+    sw = f"CAST({1.0 - _HMM_STAY!r} AS DOUBLE)"
+    em = f"CAST({_HMM_EMIT!r} AS DOUBLE)"
+    ms = f"CAST({1.0 - _HMM_EMIT!r} AS DOUBLE)"
+    e0 = f"CASE WHEN r.obs = 0 THEN {em} ELSE {ms} END"
+    e1 = f"CASE WHEN r.obs = 1 THEN {em} ELSE {ms} END"
+    f_a0 = f"({e0}) * (w.a0 * {st} + w.a1 * {sw})"
+    f_a1 = f"({e1}) * (w.a0 * {sw} + w.a1 * {st})"
+    b_b0 = f"{st} * ({e0}) * w.b0 + {sw} * ({e1}) * w.b1"
+    b_b1 = f"{sw} * ({e0}) * w.b0 + {st} * ({e1}) * w.b1"
+    return f"""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT event_type,
+         epoch_ns(ts) // 86400000000000 AS day,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM events GROUP BY event_type, day
+),
+med AS MATERIALIZED (
+  SELECT event_type, m AS med FROM (
+    SELECT event_type, m,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY m) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM daily
+  ) WHERE rn = (n + 1) // 2
+),
+rel AS MATERIALIZED (
+  SELECT d.event_type,
+         ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.day) AS t,
+         CASE WHEN d.m > x.med THEN 1 ELSE 0 END AS obs
+  FROM daily d JOIN med x ON x.event_type = d.event_type
+),
+nmax AS MATERIALIZED (
+  SELECT event_type, MAX(t) AS tmax FROM rel GROUP BY event_type
+),
+fw AS (
+  SELECT r.event_type, r.t,
+         (CAST(0.5 AS DOUBLE) * ({e0}))
+           / (CAST(0.5 AS DOUBLE) * ({e0}) + CAST(0.5 AS DOUBLE) * ({e1})) AS a0,
+         (CAST(0.5 AS DOUBLE) * ({e1}))
+           / (CAST(0.5 AS DOUBLE) * ({e0}) + CAST(0.5 AS DOUBLE) * ({e1})) AS a1
+  FROM rel r WHERE r.t = 1
+  UNION ALL
+  SELECT r.event_type, r.t,
+         ({f_a0}) / (({f_a0}) + ({f_a1})),
+         ({f_a1}) / (({f_a0}) + ({f_a1}))
+  FROM fw w JOIN rel r ON r.event_type = w.event_type AND r.t = w.t + 1
+),
+fwd AS MATERIALIZED (SELECT * FROM fw),
+bw AS (
+  SELECT event_type, tmax AS t,
+         CAST(0.5 AS DOUBLE) AS b0, CAST(0.5 AS DOUBLE) AS b1
+  FROM nmax
+  UNION ALL
+  SELECT w.event_type, w.t - 1,
+         ({b_b0}) / (({b_b0}) + ({b_b1})),
+         ({b_b1}) / (({b_b0}) + ({b_b1}))
+  FROM bw w JOIN rel r ON r.event_type = w.event_type AND r.t = w.t
+  WHERE w.t > 1
+),
+bwd AS MATERIALIZED (SELECT * FROM bw)
+SELECT r.event_type, CAST(r.t AS BIGINT) AS t, CAST(r.obs AS INT) AS obs,
+       ROUND((f.a1 * b.b1) / ((f.a0 * b.b0) + (f.a1 * b.b1)), 6) AS p_high
+FROM rel r
+JOIN fwd f ON f.event_type = r.event_type AND f.t = r.t
+JOIN bwd b ON b.event_type = r.event_type AND b.t = r.t
+"""
+
+
+@query("q319_hmm_posterior", oracle=_hmm_posterior_oracle_sql())
+def q319_hmm_posterior(spark, sf_dir):
+    """HMM FORWARD-BACKWARD POSTERIOR DECODING per series — the
+    smoothing counterpart of q315's Viterbi: instead of the single
+    best path, P(state = HIGH | the WHOLE series) at every
+    observation (the quantity real callers threshold and the E-step
+    of Baum-Welch). Same symmetric 2-state model (stay 0.8, emit
+    0.75).
+
+    Scale discipline: per-series sequential forward and backward
+    scans over CALENDAR-BOUNDED observations via ``applyInPandas``;
+    per-step normalization keeps the recursion in [0,1] with NO
+    intermediate rounding — the oracle's two recursive CTEs replay
+    the IDENTICAL multiply/add/divide shapes (derived literals
+    injected as computed Python doubles), so alpha-hat, beta-hat and
+    the posterior are bit-equal before the single output round. The
+    q302 discipline extended to a two-pass recursion."""
+    from variantcalling_spark.operators.kernels import hmm_posterior_2state
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_ns DIV 86400000000000").alias("day")
+    ).agg(
+        F.round(F.sum(dec("value")).cast("double") / F.count(F.lit(1)), 6).alias("m")
+    ).transform(managed_persist)
+    wmed = W.partitionBy("event_type").orderBy("m")
+    med = (
+        daily.select(
+            "event_type",
+            "m",
+            F.row_number().over(wmed).alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("m").alias("med"))
+    )
+    rel = daily.join(F.broadcast(med), "event_type").select(
+        F.col("event_type").alias("series"),
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("day"))
+        .cast("long")
+        .alias("t"),
+        F.when(F.col("m") > F.col("med"), 1).otherwise(0).alias("obs"),
+    )
+    post = hmm_posterior_2state(rel, p_stay=_HMM_STAY, p_emit=_HMM_EMIT)
+    return post.select(
+        F.col("series").alias("event_type"),
+        "t",
+        F.col("obs").cast("int").alias("obs"),
+        F.round(F.col("p_state1"), 6).alias("p_high"),
+    )
