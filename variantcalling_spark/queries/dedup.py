@@ -3165,3 +3165,131 @@ def q303_kmv_source_overlap(spark, sf_dir):
             F.round(F.abs(est_j - exact_j), 6).alias("jaccard_abs_err"),
         )
     )
+
+
+_LSH_CONFIGS = ((32, 1), (16, 2), (8, 4), (4, 8), (2, 16), (1, 32))
+
+
+def _lsh_planner_oracle_sql() -> str:
+    cfg_rows = ", ".join(f"({b}, {r})" for b, r in _LSH_CONFIGS)
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+dw AS MATERIALIZED (SELECT DISTINCT doc_id, w FROM tok),
+nd AS MATERIALIZED (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM dw GROUP BY doc_id
+),
+inter AS MATERIALIZED (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(COUNT(*) AS BIGINT) AS i
+  FROM dw a JOIN dw b ON b.w = a.w AND b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 2 = 0
+  GROUP BY a.doc_id, b.doc_id
+),
+pj AS MATERIALIZED (
+  SELECT na.doc_id AS ia,
+         ROUND(COALESCE(i.i, 0)
+               / CAST(na.n + nb.n - COALESCE(i.i, 0) AS DOUBLE), 8) AS j
+  FROM nd na
+  JOIN nd nb ON nb.doc_id = na.doc_id + 1
+  LEFT JOIN inter i ON i.ia = na.doc_id
+  WHERE na.doc_id % 2 = 0
+),
+bg AS MATERIALIZED (
+  SELECT ROUND(CAST(SUM(CAST(j AS DECIMAL(12,8))) AS DOUBLE) / COUNT(*), 8)
+    AS j_bg, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pj
+),
+npairs AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+),
+cfg AS (SELECT * FROM (VALUES {cfg_rows}) AS t(b, r))
+SELECT CAST(c.b AS INT) AS bands, CAST(c.r AS INT) AS rows_per_band,
+       ROUND(exp(ln(1.0 / c.b) / c.r), 4) AS threshold_star,
+       ROUND(1 - exp(c.b * ln(1 - exp(c.r * ln((SELECT j_bg FROM bg))))), 8)
+         AS p_collide_background,
+       ROUND(1 - exp(c.b * ln(1 - exp(c.r * ln(CAST(0.8 AS DOUBLE))))), 8)
+         AS p_collide_at_08,
+       ROUND(((SELECT n FROM npairs) * ((SELECT n FROM npairs) - 1) / 2.0)
+             * (1 - exp(c.b * ln(1 - exp(c.r * ln((SELECT j_bg FROM bg)))))), 2)
+         AS expected_background_candidates
+FROM cfg c
+"""
+
+
+@query("q322_lsh_planner", oracle=_lsh_planner_oracle_sql())
+def q322_lsh_planner(spark, sf_dir):
+    """LSH PARAMETER PLANNER — the S-curve table every MinHash-LSH
+    deployment consults before picking (bands, rows): for each way of
+    spending the 32-hash signature budget, the threshold t* =
+    (1/b)^(1/r), the collision probability 1-(1-j^r)^b at a TARGET
+    similarity (0.8) and at the MEASURED background similarity of this
+    corpus (mean Jaccard of consecutive-id pairs), and the expected
+    background candidate load at corpus scale — making the
+    precision/recall dial of q66/q122 an executable table instead of
+    folklore.
+
+    Scale discipline: the background estimate uses consecutive-id
+    pairs only (one equi-join on id+1, linear); the planner itself is
+    arithmetic over a 6-row config spine. Powers are exp/ln
+    compositions (the shared-libm pin), probabilities snapped at 8."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    dw = tok.distinct().transform(managed_persist)
+    nd = dw.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    inter = (
+        dw.where(F.col("doc_id") % 2 == 0)
+        .join(
+            dw.select((F.col("doc_id") - 1).alias("doc_id"), F.col("w")),
+            ["doc_id", "w"],
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    pj = (
+        nd.where(F.col("doc_id") % 2 == 0)
+        .select(F.col("doc_id"), F.col("n").alias("na"))
+        .join(
+            nd.select((F.col("doc_id") - 1).alias("doc_id"), F.col("n").alias("nb")),
+            "doc_id",
+        )
+        .join(inter, "doc_id", "left")
+        .select(
+            F.round(
+                F.coalesce(F.col("i"), F.lit(0))
+                / (
+                    F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0))
+                ).cast("double"),
+                8,
+            ).alias("j")
+        )
+    )
+    bg = pj.agg(
+        F.round(
+            F.sum(F.col("j").cast("decimal(12,8)")).cast("double")
+            / F.count(F.lit(1)),
+            8,
+        ).alias("j_bg")
+    )
+    npairs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cfg = spark.createDataFrame(
+        [(b, r) for b, r in _LSH_CONFIGS], "b int, r int"
+    )
+    jb = F.col("j_bg")
+    b_, r_ = F.col("b"), F.col("r")
+    p_bg = 1 - F.exp(b_ * F.log(1 - F.exp(r_ * F.log(jb))))
+    p_08 = 1 - F.exp(b_ * F.log(1 - F.exp(r_ * F.log(F.lit(0.8).cast("double")))))
+    return (
+        cfg.crossJoin(F.broadcast(bg))
+        .crossJoin(F.broadcast(npairs))
+        .select(
+            F.col("b").cast("int").alias("bands"),
+            F.col("r").cast("int").alias("rows_per_band"),
+            F.round(F.exp(F.log(1.0 / b_) / r_), 4).alias("threshold_star"),
+            F.round(p_bg, 8).alias("p_collide_background"),
+            F.round(p_08, 8).alias("p_collide_at_08"),
+            F.round(
+                (F.col("n") * (F.col("n") - 1) / 2.0) * p_bg, 2
+            ).alias("expected_background_candidates"),
+        )
+    )

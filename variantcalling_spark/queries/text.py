@@ -4023,3 +4023,130 @@ def q300_temperature_mixture(spark, sf_dir):
         F.round(w_docs * _MIX_BUDGET, 4).alias("expected_docs"),
         F.round(w_docs / F.col("share_d"), 6).alias("upsample_factor"),
     )
+
+
+@query(
+    "q321_topic_coherence",
+    oracle="""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+),
+cls AS MATERIALIZED (
+  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY lang, w
+),
+top5 AS MATERIALIZED (
+  SELECT lang, w, rnk FROM (
+    SELECT lang, w, c,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, w) AS rnk
+    FROM cls
+  ) WHERE rnk <= 5
+),
+docword AS MATERIALIZED (
+  SELECT DISTINCT doc_id, w FROM tok
+  WHERE w IN (SELECT w FROM top5)
+),
+df AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS d FROM docword GROUP BY w
+),
+codf AS MATERIALIZED (
+  SELECT a.w AS wi, b.w AS wj, CAST(COUNT(*) AS BIGINT) AS dij
+  FROM docword a JOIN docword b ON b.doc_id = a.doc_id AND a.w <> b.w
+  GROUP BY a.w, b.w
+),
+pairs AS (
+  SELECT hi.lang, hi.w AS wi, lo.w AS wj,
+         COALESCE(c.dij, 0) AS dij, dj.d AS dj
+  FROM top5 hi
+  JOIN top5 lo ON lo.lang = hi.lang AND lo.rnk > hi.rnk
+  LEFT JOIN codf c ON c.wi = hi.w AND c.wj = lo.w
+  JOIN df dj ON dj.w = lo.w
+),
+terms AS (
+  SELECT lang,
+         ROUND(ln((dij + 1) / CAST(dj AS DOUBLE)), 10) AS term
+  FROM pairs
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(CAST(term AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6)
+         AS umass_coherence
+FROM terms GROUP BY lang
+""",
+)
+def q321_topic_coherence(spark, sf_dir):
+    """UMASS TOPIC COHERENCE (Mimno 2011 — the standard automatic
+    grade for topic quality: do a topic's top words actually co-occur
+    in documents, or is the topic an artifact? The missing EVAL for
+    the c-TF-IDF topic labeler q243 and the community labels
+    q151/q108): per language class, top-5 tokens by class frequency,
+    C = mean over ordered pairs of ln((D(wi,wj)+1)/D(wj)).
+
+    Scale discipline: document frequencies and co-document counts are
+    computed ONLY for the <= classes x 5 shortlisted words (the
+    docword projection pushes the IN-list to the scan), so the
+    co-occurrence self-join is shortlist-bounded, never
+    vocabulary-bounded; per-pair ln terms snap at 10 digits into
+    DECIMAL sums."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+    cls = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    top5 = (
+        cls.withColumn(
+            "rnk",
+            F.row_number().over(W.partitionBy("lang").orderBy(F.col("c").desc(), "w")),
+        )
+        .where(F.col("rnk") <= 5)
+        .select("lang", "w", "rnk")
+        .transform(managed_persist)
+    )
+    shortlist = top5.select("w").distinct()
+    docword = (
+        tok.join(F.broadcast(shortlist), "w")
+        .select("doc_id", "w")
+        .distinct()
+        .transform(managed_persist)
+    )
+    dfreq = docword.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    codf = (
+        docword.join(
+            docword.select(F.col("doc_id"), F.col("w").alias("wj")), "doc_id"
+        )
+        .where(F.col("w") != F.col("wj"))
+        .groupBy(F.col("w").alias("wi"), "wj")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dij"))
+    )
+    pairs = (
+        top5.alias("hi")
+        .join(
+            top5.alias("lo"),
+            (F.col("lo.lang") == F.col("hi.lang"))
+            & (F.col("lo.rnk") > F.col("hi.rnk")),
+        )
+        .select(
+            F.col("hi.lang").alias("lang"),
+            F.col("hi.w").alias("wi"),
+            F.col("lo.w").alias("wj"),
+        )
+        .join(F.broadcast(codf), ["wi", "wj"], "left")
+        .join(F.broadcast(dfreq.select(F.col("w").alias("wj"), F.col("d").alias("dj"))), "wj")
+        .select(
+            "lang",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("dij"), F.lit(0)) + 1)
+                    / F.col("dj").cast("double")
+                ),
+                10,
+            ).alias("term"),
+        )
+    )
+    return pairs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("term").cast("decimal(20,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("umass_coherence"),
+    )
