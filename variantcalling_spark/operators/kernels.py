@@ -679,8 +679,10 @@ def hmm_posterior_2state(
     NORMALIZATION, mirroring the recursive-CTE oracle's expression
     shapes exactly (same multiply/add/divide order) — NO intermediate
     rounding anywhere, the q302 bit-exact discipline: identical IEEE
-    sequences on both engines. The caller rounds the emitted posterior
-    in-engine. Returns (key, t, obs, p_state1 unrounded)."""
+    sequences on both engines. Emits the normalized alpha/beta state
+    itself (key, t, obs, a0, a1, b0, b1) so consumers derive the
+    posterior (q319) AND the Baum-Welch expected counts (q323) from
+    one kernel."""
 
     def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(t_col, kind="mergesort")
@@ -690,7 +692,8 @@ def hmm_posterior_2state(
         n = len(obs)
         if n == 0:
             return pd.DataFrame(
-                {key_col: [], t_col: [], obs_col: [], "p_state1": []}
+                {key_col: [], t_col: [], obs_col: [],
+                 "a0": [], "a1": [], "b0": [], "b1": []}
             )
         p_sw, p_miss = 1.0 - p_stay, 1.0 - p_emit
 
@@ -716,21 +719,22 @@ def hmm_posterior_2state(
             b1 = p_sw * e0 * nb0 + p_stay * e1 * nb1
             c = b0 + b1
             betas[t] = (b0 / c, b1 / c)
-        ps = []
-        for t in range(n):
-            g0 = alphas[t][0] * betas[t][0]
-            g1 = alphas[t][1] * betas[t][1]
-            ps.append(g1 / (g0 + g1))
         return pd.DataFrame(
             {
                 key_col: [key] * n,
                 t_col: ts,
                 obs_col: obs,
-                "p_state1": ps,
+                "a0": [a[0] for a in alphas],
+                "a1": [a[1] for a in alphas],
+                "b0": [b[0] for b in betas],
+                "b1": [b[1] for b in betas],
             }
         )
 
     return df.groupBy(key_col).applyInPandas(
         per_series,
-        schema=f"{key_col} string, {t_col} long, {obs_col} int, p_state1 double",
+        schema=(
+            f"{key_col} string, {t_col} long, {obs_col} int, "
+            "a0 double, a1 double, b0 double, b1 double"
+        ),
     )

@@ -3306,3 +3306,108 @@ def q312_fastq_roundtrip(spark, sf_dir):
             4,
         ).alias("mean_q"),
     )
+
+
+_LC_ITERS = 12
+
+_LC_READS_SQL = """
+  SELECT l_returnflag AS library,
+         concat('c', CAST(l_orderkey % 4 AS VARCHAR)) AS chrom,
+         (l_orderkey * 7 + l_linenumber * 13) % 50000 AS start,
+         (l_orderkey * 7 + l_linenumber * 13) % 50000
+           + (20 + CAST(l_quantity AS BIGINT) % 30) + (1 + l_linenumber % 3) AS fin
+  FROM lineitem
+  WHERE l_linenumber % 7 <> 0 AND l_partkey % 60 >= 20
+"""
+
+
+def _library_complexity_oracle_sql() -> str:
+    parts = [
+        f"""
+WITH reads AS MATERIALIZED ({_LC_READS_SQL}),
+counts AS MATERIALIZED (
+  SELECT library,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT (chrom, start, fin)) AS BIGINT) AS c
+  FROM reads GROUP BY library
+),
+i0 AS (SELECT library, n, c, CAST(c AS DOUBLE) AS x FROM counts)"""
+    ]
+    prev = "i0"
+    for k in range(1, _LC_ITERS + 1):
+        parts.append(
+            f""",
+i{k} AS (
+  SELECT library, n, c,
+         ROUND(c / (1 - exp(-(n / x))), 6) AS x
+  FROM {prev}
+)"""
+        )
+        prev = f"i{k}"
+    parts.append(
+        f"""
+SELECT library, n AS n_reads, c AS n_unique,
+       ROUND(1 - c / CAST(n AS DOUBLE), 6) AS dup_rate,
+       ROUND(x, 2) AS est_library_size,
+       ROUND(x * (1 - exp(-(2.0 * n / x))), 2) AS est_unique_at_2x,
+       ROUND(c / x, 6) AS saturation
+FROM {prev}
+"""
+    )
+    return "".join(parts)
+
+
+@query("q324_library_complexity", oracle=_library_complexity_oracle_sql())
+def q324_library_complexity(spark, sf_dir):
+    """LIBRARY COMPLEXITY EXTRAPOLATION (Picard
+    EstimateLibraryComplexity / preseq shape — the Lander-Waterman
+    question behind every 'should we sequence deeper' decision): from
+    observed reads n and unique fragments c per library, solve
+    c = X(1 - exp(-n/X)) for the library size X by 12 fixed-point
+    iterations, then report the duplication rate, X, the predicted
+    unique yield at 2x depth, and current saturation c/X — the
+    forward model whose OBSERVED side q188's MarkDuplicates computes.
+
+    Scale discipline: the corpus reduces to per-library (n, c) in one
+    aggregate; the iteration is a PURE PROJECTION over that
+    library-domain table (no joins, no shuffle — 12 withColumn steps
+    that Catalyst collapses into one stage), with round(,6) snaps
+    making every step engine-identical; exp is the shared-libm pin."""
+    li = load_table(spark, sf_dir, "lineitem")
+    reads = li.where(
+        (F.col("l_linenumber") % 7 != 0) & (F.col("l_partkey") % 60 >= 20)
+    ).select(
+        F.col("l_returnflag").alias("library"),
+        F.concat(F.lit("c"), (F.col("l_orderkey") % 4).cast("string")).alias(
+            "chrom"
+        ),
+        ((F.col("l_orderkey") * 7 + F.col("l_linenumber") * 13) % 50000).alias(
+            "start"
+        ),
+        (
+            (F.col("l_orderkey") * 7 + F.col("l_linenumber") * 13) % 50000
+            + (20 + F.col("l_quantity").cast("bigint") % 30)
+            + (1 + F.col("l_linenumber") % 3)
+        ).alias("fin"),
+    )
+    counts = reads.groupBy("library").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("chrom", "start", "fin").cast("bigint").alias("c"),
+    )
+    cur = counts.withColumn("x", F.col("c").cast("double"))
+    for _ in range(_LC_ITERS):
+        cur = cur.withColumn(
+            "x",
+            F.round(F.col("c") / (1 - F.exp(-(F.col("n") / F.col("x")))), 6),
+        )
+    return cur.select(
+        "library",
+        F.col("n").alias("n_reads"),
+        F.col("c").alias("n_unique"),
+        F.round(1 - F.col("c") / F.col("n").cast("double"), 6).alias("dup_rate"),
+        F.round(F.col("x"), 2).alias("est_library_size"),
+        F.round(
+            F.col("x") * (1 - F.exp(-(2.0 * F.col("n") / F.col("x")))), 2
+        ).alias("est_unique_at_2x"),
+        F.round(F.col("c") / F.col("x"), 6).alias("saturation"),
+    )

@@ -3923,7 +3923,7 @@ _HMM_STAY = 0.8
 _HMM_EMIT = 0.75
 
 
-def _hmm_posterior_oracle_sql() -> str:
+def _hmm_fb_oracle_sql(select: str) -> str:
     st = f"CAST({_HMM_STAY!r} AS DOUBLE)"
     sw = f"CAST({1.0 - _HMM_STAY!r} AS DOUBLE)"
     em = f"CAST({_HMM_EMIT!r} AS DOUBLE)"
@@ -3984,6 +3984,11 @@ bw AS (
   WHERE w.t > 1
 ),
 bwd AS MATERIALIZED (SELECT * FROM bw)
+{select}
+"""
+
+
+_HMM_POST_SELECT = """
 SELECT r.event_type, CAST(r.t AS BIGINT) AS t, CAST(r.obs AS INT) AS obs,
        ROUND((f.a1 * b.b1) / ((f.a0 * b.b0) + (f.a1 * b.b1)), 6) AS p_high
 FROM rel r
@@ -3992,7 +3997,7 @@ JOIN bwd b ON b.event_type = r.event_type AND b.t = r.t
 """
 
 
-@query("q319_hmm_posterior", oracle=_hmm_posterior_oracle_sql())
+@query("q319_hmm_posterior", oracle=_hmm_fb_oracle_sql(_HMM_POST_SELECT))
 def q319_hmm_posterior(spark, sf_dir):
     """HMM FORWARD-BACKWARD POSTERIOR DECODING per series — the
     smoothing counterpart of q315's Viterbi: instead of the single
@@ -4037,9 +4042,179 @@ def q319_hmm_posterior(spark, sf_dir):
         F.when(F.col("m") > F.col("med"), 1).otherwise(0).alias("obs"),
     )
     post = hmm_posterior_2state(rel, p_stay=_HMM_STAY, p_emit=_HMM_EMIT)
+    g0 = F.col("a0") * F.col("b0")
+    g1 = F.col("a1") * F.col("b1")
     return post.select(
         F.col("series").alias("event_type"),
         "t",
         F.col("obs").cast("int").alias("obs"),
-        F.round(F.col("p_state1"), 6).alias("p_high"),
+        F.round(g1 / (g0 + g1), 6).alias("p_high"),
+    )
+
+
+def _bw_step_select() -> str:
+    st = f"CAST({_HMM_STAY!r} AS DOUBLE)"
+    sw = f"CAST({1.0 - _HMM_STAY!r} AS DOUBLE)"
+    em = f"CAST({_HMM_EMIT!r} AS DOUBLE)"
+    ms = f"CAST({1.0 - _HMM_EMIT!r} AS DOUBLE)"
+    e0n = f"CASE WHEN r2.obs = 0 THEN {em} ELSE {ms} END"
+    e1n = f"CASE WHEN r2.obs = 1 THEN {em} ELSE {ms} END"
+    x00 = f"f.a0 * {st} * ({e0n}) * b2.b0"
+    x01 = f"f.a0 * {sw} * ({e1n}) * b2.b1"
+    x10 = f"f.a1 * {sw} * ({e0n}) * b2.b0"
+    x11 = f"f.a1 * {st} * ({e1n}) * b2.b1"
+    return f""",
+xi AS MATERIALIZED (
+  SELECT f.event_type, f.t,
+         ROUND((({x00}) + ({x11}))
+               / (({x00}) + ({x01}) + ({x10}) + ({x11})), 10) AS stay_frac
+  FROM fwd f
+  JOIN rel r2 ON r2.event_type = f.event_type AND r2.t = f.t + 1
+  JOIN bwd b2 ON b2.event_type = f.event_type AND b2.t = f.t + 1
+),
+gam AS MATERIALIZED (
+  SELECT r.event_type, r.t, r.obs,
+         ROUND((f.a0 * b.b0) / ((f.a0 * b.b0) + (f.a1 * b.b1)), 10) AS g0,
+         ROUND((f.a1 * b.b1) / ((f.a0 * b.b0) + (f.a1 * b.b1)), 10) AS g1
+  FROM rel r
+  JOIN fwd f ON f.event_type = r.event_type AND f.t = r.t
+  JOIN bwd b ON b.event_type = r.event_type AND b.t = r.t
+),
+msums AS (
+  SELECT
+    (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM gam) AS n_series,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM gam) AS n_obs,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM xi) AS n_transitions,
+    (SELECT CAST(SUM(CAST(stay_frac AS DECIMAL(20,10))) AS DOUBLE) FROM xi)
+      AS stay_sum,
+    (SELECT CAST(SUM(CAST(CASE WHEN obs = 0 THEN g0 ELSE g1 END
+                          AS DECIMAL(20,10))) AS DOUBLE) FROM gam)
+      AS emit_match_sum,
+    (SELECT CAST(SUM(CAST(CASE WHEN t = 1 THEN g1 ELSE 0 END
+                          AS DECIMAL(20,10))) AS DOUBLE) FROM gam)
+      AS pi1_sum
+)
+SELECT n_series, n_obs, n_transitions,
+       ROUND(stay_sum / n_transitions, 6) AS p_stay_new,
+       ROUND(emit_match_sum / n_obs, 6) AS p_emit_new,
+       ROUND(pi1_sum / n_series, 6) AS pi_high_new
+FROM msums
+"""
+
+
+@query("q323_baum_welch_step", oracle=_hmm_fb_oracle_sql(_bw_step_select()))
+def q323_baum_welch_step(spark, sf_dir):
+    """ONE BAUM-WELCH (EM) UPDATE of the HMM parameters, pooled across
+    series — completes the HMM trilogy: q315 decodes (Viterbi), q319
+    smooths (posterior), q323 LEARNS: expected stay-transitions from
+    the xi pair-posteriors, expected emission matches from the gammas,
+    and the updated p_stay / p_emit / initial-high estimates a second
+    EM round would consume.
+
+    Scale discipline: the sequential part stays inside the q319 kernel
+    (per-series forward-backward); xi and gamma are pure JOINS of the
+    emitted alpha/beta state at (t, t+1) with arithmetic identical on
+    both engines, and the M-step is three DECIMAL sums over 10-dp
+    snapped fractions. Nothing iterates outside the kernel — a full
+    Baum-Welch loop is this query applied k times."""
+    from variantcalling_spark.operators.kernels import hmm_posterior_2state
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_ns DIV 86400000000000").alias("day")
+    ).agg(
+        F.round(F.sum(dec("value")).cast("double") / F.count(F.lit(1)), 6).alias("m")
+    ).transform(managed_persist)
+    wmed = W.partitionBy("event_type").orderBy("m")
+    med = (
+        daily.select(
+            "event_type",
+            "m",
+            F.row_number().over(wmed).alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("m").alias("med"))
+    )
+    rel = daily.join(F.broadcast(med), "event_type").select(
+        F.col("event_type").alias("series"),
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("day"))
+        .cast("long")
+        .alias("t"),
+        F.when(F.col("m") > F.col("med"), 1).otherwise(0).alias("obs"),
+    )
+    fb = hmm_posterior_2state(rel, p_stay=_HMM_STAY, p_emit=_HMM_EMIT).transform(
+        managed_persist
+    )
+    st, sw = F.lit(_HMM_STAY), F.lit(1.0 - _HMM_STAY)
+    em, ms = F.lit(_HMM_EMIT), F.lit(1.0 - _HMM_EMIT)
+    nxt = fb.select(
+        "series",
+        (F.col("t") - 1).alias("t"),
+        F.col("obs").alias("obs2"),
+        F.col("b0").alias("nb0"),
+        F.col("b1").alias("nb1"),
+    )
+    e0n = F.when(F.col("obs2") == 0, em).otherwise(ms)
+    e1n = F.when(F.col("obs2") == 1, em).otherwise(ms)
+    x00 = F.col("a0") * st * e0n * F.col("nb0")
+    x01 = F.col("a0") * sw * e1n * F.col("nb1")
+    x10 = F.col("a1") * sw * e0n * F.col("nb0")
+    x11 = F.col("a1") * st * e1n * F.col("nb1")
+    xi = fb.join(nxt, ["series", "t"]).select(
+        "series",
+        F.round((x00 + x11) / (x00 + x01 + x10 + x11), 10).alias("stay_frac"),
+    )
+    g0 = F.col("a0") * F.col("b0")
+    g1 = F.col("a1") * F.col("b1")
+    gam = fb.select(
+        "series",
+        "t",
+        "obs",
+        F.round(g0 / (g0 + g1), 10).alias("g0"),
+        F.round(g1 / (g0 + g1), 10).alias("g1"),
+    ).transform(managed_persist)
+    n_series = gam.select("series").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_series")
+    )
+    n_obs = gam.agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    xi_agg = xi.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+        F.sum(F.col("stay_frac").cast("decimal(20,10)"))
+        .cast("double")
+        .alias("stay_sum"),
+    )
+    gam_agg = gam.agg(
+        F.sum(
+            F.when(F.col("obs") == 0, F.col("g0"))
+            .otherwise(F.col("g1"))
+            .cast("decimal(20,10)")
+        )
+        .cast("double")
+        .alias("emit_match_sum"),
+        F.sum(
+            F.when(F.col("t") == 1, F.col("g1")).otherwise(F.lit(0.0)).cast(
+                "decimal(20,10)"
+            )
+        )
+        .cast("double")
+        .alias("pi1_sum"),
+    )
+    return (
+        n_series.crossJoin(F.broadcast(n_obs))
+        .crossJoin(F.broadcast(xi_agg))
+        .crossJoin(F.broadcast(gam_agg))
+        .select(
+            "n_series",
+            "n_obs",
+            "n_transitions",
+            F.round(F.col("stay_sum") / F.col("n_transitions"), 6).alias(
+                "p_stay_new"
+            ),
+            F.round(F.col("emit_match_sum") / F.col("n_obs"), 6).alias(
+                "p_emit_new"
+            ),
+            F.round(F.col("pi1_sum") / F.col("n_series"), 6).alias("pi_high_new"),
+        )
     )
