@@ -402,3 +402,24 @@ def test_viterbi_decode_basic_and_tiebreak(spark):
         df, emit_match=0, emit_miss=0, t_stay=0, t_switch=0, init=0
     ).collect()
     assert [r.state for r in sorted(tied, key=lambda r: r.t)] == [0] * 6
+
+
+def test_gotoh_align_scores(spark):
+    """Gotoh kernel against hand-computed affine scores (match +2,
+    mismatch -1, open -4, extend -1): identical strings, a contiguous
+    3-gap (one open) vs the linear model's per-base charge, and the
+    empty edge."""
+    from variantcalling_spark.operators.kernels import gotoh_align_scores
+
+    rows = [
+        (0, "ACGT", "ACGT"),      # 4 matches = 8
+        (1, "ACGTTTA", "ACGA"),   # best: 4 matches + one 3-run gap = 8 - 6 = 2
+        (2, "ACGT", ""),          # one 4-gap: -4 -1*3 = -7
+        (3, "A", "T"),            # single mismatch beats double gap
+    ]
+    df = spark.createDataFrame(rows, ["pair_id", "a", "b"])
+    out = {r.pair_id: r for r in gotoh_align_scores(df).collect()}
+    assert out[0].affine_score == 8
+    assert out[1].affine_score == 2
+    assert out[2].affine_score == -7
+    assert out[3].affine_score == -1

@@ -3411,3 +3411,109 @@ def q324_library_complexity(spark, sf_dir):
         ).alias("est_unique_at_2x"),
         F.round(F.col("c") / F.col("x"), 6).alias("saturation"),
     )
+
+
+def _gotoh_wavefront_oracle_sql(
+    match: int = 2, mismatch: int = -1, go: int = -4, ge: int = -1
+) -> str:
+    from variantcalling_spark.operators.kernels import GOTOH_NEG
+
+    NEG = GOTOH_NEG
+    # cell (i, j = d+1-i); prev* = diagonal d-1 lists, cur* = diagonal d
+    pi = "CAST(i - GREATEST(0, d - 1 - m) AS INT)"       # (i-1, j-1) on d-1
+    ci1 = "CAST(i - GREATEST(0, d - m) AS INT)"          # (i-1, j)   on d
+    ci = "CAST(i + 1 - GREATEST(0, d - m) AS INT)"       # (i,   j-1) on d
+    sub = f"""CASE WHEN substr(a, CAST(i AS INT), 1)
+                   = substr(b, CAST(d + 1 - i AS INT), 1)
+              THEN {match} ELSE {mismatch} END"""
+    m_val = f"""
+      CASE WHEN i = 0 OR d + 1 - i = 0 THEN CAST({NEG} AS BIGINT)
+           ELSE ({sub})
+                + GREATEST(pm[{pi}], px[{pi}], py[{pi}])
+      END"""
+    x_val = f"""
+      CASE WHEN i = 0 THEN CAST({NEG} AS BIGINT)
+           WHEN d + 1 - i = 0 THEN CAST({go} + (i - 1) * {ge} AS BIGINT)
+           ELSE GREATEST(cm[{ci1}] + {go}, cx[{ci1}] + {ge})
+      END"""
+    y_val = f"""
+      CASE WHEN d + 1 - i = 0 THEN CAST({NEG} AS BIGINT)
+           WHEN i = 0 THEN CAST({go} + d * {ge} AS BIGINT)
+           ELSE GREATEST(cm[{ci}] + {go}, cy[{ci}] + {ge})
+      END"""
+    rng = "generate_series(GREATEST(0, d + 1 - m), LEAST(n, d + 1))"
+    return f"""
+WITH RECURSIVE dna AS ({SQL_DOCS_DNA}),
+pairs AS (
+  SELECT ea.doc_id // 2 AS pair_id, ea.seq AS a, eb.seq AS b,
+         CAST(length(ea.seq) AS INT) AS n, CAST(length(eb.seq) AS INT) AS m
+  FROM dna ea JOIN dna eb ON eb.doc_id = ea.doc_id + 1
+  WHERE ea.doc_id % 2 = 0
+),
+rec AS (
+  SELECT pair_id, a, b, n, m, 0 AS d,
+         [CAST(0 AS BIGINT)] AS cm,
+         [CAST({NEG} AS BIGINT)] AS cx,
+         [CAST({NEG} AS BIGINT)] AS cy,
+         CAST(NULL AS BIGINT[]) AS pm,
+         CAST(NULL AS BIGINT[]) AS px,
+         CAST(NULL AS BIGINT[]) AS py
+  FROM pairs
+  UNION ALL
+  SELECT pair_id, a, b, n, m, d + 1,
+         list_transform({rng}, i -> {m_val}),
+         list_transform({rng}, i -> {x_val}),
+         list_transform({rng}, i -> {y_val}),
+         cm, cx, cy
+  FROM rec WHERE d < n + m
+)
+SELECT pair_id, n, m,
+       CAST(GREATEST(cm[1], cx[1], cy[1]) AS INT) AS affine_score,
+       ROUND(GREATEST(cm[1], cx[1], cy[1])
+             / CAST(GREATEST(n, m, 1) AS DOUBLE), 6) AS norm_score
+FROM rec WHERE d = n + m
+"""
+
+
+@query("q325_gotoh_alignment", oracle=_gotoh_wavefront_oracle_sql())
+def q325_gotoh_alignment(spark, sf_dir):
+    """AFFINE-GAP GLOBAL ALIGNMENT (Gotoh 1982: open -4, extend -1,
+    match +2, mismatch -1) over the derived DNA pairs — the gap model
+    real aligners (BWA/minimap2 scoring) actually use, completing the
+    alignment DP family: linear-gap global q219, local q247, affine
+    global here. Three scattered 1-base gaps cost 3*(-4) = -12 while
+    one 3-base run costs -4-1-1 = -6, so contiguous indels win —
+    exactly the biological prior the linear model can't express.
+
+    Scale discipline: the kernel vectorizes all three matrices per
+    row (Iy's within-row chain solved closed-form as a running max —
+    no per-cell Python); integer DP -> bit-exact. The ORACLE carries
+    THREE per-diagonal lists through the wavefront recursive CTE (the
+    q219 convention, tripled), pinning every M/Ix/Iy cell."""
+    from variantcalling_spark.operators.kernels import gotoh_align_scores
+
+    dna = docs_as_dna(spark, sf_dir).transform(managed_persist)
+    a = dna.where(F.col("doc_id") % 2 == 0).select(
+        F.expr("doc_id DIV 2").alias("pair_id"), F.col("seq").alias("a")
+    )
+    b = (
+        dna.select(
+            F.expr("(doc_id - 1) DIV 2").alias("pair_id"),
+            F.col("seq").alias("b"),
+            (F.col("doc_id") % 2).alias("par"),
+        )
+        .where(F.col("par") == 1)
+        .drop("par")
+    )
+    pairs = a.join(b, "pair_id")
+    out = gotoh_align_scores(pairs)
+    return out.select(
+        "pair_id",
+        "n",
+        "m",
+        "affine_score",
+        F.round(
+            F.col("affine_score") / F.greatest(F.col("n"), F.col("m"), F.lit(1)).cast("double"),
+            6,
+        ).alias("norm_score"),
+    )
