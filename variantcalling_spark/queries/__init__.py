@@ -59,6 +59,7 @@ _PRIORITY = (
     #   4. round-5-touched hot paths, then the round-4 block (q110-q133);
     #   5. everything else (r5-fresh rows) in module order.
     # --- New in round 6 ---
+    "q326_coverage_titration",
     "q325_gotoh_alignment",
     "q323_baum_welch_step",
     "q324_library_complexity",

@@ -3517,3 +3517,152 @@ def q325_gotoh_alignment(spark, sf_dir):
             6,
         ).alias("norm_score"),
     )
+
+
+_TITRATION_FRACS = (25, 50, 75, 100)
+_TITRATION_MIN_DEPTH = 3
+
+
+def _titration_oracle_sql() -> str:
+    from variantcalling_spark.operators.dedup import PORTABLE_HASH_SQL
+
+    keep_hash = PORTABLE_HASH_SQL.format(
+        col="concat(chrom, ':', CAST(start AS VARCHAR), '-', CAST(fin AS VARCHAR))"
+    )
+    fracs = ", ".join(f"({f})" for f in _TITRATION_FRACS)
+    return f"""
+WITH reads AS MATERIALIZED ({_LC_READS_SQL}),
+keyed AS MATERIALIZED (
+  SELECT chrom, start, fin, ({keep_hash}) % 100 AS coin FROM reads
+),
+fr AS (SELECT * FROM (VALUES {fracs}) AS t(f)),
+kept AS MATERIALIZED (
+  SELECT fr.f, k.chrom, k.start, k.fin
+  FROM keyed k JOIN fr ON k.coin < fr.f
+),
+deltas AS (
+  SELECT f, chrom, start AS bp, 1 AS dlt FROM kept
+  UNION ALL
+  SELECT f, chrom, fin AS bp, -1 AS dlt FROM kept
+),
+agg AS (
+  SELECT f, chrom, bp, SUM(dlt) AS d FROM deltas
+  GROUP BY f, chrom, bp HAVING SUM(dlt) <> 0
+),
+cum AS (
+  SELECT f, chrom, bp AS s,
+         LEAD(bp) OVER (PARTITION BY f, chrom ORDER BY bp) AS e,
+         CAST(SUM(d) OVER (PARTITION BY f, chrom ORDER BY bp) AS BIGINT) AS depth
+  FROM agg
+),
+runs AS (
+  SELECT f, e - s AS len, depth FROM cum WHERE e IS NOT NULL AND depth > 0
+)
+SELECT CAST(f AS INT) AS pct_reads,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM kept k WHERE k.f = r.f) AS n_reads,
+       CAST(SUM(len) AS BIGINT) AS covered_bases,
+       CAST(SUM(CASE WHEN depth >= {_TITRATION_MIN_DEPTH} THEN len ELSE 0 END)
+            AS BIGINT) AS callable_bases,
+       ROUND(SUM(len * depth) / CAST(SUM(len) AS DOUBLE), 4) AS mean_depth
+FROM runs r GROUP BY f
+"""
+
+
+@query("q326_coverage_titration", oracle=_titration_oracle_sql())
+def q326_coverage_titration(spark, sf_dir):
+    """COVERAGE TITRATION CURVE (the Picard-style downsampling series
+    behind "would half the sequencing still call this genome?"): thin
+    the read set to 25/50/75/100% with the hash-deterministic coin
+    (q276's reproducible thinning — no RNG state), recompute the depth
+    profile per fraction, and report covered bases, callable bases
+    (depth >= 3) and mean depth — the saturation curve whose
+    single-point extrapolation is q324's Lander-Waterman model.
+
+    Scale discipline: ONE read scan fans out through a 4-row fraction
+    spine (predicate join, no data duplication before the filter);
+    depth is the q118 delta-cumsum shape partitioned by (fraction,
+    chrom) — all windows stay contig-bounded; outputs are exact
+    integer base counts and one rounded division."""
+    from pyspark.sql import Window as W
+
+    from variantcalling_spark.operators.dedup import portable_string_hash
+
+    li = load_table(spark, sf_dir, "lineitem")
+    reads = li.where(
+        (F.col("l_linenumber") % 7 != 0) & (F.col("l_partkey") % 60 >= 20)
+    ).select(
+        F.concat(F.lit("c"), (F.col("l_orderkey") % 4).cast("string")).alias(
+            "chrom"
+        ),
+        ((F.col("l_orderkey") * 7 + F.col("l_linenumber") * 13) % 50000).alias(
+            "start"
+        ),
+        (
+            (F.col("l_orderkey") * 7 + F.col("l_linenumber") * 13) % 50000
+            + (20 + F.col("l_quantity").cast("bigint") % 30)
+            + (1 + F.col("l_linenumber") % 3)
+        ).alias("fin"),
+    )
+    keyed = reads.select(
+        "chrom",
+        "start",
+        "fin",
+        (
+            portable_string_hash(
+                F.concat(
+                    F.col("chrom"),
+                    F.lit(":"),
+                    F.col("start").cast("string"),
+                    F.lit("-"),
+                    F.col("fin").cast("string"),
+                )
+            )
+            % 100
+        ).alias("coin"),
+    ).transform(managed_persist)
+    fr = spark.createDataFrame([(f,) for f in _TITRATION_FRACS], "f int")
+    kept = keyed.crossJoin(F.broadcast(fr)).where(
+        F.col("coin") < F.col("f")
+    ).transform(managed_persist)
+    deltas = kept.select(
+        "f", "chrom", F.col("start").alias("bp"), F.lit(1).alias("dlt")
+    ).unionByName(
+        kept.select("f", "chrom", F.col("fin").alias("bp"), F.lit(-1).alias("dlt"))
+    )
+    agg = (
+        deltas.groupBy("f", "chrom", "bp")
+        .agg(F.sum("dlt").alias("d"))
+        .where(F.col("d") != 0)
+    )
+    w_ord = W.partitionBy("f", "chrom").orderBy("bp")
+    cum = agg.select(
+        "f",
+        F.col("bp").alias("s"),
+        F.lead("bp").over(w_ord).alias("e"),
+        F.sum("d")
+        .over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint")
+        .alias("depth"),
+    )
+    runs = cum.where(F.col("e").isNotNull() & (F.col("depth") > 0)).select(
+        "f", (F.col("e") - F.col("s")).alias("len"), "depth"
+    )
+    n_reads = kept.groupBy("f").agg(F.count(F.lit(1)).cast("bigint").alias("n_reads"))
+    out = runs.groupBy("f").agg(
+        F.sum("len").cast("bigint").alias("covered_bases"),
+        F.sum(
+            F.when(F.col("depth") >= _TITRATION_MIN_DEPTH, F.col("len")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("callable_bases"),
+        F.round(
+            F.sum(F.col("len") * F.col("depth")) / F.sum("len").cast("double"), 4
+        ).alias("mean_depth"),
+    )
+    return out.join(F.broadcast(n_reads), "f").select(
+        F.col("f").cast("int").alias("pct_reads"),
+        "n_reads",
+        "covered_bases",
+        "callable_bases",
+        "mean_depth",
+    )
