@@ -59,6 +59,9 @@ _PRIORITY = (
     #   4. round-5-touched hot paths, then the round-4 block (q110-q133);
     #   5. everything else (r5-fresh rows) in module order.
     # --- New in round 6 ---
+    "q327_classification_report",
+    "q328_rank_biased_overlap",
+    "q329_effect_sizes",
     "q326_coverage_titration",
     "q325_gotoh_alignment",
     "q323_baum_welch_step",

@@ -3515,3 +3515,136 @@ def q320_jl_projection(spark, sf_dir):
             "distortion"
         ),
     )
+
+
+_RBO_P = 0.9
+_RBO_K = 10
+
+
+def _rbo_oracle_sql(n_planes: int = 16, prefix_bits: int = 6, dim: int = 64) -> str:
+    from variantcalling_spark.operators.similarity import _plane_signs
+
+    signs = _plane_signs(n_planes, dim)
+
+    def plane_vec(p):
+        return "[" + ",".join(f"{signs[d][p]:.1f}" for d in range(dim)) + "]"
+
+    sums = ",\n         ".join(
+        f"list_dot_product(vd, {plane_vec(p)}) AS s{p}" for p in range(prefix_bits)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN s{p} > 0 THEN {2**p} ELSE 0 END)" for p in range(prefix_bits)
+    )
+    lnp = f"ln(CAST({_RBO_P!r} AS DOUBLE))"
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+),
+ex AS MATERIALIZED (
+  SELECT query_id, cand_id, rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))) DESC, c.vec_id) AS INT)
+             AS rank
+    FROM base q JOIN base c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 5
+  ) WHERE rank <= {_RBO_K}
+),
+sig AS MATERIALIZED (
+  SELECT vec_id, v,
+         {sums}
+  FROM (SELECT vec_id, v, list_transform(v, x -> CAST(x AS DOUBLE)) AS vd FROM base)
+),
+bk AS MATERIALIZED (SELECT vec_id, v, {bucket} AS bucket FROM sig),
+ap AS MATERIALIZED (
+  SELECT query_id, cand_id, rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))) DESC, c.vec_id) AS INT)
+             AS rank
+    FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    WHERE q.vec_id < 5
+  ) WHERE rank <= {_RBO_K}
+),
+items AS MATERIALIZED (
+  SELECT COALESCE(e.query_id, a.query_id) AS qid,
+         COALESCE(e.cand_id, a.cand_id) AS cid,
+         e.rank AS ra, a.rank AS rb
+  FROM ex e FULL OUTER JOIN ap a
+    ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+),
+depths AS (SELECT unnest(generate_series(1, {_RBO_K})) AS d),
+ov AS (
+  SELECT i.qid, dp.d,
+         CAST(SUM(CASE WHEN i.ra <= dp.d AND i.rb <= dp.d THEN 1 ELSE 0 END)
+              AS BIGINT) AS o
+  FROM items i CROSS JOIN depths dp
+  GROUP BY i.qid, dp.d
+)
+SELECT qid AS query_id,
+       CAST(MAX(CASE WHEN d = {_RBO_K} THEN o END) AS BIGINT) AS overlap_at_k,
+       ROUND((1 - CAST({_RBO_P!r} AS DOUBLE))
+             * CAST(SUM(CAST(ROUND(exp((d - 1) * {lnp}) * o / d, 10)
+                             AS DECIMAL(16,10))) AS DOUBLE), 6) AS rbo
+FROM ov GROUP BY qid
+"""
+
+
+@query("q328_rank_biased_overlap", oracle=_rbo_oracle_sql())
+def q328_rank_biased_overlap(spark, sf_dir):
+    """RANK-BIASED OVERLAP (Webber 2010 — the top-weighted ranking
+    similarity IR uses where Kendall/Spearman over-weight the tail)
+    between the EXACT cosine top-10 and the LSH-ANN top-10 per query:
+    where q217's recall@10 counts set membership, RBO grades whether
+    the approximation preserves the ORDER the user actually sees,
+    geometric weight p=0.9 per depth.
+
+    Scale discipline: both arms are the existing bounded-query-sample
+    top-k paths; the RBO join is (queries x k) x 10-depth-spine sized.
+    Overlap counts are exact integers; per-depth terms snap at 10 into
+    a DECIMAL sum; p^(d-1) is the exp/ln shared-libm composition."""
+    from variantcalling_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").transform(managed_persist)
+    queries = emb.where(F.col("vec_id") < 5)
+    ex = cosine_topk(queries, emb, k=_RBO_K).select(
+        "query_id", "cand_id", F.col("rank").alias("ra")
+    )
+    ap = lsh_cosine_topk(queries, emb, k=_RBO_K, n_planes=16, prefix_bits=6).select(
+        "query_id", "cand_id", F.col("rank").alias("rb")
+    )
+    items = ex.join(ap, ["query_id", "cand_id"], "full_outer").select(
+        F.col("query_id").alias("qid"), "ra", "rb"
+    )
+    depths = spark.range(1, _RBO_K + 1).select(F.col("id").alias("d"))
+    ov = (
+        items.crossJoin(F.broadcast(depths))
+        .groupBy("qid", "d")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("ra") <= F.col("d")) & (F.col("rb") <= F.col("d")), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("o")
+        )
+    )
+    lnp = F.log(F.lit(_RBO_P).cast("double"))
+    term = F.round(
+        F.exp((F.col("d") - 1) * lnp) * F.col("o") / F.col("d"), 10
+    ).cast("decimal(16,10)")
+    return ov.groupBy(F.col("qid").alias("query_id")).agg(
+        F.max(F.when(F.col("d") == _RBO_K, F.col("o")))
+        .cast("bigint")
+        .alias("overlap_at_k"),
+        F.round(
+            (1 - F.lit(_RBO_P)) * F.sum(term).cast("double"), 6
+        ).alias("rbo"),
+    )

@@ -4150,3 +4150,150 @@ def q321_topic_coherence(spark, sf_dir):
             6,
         ).alias("umass_coherence"),
     )
+
+
+_CLS_SQL_PRED = """
+  SELECT lang AS actual,
+         CASE WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+              WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+              WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+              WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+              WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+              ELSE 'zh' END AS predicted
+  FROM (
+    SELECT lang,
+           len(list_filter(string_split(text, ' '), w -> w IN ('der', 'und', 'die'))) AS s_de,
+           len(list_filter(string_split(text, ' '), w -> w IN ('the', 'and', 'of'))) AS s_en,
+           len(list_filter(string_split(text, ' '), w -> w IN ('el', 'la', 'de'))) AS s_es,
+           len(list_filter(string_split(text, ' '), w -> w IN ('le', 'et', 'les'))) AS s_fr,
+           len(list_filter(string_split(text, ' '), w -> w IN ('de5', 'le5', 'he2'))) AS s_zh
+    FROM documents
+  )
+"""
+
+
+@query(
+    "q327_classification_report",
+    oracle=f"""
+WITH preds AS MATERIALIZED ({_CLS_SQL_PRED}),
+classes AS MATERIALIZED (SELECT DISTINCT actual AS cls FROM preds),
+cells AS MATERIALIZED (
+  SELECT c.cls,
+         CAST(SUM(CASE WHEN p.predicted = c.cls AND p.actual = c.cls
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN p.predicted = c.cls AND p.actual <> c.cls
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN p.predicted <> c.cls AND p.actual = c.cls
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM preds p CROSS JOIN classes c
+  GROUP BY c.cls
+),
+per_class AS (
+  SELECT cls, tp, fp, fn, tp + fn AS support,
+         ROUND(CASE WHEN tp + fp = 0 THEN 0.0
+                    ELSE tp / CAST(tp + fp AS DOUBLE) END, 6) AS prec,
+         ROUND(CASE WHEN tp + fn = 0 THEN 0.0
+                    ELSE tp / CAST(tp + fn AS DOUBLE) END, 6) AS rec
+  FROM cells
+),
+rows_out AS (
+  SELECT cls, CAST(support AS BIGINT) AS support, prec, rec,
+         ROUND(CASE WHEN prec + rec = 0 THEN 0.0
+                    ELSE 2 * prec * rec / (prec + rec) END, 6) AS f1
+  FROM per_class
+  UNION ALL
+  SELECT '__micro__',
+         CAST(SUM(support) AS BIGINT),
+         ROUND(SUM(tp) / CAST(SUM(tp) + SUM(fp) AS DOUBLE), 6),
+         ROUND(SUM(tp) / CAST(SUM(tp) + SUM(fn) AS DOUBLE), 6),
+         ROUND(SUM(tp) / CAST(SUM(tp) + SUM(fp) AS DOUBLE), 6)
+  FROM per_class
+  UNION ALL
+  SELECT '__macro__',
+         CAST(SUM(support) AS BIGINT),
+         ROUND(CAST(SUM(CAST(prec AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6),
+         ROUND(CAST(SUM(CAST(rec AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6),
+         ROUND(CAST(SUM(CAST(ROUND(CASE WHEN prec + rec = 0 THEN 0.0
+                    ELSE 2 * prec * rec / (prec + rec) END, 6)
+                 AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6)
+  FROM per_class
+)
+SELECT cls, support, prec AS "precision", rec AS recall, f1 FROM rows_out
+""",
+)
+def q327_classification_report(spark, sf_dir):
+    """MULTI-CLASS CLASSIFICATION REPORT (sklearn classification_report
+    parity: per-class precision/recall/F1/support plus micro and macro
+    averages — micro == accuracy in single-label problems, macro
+    punishes minority-class neglect) for the q62 lang-ID heuristic
+    against the lang column; the multi-class completion of q09's
+    binary confusion matrix and the classifier leg of the eval-harness
+    family (q217/q221/q223/q251).
+
+    Scale discipline: predictions are one corpus projection; the
+    class x prediction cell counts are ONE aggregate over a class-
+    domain cross join (|classes| terms per row, map-side-combinable);
+    micro/macro rows are arithmetic over the class-bounded table with
+    DECIMAL-snapped macro means. The micro F1 equals micro precision
+    equals micro recall by construction (single-label), which the
+    oracle asserts by emitting the same expression."""
+    from variantcalling_spark.functions.text import predict_lang
+
+    docs = load_table(spark, sf_dir, "documents")
+    preds = docs.select(
+        F.col("lang").alias("actual"), predict_lang(F.col("text")).alias("predicted")
+    ).transform(managed_persist)
+    classes = preds.select(F.col("actual").alias("cls")).distinct()
+    p, c = F.col("predicted"), F.col("cls")
+    a = F.col("actual")
+    cells = (
+        preds.crossJoin(F.broadcast(classes))
+        .groupBy("cls")
+        .agg(
+            F.sum(F.when((p == c) & (a == c), 1).otherwise(0)).cast("bigint").alias("tp"),
+            F.sum(F.when((p == c) & (a != c), 1).otherwise(0)).cast("bigint").alias("fp"),
+            F.sum(F.when((p != c) & (a == c), 1).otherwise(0)).cast("bigint").alias("fn"),
+        )
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    prec = F.round(
+        F.when(tp + fp == 0, F.lit(0.0)).otherwise(tp / (tp + fp).cast("double")), 6
+    )
+    rec = F.round(
+        F.when(tp + fn == 0, F.lit(0.0)).otherwise(tp / (tp + fn).cast("double")), 6
+    )
+    per_class = cells.select(
+        "cls", "tp", "fp", "fn", (tp + fn).alias("support"), prec.alias("prec"), rec.alias("rec")
+    ).transform(managed_persist)
+    pr, rc = F.col("prec"), F.col("rec")
+    f1 = F.round(
+        F.when(pr + rc == 0, F.lit(0.0)).otherwise(2 * pr * rc / (pr + rc)), 6
+    )
+    class_rows = per_class.select(
+        "cls",
+        F.col("support").cast("bigint").alias("support"),
+        pr.alias("precision"),
+        rc.alias("recall"),
+        f1.alias("f1"),
+    )
+    micro_p = F.round(F.sum(tp) / (F.sum(tp) + F.sum(fp)).cast("double"), 6)
+    micro_r = F.round(F.sum(tp) / (F.sum(tp) + F.sum(fn)).cast("double"), 6)
+    micro = per_class.agg(
+        F.sum("support").cast("bigint").alias("support"),
+        micro_p.alias("precision"),
+        micro_r.alias("recall"),
+        micro_p.alias("f1"),
+    ).select(F.lit("__micro__").alias("cls"), "support", "precision", "recall", "f1")
+    macro = per_class.agg(
+        F.sum("support").cast("bigint").alias("support"),
+        F.round(
+            F.sum(pr.cast("decimal(10,6)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("precision"),
+        F.round(
+            F.sum(rc.cast("decimal(10,6)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("recall"),
+        F.round(
+            F.sum(f1.cast("decimal(10,6)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("f1"),
+    ).select(F.lit("__macro__").alias("cls"), "support", "precision", "recall", "f1")
+    return class_rows.unionByName(micro).unionByName(macro)

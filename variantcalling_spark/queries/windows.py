@@ -4218,3 +4218,135 @@ def q323_baum_welch_step(spark, sf_dir):
             F.round(F.col("pi1_sum") / F.col("n_series"), 6).alias("pi_high_new"),
         )
     )
+
+
+@query(
+    "q329_effect_sizes",
+    oracle="""
+WITH s AS MATERIALIZED (
+  SELECT event_type,
+         CASE WHEN ((epoch_ns(ts) // 86400000000000) + 3) % 7 >= 5
+              THEN 1 ELSE 0 END AS wkend,
+         value AS v
+  FROM events
+),
+rk AS (
+  SELECT event_type, wkend,
+         RANK() OVER (PARTITION BY event_type ORDER BY v) AS rmin,
+         COUNT(*) OVER (PARTITION BY event_type, v) AS tc
+  FROM s
+),
+ranksum AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN wkend = 1 THEN 2 * rmin + tc - 1 ELSE 0 END)
+              AS BIGINT) AS two_r1
+  FROM rk GROUP BY event_type
+),
+stats AS (
+  SELECT event_type, wkend,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(CAST(SUM(CAST(v AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6)
+           AS mean,
+         ROUND((CAST(SUM(CAST(v AS DECIMAL(12,2)) * CAST(v AS DECIMAL(12,2)))
+                     AS DOUBLE)
+                - COUNT(*) * ROUND(CAST(SUM(CAST(v AS DECIMAL(12,2)))
+                                        AS DOUBLE) / COUNT(*), 6)
+                           * ROUND(CAST(SUM(CAST(v AS DECIMAL(12,2)))
+                                        AS DOUBLE) / COUNT(*), 6))
+               / (COUNT(*) - 1), 6) AS var
+  FROM s GROUP BY event_type, wkend
+),
+wide AS (
+  SELECT a.event_type,
+         a.n AS n1, a.mean AS m1, a.var AS v1,
+         b.n AS n2, b.mean AS m2, b.var AS v2
+  FROM stats a JOIN stats b
+    ON b.event_type = a.event_type AND a.wkend = 1 AND b.wkend = 0
+)
+SELECT w.event_type, w.n1 AS n_weekend, w.n2 AS n_weekday,
+       ROUND((w.m1 - w.m2)
+             / sqrt(((w.n1 - 1) * w.v1 + (w.n2 - 1) * w.v2)
+                    / (w.n1 + w.n2 - 2)), 6) AS cohens_d,
+       ROUND(((w.m1 - w.m2)
+              / sqrt(((w.n1 - 1) * w.v1 + (w.n2 - 1) * w.v2)
+                     / (w.n1 + w.n2 - 2)))
+             * (1 - 3.0 / (4 * (w.n1 + w.n2) - 9)), 6) AS hedges_g,
+       ROUND((r.two_r1 / 2.0 - w.n1 * (w.n1 + 1) / 2.0)
+             / (CAST(w.n1 AS DOUBLE) * w.n2) * 2 - 1, 6) AS cliffs_delta
+FROM wide w JOIN ranksum r ON r.event_type = w.event_type
+""",
+)
+def q329_effect_sizes(spark, sf_dir):
+    """EFFECT SIZES, weekend vs weekday per series — the MAGNITUDE
+    companion every q293 significance test is supposed to ship with
+    (reporting guidelines: a z-score without an effect size is
+    uninterpretable at scale, where everything is 'significant'):
+    Cohen's d (pooled SD), Hedges' g (small-sample bias correction),
+    and Cliff's delta — derived EXACTLY from q293's integer rank-sum
+    machinery via delta = 2U/(n1 n2) - 1, no second pass over pairs.
+
+    Scale discipline: the same one-pass sufficient statistics and the
+    same rank window as q293; everything downstream is closed-form
+    arithmetic over snapped inputs."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.when(
+            (F.expr("ts_ns DIV 86400000000000") + 3) % 7 >= 5, 1
+        ).otherwise(0).alias("wkend"),
+        F.col("value").alias("v"),
+    ).transform(managed_persist)
+    rk = s.select(
+        "event_type",
+        "wkend",
+        F.rank().over(W.partitionBy("event_type").orderBy("v")).alias("rmin"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type", "v")).alias("tc"),
+    )
+    ranksum = rk.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("wkend") == 1, 2 * F.col("rmin") + F.col("tc") - 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("two_r1")
+    )
+    dv = dec("v")
+    mean_expr = F.round(F.sum(dv).cast("double") / F.count(F.lit(1)), 6)
+    stats = s.groupBy("event_type", "wkend").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        mean_expr.alias("mean"),
+        F.round(
+            (
+                F.sum(dv * dv).cast("double")
+                - F.count(F.lit(1)) * mean_expr * mean_expr
+            )
+            / (F.count(F.lit(1)) - 1),
+            6,
+        ).alias("var"),
+    )
+    a = stats.where(F.col("wkend") == 1).select(
+        "event_type",
+        F.col("n").alias("n1"),
+        F.col("mean").alias("m1"),
+        F.col("var").alias("v1"),
+    )
+    b = stats.where(F.col("wkend") == 0).select(
+        "event_type",
+        F.col("n").alias("n2"),
+        F.col("mean").alias("m2"),
+        F.col("var").alias("v2"),
+    )
+    wide = a.join(b, "event_type")
+    n1, n2 = F.col("n1"), F.col("n2")
+    pooled_sd = F.sqrt(
+        ((n1 - 1) * F.col("v1") + (n2 - 1) * F.col("v2")) / (n1 + n2 - 2)
+    )
+    d = (F.col("m1") - F.col("m2")) / pooled_sd
+    u1 = F.col("two_r1") / 2.0 - n1 * (n1 + 1) / 2.0
+    return wide.join(ranksum, "event_type").select(
+        "event_type",
+        n1.alias("n_weekend"),
+        n2.alias("n_weekday"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(d * (1 - 3.0 / (4 * (n1 + n2) - 9)), 6).alias("hedges_g"),
+        F.round(u1 / (n1.cast("double") * n2) * 2 - 1, 6).alias("cliffs_delta"),
+    )
