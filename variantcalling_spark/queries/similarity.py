@@ -3648,3 +3648,96 @@ def q328_rank_biased_overlap(spark, sf_dir):
             (1 - F.lit(_RBO_P)) * F.sum(term).cast("double"), 6
         ).alias("rbo"),
     )
+
+
+@query(
+    "q330_ecod_outliers",
+    oracle=f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+),
+n AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+cells AS MATERIALIZED (
+  SELECT vec_id, d, v[d + 1] AS x
+  FROM base, unnest(generate_series(0, 63)) AS t(d)
+),
+rk AS (
+  SELECT vec_id, d,
+         RANK() OVER (PARTITION BY d ORDER BY x) AS rmin,
+         COUNT(*) OVER (PARTITION BY d, x) AS tc
+  FROM cells
+),
+terms AS (
+  SELECT vec_id,
+         ROUND(-ln(LEAST(
+           (rmin + tc - 1) / CAST((SELECT n FROM n) AS DOUBLE),
+           ((SELECT n FROM n) - rmin + 1) / CAST((SELECT n FROM n) AS DOUBLE)
+         )), 10) AS term
+  FROM rk
+),
+scored AS (
+  SELECT vec_id,
+         ROUND(CAST(SUM(CAST(term AS DECIMAL(20,10))) AS DOUBLE), 6) AS ecod
+  FROM terms GROUP BY vec_id
+)
+SELECT vec_id, ecod,
+       CAST(ROW_NUMBER() OVER (ORDER BY ecod DESC, vec_id) AS INT) AS rk
+FROM scored QUALIFY rk <= 20
+""",
+)
+def q330_ecod_outliers(spark, sf_dir):
+    """ECOD OUTLIER SCORES (Li 2022 — the parameter-free empirical-CDF
+    outlier detector: a point is anomalous if it sits in the tail of
+    MANY coordinates at once; the DISTRIBUTIONAL complement of q294's
+    density-based LOF and q235's isotropy audit): per dimension, the
+    two-sided empirical tail probability min(F(x), 1-F(x)); score =
+    sum of -ln(tail) over 64 dimensions; top-20 ledger.
+
+    Scale discipline: the corpus explodes to (dimension, value) cells
+    — DIMENSION-bounded fan-out (64x) — and each dimension ranks
+    independently (one window per dim partition; at 100 TB each dim's
+    sort distributes on its own key). Tie-exact CDFs from integer
+    rank+tie-count; tails bounded below by 1/n so ln never sees 0;
+    10-dp terms into DECIMAL sums."""
+    from pyspark.sql import Window as W2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", _quantize(F.col("embedding")).alias("v"))
+    n = base.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cells = base.select(
+        "vec_id", F.posexplode("v").alias("d", "x")
+    )
+    rk = cells.select(
+        "vec_id",
+        F.rank().over(W2.partitionBy("d").orderBy("x")).alias("rmin"),
+        F.count(F.lit(1)).over(W2.partitionBy("d", "x")).alias("tc"),
+    )
+    nn = F.col("n").cast("double")
+    terms = rk.crossJoin(F.broadcast(n)).select(
+        "vec_id",
+        F.round(
+            -F.log(
+                F.least(
+                    (F.col("rmin") + F.col("tc") - 1) / nn,
+                    (F.col("n") - F.col("rmin") + 1) / nn,
+                )
+            ),
+            10,
+        ).alias("term"),
+    )
+    scored = terms.groupBy("vec_id").agg(
+        F.round(
+            F.sum(F.col("term").cast("decimal(20,10)")).cast("double"), 6
+        ).alias("ecod")
+    )
+    top = scored.orderBy(F.col("ecod").desc(), "vec_id").limit(20)
+    return top.select(
+        "vec_id",
+        "ecod",
+        F.row_number()
+        .over(W2.orderBy(F.col("ecod").desc(), "vec_id"))
+        .cast("int")
+        .alias("rk"),
+    )

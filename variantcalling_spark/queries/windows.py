@@ -4350,3 +4350,127 @@ def q329_effect_sizes(spark, sf_dir):
         F.round(d * (1 - 3.0 / (4 * (n1 + n2) - 9)), 6).alias("hedges_g"),
         F.round(u1 / (n1.cast("double") * n2) * 2 - 1, 6).alias("cliffs_delta"),
     )
+
+
+def _conformal_oracle_sql() -> str:
+    from variantcalling_spark.operators.dedup import PORTABLE_HASH_SQL
+
+    ph = PORTABLE_HASH_SQL.format(col="CAST(event_id AS VARCHAR)")
+    return f"""
+WITH labeled AS MATERIALIZED (
+  SELECT event_type, value AS v, ({ph}) % 3 AS fold FROM events
+),
+trainmean AS MATERIALIZED (
+  SELECT event_type,
+         ROUND(CAST(SUM(CAST(v AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6)
+           AS mu
+  FROM labeled WHERE fold = 0 GROUP BY event_type
+),
+cal AS MATERIALIZED (
+  SELECT l.event_type, ROUND(ABS(l.v - t.mu), 6) AS s
+  FROM labeled l JOIN trainmean t ON t.event_type = l.event_type
+  WHERE l.fold = 1
+),
+calrk AS (
+  SELECT event_type, s,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY s, s) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_cal
+  FROM cal
+),
+qhat AS MATERIALIZED (
+  SELECT event_type, CAST(n_cal AS BIGINT) AS n_cal, s AS q_hat
+  FROM calrk
+  WHERE rn = CAST(CEIL(0.9 * (n_cal + 1)) AS BIGINT)
+),
+test AS (
+  SELECT l.event_type,
+         CASE WHEN ROUND(ABS(l.v - t.mu), 6) <= q.q_hat THEN 1 ELSE 0 END AS hit
+  FROM labeled l
+  JOIN trainmean t ON t.event_type = l.event_type
+  JOIN qhat q ON q.event_type = l.event_type
+  WHERE l.fold = 2
+)
+SELECT te.event_type, q.n_cal,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       q.q_hat,
+       ROUND(SUM(hit) / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+FROM test te JOIN qhat q ON q.event_type = te.event_type
+GROUP BY te.event_type, q.n_cal, q.q_hat
+"""
+
+
+@query("q331_conformal_interval", oracle=_conformal_oracle_sql())
+def q331_conformal_interval(spark, sf_dir):
+    """SPLIT CONFORMAL PREDICTION INTERVALS (the distribution-free
+    coverage guarantee modern ML serving wraps around ANY point
+    predictor — here the per-series train-fold mean): calibration
+    scores |y - y_hat| on a held-out fold, q_hat = the
+    ceil(0.9(n+1))-th smallest score (the finite-sample corrected
+    quantile), and the MEASURED coverage on a third fold — the
+    guarantee made an executable number, beside q208's parametric
+    Wilson bands and q246's bootstrap CIs.
+
+    Scale discipline: folds are md5-deterministic (no RNG state);
+    the predictor and scores are one aggregate + one join; q_hat is
+    a rank-pick (the q220 convention) per series; coverage is one
+    conditional aggregate. Everything after the scan is
+    series-domain-bounded except the two linear score passes."""
+    from variantcalling_spark.operators.dedup import portable_string_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    labeled = ev.select(
+        "event_type",
+        F.col("value").alias("v"),
+        (portable_string_hash(F.col("event_id").cast("string")) % 3).alias("fold"),
+    ).transform(managed_persist)
+    trainmean = (
+        labeled.where(F.col("fold") == 0)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum(dec("v")).cast("double") / F.count(F.lit(1)), 6).alias(
+                "mu"
+            )
+        )
+    )
+    cal = (
+        labeled.where(F.col("fold") == 1)
+        .join(F.broadcast(trainmean), "event_type")
+        .select(
+            "event_type", F.round(F.abs(F.col("v") - F.col("mu")), 6).alias("s")
+        )
+    )
+    wcal = W.partitionBy("event_type").orderBy("s", "s")
+    calrk = cal.select(
+        "event_type",
+        "s",
+        F.row_number().over(wcal).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n_cal"),
+    )
+    qhat = calrk.where(
+        F.col("rn") == F.ceil(0.9 * (F.col("n_cal") + 1)).cast("bigint")
+    ).select(
+        "event_type",
+        F.col("n_cal").cast("bigint").alias("n_cal"),
+        F.col("s").alias("q_hat"),
+    )
+    test = (
+        labeled.where(F.col("fold") == 2)
+        .join(F.broadcast(trainmean), "event_type")
+        .join(F.broadcast(qhat), "event_type")
+        .select(
+            "event_type",
+            "n_cal",
+            "q_hat",
+            F.when(
+                F.round(F.abs(F.col("v") - F.col("mu")), 6) <= F.col("q_hat"), 1
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+    )
+    return test.groupBy("event_type", "n_cal", "q_hat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.round(F.sum("hit") / F.count(F.lit(1)).cast("double"), 6).alias(
+            "coverage"
+        ),
+    ).select("event_type", "n_cal", "n_test", "q_hat", "coverage")
