@@ -4474,3 +4474,264 @@ def q331_conformal_interval(spark, sf_dir):
             "coverage"
         ),
     ).select("event_type", "n_cal", "n_test", "q_hat", "coverage")
+
+
+_HILL_K = 100
+
+
+@query(
+    "q332_hill_tail_index",
+    oracle=f"""
+WITH ranked AS (
+  SELECT event_type, value AS v,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events WHERE value > 0
+),
+kth AS MATERIALIZED (
+  SELECT event_type, v AS xk FROM ranked WHERE rn = {_HILL_K} + 1
+),
+topk AS (
+  SELECT r.event_type,
+         ROUND(ln(r.v / k.xk), 10) AS lr
+  FROM ranked r JOIN kth k ON k.event_type = r.event_type
+  WHERE r.rn <= {_HILL_K}
+)
+SELECT t.event_type,
+       CAST({_HILL_K} AS BIGINT) AS k,
+       k.xk AS threshold,
+       ROUND({_HILL_K} / CAST(SUM(CAST(t.lr AS DECIMAL(16,10))) AS DOUBLE), 6)
+         AS hill_alpha,
+       ROUND(CAST(SUM(CAST(t.lr AS DECIMAL(16,10))) AS DOUBLE) / {_HILL_K}, 6)
+         AS mean_log_excess
+FROM topk t JOIN kth k ON k.event_type = t.event_type
+GROUP BY t.event_type, k.xk
+""",
+)
+def q332_hill_tail_index(spark, sf_dir):
+    """HILL TAIL-INDEX ESTIMATOR per metric series (the heavy-tail
+    exponent: alpha = k / sum ln(x_(i)/x_(k+1)) over the top-k order
+    statistics — the number that says whether p99 planning can trust
+    means at all; the continuous-tail complement of q177's Zipf fit
+    and q195's Pareto concentration): alpha, the tail threshold, and
+    the mean log-excess.
+
+    Scale discipline: one descending rank window per series with a
+    deterministic event-id tie-break, top-k+1 rows kept; the estimator
+    is a k-term DECIMAL sum of 10-dp ln ratios — at any corpus size
+    the state past the window is k rows per series."""
+    ev = load_table(spark, sf_dir, "events")
+    ranked = ev.where(F.col("value") > 0).select(
+        "event_type",
+        F.col("value").alias("v"),
+        F.row_number()
+        .over(
+            W.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+        )
+        .alias("rn"),
+    ).transform(managed_persist)
+    kth = ranked.where(F.col("rn") == _HILL_K + 1).select(
+        "event_type", F.col("v").alias("xk")
+    )
+    topk = (
+        ranked.where(F.col("rn") <= _HILL_K)
+        .join(F.broadcast(kth), "event_type")
+        .select(
+            "event_type",
+            "xk",
+            F.round(F.log(F.col("v") / F.col("xk")), 10).alias("lr"),
+        )
+    )
+    return topk.groupBy("event_type", "xk").agg(
+        F.lit(_HILL_K).cast("bigint").alias("k"),
+        F.round(
+            F.lit(_HILL_K)
+            / F.sum(F.col("lr").cast("decimal(16,10)")).cast("double"),
+            6,
+        ).alias("hill_alpha"),
+        F.round(
+            F.sum(F.col("lr").cast("decimal(16,10)")).cast("double") / _HILL_K, 6
+        ).alias("mean_log_excess"),
+    ).select(
+        "event_type",
+        "k",
+        F.col("xk").alias("threshold"),
+        "hill_alpha",
+        "mean_log_excess",
+    )
+
+
+def _shapley_oracle_sql() -> str:
+    # v(S) per grouping-set from ONE CUBE pass; gid bit 0 = feature grouped
+    v = "ROUND((ssb - s * s / CAST(n AS DOUBLE)) / (s - s * s / CAST(n AS DOUBLE)), 8)"
+    return f"""
+WITH med AS MATERIALIZED (
+  SELECT v AS median FROM (
+    SELECT value AS v,
+           ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER () AS n
+    FROM events
+  ) WHERE rn = (n + 1) // 2
+),
+base AS MATERIALIZED (
+  SELECT CASE WHEN ((epoch_ns(ts) // 86400000000000) + 3) % 7 >= 5
+              THEN 1 ELSE 0 END AS f_weekend,
+         CASE WHEN (epoch_ns(ts) // 3600000000000) % 24 < 6
+              THEN 1 ELSE 0 END AS f_night,
+         CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END
+           AS f_conversion,
+         CASE WHEN value > (SELECT median FROM med) THEN 1 ELSE 0 END AS y
+  FROM events
+),
+tot AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s FROM base
+),
+cube_cells AS MATERIALIZED (
+  SELECT GROUPING(f_weekend) * 4 + GROUPING(f_night) * 2
+           + GROUPING(f_conversion) AS gid,
+         CAST(COUNT(*) AS BIGINT) AS n_c,
+         CAST(SUM(y) AS BIGINT) AS s_c
+  FROM base
+  GROUP BY CUBE (f_weekend, f_night, f_conversion)
+),
+vs AS MATERIALIZED (
+  SELECT c.gid,
+         CAST(SUM(CAST(ROUND(c.s_c * c.s_c / CAST(c.n_c AS DOUBLE), 8)
+                       AS DECIMAL(24,8))) AS DOUBLE) AS ssb
+  FROM cube_cells c GROUP BY c.gid
+),
+vrow AS MATERIALIZED (
+  SELECT
+    MAX(CASE WHEN gid = 7 THEN vv END) AS v_none,
+    MAX(CASE WHEN gid = 3 THEN vv END) AS v_w,
+    MAX(CASE WHEN gid = 5 THEN vv END) AS v_n,
+    MAX(CASE WHEN gid = 6 THEN vv END) AS v_c,
+    MAX(CASE WHEN gid = 1 THEN vv END) AS v_wn,
+    MAX(CASE WHEN gid = 2 THEN vv END) AS v_wc,
+    MAX(CASE WHEN gid = 4 THEN vv END) AS v_nc,
+    MAX(CASE WHEN gid = 0 THEN vv END) AS v_wnc
+  FROM (
+    SELECT gid, {v} AS vv
+    FROM vs CROSS JOIN tot
+  )
+)
+SELECT feature, v_alone, shapley_phi, v_full FROM (
+  SELECT 'weekend' AS feature, v_w AS v_alone,
+         ROUND((2 * (v_w - v_none) + (v_wn - v_n) + (v_wc - v_c)
+                + 2 * (v_wnc - v_nc)) / 6.0, 6) AS shapley_phi,
+         ROUND(v_wnc, 6) AS v_full
+  FROM vrow
+  UNION ALL
+  SELECT 'night', v_n,
+         ROUND((2 * (v_n - v_none) + (v_wn - v_w) + (v_nc - v_c)
+                + 2 * (v_wnc - v_wc)) / 6.0, 6),
+         ROUND(v_wnc, 6)
+  FROM vrow
+  UNION ALL
+  SELECT 'conversion', v_c,
+         ROUND((2 * (v_c - v_none) + (v_wc - v_w) + (v_nc - v_n)
+                + 2 * (v_wnc - v_wn)) / 6.0, 6),
+         ROUND(v_wnc, 6)
+  FROM vrow
+)
+"""
+
+
+@query("q333_shapley_importance", oracle=_shapley_oracle_sql())
+def q333_shapley_importance(spark, sf_dir):
+    """EXACT SHAPLEY FEATURE IMPORTANCE over three binary features
+    (weekend / night / conversion-type) for 'is this a high-value
+    event' — the explainability slot, computed EXACTLY (all 2^3
+    coalitions, no sampling): the characteristic function v(S) is the
+    variance explained (eta^2) of the label by grouping on S, so each
+    coalition is a grouped aggregate, and ONE CUBE pass delivers all
+    eight. Efficiency holds by construction: the three phis sum to
+    v(full) - v(empty) = v(full), since v(empty) = 0.
+
+    Scale discipline: the whole game is ONE cube aggregate over the
+    corpus (8 grouping sets, map-side-combinable, <= 27 cells) plus
+    arithmetic over an 8-value row; the explicit GROUPING-bit mask is
+    computed identically on both engines rather than trusting
+    grouping_id bit order. Per-cell terms snap at 8 into DECIMAL
+    sums."""
+    ev = load_table(spark, sf_dir, "events")
+    med = (
+        ev.select(
+            F.col("value").alias("v"),
+            F.row_number().over(W.orderBy("value", "event_id")).alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select(F.col("v").alias("median"))
+    )
+    base = ev.crossJoin(F.broadcast(med)).select(
+        F.when((F.expr("ts_ns DIV 86400000000000") + 3) % 7 >= 5, 1)
+        .otherwise(0)
+        .alias("f_weekend"),
+        F.when(F.expr("ts_ns DIV 3600000000000") % 24 < 6, 1)
+        .otherwise(0)
+        .alias("f_night"),
+        F.when(F.col("event_type").isin("purchase", "signup"), 1)
+        .otherwise(0)
+        .alias("f_conversion"),
+        F.when(F.col("value") > F.col("median"), 1).otherwise(0).alias("y"),
+    ).transform(managed_persist)
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+    )
+    cube_cells = base.cube("f_weekend", "f_night", "f_conversion").agg(
+        (
+            F.grouping("f_weekend") * 4
+            + F.grouping("f_night") * 2
+            + F.grouping("f_conversion")
+        ).alias("gid"),
+        F.count(F.lit(1)).cast("bigint").alias("n_c"),
+        F.sum("y").cast("bigint").alias("s_c"),
+    ).select("gid", "n_c", "s_c")
+    vs = cube_cells.groupBy("gid").agg(
+        F.sum(
+            F.round(F.col("s_c") * F.col("s_c") / F.col("n_c").cast("double"), 8)
+            .cast("decimal(24,8)")
+        )
+        .cast("double")
+        .alias("ssb")
+    )
+    vv = F.round(
+        (F.col("ssb") - F.col("s") * F.col("s") / F.col("n").cast("double"))
+        / (F.col("s") - F.col("s") * F.col("s") / F.col("n").cast("double")),
+        8,
+    )
+    vtab = vs.crossJoin(F.broadcast(tot)).select("gid", vv.alias("vv"))
+    vrow = vtab.agg(
+        *[
+            F.max(F.when(F.col("gid") == g, F.col("vv"))).alias(name)
+            for g, name in [
+                (7, "v_none"),
+                (3, "v_w"),
+                (5, "v_n"),
+                (6, "v_c"),
+                (1, "v_wn"),
+                (2, "v_wc"),
+                (4, "v_nc"),
+                (0, "v_wnc"),
+            ]
+        ]
+    ).transform(managed_persist)
+    vn, vw, vni, vc = F.col("v_none"), F.col("v_w"), F.col("v_n"), F.col("v_c")
+    vwn, vwc, vnc, vf = F.col("v_wn"), F.col("v_wc"), F.col("v_nc"), F.col("v_wnc")
+    rows = [
+        ("weekend", vw, F.round((2 * (vw - vn) + (vwn - vni) + (vwc - vc) + 2 * (vf - vnc)) / 6.0, 6)),
+        ("night", vni, F.round((2 * (vni - vn) + (vwn - vw) + (vnc - vc) + 2 * (vf - vwc)) / 6.0, 6)),
+        ("conversion", vc, F.round((2 * (vc - vn) + (vwc - vw) + (vnc - vni) + 2 * (vf - vwn)) / 6.0, 6)),
+    ]
+    out = None
+    for name, alone, phi in rows:
+        r = vrow.select(
+            F.lit(name).alias("feature"),
+            alone.alias("v_alone"),
+            phi.alias("shapley_phi"),
+            F.round(vf, 6).alias("v_full"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
