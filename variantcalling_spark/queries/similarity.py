@@ -2701,7 +2701,10 @@ reach AS (
 ),
 lrd AS (
   SELECT r.vec_id AS node,
-         ROUND(k.nk / CAST(SUM(CAST(r.rd AS DECIMAL(20,12))) AS DOUBLE), 9) AS lrd
+         CASE WHEN CAST(SUM(CAST(r.rd AS DECIMAL(20,12))) AS DOUBLE) > 0
+              THEN ROUND(k.nk / CAST(SUM(CAST(r.rd AS DECIMAL(20,12)))
+                                     AS DOUBLE), 9)
+              ELSE 1.0e12 END AS lrd
   FROM reach r JOIN kdist k ON k.node = r.vec_id
   GROUP BY r.vec_id, k.nk
 ),
@@ -2709,7 +2712,7 @@ lof AS (
   SELECT e.vec_id,
          k.nk,
          lp.lrd AS lrd_p,
-         ROUND(CAST(SUM(CAST(lo.lrd AS DECIMAL(16,9))) AS DOUBLE)
+         ROUND(CAST(SUM(CAST(lo.lrd AS DECIMAL(26,9))) AS DOUBLE)
                / k.nk / lp.lrd, 6) AS lof
   FROM edges e
   JOIN kdist k ON k.node = e.vec_id
@@ -2767,7 +2770,13 @@ def q294_lof_outliers(spark, sf_dir):
         .join(F.broadcast(kdist.select(F.col("node").alias("vec_id"), "nk")), "vec_id")
         .select(
             F.col("vec_id").alias("node"),
-            F.round(F.col("nk") / F.col("srd"), 9).alias("lrd"),
+            # exact-duplicate cores have srd = 0 (all reach-dists 0);
+            # lrd is +inf in the LOF literature — pinned to the 1e12
+            # sentinel on BOTH engines so 10x replica corpora (which
+            # contain exact copies) stay crash-free and deterministic
+            F.when(
+                F.col("srd") > 0, F.round(F.col("nk") / F.col("srd"), 9)
+            ).otherwise(F.lit(1.0e12)).alias("lrd"),
         )
         .transform(managed_persist)
     )
@@ -2777,7 +2786,7 @@ def q294_lof_outliers(spark, sf_dir):
             "neighbor_id",
         )
         .groupBy("vec_id")
-        .agg(F.sum(F.col("lrd_o").cast("decimal(16,9)")).cast("double").alias("slrd"))
+        .agg(F.sum(F.col("lrd_o").cast("decimal(26,9)")).cast("double").alias("slrd"))
         .join(F.broadcast(kdist.select(F.col("node").alias("vec_id"), "nk")), "vec_id")
         .join(F.broadcast(lrd.select(F.col("node").alias("vec_id"), F.col("lrd").alias("lrd_p"))), "vec_id")
         .select(

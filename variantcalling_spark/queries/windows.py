@@ -4735,3 +4735,331 @@ def q333_shapley_importance(spark, sf_dir):
         )
         out = r if out is None else out.unionByName(r)
     return out
+
+
+_MP_W = 5  # matrix-profile subsequence length (days)
+
+
+@query(
+    "q334_matrix_profile",
+    oracle=f"""
+WITH daily AS MATERIALIZED (
+  SELECT event_type,
+         epoch_ns(ts) // 86400000000000 AS day,
+         CAST(ROUND(ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                          / COUNT(*), 6) * 1000000) AS BIGINT) AS mi
+  FROM events GROUP BY event_type, day
+),
+rel AS MATERIALIZED (
+  SELECT event_type, mi,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+win AS MATERIALIZED (
+  SELECT event_type, rn AS i FROM rel WHERE rn <= n - {_MP_W} + 1
+),
+pairs AS MATERIALIZED (
+  SELECT a.event_type, a.i, b.i AS j
+  FROM win a JOIN win b
+    ON b.event_type = a.event_type AND b.i >= a.i + {_MP_W}
+),
+dists AS MATERIALIZED (
+  SELECT p.event_type, p.i, p.j,
+         CAST(SUM((ra.mi - rb.mi) * (ra.mi - rb.mi)) AS BIGINT) AS d2
+  FROM pairs p
+  CROSS JOIN (SELECT unnest(generate_series(0, {_MP_W - 1})) AS o) os
+  JOIN rel ra ON ra.event_type = p.event_type AND ra.rn = p.i + os.o
+  JOIN rel rb ON rb.event_type = p.event_type AND rb.rn = p.j + os.o
+  GROUP BY p.event_type, p.i, p.j
+),
+sym AS MATERIALIZED (
+  SELECT event_type, i, j, d2 FROM dists
+  UNION ALL
+  SELECT event_type, j AS i, i AS j, d2 FROM dists
+),
+profile AS MATERIALIZED (
+  SELECT event_type, i, mp, nn FROM (
+    SELECT event_type, i, d2 AS mp, j AS nn,
+           ROW_NUMBER() OVER (PARTITION BY event_type, i
+                              ORDER BY d2, j) AS rk
+    FROM sym
+  ) WHERE rk = 1
+)
+SELECT event_type,
+       CAST(MAX(CASE WHEN rk_motif = 1 THEN i END) AS BIGINT) AS motif_i,
+       CAST(MAX(CASE WHEN rk_motif = 1 THEN nn END) AS BIGINT) AS motif_j,
+       ROUND(MAX(CASE WHEN rk_motif = 1 THEN mp END) / 1e12, 6) AS motif_d2,
+       CAST(MAX(CASE WHEN rk_disc = 1 THEN i END) AS BIGINT) AS discord_i,
+       ROUND(MAX(CASE WHEN rk_disc = 1 THEN mp END) / 1e12, 6) AS discord_d2
+FROM (
+  SELECT event_type, i, nn, mp,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY mp, i) AS rk_motif,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY mp DESC, i) AS rk_disc
+  FROM profile
+) GROUP BY event_type
+""",
+)
+def q334_matrix_profile(spark, sf_dir):
+    """EXACT MATRIX PROFILE summary per metric series (Yeh 2016 — the
+    all-pairs-subsequence similarity structure behind motif discovery
+    and discord/anomaly detection in time series; the SUBSEQUENCE
+    complement of q307's whole-series DTW): per 5-day window, distance
+    to its nearest non-overlapping neighbor; the MOTIF (globally
+    closest pair) and the DISCORD (window farthest from everything).
+
+    Scale discipline: windows live on CALENDAR-BOUNDED daily grids
+    (26 windows/series at 30 days) quantized to integer micro-units,
+    so all distances are exact BIGINTs; the pair table is
+    series-bounded (exclusion zone |i-j| >= w applied in the join
+    predicate) and distance assembly is an offset-spine equi-join —
+    no arrays, no kernels. Argmin/argmax with full index
+    tie-breaks."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_ns DIV 86400000000000").alias("day")
+    ).agg(
+        F.expr(
+            "CAST(ROUND(ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)"
+            " / COUNT(*), 6) * 1000000) AS BIGINT)"
+        ).alias("mi")
+    )
+    rel = daily.select(
+        "event_type",
+        "mi",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("day"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    ).transform(managed_persist)
+    win = rel.where(F.col("rn") <= F.col("n") - (_MP_W - 1)).select(
+        "event_type", F.col("rn").alias("i")
+    )
+    pairs = win.join(
+        win.select("event_type", F.col("i").alias("j")), "event_type"
+    ).where(F.col("j") >= F.col("i") + _MP_W)
+    os_ = spark.range(0, _MP_W).select(F.col("id").alias("o"))
+    dists = (
+        pairs.crossJoin(F.broadcast(os_))
+        .withColumn("rna", F.col("i") + F.col("o"))
+        .withColumn("rnb", F.col("j") + F.col("o"))
+        .join(
+            rel.select("event_type", F.col("rn").alias("rna"), F.col("mi").alias("ma")),
+            ["event_type", "rna"],
+        )
+        .join(
+            rel.select("event_type", F.col("rn").alias("rnb"), F.col("mi").alias("mb")),
+            ["event_type", "rnb"],
+        )
+        .groupBy("event_type", "i", "j")
+        .agg(
+            F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")))
+            .cast("bigint")
+            .alias("d2")
+        )
+    )
+    sym = dists.unionByName(
+        dists.select(
+            "event_type", F.col("j").alias("i"), F.col("i").alias("j"), "d2"
+        )
+    )
+    profile = (
+        sym.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("event_type", "i").orderBy("d2", "j")
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("event_type", "i", F.col("d2").alias("mp"), F.col("j").alias("nn"))
+    )
+    ranked = profile.select(
+        "event_type",
+        "i",
+        "nn",
+        "mp",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("mp", "i"))
+        .alias("rk_motif"),
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy(F.col("mp").desc(), "i"))
+        .alias("rk_disc"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rk_motif") == 1, F.col("i"))).cast("bigint").alias("motif_i"),
+        F.max(F.when(F.col("rk_motif") == 1, F.col("nn"))).cast("bigint").alias("motif_j"),
+        F.round(
+            F.max(F.when(F.col("rk_motif") == 1, F.col("mp"))) / F.lit(1e12), 6
+        ).alias("motif_d2"),
+        F.max(F.when(F.col("rk_disc") == 1, F.col("i"))).cast("bigint").alias("discord_i"),
+        F.round(
+            F.max(F.when(F.col("rk_disc") == 1, F.col("mp"))) / F.lit(1e12), 6
+        ).alias("discord_d2"),
+    )
+
+
+@query(
+    "q335_binseg_changepoints",
+    oracle="""
+WITH daily AS MATERIALIZED (
+  SELECT event_type,
+         epoch_ns(ts) // 86400000000000 AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, day
+),
+rel AS MATERIALIZED (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         SUM(cents) OVER (PARTITION BY event_type ORDER BY day) AS cum,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(cents) OVER (PARTITION BY event_type) AS tot
+  FROM daily
+),
+cp1 AS MATERIALIZED (
+  SELECT event_type, t AS c1, cum AS cum1, n, tot FROM (
+    SELECT event_type, t, cum, n, tot,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+             ORDER BY ABS(n * cum - t * tot) DESC, t) AS rk
+    FROM rel WHERE t < n
+  ) WHERE rk = 1
+),
+leftseg AS (
+  SELECT r.event_type, r.t,
+         ABS(c.c1 * r.cum - r.t * c.cum1) AS score
+  FROM rel r JOIN cp1 c ON c.event_type = r.event_type
+  WHERE r.t < c.c1
+),
+cpl AS MATERIALIZED (
+  SELECT event_type, t AS c_left FROM (
+    SELECT event_type, t,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+             ORDER BY score DESC, t) AS rk
+    FROM leftseg
+  ) WHERE rk = 1
+),
+rightseg AS (
+  SELECT r.event_type, r.t,
+         ABS((c.n - c.c1) * (r.cum - c.cum1)
+             - (r.t - c.c1) * (c.tot - c.cum1)) AS score
+  FROM rel r JOIN cp1 c ON c.event_type = r.event_type
+  WHERE r.t > c.c1 AND r.t < c.n
+),
+cpr AS MATERIALIZED (
+  SELECT event_type, t AS c_right FROM (
+    SELECT event_type, t,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+             ORDER BY score DESC, t) AS rk
+    FROM rightseg
+  ) WHERE rk = 1
+)
+SELECT c.event_type, CAST(c.n AS BIGINT) AS n_days,
+       CAST(l.c_left AS BIGINT) AS cp_left,
+       CAST(c.c1 AS BIGINT) AS cp_main,
+       CAST(r.c_right AS BIGINT) AS cp_right
+FROM cp1 c
+JOIN cpl l ON l.event_type = c.event_type
+JOIN cpr r ON r.event_type = c.event_type
+""",
+)
+def q335_binseg_changepoints(spark, sf_dir):
+    """BINARY-SEGMENTATION CHANGEPOINTS per daily revenue series — the
+    MULTIPLE-changepoint extension of q283's single CUSUM estimator
+    (the ruptures/binseg recursion, depth 2 = up to three regimes):
+    find the global CUSUM argmax, then recurse into each side with the
+    segment's OWN totals.
+
+    Scale discipline: INTEGER-EXACT throughout — scores are
+    |len * cum - t * total| with the mean never divided out (q197's
+    clearing trick), segment scores re-derived from the global prefix
+    sums by subtraction (no per-segment rescan of the raw stream); one
+    window pass + two segment-bounded joins; full index tie-breaks
+    make every argmax engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_ns DIV 86400000000000").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w_ord = W.partitionBy("event_type").orderBy("day")
+    w_all = W.partitionBy("event_type")
+    rel = daily.select(
+        "event_type",
+        F.row_number().over(w_ord).alias("t"),
+        F.sum("cents")
+        .over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("cents").over(w_all).alias("tot"),
+    ).transform(managed_persist)
+    cp1 = (
+        rel.where(F.col("t") < F.col("n"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy(
+                    F.abs(
+                        F.col("n") * F.col("cum") - F.col("t") * F.col("tot")
+                    ).desc(),
+                    "t",
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("t").alias("c1"),
+            F.col("cum").alias("cum1"),
+            "n",
+            "tot",
+        )
+        .transform(managed_persist)
+    )
+    base = rel.select("event_type", "t", "cum").join(F.broadcast(cp1), "event_type")
+    cpl = (
+        base.where(F.col("t") < F.col("c1"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy(
+                    F.abs(
+                        F.col("c1") * F.col("cum") - F.col("t") * F.col("cum1")
+                    ).desc(),
+                    "t",
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("event_type", F.col("t").alias("c_left"))
+    )
+    cpr = (
+        base.where((F.col("t") > F.col("c1")) & (F.col("t") < F.col("n")))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy(
+                    F.abs(
+                        (F.col("n") - F.col("c1")) * (F.col("cum") - F.col("cum1"))
+                        - (F.col("t") - F.col("c1"))
+                        * (F.col("tot") - F.col("cum1"))
+                    ).desc(),
+                    "t",
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("event_type", F.col("t").alias("c_right"))
+    )
+    return (
+        cp1.join(cpl, "event_type")
+        .join(cpr, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.col("c_left").cast("bigint").alias("cp_left"),
+            F.col("c1").cast("bigint").alias("cp_main"),
+            F.col("c_right").cast("bigint").alias("cp_right"),
+        )
+    )
