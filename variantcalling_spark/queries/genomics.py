@@ -3666,3 +3666,231 @@ def q326_coverage_titration(spark, sf_dir):
         "callable_bases",
         "mean_depth",
     )
+
+
+_GENES_SQL = """
+  SELECT p_partkey AS gene_id,
+         concat('c', CAST(p_partkey % 4 AS VARCHAR)) AS chrom,
+         (p_partkey * 31) % 50000 AS gstart,
+         (p_partkey * 31) % 50000 + 500 + (p_partkey % 5) * 300 AS gend
+  FROM part WHERE p_partkey % 50 = 0
+"""
+
+_VARS_SQL = """
+  SELECT l_orderkey * 10 + l_linenumber AS var_id,
+         concat('c', CAST(l_orderkey % 4 AS VARCHAR)) AS chrom,
+         (l_orderkey * 13 + l_linenumber * 7) % 50000 AS pos,
+         (l_partkey % 7) - 3 AS indel_delta
+  FROM lineitem WHERE l_linenumber % 3 = 0
+"""
+
+
+@query(
+    "q336_consequence_classes",
+    oracle=f"""
+WITH genes AS MATERIALIZED ({_GENES_SQL}),
+vars AS MATERIALIZED ({_VARS_SQL}),
+hit AS MATERIALIZED (
+  SELECT v.var_id, v.chrom, v.pos, v.indel_delta, g.gene_id, g.gstart, g.gend
+  FROM vars v JOIN genes g
+    ON g.chrom = v.chrom AND v.pos >= g.gstart AND v.pos < g.gend
+),
+best AS MATERIALIZED (
+  SELECT var_id, chrom, pos, indel_delta, gstart, gend FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY var_id ORDER BY gene_id) AS rk
+    FROM hit
+  ) WHERE rk = 1
+),
+classified AS (
+  SELECT v.chrom,
+         CASE
+           WHEN b.var_id IS NULL THEN 'intergenic'
+           WHEN v.pos < b.gstart + (b.gend - b.gstart) // 5
+                OR v.pos >= b.gend - (b.gend - b.gstart) // 5 THEN 'utr'
+           WHEN v.indel_delta = 0 THEN 'coding_snv'
+           WHEN v.indel_delta % 3 = 0 THEN 'inframe_indel'
+           ELSE 'frameshift'
+         END AS consequence
+  FROM vars v LEFT JOIN best b ON b.var_id = v.var_id
+)
+SELECT chrom, consequence, CAST(COUNT(*) AS BIGINT) AS n
+FROM classified GROUP BY chrom, consequence
+""",
+)
+def q336_consequence_classes(spark, sf_dir):
+    """VARIANT CONSEQUENCE CLASSIFICATION (the VEP/SnpEff triage
+    shape: intergenic / UTR / coding SNV / in-frame indel /
+    frameshift): variants annotate against a broadcast gene model —
+    inner 60% of each gene is CDS, the flanks UTR — with frame
+    arithmetic (delta % 3) deciding frameshift vs in-frame, and a
+    deterministic smallest-gene-id pick for overlapping genes.
+
+    Scale discipline: the gene model is dimension-sized and
+    BROADCASTS (the annotation-transfer shape of q23); the variant
+    stream joins once on (chrom, range) and classification is pure
+    arithmetic; output is (contig x consequence)-bounded. The
+    reference reaches for external annotators here — the triage
+    CLASSES and their counts are what its QC reports consume."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    genes = part.where(F.col("p_partkey") % 50 == 0).select(
+        F.col("p_partkey").alias("gene_id"),
+        F.concat(F.lit("c"), (F.col("p_partkey") % 4).cast("string")).alias("chrom"),
+        ((F.col("p_partkey") * 31) % 50000).alias("gstart"),
+        (
+            (F.col("p_partkey") * 31) % 50000
+            + 500
+            + (F.col("p_partkey") % 5) * 300
+        ).alias("gend"),
+    )
+    vars_ = li.where(F.col("l_linenumber") % 3 == 0).select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("var_id"),
+        F.concat(F.lit("c"), (F.col("l_orderkey") % 4).cast("string")).alias("chrom"),
+        ((F.col("l_orderkey") * 13 + F.col("l_linenumber") * 7) % 50000).alias("pos"),
+        ((F.col("l_partkey") % 7) - 3).alias("indel_delta"),
+    )
+    hit = vars_.join(
+        F.broadcast(genes),
+        (genes.chrom == vars_.chrom)
+        & (vars_.pos >= F.col("gstart"))
+        & (vars_.pos < F.col("gend")),
+    ).select(
+        "var_id", "gene_id", "gstart", "gend"
+    )
+    from pyspark.sql import Window as W
+
+    best = (
+        hit.withColumn(
+            "rk", F.row_number().over(W.partitionBy("var_id").orderBy("gene_id"))
+        )
+        .where(F.col("rk") == 1)
+        .select("var_id", "gstart", "gend")
+    )
+    fifth = F.expr("(gend - gstart) DIV 5")
+    classified = vars_.join(best, "var_id", "left").select(
+        "chrom",
+        F.when(F.col("gstart").isNull(), "intergenic")
+        .when(
+            (F.col("pos") < F.col("gstart") + fifth)
+            | (F.col("pos") >= F.col("gend") - fifth),
+            "utr",
+        )
+        .when(F.col("indel_delta") == 0, "coding_snv")
+        .when(F.col("indel_delta") % 3 == 0, "inframe_indel")
+        .otherwise("frameshift")
+        .alias("consequence"),
+    )
+    return classified.groupBy("chrom", "consequence").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+_CHROM_LEN = 50000
+_SLOP_B = 250
+_FLANK_W = 100
+_SHIFT_S = 400
+
+
+@query(
+    "q337_interval_slop_flank",
+    oracle=f"""
+WITH genes AS MATERIALIZED ({_GENES_SQL}),
+slop AS (
+  SELECT 'slop' AS op,
+         GREATEST(0, gstart - {_SLOP_B}) AS s,
+         LEAST({_CHROM_LEN}, gend + {_SLOP_B}) AS e,
+         CASE WHEN gstart - {_SLOP_B} < 0
+                OR gend + {_SLOP_B} > {_CHROM_LEN} THEN 1 ELSE 0 END AS clamped
+  FROM genes
+),
+flank_l AS (
+  SELECT 'flank_left' AS op,
+         GREATEST(0, gstart - {_FLANK_W}) AS s,
+         gstart AS e,
+         CASE WHEN gstart - {_FLANK_W} < 0 THEN 1 ELSE 0 END AS clamped
+  FROM genes
+),
+flank_r AS (
+  SELECT 'flank_right' AS op,
+         gend AS s,
+         LEAST({_CHROM_LEN}, gend + {_FLANK_W}) AS e,
+         CASE WHEN gend + {_FLANK_W} > {_CHROM_LEN} THEN 1 ELSE 0 END AS clamped
+  FROM genes
+),
+shifted AS (
+  SELECT 'shift' AS op,
+         LEAST({_CHROM_LEN}, gstart + {_SHIFT_S}) AS s,
+         LEAST({_CHROM_LEN}, gend + {_SHIFT_S}) AS e,
+         CASE WHEN gend + {_SHIFT_S} > {_CHROM_LEN} THEN 1 ELSE 0 END AS clamped
+  FROM genes
+),
+u AS (
+  SELECT * FROM slop UNION ALL SELECT * FROM flank_l
+  UNION ALL SELECT * FROM flank_r UNION ALL SELECT * FROM shifted
+)
+SELECT op,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(e - s) AS BIGINT) AS total_bases,
+       CAST(SUM(clamped) AS BIGINT) AS n_clamped,
+       CAST(SUM(CASE WHEN e <= s THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+FROM u GROUP BY op
+""",
+)
+def q337_interval_slop_flank(spark, sf_dir):
+    """INTERVAL SLOP / FLANK / SHIFT with chromosome-bounds clamping
+    (bedtools slop/flank/shift parity — the interval-ARITHMETIC
+    complement of the set operations already covered: merge q42,
+    intersect q33, subtract q32, closest q38, complement q39,
+    map q96): widen by +-250, take 100-bp flanks on each side, shift
+    +400, all clamped to [0, chrom_len], with clamp and
+    emptied-interval audits per op.
+
+    Scale discipline: four pure projections over the interval table
+    unioned and reduced by one aggregate — zero joins, zero windows;
+    the audits make the boundary behavior (the part bedtools users
+    actually get wrong) an asserted number rather than a comment."""
+    part = load_table(spark, sf_dir, "part")
+    genes = part.where(F.col("p_partkey") % 50 == 0).select(
+        F.concat(F.lit("c"), (F.col("p_partkey") % 4).cast("string")).alias("chrom"),
+        ((F.col("p_partkey") * 31) % 50000).alias("gstart"),
+        (
+            (F.col("p_partkey") * 31) % 50000
+            + 500
+            + (F.col("p_partkey") % 5) * 300
+        ).alias("gend"),
+    ).transform(managed_persist)
+    gs, ge = F.col("gstart"), F.col("gend")
+    L, B, Wd, S = _CHROM_LEN, _SLOP_B, _FLANK_W, _SHIFT_S
+    slop = genes.select(
+        F.lit("slop").alias("op"),
+        F.greatest(F.lit(0), gs - B).alias("s"),
+        F.least(F.lit(L), ge + B).alias("e"),
+        F.when((gs - B < 0) | (ge + B > L), 1).otherwise(0).alias("clamped"),
+    )
+    flank_l = genes.select(
+        F.lit("flank_left").alias("op"),
+        F.greatest(F.lit(0), gs - Wd).alias("s"),
+        gs.alias("e"),
+        F.when(gs - Wd < 0, 1).otherwise(0).alias("clamped"),
+    )
+    flank_r = genes.select(
+        F.lit("flank_right").alias("op"),
+        ge.alias("s"),
+        F.least(F.lit(L), ge + Wd).alias("e"),
+        F.when(ge + Wd > L, 1).otherwise(0).alias("clamped"),
+    )
+    shifted = genes.select(
+        F.lit("shift").alias("op"),
+        F.least(F.lit(L), gs + S).alias("s"),
+        F.least(F.lit(L), ge + S).alias("e"),
+        F.when(ge + S > L, 1).otherwise(0).alias("clamped"),
+    )
+    u = slop.unionByName(flank_l).unionByName(flank_r).unionByName(shifted)
+    return u.groupBy("op").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum(F.col("e") - F.col("s")).cast("bigint").alias("total_bases"),
+        F.sum("clamped").cast("bigint").alias("n_clamped"),
+        F.sum(F.when(F.col("e") <= F.col("s"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_empty"),
+    )
