@@ -3894,3 +3894,223 @@ def q337_interval_slop_flank(spark, sf_dir):
         .cast("bigint")
         .alias("n_empty"),
     )
+
+
+@query(
+    "q338_per_cycle_content",
+    oracle=f"""
+WITH dna AS ({SQL_DOCS_DNA}),
+cells AS (
+  SELECT pos AS cycle, substr(seq, pos, 1) AS base
+  FROM (SELECT seq, length(seq) AS n FROM dna WHERE length(seq) >= 1) d,
+       unnest(generate_series(1, d.n)) AS t(pos)
+),
+counts AS (
+  SELECT cycle,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN base = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN base = 'C' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN base = 'G' THEN 1 ELSE 0 END) AS BIGINT) AS g,
+         CAST(SUM(CASE WHEN base = 'T' THEN 1 ELSE 0 END) AS BIGINT) AS t
+  FROM cells GROUP BY cycle
+)
+SELECT CAST(cycle AS BIGINT) AS cycle, n,
+       ROUND(a / CAST(n AS DOUBLE), 6) AS frac_a,
+       ROUND(c / CAST(n AS DOUBLE), 6) AS frac_c,
+       ROUND(g / CAST(n AS DOUBLE), 6) AS frac_g,
+       ROUND(t / CAST(n AS DOUBLE), 6) AS frac_t,
+       ROUND((g + c) / CAST(n AS DOUBLE), 6) AS frac_gc,
+       CASE WHEN GREATEST(a, c, g, t) - LEAST(a, c, g, t)
+                 > CAST(0.2 * n AS BIGINT) THEN 1 ELSE 0 END AS warn_bias
+FROM counts
+""",
+)
+def q338_per_cycle_content(spark, sf_dir):
+    """PER-CYCLE BASE CONTENT (FastQC 'per base sequence content' —
+    the composition sibling of q233's per-cycle QUALITY panel: primer
+    or adapter contamination shows up as position-dependent base bias,
+    flagged when the max-min base-count spread exceeds 20% of the
+    cycle's reads): A/C/G/T/GC fractions per cycle with the FastQC
+    warn flag.
+
+    Scale discipline: one posexplode over the read-length-bounded
+    cycle axis, one 5-counter map-side-combinable aggregate; output is
+    cycle-bounded. The warn flag compares exact integer counts
+    (0.2 * n floored to BIGINT on both engines), never rounded
+    fractions."""
+    dna = docs_as_dna(spark, sf_dir).where(F.length("seq") >= 1)
+    cells = dna.select(
+        F.posexplode(F.split(F.col("seq"), "(?!^)(?=.)")).alias("p", "base")
+    ).select((F.col("p") + 1).alias("cycle"), "base")
+    counts = cells.groupBy("cycle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("base") == "A", 1).otherwise(0)).cast("bigint").alias("a"),
+        F.sum(F.when(F.col("base") == "C", 1).otherwise(0)).cast("bigint").alias("c"),
+        F.sum(F.when(F.col("base") == "G", 1).otherwise(0)).cast("bigint").alias("g"),
+        F.sum(F.when(F.col("base") == "T", 1).otherwise(0)).cast("bigint").alias("t"),
+    )
+    n = F.col("n").cast("double")
+    return counts.select(
+        F.col("cycle").cast("bigint").alias("cycle"),
+        "n",
+        F.round(F.col("a") / n, 6).alias("frac_a"),
+        F.round(F.col("c") / n, 6).alias("frac_c"),
+        F.round(F.col("g") / n, 6).alias("frac_g"),
+        F.round(F.col("t") / n, 6).alias("frac_t"),
+        F.round((F.col("g") + F.col("c")) / n, 6).alias("frac_gc"),
+        F.when(
+            F.greatest("a", "c", "g", "t") - F.least("a", "c", "g", "t")
+            > (F.lit(0.2) * F.col("n")).cast("bigint"),
+            1,
+        )
+        .otherwise(0)
+        .alias("warn_bias"),
+    )
+
+
+_BURDEN_AF_MAX = 3  # "rare" = alt-carrier count <= 3 across the cohort
+
+
+@query(
+    "q339_gene_burden",
+    oracle=f"""
+WITH genes AS MATERIALIZED ({_GENES_SQL}),
+vars AS MATERIALIZED ({_VARS_SQL}),
+carriers AS MATERIALIZED (
+  SELECT chrom, pos,
+         CAST(COUNT(*) AS BIGINT) AS ac,
+         CAST(SUM(CASE WHEN var_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS ac_case
+  FROM vars GROUP BY chrom, pos
+),
+rare AS MATERIALIZED (
+  SELECT * FROM carriers WHERE ac <= {_BURDEN_AF_MAX}
+),
+burden AS MATERIALIZED (
+  SELECT g.gene_id, g.chrom,
+         CAST(COUNT(*) AS BIGINT) AS n_rare_sites,
+         CAST(SUM(r.ac) AS BIGINT) AS burden_all,
+         CAST(SUM(r.ac_case) AS BIGINT) AS burden_case
+  FROM rare r JOIN genes g
+    ON g.chrom = r.chrom AND r.pos >= g.gstart AND r.pos < g.gend
+  GROUP BY g.gene_id, g.chrom
+),
+tot AS MATERIALIZED (
+  SELECT CAST(SUM(burden_all) AS BIGINT) AS t_all,
+         CAST(SUM(burden_case) AS BIGINT) AS t_case
+  FROM burden
+)
+SELECT b.gene_id, b.chrom, b.n_rare_sites, b.burden_all, b.burden_case,
+       ROUND((b.burden_case
+              - b.burden_all * ((SELECT t_case FROM tot)
+                                / CAST((SELECT t_all FROM tot) AS DOUBLE)))
+             * (b.burden_case
+                - b.burden_all * ((SELECT t_case FROM tot)
+                                  / CAST((SELECT t_all FROM tot) AS DOUBLE)))
+             / (b.burden_all * ((SELECT t_case FROM tot)
+                                / CAST((SELECT t_all FROM tot) AS DOUBLE))
+                * (1 - (SELECT t_case FROM tot)
+                       / CAST((SELECT t_all FROM tot) AS DOUBLE))), 6)
+         AS burden_chi2,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY (b.burden_case
+                   - b.burden_all * ((SELECT t_case FROM tot)
+                                     / CAST((SELECT t_all FROM tot) AS DOUBLE)))
+                  * (b.burden_case
+                     - b.burden_all * ((SELECT t_case FROM tot)
+                                       / CAST((SELECT t_all FROM tot) AS DOUBLE)))
+                  / (b.burden_all * ((SELECT t_case FROM tot)
+                                     / CAST((SELECT t_all FROM tot) AS DOUBLE))
+                     * (1 - (SELECT t_case FROM tot)
+                            / CAST((SELECT t_all FROM tot) AS DOUBLE)))
+           DESC, b.gene_id) AS INT) AS rk
+FROM burden b
+QUALIFY rk <= 15
+""",
+)
+def q339_gene_burden(spark, sf_dir):
+    """GENE-BASED RARE-VARIANT BURDEN TEST (the collapsing test of
+    rare-variant association studies — when per-site q285/q153 tests
+    are powerless because every site is rare, collapse carriers per
+    GENE and ask whether cases carry more than their share): rare
+    sites (cohort carrier count <= 3) aggregate per broadcast-model
+    gene; the case-excess chi2 (observed case burden vs the pooled
+    case share) ranks the top-15 genes.
+
+    Scale discipline: carrier counts are one (chrom, pos) aggregate;
+    the rare filter prunes BEFORE the gene range-join (broadcast,
+    dimension-sized); burden and the chi2 are gene-bounded arithmetic
+    — the variant stream is touched exactly once."""
+    from pyspark.sql import Window as W
+
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    genes = part.where(F.col("p_partkey") % 50 == 0).select(
+        F.col("p_partkey").alias("gene_id"),
+        F.concat(F.lit("c"), (F.col("p_partkey") % 4).cast("string")).alias("gchrom"),
+        ((F.col("p_partkey") * 31) % 50000).alias("gstart"),
+        (
+            (F.col("p_partkey") * 31) % 50000
+            + 500
+            + (F.col("p_partkey") % 5) * 300
+        ).alias("gend"),
+    )
+    vars_ = li.where(F.col("l_linenumber") % 3 == 0).select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("var_id"),
+        F.concat(F.lit("c"), (F.col("l_orderkey") % 4).cast("string")).alias("chrom"),
+        ((F.col("l_orderkey") * 13 + F.col("l_linenumber") * 7) % 50000).alias("pos"),
+    )
+    carriers = vars_.groupBy("chrom", "pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ac"),
+        F.sum(F.when(F.col("var_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("ac_case"),
+    )
+    rare = carriers.where(F.col("ac") <= _BURDEN_AF_MAX)
+    burden = (
+        rare.join(
+            F.broadcast(genes),
+            (F.col("gchrom") == F.col("chrom"))
+            & (F.col("pos") >= F.col("gstart"))
+            & (F.col("pos") < F.col("gend")),
+        )
+        .groupBy("gene_id", "chrom")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rare_sites"),
+            F.sum("ac").cast("bigint").alias("burden_all"),
+            F.sum("ac_case").cast("bigint").alias("burden_case"),
+        )
+        .transform(managed_persist)
+    )
+    tot = burden.agg(
+        F.sum("burden_all").cast("bigint").alias("t_all"),
+        F.sum("burden_case").cast("bigint").alias("t_case"),
+    )
+    j = burden.crossJoin(F.broadcast(tot))
+    share = F.col("t_case") / F.col("t_all").cast("double")
+    expected = F.col("burden_all") * share
+    chi2 = (F.col("burden_case") - expected) * (
+        F.col("burden_case") - expected
+    ) / (expected * (1 - share))
+    scored = j.select(
+        "gene_id",
+        "chrom",
+        "n_rare_sites",
+        "burden_all",
+        "burden_case",
+        F.round(chi2, 6).alias("burden_chi2"),
+        chi2.alias("_raw"),
+    )
+    top = scored.orderBy(F.col("_raw").desc(), "gene_id").limit(15)
+    return top.select(
+        "gene_id",
+        "chrom",
+        "n_rare_sites",
+        "burden_all",
+        "burden_case",
+        "burden_chi2",
+        F.row_number()
+        .over(W.orderBy(F.col("_raw").desc(), "gene_id"))
+        .cast("int")
+        .alias("rk"),
+    )
