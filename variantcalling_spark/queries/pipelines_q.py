@@ -3324,3 +3324,155 @@ def q244_bh_fdr(spark, sf_dir):
         "q_value",
         (F.col("q_value") <= 0.05).alias("significant"),
     )
+
+
+@query(
+    "q340_auc_delong",
+    oracle=f"""
+WITH calls AS ({SQL_COHORT_CALLS}),
+lab AS (
+  SELECT chrom, gq AS score, CASE WHEN gt > 0 THEN 1 ELSE 0 END AS y
+  FROM calls
+),
+h AS MATERIALIZED (
+  SELECT chrom, score,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(1 - y) AS BIGINT) AS n_neg
+  FROM lab GROUP BY chrom, score
+),
+rk AS MATERIALIZED (
+  SELECT chrom, score, n_pos, n_neg,
+         CAST(COALESCE(SUM(n_neg) OVER (PARTITION BY chrom ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS neg_below,
+         CAST(COALESCE(SUM(n_pos) OVER (PARTITION BY chrom ORDER BY score DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS pos_above
+  FROM h
+),
+tot AS MATERIALIZED (
+  SELECT chrom,
+         CAST(SUM(n_pos) AS BIGINT) AS np,
+         CAST(SUM(n_neg) AS BIGINT) AS nn
+  FROM h GROUP BY chrom
+),
+auc AS MATERIALIZED (
+  SELECT r.chrom, t.np, t.nn,
+         CAST(SUM(r.n_pos * (2 * r.neg_below + r.n_neg)) AS BIGINT) AS v2sum
+  FROM rk r JOIN tot t ON t.chrom = r.chrom
+  GROUP BY r.chrom, t.np, t.nn
+),
+comps AS (
+  SELECT r.chrom,
+         ROUND(r.n_pos * ((2 * r.neg_below + r.n_neg) / (2.0 * t.nn)
+                          - a.v2sum / (2.0 * t.nn * t.np))
+                       * ((2 * r.neg_below + r.n_neg) / (2.0 * t.nn)
+                          - a.v2sum / (2.0 * t.nn * t.np)), 10) AS t10,
+         ROUND(r.n_neg * ((2 * r.pos_above + r.n_pos) / (2.0 * t.np)
+                          - a.v2sum / (2.0 * t.nn * t.np))
+                       * ((2 * r.pos_above + r.n_pos) / (2.0 * t.np)
+                          - a.v2sum / (2.0 * t.nn * t.np)), 10) AS t01
+  FROM rk r
+  JOIN tot t ON t.chrom = r.chrom
+  JOIN auc a ON a.chrom = r.chrom
+),
+var_ AS (
+  SELECT chrom,
+         CAST(SUM(CAST(t10 AS DECIMAL(24,10))) AS DOUBLE) AS s10sum,
+         CAST(SUM(CAST(t01 AS DECIMAL(24,10))) AS DOUBLE) AS s01sum
+  FROM comps GROUP BY chrom
+)
+SELECT a.chrom, a.np AS n_pos, a.nn AS n_neg,
+       ROUND(a.v2sum / (2.0 * a.nn * a.np), 6) AS auc,
+       ROUND(sqrt(v.s10sum / (a.np - 1) / a.np
+                  + v.s01sum / (a.nn - 1) / a.nn), 6) AS delong_se,
+       ROUND((a.v2sum / (2.0 * a.nn * a.np) - 0.5)
+             / sqrt(v.s10sum / (a.np - 1) / a.np
+                    + v.s01sum / (a.nn - 1) / a.nn), 4) AS z_vs_chance
+FROM auc a JOIN var_ v ON v.chrom = a.chrom
+WHERE a.np > 1 AND a.nn > 1
+""",
+)
+def q340_auc_delong(spark, sf_dir):
+    """AUC WITH DELONG VARIANCE per contig (DeLong 1988 — the
+    standard error that turns q167's point-estimate AUC into a
+    TESTABLE number: placement-value components V10 per positive and
+    V01 per negative, their sample variances, and the z against
+    chance): the eval-harness family's missing uncertainty leg.
+
+    Scale discipline: placement values collapse onto the SCORE
+    HISTOGRAM (all positives at one score share one V10), so both
+    component variances are score-domain aggregates — the corpus is
+    never re-paired; V values are exact integer halves
+    (2*below + ties over 2n); squared deviations snap at 10 into
+    DECIMAL sums. Same windows as q167, one extra reverse
+    cumulative."""
+    calls = _cohort_calls(spark, sf_dir)
+    lab = calls.select(
+        "chrom",
+        F.col("gq").alias("score"),
+        F.when(F.col("gt") > 0, 1).otherwise(0).alias("y"),
+    )
+    h = lab.groupBy("chrom", "score").agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("n_neg"),
+    )
+    from pyspark.sql import Window as W
+
+    wb = W.partitionBy("chrom").orderBy("score").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    wa = W.partitionBy("chrom").orderBy(F.col("score").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    rk = h.select(
+        "chrom",
+        "score",
+        "n_pos",
+        "n_neg",
+        F.coalesce(F.sum("n_neg").over(wb), F.lit(0)).cast("bigint").alias(
+            "neg_below"
+        ),
+        F.coalesce(F.sum("n_pos").over(wa), F.lit(0)).cast("bigint").alias(
+            "pos_above"
+        ),
+    ).transform(managed_persist)
+    tot = rk.groupBy("chrom").agg(
+        F.sum("n_pos").cast("bigint").alias("np"),
+        F.sum("n_neg").cast("bigint").alias("nn"),
+    )
+    auc = (
+        rk.groupBy("chrom")
+        .agg(
+            F.sum(F.col("n_pos") * (2 * F.col("neg_below") + F.col("n_neg")))
+            .cast("bigint")
+            .alias("v2sum")
+        )
+        .join(tot, "chrom")
+    )
+    j = rk.join(F.broadcast(auc), "chrom")
+    v10 = (2 * F.col("neg_below") + F.col("n_neg")) / (2.0 * F.col("nn"))
+    v01 = (2 * F.col("pos_above") + F.col("n_pos")) / (2.0 * F.col("np"))
+    aexp = F.col("v2sum") / (2.0 * F.col("nn") * F.col("np"))
+    comps = j.select(
+        "chrom",
+        F.round(F.col("n_pos") * (v10 - aexp) * (v10 - aexp), 10).alias("t10"),
+        F.round(F.col("n_neg") * (v01 - aexp) * (v01 - aexp), 10).alias("t01"),
+    )
+    var_ = comps.groupBy("chrom").agg(
+        F.sum(F.col("t10").cast("decimal(24,10)")).cast("double").alias("s10sum"),
+        F.sum(F.col("t01").cast("decimal(24,10)")).cast("double").alias("s01sum"),
+    )
+    out = auc.join(var_, "chrom").where((F.col("np") > 1) & (F.col("nn") > 1))
+    se = F.sqrt(
+        F.col("s10sum") / (F.col("np") - 1) / F.col("np")
+        + F.col("s01sum") / (F.col("nn") - 1) / F.col("nn")
+    )
+    return out.select(
+        "chrom",
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.round(aexp, 6).alias("auc"),
+        F.round(se, 6).alias("delong_se"),
+        F.round((aexp - 0.5) / se, 4).alias("z_vs_chance"),
+    )
