@@ -3476,3 +3476,153 @@ def q340_auc_delong(spark, sf_dir):
         F.round(se, 6).alias("delong_se"),
         F.round((aexp - 0.5) / se, 4).alias("z_vs_chance"),
     )
+
+
+_PAUC_ALPHA = 0.25
+
+
+@query(
+    "q341_partial_auc",
+    oracle=f"""
+WITH calls AS ({SQL_COHORT_CALLS}),
+lab AS (
+  SELECT chrom, gq AS score, CASE WHEN gt > 0 THEN 1 ELSE 0 END AS y
+  FROM calls
+),
+h AS MATERIALIZED (
+  SELECT chrom, score,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(1 - y) AS BIGINT) AS n_neg
+  FROM lab GROUP BY chrom, score
+),
+tot AS MATERIALIZED (
+  SELECT chrom, CAST(SUM(n_pos) AS BIGINT) AS np,
+         CAST(SUM(n_neg) AS BIGINT) AS nn
+  FROM h GROUP BY chrom
+),
+roc AS MATERIALIZED (
+  SELECT h.chrom,
+         SUM(h.n_neg) OVER w / CAST(t.nn AS DOUBLE) AS fpr,
+         SUM(h.n_pos) OVER w / CAST(t.np AS DOUBLE) AS tpr,
+         COALESCE(SUM(h.n_neg) OVER wp, 0) / CAST(t.nn AS DOUBLE) AS fprp,
+         COALESCE(SUM(h.n_pos) OVER wp, 0) / CAST(t.np AS DOUBLE) AS tprp
+  FROM h JOIN tot t ON t.chrom = h.chrom
+  WINDOW w AS (PARTITION BY h.chrom ORDER BY h.score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wp AS (PARTITION BY h.chrom ORDER BY h.score DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+segs AS (
+  SELECT chrom,
+         ROUND(CASE
+           WHEN fpr <= {_PAUC_ALPHA!r}
+             THEN (fpr - fprp) * (tpr + tprp) / 2
+           WHEN fprp < {_PAUC_ALPHA!r}
+             THEN ({_PAUC_ALPHA!r} - fprp)
+                  * (tprp + (tprp + ({_PAUC_ALPHA!r} - fprp) / (fpr - fprp)
+                             * (tpr - tprp))) / 2
+           ELSE 0.0 END, 10) AS a
+  FROM roc
+)
+SELECT s.chrom, t.np AS n_pos, t.nn AS n_neg,
+       ROUND(CAST(SUM(CAST(s.a AS DECIMAL(16,10))) AS DOUBLE), 6) AS pauc,
+       ROUND(CAST(SUM(CAST(s.a AS DECIMAL(16,10))) AS DOUBLE)
+             / {_PAUC_ALPHA!r}, 6) AS pauc_normalized,
+       ROUND(0.5 * (1 + (CAST(SUM(CAST(s.a AS DECIMAL(16,10))) AS DOUBLE)
+                         - {_PAUC_ALPHA!r} * {_PAUC_ALPHA!r} / 2)
+                        / ({_PAUC_ALPHA!r}
+                           - {_PAUC_ALPHA!r} * {_PAUC_ALPHA!r} / 2)), 6)
+         AS pauc_mcclish
+FROM segs s JOIN tot t ON t.chrom = s.chrom
+GROUP BY s.chrom, t.np, t.nn
+""",
+)
+def q341_partial_auc(spark, sf_dir):
+    """PARTIAL AUC at FPR <= 0.25 (the screening-test metric: a
+    classifier is only as good as its LOW-false-positive region when
+    positives get expensive review — full AUC q167/q340 rewards the
+    useless right half too), with trapezoid integration, exact
+    boundary interpolation inside the crossing segment, and the
+    McClish standardization to [0.5, 1].
+
+    Scale discipline: the ROC lives on the SCORE HISTOGRAM (two
+    cumulative windows per series, tie segments integrate as
+    trapezoids exactly as sklearn does); segment areas snap at 10
+    into DECIMAL sums. Alpha enters as a shared literal double."""
+    from pyspark.sql import Window as W
+
+    calls = _cohort_calls(spark, sf_dir)
+    lab = calls.select(
+        "chrom",
+        F.col("gq").alias("score"),
+        F.when(F.col("gt") > 0, 1).otherwise(0).alias("y"),
+    )
+    h = lab.groupBy("chrom", "score").agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("n_neg"),
+    )
+    tot = h.groupBy("chrom").agg(
+        F.sum("n_pos").cast("bigint").alias("np"),
+        F.sum("n_neg").cast("bigint").alias("nn"),
+    )
+    w = W.partitionBy("chrom").orderBy(F.col("score").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wp = W.partitionBy("chrom").orderBy(F.col("score").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    roc = h.join(F.broadcast(tot), "chrom").select(
+        "chrom",
+        "np",
+        "nn",
+        (F.sum("n_neg").over(w) / F.col("nn").cast("double")).alias("fpr"),
+        (F.sum("n_pos").over(w) / F.col("np").cast("double")).alias("tpr"),
+        (
+            F.coalesce(F.sum("n_neg").over(wp), F.lit(0))
+            / F.col("nn").cast("double")
+        ).alias("fprp"),
+        (
+            F.coalesce(F.sum("n_pos").over(wp), F.lit(0))
+            / F.col("np").cast("double")
+        ).alias("tprp"),
+    )
+    al = F.lit(_PAUC_ALPHA)
+    fpr, tpr, fprp, tprp = (
+        F.col("fpr"),
+        F.col("tpr"),
+        F.col("fprp"),
+        F.col("tprp"),
+    )
+    a = F.round(
+        F.when(fpr <= al, (fpr - fprp) * (tpr + tprp) / 2)
+        .when(
+            fprp < al,
+            (al - fprp)
+            * (tprp + (tprp + (al - fprp) / (fpr - fprp) * (tpr - tprp)))
+            / 2,
+        )
+        .otherwise(F.lit(0.0)),
+        10,
+    )
+    segs = roc.select("chrom", "np", "nn", a.alias("a"))
+    pauc = F.sum(F.col("a").cast("decimal(16,10)")).cast("double")
+    alpha = _PAUC_ALPHA
+    return segs.groupBy("chrom", "np", "nn").agg(
+        F.round(pauc, 6).alias("pauc"),
+        F.round(pauc / alpha, 6).alias("pauc_normalized"),
+        F.round(
+            0.5
+            * (
+                1
+                + (pauc - alpha * alpha / 2) / (alpha - alpha * alpha / 2)
+            ),
+            6,
+        ).alias("pauc_mcclish"),
+    ).select(
+        "chrom",
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        "pauc",
+        "pauc_normalized",
+        "pauc_mcclish",
+    )

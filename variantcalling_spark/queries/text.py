@@ -4297,3 +4297,148 @@ def q327_classification_report(spark, sf_dir):
         ).alias("f1"),
     ).select(F.lit("__macro__").alias("cls"), "support", "precision", "recall", "f1")
     return class_rows.unionByName(micro).unionByName(macro)
+
+
+@query(
+    "q342_symspell_matches",
+    oracle="""
+WITH base_vocab AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ) GROUP BY w
+),
+typos AS MATERIALIZED (
+  -- deterministic typo shard (drop the 3rd char of every long frequent
+  -- word, 1/50th the frequency) -- the NEARDUP-corpus convention: the
+  -- driver corpus has no natural 1-edit pairs, so plant verifiable ones
+  SELECT t.tw AS w, GREATEST(b.freq // 50, 1) AS freq
+  FROM (
+    SELECT w, freq, substr(w, 1, 2) || substr(w, 4) AS tw
+    FROM base_vocab WHERE length(w) >= 4 AND freq >= 100
+  ) t
+  JOIN base_vocab b ON b.w = t.w
+  WHERE t.tw NOT IN (SELECT w FROM base_vocab)
+),
+vocab AS MATERIALIZED (
+  SELECT w, CAST(SUM(freq) AS BIGINT) AS freq FROM (
+    SELECT * FROM base_vocab UNION ALL SELECT * FROM typos
+  ) GROUP BY w
+),
+dels AS MATERIALIZED (
+  SELECT w, freq, key FROM (
+    SELECT w, freq,
+           unnest(list_distinct(
+             list_append(
+               [substr(w, 1, i - 1) || substr(w, i + 1)
+                for i in generate_series(1, length(w))],
+               w))) AS key
+    FROM vocab
+  )
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.w AS w1, b.w AS w2,
+         a.freq AS freq1, b.freq AS freq2
+  FROM dels a JOIN dels b ON b.key = a.key AND a.w < b.w
+),
+verified AS (
+  SELECT w1, w2, freq1, freq2,
+         CAST(levenshtein(w1, w2) AS INT) AS dist
+  FROM cand
+  WHERE levenshtein(w1, w2) = 1
+)
+SELECT w1, w2, freq1, freq2, dist,
+       CASE WHEN freq1 >= 10 * freq2 THEN w2
+            WHEN freq2 >= 10 * freq1 THEN w1
+            ELSE NULL END AS suspected_typo
+FROM verified
+""",
+)
+def q342_symspell_matches(spark, sf_dir):
+    """SYMSPELL EDIT-DISTANCE-1 VOCABULARY MATCHING (the
+    deletion-neighborhood trick: two words are within one edit iff
+    they share a 1-deletion key — so fuzzy matching becomes an
+    EQUI-JOIN on generated keys, never an all-pairs distance scan;
+    the typo-clustering pass of vocabulary cleanup, and the text twin
+    of q241's masked-position Hamming-1 UMI join): candidate pairs
+    from the deletion-key join, verified with exact levenshtein = 1,
+    with the SymSpell frequency heuristic (a much rarer 1-edit
+    variant of a frequent word = suspected typo; 10x at toy scale).
+    The driver corpus has no natural 1-edit pairs, so a deterministic
+    typo shard is planted on BOTH engines first (the NEARDUP-corpus
+    convention for making approximate operators value-checkable).
+
+    Scale discipline: each word generates length+1 keys (bounded by
+    word length), the join is on the key hash — candidates scale with
+    genuine near-matches, not vocab^2; the levenshtein verify runs
+    only on candidates. Exact integer frequencies and distances."""
+    docs = load_table(spark, sf_dir, "documents")
+    base_vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .transform(managed_persist)
+    )
+    # deterministic typo shard (NEARDUP-corpus convention): the driver
+    # corpus has no natural 1-edit pairs, so plant verifiable ones
+    typo_w = F.concat(
+        F.substring("w", 1, 2), F.expr("substr(w, 4, length(w))")
+    )
+    typos = (
+        base_vocab.where((F.length("w") >= 4) & (F.col("freq") >= 100))
+        .select(typo_w.alias("w"), F.greatest(
+            F.expr("freq DIV 50"), F.lit(1).cast("bigint")).alias("freq"))
+        .join(base_vocab.select(F.col("w")), "w", "left_anti")
+    )
+    vocab = (
+        base_vocab.unionByName(typos)
+        .groupBy("w")
+        .agg(F.sum("freq").cast("bigint").alias("freq"))
+        .transform(managed_persist)
+    )
+    ws = F.col("w")
+    dels = vocab.select(
+        "w",
+        "freq",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(ws)),
+                        lambda i: F.concat(
+                            F.substring(ws, F.lit(1), (i - 1).cast("int")),
+                            ws.substr(i + 1, F.length(ws)),
+                        ),
+                    ),
+                    F.array(ws),
+                )
+            )
+        ).alias("key"),
+    )
+    cand = (
+        dels.select(F.col("w").alias("w1"), F.col("freq").alias("freq1"), "key")
+        .join(
+            dels.select(F.col("w").alias("w2"), F.col("freq").alias("freq2"), "key"),
+            "key",
+        )
+        .where(F.col("w1") < F.col("w2"))
+        .select("w1", "w2", "freq1", "freq2")
+        .distinct()
+    )
+    verified = cand.where(F.levenshtein("w1", "w2") == 1).select(
+        "w1",
+        "w2",
+        "freq1",
+        "freq2",
+        F.levenshtein("w1", "w2").cast("int").alias("dist"),
+    )
+    return verified.select(
+        "w1",
+        "w2",
+        "freq1",
+        "freq2",
+        "dist",
+        F.when(F.col("freq1") >= 10 * F.col("freq2"), F.col("w2"))
+        .when(F.col("freq2") >= 10 * F.col("freq1"), F.col("w1"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("suspected_typo"),
+    )
