@@ -4114,3 +4114,86 @@ def q339_gene_burden(spark, sf_dir):
         .cast("int")
         .alias("rk"),
     )
+
+
+_TRIM_W = 4
+_TRIM_Q = 25
+
+
+@query(
+    "q343_quality_trimming",
+    oracle=f"""
+WITH dna AS ({SQL_DOCS_DNA}),
+reads AS MATERIALIZED (
+  SELECT doc_id, seq, length(seq) AS n,
+         [20 + (doc_id * 7 + i * 13) % 20 - (i // 6)
+          for i in generate_series(1, length(seq))] AS q
+  FROM dna WHERE length(seq) >= 1
+),
+cut AS (
+  SELECT doc_id, n,
+         COALESCE(list_min(
+           [i for i in generate_series(1, n - {_TRIM_W} + 1)
+            if q[i] + q[i + 1] + q[i + 2] + q[i + 3] < {_TRIM_W * _TRIM_Q}]
+         ) - 1, n) AS keep_len
+  FROM reads
+)
+SELECT CAST(keep_len AS BIGINT) AS keep_len,
+       CAST(COUNT(*) AS BIGINT) AS n_reads,
+       CAST(SUM(n) AS BIGINT) AS bases_in,
+       CAST(SUM(keep_len) AS BIGINT) AS bases_kept,
+       ROUND(SUM(keep_len) / CAST(SUM(n) AS DOUBLE), 6) AS kept_frac,
+       CAST(SUM(CASE WHEN keep_len = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped
+FROM cut GROUP BY keep_len
+""",
+)
+def q343_quality_trimming(spark, sf_dir):
+    """SLIDING-WINDOW QUALITY TRIMMING (Trimmomatic
+    SLIDINGWINDOW:{_TRIM_W}:{_TRIM_Q} parity — the read-prep step
+    between q312's FASTQ ingest and alignment: scan 4-base windows
+    left to right, cut the read at the FIRST window whose mean
+    quality drops below {_TRIM_Q}): the trim-length histogram with
+    kept-base accounting, over the same deterministic quality model
+    as q233/q312.
+
+    Scale discipline: the per-read scan is read-length-bounded ARRAY
+    ALGEBRA — a filtered index comprehension (Spark: filter over a
+    sequence + array_min), zero kernels, zero shuffles before the
+    final histogram aggregate; window mean < Q compares INTEGER sums
+    (W*Q literal), no division."""
+    dna = docs_as_dna(spark, sf_dir).where(F.length("seq") >= 1)
+    reads = dna.select(
+        "doc_id",
+        F.length("seq").alias("n"),
+        F.expr(
+            "transform(sequence(1, length(seq)),"
+            " i -> 20 + (doc_id * 7 + i * 13) % 20 - (i DIV 6))"
+        ).alias("q"),
+    )
+    thresh = _TRIM_W * _TRIM_Q
+    fail_idx = F.filter(
+        F.sequence(F.lit(1), F.col("n") - (_TRIM_W - 1)),
+        lambda i: (
+            F.element_at("q", i)
+            + F.element_at("q", i + 1)
+            + F.element_at("q", i + 2)
+            + F.element_at("q", i + 3)
+        )
+        < F.lit(thresh),
+    )
+    cut = reads.select(
+        "n",
+        F.coalesce(F.array_min(fail_idx) - 1, F.col("n")).alias("keep_len"),
+    )
+    return cut.groupBy(F.col("keep_len").cast("bigint").alias("keep_len")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reads"),
+        F.sum("n").cast("bigint").alias("bases_in"),
+        F.sum("keep_len").cast("bigint").alias("bases_kept"),
+        F.round(F.sum("keep_len") / F.sum("n").cast("double"), 6).alias(
+            "kept_frac"
+        ),
+        F.sum(F.when(F.col("keep_len") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+    )
