@@ -3626,3 +3626,154 @@ def q341_partial_auc(spark, sf_dir):
         "pauc_normalized",
         "pauc_mcclish",
     )
+
+
+@query(
+    "q344_fst_jackknife",
+    oracle="""
+WITH gt AS (
+  SELECT CAST(l_suppkey % 6 AS INT) AS sample_id,
+         l_orderkey % 2000 AS site,
+         MIN(CAST(l_partkey % 3 AS INT)) AS dosage
+  FROM lineitem GROUP BY 1, 2
+),
+ac AS (
+  SELECT site,
+         CAST(SUM(CASE WHEN sample_id < 3 THEN dosage ELSE 0 END) AS BIGINT) AS ac1,
+         CAST(SUM(CASE WHEN sample_id >= 3 THEN dosage ELSE 0 END) AS BIGINT) AS ac2
+  FROM gt GROUP BY site
+  HAVING COUNT(*) FILTER (WHERE sample_id < 3) = 3
+     AND COUNT(*) FILTER (WHERE sample_id >= 3) = 3
+),
+p AS (
+  SELECT site // 100 AS win, ac1 / 6.0 AS p1, ac2 / 6.0 AS p2
+  FROM ac WHERE ac1 + ac2 > 0 AND ac1 + ac2 < 12
+),
+blocks AS MATERIALIZED (
+  SELECT win,
+         CAST(SUM(CAST(ROUND((p1 - p2) * (p1 - p2)
+               - p1 * (1 - p1) / 5.0 - p2 * (1 - p2) / 5.0, 10)
+              AS DECIMAL(24,10))) AS DOUBLE) AS num_b,
+         CAST(SUM(CAST(ROUND(p1 * (1 - p2) + p2 * (1 - p1), 10)
+              AS DECIMAL(24,10))) AS DOUBLE) AS den_b
+  FROM p GROUP BY win
+),
+tot AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(num_b AS DECIMAL(28,10))) AS DOUBLE) AS s_num,
+         CAST(SUM(CAST(den_b AS DECIMAL(28,10))) AS DOUBLE) AS s_den,
+         CAST(COUNT(*) AS BIGINT) AS nb
+  FROM blocks
+),
+loo AS MATERIALIZED (
+  SELECT b.win,
+         ROUND((t.s_num - b.num_b) / (t.s_den - b.den_b), 10) AS theta
+  FROM blocks b CROSS JOIN tot t
+),
+jk AS (
+  SELECT CAST(SUM(CAST(theta AS DECIMAL(16,10))) AS DOUBLE) AS s_theta,
+         CAST(SUM(CAST(ROUND(theta * theta, 10) AS DECIMAL(20,10)))
+              AS DOUBLE) AS s_theta2
+  FROM loo
+)
+SELECT t.nb AS n_blocks,
+       ROUND(t.s_num / t.s_den, 6) AS fst_global,
+       ROUND(sqrt((t.nb - 1.0) / t.nb
+                  * (j.s_theta2 - j.s_theta * j.s_theta / t.nb)), 6)
+         AS jackknife_se,
+       ROUND(t.s_num / t.s_den
+             - 1.96 * sqrt((t.nb - 1.0) / t.nb
+                           * (j.s_theta2 - j.s_theta * j.s_theta / t.nb)), 6)
+         AS ci_lo,
+       ROUND(t.s_num / t.s_den
+             + 1.96 * sqrt((t.nb - 1.0) / t.nb
+                           * (j.s_theta2 - j.s_theta * j.s_theta / t.nb)), 6)
+         AS ci_hi
+FROM tot t CROSS JOIN jk j
+""",
+)
+def q344_fst_jackknife(spark, sf_dir):
+    """GENOME-WIDE FST WITH BLOCK-JACKKNIFE CI (the population-
+    genetics uncertainty convention — sites are LD-correlated, so the
+    only honest SE comes from leave-one-BLOCK-out resampling; the
+    popgen twin of q340's DeLong leg): global Hudson ratio-of-sums
+    plus the jackknife SE and 95% CI over the q239 window blocks.
+
+    Scale discipline: the corpus reduces to per-block (num, den)
+    sums once (q239's exact DECIMAL terms); every leave-one-out
+    estimate is SUBTRACTION from the global sums — B estimates from B
+    rows, no resampling scans; the jackknife variance uses the
+    sum/sum-of-squares identity with 10-dp snapped thetas."""
+    li = load_table(spark, sf_dir, "lineitem")
+    gt = li.groupBy(
+        (F.col("l_suppkey") % 6).cast("int").alias("sample_id"),
+        (F.col("l_orderkey") % 2000).alias("site"),
+    ).agg(F.min((F.col("l_partkey") % 3).cast("int")).alias("dosage"))
+    ac = (
+        gt.groupBy("site")
+        .agg(
+            F.sum(F.when(F.col("sample_id") < 3, F.col("dosage")).otherwise(0))
+            .cast("bigint")
+            .alias("ac1"),
+            F.sum(F.when(F.col("sample_id") >= 3, F.col("dosage")).otherwise(0))
+            .cast("bigint")
+            .alias("ac2"),
+            F.sum(F.when(F.col("sample_id") < 3, 1).otherwise(0)).alias("ns1"),
+            F.sum(F.when(F.col("sample_id") >= 3, 1).otherwise(0)).alias("ns2"),
+        )
+        .where((F.col("ns1") == 3) & (F.col("ns2") == 3))
+    )
+    p = ac.where(
+        (F.col("ac1") + F.col("ac2") > 0) & (F.col("ac1") + F.col("ac2") < 12)
+    ).select(
+        F.expr("site DIV 100").alias("win"),
+        (F.col("ac1") / 6.0).alias("p1"),
+        (F.col("ac2") / 6.0).alias("p2"),
+    )
+    p1, p2 = F.col("p1"), F.col("p2")
+    blocks = p.groupBy("win").agg(
+        F.sum(
+            F.round(
+                (p1 - p2) * (p1 - p2) - p1 * (1 - p1) / 5.0 - p2 * (1 - p2) / 5.0,
+                10,
+            ).cast("decimal(24,10)")
+        )
+        .cast("double")
+        .alias("num_b"),
+        F.sum(
+            F.round(p1 * (1 - p2) + p2 * (1 - p1), 10).cast("decimal(24,10)")
+        )
+        .cast("double")
+        .alias("den_b"),
+    ).transform(managed_persist)
+    tot = blocks.agg(
+        F.sum(F.col("num_b").cast("decimal(28,10)")).cast("double").alias("s_num"),
+        F.sum(F.col("den_b").cast("decimal(28,10)")).cast("double").alias("s_den"),
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+    )
+    loo = blocks.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            (F.col("s_num") - F.col("num_b")) / (F.col("s_den") - F.col("den_b")),
+            10,
+        ).alias("theta")
+    )
+    jk = loo.agg(
+        F.sum(F.col("theta").cast("decimal(16,10)")).cast("double").alias("s_theta"),
+        F.sum(F.round(F.col("theta") * F.col("theta"), 10).cast("decimal(20,10)"))
+        .cast("double")
+        .alias("s_theta2"),
+    )
+    out = tot.crossJoin(F.broadcast(jk))
+    nb = F.col("nb")
+    se = F.sqrt(
+        (nb - 1.0)
+        / nb
+        * (F.col("s_theta2") - F.col("s_theta") * F.col("s_theta") / nb)
+    )
+    fst = F.col("s_num") / F.col("s_den")
+    return out.select(
+        nb.alias("n_blocks"),
+        F.round(fst, 6).alias("fst_global"),
+        F.round(se, 6).alias("jackknife_se"),
+        F.round(fst - 1.96 * se, 6).alias("ci_lo"),
+        F.round(fst + 1.96 * se, 6).alias("ci_hi"),
+    )
