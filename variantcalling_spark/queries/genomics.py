@@ -4197,3 +4197,316 @@ def q343_quality_trimming(spark, sf_dir):
         .cast("bigint")
         .alias("n_dropped"),
     )
+
+
+@query(
+    "q345_bedtools_jaccard",
+    oracle=f"""
+WITH reads AS MATERIALIZED ({_LC_READS_SQL}),
+deltas AS (
+  SELECT chrom, start AS bp, 1 AS d FROM reads
+  UNION ALL SELECT chrom, fin AS bp, -1 AS d FROM reads
+),
+agg AS (
+  SELECT chrom, bp, SUM(d) AS d FROM deltas GROUP BY chrom, bp
+  HAVING SUM(d) <> 0
+),
+cum AS (
+  SELECT chrom, bp AS s,
+         LEAD(bp) OVER (PARTITION BY chrom ORDER BY bp) AS e,
+         CAST(SUM(d) OVER (PARTITION BY chrom ORDER BY bp) AS BIGINT) AS depth
+  FROM agg
+),
+set_a AS MATERIALIZED (
+  SELECT chrom, s, e FROM cum WHERE e IS NOT NULL AND depth >= 2
+),
+genes AS ({_GENES_SQL}),
+gd AS (
+  SELECT chrom, gstart AS bp, 1 AS d FROM genes
+  UNION ALL SELECT chrom, gend AS bp, -1 AS d FROM genes
+),
+gagg AS (
+  SELECT chrom, bp, SUM(d) AS d FROM gd GROUP BY chrom, bp HAVING SUM(d) <> 0
+),
+gcum AS (
+  SELECT chrom, bp AS s,
+         LEAD(bp) OVER (PARTITION BY chrom ORDER BY bp) AS e,
+         CAST(SUM(d) OVER (PARTITION BY chrom ORDER BY bp) AS BIGINT) AS cov
+  FROM gagg
+),
+set_b AS MATERIALIZED (
+  SELECT chrom, s, e FROM gcum WHERE e IS NOT NULL AND cov > 0
+),
+bounds AS (
+  SELECT chrom, bp, da, db FROM (
+    SELECT chrom, s AS bp, 1 AS da, 0 AS db FROM set_a
+    UNION ALL SELECT chrom, e, -1, 0 FROM set_a
+    UNION ALL SELECT chrom, s, 0, 1 FROM set_b
+    UNION ALL SELECT chrom, e, 0, -1 FROM set_b
+  )
+),
+bagg AS (
+  SELECT chrom, bp, SUM(da) AS da, SUM(db) AS db
+  FROM bounds GROUP BY chrom, bp
+),
+sweep AS (
+  SELECT chrom, bp AS s,
+         LEAD(bp) OVER (PARTITION BY chrom ORDER BY bp) AS e,
+         CAST(SUM(da) OVER (PARTITION BY chrom ORDER BY bp) AS BIGINT) AS ina,
+         CAST(SUM(db) OVER (PARTITION BY chrom ORDER BY bp) AS BIGINT) AS inb
+  FROM bagg
+)
+SELECT chrom,
+       CAST(SUM(CASE WHEN ina > 0 AND inb > 0 THEN e - s ELSE 0 END)
+            AS BIGINT) AS intersection_bases,
+       CAST(SUM(CASE WHEN ina > 0 OR inb > 0 THEN e - s ELSE 0 END)
+            AS BIGINT) AS union_bases,
+       ROUND(SUM(CASE WHEN ina > 0 AND inb > 0 THEN e - s ELSE 0 END)
+             / CAST(SUM(CASE WHEN ina > 0 OR inb > 0 THEN e - s ELSE 0 END)
+                    AS DOUBLE), 6) AS jaccard
+FROM sweep WHERE e IS NOT NULL
+GROUP BY chrom
+""",
+)
+def q345_bedtools_jaccard(spark, sf_dir):
+    """SET-LEVEL INTERVAL JACCARD (bedtools jaccard parity — "how
+    much do these two annotation tracks agree", the genome-axis
+    similarity between WHOLE interval sets rather than q37's per-pair
+    reciprocal overlap): well-covered regions (depth >= 2) vs the
+    gene track, intersection/union BASES via one boundary-event
+    sweep.
+
+    Scale discipline: each set merges through its own delta-cumsum
+    (contig-partitioned windows); the set algebra is ONE combined
+    boundary sweep carrying two coverage counters — no interval x
+    interval join anywhere, all counts exact integer bases."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    reads = li.where(
+        (F.col("l_linenumber") % 7 != 0) & (F.col("l_partkey") % 60 >= 20)
+    ).select(
+        F.concat(F.lit("c"), (F.col("l_orderkey") % 4).cast("string")).alias("chrom"),
+        ((F.col("l_orderkey") * 7 + F.col("l_linenumber") * 13) % 50000).alias("start"),
+        (
+            (F.col("l_orderkey") * 7 + F.col("l_linenumber") * 13) % 50000
+            + (20 + F.col("l_quantity").cast("bigint") % 30)
+            + (1 + F.col("l_linenumber") % 3)
+        ).alias("fin"),
+    )
+
+    def runs(df, s_col, e_col, min_cov):
+        deltas = df.select(
+            "chrom", F.col(s_col).alias("bp"), F.lit(1).alias("d")
+        ).unionByName(
+            df.select("chrom", F.col(e_col).alias("bp"), F.lit(-1).alias("d"))
+        )
+        agg = (
+            deltas.groupBy("chrom", "bp")
+            .agg(F.sum("d").alias("d"))
+            .where(F.col("d") != 0)
+        )
+        w_ord = W.partitionBy("chrom").orderBy("bp")
+        cum = agg.select(
+            "chrom",
+            F.col("bp").alias("s"),
+            F.lead("bp").over(w_ord).alias("e"),
+            F.sum("d")
+            .over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("bigint")
+            .alias("cov"),
+        )
+        return cum.where(F.col("e").isNotNull() & (F.col("cov") >= min_cov)).select(
+            "chrom", "s", "e"
+        )
+
+    set_a = runs(reads, "start", "fin", 2).transform(managed_persist)
+    genes = part.where(F.col("p_partkey") % 50 == 0).select(
+        F.concat(F.lit("c"), (F.col("p_partkey") % 4).cast("string")).alias("chrom"),
+        ((F.col("p_partkey") * 31) % 50000).alias("gstart"),
+        (
+            (F.col("p_partkey") * 31) % 50000
+            + 500
+            + (F.col("p_partkey") % 5) * 300
+        ).alias("gend"),
+    )
+    set_b = runs(genes, "gstart", "gend", 1).transform(managed_persist)
+    bounds = (
+        set_a.select("chrom", F.col("s").alias("bp"), F.lit(1).alias("da"), F.lit(0).alias("db"))
+        .unionByName(set_a.select("chrom", F.col("e").alias("bp"), F.lit(-1).alias("da"), F.lit(0).alias("db")))
+        .unionByName(set_b.select("chrom", F.col("s").alias("bp"), F.lit(0).alias("da"), F.lit(1).alias("db")))
+        .unionByName(set_b.select("chrom", F.col("e").alias("bp"), F.lit(0).alias("da"), F.lit(-1).alias("db")))
+    )
+    bagg = bounds.groupBy("chrom", "bp").agg(
+        F.sum("da").alias("da"), F.sum("db").alias("db")
+    )
+    w_ord = W.partitionBy("chrom").orderBy("bp")
+    sweep = bagg.select(
+        "chrom",
+        F.col("bp").alias("s"),
+        F.lead("bp").over(w_ord).alias("e"),
+        F.sum("da")
+        .over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint")
+        .alias("ina"),
+        F.sum("db")
+        .over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint")
+        .alias("inb"),
+    ).where(F.col("e").isNotNull())
+    seg = F.col("e") - F.col("s")
+    inter = F.sum(
+        F.when((F.col("ina") > 0) & (F.col("inb") > 0), seg).otherwise(0)
+    )
+    uni = F.sum(
+        F.when((F.col("ina") > 0) | (F.col("inb") > 0), seg).otherwise(0)
+    )
+    return sweep.groupBy("chrom").agg(
+        inter.cast("bigint").alias("intersection_bases"),
+        uni.cast("bigint").alias("union_bases"),
+        F.round(inter / uni.cast("double"), 6).alias("jaccard"),
+    )
+
+
+_TSS_BIN = 100
+_TSS_FLANK = 500
+
+
+@query(
+    "q346_tss_profile",
+    oracle=f"""
+WITH reads AS MATERIALIZED ({_LC_READS_SQL}),
+deltas AS (
+  SELECT chrom, start AS bp, 1 AS d FROM reads
+  UNION ALL SELECT chrom, fin AS bp, -1 AS d FROM reads
+),
+agg AS (
+  SELECT chrom, bp, SUM(d) AS d FROM deltas GROUP BY chrom, bp
+  HAVING SUM(d) <> 0
+),
+runs AS MATERIALIZED (
+  SELECT chrom, bp AS s,
+         LEAD(bp) OVER (PARTITION BY chrom ORDER BY bp) AS e,
+         CAST(SUM(d) OVER (PARTITION BY chrom ORDER BY bp) AS BIGINT) AS depth
+  FROM agg QUALIFY e IS NOT NULL AND depth > 0
+),
+genes AS MATERIALIZED ({_GENES_SQL}),
+anchors AS MATERIALIZED (
+  SELECT g.gene_id, g.chrom, g.gstart AS tss,
+         b.b AS bin,
+         g.gstart + b.b * {_TSS_BIN} AS w_s,
+         g.gstart + (b.b + 1) * {_TSS_BIN} AS w_e
+  FROM genes g
+  CROSS JOIN (SELECT unnest(generate_series(-{_TSS_FLANK // _TSS_BIN},
+                                            {_TSS_FLANK // _TSS_BIN} - 1)) AS b) b
+),
+overlap AS (
+  SELECT a.bin,
+         CAST(SUM((LEAST(a.w_e, r.e) - GREATEST(a.w_s, r.s)) * r.depth)
+              AS BIGINT) AS base_depth
+  FROM anchors a JOIN runs r
+    ON r.chrom = a.chrom AND r.s < a.w_e AND r.e > a.w_s
+  GROUP BY a.bin
+),
+nanch AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS na FROM genes)
+SELECT CAST(o.bin AS INT) AS bin,
+       CAST(o.bin * {_TSS_BIN} AS BIGINT) AS offset_bp,
+       o.base_depth,
+       ROUND(o.base_depth
+             / CAST({_TSS_BIN} AS DOUBLE) / (SELECT na FROM nanch), 6)
+         AS mean_depth_per_gene
+FROM overlap o
+""",
+)
+def q346_tss_profile(spark, sf_dir):
+    """TSS METAGENE PROFILE (the deepTools computeMatrix /
+    plotProfile shape — average coverage in fixed bins around every
+    gene start; THE enrichment diagnostic of ATAC/ChIP pipelines and
+    a capture-efficiency QC for panels): 100-bp bins spanning +-500 bp
+    of each gene's start, aggregated across all anchors to
+    depth-per-gene per bin.
+
+    Scale discipline: the depth profile stays in RUN form (delta-
+    cumsum, contig windows) and bins come from a gene x 10-bin spine;
+    the overlap join is chrom-keyed with a range residual and
+    contributes exact base x depth integers — no per-base explosion
+    anywhere; output is bin-bounded."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    reads = li.where(
+        (F.col("l_linenumber") % 7 != 0) & (F.col("l_partkey") % 60 >= 20)
+    ).select(
+        F.concat(F.lit("c"), (F.col("l_orderkey") % 4).cast("string")).alias("chrom"),
+        ((F.col("l_orderkey") * 7 + F.col("l_linenumber") * 13) % 50000).alias("start"),
+        (
+            (F.col("l_orderkey") * 7 + F.col("l_linenumber") * 13) % 50000
+            + (20 + F.col("l_quantity").cast("bigint") % 30)
+            + (1 + F.col("l_linenumber") % 3)
+        ).alias("fin"),
+    )
+    deltas = reads.select(
+        "chrom", F.col("start").alias("bp"), F.lit(1).alias("d")
+    ).unionByName(
+        reads.select("chrom", F.col("fin").alias("bp"), F.lit(-1).alias("d"))
+    )
+    agg = (
+        deltas.groupBy("chrom", "bp")
+        .agg(F.sum("d").alias("d"))
+        .where(F.col("d") != 0)
+    )
+    w_ord = W.partitionBy("chrom").orderBy("bp")
+    runs = (
+        agg.select(
+            "chrom",
+            F.col("bp").alias("s"),
+            F.lead("bp").over(w_ord).alias("e"),
+            F.sum("d")
+            .over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("bigint")
+            .alias("depth"),
+        )
+        .where(F.col("e").isNotNull() & (F.col("depth") > 0))
+        .transform(managed_persist)
+    )
+    genes = part.where(F.col("p_partkey") % 50 == 0).select(
+        F.col("p_partkey").alias("gene_id"),
+        F.concat(F.lit("c"), (F.col("p_partkey") % 4).cast("string")).alias("chrom"),
+        ((F.col("p_partkey") * 31) % 50000).alias("tss"),
+    )
+    nb = _TSS_FLANK // _TSS_BIN
+    bins = spark.range(-nb, nb).select(F.col("id").alias("bin"))
+    anchors = genes.crossJoin(F.broadcast(bins)).select(
+        "chrom",
+        "bin",
+        (F.col("tss") + F.col("bin") * _TSS_BIN).alias("w_s"),
+        (F.col("tss") + (F.col("bin") + 1) * _TSS_BIN).alias("w_e"),
+    )
+    overlap = (
+        F.broadcast(anchors)
+        .join(
+            runs,
+            (runs.chrom == anchors.chrom)
+            & (F.col("s") < F.col("w_e"))
+            & (F.col("e") > F.col("w_s")),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(
+                (F.least("w_e", "e") - F.greatest("w_s", "s")) * F.col("depth")
+            )
+            .cast("bigint")
+            .alias("base_depth")
+        )
+    )
+    nanch = genes.agg(F.count(F.lit(1)).cast("bigint").alias("na"))
+    return overlap.crossJoin(F.broadcast(nanch)).select(
+        F.col("bin").cast("int").alias("bin"),
+        (F.col("bin") * _TSS_BIN).cast("bigint").alias("offset_bp"),
+        "base_depth",
+        F.round(
+            F.col("base_depth") / F.lit(float(_TSS_BIN)) / F.col("na"), 6
+        ).alias("mean_depth_per_gene"),
+    )
