@@ -423,3 +423,47 @@ def test_gotoh_align_scores(spark):
     assert out[1].affine_score == 2
     assert out[2].affine_score == -7
     assert out[3].affine_score == -1
+
+
+def test_hmm_posterior_symmetry(spark):
+    """Forward-backward invariants: posteriors live strictly in (0,1),
+    and the symmetric 2-state model obeys label-flip symmetry —
+    running the kernel on 1-obs gives exactly 1 - p of running it on
+    obs (alpha/beta swap roles under the relabeling, so the identity
+    is bit-exact, not approximate)."""
+    from variantcalling_spark.operators.kernels import hmm_posterior_2state
+
+    obs = [0, 1, 1, 0, 1, 0, 0, 1, 1, 1]
+    rows = [("s", t, o) for t, o in enumerate(obs, start=1)]
+    flipped = [("s", t, 1 - o) for t, o in enumerate(obs, start=1)]
+    df = spark.createDataFrame(rows, ["series", "t", "obs"])
+    dff = spark.createDataFrame(flipped, ["series", "t", "obs"])
+    p = {
+        r.t: r.a1 * r.b1 / (r.a0 * r.b0 + r.a1 * r.b1)
+        for r in hmm_posterior_2state(df, 0.8, 0.75).collect()
+    }
+    pf = {
+        r.t: r.a1 * r.b1 / (r.a0 * r.b0 + r.a1 * r.b1)
+        for r in hmm_posterior_2state(dff, 0.8, 0.75).collect()
+    }
+    for t in p:
+        assert 0.0 < p[t] < 1.0
+        assert abs(p[t] - (1.0 - pf[t])) < 1e-12
+
+
+def test_facility_location_gains_non_increasing(spark, sf_dir):
+    """Nemhauser greedy on a submodular objective: marginal gains are
+    non-increasing across the 4 picks, coverage is non-decreasing, and
+    all picked nodes are distinct."""
+    from variantcalling_spark.queries import all_queries
+
+    rows = sorted(
+        all_queries()["q308_facility_location"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.step,
+    )
+    assert [r.step for r in rows] == [1, 2, 3, 4]
+    assert len({r.node for r in rows}) == 4
+    gains = [r.gain for r in rows]
+    assert all(gains[i] >= gains[i + 1] - 1e-9 for i in range(len(gains) - 1))
+    covs = [r.coverage for r in rows]
+    assert all(covs[i] <= covs[i + 1] + 1e-9 for i in range(len(covs) - 1))
