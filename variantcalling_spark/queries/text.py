@@ -4442,3 +4442,130 @@ def q342_symspell_matches(spark, sf_dir):
         .otherwise(F.lit(None).cast("string"))
         .alias("suspected_typo"),
     )
+
+
+@query(
+    "q347_wasserstein_drift",
+    oracle="""
+WITH vals AS MATERIALIZED (
+  SELECT source, n_chars AS v FROM documents
+),
+support AS MATERIALIZED (
+  SELECT DISTINCT v FROM vals
+),
+src_tot AS MATERIALIZED (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS ns FROM vals GROUP BY source
+),
+tot AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals),
+src_hist AS MATERIALIZED (
+  SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM vals GROUP BY source, v
+),
+corpus_hist AS MATERIALIZED (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY v
+),
+grid AS MATERIALIZED (
+  SELECT st.source, st.ns, s.v,
+         COALESCE(sh.c, 0) AS cs,
+         ch.c AS cc
+  FROM src_tot st
+  CROSS JOIN support s
+  JOIN corpus_hist ch ON ch.v = s.v
+  LEFT JOIN src_hist sh ON sh.source = st.source AND sh.v = s.v
+),
+cdfs AS (
+  SELECT source, ns, v,
+         SUM(cs) OVER w AS cum_s,
+         SUM(cc) OVER w AS cum_c,
+         LEAD(v) OVER (PARTITION BY source ORDER BY v) AS v_next
+  FROM grid
+  WINDOW w AS (PARTITION BY source ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+terms AS (
+  SELECT source,
+         ROUND(ABS(cum_s / CAST(ns AS DOUBLE)
+                   - cum_c / CAST((SELECT n FROM tot) AS DOUBLE))
+               * (v_next - v), 8) AS t
+  FROM cdfs WHERE v_next IS NOT NULL
+)
+SELECT source,
+       ROUND(CAST(SUM(CAST(t AS DECIMAL(20,8))) AS DOUBLE), 4) AS wasserstein_1,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY ROUND(CAST(SUM(CAST(t AS DECIMAL(20,8))) AS DOUBLE), 4) DESC,
+                  source) AS INT) AS rk
+FROM terms GROUP BY source
+""",
+)
+def q347_wasserstein_drift(spark, sf_dir):
+    """1-D WASSERSTEIN (earth-mover) DISTANCE of each source's
+    document-length distribution from the corpus mix — the
+    TRANSPORT-metric drift ledger that, unlike q161's binned PSI or
+    q171's sup-norm KS, scales with HOW FAR the mass moved, not just
+    that it moved: W1 = integral |F_s - F_corpus| over the shared
+    support, exact on the value histogram.
+
+    Scale discipline: the closed form needs only the (source x
+    distinct-value) CDF grid — value-domain-bounded; CDF differences
+    integrate as |step| x gap terms snapped at 8 into DECIMAL sums;
+    one corpus scan total."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.select("source", F.col("n_chars").alias("v"))
+    support = vals.select("v").distinct()
+    src_tot = vals.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns")
+    )
+    tot = vals.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    src_hist = vals.groupBy("source", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cs")
+    )
+    corpus_hist = vals.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cc")
+    )
+    grid = (
+        src_tot.crossJoin(F.broadcast(support))
+        .join(F.broadcast(corpus_hist), "v")
+        .join(src_hist, ["source", "v"], "left")
+        .select(
+            "source",
+            "ns",
+            "v",
+            F.coalesce(F.col("cs"), F.lit(0)).alias("cs"),
+            "cc",
+        )
+    )
+    w = W.partitionBy("source").orderBy("v").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cdfs = grid.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "ns",
+        "v",
+        "n",
+        F.sum("cs").over(w).alias("cum_s"),
+        F.sum("cc").over(w).alias("cum_c"),
+        F.lead("v").over(W.partitionBy("source").orderBy("v")).alias("v_next"),
+    )
+    terms = cdfs.where(F.col("v_next").isNotNull()).select(
+        "source",
+        F.round(
+            F.abs(
+                F.col("cum_s") / F.col("ns").cast("double")
+                - F.col("cum_c") / F.col("n").cast("double")
+            )
+            * (F.col("v_next") - F.col("v")),
+            8,
+        ).alias("t"),
+    )
+    w1 = F.round(F.sum(F.col("t").cast("decimal(20,8)")).cast("double"), 4)
+    agg = terms.groupBy("source").agg(w1.alias("wasserstein_1"))
+    return agg.select(
+        "source",
+        "wasserstein_1",
+        F.row_number()
+        .over(W.orderBy(F.col("wasserstein_1").desc(), "source"))
+        .cast("int")
+        .alias("rk"),
+    )

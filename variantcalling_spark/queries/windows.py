@@ -5063,3 +5063,69 @@ def q335_binseg_changepoints(spark, sf_dir):
             F.col("c_right").cast("bigint").alias("cp_right"),
         )
     )
+
+
+@query(
+    "q348_quantile_treatment_effect",
+    oracle="""
+WITH arms AS MATERIALIZED (
+  SELECT user_id % 2 AS arm, value AS v FROM events
+),
+rk AS (
+  SELECT arm, v,
+         ROW_NUMBER() OVER (PARTITION BY arm ORDER BY v, v) AS rn,
+         COUNT(*) OVER (PARTITION BY arm) AS n
+  FROM arms
+),
+qs AS MATERIALIZED (
+  SELECT r.arm, d.d AS decile, r.v
+  FROM rk r
+  JOIN (SELECT unnest(generate_series(1, 9)) AS d) d
+    ON r.rn = CAST(CEIL(d.d * 0.1 * r.n) AS BIGINT)
+)
+SELECT a.decile,
+       a.v AS q_treatment,
+       b.v AS q_control,
+       ROUND(a.v - b.v, 6) AS qte
+FROM qs a JOIN qs b ON b.decile = a.decile AND a.arm = 1 AND b.arm = 0
+""",
+)
+def q348_quantile_treatment_effect(spark, sf_dir):
+    """QUANTILE TREATMENT EFFECTS (the distributional A/B readout —
+    a mean shift of zero can hide a variance trade where the
+    treatment helps the median user and hurts the tail; QTE(tau) =
+    q_T(tau) - q_C(tau) per decile is the standard way to see it,
+    beside q265's mean CUPED and q293's rank test): exact rank-picked
+    deciles per arm and their differences.
+
+    Scale discipline: one rank window per arm (arm-partitioned
+    sorts), decile picks via an equi-join of rank = ceil(tau*n) on
+    the 9-row tau spine — no interpolation, engine-identical picks;
+    output is decile-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.select(
+        (F.col("user_id") % 2).alias("arm"), F.col("value").alias("v")
+    )
+    rk = arms.select(
+        "arm",
+        "v",
+        F.row_number().over(W.partitionBy("arm").orderBy("v", "v")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("arm")).alias("n"),
+    )
+    ds = spark.range(1, 10).select(F.col("id").alias("decile"))
+    qs = rk.crossJoin(F.broadcast(ds)).where(
+        F.col("rn")
+        == F.ceil(F.col("decile") * 0.1 * F.col("n")).cast("bigint")
+    ).select("arm", "decile", "v")
+    a = qs.where(F.col("arm") == 1).select(
+        "decile", F.col("v").alias("q_treatment")
+    )
+    b = qs.where(F.col("arm") == 0).select(
+        "decile", F.col("v").alias("q_control")
+    )
+    return a.join(b, "decile").select(
+        "decile",
+        "q_treatment",
+        "q_control",
+        F.round(F.col("q_treatment") - F.col("q_control"), 6).alias("qte"),
+    )
