@@ -4510,3 +4510,150 @@ def q346_tss_profile(spark, sf_dir):
             F.col("base_depth") / F.lit(float(_TSS_BIN)) / F.col("na"), 6
         ).alias("mean_depth_per_gene"),
     )
+
+
+_PEAK_FOLD = 2.0
+_PEAK_MERGE_GAP = 50
+
+
+@query(
+    "q350_peak_calling",
+    oracle=f"""
+WITH reads AS MATERIALIZED ({_LC_READS_SQL}),
+deltas AS (
+  SELECT chrom, start AS bp, 1 AS d FROM reads
+  UNION ALL SELECT chrom, fin AS bp, -1 AS d FROM reads
+),
+agg AS (
+  SELECT chrom, bp, SUM(d) AS d FROM deltas GROUP BY chrom, bp
+  HAVING SUM(d) <> 0
+),
+runs AS MATERIALIZED (
+  SELECT chrom, bp AS s,
+         LEAD(bp) OVER (PARTITION BY chrom ORDER BY bp) AS e,
+         CAST(SUM(d) OVER (PARTITION BY chrom ORDER BY bp) AS BIGINT) AS depth
+  FROM agg QUALIFY e IS NOT NULL AND depth > 0
+),
+lam AS MATERIALIZED (
+  SELECT chrom,
+         ROUND(SUM((e - s) * depth) / CAST(SUM(e - s) AS DOUBLE), 6) AS bg
+  FROM runs GROUP BY chrom
+),
+enriched AS MATERIALIZED (
+  SELECT r.chrom, r.s, r.e, r.depth
+  FROM runs r JOIN lam l ON l.chrom = r.chrom
+  WHERE r.depth >= {_PEAK_FOLD!r} * l.bg
+),
+islands AS (
+  SELECT chrom, s, e, depth,
+         CASE WHEN s - LAG(e) OVER (PARTITION BY chrom ORDER BY s)
+                   <= {_PEAK_MERGE_GAP} THEN 0 ELSE 1 END AS brk
+  FROM enriched
+),
+pk AS MATERIALIZED (
+  SELECT chrom, s, e, depth,
+         SUM(brk) OVER (PARTITION BY chrom ORDER BY s) AS peak_id
+  FROM islands
+)
+SELECT p.chrom, CAST(p.peak_id AS BIGINT) AS peak_id,
+       CAST(MIN(p.s) AS BIGINT) AS peak_start,
+       CAST(MAX(p.e) AS BIGINT) AS peak_end,
+       CAST(MAX(p.depth) AS BIGINT) AS summit_depth,
+       ROUND(MAX(p.depth) / MAX(l.bg), 4) AS fold_enrichment,
+       CAST(SUM(p.e - p.s) AS BIGINT) AS enriched_bases
+FROM pk p JOIN lam l ON l.chrom = p.chrom
+GROUP BY p.chrom, p.peak_id
+""",
+)
+def q350_peak_calling(spark, sf_dir):
+    """PEAK CALLING, MACS-lite (the ChIP/ATAC enrichment caller: a
+    peak is a run of coverage >= fold x the chromosome background
+    rate, nearby enriched runs merged across <= 50-bp gaps, reported
+    with its summit depth and fold enrichment — the caller whose
+    INPUT diagnostics q346's TSS profile plots): per-contig Poisson-
+    style background from the base-weighted mean depth, 2x threshold,
+    gaps-and-islands merge.
+
+    Scale discipline: everything stays in RUN form — background is
+    one base-weighted aggregate per contig, enrichment a broadcast-
+    threshold filter, peak assembly the standard gaps-and-islands
+    window pair; no per-base explosion, exact integer bases and
+    depths with two rounded ratios."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    reads = li.where(
+        (F.col("l_linenumber") % 7 != 0) & (F.col("l_partkey") % 60 >= 20)
+    ).select(
+        F.concat(F.lit("c"), (F.col("l_orderkey") % 4).cast("string")).alias("chrom"),
+        ((F.col("l_orderkey") * 7 + F.col("l_linenumber") * 13) % 50000).alias("start"),
+        (
+            (F.col("l_orderkey") * 7 + F.col("l_linenumber") * 13) % 50000
+            + (20 + F.col("l_quantity").cast("bigint") % 30)
+            + (1 + F.col("l_linenumber") % 3)
+        ).alias("fin"),
+    )
+    deltas = reads.select(
+        "chrom", F.col("start").alias("bp"), F.lit(1).alias("d")
+    ).unionByName(
+        reads.select("chrom", F.col("fin").alias("bp"), F.lit(-1).alias("d"))
+    )
+    agg = (
+        deltas.groupBy("chrom", "bp")
+        .agg(F.sum("d").alias("d"))
+        .where(F.col("d") != 0)
+    )
+    w_ord = W.partitionBy("chrom").orderBy("bp")
+    runs = (
+        agg.select(
+            "chrom",
+            F.col("bp").alias("s"),
+            F.lead("bp").over(w_ord).alias("e"),
+            F.sum("d")
+            .over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("bigint")
+            .alias("depth"),
+        )
+        .where(F.col("e").isNotNull() & (F.col("depth") > 0))
+        .transform(managed_persist)
+    )
+    lam = runs.groupBy("chrom").agg(
+        F.round(
+            F.sum((F.col("e") - F.col("s")) * F.col("depth"))
+            / F.sum(F.col("e") - F.col("s")).cast("double"),
+            6,
+        ).alias("bg")
+    )
+    enriched = runs.join(F.broadcast(lam), "chrom").where(
+        F.col("depth") >= F.lit(_PEAK_FOLD) * F.col("bg")
+    )
+    ws = W.partitionBy("chrom").orderBy("s")
+    islands = enriched.select(
+        "chrom",
+        "s",
+        "e",
+        "depth",
+        "bg",
+        F.when(
+            F.col("s") - F.lag("e").over(ws) <= _PEAK_MERGE_GAP, 0
+        )
+        .otherwise(1)
+        .alias("brk"),
+    )
+    pk = islands.select(
+        "chrom",
+        "s",
+        "e",
+        "depth",
+        "bg",
+        F.sum("brk")
+        .over(ws.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("peak_id"),
+    )
+    return pk.groupBy("chrom", F.col("peak_id").cast("bigint").alias("peak_id")).agg(
+        F.min("s").cast("bigint").alias("peak_start"),
+        F.max("e").cast("bigint").alias("peak_end"),
+        F.max("depth").cast("bigint").alias("summit_depth"),
+        F.round(F.max("depth") / F.max("bg"), 4).alias("fold_enrichment"),
+        F.sum(F.col("e") - F.col("s")).cast("bigint").alias("enriched_bases"),
+    )

@@ -5129,3 +5129,131 @@ def q348_quantile_treatment_effect(spark, sf_dir):
         "q_control",
         F.round(F.col("q_treatment") - F.col("q_control"), 6).alias("qte"),
     )
+
+
+@query(
+    "q349_wilcoxon_signed_rank",
+    oracle="""
+WITH per_user AS MATERIALIZED (
+  SELECT event_type, user_id,
+         ROUND(CAST(SUM(CASE WHEN ((epoch_ns(ts) // 86400000000000) + 3) % 7 >= 5
+                        THEN CAST(value AS DECIMAL(12,2)) ELSE NULL END) AS DOUBLE)
+               / NULLIF(SUM(CASE WHEN ((epoch_ns(ts) // 86400000000000) + 3) % 7 >= 5
+                            THEN 1 ELSE 0 END), 0), 6) AS m_we,
+         ROUND(CAST(SUM(CASE WHEN ((epoch_ns(ts) // 86400000000000) + 3) % 7 < 5
+                        THEN CAST(value AS DECIMAL(12,2)) ELSE NULL END) AS DOUBLE)
+               / NULLIF(SUM(CASE WHEN ((epoch_ns(ts) // 86400000000000) + 3) % 7 < 5
+                            THEN 1 ELSE 0 END), 0), 6) AS m_wd
+  FROM events GROUP BY event_type, user_id
+),
+diffs AS MATERIALIZED (
+  SELECT event_type, ROUND(m_we - m_wd, 6) AS d
+  FROM per_user
+  WHERE m_we IS NOT NULL AND m_wd IS NOT NULL AND m_we <> m_wd
+),
+rk AS (
+  SELECT event_type, d,
+         RANK() OVER (PARTITION BY event_type ORDER BY ABS(d)) AS rmin,
+         COUNT(*) OVER (PARTITION BY event_type, ABS(d)) AS tc
+  FROM diffs
+),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN d > 0 THEN 2 * rmin + tc - 1 ELSE 0 END) AS BIGINT)
+           AS two_wplus
+  FROM rk GROUP BY event_type
+),
+ties AS (
+  SELECT event_type,
+         CAST(COALESCE(SUM(t * t * t - t), 0) AS BIGINT) AS tsum
+  FROM (SELECT event_type, ABS(d) AS a, COUNT(*) AS t
+        FROM diffs GROUP BY event_type, ABS(d))
+  WHERE t > 1 GROUP BY event_type
+)
+SELECT a.event_type, a.n,
+       ROUND(a.two_wplus / 2.0, 1) AS w_plus,
+       ROUND((a.two_wplus / 2.0 - a.n * (a.n + 1) / 4.0)
+             / sqrt(a.n * (a.n + 1) * (2 * a.n + 1) / 24.0
+                    - COALESCE(t.tsum, 0) / 48.0), 6) AS wilcoxon_z
+FROM agg a LEFT JOIN ties t ON t.event_type = a.event_type
+""",
+)
+def q349_wilcoxon_signed_rank(spark, sf_dir):
+    """WILCOXON SIGNED-RANK TEST, paired weekend-vs-weekday per USER
+    (the PAIRED complement of q293's unpaired Mann-Whitney: each user
+    serves as their own control, killing between-user variance the way
+    q265's CUPED does parametrically): per-user mean differences, zero
+    differences dropped per Wilcoxon, tie-corrected normal z.
+
+    Scale discipline: the stream reduces to per-(series, user) paired
+    means in one conditional aggregate; signed rank sums use the
+    integer 2*rmin + tc - 1 trick (q293's machinery on |d|); the tie
+    correction reads the |d| histogram. Exact integers until the final
+    two divisions."""
+    ev = load_table(spark, sf_dir, "events")
+    is_we = (F.expr("ts_ns DIV 86400000000000") + 3) % 7 >= 5
+    dv = dec("value")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.round(
+            F.sum(F.when(is_we, dv)).cast("double")
+            / F.nullif(F.sum(F.when(is_we, 1).otherwise(0)), F.lit(0)),
+            6,
+        ).alias("m_we"),
+        F.round(
+            F.sum(F.when(~is_we, dv)).cast("double")
+            / F.nullif(F.sum(F.when(~is_we, 1).otherwise(0)), F.lit(0)),
+            6,
+        ).alias("m_wd"),
+    )
+    diffs = per_user.where(
+        F.col("m_we").isNotNull()
+        & F.col("m_wd").isNotNull()
+        & (F.col("m_we") != F.col("m_wd"))
+    ).select(
+        "event_type", F.round(F.col("m_we") - F.col("m_wd"), 6).alias("d")
+    ).transform(managed_persist)
+    rk = diffs.select(
+        "event_type",
+        "d",
+        F.rank()
+        .over(W.partitionBy("event_type").orderBy(F.abs(F.col("d"))))
+        .alias("rmin"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("event_type", F.abs(F.col("d"))))
+        .alias("tc"),
+    )
+    agg = rk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("d") > 0, 2 * F.col("rmin") + F.col("tc") - 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("two_wplus"),
+    )
+    ties = (
+        diffs.groupBy("event_type", F.abs(F.col("d")).alias("a"))
+        .agg(F.count(F.lit(1)).alias("t"))
+        .where(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tsum")
+        )
+    )
+    n = F.col("n")
+    wplus = F.col("two_wplus") / 2.0
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - F.coalesce(
+        F.col("tsum"), F.lit(0)
+    ) / 48.0
+    return agg.join(ties, "event_type", "left").select(
+        "event_type",
+        "n",
+        F.round(wplus, 1).alias("w_plus"),
+        F.round((wplus - n * (n + 1) / 4.0) / F.sqrt(var), 6).alias(
+            "wilcoxon_z"
+        ),
+    )
