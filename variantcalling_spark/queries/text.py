@@ -4569,3 +4569,81 @@ def q347_wasserstein_drift(spark, sf_dir):
         .cast("int")
         .alias("rk"),
     )
+
+
+_RARE_FRACS = (25, 50, 75, 100)
+
+
+def _rarefaction_oracle_sql() -> str:
+    from variantcalling_spark.operators.dedup import PORTABLE_HASH_SQL
+
+    keep = PORTABLE_HASH_SQL.format(
+        col="CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)"
+    )
+    fracs = ", ".join(f"({f})" for f in _RARE_FRACS)
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, pos, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+  )
+),
+keyed AS MATERIALIZED (
+  SELECT w, ({keep}) % 100 AS coin FROM tok
+),
+fr AS (SELECT * FROM (VALUES {fracs}) AS t(f)),
+kept AS (
+  SELECT fr.f, k.w FROM keyed k JOIN fr ON k.coin < fr.f
+)
+SELECT CAST(f AS INT) AS pct_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS vocab_size,
+       ROUND(COUNT(DISTINCT w) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS type_token_ratio
+FROM kept GROUP BY f
+"""
+
+
+@query("q351_vocab_rarefaction", oracle=_rarefaction_oracle_sql())
+def q351_vocab_rarefaction(spark, sf_dir):
+    """VOCABULARY RAREFACTION CURVE (the ecology-borrowed saturation
+    measurement: how many distinct types does a 25/50/75/100% token
+    subsample contain? — the MEASURED counterpart of q249's fitted
+    Heaps' law, and the text twin of q326's coverage titration; the
+    curve that answers "will more data still grow the vocabulary?"):
+    hash-deterministic token thinning, distinct-type counts and
+    type-token ratios per fraction.
+
+    Scale discipline: the deterministic coin is a projection; the
+    fraction spine fans out the FILTER, not the data; each fraction's
+    distinct count is one hash aggregate. No RNG state, identical
+    subsamples on every engine and every retry."""
+    from variantcalling_spark.operators.dedup import portable_string_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    keyed = tok.select(
+        "w",
+        (
+            portable_string_hash(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("pos").cast("string"),
+                )
+            )
+            % 100
+        ).alias("coin"),
+    ).transform(managed_persist)
+    fr = spark.createDataFrame([(f,) for f in _RARE_FRACS], "f int")
+    kept = keyed.crossJoin(F.broadcast(fr)).where(F.col("coin") < F.col("f"))
+    return kept.groupBy(F.col("f").cast("int").alias("pct_tokens")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.countDistinct("w").cast("bigint").alias("vocab_size"),
+        F.round(
+            F.countDistinct("w") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("type_token_ratio"),
+    )
