@@ -5257,3 +5257,113 @@ def q349_wilcoxon_signed_rank(spark, sf_dir):
             "wilcoxon_z"
         ),
     )
+
+
+@query(
+    "q352_seasonal_adjustment",
+    oracle="""
+WITH hours AS MATERIALIZED (
+  SELECT event_type,
+         (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+         epoch_ns(ts) // 86400000000000 AS day,
+         value
+  FROM events
+),
+cells AS MATERIALIZED (
+  SELECT event_type, hod,
+         CAST(COUNT(*) AS BIGINT) AS n_c,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s_c
+  FROM hours GROUP BY event_type, hod
+),
+grand AS MATERIALIZED (
+  SELECT event_type,
+         ROUND(CAST(SUM(CAST(s_c AS DECIMAL(20,2))) AS DOUBLE) / SUM(n_c), 6)
+           AS gmean
+  FROM cells GROUP BY event_type
+),
+idx AS MATERIALIZED (
+  SELECT c.event_type, c.hod,
+         ROUND(ROUND(c.s_c / c.n_c, 6) / g.gmean, 8) AS season_idx
+  FROM cells c JOIN grand g ON g.event_type = c.event_type
+),
+adjusted AS (
+  SELECT h.event_type, h.day,
+         CAST(h.value AS DECIMAL(12,2)) AS raw,
+         CAST(ROUND(h.value / i.season_idx, 6) AS DECIMAL(18,6)) AS adj
+  FROM hours h JOIN idx i
+    ON i.event_type = h.event_type AND i.hod = h.hod
+),
+daily AS MATERIALIZED (
+  SELECT event_type, day,
+         ROUND(CAST(SUM(raw) AS DOUBLE) / COUNT(*), 6) AS m_raw,
+         ROUND(CAST(SUM(adj) AS DOUBLE) / COUNT(*), 6) AS m_adj
+  FROM adjusted GROUP BY event_type, day
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(VAR_SAMP(m_raw), 6) AS var_raw,
+       ROUND(VAR_SAMP(m_adj), 6) AS var_adj,
+       ROUND(1 - VAR_SAMP(m_adj) / VAR_SAMP(m_raw), 6) AS variance_reduction
+FROM daily GROUP BY event_type
+""",
+)
+def q352_seasonal_adjustment(spark, sf_dir):
+    """RATIO-TO-MOVING-AVERAGE SEASONAL ADJUSTMENT (the X-11-lite
+    deseasonalizer: divide each observation by its hour-of-day
+    seasonal index, then compare day-level variance before/after —
+    the ADJUSTMENT that q287's seasonal-R2 DETECTION motivates, and
+    the denoising q283/q310/q295 trend tools want upstream): per
+    series, the variance-reduction report of hour-index division.
+
+    Scale discipline: the index is q287's 24-cell ledger (one
+    map-side-combinable pass); adjustment is a broadcast join of 120
+    index rows back onto the stream; daily means snap through DECIMAL;
+    VAR_SAMP runs over the calendar-bounded daily table only. NOTE on
+    VAR_SAMP: acceptable here ONLY because its input is the tiny
+    snapped daily table where both engines see identical doubles — the
+    corpus-sized moments still go through DECIMAL sums."""
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.select(
+        "event_type",
+        (F.expr("ts_ns DIV 3600000000000") % 24).alias("hod"),
+        F.expr("ts_ns DIV 86400000000000").alias("day"),
+        "value",
+    )
+    cells = hours.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_c"),
+        F.sum(dec("value")).cast("double").alias("s_c"),
+    ).transform(managed_persist)
+    grand = cells.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.col("s_c").cast("decimal(20,2)")).cast("double")
+            / F.sum("n_c"),
+            6,
+        ).alias("gmean")
+    )
+    idx = cells.join(F.broadcast(grand), "event_type").select(
+        "event_type",
+        "hod",
+        F.round(
+            F.round(F.col("s_c") / F.col("n_c"), 6) / F.col("gmean"), 8
+        ).alias("season_idx"),
+    )
+    adjusted = hours.join(F.broadcast(idx), ["event_type", "hod"]).select(
+        "event_type",
+        "day",
+        F.col("value").cast("decimal(12,2)").alias("raw"),
+        F.round(F.col("value") / F.col("season_idx"), 6)
+        .cast("decimal(18,6)")
+        .alias("adj"),
+    )
+    daily = adjusted.groupBy("event_type", "day").agg(
+        F.round(F.sum("raw").cast("double") / F.count(F.lit(1)), 6).alias("m_raw"),
+        F.round(F.sum("adj").cast("double") / F.count(F.lit(1)), 6).alias("m_adj"),
+    )
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.var_samp("m_raw"), 6).alias("var_raw"),
+        F.round(F.var_samp("m_adj"), 6).alias("var_adj"),
+        F.round(1 - F.var_samp("m_adj") / F.var_samp("m_raw"), 6).alias(
+            "variance_reduction"
+        ),
+    )
