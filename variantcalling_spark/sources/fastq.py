@@ -109,3 +109,11 @@ def qual_to_phred(qual_col: str = "qual"):
         f"transform(sequence(1, length({qual_col})),"
         f" i -> ascii(substring({qual_col}, i, 1)) - {PHRED33})"
     )
+
+
+# Worker-side closures (read_fastq's per-shard parser, q312's in-pipeline
+# round trip) reference this module's functions: ship them by value so
+# executors never need the package on PYTHONPATH (the _serde policy).
+from variantcalling_spark._serde import register_module_by_value  # noqa: E402
+
+register_module_by_value(__name__)
