@@ -4657,3 +4657,210 @@ def q350_peak_calling(spark, sf_dir):
         F.round(F.max("depth") / F.max("bg"), 4).alias("fold_enrichment"),
         F.sum(F.col("e") - F.col("s")).cast("bigint").alias("enriched_bases"),
     )
+
+
+_CNV_BIN = 1000
+_CNV_CALL_THRESH = 0.3
+
+
+@query(
+    "q353_copy_ratio_segments",
+    oracle=f"""
+WITH reads AS MATERIALIZED ({_LC_READS_SQL}),
+bins AS MATERIALIZED (
+  SELECT chrom, (start + (fin - start) // 2) // {_CNV_BIN} AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM reads GROUP BY chrom, (start + (fin - start) // 2) // {_CNV_BIN}
+),
+rel AS MATERIALIZED (
+  SELECT chrom, cnt,
+         ROW_NUMBER() OVER (PARTITION BY chrom ORDER BY bin) AS t,
+         SUM(cnt) OVER (PARTITION BY chrom ORDER BY bin) AS cum,
+         COUNT(*) OVER (PARTITION BY chrom) AS n,
+         SUM(cnt) OVER (PARTITION BY chrom) AS tot
+  FROM bins
+),
+cp1 AS MATERIALIZED (
+  SELECT chrom, t AS c1, cum AS cum1, n, tot FROM (
+    SELECT chrom, t, cum, n, tot,
+           ROW_NUMBER() OVER (PARTITION BY chrom
+             ORDER BY ABS(n * cum - t * tot) DESC, t) AS rk
+    FROM rel WHERE t < n
+  ) WHERE rk = 1
+),
+cpl AS MATERIALIZED (
+  SELECT chrom, t AS cl FROM (
+    SELECT r.chrom, r.t,
+           ROW_NUMBER() OVER (PARTITION BY r.chrom
+             ORDER BY ABS(c.c1 * r.cum - r.t * c.cum1) DESC, r.t) AS rk
+    FROM rel r JOIN cp1 c ON c.chrom = r.chrom
+    WHERE r.t < c.c1
+  ) WHERE rk = 1
+),
+cpr AS MATERIALIZED (
+  SELECT chrom, t AS cr FROM (
+    SELECT r.chrom, r.t,
+           ROW_NUMBER() OVER (PARTITION BY r.chrom
+             ORDER BY ABS((c.n - c.c1) * (r.cum - c.cum1)
+                          - (r.t - c.c1) * (c.tot - c.cum1)) DESC, r.t) AS rk
+    FROM rel r JOIN cp1 c ON c.chrom = r.chrom
+    WHERE r.t > c.c1 AND r.t < c.n
+  ) WHERE rk = 1
+),
+segged AS (
+  SELECT r.chrom, r.t, r.cnt, r.n, r.tot,
+         CASE WHEN r.t <= l.cl THEN 1
+              WHEN r.t <= c.c1 THEN 2
+              WHEN r.t <= x.cr THEN 3
+              ELSE 4 END AS seg
+  FROM rel r
+  JOIN cp1 c ON c.chrom = r.chrom
+  JOIN cpl l ON l.chrom = r.chrom
+  JOIN cpr x ON x.chrom = r.chrom
+),
+scored AS (
+  SELECT chrom, seg,
+         CAST(COUNT(*) AS BIGINT) AS n_bins,
+         CAST(SUM(cnt) AS BIGINT) AS seg_reads,
+         ROUND(CAST(SUM(CAST(ROUND(ln((cnt * n)
+                                      / CAST(tot AS DOUBLE)) / ln(2.0), 8)
+                             AS DECIMAL(16,8))) AS DOUBLE) / COUNT(*), 6)
+           AS mean_log2_ratio
+  FROM segged GROUP BY chrom, seg
+)
+SELECT chrom, CAST(seg AS INT) AS seg, n_bins, seg_reads, mean_log2_ratio,
+       CASE WHEN mean_log2_ratio > {_CNV_CALL_THRESH!r} THEN 'gain'
+            WHEN mean_log2_ratio < -{_CNV_CALL_THRESH!r} THEN 'loss'
+            ELSE 'neutral' END AS call
+FROM scored
+""",
+)
+def q353_copy_ratio_segments(spark, sf_dir):
+    """COPY-RATIO SEGMENTATION (the GATK ModelSegments / CNV-caller
+    shape: bin the genome, log2 the coverage ratio against the contig
+    baseline, segment, call gain/loss — q335's binary-segmentation
+    machinery composed into the artifact a CNV pipeline actually
+    emits): 1-kb read-count bins, depth-2 binseg per contig (integer
+    mean-clearing scores on the raw COUNTS — changepoints never touch
+    floats), then per-segment mean log2 ratio and a +-0.3 call.
+
+    Scale discipline: binning is one midpoint aggregate; changepoint
+    scores are exact-integer windows over bin-domain tables (q335's
+    trick); only the REPORTING layer computes log2 ratios — 8-dp
+    snapped terms into DECIMAL segment means."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    reads = li.where(
+        (F.col("l_linenumber") % 7 != 0) & (F.col("l_partkey") % 60 >= 20)
+    ).select(
+        F.concat(F.lit("c"), (F.col("l_orderkey") % 4).cast("string")).alias("chrom"),
+        ((F.col("l_orderkey") * 7 + F.col("l_linenumber") * 13) % 50000).alias("start"),
+        (
+            (F.col("l_orderkey") * 7 + F.col("l_linenumber") * 13) % 50000
+            + (20 + F.col("l_quantity").cast("bigint") % 30)
+            + (1 + F.col("l_linenumber") % 3)
+        ).alias("fin"),
+    )
+    bins = reads.groupBy(
+        "chrom",
+        F.expr(f"(start + (fin - start) DIV 2) DIV {_CNV_BIN}").alias("bin"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w_ord = W.partitionBy("chrom").orderBy("bin")
+    w_all = W.partitionBy("chrom")
+    rel = bins.select(
+        "chrom",
+        "cnt",
+        F.row_number().over(w_ord).alias("t"),
+        F.sum("cnt")
+        .over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("cnt").over(w_all).alias("tot"),
+    ).transform(managed_persist)
+    cp1 = (
+        rel.where(F.col("t") < F.col("n"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("chrom").orderBy(
+                    F.abs(F.col("n") * F.col("cum") - F.col("t") * F.col("tot")).desc(),
+                    "t",
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("chrom", F.col("t").alias("c1"), F.col("cum").alias("cum1"))
+        .transform(managed_persist)
+    )
+    base = rel.join(F.broadcast(cp1), "chrom")
+    cpl = (
+        base.where(F.col("t") < F.col("c1"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("chrom").orderBy(
+                    F.abs(F.col("c1") * F.col("cum") - F.col("t") * F.col("cum1")).desc(),
+                    "t",
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("chrom", F.col("t").alias("cl"))
+    )
+    cpr = (
+        base.where((F.col("t") > F.col("c1")) & (F.col("t") < F.col("n")))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("chrom").orderBy(
+                    F.abs(
+                        (F.col("n") - F.col("c1")) * (F.col("cum") - F.col("cum1"))
+                        - (F.col("t") - F.col("c1")) * (F.col("tot") - F.col("cum1"))
+                    ).desc(),
+                    "t",
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("chrom", F.col("t").alias("cr"))
+    )
+    segged = (
+        base.join(F.broadcast(cpl), "chrom")
+        .join(F.broadcast(cpr), "chrom")
+        .select(
+            "chrom",
+            "cnt",
+            "n",
+            "tot",
+            F.when(F.col("t") <= F.col("cl"), 1)
+            .when(F.col("t") <= F.col("c1"), 2)
+            .when(F.col("t") <= F.col("cr"), 3)
+            .otherwise(4)
+            .alias("seg"),
+        )
+    )
+    lr = F.round(
+        F.log((F.col("cnt") * F.col("n")) / F.col("tot").cast("double"))
+        / F.log(F.lit(2.0)),
+        8,
+    )
+    scored = segged.groupBy("chrom", "seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum("cnt").cast("bigint").alias("seg_reads"),
+        F.round(
+            F.sum(lr.cast("decimal(16,8)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_log2_ratio"),
+    )
+    th = _CNV_CALL_THRESH
+    return scored.select(
+        "chrom",
+        F.col("seg").cast("int").alias("seg"),
+        "n_bins",
+        "seg_reads",
+        "mean_log2_ratio",
+        F.when(F.col("mean_log2_ratio") > th, "gain")
+        .when(F.col("mean_log2_ratio") < -th, "loss")
+        .otherwise("neutral")
+        .alias("call"),
+    )
