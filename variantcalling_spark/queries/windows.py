@@ -5367,3 +5367,125 @@ def q352_seasonal_adjustment(spark, sf_dir):
             "variance_reduction"
         ),
     )
+
+
+@query(
+    "q354_eb_shrinkage",
+    oracle="""
+WITH per_user AS MATERIALIZED (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k,
+         ROUND(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE), 8) AS raw_rate
+  FROM events GROUP BY user_id
+),
+mom AS MATERIALIZED (
+  SELECT
+    ROUND(CAST(SUM(CAST(raw_rate AS DECIMAL(12,8))) AS DOUBLE)
+          / COUNT(*), 8) AS m,
+    ROUND((CAST(SUM(CAST(ROUND(raw_rate * raw_rate, 10)
+                         AS DECIMAL(16,10))) AS DOUBLE)
+           - COUNT(*) * ROUND(CAST(SUM(CAST(raw_rate AS DECIMAL(12,8)))
+                                   AS DOUBLE) / COUNT(*), 8)
+                      * ROUND(CAST(SUM(CAST(raw_rate AS DECIMAL(12,8)))
+                                   AS DOUBLE) / COUNT(*), 8))
+          / (COUNT(*) - 1), 10) AS v
+  FROM per_user
+),
+params AS MATERIALIZED (
+  SELECT m, v,
+         ROUND(m * (m * (1 - m) / v - 1), 8) AS alpha,
+         ROUND((1 - m) * (m * (1 - m) / v - 1), 8) AS beta
+  FROM mom
+)
+SELECT u.user_id, u.n, u.k, u.raw_rate,
+       ROUND(p.alpha, 4) AS alpha, ROUND(p.beta, 4) AS beta,
+       ROUND((u.k + p.alpha) / (u.n + p.alpha + p.beta), 8) AS shrunk_rate,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY ABS(u.raw_rate
+                      - (u.k + p.alpha) / (u.n + p.alpha + p.beta)) DESC,
+                  u.user_id) AS INT) AS rk
+FROM per_user u CROSS JOIN params p
+QUALIFY rk <= 20
+""",
+)
+def q354_eb_shrinkage(spark, sf_dir):
+    """EMPIRICAL-BAYES BETA-BINOMIAL SHRINKAGE of per-user conversion
+    rates (the James-Stein / batting-average classic — raw small-n
+    rates are noise; shrink toward the population prior fitted by
+    method of moments: alpha+beta = m(1-m)/v - 1): the 20 users whose
+    rates MOVE most under shrinkage, with the fitted prior — the
+    principled fix for every 'top converters' leaderboard q19's raw
+    top-k would get wrong.
+
+    Scale discipline: one user-ledger aggregate, moments via
+    snapped-term DECIMAL sums, the prior is TWO scalars broadcast back
+    — shrinkage is a projection; the argmax-of-movement ranking runs
+    on the user ledger, not the stream."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            8,
+        ).alias("raw_rate"),
+    ).transform(managed_persist)
+    m_expr = F.round(
+        F.sum(F.col("raw_rate").cast("decimal(12,8)")).cast("double")
+        / F.count(F.lit(1)),
+        8,
+    )
+    mom = per_user.agg(
+        m_expr.alias("m"),
+        F.round(
+            (
+                F.sum(
+                    F.round(F.col("raw_rate") * F.col("raw_rate"), 10).cast(
+                        "decimal(16,10)"
+                    )
+                ).cast("double")
+                - F.count(F.lit(1)) * m_expr * m_expr
+            )
+            / (F.count(F.lit(1)) - 1),
+            10,
+        ).alias("v"),
+    )
+    m, v = F.col("m"), F.col("v")
+    params = mom.select(
+        F.round(m * (m * (1 - m) / v - 1), 8).alias("alpha"),
+        F.round((1 - m) * (m * (1 - m) / v - 1), 8).alias("beta"),
+    )
+    j = per_user.crossJoin(F.broadcast(params))
+    shrunk = (F.col("k") + F.col("alpha")) / (
+        F.col("n") + F.col("alpha") + F.col("beta")
+    )
+    scored = j.select(
+        "user_id",
+        "n",
+        "k",
+        "raw_rate",
+        F.round(F.col("alpha"), 4).alias("alpha"),
+        F.round(F.col("beta"), 4).alias("beta"),
+        F.round(shrunk, 8).alias("shrunk_rate"),
+        F.abs(F.col("raw_rate") - shrunk).alias("_mv"),
+    )
+    top = scored.orderBy(F.col("_mv").desc(), "user_id").limit(20)
+    return top.select(
+        "user_id",
+        "n",
+        "k",
+        "raw_rate",
+        "alpha",
+        "beta",
+        "shrunk_rate",
+        F.row_number()
+        .over(W.orderBy(F.col("_mv").desc(), "user_id"))
+        .cast("int")
+        .alias("rk"),
+    )
