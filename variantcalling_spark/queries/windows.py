@@ -5489,3 +5489,125 @@ def q354_eb_shrinkage(spark, sf_dir):
         .cast("int")
         .alias("rk"),
     )
+
+
+@query(
+    "q355_forecast_backtest",
+    oracle="""
+WITH daily AS MATERIALIZED (
+  SELECT event_type,
+         epoch_ns(ts) // 86400000000000 AS day,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM events GROUP BY event_type, day
+),
+rel AS MATERIALIZED (
+  SELECT event_type, m,
+         ROW_NUMBER() OVER w AS t,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         LAG(m, 1) OVER w AS lag1,
+         LAG(m, 7) OVER w AS lag7,
+         FIRST_VALUE(m) OVER w AS m0
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+test AS MATERIALIZED (
+  SELECT event_type, t, m,
+         lag1 AS pred_naive,
+         lag7 AS pred_snaive,
+         ROUND(lag1 + (lag1 - m0) / (t - 2), 6) AS pred_drift
+  FROM rel WHERE t > n - 7 AND lag7 IS NOT NULL AND t > 2
+),
+errs AS (
+  SELECT event_type, 'naive' AS method,
+         ROUND(ABS(m - pred_naive), 8) AS ae,
+         ROUND(ABS(m - pred_naive) / ABS(m), 8) AS ape
+  FROM test
+  UNION ALL
+  SELECT event_type, 'seasonal_naive',
+         ROUND(ABS(m - pred_snaive), 8), ROUND(ABS(m - pred_snaive) / ABS(m), 8)
+  FROM test
+  UNION ALL
+  SELECT event_type, 'drift',
+         ROUND(ABS(m - pred_drift), 8), ROUND(ABS(m - pred_drift) / ABS(m), 8)
+  FROM test
+)
+SELECT event_type, method,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       ROUND(CAST(SUM(CAST(ae AS DECIMAL(16,8))) AS DOUBLE) / COUNT(*), 6)
+         AS mae,
+       ROUND(CAST(SUM(CAST(ape AS DECIMAL(16,8))) AS DOUBLE) / COUNT(*), 6)
+         AS mape
+FROM errs GROUP BY event_type, method
+""",
+)
+def q355_forecast_backtest(spark, sf_dir):
+    """FORECAST BACKTEST HARNESS (the M-competition baseline trio —
+    naive, seasonal-naive, drift — scored on the last 7 held-out days
+    per series: the model-selection gate that decides whether q267's
+    EWMA or q302's Holt actually beats 'copy yesterday', which most
+    dashboards never check): one-step-ahead MAE and MAPE per method.
+
+    Scale discipline: predictions are LAG/FIRST_VALUE windows over
+    calendar-bounded daily means — every baseline is a projection, no
+    model state; absolute errors snap at 8 into DECIMAL means; output
+    is (series x method)-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_ns DIV 86400000000000").alias("day")
+    ).agg(
+        F.round(F.sum(dec("value")).cast("double") / F.count(F.lit(1)), 6).alias("m")
+    )
+    w_ord = W.partitionBy("event_type").orderBy("day")
+    rel = daily.select(
+        "event_type",
+        "m",
+        F.row_number().over(w_ord).alias("t"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+        F.lag("m", 1).over(w_ord).alias("lag1"),
+        F.lag("m", 7).over(w_ord).alias("lag7"),
+        F.first("m").over(
+            w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("m0"),
+    )
+    test = rel.where(
+        (F.col("t") > F.col("n") - 7)
+        & F.col("lag7").isNotNull()
+        & (F.col("t") > 2)
+    ).select(
+        "event_type",
+        "m",
+        F.col("lag1").alias("pred_naive"),
+        F.col("lag7").alias("pred_snaive"),
+        F.round(
+            F.col("lag1") + (F.col("lag1") - F.col("m0")) / (F.col("t") - 2), 6
+        ).alias("pred_drift"),
+    ).transform(managed_persist)
+
+    def errs(pred_col, name):
+        ae = F.round(F.abs(F.col("m") - F.col(pred_col)), 8)
+        ape = F.round(F.abs(F.col("m") - F.col(pred_col)) / F.abs(F.col("m")), 8)
+        return test.select(
+            "event_type",
+            F.lit(name).alias("method"),
+            ae.alias("ae"),
+            ape.alias("ape"),
+        )
+
+    e = (
+        errs("pred_naive", "naive")
+        .unionByName(errs("pred_snaive", "seasonal_naive"))
+        .unionByName(errs("pred_drift", "drift"))
+    )
+    return e.groupBy("event_type", "method").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.round(
+            F.sum(F.col("ae").cast("decimal(16,8)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mae"),
+        F.round(
+            F.sum(F.col("ape").cast("decimal(16,8)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mape"),
+    )
