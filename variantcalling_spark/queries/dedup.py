@@ -3293,3 +3293,144 @@ def q322_lsh_planner(spark, sf_dir):
             ).alias("expected_background_candidates"),
         )
     )
+
+
+def _lsh_eval_oracle_sql(
+    num_hashes: int = 32, num_bands: int = 8, rows_per_band: int = 4
+) -> str:
+    from variantcalling_spark.operators.dedup import (
+        MERSENNE31,
+        PORTABLE_HASH_SQL,
+        _minhash_coeffs,
+    )
+
+    p = MERSENNE31
+    phash = PORTABLE_HASH_SQL.format(col="shingle")
+    coeffs = _minhash_coeffs(num_hashes)
+    sig_cols = ",\n         ".join(
+        f"MIN((CAST({a} AS BIGINT) * v + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+
+    def bucket_expr(b):
+        acc = f"h{b * rows_per_band}"
+        for r in range(1, rows_per_band):
+            acc = f"(({acc}) * 8191 + h{b * rows_per_band + r}) % {p}"
+        return acc
+
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, {bucket_expr(b)} AS bucket FROM sig"
+        for b in range(num_bands)
+    )
+    return f"""
+WITH corpus AS ({SQL_CORPUS}),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+                   for i in generate_series(1, len(string_split(text, ' ')) - 2)]) AS shingle
+    FROM corpus
+  )
+),
+sizes AS MATERIALIZED (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+),
+truth AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  ) s
+  JOIN sizes sa ON sa.doc_id = s.doc_a
+  JOIN sizes sb ON sb.doc_id = s.doc_b
+  WHERE s.n_shared / CAST(sa.n_sh + sb.n_sh - s.n_shared AS DOUBLE) >= 0.6
+),
+hv AS MATERIALIZED (SELECT doc_id, {phash} AS v FROM sh),
+sig AS MATERIALIZED (
+  SELECT doc_id,
+         {sig_cols}
+  FROM hv GROUP BY doc_id
+),
+bands AS MATERIALIZED (
+{band_selects}
+),
+cands AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+counts AS (
+  SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM cands) AS n_candidates,
+    (SELECT CAST(COUNT(*) AS BIGINT)
+     FROM truth t JOIN cands c
+       ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_hit
+)
+SELECT n_truth, n_candidates, n_hit,
+       ROUND(n_hit / CAST(n_truth AS DOUBLE), 6) AS recall,
+       ROUND(n_hit / CAST(n_candidates AS DOUBLE), 6) AS candidate_precision,
+       ROUND(n_candidates / CAST(n_truth AS DOUBLE), 4) AS verify_workload_ratio
+FROM counts
+"""
+
+
+@query("q356_lsh_dedup_eval", oracle=_lsh_eval_oracle_sql())
+def q356_lsh_dedup_eval(spark, sf_dir):
+    """DEDUP DISCOVERY QUALITY HARNESS — the q217 recall grade applied
+    to the TEXT dedup path: banded MinHash candidates (q66's discovery
+    stage, BEFORE verification) measured against the exact Jaccard >=
+    0.6 ground truth (q65's lossless PPJoin answer): recall (did
+    banding miss true near-dups?), candidate precision (how much
+    verify work is wasted?), and the verify-workload ratio the q322
+    planner predicts analytically.
+
+    Scale discipline: the truth arm is the audit (exact pairs,
+    prefix-filtered at scale); the candidate arm is the production
+    banded equi-join; the comparison joins two pair-list-sized
+    relations. Both arms share one shingle table and the portable hash
+    family, so the harness itself is value-oracled end to end."""
+    from variantcalling_spark.operators.dedup import (
+        portable_band_candidates,
+        portable_minhash_signatures,
+        shingles,
+    )
+    from variantcalling_spark.queries import _REGISTRY
+
+    c = corpus(spark, sf_dir)
+    sh = shingles(c, n=3).transform(managed_persist)
+    # exact truth via the registered q65 path (lossless PPJoin)
+    truth = (
+        _REGISTRY["q65_ngram_jaccard"]
+        .fn(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .transform(managed_persist)
+    )
+    sigs = portable_minhash_signatures(sh, num_hashes=32)
+    cands = portable_band_candidates(sigs, num_bands=8, rows_per_band=4).select(
+        "doc_a", "doc_b"
+    ).distinct().transform(managed_persist)
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    n_cands = cands.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    n_hit = truth.join(cands, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    return (
+        n_truth.crossJoin(F.broadcast(n_cands))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_truth").cast("double"), 6).alias(
+                "recall"
+            ),
+            F.round(
+                F.col("n_hit") / F.col("n_candidates").cast("double"), 6
+            ).alias("candidate_precision"),
+            F.round(
+                F.col("n_candidates") / F.col("n_truth").cast("double"), 4
+            ).alias("verify_workload_ratio"),
+        )
+    )
