@@ -59,6 +59,7 @@ _PRIORITY = (
     #   4. round-5-touched hot paths, then the round-4 block (q110-q133);
     #   5. everything else (r5-fresh rows) in module order.
     # --- New in round 6 ---
+    "q357_textrank_keywords",
     "q356_lsh_dedup_eval",
     "q355_forecast_backtest",
     "q354_eb_shrinkage",

@@ -4647,3 +4647,169 @@ def q351_vocab_rarefaction(spark, sf_dir):
             F.countDistinct("w") / F.count(F.lit(1)).cast("double"), 6
         ).alias("type_token_ratio"),
     )
+
+
+_TR_ITERS = 3
+_TR_SCALE = 1_000_000_000_000
+
+
+def _textrank_oracle_sql() -> str:
+    parts = [
+        f"""
+WITH ws AS MATERIALIZED (
+  SELECT string_split(text, ' ') AS w FROM documents
+),
+pairbase AS (
+  SELECT unnest([w[i] || chr(1) || w[i + 1]
+                 for i in generate_series(1, len(w) - 1)
+                 if w[i] <> w[i + 1]]) AS p
+  FROM ws WHERE len(w) >= 2
+  UNION ALL
+  SELECT unnest([w[i] || chr(1) || w[i + 2]
+                 for i in generate_series(1, len(w) - 2)
+                 if w[i] <> w[i + 2]]) AS p
+  FROM ws WHERE len(w) >= 3
+),
+prs AS MATERIALIZED (
+  SELECT string_split(p, chr(1))[1] AS w1,
+         string_split(p, chr(1))[2] AS w2,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pairbase GROUP BY 1, 2
+),
+edges AS MATERIALIZED (
+  SELECT w1 AS src, w2 AS dst, CAST(SUM(cnt) AS BIGINT) AS wt FROM (
+    SELECT w1, w2, cnt FROM prs
+    UNION ALL
+    SELECT w2 AS w1, w1 AS w2, cnt FROM prs
+  ) GROUP BY w1, w2
+),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+wdeg AS MATERIALIZED (
+  SELECT src, CAST(SUM(wt) AS BIGINT) AS deg FROM edges GROUP BY src
+),
+r0 AS MATERIALIZED (
+  SELECT node, CAST({_TR_SCALE} // (SELECT n FROM nn) AS BIGINT) AS r
+  FROM nodes
+)"""
+    ]
+    prev = "r0"
+    for i in range(1, _TR_ITERS + 1):
+        parts.append(
+            f""",
+it{i} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(SUM(({prev}.r * e.wt) // o.deg) AS BIGINT) AS s
+  FROM edges e JOIN {prev} ON {prev}.node = e.src
+  JOIN wdeg o ON o.src = e.src
+  GROUP BY e.dst
+),
+r{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST((15 * {_TR_SCALE}) // (100 * (SELECT n FROM nn))
+              + (85 * COALESCE(it{i}.s, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN it{i} USING (node)
+)"""
+        )
+        prev = f"r{i}"
+    parts.append(
+        f"""
+SELECT node AS keyword, rank_scaled, rk FROM (
+  SELECT node, r AS rank_scaled,
+         CAST(ROW_NUMBER() OVER (ORDER BY r DESC, node) AS INT) AS rk
+  FROM {prev}
+) WHERE rk <= 20
+"""
+    )
+    return "".join(parts)
+
+
+@query("q357_textrank_keywords", oracle=_textrank_oracle_sql())
+def q357_textrank_keywords(spark, sf_dir):
+    """TEXTRANK KEYWORD EXTRACTION (Mihalcea-Tarau 2004 — PageRank on
+    the word CO-OCCURRENCE graph instead of the document kNN graph
+    q144 ranks: a word matters if it co-occurs with words that
+    matter): +-2-window co-occurrence edges weighted by count,
+    3 weighted-PageRank iterations in fixed-point bigints (r*w DIV
+    weighted-degree — integer-exact, order-free), top-20 keyword
+    ledger.
+
+    Scale discipline: edges are VOCABULARY-bounded (the q282 window
+    pairs aggregated); each iteration is one equi-join + one
+    map-side-combinable SUM over that bounded table; the corpus is
+    scanned once. The oracle unrolls the same iterations as
+    MATERIALIZED CTEs (the q292 rule)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select(F.split("text", " ").alias("w"))
+    w = F.col("w")
+    pairs = None
+    for o in (1, 2):
+        pr = ws.where(F.size(w) > o).select(
+            F.explode(
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - o),
+                        lambda i: F.struct(
+                            F.element_at(w, i).alias("w1"),
+                            F.element_at(w, i + o).alias("w2"),
+                        ),
+                    ),
+                    lambda s: s.getField("w1") != s.getField("w2"),
+                )
+            ).alias("pr")
+        ).select(F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+        pairs = pr if pairs is None else pairs.unionByName(pr)
+    prs = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    edges = (
+        prs.select(F.col("w1").alias("src"), F.col("w2").alias("dst"), "cnt")
+        .unionByName(
+            prs.select(F.col("w2").alias("src"), F.col("w1").alias("dst"), "cnt")
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("cnt").cast("bigint").alias("wt"))
+        .transform(managed_persist)
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct().transform(
+        managed_persist
+    )
+    nn = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wdeg = edges.groupBy("src").agg(F.sum("wt").cast("bigint").alias("deg"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr(f"CAST({_TR_SCALE} AS BIGINT) DIV n").alias("r")
+    )
+    for _ in range(_TR_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(wdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(r * wt) DIV deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("bigint").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (
+                    F.expr(f"CAST(15 * {_TR_SCALE} AS BIGINT) DIV (100 * n)")
+                    + F.expr("85 * COALESCE(s, CAST(0 AS BIGINT)) DIV 100")
+                )
+                .cast("bigint")
+                .alias("r"),
+            )
+        ).localCheckpoint(eager=True)
+    top = ranks.orderBy(F.col("r").desc(), "node").limit(20)
+    return top.select(
+        F.col("node").alias("keyword"),
+        F.col("r").alias("rank_scaled"),
+        F.row_number()
+        .over(W.orderBy(F.col("r").desc(), "node"))
+        .cast("int")
+        .alias("rk"),
+    )
