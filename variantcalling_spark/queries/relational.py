@@ -1315,3 +1315,89 @@ def q290_quantile_normalization(spark, sf_dir):
         ).alias("reference_value"),
         F.round(F.max("m_sb") - F.min("m_sb"), 6).alias("cross_source_spread"),
     )
+
+
+_SF_TABLES = ("lineitem", "orders", "events", "documents")
+_SF_TARGET_ROWS = 500_000  # compaction target: rows per output file
+
+
+_SF_GATE_DIR = "/root/testdata/sf0.01"  # the driver's fixed t2 gate
+
+
+@query(
+    "q358_small_files_report",
+    oracle="""
+WITH files AS MATERIALIZED (
+  SELECT 'lineitem' AS tbl,
+         regexp_extract(filename, '[^/]+$') AS file, COUNT(*) AS n
+  FROM read_parquet('/root/testdata/sf0.01/lineitem.parquet', filename = true) GROUP BY 1, 2
+  UNION ALL
+  SELECT 'orders', regexp_extract(filename, '[^/]+$'), COUNT(*)
+  FROM read_parquet('/root/testdata/sf0.01/orders.parquet', filename = true) GROUP BY 1, 2
+  UNION ALL
+  SELECT 'events', regexp_extract(filename, '[^/]+$'), COUNT(*)
+  FROM read_parquet('/root/testdata/sf0.01/events.parquet', filename = true) GROUP BY 1, 2
+  UNION ALL
+  SELECT 'documents', regexp_extract(filename, '[^/]+$'), COUNT(*)
+  FROM read_parquet('/root/testdata/sf0.01/documents.parquet', filename = true) GROUP BY 1, 2
+)
+SELECT tbl,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(MIN(n) AS BIGINT) AS min_file_rows,
+       CAST(MAX(n) AS BIGINT) AS max_file_rows,
+       ROUND(MAX(n) / CAST(MIN(n) AS DOUBLE), 4) AS file_skew,
+       CAST(GREATEST(1, CEIL(SUM(n) / 500000.0)) AS BIGINT)
+         AS recommended_files,
+       CASE WHEN COUNT(*) > GREATEST(1, CEIL(SUM(n) / 500000.0))
+            THEN 1 ELSE 0 END AS compaction_recommended
+FROM files GROUP BY tbl
+""",
+)
+def q358_small_files_report(spark, sf_dir):
+    """SMALL-FILES / COMPACTION REPORT (the lakehouse-ops health check
+    every table-maintenance job runs: per table, file count, row
+    skew across files, and whether compacting toward a
+    rows-per-file target would shrink the file count — THE operational
+    complement of the q252/q256 SCD and the results-catalog
+    maintenance in pipelines/results.py): computed from the engine's
+    own scan metadata via input_file_name(), no filesystem walking.
+
+    NOTE: the DuckDB oracle must read files WITH filenames, which
+    views cannot expose, so it pins the driver's fixed sf0.01 gate
+    directory — running this one query's oracle check at another sf
+    mismatches BY CONSTRUCTION (loudly, not silently).
+
+    Scale discipline: one aggregate per table keyed on the file name
+    the scan already carries — at 100 TB this is exactly the query a
+    compaction scheduler runs before OPTIMIZE, and it reads only
+    row-group metadata paths, never extra columns."""
+    outs = None
+    for t in _SF_TABLES:
+        df = load_table(spark, sf_dir, t).select(
+            F.lit(t).alias("tbl"),
+            F.regexp_extract(F.input_file_name(), "[^/]+$", 0).alias("file"),
+        )
+        g = df.groupBy("tbl", "file").agg(F.count(F.lit(1)).alias("n"))
+        outs = g if outs is None else outs.unionByName(g)
+    return outs.groupBy("tbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.min("n").cast("bigint").alias("min_file_rows"),
+        F.max("n").cast("bigint").alias("max_file_rows"),
+        F.round(F.max("n") / F.min("n").cast("double"), 4).alias("file_skew"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil(F.sum("n") / F.lit(float(_SF_TARGET_ROWS))).cast("bigint"),
+        ).alias("recommended_files"),
+        F.when(
+            F.count(F.lit(1))
+            > F.greatest(
+                F.lit(1).cast("bigint"),
+                F.ceil(F.sum("n") / F.lit(float(_SF_TARGET_ROWS))).cast("bigint"),
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("compaction_recommended"),
+    )
