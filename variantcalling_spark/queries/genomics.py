@@ -4864,3 +4864,158 @@ def q353_copy_ratio_segments(spark, sf_dir):
         .otherwise("neutral")
         .alias("call"),
     )
+
+
+@query(
+    "q359_gsea_enrichment",
+    oracle=f"""
+WITH genes AS MATERIALIZED ({_GENES_SQL}),
+vars AS MATERIALIZED ({_VARS_SQL}),
+carriers AS (
+  SELECT chrom, pos, CAST(COUNT(*) AS BIGINT) AS ac FROM vars
+  GROUP BY chrom, pos
+),
+score AS MATERIALIZED (
+  SELECT g.gene_id,
+         CAST(SUM(c.ac) AS BIGINT) AS burden,
+         CASE WHEN g.gene_id % 100 = 0 THEN 1 ELSE 0 END AS in_set
+  FROM genes g JOIN carriers c
+    ON c.chrom = g.chrom AND c.pos >= g.gstart AND c.pos < g.gend
+  GROUP BY g.gene_id
+),
+tot AS MATERIALIZED (
+  SELECT CAST(SUM(in_set) AS BIGINT) AS n_hit,
+         CAST(SUM(1 - in_set) AS BIGINT) AS n_miss,
+         CAST(SUM(CASE WHEN in_set = 1 THEN burden ELSE 0 END) AS BIGINT)
+           AS hit_mass
+  FROM score
+),
+walk AS (
+  SELECT gene_id, in_set, burden,
+         SUM(CASE WHEN in_set = 1 THEN burden ELSE 0 END)
+           OVER w AS cum_hit_mass,
+         SUM(1 - in_set) OVER w AS cum_miss
+  FROM score
+  WINDOW w AS (ORDER BY burden DESC, gene_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+dev AS (
+  SELECT gene_id,
+         ROUND(cum_hit_mass / CAST((SELECT hit_mass FROM tot) AS DOUBLE)
+               - cum_miss / CAST((SELECT n_miss FROM tot) AS DOUBLE), 8)
+           AS d
+  FROM walk
+)
+SELECT
+  (SELECT CAST(n_hit AS BIGINT) FROM tot) AS n_set_genes,
+  (SELECT CAST(n_miss AS BIGINT) FROM tot) AS n_other_genes,
+  ROUND(MAX(d), 6) AS es_pos,
+  ROUND(MIN(d), 6) AS es_neg,
+  ROUND(CASE WHEN MAX(d) >= ABS(MIN(d)) THEN MAX(d) ELSE MIN(d) END, 6)
+    AS enrichment_score,
+  CAST(MIN(CASE WHEN d = (SELECT MAX(d2.d) FROM dev d2) THEN gene_id END)
+       AS BIGINT) AS peak_gene
+FROM dev
+""",
+)
+def q359_gsea_enrichment(spark, sf_dir):
+    """GSEA ENRICHMENT SCORE (Subramanian 2005 core statistic — does a
+    gene SET cluster at the top of a burden-ranked gene list? The
+    weighted Kolmogorov-Smirnov running sum every pathway-enrichment
+    report is built on; the permutation p-value is out of scope, the
+    STATISTIC and its peak are exact): genes ranked by q339's rare
+    burden, set membership = a deterministic id rule, ES = max
+    deviation of (weighted hit CDF - miss CDF).
+
+    Scale discipline: the ranked walk is ONE cumulative window over
+    the GENE-domain table (dimension-bounded, like every GSEA input);
+    masses are exact integers, the deviation snaps at 8 before the
+    argmax so the peak gene is engine-identical."""
+    from pyspark.sql import Window as W
+
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    genes = part.where(F.col("p_partkey") % 50 == 0).select(
+        F.col("p_partkey").alias("gene_id"),
+        F.concat(F.lit("c"), (F.col("p_partkey") % 4).cast("string")).alias("gchrom"),
+        ((F.col("p_partkey") * 31) % 50000).alias("gstart"),
+        (
+            (F.col("p_partkey") * 31) % 50000
+            + 500
+            + (F.col("p_partkey") % 5) * 300
+        ).alias("gend"),
+    )
+    vars_ = li.where(F.col("l_linenumber") % 3 == 0).select(
+        F.concat(F.lit("c"), (F.col("l_orderkey") % 4).cast("string")).alias("chrom"),
+        ((F.col("l_orderkey") * 13 + F.col("l_linenumber") * 7) % 50000).alias("pos"),
+    )
+    carriers = vars_.groupBy("chrom", "pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ac")
+    )
+    score = (
+        carriers.join(
+            F.broadcast(genes),
+            (F.col("gchrom") == F.col("chrom"))
+            & (F.col("pos") >= F.col("gstart"))
+            & (F.col("pos") < F.col("gend")),
+        )
+        .groupBy("gene_id")
+        .agg(F.sum("ac").cast("bigint").alias("burden"))
+        .select(
+            "gene_id",
+            "burden",
+            F.when(F.col("gene_id") % 100 == 0, 1).otherwise(0).alias("in_set"),
+        )
+        .transform(managed_persist)
+    )
+    tot = score.agg(
+        F.sum("in_set").cast("bigint").alias("n_hit"),
+        F.sum(1 - F.col("in_set")).cast("bigint").alias("n_miss"),
+        F.sum(F.when(F.col("in_set") == 1, F.col("burden")).otherwise(0))
+        .cast("bigint")
+        .alias("hit_mass"),
+    )
+    w = W.orderBy(F.col("burden").desc(), "gene_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    walk = score.select(
+        "gene_id",
+        F.sum(F.when(F.col("in_set") == 1, F.col("burden")).otherwise(0))
+        .over(w)
+        .alias("cum_hit_mass"),
+        F.sum(1 - F.col("in_set")).over(w).alias("cum_miss"),
+    )
+    dev = walk.crossJoin(F.broadcast(tot)).select(
+        "gene_id",
+        "n_hit",
+        "n_miss",
+        F.round(
+            F.col("cum_hit_mass") / F.col("hit_mass").cast("double")
+            - F.col("cum_miss") / F.col("n_miss").cast("double"),
+            8,
+        ).alias("d"),
+    ).transform(managed_persist)
+    mx = dev.agg(
+        F.max("d").alias("dmax"),
+        F.min("d").alias("dmin"),
+        F.max("n_hit").cast("bigint").alias("n_set_genes"),
+        F.max("n_miss").cast("bigint").alias("n_other_genes"),
+    )
+    peak = (
+        dev.crossJoin(F.broadcast(mx.select("dmax")))
+        .where(F.col("d") == F.col("dmax"))
+        .agg(F.min("gene_id").cast("bigint").alias("peak_gene"))
+    )
+    return mx.crossJoin(F.broadcast(peak)).select(
+        "n_set_genes",
+        "n_other_genes",
+        F.round(F.col("dmax"), 6).alias("es_pos"),
+        F.round(F.col("dmin"), 6).alias("es_neg"),
+        F.round(
+            F.when(
+                F.col("dmax") >= F.abs(F.col("dmin")), F.col("dmax")
+            ).otherwise(F.col("dmin")),
+            6,
+        ).alias("enrichment_score"),
+        "peak_gene",
+    )

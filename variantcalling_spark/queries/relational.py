@@ -1401,3 +1401,115 @@ def q358_small_files_report(spark, sf_dir):
         .otherwise(0)
         .alias("compaction_recommended"),
     )
+
+
+_CF_MIN_CO = 3
+
+
+@query(
+    "q360_item_item_cf",
+    oracle=f"""
+WITH baskets AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey % 200 AS item
+  FROM lineitem
+),
+item_n AS MATERIALIZED (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM baskets GROUP BY item
+),
+co AS MATERIALIZED (
+  SELECT a.item AS item_a, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS n_co
+  FROM baskets a JOIN baskets b
+    ON b.basket = a.basket AND a.item < b.item
+  GROUP BY a.item, b.item
+  HAVING COUNT(*) >= {_CF_MIN_CO}
+)
+SELECT c.item_a, c.item_b, c.n_co, na.n AS n_a, nb.n AS n_b,
+       ROUND(c.n_co / (sqrt(CAST(na.n AS DOUBLE)) * sqrt(CAST(nb.n AS DOUBLE))), 6)
+         AS cosine,
+       ROUND(c.n_co / CAST(na.n + nb.n - c.n_co AS DOUBLE), 6) AS jaccard,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY ROUND(c.n_co / (sqrt(CAST(na.n AS DOUBLE))
+                                  * sqrt(CAST(nb.n AS DOUBLE))), 6) DESC,
+                  c.item_a, c.item_b) AS INT) AS rk
+FROM co c
+JOIN item_n na ON na.item = c.item_a
+JOIN item_n nb ON nb.item = c.item_b
+QUALIFY rk <= 25
+""",
+)
+def q360_item_item_cf(spark, sf_dir):
+    """ITEM-ITEM COLLABORATIVE FILTERING (the Amazon-2003 classic:
+    "customers who bought X also bought Y" from basket co-occurrence
+    cosine — THE recommender baseline, and the lift-free similarity
+    complement of q194's confidence/lift association rules): co-count
+    over shared baskets, cosine = n_co / sqrt(n_a * n_b), top-25
+    pairs with Jaccard alongside.
+
+    Scale discipline: candidate pairs come from the basket SELF-JOIN
+    keyed on basket id — Sum(basket_size^2), never item^2 (the q194
+    banding); min-support prunes before the similarity math; item
+    marginals broadcast. Exact integer counts, two rounded
+    divisions."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("basket"),
+        (F.col("l_partkey") % 200).alias("item"),
+    ).distinct().transform(managed_persist)
+    item_n = baskets.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    co = (
+        baskets.join(
+            baskets.select("basket", F.col("item").alias("item_b")), "basket"
+        )
+        .where(F.col("item") < F.col("item_b"))
+        .groupBy(F.col("item").alias("item_a"), "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_co"))
+        .where(F.col("n_co") >= _CF_MIN_CO)
+    )
+    scored = (
+        co.join(
+            F.broadcast(item_n.select(F.col("item").alias("item_a"), F.col("n").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(item_n.select(F.col("item").alias("item_b"), F.col("n").alias("n_b"))),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "n_co",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_co")
+                / (
+                    F.sqrt(F.col("n_a").cast("double"))
+                    * F.sqrt(F.col("n_b").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+            F.round(
+                F.col("n_co")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_co")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    top = scored.orderBy(F.col("cosine").desc(), "item_a", "item_b").limit(25)
+    return top.select(
+        "item_a",
+        "item_b",
+        "n_co",
+        "n_a",
+        "n_b",
+        "cosine",
+        "jaccard",
+        F.row_number()
+        .over(W.orderBy(F.col("cosine").desc(), "item_a", "item_b"))
+        .cast("int")
+        .alias("rk"),
+    )
