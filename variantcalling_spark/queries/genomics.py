@@ -5019,3 +5019,178 @@ def q359_gsea_enrichment(spark, sf_dir):
         ).alias("enrichment_score"),
         "peak_gene",
     )
+
+
+_HAP_EM_ITERS = 6
+_HAP_MAX_DIST = 10
+
+
+def _hap_em_oracle_sql() -> str:
+    parts = [
+        f"""
+WITH gt AS MATERIALIZED (
+  SELECT CAST(l_suppkey % 6 AS INT) AS sample_id,
+         l_orderkey % 2000 AS site,
+         MIN(CAST(l_partkey % 3 AS INT)) AS dosage
+  FROM lineitem GROUP BY 1, 2
+),
+sites AS MATERIALIZED (
+  SELECT site FROM gt GROUP BY site HAVING COUNT(*) = 6
+     AND SUM(dosage) > 0 AND SUM(dosage) < 12
+),
+prs AS MATERIALIZED (
+  SELECT a.site AS sa, b.site AS sb
+  FROM sites a JOIN sites b
+    ON b.site > a.site AND b.site - a.site <= {_HAP_MAX_DIST}
+),
+cells AS MATERIALIZED (
+  SELECT p.sa, p.sb,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN ga.dosage = 1 AND gb.dosage = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS dh,
+         CAST(SUM(2 * (CASE WHEN ga.dosage = 2 AND gb.dosage = 2 THEN 1 ELSE 0 END)
+              + (CASE WHEN ga.dosage = 2 AND gb.dosage = 1 THEN 1 ELSE 0 END)
+              + (CASE WHEN ga.dosage = 1 AND gb.dosage = 2 THEN 1 ELSE 0 END))
+              AS BIGINT) AS c_ab,
+         CAST(SUM(2 * (CASE WHEN ga.dosage = 2 AND gb.dosage = 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN ga.dosage = 2 AND gb.dosage = 1 THEN 1 ELSE 0 END)
+              + (CASE WHEN ga.dosage = 1 AND gb.dosage = 0 THEN 1 ELSE 0 END))
+              AS BIGINT) AS c_axb,
+         CAST(SUM(2 * (CASE WHEN ga.dosage = 0 AND gb.dosage = 2 THEN 1 ELSE 0 END)
+              + (CASE WHEN ga.dosage = 1 AND gb.dosage = 2 THEN 1 ELSE 0 END)
+              + (CASE WHEN ga.dosage = 0 AND gb.dosage = 1 THEN 1 ELSE 0 END))
+              AS BIGINT) AS c_xab,
+         CAST(SUM(2 * (CASE WHEN ga.dosage = 0 AND gb.dosage = 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN ga.dosage = 1 AND gb.dosage = 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN ga.dosage = 0 AND gb.dosage = 1 THEN 1 ELSE 0 END))
+              AS BIGINT) AS c_xaxb
+  FROM prs p
+  JOIN gt ga ON ga.site = p.sa
+  JOIN gt gb ON gb.site = p.sb AND gb.sample_id = ga.sample_id
+  GROUP BY p.sa, p.sb
+),
+e0 AS (SELECT *, CAST(0.5 AS DOUBLE) AS x FROM cells)"""
+    ]
+    prev = "e0"
+    upd = """ROUND(
+    ((c_ab + x * dh) * (c_xaxb + x * dh))
+    / (((c_ab + x * dh) * (c_xaxb + x * dh))
+       + ((c_axb + (1 - x) * dh) * (c_xab + (1 - x) * dh))), 10)"""
+    for i in range(1, _HAP_EM_ITERS + 1):
+        parts.append(
+            f""",
+e{i} AS (
+  SELECT sa, sb, n, dh, c_ab, c_axb, c_xab, c_xaxb,
+         CASE WHEN dh = 0 THEN x ELSE {upd} END AS x
+  FROM {prev}
+)"""
+        )
+        prev = f"e{i}"
+    parts.append(
+        f"""
+SELECT sa AS site_a, sb AS site_b, n AS n_samples, dh AS n_double_het,
+       ROUND(x, 6) AS p_cis,
+       ROUND((c_ab + x * dh) / (2.0 * n), 6) AS hap_ab_freq,
+       ROUND((c_ab + x * dh) / (2.0 * n)
+             - ((c_ab + x * dh + c_axb + (1 - x) * dh) / (2.0 * n))
+               * ((c_ab + x * dh + c_xab + (1 - x) * dh) / (2.0 * n)), 6)
+         AS d_coeff
+FROM {prev}
+WHERE dh > 0
+"""
+    )
+    return "".join(parts)
+
+
+@query("q361_haplotype_em", oracle=_hap_em_oracle_sql())
+def q361_haplotype_em(spark, sf_dir):
+    """TWO-SNP HAPLOTYPE-FREQUENCY EM (Hill 1974 / the EM inside every
+    unphased-LD estimator: with genotypes only, the double-het cell
+    AB/ab vs Ab/aB is ambiguous — iterate the cis-probability
+    x = pAB*pab / (pAB*pab + pAb*paB) until the haplotype frequencies
+    self-agree; the PHASED-data shortcut q198 takes is exact only when
+    phase is known): per nearby site pair, 6 EM iterations, the cis
+    probability, haplotype-AB frequency and the LD D coefficient.
+
+    Scale discipline: each pair's EM state is ONE column iterated as a
+    pure projection over the pair table (the q324 fixed-point shape —
+    no joins, no driver state, Catalyst collapses the 6 steps into one
+    stage); cell counts come from a banded distance-bounded pair join
+    (the q198 discipline); snap round(,10) per iteration keeps both
+    engines in lockstep; dh=0 pairs keep x untouched (no 0/0)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    gt = li.groupBy(
+        (F.col("l_suppkey") % 6).cast("int").alias("sample_id"),
+        (F.col("l_orderkey") % 2000).alias("site"),
+    ).agg(F.min((F.col("l_partkey") % 3).cast("int")).alias("dosage")).transform(
+        managed_persist
+    )
+    sites = (
+        gt.groupBy("site")
+        .agg(F.count(F.lit(1)).alias("k"), F.sum("dosage").alias("sd"))
+        .where((F.col("k") == 6) & (F.col("sd") > 0) & (F.col("sd") < 12))
+        .select("site")
+    )
+    prs = sites.select(F.col("site").alias("sa")).join(
+        sites.select(F.col("site").alias("sb")),
+        (F.col("sb") > F.col("sa"))
+        & (F.col("sb") - F.col("sa") <= _HAP_MAX_DIST),
+    )
+    ga = gt.select(F.col("site").alias("sa"), "sample_id", F.col("dosage").alias("da"))
+    gb = gt.select(F.col("site").alias("sb"), "sample_id", F.col("dosage").alias("db"))
+    da, db = F.col("da"), F.col("db")
+
+    def cell(x, y):
+        return F.when((da == x) & (db == y), 1).otherwise(0)
+
+    cells = (
+        prs.join(ga, "sa")
+        .join(gb, ["sb", "sample_id"])
+        .groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(cell(1, 1)).cast("bigint").alias("dh"),
+            F.sum(2 * cell(2, 2) + cell(2, 1) + cell(1, 2))
+            .cast("bigint")
+            .alias("c_ab"),
+            F.sum(2 * cell(2, 0) + cell(2, 1) + cell(1, 0))
+            .cast("bigint")
+            .alias("c_axb"),
+            F.sum(2 * cell(0, 2) + cell(1, 2) + cell(0, 1))
+            .cast("bigint")
+            .alias("c_xab"),
+            F.sum(2 * cell(0, 0) + cell(1, 0) + cell(0, 1))
+            .cast("bigint")
+            .alias("c_xaxb"),
+        )
+    )
+    cur = cells.withColumn("x", F.lit(0.5).cast("double"))
+    for _ in range(_HAP_EM_ITERS):
+        x = F.col("x")
+        num = (F.col("c_ab") + x * F.col("dh")) * (
+            F.col("c_xaxb") + x * F.col("dh")
+        )
+        den = num + (F.col("c_axb") + (1 - x) * F.col("dh")) * (
+            F.col("c_xab") + (1 - x) * F.col("dh")
+        )
+        cur = cur.withColumn(
+            "x",
+            F.when(F.col("dh") == 0, x).otherwise(F.round(num / den, 10)),
+        )
+    x = F.col("x")
+    p_ab = (F.col("c_ab") + x * F.col("dh")) / (2.0 * F.col("n"))
+    p_a = (
+        F.col("c_ab") + x * F.col("dh") + F.col("c_axb") + (1 - x) * F.col("dh")
+    ) / (2.0 * F.col("n"))
+    p_b = (
+        F.col("c_ab") + x * F.col("dh") + F.col("c_xab") + (1 - x) * F.col("dh")
+    ) / (2.0 * F.col("n"))
+    return cur.where(F.col("dh") > 0).select(
+        F.col("sa").alias("site_a"),
+        F.col("sb").alias("site_b"),
+        F.col("n").alias("n_samples"),
+        F.col("dh").alias("n_double_het"),
+        F.round(x, 6).alias("p_cis"),
+        F.round(p_ab, 6).alias("hap_ab_freq"),
+        F.round(p_ab - p_a * p_b, 6).alias("d_coeff"),
+    )
