@@ -59,6 +59,7 @@ _PRIORITY = (
     #   4. round-5-touched hot paths, then the round-4 block (q110-q133);
     #   5. everything else (r5-fresh rows) in module order.
     # --- New in round 6 ---
+    "q362_dedup_saturation",
     "q361_haplotype_em",
     "q359_gsea_enrichment",
     "q360_item_item_cf",

@@ -3434,3 +3434,66 @@ def q356_lsh_dedup_eval(spark, sf_dir):
             ).alias("verify_workload_ratio"),
         )
     )
+
+
+_DEDUP_SAT_FRACS = (25, 50, 75, 100)
+
+
+def _dedup_saturation_oracle_sql() -> str:
+    from variantcalling_spark.operators.dedup import PORTABLE_HASH_SQL
+
+    keep = PORTABLE_HASH_SQL.format(col="CAST(doc_id AS VARCHAR)")
+    fracs = ", ".join(f"({f})" for f in _DEDUP_SAT_FRACS)
+    return f"""
+WITH corpus AS ({SQL_CORPUS}),
+keyed AS MATERIALIZED (
+  SELECT doc_id, md5(text) AS fp, ({keep}) % 100 AS coin FROM corpus
+),
+fr AS (SELECT * FROM (VALUES {fracs}) AS t(f)),
+kept AS (
+  SELECT fr.f, k.fp FROM keyed k JOIN fr ON k.coin < fr.f
+)
+SELECT CAST(f AS INT) AS pct_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+       CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_duplicates,
+       ROUND((COUNT(*) - COUNT(DISTINCT fp)) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS dup_rate
+FROM kept GROUP BY f
+"""
+
+
+@query("q362_dedup_saturation", oracle=_dedup_saturation_oracle_sql())
+def q362_dedup_saturation(spark, sf_dir):
+    """DEDUPLICATION SATURATION CURVE (Lee et al.'s empirical law made
+    a measured table: duplicate RATE grows with corpus size, so the
+    dedup budget for the full crawl cannot be extrapolated linearly
+    from a pilot shard — this query is the evidence): exact-duplicate
+    rate at hash-deterministic 25/50/75/100% document subsamples over
+    the augmented dedup corpus.
+
+    Scale discipline: the q326/q351 titration pattern on the exact-dup
+    fingerprint — one md5 projection, a 4-row fraction spine fanning
+    out the FILTER, one distinct-count aggregate per fraction;
+    deterministic subsamples, identical on every engine and retry."""
+    from variantcalling_spark.operators.dedup import portable_string_hash
+
+    c = corpus(spark, sf_dir)
+    keyed = c.select(
+        F.md5("text").alias("fp"),
+        (portable_string_hash(F.col("doc_id").cast("string")) % 100).alias("coin"),
+    ).transform(managed_persist)
+    fr = spark.createDataFrame([(f,) for f in _DEDUP_SAT_FRACS], "f int")
+    kept = keyed.crossJoin(F.broadcast(fr)).where(F.col("coin") < F.col("f"))
+    return kept.groupBy(F.col("f").cast("int").alias("pct_docs")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("fp").cast("bigint").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("fp"))
+        .cast("bigint")
+        .alias("n_duplicates"),
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct("fp"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )
