@@ -4813,3 +4813,137 @@ def q357_textrank_keywords(spark, sf_dir):
         .cast("int")
         .alias("rk"),
     )
+
+
+@query(
+    "q364_keyness_g2",
+    oracle="""
+WITH tok AS MATERIALIZED (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+sw AS MATERIALIZED (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS a FROM tok GROUP BY source, w
+),
+stot AS MATERIALIZED (
+  SELECT source, CAST(SUM(a) AS BIGINT) AS ns FROM sw GROUP BY source
+),
+wtot AS MATERIALIZED (
+  SELECT w, CAST(SUM(a) AS BIGINT) AS cw FROM sw GROUP BY w
+),
+tot AS MATERIALIZED (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM wtot),
+cells AS (
+  SELECT s.source, s.w, s.a,
+         w.cw - s.a AS b,
+         t.ns - s.a AS c,
+         (SELECT n FROM tot) - w.cw - t.ns + s.a AS d,
+         t.ns, w.cw, (SELECT n FROM tot) AS n
+  FROM sw s
+  JOIN stot t ON t.source = s.source
+  JOIN wtot w ON w.w = s.w
+),
+g2 AS (
+  SELECT source, w, a,
+         ROUND(2 * (
+           (CASE WHEN a > 0 THEN a * ln(a * CAST(n AS DOUBLE) / (ns * cw)) ELSE 0 END)
+           + (CASE WHEN b > 0 THEN b * ln(b * CAST(n AS DOUBLE)
+                / (CAST(n - ns AS DOUBLE) * cw)) ELSE 0 END)
+           + (CASE WHEN c > 0 THEN c * ln(c * CAST(n AS DOUBLE)
+                / (CAST(ns AS DOUBLE) * (n - cw))) ELSE 0 END)
+           + (CASE WHEN d > 0 THEN d * ln(d * CAST(n AS DOUBLE)
+                / (CAST(n - ns AS DOUBLE) * (n - cw))) ELSE 0 END)
+         ), 6) AS keyness,
+         CASE WHEN a * CAST(n AS DOUBLE) > CAST(ns AS DOUBLE) * cw
+              THEN 1 ELSE 0 END AS overused
+  FROM cells
+)
+SELECT source, w AS word, a AS n_in_source, keyness,
+       CAST(overused AS INT) AS overused, rk
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY keyness DESC, w) AS INT) AS rk
+  FROM g2 WHERE overused = 1
+) WHERE rk <= 3
+""",
+)
+def q364_keyness_g2(spark, sf_dir):
+    """KEYNESS VIA DUNNING'S LOG-LIKELIHOOD G2 (the corpus-linguistics
+    standard for "which words characterize THIS source vs the rest" —
+    statistically honest where q243's c-TF-IDF is a heuristic ranking
+    and q160's overlap ignores magnitude): per (source, word) 2x2 G2
+    over the word-vs-rest contingency, top-3 OVERUSED words per
+    source.
+
+    Scale discipline: everything reduces to the (source x word) count
+    grid — vocabulary-bounded; margins broadcast; G2 is four
+    guarded-ln terms per cell snapped at 6; ranking is per-source over
+    the bounded grid."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    sw = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("a")
+    ).transform(managed_persist)
+    stot = sw.groupBy("source").agg(F.sum("a").cast("bigint").alias("ns"))
+    wtot = sw.groupBy("w").agg(F.sum("a").cast("bigint").alias("cw"))
+    tot = wtot.agg(F.sum("cw").cast("bigint").alias("n"))
+    cells = (
+        sw.join(F.broadcast(stot), "source")
+        .join(F.broadcast(wtot), "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "w",
+            "a",
+            (F.col("cw") - F.col("a")).alias("b"),
+            (F.col("ns") - F.col("a")).alias("c"),
+            (F.col("n") - F.col("cw") - F.col("ns") + F.col("a")).alias("d"),
+            "ns",
+            "cw",
+            "n",
+        )
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    ns, cw, n = F.col("ns"), F.col("cw"), F.col("n")
+
+    def term(o, e_num, e_den):
+        return F.when(o > 0, o * F.log(o * n.cast("double") / (e_num * e_den))).otherwise(
+            F.lit(0.0)
+        )
+
+    g2 = cells.select(
+        "source",
+        "w",
+        "a",
+        F.round(
+            2
+            * (
+                term(a, ns.cast("double"), cw)
+                + term(b, (n - ns).cast("double"), cw)
+                + term(c, ns.cast("double"), (n - cw))
+                + term(d, (n - ns).cast("double"), (n - cw))
+            ),
+            6,
+        ).alias("keyness"),
+        F.when(a * n.cast("double") > ns.cast("double") * cw, 1)
+        .otherwise(0)
+        .alias("overused"),
+    )
+    ranked = (
+        g2.where(F.col("overused") == 1)
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(W.partitionBy("source").orderBy(F.col("keyness").desc(), "w"))
+            .cast("int"),
+        )
+        .where(F.col("rk") <= 3)
+    )
+    return ranked.select(
+        "source",
+        F.col("w").alias("word"),
+        F.col("a").alias("n_in_source"),
+        "keyness",
+        F.col("overused").cast("int").alias("overused"),
+        "rk",
+    )

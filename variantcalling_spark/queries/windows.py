@@ -5611,3 +5611,105 @@ def q355_forecast_backtest(spark, sf_dir):
             6,
         ).alias("mape"),
     )
+
+
+@query(
+    "q363_qini_curve",
+    oracle="""
+WITH users AS MATERIALIZED (
+  SELECT user_id, user_id % 2 AS arm,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS conv,
+         ROUND(CAST(SUM(CASE WHEN event_type = 'view'
+                        THEN CAST(value AS DECIMAL(12,2)) ELSE 0 END) AS DOUBLE), 2)
+           AS score
+  FROM events GROUP BY user_id
+),
+ranked AS MATERIALIZED (
+  SELECT arm, conv, score,
+         NTILE(10) OVER (ORDER BY score DESC, user_id) AS decile
+  FROM users
+),
+per_decile AS MATERIALIZED (
+  SELECT decile,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_t,
+         CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_c
+  FROM ranked GROUP BY decile
+)
+SELECT CAST(decile AS INT) AS decile, n_t, n_c, conv_t, conv_c,
+       ROUND(SUM(conv_t) OVER w
+             - SUM(conv_c) OVER w
+               * (SUM(n_t) OVER w / CAST(SUM(n_c) OVER w AS DOUBLE)), 4)
+         AS qini,
+       ROUND(conv_t / CAST(n_t AS DOUBLE)
+             - conv_c / CAST(n_c AS DOUBLE), 6) AS decile_uplift
+FROM per_decile
+WINDOW w AS (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def q363_qini_curve(spark, sf_dir):
+    """QINI CURVE (the uplift-model evaluation standard — ranking
+    users by a targeting score, does TREATING the top deciles buy
+    incremental conversions over control, scaled for arm imbalance?
+    The CAUSAL ranking grade beside q212's pure-response lift table):
+    cumulative Qini and per-decile uplift over a deterministic
+    engagement-score ranking.
+
+    Scale discipline: one user-ledger aggregate; NTILE over the user
+    domain with pinned tie-breaks; Qini is two cumulative windows over
+    the 10-row decile table — exact integer conversions, two rounded
+    ratios."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(F.col("user_id") % 2).alias("arm"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("conv"),
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "view", dec("value")).otherwise(
+                    F.lit(0).cast("decimal(12,2)")
+                )
+            ).cast("double"),
+            2,
+        ).alias("score"),
+    )
+    ranked = users.select(
+        "arm",
+        "conv",
+        F.ntile(10)
+        .over(W.orderBy(F.col("score").desc(), "user_id"))
+        .alias("decile"),
+    )
+    per_decile = ranked.groupBy("decile").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_t"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n_c"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_t"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_c"),
+    )
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return per_decile.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        F.round(
+            F.sum("conv_t").over(w)
+            - F.sum("conv_c").over(w)
+            * (F.sum("n_t").over(w) / F.sum("n_c").over(w).cast("double")),
+            4,
+        ).alias("qini"),
+        F.round(
+            F.col("conv_t") / F.col("n_t").cast("double")
+            - F.col("conv_c") / F.col("n_c").cast("double"),
+            6,
+        ).alias("decile_uplift"),
+    )
