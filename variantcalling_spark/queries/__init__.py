@@ -59,6 +59,8 @@ _PRIORITY = (
     #   4. round-5-touched hot paths, then the round-4 block (q110-q133);
     #   5. everything else (r5-fresh rows) in module order.
     # --- New in round 6 ---
+    "q365_k_anonymity",
+    "q366_data_profile",
     "q363_qini_curve",
     "q364_keyness_g2",
     "q362_dedup_saturation",

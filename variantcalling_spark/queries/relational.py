@@ -1513,3 +1513,107 @@ def q360_item_item_cf(spark, sf_dir):
         .cast("int")
         .alias("rk"),
     )
+
+
+@query(
+    "q366_data_profile",
+    oracle="""
+WITH src AS MATERIALIZED (
+  SELECT event_id, user_id, event_type, value, props FROM events
+),
+n AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM src),
+profile AS (
+  SELECT 'event_id' AS col, 'bigint' AS dtype,
+         CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+         CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+         CAST(MIN(event_id) AS VARCHAR) AS min_val,
+         CAST(MAX(event_id) AS VARCHAR) AS max_val
+  FROM src
+  UNION ALL
+  SELECT 'user_id', 'bigint',
+         CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT user_id) AS BIGINT),
+         CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+  FROM src
+  UNION ALL
+  SELECT 'event_type', 'string',
+         CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT event_type) AS BIGINT),
+         MIN(event_type), MAX(event_type)
+  FROM src
+  UNION ALL
+  SELECT 'value', 'double',
+         CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT value) AS BIGINT),
+         CAST(ROUND(MIN(value), 2) AS VARCHAR), CAST(ROUND(MAX(value), 2) AS VARCHAR)
+  FROM src
+  UNION ALL
+  SELECT 'props', 'string',
+         CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT props) AS BIGINT),
+         MIN(props), MAX(props)
+  FROM src
+)
+SELECT p.col, p.dtype, p.n_null, p.n_distinct, p.min_val, p.max_val,
+       ROUND(p.n_null / CAST((SELECT n FROM n) AS DOUBLE), 6) AS null_rate,
+       ROUND(p.n_distinct / CAST((SELECT n FROM n) AS DOUBLE), 6)
+         AS distinct_rate,
+       CASE WHEN p.n_distinct = (SELECT n FROM n) AND p.n_null = 0
+            THEN 1 ELSE 0 END AS is_unique_key
+FROM profile p
+""",
+)
+def q366_data_profile(spark, sf_dir):
+    """DATA-QUALITY COLUMN PROFILE (the Great Expectations /
+    dbt-test shape every ingestion gate runs: per column, null rate,
+    exact distinct count, min/max, and a unique-key verdict — the
+    expectations that catch schema drift and silent upstream nulls
+    BEFORE the 352 analytical queries downstream consume the table):
+    the events table profiled column by column.
+
+    Scale discipline: one pass per column family over the same scan
+    (Catalyst shares it), each an exact map-side-combinable aggregate;
+    min/max surfaced as strings so heterogeneous columns union into
+    one report relation — the profiler's standard trick."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props"
+    ).transform(managed_persist)
+    n = ev.count()
+
+    def prof(col, dtype, fmt=None):
+        mn = F.min(col)
+        mx = F.max(col)
+        if fmt == "round2":
+            mn, mx = F.round(mn, 2), F.round(mx, 2)
+        return ev.agg(
+            F.lit(col).alias("col"),
+            F.lit(dtype).alias("dtype"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null"),
+            F.countDistinct(col).cast("bigint").alias("n_distinct"),
+            mn.cast("string").alias("min_val"),
+            mx.cast("string").alias("max_val"),
+        )
+
+    out = (
+        prof("event_id", "bigint")
+        .unionByName(prof("user_id", "bigint"))
+        .unionByName(prof("event_type", "string"))
+        .unionByName(prof("value", "double", fmt="round2"))
+        .unionByName(prof("props", "string"))
+    )
+    return out.select(
+        "col",
+        "dtype",
+        "n_null",
+        "n_distinct",
+        "min_val",
+        "max_val",
+        F.round(F.col("n_null") / F.lit(float(n)), 6).alias("null_rate"),
+        F.round(F.col("n_distinct") / F.lit(float(n)), 6).alias("distinct_rate"),
+        F.when((F.col("n_distinct") == n) & (F.col("n_null") == 0), 1)
+        .otherwise(0)
+        .alias("is_unique_key"),
+    )

@@ -4947,3 +4947,73 @@ def q364_keyness_g2(spark, sf_dir):
         F.col("overused").cast("int").alias("overused"),
         "rk",
     )
+
+
+@query(
+    "q365_k_anonymity",
+    oracle="""
+WITH qi AS MATERIALIZED (
+  SELECT lang, source, n_chars // 50 AS len_bucket FROM documents
+),
+classes AS MATERIALIZED (
+  SELECT lang, source, len_bucket, CAST(COUNT(*) AS BIGINT) AS k
+  FROM qi GROUP BY lang, source, len_bucket
+),
+tot AS MATERIALIZED (SELECT CAST(SUM(k) AS BIGINT) AS n FROM classes)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM classes) AS n_classes,
+  (SELECT n FROM tot) AS n_rows,
+  CAST(MIN(k) AS BIGINT) AS k_anonymity,
+  CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS n_rows_below_k5,
+  ROUND(SUM(CASE WHEN k < 5 THEN k ELSE 0 END)
+        / CAST((SELECT n FROM tot) AS DOUBLE), 6) AS frac_reidentifiable_k5,
+  CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_rows,
+  ROUND(CAST(SUM(CAST(ROUND(k * (k / CAST((SELECT n FROM tot) AS DOUBLE)), 8)
+                      AS DECIMAL(20,8))) AS DOUBLE)
+        / (SELECT n FROM tot) * (SELECT n FROM tot)
+        / (SELECT n FROM tot), 6) AS expected_class_size_norm
+FROM classes
+""",
+)
+def q365_k_anonymity(spark, sf_dir):
+    """K-ANONYMITY AUDIT of a quasi-identifier projection (the privacy
+    release gate that pairs with q109's PII scrubbing: scrubbing
+    direct identifiers is not enough if (lang, source, length-bucket)
+    together single a document out — k = the smallest equivalence
+    class, and the re-identifiable fraction below k=5 is the number a
+    privacy review asks for): class-size statistics over the QI
+    grid, plus the expected-class-size (journalist-risk) normalizer.
+
+    Scale discipline: one groupBy on the QI columns (the classes
+    table is QI-domain-bounded); every risk metric is arithmetic over
+    class sizes — exact integers, one DECIMAL-snapped expectation."""
+    docs = load_table(spark, sf_dir, "documents")
+    qi = docs.select(
+        "lang", "source", F.expr("n_chars DIV 50").alias("len_bucket")
+    )
+    classes = qi.groupBy("lang", "source", "len_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    ).transform(managed_persist)
+    tot = classes.agg(F.sum("k").cast("bigint").alias("n"))
+    k = F.col("k")
+    return classes.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.min("k").cast("bigint").alias("k_anonymity"),
+        F.sum(F.when(k < 5, k).otherwise(0)).cast("bigint").alias("n_rows_below_k5"),
+        F.round(
+            F.sum(F.when(k < 5, k).otherwise(0)) / F.max("n").cast("double"), 6
+        ).alias("frac_reidentifiable_k5"),
+        F.sum(F.when(k == 1, 1).otherwise(0)).cast("bigint").alias("n_unique_rows"),
+        F.round(
+            F.sum(
+                F.round(k * (k / F.col("n").cast("double")), 8).cast(
+                    "decimal(20,8)"
+                )
+            ).cast("double")
+            / F.max("n")
+            * F.max("n")
+            / F.max("n"),
+            6,
+        ).alias("expected_class_size_norm"),
+    )
