@@ -3777,3 +3777,124 @@ def q344_fst_jackknife(spark, sf_dir):
         F.round(fst - 1.96 * se, 6).alias("ci_lo"),
         F.round(fst + 1.96 * se, 6).alias("ci_hi"),
     )
+
+
+_PI0_LAMBDAS = (0.5, 0.7, 0.8)
+
+
+@query(
+    "q368_storey_pi0",
+    oracle=f"""
+WITH gt AS (
+  SELECT CAST(l_suppkey % 6 AS INT) AS sample_id,
+         l_orderkey % 2000 AS site,
+         MIN(CAST(l_partkey % 3 AS INT)) AS dosage
+  FROM lineitem GROUP BY 1, 2
+),
+cells AS (
+  SELECT site, dosage,
+         CASE WHEN sample_id < 3 THEN 1 ELSE 0 END AS grp,
+         COUNT(*) AS o
+  FROM gt GROUP BY 1, 2, 3
+),
+marg AS (
+  SELECT site,
+         SUM(o) AS n,
+         SUM(CASE WHEN grp = 1 THEN o ELSE 0 END) AS n_case
+  FROM cells GROUP BY site HAVING SUM(o) = 6
+),
+chi AS (
+  SELECT c.site,
+         SUM(POW(c.o - rd.row_n * (CASE WHEN c.grp = 1 THEN m.n_case
+                                        ELSE m.n - m.n_case END) / CAST(m.n AS DOUBLE), 2)
+             / (rd.row_n * (CASE WHEN c.grp = 1 THEN m.n_case
+                                 ELSE m.n - m.n_case END) / CAST(m.n AS DOUBLE)))
+           AS chi2
+  FROM cells c
+  JOIN marg m USING (site)
+  JOIN (SELECT site, dosage, SUM(o) AS row_n FROM cells GROUP BY site, dosage) rd
+    ON rd.site = c.site AND rd.dosage = c.dosage
+  WHERE m.n_case > 0 AND m.n_case < m.n
+  GROUP BY c.site
+),
+p AS MATERIALIZED (
+  SELECT site, ROUND(exp(-chi2 / 2), 10) AS pval FROM chi
+),
+m AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM p),
+lam AS (SELECT * FROM (VALUES {", ".join(f"({x!r})" for x in _PI0_LAMBDAS)}) AS t(l))
+SELECT CAST(l.l AS DOUBLE) AS lambda,
+       (SELECT m FROM m) AS n_tests,
+       CAST(SUM(CASE WHEN p.pval > l.l THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above_lambda,
+       ROUND(SUM(CASE WHEN p.pval > l.l THEN 1 ELSE 0 END)
+             / ((1 - l.l) * (SELECT m FROM m)), 6) AS pi0_hat,
+       ROUND(LEAST(1.0, SUM(CASE WHEN p.pval > l.l THEN 1 ELSE 0 END)
+             / ((1 - l.l) * (SELECT m FROM m))), 6) AS pi0_clipped
+FROM lam l CROSS JOIN p
+GROUP BY l.l
+""",
+)
+def q368_storey_pi0(spark, sf_dir):
+    """STOREY'S PI0 ESTIMATOR (the adaptive-FDR upgrade of q244's
+    Benjamini-Hochberg: BH assumes ALL hypotheses are null; Storey
+    estimates the null fraction pi0 = #(p > lambda)/((1-lambda) m)
+    from the flat tail of the p-value histogram, so q-values scale by
+    pi0 and gain power when real signals exist): pi0-hat at three
+    lambda grid points over the same per-site chi-square p-values.
+
+    Scale discipline: identical p-value derivation to q244 (one
+    grouped chi-square pass, p = exp(-chi2/2) exactly for df=2); the
+    estimator is a conditional count per lambda over a 3-row spine —
+    arithmetic after one aggregate."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    gt = li.groupBy(
+        (F.col("l_suppkey") % 6).cast("int").alias("sample_id"),
+        (F.col("l_orderkey") % 2000).alias("site"),
+    ).agg(F.min((F.col("l_partkey") % 3).cast("int")).alias("dosage"))
+    cells = gt.groupBy(
+        "site",
+        "dosage",
+        F.when(F.col("sample_id") < 3, 1).otherwise(0).alias("grp"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    marg = (
+        cells.groupBy("site")
+        .agg(
+            F.sum("o").alias("n"),
+            F.sum(F.when(F.col("grp") == 1, F.col("o")).otherwise(0)).alias(
+                "n_case"
+            ),
+        )
+        .where(F.col("n") == 6)
+    )
+    rd = cells.groupBy("site", "dosage").agg(F.sum("o").alias("row_n"))
+    e = F.col("row_n") * F.when(
+        F.col("grp") == 1, F.col("n_case")
+    ).otherwise(F.col("n") - F.col("n_case")) / F.col("n").cast("double")
+    chi = (
+        cells.join(marg, "site")
+        .join(rd, ["site", "dosage"])
+        .where((F.col("n_case") > 0) & (F.col("n_case") < F.col("n")))
+        .groupBy("site")
+        .agg(F.sum(F.pow(F.col("o") - e, 2) / e).alias("chi2"))
+    )
+    p = chi.select(
+        F.round(F.exp(-F.col("chi2") / 2), 10).alias("pval")
+    ).transform(managed_persist)
+    m = p.count()
+    lam = spark.createDataFrame([(x,) for x in _PI0_LAMBDAS], "l double")
+    j = p.crossJoin(F.broadcast(lam))
+    agg = j.groupBy("l").agg(
+        F.sum(F.when(F.col("pval") > F.col("l"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_above_lambda")
+    )
+    pi0 = F.col("n_above_lambda") / ((1 - F.col("l")) * F.lit(float(m)))
+    return agg.select(
+        F.col("l").cast("double").alias("lambda"),
+        F.lit(m).cast("bigint").alias("n_tests"),
+        "n_above_lambda",
+        F.round(pi0, 6).alias("pi0_hat"),
+        F.round(F.least(F.lit(1.0), pi0), 6).alias("pi0_clipped"),
+    )

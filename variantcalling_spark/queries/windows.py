@@ -5713,3 +5713,87 @@ def q363_qini_curve(spark, sf_dir):
             6,
         ).alias("decile_uplift"),
     )
+
+
+_NEYMAN_BUDGET = 1000
+
+
+@query(
+    "q367_neyman_allocation",
+    oracle=f"""
+WITH stats AS MATERIALIZED (
+  SELECT event_type AS stratum,
+         CAST(COUNT(*) AS BIGINT) AS nh,
+         ROUND(sqrt((CAST(SUM(CAST(value AS DECIMAL(12,2))
+                              * CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                     - COUNT(*) * ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                                             AS DOUBLE) / COUNT(*), 6)
+                                * ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                                             AS DOUBLE) / COUNT(*), 6))
+                    / (COUNT(*) - 1)), 6) AS sh
+  FROM events GROUP BY event_type
+),
+tot AS MATERIALIZED (
+  SELECT CAST(SUM(nh) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(nh * sh, 6) AS DECIMAL(24,6))) AS DOUBLE)
+           AS sum_ns
+  FROM stats
+)
+SELECT s.stratum, s.nh, s.sh,
+       CAST(ROUND({_NEYMAN_BUDGET} * s.nh
+                  / CAST((SELECT n FROM tot) AS DOUBLE)) AS BIGINT)
+         AS n_proportional,
+       CAST(ROUND({_NEYMAN_BUDGET} * ROUND(s.nh * s.sh, 6)
+                  / (SELECT sum_ns FROM tot)) AS BIGINT) AS n_neyman,
+       ROUND({_NEYMAN_BUDGET} * ROUND(s.nh * s.sh, 6)
+             / (SELECT sum_ns FROM tot)
+             - {_NEYMAN_BUDGET} * s.nh
+               / CAST((SELECT n FROM tot) AS DOUBLE), 4) AS reallocation
+FROM stats s
+""",
+)
+def q367_neyman_allocation(spark, sf_dir):
+    """NEYMAN OPTIMAL ALLOCATION (survey-sampling classic: a fixed
+    sample budget buys minimum-variance estimates when strata are
+    sampled proportional to N_h * S_h, not just N_h — the design step
+    BEFORE q25's stratified draw, and the reason high-variance strata
+    deserve oversampling): per-stratum proportional vs Neyman
+    allocations at a 1000-unit budget and the reallocation delta.
+
+    Scale discipline: per-stratum (n, mean, sd) from one exact-DECIMAL
+    aggregate; the allocation arithmetic runs on the stratum-bounded
+    ledger with snapped N_h*S_h terms."""
+    ev = load_table(spark, sf_dir, "events")
+    dv = dec("value")
+    mean_expr = F.round(F.sum(dv).cast("double") / F.count(F.lit(1)), 6)
+    stats = ev.groupBy(F.col("event_type").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nh"),
+        F.round(
+            F.sqrt(
+                (
+                    F.sum(dv * dv).cast("double")
+                    - F.count(F.lit(1)) * mean_expr * mean_expr
+                )
+                / (F.count(F.lit(1)) - 1)
+            ),
+            6,
+        ).alias("sh"),
+    ).transform(managed_persist)
+    tot = stats.agg(
+        F.sum("nh").cast("bigint").alias("n"),
+        F.sum(F.round(F.col("nh") * F.col("sh"), 6).cast("decimal(24,6)"))
+        .cast("double")
+        .alias("sum_ns"),
+    )
+    B = _NEYMAN_BUDGET
+    j = stats.crossJoin(F.broadcast(tot))
+    prop = B * F.col("nh") / F.col("n").cast("double")
+    ney = B * F.round(F.col("nh") * F.col("sh"), 6) / F.col("sum_ns")
+    return j.select(
+        "stratum",
+        "nh",
+        "sh",
+        F.round(prop).cast("bigint").alias("n_proportional"),
+        F.round(ney).cast("bigint").alias("n_neyman"),
+        F.round(ney - prop, 4).alias("reallocation"),
+    )
