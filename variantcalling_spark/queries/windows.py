@@ -5797,3 +5797,124 @@ def q367_neyman_allocation(spark, sf_dir):
         F.round(ney).cast("bigint").alias("n_neyman"),
         F.round(ney - prop, 4).alias("reallocation"),
     )
+
+
+_MSTAT_ITERS = 12
+
+
+def _markov_stationary_oracle_sql() -> str:
+    parts = [
+        """
+WITH ordered AS (
+  SELECT user_id, event_type AS cur,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS nxt
+  FROM events
+),
+trans AS MATERIALIZED (
+  SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ordered WHERE nxt IS NOT NULL GROUP BY cur, nxt
+),
+pm AS MATERIALIZED (
+  SELECT cur, nxt,
+         ROUND(n / CAST(SUM(n) OVER (PARTITION BY cur) AS DOUBLE), 8) AS p
+  FROM trans
+),
+states AS MATERIALIZED (SELECT DISTINCT cur AS st FROM trans),
+ns AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+emp AS MATERIALIZED (
+  SELECT cur AS st,
+         ROUND(SUM(n) / CAST((SELECT SUM(n) FROM trans) AS DOUBLE), 6)
+           AS empirical_freq
+  FROM trans GROUP BY cur
+),
+pi0 AS MATERIALIZED (
+  SELECT st, ROUND(1.0 / (SELECT k FROM ns), 10) AS pi FROM states
+)"""
+    ]
+    prev = "pi0"
+    for i in range(1, _MSTAT_ITERS + 1):
+        parts.append(
+            f""",
+pi{i} AS MATERIALIZED (
+  SELECT m.nxt AS st,
+         ROUND(CAST(SUM(CAST(ROUND({prev}.pi * m.p, 12) AS DECIMAL(16,12)))
+                    AS DOUBLE), 10) AS pi
+  FROM pm m JOIN {prev} ON {prev}.st = m.cur
+  GROUP BY m.nxt
+)"""
+        )
+        prev = f"pi{i}"
+    parts.append(
+        f"""
+SELECT p.st AS state,
+       ROUND(p.pi, 6) AS stationary_prob,
+       e.empirical_freq,
+       ROUND(ABS(p.pi - e.empirical_freq), 6) AS gap
+FROM {prev} p JOIN emp e ON e.st = p.st
+"""
+    )
+    return "".join(parts)
+
+
+@query("q369_markov_stationary", oracle=_markov_stationary_oracle_sql())
+def q369_markov_stationary(spark, sf_dir):
+    """STATIONARY DISTRIBUTION of the behavior Markov chain (the
+    long-run state occupancy the q262 transition matrix IMPLIES — if
+    users keep behaving like this, where does traffic settle? The gap
+    against today's empirical frequencies is the drift forecast): 12
+    power-iteration steps from uniform, compared to the observed state
+    mix.
+
+    Scale discipline: the iteration runs entirely on the
+    |state|^2-bounded probability matrix (state-domain tiny by
+    construction); per-step terms snap at 12 into DECIMAL sums and the
+    vector at 10 — both engines in lockstep (the q292 iterative
+    conventions); the corpus is touched once for transitions."""
+    ev = load_table(spark, sf_dir, "events")
+    ordered = ev.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts_ns", "event_id"))
+        .alias("nxt"),
+    )
+    trans = (
+        ordered.where(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .transform(managed_persist)
+    )
+    pm = trans.select(
+        "cur",
+        "nxt",
+        F.round(
+            F.col("n") / F.sum("n").over(W.partitionBy("cur")).cast("double"), 8
+        ).alias("p"),
+    ).transform(managed_persist)
+    states = trans.select(F.col("cur").alias("st")).distinct()
+    k = states.count()
+    emp_tot = trans.agg(F.sum("n").alias("t")).collect()[0].t
+    emp = trans.groupBy(F.col("cur").alias("st")).agg(
+        F.round(F.sum("n") / F.lit(float(emp_tot)), 6).alias("empirical_freq")
+    )
+    pi = states.select("st", F.round(F.lit(1.0) / k, 10).alias("pi"))
+    for _ in range(_MSTAT_ITERS):
+        pi = (
+            pm.join(pi.withColumnRenamed("st", "cur"), "cur")
+            .select(
+                F.col("nxt").alias("st"),
+                F.round(F.col("pi") * F.col("p"), 12)
+                .cast("decimal(16,12)")
+                .alias("term"),
+            )
+            .groupBy("st")
+            .agg(F.round(F.sum("term").cast("double"), 10).alias("pi"))
+            .localCheckpoint(eager=True)
+        )
+    return pi.join(emp, "st").select(
+        F.col("st").alias("state"),
+        F.round(F.col("pi"), 6).alias("stationary_prob"),
+        "empirical_freq",
+        F.round(F.abs(F.col("pi") - F.col("empirical_freq")), 6).alias("gap"),
+    )
