@@ -5918,3 +5918,86 @@ def q369_markov_stationary(spark, sf_dir):
         "empirical_freq",
         F.round(F.abs(F.col("pi") - F.col("empirical_freq")), 6).alias("gap"),
     )
+
+
+_SPC_LSL = 5.0
+_SPC_USL = 95.0
+
+
+@query(
+    "q370_process_capability",
+    oracle=f"""
+WITH stats AS MATERIALIZED (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6)
+           AS mu,
+         ROUND(sqrt((CAST(SUM(CAST(value AS DECIMAL(12,2))
+                              * CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                     - COUNT(*) * ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                                             AS DOUBLE) / COUNT(*), 6)
+                                * ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                                             AS DOUBLE) / COUNT(*), 6))
+                    / (COUNT(*) - 1)), 6) AS sd,
+         CAST(SUM(CASE WHEN value < {_SPC_LSL!r} OR value > {_SPC_USL!r}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_oos
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n, mu, sd,
+       ROUND(({_SPC_USL!r} - {_SPC_LSL!r}) / (6 * sd), 6) AS cp,
+       ROUND(LEAST(({_SPC_USL!r} - mu) / (3 * sd),
+                   (mu - {_SPC_LSL!r}) / (3 * sd)), 6) AS cpk,
+       n_oos,
+       ROUND(n_oos / CAST(n AS DOUBLE), 6) AS oos_rate
+FROM stats
+""",
+)
+def q370_process_capability(spark, sf_dir):
+    """PROCESS CAPABILITY Cp / Cpk (the SPC manufacturing indices
+    applied to metric series against spec limits [5, 95] — Cp asks
+    whether the spread FITS the spec band, Cpk whether it fits
+    CENTERED; the observed out-of-spec rate is the empirical check the
+    indices predict; the control-chart family's capacity leg beside
+    q283/q288's change monitors): per series, Cp, Cpk, and the
+    measured out-of-spec rate.
+
+    Scale discipline: one exact-DECIMAL sufficient-statistics pass;
+    index arithmetic over the series-bounded ledger; exact integer
+    out-of-spec counts."""
+    ev = load_table(spark, sf_dir, "events")
+    dv = dec("value")
+    mean_expr = F.round(F.sum(dv).cast("double") / F.count(F.lit(1)), 6)
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        mean_expr.alias("mu"),
+        F.round(
+            F.sqrt(
+                (
+                    F.sum(dv * dv).cast("double")
+                    - F.count(F.lit(1)) * mean_expr * mean_expr
+                )
+                / (F.count(F.lit(1)) - 1)
+            ),
+            6,
+        ).alias("sd"),
+        F.sum(
+            F.when(
+                (F.col("value") < _SPC_LSL) | (F.col("value") > _SPC_USL), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_oos"),
+    )
+    mu, sd = F.col("mu"), F.col("sd")
+    return stats.select(
+        "event_type",
+        "n",
+        "mu",
+        "sd",
+        F.round((_SPC_USL - _SPC_LSL) / (6 * sd), 6).alias("cp"),
+        F.round(
+            F.least((_SPC_USL - mu) / (3 * sd), (mu - _SPC_LSL) / (3 * sd)), 6
+        ).alias("cpk"),
+        "n_oos",
+        F.round(F.col("n_oos") / F.col("n").cast("double"), 6).alias("oos_rate"),
+    )
