@@ -59,6 +59,8 @@ _PRIORITY = (
     #   4. round-5-touched hot paths, then the round-4 block (q110-q133);
     #   5. everything else (r5-fresh rows) in module order.
     # --- New in round 6 ---
+    "q371_weighted_kappa",
+    "q372_rolling_percentile",
     "q370_process_capability",
     "q369_markov_stationary",
     "q367_neyman_allocation",

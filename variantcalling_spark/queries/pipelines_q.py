@@ -3898,3 +3898,102 @@ def q368_storey_pi0(spark, sf_dir):
         F.round(pi0, 6).alias("pi0_hat"),
         F.round(F.least(F.lit(1.0), pi0), 6).alias("pi0_clipped"),
     )
+
+
+@query(
+    "q371_weighted_kappa",
+    oracle="""
+WITH lab AS (
+  SELECT CAST(l_partkey % 3 AS INT) AS rater_a,
+         CAST((l_partkey + CASE WHEN l_suppkey % 5 = 0 THEN 1 ELSE 0 END) % 3
+              AS INT) AS rater_b
+  FROM lineitem
+),
+cm AS MATERIALIZED (
+  SELECT rater_a, rater_b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lab GROUP BY rater_a, rater_b
+),
+n_t AS MATERIALIZED (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cm),
+-- linear disagreement weights scaled x2 so every weight is an exact
+-- integer on a 3-level ordinal scale: w = 2*|i-j| in {0, 2, 4}/2(k-1)
+obs AS (
+  SELECT CAST(SUM(c * 2 * ABS(rater_a - rater_b)) AS BIGINT) AS wo FROM cm
+),
+marg AS (
+  SELECT CAST(SUM(ra.rc * rb.cc * 2 * ABS(ra.k - rb.k)) AS BIGINT) AS we
+  FROM (SELECT rater_a AS k, SUM(c) AS rc FROM cm GROUP BY rater_a) ra
+  CROSS JOIN (SELECT rater_b AS k, SUM(c) AS cc FROM cm GROUP BY rater_b) rb
+)
+SELECT n_t.n,
+       obs.wo AS weighted_disagreement_x2n,
+       marg.we AS expected_disagreement_x2n2,
+       ROUND(1 - (n_t.n * obs.wo) / CAST(marg.we AS DOUBLE), 6)
+         AS weighted_kappa,
+       ROUND((marg.we - n_t.n * obs.wo) / CAST(marg.we AS DOUBLE), 6)
+         AS weighted_kappa_check
+FROM n_t CROSS JOIN obs CROSS JOIN marg
+""",
+)
+def q371_weighted_kappa(spark, sf_dir):
+    """WEIGHTED COHEN'S KAPPA (linear weights — the ordinal-scale
+    agreement metric rubric-graded annotation needs: disagreeing by
+    one grade is NOT as bad as by two, which q203's plain kappa cannot
+    express; the standard for LLM-judge rubric agreement): kappa_w =
+    1 - (N * observed weighted disagreement)/(expected weighted
+    disagreement), all-integer after clearing denominators (weights
+    x2 so the 3-level linear weights are exact ints).
+
+    Scale discipline: one contingency aggregate (k^2-bounded), margins
+    cross-joined over k rows; one IEEE division at the end — the q203
+    denominator-clearing discipline extended to the weighted form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lab = li.select(
+        (F.col("l_partkey") % 3).cast("int").alias("rater_a"),
+        (
+            (
+                F.col("l_partkey")
+                + F.when(F.col("l_suppkey") % 5 == 0, 1).otherwise(0)
+            )
+            % 3
+        )
+        .cast("int")
+        .alias("rater_b"),
+    )
+    cm = lab.groupBy("rater_a", "rater_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).transform(managed_persist)
+    n_t = cm.agg(F.sum("c").cast("bigint").alias("n"))
+    obs = cm.agg(
+        F.sum(F.col("c") * 2 * F.abs(F.col("rater_a") - F.col("rater_b")))
+        .cast("bigint")
+        .alias("wo")
+    )
+    ra = cm.groupBy(F.col("rater_a").alias("ka")).agg(F.sum("c").alias("rc"))
+    rb = cm.groupBy(F.col("rater_b").alias("kb")).agg(F.sum("c").alias("cc"))
+    marg = (
+        ra.crossJoin(rb)
+        .agg(
+            F.sum(
+                F.col("rc") * F.col("cc") * 2 * F.abs(F.col("ka") - F.col("kb"))
+            )
+            .cast("bigint")
+            .alias("we")
+        )
+    )
+    return (
+        n_t.crossJoin(F.broadcast(obs))
+        .crossJoin(F.broadcast(marg))
+        .select(
+            "n",
+            F.col("wo").alias("weighted_disagreement_x2n"),
+            F.col("we").alias("expected_disagreement_x2n2"),
+            F.round(
+                1 - (F.col("n") * F.col("wo")) / F.col("we").cast("double"), 6
+            ).alias("weighted_kappa"),
+            F.round(
+                (F.col("we") - F.col("n") * F.col("wo"))
+                / F.col("we").cast("double"),
+                6,
+            ).alias("weighted_kappa_check"),
+        )
+    )

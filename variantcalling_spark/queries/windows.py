@@ -6001,3 +6001,76 @@ def q370_process_capability(spark, sf_dir):
         "n_oos",
         F.round(F.col("n_oos") / F.col("n").cast("double"), 6).alias("oos_rate"),
     )
+
+
+_ROLLP_WIN = 7  # trailing window (days), current day inclusive
+
+
+@query(
+    "q372_rolling_percentile",
+    oracle=f"""
+WITH daily AS MATERIALIZED (
+  SELECT event_type,
+         epoch_ns(ts) // 86400000000000 AS day,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM events GROUP BY event_type, day
+),
+win AS (
+  SELECT event_type, day, m,
+         list_sort(list(m) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN {_ROLLP_WIN - 1} PRECEDING AND CURRENT ROW)) AS w
+  FROM daily
+)
+SELECT event_type, CAST(day AS BIGINT) AS day, m,
+       CAST(len(w) AS INT) AS n_window,
+       w[CAST(CEIL(0.9 * len(w)) AS INT)] AS p90_trailing,
+       w[CAST(CEIL(0.5 * len(w)) AS INT)] AS p50_trailing,
+       CASE WHEN m > w[CAST(CEIL(0.9 * len(w)) AS INT)] - 1e-12
+                 AND len(w) = {_ROLLP_WIN} THEN 1 ELSE 0 END AS at_p90_flag
+FROM win
+""",
+)
+def q372_rolling_percentile(spark, sf_dir):
+    """TRAILING SLIDING PERCENTILES (the latency-dashboard staple:
+    today's value against the trailing-7-day p50/p90 — level-aware
+    alerting where q267's EWMA is mean-aware and q283's CUSUM is
+    shift-aware): exact rank-picked p90/p50 over a bounded trailing
+    window per series, with an at-the-p90 flag.
+
+    Scale discipline: the sliding window collects a BOUNDED (7-row)
+    list per output row over calendar-bounded daily means — exact
+    percentiles via ceil(tau*n) index picks into the sorted window
+    (the q220 rank-pick convention in sliding form), no t-digest, no
+    approximation."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_ns DIV 86400000000000").alias("day")
+    ).agg(
+        F.round(F.sum(dec("value")).cast("double") / F.count(F.lit(1)), 6).alias("m")
+    )
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(
+        -(_ROLLP_WIN - 1), W.currentRow
+    )
+    win = daily.select(
+        "event_type",
+        F.col("day").cast("bigint").alias("day"),
+        "m",
+        F.sort_array(F.collect_list("m").over(w)).alias("w"),
+    )
+    n_w = F.size("w")
+    p90 = F.element_at("w", F.ceil(0.9 * n_w).cast("int"))
+    p50 = F.element_at("w", F.ceil(0.5 * n_w).cast("int"))
+    return win.select(
+        "event_type",
+        "day",
+        "m",
+        n_w.cast("int").alias("n_window"),
+        p90.alias("p90_trailing"),
+        p50.alias("p50_trailing"),
+        F.when(
+            (F.col("m") > p90 - 1e-12) & (n_w == _ROLLP_WIN), 1
+        )
+        .otherwise(0)
+        .alias("at_p90_flag"),
+    )
