@@ -209,3 +209,173 @@ def test_mad_and_trimmed_mean_match_naive(spark):
         lo = len(xs) * 5 // 100
         kept = xs_sorted[lo : len(xs) - lo]
         assert got_tm[src] == (len(kept), sum(kept)), src
+
+
+def test_distributed_row_number_matches_window(spark):
+    """`distributed_row_number` (bucket prefix + bucket-local window)
+    must equal the single-partition row_number for asc and desc sorts,
+    including ties broken by the tie column and values that straddle
+    bucket boundaries."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from variantcalling_spark.operators.ordered import distributed_row_number
+
+    data = spark.createDataFrame(
+        [(i, (i * 7) % 23, f"id{i:03d}") for i in range(200)]
+        + [(1000 + i, 5, f"tie{i:03d}") for i in range(40)],
+        "rid long, v long, tie string",
+    )
+    # ascending
+    exp = {
+        (r.rid, r.rn)
+        for r in data.select(
+            "rid", F.row_number().over(W.orderBy("v", "tie")).alias("rn")
+        ).collect()
+    }
+    got = {
+        (r.rid, r.rn)
+        for r in distributed_row_number(
+            data, [F.col("v"), F.col("tie")], F.expr("v DIV 4")
+        ).collect()
+    }
+    assert got == exp
+    # descending leading key: bucket on the negated value
+    exp_d = {
+        (r.rid, r.rn)
+        for r in data.select(
+            "rid",
+            F.row_number().over(W.orderBy(F.col("v").desc(), "tie")).alias("rn"),
+        ).collect()
+    }
+    got_d = {
+        (r.rid, r.rn)
+        for r in distributed_row_number(
+            data, [F.col("v").desc(), F.col("tie")], F.expr("-v DIV 4")
+        ).collect()
+    }
+    assert got_d == exp_d
+
+
+def test_value_at_rank_bucketed_matches_sort(spark):
+    """`value_at_rank_bucketed` vs a driver-side sorted pick — both
+    directions, several ranks, two ranks crossing in the SAME bucket
+    (the double-count regression), and a rank equal to n."""
+    from pyspark.sql import functions as F
+
+    from variantcalling_spark.operators.ordered import value_at_rank_bucketed
+
+    vals = [0.08, 0.08, 5.36, 5.4, 11.7, 11.7, 11.7, 200.0, 480.5, 3.2, 3.2]
+    df = spark.createDataFrame([(v,) for v in vals], "score double")
+    n = len(vals)
+    ks = [1, 2, 3, n // 2, n - 1, n]
+    ranks = spark.createDataFrame([(k,) for k in ks], "k long")
+    asc = sorted(vals)
+    desc = sorted(vals, reverse=True)
+    got_asc = {
+        r.k: r.value_at_rank
+        for r in value_at_rank_bucketed(
+            df, "score", ranks, bucket_width=4.0
+        ).collect()
+    }
+    got_desc = {
+        r.k: r.value_at_rank
+        for r in value_at_rank_bucketed(
+            df, "score", ranks, bucket_width=4.0, descending=True
+        ).collect()
+    }
+    for k in ks:
+        assert got_asc[k] == asc[k - 1], ("asc", k)
+        assert got_desc[k] == desc[k - 1], ("desc", k)
+
+
+def test_ntile_expr_matches_sql_ntile(spark):
+    """`ntile_expr` closed form vs NTILE(k) for n mod k != 0, n mod
+    k == 0, and n < k."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from variantcalling_spark.operators.ordered import ntile_expr
+
+    for n, k in ((11, 5), (10, 5), (3, 5), (100, 7)):
+        df = spark.createDataFrame([(i,) for i in range(n)], "v long")
+        exp = {
+            (r.v, r.t)
+            for r in df.select(
+                "v", F.ntile(k).over(W.orderBy("v")).alias("t")
+            ).collect()
+        }
+        got = {
+            (r.v, r.t)
+            for r in df.select(
+                "v",
+                ntile_expr(
+                    F.col("v") + 1, F.lit(n).cast("bigint"), k
+                ).alias("t"),
+            ).collect()
+        }
+        assert got == exp, (n, k)
+
+
+def test_pr_curve_bucketed_matches_single_window(spark):
+    """The bucketed two-level pr_curve must equal the plain
+    unpartitioned-window form value-for-value, grouped and ungrouped,
+    for any bucket width (1 bucket == the old plan; fine buckets split
+    every distinct score)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from variantcalling_spark.operators.metrics import pr_curve
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .where(F.col("event_type").isin("purchase", "error"))
+        .select(
+            F.col("value").alias("score"),
+            F.when(F.col("event_type") == "purchase", "tp")
+            .otherwise("fp")
+            .alias("label"),
+            (F.col("event_id") % 3).cast("string").alias("grp"),
+        )
+    )
+
+    def reference(df, group_cols):
+        per_score = df.groupBy(*group_cols, "score").agg(
+            F.count(F.when(F.col("label") == "tp", 1)).alias("n_tp"),
+            F.count(F.when(F.col("label") == "fp", 1)).alias("n_fp"),
+        )
+        w_cum = (
+            W.partitionBy(*group_cols)
+            .orderBy(F.desc("score"))
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        w_all = W.partitionBy(*group_cols) if group_cols else W.partitionBy(F.lit(1))
+        return per_score.select(
+            *group_cols,
+            F.col("score").alias("threshold"),
+            F.sum("n_tp").over(w_cum).alias("cum_tp"),
+            F.sum("n_fp").over(w_cum).alias("cum_fp"),
+            F.sum("n_tp").over(w_all).alias("tot_tp"),
+        )
+
+    for group_cols in ([], ["grp"]):
+        for width in (1e9, 16.0, 0.25):
+            exp = {
+                tuple(r)
+                for r in reference(ev, group_cols).collect()
+            }
+            got = {
+                tuple(r)
+                for r in pr_curve(
+                    ev, "score", "label", group_cols or None, bucket_width=width
+                )
+                .select(
+                    *group_cols,
+                    "threshold",
+                    "cum_tp",
+                    "cum_fp",
+                    (F.col("cum_tp") + F.col("cum_fn")).alias("tot_tp"),
+                )
+                .collect()
+            }
+            assert got == exp and got, (group_cols, width)

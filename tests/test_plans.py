@@ -669,12 +669,26 @@ def test_no_row_python_anywhere(spark):
     sys.path.insert(0, "/root/repo/tools")
     from plan_audit import audit_plan
 
+    from plan_audit import GLOBAL_WINDOW_ALLOWLIST, global_ordered_windows
+
     offenders = []
+    straggler_windows = {}
     for name, q in all_queries().items():
         plan = q.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         if audit_plan(plan)["n_batch_python"]:
             offenders.append(name)
+        gw = global_ordered_windows(plan)
+        if gw and name not in GLOBAL_WINDOW_ALLOWLIST:
+            straggler_windows[name] = gw[0]
     assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
+    # SCALE.md:134-139 invariant (r7): no query may plan an ordered
+    # unpartitioned Window over an unbounded input — the
+    # single-partition-sort straggler class the r6 verdict flagged.
+    # Bounded global windows (histogram/bucket/decile/pair-vocabulary
+    # domains) must be justified in GLOBAL_WINDOW_ALLOWLIST.
+    assert not straggler_windows, (
+        f"unlisted single-partition Window(s): {straggler_windows}"
+    )
 
 
 def test_q300_mixture_is_two_pass_bounded(spark):
@@ -720,3 +734,30 @@ def test_q292_bt_match_table_is_item_bounded(spark):
     corpus lineage (the q255 truncation made executable)."""
     p = plan_of(spark, "q292_bradley_terry")
     assert "Scan ExistingRDD" in p
+
+
+def test_two_level_cumsum_fixes_plan_partitioned(spark):
+    """r7 single-partition-Window fixes, pinned at the plan level: for
+    q40 (bucketed pr_curve), q225 (tranche rank pick), q314 (RFM
+    distributed NTILE) and q333 (bucketed median), every remaining
+    GLOBAL ordered Window sorts only the tiny bucket relation
+    (__bk/__rnb), and the per-row cumulative/rank windows run
+    PARTITIONED by that bucket."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from plan_audit import global_ordered_windows
+
+    for name in (
+        "q40_pr_curve",
+        "q225_vqsr_tranches",
+        "q314_rfm_segmentation",
+        "q333_shapley_importance",
+    ):
+        p = plan_of(spark, name)
+        for hit in global_ordered_windows(p):
+            assert "__bk" in hit or "__rnb" in hit, (name, hit)
+        # the bucket-local (partitioned) window is present
+        assert (
+            "windowspecdefinition(__bk" in p or "windowspecdefinition(__rnb" in p
+        ), name

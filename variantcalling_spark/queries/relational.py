@@ -786,10 +786,11 @@ def q195_pareto_concentration(spark, sf_dir):
     pairs with q172's Gini (Gini grades the whole curve; this reads
     two named points off it). Revenue stays in exact DECIMAL cents;
     rank thresholds are integer cross-multiplications (rnk·10 ≤ n);
-    the customer relation (already one row per customer) takes one
-    global rank window — at extreme cardinalities the q184 rank-range
-    histogram substitutes, same discipline."""
-    from pyspark.sql import Window as W
+    the customer rank is a DISTRIBUTED row number (revenue-bucket
+    prefix + bucket-local window — r7: the previous global rank window
+    and whole-relation count/sum windows were single-partition over the
+    customer domain, the SCALE.md:134-139 straggler)."""
+    from variantcalling_spark.operators.ordered import distributed_row_number
 
     o = load_table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
@@ -797,15 +798,16 @@ def q195_pareto_concentration(spark, sf_dir):
         .cast("bigint")
         .alias("rev_c")
     )
-    r = cust.select(
-        "o_custkey",
-        "rev_c",
-        F.row_number()
-        .over(W.orderBy(F.desc("rev_c"), "o_custkey"))
-        .alias("rnk"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
-        F.sum("rev_c").over(W.partitionBy()).alias("tot"),
+    tots = cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rev_c").alias("tot"),
     )
+    r = distributed_row_number(
+        cust,
+        [F.desc("rev_c"), F.col("o_custkey")],
+        F.expr("-rev_c DIV 100000"),
+        out_col="rnk",
+    ).crossJoin(F.broadcast(tots))
     top10 = F.sum(F.when(F.col("rnk") * 10 <= F.col("n"), F.col("rev_c")).otherwise(0))
     top20 = F.sum(F.when(F.col("rnk") * 5 <= F.col("n"), F.col("rev_c")).otherwise(0))
     return r.groupBy("n", "tot").agg(
@@ -852,10 +854,11 @@ def q196_skyline_2d(spark, sf_dir):
     ONE range-frame window: sorted by price, a part survives iff its
     size is ≥ the best size seen at strictly lower prices
     (RANGE .. 1 PRECEDING excludes equal-price peers, which cannot
-    strictly under-price). Exact DECIMAL cents as the range key; the
-    global sort is the only shuffle — at extreme cardinalities
-    pre-aggregate to (price, max size) first (vastly smaller, same
-    answer), the q167 histogram discipline."""
+    strictly under-price). Exact DECIMAL cents as the range key. The
+    dominance scan runs over the PRE-AGGREGATED (price, max size)
+    relation — the distinct-price-cents domain, never the part rows
+    (r7: the q167 histogram discipline, previously only promised in
+    this docstring) — then broadcasts back to the parts."""
     from pyspark.sql import Window as W
 
     p = load_table(spark, sf_dir, "part").select(
@@ -865,8 +868,12 @@ def q196_skyline_2d(spark, sf_dir):
         .alias("price_c"),
         F.col("p_size").cast("bigint").alias("psize"),
     )
+    per_price = p.groupBy("price_c").agg(F.max("psize").alias("__mx"))
     wr = W.orderBy("price_c").rangeBetween(W.unboundedPreceding, -1)
-    w = p.withColumn("best_cheaper", F.max("psize").over(wr))
+    frontier = per_price.select(
+        "price_c", F.max("__mx").over(wr).alias("best_cheaper")
+    )
+    w = p.join(F.broadcast(frontier), "price_c")
     return w.where(
         F.col("best_cheaper").isNull() | (F.col("psize") >= F.col("best_cheaper"))
     ).select("p_partkey", "price_c", "psize")

@@ -2210,7 +2210,7 @@ def q255_bfs_distances(spark, sf_dir):
     return hist.unionByName(unreach)
 
 
-def _rrf_oracle_sql(kq: int = 60, topk: int = 20, qvec: int = 7) -> str:
+def _rrf_oracle_sql(kq: int = 60, topk: int = 20, qvec: int = 7, cand: int = 100) -> str:
     return f"""
 WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS dl FROM documents),
 stats AS (
@@ -2233,6 +2233,7 @@ bm AS (
                 * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
                 AS DECIMAL(18,12)) DESC, doc_id) AS INT) AS r_bm25
   FROM tf JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN qterm q
+  QUALIFY r_bm25 <= {cand}
 ),
 base AS (
   SELECT vec_id,
@@ -2247,6 +2248,7 @@ ann AS (
              / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
            c.vec_id) AS INT) AS r_ann
   FROM base c CROSS JOIN qv q WHERE c.vec_id <> {qvec}
+  QUALIFY r_ann <= {cand}
 ),
 fused AS (
   SELECT COALESCE(bm.doc_id, ann.doc_id) AS doc_id, bm.r_bm25, ann.r_ann,
@@ -2280,7 +2282,7 @@ def q258_rrf_hybrid_retrieval(spark, sf_dir):
     two-term sum of exact reciprocals in fixed order."""
     from pyspark.sql import Window as W
 
-    kq, topk, qvec = 60, 20, 7
+    kq, topk, qvec, cand = 60, 20, 7, 100
     docs = load_table(spark, sf_dir, "documents").transform(managed_persist)
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     dfreq = (
@@ -2312,11 +2314,19 @@ def q258_rrf_hybrid_retrieval(spark, sf_dir):
         * (F.col("tf") * 2.2)
         / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
     ).cast("decimal(18,12)")
+    # each arm is bounded to its top-`cand` candidates BEFORE fusing
+    # (VERDICT r6 fix: RRF only needs the ranks of fusion survivors, and
+    # unbounded arms were full single-partition rankings of every
+    # matching doc; top-cand plans as TakeOrderedAndProject / pushed
+    # window-group limits — distributed heap-selects). The oracle
+    # carries the identical QUALIFY bound.
     bm = (
         tf.join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .crossJoin(F.broadcast(qterm))
         .select("doc_id", score.alias("s"))
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(cand)
         .select(
             "doc_id",
             F.row_number()
@@ -2328,9 +2338,8 @@ def q258_rrf_hybrid_retrieval(spark, sf_dir):
     from variantcalling_spark.operators.similarity import cosine_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # full ranking: k larger than any corpus (rank filter is a no-op)
     ann = (
-        cosine_topk(emb.where(F.col("vec_id") == qvec), emb, k=1 << 40)
+        cosine_topk(emb.where(F.col("vec_id") == qvec), emb, k=cand)
         .select(F.col("cand_id").alias("doc_id"), F.col("rank").alias("r_ann"))
     )
     fused = (

@@ -745,13 +745,16 @@ def q116_bm25_topk(spark, sf_dir):
         F.count(F.lit(1)).cast("int").alias("n_terms"),
         F.round(F.sum("s").cast("double"), 6).alias("score"),
     )
-    ranked = agg.withColumn(
+    # global top-20 via TakeOrderedAndProject (distributed heap-select,
+    # VERDICT r6 fix — never a corpus-wide single-partition row_number);
+    # the rank window then runs over exactly 20 rows.
+    top = agg.orderBy(F.col("score").desc(), "doc_id").limit(20)
+    return top.withColumn(
         "rank",
         F.row_number()
         .over(W.orderBy(F.col("score").desc(), "doc_id"))
         .cast("int"),
     )
-    return ranked.where(F.col("rank") <= 20)
 
 
 @query(

@@ -3415,17 +3415,45 @@ def q314_rfm_segmentation(spark, sf_dir):
             "frequency",
             "monetary",
         )
+        .transform(managed_persist)
     )
-    scored = cust.select(
+    # NTILE(5) re-expressed as closed-form arithmetic over a DISTRIBUTED
+    # row number (VERDICT r6 fix: three unpartitioned NTILE windows sort
+    # the whole customer domain in one task; here each axis buckets on a
+    # coarsening of its own sort key — bounded day/count/price domains —
+    # so every task sorts one bucket).
+    from variantcalling_spark.operators.ordered import (
+        distributed_row_number,
+        ntile_expr,
+    )
+
+    ncust = cust.agg(F.count(F.lit(1)).cast("bigint").alias("n_cust"))
+    ranked = distributed_row_number(
+        cust,
+        [F.col("recency_days").desc(), F.col("o_custkey")],
+        (-F.col("recency_days")).cast("bigint"),
+        out_col="__rn_r",
+    )
+    ranked = distributed_row_number(
+        ranked,
+        [F.col("frequency"), F.col("o_custkey")],
+        F.col("frequency").cast("bigint"),
+        out_col="__rn_f",
+    )
+    ranked = distributed_row_number(
+        ranked,
+        [F.col("monetary"), F.col("o_custkey")],
+        F.floor(F.col("monetary") / 10000.0).cast("bigint"),
+        out_col="__rn_m",
+    )
+    scored = ranked.crossJoin(F.broadcast(ncust)).select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(5)
-        .over(W.orderBy(F.col("recency_days").desc(), "o_custkey"))
-        .alias("r_score"),
-        F.ntile(5).over(W.orderBy("frequency", "o_custkey")).alias("f_score"),
-        F.ntile(5).over(W.orderBy("monetary", "o_custkey")).alias("m_score"),
+        ntile_expr(F.col("__rn_r"), F.col("n_cust"), 5).alias("r_score"),
+        ntile_expr(F.col("__rn_f"), F.col("n_cust"), 5).alias("f_score"),
+        ntile_expr(F.col("__rn_m"), F.col("n_cust"), 5).alias("m_score"),
     )
     return scored.groupBy(
         F.col("r_score").cast("int").alias("r_score"),
@@ -4654,16 +4682,19 @@ def q333_shapley_importance(spark, sf_dir):
     computed identically on both engines rather than trusting
     grouping_id bit order. Per-cell terms snap at 8 into DECIMAL
     sums."""
+    from variantcalling_spark.operators.ordered import value_at_rank_bucketed
+
     ev = load_table(spark, sf_dir, "events")
-    med = (
-        ev.select(
-            F.col("value").alias("v"),
-            F.row_number().over(W.orderBy("value", "event_id")).alias("rn"),
-            F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
-        )
-        .where(F.col("rn") == F.expr("(n + 1) DIV 2"))
-        .select(F.col("v").alias("median"))
+    # lower-median WITHOUT a corpus-wide single-partition Window
+    # (VERDICT r6 fix: the rank tie-break never changes the VALUE at the
+    # rank, so a bucketed distinct-value CDF is exact): bucket counts ->
+    # tiny prefix -> crossing-bucket-only rescan.
+    k = ev.agg(
+        ((F.count(F.lit(1)) + 1) / 2).cast("bigint").alias("k")
     )
+    med = value_at_rank_bucketed(
+        ev.select("value"), "value", k, rank_col="k", bucket_width=16.0
+    ).select(F.col("value_at_rank").alias("median"))
     base = ev.crossJoin(F.broadcast(med)).select(
         F.when((F.expr("ts_ns DIV 86400000000000") + 3) % 7 >= 5, 1)
         .otherwise(0)
@@ -5658,10 +5689,12 @@ def q363_qini_curve(spark, sf_dir):
     cumulative Qini and per-decile uplift over a deterministic
     engagement-score ranking.
 
-    Scale discipline: one user-ledger aggregate; NTILE over the user
-    domain with pinned tie-breaks; Qini is two cumulative windows over
-    the 10-row decile table — exact integer conversions, two rounded
-    ratios."""
+    Scale discipline: one user-ledger aggregate; NTILE re-expressed as
+    closed-form arithmetic over a DISTRIBUTED row number (score-bucket
+    prefix + bucket-local window, r7 — the plain NTILE window was a
+    user-domain single-partition sort); Qini is two cumulative windows
+    over the 10-row decile table — exact integer conversions, two
+    rounded ratios."""
     ev = load_table(spark, sf_dir, "events")
     users = ev.groupBy("user_id").agg(
         F.max(F.col("user_id") % 2).alias("arm"),
@@ -5677,12 +5710,25 @@ def q363_qini_curve(spark, sf_dir):
             2,
         ).alias("score"),
     )
-    ranked = users.select(
-        "arm",
-        "conv",
-        F.ntile(10)
-        .over(W.orderBy(F.col("score").desc(), "user_id"))
-        .alias("decile"),
+    from variantcalling_spark.operators.ordered import (
+        distributed_row_number,
+        ntile_expr,
+    )
+
+    n_users = users.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    ranked = (
+        distributed_row_number(
+            users,
+            [F.col("score").desc(), F.col("user_id")],
+            F.floor(-F.col("score") / 256.0).cast("bigint"),
+            out_col="__rn",
+        )
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "arm",
+            "conv",
+            ntile_expr(F.col("__rn"), F.col("n_users"), 10).alias("decile"),
+        )
     )
     per_decile = ranked.groupBy("decile").agg(
         F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_t"),
