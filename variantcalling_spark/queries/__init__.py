@@ -49,128 +49,44 @@ _PRIORITY = (
     # Driver budget is ~50 rows/round; the full local sweep
     # (tools/check_correctness.py) covers ALL queries every round, so this
     # order only decides WHICH rows the driver re-certifies.
-    # ROUND 6 ordering:
-    #   1. new round-6 queries (rows while young) — add them HERE, at the
-    #      top of the "New in round 6" section;
-    #   2. q184-q212: registered late in round 5, AFTER the r5 driver
-    #      budget was spent — they have no driver row at all yet;
-    #   3. the round-2-vintage greens (scheduled for r5, squeezed out by
-    #      the same budget) and the round-3 stragglers;
-    #   4. round-5-touched hot paths, then the round-4 block (q110-q133);
-    #   5. everything else (r5-fresh rows) in module order.
-    # --- New in round 6 ---
-    "q371_weighted_kappa",
-    "q372_rolling_percentile",
-    "q370_process_capability",
-    "q369_markov_stationary",
-    "q367_neyman_allocation",
-    "q368_storey_pi0",
-    "q365_k_anonymity",
-    "q366_data_profile",
-    "q363_qini_curve",
-    "q364_keyness_g2",
-    "q362_dedup_saturation",
-    "q361_haplotype_em",
-    "q359_gsea_enrichment",
-    "q360_item_item_cf",
-    "q358_small_files_report",
-    "q357_textrank_keywords",
-    "q356_lsh_dedup_eval",
-    "q355_forecast_backtest",
-    "q354_eb_shrinkage",
-    "q353_copy_ratio_segments",
-    "q352_seasonal_adjustment",
-    "q351_vocab_rarefaction",
-    "q349_wilcoxon_signed_rank",
-    "q350_peak_calling",
-    "q347_wasserstein_drift",
-    "q348_quantile_treatment_effect",
-    "q345_bedtools_jaccard",
-    "q346_tss_profile",
-    "q344_fst_jackknife",
-    "q343_quality_trimming",
-    "q341_partial_auc",
-    "q342_symspell_matches",
-    "q340_auc_delong",
-    "q338_per_cycle_content",
-    "q339_gene_burden",
-    "q336_consequence_classes",
-    "q337_interval_slop_flank",
-    "q334_matrix_profile",
-    "q335_binseg_changepoints",
-    "q332_hill_tail_index",
-    "q333_shapley_importance",
-    "q330_ecod_outliers",
-    "q331_conformal_interval",
-    "q327_classification_report",
-    "q328_rank_biased_overlap",
-    "q329_effect_sizes",
-    "q326_coverage_titration",
-    "q325_gotoh_alignment",
-    "q323_baum_welch_step",
-    "q324_library_complexity",
-    "q321_topic_coherence",
-    "q322_lsh_planner",
-    "q319_hmm_posterior",
-    "q320_jl_projection",
-    "q316_best_split",
-    "q317_standardized_rates",
-    "q318_exponential_gof",
-    "q313_event_paths",
-    "q314_rfm_segmentation",
-    "q315_viterbi_segments",
-    "q312_fastq_roundtrip",
-    "q308_facility_location",
-    "q309_welch_ttest",
-    "q310_mann_kendall",
-    "q311_degree_assortativity",
-    "q305_position_attribution",
-    "q306_em_gaussian",
-    "q307_dtw_distance",
-    "q302_holt_linear",
-    "q303_kmv_source_overlap",
-    "q304_mmr_rerank",
-    "q297_adamic_adar",
-    "q298_acf",
-    "q299_jsd_source_drift",
-    "q300_temperature_mixture",
-    "q301_kendall_tau",
-    "q292_bradley_terry",
-    "q293_mann_whitney",
-    "q294_lof_outliers",
-    "q295_theil_sen",
-    "q296_mcnemar",
-    "q287_seasonal_profile",
-    "q288_sprt_ledger",
-    "q289_kfold_balance_audit",
-    "q290_quantile_normalization",
-    "q291_callable_loci",
-    "q280_dup_ngram_fraction",
-    "q281_inverted_index",
-    "q282_skipgram_cooccurrence",
-    "q283_cusum_changepoint",
-    "q284_attribution_last_touch",
-    "q285_cochran_armitage",
-    "q286_nelson_aalen",
-    "q275_wgs_uniformity_metrics",
-    "q276_depth_normalization",
-    "q277_anova_f",
-    "q279_label_noise_matrix",
-    "q270_sorted_neighborhood",
-    "q271_max_interval_overlap",
-    "q272_winsorized_means",
-    "q273_event_funnel",
-    "q274_retention_cohorts",
-    "q260_benford_digit_test",
-    "q261_n50_stats",
-    "q262_markov_transitions",
-    "q263_kmv_distinct",
-    "q264_kcore_peeling",
-    "q265_cuped_adjustment",
-    "q266_gopher_quality_flags",
-    "q267_ewma_smoothing",
-    "q268_liftover",
-    "q269_fellegi_sunter",
+    # ROUND 7 ordering (r6 verdict ask #3 - certification debt first):
+    #   1. the never-driver-checked block q184-q322 (138 queries, oldest
+    #      vintage first; the ~50-row budget reaches about q233 this
+    #      round - keep the remainder queued for r8);
+    #   2. new round-7 queries (add them at the TOP of the round-7
+    #      section so they are next in line after the debt clears);
+    #   3. everything else keeps registry (module) order - all of it
+    #      has a green row from r1-r6 and stays covered by the sweep.
+    # --- Never driver-checked (registered r5/r6, no row yet) ---
+    "q184_trimmed_mean",
+    "q185_kmer_spectrum",
+    "q186_personalized_pagerank",
+    "q187_target_coverage_metrics",
+    "q188_mark_duplicates",
+    "q189_n50_stats",
+    "q190_quantile_normalization",
+    "q191_pmi_collocations",
+    "q192_cohort_retention",
+    "q193_funnel_conversion",
+    "q194_association_rules",
+    "q195_pareto_concentration",
+    "q196_skyline_2d",
+    "q197_cusum_changepoint",
+    "q198_ld_r2_pairs",
+    "q199_ld_prune",
+    "q200_gwas_prep_funnel",
+    "q201_split_integrity_audit",
+    "q202_switch_error_rate",
+    "q203_cohens_kappa",
+    "q204_blocking_quality",
+    "q205_brier_reliability",
+    "q206_kaplan_meier",
+    "q207_mash_distance",
+    "q208_wilson_intervals",
+    "q209_emerging_terms",
+    "q210_idf_weighted_containment",
+    "q211_roh_segments",
+    "q212_decile_lift",
     "q213_fisher_strand",
     "q214_bqsr_table",
     "q215_rag_chunking",
@@ -218,103 +134,69 @@ _PRIORITY = (
     "q257_bloom_filter",
     "q258_rrf_hybrid_retrieval",
     "q259_silhouette",
-    # --- Never driver-checked (late-r5 registrations) ---
-    "q184_trimmed_mean",
-    "q185_kmer_spectrum",
-    "q186_personalized_pagerank",
-    "q187_target_coverage_metrics",
-    "q188_mark_duplicates",
-    "q189_n50_stats",
-    "q190_quantile_normalization",
-    "q191_pmi_collocations",
-    "q192_cohort_retention",
-    "q193_funnel_conversion",
-    "q194_association_rules",
-    "q195_pareto_concentration",
-    "q196_skyline_2d",
-    "q197_cusum_changepoint",
-    "q198_ld_r2_pairs",
-    "q199_ld_prune",
-    "q200_gwas_prep_funnel",
-    "q201_split_integrity_audit",
-    "q202_switch_error_rate",
-    "q203_cohens_kappa",
-    "q204_blocking_quality",
-    "q205_brier_reliability",
-    "q206_kaplan_meier",
-    "q207_mash_distance",
-    "q208_wilson_intervals",
-    "q209_emerging_terms",
-    "q210_idf_weighted_containment",
-    "q211_roh_segments",
-    "q212_decile_lift",
-    # --- Oldest driver rows: round-2 vintage ---
-    "q66_minhash_lsh",
-    "q67_simhash",
-    "q64_exact_dedup",
-    "q98_dedup_clusters",
-    "q76_sequence_packing",
-    "q75_decontamination",
-    "q63_rolling_fingerprint",
-    "q72_bpe_tokens",
-    "q60_token_stats",
-    "q61_quality_score",
-    "q62_lang_id_confusion",
-    "q78_repetition_ratio",
-    "q97_unigram_lm_score",
-    "q70_multimodal_features",
-    "q93_frame_sampling",
-    "q94_deterministic_shuffle",
-    "q13_hmer_stat_matrix",
-    "q14_contingency_multinomial",
-    "q23_annotate_back_join",
-    "q24_dynamic_map_lookup",
-    "q25_stratified_sample",
-    "q26_inverse_cdf_sample",
-    "q27_truth_classify",
-    "q28_phred_codec",
-    "q29_flow_rle",
-    "q49_titv_ratio",
-    "q54_imputation_pl_rescale",
-    "q59_haploid_pl",
-    "q87_sv_stats_matrix",
-    "q95_collapse_multiallelic",
-    "q100_hardy_weinberg",
-    "q101_mendel_violation_rate",
-    # --- Round-3-green stragglers ---
-    "q74_embedding_neardup_lsh",
-    "q99_data_curation_funnel",
-    "q104_concordance_window_rescue",
-    "q105_depth_runs",
-    "q106_pileup_calls",
-    # --- Round-5-touched hot paths ---
-    "q52_gvcf_compress",
-    "q65_ngram_jaccard",
-    "q112_embedding_neardup_lsh_wide",
-    "q121_pq_ann",
-    "q122_incremental_dedup",
-    "q129_adaptive_neardup",
-    # --- Round-4 block ---
-    "q125_bridging_snv_calibration",
-    "q114_substring_dedup_spans",
-    "q131_cluster_representatives",
-    "q115_domain_mixture_sampling",
-    "q116_bm25_topk",
-    "q117_dsir_importance_weights",
-    "q126_bpe_merge_mining",
-    "q130_perplexity_buckets",
-    "q133_decontamination_spans",
-    "q132_knn_graph",
-    "q128_hard_negative_mining",
-    "q120_stream_static_enrich",
-    "q111_reads_ingest_depth",
-    "q118_bam_binary_ingest_depth",
-    "q123_gvcf_hcr",
-    "q124_sample_identity_matrix",
-    "q110_concordance_chain_rescue",
-    "q113_concordance_haplotype_replay",
-    "q119_concordance_segmented_replay",
-    "q127_concordance_diplotype_replay",
+    "q260_benford_digit_test",
+    "q261_n50_stats",
+    "q262_markov_transitions",
+    "q263_kmv_distinct",
+    "q264_kcore_peeling",
+    "q265_cuped_adjustment",
+    "q266_gopher_quality_flags",
+    "q267_ewma_smoothing",
+    "q268_liftover",
+    "q269_fellegi_sunter",
+    "q270_sorted_neighborhood",
+    "q271_max_interval_overlap",
+    "q272_winsorized_means",
+    "q273_event_funnel",
+    "q274_retention_cohorts",
+    "q275_wgs_uniformity_metrics",
+    "q276_depth_normalization",
+    "q277_anova_f",
+    "q279_label_noise_matrix",
+    "q280_dup_ngram_fraction",
+    "q281_inverted_index",
+    "q282_skipgram_cooccurrence",
+    "q283_cusum_changepoint",
+    "q284_attribution_last_touch",
+    "q285_cochran_armitage",
+    "q286_nelson_aalen",
+    "q287_seasonal_profile",
+    "q288_sprt_ledger",
+    "q289_kfold_balance_audit",
+    "q290_quantile_normalization",
+    "q291_callable_loci",
+    "q292_bradley_terry",
+    "q293_mann_whitney",
+    "q294_lof_outliers",
+    "q295_theil_sen",
+    "q296_mcnemar",
+    "q297_adamic_adar",
+    "q298_acf",
+    "q299_jsd_source_drift",
+    "q300_temperature_mixture",
+    "q301_kendall_tau",
+    "q302_holt_linear",
+    "q303_kmv_source_overlap",
+    "q304_mmr_rerank",
+    "q305_position_attribution",
+    "q306_em_gaussian",
+    "q307_dtw_distance",
+    "q308_facility_location",
+    "q309_welch_ttest",
+    "q310_mann_kendall",
+    "q311_degree_assortativity",
+    "q312_fastq_roundtrip",
+    "q313_event_paths",
+    "q314_rfm_segmentation",
+    "q315_viterbi_segments",
+    "q316_best_split",
+    "q317_standardized_rates",
+    "q318_exponential_gof",
+    "q319_hmm_posterior",
+    "q320_jl_projection",
+    "q321_topic_coherence",
+    "q322_lsh_planner",
+    # --- New in round 7 (add new queries HERE) ---
 )
 
 
