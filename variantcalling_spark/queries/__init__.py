@@ -197,6 +197,7 @@ _PRIORITY = (
     "q321_topic_coherence",
     "q322_lsh_planner",
     # --- New in round 7 (add new queries HERE) ---
+    "q373_training_set_consistency",
 )
 
 

@@ -4024,3 +4024,123 @@ def q371_weighted_kappa(spark, sf_dir):
             ).alias("weighted_kappa_check"),
         )
     )
+
+
+_TSC_MAX_VARS = 500
+_TSC_ALT = (
+    "CASE CAST(o_custkey % 5 AS INT) WHEN 0 THEN 'A' WHEN 1 THEN 'C' "
+    "WHEN 2 THEN 'G' WHEN 3 THEN 'T' ELSE 'AT' END "
+    "|| CASE WHEN o_orderkey % 11 = 0 THEN ',<*>' ELSE '' END"
+)
+
+
+@query(
+    "q373_training_set_consistency",
+    oracle=f"""
+WITH truth AS (
+  SELECT 'chr' || CAST(o_orderkey % 3 + 14 AS VARCHAR) AS chrom,
+         CAST((o_orderkey * 331) % 4000000 + 25000000 AS BIGINT) AS pos,
+         regexp_replace({_TSC_ALT}, ',<\\*>$', '') AS alt
+  FROM orders
+),
+hcr AS (
+  SELECT 'chr' || CAST(s_suppkey % 3 + 14 AS VARCHAR) AS chrom,
+         CAST((s_suppkey * 104729) % 4000000 + 25000000 AS BIGINT) AS lo,
+         CAST((s_suppkey * 104729) % 4000000 + 25000000 + 40000 AS BIGINT) AS hi
+  FROM supplier
+),
+ti AS (
+  SELECT 'chr' || CAST(c_custkey % 3 + 14 AS VARCHAR) AS chrom,
+         CAST((c_custkey * 7919) % 4000000 + 25000000 AS BIGINT) AS lo,
+         CAST((c_custkey * 7919) % 4000000 + 25000000 + 10000 AS BIGINT) AS hi
+  FROM customer
+)
+SELECT chrom, pos - 1 AS bed_start, pos AS bed_end, alt
+FROM truth t
+WHERE EXISTS (SELECT 1 FROM hcr WHERE hcr.chrom = t.chrom
+              AND t.pos >= hcr.lo AND t.pos < hcr.hi)
+  AND EXISTS (SELECT 1 FROM ti WHERE ti.chrom = t.chrom
+              AND t.pos >= ti.lo AND t.pos < ti.hi)
+  AND t.chrom = 'chr15' AND t.pos > 26000000 AND t.pos <= 30000000
+  AND length(alt) = 1
+ORDER BY chrom, pos, alt
+LIMIT {_TSC_MAX_VARS}
+""",
+)
+def q373_training_set_consistency(spark, sf_dir):
+    """TRAINING-SET CONSISTENCY PREP CHAIN (`pipelines/deepvariant/
+    training_set_consistency_check.py:66-118` — the four-step
+    preparation the r6 verdict flagged as the one cheap parity gap;
+    the downstream hit-fraction classification of lines 119-180 is
+    q231): ground-truth VCF ∩ HCR bed ∩ training-intervals bed
+    (bedtools intersect twice), `bcftools view -r region --type snps`
+    (region + SNP restriction, with the reference's `sed 's/,<*>//'`
+    spanning-allele strip), `head -max_vars` cap, and the awk
+    vcf_to_bed projection (chrom, pos-1, pos, alt).
+
+    Scale shape: both bed sides broadcast (HCR/TI panels are
+    interval-list-sized) as `left_semi` range joins — the truth
+    callset never shuffles for them; region + SNP predicates are
+    scan-time filters; the deterministic `head` cap is
+    ORDER BY + LIMIT, planned as TakeOrderedAndProject (a distributed
+    heap-select, never a global sort)."""
+    from variantcalling_spark.operators.interval_join import (
+        point_in_interval_join,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    truth = o.select(
+        F.concat(F.lit("chr"), (F.col("o_orderkey") % 3 + 14).cast("string")).alias(
+            "chrom"
+        ),
+        ((F.col("o_orderkey") * 331) % 4000000 + 25000000).cast("bigint").alias("pos"),
+        F.regexp_replace(F.expr(_TSC_ALT), r",<\*>$", "").alias("alt"),
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    hcr = sup.select(
+        F.concat(F.lit("chr"), (F.col("s_suppkey") % 3 + 14).cast("string")).alias(
+            "chrom"
+        ),
+        (((F.col("s_suppkey") * 104729) % 4000000) + 25000000)
+        .cast("bigint")
+        .alias("lo"),
+        (((F.col("s_suppkey") * 104729) % 4000000) + 25000000 + 40000)
+        .cast("bigint")
+        .alias("hi"),
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    ti = cust.select(
+        F.concat(F.lit("chr"), (F.col("c_custkey") % 3 + 14).cast("string")).alias(
+            "chrom"
+        ),
+        ((F.col("c_custkey") * 7919) % 4000000 + 25000000)
+        .cast("bigint")
+        .alias("lo"),
+        ((F.col("c_custkey") * 7919) % 4000000 + 25000000 + 10000)
+        .cast("bigint")
+        .alias("hi"),
+    )
+    in_hcr = point_in_interval_join(
+        truth, hcr, "pos", keys=["chrom"], how="left_semi",
+        start_col="lo", end_col="hi",
+    )
+    in_both = point_in_interval_join(
+        in_hcr, ti, "pos", keys=["chrom"], how="left_semi",
+        start_col="lo", end_col="hi",
+    )
+    capped = (
+        in_both.where(
+            (F.col("chrom") == "chr15")
+            & (F.col("pos") > 26000000)
+            & (F.col("pos") <= 30000000)
+            & (F.length("alt") == 1)
+        )
+        .orderBy("chrom", "pos", "alt")
+        .limit(_TSC_MAX_VARS)
+    )
+    return capped.select(
+        "chrom",
+        (F.col("pos") - 1).alias("bed_start"),
+        F.col("pos").alias("bed_end"),
+        "alt",
+    )
