@@ -376,6 +376,66 @@ def lsh_cosine_topk(
     )
 
 
+def multiband_cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_bands: int = 12,
+    band_bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-band (OR-amplified) LSH ANN: candidates collide with the
+    query in ANY of ``n_bands`` independent ``band_bits``-bit sign
+    bands; the union is deduped and exactly re-ranked. The standard
+    recall dial ``lsh_cosine_topk``'s single prefix bucket lacks —
+    P(candidate) = 1 − (1 − p^r)^b instead of p^r — added in r7 after
+    the q217 harness measured the single-band path at recall@10 ≈ 0.07
+    on sf0.1 (near-random neighborhoods; SCALE.md records the curve).
+
+    Scale shape: band keys are one Arrow pass over quantized vectors;
+    each band joins as an equi-join on (band_ix, key); the dedup is one
+    shuffle over collision pairs (expected |queries| x corpus x
+    (1-(1-2^-r)^b) rows); re-ranking broadcasts only the bounded query
+    side. Engine-exact (integer projections, full tie-breaks).
+    """
+    n_planes = n_bands * band_bits
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _quantize(F.col(vec_col)).alias("qv")
+    )
+    cv = candidates.select(
+        F.col(id_col).alias("cand_id"), _quantize(F.col(vec_col)).alias("cv")
+    )
+    sl = _band_slices_arrow(n_planes, n_bands)
+    qs = qv.select(
+        "query_id", F.posexplode(sl(F.col("qv"))).alias("band_ix", "key")
+    )
+    cs = cv.select(
+        "cand_id", F.posexplode(sl(F.col("cv"))).alias("band_ix", "key")
+    )
+    cand = (
+        qs.join(cs, ["band_ix", "key"])
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            _cosine_arrow()(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     vecs: DataFrame,
     threshold: float = 0.9,

@@ -3759,3 +3759,205 @@ def q330_ecod_outliers(spark, sf_dir):
         .cast("int")
         .alias("rk"),
     )
+
+
+_MB_BANDS, _MB_BITS = 12, 6
+
+
+def _multiband_sql_parts(n_bands: int, band_bits: int, dim: int = 64):
+    """Shared SQL fragments for the multi-band LSH oracles: the plane
+    projection list and a bands CTE body (one UNION ALL arm per band,
+    key = LSB-first packed sign bits — _band_slices_arrow parity)."""
+    from variantcalling_spark.operators.similarity import _plane_signs
+
+    n_planes = n_bands * band_bits
+    signs = _plane_signs(n_planes, dim)
+
+    def plane_vec(p):
+        return "[" + ",".join(f"{signs[d][p]:.1f}" for d in range(dim)) + "]"
+
+    sums = ",\n         ".join(
+        f"list_dot_product(vd, {plane_vec(p)}) AS s{p}" for p in range(n_planes)
+    )
+    arms = []
+    for b in range(n_bands):
+        key = " + ".join(
+            f"(CASE WHEN s{b * band_bits + j} > 0 THEN {2**j} ELSE 0 END)"
+            for j in range(band_bits)
+        )
+        arms.append(f"SELECT vec_id, v, {b} AS band_ix, {key} AS key FROM sig")
+    return sums, "\n  UNION ALL\n  ".join(arms)
+
+
+def _multiband_ann_oracle_sql(
+    n_bands: int = _MB_BANDS, band_bits: int = _MB_BITS,
+    dim: int = 64, k: int = 10, n_queries: int = 5,
+) -> str:
+    sums, arms = _multiband_sql_parts(n_bands, band_bits, dim)
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+),
+sig AS (
+  SELECT vec_id, v,
+         {sums}
+  FROM (SELECT vec_id, v, list_transform(v, x -> CAST(x AS DOUBLE)) AS vd FROM base)
+),
+bands AS (
+  {arms}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+  FROM bands q JOIN bands c
+    ON q.band_ix = c.band_ix AND q.key = c.key AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {n_queries}
+),
+scored AS (
+  SELECT cand.query_id, cand.cand_id,
+         list_dot_product(q.v, c.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+  FROM cand
+  JOIN base q ON q.vec_id = cand.query_id
+  JOIN base c ON c.vec_id = cand.cand_id
+)
+SELECT query_id, cand_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+@query("q374_multiband_ann", oracle=_multiband_ann_oracle_sql())
+def q374_multiband_ann(spark, sf_dir):
+    """MULTI-BAND (OR-amplified) LSH ANN — the recall dial the q217
+    harness showed the single-prefix path (q69) lacks on
+    low-neighborhood-contrast embeddings (recall@10 0.07 at sf0.1):
+    12 independent 6-bit sign bands, candidate = collide in ANY band,
+    exact cosine re-rank of the deduped union. Same engine-exactness
+    as q69 (quantized integer projections, full tie-breaks), so the
+    whole top-10 is value-checked, not statistically eyeballed.
+
+    Scale shape: band keys in one Arrow pass; per-band equi-joins;
+    ONE distinct shuffle over collision pairs sized by
+    |queries| x corpus x (1-(1-2^-6)^12) ≈ 17%; the bounded query
+    side broadcasts for re-ranking. Measured recall/cost curves at
+    sf0.1 and 10x live in SCALE.md (r7)."""
+    from variantcalling_spark.operators.similarity import multiband_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").transform(managed_persist)
+    return multiband_cosine_topk(
+        emb.where(F.col("vec_id") < 5), emb,
+        k=10, n_bands=_MB_BANDS, band_bits=_MB_BITS,
+    )
+
+
+def _multiband_recall_oracle_sql(
+    n_bands: int = _MB_BANDS, band_bits: int = _MB_BITS,
+    dim: int = 64, k: int = 10, n_queries: int = 40,
+) -> str:
+    sums, arms = _multiband_sql_parts(n_bands, band_bits, dim)
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+),
+ex AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v, c.v)
+                      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+                      c.vec_id) AS INT) AS rank
+    FROM base q JOIN base c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < {n_queries}
+  ) WHERE rank <= {k}
+),
+sig AS (
+  SELECT vec_id, v,
+         {sums}
+  FROM (SELECT vec_id, v, list_transform(v, x -> CAST(x AS DOUBLE)) AS vd FROM base)
+),
+bands AS (
+  {arms}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+  FROM bands q JOIN bands c
+    ON q.band_ix = c.band_ix AND q.key = c.key AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {n_queries}
+),
+ap AS (
+  SELECT query_id, cand_id FROM (
+    SELECT cand.query_id, cand.cand_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY cand.query_id
+             ORDER BY list_dot_product(q.v, c.v)
+                      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+                      cand.cand_id) AS INT) AS rank
+    FROM cand
+    JOIN base q ON q.vec_id = cand.query_id
+    JOIN base c ON c.vec_id = cand.cand_id
+  ) WHERE rank <= {k}
+)
+SELECT ex.query_id,
+       COUNT(*) AS n_exact,
+       CAST(COALESCE(MAX(r.n_retrieved), 0) AS BIGINT) AS n_retrieved,
+       CAST(SUM(CASE WHEN ap.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       ROUND(SUM(CASE WHEN ap.cand_id IS NOT NULL THEN 1 ELSE 0 END) / CAST({k} AS DOUBLE), 6)
+         AS recall_at_k
+FROM ex
+LEFT JOIN ap ON ap.query_id = ex.query_id AND ap.cand_id = ex.cand_id
+LEFT JOIN (SELECT query_id, COUNT(*) AS n_retrieved FROM ap GROUP BY query_id) r
+  ON r.query_id = ex.query_id
+GROUP BY ex.query_id
+"""
+
+
+@query("q375_ann_recall_multiband", oracle=_multiband_recall_oracle_sql())
+def q375_ann_recall_multiband(spark, sf_dir):
+    """q217's recall@10 harness pointed at the MULTI-BAND path (q374):
+    the measurement that justified adding the OR-amplification dial —
+    recall@10 0.07 (single 6-bit prefix) -> ~0.49 (12x6-bit bands) at
+    sf0.1, at a measured ~17% candidate fraction (vs 1.6% single-band);
+    SCALE.md (r7) records the curve incl. the 10x point and the IVF
+    nprobe alternative. Same exact-join ledger as q217, so both
+    harness rows certify against their SQL twins."""
+    from variantcalling_spark.operators.similarity import multiband_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").transform(managed_persist)
+    queries = emb.where(F.col("vec_id") < 40)
+    k = 10
+    from variantcalling_spark.operators.similarity import cosine_topk
+
+    ex = cosine_topk(queries, emb, k=k).select("query_id", "cand_id")
+    ap = multiband_cosine_topk(
+        queries, emb, k=k, n_bands=_MB_BANDS, band_bits=_MB_BITS
+    ).select("query_id", F.col("cand_id").alias("ap_cand"))
+    ap = ap.transform(managed_persist)
+    retr = ap.groupBy("query_id").agg(cnt("n_retrieved"))
+    hits = ex.join(
+        ap,
+        (ex.query_id == ap.query_id) & (ex.cand_id == ap.ap_cand),
+        "left",
+    ).select(ex.query_id.alias("qid"), "cand_id", "ap_cand")
+    return (
+        hits.groupBy("qid")
+        .agg(
+            cnt("n_exact"),
+            F.sum(F.when(F.col("ap_cand").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hit"),
+        )
+        .join(retr, F.col("qid") == retr.query_id, "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_exact",
+            F.coalesce(F.col("n_retrieved"), F.lit(0)).cast("bigint").alias("n_retrieved"),
+            "n_hit",
+            F.round(F.col("n_hit") / F.lit(float(k)), 6).alias("recall_at_k"),
+        )
+    )
