@@ -638,3 +638,61 @@ def test_streaming_sketch_maintenance_equals_batch(spark, event_dir):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_streaming_conformal_monitor_foreachbatch(spark, tmp_path):
+    """foreachBatch conformal-coverage monitor (q331's streaming face):
+    two parquet files arrive as two micro-batches; each batch's
+    per-series coverage rows must equal the same function computed in
+    plain batch mode over that file — and a shifted batch (values
+    pushed outside the calibrated band) must cover strictly less than
+    the in-distribution batch."""
+    import time as _time
+
+    from variantcalling_spark.streaming.conformal_monitor import (
+        batch_coverage,
+        calibration_artifact,
+        monitor_stream,
+    )
+
+    ev = spark.read.parquet(os.path.join(SF, "events.parquet")).select(
+        "event_id", "event_type", "value"
+    )
+    artifact = calibration_artifact(ev)
+    art_dir = str(tmp_path / "artifact")
+    artifact.write.mode("overwrite").parquet(art_dir)
+    artifact = spark.read.parquet(art_dir)
+
+    same = ev.where(F.col("event_id") % 5 == 0)
+    shifted = ev.where(F.col("event_id") % 5 == 2).select(
+        "event_id", "event_type", (F.col("value") * 50 + 1000).alias("value")
+    )
+    in_dir = str(tmp_path / "conf_in")
+    same.coalesce(1).write.mode("append").parquet(in_dir)
+    _time.sleep(1.1)
+    shifted.coalesce(1).write.mode("append").parquet(in_dir)
+
+    def rows(df):
+        return {
+            (r.event_type, r.n, r.n_hit, r.coverage)
+            for r in batch_coverage(df, artifact).collect()
+        }
+
+    expected = rows(same) | rows(shifted)
+
+    sink: list = []
+    stream = (
+        spark.readStream.schema(same.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = monitor_stream(stream, artifact, sink)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert {(et, n, h, c) for _bid, et, n, h, c in sink} == expected
+    # the monitor separates healthy from broken serving
+    cov_same = sum(r[3] for r in rows(same)) / max(len(rows(same)), 1)
+    cov_shift = sum(r[3] for r in rows(shifted)) / max(len(rows(shifted)), 1)
+    assert cov_shift < cov_same

@@ -197,6 +197,10 @@ _PRIORITY = (
     "q321_topic_coherence",
     "q322_lsh_planner",
     # --- New in round 7 (add new queries HERE) ---
+    "q377_motif_chains",
+    "q376_baum_welch_converged",
+    "q375_ann_recall_multiband",
+    "q374_multiband_ann",
     "q373_training_set_consistency",
 )
 

@@ -6120,3 +6120,473 @@ def q372_rolling_percentile(spark, sf_dir):
         .otherwise(0)
         .alias("at_p90_flag"),
     )
+
+
+_BW_ROUNDS = 3
+
+
+def _bw_round_cte(r: int) -> str:
+    """One Baum-Welch round as CTE text: forward/backward recursions
+    parameterized by the PREVIOUS round's m{r-1} scalars (round 1 uses
+    the _HMM_STAY/_HMM_EMIT literals), then xi/gamma and the M-step.
+    Scalar subqueries inside the recursion are DuckDB-legal; every
+    injected parameter is CAST/derived AS DOUBLE (the SCALE.md
+    DECIMAL-literal rule)."""
+    if r == 1:
+        st = f"CAST({_HMM_STAY!r} AS DOUBLE)"
+        sw = f"CAST({1.0 - _HMM_STAY!r} AS DOUBLE)"
+        em = f"CAST({_HMM_EMIT!r} AS DOUBLE)"
+        ms = f"CAST({1.0 - _HMM_EMIT!r} AS DOUBLE)"
+    else:
+        st = f"(SELECT p_stay FROM m{r - 1})"
+        sw = f"(SELECT 1.0 - p_stay FROM m{r - 1})"
+        em = f"(SELECT p_emit FROM m{r - 1})"
+        ms = f"(SELECT 1.0 - p_emit FROM m{r - 1})"
+    e0 = f"CASE WHEN r.obs = 0 THEN {em} ELSE {ms} END"
+    e1 = f"CASE WHEN r.obs = 1 THEN {em} ELSE {ms} END"
+    f_a0 = f"({e0}) * (w.a0 * {st} + w.a1 * {sw})"
+    f_a1 = f"({e1}) * (w.a0 * {sw} + w.a1 * {st})"
+    b_b0 = f"{st} * ({e0}) * w.b0 + {sw} * ({e1}) * w.b1"
+    b_b1 = f"{sw} * ({e0}) * w.b0 + {st} * ({e1}) * w.b1"
+    e0n = f"CASE WHEN r2.obs = 0 THEN {em} ELSE {ms} END"
+    e1n = f"CASE WHEN r2.obs = 1 THEN {em} ELSE {ms} END"
+    x00 = f"f.a0 * {st} * ({e0n}) * b2.b0"
+    x01 = f"f.a0 * {sw} * ({e1n}) * b2.b1"
+    x10 = f"f.a1 * {sw} * ({e0n}) * b2.b0"
+    x11 = f"f.a1 * {st} * ({e1n}) * b2.b1"
+    return f"""
+fw{r} AS (
+  SELECT r.event_type, r.t,
+         (CAST(0.5 AS DOUBLE) * ({e0}))
+           / (CAST(0.5 AS DOUBLE) * ({e0}) + CAST(0.5 AS DOUBLE) * ({e1})) AS a0,
+         (CAST(0.5 AS DOUBLE) * ({e1}))
+           / (CAST(0.5 AS DOUBLE) * ({e0}) + CAST(0.5 AS DOUBLE) * ({e1})) AS a1
+  FROM rel r WHERE r.t = 1
+  UNION ALL
+  SELECT r.event_type, r.t,
+         ({f_a0}) / (({f_a0}) + ({f_a1})),
+         ({f_a1}) / (({f_a0}) + ({f_a1}))
+  FROM fw{r} w JOIN rel r ON r.event_type = w.event_type AND r.t = w.t + 1
+),
+fwd{r} AS MATERIALIZED (SELECT * FROM fw{r}),
+bw{r} AS (
+  SELECT event_type, tmax AS t,
+         CAST(0.5 AS DOUBLE) AS b0, CAST(0.5 AS DOUBLE) AS b1
+  FROM nmax
+  UNION ALL
+  SELECT w.event_type, w.t - 1,
+         ({b_b0}) / (({b_b0}) + ({b_b1})),
+         ({b_b1}) / (({b_b0}) + ({b_b1}))
+  FROM bw{r} w JOIN rel r ON r.event_type = w.event_type AND r.t = w.t
+  WHERE w.t > 1
+),
+bwd{r} AS MATERIALIZED (SELECT * FROM bw{r}),
+xi{r} AS MATERIALIZED (
+  SELECT f.event_type, f.t,
+         ROUND((({x00}) + ({x11}))
+               / (({x00}) + ({x01}) + ({x10}) + ({x11})), 10) AS stay_frac
+  FROM fwd{r} f
+  JOIN rel r2 ON r2.event_type = f.event_type AND r2.t = f.t + 1
+  JOIN bwd{r} b2 ON b2.event_type = f.event_type AND b2.t = f.t + 1
+),
+gam{r} AS MATERIALIZED (
+  SELECT r.event_type, r.t, r.obs,
+         ROUND((f.a0 * b.b0) / ((f.a0 * b.b0) + (f.a1 * b.b1)), 10) AS g0,
+         ROUND((f.a1 * b.b1) / ((f.a0 * b.b0) + (f.a1 * b.b1)), 10) AS g1
+  FROM rel r
+  JOIN fwd{r} f ON f.event_type = r.event_type AND f.t = r.t
+  JOIN bwd{r} b ON b.event_type = r.event_type AND b.t = r.t
+),
+m{r} AS MATERIALIZED (
+  SELECT
+    ROUND((SELECT CAST(SUM(CAST(stay_frac AS DECIMAL(20,10))) AS DOUBLE) FROM xi{r})
+          / (SELECT COUNT(*) FROM xi{r}), 6) AS p_stay,
+    ROUND((SELECT CAST(SUM(CAST(CASE WHEN obs = 0 THEN g0 ELSE g1 END
+                                AS DECIMAL(20,10))) AS DOUBLE) FROM gam{r})
+          / (SELECT COUNT(*) FROM gam{r}), 6) AS p_emit,
+    ROUND((SELECT CAST(SUM(CAST(CASE WHEN t = 1 THEN g1 ELSE 0 END
+                                AS DECIMAL(20,10))) AS DOUBLE) FROM gam{r})
+          / (SELECT COUNT(DISTINCT event_type) FROM gam{r}), 6) AS pi_high
+)"""
+
+
+def _bw_converged_oracle_sql(k: int = _BW_ROUNDS) -> str:
+    rounds = ",".join(_bw_round_cte(r) for r in range(1, k + 1))
+    final = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, p_stay, p_emit, pi_high FROM m{r}"
+        for r in range(1, k + 1)
+    )
+    return f"""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT event_type,
+         epoch_ns(ts) // 86400000000000 AS day,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM events GROUP BY event_type, day
+),
+med AS MATERIALIZED (
+  SELECT event_type, m AS med FROM (
+    SELECT event_type, m,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY m) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM daily
+  ) WHERE rn = (n + 1) // 2
+),
+rel AS MATERIALIZED (
+  SELECT d.event_type,
+         ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.day) AS t,
+         CASE WHEN d.m > x.med THEN 1 ELSE 0 END AS obs
+  FROM daily d JOIN med x ON x.event_type = d.event_type
+),
+nmax AS MATERIALIZED (
+  SELECT event_type, MAX(t) AS tmax FROM rel GROUP BY event_type
+),
+{rounds}
+SELECT CAST(round AS INT) AS round, p_stay, p_emit, pi_high FROM ({final})
+"""
+
+
+@query("q376_baum_welch_converged", oracle=_bw_converged_oracle_sql())
+def q376_baum_welch_converged(spark, sf_dir):
+    """BAUM-WELCH TO CONVERGENCE (the r6 ROADMAP lead: q323's single
+    EM update applied k=3 times, emitting the PARAMETER TRAJECTORY
+    (round, p_stay, p_emit, pi_high) a monitoring dashboard plots to
+    see the likelihood climb flatten): each round re-runs the
+    forward-backward kernel with the PREVIOUS round's learned
+    (p_stay, p_emit) — initial state stays uniform, matching the
+    kernel contract — and the M-step's 6-dp-snapped scalars are the
+    only driver state (the sanctioned EM-loop pattern; cf. Lloyd's in
+    operators/similarity.py).
+
+    Engine parity for an ITERATED recursion: the oracle unrolls all
+    three rounds as fw/bw recursive-CTE pairs whose round-r parameters
+    are scalar subqueries on m(r-1) (prototyped DuckDB-legal), every
+    injected constant CAST AS DOUBLE (the SCALE.md DECIMAL-literal
+    rule), so the trajectory is bit-equal after each round's single
+    6-dp snap. Scale: k sequential kernel passes, each per-series
+    parallel; the M-step is two DECIMAL-snapped aggregates."""
+    from variantcalling_spark.operators.kernels import hmm_posterior_2state
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_ns DIV 86400000000000").alias("day")
+    ).agg(
+        F.round(F.sum(dec("value")).cast("double") / F.count(F.lit(1)), 6).alias("m")
+    ).transform(managed_persist)
+    wmed = W.partitionBy("event_type").orderBy("m")
+    med = (
+        daily.select(
+            "event_type",
+            "m",
+            F.row_number().over(wmed).alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("m").alias("med"))
+    )
+    rel = daily.join(F.broadcast(med), "event_type").select(
+        F.col("event_type").alias("series"),
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("day"))
+        .cast("long")
+        .alias("t"),
+        F.when(F.col("m") > F.col("med"), 1).otherwise(0).alias("obs"),
+    ).transform(managed_persist)
+
+    cur_stay, cur_emit = _HMM_STAY, _HMM_EMIT
+    trajectory = []
+    for rnd in range(1, _BW_ROUNDS + 1):
+        fb = hmm_posterior_2state(rel, p_stay=cur_stay, p_emit=cur_emit).transform(
+            managed_persist
+        )
+        st, sw = F.lit(cur_stay), F.lit(1.0 - cur_stay)
+        em, ms = F.lit(cur_emit), F.lit(1.0 - cur_emit)
+        nxt = fb.select(
+            "series",
+            (F.col("t") - 1).alias("t"),
+            F.col("obs").alias("obs2"),
+            F.col("b0").alias("nb0"),
+            F.col("b1").alias("nb1"),
+        )
+        e0n = F.when(F.col("obs2") == 0, em).otherwise(ms)
+        e1n = F.when(F.col("obs2") == 1, em).otherwise(ms)
+        x00 = F.col("a0") * st * e0n * F.col("nb0")
+        x01 = F.col("a0") * sw * e1n * F.col("nb1")
+        x10 = F.col("a1") * sw * e0n * F.col("nb0")
+        x11 = F.col("a1") * st * e1n * F.col("nb1")
+        xi = fb.join(nxt, ["series", "t"]).select(
+            F.round((x00 + x11) / (x00 + x01 + x10 + x11), 10).alias("stay_frac")
+        )
+        g0 = F.col("a0") * F.col("b0")
+        g1 = F.col("a1") * F.col("b1")
+        gam = fb.select(
+            "series",
+            "t",
+            "obs",
+            F.round(g0 / (g0 + g1), 10).alias("g0"),
+            F.round(g1 / (g0 + g1), 10).alias("g1"),
+        )
+        row = (
+            xi.agg(
+                F.round(
+                    F.sum(F.col("stay_frac").cast("decimal(20,10)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("p_stay")
+            )
+            .crossJoin(
+                F.broadcast(
+                    gam.agg(
+                        F.round(
+                            F.sum(
+                                F.when(F.col("obs") == 0, F.col("g0"))
+                                .otherwise(F.col("g1"))
+                                .cast("decimal(20,10)")
+                            ).cast("double")
+                            / F.count(F.lit(1)),
+                            6,
+                        ).alias("p_emit"),
+                        F.round(
+                            F.sum(
+                                F.when(F.col("t") == 1, F.col("g1"))
+                                .otherwise(F.lit(0.0))
+                                .cast("decimal(20,10)")
+                            ).cast("double")
+                            / F.count_distinct(F.col("series")),
+                            6,
+                        ).alias("pi_high"),
+                    )
+                )
+            )
+            .collect()[0]
+        )
+        trajectory.append((rnd, row.p_stay, row.p_emit, row.pi_high))
+        cur_stay, cur_emit = row.p_stay, row.p_emit
+    return spark.createDataFrame(
+        trajectory, "round int, p_stay double, p_emit double, pi_high double"
+    )
+
+
+def _motif_chain_oracle_sql(w: int = _MP_W) -> str:
+    return f"""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT event_type,
+         epoch_ns(ts) // 86400000000000 AS day,
+         CAST(ROUND(ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                          / COUNT(*), 6) * 1000000) AS BIGINT) AS mi
+  FROM events GROUP BY event_type, day
+),
+rel AS MATERIALIZED (
+  SELECT event_type, mi,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+win AS (SELECT event_type, rn AS i FROM rel WHERE rn <= n - {w - 1}),
+pairs AS (
+  SELECT a.event_type, a.i, b.i AS j
+  FROM win a JOIN win b ON a.event_type = b.event_type AND b.i >= a.i + {w}
+),
+dists AS MATERIALIZED (
+  SELECT p.event_type, p.i, p.j,
+         CAST(SUM((ra.mi - rb.mi) * (ra.mi - rb.mi)) AS BIGINT) AS d2
+  FROM pairs p
+  CROSS JOIN (SELECT unnest(generate_series(0, {w - 1})) AS o) os
+  JOIN rel ra ON ra.event_type = p.event_type AND ra.rn = p.i + os.o
+  JOIN rel rb ON rb.event_type = p.event_type AND rb.rn = p.j + os.o
+  GROUP BY p.event_type, p.i, p.j
+),
+rnn AS (
+  SELECT event_type, i, j FROM (
+    SELECT event_type, i, j,
+           ROW_NUMBER() OVER (PARTITION BY event_type, i ORDER BY d2, j) AS rk
+    FROM dists
+  ) WHERE rk = 1
+),
+lnn AS (
+  SELECT event_type, i, j FROM (
+    SELECT event_type, i, j,
+           ROW_NUMBER() OVER (PARTITION BY event_type, j ORDER BY d2, i) AS rk
+    FROM dists
+  ) WHERE rk = 1
+),
+edges AS MATERIALIZED (
+  SELECT r.event_type, r.i, r.j
+  FROM rnn r JOIN lnn l
+    ON l.event_type = r.event_type AND l.j = r.j AND l.i = r.i
+),
+anchors AS (
+  SELECT event_type, i FROM edges e
+  WHERE NOT EXISTS (SELECT 1 FROM edges x
+                    WHERE x.event_type = e.event_type AND x.j = e.i)
+),
+walk AS (
+  SELECT event_type, i AS start, i AS cur, 1 AS len FROM anchors
+  UNION ALL
+  SELECT w2.event_type, w2.start, e.j, w2.len + 1
+  FROM walk w2 JOIN edges e
+    ON e.event_type = w2.event_type AND e.i = w2.cur
+),
+chains AS (
+  SELECT event_type, start, MAX(cur) AS chain_end, MAX(len) AS len
+  FROM walk GROUP BY event_type, start
+),
+agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_chains
+  FROM chains GROUP BY event_type
+),
+best AS (
+  SELECT event_type, CAST(len AS BIGINT) AS longest_len,
+         CAST(start AS BIGINT) AS chain_start,
+         CAST(chain_end AS BIGINT) AS chain_end
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY event_type ORDER BY len DESC, start) AS rk
+    FROM chains
+  ) WHERE rk = 1
+)
+SELECT a.event_type, a.n_chains, b.longest_len, b.chain_start, b.chain_end
+FROM agg a JOIN best b USING (event_type)
+"""
+
+
+@query("q377_motif_chains", oracle=_motif_chain_oracle_sql())
+def q377_motif_chains(spark, sf_dir):
+    """TIME-SERIES MOTIF CHAINS (Zhu et al. 2017 — the r6 ROADMAP
+    lead: directed evolution patterns on q334's matrix-profile
+    substrate): a chain links window i to j iff j is i's RIGHT
+    nearest neighbor AND i is j's LEFT nearest neighbor (mutual
+    consistency makes the edges vertex-disjoint paths); per series,
+    the chain count and the longest chain's span — drift made
+    structural, where q334's motif is a single repeated shape.
+
+    Scale discipline: the distance table is q334's series-bounded
+    offset-spine equi-join; left/right NN are windows over
+    (series, window) partitions; chains = connected components of the
+    disjoint-path edge set via the O(log n) star contraction
+    (operators/dedup.py — reused, not re-derived), so chain depth
+    never becomes a round count. The ORACLE walks the same chains
+    with a recursive CTE from the anchors. Node encoding: series
+    codes from the tiny event-type domain x 100000 + window index."""
+    from variantcalling_spark.operators.dedup import star_contraction_components
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_ns DIV 86400000000000").alias("day")
+    ).agg(
+        F.expr(
+            "CAST(ROUND(ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)"
+            " / COUNT(*), 6) * 1000000) AS BIGINT)"
+        ).alias("mi")
+    )
+    rel = daily.select(
+        "event_type",
+        "mi",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("day"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    ).transform(managed_persist)
+    win = rel.where(F.col("rn") <= F.col("n") - (_MP_W - 1)).select(
+        "event_type", F.col("rn").alias("i")
+    )
+    pairs = win.join(
+        win.select("event_type", F.col("i").alias("j")), "event_type"
+    ).where(F.col("j") >= F.col("i") + _MP_W)
+    os_ = spark.range(0, _MP_W).select(F.col("id").alias("o"))
+    dists = (
+        pairs.crossJoin(F.broadcast(os_))
+        .withColumn("rna", F.col("i") + F.col("o"))
+        .withColumn("rnb", F.col("j") + F.col("o"))
+        .join(
+            rel.select("event_type", F.col("rn").alias("rna"), F.col("mi").alias("ma")),
+            ["event_type", "rna"],
+        )
+        .join(
+            rel.select("event_type", F.col("rn").alias("rnb"), F.col("mi").alias("mb")),
+            ["event_type", "rnb"],
+        )
+        .groupBy("event_type", "i", "j")
+        .agg(
+            F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")))
+            .cast("bigint")
+            .alias("d2")
+        )
+        .transform(managed_persist)
+    )
+    rnn = (
+        dists.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("event_type", "i").orderBy("d2", "j")
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("event_type", "i", "j")
+    )
+    lnn = (
+        dists.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("event_type", "j").orderBy("d2", "i")
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("event_type", F.col("i").alias("li"), F.col("j").alias("lj"))
+    )
+    edges = (
+        rnn.alias("r")
+        .join(
+            lnn.alias("l"),
+            (F.col("r.event_type") == F.col("l.event_type"))
+            & (F.col("r.j") == F.col("l.lj"))
+            & (F.col("r.i") == F.col("l.li")),
+        )
+        .select("r.event_type", "r.i", "r.j")
+        .transform(managed_persist)
+    )
+    # tiny series-code table (event-type domain) for integer node ids
+    codes = (
+        edges.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            (F.row_number().over(W.orderBy("event_type")) * 100000).alias("base"),
+        )
+    )
+    enc = edges.join(F.broadcast(codes), "event_type").select(
+        "event_type",
+        "i",
+        "j",
+        (F.col("base") + F.col("i")).alias("doc_a"),
+        (F.col("base") + F.col("j")).alias("doc_b"),
+    )
+    comp = star_contraction_components(enc.select("doc_a", "doc_b"))
+    nodes = enc.select(
+        "event_type", F.col("doc_a").alias("node"), F.col("i").alias("ix")
+    ).unionByName(
+        enc.select(
+            "event_type", F.col("doc_b").alias("node"), F.col("j").alias("ix")
+        )
+    ).distinct()
+    chains = (
+        nodes.join(comp, "node")
+        .groupBy("event_type", "label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("len"),
+            F.min("ix").alias("start"),
+            F.max("ix").alias("chain_end"),
+        )
+    )
+    best = F.max(
+        F.struct(F.col("len"), (-F.col("start")).alias("ns"), F.col("chain_end"))
+    ).alias("b")
+    return chains.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chains"),
+        best,
+    ).select(
+        "event_type",
+        "n_chains",
+        F.col("b.len").cast("bigint").alias("longest_len"),
+        (-F.col("b.ns")).cast("bigint").alias("chain_start"),
+        F.col("b.chain_end").cast("bigint").alias("chain_end"),
+    )
