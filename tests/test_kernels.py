@@ -467,3 +467,36 @@ def test_facility_location_gains_non_increasing(spark, sf_dir):
     assert all(gains[i] >= gains[i + 1] - 1e-9 for i in range(len(gains) - 1))
     covs = [r.coverage for r in rows]
     assert all(covs[i] <= covs[i + 1] + 1e-9 for i in range(len(covs) - 1))
+
+
+def test_lcs_kernel_matches_naive_dp(spark):
+    """lcs_lengths (vectorized running-max row identity) vs the
+    textbook O(n*m) per-cell DP on assorted pairs incl. empty and
+    identical strings."""
+    from variantcalling_spark.operators.kernels import lcs_lengths
+
+    cases = [
+        ("", ""), ("A", ""), ("", "B"), ("ACGT", "ACGT"),
+        ("AGGTAB", "GXTXAYB"), ("ABCBDAB", "BDCABA"),
+        ("AAAA", "AA"), ("ACACAC", "CACACA"),
+    ]
+
+    def naive(a, b):
+        n, m = len(a), len(b)
+        L = [[0] * (m + 1) for _ in range(n + 1)]
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                L[i][j] = (
+                    L[i - 1][j - 1] + 1
+                    if a[i - 1] == b[j - 1]
+                    else max(L[i - 1][j], L[i][j - 1])
+                )
+        return L[n][m]
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(cases)],
+        "pair_id long, a string, b string",
+    )
+    got = {r.pair_id: r.lcs_len for r in lcs_lengths(df).collect()}
+    for i, (a, b) in enumerate(cases):
+        assert got[i] == naive(a, b), (a, b)

@@ -817,3 +817,61 @@ def gotoh_align_scores(
             )
 
     return pairs.select(id_col, a_col, b_col).mapInPandas(run, schema=out_schema)
+
+
+def lcs_lengths(
+    pairs: DataFrame,
+    id_col: str = "pair_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Pairwise LONGEST COMMON SUBSEQUENCE length — the DP under
+    ROUGE-L (q379) and sequence-identity audits; the unit-cost cousin
+    of ``nw_align_scores``.
+
+    Same Arrow ``mapInPandas`` shape with per-ROW numpy vectorization:
+    the within-row left-dependency L[i][j] = max(c[j], L[i][j-1])
+    collapses to a running max (np.maximum.accumulate) because LCS
+    rows are non-decreasing in j — so candidates
+    c[j] = max(up[j], up[j-1] + eq[j]) vectorize and no per-cell
+    Python loop survives. Integer DP -> bit-exact; the DuckDB oracle
+    replays the identical recurrence as a wavefront recursive CTE
+    (every anti-diagonal a pure map over the previous two). Equality
+    with a naive O(n*m) reference is pinned in tests/test_kernels.py.
+    """
+    import numpy as np
+
+    out_schema = f"{id_col} bigint, n int, m int, lcs_len int"
+
+    def run(batches):
+        for pdf in batches:
+            ids, ns, ms, lens = [], [], [], []
+            for pid, a, b in zip(pdf[id_col], pdf[a_col], pdf[b_col]):
+                a = "" if a is None else str(a)
+                b = "" if b is None else str(b)
+                n, m = len(a), len(b)
+                av = np.frombuffer(a.encode("latin1"), dtype=np.uint8)
+                bv = np.frombuffer(b.encode("latin1"), dtype=np.uint8)
+                prev = np.zeros(m + 1, dtype=np.int64)
+                for i in range(1, n + 1):
+                    if m:
+                        eq = (bv == av[i - 1]).astype(np.int64)
+                        c = np.maximum(prev[1:], prev[:-1] + eq)
+                        cur = np.empty(m + 1, dtype=np.int64)
+                        cur[0] = 0
+                        cur[1:] = c
+                        prev = np.maximum.accumulate(cur)
+                ids.append(pid)
+                ns.append(n)
+                ms.append(m)
+                lens.append(int(prev[-1]))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype="int64"),
+                    "n": pd.array(ns, dtype="int32"),
+                    "m": pd.array(ms, dtype="int32"),
+                    "lcs_len": pd.array(lens, dtype="int32"),
+                }
+            )
+
+    return pairs.select(id_col, a_col, b_col).mapInPandas(run, schema=out_schema)

@@ -197,6 +197,10 @@ _PRIORITY = (
     "q321_topic_coherence",
     "q322_lsh_planner",
     # --- New in round 7 (add new queries HERE) ---
+    "q381_cox_score_test",
+    "q380_pii_scan",
+    "q379_rouge_l",
+    "q378_corpus_bleu",
     "q377_motif_chains",
     "q376_baum_welch_converged",
     "q375_ann_recall_multiband",

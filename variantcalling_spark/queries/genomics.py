@@ -5201,3 +5201,87 @@ def q361_haplotype_em(spark, sf_dir):
         F.round(p_ab, 6).alias("hap_ab_freq"),
         F.round(p_ab - p_a * p_b, 6).alias("d_coeff"),
     )
+
+
+def _rouge_l_wavefront_oracle_sql() -> str:
+    """LCS as a WAVEFRONT recursive CTE (q219's anti-diagonal shape
+    with the unit-cost recurrence): cell (i, j=d+1-i) is
+    max(diag + eq, up, left); boundaries are 0."""
+    val = """
+      CASE WHEN i = 0 OR d + 1 - i = 0 THEN CAST(0 AS INT)
+           ELSE GREATEST(
+             prev[CAST(i - GREATEST(0, d - 1 - m) AS INT)]
+               + CASE WHEN substr(a, CAST(i AS INT), 1) = substr(b, CAST(d + 1 - i AS INT), 1)
+                      THEN 1 ELSE 0 END,
+             cur[CAST(i - GREATEST(0, d - m) AS INT)],
+             cur[CAST(i + 1 - GREATEST(0, d - m) AS INT)])
+      END"""
+    return f"""
+WITH RECURSIVE dna AS ({SQL_DOCS_DNA}),
+pairs AS (
+  SELECT ea.doc_id // 2 AS pair_id, ea.seq AS a, eb.seq AS b,
+         CAST(length(ea.seq) AS INT) AS n, CAST(length(eb.seq) AS INT) AS m
+  FROM dna ea JOIN dna eb ON eb.doc_id = ea.doc_id + 1
+  WHERE ea.doc_id % 2 = 0
+),
+rec AS (
+  SELECT pair_id, a, b, n, m, 0 AS d,
+         [CAST(0 AS INT)] AS cur, CAST(NULL AS INT[]) AS prev
+  FROM pairs
+  UNION ALL
+  SELECT pair_id, a, b, n, m, d + 1,
+         list_transform(generate_series(GREATEST(0, d + 1 - m), LEAST(n, d + 1)),
+                        i -> {val}) AS cur,
+         cur AS prev
+  FROM rec WHERE d < n + m
+)
+SELECT pair_id, n, m,
+       cur[1] AS lcs_len,
+       ROUND(CASE WHEN cur[1] = 0 THEN 0.0 ELSE
+         2.0 * (cur[1] / CAST(n AS DOUBLE)) * (cur[1] / CAST(m AS DOUBLE))
+         / ((cur[1] / CAST(n AS DOUBLE)) + (cur[1] / CAST(m AS DOUBLE))) END, 6)
+         AS rouge_l_f
+FROM rec WHERE d = n + m
+"""
+
+
+@query("q379_rouge_l", oracle=_rouge_l_wavefront_oracle_sql())
+def q379_rouge_l(spark, sf_dir):
+    """ROUGE-L (Lin 2004 — LCS-based generation eval, the
+    reference-overlap twin of q378's BLEU): per consecutive doc pair,
+    the longest-common-subsequence length and the ROUGE-L F-measure
+    2PR/(P+R) with P = LCS/|cand|, R = LCS/|ref| — over the derived
+    DNA sequences, the same substrate as the alignment family
+    q219/q247/q325 (LCS is their unit-cost member).
+
+    Engine side: Arrow ``lcs_lengths`` kernel (per-row numpy, the
+    running-max row identity); ORACLE replays every cell as a q219-
+    shape wavefront recursive CTE. Integer DP -> bit-exact; the only
+    float is the final F expression, rounded once. Scale: pairs are
+    independent (pure mapInPandas, no shuffle)."""
+    from variantcalling_spark.operators.kernels import lcs_lengths
+
+    dna = docs_as_dna(spark, sf_dir).transform(managed_persist)
+    a = dna.where(F.col("doc_id") % 2 == 0).select(
+        F.expr("doc_id DIV 2").alias("pair_id"), F.col("seq").alias("a")
+    )
+    b = dna.select(
+        F.expr("(doc_id - 1) DIV 2").alias("pair_id"),
+        F.col("seq").alias("b"),
+        (F.col("doc_id") % 2).alias("par"),
+    ).where(F.col("par") == 1).drop("par")
+    out = lcs_lengths(a.join(b, "pair_id"))
+    p = F.col("lcs_len") / F.col("n").cast("double")
+    r = F.col("lcs_len") / F.col("m").cast("double")
+    return out.select(
+        "pair_id",
+        "n",
+        "m",
+        "lcs_len",
+        F.round(
+            F.when(F.col("lcs_len") == 0, F.lit(0.0)).otherwise(
+                2.0 * p * r / (p + r)
+            ),
+            6,
+        ).alias("rouge_l_f"),
+    )

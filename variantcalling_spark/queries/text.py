@@ -597,7 +597,7 @@ quotas AS (
 ranked AS (
   SELECT doc_id, domain,
          CAST(ROW_NUMBER() OVER (PARTITION BY domain
-                ORDER BY md5(CAST(doc_id AS VARCHAR))) AS INT) AS rn
+                ORDER BY md5(CAST(doc_id AS STRING))) AS INT) AS rn
   FROM docs
 )
 SELECT r.doc_id, r.domain, r.rn, q.quota
@@ -1047,7 +1047,7 @@ def q133_decontamination_spans(spark, sf_dir):
 def _weighted_sample_oracle_sql(k: int = 50) -> str:
     from variantcalling_spark.operators.dedup import PORTABLE_HASH_SQL
 
-    ph = PORTABLE_HASH_SQL.format(col="CAST(doc_id AS VARCHAR)")
+    ph = PORTABLE_HASH_SQL.format(col="CAST(doc_id AS STRING)")
     return f"""
 WITH w AS (
   SELECT doc_id, CAST(doc_id % 10 + 1 AS INT) AS weight,
@@ -4581,7 +4581,7 @@ def _rarefaction_oracle_sql() -> str:
     from variantcalling_spark.operators.dedup import PORTABLE_HASH_SQL
 
     keep = PORTABLE_HASH_SQL.format(
-        col="CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)"
+        col="CAST(doc_id AS STRING) || ':' || CAST(pos AS VARCHAR)"
     )
     fracs = ", ".join(f"({f})" for f in _RARE_FRACS)
     return f"""
@@ -5019,4 +5019,235 @@ def q365_k_anonymity(spark, sf_dir):
             / F.max("n"),
             6,
         ).alias("expected_class_size_norm"),
+    )
+
+
+@query(
+    "q378_corpus_bleu",
+    oracle="""
+WITH pairs AS (
+  SELECT CAST(a.doc_id // 2 AS BIGINT) AS pair_id,
+         string_split(a.text, ' ') AS cw, string_split(b.text, ' ') AS rw
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 2 = 0
+),
+lens AS (
+  SELECT CAST(SUM(len(cw)) AS BIGINT) AS c_len,
+         CAST(SUM(len(rw)) AS BIGINT) AS r_len,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pairs
+),
+cg AS (
+  SELECT pair_id, n, gram, COUNT(*) AS tc FROM (
+    SELECT pair_id, 1 AS n, unnest(cw) AS gram FROM pairs
+    UNION ALL
+    SELECT pair_id, 2,
+           unnest(list_transform(range(CAST(len(cw) AS BIGINT) - 1),
+                  i -> cw[i+1] || ' ' || cw[i+2]))
+    FROM pairs WHERE len(cw) >= 2
+  ) GROUP BY pair_id, n, gram
+),
+rg AS (
+  SELECT pair_id, n, gram, COUNT(*) AS tr FROM (
+    SELECT pair_id, 1 AS n, unnest(rw) AS gram FROM pairs
+    UNION ALL
+    SELECT pair_id, 2,
+           unnest(list_transform(range(CAST(len(rw) AS BIGINT) - 1),
+                  i -> rw[i+1] || ' ' || rw[i+2]))
+    FROM pairs WHERE len(rw) >= 2
+  ) GROUP BY pair_id, n, gram
+),
+clipped AS (
+  SELECT cg.n,
+         CAST(SUM(LEAST(cg.tc, COALESCE(rg.tr, 0))) AS BIGINT) AS num,
+         CAST(SUM(cg.tc) AS BIGINT) AS den
+  FROM cg LEFT JOIN rg ON rg.pair_id = cg.pair_id AND rg.n = cg.n
+                       AND rg.gram = cg.gram
+  GROUP BY cg.n
+),
+p AS (
+  SELECT MAX(CASE WHEN n = 1 THEN num END) AS p1_num,
+         MAX(CASE WHEN n = 1 THEN den END) AS p1_den,
+         MAX(CASE WHEN n = 2 THEN num END) AS p2_num,
+         MAX(CASE WHEN n = 2 THEN den END) AS p2_den
+  FROM clipped
+)
+SELECT l.n_pairs, l.c_len, l.r_len, p.p1_num, p.p1_den, p.p2_num, p.p2_den,
+       ROUND(LEAST(CAST(1.0 AS DOUBLE), exp(1.0 - l.r_len / CAST(l.c_len AS DOUBLE)))
+             * exp(0.5 * (ln(p.p1_num / CAST(p.p1_den AS DOUBLE))
+                          + ln(p.p2_num / CAST(p.p2_den AS DOUBLE)))), 6)
+         AS bleu2
+FROM lens l CROSS JOIN p
+""",
+)
+def q378_corpus_bleu(spark, sf_dir):
+    """CORPUS BLEU-2 (Papineni 2002 — the generation-eval staple every
+    LLM data pipeline runs between model outputs and references;
+    here adjacent doc pairs stand in for candidate/reference):
+    clipped modified n-gram precisions for n=1,2 from per-pair
+    min(candidate-count, reference-count) joins, corpus-level brevity
+    penalty, geometric mean. Everything is exact BIGINT counts until
+    the single output expression — the eval number is reproducible to
+    the last ulp, not 'approximately 0.31'.
+
+    Scale shape: two explode->count aggregates (map-side combinable)
+    + one equi-join on (pair, n, gram); corpus totals are one
+    broadcast row. The n-gram join is the same shape as q65's
+    shingle join — linear, never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.expr("doc_id DIV 2").alias("pair_id"),
+        F.split("text", " ").alias("cw"),
+    )
+    b = docs.select(
+        F.expr("(doc_id - 1) DIV 2").alias("pair_id"),
+        F.split("text", " ").alias("rw"),
+        (F.col("doc_id") % 2).alias("par"),
+    ).where(F.col("par") == 1).drop("par")
+    pairs = a.join(b, "pair_id").transform(managed_persist)
+    lens = pairs.agg(
+        F.sum(F.size("cw")).cast("bigint").alias("c_len"),
+        F.sum(F.size("rw")).cast("bigint").alias("r_len"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+
+    def grams(col, out):
+        uni = pairs.select(
+            "pair_id", F.lit(1).alias("n"), F.explode(col).alias("gram")
+        )
+        bi = pairs.where(F.size(col) >= 2).select(
+            "pair_id",
+            F.lit(2).alias("n"),
+            F.explode(
+                F.expr(
+                    f"transform(slice({out}, 1, size({out}) - 1),"
+                    f" (x, i) -> concat(x, ' ', element_at({out}, i + 2)))"
+                )
+            ).alias("gram"),
+        )
+        return uni.unionByName(bi).groupBy("pair_id", "n", "gram").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+
+    cg = grams(F.col("cw"), "cw").withColumnRenamed("c", "tc")
+    rg = grams(F.col("rw"), "rw").withColumnRenamed("c", "tr")
+    clipped = (
+        cg.join(rg, ["pair_id", "n", "gram"], "left")
+        .groupBy("n")
+        .agg(
+            F.sum(F.least(F.col("tc"), F.coalesce(F.col("tr"), F.lit(0))))
+            .cast("bigint")
+            .alias("num"),
+            F.sum("tc").cast("bigint").alias("den"),
+        )
+    )
+    p = clipped.agg(
+        F.max(F.when(F.col("n") == 1, F.col("num"))).alias("p1_num"),
+        F.max(F.when(F.col("n") == 1, F.col("den"))).alias("p1_den"),
+        F.max(F.when(F.col("n") == 2, F.col("num"))).alias("p2_num"),
+        F.max(F.when(F.col("n") == 2, F.col("den"))).alias("p2_den"),
+    )
+    bp = F.least(
+        F.lit(1.0), F.exp(1.0 - F.col("r_len") / F.col("c_len").cast("double"))
+    )
+    gm = F.exp(
+        0.5
+        * (
+            F.log(F.col("p1_num") / F.col("p1_den").cast("double"))
+            + F.log(F.col("p2_num") / F.col("p2_den").cast("double"))
+        )
+    )
+    return lens.crossJoin(F.broadcast(p)).select(
+        "n_pairs", "c_len", "r_len",
+        "p1_num", "p1_den", "p2_num", "p2_den",
+        F.round(bp * gm, 6).alias("bleu2"),
+    )
+
+
+_PII_EMAIL = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+_PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+_PII_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+_PII_SYNTH = (
+    "text"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' u' || CAST(doc_id AS STRING)"
+    "          || '@mail.com' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' 555-' "
+    "          || lpad(CAST(doc_id % 1000 AS STRING), 3, '0') || '-'"
+    "          || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 0 THEN ' ' "
+    "          || lpad(CAST(doc_id % 1000 AS STRING), 3, '0') || '-'"
+    "          || lpad(CAST(doc_id % 100 AS STRING), 2, '0') || '-'"
+    "          || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 17 = 0 THEN ' 10.0.'"
+    "          || CAST(doc_id % 256 AS STRING) || '.'"
+    "          || CAST(doc_id % 100 AS STRING) ELSE '' END"
+)
+
+
+@query(
+    "q380_pii_scan",
+    oracle=f"""
+WITH enriched AS (
+  SELECT doc_id, source, {_PII_SYNTH} AS t FROM documents
+),
+scanned AS (
+  SELECT source,
+         len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_email,
+         len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phone,
+         len(regexp_extract_all(t, '{_PII_SSN}')) AS n_ssn,
+         len(regexp_extract_all(t, '{_PII_IP}')) AS n_ip
+  FROM enriched
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_email) AS BIGINT) AS emails,
+       CAST(SUM(n_phone) AS BIGINT) AS phones,
+       CAST(SUM(n_ssn) AS BIGINT) AS ssns,
+       CAST(SUM(n_ip) AS BIGINT) AS ips,
+       CAST(SUM(CASE WHEN n_email + n_phone + n_ssn + n_ip > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged,
+       ROUND(SUM(CASE WHEN n_email + n_phone + n_ssn + n_ip > 0
+                      THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS flagged_rate
+FROM scanned GROUP BY source
+""",
+)
+def q380_pii_scan(spark, sf_dir):
+    """PII SCAN (the redaction-gate every LLM training corpus runs
+    before release — emails / phone numbers / SSN-shaped ids / IPv4
+    literals, counted per source with the flagged-document rate that
+    decides whether a source needs scrubbing or dropping): pure
+    scan-speed regex counting, no shuffle beyond the per-source
+    aggregate. PII content is synthesized deterministically onto the
+    corpus (key-derived suffixes) so both engines scan IDENTICAL text;
+    the four patterns are RE2/Java-portable character classes (no
+    lookaround), counts exact.
+
+    Scale shape: one projection + regexp_count per pattern inside
+    whole-stage codegen, then a map-side-combinable groupBy(source) —
+    the canonical 100 TB scan job."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.expr(_PII_SYNTH)
+    scanned = docs.select(
+        "source",
+        F.regexp_count(t, F.lit(_PII_EMAIL)).alias("n_email"),
+        F.regexp_count(t, F.lit(_PII_PHONE)).alias("n_phone"),
+        F.regexp_count(t, F.lit(_PII_SSN)).alias("n_ssn"),
+        F.regexp_count(t, F.lit(_PII_IP)).alias("n_ip"),
+    )
+    flagged = (
+        F.col("n_email") + F.col("n_phone") + F.col("n_ssn") + F.col("n_ip") > 0
+    )
+    return scanned.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_email").cast("bigint").alias("emails"),
+        F.sum("n_phone").cast("bigint").alias("phones"),
+        F.sum("n_ssn").cast("bigint").alias("ssns"),
+        F.sum("n_ip").cast("bigint").alias("ips"),
+        F.sum(F.when(flagged, 1).otherwise(0)).cast("bigint").alias("docs_flagged"),
+        F.round(
+            F.sum(F.when(flagged, 1).otherwise(0)) / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("flagged_rate"),
     )

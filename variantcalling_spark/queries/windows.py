@@ -6590,3 +6590,141 @@ def q377_motif_chains(spark, sf_dir):
         (-F.col("b.ns")).cast("bigint").alias("chain_start"),
         F.col("b.chain_end").cast("bigint").alias("chain_end"),
     )
+
+
+@query(
+    "q381_cox_score_test",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t1,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY user_id
+),
+horizon AS (SELECT MAX(epoch_us(ts)) AS tmax FROM events),
+subj AS (
+  SELECT user_id, x,
+         CASE WHEN t1 IS NOT NULL AND t1 > t0
+              THEN (t1 - t0) // {DAY_US} ELSE (h.tmax - t0) // {DAY_US} END
+           AS dur,
+         CASE WHEN t1 IS NOT NULL AND t1 > t0 THEN 1 ELSE 0 END AS observed
+  FROM per_user CROSS JOIN horizon h
+  WHERE t0 IS NOT NULL
+),
+h AS (
+  SELECT dur,
+         CAST(SUM(observed) AS BIGINT) AS d,
+         CAST(SUM(observed * x) AS BIGINT) AS sx_ev,
+         CAST(COUNT(*) AS BIGINT) AS leaving,
+         CAST(SUM(x) AS BIGINT) AS sx_all,
+         CAST(SUM(x * x) AS BIGINT) AS sxx_all
+  FROM subj GROUP BY dur
+),
+rk AS (
+  SELECT dur, d, sx_ev,
+         CAST(SUM(leaving) OVER w AS BIGINT) AS n_r,
+         CAST(SUM(sx_all) OVER w AS BIGINT) AS sx_r,
+         CAST(SUM(sxx_all) OVER w AS BIGINT) AS sxx_r
+  FROM h
+  WINDOW w AS (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+terms AS (
+  SELECT
+    CAST(ROUND(sx_ev - d * (sx_r / CAST(n_r AS DOUBLE)), 8) AS DECIMAL(26,8)) AS u_t,
+    CAST(ROUND(d * (sxx_r / CAST(n_r AS DOUBLE)
+                    - (sx_r / CAST(n_r AS DOUBLE)) * (sx_r / CAST(n_r AS DOUBLE))), 8)
+         AS DECIMAL(26,8)) AS v_t
+  FROM rk WHERE d > 0 AND n_r > 1
+),
+tot AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM subj) AS n_subjects,
+         (SELECT CAST(SUM(observed) AS BIGINT) FROM subj) AS n_events,
+         CAST(SUM(u_t) AS DOUBLE) AS u_score,
+         CAST(SUM(v_t) AS DOUBLE) AS v_var
+  FROM terms
+)
+SELECT n_subjects, n_events,
+       ROUND(u_score, 6) AS u_score, ROUND(v_var, 6) AS v_var,
+       ROUND(u_score * u_score / v_var, 6) AS chi2
+FROM tot
+""",
+)
+def q381_cox_score_test(spark, sf_dir):
+    """COX PROPORTIONAL-HAZARDS SCORE TEST at beta=0 (the log-rank
+    test generalized to a CONTINUOUS covariate — does per-user
+    activity level predict signup->purchase hazard? — the survival
+    family's regression member beside q206 KM / q245 log-rank / q286
+    Nelson-Aalen): Breslow-tie score U = sum over event times of
+    (event covariate sum - d * risk-set mean), variance V = sum of
+    d * risk-set covariate variance, chi2 = U^2/V.
+
+    Scale discipline: risk-set covariate moments (n, sum x, sum x^2)
+    come from ONE descending cumulative window over the integer-day
+    duration histogram (the q206 shape — value-domain-sized, never
+    subject x time); the covariate is an exact BIGINT count, so every
+    risk-set moment is exact and each time's U/V term is one IEEE
+    expression snapped at 8 dp into the DECIMAL total."""
+    ev = events_points(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_us"))).alias("t1"),
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+    )
+    horizon = ev.agg(F.max("ts_us").alias("tmax"))
+    observed = F.col("t1").isNotNull() & (F.col("t1") > F.col("t0"))
+    subj = (
+        per_user.where(F.col("t0").isNotNull())
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "x",
+            F.when(observed, F.expr(f"(t1 - t0) DIV {DAY_US}"))
+            .otherwise(F.expr(f"(tmax - t0) DIV {DAY_US}"))
+            .alias("dur"),
+            F.when(observed, 1).otherwise(0).alias("observed"),
+        )
+        .transform(managed_persist)
+    )
+    h = subj.groupBy("dur").agg(
+        F.sum("observed").cast("bigint").alias("d"),
+        F.sum(F.col("observed") * F.col("x")).cast("bigint").alias("sx_ev"),
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+        F.sum("x").cast("bigint").alias("sx_all"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx_all"),
+    )
+    wdesc = W.orderBy(F.desc("dur")).rowsBetween(W.unboundedPreceding, 0)
+    rk = h.select(
+        "dur",
+        "d",
+        "sx_ev",
+        F.sum("leaving").over(wdesc).cast("bigint").alias("n_r"),
+        F.sum("sx_all").over(wdesc).cast("bigint").alias("sx_r"),
+        F.sum("sxx_all").over(wdesc).cast("bigint").alias("sxx_r"),
+    )
+    mean_r = F.col("sx_r") / F.col("n_r").cast("double")
+    u_t = F.round(F.col("sx_ev") - F.col("d") * mean_r, 8).cast("decimal(26,8)")
+    v_t = F.round(
+        F.col("d")
+        * (F.col("sxx_r") / F.col("n_r").cast("double") - mean_r * mean_r),
+        8,
+    ).cast("decimal(26,8)")
+    terms = rk.where((F.col("d") > 0) & (F.col("n_r") > 1)).select(
+        u_t.alias("u_t"), v_t.alias("v_t")
+    )
+    counts = subj.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_subjects"),
+        F.sum("observed").cast("bigint").alias("n_events"),
+    )
+    tot = terms.agg(
+        F.sum("u_t").cast("double").alias("u_score"),
+        F.sum("v_t").cast("double").alias("v_var"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "n_subjects",
+        "n_events",
+        F.round("u_score", 6).alias("u_score"),
+        F.round("v_var", 6).alias("v_var"),
+        F.round(
+            F.col("u_score") * F.col("u_score") / F.col("v_var"), 6
+        ).alias("chi2"),
+    )
