@@ -62,6 +62,7 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     "q206_kaplan_meier": "integer-day duration histogram domain",
     "q245_logrank_test": "integer-day duration histogram domain",
     "q286_nelson_aalen": "integer-day duration histogram domain",
+    "q381_cox_score_test": "integer-day duration histogram domain",
     # tiny categorical domains
     "q273_event_funnel": "funnel-stage domain",
     "q292_bradley_terry": "item domain (event types)",

@@ -875,3 +875,54 @@ def lcs_lengths(
             )
 
     return pairs.select(id_col, a_col, b_col).mapInPandas(run, schema=out_schema)
+
+
+def page_hinkley_scan(
+    df: DataFrame,
+    key_col: str = "series",
+    t_col: str = "t",
+    val_col: str = "m",
+    delta: float = 0.1,
+) -> DataFrame:
+    """PAGE-HINKLEY drift statistic per series (the sequential
+    changepoint monitor CUSUM's mean-shift variant, q197's streaming-
+    flavored cousin): m_t = m_{t-1} + (x_t - mu_t - delta) with mu_t
+    the RUNNING mean, M_t = min so far, excess_t = m_t - M_t — the
+    alarm fires when the excess clears a threshold (applied by the
+    caller, so the kernel stays threshold-free).
+
+    Emits EVERY per-step state row (key, t, x, ph_m, ph_min, excess)
+    — the recursive-CTE oracle pins the whole walk, not just the end.
+    Plain float64 with the exact expression shapes the SQL replay
+    uses (q302 discipline: same add/divide order, no intermediate
+    rounding). Sequential per series, series independent
+    (``applyInPandas`` shape).
+    """
+    import pandas as pd  # noqa: F811
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(t_col, kind="mergesort")
+        key = pdf[key_col].iloc[0]
+        ts = pdf[t_col].to_numpy(dtype="int64")
+        xs = pdf[val_col].to_numpy(dtype="float64")
+        rows = []
+        cum = 0.0
+        m = 0.0
+        mmin = 0.0
+        for i, (t, x) in enumerate(zip(ts, xs), start=1):
+            cum = cum + x
+            mu = cum / i
+            m = m + (x - mu - delta)
+            mmin = min(mmin, m)
+            rows.append((key, int(t), float(x), m, mmin, m - mmin))
+        return pd.DataFrame(
+            rows, columns=[key_col, t_col, "x", "ph_m", "ph_min", "excess"]
+        )
+
+    schema = (
+        f"{key_col} string, {t_col} long, x double, ph_m double, "
+        "ph_min double, excess double"
+    )
+    return df.select(key_col, t_col, val_col).groupBy(key_col).applyInPandas(
+        per_series, schema=schema
+    )

@@ -197,6 +197,9 @@ _PRIORITY = (
     "q321_topic_coherence",
     "q322_lsh_planner",
     # --- New in round 7 (add new queries HERE) ---
+    "q384_tokenizer_fertility",
+    "q383_cmh_test",
+    "q382_page_hinkley",
     "q381_cox_score_test",
     "q380_pii_scan",
     "q379_rouge_l",

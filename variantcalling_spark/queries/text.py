@@ -5251,3 +5251,138 @@ def q380_pii_scan(spark, sf_dir):
             6,
         ).alias("flagged_rate"),
     )
+
+
+@query(
+    "q384_tokenizer_fertility",
+    oracle="""
+WITH RECURSIVE pairs AS (
+  SELECT unnest([substr(w, i, 2) for i in generate_series(1, length(w) - 1)]) AS pair
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) >= 2
+),
+mined AS (
+  SELECT substr(pair, 1, 1) || '|' || substr(pair, 2, 1) AS pair,
+         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS INT) AS prio
+  FROM (SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair)
+  QUALIFY prio <= 8
+),
+vocab AS (
+  SELECT DISTINCT w FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+),
+enc AS (
+  -- merge-all-per-pass (GPT-2/HF semantics): wrap every symbol as
+  -- \x1f sym \x1f (boundary \x1f\x1f between symbols), then one
+  -- replace() of \x1f u \x1f\x1f v \x1f -> \x1f uv \x1f merges ALL
+  -- greedy left-to-right non-overlapping occurrences of the chosen
+  -- pair, exactly the kernel's per-pass step
+  SELECT w, string_split(w, '') AS syms FROM vocab
+  UNION ALL
+  SELECT e.w,
+    string_split(
+      substr(m2.merged, 2, length(m2.merged) - 2), chr(31) || chr(31)
+    ) AS syms
+  FROM enc e,
+  LATERAL (
+    SELECT MIN(m.prio) AS best
+    FROM unnest(generate_series(1, len(e.syms) - 1)) AS t(i)
+    JOIN mined m ON m.pair = e.syms[i] || '|' || e.syms[i + 1]
+  ) b,
+  LATERAL (
+    SELECT m.pair AS bp FROM mined m WHERE m.prio = b.best
+  ) bp,
+  LATERAL (
+    SELECT replace(
+      chr(31) || array_to_string(e.syms, chr(31) || chr(31)) || chr(31),
+      chr(31) || replace(bp.bp, '|', chr(31) || chr(31)) || chr(31),
+      chr(31) || replace(bp.bp, '|', '') || chr(31)
+    ) AS merged
+  ) m2
+  WHERE b.best IS NOT NULL
+),
+final AS (
+  SELECT w, len(syms) AS n_sym FROM enc e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM unnest(generate_series(1, len(e.syms) - 1)) AS t(i)
+    JOIN mined m ON m.pair = e.syms[i] || '|' || e.syms[i + 1]
+  )
+),
+docw AS (
+  SELECT doc_id, lang, w FROM (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+       CAST(SUM(n_sym) AS BIGINT) AS n_tokens,
+       ROUND(SUM(n_sym) / CAST(COUNT(*) AS DOUBLE), 6) AS fertility,
+       ROUND(SUM(length(w)) / CAST(SUM(n_sym) AS DOUBLE), 6) AS chars_per_token
+FROM docw JOIN final USING (w)
+GROUP BY lang
+""",
+)
+def q384_tokenizer_fertility(spark, sf_dir):
+    """TOKENIZER FERTILITY BY LANGUAGE (tokens per word and chars per
+    token after BPE — the number multilingual-tokenizer audits grade:
+    high-fertility languages pay more sequence length per word, the
+    classic equity metric tokenizer changes are judged on): q147's
+    value-proven mine-then-encode machinery (top-8 corpus merges,
+    iterative merge kernel, recursive-SQL replay oracle) aggregated
+    per language instead of per document.
+
+    Scale shape: the encode runs on the DISTINCT word vocabulary (the
+    q147 trick — tokens per unique word, then a broadcast join back to
+    the exploded corpus), so the kernel cost is vocabulary-sized, not
+    corpus-sized; the fertility aggregate is map-side combinable."""
+    from pyspark.sql import Window as W
+
+    from variantcalling_spark.operators.kernels import apply_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).where(
+        F.length("w") >= 2
+    )
+    pair_counts = (
+        words.select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = (
+        pair_counts.withColumn(
+            "prio", F.row_number().over(W.orderBy(F.col("n").desc(), "pair"))
+        )
+        .where(F.col("prio") <= 8)
+        .orderBy("prio")
+        .collect()
+    )
+    merges = [(r.pair[0], r.pair[1]) for r in top]
+    per_doc = apply_bpe_merges(docs, merges)
+    langs = docs.select("doc_id", "lang")
+    chars = docs.select(
+        "doc_id",
+        F.length(F.regexp_replace("text", " ", "")).cast("bigint").alias("n_chars"),
+    )
+    return (
+        per_doc.where(F.col("n_words") > 0)
+        .join(chars, "doc_id")
+        .join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("n_tokens") / F.sum("n_words").cast("double"), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars") / F.sum("n_tokens").cast("double"), 6
+            ).alias("chars_per_token"),
+        )
+    )

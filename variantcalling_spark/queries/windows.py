@@ -6728,3 +6728,189 @@ def q381_cox_score_test(spark, sf_dir):
             F.col("u_score") * F.col("u_score") / F.col("v_var"), 6
         ).alias("chi2"),
     )
+
+
+_PH_DELTA = 0.1
+_PH_LAMBDA = 10.0
+
+
+@query(
+    "q382_page_hinkley",
+    oracle=f"""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT event_type,
+         epoch_ns(ts) // 86400000000000 AS day,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM events GROUP BY event_type, day
+),
+rel AS MATERIALIZED (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         m AS x
+  FROM daily
+),
+ph AS (
+  SELECT event_type, t, x,
+         x AS cum,
+         x - (x / 1) - CAST({_PH_DELTA!r} AS DOUBLE) AS ph_m,
+         LEAST(CAST(0 AS DOUBLE),
+               x - (x / 1) - CAST({_PH_DELTA!r} AS DOUBLE)) AS ph_min
+  FROM rel WHERE t = 1
+  UNION ALL
+  SELECT r.event_type, r.t, r.x,
+         p.cum + r.x,
+         p.ph_m + (r.x - (p.cum + r.x) / r.t - CAST({_PH_DELTA!r} AS DOUBLE)),
+         LEAST(p.ph_min,
+               p.ph_m + (r.x - (p.cum + r.x) / r.t
+                         - CAST({_PH_DELTA!r} AS DOUBLE)))
+  FROM ph p JOIN rel r ON r.event_type = p.event_type AND r.t = p.t + 1
+)
+SELECT event_type, CAST(t AS BIGINT) AS t,
+       ROUND(ph_m, 6) AS ph_m,
+       ROUND(ph_m - ph_min, 6) AS excess,
+       (ph_m - ph_min) > CAST({_PH_LAMBDA!r} AS DOUBLE) AS alarm
+FROM ph
+""",
+)
+def q382_page_hinkley(spark, sf_dir):
+    """PAGE-HINKLEY MEAN-SHIFT MONITOR per metric series (the
+    sequential drift detector production monitors run where q197's
+    CUSUM is the batch retrospective — and the sequential-kernel
+    family's monitoring member beside Holt q302 / Viterbi q315 /
+    conformal q331): the running statistic m_t accumulates deviations
+    from the RUNNING mean (drift allowance delta), the alarm is its
+    excess over the running minimum clearing lambda.
+
+    Engine parity: the kernel emits EVERY per-step state row and the
+    recursive-CTE oracle replays the identical add/divide shapes (no
+    intermediate rounding; the q302 discipline), so the whole walk is
+    bit-equal before the output rounds. Scale: per-series sequential
+    over CALENDAR-BOUNDED daily means; series are independent
+    (applyInPandas, hash-partitioned by series)."""
+    from variantcalling_spark.operators.kernels import page_hinkley_scan
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_ns DIV 86400000000000").alias("day")
+    ).agg(
+        F.round(F.sum(dec("value")).cast("double") / F.count(F.lit(1)), 6).alias("m")
+    )
+    rel = daily.select(
+        F.col("event_type").alias("series"),
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("day"))
+        .cast("long")
+        .alias("t"),
+        "m",
+    )
+    out = page_hinkley_scan(rel, delta=_PH_DELTA)
+    return out.select(
+        F.col("series").alias("event_type"),
+        "t",
+        F.round("ph_m", 6).alias("ph_m"),
+        F.round("excess", 6).alias("excess"),
+        (F.col("excess") > F.lit(_PH_LAMBDA)).alias("alarm"),
+    )
+
+
+@query(
+    "q383_cmh_test",
+    oracle="""
+WITH obs AS (
+  SELECT event_type AS stratum,
+         CAST(user_id % 2 AS INT) AS exposed,
+         CASE WHEN CAST(value AS DECIMAL(12,2)) > 20 THEN 1 ELSE 0 END AS outcome
+  FROM events
+),
+cells AS (
+  SELECT stratum,
+         CAST(SUM(CASE WHEN exposed = 1 AND outcome = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN exposed = 1 AND outcome = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN exposed = 0 AND outcome = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN exposed = 0 AND outcome = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM obs GROUP BY stratum
+),
+terms AS (
+  SELECT a,
+         CAST(ROUND((a + b) * (a + c) / CAST(a + b + c + d AS DOUBLE), 10)
+              AS DECIMAL(26,10)) AS e_i,
+         CAST(ROUND((a + b) * (c + d) * (a + c) * (b + d)
+                    / (CAST(a + b + c + d AS DOUBLE)
+                       * (a + b + c + d) * (a + b + c + d - 1)), 10)
+              AS DECIMAL(26,10)) AS v_i,
+         CAST(ROUND(a * d / CAST(a + b + c + d AS DOUBLE), 10)
+              AS DECIMAL(26,10)) AS ad_t,
+         CAST(ROUND(b * c / CAST(a + b + c + d AS DOUBLE), 10)
+              AS DECIMAL(26,10)) AS bc_t
+  FROM cells WHERE a + b + c + d > 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+       CAST(SUM(a) AS BIGINT) AS sum_a,
+       ROUND(CAST(SUM(e_i) AS DOUBLE), 6) AS sum_e,
+       ROUND((SUM(a) - CAST(SUM(e_i) AS DOUBLE))
+             * (SUM(a) - CAST(SUM(e_i) AS DOUBLE))
+             / CAST(SUM(v_i) AS DOUBLE), 6) AS cmh_chi2,
+       ROUND(CAST(SUM(ad_t) AS DOUBLE) / CAST(SUM(bc_t) AS DOUBLE), 6)
+         AS or_mh
+FROM terms
+""",
+)
+def q383_cmh_test(spark, sf_dir):
+    """COCHRAN-MANTEL-HAENSZEL TEST + MH COMMON ODDS RATIO (the
+    stratified 2x2 association test — 'does exposure predict outcome
+    after controlling for the stratum confounder?' — epidemiology's
+    pooled test and the categorical sibling of q317's direct
+    standardization; completes the association family beside q285's
+    trend test and q163's chi-square independence): per-stratum 2x2
+    cells, hypergeometric E_i/V_i, chi2 = (sum a - sum E)^2 / sum V
+    (no continuity correction, stated), and OR_MH =
+    sum(ad/T) / sum(bc/T).
+
+    Scale discipline: ONE map-side-combinable conditional aggregate
+    to the stratum-bounded cell table; per-stratum terms snap at 10 dp
+    into DECIMAL sums so the pooled statistics are order-independent;
+    counts stay exact BIGINTs."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        F.col("event_type").alias("stratum"),
+        (F.col("user_id") % 2).cast("int").alias("exposed"),
+        F.when(dec("value") > 20, 1).otherwise(0).alias("outcome"),
+    )
+    cells = obs.groupBy("stratum").agg(
+        F.sum(F.when((F.col("exposed") == 1) & (F.col("outcome") == 1), 1).otherwise(0))
+        .cast("bigint").alias("a"),
+        F.sum(F.when((F.col("exposed") == 1) & (F.col("outcome") == 0), 1).otherwise(0))
+        .cast("bigint").alias("b"),
+        F.sum(F.when((F.col("exposed") == 0) & (F.col("outcome") == 1), 1).otherwise(0))
+        .cast("bigint").alias("c"),
+        F.sum(F.when((F.col("exposed") == 0) & (F.col("outcome") == 0), 1).otherwise(0))
+        .cast("bigint").alias("d"),
+    )
+    t_ = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    ti = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    e_i = F.round((F.col("a") + F.col("b")) * (F.col("a") + F.col("c")) / t_, 10).cast(
+        "decimal(26,10)"
+    )
+    v_i = F.round(
+        (F.col("a") + F.col("b"))
+        * (F.col("c") + F.col("d"))
+        * (F.col("a") + F.col("c"))
+        * (F.col("b") + F.col("d"))
+        / (t_ * ti * (ti - 1)),
+        10,
+    ).cast("decimal(26,10)")
+    ad_t = F.round(F.col("a") * F.col("d") / t_, 10).cast("decimal(26,10)")
+    bc_t = F.round(F.col("b") * F.col("c") / t_, 10).cast("decimal(26,10)")
+    terms = cells.where(ti > 1).select(
+        "a", e_i.alias("e_i"), v_i.alias("v_i"), ad_t.alias("ad_t"), bc_t.alias("bc_t")
+    )
+    diff = F.sum("a") - F.sum("e_i").cast("double")
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("a").cast("bigint").alias("sum_a"),
+        F.round(F.sum("e_i").cast("double"), 6).alias("sum_e"),
+        F.round(diff * diff / F.sum("v_i").cast("double"), 6).alias("cmh_chi2"),
+        F.round(
+            F.sum("ad_t").cast("double") / F.sum("bc_t").cast("double"), 6
+        ).alias("or_mh"),
+    )
