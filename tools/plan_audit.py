@@ -67,6 +67,7 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     "q273_event_funnel": "funnel-stage domain",
     "q292_bradley_terry": "item domain (event types)",
     "q299_jsd_source_drift": "source domain",
+    "q385_unimax_allocation": "source domain (capacity-sorted waterfill prefix)",
     "q347_wasserstein_drift": "source domain",
     "q359_gsea_enrichment": "gene-model domain (broadcast gene panel)",
 }

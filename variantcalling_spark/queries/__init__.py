@@ -197,6 +197,8 @@ _PRIORITY = (
     "q321_topic_coherence",
     "q322_lsh_planner",
     # --- New in round 7 (add new queries HERE) ---
+    "q386_dnds_ratio",
+    "q385_unimax_allocation",
     "q384_tokenizer_fertility",
     "q383_cmh_test",
     "q382_page_hinkley",

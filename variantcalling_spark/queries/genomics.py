@@ -5285,3 +5285,107 @@ def q379_rouge_l(spark, sf_dir):
             6,
         ).alias("rouge_l_f"),
     )
+
+
+_GENETIC_CODE = [("AAA", "K"), ("AAC", "N"), ("AAG", "K"), ("AAT", "N"), ("ACA", "T"), ("ACC", "T"), ("ACG", "T"), ("ACT", "T"), ("AGA", "R"), ("AGC", "S"), ("AGG", "R"), ("AGT", "S"), ("ATA", "I"), ("ATC", "I"), ("ATG", "M"), ("ATT", "I"), ("CAA", "Q"), ("CAC", "H"), ("CAG", "Q"), ("CAT", "H"), ("CCA", "P"), ("CCC", "P"), ("CCG", "P"), ("CCT", "P"), ("CGA", "R"), ("CGC", "R"), ("CGG", "R"), ("CGT", "R"), ("CTA", "L"), ("CTC", "L"), ("CTG", "L"), ("CTT", "L"), ("GAA", "E"), ("GAC", "D"), ("GAG", "E"), ("GAT", "D"), ("GCA", "A"), ("GCC", "A"), ("GCG", "A"), ("GCT", "A"), ("GGA", "G"), ("GGC", "G"), ("GGG", "G"), ("GGT", "G"), ("GTA", "V"), ("GTC", "V"), ("GTG", "V"), ("GTT", "V"), ("TAA", "*"), ("TAC", "Y"), ("TAG", "*"), ("TAT", "Y"), ("TCA", "S"), ("TCC", "S"), ("TCG", "S"), ("TCT", "S"), ("TGA", "*"), ("TGC", "C"), ("TGG", "W"), ("TGT", "C"), ("TTA", "L"), ("TTC", "F"), ("TTG", "L"), ("TTT", "F")]
+
+
+@query(
+    "q386_dnds_ratio",
+    oracle=f"""
+WITH code(codon, aa) AS (VALUES ('AAA', 'K'), ('AAC', 'N'), ('AAG', 'K'), ('AAT', 'N'), ('ACA', 'T'), ('ACC', 'T'), ('ACG', 'T'), ('ACT', 'T'), ('AGA', 'R'), ('AGC', 'S'), ('AGG', 'R'), ('AGT', 'S'), ('ATA', 'I'), ('ATC', 'I'), ('ATG', 'M'), ('ATT', 'I'), ('CAA', 'Q'), ('CAC', 'H'), ('CAG', 'Q'), ('CAT', 'H'), ('CCA', 'P'), ('CCC', 'P'), ('CCG', 'P'), ('CCT', 'P'), ('CGA', 'R'), ('CGC', 'R'), ('CGG', 'R'), ('CGT', 'R'), ('CTA', 'L'), ('CTC', 'L'), ('CTG', 'L'), ('CTT', 'L'), ('GAA', 'E'), ('GAC', 'D'), ('GAG', 'E'), ('GAT', 'D'), ('GCA', 'A'), ('GCC', 'A'), ('GCG', 'A'), ('GCT', 'A'), ('GGA', 'G'), ('GGC', 'G'), ('GGG', 'G'), ('GGT', 'G'), ('GTA', 'V'), ('GTC', 'V'), ('GTG', 'V'), ('GTT', 'V'), ('TAA', '*'), ('TAC', 'Y'), ('TAG', '*'), ('TAT', 'Y'), ('TCA', 'S'), ('TCC', 'S'), ('TCG', 'S'), ('TCT', 'S'), ('TGA', '*'), ('TGC', 'C'), ('TGG', 'W'), ('TGT', 'C'), ('TTA', 'L'), ('TTC', 'F'), ('TTG', 'L'), ('TTT', 'F')),
+dna0 AS ({SQL_DOCS_DNA}),
+dna AS (SELECT doc_id, upper(seq) AS seq FROM dna0),
+pairs AS (
+  SELECT ea.doc_id // 2 AS pair_id, ea.seq AS a, eb.seq AS b,
+         LEAST(length(ea.seq), length(eb.seq)) // 3 AS n_codons
+  FROM dna ea JOIN dna eb ON eb.doc_id = ea.doc_id + 1
+  WHERE ea.doc_id % 2 = 0
+),
+codons AS (
+  SELECT pair_id,
+         substr(a, CAST(3 * i + 1 AS INT), 3) AS ca,
+         substr(b, CAST(3 * i + 1 AS INT), 3) AS cb
+  FROM pairs, unnest(generate_series(0, CAST(n_codons - 1 AS BIGINT))) AS t(i)
+  WHERE n_codons > 0
+),
+cls AS (
+  SELECT c.pair_id,
+         CASE WHEN c.ca = c.cb THEN 0
+              WHEN ka.aa = kb.aa THEN 1 ELSE 2 END AS k
+  FROM codons c JOIN code ka ON ka.codon = c.ca JOIN code kb ON kb.codon = c.cb
+)
+SELECT pair_id,
+       CAST(COUNT(*) AS BIGINT) AS n_codons,
+       CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_syn,
+       CAST(SUM(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonsyn,
+       ROUND(CASE WHEN SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) > 0
+             THEN SUM(CASE WHEN k = 2 THEN 1 ELSE 0 END)
+                  / CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS DOUBLE) END, 6)
+         AS dnds
+FROM cls GROUP BY pair_id
+""",
+)
+def q386_dnds_ratio(spark, sf_dir):
+    """CODON-LEVEL dN/dS SUBSTITUTION RATIO (the comparative-genomics
+    selection signal: nonsynonymous vs synonymous codon changes
+    between paired sequences under the standard genetic code; the
+    codon-aware member of the pairwise family q219/q247/q379):
+    aligned codon columns over consecutive doc-pair DNA, each
+    differing codon classified by the BROADCAST 64-row genetic-code
+    map (same literal table on both engines), ratio = n_nonsyn/n_syn
+    per pair (the observed-count simplification of NG86, stated — no
+    site-count normalization).
+
+    Scale shape: codon explode is one generate+substr projection (no
+    shuffle), classification is two broadcast-hash joins on the 64-row
+    code, per-pair counts are map-side combinable."""
+    code = spark.createDataFrame(_GENETIC_CODE, "codon string, aa string")
+    dna = docs_as_dna(spark, sf_dir).select(
+        "doc_id", F.upper("seq").alias("seq")
+    ).transform(managed_persist)
+    a = dna.where(F.col("doc_id") % 2 == 0).select(
+        F.expr("doc_id DIV 2").alias("pair_id"), F.col("seq").alias("a")
+    )
+    b = dna.select(
+        F.expr("(doc_id - 1) DIV 2").alias("pair_id"),
+        F.col("seq").alias("b"),
+        (F.col("doc_id") % 2).alias("par"),
+    ).where(F.col("par") == 1).drop("par")
+    pairs = a.join(b, "pair_id").select(
+        "pair_id", "a", "b",
+        F.expr("least(length(a), length(b)) DIV 3").alias("n_codons"),
+    )
+    codons = pairs.where(F.col("n_codons") > 0).select(
+        "pair_id",
+        F.explode(F.expr("sequence(0, CAST(n_codons - 1 AS INT))")).alias("i"),
+        "a",
+        "b",
+    ).select(
+        "pair_id",
+        F.expr("substr(a, 3 * i + 1, 3)").alias("ca"),
+        F.expr("substr(b, 3 * i + 1, 3)").alias("cb"),
+    )
+    ka = code.select(F.col("codon").alias("ca"), F.col("aa").alias("aa_a"))
+    kb = code.select(F.col("codon").alias("cb"), F.col("aa").alias("aa_b"))
+    cls = (
+        codons.join(F.broadcast(ka), "ca")
+        .join(F.broadcast(kb), "cb")
+        .select(
+            "pair_id",
+            F.when(F.col("ca") == F.col("cb"), 0)
+            .when(F.col("aa_a") == F.col("aa_b"), 1)
+            .otherwise(2)
+            .alias("k"),
+        )
+    )
+    n_syn = F.sum(F.when(F.col("k") == 1, 1).otherwise(0))
+    n_nonsyn = F.sum(F.when(F.col("k") == 2, 1).otherwise(0))
+    return cls.groupBy("pair_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_codons"),
+        n_syn.cast("bigint").alias("n_syn"),
+        n_nonsyn.cast("bigint").alias("n_nonsyn"),
+        F.round(
+            F.when(n_syn > 0, n_nonsyn / n_syn.cast("double")), 6
+        ).alias("dnds"),
+    )

@@ -5386,3 +5386,121 @@ def q384_tokenizer_fertility(spark, sf_dir):
             ).alias("chars_per_token"),
         )
     )
+
+
+_UNIMAX_EPOCH_CAP = 2
+_UNIMAX_BUDGET_FRAC_NUM, _UNIMAX_BUDGET_FRAC_DEN = 3, 2  # B = 1.5x corpus
+
+
+@query(
+    "q385_unimax_allocation",
+    oracle=f"""
+WITH src AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) * {_UNIMAX_BUDGET_FRAC_NUM}
+              // {_UNIMAX_BUDGET_FRAC_DEN} AS BIGINT) AS budget,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM src
+),
+s AS (
+  SELECT source, n_tokens,
+         CAST(n_tokens * {_UNIMAX_EPOCH_CAP} AS BIGINT) AS cap,
+         ROW_NUMBER() OVER (ORDER BY n_tokens * {_UNIMAX_EPOCH_CAP}, source) AS i,
+         CAST(SUM(n_tokens * {_UNIMAX_EPOCH_CAP}) OVER (
+           ORDER BY n_tokens * {_UNIMAX_EPOCH_CAP}, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS presum
+  FROM src
+),
+cut AS (
+  SELECT COALESCE(MAX(CASE WHEN cap * (k - i + 1) <= budget - presum + cap
+                           THEN i END), 0) AS m
+  FROM s CROSS JOIN tot
+),
+capped AS (
+  SELECT COALESCE(MAX(CASE WHEN i = m THEN presum END), 0) AS capped_sum
+  FROM s CROSS JOIN cut
+)
+SELECT source, n_tokens, cap,
+       ROUND(CASE WHEN i <= m THEN CAST(cap AS DOUBLE)
+                  ELSE (budget - capped_sum) / CAST(k - m AS DOUBLE) END, 6)
+         AS allocation,
+       ROUND(CASE WHEN i <= m THEN CAST(cap AS DOUBLE)
+                  ELSE (budget - capped_sum) / CAST(k - m AS DOUBLE) END
+             / n_tokens, 6) AS epochs
+FROM s CROSS JOIN tot CROSS JOIN cut CROSS JOIN capped
+""",
+)
+def q385_unimax_allocation(spark, sf_dir):
+    """UNIMAX TOKEN-BUDGET ALLOCATION (Chung et al. 2023 — the
+    multilingual/multi-source mixing rule: spread the training budget
+    as uniformly as possible across sources, but never take more than
+    c epochs from any one source; the principled successor to
+    temperature sampling q300 and the consumer of q115's mixture
+    weights): per-source token counts, caps c*N_s, and the exact
+    waterfilling split — capped sources below the water level take
+    their cap, the rest share the remainder equally.
+
+    The sequential greedy has a CLOSED FORM over capacity-sorted
+    sources: cutoff m = max i with cap_i * (k-i+1) <= B - presum(i-1)
+    (one prefix window over the SOURCE-bounded ledger), so nothing
+    iterates. Integer token counts and one final IEEE division per
+    row; budget = 1.5x corpus, cap = 2 epochs."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens")
+    )
+    tot = src.agg(
+        (
+            F.sum("n_tokens") * _UNIMAX_BUDGET_FRAC_NUM
+            / F.lit(_UNIMAX_BUDGET_FRAC_DEN)
+        )
+        .cast("bigint")
+        .alias("budget"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    cap = (F.col("n_tokens") * _UNIMAX_EPOCH_CAP).cast("bigint")
+    wo = W.orderBy(cap, "source")
+    s = src.select(
+        "source",
+        "n_tokens",
+        cap.alias("cap"),
+        F.row_number().over(wo).alias("i"),
+        F.sum(cap).over(wo.rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("presum"),
+    ).crossJoin(F.broadcast(tot))
+    cut = s.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("cap") * (F.col("k") - F.col("i") + 1)
+                    <= F.col("budget") - F.col("presum") + F.col("cap"),
+                    F.col("i"),
+                )
+            ),
+            F.lit(0),
+        ).alias("m")
+    )
+    s2 = s.crossJoin(F.broadcast(cut))
+    capped = s2.agg(
+        F.coalesce(
+            F.max(F.when(F.col("i") == F.col("m"), F.col("presum"))), F.lit(0)
+        ).alias("capped_sum")
+    )
+    s3 = s2.crossJoin(F.broadcast(capped))
+    alloc = F.when(F.col("i") <= F.col("m"), F.col("cap").cast("double")).otherwise(
+        (F.col("budget") - F.col("capped_sum"))
+        / (F.col("k") - F.col("m")).cast("double")
+    )
+    return s3.select(
+        "source",
+        "n_tokens",
+        "cap",
+        F.round(alloc, 6).alias("allocation"),
+        F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
+    )
