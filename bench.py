@@ -163,6 +163,13 @@ SCALE2_QUERIES = [
     # per-step localCheckpoint keeps lineage flat at any scale)
     "q294_lof_outliers",
     "q308_facility_location",
+    # round-7 families: the multi-band ANN (one distinct shuffle over
+    # collision pairs — its 10x point measures the OR-amplified
+    # candidate volume the SCALE.md recall table prices), and the
+    # Page-Hinkley sequential kernel (per-series applyInPandas over
+    # calendar-bounded dailies — its 10x point is scan+groupBy-bound)
+    "q374_multiband_ann",
+    "q382_page_hinkley",
 ]
 
 

@@ -197,6 +197,9 @@ _PRIORITY = (
     "q321_topic_coherence",
     "q322_lsh_planner",
     # --- New in round 7 (add new queries HERE) ---
+    "q389_sex_inference",
+    "q388_dau_mau_stickiness",
+    "q387_source_jackknife",
     "q386_dnds_ratio",
     "q385_unimax_allocation",
     "q384_tokenizer_fertility",

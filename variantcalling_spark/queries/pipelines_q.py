@@ -4144,3 +4144,62 @@ def q373_training_set_consistency(spark, sf_dir):
         F.col("pos").alias("bed_end"),
         "alt",
     )
+
+
+@query(
+    "q389_sex_inference",
+    oracle=f"""
+WITH calls AS ({{SQL_COHORT_CALLS}}),
+per AS (
+  SELECT sample,
+         CAST(COUNT(*) FILTER (WHERE chrom <> 'c3') AS BIGINT) AS n_auto,
+         CAST(COUNT(*) FILTER (WHERE chrom = 'c3') AS BIGINT) AS n_x,
+         CAST(COUNT(*) FILTER (WHERE chrom = 'c3' AND gt = 1) AS BIGINT)
+           AS n_x_het
+  FROM calls GROUP BY sample
+)
+SELECT sample, n_auto, n_x, n_x_het,
+       ROUND(3.0 * n_x / CAST(n_auto AS DOUBLE), 6) AS x_auto_ratio,
+       ROUND(n_x_het / CAST(n_x AS DOUBLE), 6) AS x_het_rate,
+       CASE WHEN n_x_het / CAST(n_x AS DOUBLE) < 0.2 THEN 'XY'
+            ELSE 'XX' END AS inferred_sex
+FROM per
+""".format(SQL_COHORT_CALLS=SQL_COHORT_CALLS),
+)
+def q389_sex_inference(spark, sf_dir):
+    """SAMPLE SEX INFERENCE from callset statistics (the standard
+    cohort-QC screen — somalier/plink --check-sex style: X-chromosome
+    heterozygosity collapses in XY samples, and the X:autosome call
+    ratio corroborates; joins the cohort-QC family q148/q149/q153):
+    per sample, autosome/X call counts, the normalized X:autosome
+    ratio, the X het rate, and the threshold classification (het rate
+    < 0.2 -> XY; thresholds are synthetic-cohort constants, stated —
+    production would calibrate them per assay).
+
+    Scale shape: ONE conditional aggregate over the callset (map-side
+    combinable, sample-bounded output); classification is scalar
+    arithmetic on the tiny per-sample ledger."""
+    calls = _cohort_calls(spark, sf_dir)
+    per = calls.groupBy("sample").agg(
+        F.sum(F.when(F.col("chrom") != "c3", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_auto"),
+        F.sum(F.when(F.col("chrom") == "c3", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_x"),
+        F.sum(F.when((F.col("chrom") == "c3") & (F.col("gt") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_x_het"),
+    )
+    het = F.col("n_x_het") / F.col("n_x").cast("double")
+    return per.select(
+        "sample",
+        "n_auto",
+        "n_x",
+        "n_x_het",
+        F.round(3.0 * F.col("n_x") / F.col("n_auto").cast("double"), 6).alias(
+            "x_auto_ratio"
+        ),
+        F.round(het, 6).alias("x_het_rate"),
+        F.when(het < 0.2, "XY").otherwise("XX").alias("inferred_sex"),
+    )

@@ -5504,3 +5504,67 @@ def q385_unimax_allocation(spark, sf_dir):
         F.round(alloc, 6).alias("allocation"),
         F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
     )
+
+
+@query(
+    "q387_source_jackknife",
+    oracle="""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS tok
+  FROM per_doc GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_all,
+         CAST(SUM(tok) AS BIGINT) AS tok_all
+  FROM per_src
+)
+SELECT source, n_docs, tok,
+       ROUND(tok_all / CAST(n_all AS DOUBLE), 6) AS mean_all,
+       ROUND((tok_all - tok) / CAST(n_all - n_docs AS DOUBLE), 6)
+         AS mean_without,
+       ROUND(tok_all / CAST(n_all AS DOUBLE)
+             - (tok_all - tok) / CAST(n_all - n_docs AS DOUBLE), 6)
+         AS influence
+FROM per_src CROSS JOIN tot
+""",
+)
+def q387_source_jackknife(spark, sf_dir):
+    """LEAVE-ONE-SOURCE-OUT (jackknife) INFLUENCE on a corpus statistic
+    (here mean tokens/doc — 'which source drags the corpus metric,
+    and by how much?', the curation question before dropping or
+    re-weighting a source; the grouped-influence sibling of q344's
+    block-jackknife CI): per source, the corpus mean WITHOUT that
+    source computed exactly from total-minus-source sums — no
+    recomputation per fold, one aggregate + one broadcast row.
+
+    Scale shape: the jackknife identity makes the k-fold recompute
+    free (sum subtraction), so the cost is ONE map-side-combinable
+    groupBy(source) regardless of source count — the pattern
+    generalizes to any sum-decomposable statistic."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("tok"),
+    )
+    tot = per_src.agg(
+        F.sum("n_docs").cast("bigint").alias("n_all"),
+        F.sum("tok").cast("bigint").alias("tok_all"),
+    )
+    mean_all = F.col("tok_all") / F.col("n_all").cast("double")
+    mean_wo = (F.col("tok_all") - F.col("tok")) / (
+        F.col("n_all") - F.col("n_docs")
+    ).cast("double")
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tok",
+        F.round(mean_all, 6).alias("mean_all"),
+        F.round(mean_wo, 6).alias("mean_without"),
+        F.round(mean_all - mean_wo, 6).alias("influence"),
+    )

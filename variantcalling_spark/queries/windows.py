@@ -6914,3 +6914,65 @@ def q383_cmh_test(spark, sf_dir):
             F.sum("ad_t").cast("double") / F.sum("bc_t").cast("double"), 6
         ).alias("or_mh"),
     )
+
+
+@query(
+    "q388_dau_mau_stickiness",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM ud),
+dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+mau AS (
+  SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau
+  FROM days d JOIN ud u ON u.day BETWEEN d.day - 27 AND d.day
+  GROUP BY d.day
+)
+SELECT CAST(d.day AS BIGINT) AS day, dau.dau, mau.mau,
+       ROUND(dau.dau / CAST(mau.mau AS DOUBLE), 6) AS stickiness
+FROM days d JOIN dau USING (day) JOIN mau ON mau.day = d.day
+""",
+)
+def q388_dau_mau_stickiness(spark, sf_dir):
+    """DAU/MAU STICKINESS (the product-analytics engagement ratio:
+    today's active users over the trailing-28-day actives — the
+    denominator is a DISTINCT count over a sliding window, which no
+    window function computes exactly; joins the warehouse family
+    q192/q274 retention and q179 sessionization): per day, DAU, MAU,
+    and the ratio.
+
+    Scale discipline: events dedup ONCE to the (user, day) ledger
+    (one shuffle); the trailing-28 distinct count is a range join of
+    that ledger against the CALENDAR-BOUNDED day spine + a distinct
+    aggregate — cost |ud| x <=28, never user x day x day. At 100 TB
+    the ledger join stays day-partitioned; nothing single-partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.expr("ts_ns DIV 86400000000000").alias("day")
+    ).distinct().transform(managed_persist)
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    mau = (
+        days.alias("d")
+        .join(
+            ud.alias("u"),
+            (F.col("u.day") >= F.col("d.day") - 27)
+            & (F.col("u.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").cast("bigint").alias("mau"))
+    )
+    return (
+        days.join(dau, "day")
+        .join(mau, "day")
+        .select(
+            F.col("day").cast("bigint").alias("day"),
+            "dau",
+            "mau",
+            F.round(F.col("dau") / F.col("mau").cast("double"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
