@@ -531,3 +531,78 @@ def test_bpe_kernel_matches_reference(spark, words, merges):
     want = [reference_bpe(w, merges) for w in words if w]
     assert out.tokens == "|".join(" ".join(e) for e in want)
     assert out.n_tokens == sum(len(e) for e in want)
+
+
+rank_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),   # value
+        st.integers(min_value=0, max_value=9),      # tie
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=rank_rows_strategy, width=st.integers(min_value=1, max_value=16))
+@settings(**SETTINGS)
+def test_distributed_row_number_property(spark, rows, width):
+    """distributed_row_number == the single-partition row_number for
+    arbitrary (value, tie) multisets and arbitrary bucket widths."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from variantcalling_spark.operators.ordered import distributed_row_number
+
+    df = spark.createDataFrame(
+        [(i, v, t) for i, (v, t) in enumerate(rows)],
+        "rid long, v long, tie long",
+    )
+    exp = {
+        (r.rid, r.rn)
+        for r in df.select(
+            "rid", F.row_number().over(W.orderBy("v", "tie", "rid")).alias("rn")
+        ).collect()
+    }
+    got = {
+        (r.rid, r.rn)
+        for r in distributed_row_number(
+            df,
+            [F.col("v"), F.col("tie"), F.col("rid")],
+            F.floor(F.col("v") / width).cast("bigint"),
+        ).collect()
+    }
+    assert got == exp
+
+
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    width=st.integers(min_value=1, max_value=32),
+)
+@settings(**SETTINGS)
+def test_value_at_rank_bucketed_property(spark, vals, width):
+    """value_at_rank_bucketed == sorted-list indexing for arbitrary
+    float multisets, both directions, every rank."""
+    from variantcalling_spark.operators.ordered import value_at_rank_bucketed
+
+    df = spark.createDataFrame([(v,) for v in vals], "score double")
+    n = len(vals)
+    ranks = df.sparkSession.createDataFrame(
+        [(k,) for k in range(1, n + 1)], "k long"
+    )
+    for descending in (False, True):
+        ordered = sorted(vals, reverse=descending)
+        got = {
+            r.k: r.value_at_rank
+            for r in value_at_rank_bucketed(
+                df, "score", ranks, bucket_width=float(width),
+                descending=descending,
+            ).collect()
+        }
+        for k in range(1, n + 1):
+            assert got[k] == ordered[k - 1], (descending, k)

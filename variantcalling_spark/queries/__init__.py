@@ -197,6 +197,8 @@ _PRIORITY = (
     "q321_topic_coherence",
     "q322_lsh_planner",
     # --- New in round 7 (add new queries HERE) ---
+    "q391_mutual_information",
+    "q390_burrows_delta",
     "q389_sex_inference",
     "q388_dau_mau_stickiness",
     "q387_source_jackknife",

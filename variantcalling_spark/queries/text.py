@@ -5568,3 +5568,131 @@ def q387_source_jackknife(spark, sf_dir):
         F.round(mean_wo, 6).alias("mean_without"),
         F.round(mean_all - mean_wo, 6).alias("influence"),
     )
+
+
+_DELTA_TOPK = 30
+
+
+@query(
+    "q390_burrows_delta",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tokc AS (SELECT source, w, COUNT(*) AS c FROM toks WHERE w <> '' GROUP BY source, w),
+src_tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM tokc GROUP BY source),
+topw AS (
+  SELECT w FROM (SELECT w, SUM(c) AS n FROM tokc GROUP BY w)
+  ORDER BY n DESC, w LIMIT {_DELTA_TOPK}
+),
+f AS (
+  SELECT t.source, t.w,
+         ROUND(COALESCE(c.c, 0) / CAST(t2.tot AS DOUBLE), 10) AS fr
+  FROM (SELECT s.source, w.w FROM src_tot s CROSS JOIN topw w) t
+  LEFT JOIN tokc c ON c.source = t.source AND c.w = t.w
+  JOIN src_tot t2 ON t2.source = t.source
+),
+stats AS (
+  SELECT w,
+         CAST(SUM(CAST(fr AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS mu,
+         sqrt(CAST(SUM(CAST(ROUND(fr * fr, 12) AS DECIMAL(24,12))) AS DOUBLE)
+              / COUNT(*)
+              - (CAST(SUM(CAST(fr AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*))
+                * (CAST(SUM(CAST(fr AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*)))
+           AS sd
+  FROM f GROUP BY w
+),
+z AS (
+  SELECT f.source, f.w,
+         ROUND((f.fr - s.mu) / s.sd, 8) AS z
+  FROM f JOIN stats s ON s.w = f.w WHERE s.sd > 0
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(SUM(CAST(ROUND(ABS(a.z - b.z), 8) AS DECIMAL(20,8))) AS DOUBLE)
+           / COUNT(*) AS delta
+  FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, ROUND(delta, 6) AS burrows_delta
+FROM pairs
+""",
+)
+def q390_burrows_delta(spark, sf_dir):
+    """BURROWS' DELTA (stylometry's authorship-distance classic — mean
+    |z-score| difference of the top-30 function-word
+    frequencies; in a data pipeline, the source-fingerprint that flags
+    re-labeled or laundered corpora beside q160's vocab overlap and
+    q299's JSD drift): per-source relative frequencies of the corpus
+    top words, per-word z-scores across sources, pairwise mean
+    absolute z-difference.
+
+    Scale discipline: ONE token aggregate; the top-word pick is a
+    TakeOrdered heap-select; everything after lives on the (sources x
+    top-30) grid. Frequencies snap at 10 dp, z at 8, and all
+    cross-source sums are DECIMAL — order-independent on both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    tokc = (
+        toks.where(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .transform(managed_persist)
+    )
+    src_tot = tokc.groupBy("source").agg(F.sum("c").cast("bigint").alias("tot"))
+    topw = (
+        tokc.groupBy("w")
+        .agg(F.sum("c").alias("n"))
+        .orderBy(F.col("n").desc(), "w")
+        .limit(_DELTA_TOPK)
+        .select("w")
+    )
+    grid = src_tot.crossJoin(F.broadcast(topw))
+    f = (
+        grid.join(tokc, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.round(
+                F.coalesce(F.col("c"), F.lit(0)) / F.col("tot").cast("double"), 10
+            ).alias("fr"),
+        )
+        .transform(managed_persist)
+    )
+    mu = F.sum(F.col("fr").cast("decimal(20,10)")).cast("double") / F.count(
+        F.lit(1)
+    )
+    ex2 = F.sum(
+        F.round(F.col("fr") * F.col("fr"), 12).cast("decimal(24,12)")
+    ).cast("double") / F.count(F.lit(1))
+    stats = f.groupBy("w").agg(
+        mu.alias("mu"), F.sqrt(ex2 - mu * mu).alias("sd")
+    )
+    z = (
+        f.join(F.broadcast(stats), "w")
+        .where(F.col("sd") > 0)
+        .select(
+            "source",
+            "w",
+            F.round((F.col("fr") - F.col("mu")) / F.col("sd"), 8).alias("z"),
+        )
+    )
+    za = z.select(F.col("source").alias("source_a"), "w", F.col("z").alias("za"))
+    zb = z.select(F.col("source").alias("source_b"), "w", F.col("z").alias("zb"))
+    return (
+        za.join(zb, "w")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.abs(F.col("za") - F.col("zb")), 8).cast(
+                        "decimal(20,8)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("burrows_delta")
+        )
+    )

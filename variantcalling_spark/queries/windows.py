@@ -6976,3 +6976,97 @@ def q388_dau_mau_stickiness(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "q391_mutual_information",
+    oracle="""
+WITH base AS (
+  SELECT event_type AS y,
+         CAST(FLOOR(CAST(value AS DECIMAL(12,2)) / 50) AS BIGINT) AS f_value,
+         (epoch_ns(ts) // 3600000000000) % 24 // 6 AS f_daypart,
+         ((epoch_ns(ts) // 86400000000000) + 3) % 7 AS f_weekday
+  FROM events
+),
+feats AS (
+  SELECT 'value_bin' AS feature, f_value AS x, y FROM base
+  UNION ALL SELECT 'daypart', f_daypart, y FROM base
+  UNION ALL SELECT 'weekday', f_weekday, y FROM base
+),
+cxy AS (SELECT feature, x, y, CAST(COUNT(*) AS BIGINT) AS nxy
+        FROM feats GROUP BY feature, x, y),
+cx AS (SELECT feature, x, CAST(SUM(nxy) AS BIGINT) AS nx
+       FROM cxy GROUP BY feature, x),
+cy AS (SELECT feature, y, CAST(SUM(nxy) AS BIGINT) AS ny
+       FROM cxy GROUP BY feature, y),
+n AS (SELECT feature, CAST(SUM(nxy) AS BIGINT) AS n FROM cxy GROUP BY feature),
+terms AS (
+  SELECT cxy.feature,
+         CAST(ROUND((nxy / CAST(n.n AS DOUBLE))
+                    * ln((CAST(nxy AS DOUBLE) * n.n)
+                         / (CAST(cx.nx AS DOUBLE) * cy.ny)), 12)
+              AS DECIMAL(20,12)) AS t
+  FROM cxy
+  JOIN cx ON cx.feature = cxy.feature AND cx.x = cxy.x
+  JOIN cy ON cy.feature = cxy.feature AND cy.y = cxy.y
+  JOIN n ON n.feature = cxy.feature
+)
+SELECT feature,
+       ROUND(CAST(SUM(t) AS DOUBLE), 6) AS mutual_information
+FROM terms GROUP BY feature
+""",
+)
+def q391_mutual_information(spark, sf_dir):
+    """MUTUAL INFORMATION FEATURE RANKING (the filter-method feature
+    selector: I(X;Y) = sum p(x,y) ln(p(x,y)/(p(x)p(y))) between each
+    candidate feature and the event-type label — which engineered
+    feature carries signal, the information-theoretic sibling of
+    q316's impurity split and q277's ANOVA F): three bounded-domain
+    features (50-unit value bins, 6-hour dayparts, weekdays) scored in
+    one pass.
+
+    Scale discipline: each feature's joint table is ONE map-side-
+    combinable aggregate over bounded (bin x label) cells; marginals
+    re-aggregate the cells (never the rows); per-cell terms snap at
+    12 dp into a DECIMAL sum — order-independent exact-int counts
+    throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("y"),
+        F.floor(dec("value") / 50).cast("bigint").alias("f_value"),
+        F.expr("(ts_ns DIV 3600000000000) % 24 DIV 6").alias("f_daypart"),
+        F.expr("((ts_ns DIV 86400000000000) + 3) % 7").alias("f_weekday"),
+    )
+    feats = None
+    for name, col in (
+        ("value_bin", "f_value"),
+        ("daypart", "f_daypart"),
+        ("weekday", "f_weekday"),
+    ):
+        part = base.select(
+            F.lit(name).alias("feature"), F.col(col).alias("x"), "y"
+        )
+        feats = part if feats is None else feats.unionByName(part)
+    cxy = feats.groupBy("feature", "x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nxy")
+    ).transform(managed_persist)
+    cx = cxy.groupBy("feature", "x").agg(F.sum("nxy").cast("bigint").alias("nx"))
+    cy = cxy.groupBy("feature", "y").agg(F.sum("nxy").cast("bigint").alias("ny"))
+    n = cxy.groupBy("feature").agg(F.sum("nxy").cast("bigint").alias("n"))
+    t = F.round(
+        (F.col("nxy") / F.col("n").cast("double"))
+        * F.log(
+            (F.col("nxy").cast("double") * F.col("n"))
+            / (F.col("nx").cast("double") * F.col("ny"))
+        ),
+        12,
+    ).cast("decimal(20,12)")
+    terms = (
+        cxy.join(F.broadcast(cx), ["feature", "x"])
+        .join(F.broadcast(cy), ["feature", "y"])
+        .join(F.broadcast(n), "feature")
+        .select("feature", t.alias("t"))
+    )
+    return terms.groupBy("feature").agg(
+        F.round(F.sum("t").cast("double"), 6).alias("mutual_information")
+    )
