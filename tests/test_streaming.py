@@ -696,3 +696,87 @@ def test_streaming_conformal_monitor_foreachbatch(spark, tmp_path):
     cov_same = sum(r[3] for r in rows(same)) / max(len(rows(same)), 1)
     cov_shift = sum(r[3] for r in rows(shifted)) / max(len(rows(shifted)), 1)
     assert cov_shift < cov_same
+
+
+def test_streaming_page_hinkley_stateful(spark, tmp_path):
+    """applyInPandasWithState Page-Hinkley: the per-series PH state
+    carried across two time-ordered micro-batches must END equal to
+    the batch fold over the full history AND to the q382 kernel's
+    final per-series row — the path-dependent recursion survives the
+    batch boundary exactly."""
+    import time as _time
+
+    from variantcalling_spark.queries import all_queries
+    from variantcalling_spark.streaming.ph_monitor import (
+        ph_monitor_batch,
+        ph_monitor_stateful,
+    )
+
+    from variantcalling_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    daily = (
+        ev.withColumn("day", F.expr("ts_ns DIV 86400000000000"))
+        .groupBy("event_type", "day")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("m")
+        )
+    )
+    rel = daily.select(
+        F.col("event_type").alias("series"),
+        F.row_number()
+        .over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window
+            .partitionBy("event_type").orderBy("day")
+        )
+        .cast("long")
+        .alias("t"),
+        "m",
+    )
+    in_dir = str(tmp_path / "ph_in")
+    rel.where(F.col("t") <= 15).coalesce(1).write.mode("append").parquet(in_dir)
+    _time.sleep(1.1)
+    rel.where(F.col("t") > 15).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(rel.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        ph_monitor_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("ph_state")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # last emitted row per series == final state
+    final = {
+        r.series: (r.n, r.ph_m, r.excess, r.alarm)
+        for r in spark.sql(
+            "SELECT * FROM ph_state"
+        ).orderBy("n").collect()  # update mode: larger n supersedes
+    }
+    batch = {
+        r.series: (r.n, r.ph_m, r.excess, r.alarm)
+        for r in ph_monitor_batch(rel).collect()
+    }
+    assert final == batch and final
+    # and the q382 kernel's last row per series agrees on the statistic
+    q382 = all_queries()["q382_page_hinkley"].fn(spark, SF)
+    last = {
+        r.event_type: (r.t, round(r.ph_m, 6), round(r.excess, 6))
+        for r in q382.orderBy("t").collect()
+    }
+    for series, (n, m, excess, _a) in batch.items():
+        t, m6, e6 = last[series]
+        assert t == n
+        assert round(m, 6) == m6 and round(excess, 6) == e6, series
