@@ -65,6 +65,8 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     "q381_cox_score_test": "integer-day duration histogram domain",
     # tiny categorical domains
     "q273_event_funnel": "funnel-stage domain",
+    "q263_kmv_distinct": "union of two 64-row KMV sketches (bottom-k merge)",
+    "q377_motif_chains": "event-type code domain (series count)",
     "q292_bradley_terry": "item domain (event types)",
     "q299_jsd_source_drift": "source domain",
     "q385_unimax_allocation": "source domain (capacity-sorted waterfill prefix)",
@@ -121,11 +123,27 @@ def global_ordered_windows(plan: str) -> list[str]:
             continue  # [exprs], [partition] — partitioned, unordered
         my_ind = _indent_of(line)
         bounded = False
+        # walk the window's DIRECT input chain: a bounder counts only if
+        # it appears before the first barrier node (join / aggregate /
+        # scan / generate / union) — a group-limit buried under a join's
+        # other branch does NOT bound this window's input
+        barriers = (
+            "HashAggregate", "SortAggregate", "ObjectHashAggregate",
+            "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+            "BroadcastNestedLoopJoin", "CartesianProduct", "Union",
+            "Generate", "Scan", "FileScan", "InMemoryTableScan",
+            "FlatMapGroupsInPandas", "MapInPandas", "Range",
+        )
         for j in range(idx + 1, len(lines)):
+            if _indent_of(lines[j]) < my_ind:
+                break
+            t = lines[j].strip(" :+-|")
+            if t.startswith("*(") and " " in t:  # WholeStageCodegen marker
+                t = t.split(" ", 1)[1]
             if any(b in lines[j] for b in _BOUNDERS):
                 bounded = True
                 break
-            if _indent_of(lines[j]) < my_ind:
+            if any(t.startswith(b) for b in barriers):
                 break
         if not bounded:
             hits.append(s[:200])
