@@ -3961,3 +3961,65 @@ def q375_ann_recall_multiband(spark, sf_dir):
             F.round(F.col("n_hit") / F.lit(float(k)), 6).alias("recall_at_k"),
         )
     )
+
+
+@query(
+    "q392_ivf_recall_eval",
+    oracle="""
+SELECT * FROM (VALUES
+  (CAST(2 AS INT), CAST(400 AS BIGINT), CAST(180 AS BIGINT), CAST(0.45 AS DOUBLE)),
+  (CAST(4 AS INT), CAST(400 AS BIGINT), CAST(277 AS BIGINT), CAST(0.6925 AS DOUBLE)),
+  (CAST(8 AS INT), CAST(400 AS BIGINT), CAST(355 AS BIGINT), CAST(0.8875 AS DOUBLE))
+) AS t(nprobe, n_exact, n_hit, recall_at_10)
+""",
+)
+def q392_ivf_recall_eval(spark, sf_dir):
+    """IVF RECALL@10 SWEEP (the third leg of the ANN-quality harness:
+    q217 grades the single-band LSH path, q375 the multi-band path,
+    this grades q71's IVF substrate across nprobe=2/4/8 of 16 cells —
+    the table tools/recall_at_scale.py measures at sf0.1/10x,
+    formalized as an oracled query at sf0.01): pooled recall of the
+    IVF arm against the exact top-10 over a 40-query sample.
+
+    Oracle form: seeded Spark-ML KMeans routing is reproducible but
+    not SQL-derivable, so the sf0.01 sweep is pinned as a literal
+    VALUES oracle (verified identical on local[8]/local[32] — the q71
+    pinning pattern and its engine-upgrade caveat). Scale shape: the
+    exact arm broadcasts the bounded query sample; each probe level
+    reuses ONE index build (cells partition-prunable at 100 TB)."""
+    from variantcalling_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+        ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").transform(managed_persist)
+    q = emb.where(F.col("vec_id") < 40)
+    ex = cosine_topk(q, emb, k=10).select("query_id", "cand_id")
+    ex = ex.transform(managed_persist)
+    centroids, indexed = ivf_index(emb, n_centroids=16)
+    indexed = indexed.transform(managed_persist)
+    out = None
+    for nprobe in (2, 4, 8):
+        ap = ivf_cosine_topk(q, indexed, centroids, k=10, nprobe=nprobe).select(
+            "query_id", F.col("cand_id").alias("ac")
+        )
+        hit = ex.join(
+            ap,
+            (ex.query_id == ap.query_id) & (ex.cand_id == ap.ac),
+            "left",
+        )
+        row = hit.agg(
+            F.lit(nprobe).cast("int").alias("nprobe"),
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(F.when(F.col("ac").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hit"),
+            F.round(
+                F.sum(F.when(F.col("ac").isNotNull(), 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("recall_at_10"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
