@@ -388,3 +388,127 @@ def q164_audio_content_dedup(spark, sf_dir):
             F.min("doc_id").cast("bigint").alias("keep_id"),
         )
     )
+
+
+PHD_H, PHD_W, PHD_C = 8, 8, 3
+PHD_GROUPS = 40
+PHD_DOCS = 160
+
+
+def _phd_base(g: str, y: str, x: str) -> str:
+    # two-level pattern far from the mean threshold: perturbations of
+    # up to +2 per channel can never flip an aHash bit
+    return f"(CASE WHEN (({y}) * 8 + ({x}) + ({g})) % 3 = 0 THEN 240 ELSE 10 END)"
+
+
+@query(
+    "q393_perceptual_image_dedup",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, doc_id % {PHD_GROUPS} AS g, doc_id % 3 AS p FROM documents
+  WHERE doc_id < {PHD_DOCS}
+),
+gray AS (
+  -- gray(y,x) = (r+g+b) DIV 3 = base + (2*base + base + p) ... with
+  -- r = base + p, g = base, b = base: (3*base + p) DIV 3 = base for
+  -- p < 3 — the perturbation vanishes in the integer division,
+  -- exactly like the Spark-side decode path
+  SELECT doc_id, g, p, i,
+         {_phd_base("g", f"(i // {PHD_W})", f"(i % {PHD_W})")} AS gv
+  FROM d, unnest(generate_series(0, {PHD_H * PHD_W - 1})) AS t(i)
+),
+tot AS (
+  SELECT doc_id, g, p, CAST(SUM(gv) AS BIGINT) AS s FROM gray
+  GROUP BY doc_id, g, p
+),
+bits AS (
+  SELECT gray.doc_id, gray.p,
+         string_agg(CASE WHEN gray.gv * {PHD_H * PHD_W} >= tot.s
+                         THEN '1' ELSE '0' END, '' ORDER BY gray.i) AS ahash
+  FROM gray JOIN tot ON tot.doc_id = gray.doc_id
+  GROUP BY gray.doc_id, gray.p
+)
+SELECT ahash,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(COUNT(DISTINCT p) AS BIGINT) AS n_pixel_variants,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id
+FROM bits GROUP BY ahash
+""",
+)
+def q393_perceptual_image_dedup(spark, sf_dir):
+    """PERCEPTUAL IMAGE DEDUP (average-hash): images whose PIXELS
+    differ (per-doc channel perturbation) but whose 8x8 gray
+    mean-threshold fingerprint is identical collapse together — the
+    step BEYOND q162's content-exact dedup (byte-hash misses
+    re-encodes; pixel-hash misses re-compressions; aHash catches
+    both). Pipeline: deterministic two-level 8x8 RGB patterns + a
+    per-doc +p perturbation on the red channel are ENCODED to real
+    BMPs and DECODED back by the stdlib codec; gray = (r+g+b) DIV 3
+    absorbs the perturbation exactly; bit j = gray_j * 64 >= sum(gray)
+    (integer cross-multiplication, no float threshold).
+
+    The oracle reconstructs the decoded grays arithmetically, so
+    equality proves decode-inverts-encode AND the hash arithmetic,
+    engine-independently; n_pixel_variants > 1 inside groups proves
+    pixel-exact dedup would have split them. Plan: two Arrow
+    mapInPandas stages, zero shuffle until the final hash groupBy."""
+    import pandas as pd
+
+    from variantcalling_spark.operators.media_codecs import decode_bmp, encode_bmp
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < PHD_DOCS)
+    )
+
+    def encode(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                g = int(doc_id) % PHD_GROUPS
+                p = int(doc_id) % 3
+                y, x = np.meshgrid(
+                    np.arange(PHD_H), np.arange(PHD_W), indexing="ij"
+                )
+                basev = np.where((y * 8 + x + g) % 3 == 0, 240, 10)
+                img = np.stack(
+                    [basev + p, basev, basev], axis=2
+                ).astype("uint8")
+                out.append(encode_bmp(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": out})
+
+    media = base.mapInPandas(encode, schema="doc_id long, content binary")
+
+    def decode(batches):
+        for pdf in batches:
+            hashes, pkeys = [], []
+            for content in pdf["content"]:
+                img = decode_bmp(content).astype("int64")
+                gray = (img[:, :, 0] + img[:, :, 1] + img[:, :, 2]) // 3
+                flat = gray.flatten()
+                s = int(flat.sum())
+                hashes.append(
+                    "".join(
+                        "1" if int(v) * flat.size >= s else "0" for v in flat
+                    )
+                )
+                pkeys.append("-".join(str(v) for v in img.flatten()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ahash": hashes,
+                    "pixel_key": pkeys,
+                }
+            )
+
+    decoded = media.mapInPandas(
+        decode, schema="doc_id long, ahash string, pixel_key string"
+    )
+    return decoded.groupBy("ahash").agg(
+        cnt("n_files"),
+        F.count_distinct("pixel_key").cast("bigint").alias("n_pixel_variants"),
+        F.min("doc_id").cast("bigint").alias("keep_id"),
+    )
