@@ -139,3 +139,8 @@ def decode_wav_pcm16(content: bytes) -> tuple["np.ndarray", int]:
     if channels > 1:
         data = data.reshape(-1, channels).mean(axis=1).astype(np.int16)
     return data, rate
+
+
+from variantcalling_spark._serde import register_module_by_value
+
+register_module_by_value(__name__)

@@ -512,3 +512,12 @@ def q393_perceptual_image_dedup(spark, sf_dir):
         F.count_distinct("pixel_key").cast("bigint").alias("n_pixel_variants"),
         F.min("doc_id").cast("bigint").alias("keep_id"),
     )
+
+
+# queries in this module define worker-side closures inline (the BMP/WAV
+# encode/decode stages); register by value so a fresh driver process
+# without the repo on the WORKER path can still unpickle them — the
+# round-6 sources/fastq.py lesson (see .claude/skills/verify/SKILL.md)
+from variantcalling_spark._serde import register_module_by_value
+
+register_module_by_value(__name__)
