@@ -5696,3 +5696,81 @@ def q390_burrows_delta(spark, sf_dir):
             ).alias("burrows_delta")
         )
     )
+
+
+_OOV_SIZES = (1000, 2000, 4000, 8000)
+
+
+@query(
+    "q394_oov_curve",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+vc AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks WHERE w <> '' GROUP BY w
+),
+rk AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rnk FROM vc
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM vc),
+sizes AS (SELECT unnest([{", ".join(str(s) for s in _OOV_SIZES)}]) AS vocab_size)
+SELECT s.vocab_size,
+       CAST(SUM(CASE WHEN rk.rnk <= s.vocab_size THEN rk.c ELSE 0 END) AS BIGINT)
+         AS covered_tokens,
+       t.total AS total_tokens,
+       ROUND(1.0 - SUM(CASE WHEN rk.rnk <= s.vocab_size THEN rk.c ELSE 0 END)
+                   / CAST(t.total AS DOUBLE), 6) AS oov_rate
+FROM sizes s CROSS JOIN tot t JOIN rk ON TRUE
+GROUP BY s.vocab_size, t.total
+""",
+)
+def q394_oov_curve(spark, sf_dir):
+    """OOV-RATE vs VOCABULARY-SIZE CURVE (the tokenizer-design dial:
+    how much of the token stream a top-k frequency vocabulary covers —
+    what Heaps' law (q249) predicts asymptotically, measured exactly
+    at the candidate sizes; feeds the q141 OOV audit and q384
+    fertility): frequency-rank every word type, then coverage and OOV
+    rate at each candidate vocab size.
+
+    Scale discipline: the frequency rank uses `distributed_row_number`
+    (count-bucket prefix + bucket-local window — the r7 operator), so
+    a web-scale type vocabulary never single-partitions; coverage per
+    size is one conditional aggregate over the ranked vocab."""
+    from variantcalling_spark.operators.ordered import distributed_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    vc = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    rk = distributed_row_number(
+        vc,
+        [F.col("c").desc(), F.col("w")],
+        (-F.col("c")).cast("bigint"),
+        out_col="rnk",
+    ).transform(managed_persist)
+    tot = rk.agg(F.sum("c").cast("bigint").alias("total"))
+    sizes = spark.createDataFrame(
+        [(s,) for s in _OOV_SIZES], "vocab_size int"
+    )
+    grid = rk.crossJoin(F.broadcast(sizes))
+    return (
+        grid.groupBy("vocab_size")
+        .agg(
+            F.sum(F.when(F.col("rnk") <= F.col("vocab_size"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("covered_tokens")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "vocab_size",
+            "covered_tokens",
+            F.col("total").alias("total_tokens"),
+            F.round(
+                1.0 - F.col("covered_tokens") / F.col("total").cast("double"), 6
+            ).alias("oov_rate"),
+        )
+    )
