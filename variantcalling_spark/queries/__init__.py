@@ -197,6 +197,7 @@ _PRIORITY = (
     "q321_topic_coherence",
     "q322_lsh_planner",
     # --- New in round 7 (add new queries HERE) ---
+    "q395_kcenter_coreset",
     "q394_oov_curve",
     "q393_perceptual_image_dedup",
     "q392_ivf_recall_eval",

@@ -4023,3 +4023,112 @@ def q392_ivf_recall_eval(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+_KC_K = 5
+
+
+def _kcenter_oracle_sql(k: int = _KC_K) -> str:
+    """Greedy k-center unrolled: step i's center is the point with the
+    MAX distance to its nearest already-chosen center (tie-break
+    vec_id); every distance is an exact BIGINT squared-L2 over
+    quantized vectors."""
+    d2 = (
+        "(list_dot_product(a.v, a.v) - 2 * list_dot_product(a.v, c.v)"
+        " + list_dot_product(c.v, c.v))"
+    )
+    parts = [f"""
+base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+),
+d1 AS (
+  SELECT a.vec_id, CAST({d2} AS BIGINT) AS dmin
+  FROM base a JOIN base c ON c.vec_id = 0
+)"""]
+    for i in range(2, k + 1):
+        parts.append(f"""
+s{i} AS (
+  SELECT vec_id AS cid, dmin AS sel FROM d{i - 1}
+  ORDER BY dmin DESC, vec_id LIMIT 1
+),
+d{i} AS (
+  SELECT a.vec_id,
+         LEAST(d{i - 1}.dmin, CAST({d2} AS BIGINT)) AS dmin
+  FROM base a
+  JOIN d{i - 1} ON d{i - 1}.vec_id = a.vec_id
+  JOIN base c ON c.vec_id = (SELECT cid FROM s{i})
+)""")
+    rows = ["SELECT 1 AS step, CAST(0 AS BIGINT) AS center_id, CAST(0 AS BIGINT) AS sel_d2"]
+    for i in range(2, k + 1):
+        rows.append(
+            f"SELECT {i}, CAST((SELECT cid FROM s{i}) AS BIGINT),"
+            f" CAST((SELECT sel FROM s{i}) AS BIGINT)"
+        )
+    final = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH {",".join(parts)},
+radius AS (SELECT CAST(MAX(dmin) AS BIGINT) AS r FROM d{k})
+SELECT t.step, t.center_id, t.sel_d2, radius.r AS radius_after_k
+FROM ({final}) t CROSS JOIN radius
+"""
+
+
+@query("q395_kcenter_coreset", oracle=_kcenter_oracle_sql())
+def q395_kcenter_coreset(spark, sf_dir):
+    """GREEDY K-CENTER CORESET (farthest-first traversal — the
+    coverage-maximizing data-pruning selector: pick the point farthest
+    from everything already kept, k times; the geometric dual of q308's
+    facility-location GAIN greedy, and the selection rule behind
+    coverage-first curation): 5 centers over the embedding corpus,
+    each step's selection distance, and the realized covering radius.
+
+    Exactness: squared-L2 over quantized integer vectors is BIGINT;
+    the argmax is a TakeOrdered heap-select with vec_id tie-break; the
+    oracle unrolls the identical 5 steps. Scale discipline: one dmin
+    column maintained per point (LEAST-updated per round via one
+    broadcast of the single new center), k bounded driver scalars —
+    the Lloyd's/EM driver-state pattern; never a pairwise matrix."""
+    from variantcalling_spark.operators.similarity import _quantize
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize(F.col("embedding")).alias("v")
+    ).transform(managed_persist)
+
+    def d2_to(center_v):
+        return F.expr(
+            "aggregate(zip_with(v, c_v, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+        )
+
+    rows = [(1, 0, 0)]
+    cur = (
+        emb.crossJoin(
+            F.broadcast(
+                emb.where(F.col("vec_id") == 0).select(F.col("v").alias("c_v"))
+            )
+        )
+        .select("vec_id", "v", d2_to(None).alias("dmin"))
+        .transform(managed_persist)
+    )
+    for step in range(2, _KC_K + 1):
+        sel = cur.orderBy(F.col("dmin").desc(), "vec_id").limit(1).collect()[0]
+        rows.append((step, int(sel.vec_id), int(sel.dmin)))
+        cv = emb.where(F.col("vec_id") == sel.vec_id).select(
+            F.col("v").alias("c_v")
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(cv))
+            .select(
+                "vec_id",
+                "v",
+                F.least(F.col("dmin"), d2_to(None)).alias("dmin"),
+            )
+            .transform(managed_persist)
+        )
+    radius = cur.agg(F.max("dmin").cast("bigint").alias("r")).collect()[0].r
+    return spark.createDataFrame(
+        [(s, c, d, int(radius)) for s, c, d in rows],
+        "step int, center_id bigint, sel_d2 bigint, radius_after_k bigint",
+    )
