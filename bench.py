@@ -163,6 +163,11 @@ SCALE2_QUERIES = [
     # per-step localCheckpoint keeps lineage flat at any scale)
     "q294_lof_outliers",
     "q308_facility_location",
+    # q40 joined scale2 in r7: its pr_curve was rewritten as a
+    # two-level bucket-prefix cumsum (the single-partition-Window fix);
+    # the 10x point proves the partitioned plan is floor-bound, not
+    # data-bound (measured flat ~1.0s at sf0.1 and at 10x)
+    "q40_pr_curve",
     # round-7 families: the multi-band ANN (one distinct shuffle over
     # collision pairs — its 10x point measures the OR-amplified
     # candidate volume the SCALE.md recall table prices), and the
