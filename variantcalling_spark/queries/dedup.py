@@ -3497,3 +3497,107 @@ def q362_dedup_saturation(spark, sf_dir):
             6,
         ).alias("dup_rate"),
     )
+
+
+_MAXCOV_K = 5
+_MAXCOV_DOCS = 200
+
+
+def _max_coverage_oracle_sql(k: int = _MAXCOV_K) -> str:
+    parts = [f"""
+ds AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id,
+           unnest([ws[i] || ' ' || ws[i+1]
+                   for i in generate_series(1, len(ws) - 1)]) AS w
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+          WHERE doc_id < {_MAXCOV_DOCS})
+    WHERE len(ws) >= 2
+  )
+),
+g1 AS (
+  SELECT doc_id, COUNT(*) AS gain FROM ds GROUP BY doc_id
+),
+s1 AS (SELECT doc_id AS sel, gain FROM g1 ORDER BY gain DESC, doc_id LIMIT 1),
+cov1 AS (SELECT DISTINCT w FROM ds JOIN s1 ON ds.doc_id = s1.sel)"""]
+    for i in range(2, k + 1):
+        p = i - 1
+        parts.append(f"""
+g{i} AS (
+  SELECT doc_id, COUNT(*) AS gain
+  FROM ds WHERE NOT EXISTS (SELECT 1 FROM cov{p} WHERE cov{p}.w = ds.w)
+  GROUP BY doc_id
+),
+s{i} AS (SELECT doc_id AS sel, gain FROM g{i} ORDER BY gain DESC, doc_id LIMIT 1),
+cov{i} AS (
+  SELECT w FROM cov{p}
+  UNION
+  SELECT ds.w FROM ds JOIN s{i} ON ds.doc_id = s{i}.sel
+)""")
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, CAST((SELECT sel FROM s{i}) AS BIGINT) AS doc_id,"
+        f" CAST((SELECT gain FROM s{i}) AS BIGINT) AS new_covered,"
+        f" CAST((SELECT COUNT(*) FROM cov{i}) AS BIGINT) AS total_covered"
+        for i in range(1, k + 1)
+    )
+    # greedy stops at saturation: an empty round selects nothing and
+    # emits no row (the Spark loop breaks the same way)
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT * FROM ({rows}) WHERE doc_id IS NOT NULL"
+    )
+
+
+@query("q396_max_coverage_selection", oracle=_max_coverage_oracle_sql())
+def q396_max_coverage_selection(spark, sf_dir):
+    """GREEDY MAX-COVERAGE DOCUMENT SELECTION (the set-cover greedy
+    with its (1-1/e) guarantee — pick the doc covering the most
+    UNCOVERED bigram vocabulary, k times: the set-system sibling of q308's
+    facility-location gain greedy and q395's geometric k-center; the
+    selector behind 'smallest eval set that exercises the vocabulary'):
+    5 rounds over the (doc, word) incidence, emitting each pick's
+    marginal gain and the cumulative coverage.
+
+    Scale discipline: each round is ONE anti-join of the incidence
+    against the covered set + a map-side-combinable gain count + a
+    TakeOrdered argmax; covered grows by selection only (k bounded
+    driver rounds, localCheckpoint-free since each round re-derives
+    from the persisted incidence). The oracle unrolls the identical 5
+    rounds. Counts exact; ties break on doc_id."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < _MAXCOV_DOCS
+    )
+    ws = docs.select("doc_id", F.split("text", " ").alias("ws")).where(
+        F.size("ws") >= 2
+    )
+    ds = (
+        ws.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(ws, 1, size(ws) - 1),"
+                    " (x, i) -> concat(x, ' ', element_at(ws, i + 2)))"
+                )
+            ).alias("w"),
+        )
+        .distinct()
+        .transform(managed_persist)
+    )
+    covered = None
+    rows = []
+    for step in range(1, _MAXCOV_K + 1):
+        cand = ds if covered is None else ds.join(covered, "w", "left_anti")
+        gains = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("gain"))
+        picked = gains.orderBy(F.col("gain").desc(), "doc_id").limit(1).collect()
+        if not picked:  # universe covered: the greedy stops (oracle too)
+            break
+        sel = picked[0]
+        new_cov = ds.where(F.col("doc_id") == sel.doc_id).select("w")
+        covered = (
+            new_cov if covered is None else covered.union(new_cov).distinct()
+        ).transform(managed_persist)
+        total = covered.count()
+        rows.append((step, int(sel.doc_id), int(sel.gain), int(total)))
+    return spark.createDataFrame(
+        rows, "step int, doc_id bigint, new_covered bigint, total_covered bigint"
+    )

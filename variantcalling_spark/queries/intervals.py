@@ -736,3 +736,87 @@ def q271_max_interval_overlap(spark, sf_dir):
             "first_gap_pos"
         ),
     )
+
+
+@query(
+    "q397_activity_selection",
+    oracle="""
+WITH RECURSIVE iv AS MATERIALIZED (
+  SELECT user_id % 5 AS grp,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(ROUND(CAST(value AS DECIMAL(12,2)) * 1000000)
+                             AS BIGINT) AS e,
+         event_id
+  FROM events WHERE event_type IN ('view', 'click')
+),
+r AS MATERIALIZED (
+  SELECT grp, s, e, event_id,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY e, s, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY grp) AS n
+  FROM iv
+),
+walk AS (
+  SELECT grp, 0 AS rn, CAST(-9223372036854775808 AS BIGINT) AS last_end,
+         CAST(NULL AS BIGINT) AS kept_id, n
+  FROM (SELECT DISTINCT grp, n FROM r)
+  UNION ALL
+  SELECT r.grp, r.rn,
+         CASE WHEN r.s >= w.last_end THEN r.e ELSE w.last_end END,
+         CASE WHEN r.s >= w.last_end THEN r.event_id END,
+         w.n
+  FROM walk w JOIN r ON r.grp = w.grp AND r.rn = w.rn + 1
+  WHERE w.rn < w.n
+)
+SELECT w.grp, r.event_id, r.s AS start_us, r.e AS end_us
+FROM walk w JOIN r ON r.grp = w.grp AND r.rn = w.rn
+WHERE w.kept_id IS NOT NULL
+""",
+)
+def q397_activity_selection(spark, sf_dir):
+    """INTERVAL SCHEDULING (activity selection — the earliest-end
+    greedy that provably maximizes the count of non-overlapping
+    intervals; the SELECTION member of the interval family: q41
+    dedups by running extent, q42 merges, q271 stabs, THIS picks the
+    max non-overlapping set, i.e. probe/primer/exon-tiling selection):
+    per group, keep an interval iff it starts at-or-after the last
+    KEPT interval's end, scanning in (end, start, id) order.
+
+    The feedback loop (the threshold depends on what was KEPT, not on
+    all earlier rows) makes this a sequential kernel, not a window —
+    per-group ``applyInPandas`` (q52's shape), groups independent.
+    The ORACLE replays the identical walk as a recursive CTE stepping
+    the per-group rank. Integer microsecond arithmetic throughout."""
+    import pandas as pd
+
+    ev = events_points(spark, sf_dir).where(
+        F.col("event_type").isin("view", "click")
+    )
+    iv = ev.select(
+        "grp",
+        F.col("ts_us").alias("s"),
+        (
+            F.col("ts_us")
+            + F.round(F.col("value").cast("decimal(12,2)") * 1000000).cast(
+                "bigint"
+            )
+        ).alias("e"),
+        "event_id",
+    )
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["e", "s", "event_id"], kind="mergesort"
+        )
+        kept = []
+        last_end = None
+        for s, e, eid in zip(pdf["s"], pdf["e"], pdf["event_id"]):
+            if last_end is None or s >= last_end:
+                kept.append((int(pdf["grp"].iloc[0]), int(eid), int(s), int(e)))
+                last_end = e
+        return pd.DataFrame(
+            kept, columns=["grp", "event_id", "start_us", "end_us"]
+        )
+
+    return iv.groupBy("grp").applyInPandas(
+        per_group, schema="grp long, event_id long, start_us long, end_us long"
+    )
