@@ -341,3 +341,40 @@ def test_fastq_parser_rejects_malformed():
     with pytest.raises(ValueError):
         parse_fastq_text("r1\nACGT\n+\nIIII")  # missing '@'
     assert parse_fastq_text("@r1\nACGT\n+r1\nIIII\n") == [("r1", "ACGT", "IIII")]
+
+
+def test_gff_parser_grammar(spark):
+    """GFF3 line grammar: pragmas/comments skipped, dot-null
+    score/strand/phase, attribute map access, malformed short lines
+    parse to NULLs (the try_element_at totality rule) instead of
+    throwing under ANSI."""
+    from variantcalling_spark.sources.gff import parse_gff_lines
+
+    lines = spark.createDataFrame(
+        [
+            ("##gff-version 3",),
+            ("# a comment",),
+            ("chr1\tsrc\tgene\t100\t500\t0.9\t+\t.\tID=gene:1;Name=G1",),
+            ("chr1\tsrc\texon\t100\t200\t.\t-\t2\tID=exon:1;Parent=gene:1",),
+            ("broken line without tabs",),
+            ("chr2\tsrc\tCDS\t5\t9\t.\t.\t0\tID=cds:1",),
+        ],
+        "value string",
+    )
+    rows = {r.ftype: r for r in parse_gff_lines(lines).collect() if r.ftype}
+    g = rows["gene"]
+    assert (g.seqid, g.start, g.end, g.score, g.strand, g.phase) == (
+        "chr1", 100, 500, 0.9, "+", None
+    )
+    assert g.attributes["Name"] == "G1"
+    e = rows["exon"]
+    assert (e.score, e.strand, e.phase) == (None, "-", 2)
+    assert e.attributes["Parent"] == "gene:1"
+    c = rows["CDS"]
+    assert (c.strand, c.phase) == (None, 0)
+    # malformed line: all typed fields NULL, never an exception
+    broken = [
+        r for r in parse_gff_lines(lines).collect()
+        if r.seqid == "broken line without tabs"
+    ]
+    assert broken and broken[0].start is None and broken[0].ftype is None

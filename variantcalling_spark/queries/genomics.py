@@ -5389,3 +5389,98 @@ def q386_dnds_ratio(spark, sf_dir):
             F.when(n_syn > 0, n_nonsyn / n_syn.cast("double")), 6
         ).alias("dnds"),
     )
+
+
+@query(
+    "q398_gff_gene_model",
+    oracle="""
+WITH g AS (
+  SELECT s_suppkey AS gid, s_suppkey % 4 + 1 AS n_exons FROM supplier
+),
+exons AS (
+  SELECT gid, j,
+         CAST(gid * 10000 + j * 1000 + 1 AS BIGINT) AS start,
+         CAST(gid * 10000 + j * 1000 + 1 + 400 + (gid * 7 + j * 13) % 200
+              AS BIGINT) AS e
+  FROM g, unnest(generate_series(1, CAST(n_exons AS BIGINT))) AS t(j)
+)
+SELECT 'chr' || CAST(gid % 3 + 1 AS STRING) AS seqid,
+       'gene:' || CAST(gid AS STRING) AS gene_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exons,
+       CAST(SUM(e - start + 1) AS BIGINT) AS exon_bases,
+       CAST(MIN(start) AS BIGINT) AS gene_start,
+       CAST(MAX(e) AS BIGINT) AS gene_end
+FROM exons GROUP BY gid
+""",
+)
+def q398_gff_gene_model(spark, sf_dir):
+    """GFF3 GENE-MODEL INGEST, end-to-end through the TEXT parser
+    (sources/gff.py — the annotation-format boundary q336/q339's
+    broadcast gene model abstracts away; the sources-axis sibling of
+    the SAM/mpileup text ingests q111): exon features are RENDERED to
+    real GFF3 lines (tabs, dot-nulls, `ID=...;Parent=...` attribute
+    grammar, a `##gff-version` pragma), parsed back by
+    ``parse_gff_lines`` (pure JVM: split + try_element_at + 
+    str_to_map), and rolled up per gene via the attribute map.
+
+    The oracle re-derives the gene table arithmetically from the same
+    keys — equality proves the render->parse round trip for every
+    field AND the attribute-map lookup. Scale: line parsing is
+    scan-speed expressions (splittable text source, no UDF); the
+    rollup is one map-side-combinable groupBy."""
+    from variantcalling_spark.sources.gff import parse_gff_lines
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("gid"),
+        (F.col("s_suppkey") % 4 + 1).alias("n_exons"),
+    )
+    exons = sup.select(
+        "gid",
+        F.explode(F.expr("sequence(1, CAST(n_exons AS INT))")).alias("j"),
+    ).select(
+        "gid",
+        "j",
+        (F.col("gid") * 10000 + F.col("j") * 1000 + 1).alias("start"),
+        (
+            F.col("gid") * 10000
+            + F.col("j") * 1000
+            + 1
+            + 400
+            + (F.col("gid") * 7 + F.col("j") * 13) % 200
+        ).alias("e"),
+    )
+    lines = exons.select(
+        F.concat_ws(
+            "\t",
+            F.concat(F.lit("chr"), (F.col("gid") % 3 + 1).cast("string")),
+            F.lit("synth"),
+            F.lit("exon"),
+            F.col("start").cast("string"),
+            F.col("e").cast("string"),
+            F.lit("."),
+            F.lit("+"),
+            F.lit("."),
+            F.concat(
+                F.lit("ID=exon:"),
+                F.col("gid").cast("string"),
+                F.lit(":"),
+                F.col("j").cast("string"),
+                F.lit(";Parent=gene:"),
+                F.col("gid").cast("string"),
+            ),
+        ).alias("value")
+    ).unionByName(
+        spark.createDataFrame([("##gff-version 3",)], "value string")
+    )
+    feats = parse_gff_lines(lines).where(F.col("ftype") == "exon")
+    return feats.select(
+        "seqid",
+        F.col("attributes")["Parent"].alias("gene_id"),
+        "start",
+        "end",
+    ).groupBy("seqid", "gene_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exons"),
+        F.sum(F.col("end") - F.col("start") + 1).cast("bigint").alias("exon_bases"),
+        F.min("start").cast("bigint").alias("gene_start"),
+        F.max("end").cast("bigint").alias("gene_end"),
+    )
