@@ -5484,3 +5484,108 @@ def q398_gff_gene_model(spark, sf_dir):
         F.min("start").cast("bigint").alias("gene_start"),
         F.max("end").cast("bigint").alias("gene_end"),
     )
+
+
+_DBG_K = 4
+
+
+@query(
+    "q399_debruijn_balance",
+    oracle=f"""
+WITH dna AS ({{SQL_DOCS_DNA}}),
+km AS (
+  SELECT substr(seq, CAST(i AS INT), {_DBG_K}) AS kmer
+  FROM dna, unnest(generate_series(1, length(seq) - {_DBG_K} + 1)) AS t(i)
+  WHERE length(seq) >= {_DBG_K}
+),
+edges AS (
+  SELECT substr(kmer, 1, {_DBG_K - 1}) AS u,
+         substr(kmer, 2, {_DBG_K - 1}) AS v,
+         CAST(COUNT(*) AS BIGINT) AS mult
+  FROM km GROUP BY u, v
+),
+outd AS (SELECT u AS node, CAST(SUM(mult) AS BIGINT) AS dout FROM edges GROUP BY u),
+ind AS (SELECT v AS node, CAST(SUM(mult) AS BIGINT) AS din FROM edges GROUP BY v),
+nodes AS (
+  SELECT COALESCE(outd.node, ind.node) AS node,
+         COALESCE(dout, 0) AS dout, COALESCE(din, 0) AS din
+  FROM outd FULL OUTER JOIN ind ON ind.node = outd.node
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+       (SELECT CAST(SUM(mult) AS BIGINT) FROM edges) AS n_kmers,
+       CAST(SUM(CASE WHEN dout = din THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_balanced,
+       CAST(SUM(CASE WHEN dout = din + 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_source_like,
+       CAST(SUM(CASE WHEN din = dout + 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sink_like,
+       CAST(SUM(CASE WHEN ABS(din - dout) > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unbalanced
+FROM nodes
+""".format(SQL_DOCS_DNA=SQL_DOCS_DNA),
+)
+def q399_debruijn_balance(spark, sf_dir):
+    """DE BRUIJN GRAPH DEGREE BALANCE (the assembly-feasibility audit:
+    an Eulerian path over the k-mer graph — i.e. a single-walk
+    reconstruction — exists iff every node is in/out balanced except
+    at most one source-like and one sink-like node; the graph-theory
+    face of the k-mer family q185/q157/q207): (k-1)-mer nodes,
+    multiplicity-weighted k-mer edges, and the degree-balance census.
+
+    Scale shape: one explode->substr projection (no UDF), one edge
+    aggregate (map-side combinable), one full-outer degree join on the
+    bounded (k-1)-mer domain (4^3 = 64 nodes at k=4) — the census is
+    arithmetic over the node ledger."""
+    dna = docs_as_dna(spark, sf_dir).where(F.length("seq") >= _DBG_K)
+    km = dna.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(seq) - {_DBG_K} + 1),"
+                f" i -> substr(seq, i, {_DBG_K}))"
+            )
+        ).alias("kmer")
+    )
+    edges = km.select(
+        F.substring("kmer", 1, _DBG_K - 1).alias("u"),
+        F.substring("kmer", 2, _DBG_K - 1).alias("v"),
+    ).groupBy("u", "v").agg(F.count(F.lit(1)).cast("bigint").alias("mult"))
+    edges = edges.transform(managed_persist)
+    outd = edges.groupBy(F.col("u").alias("node")).agg(
+        F.sum("mult").cast("bigint").alias("dout")
+    )
+    ind = edges.groupBy(F.col("v").alias("node")).agg(
+        F.sum("mult").cast("bigint").alias("din")
+    )
+    nodes = outd.join(ind, "node", "full_outer").select(
+        F.coalesce(F.col("dout"), F.lit(0)).alias("dout"),
+        F.coalesce(F.col("din"), F.lit(0)).alias("din"),
+    )
+    etot = edges.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum("mult").cast("bigint").alias("n_kmers"),
+    )
+    return (
+        nodes.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum(F.when(F.col("dout") == F.col("din"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_balanced"),
+            F.sum(F.when(F.col("dout") == F.col("din") + 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_source_like"),
+            F.sum(F.when(F.col("din") == F.col("dout") + 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_sink_like"),
+            F.sum(
+                F.when(F.abs(F.col("din") - F.col("dout")) > 1, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_unbalanced"),
+        )
+        .crossJoin(F.broadcast(etot))
+        .select(
+            "n_nodes", "n_edges", "n_kmers",
+            "n_balanced", "n_source_like", "n_sink_like", "n_unbalanced",
+        )
+    )

@@ -5774,3 +5774,87 @@ def q394_oov_curve(spark, sf_dir):
             ).alias("oov_rate"),
         )
     )
+
+
+_PACK_CAPS = (128, 256, 1024)
+
+
+def _packing_efficiency_oracle_sql() -> str:
+    packs = []
+    rows = []
+    for c in _PACK_CAPS:
+        packs.append(f"""
+pack{c} AS (
+  SELECT shard, doc_id, n_tokens, rn, 0 AS bin_id, n_tokens AS used
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.doc_id, t.n_tokens, t.rn,
+         CASE WHEN p.used + t.n_tokens <= {c} THEN p.bin_id ELSE p.bin_id + 1 END,
+         CASE WHEN p.used + t.n_tokens <= {c} THEN p.used + t.n_tokens ELSE t.n_tokens END
+  FROM t JOIN pack{c} p ON t.shard = p.shard AND t.rn = p.rn + 1
+),
+s{c} AS (
+  SELECT CAST({c} AS INT) AS capacity,
+         CAST(COUNT(*) AS BIGINT) AS n_bins,
+         CAST(SUM(tt) AS BIGINT) AS total_tokens
+  FROM (SELECT shard, bin_id, SUM(n_tokens) AS tt
+        FROM pack{c} GROUP BY shard, bin_id)
+)""")
+        rows.append(f"SELECT * FROM s{c}")
+    final = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH RECURSIVE t AS MATERIALIZED (
+  SELECT CAST(doc_id % 8 AS INT) AS shard, doc_id,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents
+),{",".join(packs)}
+SELECT capacity, n_bins, total_tokens,
+       ROUND(total_tokens / (n_bins * CAST(capacity AS DOUBLE)), 6) AS fill_rate
+FROM ({final})
+"""
+
+
+@query("q400_packing_efficiency", oracle=_packing_efficiency_oracle_sql())
+def q400_packing_efficiency(spark, sf_dir):
+    """CONTEXT-WINDOW PACKING EFFICIENCY CURVE (the sequence-length
+    design dial: how much of each candidate context size the greedy
+    whole-document packing actually fills — the waste fraction that
+    decides the training context length, on top of q77's single-length
+    layout): the q77 first-fit kernel swept over three capacities,
+    emitting bins / packed tokens / fill rate per capacity.
+
+    Scale shape: three independent kernel passes over the same
+    (shard, doc, n_tokens) ledger (per-shard sequential, shards
+    parallel — q77's shape); the oracle unrolls one packing recursion
+    per capacity. Integer token counts; one rounded ratio."""
+    from variantcalling_spark.operators.kernels import greedy_pack_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        (F.col("doc_id") % 8).cast("int").alias("shard"),
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    ).transform(managed_persist)
+    out = None
+    for c in _PACK_CAPS:
+        packed = greedy_pack_documents(t, capacity=c)
+        bins = packed.groupBy("shard", "bin_id").agg(
+            F.sum("n_tokens").alias("tt")
+        )
+        row = bins.agg(
+            F.lit(c).cast("int").alias("capacity"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.sum("tt").cast("bigint").alias("total_tokens"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "capacity",
+        "n_bins",
+        "total_tokens",
+        F.round(
+            F.col("total_tokens")
+            / (F.col("n_bins") * F.col("capacity").cast("double")),
+            6,
+        ).alias("fill_rate"),
+    )
