@@ -197,6 +197,7 @@ _PRIORITY = (
     "q321_topic_coherence",
     "q322_lsh_planner",
     # --- New in round 7 (add new queries HERE) ---
+    "q401_data_quality_gate",
     "q400_packing_efficiency",
     "q399_debruijn_balance",
     "q398_gff_gene_model",

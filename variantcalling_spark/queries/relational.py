@@ -1624,3 +1624,121 @@ def q366_data_profile(spark, sf_dir):
         .otherwise(0)
         .alias("is_unique_key"),
     )
+
+
+@query(
+    "q401_data_quality_gate",
+    oracle="""
+WITH r1 AS (
+  SELECT 'quantity_in_range' AS rule,
+         CAST(COUNT(*) AS BIGINT) AS n_checked,
+         CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+  FROM lineitem
+),
+r2 AS (
+  SELECT 'orderkey_not_null',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+),
+r3 AS (
+  SELECT 'orderkey_referential',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+r4 AS (
+  SELECT 'line_pk_unique',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(c - 1) AS BIGINT)
+  FROM (SELECT COUNT(*) AS c FROM lineitem
+        GROUP BY l_orderkey, l_linenumber)
+),
+r5 AS (
+  SELECT 'unit_price_at_least_one',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN l_extendedprice < l_quantity THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM lineitem
+),
+u AS (
+  SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+  UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r5
+)
+SELECT rule, n_checked, n_violations,
+       n_violations = 0 AS passed,
+       ROUND(n_violations / CAST(n_checked AS DOUBLE), 6) AS violation_rate
+FROM u
+""",
+)
+def q401_data_quality_gate(spark, sf_dir):
+    """DATA-QUALITY GATE LEDGER (the expectations-suite primitive every
+    ingest runs before promoting a batch — range, not-null,
+    referential-integrity, primary-key-uniqueness, and cross-column
+    consistency checks, emitted as one pass/fail ledger; the ASSERTING
+    face of q366's descriptive profile): five rules over the lineitem
+    batch with exact violation counts.
+
+    Scale shape: three rules fold into ONE scan's conditional
+    aggregates; referential integrity is a broadcast-or-shuffle LEFT
+    join counting orphans; uniqueness is a keyed groupBy counting
+    surplus rows. Nothing collects; the gate output is rule-bounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    r1 = li.agg(
+        F.lit("quantity_in_range").alias("rule"),
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_violations"),
+    )
+    r2 = li.agg(
+        F.lit("orderkey_not_null").alias("rule"),
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violations"),
+    )
+    r3 = (
+        li.join(
+            o.select(F.col("o_orderkey").alias("__ok")),
+            li.l_orderkey == F.col("__ok"),
+            "left",
+        )
+        .agg(
+            F.lit("orderkey_referential").alias("rule"),
+            F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+            F.sum(F.when(F.col("__ok").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations"),
+        )
+    )
+    r4 = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.lit("line_pk_unique").alias("rule"),
+            F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+            F.sum(F.col("c") - 1).cast("bigint").alias("n_violations"),
+        )
+    )
+    r5 = li.agg(
+        F.lit("unit_price_at_least_one").alias("rule"),
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+        F.sum(
+            F.when(F.col("l_extendedprice") < F.col("l_quantity"), 1).otherwise(0)
+        ).cast("bigint").alias("n_violations"),
+    )
+    u = r1.unionByName(r2).unionByName(r3).unionByName(r4).unionByName(r5)
+    return u.select(
+        "rule",
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+        F.round(
+            F.col("n_violations") / F.col("n_checked").cast("double"), 6
+        ).alias("violation_rate"),
+    )
