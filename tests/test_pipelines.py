@@ -270,3 +270,37 @@ def test_isotonic_calibration_monotone(spark):
     mass_fit = sum(r.fitted_rate * r.n for r in rows)
     mass_raw = sum(r.n_pos for r in rows)
     assert abs(mass_fit - mass_raw) / mass_raw < 1e-9
+
+
+def test_catalog_diff_versions(spark, tmp_path):
+    """diff_versions classifies every merge key across two snapshots:
+    rows upserted after v_old are added/changed, tombstoned keys are
+    removed, untouched keys are unchanged — and the diff of a snapshot
+    against itself is all-unchanged."""
+    from pyspark.sql import functions as F
+
+    from variantcalling_spark.pipelines.results import (
+        diff_versions,
+        upsert_result,
+    )
+
+    root = str(tmp_path / "cat")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+    )
+    v1 = upsert_result(root, "t", base)
+    v2 = upsert_result(
+        root, "t", spark.createDataFrame([(2, "B"), (4, "d")], "id long, val string")
+    )
+    v3 = upsert_result(
+        root, "t",
+        spark.createDataFrame([(3, "c")], "id long, val string"),
+        delete=True,
+    )
+    d = {
+        r.id: r.change
+        for r in diff_versions(spark, root, "t", ["id"], v1, v3).collect()
+    }
+    assert d == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    same = diff_versions(spark, root, "t", ["id"], v3, v3)
+    assert {r.change for r in same.collect()} == {"unchanged"}

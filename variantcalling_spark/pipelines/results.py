@@ -167,3 +167,55 @@ def compact_result(
     for n in old:
         shutil.rmtree(os.path.join(catalog_root, key, f"v={n}"))
     return v
+
+
+def diff_versions(
+    spark: SparkSession,
+    catalog_root: str,
+    key: str,
+    merge_keys: list[str],
+    v_old: int,
+    v_new: int,
+) -> DataFrame:
+    """Snapshot DIFF between two catalog versions (the audit query a
+    versioned table owes its consumers — what changed between the
+    snapshot a model trained on and today's?): resolve both snapshots
+    with the same merge-on-read rule, full-outer join on the merge
+    keys, and classify every key as added / removed / changed /
+    unchanged. Returns (merge_keys..., change) — value columns are
+    compared via a hash of all non-key fields so the diff works for
+    any schema.
+
+    Scale shape: two snapshot reads (partition-pruned to v <= N), one
+    full-outer join hashed on the merge keys; the classification is a
+    pure projection. No driver-side row handling."""
+    from pyspark.sql import functions as F
+
+    old = read_result_latest(
+        spark, catalog_root, key, merge_keys, as_of_version=v_old
+    )
+    new = read_result_latest(
+        spark, catalog_root, key, merge_keys, as_of_version=v_new
+    )
+
+    def fingerprint(df):
+        value_cols = [c for c in df.columns if c not in merge_keys]
+        return df.select(
+            *merge_keys,
+            F.md5(
+                F.concat_ws(
+                    "\x1f", *[F.col(c).cast("string") for c in value_cols]
+                )
+            ).alias("__fp"),
+        )
+
+    o = fingerprint(old).withColumnRenamed("__fp", "__fp_old")
+    n = fingerprint(new).withColumnRenamed("__fp", "__fp_new")
+    j = o.join(n, merge_keys, "full_outer")
+    change = (
+        F.when(F.col("__fp_old").isNull(), F.lit("added"))
+        .when(F.col("__fp_new").isNull(), F.lit("removed"))
+        .when(F.col("__fp_old") != F.col("__fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(*merge_keys, change.alias("change"))
