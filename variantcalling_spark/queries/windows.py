@@ -7070,3 +7070,100 @@ def q391_mutual_information(spark, sf_dir):
     return terms.groupBy("feature").agg(
         F.round(F.sum("t").cast("double"), 6).alias("mutual_information")
     )
+
+
+@query(
+    "q402_lis_trend",
+    oracle="""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT event_type,
+         epoch_ns(ts) // 86400000000000 AS day,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM events GROUP BY event_type, day
+),
+rel AS MATERIALIZED (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         m AS x,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+pat AS (
+  SELECT event_type, t, n, [x] AS tails
+  FROM rel WHERE t = 1
+  UNION ALL
+  -- patience step: replace the FIRST tail >= x with x (strict LIS),
+  -- or append when every tail < x; pos = |{tails < x}| + 1
+  SELECT r.event_type, r.t, p.n,
+         CASE WHEN len(list_filter(p.tails, v -> v < r.x)) = len(p.tails)
+              THEN list_append(p.tails, r.x)
+              ELSE list_concat(
+                     list_concat(
+                       p.tails[1:len(list_filter(p.tails, v -> v < r.x))],
+                       [r.x]),
+                     p.tails[len(list_filter(p.tails, v -> v < r.x)) + 2:])
+         END
+  FROM pat p JOIN rel r ON r.event_type = p.event_type AND r.t = p.t + 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+       CAST(len(tails) AS BIGINT) AS lis_len,
+       ROUND(len(tails) / CAST(n AS DOUBLE), 6) AS trend_persistence
+FROM pat WHERE t = n
+""",
+)
+def q402_lis_trend(spark, sf_dir):
+    """LONGEST STRICTLY-INCREASING SUBSEQUENCE per metric series
+    (patience algorithm — LIS/n is the classic trend-persistence
+    statistic beside q310's Mann-Kendall: a monotone series scores 1,
+    i.i.d. noise ~2*sqrt(n)/n): per-series O(n log n) patience kernel;
+    the ORACLE replays the EXACT pile-tail ARRAY STATE through a
+    recursive CTE (list_filter/list_concat per step) — a new oracle
+    shape: array-valued recursion state, value-pinning every
+    intermediate tails vector, not just the final length.
+
+    Scale: per-series sequential over calendar-bounded dailies
+    (applyInPandas, series parallel); comparisons on 6-dp-snapped
+    doubles are engine-exact."""
+    import bisect
+
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_ns DIV 86400000000000").alias("day")
+    ).agg(
+        F.round(F.sum(dec("value")).cast("double") / F.count(F.lit(1)), 6).alias("m")
+    )
+    rel = daily.select(
+        F.col("event_type").alias("series"),
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("day"))
+        .cast("long")
+        .alias("t"),
+        "m",
+    )
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t", kind="mergesort")
+        tails: list[float] = []
+        for x in pdf["m"]:
+            x = float(x)
+            pos = bisect.bisect_left(tails, x)
+            if pos == len(tails):
+                tails.append(x)
+            else:
+                tails[pos] = x
+        n = len(pdf)
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["series"].iloc[0]],
+                "n_obs": [n],
+                "lis_len": [len(tails)],
+                "trend_persistence": [round(len(tails) / n, 6)],
+            }
+        )
+
+    return rel.groupBy("series").applyInPandas(
+        per_series,
+        schema="event_type string, n_obs long, lis_len long, trend_persistence double",
+    )
