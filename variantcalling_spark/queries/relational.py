@@ -1742,3 +1742,52 @@ def q401_data_quality_gate(spark, sf_dir):
             F.col("n_violations") / F.col("n_checked").cast("double"), 6
         ).alias("violation_rate"),
     )
+
+
+@query(
+    "q403_json_props_extraction",
+    oracle="""
+WITH p AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS INT) AS k
+  FROM events WHERE props IS NOT NULL
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unparsed,
+       CAST(MIN(k) AS INT) AS min_k,
+       CAST(MAX(k) AS INT) AS max_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+FROM p GROUP BY event_type
+""",
+)
+def q403_json_props_extraction(spark, sf_dir):
+    """SCHEMA-ON-READ JSON EXTRACTION from the events ``props`` column
+    (the semi-structured ingestion axis: event properties, crawl
+    metadata, and jsonl training records all arrive as JSON strings
+    whose schema the engine imposes at read time — the one column of
+    the fixture tables no query had touched): ``from_json`` with an
+    explicit schema (malformed rows parse to NULL, counted, never
+    thrown) and per-type aggregates over the extracted field.
+
+    Scale shape: JSON parsing is a scan-time JVM projection (Jackson
+    under whole-stage codegen, no UDF); the aggregate is map-side
+    combinable. The oracle uses DuckDB's json_extract on the identical
+    strings."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("props").isNotNull())
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k INT")["k"].alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unparsed"),
+        F.min("k").cast("int").alias("min_k"),
+        F.max("k").cast("int").alias("max_k"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.count_distinct(F.col("k")).cast("bigint").alias("n_distinct_k"),
+    )
