@@ -7167,3 +7167,102 @@ def q402_lis_trend(spark, sf_dir):
         per_series,
         schema="event_type string, n_obs long, lis_len long, trend_persistence double",
     )
+
+
+@query(
+    "q404_iptw_ate",
+    oracle="""
+WITH obs AS (
+  SELECT event_type AS stratum,
+         CAST(user_id % 2 AS INT) AS treated,
+         CAST(value AS DECIMAL(12,2)) AS y
+  FROM events
+),
+strata AS (
+  SELECT stratum,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(treated) AS BIGINT) AS n_t,
+         ROUND(SUM(treated) / CAST(COUNT(*) AS DOUBLE), 10) AS p
+  FROM obs GROUP BY stratum
+),
+w AS (
+  SELECT o.stratum, o.treated, o.y,
+         CASE WHEN o.treated = 1 THEN 1.0 / s.p
+              ELSE 1.0 / (1.0 - s.p) END AS wt
+  FROM obs o JOIN strata s ON s.stratum = o.stratum
+  WHERE s.p > 0 AND s.p < 1
+),
+sums AS (
+  SELECT
+    CAST(SUM(CAST(ROUND(CASE WHEN treated = 1 THEN wt * y END, 8)
+                  AS DECIMAL(26,8))) AS DOUBLE) AS t_wy,
+    CAST(SUM(CAST(ROUND(CASE WHEN treated = 1 THEN wt END, 8)
+                  AS DECIMAL(26,8))) AS DOUBLE) AS t_w,
+    CAST(SUM(CAST(ROUND(CASE WHEN treated = 0 THEN wt * y END, 8)
+                  AS DECIMAL(26,8))) AS DOUBLE) AS c_wy,
+    CAST(SUM(CAST(ROUND(CASE WHEN treated = 0 THEN wt END, 8)
+                  AS DECIMAL(26,8))) AS DOUBLE) AS c_w,
+    CAST(COUNT(*) AS BIGINT) AS n_used
+  FROM w
+)
+SELECT n_used,
+       ROUND(t_wy / t_w, 6) AS mu_treated,
+       ROUND(c_wy / c_w, 6) AS mu_control,
+       ROUND(t_wy / t_w - c_wy / c_w, 6) AS ate_iptw
+FROM sums
+""",
+)
+def q404_iptw_ate(spark, sf_dir):
+    """STRATIFIED IPTW AVERAGE TREATMENT EFFECT (inverse-propensity
+    weighting with EXACT stratum-level propensities — the
+    observational-causal estimator beside q265's CUPED variance
+    reduction, q317's direct standardization and q348's QTE: weight
+    each unit by 1/P(its own arm | stratum), so confounded strata stop
+    biasing the arm means; Hajek-normalized): stratum propensities
+    from one aggregate, weighted arm means, ATE.
+
+    Exactness: propensities snap at 10 dp; per-row weighted terms snap
+    at 8 dp into DECIMAL sums (order-independent); degenerate strata
+    (p = 0 or 1) are excluded on both engines. Two passes: one
+    stratum aggregate + one weighted scan."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        F.col("event_type").alias("stratum"),
+        (F.col("user_id") % 2).cast("int").alias("treated"),
+        dec("value").alias("y"),
+    )
+    strata = obs.groupBy("stratum").agg(
+        F.round(
+            F.sum("treated") / F.count(F.lit(1)).cast("double"), 10
+        ).alias("p")
+    )
+    w = (
+        obs.join(F.broadcast(strata), "stratum")
+        .where((F.col("p") > 0) & (F.col("p") < 1))
+        .select(
+            "treated",
+            "y",
+            F.when(F.col("treated") == 1, 1.0 / F.col("p"))
+            .otherwise(1.0 / (1.0 - F.col("p")))
+            .alias("wt"),
+        )
+    )
+
+    def dsum(cond_col):
+        return F.sum(F.round(cond_col, 8).cast("decimal(26,8)")).cast("double")
+
+    sums = w.agg(
+        dsum(F.when(F.col("treated") == 1, F.col("wt") * F.col("y"))).alias("t_wy"),
+        dsum(F.when(F.col("treated") == 1, F.col("wt"))).alias("t_w"),
+        dsum(F.when(F.col("treated") == 0, F.col("wt") * F.col("y"))).alias("c_wy"),
+        dsum(F.when(F.col("treated") == 0, F.col("wt"))).alias("c_w"),
+        F.count(F.lit(1)).cast("bigint").alias("n_used"),
+    )
+    return sums.select(
+        "n_used",
+        F.round(F.col("t_wy") / F.col("t_w"), 6).alias("mu_treated"),
+        F.round(F.col("c_wy") / F.col("c_w"), 6).alias("mu_control"),
+        F.round(
+            F.col("t_wy") / F.col("t_w") - F.col("c_wy") / F.col("c_w"), 6
+        ).alias("ate_iptw"),
+    )
