@@ -49,6 +49,7 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     "q237_prs_score": "PRS-bucket prefix of the distributed risk rank",
     "q244_bh_fdr": "p-bucket prefix/suffix of the two-phase BH step-up",
     "q363_qini_curve": "score-bucket prefix + 10-row decile table",
+    "q394_oov_curve": "count-bucket prefix of the distributed frequency rank",
     # histogram / value-domain CDFs (bounded by the value grid, not rows)
     "q26_inverse_cdf_sample": "returnflag CDF domain (<=3 distinct values)",
     "q48_cumulative_coverage": "integer depth histogram domain",
