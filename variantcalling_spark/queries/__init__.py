@@ -197,6 +197,7 @@ _PRIORITY = (
     "q321_topic_coherence",
     "q322_lsh_planner",
     # --- New in round 7 (add new queries HERE) ---
+    "q405_bounded_hop_sssp",
     "q404_iptw_ate",
     "q403_json_props_extraction",
     "q402_lis_trend",

@@ -4132,3 +4132,100 @@ def q395_kcenter_coreset(spark, sf_dir):
         [(s, c, d, int(radius)) for s, c, d in rows],
         "step int, center_id bigint, sel_d2 bigint, radius_after_k bigint",
     )
+
+
+_SSSP_ROUNDS = 4
+
+
+def _sssp_oracle_sql(prefix_bits: int = 6, dim: int = 64, k: int = 3) -> str:
+    from variantcalling_spark.operators.similarity import _plane_signs
+
+    signs = _plane_signs(prefix_bits, dim)
+
+    def plane_vec(p):
+        return "[" + ",".join(f"{signs[d][p]:.1f}" for d in range(dim)) + "]"
+
+    sums = ",\n         ".join(
+        f"list_dot_product(vd, {plane_vec(p)}) AS s{p}" for p in range(prefix_bits)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN s{p} > 0 THEN {2**p} ELSE 0 END)" for p in range(prefix_bits)
+    )
+    rounds = []
+    for r in range(1, _SSSP_ROUNDS + 1):
+        p = r - 1
+        rounds.append(f"""
+d{r} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{p}
+    UNION ALL
+    SELECT e.neighbor_id AS node, d{p}.dist + e.w AS dist
+    FROM d{p} JOIN e ON e.vec_id = d{p}.node
+  ) GROUP BY node
+)""")
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+),
+sig AS (
+  SELECT vec_id, v,
+         {sums}
+  FROM (SELECT vec_id, v, list_transform(v, x -> CAST(x AS DOUBLE)) AS vd FROM base)
+),
+bk AS (SELECT vec_id, v, {bucket} AS bucket FROM sig),
+scored AS (
+  SELECT a.vec_id AS vec_id, c.vec_id AS neighbor_id,
+         list_dot_product(a.v, c.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+  FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+),
+e AS MATERIALIZED (
+  SELECT vec_id, neighbor_id,
+         CAST(ROUND((1.0 - cosine) * 1000000) AS BIGINT) AS w
+  FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+  ) WHERE rank <= {k}
+),
+d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),{",".join(rounds)}
+SELECT node, dist AS dist_scaled FROM d{_SSSP_ROUNDS}
+"""
+
+
+@query("q405_bounded_hop_sssp", oracle=_sssp_oracle_sql())
+def q405_bounded_hop_sssp(spark, sf_dir):
+    """BOUNDED-HOP WEIGHTED SHORTEST PATHS over the kNN graph
+    (Bellman-Ford relaxation, 4 rounds from vector 0 — the WEIGHTED
+    member of the graph family: q255's BFS counts hops, this
+    accumulates cosine-distance edge weights; semantic reach with
+    decay, the expand step of graph-based curation): per reached node
+    the minimal 4-hop path weight, edge weight = round((1-cosine)*1e6)
+    as exact BIGINTs on q132's value-oracled edge substrate.
+
+    Scale shape: each relaxation is one equi-join of the frontier
+    ledger against the edge table + a MIN aggregate — O(E) per round,
+    rounds fixed; integer weights make every distance engine-exact
+    (no float accumulation order anywhere)."""
+    from variantcalling_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = knn_graph(emb, k=3, prefix_bits=6).select(
+        "vec_id",
+        "neighbor_id",
+        F.round((1.0 - F.col("cosine")) * 1000000).cast("bigint").alias("w"),
+    ).transform(managed_persist)
+    d = spark.createDataFrame([(0, 0)], "node bigint, dist bigint")
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = d.join(e, d.node == e.vec_id).select(
+            F.col("neighbor_id").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        d = (
+            d.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .transform(managed_persist)
+        )
+    return d.select("node", F.col("dist").alias("dist_scaled"))
