@@ -5858,3 +5858,88 @@ def q400_packing_efficiency(spark, sf_dir):
             6,
         ).alias("fill_rate"),
     )
+
+
+_LEX_ROWS = [
+    ("omnis", 3), ("dolorem", 2), ("quaerat", 2), ("labore", 1), ("porro", 1),
+]
+
+
+@query(
+    "q406_lexicon_filter",
+    oracle=f"""
+WITH lex(term, severity) AS (VALUES
+  {", ".join(f"('{t}', {s})" for t, s in _LEX_ROWS)}
+),
+toks AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+hits AS (
+  SELECT t.doc_id, t.source,
+         CAST(COUNT(*) AS BIGINT) AS n_hits,
+         CAST(SUM(l.severity) AS BIGINT) AS severity_sum
+  FROM toks t JOIN lex l ON l.term = t.w
+  GROUP BY t.doc_id, t.source
+),
+docs AS (
+  SELECT d.source, COALESCE(h.n_hits, 0) AS n_hits,
+         COALESCE(h.severity_sum, 0) AS sev
+  FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+       CAST(SUM(sev) AS BIGINT) AS total_severity,
+       CAST(SUM(CASE WHEN sev >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_blocked,
+       ROUND(SUM(CASE WHEN sev >= 3 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS block_rate
+FROM docs GROUP BY source
+""",
+)
+def q406_lexicon_filter(spark, sf_dir):
+    """WEIGHTED-LEXICON CONTENT FILTER (the C4/Gopher 'bad words' gate,
+    severity-weighted: exact token matches against a broadcast term
+    list, per-doc severity sums, and the per-source block rate at a
+    severity threshold — the lexicon sibling of q380's regex PII gate;
+    in production the list is the deny-lexicon, here five corpus terms
+    stand in): one broadcast-hash join on the token stream, counts and
+    severities exact.
+
+    Scale shape: the lexicon broadcasts (always tiny); matching rides
+    the token explode at scan speed; the per-doc and per-source
+    rollups are map-side combinable. Docs with zero hits stay in the
+    denominator via the left join."""
+    lex = spark.createDataFrame(_LEX_ROWS, "term string, severity int")
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    hits = (
+        toks.join(F.broadcast(lex), toks.w == lex.term)
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            F.sum("severity").cast("bigint").alias("severity_sum"),
+        )
+    )
+    per_doc = docs.select("doc_id", "source").join(
+        hits.drop("source"), "doc_id", "left"
+    ).select(
+        "source",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        F.coalesce(F.col("severity_sum"), F.lit(0)).alias("sev"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_hits").cast("bigint").alias("total_hits"),
+        F.sum("sev").cast("bigint").alias("total_severity"),
+        F.sum(F.when(F.col("sev") >= 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_blocked"),
+        F.round(
+            F.sum(F.when(F.col("sev") >= 3, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("block_rate"),
+    )

@@ -7266,3 +7266,88 @@ def q404_iptw_ate(spark, sf_dir):
             F.col("t_wy") / F.col("t_w") - F.col("c_wy") / F.col("c_w"), 6
         ).alias("ate_iptw"),
     )
+
+
+@query(
+    "q407_simpson_paradox",
+    oracle="""
+WITH obs AS (
+  SELECT event_type AS stratum,
+         CAST(user_id % 2 AS INT) AS exposed,
+         CASE WHEN CAST(value AS DECIMAL(12,2)) > 20 THEN 1 ELSE 0 END AS outcome
+  FROM events
+),
+cells AS (
+  SELECT stratum,
+         CAST(SUM(CASE WHEN exposed = 1 AND outcome = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN exposed = 1 AND outcome = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN exposed = 0 AND outcome = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN exposed = 0 AND outcome = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM obs GROUP BY stratum
+),
+pooled AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS a, CAST(SUM(b) AS BIGINT) AS b,
+         CAST(SUM(c) AS BIGINT) AS c, CAST(SUM(d) AS BIGINT) AS d
+  FROM cells
+)
+SELECT s.stratum,
+       ROUND(s.a * s.d / (CAST(s.b AS DOUBLE) * s.c), 6) AS stratum_or,
+       ROUND(p.a * p.d / (CAST(p.b AS DOUBLE) * p.c), 6) AS pooled_or,
+       (s.a * s.d > s.b * s.c) <> (p.a * p.d > p.b * p.c) AS direction_flip
+FROM cells s CROSS JOIN pooled p
+WHERE s.b > 0 AND s.c > 0
+""",
+)
+def q407_simpson_paradox(spark, sf_dir):
+    """SIMPSON'S-PARADOX DETECTOR (the aggregation-reversal audit every
+    cohort dashboard needs: does the exposure-outcome association
+    FLIP DIRECTION between any stratum and the pooled table? — the
+    diagnostic companion of q383's CMH pooling, which is only valid
+    when it does NOT flip): per-stratum odds ratios, the pooled odds
+    ratio, and an exact integer-cross-product direction-flip flag per
+    stratum (no float comparison decides the flag).
+
+    Scale shape: the same ONE conditional aggregate as q383; pooled
+    cells re-aggregate the stratum ledger; the flag is pure
+    arithmetic. Degenerate strata (zero off-diagonal) excluded on both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        F.col("event_type").alias("stratum"),
+        (F.col("user_id") % 2).cast("int").alias("exposed"),
+        F.when(dec("value") > 20, 1).otherwise(0).alias("outcome"),
+    )
+    cells = obs.groupBy("stratum").agg(
+        F.sum(F.when((F.col("exposed") == 1) & (F.col("outcome") == 1), 1).otherwise(0))
+        .cast("bigint").alias("a"),
+        F.sum(F.when((F.col("exposed") == 1) & (F.col("outcome") == 0), 1).otherwise(0))
+        .cast("bigint").alias("b"),
+        F.sum(F.when((F.col("exposed") == 0) & (F.col("outcome") == 1), 1).otherwise(0))
+        .cast("bigint").alias("c"),
+        F.sum(F.when((F.col("exposed") == 0) & (F.col("outcome") == 0), 1).otherwise(0))
+        .cast("bigint").alias("d"),
+    ).transform(managed_persist)
+    pooled = cells.agg(
+        F.sum("a").cast("bigint").alias("pa"),
+        F.sum("b").cast("bigint").alias("pb"),
+        F.sum("c").cast("bigint").alias("pc"),
+        F.sum("d").cast("bigint").alias("pd"),
+    )
+    j = cells.where((F.col("b") > 0) & (F.col("c") > 0)).crossJoin(
+        F.broadcast(pooled)
+    )
+    return j.select(
+        "stratum",
+        F.round(
+            F.col("a") * F.col("d") / (F.col("b").cast("double") * F.col("c")), 6
+        ).alias("stratum_or"),
+        F.round(
+            F.col("pa") * F.col("pd")
+            / (F.col("pb").cast("double") * F.col("pc")),
+            6,
+        ).alias("pooled_or"),
+        (
+            (F.col("a") * F.col("d") > F.col("b") * F.col("c"))
+            != (F.col("pa") * F.col("pd") > F.col("pb") * F.col("pc"))
+        ).alias("direction_flip"),
+    )
