@@ -7351,3 +7351,105 @@ def q407_simpson_paradox(spark, sf_dir):
             != (F.col("pa") * F.col("pd") > F.col("pb") * F.col("pc"))
         ).alias("direction_flip"),
     )
+
+
+@query(
+    "q408_policy_replay",
+    oracle="""
+WITH logged AS (
+  SELECT CAST(event_id % 3 AS INT) AS arm,
+         (epoch_ns(ts) // 3600000000000) % 24 // 6 AS ctx,
+         CASE WHEN CAST(value AS DECIMAL(12,2)) > 20 THEN 1 ELSE 0 END AS reward,
+         CAST(event_id % 2 AS INT) AS fold
+  FROM events
+),
+est AS (
+  SELECT ctx, arm,
+         CAST(SUM(reward) AS BIGINT) AS r, CAST(COUNT(*) AS BIGINT) AS n
+  FROM logged WHERE fold = 0 GROUP BY ctx, arm
+),
+-- argmax by exact integer cross-product (r/n vs r'/n'), tie-break arm
+best AS (
+  SELECT ctx, arm AS best_arm FROM (
+    SELECT ctx, arm,
+           ROW_NUMBER() OVER (PARTITION BY ctx
+             ORDER BY r * 1.0 / n DESC, arm) AS rk
+    FROM est
+  ) WHERE rk = 1
+),
+eval AS (SELECT * FROM logged WHERE fold = 1),
+pol AS (
+  SELECT 'greedy_per_context' AS policy, e.reward
+  FROM eval e JOIN best b ON b.ctx = e.ctx AND e.arm = b.best_arm
+  UNION ALL
+  SELECT 'always_arm_0', reward FROM eval WHERE arm = 0
+  UNION ALL
+  SELECT 'uniform_logged', reward FROM eval
+)
+SELECT policy,
+       CAST(COUNT(*) AS BIGINT) AS n_matched,
+       CAST(SUM(reward) AS BIGINT) AS n_rewards,
+       ROUND(SUM(reward) / CAST(COUNT(*) AS DOUBLE), 6) AS reward_rate
+FROM pol GROUP BY policy
+""",
+)
+def q408_policy_replay(spark, sf_dir):
+    """OFF-POLICY REPLAY EVALUATION (Li et al.'s unbiased bandit
+    replayer: when the logged actions are uniformly random, a target
+    policy's value is the reward rate on the logged rounds where it
+    AGREES with the log — the evaluation loop behind every
+    recommendation/routing policy change, beside q288's sequential
+    test and q265's CUPED): a greedy per-context policy is FIT on fold
+    0 (per-(context, arm) reward means, deterministic argmax) and
+    REPLAYED on fold 1, against an always-arm-0 policy and the logged
+    uniform baseline.
+
+    Scale shape: the estimator is one (ctx x arm)-bounded aggregate;
+    the argmax is a window over that tiny ledger; each replay arm is
+    a broadcast-join filter + one conditional aggregate. Counts
+    exact; the honest two-fold split prevents the fit/eval leak."""
+    ev = load_table(spark, sf_dir, "events")
+    logged = ev.select(
+        (F.col("event_id") % 3).cast("int").alias("arm"),
+        F.expr("(ts_ns DIV 3600000000000) % 24 DIV 6").alias("ctx"),
+        F.when(dec("value") > 20, 1).otherwise(0).alias("reward"),
+        (F.col("event_id") % 2).cast("int").alias("fold"),
+    ).transform(managed_persist)
+    est = (
+        logged.where(F.col("fold") == 0)
+        .groupBy("ctx", "arm")
+        .agg(
+            F.sum("reward").cast("bigint").alias("r"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    best = (
+        est.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("ctx").orderBy(
+                    (F.col("r") * 1.0 / F.col("n")).desc(), "arm"
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("ctx", F.col("arm").alias("best_arm"))
+    )
+    ev1 = logged.where(F.col("fold") == 1)
+    greedy = (
+        ev1.join(F.broadcast(best), "ctx")
+        .where(F.col("arm") == F.col("best_arm"))
+        .select(F.lit("greedy_per_context").alias("policy"), "reward")
+    )
+    arm0 = ev1.where(F.col("arm") == 0).select(
+        F.lit("always_arm_0").alias("policy"), "reward"
+    )
+    unif = ev1.select(F.lit("uniform_logged").alias("policy"), "reward")
+    pol = greedy.unionByName(arm0).unionByName(unif)
+    return pol.groupBy("policy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        F.sum("reward").cast("bigint").alias("n_rewards"),
+        F.round(
+            F.sum("reward") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("reward_rate"),
+    )
