@@ -5943,3 +5943,68 @@ def q406_lexicon_filter(spark, sf_dir):
             6,
         ).alias("block_rate"),
     )
+
+
+@query(
+    "q409_l_diversity",
+    oracle="""
+WITH qi AS (
+  SELECT lang, source,
+         CAST(len(string_split(text, ' ')) // 20 AS BIGINT) AS len_bucket,
+         doc_id % 4 AS sensitive
+  FROM documents
+),
+classes AS (
+  SELECT lang, source, len_bucket,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(COUNT(DISTINCT sensitive) AS BIGINT) AS l
+  FROM qi GROUP BY lang, source, len_bucket
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(l) AS BIGINT) AS min_l,
+       CAST(SUM(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_below_2,
+       CAST(SUM(CASE WHEN l < 2 THEN k ELSE 0 END) AS BIGINT)
+         AS rows_below_2,
+       ROUND(SUM(CASE WHEN l < 2 THEN k ELSE 0 END)
+             / CAST(SUM(k) AS DOUBLE), 6) AS at_risk_fraction
+FROM classes
+""",
+)
+def q409_l_diversity(spark, sf_dir):
+    """L-DIVERSITY AUDIT (k-anonymity's necessary companion — q365
+    bounds RE-IDENTIFICATION, but a class can be large yet carry ONE
+    sensitive value, disclosing it to anyone who links in: l = the
+    number of DISTINCT sensitive values per quasi-identifier class;
+    classes with l < 2 leak even at high k): class count, minimum l,
+    and the row fraction in homogeneous classes.
+
+    Scale discipline: identical shape to q365 — one groupBy on the QI
+    grid with a COUNT(DISTINCT sensitive) per class (bounded sensitive
+    domain), then arithmetic over the class ledger."""
+    docs = load_table(spark, sf_dir, "documents")
+    qi = docs.select(
+        "lang",
+        "source",
+        (F.size(F.split("text", " ")) / 20).cast("bigint").alias("len_bucket"),
+        (F.col("doc_id") % 4).alias("sensitive"),
+    )
+    classes = qi.groupBy("lang", "source", "len_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.count_distinct("sensitive").cast("bigint").alias("l"),
+    )
+    return classes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("l").cast("bigint").alias("min_l"),
+        F.sum(F.when(F.col("l") < 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("classes_below_2"),
+        F.sum(F.when(F.col("l") < 2, F.col("k")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_below_2"),
+        F.round(
+            F.sum(F.when(F.col("l") < 2, F.col("k")).otherwise(0))
+            / F.sum("k").cast("double"),
+            6,
+        ).alias("at_risk_fraction"),
+    )
