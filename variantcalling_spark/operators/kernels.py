@@ -926,3 +926,55 @@ def page_hinkley_scan(
     return df.select(key_col, t_col, val_col).groupBy(key_col).applyInPandas(
         per_series, schema=schema
     )
+
+
+def viterbi_decode_2state_scores(
+    df: DataFrame,
+    stay0: int,
+    sw01: int,
+    sw10: int,
+    stay1: int,
+    key_col: str = "series",
+    t_col: str = "t",
+    s0_col: str = "e0",
+    s1_col: str = "e1",
+) -> DataFrame:
+    """``viterbi_decode_2state`` generalized to PER-ROW integer
+    emission scores (columns ``s0_col``/``s1_col``) and a full
+    asymmetric transition matrix — the shape Kleinberg burst detection
+    (q410) needs, where emissions depend on a count, not a binary
+    match. Same bigint DP, same LOW tie-breaks, same
+    ``applyInPandas``-per-series / recursive-CTE-oracle contract."""
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(t_col, kind="mergesort")
+        key = pdf[key_col].iloc[0]
+        e0s = pdf[s0_col].astype("int64").tolist()
+        e1s = pdf[s1_col].astype("int64").tolist()
+        ts = pdf[t_col].astype("int64").tolist()
+        n = len(ts)
+        if n == 0:
+            return pd.DataFrame({key_col: [], t_col: [], "state": []})
+        s0 = e0s[0]
+        s1 = e1s[0]
+        bps: list[tuple[int, int]] = [(0, 0)]
+        for t in range(1, n):
+            c00, c10 = s0 + stay0, s1 + sw10   # into state 0
+            c01, c11 = s0 + sw01, s1 + stay1   # into state 1
+            b0 = 0 if c00 >= c10 else 1
+            b1 = 0 if c01 >= c11 else 1
+            ns0 = e0s[t] + max(c00, c10)
+            ns1 = e1s[t] + max(c01, c11)
+            s0, s1 = ns0, ns1
+            bps.append((b0, b1))
+        state = 0 if s0 >= s1 else 1
+        states = [0] * n
+        states[n - 1] = state
+        for t in range(n - 1, 0, -1):
+            state = bps[t][state]
+            states[t - 1] = state
+        return pd.DataFrame({key_col: [key] * n, t_col: ts, "state": states})
+
+    return df.groupBy(key_col).applyInPandas(
+        per_series, schema=f"{key_col} string, {t_col} long, state int"
+    )

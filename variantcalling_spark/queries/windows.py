@@ -7453,3 +7453,148 @@ def q408_policy_replay(spark, sf_dir):
             F.sum("reward") / F.count(F.lit(1)).cast("double"), 6
         ).alias("reward_rate"),
     )
+
+
+_BURST_GAMMA = 1_000_000  # scaled transition cost for entering a burst
+
+
+@query(
+    "q410_kleinberg_bursts",
+    oracle=f"""
+WITH RECURSIVE rel0 AS MATERIALIZED (
+  SELECT event_type,
+         epoch_ns(ts) // 86400000000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, day
+),
+rates AS MATERIALIZED (
+  SELECT GREATEST(CAST(ROUND(AVG(c)) AS BIGINT), 1) AS r0 FROM rel0
+),
+lw AS MATERIALIZED (
+  SELECT r0, 2 * r0 AS r1,
+         CAST(ROUND(ln(r0) * 1000000) AS BIGINT) AS l0,
+         CAST(ROUND(ln(2 * r0) * 1000000) AS BIGINT) AS l1
+  FROM rates
+),
+rel AS MATERIALIZED (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         c,
+         c * lw.l0 - lw.r0 * 1000000 AS e0,
+         c * lw.l1 - lw.r1 * 1000000 AS e1
+  FROM rel0 CROSS JOIN lw
+),
+walk AS (
+  SELECT event_type, t, e0 AS s0, e1 AS s1, 0 AS b0, 0 AS b1
+  FROM rel WHERE t = 1
+  UNION ALL
+  SELECT r.event_type, r.t,
+         r.e0 + GREATEST(w.s0, w.s1),
+         r.e1 + GREATEST(w.s0 - {_BURST_GAMMA}, w.s1),
+         CASE WHEN w.s0 >= w.s1 THEN 0 ELSE 1 END,
+         CASE WHEN w.s0 - {_BURST_GAMMA} >= w.s1 THEN 0 ELSE 1 END
+  FROM walk w JOIN rel r
+    ON r.event_type = w.event_type AND r.t = w.t + 1
+),
+fwd AS MATERIALIZED (SELECT * FROM walk),
+fin AS MATERIALIZED (
+  SELECT event_type, t AS tmax,
+         CASE WHEN s0 >= s1 THEN 0 ELSE 1 END AS state
+  FROM fwd f
+  WHERE t = (SELECT MAX(t) FROM fwd f2 WHERE f2.event_type = f.event_type)
+),
+bt AS (
+  SELECT event_type, tmax AS t, state FROM fin
+  UNION ALL
+  SELECT b.event_type, b.t - 1,
+         CASE WHEN b.state = 0 THEN f.b0 ELSE f.b1 END
+  FROM bt b JOIN fwd f ON f.event_type = b.event_type AND f.t = b.t
+  WHERE b.t > 1
+),
+path AS MATERIALIZED (SELECT event_type, t, state FROM bt),
+brk AS (
+  SELECT event_type, t, state,
+         CASE WHEN LAG(state) OVER (PARTITION BY event_type ORDER BY t) = state
+              THEN 0 ELSE 1 END AS b
+  FROM path
+),
+sid AS (
+  SELECT event_type, t, state,
+         SUM(b) OVER (PARTITION BY event_type ORDER BY t) AS seg
+  FROM brk
+)
+SELECT event_type, CAST(seg AS INT) AS seg_id, CAST(state AS INT) AS burst,
+       CAST(MIN(t) AS BIGINT) AS t_start, CAST(MAX(t) AS BIGINT) AS t_end,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM sid GROUP BY event_type, seg, state
+""",
+)
+def q410_kleinberg_bursts(spark, sf_dir):
+    """KLEINBERG BURST DETECTION per event series (the 2-state burst
+    automaton over daily COUNTS — base rate r0 vs burst rate 2*r0,
+    Poisson log-likelihood emissions with the shared c! term dropped,
+    cost gamma to ENTER a burst and free exit — the named-tool burst
+    segmentation beside q315's symmetric Viterbi and q382's
+    Page-Hinkley drift): maximum-likelihood burst segments per series.
+
+    Exactness: ln(rate) of the INTEGER global base rate snaps to a
+    scaled bigint once, so the whole DP is bigint arithmetic (the
+    q315 integer-log discipline) — emissions e_s(c) = c*L_s - r_s*1e6
+    ride as columns into the generalized score-column Viterbi kernel.
+    Scale: per-series sequential over calendar-bounded dailies; the
+    rates row broadcasts."""
+    from variantcalling_spark.operators.kernels import (
+        viterbi_decode_2state_scores,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rel0 = ev.groupBy(
+        "event_type", F.expr("ts_ns DIV 86400000000000").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    rates = rel0.agg(
+        F.greatest(F.round(F.avg("c")).cast("bigint"), F.lit(1).cast("bigint")).alias(
+            "r0"
+        )
+    ).select(
+        "r0",
+        (F.col("r0") * 2).alias("r1"),
+        F.round(F.log("r0") * 1000000).cast("bigint").alias("l0"),
+        F.round(F.log(F.col("r0") * 2) * 1000000).cast("bigint").alias("l1"),
+    )
+    rel = rel0.crossJoin(F.broadcast(rates)).select(
+        F.col("event_type").alias("series"),
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("day"))
+        .cast("long")
+        .alias("t"),
+        (F.col("c") * F.col("l0") - F.col("r0") * 1000000).alias("e0"),
+        (F.col("c") * F.col("l1") - F.col("r1") * 1000000).alias("e1"),
+    )
+    path = viterbi_decode_2state_scores(
+        rel, stay0=0, sw01=-_BURST_GAMMA, sw10=0, stay1=0
+    )
+    brk = path.withColumn(
+        "b",
+        F.when(
+            F.lag("state").over(W.partitionBy("series").orderBy("t"))
+            == F.col("state"),
+            0,
+        ).otherwise(1),
+    )
+    sid = brk.withColumn(
+        "seg",
+        F.sum("b").over(
+            W.partitionBy("series").orderBy("t").rowsBetween(
+                W.unboundedPreceding, 0
+            )
+        ),
+    )
+    return sid.groupBy(
+        F.col("series").alias("event_type"),
+        F.col("seg").cast("int").alias("seg_id"),
+        F.col("state").cast("int").alias("burst"),
+    ).agg(
+        F.min("t").cast("bigint").alias("t_start"),
+        F.max("t").cast("bigint").alias("t_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
