@@ -7598,3 +7598,120 @@ def q410_kleinberg_bursts(spark, sf_dir):
         F.max("t").cast("bigint").alias("t_end"),
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
     )
+
+
+@query(
+    "q411_lz_complexity",
+    oracle="""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT event_type,
+         epoch_ns(ts) // 86400000000000 AS day,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM events GROUP BY event_type, day
+),
+med AS MATERIALIZED (
+  SELECT event_type, m AS med FROM (
+    SELECT event_type, m,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY m) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM daily
+  ) WHERE rn = (n + 1) // 2
+),
+seqs AS MATERIALIZED (
+  SELECT d.event_type,
+         string_agg(CASE WHEN d.m > x.med THEN '1' ELSE '0' END, ''
+                    ORDER BY d.day) AS s
+  FROM daily d JOIN med x ON x.event_type = d.event_type
+  GROUP BY d.event_type
+),
+parse AS (
+  SELECT event_type, s, CAST(length(s) AS BIGINT) AS n,
+         CAST(0 AS BIGINT) AS pos, '' AS cur,
+         CAST([] AS VARCHAR[]) AS dict, CAST(0 AS BIGINT) AS phrases
+  FROM seqs
+  UNION ALL
+  SELECT event_type, s, n, pos + 1,
+         CASE WHEN list_contains(dict, cur || s[CAST(pos + 1 AS INT)])
+              THEN cur || s[CAST(pos + 1 AS INT)] ELSE '' END,
+         CASE WHEN list_contains(dict, cur || s[CAST(pos + 1 AS INT)])
+              THEN dict
+              ELSE list_append(dict, cur || s[CAST(pos + 1 AS INT)]) END,
+         CASE WHEN list_contains(dict, cur || s[CAST(pos + 1 AS INT)])
+              THEN phrases ELSE phrases + 1 END
+  FROM parse WHERE pos < n
+)
+SELECT event_type, n AS n_obs,
+       CAST(phrases + CASE WHEN cur <> '' THEN 1 ELSE 0 END AS BIGINT)
+         AS lz78_phrases,
+       ROUND((phrases + CASE WHEN cur <> '' THEN 1 ELSE 0 END)
+             / CAST(n AS DOUBLE), 6) AS phrase_rate
+FROM parse WHERE pos = n
+""",
+)
+def q411_lz_complexity(spark, sf_dir):
+    """LZ78 SEQUENCE COMPLEXITY per metric series (the compressibility
+    statistic: a predictable series parses into FEW novel phrases, a
+    random one into ~n/log n — the information-theoretic trend gauge
+    beside q402's LIS and q298's ACF; also the dictionary-parse
+    primitive under LZ-family dedup intuition): binarize each series
+    at its median, parse into shortest-never-seen-before phrases, and
+    report phrase count + rate.
+
+    Engine parity: the ORACLE carries the phrase DICTIONARY as a
+    VARCHAR[] through the recursion (the q402 array-state shape
+    extended to string lists), advancing one symbol per step —
+    value-pinning every dictionary state; the kernel runs the
+    identical parse per series (applyInPandas, series parallel).
+    A trailing partial phrase counts as one, both sides."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_ns DIV 86400000000000").alias("day")
+    ).agg(
+        F.round(F.sum(dec("value")).cast("double") / F.count(F.lit(1)), 6).alias("m")
+    )
+    wmed = W.partitionBy("event_type").orderBy("m")
+    med = (
+        daily.select(
+            "event_type",
+            "m",
+            F.row_number().over(wmed).alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("m").alias("med"))
+    )
+    rel = daily.join(F.broadcast(med), "event_type").select(
+        F.col("event_type").alias("series"),
+        "day",
+        F.when(F.col("m") > F.col("med"), "1").otherwise("0").alias("sym"),
+    )
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day", kind="mergesort")
+        s = "".join(pdf["sym"])
+        dict_: set[str] = set()
+        cur = ""
+        phrases = 0
+        for ch in s:
+            cur += ch
+            if cur not in dict_:
+                dict_.add(cur)
+                phrases += 1
+                cur = ""
+        if cur:
+            phrases += 1
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["series"].iloc[0]],
+                "n_obs": [len(s)],
+                "lz78_phrases": [phrases],
+                "phrase_rate": [round(phrases / len(s), 6)],
+            }
+        )
+
+    return rel.groupBy("series").applyInPandas(
+        per_series,
+        schema="event_type string, n_obs long, lz78_phrases long, phrase_rate double",
+    )
