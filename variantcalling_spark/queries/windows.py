@@ -7715,3 +7715,131 @@ def q411_lz_complexity(spark, sf_dir):
         per_series,
         schema="event_type string, n_obs long, lz78_phrases long, phrase_rate double",
     )
+
+
+_MABS_ROUNDS = 6
+
+
+def _markov_absorption_oracle_sql(k: int = _MABS_ROUNDS) -> str:
+    rounds = []
+    for r in range(1, k + 1):
+        p = r - 1
+        rounds.append(f"""
+p{r} AS (
+  SELECT t.dst AS state,
+         CAST(SUM(CAST(ROUND(p{p}.prob * t.tp, 14) AS DECIMAL(24,14)))
+              AS DOUBLE) AS prob
+  FROM p{p} JOIN tmat t ON t.src = p{p}.state
+  GROUP BY t.dst
+)""")
+        # rounds are pure matrix-vector products on the absorbing matrix
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {r} AS k, COALESCE((SELECT prob FROM p{r} WHERE state = 'purchase'), 0.0) AS p_converted"
+        for r in range(0, k + 1)
+    )
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+           AS rn
+  FROM events
+),
+pairs AS (
+  SELECT a.event_type AS src, b.event_type AS dst
+  FROM seq a JOIN seq b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+),
+-- absorbing chain: once in 'purchase', stay (self-loop prob 1)
+raw AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pairs WHERE src <> 'purchase' GROUP BY src, dst
+),
+tmat AS (
+  SELECT src, dst,
+         ROUND(c / CAST(SUM(c) OVER (PARTITION BY src) AS DOUBLE), 10) AS tp
+  FROM raw
+  UNION ALL
+  SELECT 'purchase', 'purchase', 1.0
+),
+p0 AS (SELECT 'view' AS state, CAST(1.0 AS DOUBLE) AS prob),{",".join(rounds)}
+SELECT k, ROUND(p_converted, 6) AS p_converted FROM ({selects})
+"""
+
+
+@query("q412_markov_absorption", oracle=_markov_absorption_oracle_sql())
+def q412_markov_absorption(spark, sf_dir):
+    """MARKOV ABSORPTION / CONVERSION CURVE (the attribution-model
+    primitive: from a 'view' start, the probability of having been
+    ABSORBED by 'purchase' within k interaction steps under the
+    empirical transition matrix with purchase absorbing — the chain
+    q262 estimates, now ITERATED; the matrix-power face of q369's
+    stationary distribution): P(converted within k) for k = 0..6.
+
+    Exactness: transition probabilities snap at 10 dp; every
+    matrix-vector product term snaps at 14 dp into a DECIMAL sum
+    (summation-order-free) before returning to DOUBLE — the event-type
+    state domain is tiny, the discipline is what transfers. Scale:
+    ONE corpus pass builds the pair counts; the k iterations run on
+    the state-domain matrix."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("ts_ns", "event_id"))
+        .alias("rn"),
+    )
+    b = seq.select(
+        "user_id", F.col("event_type").alias("dst"), (F.col("rn") - 1).alias("rn")
+    )
+    pairs = seq.join(b, ["user_id", "rn"]).select(
+        F.col("event_type").alias("src"), "dst"
+    )
+    raw = (
+        pairs.where(F.col("src") != "purchase")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = raw.groupBy("src").agg(F.sum("c").alias("rt"))
+    tmat = (
+        raw.join(F.broadcast(tot), "src")
+        .select(
+            "src",
+            "dst",
+            F.round(F.col("c") / F.col("rt").cast("double"), 10).alias("tp"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("purchase", "purchase", 1.0)], "src string, dst string, tp double"
+            )
+        )
+        .transform(managed_persist)
+    )
+    p = spark.createDataFrame([("view", 1.0)], "state string, prob double")
+    out = p.agg(
+        F.lit(0).alias("k"),
+        F.coalesce(
+            F.sum(F.when(F.col("state") == "purchase", F.col("prob"))), F.lit(0.0)
+        ).alias("p_raw"),
+    )
+    for k in range(1, _MABS_ROUNDS + 1):
+        p = (
+            p.join(tmat, p.state == tmat.src)
+            .groupBy(F.col("dst").alias("state"))
+            .agg(
+                F.sum(
+                    F.round(F.col("prob") * F.col("tp"), 14).cast("decimal(24,14)")
+                )
+                .cast("double")
+                .alias("prob")
+            )
+        )
+        out = out.unionByName(
+            p.agg(
+                F.lit(k).alias("k"),
+                F.coalesce(
+                    F.sum(F.when(F.col("state") == "purchase", F.col("prob"))),
+                    F.lit(0.0),
+                ).alias("p_raw"),
+            )
+        )
+    return out.select("k", F.round("p_raw", 6).alias("p_converted"))
