@@ -6008,3 +6008,95 @@ def q409_l_diversity(spark, sf_dir):
             6,
         ).alias("at_risk_fraction"),
     )
+
+
+@query(
+    "q413_cramer_von_mises",
+    oracle="""
+WITH v AS (
+  SELECT CAST(doc_id % 2 AS INT) AS grp,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+  FROM documents
+),
+h AS (
+  SELECT x,
+         CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h2
+  FROM v GROUP BY x
+),
+tot AS (
+  SELECT CAST(SUM(h1) AS BIGINT) AS n1, CAST(SUM(h2) AS BIGINT) AS n2 FROM h
+),
+cdf AS (
+  SELECT x, h1, h2,
+         CAST(SUM(h1) OVER w AS BIGINT) AS c1,
+         CAST(SUM(h2) OVER w AS BIGINT) AS c2
+  FROM h
+  WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+terms AS (
+  SELECT (h1 + h2) * (c1 * n2 - c2 * n1) * (c1 * n2 - c2 * n1) AS t
+  FROM cdf CROSS JOIN tot
+)
+SELECT tot.n1, tot.n2,
+       (SELECT CAST(SUM(t) AS BIGINT) FROM terms) AS u_num,
+       ROUND((SELECT SUM(t) FROM terms)
+             / (CAST(tot.n1 AS DOUBLE) * tot.n2 * (tot.n1 + tot.n2)
+                * (tot.n1 + tot.n2)), 6) AS cvm_t
+FROM tot
+""",
+)
+def q413_cramer_von_mises(spark, sf_dir):
+    """TWO-SAMPLE CRAMER-VON MISES statistic over the integer
+    token-count domain (the whole-CDF distance beside q171's KS
+    supremum and q347's Wasserstein transport: CvM integrates the
+    SQUARED CDF gap over the pooled sample, so it sees spread-out
+    small deviations KS misses): T = sum over pooled points of
+    (F1 - F2)^2 / (n1 n2 (n1+n2)), with the gap kept as the exact
+    integer cross-product c1*n2 - c2*n1 — u_num is a pure BIGINT and
+    only the final normalization divides.
+
+    Scale discipline: one value-domain histogram (map-side
+    combinable), one cumulative window over the bounded integer
+    domain, one exact integer aggregate."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.select(
+        (F.col("doc_id") % 2).cast("int").alias("grp"),
+        F.size(F.split("text", " ")).cast("bigint").alias("x"),
+    )
+    h = v.groupBy("x").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("bigint").alias("h1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("bigint").alias("h2"),
+    )
+    tot = h.agg(
+        F.sum("h1").cast("bigint").alias("n1"),
+        F.sum("h2").cast("bigint").alias("n2"),
+    )
+    w = W.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+    cdf = h.select(
+        "h1",
+        "h2",
+        F.sum("h1").over(w).cast("bigint").alias("c1"),
+        F.sum("h2").over(w).cast("bigint").alias("c2"),
+    )
+    gap = F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")
+    terms = cdf.crossJoin(F.broadcast(tot)).select(
+        ((F.col("h1") + F.col("h2")) * gap * gap).alias("t"),
+        "n1",
+        "n2",
+    )
+    return terms.groupBy("n1", "n2").agg(
+        F.sum("t").cast("bigint").alias("u_num"),
+        F.round(
+            F.sum("t")
+            / (
+                F.col("n1").cast("double")
+                * F.col("n2")
+                * (F.col("n1") + F.col("n2"))
+                * (F.col("n1") + F.col("n2"))
+            ),
+            6,
+        ).alias("cvm_t"),
+    )
