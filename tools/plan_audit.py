@@ -55,6 +55,7 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     "q48_cumulative_coverage": "integer depth histogram domain",
     "q136_curriculum_phases": "quantile-bucket domain",
     "q171_ks_two_sample": "integer token-count histogram domain",
+    "q413_cramer_von_mises": "integer token-count histogram domain",
     "q190_quantile_normalization": "pooled length-histogram CDF domain",
     "q316_best_split": "two-decimal value-grid histogram domain",
     "q196_skyline_2d": "distinct price-cents domain (pre-aggregated frontier)",
