@@ -7843,3 +7843,83 @@ def q412_markov_absorption(spark, sf_dir):
             )
         )
     return out.select("k", F.round("p_raw", 6).alias("p_converted"))
+
+
+@query(
+    "q414_best_f1_threshold",
+    oracle="""
+WITH ev AS (
+  SELECT value AS score,
+         CASE WHEN event_type = 'purchase' THEN 'tp' ELSE 'fp' END AS label
+  FROM events WHERE event_type IN ('purchase', 'error')
+),
+per_score AS (
+  SELECT score,
+         COUNT(*) FILTER (WHERE label = 'tp') AS n_tp,
+         COUNT(*) FILTER (WHERE label = 'fp') AS n_fp
+  FROM ev GROUP BY score
+),
+cum AS (
+  SELECT score,
+         CAST(SUM(n_tp) OVER w AS BIGINT) AS cum_tp,
+         CAST(SUM(n_fp) OVER w AS BIGINT) AS cum_fp,
+         CAST(SUM(n_tp) OVER () AS BIGINT) AS tot_tp
+  FROM per_score
+  WINDOW w AS (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+curve AS (
+  SELECT score, cum_tp, cum_fp, tot_tp,
+         CASE WHEN cum_tp > 0 THEN
+           2.0 * (cum_tp / CAST(cum_tp + cum_fp AS DOUBLE))
+               * (cum_tp / CAST(tot_tp AS DOUBLE))
+           / ((cum_tp / CAST(cum_tp + cum_fp AS DOUBLE))
+              + (cum_tp / CAST(tot_tp AS DOUBLE)))
+         ELSE 0.0 END AS f1
+  FROM cum
+)
+SELECT score AS threshold, cum_tp, cum_fp,
+       ROUND(cum_tp / CAST(cum_tp + cum_fp AS DOUBLE), 6) AS precision_at,
+       ROUND(cum_tp / CAST(tot_tp AS DOUBLE), 6) AS recall_at,
+       ROUND(f1, 6) AS f1_at
+FROM curve
+ORDER BY f1 DESC, score ASC
+LIMIT 1
+""",
+)
+def q414_best_f1_threshold(spark, sf_dir):
+    """BEST-F1 OPERATING POINT (the threshold picker every deployed
+    filter runs on its PR curve — q40 draws the whole curve, q225
+    picks by truth-sensitivity targets, THIS picks the F1 argmax; the
+    reference's filtering layer chooses operating points the same
+    way): the threshold maximizing F1, with precision/recall/counts
+    at that cut.
+
+    Scale shape: rides the bucketized pr_curve operator (two-level
+    cumsum — no single-partition window), then ONE TakeOrdered
+    heap-select over the curve; ties break to the smaller threshold
+    on both engines."""
+    from variantcalling_spark.operators.metrics import pr_curve
+
+    ev = (
+        events_points(spark, sf_dir)
+        .where(F.col("event_type").isin("purchase", "error"))
+        .select(
+            F.col("value").alias("score"),
+            F.when(F.col("event_type") == "purchase", "tp")
+            .otherwise("fp")
+            .alias("label"),
+        )
+    )
+    curve = pr_curve(ev, "score", "label")
+    return (
+        curve.orderBy(F.col("f1").desc(), F.col("threshold").asc())
+        .limit(1)
+        .select(
+            "threshold",
+            "cum_tp",
+            "cum_fp",
+            F.round("precision", 6).alias("precision_at"),
+            F.round("recall", 6).alias("recall_at"),
+            F.round("f1", 6).alias("f1_at"),
+        )
+    )
