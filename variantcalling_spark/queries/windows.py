@@ -7923,3 +7923,138 @@ def q414_best_f1_threshold(spark, sf_dir):
             F.round("f1", 6).alias("f1_at"),
         )
     )
+
+
+@query(
+    "q415_seasonal_mann_kendall",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         epoch_ns(ts) // 86400000000000 AS day,
+         ((epoch_ns(ts) // 86400000000000) + 3) % 7 AS season,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM events GROUP BY event_type, day
+),
+pairs AS (
+  SELECT a.event_type, a.season,
+         CASE WHEN b.m > a.m THEN 1 WHEN b.m < a.m THEN -1 ELSE 0 END AS sgn
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.season = a.season AND b.day > a.day
+),
+s_per AS (
+  SELECT event_type, season, CAST(SUM(sgn) AS BIGINT) AS s_s
+  FROM pairs GROUP BY event_type, season
+),
+n_per AS (
+  SELECT event_type, season, CAST(COUNT(*) AS BIGINT) AS n
+  FROM daily GROUP BY event_type, season
+),
+t_per AS (
+  SELECT event_type, season,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+  FROM (SELECT event_type, season, m, COUNT(*) AS t FROM daily
+        GROUP BY event_type, season, m)
+  WHERE t > 1 GROUP BY event_type, season
+),
+per AS (
+  SELECT n_per.event_type, n_per.season, n_per.n,
+         COALESCE(s_per.s_s, 0) AS s_s,
+         (n_per.n * (n_per.n - 1) * (2 * n_per.n + 5)
+          - COALESCE(t_per.tsum, 0)) / 18.0 AS var_s
+  FROM n_per
+  LEFT JOIN s_per ON s_per.event_type = n_per.event_type
+                 AND s_per.season = n_per.season
+  LEFT JOIN t_per ON t_per.event_type = n_per.event_type
+                 AND t_per.season = n_per.season
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_seasons,
+       CAST(SUM(s_s) AS BIGINT) AS s_total,
+       ROUND(SUM(var_s), 6) AS var_total,
+       ROUND(CASE WHEN SUM(s_s) > 0 THEN (SUM(s_s) - 1) / sqrt(SUM(var_s))
+                  WHEN SUM(s_s) < 0 THEN (SUM(s_s) + 1) / sqrt(SUM(var_s))
+                  ELSE 0.0 END, 6) AS smk_z
+FROM per GROUP BY event_type
+""",
+)
+def q415_seasonal_mann_kendall(spark, sf_dir):
+    """SEASONAL MANN-KENDALL trend test (Hirsch-Slack — the monitoring
+    standard when a series has a weekly/seasonal cycle: compare days
+    only WITHIN the same season so the cycle cannot masquerade as
+    trend, then pool S and Var(S) across seasons; the seasonal face of
+    q310): per event series, pooled S, variance with tie correction,
+    and the continuity-corrected Z.
+
+    Scale shape: the pair generation is q310's within-group self-join,
+    now keyed on (series, season) — pairs are sum of per-season
+    squares, never cross-season; all counts exact BIGINTs; one final
+    sqrt."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("ts_ns DIV 86400000000000").alias("day"),
+    ).agg(
+        F.round(F.sum(dec("value")).cast("double") / F.count(F.lit(1)), 6).alias("m")
+    ).withColumn("season", F.expr("(day + 3) % 7")).transform(managed_persist)
+    b = daily.select(
+        "event_type",
+        "season",
+        F.col("day").alias("day2"),
+        F.col("m").alias("m2"),
+    )
+    pairs = (
+        daily.join(b, ["event_type", "season"])
+        .where(F.col("day2") > F.col("day"))
+        .select(
+            "event_type",
+            "season",
+            F.when(F.col("m2") > F.col("m"), 1)
+            .when(F.col("m2") < F.col("m"), -1)
+            .otherwise(0)
+            .alias("sgn"),
+        )
+    )
+    s_per = pairs.groupBy("event_type", "season").agg(
+        F.sum("sgn").cast("bigint").alias("s_s")
+    )
+    n_per = daily.groupBy("event_type", "season").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    t_per = (
+        daily.groupBy("event_type", "season", "m")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .where(F.col("t") > 1)
+        .groupBy("event_type", "season")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("bigint")
+            .alias("tsum")
+        )
+    )
+    per = (
+        n_per.join(s_per, ["event_type", "season"], "left")
+        .join(t_per, ["event_type", "season"], "left")
+        .select(
+            "event_type",
+            F.coalesce(F.col("s_s"), F.lit(0)).alias("s_s"),
+            (
+                (
+                    F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                    - F.coalesce(F.col("tsum"), F.lit(0))
+                )
+                / 18.0
+            ).alias("var_s"),
+        )
+    )
+    st = F.sum("s_s")
+    return per.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seasons"),
+        st.cast("bigint").alias("s_total"),
+        F.round(F.sum("var_s"), 6).alias("var_total"),
+        F.round(
+            F.when(st > 0, (st - 1) / F.sqrt(F.sum("var_s")))
+            .when(st < 0, (st + 1) / F.sqrt(F.sum("var_s")))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("smk_z"),
+    )
