@@ -197,6 +197,8 @@ _PRIORITY = (
     "q321_topic_coherence",
     "q322_lsh_planner",
     # --- New in round 7 (add new queries HERE) ---
+    "q417_median_ci",
+    "q416_theil_decomposition",
     "q415_seasonal_mann_kendall",
     "q414_best_f1_threshold",
     "q413_cramer_von_mises",

@@ -1791,3 +1791,125 @@ def q403_json_props_extraction(spark, sf_dir):
         F.sum("k").cast("bigint").alias("sum_k"),
         F.count_distinct(F.col("k")).cast("bigint").alias("n_distinct_k"),
     )
+
+
+@query(
+    "q416_theil_decomposition",
+    oracle="""
+WITH cust AS (
+  SELECT c.c_nationkey AS nation,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_nationkey
+  HAVING SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) > 0
+),
+percust AS (
+  SELECT c.c_nationkey AS nation, o.o_custkey,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS x
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_nationkey, o.o_custkey
+),
+tot AS (
+  SELECT CAST(SUM(x) AS BIGINT) AS xt, CAST(COUNT(*) AS BIGINT) AS n
+  FROM percust
+),
+gstat AS (
+  SELECT nation, CAST(SUM(x) AS BIGINT) AS xg, CAST(COUNT(*) AS BIGINT) AS ng
+  FROM percust GROUP BY nation
+),
+t_within AS (
+  SELECT p.nation,
+         CAST(SUM(CAST(ROUND((p.x / CAST(g.xg AS DOUBLE))
+                 * ln(p.x * g.ng / CAST(g.xg AS DOUBLE)), 12)
+                 AS DECIMAL(20,12))) AS DOUBLE) AS t_g
+  FROM percust p JOIN gstat g ON g.nation = p.nation
+  WHERE p.x > 0 GROUP BY p.nation
+),
+parts AS (
+  SELECT g.nation,
+         g.xg / CAST(t.xt AS DOUBLE) AS wg,
+         ROUND((g.xg / CAST(t.xt AS DOUBLE))
+               * ln((g.xg / CAST(t.xt AS DOUBLE)) * t.n / g.ng), 12) AS tb_g,
+         ROUND((g.xg / CAST(t.xt AS DOUBLE)) * tw.t_g, 12) AS twc_g
+  FROM gstat g JOIN t_within tw ON tw.nation = g.nation CROSS JOIN tot t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       ROUND(CAST(SUM(CAST(tb_g AS DECIMAL(20,12))) AS DOUBLE), 6)
+         AS theil_between,
+       ROUND(CAST(SUM(CAST(twc_g AS DECIMAL(20,12))) AS DOUBLE), 6)
+         AS theil_within,
+       ROUND(CAST(SUM(CAST(tb_g AS DECIMAL(20,12))) AS DOUBLE)
+             + CAST(SUM(CAST(twc_g AS DECIMAL(20,12))) AS DOUBLE), 6)
+         AS theil_total
+FROM parts
+""",
+)
+def q416_theil_decomposition(spark, sf_dir):
+    """THEIL-T INEQUALITY DECOMPOSITION (the inequality index that —
+    unlike q172's Gini — splits EXACTLY into between-group +
+    within-group components: how much revenue concentration is
+    across nations vs inside them, the disparity-attribution query):
+    per-customer revenue in exact cents, per-nation Theil components,
+    share-weighted pooling.
+
+    Exactness: revenues are BIGINT cents; every x/X * ln(x n / X)
+    term snaps at 12 dp into DECIMAL sums (order-free); zero-revenue
+    customers drop from the log on both engines. Scale: two grouped
+    aggregates + arithmetic on the nation-bounded ledger."""
+    o = load_table(spark, sf_dir, "orders")
+    cst = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("nation")
+    )
+    percust = (
+        o.join(cst, o.o_custkey == cst.c_custkey)
+        .groupBy("nation", "o_custkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("x")
+        )
+        .transform(managed_persist)
+    )
+    tot = percust.agg(
+        F.sum("x").cast("bigint").alias("xt"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    gstat = percust.groupBy("nation").agg(
+        F.sum("x").cast("bigint").alias("xg"),
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+    )
+    t_within = (
+        percust.where(F.col("x") > 0)
+        .join(F.broadcast(gstat), "nation")
+        .groupBy("nation")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("x") / F.col("xg").cast("double"))
+                    * F.log(F.col("x") * F.col("ng") / F.col("xg").cast("double")),
+                    12,
+                ).cast("decimal(20,12)")
+            )
+            .cast("double")
+            .alias("t_g")
+        )
+    )
+    wg = F.col("xg") / F.col("xt").cast("double")
+    parts = (
+        gstat.join(t_within, "nation")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                wg * F.log(wg * F.col("n") / F.col("ng")), 12
+            ).alias("tb_g"),
+            F.round(wg * F.col("t_g"), 12).alias("twc_g"),
+        )
+    )
+    tb = F.sum(F.col("tb_g").cast("decimal(20,12)")).cast("double")
+    tw = F.sum(F.col("twc_g").cast("decimal(20,12)")).cast("double")
+    return parts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.round(tb, 6).alias("theil_between"),
+        F.round(tw, 6).alias("theil_within"),
+        F.round(tb + tw, 6).alias("theil_total"),
+    )

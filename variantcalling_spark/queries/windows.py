@@ -8058,3 +8058,83 @@ def q415_seasonal_mann_kendall(spark, sf_dir):
             6,
         ).alias("smk_z"),
     )
+
+
+@query(
+    "q417_median_ci",
+    oracle="""
+WITH v AS (SELECT CAST(value AS DOUBLE) AS x FROM events),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+ranks AS (
+  SELECT n,
+         CAST((n + 1) // 2 AS BIGINT) AS k_med,
+         GREATEST(CAST(1 AS BIGINT),
+           CAST(FLOOR((n - 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2) AS BIGINT))
+           AS k_lo,
+         LEAST(n,
+           CAST(CEIL(1 + (n + 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2) AS BIGINT))
+           AS k_hi
+  FROM n
+),
+sorted AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM v
+)
+SELECT r.n,
+       r.k_lo, r.k_hi,
+       (SELECT x FROM sorted WHERE rn = r.k_med) AS median,
+       (SELECT x FROM sorted WHERE rn = r.k_lo) AS ci_lo,
+       (SELECT x FROM sorted WHERE rn = r.k_hi) AS ci_hi
+FROM ranks r
+""",
+)
+def q417_median_ci(spark, sf_dir):
+    """DISTRIBUTION-FREE MEDIAN CONFIDENCE INTERVAL (the order-
+    statistic CI — no resampling, no normality: P(x_(l) < median <
+    x_(u)) follows the binomial(n, 1/2), here with the standard
+    normal-approximation ranks l = floor((n - z sqrt(n))/2),
+    u = ceil(1 + (n + z sqrt(n))/2) at z = 1.959964 — the exact-rank
+    sibling of q246's Poisson bootstrap and q208's Wilson interval):
+    the median and its 95% CI, each picked by rank.
+
+    Scale discipline: all three order statistics come from ONE
+    `value_at_rank_bucketed` call (bucket histogram + crossing-bucket
+    rescan — the r7 operator), so nothing sorts the corpus in one
+    task; the ranks are deterministic integers from one sqrt."""
+    from variantcalling_spark.operators.ordered import value_at_rank_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(F.col("value").cast("double").alias("x"))
+    n_df = v.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    z = 1.959964
+    ranks = n_df.select(
+        "n",
+        F.expr("(n + 1) DIV 2").alias("k_med"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor((F.col("n") - z * F.sqrt(F.col("n").cast("double"))) / 2).cast(
+                "bigint"
+            ),
+        ).alias("k_lo"),
+        F.least(
+            F.col("n"),
+            F.ceil(1 + (F.col("n") + z * F.sqrt(F.col("n").cast("double"))) / 2).cast(
+                "bigint"
+            ),
+        ).alias("k_hi"),
+    ).transform(managed_persist)
+    ks = (
+        ranks.select(F.lit("median").alias("which"), F.col("k_med").alias("k"))
+        .unionByName(
+            ranks.select(F.lit("ci_lo").alias("which"), F.col("k_lo").alias("k"))
+        )
+        .unionByName(
+            ranks.select(F.lit("ci_hi").alias("which"), F.col("k_hi").alias("k"))
+        )
+    )
+    picked = value_at_rank_bucketed(v, "x", ks, rank_col="k", bucket_width=16.0)
+    wide = picked.groupBy().pivot("which", ["median", "ci_lo", "ci_hi"]).agg(
+        F.first("value_at_rank")
+    )
+    return ranks.crossJoin(F.broadcast(wide)).select(
+        "n", "k_lo", "k_hi", "median", "ci_lo", "ci_hi"
+    )
