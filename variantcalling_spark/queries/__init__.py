@@ -197,6 +197,9 @@ _PRIORITY = (
     "q321_topic_coherence",
     "q322_lsh_planner",
     # --- New in round 7 (add new queries HERE) ---
+    "q420_gc_skew",
+    "q419_interval_cover",
+    "q418_partial_correlation",
     "q417_median_ci",
     "q416_theil_decomposition",
     "q415_seasonal_mann_kendall",

@@ -5589,3 +5589,85 @@ def q399_debruijn_balance(spark, sf_dir):
             "n_balanced", "n_source_like", "n_sink_like", "n_unbalanced",
         )
     )
+
+
+@query(
+    "q420_gc_skew",
+    oracle=f"""
+WITH dna AS ({{SQL_DOCS_DNA}}),
+pos AS (
+  SELECT doc_id, i,
+         CASE substr(seq, CAST(i AS INT), 1)
+              WHEN 'G' THEN 1 WHEN 'C' THEN -1 ELSE 0 END AS d
+  FROM dna, unnest(generate_series(1, length(seq))) AS t(i)
+  WHERE length(seq) > 0
+),
+cum AS (
+  SELECT doc_id, i,
+         CAST(SUM(d) OVER (PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS skew
+  FROM pos
+)
+SELECT doc_id,
+       CAST(MAX(i) AS BIGINT) AS seq_len,
+       CAST(MIN(CASE WHEN skew = mn THEN i END) AS BIGINT) AS ori_pos,
+       CAST(MIN(skew) AS BIGINT) AS min_skew,
+       CAST(MAX(CASE WHEN i = L THEN skew END) AS BIGINT) AS final_skew
+FROM (
+  SELECT *, MIN(skew) OVER (PARTITION BY doc_id) AS mn,
+         MAX(i) OVER (PARTITION BY doc_id) AS L
+  FROM cum
+)
+GROUP BY doc_id
+""".format(SQL_DOCS_DNA=SQL_DOCS_DNA),
+)
+def q420_gc_skew(spark, sf_dir):
+    """CUMULATIVE GC SKEW (the replication-origin locator — the
+    (G−C) running sum flips slope at ori/ter because leading and
+    lagging strands mutate asymmetrically; the classic one-pass
+    genome-landmark analysis beside the k-mer family q185/q399): per
+    sequence, the cumulative-skew minimum position (the ori call),
+    its depth, and the net end skew.
+
+    Scale shape: positions explode once; the cumulative and extrema
+    windows all partition BY SEQUENCE (bounded per-doc lengths, never
+    a global sort); counts exact integers."""
+    from pyspark.sql import Window as W
+
+    dna = docs_as_dna(spark, sf_dir).where(F.length("seq") > 0)
+    pos = dna.select(
+        "doc_id",
+        F.explode(F.expr("sequence(1, length(seq))")).alias("i"),
+        "seq",
+    ).select(
+        "doc_id",
+        "i",
+        F.when(F.expr("substr(seq, i, 1)") == "G", 1)
+        .when(F.expr("substr(seq, i, 1)") == "C", -1)
+        .otherwise(0)
+        .alias("d"),
+    )
+    wcum = W.partitionBy("doc_id").orderBy("i").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = pos.select(
+        "doc_id", "i", F.sum("d").over(wcum).cast("bigint").alias("skew")
+    )
+    wdoc = W.partitionBy("doc_id")
+    x = cum.select(
+        "doc_id",
+        "i",
+        "skew",
+        F.min("skew").over(wdoc).alias("mn"),
+        F.max("i").over(wdoc).alias("L"),
+    )
+    return x.groupBy("doc_id").agg(
+        F.max("i").cast("bigint").alias("seq_len"),
+        F.min(F.when(F.col("skew") == F.col("mn"), F.col("i")))
+        .cast("bigint")
+        .alias("ori_pos"),
+        F.min("skew").cast("bigint").alias("min_skew"),
+        F.max(F.when(F.col("i") == F.col("L"), F.col("skew")))
+        .cast("bigint")
+        .alias("final_skew"),
+    )

@@ -820,3 +820,89 @@ def q397_activity_selection(spark, sf_dir):
     return iv.groupBy("grp").applyInPandas(
         per_group, schema="grp long, event_id long, start_us long, end_us long"
     )
+
+
+_COVER_LO, _COVER_HI = 26_000_000, 29_000_000  # microsecond target span
+
+
+@query(
+    "q419_interval_cover",
+    oracle=f"""
+WITH RECURSIVE iv AS MATERIALIZED (
+  SELECT epoch_us(ts) % 10000000 * 1000 + 20000000 AS s,
+         epoch_us(ts) % 10000000 * 1000 + 20000000
+           + CAST(ROUND(CAST(value AS DECIMAL(12,2)) * 10000) AS BIGINT) AS e,
+         event_id
+  FROM events WHERE event_type IN ('view', 'click')
+),
+walk AS (
+  SELECT 0 AS step, CAST({_COVER_LO} AS BIGINT) AS covered_to,
+         CAST(NULL AS BIGINT) AS picked_id,
+         CAST(NULL AS BIGINT) AS picked_s, CAST(NULL AS BIGINT) AS picked_e
+  UNION ALL
+  SELECT w.step + 1, b.e, b.event_id, b.s, b.e
+  FROM walk w,
+  LATERAL (
+    SELECT i.e, i.event_id, i.s FROM iv i
+    WHERE i.s <= w.covered_to AND i.e > w.covered_to
+    ORDER BY i.e DESC, i.event_id LIMIT 1
+  ) b
+  WHERE w.covered_to < {_COVER_HI} AND w.step < 64
+)
+SELECT CAST(step AS INT) AS step, picked_id AS event_id,
+       picked_s AS start_us, picked_e AS end_us,
+       LEAST(covered_to, {_COVER_HI}) AS covered_to
+FROM walk WHERE step > 0
+""",
+)
+def q419_interval_cover(spark, sf_dir):
+    """MINIMUM INTERVAL COVER (the farthest-reach greedy — provably
+    minimal: among intervals starting at-or-before the current
+    frontier, take the one reaching FARTHEST; the covering dual of
+    q397's packing-style activity selection, i.e. probe selection for
+    a target region): cover [26e6, 29e6) us with event intervals,
+    emitting each pick and the advancing frontier.
+
+    The frontier feedback makes this sequential — but each step is
+    ONE distributed argmax (TakeOrdered over the candidates the
+    frontier admits), so the driver holds only the frontier scalar
+    (bounded by cover size, the Lloyd's pattern); the ORACLE replays
+    the walk with a LATERAL argmax per recursive step. Integer
+    microseconds; ties break (reach DESC, event_id)."""
+    from variantcalling_spark.queries._helpers import managed_persist
+
+    ev = events_points(spark, sf_dir).where(
+        F.col("event_type").isin("view", "click")
+    )
+    iv = ev.select(
+        (F.col("ts_us") % 10000000 * 1000 + 20000000).alias("s"),
+        (
+            F.col("ts_us") % 10000000 * 1000
+            + 20000000
+            + F.round(F.col("value").cast("decimal(12,2)") * 10000).cast("bigint")
+        ).alias("e"),
+        "event_id",
+    ).transform(managed_persist)
+    covered = _COVER_LO
+    rows = []
+    step = 0
+    while covered < _COVER_HI and step < 64:
+        cand = (
+            iv.where((F.col("s") <= covered) & (F.col("e") > covered))
+            .orderBy(F.col("e").desc(), "event_id")
+            .limit(1)
+            .collect()
+        )
+        if not cand:
+            break
+        step += 1
+        r = cand[0]
+        rows.append(
+            (step, int(r.event_id), int(r.s), int(r.e),
+             min(int(r.e), _COVER_HI))
+        )
+        covered = int(r.e)
+    return spark.createDataFrame(
+        rows,
+        "step int, event_id bigint, start_us bigint, end_us bigint, covered_to bigint",
+    )

@@ -8138,3 +8138,99 @@ def q417_median_ci(spark, sf_dir):
     return ranks.crossJoin(F.broadcast(wide)).select(
         "n", "k_lo", "k_hi", "median", "ci_lo", "ci_hi"
     )
+
+
+@query(
+    "q418_partial_correlation",
+    oracle="""
+WITH b AS (
+  SELECT CAST(value AS DECIMAL(12,2)) AS x,
+         CAST((epoch_ns(ts) // 3600000000000) % 24 AS DECIMAL(12,2)) AS y,
+         CAST(((epoch_ns(ts) // 86400000000000) + 3) % 7 AS DECIMAL(12,2)) AS z
+  FROM events
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(z) AS DOUBLE) AS sz,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx, CAST(SUM(y * y) AS DOUBLE) AS syy,
+         CAST(SUM(z * z) AS DOUBLE) AS szz,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy, CAST(SUM(x * z) AS DOUBLE) AS sxz,
+         CAST(SUM(y * z) AS DOUBLE) AS syz
+  FROM b
+),
+r AS (
+  SELECT n,
+         (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rxy,
+         (n * sxz - sx * sz) / sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)) AS rxz,
+         (n * syz - sy * sz) / sqrt((n * syy - sy * sy) * (n * szz - sz * sz)) AS ryz
+  FROM m
+)
+SELECT n, ROUND(rxy, 6) AS r_xy, ROUND(rxz, 6) AS r_xz, ROUND(ryz, 6) AS r_yz,
+       ROUND((rxy - rxz * ryz)
+             / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6) AS r_xy_given_z
+FROM r
+""",
+)
+def q418_partial_correlation(spark, sf_dir):
+    """PARTIAL CORRELATION r_xy.z (the confounder-controlled
+    association: does value correlate with hour-of-day once weekday is
+    partialled out? — the continuous-covariate sibling of q383's
+    stratified CMH and q404's IPTW): the three pairwise Pearson
+    correlations from ONE exact-DECIMAL moment aggregate, composed by
+    the standard recursion r_xy.z = (r_xy - r_xz r_yz) /
+    sqrt((1-r_xz^2)(1-r_yz^2)).
+
+    Exactness: all ten moments are exact DECIMAL sums of 2-dp-snapped
+    inputs (summation-order-free); correlations and the partial are
+    pure IEEE expressions over those identical doubles. One scan."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        dec("value").alias("x"),
+        F.expr("CAST((ts_ns DIV 3600000000000) % 24 AS DECIMAL(12,2))").alias("y"),
+        F.expr(
+            "CAST(((ts_ns DIV 86400000000000) + 3) % 7 AS DECIMAL(12,2))"
+        ).alias("z"),
+    )
+    m = b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("z").cast("double").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("z") * F.col("z")).cast("double").alias("szz"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).cast("double").alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).cast("double").alias("syz"),
+    )
+    n = F.col("n")
+    rxy = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    rxz = (n * F.col("sxz") - F.col("sx") * F.col("sz")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("szz") - F.col("sz") * F.col("sz"))
+    )
+    ryz = (n * F.col("syz") - F.col("sy") * F.col("sz")) / F.sqrt(
+        (n * F.col("syy") - F.col("sy") * F.col("sy"))
+        * (n * F.col("szz") - F.col("sz") * F.col("sz"))
+    )
+    r = m.select(
+        "n", rxy.alias("rxy"), rxz.alias("rxz"), ryz.alias("ryz")
+    )
+    return r.select(
+        "n",
+        F.round("rxy", 6).alias("r_xy"),
+        F.round("rxz", 6).alias("r_xz"),
+        F.round("ryz", 6).alias("r_yz"),
+        F.round(
+            (F.col("rxy") - F.col("rxz") * F.col("ryz"))
+            / F.sqrt(
+                (1 - F.col("rxz") * F.col("rxz"))
+                * (1 - F.col("ryz") * F.col("ryz"))
+            ),
+            6,
+        ).alias("r_xy_given_z"),
+    )
