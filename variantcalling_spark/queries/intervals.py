@@ -829,8 +829,8 @@ _COVER_LO, _COVER_HI = 26_000_000, 29_000_000  # microsecond target span
     "q419_interval_cover",
     oracle=f"""
 WITH RECURSIVE iv AS MATERIALIZED (
-  SELECT epoch_us(ts) % 10000000 * 1000 + 20000000 AS s,
-         epoch_us(ts) % 10000000 * 1000 + 20000000
+  SELECT epoch_us(ts) % 10000000 + 20000000 AS s,
+         epoch_us(ts) % 10000000 + 20000000
            + CAST(ROUND(CAST(value AS DECIMAL(12,2)) * 10000) AS BIGINT) AS e,
          event_id
   FROM events WHERE event_type IN ('view', 'click')
@@ -875,9 +875,9 @@ def q419_interval_cover(spark, sf_dir):
         F.col("event_type").isin("view", "click")
     )
     iv = ev.select(
-        (F.col("ts_us") % 10000000 * 1000 + 20000000).alias("s"),
+        (F.col("ts_us") % 10000000 + 20000000).alias("s"),
         (
-            F.col("ts_us") % 10000000 * 1000
+            F.col("ts_us") % 10000000
             + 20000000
             + F.round(F.col("value").cast("decimal(12,2)") * 10000).cast("bigint")
         ).alias("e"),
