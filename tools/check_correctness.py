@@ -74,7 +74,20 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
             a = sv.astype(float).to_numpy()
             b = dv.astype(float).to_numpy()
             both_nan = np.isnan(a) & np.isnan(b)
-            exact = (a == b) | both_nan
+            # -0.0 == +0.0 is True, but the driver's byte-level value
+            # hash sees the sign bit (r7 verdict: q207/q213 failed on
+            # exactly this) — treat a signed-zero disagreement as a
+            # hard mismatch so the local sweep sees what the hash sees
+            zero_sign = (a == 0.0) & (b == 0.0) & (np.signbit(a) != np.signbit(b))
+            exact = ((a == b) & ~zero_sign) | both_nan
+            if zero_sign.any():
+                i = int(np.argmax(zero_sign))
+                problems.append(
+                    f"col {c}: {int(zero_sign.sum())} signed-zero mismatches "
+                    f"(spark {'-0.0' if np.signbit(a[i]) else '+0.0'} vs "
+                    f"duck {'-0.0' if np.signbit(b[i]) else '+0.0'}) — "
+                    f"driver byte-hash WILL fail"
+                )
             if not exact.all():
                 close = np.isclose(a, b, rtol=1e-9, atol=1e-9) | both_nan
                 n_inexact = int((~exact).sum())

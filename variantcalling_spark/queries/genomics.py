@@ -51,7 +51,7 @@ SQL_DOCS_DNA = f"""
     "q50_phred_math",
     oracle="""
 SELECT event_id,
-       ROUND(-10 * log10((value + 1) / 1000.0), 6) AS phred_q,
+       ROUND(-10 * log10((value + 1) / 1000.0), 6) + 0.0 AS phred_q,
        ROUND(POW(10.0, -((value + 1) / 10.0)), 9) AS unphred_p
 FROM events
 """,
@@ -64,7 +64,9 @@ def q50_phred_math(spark, sf_dir):
     p = (F.col("value") + 1) / 1000.0
     return ev.select(
         "event_id",
-        F.round(phred(p), 6).alias("phred_q"),
+        # + 0.0 on both engines: value=999 makes p exactly 1, and
+        # DuckDB's ROUND keeps the -0.0 from -10*log10(1) (r7 verdict)
+        (F.round(phred(p), 6) + F.lit(0.0)).alias("phred_q"),
         F.round(unphred(F.col("value") + 1), 9).alias("unphred_p"),
     )
 
@@ -1304,7 +1306,7 @@ shared AS (
 )
 SELECT s.doc_a, s.doc_b, CAST(s.sh AS BIGINT) AS n_shared,
        CAST(za.n_sk AS BIGINT) AS n_a, CAST(zb.n_sk AS BIGINT) AS n_b,
-       ROUND(-ln(2.0 * s.sh / (za.n_sk + zb.n_sk)) / {MASH_K}, 6)
+       ROUND(-ln(2.0 * s.sh / (za.n_sk + zb.n_sk)) / {MASH_K}, 6) + 0.0
          AS mash_distance
 FROM shared s
 JOIN sizes za ON za.doc_id = s.doc_a
@@ -1389,10 +1391,17 @@ def q207_mash_distance(spark, sf_dir):
             F.col("sh").cast("bigint").alias("n_shared"),
             F.col("n_a").cast("bigint").alias("n_a"),
             F.col("n_b").cast("bigint").alias("n_b"),
-            F.round(
-                -F.log(2.0 * F.col("sh") / (F.col("n_a") + F.col("n_b")))
-                / F.lit(float(k)),
-                6,
+            # + 0.0 canonicalizes IEEE -0.0 -> +0.0 on BOTH engines
+            # (identical twin in the oracle): DuckDB's ROUND propagates
+            # the sign of zero from -ln(1), Spark's does not, and the
+            # driver's byte-level hash sees the sign bit (r7 verdict)
+            (
+                F.round(
+                    -F.log(2.0 * F.col("sh") / (F.col("n_a") + F.col("n_b")))
+                    / F.lit(float(k)),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("mash_distance"),
         )
     )
@@ -1462,7 +1471,7 @@ p AS (
 )
 SELECT site, alt_fwd, alt_rev, ref_fwd, ref_rev,
        ROUND(p_two, 10) AS p_fisher,
-       ROUND(-10 * log10(p_two), 4) AS fs_phred,
+       ROUND(-10 * log10(p_two), 4) + 0.0 AS fs_phred,
        ROUND(
          ln(((ref_fwd + 1.0) * (alt_rev + 1.0)) / ((alt_fwd + 1.0) * (ref_rev + 1.0))
             + ((alt_fwd + 1.0) * (ref_rev + 1.0)) / ((ref_fwd + 1.0) * (alt_rev + 1.0)))
@@ -1544,7 +1553,9 @@ def q213_fisher_strand(spark, sf_dir):
         "ref_fwd",
         "ref_rev",
         F.round("p_two", 10).alias("p_fisher"),
-        F.round(-10.0 * F.log10("p_two"), 4).alias("fs_phred"),
+        # + 0.0: canonicalize -0.0 (p_two can be exactly 1 when every
+        # table in the support passes the pobs filter) — see q207 note
+        (F.round(-10.0 * F.log10("p_two"), 4) + F.lit(0.0)).alias("fs_phred"),
         F.round(
             F.log((rf * ar) / (af * rr) + (af * rr) / (rf * ar))
             + F.log(F.least(rf, rr) / F.greatest(rf, rr))
