@@ -177,6 +177,17 @@ SCALE2_QUERIES = [
     "q382_page_hinkley",
 ]
 
+# FROZEN round-over-round comparison set (r7 verdict ask #6): the 25
+# queries that have been in scale2 since round 6. New scale2 entries go
+# to SCALE2_QUERIES only — never add here — so the `fixed_set_value`
+# subtotal emitted in the scale2 JSON stays directly comparable across
+# rounds without manual subtraction.
+SCALE2_FIXED_SET = frozenset(
+    n
+    for n in SCALE2_QUERIES
+    if n not in ("q40_pr_curve", "q374_multiband_ann", "q382_page_hinkley")
+)
+
 
 def _second_scale_point(spark, registry) -> dict | None:
     if os.environ.get("SPARK_GRAFT_SCALE2", "1") == "0":
@@ -225,6 +236,10 @@ def _second_scale_point(spark, registry) -> dict | None:
             "sf": 1.0,
             "note": "10x sf0.1 replicas with key offsets (tools/make_scale.py)",
             "value": round(sum(per_query.values()), 3),
+            "fixed_set_value": round(
+                sum(t for n, t in per_query.items() if n in SCALE2_FIXED_SET), 3
+            ),
+            "fixed_set_n": sum(1 for n in per_query if n in SCALE2_FIXED_SET),
             "queries": per_query,
         }
     except Exception:

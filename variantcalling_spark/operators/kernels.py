@@ -365,8 +365,12 @@ def nw_align_scores(
                 a = "" if a is None else str(a)
                 b = "" if b is None else str(b)
                 n, m = len(a), len(b)
-                av = np.frombuffer(a.encode("latin1"), dtype=np.uint8)
-                bv = np.frombuffer(b.encode("latin1"), dtype=np.uint8)
+                # utf-32-le -> one uint32 per code point: arbitrary text
+                # is safe (latin1 raised UnicodeEncodeError on any char
+                # > U+00FF and killed the executor task); the DP only
+                # needs element-wise ==, which is unchanged
+                av = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+                bv = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
                 prev = gap * np.arange(m + 1, dtype=np.int64)
                 j_idx = np.arange(m + 1, dtype=np.int64)
                 for i in range(1, n + 1):
@@ -426,8 +430,12 @@ def sw_align_scores(
                 a = "" if a is None else str(a)
                 b = "" if b is None else str(b)
                 n, m = len(a), len(b)
-                av = np.frombuffer(a.encode("latin1"), dtype=np.uint8)
-                bv = np.frombuffer(b.encode("latin1"), dtype=np.uint8)
+                # utf-32-le -> one uint32 per code point: arbitrary text
+                # is safe (latin1 raised UnicodeEncodeError on any char
+                # > U+00FF and killed the executor task); the DP only
+                # needs element-wise ==, which is unchanged
+                av = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+                bv = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
                 prev = np.zeros(m + 1, dtype=np.int64)
                 j_idx = np.arange(m + 1, dtype=np.int64)
                 best = 0
@@ -776,8 +784,12 @@ def gotoh_align_scores(
                 a = "" if a is None else str(a)
                 b = "" if b is None else str(b)
                 n, m = len(a), len(b)
-                av = np.frombuffer(a.encode("latin1"), dtype=np.uint8)
-                bv = np.frombuffer(b.encode("latin1"), dtype=np.uint8)
+                # utf-32-le -> one uint32 per code point: arbitrary text
+                # is safe (latin1 raised UnicodeEncodeError on any char
+                # > U+00FF and killed the executor task); the DP only
+                # needs element-wise ==, which is unchanged
+                av = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+                bv = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
                 j_idx = np.arange(m + 1, dtype=np.int64)
                 M = np.full(m + 1, GOTOH_NEG, dtype=np.int64)
                 M[0] = 0
@@ -850,8 +862,12 @@ def lcs_lengths(
                 a = "" if a is None else str(a)
                 b = "" if b is None else str(b)
                 n, m = len(a), len(b)
-                av = np.frombuffer(a.encode("latin1"), dtype=np.uint8)
-                bv = np.frombuffer(b.encode("latin1"), dtype=np.uint8)
+                # utf-32-le -> one uint32 per code point: arbitrary text
+                # is safe (latin1 raised UnicodeEncodeError on any char
+                # > U+00FF and killed the executor task); the DP only
+                # needs element-wise ==, which is unchanged
+                av = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+                bv = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
                 prev = np.zeros(m + 1, dtype=np.int64)
                 for i in range(1, n + 1):
                     if m:

@@ -231,8 +231,12 @@ def value_at_rank_bucketed(
        bucket) with a bucket-LOCAL cumulative count over distinct
        values.
 
-    Returns ``ranks`` columns + ``value_at_rank``. Used by the q333
-    median and the q225 tranche thresholds (VERDICT r6 fix #1).
+    Returns ``ranks`` columns + ``value_at_rank``. Contract: every row
+    of ``ranks`` comes back exactly once — a rank k beyond the total row
+    count (no crossing bucket exists) returns ``value_at_rank = NULL``
+    rather than silently dropping the row, so a caller bug surfaces as
+    a visible NULL instead of a missing output row (r7 ADVICE). Used by
+    the q333 median and the q225 tranche thresholds (VERDICT r6 fix #1).
     """
     sign = -1 if descending else 1
     bkt = F.floor(F.col(value_col) * sign / F.lit(bucket_width)).cast("bigint")
@@ -270,7 +274,8 @@ def value_at_rank_bucketed(
             )
         )
     )
-    return picked
+    # restore ranks with no crossing bucket (k > total rows) as NULL
+    return ranks.join(picked, list(ranks.columns), "left")
 
 
 def ntile_expr(rn, n, k: int):

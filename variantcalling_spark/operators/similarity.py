@@ -701,6 +701,106 @@ def ivf_cosine_topk(
     )
 
 
+def multiprobe_ivf_cosine_topk(
+    queries: DataFrame,
+    indexed: DataFrame,
+    centroids_df: DataFrame,
+    k: int = 3,
+    max_probes: int = 8,
+    margin: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search with MARGIN-ORDERED ADAPTIVE probing (the multi-probe
+    idea of Lv et al., VLDB'07, applied to the coarse quantizer): a
+    query near the MIDDLE of its Voronoi cell probes few cells; a query
+    near a cell BOUNDARY — where the true neighbors spill into the
+    adjacent cell — probes more. Probe set per query = centroids whose
+    squared distance is within ``(1+margin)^2`` of the nearest
+    centroid's, in increasing-distance (= increasing-margin) order,
+    capped at ``max_probes``; the nearest cell is always probed.
+
+    MEASURED VERDICT (q421, the r7 ROADMAP lead resolved by harness
+    rather than by assertion): on the synthetic embeddings corpus the
+    margin-ordered allocation does NOT beat uniform nprobe at matched
+    average probes/query — recall@10 tracks the TOTAL probed-cell count
+    almost linearly (fixed-4 0.6925 vs multiprobe-avg-3.8 0.6375 at 16
+    cells; the 64-cell and floor+margin hybrids measured the same way,
+    see SCALE.md r8). The operator is kept because the rule is the
+    right shape for CLUSTERED corpora (boundary queries are where IVF
+    recall loss concentrates when cells capture real structure) and
+    the probe set is hard-capped either way — but per the q421 numbers,
+    a uniform-nprobe default is the honest recommendation here.
+
+    Scale shape identical to ``ivf_cosine_topk``: the centroid relation
+    broadcasts (both windows below are per-query over <= n_centroids
+    rows — bounded, never a global sort), candidate cells partition-
+    prune BEFORE scoring, and the probe fan-out is data-dependent but
+    hard-capped at ``max_probes``."""
+    mfac = float((1.0 + margin) ** 2)
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    wq = W.partitionBy("query_id")
+    q_cells = (
+        qv.crossJoin(F.broadcast(centroids_df))
+        .select(
+            "query_id",
+            "qv",
+            "centroid_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("dist2"),
+        )
+        .withColumn("d2min", F.min("dist2").over(wq))
+        .withColumn(
+            "rk",
+            F.row_number().over(wq.orderBy("dist2", "centroid_id")),
+        )
+        .where(
+            (F.col("rk") <= max_probes)
+            & (
+                (F.col("rk") == 1)
+                | (F.col("dist2") <= F.col("d2min") * F.lit(mfac))
+            )
+        )
+        .select("query_id", "qv", "centroid_id")
+    )
+    cands = indexed.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        "centroid_id",
+    )
+    pairs = cands.join(F.broadcast(q_cells), "centroid_id").where(
+        F.col("query_id") != F.col("cand_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "cand_id",
+        (
+            dot(F.col("qv"), F.col("cv"))
+            / (
+                F.sqrt(dot(F.col("qv"), F.col("qv")))
+                * F.sqrt(dot(F.col("cv"), F.col("cv")))
+            )
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
 def knn_graph(
     vecs: DataFrame,
     k: int = 3,

@@ -198,15 +198,27 @@ def diff_versions(
         spark, catalog_root, key, merge_keys, as_of_version=v_new
     )
 
+    # value-column set: sorted UNION of both snapshots' columns, so the
+    # fingerprint is deterministic under column reordering and schema
+    # evolution (a column present in only one snapshot reads as the
+    # missing-sentinel on the other side -> correctly 'changed').
+    # Each column is coalesced to a NUL sentinel BEFORE concat_ws:
+    # concat_ws silently SKIPS null arguments, which would make
+    # (NULL,'x') and ('x',NULL) hash identically.
+    value_cols = sorted(
+        (set(old.columns) | set(new.columns)) - set(merge_keys)
+    )
+
     def fingerprint(df):
-        value_cols = [c for c in df.columns if c not in merge_keys]
+        def cell(c):
+            v = F.col(c).cast("string") if c in df.columns else F.lit(None)
+            return F.coalesce(v, F.lit("\x00"))
+
         return df.select(
             *merge_keys,
-            F.md5(
-                F.concat_ws(
-                    "\x1f", *[F.col(c).cast("string") for c in value_cols]
-                )
-            ).alias("__fp"),
+            F.md5(F.concat_ws("\x1f", *[cell(c) for c in value_cols])).alias(
+                "__fp"
+            ),
         )
 
     o = fingerprint(old).withColumnRenamed("__fp", "__fp_old")

@@ -49,65 +49,15 @@ _PRIORITY = (
     # Driver budget is ~50 rows/round; the full local sweep
     # (tools/check_correctness.py) covers ALL queries every round, so this
     # order only decides WHICH rows the driver re-certifies.
-    # ROUND 7 ordering (r6 verdict ask #3 - certification debt first):
-    #   1. the never-driver-checked block q184-q322 (138 queries, oldest
-    #      vintage first; the ~50-row budget reaches about q233 this
-    #      round - keep the remainder queued for r8);
-    #   2. new round-7 queries (add them at the TOP of the round-7
-    #      section so they are next in line after the debt clears);
+    # ROUND 8 ordering (r7 verdict ask #3 - keep paying the debt down):
+    #   1. the never-driver-checked remainder q234-q322 (89 queries; the
+    #      r7 driver run certified q184-q233, so those rotate out of the
+    #      head — the ~50-row budget reaches about q283 this round);
+    #   2. the round-7 block q373-q420 (never checked), then new round-8
+    #      queries at the TOP of that section;
     #   3. everything else keeps registry (module) order - all of it
-    #      has a green row from r1-r6 and stays covered by the sweep.
-    # --- Never driver-checked (registered r5/r6, no row yet) ---
-    "q184_trimmed_mean",
-    "q185_kmer_spectrum",
-    "q186_personalized_pagerank",
-    "q187_target_coverage_metrics",
-    "q188_mark_duplicates",
-    "q189_n50_stats",
-    "q190_quantile_normalization",
-    "q191_pmi_collocations",
-    "q192_cohort_retention",
-    "q193_funnel_conversion",
-    "q194_association_rules",
-    "q195_pareto_concentration",
-    "q196_skyline_2d",
-    "q197_cusum_changepoint",
-    "q198_ld_r2_pairs",
-    "q199_ld_prune",
-    "q200_gwas_prep_funnel",
-    "q201_split_integrity_audit",
-    "q202_switch_error_rate",
-    "q203_cohens_kappa",
-    "q204_blocking_quality",
-    "q205_brier_reliability",
-    "q206_kaplan_meier",
-    "q207_mash_distance",
-    "q208_wilson_intervals",
-    "q209_emerging_terms",
-    "q210_idf_weighted_containment",
-    "q211_roh_segments",
-    "q212_decile_lift",
-    "q213_fisher_strand",
-    "q214_bqsr_table",
-    "q215_rag_chunking",
-    "q216_embedding_quantization",
-    "q217_ann_recall_eval",
-    "q218_contamination_estimate",
-    "q219_nw_alignment",
-    "q220_insert_size_metrics",
-    "q221_ir_eval",
-    "q222_isotonic_calibration",
-    "q223_clustering_nmi",
-    "q224_kneser_ney_lm",
-    "q225_vqsr_tranches",
-    "q226_bbit_minhash",
-    "q227_hll_distinct",
-    "q228_cms_heavy_hitters",
-    "q229_hpol_table",
-    "q230_somatic_gt_subtraction",
-    "q231_training_consistency_report",
-    "q232_leftalign_hmer_indels",
-    "q233_fastqc_per_cycle",
+    #      has a green row from r1-r7 and stays covered by the sweep.
+    # --- Never driver-checked (registered r6, no row yet) ---
     "q234_adapter_scan",
     "q235_embedding_isotropy",
     "q236_transmission_phasing",
@@ -196,7 +146,9 @@ _PRIORITY = (
     "q320_jl_projection",
     "q321_topic_coherence",
     "q322_lsh_planner",
-    # --- New in round 7 (add new queries HERE) ---
+    # --- New in round 8 (add new queries HERE) ---
+    "q421_multiprobe_ivf_recall",
+    # --- New in round 7 ---
     "q420_gc_skew",
     "q419_interval_cover",
     "q418_partial_correlation",

@@ -754,7 +754,6 @@ def _lpa_edges_and_labels(spark, sf_dir):
     nodes — all partitioned by node/dst keys, no driver state, no
     collect. The edge table is persisted once and reused across
     iterations (same pattern as q144's PageRank loop)."""
-    from pyspark.sql import Window as W
     from variantcalling_spark.operators.similarity import adaptive_knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -768,22 +767,26 @@ def _lpa_edges_and_labels(spark, sf_dir):
     )
     nodes = emb.select(F.col("vec_id").alias("node"))
     labels = nodes.select("node", F.col("node").alias("label"))
-    w = W.partitionBy("node").orderBy(F.desc("c"), "label")
     for _ in range(LPA_ITERS):
-        counts = (
+        # majority vote with (count DESC, label ASC) tie-break as ONE
+        # map-side-combinable aggregate: min(struct(-c, label)) picks the
+        # highest count, then the smallest label — identical order to the
+        # former row_number window, without the per-node sort (r8: this
+        # shed ~2 shuffle+sort stages per round; the 10x point had grown
+        # floor-bound at ~15 sequential stages)
+        pick = (
             edges.join(labels.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("node")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), "label")).alias("top"))
+            .select("node", F.col("top.label").alias("new_label"))
         )
-        pick = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("node", F.col("label").alias("new_label"))
-        )
-        labels = (
-            nodes.join(labels, "node")
-            .join(pick, "node", "left")
-            .select("node", F.coalesce("new_label", "label").alias("label"))
+        # labels carries ALL nodes by induction (starts as nodes, each
+        # round left-joins onto it), so no re-join to nodes is needed;
+        # isolated nodes simply keep their label through the coalesce
+        labels = labels.join(pick, "node", "left").select(
+            "node", F.coalesce("new_label", "label").alias("label")
         )
     return edges, labels
 
@@ -4229,3 +4232,142 @@ def q405_bounded_hop_sssp(spark, sf_dir):
             .transform(managed_persist)
         )
     return d.select("node", F.col("dist").alias("dist_scaled"))
+
+
+@query(
+    "q421_multiprobe_ivf_recall",
+    oracle="""
+SELECT * FROM (VALUES
+  (CAST('fixed_nprobe2' AS VARCHAR), CAST(2.0 AS DOUBLE),
+   CAST(400 AS BIGINT), CAST(180 AS BIGINT), CAST(0.45 AS DOUBLE)),
+  (CAST('fixed_nprobe4' AS VARCHAR), CAST(4.0 AS DOUBLE),
+   CAST(400 AS BIGINT), CAST(277 AS BIGINT), CAST(0.6925 AS DOUBLE)),
+  (CAST('multiprobe_m06' AS VARCHAR), CAST(2.4 AS DOUBLE),
+   CAST(400 AS BIGINT), CAST(196 AS BIGINT), CAST(0.49 AS DOUBLE)),
+  (CAST('multiprobe_m08' AS VARCHAR), CAST(3.825 AS DOUBLE),
+   CAST(400 AS BIGINT), CAST(255 AS BIGINT), CAST(0.6375 AS DOUBLE))
+) AS t(arm, avg_probes, n_exact, n_hit, recall_at_10)
+""",
+)
+def q421_multiprobe_ivf_recall(spark, sf_dir):
+    """MULTI-PROBE IVF vs FIXED-nprobe at matched cost (the r7 ROADMAP
+    lead "make the probe order earn it", resolved by MEASUREMENT): four
+    arms over ONE index build — fixed nprobe=2, fixed nprobe=4, and
+    margin-ordered multiprobe at two margins tuned to land near those
+    average costs — each reporting its MEASURED average probes/query
+    next to pooled recall@10 against the exact arm, so the
+    recall-per-probe trade reads directly off the table.
+
+    The measured answer is NEGATIVE on this corpus: recall tracks the
+    total probed-cell count, and reallocating the budget toward
+    boundary queries buys nothing (multiprobe avg 3.83 probes -> 0.6375
+    vs fixed 4 -> 0.6925). The q392 nprobe=4->8 headroom is bought by
+    raw probe count, not probe order. The harness pins that conclusion
+    the same way q375 pinned the single-band recall hole — negative
+    results from a real harness are what keep the dial settings honest
+    (SCALE.md r8 records the 64-cell and floor+margin variants too).
+
+    Oracle form: seeded Spark-ML KMeans routing is reproducible but
+    not SQL-derivable, so the sf0.01 table is pinned as a literal
+    VALUES oracle (the q392/q71 pinning pattern, local[8] dual-run
+    verified). Scale shape: centroids broadcast; every window is
+    per-query over <= 16 centroid rows; candidates partition-prune on
+    centroid_id before any scoring; probe fan-out hard-capped."""
+    from variantcalling_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+        ivf_index,
+        multiprobe_ivf_cosine_topk,
+    )
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").transform(managed_persist)
+    q = emb.where(F.col("vec_id") < 40)
+    ex = cosine_topk(q, emb, k=10).select("query_id", "cand_id")
+    ex = ex.transform(managed_persist)
+    centroids, indexed = ivf_index(emb, n_centroids=16)
+    indexed = indexed.transform(managed_persist)
+
+    # probe-count ledger shared by all arms: per (query, centroid) the
+    # margin rank and the distance ratio to the nearest centroid
+    qv = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    wq = W.partitionBy("query_id")
+    cells = (
+        qv.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "centroid_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("dist2"),
+        )
+        .withColumn("d2min", F.min("dist2").over(wq))
+        .withColumn("rk", F.row_number().over(wq.orderBy("dist2", "centroid_id")))
+        .transform(managed_persist)
+    )
+
+    def probes_of(arm):
+        kind, p1, p2 = arm
+        if kind == "fixed":
+            return cells.where(F.col("rk") <= p1)
+        mfac = float((1.0 + p2) ** 2)
+        return cells.where(
+            (F.col("rk") <= p1)
+            & ((F.col("rk") == 1) | (F.col("dist2") <= F.col("d2min") * F.lit(mfac)))
+        )
+
+    # margins tuned (measured sweep, SCALE.md r8) so the multiprobe arms
+    # land NEAR the fixed arms' cost: m=0.06 -> avg 2.4 probes, m=0.08
+    # -> avg 3.83 probes at 16 cells on sf0.01
+    arms = [
+        ("fixed", 2, None, "fixed_nprobe2"),
+        ("fixed", 4, None, "fixed_nprobe4"),
+        ("multi", 8, 0.06, "multiprobe_m06"),
+        ("multi", 8, 0.08, "multiprobe_m08"),
+    ]
+    out = None
+    for kind, p1, p2, label in arms:
+        if kind == "fixed":
+            ap = ivf_cosine_topk(q, indexed, centroids, k=10, nprobe=p1)
+        else:
+            ap = multiprobe_ivf_cosine_topk(
+                q, indexed, centroids, k=10, max_probes=p1, margin=p2
+            )
+        ap = ap.select("query_id", F.col("cand_id").alias("ac"))
+        nprobes = probes_of((kind, p1, p2)).agg(
+            (F.count(F.lit(1)) / F.countDistinct("query_id")).alias("ap_q")
+        )
+        hit = ex.join(
+            ap, (ex.query_id == ap.query_id) & (ex.cand_id == ap.ac), "left"
+        )
+        row = (
+            hit.agg(
+                F.lit(label).alias("arm"),
+                F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+                F.sum(F.when(F.col("ac").isNotNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_hit"),
+                F.round(
+                    F.sum(F.when(F.col("ac").isNotNull(), 1).otherwise(0))
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                ).alias("recall_at_10"),
+            )
+            .crossJoin(F.broadcast(nprobes))
+            .select(
+                "arm",
+                F.round("ap_q", 3).alias("avg_probes"),
+                "n_exact",
+                "n_hit",
+                "recall_at_10",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -72,7 +72,26 @@ def calibration_artifact(events: DataFrame) -> DataFrame:
         F.col("n_cal").cast("bigint").alias("n_cal"),
         F.col("s").alias("q_hat"),
     )
-    return trainmean.join(qhat, "event_type")
+    # LEFT join + q_hat -> +inf for series whose calibration fold is too
+    # small for the rank to exist (n_cal < ceil(0.9(n+1)) needs n_cal>=9):
+    # the conformal convention is a vacuous interval (always covers), not
+    # silently dropping the series from monitoring. n_cal counts what the
+    # fold actually had (0 if the series never hit fold 1).
+    n_cal_all = (
+        labeled.where(F.col("fold") == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cal_obs"))
+    )
+    return (
+        trainmean.join(n_cal_all, "event_type", "left")
+        .join(qhat.drop("n_cal"), "event_type", "left")
+        .select(
+            "event_type",
+            "mu",
+            F.coalesce(F.col("q_hat"), F.lit(float("inf"))).alias("q_hat"),
+            F.coalesce(F.col("n_cal_obs"), F.lit(0)).alias("n_cal"),
+        )
+    )
 
 
 def batch_coverage(batch: DataFrame, artifact: DataFrame) -> DataFrame:
