@@ -780,3 +780,58 @@ def test_streaming_page_hinkley_stateful(spark, tmp_path):
         t, m6, e6 = last[series]
         assert t == n
         assert round(m, 6) == m6 and round(excess, 6) == e6, series
+
+
+def test_streaming_coverage_selector_equals_batch(spark, tmp_path):
+    """Streaming max-coverage sieve (q422's foreachBatch face): four
+    doc_id-range chunk files arrive as four micro-batches
+    (maxFilesPerTrigger=1, written in mtime order); the selector's
+    ledger must equal the sequential batch replay of select_from_batch
+    over the same chunks — covered state carried identically — and the
+    min-gain sieve must have rejected at least one slot (else the
+    threshold is vacuous and the test measures nothing)."""
+    import time as _time
+
+    from variantcalling_spark.streaming.coverage_selector import (
+        doc_bigrams,
+        select_from_batch,
+        select_stream,
+    )
+
+    docs = (
+        spark.read.parquet(os.path.join(SF, "documents.parquet"))
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 200)
+    )
+    per_batch, min_gain = 2, 60
+    in_dir = str(tmp_path / "cov_in")
+    chunks = []
+    for c in range(4):
+        chunk = docs.where(
+            (F.col("doc_id") >= c * 50) & (F.col("doc_id") < (c + 1) * 50)
+        )
+        chunks.append(chunk)
+        chunk.coalesce(1).write.mode("append").parquet(in_dir)
+        _time.sleep(1.1)
+
+    expected = []
+    covered = None
+    for c, chunk in enumerate(chunks):
+        picks, covered = select_from_batch(
+            doc_bigrams(chunk), covered, per_batch=per_batch, min_gain=min_gain
+        )
+        for slot, doc_id, gain, total in picks:
+            expected.append((c, slot, doc_id, gain, total))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q, state = select_stream(stream, per_batch=per_batch, min_gain=min_gain)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert state.selected == expected
+    assert 0 < len(expected) < 8  # sieve bound AND threshold binding

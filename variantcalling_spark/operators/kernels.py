@@ -893,6 +893,61 @@ def lcs_lengths(
     return pairs.select(id_col, a_col, b_col).mapInPandas(run, schema=out_schema)
 
 
+def lcs_lengths_tokens(
+    pairs: DataFrame,
+    id_col: str = "pair_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """``lcs_lengths`` over TOKEN SEQUENCES (array<string> columns)
+    instead of character strings — the DP under token-level ROUGE-L
+    (q423), where the unit of match is a whole word/BPE piece, not a
+    character (the r7 ROADMAP lead "BLEU/ROUGE over token sequences";
+    q378's BLEU is already token-level, this closes the ROUGE side).
+
+    Same Arrow ``mapInPandas`` + per-row numpy wavefront as
+    ``lcs_lengths``; tokens are factorized per pair (np.unique
+    return_inverse over the concatenated pair) so the inner DP compares
+    int codes, never Python strings. Integer DP -> bit-exact; the
+    DuckDB oracle replays the recurrence with list-element equality."""
+    import numpy as np
+
+    out_schema = f"{id_col} bigint, n int, m int, lcs_len int"
+
+    def run(batches):
+        for pdf in batches:
+            ids, ns, ms, lens = [], [], [], []
+            for pid, a, b in zip(pdf[id_col], pdf[a_col], pdf[b_col]):
+                a = [] if a is None else list(a)
+                b = [] if b is None else list(b)
+                n, m = len(a), len(b)
+                codes = np.unique(np.array(a + b, dtype=object), return_inverse=True)[1]
+                av, bv = codes[:n], codes[n:]
+                prev = np.zeros(m + 1, dtype=np.int64)
+                for i in range(1, n + 1):
+                    if m:
+                        eq = (bv == av[i - 1]).astype(np.int64)
+                        c = np.maximum(prev[1:], prev[:-1] + eq)
+                        cur = np.empty(m + 1, dtype=np.int64)
+                        cur[0] = 0
+                        cur[1:] = c
+                        prev = np.maximum.accumulate(cur)
+                ids.append(pid)
+                ns.append(n)
+                ms.append(m)
+                lens.append(int(prev[-1]))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype="int64"),
+                    "n": pd.array(ns, dtype="int32"),
+                    "m": pd.array(ms, dtype="int32"),
+                    "lcs_len": pd.array(lens, dtype="int32"),
+                }
+            )
+
+    return pairs.select(id_col, a_col, b_col).mapInPandas(run, schema=out_schema)
+
+
 def page_hinkley_scan(
     df: DataFrame,
     key_col: str = "series",

@@ -147,6 +147,8 @@ _PRIORITY = (
     "q321_topic_coherence",
     "q322_lsh_planner",
     # --- New in round 8 (add new queries HERE) ---
+    "q423_rouge_l_tokens",
+    "q422_sieve_coverage_stream",
     "q421_multiprobe_ivf_recall",
     # --- New in round 7 ---
     "q420_gc_skew",

@@ -3601,3 +3601,111 @@ def q396_max_coverage_selection(spark, sf_dir):
     return spark.createDataFrame(
         rows, "step int, doc_id bigint, new_covered bigint, total_covered bigint"
     )
+
+
+_SIEVE_CHUNK = 50  # doc_id range per "micro-batch" in the batch replay
+_SIEVE_CHUNKS = 4  # chunks cover doc_id < 200 (the q396 universe)
+_SIEVE_PER_BATCH = 2
+_SIEVE_MIN_GAIN = 60
+
+
+def _sieve_coverage_oracle_sql() -> str:
+    """The q422 streaming sieve unrolled: chunks x slots stages, each
+    stage = gains over the CHUNK's incidence anti-joined against the
+    carried covered set, HAVING gain >= min_gain, argmax (gain DESC,
+    doc_id ASC). Empty stages emit no row; the covered set threads
+    through unchanged (same saturation convention as q396's oracle)."""
+    parts = [f"""
+ds AS (
+  SELECT doc_id // {_SIEVE_CHUNK} AS chunk, doc_id, w FROM (
+    SELECT DISTINCT doc_id,
+           unnest([ws[i] || ' ' || ws[i+1]
+                   for i in generate_series(1, len(ws) - 1)]) AS w
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+          WHERE doc_id < {_SIEVE_CHUNK * _SIEVE_CHUNKS})
+    WHERE len(ws) >= 2
+  )
+),
+cov0_{_SIEVE_PER_BATCH} AS (SELECT NULL::VARCHAR AS w WHERE 1 = 0)"""]
+    prev = f"cov0_{_SIEVE_PER_BATCH}"
+    for c in range(1, _SIEVE_CHUNKS + 1):
+        for j in range(1, _SIEVE_PER_BATCH + 1):
+            tag = f"{c}_{j}"
+            parts.append(f"""
+g{tag} AS (
+  SELECT doc_id, COUNT(*) AS gain
+  FROM ds WHERE chunk = {c - 1}
+    AND NOT EXISTS (SELECT 1 FROM {prev} p WHERE p.w = ds.w)
+  GROUP BY doc_id
+  HAVING COUNT(*) >= {_SIEVE_MIN_GAIN}
+),
+s{tag} AS (SELECT doc_id AS sel, gain FROM g{tag}
+           ORDER BY gain DESC, doc_id LIMIT 1),
+cov{tag} AS (
+  SELECT w FROM {prev}
+  UNION
+  SELECT ds.w FROM ds JOIN s{tag} ON ds.doc_id = s{tag}.sel
+)""")
+            prev = f"cov{tag}"
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {c - 1} AS batch_id, {j} AS slot,"
+        f" CAST((SELECT sel FROM s{c}_{j}) AS BIGINT) AS doc_id,"
+        f" CAST((SELECT gain FROM s{c}_{j}) AS BIGINT) AS new_covered,"
+        f" CAST((SELECT COUNT(*) FROM cov{c}_{j}) AS BIGINT) AS total_covered"
+        for c in range(1, _SIEVE_CHUNKS + 1)
+        for j in range(1, _SIEVE_PER_BATCH + 1)
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT * FROM ({rows}) WHERE doc_id IS NOT NULL"
+    )
+
+
+@query("q422_sieve_coverage_stream", oracle=_sieve_coverage_oracle_sql())
+def q422_sieve_coverage_stream(spark, sf_dir):
+    """STREAMING MAX-COVERAGE SIEVE, batch replay (the r7 ROADMAP lead
+    "streaming max-coverage selector" — the foreachBatch face lives in
+    streaming/coverage_selector.py with a stream==batch pin; THIS is
+    its deterministic batch face, certifiable against an unrolled SQL
+    oracle): documents arrive in fixed doc_id-range chunks (the
+    micro-batches); per chunk the selector accepts up to
+    {_SIEVE_PER_BATCH} docs in greedy order, each required to add >=
+    {_SIEVE_MIN_GAIN} UNCOVERED bigrams; the covered vocabulary carries
+    across chunks. Contrast with q396 (offline greedy over the whole
+    corpus): the sieve never revisits a past batch, so its picks are a
+    (1/2 - eps)-style streaming approximation — what an ingest pipeline
+    can actually afford at 100 TB.
+
+    Scale shape: per batch a bounded driver loop ({_SIEVE_PER_BATCH}
+    rounds) of anti-join + map-side-combinable gain count + TakeOrdered
+    argmax; the covered relation grows by selection only (bounded by
+    the pick budget, not stream length)."""
+    from variantcalling_spark.streaming.coverage_selector import (
+        doc_bigrams,
+        select_from_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < _SIEVE_CHUNK * _SIEVE_CHUNKS
+    )
+    covered = None
+    rows = []
+    for c in range(_SIEVE_CHUNKS):
+        chunk = docs.where(
+            (F.col("doc_id") >= c * _SIEVE_CHUNK)
+            & (F.col("doc_id") < (c + 1) * _SIEVE_CHUNK)
+        )
+        inc = doc_bigrams(chunk).transform(managed_persist)
+        picks, covered = select_from_batch(
+            inc,
+            covered,
+            per_batch=_SIEVE_PER_BATCH,
+            min_gain=_SIEVE_MIN_GAIN,
+        )
+        for slot, doc_id, gain, total in picks:
+            rows.append((c, slot, doc_id, gain, total))
+    return spark.createDataFrame(
+        rows,
+        "batch_id int, slot int, doc_id bigint,"
+        " new_covered bigint, total_covered bigint",
+    )

@@ -6100,3 +6100,97 @@ def q413_cramer_von_mises(spark, sf_dir):
             6,
         ).alias("cvm_t"),
     )
+
+
+_RLT_CAP = 32  # token cap per side: the DP is O(n*m) per pair
+
+
+def _rouge_l_tokens_oracle_sql() -> str:
+    """Token-level LCS as the q379 wavefront recursive CTE with
+    LIST-ELEMENT equality instead of substr: cell (i, j=d+1-i) is
+    max(diag + [a_i = b_j], up, left); boundaries 0."""
+    val = """
+      CASE WHEN i = 0 OR d + 1 - i = 0 THEN CAST(0 AS INT)
+           ELSE GREATEST(
+             prev[CAST(i - GREATEST(0, d - 1 - m) AS INT)]
+               + CASE WHEN a[CAST(i AS INT)] = b[CAST(d + 1 - i AS INT)]
+                      THEN 1 ELSE 0 END,
+             cur[CAST(i - GREATEST(0, d - m) AS INT)],
+             cur[CAST(i + 1 - GREATEST(0, d - m) AS INT)])
+      END"""
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, (string_split(text, ' '))[1:{_RLT_CAP}] AS tk
+  FROM documents
+),
+pairs AS (
+  SELECT ea.doc_id // 2 AS pair_id, ea.tk AS a, eb.tk AS b,
+         CAST(len(ea.tk) AS INT) AS n, CAST(len(eb.tk) AS INT) AS m
+  FROM toks ea JOIN toks eb ON eb.doc_id = ea.doc_id + 1
+  WHERE ea.doc_id % 2 = 0
+),
+rec AS (
+  SELECT pair_id, a, b, n, m, 0 AS d,
+         [CAST(0 AS INT)] AS cur, CAST(NULL AS INT[]) AS prev
+  FROM pairs
+  UNION ALL
+  SELECT pair_id, a, b, n, m, d + 1,
+         list_transform(generate_series(GREATEST(0, d + 1 - m), LEAST(n, d + 1)),
+                        i -> {val}) AS cur,
+         cur AS prev
+  FROM rec WHERE d < n + m
+)
+SELECT pair_id, n, m,
+       cur[1] AS lcs_len,
+       ROUND(CASE WHEN cur[1] = 0 THEN 0.0 ELSE
+         2.0 * (cur[1] / CAST(n AS DOUBLE)) * (cur[1] / CAST(m AS DOUBLE))
+         / ((cur[1] / CAST(n AS DOUBLE)) + (cur[1] / CAST(m AS DOUBLE))) END, 6)
+         AS rouge_l_f
+FROM rec WHERE d = n + m
+"""
+
+
+@query("q423_rouge_l_tokens", oracle=_rouge_l_tokens_oracle_sql())
+def q423_rouge_l_tokens(spark, sf_dir):
+    """TOKEN-LEVEL ROUGE-L (the r7 ROADMAP lead "BLEU/ROUGE over token
+    sequences instead of DNA chars" — q378's BLEU is already
+    token-level; this closes the ROUGE side with the same adjacent-doc
+    candidate/reference pairing): LCS over the first {_RLT_CAP}
+    whitespace tokens of each side via the ``lcs_lengths_tokens``
+    Arrow kernel (per-pair factorized int codes, numpy wavefront —
+    operators/kernels.py), F-measure from exact integer (lcs, n, m).
+
+    The DuckDB oracle replays the identical DP as the q379 wavefront
+    recursive CTE with list-element equality — every anti-diagonal a
+    pure map over the previous two, so the whole token DP is engine-
+    exact, not 'approximately equal'. Scale shape: per-pair independent
+    Arrow batches (the q219/q379 kernel family); pairing is a 1-shift
+    self-join, linear in corpus size."""
+    from variantcalling_spark.operators.kernels import lcs_lengths_tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.slice(F.split("text", " "), 1, _RLT_CAP).alias("tk")
+    )
+    a = toks.where(F.col("doc_id") % 2 == 0).select(
+        F.expr("doc_id DIV 2").alias("pair_id"), F.col("tk").alias("a")
+    )
+    b = toks.select(
+        F.expr("(doc_id - 1) DIV 2").alias("pair_id"),
+        F.col("tk").alias("b"),
+        (F.col("doc_id") % 2).alias("par"),
+    ).where(F.col("par") == 1).drop("par")
+    pairs = a.join(b, "pair_id")
+    scored = lcs_lengths_tokens(pairs)
+    l = F.col("lcs_len")
+    p = l / F.col("n").cast("double")
+    r = l / F.col("m").cast("double")
+    return scored.select(
+        "pair_id",
+        "n",
+        "m",
+        "lcs_len",
+        F.round(
+            F.when(l == 0, F.lit(0.0)).otherwise(2.0 * p * r / (p + r)), 6
+        ).alias("rouge_l_f"),
+    )
