@@ -147,6 +147,14 @@ _PRIORITY = (
     "q321_topic_coherence",
     "q322_lsh_planner",
     # --- New in round 8 (add new queries HERE) ---
+    "q431_cochran_q",
+    "q430_durbin_watson",
+    "q429_brown_forsythe",
+    "q428_kruskal_wallis",
+    "q427_referential_integrity",
+    "q426_benford_test",
+    "q425_harmonic_centrality",
+    "q424_hits_centrality",
     "q423_rouge_l_tokens",
     "q422_sieve_coverage_stream",
     "q421_multiprobe_ivf_recall",

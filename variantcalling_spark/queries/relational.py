@@ -1913,3 +1913,129 @@ def q416_theil_decomposition(spark, sf_dir):
         F.round(tw, 6).alias("theil_within"),
         F.round(tb + tw, 6).alias("theil_total"),
     )
+
+
+@query(
+    "q426_benford_test",
+    oracle="""
+WITH d AS (
+  SELECT CAST(substr(CAST(l_extendedprice AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM lineitem
+),
+o AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY digit),
+t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM o),
+g AS (
+  SELECT gs.digit, COALESCE(o.n_obs, 0) AS n_obs, t.n
+  FROM (SELECT unnest(generate_series(1, 9)) AS digit) gs
+  LEFT JOIN o ON o.digit = gs.digit CROSS JOIN t
+)
+SELECT digit,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       ROUND(n * log10(1.0 + 1.0 / digit), 6) AS expected,
+       ROUND(POW(n_obs - n * log10(1.0 + 1.0 / digit), 2)
+             / (n * log10(1.0 + 1.0 / digit)), 6) AS chi2_term
+FROM g
+""",
+)
+def q426_benford_test(spark, sf_dir):
+    """BENFORD FIRST-DIGIT TEST over lineitem prices (the classic
+    fabricated-data screen a data-quality gate runs on any numeric
+    feed): observed first-significant-digit counts vs the Benford
+    expectation n*log10(1+1/d), with the per-digit chi-square term.
+    The digit comes from the DECIMAL's canonical string form (both
+    engines render DECIMAL(12,2) identically), never from float
+    log10-of-value arithmetic — so the bucketing is engine-exact and
+    only the two ROUND(…,6) output expressions touch doubles.
+
+    Scale shape: one scan -> 9-group aggregate (map-side combinable);
+    the 9-row domain join is a broadcast of a literal range."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.substring(F.col("l_extendedprice").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("digit")
+    )
+    o = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    t = o.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    dom = spark.range(1, 10).select(F.col("id").alias("digit"))
+    g = (
+        dom.join(F.broadcast(o), "digit", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+            "n",
+        )
+    )
+    exp_ = F.col("n") * F.log10(1.0 + 1.0 / F.col("digit"))
+    return g.select(
+        "digit",
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        F.round(exp_, 6).alias("expected"),
+        F.round(F.pow(F.col("n_obs") - exp_, 2) / exp_, 6).alias("chi2_term"),
+    )
+
+
+_FK_RELATIONS = [
+    # (label, child table, child key, parent table, parent key)
+    ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def _refint_oracle_sql() -> str:
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT '{label}' AS relation,
+       CAST((SELECT COUNT(*) FROM {ct}) AS BIGINT) AS n_child,
+       CAST((SELECT COUNT(*) FROM {ct} c
+             WHERE NOT EXISTS (SELECT 1 FROM {pt} p
+                               WHERE p.{pk} = c.{ck})) AS BIGINT) AS n_orphans"""
+        for label, ct, ck, pt, pk in _FK_RELATIONS
+    )
+    return f"""
+SELECT relation, n_child, n_orphans,
+       ROUND(n_orphans / CAST(n_child AS DOUBLE), 6) AS orphan_rate
+FROM ({arms})
+"""
+
+
+@query("q427_referential_integrity", oracle=_refint_oracle_sql())
+def q427_referential_integrity(spark, sf_dir):
+    """REFERENTIAL-INTEGRITY AUDIT across the warehouse's foreign keys
+    (the ingest gate that catches a broken upstream export before a
+    training job joins against it — the relational sibling of q401's
+    expectations ledger): for each declared child->parent relation, the
+    child row count, orphan count (child keys with no parent), and
+    orphan rate. All six relations audit clean on the generated data —
+    the gate's value is that the ZERO is now a certified, hash-checked
+    invariant rather than an assumption.
+
+    Scale shape: each arm is one LEFT ANTI join on the key (broadcast
+    where the parent is small, shuffle-hash otherwise — Catalyst's
+    choice) + a count; arms are independent and union at the end."""
+    rows = None
+    for label, ct, ck, pt, pk in _FK_RELATIONS:
+        child = load_table(spark, sf_dir, ct)
+        parent = load_table(spark, sf_dir, pt)
+        n_child = child.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+        orphans = (
+            child.join(parent, child[ck] == parent[pk], "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        )
+        arm = (
+            n_child.crossJoin(orphans)
+            .select(
+                F.lit(label).alias("relation"),
+                "n_child",
+                "n_orphans",
+                F.round(
+                    F.col("n_orphans") / F.col("n_child").cast("double"), 6
+                ).alias("orphan_rate"),
+            )
+        )
+        rows = arm if rows is None else rows.unionByName(arm)
+    return rows

@@ -4140,7 +4140,12 @@ def q395_kcenter_coreset(spark, sf_dir):
 _SSSP_ROUNDS = 4
 
 
-def _sssp_oracle_sql(prefix_bits: int = 6, dim: int = 64, k: int = 3) -> str:
+def _knn_edges_cte_sql(prefix_bits: int = 6, dim: int = 64, k: int = 3) -> str:
+    """WITH-fragment building the kNN edge table ``e(vec_id,
+    neighbor_id, w)`` — the q132/q405 substrate (quantized vectors,
+    hyperplane bucket, in-bucket cosine top-k, integer edge weight
+    round((1-cosine)*1e6)) — shared by every graph-family oracle so
+    Spark's ``knn_graph`` has ONE SQL twin."""
     from variantcalling_spark.operators.similarity import _plane_signs
 
     signs = _plane_signs(prefix_bits, dim)
@@ -4154,20 +4159,7 @@ def _sssp_oracle_sql(prefix_bits: int = 6, dim: int = 64, k: int = 3) -> str:
     bucket = " + ".join(
         f"(CASE WHEN s{p} > 0 THEN {2**p} ELSE 0 END)" for p in range(prefix_bits)
     )
-    rounds = []
-    for r in range(1, _SSSP_ROUNDS + 1):
-        p = r - 1
-        rounds.append(f"""
-d{r} AS (
-  SELECT node, MIN(dist) AS dist FROM (
-    SELECT node, dist FROM d{p}
-    UNION ALL
-    SELECT e.neighbor_id AS node, d{p}.dist + e.w AS dist
-    FROM d{p} JOIN e ON e.vec_id = d{p}.node
-  ) GROUP BY node
-)""")
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS v
   FROM embeddings
@@ -4191,7 +4183,24 @@ e AS MATERIALIZED (
     SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
     FROM scored
   ) WHERE rank <= {k}
-),
+)"""
+
+
+def _sssp_oracle_sql(prefix_bits: int = 6, dim: int = 64, k: int = 3) -> str:
+    rounds = []
+    for r in range(1, _SSSP_ROUNDS + 1):
+        p = r - 1
+        rounds.append(f"""
+d{r} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{p}
+    UNION ALL
+    SELECT e.neighbor_id AS node, d{p}.dist + e.w AS dist
+    FROM d{p} JOIN e ON e.vec_id = d{p}.node
+  ) GROUP BY node
+)""")
+    return f"""
+WITH {_knn_edges_cte_sql(prefix_bits, dim, k)},
 d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),{",".join(rounds)}
 SELECT node, dist AS dist_scaled FROM d{_SSSP_ROUNDS}
 """
@@ -4371,3 +4380,166 @@ def q421_multiprobe_ivf_recall(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+_HITS_ROUNDS = 2
+
+
+def _hits_oracle_sql() -> str:
+    parts = [f"WITH {_knn_edges_cte_sql()}",
+             ",h0 AS (SELECT vec_id AS node, CAST(1 AS BIGINT) AS h FROM base)"]
+    prev_h = "h0"
+    for r in range(1, _HITS_ROUNDS + 1):
+        parts.append(f""",
+a{r} AS (
+  SELECT e.neighbor_id AS node, CAST(SUM({prev_h}.h) AS BIGINT) AS a
+  FROM e JOIN {prev_h} ON {prev_h}.node = e.vec_id
+  GROUP BY e.neighbor_id
+),
+h{r} AS (
+  SELECT e.vec_id AS node, CAST(SUM(a{r}.a) AS BIGINT) AS h
+  FROM e JOIN a{r} ON a{r}.node = e.neighbor_id
+  GROUP BY e.vec_id
+)""")
+        prev_h = f"h{r}"
+    last = _HITS_ROUNDS
+    return "".join(parts) + f"""
+SELECT node, authority, hub,
+       CAST(ROW_NUMBER() OVER (ORDER BY authority DESC, node) AS INT) AS rnk
+FROM (
+  SELECT a{last}.node AS node, a{last}.a AS authority,
+         CAST(COALESCE(h{last}.h, 0) AS BIGINT) AS hub
+  FROM a{last} LEFT JOIN h{last} ON h{last}.node = a{last}.node
+  ORDER BY authority DESC, node LIMIT 20
+)
+"""
+
+
+@query("q424_hits_centrality", oracle=_hits_oracle_sql())
+def q424_hits_centrality(spark, sf_dir):
+    """HITS HUBS & AUTHORITIES over the corpus kNN graph (Kleinberg
+    1999 — the second classical centrality beside q144's PageRank: a
+    node is a good AUTHORITY if good hubs point at it, a good HUB if
+    it points at good authorities; on a kNN graph, high authority =
+    'many well-connected vectors claim me as a near neighbor', the
+    density signal diversity-aware curation keeps): {_HITS_ROUNDS}
+    synchronous unnormalized rounds in exact BIGINTs (normalization
+    only reorders ties, so the integer iterate carries the same
+    ranking bit-exactly cross-engine), top-20 by authority.
+
+    Plan per round: two equi-joins of the persisted edge table + two
+    map-side-combinable SUMs — O(E) per round like q144/q151; the
+    final top-20 is TakeOrdered (per-partition heaps), and the
+    row_number ranks only those 20 rows."""
+    from variantcalling_spark.operators.similarity import knn_graph
+    from pyspark.sql import Window as W2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = knn_graph(emb, k=3, prefix_bits=6).select(
+        "vec_id", "neighbor_id"
+    ).transform(managed_persist)
+    h = emb.select(F.col("vec_id").alias("node"), F.lit(1).cast("bigint").alias("h"))
+    a = None
+    for _ in range(_HITS_ROUNDS):
+        a = (
+            e.join(h.withColumnRenamed("node", "vec_id"), "vec_id")
+            .groupBy(F.col("neighbor_id").alias("node"))
+            .agg(F.sum("h").cast("bigint").alias("a"))
+        )
+        h = (
+            e.join(a.withColumnRenamed("node", "neighbor_id"), "neighbor_id")
+            .groupBy(F.col("vec_id").alias("node"))
+            .agg(F.sum("a").cast("bigint").alias("h"))
+        )
+    top = (
+        a.join(h, "node", "left")
+        .select(
+            "node",
+            F.col("a").alias("authority"),
+            F.coalesce("h", F.lit(0)).cast("bigint").alias("hub"),
+        )
+        .orderBy(F.col("authority").desc(), "node")
+        .limit(20)
+    )
+    return top.select(
+        "*",
+        F.row_number()
+        .over(W2.orderBy(F.col("authority").desc(), "node"))
+        .cast("int")
+        .alias("rnk"),
+    )
+
+
+_HARM_HOPS = 3
+
+
+def _harmonic_oracle_sql() -> str:
+    rounds = []
+    for r in range(1, _HARM_HOPS + 1):
+        p = r - 1
+        rounds.append(f""",
+d{r} AS (
+  SELECT src, dst, MIN(d) AS d FROM (
+    SELECT src, dst, d FROM d{p}
+    UNION ALL
+    SELECT d{p}.src, e.neighbor_id AS dst, d{p}.d + 1 AS d
+    FROM d{p} JOIN e ON e.vec_id = d{p}.dst
+  ) GROUP BY src, dst
+)""")
+    return f"""
+WITH {_knn_edges_cte_sql()},
+d0 AS (SELECT vec_id AS src, vec_id AS dst, CAST(0 AS BIGINT) AS d FROM base)
+{"".join(rounds)}
+SELECT src AS node,
+       CAST(COUNT(*) FILTER (WHERE dst <> src) AS BIGINT) AS n_reached,
+       CAST(SUM(CASE WHEN dst <> src THEN 6 // d ELSE 0 END) AS BIGINT)
+         AS harmonic6
+FROM d{_HARM_HOPS}
+GROUP BY src
+"""
+
+
+@query("q425_harmonic_centrality", oracle=_harmonic_oracle_sql())
+def q425_harmonic_centrality(spark, sf_dir):
+    """BOUNDED-HOP HARMONIC CENTRALITY over the kNN graph (Marchiori &
+    Latora's sum of 1/d — the centrality that handles disconnected
+    graphs, which kNN graphs always are; 'how quickly can this vector
+    reach its semantic neighborhood'): every node's Σ 1/d over nodes
+    within {_HARM_HOPS} hops, held EXACT by scaling to sixths
+    (d ∈ {{1,2,3}} ⇒ 6/d ∈ {{6,3,2}} — integer, no float harmonic sum
+    anywhere), plus the reached-set size.
+
+    Plan: {_HARM_HOPS} min-plus rounds of the all-sources distance
+    ledger against the persisted edge table (the q405 relaxation run
+    from EVERY source at unit weight) + one final groupBy — ledger
+    size is n x (bounded 3-hop ball), linear in n for the k=3
+    adaptive-bucket substrate, and every round is one equi-join + MIN
+    aggregate, no windows."""
+    from variantcalling_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = knn_graph(emb, k=3, prefix_bits=6).select(
+        "vec_id", "neighbor_id"
+    ).transform(managed_persist)
+    d = emb.select(
+        F.col("vec_id").alias("src"),
+        F.col("vec_id").alias("dst"),
+        F.lit(0).cast("bigint").alias("d"),
+    )
+    for _ in range(_HARM_HOPS):
+        relaxed = d.join(e, d.dst == e.vec_id).select(
+            "src", F.col("neighbor_id").alias("dst"), (F.col("d") + 1).alias("d")
+        )
+        d = (
+            d.unionByName(relaxed)
+            .groupBy("src", "dst")
+            .agg(F.min("d").alias("d"))
+            .transform(managed_persist)
+        )
+    ne = F.col("dst") != F.col("src")
+    return d.groupBy(F.col("src").alias("node")).agg(
+        F.sum(F.when(ne, 1).otherwise(0)).cast("bigint").alias("n_reached"),
+        F.sum(F.when(ne, F.expr("6 DIV d")).otherwise(0))
+        .cast("bigint")
+        .alias("harmonic6"),
+    )

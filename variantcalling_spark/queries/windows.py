@@ -8234,3 +8234,414 @@ def q418_partial_correlation(spark, sf_dir):
             6,
         ).alias("r_xy_given_z"),
     )
+
+
+@query(
+    "q428_kruskal_wallis",
+    oracle="""
+WITH s AS (
+  SELECT event_type, user_id % 5 AS grp, value AS v FROM events
+),
+rk AS (
+  SELECT event_type, grp, v,
+         RANK() OVER (PARTITION BY event_type ORDER BY v) AS rmin,
+         COUNT(*) OVER (PARTITION BY event_type, v) AS tc
+  FROM s
+),
+ga AS (
+  SELECT event_type, grp,
+         CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(2 * rmin + tc - 1) AS BIGINT) AS sum_rank2
+  FROM rk GROUP BY event_type, grp
+),
+tot AS (
+  SELECT event_type, CAST(SUM(n_g) AS BIGINT) AS n,
+         SUM(POW(sum_rank2 / 2.0, 2) / n_g) AS s_r2,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM ga GROUP BY event_type
+),
+ties AS (
+  SELECT event_type, CAST(SUM(t * t * t - t) AS BIGINT) AS tsum
+  FROM (SELECT event_type, v, COUNT(*) AS t FROM s GROUP BY event_type, v)
+  GROUP BY event_type
+)
+SELECT t.event_type, n, k, tsum,
+       ROUND(12.0 / (n * (n + 1.0)) * s_r2 - 3.0 * (n + 1), 6) AS h_stat,
+       ROUND((12.0 / (n * (n + 1.0)) * s_r2 - 3.0 * (n + 1))
+             / (1.0 - tsum / (CAST(n AS DOUBLE) * n * n - n)), 6)
+         AS h_tie_corrected
+FROM tot t JOIN ties ON ties.event_type = t.event_type
+""",
+)
+def q428_kruskal_wallis(spark, sf_dir):
+    """KRUSKAL-WALLIS H per metric series across the 5 user cohorts
+    (the k-group generalization of q293's Mann-Whitney — the
+    distribution-free ANOVA a metrics pipeline runs before trusting a
+    mean-based readout): tie-averaged ranks held exact as integers
+    (rank2 = 2*rmin + tc - 1, the q293 doubling trick), per-cohort rank
+    sums, H with the standard tie correction.
+
+    Scale shape: the rank window partitions by event_type (a bounded
+    series domain — never a global sort); everything after is two
+    map-side-combinable aggregates over (series, cohort)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 5).alias("grp"), F.col("value").alias("v")
+    )
+    wr = W.partitionBy("event_type").orderBy("v")
+    wt = W.partitionBy("event_type", "v")
+    rk = ev.select(
+        "event_type",
+        "grp",
+        "v",
+        F.rank().over(wr).alias("rmin"),
+        F.count(F.lit(1)).over(wt).alias("tc"),
+    )
+    ga = rk.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(2 * F.col("rmin") + F.col("tc") - 1).cast("bigint").alias("sum_rank2"),
+    )
+    tot = ga.groupBy("event_type").agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum(F.pow(F.col("sum_rank2") / 2.0, 2) / F.col("n_g")).alias("s_r2"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    ties = (
+        ev.groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("bigint")
+            .alias("tsum")
+        )
+    )
+    n, s_r2 = F.col("n"), F.col("s_r2")
+    h = 12.0 / (n * (n + F.lit(1.0))) * s_r2 - 3.0 * (n + 1)
+    corr = 1.0 - F.col("tsum") / (n.cast("double") * n * n - n)
+    return tot.join(ties, "event_type").select(
+        "event_type",
+        "n",
+        "k",
+        "tsum",
+        F.round(h, 6).alias("h_stat"),
+        F.round(h / corr, 6).alias("h_tie_corrected"),
+    )
+
+
+@query(
+    "q429_brown_forsythe",
+    oracle="""
+WITH s AS (
+  SELECT event_type, user_id % 5 AS grp, value AS v, event_id FROM events
+),
+med AS (
+  SELECT event_type, grp, v AS m FROM (
+    SELECT event_type, grp, v,
+           ROW_NUMBER() OVER (PARTITION BY event_type, grp
+                              ORDER BY v, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type, grp) AS n_g
+    FROM s
+  ) WHERE rn = CAST(CEIL(n_g / 2.0) AS BIGINT)
+),
+z AS (
+  SELECT s.event_type, s.grp,
+         CAST(ROUND(ABS(s.v - med.m), 9) AS DECIMAL(24,9)) AS z
+  FROM s JOIN med ON med.event_type = s.event_type AND med.grp = s.grp
+),
+gz AS (
+  SELECT event_type, grp, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(z) AS DECIMAL(30,9)) AS sz
+  FROM z GROUP BY event_type, grp
+),
+tz AS (
+  SELECT event_type, CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(sz) AS DECIMAL(32,9)) AS stz
+  FROM gz GROUP BY event_type
+),
+between_ss AS (
+  SELECT gz.event_type,
+         SUM(n_g * POW(CAST(sz AS DOUBLE) / n_g
+                       - CAST(stz AS DOUBLE) / n, 2)) AS ssb
+  FROM gz JOIN tz ON tz.event_type = gz.event_type
+  GROUP BY gz.event_type
+),
+within_ss AS (
+  SELECT z.event_type,
+         SUM(POW(CAST(z.z AS DOUBLE) - CAST(gz.sz AS DOUBLE) / gz.n_g, 2))
+           AS ssw
+  FROM z JOIN gz ON gz.event_type = z.event_type AND gz.grp = z.grp
+  GROUP BY z.event_type
+)
+SELECT t.event_type, n, k,
+       ROUND((n - k) / (k - 1.0) * b.ssb / w.ssw, 6) AS w_stat
+FROM tz t JOIN between_ss b ON b.event_type = t.event_type
+          JOIN within_ss w ON w.event_type = t.event_type
+""",
+)
+def q429_brown_forsythe(spark, sf_dir):
+    """BROWN-FORSYTHE LEVENE TEST per metric series across the 5 user
+    cohorts (equal-variance screen — the gatekeeper assumption check
+    for q309's t and any pooled-variance readout; the median-centered
+    Levene variant is the robust one): deviations from the per-cohort
+    LOWER MEDIAN (value at rank ceil(n/2) under a deterministic
+    (v, event_id) order — rank-exact, no midpoint averaging), then the
+    one-way ANOVA F over those deviations.
+
+    Exactness: |v - median| rounded to 9dp and summed in DECIMAL
+    (order-independent); the SS terms are double expressions of those
+    exact sums with identical shapes on both engines. All windows are
+    per-(series, cohort)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 5).alias("grp"),
+        F.col("value").alias("v"),
+        "event_id",
+    )
+    wg = W.partitionBy("event_type", "grp")
+    med = (
+        ev.select(
+            "event_type",
+            "grp",
+            "v",
+            F.row_number().over(wg.orderBy("v", "event_id")).alias("rn"),
+            F.count(F.lit(1)).over(wg).alias("n_g"),
+        )
+        .where(F.col("rn") == F.ceil(F.col("n_g") / 2.0).cast("bigint"))
+        .select("event_type", "grp", F.col("v").alias("m"))
+    )
+    z = ev.join(med, ["event_type", "grp"]).select(
+        "event_type",
+        "grp",
+        F.round(F.abs(F.col("v") - F.col("m")), 9).cast("decimal(24,9)").alias("z"),
+    )
+    gz = z.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("z").cast("decimal(30,9)").alias("sz"),
+    )
+    tz = gz.groupBy("event_type").agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("sz").cast("decimal(32,9)").alias("stz"),
+    )
+    ssb = (
+        gz.join(tz, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("n_g")
+                * F.pow(
+                    F.col("sz").cast("double") / F.col("n_g")
+                    - F.col("stz").cast("double") / F.col("n"),
+                    2,
+                )
+            ).alias("ssb")
+        )
+    )
+    ssw = (
+        z.join(gz, ["event_type", "grp"])
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.pow(
+                    F.col("z").cast("double")
+                    - F.col("sz").cast("double") / F.col("n_g"),
+                    2,
+                )
+            ).alias("ssw")
+        )
+    )
+    return (
+        tz.join(ssb, "event_type")
+        .join(ssw, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "k",
+            F.round(
+                (F.col("n") - F.col("k"))
+                / (F.col("k") - F.lit(1.0))
+                * F.col("ssb")
+                / F.col("ssw"),
+                6,
+            ).alias("w_stat"),
+        )
+    )
+
+
+@query(
+    "q430_durbin_watson",
+    oracle="""
+WITH s AS (
+  SELECT event_type, epoch_ns(ts) AS ts_ns, event_id,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+),
+m AS (
+  SELECT event_type, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mu,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM s GROUP BY event_type
+),
+e AS (
+  SELECT s.event_type,
+         CAST(s.v AS DOUBLE) - m.mu AS r,
+         LAG(CAST(s.v AS DOUBLE) - m.mu)
+           OVER (PARTITION BY s.event_type ORDER BY ts_ns, event_id) AS rp
+  FROM s JOIN m ON m.event_type = s.event_type
+),
+agg AS (
+  SELECT event_type,
+         CAST(SUM(CAST(ROUND(POW(r - rp, 2), 8) AS DECIMAL(26,8))) AS DOUBLE)
+           AS num,
+         CAST(SUM(CAST(ROUND(r * r, 8) AS DECIMAL(26,8))) AS DOUBLE) AS den
+  FROM e GROUP BY event_type
+)
+SELECT a.event_type, m.n,
+       ROUND(a.num / a.den, 6) AS dw
+FROM agg a JOIN m ON m.event_type = a.event_type
+""",
+)
+def q430_durbin_watson(spark, sf_dir):
+    """DURBIN-WATSON first-order autocorrelation statistic per metric
+    series in event-time order (the residual-independence check every
+    time-series regression owes its readers — DW near 2 = independent,
+    near 0 = positive drift the q310 Mann-Kendall would also flag):
+    residuals are deviations from the series mean (DECIMAL-exact sum /
+    n), consecutive differences via LAG under the deterministic
+    (ts, event_id) order, both quadratic sums rounded to 8dp and summed
+    in DECIMAL so the ratio is engine-exact.
+
+    Scale shape: one partitioned ordered window (per-series) + one
+    map-side-combinable aggregate; nothing global."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts_ns", "event_id", dec("value").alias("v")
+    )
+    m = ev.groupBy("event_type").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    wo = W.partitionBy("event_type").orderBy("ts_ns", "event_id")
+    e = ev.join(m, "event_type").select(
+        "event_type",
+        (F.col("v").cast("double") - F.col("mu")).alias("r"),
+        "ts_ns",
+        "event_id",
+    )
+    e = e.select(
+        "event_type", "r", F.lag("r").over(wo).alias("rp")
+    )
+    agg = e.groupBy("event_type").agg(
+        F.sum(
+            F.round(F.pow(F.col("r") - F.col("rp"), 2), 8).cast("decimal(26,8)")
+        )
+        .cast("double")
+        .alias("num"),
+        F.sum(F.round(F.col("r") * F.col("r"), 8).cast("decimal(26,8)"))
+        .cast("double")
+        .alias("den"),
+    )
+    return agg.join(m, "event_type").select(
+        "event_type", "n", F.round(F.col("num") / F.col("den"), 6).alias("dw")
+    )
+
+
+@query(
+    "q431_cochran_q",
+    oracle="""
+WITH x AS (
+  SELECT user_id, event_type,
+         MAX(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS x
+  FROM events GROUP BY user_id, event_type
+),
+kt AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM events),
+complete_blocks AS (
+  SELECT user_id FROM x GROUP BY user_id
+  HAVING COUNT(*) = (SELECT k FROM kt)
+),
+xc AS (
+  SELECT x.user_id, x.event_type, x.x
+  FROM x JOIN complete_blocks b ON b.user_id = x.user_id
+),
+cols AS (SELECT event_type, CAST(SUM(x) AS BIGINT) AS c FROM xc GROUP BY event_type),
+rows_ AS (SELECT user_id, CAST(SUM(x) AS BIGINT) AS r FROM xc GROUP BY user_id),
+tot AS (
+  SELECT (SELECT k FROM kt) AS k,
+         CAST((SELECT COUNT(*) FROM complete_blocks) AS BIGINT) AS n_blocks,
+         CAST((SELECT SUM(c) FROM cols) AS BIGINT) AS t,
+         CAST((SELECT SUM(c * c) FROM cols) AS BIGINT) AS sc2,
+         CAST((SELECT SUM(r * r) FROM rows_) AS BIGINT) AS sr2
+)
+SELECT k, n_blocks, t,
+       CASE WHEN k * t = sr2 THEN NULL
+            ELSE ROUND((k - 1.0) * (k * sc2 - CAST(t AS DOUBLE) * t)
+                       / (k * CAST(t AS DOUBLE) - sr2), 6) END AS q_stat,
+       CAST(k - 1 AS BIGINT) AS df
+FROM tot
+""",
+)
+def q431_cochran_q(spark, sf_dir):
+    """COCHRAN'S Q over complete user blocks (the k-treatment
+    repeated-measures test for BINARY outcomes — did the 'value > 500'
+    success indicator differ across event types for the same users? —
+    the binary sibling of q349's Wilcoxon signed-rank and the
+    McNemar-k generalization of q296): x_it per (user, type), blocks
+    restricted to users observed under every type, Q from integer
+    column/row totals — everything exact until the single output
+    division.
+
+    Scale shape: one (user, type) aggregate, a HAVING-count block
+    filter (semi join), then two tiny marginal aggregates; no windows,
+    no ordering anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.groupBy("user_id", "event_type").agg(
+        F.max(F.when(F.col("value") > 100, 1).otherwise(0)).alias("x")
+    )
+    k = ev.agg(F.countDistinct("event_type").cast("bigint").alias("k"))
+    blocks = (
+        x.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .crossJoin(F.broadcast(k))
+        .where(F.col("nt") == F.col("k"))
+        .select("user_id")
+    )
+    xc = x.join(blocks, "user_id").transform(managed_persist)
+    cols = xc.groupBy("event_type").agg(F.sum("x").cast("bigint").alias("c"))
+    rows_ = xc.groupBy("user_id").agg(F.sum("x").cast("bigint").alias("r"))
+    tot = (
+        cols.agg(
+            F.sum("c").cast("bigint").alias("t"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sc2"),
+        )
+        .crossJoin(F.broadcast(k))
+        .crossJoin(
+            F.broadcast(
+                rows_.agg(F.sum(F.col("r") * F.col("r")).cast("bigint").alias("sr2"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                blocks.agg(F.count(F.lit(1)).cast("bigint").alias("n_blocks"))
+            )
+        )
+    )
+    kk, t = F.col("k"), F.col("t")
+    return tot.select(
+        "k",
+        "n_blocks",
+        "t",
+        # saturated indicators (every block all-0 or all-k) make the
+        # denominator 0: emit NULL, identically on both engines
+        F.when(
+            kk * t == F.col("sr2"), F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.round(
+                (kk - 1.0)
+                * (kk * F.col("sc2") - t.cast("double") * t)
+                / (kk * t.cast("double") - F.col("sr2")),
+                6,
+            )
+        )
+        .alias("q_stat"),
+        (kk - 1).cast("bigint").alias("df"),
+    )
