@@ -76,6 +76,8 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     "q385_unimax_allocation": "source domain (capacity-sorted waterfill prefix)",
     "q347_wasserstein_drift": "source domain",
     "q359_gsea_enrichment": "gene-model domain (broadcast gene panel)",
+    "q433_paired_bootstrap_bleu": "bootstrap-replicate domain (aggregate over "
+    "the 40-value rep range; CI rank pick over <=40 rows)",
 }
 
 _BOUNDERS = ("WindowGroupLimit", "TakeOrderedAndProject", "CollectLimit", "GlobalLimit")

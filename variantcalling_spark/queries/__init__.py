@@ -147,6 +147,13 @@ _PRIORITY = (
     "q321_topic_coherence",
     "q322_lsh_planner",
     # --- New in round 8 (add new queries HERE) ---
+    "q438_krippendorff_alpha",
+    "q437_granger_lite",
+    "q436_jonckheere_terpstra",
+    "q435_chow_test",
+    "q434_hosmer_lemeshow",
+    "q433_paired_bootstrap_bleu",
+    "q432_stylometric_clusters",
     "q431_cochran_q",
     "q430_durbin_watson",
     "q429_brown_forsythe",

@@ -6194,3 +6194,488 @@ def q423_rouge_l_tokens(spark, sf_dir):
             F.when(l == 0, F.lit(0.0)).otherwise(2.0 * p * r / (p + r)), 6
         ).alias("rouge_l_f"),
     )
+
+
+_STYL_TOPW = 30
+_STYL_SIGW = 8
+_STYL_MINTOK = 20
+_STYL_THRESH = 0.5
+
+
+@query(
+    "q432_stylometric_clusters",
+    oracle=f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tokc AS (SELECT doc_id, w, COUNT(*) AS c FROM toks WHERE w <> '' GROUP BY doc_id, w),
+doc_tot AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tot FROM tokc
+  GROUP BY doc_id HAVING SUM(c) >= {_STYL_MINTOK}
+),
+topw AS (
+  SELECT w, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS wr
+  FROM (SELECT w, SUM(c) AS n FROM tokc GROUP BY w)
+  ORDER BY n DESC, w LIMIT {_STYL_TOPW}
+),
+f AS (
+  SELECT t.doc_id, t.w, t.wr,
+         ROUND(COALESCE(c.c, 0) / CAST(t2.tot AS DOUBLE), 10) AS fr
+  FROM (SELECT d.doc_id, w.w, w.wr FROM doc_tot d CROSS JOIN topw w) t
+  LEFT JOIN tokc c ON c.doc_id = t.doc_id AND c.w = t.w
+  JOIN doc_tot t2 ON t2.doc_id = t.doc_id
+),
+stats AS (
+  SELECT w,
+         CAST(SUM(CAST(fr AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS mu,
+         sqrt(CAST(SUM(CAST(ROUND(fr * fr, 12) AS DECIMAL(24,12))) AS DOUBLE)
+              / COUNT(*)
+              - (CAST(SUM(CAST(fr AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*))
+                * (CAST(SUM(CAST(fr AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*)))
+           AS sd
+  FROM f GROUP BY w
+),
+z AS (
+  SELECT f.doc_id, f.w, f.wr, ROUND((f.fr - s.mu) / s.sd, 8) AS z
+  FROM f JOIN stats s ON s.w = f.w WHERE s.sd > 0
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN z > 0 THEN CAST(POW(2, wr - 1) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS b
+  FROM z WHERE wr <= {_STYL_SIGW} GROUP BY doc_id
+),
+pairs AS (
+  SELECT za.doc_id AS doc_a, zb.doc_id AS doc_b,
+         CAST(SUM(CAST(ROUND(ABS(za.z - zb.z), 8) AS DECIMAL(20,8))) AS DOUBLE)
+           / COUNT(*) AS delta
+  FROM z za
+  JOIN sig sa ON sa.doc_id = za.doc_id
+  JOIN sig sb ON sa.b = sb.b
+  JOIN z zb ON zb.doc_id = sb.doc_id AND zb.w = za.w
+           AND za.doc_id < zb.doc_id
+  GROUP BY za.doc_id, zb.doc_id
+),
+e AS (SELECT doc_a, doc_b FROM pairs WHERE delta <= {_STYL_THRESH}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM e
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM e
+),
+closure AS (
+  SELECT src AS node, src AS reach FROM edges
+  UNION
+  SELECT c.node, edges.dst AS reach
+  FROM closure c JOIN edges ON edges.src = c.reach
+)
+SELECT MIN(reach) AS cluster_id,
+       CAST(COUNT(DISTINCT node) AS BIGINT) AS n_members
+FROM (SELECT node, MIN(reach) AS reach FROM closure GROUP BY node) labeled
+GROUP BY reach
+""",
+)
+def q432_stylometric_clusters(spark, sf_dir):
+    """BURROWS-DELTA CONTAMINATION CLUSTERS (the r7 ROADMAP lead
+    "Burrows-delta-based contamination clusters": q390 grades SOURCES
+    pairwise; this clusters DOCUMENTS whose function-word fingerprints
+    agree — the stylometric dedup that catches same-template/same-
+    author spam content n-gram dedup misses, because templates vary
+    the content words but not the style profile): per-doc relative
+    frequencies of the corpus top-{_STYL_TOPW} words, per-word
+    z-scores, and Burrows' delta (mean |z_a − z_b|) — computed ONLY
+    within stylometric blocks (equal sign-pattern of the top-
+    {_STYL_SIGW} z-scores: the SimHash idea applied to the delta
+    feature space, so discovery is a bucket equi-join, never
+    all-pairs), then delta <= {_STYL_THRESH} edges folded into
+    min-label connected components.
+
+    Scale shape: token counts and z-stats are two combinable
+    aggregates; the {_STYL_TOPW}-word axis broadcasts; candidate pairs
+    are Σ bucket² like every banded family; components converge in
+    diameter rounds (q98 machinery). Oracle replays the identical
+    chain incl. a recursive-CTE closure."""
+    from pyspark.sql import Window as W
+    from variantcalling_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    tokc = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    tokc = tokc.transform(managed_persist)
+    doc_tot = (
+        tokc.groupBy("doc_id")
+        .agg(F.sum("c").cast("bigint").alias("tot"))
+        .where(F.col("tot") >= _STYL_MINTOK)
+    )
+    topw = (
+        tokc.groupBy("w")
+        .agg(F.sum("c").alias("n"))
+        .orderBy(F.col("n").desc(), "w")
+        .limit(_STYL_TOPW)
+        .select(
+            "w",
+            F.row_number()
+            .over(W.orderBy(F.col("n").desc(), "w"))
+            .alias("wr"),
+        )
+    )
+    f = (
+        doc_tot.crossJoin(F.broadcast(topw))
+        .join(tokc, ["doc_id", "w"], "left")
+        .select(
+            "doc_id",
+            "w",
+            "wr",
+            F.round(
+                F.coalesce("c", F.lit(0)) / F.col("tot").cast("double"), 10
+            ).alias("fr"),
+        )
+        .transform(managed_persist)
+    )
+    fr = F.col("fr")
+    mu = F.sum(fr.cast("decimal(20,10)")).cast("double") / F.count(F.lit(1))
+    stats = f.groupBy("w").agg(
+        mu.alias("mu"),
+        F.sqrt(
+            F.sum(F.round(fr * fr, 12).cast("decimal(24,12)")).cast("double")
+            / F.count(F.lit(1))
+            - mu * mu
+        ).alias("sd"),
+    )
+    z = (
+        f.join(stats, "w")
+        .where(F.col("sd") > 0)
+        .select(
+            "doc_id",
+            "w",
+            "wr",
+            F.round((fr - F.col("mu")) / F.col("sd"), 8).alias("z"),
+        )
+        .transform(managed_persist)
+    )
+    sig = (
+        z.where(F.col("wr") <= _STYL_SIGW)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("z") > 0, F.pow(2.0, F.col("wr") - 1).cast("bigint")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("b")
+        )
+    )
+    za = z.join(sig, "doc_id").select(
+        F.col("doc_id").alias("doc_a"), "w", F.col("z").alias("za"), "b"
+    )
+    zb = z.join(sig, "doc_id").select(
+        F.col("doc_id").alias("doc_b"), "w", F.col("z").alias("zb"), "b"
+    )
+    pairs = (
+        za.join(zb, ["b", "w"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.abs(F.col("za") - F.col("zb")), 8).cast(
+                        "decimal(20,8)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("delta")
+        )
+        .where(F.col("delta") <= _STYL_THRESH)
+    )
+    labels = connected_components(pairs)
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    ).select(F.col("label").alias("cluster_id"), "n_members")
+
+
+_PBB_REPS = 40
+
+
+@query(
+    "q433_paired_bootstrap_bleu",
+    oracle=f"""
+WITH pairs AS (
+  SELECT CAST(a.doc_id // 2 AS BIGINT) AS pair_id,
+         string_split(a.text, ' ') AS cw,
+         list_slice(string_split(a.text, ' '), 1,
+                    CAST(CEIL(len(string_split(a.text, ' ')) / 2.0) AS BIGINT))
+           AS hw,
+         string_split(b.text, ' ') AS rw
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 2 = 0
+),
+rg AS (
+  SELECT pair_id, gram, COUNT(*) AS tr
+  FROM (SELECT pair_id, unnest(rw) AS gram FROM pairs) GROUP BY pair_id, gram
+),
+ca AS (
+  SELECT pair_id, gram, COUNT(*) AS tc
+  FROM (SELECT pair_id, unnest(cw) AS gram FROM pairs) GROUP BY pair_id, gram
+),
+cb AS (
+  SELECT pair_id, gram, COUNT(*) AS tc
+  FROM (SELECT pair_id, unnest(hw) AS gram FROM pairs) GROUP BY pair_id, gram
+),
+ma AS (
+  SELECT ca.pair_id, CAST(SUM(LEAST(ca.tc, COALESCE(rg.tr, 0))) AS BIGINT) AS m
+  FROM ca LEFT JOIN rg ON rg.pair_id = ca.pair_id AND rg.gram = ca.gram
+  GROUP BY ca.pair_id
+),
+mb AS (
+  SELECT cb.pair_id, CAST(SUM(LEAST(cb.tc, COALESCE(rg.tr, 0))) AS BIGINT) AS m
+  FROM cb LEFT JOIN rg ON rg.pair_id = cb.pair_id AND rg.gram = cb.gram
+  GROUP BY cb.pair_id
+),
+st AS (
+  SELECT p.pair_id,
+         CAST(len(p.cw) AS BIGINT) AS la, CAST(len(p.hw) AS BIGINT) AS lb,
+         CAST(len(p.rw) AS BIGINT) AS lr,
+         COALESCE(ma.m, 0) AS m_a, COALESCE(mb.m, 0) AS m_b
+  FROM pairs p
+  LEFT JOIN ma ON ma.pair_id = p.pair_id
+  LEFT JOIN mb ON mb.pair_id = p.pair_id
+),
+reps AS (SELECT unnest(generate_series(0, {_PBB_REPS - 1})) AS rep),
+w AS (
+  SELECT st.*, reps.rep,
+         (list_reduce(list_transform(
+            string_split(substr(md5(CAST(st.pair_id AS VARCHAR) || ':' || CAST(reps.rep AS VARCHAR)), 1, 8), ''),
+            c -> CAST(CASE WHEN ascii(c) >= 97 THEN ascii(c) - 87
+                           ELSE ascii(c) - 48 END AS BIGINT)),
+            (a, x) -> a * 16 + x) % 2147483647) / 2147483647.0 AS uu
+  FROM st CROSS JOIN reps
+),
+wk AS (
+  SELECT *, CASE WHEN uu < {_POIS_T.split(', ')[0]} THEN 0
+                 WHEN uu < {_POIS_T.split(', ')[1]} THEN 1
+                 WHEN uu < {_POIS_T.split(', ')[2]} THEN 2
+                 WHEN uu < {_POIS_T.split(', ')[3]} THEN 3
+                 WHEN uu < {_POIS_T.split(', ')[4]} THEN 4
+                 ELSE 5 END AS k
+  FROM w
+),
+rsum AS (
+  SELECT rep,
+         CAST(SUM(k * la) AS BIGINT) AS sla, CAST(SUM(k * lb) AS BIGINT) AS slb,
+         CAST(SUM(k * lr) AS BIGINT) AS slr,
+         CAST(SUM(k * m_a) AS BIGINT) AS sma, CAST(SUM(k * m_b) AS BIGINT) AS smb
+  FROM wk GROUP BY rep HAVING SUM(k * la) > 0 AND SUM(k * lb) > 0
+),
+deltas AS (
+  SELECT rep,
+         LEAST(CAST(1.0 AS DOUBLE), exp(1.0 - slr / CAST(sla AS DOUBLE)))
+           * (sma / CAST(sla AS DOUBLE))
+         - LEAST(CAST(1.0 AS DOUBLE), exp(1.0 - slr / CAST(slb AS DOUBLE)))
+           * (smb / CAST(slb AS DOUBLE)) AS d
+  FROM rsum
+),
+rkd AS (
+  SELECT d, ROW_NUMBER() OVER (ORDER BY d, rep) AS rk, COUNT(*) OVER () AS nb
+  FROM deltas
+),
+pt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(la) AS BIGINT) AS la, CAST(SUM(lb) AS BIGINT) AS lb,
+         CAST(SUM(lr) AS BIGINT) AS lr,
+         CAST(SUM(m_a) AS BIGINT) AS ma, CAST(SUM(m_b) AS BIGINT) AS mb
+  FROM st
+)
+SELECT pt.n_pairs,
+       ROUND(LEAST(CAST(1.0 AS DOUBLE), exp(1.0 - pt.lr / CAST(pt.la AS DOUBLE)))
+             * (pt.ma / CAST(pt.la AS DOUBLE)), 6) AS bleu1_a,
+       ROUND(LEAST(CAST(1.0 AS DOUBLE), exp(1.0 - pt.lr / CAST(pt.lb AS DOUBLE)))
+             * (pt.mb / CAST(pt.lb AS DOUBLE)), 6) AS bleu1_b,
+       CAST((SELECT COUNT(*) FROM deltas) AS BIGINT) AS n_reps,
+       ROUND((SELECT COUNT(*) FILTER (WHERE d <= 0) FROM deltas)
+             / CAST((SELECT COUNT(*) FROM deltas) AS DOUBLE), 6) AS p_b_not_worse,
+       ROUND((SELECT MAX(CASE WHEN rk = GREATEST(CAST(CEIL(0.025 * nb) AS BIGINT), 1)
+                              THEN d END) FROM rkd), 6) AS delta_ci_lo,
+       ROUND((SELECT MAX(CASE WHEN rk = CAST(FLOOR(0.975 * nb) AS BIGINT)
+                              THEN d END) FROM rkd), 6) AS delta_ci_hi
+FROM pt
+""",
+)
+def q433_paired_bootstrap_bleu(spark, sf_dir):
+    """PAIRED POISSON-BOOTSTRAP SYSTEM COMPARISON on BLEU-1 (Koehn
+    2004's paired bootstrap — THE significance test for 'is system A
+    really better than system B on this eval set', here system A = the
+    q378 candidate, system B = the same candidate truncated to its
+    first half, against the shared references): per-pair sufficient
+    statistics (clipped unigram matches + lengths) are exact BIGINTs;
+    each bootstrap replicate reweights PAIRS by the q246 deterministic
+    Poisson(1) draw — paired, because both systems share a replicate's
+    weights — and the output is the corpus delta's bootstrap
+    distribution: p(B not worse), 2.5/97.5 CI, alongside the point
+    BLEU-1 of both arms.
+
+    Scale shape: one gram join per arm (linear, the q65 shingle
+    shape), then (pair x {_PBB_REPS}) partial aggregates — map-side
+    combinable, no shuffled resamples anywhere (the Chamandy
+    distributed-bootstrap trick, paired edition)."""
+    from pyspark.sql import Window as W
+
+    from variantcalling_spark.operators.dedup import (
+        MERSENNE31,
+        portable_string_hash,
+    )
+
+    t = [float(x) for x in _POIS_T.split(", ")]
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.expr("doc_id DIV 2").alias("pair_id"), F.split("text", " ").alias("cw")
+    )
+    b = docs.where(F.col("doc_id") % 2 == 1).select(
+        F.expr("(doc_id - 1) DIV 2").alias("pair_id"),
+        F.split("text", " ").alias("rw"),
+    )
+    pairs = (
+        a.join(b, "pair_id")
+        .select(
+            "pair_id",
+            "cw",
+            F.slice(
+                F.col("cw"), 1, F.ceil(F.size("cw") / 2.0).cast("int")
+            ).alias("hw"),
+            "rw",
+        )
+        .transform(managed_persist)
+    )
+
+    def gramcount(col):
+        return (
+            pairs.select("pair_id", F.explode(col).alias("gram"))
+            .groupBy("pair_id", "gram")
+            .agg(F.count(F.lit(1)).alias("tc"))
+        )
+
+    rg = gramcount(F.col("rw")).withColumnRenamed("tc", "tr")
+
+    def clipped(cg, alias):
+        return (
+            cg.join(rg, ["pair_id", "gram"], "left")
+            .groupBy("pair_id")
+            .agg(
+                F.sum(F.least(F.col("tc"), F.coalesce(F.col("tr"), F.lit(0))))
+                .cast("bigint")
+                .alias(alias)
+            )
+        )
+
+    st = (
+        pairs.join(clipped(gramcount(F.col("cw")), "m_a"), "pair_id", "left")
+        .join(clipped(gramcount(F.col("hw")), "m_b"), "pair_id", "left")
+        .select(
+            "pair_id",
+            F.size("cw").cast("bigint").alias("la"),
+            F.size("hw").cast("bigint").alias("lb"),
+            F.size("rw").cast("bigint").alias("lr"),
+            F.coalesce("m_a", F.lit(0)).alias("m_a"),
+            F.coalesce("m_b", F.lit(0)).alias("m_b"),
+        )
+        .transform(managed_persist)
+    )
+    reps = spark.range(0, _PBB_REPS).select(F.col("id").alias("rep"))
+    u = st.crossJoin(F.broadcast(reps)).select(
+        "*",
+        (
+            portable_string_hash(
+                F.concat_ws(
+                    ":", F.col("pair_id").cast("string"), F.col("rep").cast("string")
+                )
+            )
+            / F.lit(float(MERSENNE31))
+        ).alias("uu"),
+    )
+    k = (
+        F.when(F.col("uu") < t[0], 0)
+        .when(F.col("uu") < t[1], 1)
+        .when(F.col("uu") < t[2], 2)
+        .when(F.col("uu") < t[3], 3)
+        .when(F.col("uu") < t[4], 4)
+        .otherwise(5)
+    ).cast("bigint")
+    rsum = (
+        u.select("rep", k.alias("k"), "la", "lb", "lr", "m_a", "m_b")
+        .groupBy("rep")
+        .agg(
+            F.sum(F.col("k") * F.col("la")).cast("bigint").alias("sla"),
+            F.sum(F.col("k") * F.col("lb")).cast("bigint").alias("slb"),
+            F.sum(F.col("k") * F.col("lr")).cast("bigint").alias("slr"),
+            F.sum(F.col("k") * F.col("m_a")).cast("bigint").alias("sma"),
+            F.sum(F.col("k") * F.col("m_b")).cast("bigint").alias("smb"),
+        )
+        .where((F.col("sla") > 0) & (F.col("slb") > 0))
+    )
+
+    def bleu1(sl, sm, slr):
+        return F.least(
+            F.lit(1.0), F.exp(1.0 - slr / sl.cast("double"))
+        ) * (sm / sl.cast("double"))
+
+    deltas = rsum.select(
+        "rep",
+        (
+            bleu1(F.col("sla"), F.col("sma"), F.col("slr"))
+            - bleu1(F.col("slb"), F.col("smb"), F.col("slr"))
+        ).alias("d"),
+    ).transform(managed_persist)
+    rkd = deltas.select(
+        "d",
+        F.row_number().over(W.orderBy("d", "rep")).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("nb"),
+    )
+    ci = rkd.agg(
+        F.max(
+            F.when(
+                F.col("rk")
+                == F.greatest(F.ceil(0.025 * F.col("nb")).cast("bigint"), F.lit(1)),
+                F.col("d"),
+            )
+        ).alias("ci_lo"),
+        F.max(
+            F.when(
+                F.col("rk") == F.floor(0.975 * F.col("nb")).cast("bigint"),
+                F.col("d"),
+            )
+        ).alias("ci_hi"),
+    )
+    boot = deltas.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reps"),
+        F.round(
+            F.sum(F.when(F.col("d") <= 0, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("p_b_not_worse"),
+    )
+    pt = st.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("la").cast("bigint").alias("tla"),
+        F.sum("lb").cast("bigint").alias("tlb"),
+        F.sum("lr").cast("bigint").alias("tlr"),
+        F.sum("m_a").cast("bigint").alias("tma"),
+        F.sum("m_b").cast("bigint").alias("tmb"),
+    )
+    return (
+        pt.crossJoin(F.broadcast(boot))
+        .crossJoin(F.broadcast(ci))
+        .select(
+            "n_pairs",
+            F.round(bleu1(F.col("tla"), F.col("tma"), F.col("tlr")), 6).alias(
+                "bleu1_a"
+            ),
+            F.round(bleu1(F.col("tlb"), F.col("tmb"), F.col("tlr")), 6).alias(
+                "bleu1_b"
+            ),
+            "n_reps",
+            "p_b_not_worse",
+            F.round("ci_lo", 6).alias("delta_ci_lo"),
+            F.round("ci_hi", 6).alias("delta_ci_hi"),
+        )
+    )

@@ -8645,3 +8645,656 @@ def q431_cochran_q(spark, sf_dir):
         .alias("q_stat"),
         (kk - 1).cast("bigint").alias("df"),
     )
+
+
+_HL_BINS = 10
+_HL_MULT = 2654435761
+
+
+@query(
+    "q434_hosmer_lemeshow",
+    oracle=f"""
+WITH s AS (
+  SELECT event_id, value / 500.0 AS p,
+         CASE WHEN (event_id * {_HL_MULT}) % 500 < value THEN 1 ELSE 0 END AS y
+  FROM events
+),
+g AS (
+  SELECT *, NTILE({_HL_BINS}) OVER (ORDER BY p, event_id) AS decile FROM s
+),
+b AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(y) AS BIGINT) AS o_g,
+         CAST(SUM(CAST(ROUND(p, 10) AS DECIMAL(20,10))) AS DOUBLE) AS e_g
+  FROM g GROUP BY decile
+)
+SELECT CAST(decile AS INT) AS decile, n_g, o_g,
+       ROUND(e_g, 6) AS e_g,
+       ROUND(o_g / CAST(n_g AS DOUBLE), 6) AS obs_rate,
+       ROUND(e_g / n_g, 6) AS pred_rate,
+       ROUND(POW(o_g - e_g, 2) / (e_g * (1.0 - e_g / n_g)), 6) AS hl_term
+FROM b
+""",
+)
+def q434_hosmer_lemeshow(spark, sf_dir):
+    """HOSMER-LEMESHOW calibration test over DECILE bins (the
+    goodness-of-fit companion to q205's Brier reliability — q205 bins
+    by the score DOMAIN, HL bins by equal-population deciles of the
+    predicted probability, which is what makes it a test rather than a
+    diagram; the outcome is a deterministic pseudo-Bernoulli whose
+    true rate matches the prediction, so a calibrated HL is the
+    expected readout): per decile the observed events, expected events
+    (DECIMAL-exact Σp), and the HL chi-square term
+    (O−E)²/(E(1−E/n)).
+
+    Scale discipline: the decile assignment is NTILE over a global
+    order — computed with `distributed_row_number` (bucket-prefix) +
+    `ntile_expr` closed-form arithmetic, never a single-partition
+    window; the oracle's NTILE is semantically identical by the
+    ntile_expr contract."""
+    from variantcalling_spark.operators.ordered import (
+        distributed_row_number,
+        ntile_expr,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("value") / 500.0).alias("p"),
+        F.when(
+            (F.col("event_id") * _HL_MULT) % 500 < F.col("value"), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    n_tot = ev.agg(F.count(F.lit(1)).alias("n")).collect()[0].n
+    ranked = distributed_row_number(
+        ev, ["p", "event_id"], F.floor(F.col("p") * 50).cast("bigint")
+    )
+    g = ranked.withColumn(
+        "decile", ntile_expr(F.col("rn"), F.lit(n_tot), _HL_BINS)
+    )
+    b = g.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("y").cast("bigint").alias("o_g"),
+        F.sum(F.round(F.col("p"), 10).cast("decimal(20,10)"))
+        .cast("double")
+        .alias("e_g"),
+    )
+    o, e, n = F.col("o_g"), F.col("e_g"), F.col("n_g")
+    return b.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_g",
+        "o_g",
+        F.round(e, 6).alias("e_g"),
+        F.round(o / n.cast("double"), 6).alias("obs_rate"),
+        F.round(e / n, 6).alias("pred_rate"),
+        F.round(F.pow(o - e, 2) / (e * (1.0 - e / n)), 6).alias("hl_term"),
+    )
+
+
+@query(
+    "q435_chow_test",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS m
+  FROM events GROUP BY 1, 2
+),
+ix AS (
+  SELECT event_type, m,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+seg AS (
+  SELECT event_type, t, n, m,
+         CASE WHEN t * 2 <= n THEN 1 ELSE 2 END AS half
+  FROM ix
+),
+mom AS (
+  SELECT event_type, half, CAST(COUNT(*) AS BIGINT) AS n_s,
+         CAST(SUM(t) AS BIGINT) AS sx,
+         CAST(SUM(t * t) AS BIGINT) AS sxx,
+         CAST(SUM(CAST(ROUND(m, 6) AS DECIMAL(20,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(m * m, 10) AS DECIMAL(26,10))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(ROUND(t * m, 8) AS DECIMAL(24,8))) AS DOUBLE) AS sxy
+  FROM seg GROUP BY event_type, half
+),
+pooled AS (
+  SELECT event_type, CAST(SUM(n_s) AS BIGINT) AS n_s,
+         CAST(SUM(sx) AS BIGINT) AS sx, CAST(SUM(sxx) AS BIGINT) AS sxx,
+         SUM(sy) AS sy, SUM(syy) AS syy, SUM(sxy) AS sxy
+  FROM mom GROUP BY event_type
+),
+ssr AS (
+  SELECT event_type, half, n_s,
+         syy - sy * sy / n_s
+           - POW(sxy - sx * sy / n_s, 2) / (sxx - CAST(sx AS DOUBLE) * sx / n_s)
+           AS ss
+  FROM mom
+),
+ssrp AS (
+  SELECT event_type, n_s,
+         syy - sy * sy / n_s
+           - POW(sxy - sx * sy / n_s, 2) / (sxx - CAST(sx AS DOUBLE) * sx / n_s)
+           AS ss
+  FROM pooled
+)
+SELECT p.event_type, p.n_s AS n,
+       ROUND(p.ss, 6) AS ssr_pooled,
+       ROUND(s1.ss + s2.ss, 6) AS ssr_split,
+       ROUND(((p.ss - s1.ss - s2.ss) / 2.0)
+             / ((s1.ss + s2.ss) / (p.n_s - 4.0)), 6) AS chow_f
+FROM ssrp p
+JOIN ssr s1 ON s1.event_type = p.event_type AND s1.half = 1
+JOIN ssr s2 ON s2.event_type = p.event_type AND s2.half = 2
+""",
+)
+def q435_chow_test(spark, sf_dir):
+    """CHOW STRUCTURAL-BREAK TEST per metric series (did the linear
+    trend CHANGE at the series midpoint? — the regression-regime
+    sibling of q197's CUSUM and q335's binseg, which find WHERE a mean
+    shifted; Chow tests whether the trend LINE itself broke): OLS of
+    daily mean on time for the pooled series vs the two halves, with
+    F = ((SSR_p − SSR_1 − SSR_2)/k) / ((SSR_1+SSR_2)/(n−2k)), k=2.
+
+    Exactness: every OLS input is a moment sum (Σt, Σt², Σm, Σm², Σtm)
+    with the float products rounded and summed in DECIMAL — the SSR
+    closed forms then have identical shapes cross-engine. Windows are
+    per-series only (day indexing)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_ns DIV 86400000000000").alias("day")
+    ).agg(
+        (F.sum(dec("value")).cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    wd = W.partitionBy("event_type")
+    ix = daily.select(
+        "event_type",
+        "m",
+        F.row_number().over(wd.orderBy("day")).alias("t"),
+        F.count(F.lit(1)).over(wd).alias("n"),
+    )
+    seg = ix.select(
+        "event_type",
+        "t",
+        "m",
+        F.when(F.col("t") * 2 <= F.col("n"), 1).otherwise(2).alias("half"),
+    )
+    t, m = F.col("t"), F.col("m")
+
+    def moments(df, keys):
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_s"),
+            F.sum(t).cast("bigint").alias("sx"),
+            F.sum(t * t).cast("bigint").alias("sxx"),
+            F.sum(F.round(m, 6).cast("decimal(20,6)")).cast("double").alias("sy"),
+            F.sum(F.round(m * m, 10).cast("decimal(26,10)"))
+            .cast("double")
+            .alias("syy"),
+            F.sum(F.round(t * m, 8).cast("decimal(24,8)"))
+            .cast("double")
+            .alias("sxy"),
+        )
+
+    def ss(df):
+        return df.withColumn(
+            "ss",
+            F.col("syy")
+            - F.col("sy") * F.col("sy") / F.col("n_s")
+            - F.pow(
+                F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n_s"), 2
+            )
+            / (
+                F.col("sxx")
+                - F.col("sx").cast("double") * F.col("sx") / F.col("n_s")
+            ),
+        )
+
+    mom = moments(seg, ["event_type", "half"])
+    halves = ss(mom)
+    pooled = ss(
+        mom.groupBy("event_type").agg(
+            F.sum("n_s").cast("bigint").alias("n_s"),
+            F.sum("sx").cast("bigint").alias("sx"),
+            F.sum("sxx").cast("bigint").alias("sxx"),
+            F.sum("sy").alias("sy"),
+            F.sum("syy").alias("syy"),
+            F.sum("sxy").alias("sxy"),
+        )
+    )
+    s1 = halves.where(F.col("half") == 1).select(
+        "event_type", F.col("ss").alias("ss1")
+    )
+    s2 = halves.where(F.col("half") == 2).select(
+        "event_type", F.col("ss").alias("ss2")
+    )
+    return (
+        pooled.join(s1, "event_type")
+        .join(s2, "event_type")
+        .select(
+            "event_type",
+            F.col("n_s").alias("n"),
+            F.round("ss", 6).alias("ssr_pooled"),
+            F.round(F.col("ss1") + F.col("ss2"), 6).alias("ssr_split"),
+            F.round(
+                ((F.col("ss") - F.col("ss1") - F.col("ss2")) / 2.0)
+                / ((F.col("ss1") + F.col("ss2")) / (F.col("n_s") - 4.0)),
+                6,
+            ).alias("chow_f"),
+        )
+    )
+
+
+@query(
+    "q436_jonckheere_terpstra",
+    oracle="""
+WITH s AS (
+  SELECT event_type, user_id % 5 AS grp, value AS v FROM events
+),
+pairsdef AS (
+  SELECT i, j FROM (SELECT unnest(generate_series(0, 4)) AS i),
+                   (SELECT unnest(generate_series(0, 4)) AS j)
+  WHERE i < j
+),
+u AS (
+  SELECT a.event_type, p.i, p.j,
+         CAST(SUM(CASE WHEN a.v < b.v THEN 2
+                       WHEN a.v = b.v THEN 1 ELSE 0 END) AS BIGINT) AS u2
+  FROM pairsdef p
+  JOIN s a ON a.grp = p.i
+  JOIN s b ON b.grp = p.j AND b.event_type = a.event_type
+  GROUP BY a.event_type, p.i, p.j
+),
+jt AS (
+  SELECT event_type, CAST(SUM(u2) AS BIGINT) AS jt2 FROM u
+  GROUP BY event_type
+),
+gn AS (
+  SELECT event_type, grp, CAST(COUNT(*) AS BIGINT) AS n_g
+  FROM s GROUP BY event_type, grp
+),
+tot AS (
+  SELECT event_type, CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(n_g * n_g) AS BIGINT) AS sn2,
+         CAST(SUM(n_g * n_g * (2 * n_g + 3)) AS BIGINT) AS sn23
+  FROM gn GROUP BY event_type
+)
+SELECT jt.event_type, t.n, jt.jt2,
+       CAST((t.n * t.n - t.sn2) AS BIGINT) AS mu2,
+       ROUND((jt.jt2 - (t.n * t.n - t.sn2)) / 2.0
+             / sqrt((CAST(t.n AS DOUBLE) * t.n * (2 * t.n + 3) - t.sn23)
+                    / 72.0), 6) AS z_no_ties
+FROM jt JOIN tot t ON t.event_type = jt.event_type
+""",
+)
+def q436_jonckheere_terpstra(spark, sf_dir):
+    """JONCKHEERE-TERPSTRA ordered-alternative test per metric series
+    (do values RISE monotonically across the ordered cohorts 0..4? —
+    q428's Kruskal-Wallis asks 'any difference', JT asks 'an ordered
+    trend', which is the sharper question for dose/cohort designs):
+    JT = Σ_{{i<j}} Mann-Whitney counts, held exact as 2·#{{a<b}} +
+    #{{a=b}} integers per ordered group pair; the z uses the standard
+    no-tie variance (labeled so — the tie-exact statistic jt2 is the
+    hash-checked value).
+
+    Scale shape: group-pair comparisons run as 10 bounded equi-joins
+    on (event_type) with map-side-combinable counts — the group
+    domains are cohorts, so the join is sum-of-products over cohort
+    sizes per series, a banded-pair shape, not an all-pairs row join.
+    No windows anywhere."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 5).alias("grp"), F.col("value").alias("v")
+    ).transform(managed_persist)
+    out = None
+    for i in range(5):
+        for j in range(i + 1, 5):
+            a = ev.where(F.col("grp") == i).select(
+                "event_type", F.col("v").alias("va")
+            )
+            b = ev.where(F.col("grp") == j).select(
+                "event_type", F.col("v").alias("vb")
+            )
+            u = (
+                a.join(b, "event_type")
+                .groupBy("event_type")
+                .agg(
+                    F.sum(
+                        F.when(F.col("va") < F.col("vb"), 2)
+                        .when(F.col("va") == F.col("vb"), 1)
+                        .otherwise(0)
+                    )
+                    .cast("bigint")
+                    .alias("u2")
+                )
+            )
+            out = u if out is None else out.unionByName(u)
+    jt = out.groupBy("event_type").agg(F.sum("u2").cast("bigint").alias("jt2"))
+    gn = ev.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g")
+    )
+    ng = F.col("n_g")
+    tot = gn.groupBy("event_type").agg(
+        F.sum(ng).cast("bigint").alias("n"),
+        F.sum(ng * ng).cast("bigint").alias("sn2"),
+        F.sum(ng * ng * (2 * ng + 3)).cast("bigint").alias("sn23"),
+    )
+    n = F.col("n")
+    return jt.join(tot, "event_type").select(
+        "event_type",
+        "n",
+        "jt2",
+        (n * n - F.col("sn2")).cast("bigint").alias("mu2"),
+        F.round(
+            (F.col("jt2") - (n * n - F.col("sn2")))
+            / 2.0
+            / F.sqrt(
+                (n.cast("double") * n * (2 * n + 3) - F.col("sn23")) / 72.0
+            ),
+            6,
+        ).alias("z_no_ties"),
+    )
+
+
+@query(
+    "q437_granger_lite",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS m
+  FROM events GROUP BY 1, 2
+),
+lagd AS (
+  SELECT event_type, day, m,
+         LAG(m) OVER (PARTITION BY event_type ORDER BY day) AS mp
+  FROM daily
+),
+xy AS (
+  SELECT a.event_type AS cause, b.event_type AS effect,
+         b.m AS y, b.mp AS ylag, a.mp AS xlag
+  FROM lagd b JOIN lagd a ON a.day = b.day
+  WHERE a.event_type <> b.event_type
+    AND b.mp IS NOT NULL AND a.mp IS NOT NULL
+),
+mom AS (
+  SELECT cause, effect, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(y, 6) AS DECIMAL(20,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(ylag, 6) AS DECIMAL(20,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(ROUND(xlag, 6) AS DECIMAL(20,6))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(ROUND(y * y, 10) AS DECIMAL(26,10))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(ROUND(ylag * ylag, 10) AS DECIMAL(26,10))) AS DOUBLE) AS s11,
+         CAST(SUM(CAST(ROUND(xlag * xlag, 10) AS DECIMAL(26,10))) AS DOUBLE) AS s22,
+         CAST(SUM(CAST(ROUND(y * ylag, 10) AS DECIMAL(26,10))) AS DOUBLE) AS sy1,
+         CAST(SUM(CAST(ROUND(y * xlag, 10) AS DECIMAL(26,10))) AS DOUBLE) AS sy2,
+         CAST(SUM(CAST(ROUND(ylag * xlag, 10) AS DECIMAL(26,10))) AS DOUBLE) AS s12
+  FROM xy GROUP BY cause, effect
+),
+c AS (
+  SELECT cause, effect, n,
+         syy - sy * sy / n AS cyy,
+         s11 - s1 * s1 / n AS c11,
+         s22 - s2 * s2 / n AS c22,
+         sy1 - sy * s1 / n AS cy1,
+         sy2 - sy * s2 / n AS cy2,
+         s12 - s1 * s2 / n AS c12
+  FROM mom
+)
+SELECT cause, effect, n,
+       ROUND(cyy - cy1 * cy1 / c11, 6) AS ssr_restricted,
+       ROUND(cyy - (c22 * cy1 * cy1 - 2 * c12 * cy1 * cy2 + c11 * cy2 * cy2)
+                   / (c11 * c22 - c12 * c12), 6) AS ssr_full,
+       ROUND(((cyy - cy1 * cy1 / c11)
+              - (cyy - (c22 * cy1 * cy1 - 2 * c12 * cy1 * cy2 + c11 * cy2 * cy2)
+                       / (c11 * c22 - c12 * c12)))
+             / ((cyy - (c22 * cy1 * cy1 - 2 * c12 * cy1 * cy2 + c11 * cy2 * cy2)
+                       / (c11 * c22 - c12 * c12)) / (n - 3.0)), 6) AS granger_f
+FROM c
+""",
+)
+def q437_granger_lite(spark, sf_dir):
+    """GRANGER CAUSALITY (lag-1) between every ordered pair of metric
+    series (does yesterday's series A improve today's B beyond B's own
+    history? — the directional companion to q298's ACF and q262's
+    Markov transitions, and the causal-screen a metrics pipeline runs
+    before claiming one KPI drives another): restricted OLS y~y_lag vs
+    full OLS y~y_lag+x_lag in closed form from centered moment sums,
+    F = (SSR_r − SSR_f)/(SSR_f/(n−3)).
+
+    Exactness: all moment sums are rounded-then-DECIMAL (order-free);
+    the 2-regressor normal equations are solved symbolically (Cramer),
+    so both engines evaluate the identical rational expression. Lag
+    alignment is a per-series window + a day equi-join; 5x4 ordered
+    pairs = 20 output rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_ns DIV 86400000000000").alias("day")
+    ).agg(
+        (F.sum(dec("value")).cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    wd = W.partitionBy("event_type").orderBy("day")
+    lagd = daily.select(
+        "event_type", "day", "m", F.lag("m").over(wd).alias("mp")
+    ).transform(managed_persist)
+    b = lagd.select(
+        F.col("event_type").alias("effect"),
+        "day",
+        F.col("m").alias("y"),
+        F.col("mp").alias("ylag"),
+    )
+    a = lagd.select(
+        F.col("event_type").alias("cause"), "day", F.col("mp").alias("xlag")
+    )
+    xy = (
+        b.join(a, "day")
+        .where(
+            (F.col("cause") != F.col("effect"))
+            & F.col("ylag").isNotNull()
+            & F.col("xlag").isNotNull()
+        )
+    )
+
+    def dsum10(c, alias):
+        return (
+            F.sum(F.round(c, 10).cast("decimal(26,10)")).cast("double").alias(alias)
+        )
+
+    def dsum6(c, alias):
+        return (
+            F.sum(F.round(c, 6).cast("decimal(20,6)")).cast("double").alias(alias)
+        )
+
+    y, y1, x1 = F.col("y"), F.col("ylag"), F.col("xlag")
+    mom = xy.groupBy("cause", "effect").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum6(y, "sy"),
+        dsum6(y1, "s1"),
+        dsum6(x1, "s2"),
+        dsum10(y * y, "syy"),
+        dsum10(y1 * y1, "s11"),
+        dsum10(x1 * x1, "s22"),
+        dsum10(y * y1, "sy1"),
+        dsum10(y * x1, "sy2"),
+        dsum10(y1 * x1, "s12"),
+    )
+    n = F.col("n")
+    c = mom.select(
+        "cause",
+        "effect",
+        "n",
+        (F.col("syy") - F.col("sy") * F.col("sy") / n).alias("cyy"),
+        (F.col("s11") - F.col("s1") * F.col("s1") / n).alias("c11"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / n).alias("c22"),
+        (F.col("sy1") - F.col("sy") * F.col("s1") / n).alias("cy1"),
+        (F.col("sy2") - F.col("sy") * F.col("s2") / n).alias("cy2"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / n).alias("c12"),
+    )
+    cyy, c11, c22 = F.col("cyy"), F.col("c11"), F.col("c22")
+    cy1, cy2, c12 = F.col("cy1"), F.col("cy2"), F.col("c12")
+    ssr_r = cyy - cy1 * cy1 / c11
+    ssr_f = cyy - (c22 * cy1 * cy1 - 2 * c12 * cy1 * cy2 + c11 * cy2 * cy2) / (
+        c11 * c22 - c12 * c12
+    )
+    return c.select(
+        "cause",
+        "effect",
+        "n",
+        F.round(ssr_r, 6).alias("ssr_restricted"),
+        F.round(ssr_f, 6).alias("ssr_full"),
+        F.round((ssr_r - ssr_f) / (ssr_f / (n - F.lit(3.0))), 6).alias(
+            "granger_f"
+        ),
+    )
+
+
+_KRIPP_RATERS = 3
+
+
+@query(
+    "q438_krippendorff_alpha",
+    oracle=f"""
+WITH ann AS (
+  SELECT d.doc_id, r.rater,
+         CASE WHEN (d.doc_id * 31 + r.rater * 17
+                    + CAST(d.n_chars AS BIGINT)) % 10 < 7
+              THEN d.n_chars // 500
+              ELSE (d.n_chars // 500) + (d.doc_id + r.rater) % 2 END AS label
+  FROM documents d
+  CROSS JOIN (SELECT unnest(generate_series(0, {_KRIPP_RATERS - 1})) AS rater) r
+  WHERE (d.doc_id + r.rater) % 7 <> 0
+),
+units AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS m FROM ann GROUP BY doc_id
+  HAVING COUNT(*) >= 2
+),
+pairs AS (
+  SELECT a.doc_id, u.m,
+         CASE WHEN a.label = b.label THEN 0 ELSE 1 END AS dis
+  FROM ann a
+  JOIN ann b ON b.doc_id = a.doc_id AND a.rater < b.rater
+  JOIN units u ON u.doc_id = a.doc_id
+),
+do_ AS (
+  SELECT CAST(SUM(CAST(ROUND(dis / (m - 1.0), 10) AS DECIMAL(20,10)))
+              AS DOUBLE) * 2 AS d_o,
+         CAST((SELECT SUM(m) FROM units) AS BIGINT) AS n_vals
+  FROM pairs
+),
+marg AS (
+  SELECT ann.label, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ann JOIN units ON units.doc_id = ann.doc_id
+  GROUP BY ann.label
+),
+de AS (
+  SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS cross_sum
+  FROM marg a JOIN marg b ON a.label <> b.label
+)
+SELECT d.n_vals,
+       CAST((SELECT COUNT(*) FROM units) AS BIGINT) AS n_units,
+       CAST((SELECT COUNT(*) FROM marg) AS BIGINT) AS n_labels,
+       ROUND(d.d_o / d.n_vals, 6) AS d_obs,
+       ROUND(e.cross_sum / (CAST(d.n_vals AS DOUBLE) * (d.n_vals - 1)), 6)
+         AS d_exp,
+       ROUND(1.0 - (d.d_o / d.n_vals)
+             / (e.cross_sum / (CAST(d.n_vals AS DOUBLE) * (d.n_vals - 1))), 6)
+         AS alpha
+FROM do_ d CROSS JOIN de e
+""",
+)
+def q438_krippendorff_alpha(spark, sf_dir):
+    """KRIPPENDORFF'S ALPHA, nominal data (the inter-annotator
+    agreement coefficient for LABEL-QUALITY audits with MANY raters
+    and MISSING ratings — q203's Cohen kappa handles exactly 2
+    complete raters; real annotation pipelines have k raters and
+    holes, which is Krippendorff's whole point): {_KRIPP_RATERS}
+    deterministic synthetic annotators label documents by size bucket
+    with hash-controlled disagreement and hash-controlled missingness;
+    alpha = 1 − D_o/D_e over pairable values, all disagreement counts
+    integer-exact (nominal metric), only the final ratios touch
+    doubles.
+
+    Scale shape: within-unit rater pairs are bounded (m<=k per doc);
+    the expected disagreement needs only the label marginals — two
+    combinable aggregates and a k*k label cross join."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    raters = spark.range(0, _KRIPP_RATERS).select(F.col("id").alias("rater"))
+    base = F.expr("n_chars DIV 500")
+    ann = (
+        docs.crossJoin(F.broadcast(raters))
+        .where((F.col("doc_id") + F.col("rater")) % 7 != 0)
+        .select(
+            "doc_id",
+            "rater",
+            F.when(
+                (
+                    F.col("doc_id") * 31
+                    + F.col("rater") * 17
+                    + F.col("n_chars").cast("bigint")
+                )
+                % 10
+                < 7,
+                base,
+            )
+            .otherwise(base + (F.col("doc_id") + F.col("rater")) % 2)
+            .alias("label"),
+        )
+        .transform(managed_persist)
+    )
+    units = (
+        ann.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+        .where(F.col("m") >= 2)
+    )
+    a = ann.select("doc_id", F.col("rater").alias("ra"), F.col("label").alias("la"))
+    b = ann.select("doc_id", F.col("rater").alias("rb"), F.col("label").alias("lb"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("ra") < F.col("rb"))
+        .join(units, "doc_id")
+        .select(
+            F.when(F.col("la") == F.col("lb"), 0).otherwise(1).alias("dis"),
+            "m",
+        )
+    )
+    do_ = pairs.agg(
+        (
+            F.sum(
+                F.round(F.col("dis") / (F.col("m") - F.lit(1.0)), 10).cast(
+                    "decimal(20,10)"
+                )
+            ).cast("double")
+            * 2
+        ).alias("d_o")
+    )
+    n_vals = units.agg(F.sum("m").cast("bigint").alias("n_vals"))
+    marg = (
+        ann.join(units, "doc_id")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .transform(managed_persist)
+    )
+    ma = marg.select(F.col("label").alias("la"), F.col("c").alias("ca"))
+    mb = marg.select(F.col("label").alias("lb"), F.col("c").alias("cb"))
+    de = (
+        ma.crossJoin(mb)
+        .where(F.col("la") != F.col("lb"))
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("cross_sum"))
+    )
+    nu = units.agg(F.count(F.lit(1)).cast("bigint").alias("n_units"))
+    nl = marg.agg(F.count(F.lit(1)).cast("bigint").alias("n_labels"))
+    nv, dob = F.col("n_vals"), F.col("d_o")
+    d_obs = dob / nv
+    d_exp = F.col("cross_sum") / (nv.cast("double") * (nv - 1))
+    return (
+        n_vals.crossJoin(F.broadcast(do_))
+        .crossJoin(F.broadcast(de))
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nl))
+        .select(
+            "n_vals",
+            "n_units",
+            "n_labels",
+            F.round(d_obs, 6).alias("d_obs"),
+            F.round(d_exp, 6).alias("d_exp"),
+            F.round(1.0 - d_obs / d_exp, 6).alias("alpha"),
+        )
+    )
