@@ -52,6 +52,8 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     "q394_oov_curve": "count-bucket prefix of the distributed frequency rank",
     "q414_best_f1_threshold": "score-bucket prefix of the bucketized pr_curve",
     "q417_median_ci": "value-bucket prefix of the bucketed rank picks",
+    "q434_hosmer_lemeshow": "probability-bucket prefix of the distributed "
+    "row number feeding ntile_expr (<=50 bucket rows)",
     # histogram / value-domain CDFs (bounded by the value grid, not rows)
     "q26_inverse_cdf_sample": "returnflag CDF domain (<=3 distinct values)",
     "q48_cumulative_coverage": "integer depth histogram domain",

@@ -147,6 +147,10 @@ _PRIORITY = (
     "q321_topic_coherence",
     "q322_lsh_planner",
     # --- New in round 8 (add new queries HERE) ---
+    "q442_codon_adaptation_index",
+    "q441_top_eigenvector",
+    "q440_pacf_durbin_levinson",
+    "q439_signature_fit",
     "q438_krippendorff_alpha",
     "q437_granger_lite",
     "q436_jonckheere_terpstra",

@@ -5682,3 +5682,275 @@ def q420_gc_skew(spark, sf_dir):
         .cast("bigint")
         .alias("final_skew"),
     )
+
+
+_SIGFIT_ITERS = 6
+# three fixed deterministic "signatures" over the 6 pyrimidine-centered
+# substitution classes (C>A C>G C>T T>A T>C T>G): unnormalized integer
+# weights (the multiplicative updates renormalize via the column sums)
+_SIGFIT_W = {
+    "s1": [8, 1, 1, 1, 1, 1],  # C>A-heavy (smoking-like shape)
+    "s2": [1, 1, 8, 1, 2, 1],  # C>T-heavy (aging-like shape)
+    "s3": [1, 2, 1, 2, 1, 8],  # T>G-heavy
+}
+_SIGFIT_CLASSES = ["C>A", "C>G", "C>T", "T>A", "T>C", "T>G"]
+
+
+def _sigfit_oracle_sql() -> str:
+    wrows = ", ".join(
+        f"('{c}', {_SIGFIT_W['s1'][i]}, {_SIGFIT_W['s2'][i]}, {_SIGFIT_W['s3'][i]})"
+        for i, c in enumerate(_SIGFIT_CLASSES)
+    )
+    colsum = {
+        k: sum(v) for k, v in _SIGFIT_W.items()
+    }
+    parts = [f"""
+dna AS ({SQL_DOCS_DNA}),
+m AS (
+  SELECT substr(seq, 5, 1) AS ref, substr(seq, 9, 1) AS alt
+  FROM dna WHERE length(seq) >= 9
+),
+canon AS (
+  SELECT CASE WHEN ref IN ('C','T') THEN ref
+              WHEN ref = 'G' THEN 'C' ELSE 'T' END AS cref,
+         CASE WHEN ref IN ('C','T') THEN alt
+              WHEN alt = 'A' THEN 'T' WHEN alt = 'C' THEN 'G'
+              WHEN alt = 'G' THEN 'C' ELSE 'A' END AS calt
+  FROM m WHERE ref <> alt
+),
+v AS (
+  SELECT cref || '>' || calt AS cls, CAST(COUNT(*) AS BIGINT) AS n
+  FROM canon GROUP BY 1
+),
+w(cls, w1, w2, w3) AS (VALUES {wrows}),
+vv AS (
+  SELECT w.cls, w.w1, w.w2, w.w3, COALESCE(v.n, 0) AS n
+  FROM w LEFT JOIN v ON v.cls = w.cls
+),
+h0 AS (SELECT CAST(1.0 AS DOUBLE) AS h1, CAST(1.0 AS DOUBLE) AS h2,
+              CAST(1.0 AS DOUBLE) AS h3)"""]
+    prev = "h0"
+    for it in range(1, _SIGFIT_ITERS + 1):
+        parts.append(f"""
+r{it} AS (
+  SELECT SUM(vv.w1 * vv.n / (vv.w1 * p.h1 + vv.w2 * p.h2 + vv.w3 * p.h3)) AS r1,
+         SUM(vv.w2 * vv.n / (vv.w1 * p.h1 + vv.w2 * p.h2 + vv.w3 * p.h3)) AS r2,
+         SUM(vv.w3 * vv.n / (vv.w1 * p.h1 + vv.w2 * p.h2 + vv.w3 * p.h3)) AS r3
+  FROM vv CROSS JOIN {prev} p
+),
+h{it} AS (
+  SELECT ROUND(p.h1 * r.r1 / {colsum['s1']}, 10) AS h1,
+         ROUND(p.h2 * r.r2 / {colsum['s2']}, 10) AS h2,
+         ROUND(p.h3 * r.r3 / {colsum['s3']}, 10) AS h3
+  FROM {prev} p CROSS JOIN r{it} r
+)""")
+        prev = f"h{it}"
+    return ("WITH " + ",".join(parts) + f"""
+SELECT CAST((SELECT SUM(n) FROM vv) AS BIGINT) AS n_mutations,
+       ROUND(h1, 6) AS h_s1, ROUND(h2, 6) AS h_s2, ROUND(h3, 6) AS h_s3,
+       ROUND(h1 * {colsum['s1']}
+             / (h1 * {colsum['s1']} + h2 * {colsum['s2']} + h3 * {colsum['s3']}),
+             6) AS frac_s1,
+       ROUND(h2 * {colsum['s2']}
+             / (h1 * {colsum['s1']} + h2 * {colsum['s2']} + h3 * {colsum['s3']}),
+             6) AS frac_s2,
+       ROUND(h3 * {colsum['s3']}
+             / (h1 * {colsum['s1']} + h2 * {colsum['s2']} + h3 * {colsum['s3']}),
+             6) AS frac_s3
+FROM {prev}
+""")
+
+
+@query("q439_signature_fit", oracle=_sigfit_oracle_sql())
+def q439_signature_fit(spark, sf_dir):
+    """MUTATIONAL-SIGNATURE EXPOSURE FIT (the COSMIC-style NNLS: given
+    fixed signature profiles, how much of the observed substitution
+    spectrum does each signature explain? — the attribution layer above
+    q55's raw trinuc spectrum): {_SIGFIT_ITERS} Lee-Seung KL
+    multiplicative updates h_k <- h_k ยท Σ_i(W_ik v_i/(Wh)_i)/Σ_i W_ik
+    against three fixed integer signature profiles over the 6
+    pyrimidine-centered classes, per-iteration 10dp snapping (the q369
+    snapped-power-iteration discipline) so the float walk is
+    engine-exact; outputs the exposures and explained fractions.
+
+    Scale shape: the spectrum v is ONE combinable count aggregate over
+    the corpus (the only data-sized pass); the update loop runs on a
+    6-row broadcast relation — at 100 TB the iteration cost does not
+    change. Oracle unrolls the identical updates as CTEs."""
+    d = docs_as_dna(spark, sf_dir).where(F.length("seq") >= 9)
+    m = d.select(
+        F.substring("seq", 5, 1).alias("ref"), F.substring("seq", 9, 1).alias("alt")
+    ).where(F.col("ref") != F.col("alt"))
+    cref = F.when(F.col("ref").isin("C", "T"), F.col("ref")).otherwise(
+        F.when(F.col("ref") == "G", F.lit("C")).otherwise(F.lit("T"))
+    )
+    calt = F.when(F.col("ref").isin("C", "T"), F.col("alt")).otherwise(
+        F.when(F.col("alt") == "A", F.lit("T"))
+        .when(F.col("alt") == "C", F.lit("G"))
+        .when(F.col("alt") == "G", F.lit("C"))
+        .otherwise(F.lit("A"))
+    )
+    v = (
+        m.select(F.concat_ws(">", cref, calt).alias("cls"))
+        .groupBy("cls")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = spark.createDataFrame(
+        [
+            (c, _SIGFIT_W["s1"][i], _SIGFIT_W["s2"][i], _SIGFIT_W["s3"][i])
+            for i, c in enumerate(_SIGFIT_CLASSES)
+        ],
+        "cls string, w1 int, w2 int, w3 int",
+    )
+    vv = (
+        w.join(v, "cls", "left")
+        .select(
+            "cls", "w1", "w2", "w3", F.coalesce("n", F.lit(0)).alias("n")
+        )
+        .transform(managed_persist)
+    )
+    cs = {k: sum(vals) for k, vals in _SIGFIT_W.items()}
+    h = (1.0, 1.0, 1.0)
+    # the h-vector is 3 scalars: pull it to the driver per iteration
+    # (bounded driver scalars — the EM/Lloyd's parameter pattern); the
+    # data-sized work stays in the ONE spectrum aggregate above
+    for _ in range(_SIGFIT_ITERS):
+        wh = (
+            F.col("w1") * h[0] + F.col("w2") * h[1] + F.col("w3") * h[2]
+        )
+        r = vv.agg(
+            F.sum(F.col("w1") * F.col("n") / wh).alias("r1"),
+            F.sum(F.col("w2") * F.col("n") / wh).alias("r2"),
+            F.sum(F.col("w3") * F.col("n") / wh).alias("r3"),
+        ).collect()[0]
+        h = (
+            round(h[0] * r.r1 / cs["s1"], 10),
+            round(h[1] * r.r2 / cs["s2"], 10),
+            round(h[2] * r.r3 / cs["s3"], 10),
+        )
+    tot = h[0] * cs["s1"] + h[1] * cs["s2"] + h[2] * cs["s3"]
+    nmut = vv.agg(F.sum("n").cast("bigint").alias("n_mutations"))
+    return nmut.select(
+        "n_mutations",
+        F.round(F.lit(h[0]), 6).alias("h_s1"),
+        F.round(F.lit(h[1]), 6).alias("h_s2"),
+        F.round(F.lit(h[2]), 6).alias("h_s3"),
+        F.round(F.lit(h[0] * cs["s1"] / tot), 6).alias("frac_s1"),
+        F.round(F.lit(h[1] * cs["s2"] / tot), 6).alias("frac_s2"),
+        F.round(F.lit(h[2] * cs["s3"] / tot), 6).alias("frac_s3"),
+    )
+
+
+# standard genetic code (DNA codons), compact form: codon -> amino acid
+_GENETIC_CODE = {}
+for _aa, _codons in {
+    "F": "TTT TTC", "L": "TTA TTG CTT CTC CTA CTG", "I": "ATT ATC ATA",
+    "M": "ATG", "V": "GTT GTC GTA GTG", "S": "TCT TCC TCA TCG AGT AGC",
+    "P": "CCT CCC CCA CCG", "T": "ACT ACC ACA ACG", "A": "GCT GCC GCA GCG",
+    "Y": "TAT TAC", "*": "TAA TAG TGA", "H": "CAT CAC", "Q": "CAA CAG",
+    "N": "AAT AAC", "K": "AAA AAG", "D": "GAT GAC", "E": "GAA GAG",
+    "C": "TGT TGC", "W": "TGG", "R": "CGT CGC CGA CGG AGA AGG",
+    "G": "GGT GGC GGA GGG",
+}.items():
+    for _c in _codons.split():
+        _GENETIC_CODE[_c] = _aa
+
+
+def _cai_oracle_sql() -> str:
+    code_rows = ", ".join(
+        f"('{c}', '{a}')" for c, a in sorted(_GENETIC_CODE.items())
+    )
+    return f"""
+WITH dna AS ({SQL_DOCS_DNA}),
+docs2 AS (
+  SELECT d.doc_id, dna.seq, doc.source
+  FROM dna JOIN documents doc ON doc.doc_id = dna.doc_id
+  JOIN (SELECT doc_id FROM documents) d ON d.doc_id = dna.doc_id
+  WHERE length(dna.seq) >= 24
+),
+cod AS (
+  SELECT doc_id, source, substr(seq, CAST(1 + 3 * k AS INT), 3) AS codon
+  FROM docs2, unnest(generate_series(0, 7)) AS t(k)
+),
+code(codon, aa) AS (VALUES {code_rows}),
+cnt_c AS (
+  SELECT c.codon, code.aa, COUNT(*) AS n
+  FROM cod c JOIN code ON code.codon = c.codon
+  GROUP BY c.codon, code.aa
+),
+fam AS (
+  SELECT aa, MAX(n) AS mx, COUNT(*) AS n_syn FROM cnt_c GROUP BY aa
+),
+w AS (
+  SELECT cnt_c.codon, cnt_c.aa,
+         ROUND(cnt_c.n / CAST(fam.mx AS DOUBLE), 10) AS w
+  FROM cnt_c JOIN fam ON fam.aa = cnt_c.aa
+  WHERE fam.n_syn > 1 AND cnt_c.aa <> '*'
+),
+scored AS (
+  SELECT cod.source,
+         CAST(ROUND(ln(w.w), 10) AS DECIMAL(24,10)) AS lw
+  FROM cod JOIN w ON w.codon = cod.codon
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_codons,
+       ROUND(exp(CAST(SUM(lw) AS DOUBLE) / COUNT(*)), 6) AS cai
+FROM scored GROUP BY source
+"""
+
+
+@query("q442_codon_adaptation_index", oracle=_cai_oracle_sql())
+def q442_codon_adaptation_index(spark, sf_dir):
+    """CODON ADAPTATION INDEX per source (Sharp & Li 1987 — the
+    codon-usage-bias readout one level above q386's dN/dS: dN/dS asks
+    'is selection acting on the protein', CAI asks 'is the codon
+    CHOICE adapted to the reference usage'): corpus codon counts →
+    per-amino-acid relative adaptiveness w = n_codon / n_max_synonym →
+    per-source CAI = geometric mean of w over codons, with
+    single-codon families (Met/Trp) and stops excluded per the
+    standard definition.
+
+    Exactness: ln(w) snapped to 10dp and summed in DECIMAL per source
+    (order-free), one exp at the end. Scale shape: two combinable
+    count aggregates + a broadcast 64-row genetic-code join — the
+    whole query is scan-bound."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs_as_dna(spark, sf_dir)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .where(F.length("seq") >= 24)
+    )
+    ks = spark.range(0, 8).select(F.col("id").cast("int").alias("k"))
+    cod = d.crossJoin(F.broadcast(ks)).select(
+        "source",
+        F.expr("substr(seq, 1 + 3 * k, 3)").alias("codon"),
+    ).transform(managed_persist)
+    code = spark.createDataFrame(
+        sorted(_GENETIC_CODE.items()), "codon string, aa string"
+    )
+    cnt_c = (
+        cod.join(F.broadcast(code), "codon")
+        .groupBy("codon", "aa")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    fam = cnt_c.groupBy("aa").agg(
+        F.max("n").alias("mx"), F.count(F.lit(1)).alias("n_syn")
+    )
+    w = (
+        cnt_c.join(fam, "aa")
+        .where((F.col("n_syn") > 1) & (F.col("aa") != "*"))
+        .select(
+            "codon",
+            F.round(F.col("n") / F.col("mx").cast("double"), 10).alias("w"),
+        )
+    )
+    scored = cod.join(F.broadcast(w), "codon").select(
+        "source",
+        F.round(F.log("w"), 10).cast("decimal(24,10)").alias("lw"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_codons"),
+        F.round(
+            F.exp(F.sum("lw").cast("double") / F.count(F.lit(1))), 6
+        ).alias("cai"),
+    )

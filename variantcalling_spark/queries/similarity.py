@@ -4543,3 +4543,136 @@ def q425_harmonic_centrality(spark, sf_dir):
         .cast("bigint")
         .alias("harmonic6"),
     )
+
+
+_POW_ITERS = 4
+_EMB_DIM = 64
+
+
+def _top_eig_oracle_sql() -> str:
+    parts = [f"""
+cells AS MATERIALIZED (
+  SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS x
+  FROM embeddings, unnest(generate_series(0, {_EMB_DIM - 1})) AS t(d)
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+mu AS (
+  SELECT d, CAST(SUM(CAST(ROUND(x, 10) AS DECIMAL(24,10))) AS DOUBLE)
+            / (SELECT n FROM n) AS mu
+  FROM cells GROUP BY d
+),
+cov AS MATERIALIZED (
+  SELECT a.d AS i, b.d AS j,
+         CAST(SUM(CAST(ROUND(a.x * b.x, 12) AS DECIMAL(28,12))) AS DOUBLE)
+           / (SELECT n FROM n)
+         - ma.mu * mb.mu AS c
+  FROM cells a
+  JOIN cells b ON b.vec_id = a.vec_id
+  JOIN mu ma ON ma.d = a.d
+  JOIN mu mb ON mb.d = b.d
+  GROUP BY a.d, b.d, ma.mu, mb.mu
+),
+v0 AS (SELECT d AS j, CAST(1.0 AS DOUBLE) AS v
+       FROM (SELECT unnest(generate_series(0, {_EMB_DIM - 1})) AS d))"""]
+    prev = "v0"
+    for it in range(1, _POW_ITERS + 1):
+        parts.append(f"""
+u{it} AS (
+  SELECT cov.i AS j,
+         CAST(SUM(CAST(ROUND(cov.c * p.v, 12) AS DECIMAL(28,12))) AS DOUBLE)
+           AS u
+  FROM cov JOIN {prev} p ON p.j = cov.j
+  GROUP BY cov.i
+),
+m{it} AS (SELECT MAX(ABS(u)) AS mx FROM u{it}),
+v{it} AS (
+  SELECT u{it}.j, ROUND(u{it}.u / m{it}.mx, 9) AS v
+  FROM u{it} CROSS JOIN m{it}
+)""")
+        prev = f"v{it}"
+    return ("WITH " + ",".join(parts) + f"""
+SELECT v.j AS dim,
+       ROUND(v.v, 6) AS loading,
+       ROUND(m{_POW_ITERS}.mx, 6) AS lambda_inf
+FROM v{_POW_ITERS} v CROSS JOIN m{_POW_ITERS}
+""")
+
+
+@query("q441_top_eigenvector", oracle=_top_eig_oracle_sql())
+def q441_top_eigenvector(spark, sf_dir):
+    """TOP PRINCIPAL DIRECTION of the embedding covariance by SNAPPED
+    POWER ITERATION (the q369 discipline applied to PCA — the first
+    step of embedding whitening/anisotropy repair, and the exact
+    counterpart of q235's isotropy diagnostic: q235 MEASURES
+    anisotropy, this EXTRACTS the dominant direction causing it):
+    covariance from one combinable pass (per-row outer products,
+    12dp-rounded DECIMAL sums), then {_POW_ITERS} matvec rounds over
+    the {_EMB_DIM}x{_EMB_DIM} relation with inf-norm normalization and
+    per-round 9dp snapping — every float the two engines compare is
+    the same rational.
+
+    Scale shape: the ONLY data-sized pass is the covariance aggregate
+    (n x {_EMB_DIM}^2 products, map-side combinable); the iteration
+    runs on a broadcast-sized {_EMB_DIM}^2 relation, so 100 TB changes
+    the scan cost, not the solve."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = spark.range(0, _EMB_DIM).select(F.col("id").cast("int").alias("d"))
+    cells = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select(
+        "vec_id", F.col("pos").alias("d"), F.col("col").alias("x")
+    ).transform(managed_persist)
+    n = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    mu = (
+        cells.groupBy("d")
+        .agg(
+            F.sum(F.round(F.col("x"), 10).cast("decimal(24,10)"))
+            .cast("double")
+            .alias("s")
+        )
+        .crossJoin(F.broadcast(n))
+        .select("d", (F.col("s") / F.col("n")).alias("mu"))
+    )
+    a = cells.select("vec_id", F.col("d").alias("i"), F.col("x").alias("xa"))
+    b = cells.select("vec_id", F.col("d").alias("j"), F.col("x").alias("xb"))
+    cov = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(
+            F.sum(
+                F.round(F.col("xa") * F.col("xb"), 12).cast("decimal(28,12)")
+            )
+            .cast("double")
+            .alias("sxy")
+        )
+        .crossJoin(F.broadcast(n))
+        .join(F.broadcast(mu.select(F.col("d").alias("i"), F.col("mu").alias("mi"))), "i")
+        .join(F.broadcast(mu.select(F.col("d").alias("j"), F.col("mu").alias("mj"))), "j")
+        .select(
+            "i",
+            "j",
+            (F.col("sxy") / F.col("n") - F.col("mi") * F.col("mj")).alias("c"),
+        )
+        .transform(managed_persist)
+    )
+    v = dim.select(F.col("d").alias("j"), F.lit(1.0).alias("v"))
+    mx = None
+    for _ in range(_POW_ITERS):
+        u = (
+            cov.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(F.round(F.col("c") * F.col("v"), 12).cast("decimal(28,12)"))
+                .cast("double")
+                .alias("u")
+            )
+        )
+        mx = u.agg(F.max(F.abs(F.col("u"))).alias("mx"))
+        v = u.crossJoin(F.broadcast(mx)).select(
+            F.col("i").alias("j"), F.round(F.col("u") / F.col("mx"), 9).alias("v")
+        )
+    return v.crossJoin(F.broadcast(mx)).select(
+        F.col("j").cast("bigint").alias("dim"),
+        F.round(F.col("v"), 6).alias("loading"),
+        F.round(F.col("mx"), 6).alias("lambda_inf"),
+    )

@@ -9298,3 +9298,152 @@ def q438_krippendorff_alpha(spark, sf_dir):
             F.round(1.0 - d_obs / d_exp, 6).alias("alpha"),
         )
     )
+
+
+@query(
+    "q440_pacf_durbin_levinson",
+    oracle="""
+WITH hourly AS MATERIALIZED (
+  SELECT event_type,
+         epoch_ns(ts) // 3600000000000 AS h,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM events GROUP BY event_type, h
+),
+stats AS MATERIALIZED (
+  SELECT event_type,
+         ROUND(CAST(SUM(CAST(m AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 6) AS mbar,
+         CAST(COUNT(*) AS BIGINT) AS n_hours
+  FROM hourly GROUP BY event_type
+),
+dev AS MATERIALIZED (
+  SELECT h.event_type, h.h, h.m - s.mbar AS d
+  FROM hourly h JOIN stats s ON s.event_type = h.event_type
+),
+den AS (
+  SELECT event_type,
+         CAST(SUM(CAST(ROUND(d * d, 10) AS DECIMAL(24,10))) AS DOUBLE) AS ss
+  FROM dev GROUP BY event_type
+),
+lagged AS (
+  SELECT a.event_type, k.k,
+         CAST(SUM(CAST(ROUND(a.d * b.d, 10) AS DECIMAL(24,10))) AS DOUBLE) AS sp
+  FROM dev a
+  CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS k) k
+  JOIN dev b ON b.event_type = a.event_type AND b.h = a.h + k.k
+  GROUP BY a.event_type, k.k
+),
+acf AS (
+  SELECT l.event_type,
+         ROUND(MAX(CASE WHEN k = 1 THEN sp END) / d.ss, 10) AS r1,
+         ROUND(MAX(CASE WHEN k = 2 THEN sp END) / d.ss, 10) AS r2,
+         ROUND(MAX(CASE WHEN k = 3 THEN sp END) / d.ss, 10) AS r3
+  FROM lagged l JOIN den d ON d.event_type = l.event_type
+  GROUP BY l.event_type, d.ss
+),
+dl AS (
+  SELECT event_type, r1, r2, r3,
+         r1 AS phi11,
+         ROUND((r2 - r1 * r1) / (1.0 - r1 * r1), 10) AS phi22
+  FROM acf
+),
+dl2 AS (
+  SELECT *, ROUND(r1 - phi22 * r1, 10) AS phi21 FROM dl
+)
+SELECT event_type,
+       ROUND(phi11, 6) AS pacf1,
+       ROUND(phi22, 6) AS pacf2,
+       ROUND((r3 - phi21 * r2 - phi22 * r1)
+             / (1.0 - phi21 * r1 - phi22 * r2), 6) AS pacf3
+FROM dl2
+""",
+)
+def q440_pacf_durbin_levinson(spark, sf_dir):
+    """PARTIAL AUTOCORRELATION at lags 1-3 via the Durbin-Levinson
+    recursion (the AR-order identification companion to q298's ACF —
+    ACF says 'correlated at lag k', PACF says 'correlated at lag k
+    AFTER removing shorter lags', which is what picks the AR order):
+    sample ACF from the q298 hourly-mean deviation grid, then the
+    closed-form recursion phi11=r1, phi22=(r2−r1²)/(1−r1²),
+    phi33=(r3−phi21·r2−phi22·r1)/(1−phi21·r1−phi22·r2), every
+    intermediate snapped to 10dp so the rational walk is engine-exact.
+
+    Scale shape: identical to q298 (hourly grid + lag self-joins, all
+    per-series); the recursion itself runs on the 5-row ACF table."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.expr("ts_ns DIV 3600000000000").alias("h")
+    ).agg(
+        F.round(
+            F.sum(dec("value")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("m")
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.col("m").cast("decimal(16,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mbar"),
+    )
+    dev = hourly.join(stats, "event_type").select(
+        "event_type", "h", (F.col("m") - F.col("mbar")).alias("d")
+    ).transform(managed_persist)
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.round(F.col("d") * F.col("d"), 10).cast("decimal(24,10)"))
+        .cast("double")
+        .alias("ss")
+    )
+    ks = spark.range(1, 4).select(F.col("id").alias("k"))
+    a = dev.crossJoin(F.broadcast(ks))
+    b = dev.select(
+        "event_type", F.col("h").alias("hb"), F.col("d").alias("db")
+    )
+    lagged = (
+        a.join(
+            b,
+            (a.event_type == b.event_type) & (b.hb == a.h + F.col("k")),
+        )
+        .drop(b.event_type)
+        .groupBy("event_type", "k")
+        .agg(
+            F.sum(F.round(F.col("d") * F.col("db"), 10).cast("decimal(24,10)"))
+            .cast("double")
+            .alias("sp")
+        )
+    )
+    acf = (
+        lagged.join(den, "event_type")
+        .groupBy("event_type", "ss")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("k") == 1, F.col("sp"))) / F.col("ss"), 10
+            ).alias("r1"),
+            F.round(
+                F.max(F.when(F.col("k") == 2, F.col("sp"))) / F.col("ss"), 10
+            ).alias("r2"),
+            F.round(
+                F.max(F.when(F.col("k") == 3, F.col("sp"))) / F.col("ss"), 10
+            ).alias("r3"),
+        )
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    dl = acf.select(
+        "event_type",
+        "r1",
+        "r2",
+        "r3",
+        r1.alias("phi11"),
+        F.round((r2 - r1 * r1) / (1.0 - r1 * r1), 10).alias("phi22"),
+    )
+    dl2 = dl.withColumn(
+        "phi21", F.round(r1 - F.col("phi22") * r1, 10)
+    )
+    return dl2.select(
+        "event_type",
+        F.round(F.col("phi11"), 6).alias("pacf1"),
+        F.round(F.col("phi22"), 6).alias("pacf2"),
+        F.round(
+            (r3 - F.col("phi21") * r2 - F.col("phi22") * r1)
+            / (1.0 - F.col("phi21") * r1 - F.col("phi22") * r2),
+            6,
+        ).alias("pacf3"),
+    )
