@@ -147,6 +147,10 @@ _PRIORITY = (
     "q321_topic_coherence",
     "q322_lsh_planner",
     # --- New in round 8 (add new queries HERE) ---
+    "q446_weibull_fit",
+    "q445_fightin_words",
+    "q444_capture_recapture",
+    "q443_raking_ipf",
     "q442_codon_adaptation_index",
     "q441_top_eigenvector",
     "q440_pacf_durbin_levinson",

@@ -2039,3 +2039,191 @@ def q427_referential_integrity(spark, sf_dir):
         )
         rows = arm if rows is None else rows.unionByName(arm)
     return rows
+
+
+_IPF_ITERS = 3
+
+
+def _ipf_oracle_sql() -> str:
+    parts = ["""
+cells AS (
+  SELECT CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 4 AS sg,
+         LEAST(n_chars // 1000, 3) AS lb,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT SUM(n) AS n FROM cells),
+w0 AS (SELECT sg, lb, n, n AS w FROM cells)"""]
+    prev = "w0"
+    for it in range(1, _IPF_ITERS + 1):
+        parts.append(f"""
+r{it} AS (
+  SELECT p.sg, p.lb, p.n,
+         ROUND(p.w * ((SELECT n FROM tot) / 4.0)
+               / SUM(p.w) OVER (PARTITION BY p.sg), 9) AS w
+  FROM {prev} p
+),
+c{it} AS (
+  SELECT sg, lb, n,
+         ROUND(w * ((SELECT n FROM tot) / 4.0)
+               / SUM(w) OVER (PARTITION BY lb), 9) AS w
+  FROM r{it}
+)""")
+        prev = f"c{it}"
+    return ("WITH " + ",".join(parts) + f"""
+SELECT CAST(sg AS BIGINT) AS source_group, CAST(lb AS BIGINT) AS length_bucket,
+       CAST(n AS BIGINT) AS n_docs,
+       ROUND(w, 6) AS raked_weighted_count,
+       ROUND(w / n, 6) AS rake_factor
+FROM {prev}
+""")
+
+
+@query("q443_raking_ipf", oracle=_ipf_oracle_sql())
+def q443_raking_ipf(spark, sf_dir):
+    """ITERATIVE PROPORTIONAL FITTING (raking) of the corpus
+    (source-group x length-bucket) table to uniform target margins —
+    the survey-weighting / data-rebalancing primitive an LLM pipeline
+    uses to hit a prescribed source x length mixture without
+    resampling (q300's temperature mixture reweights ONE margin; IPF
+    satisfies BOTH simultaneously): {_IPF_ITERS} row-scale/column-scale
+    sweeps over the 16-cell contingency table, each scaled weight
+    snapped to 9dp so the multiplicative walk is engine-exact.
+
+    Scale shape: the only data-sized pass is the contingency count;
+    the sweeps run on the cell relation (bounded by the category
+    domains), partitioned windows only."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy(
+        (F.regexp_extract("source", "[0-9]+", 0).cast("bigint") % 4).alias("sg"),
+        F.least(F.expr("n_chars DIV 1000"), F.lit(3)).alias("lb"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    cells = cells.transform(managed_persist)
+    tot = cells.agg(F.sum("n").alias("t"))
+    w = cells.select("sg", "lb", "n", F.col("n").alias("w")).crossJoin(
+        F.broadcast(tot)
+    )
+    for _ in range(_IPF_ITERS):
+        w = w.withColumn(
+            "w",
+            F.round(
+                F.col("w")
+                * (F.col("t") / 4.0)
+                / F.sum("w").over(W.partitionBy("sg")),
+                9,
+            ),
+        )
+        w = w.withColumn(
+            "w",
+            F.round(
+                F.col("w")
+                * (F.col("t") / 4.0)
+                / F.sum("w").over(W.partitionBy("lb")),
+                9,
+            ),
+        )
+    return w.select(
+        F.col("sg").cast("bigint").alias("source_group"),
+        F.col("lb").cast("bigint").alias("length_bucket"),
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round("w", 6).alias("raked_weighted_count"),
+        F.round(F.col("w") / F.col("n"), 6).alias("rake_factor"),
+    )
+
+
+@query(
+    "q444_capture_recapture",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         (list_reduce(list_transform(
+            string_split(substr(md5(CAST(doc_id AS VARCHAR) || ':a'), 1, 8), ''),
+            c -> CAST(CASE WHEN ascii(c) >= 97 THEN ascii(c) - 87
+                           ELSE ascii(c) - 48 END AS BIGINT)),
+            (a, x) -> a * 16 + x) % 2147483647) / 2147483647.0 AS ua,
+         (list_reduce(list_transform(
+            string_split(substr(md5(CAST(doc_id AS VARCHAR) || ':b'), 1, 8), ''),
+            c -> CAST(CASE WHEN ascii(c) >= 97 THEN ascii(c) - 87
+                           ELSE ascii(c) - 48 END AS BIGINT)),
+            (a, x) -> a * 16 + x) % 2147483647) / 2147483647.0 AS ub
+  FROM documents
+),
+marks AS (
+  SELECT doc_id, CASE WHEN ua < 0.6 THEN 1 ELSE 0 END AS in_a,
+         CASE WHEN ub < 0.5 THEN 1 ELSE 0 END AS in_b
+  FROM h
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+         CAST(SUM(in_a) AS BIGINT) AS n_a,
+         CAST(SUM(in_b) AS BIGINT) AS n_b,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS m
+  FROM marks
+)
+SELECT n_true, n_a, n_b, m,
+       ROUND((n_a + 1.0) * (n_b + 1.0) / (m + 1.0) - 1.0, 6) AS chapman_n,
+       ROUND((n_a + 1.0) * (n_b + 1.0) * (n_a - m) * (n_b - m)
+             / ((m + 1.0) * (m + 1.0) * (m + 2.0)), 6) AS chapman_var,
+       ROUND(((n_a + 1.0) * (n_b + 1.0) / (m + 1.0) - 1.0 - n_true)
+             / n_true, 6) AS rel_err
+FROM t
+""",
+)
+def q444_capture_recapture(spark, sf_dir):
+    """CAPTURE-RECAPTURE CORPUS-SIZE ESTIMATION (Chapman's
+    bias-corrected Lincoln-Petersen — 'how many unique documents exist
+    out there, given two overlapping crawls?': the question a crawl
+    planner answers before paying for a third pass, and the
+    statistical face of the q122 incremental-dedup overlap): two
+    deterministic hash-marked 'crawls' (60% and 50% inclusion), the
+    overlap m from one integer aggregate, Chapman estimate + variance,
+    and the relative error against the known universe — so the
+    estimator itself is value-certified, not just computed.
+
+    Scale shape: one scan, three integer sums; the estimate is a
+    scalar expression. The crawl marks reuse the q246 portable-md5
+    uniform so both engines mark identical docs."""
+    from variantcalling_spark.operators.dedup import (
+        MERSENNE31,
+        portable_string_hash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def mark(tag, frac):
+        return (
+            portable_string_hash(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":" + tag))
+            )
+            / F.lit(float(MERSENNE31))
+            < frac
+        ).cast("int")
+
+    t = docs.select(
+        mark("a", 0.6).alias("in_a"), mark("b", 0.5).alias("in_b")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+        F.sum("in_a").cast("bigint").alias("n_a"),
+        F.sum("in_b").cast("bigint").alias("n_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("m"),
+    )
+    na, nb, m, nt = F.col("n_a"), F.col("n_b"), F.col("m"), F.col("n_true")
+    chap = (na + 1.0) * (nb + 1.0) / (m + 1.0) - 1.0
+    return t.select(
+        "n_true",
+        "n_a",
+        "n_b",
+        "m",
+        F.round(chap, 6).alias("chapman_n"),
+        F.round(
+            (na + 1.0)
+            * (nb + 1.0)
+            * (na - m)
+            * (nb - m)
+            / ((m + 1.0) * (m + 1.0) * (m + 2.0)),
+            6,
+        ).alias("chapman_var"),
+        F.round((chap - nt) / nt, 6).alias("rel_err"),
+    )

@@ -6679,3 +6679,107 @@ def q433_paired_bootstrap_bleu(spark, sf_dir):
             F.round("ci_hi", 6).alias("delta_ci_hi"),
         )
     )
+
+
+@query(
+    "q445_fightin_words",
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS y
+       FROM toks WHERE w <> '' GROUP BY source, w),
+corpus AS (SELECT w, CAST(SUM(y) AS BIGINT) AS yw FROM tc GROUP BY w),
+vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM corpus),
+n_i AS (SELECT source, CAST(SUM(y) AS BIGINT) AS n FROM tc GROUP BY source),
+n_all AS (SELECT CAST(SUM(y) AS BIGINT) AS n FROM tc),
+z AS (
+  SELECT tc.source, tc.w, tc.y, c.yw, ni.n AS n_i,
+         ROUND((ln((tc.y + 1.0) / (ni.n + v.v - tc.y - 1.0))
+                - ln((c.yw + 1.0) / (na.n + v.v - c.yw - 1.0)))
+               / sqrt(1.0 / (tc.y + 1.0) + 1.0 / (c.yw + 1.0)), 10) AS z
+  FROM tc
+  JOIN corpus c ON c.w = tc.w
+  JOIN n_i ni ON ni.source = tc.source
+  CROSS JOIN n_all na CROSS JOIN vocab v
+),
+rk AS (
+  SELECT source, w, y, z,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY z DESC, w) AS rn
+  FROM z
+)
+SELECT source, CAST(rn AS INT) AS rnk, w AS word,
+       CAST(y AS BIGINT) AS n_in_source, ROUND(z, 6) AS zeta
+FROM rk WHERE rn <= 3
+""",
+)
+def q445_fightin_words(spark, sf_dir):
+    """DISTINCTIVE TERMS per source via Dirichlet-smoothed log-odds
+    z-scores (Monroe/Colaresi/Quinn "Fightin' Words" — the
+    statistically-grounded alternative to q243's c-TF-IDF: raw tf-idf
+    over-ranks rare words; the informative-Dirichlet z divides the
+    log-odds delta by its posterior variance, so high-zeta words are
+    distinctive AND well-attested): uniform +1 prior over the corpus
+    vocabulary, delta = smoothed log-odds in source minus corpus,
+    z = delta/sqrt(1/(y_wi+1) + 1/(y_w+1)); top-3 per source by
+    (z DESC, word).
+
+    Scale shape: two combinable count aggregates, a broadcast of the
+    per-source totals, and a per-source top-k window — the q19 argmax
+    family. z is snapped to 10dp BEFORE ranking so the order is
+    engine-exact even at ties."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    tc = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    ).transform(managed_persist)
+    corpus = tc.groupBy("w").agg(F.sum("y").cast("bigint").alias("yw"))
+    vocab = corpus.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    n_i = tc.groupBy("source").agg(F.sum("y").cast("bigint").alias("n_i"))
+    n_all = tc.agg(F.sum("y").cast("bigint").alias("n_all"))
+    y, yw, ni, na, v = (
+        F.col("y"),
+        F.col("yw"),
+        F.col("n_i"),
+        F.col("n_all"),
+        F.col("v"),
+    )
+    z = (
+        tc.join(corpus, "w")
+        .join(F.broadcast(n_i), "source")
+        .crossJoin(F.broadcast(n_all))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "source",
+            "w",
+            "y",
+            F.round(
+                (
+                    F.log((y + 1.0) / (ni + v - y - 1.0))
+                    - F.log((yw + 1.0) / (na + v - yw - 1.0))
+                )
+                / F.sqrt(1.0 / (y + 1.0) + 1.0 / (yw + 1.0)),
+                10,
+            ).alias("z"),
+        )
+    )
+    rk = z.select(
+        "source",
+        "w",
+        "y",
+        "z",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy(F.col("z").desc(), "w"))
+        .alias("rn"),
+    ).where(F.col("rn") <= 3)
+    return rk.select(
+        "source",
+        F.col("rn").cast("int").alias("rnk"),
+        F.col("w").alias("word"),
+        F.col("y").cast("bigint").alias("n_in_source"),
+        F.round("z", 6).alias("zeta"),
+    )

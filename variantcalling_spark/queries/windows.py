@@ -9447,3 +9447,118 @@ def q440_pacf_durbin_levinson(spark, sf_dir):
             6,
         ).alias("pacf3"),
     )
+
+
+@query(
+    "q446_weibull_fit",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t1
+  FROM events GROUP BY user_id
+),
+subj AS (
+  SELECT (t1 - t0) // {DAY_US} AS dur
+  FROM per_user WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+),
+pos AS (
+  SELECT dur, CAST(COUNT(*) AS BIGINT) AS c FROM subj WHERE dur >= 1 GROUP BY dur
+),
+rk AS (
+  SELECT dur, c,
+         CAST(SUM(c) OVER (ORDER BY dur
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST((SELECT SUM(c) FROM pos) AS BIGINT) AS n
+  FROM pos
+),
+xy AS (
+  SELECT dur,
+         ROUND(ln(CAST(dur AS DOUBLE)), 10) AS x,
+         ROUND(ln(-ln(1.0 - (cum - 0.3 * c / c) / (n + 0.4))), 10) AS y_raw,
+         ROUND(ln(-ln(1.0 - (cum - 0.3) / (n + 0.4))), 10) AS y,
+         c, n
+  FROM rk WHERE cum < n + 1
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(20,10))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(26,12))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ROUND(x * y, 12) AS DECIMAL(26,12))) AS DOUBLE) AS sxy
+  FROM xy
+)
+SELECT k AS n_points,
+       ROUND((sxy - sx * sy / k) / (sxx - sx * sx / k), 6) AS shape_k,
+       ROUND(exp(-(sy / k - (sxy - sx * sy / k) / (sxx - sx * sx / k) * sx / k)
+                 / ((sxy - sx * sy / k) / (sxx - sx * sx / k))), 6) AS scale_days
+FROM mom
+""",
+)
+def q446_weibull_fit(spark, sf_dir):
+    """WEIBULL SURVIVAL-PARAMETER FIT by median-rank regression (the
+    PARAMETRIC complement to q206's Kaplan-Meier and q286's
+    Nelson-Aalen: KM draws the curve, this compresses it to the
+    (shape, scale) pair capacity/churn models consume; shape < 1 =
+    early-failure churn, > 1 = wear-out): uncensored signup→purchase
+    durations, Benard median-rank plotting positions
+    F_i = (cum−0.3)/(n+0.4) over the integer-day histogram, then OLS
+    of ln(−ln(1−F)) on ln(t) in closed form — shape = slope,
+    scale = exp(−intercept/slope).
+
+    Scale discipline: the only window is the duration-histogram prefix
+    (integer-day domain, the q206 allowlist class); moments are
+    DECIMAL-exact sums."""
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", F.expr("ts_ns DIV 1000"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts_us"))
+        ).alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+        ).alias("t1"),
+    )
+    subj = per_user.where(
+        F.col("t0").isNotNull() & F.col("t1").isNotNull() & (F.col("t1") > F.col("t0"))
+    ).select(F.expr(f"(t1 - t0) DIV {DAY_US}").alias("dur"))
+    pos = (
+        subj.where(F.col("dur") >= 1)
+        .groupBy("dur")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w_cum = W.orderBy("dur").rowsBetween(W.unboundedPreceding, 0)
+    n_tot = pos.agg(F.sum("c").cast("bigint").alias("n"))
+    rk = pos.select(
+        "dur", "c", F.sum("c").over(w_cum).cast("bigint").alias("cum")
+    ).crossJoin(F.broadcast(n_tot))
+    xy = rk.where(F.col("cum") < F.col("n") + 1).select(
+        F.round(F.log(F.col("dur").cast("double")), 10).alias("x"),
+        F.round(
+            F.log(
+                -F.log(
+                    1.0 - (F.col("cum") - 0.3) / (F.col("n") + 0.4)
+                )
+            ),
+            10,
+        ).alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    mom = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(x.cast("decimal(20,10)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(20,10)")).cast("double").alias("sy"),
+        F.sum(F.round(x * x, 12).cast("decimal(26,12)")).cast("double").alias("sxx"),
+        F.sum(F.round(x * y, 12).cast("decimal(26,12)")).cast("double").alias("sxy"),
+    )
+    k = F.col("k")
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / k) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / k
+    )
+    intercept = F.col("sy") / k - slope * F.col("sx") / k
+    return mom.select(
+        k.alias("n_points"),
+        F.round(slope, 6).alias("shape_k"),
+        F.round(F.exp(-intercept / slope), 6).alias("scale_days"),
+    )
