@@ -147,6 +147,10 @@ _PRIORITY = (
     "q321_topic_coherence",
     "q322_lsh_planner",
     # --- New in round 8 (add new queries HERE) ---
+    "q450_sprt_sequential",
+    "q449_runs_test",
+    "q448_eb_shrinkage",
+    "q447_heavy_changers",
     "q446_weibull_fit",
     "q445_fightin_words",
     "q444_capture_recapture",

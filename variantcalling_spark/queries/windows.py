@@ -9562,3 +9562,389 @@ def q446_weibull_fit(spark, sf_dir):
         F.round(slope, 6).alias("shape_k"),
         F.round(F.exp(-intercept / slope), 6).alias("scale_days"),
     )
+
+
+@query(
+    "q447_heavy_changers",
+    oracle="""
+WITH d AS (
+  SELECT epoch_ns(ts) // 86400000000000 AS day,
+         user_id % 100 AS key_
+  FROM events
+),
+lim AS (
+  SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d
+),
+split_ AS (
+  SELECT key_,
+         CAST(SUM(CASE WHEN day * 2 <= (SELECT d0 + d1 FROM lim)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN day * 2 > (SELECT d0 + d1 FROM lim)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM d GROUP BY key_
+),
+scored AS (
+  SELECT key_, c1, c2,
+         CAST(ABS(c2 - c1) AS BIGINT) AS abs_change,
+         ROUND((c2 - c1) / (c1 + 1.0), 6) AS rel_change
+  FROM split_
+)
+SELECT CAST(key_ AS BIGINT) AS key, c1 AS n_first_half, c2 AS n_second_half,
+       abs_change, rel_change,
+       CAST(ROW_NUMBER() OVER (ORDER BY abs_change DESC, key_) AS INT) AS rnk
+FROM (SELECT * FROM scored ORDER BY abs_change DESC, key_ LIMIT 10)
+""",
+)
+def q447_heavy_changers(spark, sf_dir):
+    """HEAVY CHANGERS between the two halves of the event window (the
+    monitoring twin of q228's heavy HITTERS: hitters answer 'what is
+    big', changers answer 'what moved' — the anomaly feed a traffic/
+    abuse pipeline actually alerts on): per-key first-half vs
+    second-half counts in one conditional aggregate (no self-join of
+    two day-filtered scans), |delta| top-10 via TakeOrdered, smoothed
+    relative change alongside.
+
+    Scale shape: ONE combinable aggregate over the key domain + a
+    top-k heap; the midpoint is a broadcast scalar."""
+    from pyspark.sql import Window as W2
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("ts_ns DIV 86400000000000").alias("day"),
+        (F.col("user_id") % 100).alias("key_"),
+    )
+    lim = ev.agg(
+        (F.min("day") + F.max("day")).alias("dsum")
+    )
+    split_ = (
+        ev.crossJoin(F.broadcast(lim))
+        .groupBy("key_")
+        .agg(
+            F.sum(F.when(F.col("day") * 2 <= F.col("dsum"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("c1"),
+            F.sum(F.when(F.col("day") * 2 > F.col("dsum"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("c2"),
+        )
+    )
+    scored = split_.select(
+        "key_",
+        "c1",
+        "c2",
+        F.abs(F.col("c2") - F.col("c1")).cast("bigint").alias("abs_change"),
+        F.round((F.col("c2") - F.col("c1")) / (F.col("c1") + 1.0), 6).alias(
+            "rel_change"
+        ),
+    )
+    top = scored.orderBy(F.col("abs_change").desc(), "key_").limit(10)
+    return top.select(
+        F.col("key_").cast("bigint").alias("key"),
+        F.col("c1").alias("n_first_half"),
+        F.col("c2").alias("n_second_half"),
+        "abs_change",
+        "rel_change",
+        F.row_number()
+        .over(W2.orderBy(F.col("abs_change").desc(), "key_"))
+        .cast("int")
+        .alias("rnk"),
+    )
+
+
+@query(
+    "q448_eb_shrinkage",
+    oracle="""
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN n_chars > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM documents GROUP BY source
+),
+g AS (
+  SELECT CAST(SUM(k) AS BIGINT) AS tk, CAST(SUM(n) AS BIGINT) AS tn,
+         CAST(COUNT(*) AS BIGINT) AS n_src,
+         CAST(SUM(CAST(ROUND(POW(k / CAST(n AS DOUBLE)
+                                 - (SELECT SUM(k) FROM s)
+                                   / CAST((SELECT SUM(n) FROM s) AS DOUBLE), 2),
+                             12) AS DECIMAL(26,12))) AS DOUBLE) AS ssb,
+         CAST(SUM(CAST(ROUND(k * (n - k) / (CAST(n AS DOUBLE) * n * n), 12)
+                       AS DECIMAL(26,12))) AS DOUBLE) AS svw,
+         CAST(MIN(n) AS BIGINT) AS n_min
+  FROM s
+),
+prior AS (
+  SELECT tk / CAST(tn AS DOUBLE) AS mu,
+         GREATEST((ssb - svw) / n_src, 0.0000001) AS tau2,
+         (tk / CAST(tn AS DOUBLE)) * (1 - tk / CAST(tn AS DOUBLE)) AS mv
+  FROM g
+)
+SELECT s.source, s.n, s.k,
+       ROUND(s.k / CAST(s.n AS DOUBLE), 6) AS raw_rate,
+       ROUND(p.mu, 6) AS prior_mean,
+       ROUND(p.mv / (p.tau2 * s.n), 6) AS shrink_units,
+       ROUND((s.k + p.mu * (p.mv / p.tau2))
+             / (s.n + p.mv / p.tau2), 6) AS shrunk_rate
+FROM s CROSS JOIN prior p
+""",
+)
+def q448_eb_shrinkage(spark, sf_dir):
+    """EMPIRICAL-BAYES RATE SHRINKAGE per source (the beta-binomial
+    moment-matched James-Stein move every per-segment rate dashboard
+    needs — small sources' raw rates are noise; shrinking toward the
+    grand mean by the estimated between-source variance is the
+    principled fix, and the prior pseudo-count m = mu(1-mu)/tau2 IS
+    the method-of-moments beta prior): long-doc rate per source,
+    between-source variance from one pass, shrunk rate
+    (k + mu*m)/(n + m).
+
+    Exactness: the variance components are 12dp-snapped DECIMAL sums;
+    everything else is a scalar expression of exact counts. One
+    combinable aggregate + a broadcast prior row."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("n_chars") > 1000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    ).transform(managed_persist)
+    tot = s.agg(
+        F.sum("k").cast("bigint").alias("tk"),
+        F.sum("n").cast("bigint").alias("tn"),
+        F.count(F.lit(1)).cast("bigint").alias("n_src"),
+    )
+    mu_g = F.col("tk") / F.col("tn").cast("double")
+    g = (
+        s.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("tk").alias("tk"),
+            F.max("tn").alias("tn"),
+            F.max("n_src").alias("n_src"),
+            F.sum(
+                F.round(
+                    F.pow(
+                        F.col("k") / F.col("n").cast("double")
+                        - F.col("tk") / F.col("tn").cast("double"),
+                        2,
+                    ),
+                    12,
+                ).cast("decimal(26,12)")
+            )
+            .cast("double")
+            .alias("ssb"),
+            F.sum(
+                F.round(
+                    F.col("k")
+                    * (F.col("n") - F.col("k"))
+                    / (F.col("n").cast("double") * F.col("n") * F.col("n")),
+                    12,
+                ).cast("decimal(26,12)")
+            )
+            .cast("double")
+            .alias("svw"),
+        )
+    )
+    prior = g.select(
+        mu_g.alias("mu"),
+        F.greatest(
+            (F.col("ssb") - F.col("svw")) / F.col("n_src"), F.lit(0.0000001)
+        ).alias("tau2"),
+        (mu_g * (1 - mu_g)).alias("mv"),
+    )
+    m = F.col("mv") / F.col("tau2")
+    return s.crossJoin(F.broadcast(prior)).select(
+        "source",
+        "n",
+        "k",
+        F.round(F.col("k") / F.col("n").cast("double"), 6).alias("raw_rate"),
+        F.round(F.col("mu"), 6).alias("prior_mean"),
+        F.round(m / F.col("n"), 6).alias("shrink_units"),
+        F.round(
+            (F.col("k") + F.col("mu") * m) / (F.col("n") + m), 6
+        ).alias("shrunk_rate"),
+    )
+
+
+@query(
+    "q449_runs_test",
+    oracle="""
+WITH s AS (
+  SELECT event_type, epoch_ns(ts) AS t, event_id,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+),
+m AS (
+  SELECT event_type, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mu
+  FROM s GROUP BY event_type
+),
+sg AS (
+  SELECT s.event_type,
+         CASE WHEN CAST(s.v AS DOUBLE) > m.mu THEN 1 ELSE 0 END AS sign_,
+         LAG(CASE WHEN CAST(s.v AS DOUBLE) > m.mu THEN 1 ELSE 0 END)
+           OVER (PARTITION BY s.event_type ORDER BY s.t, s.event_id) AS prev_
+  FROM s JOIN m ON m.event_type = s.event_type
+),
+agg AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN prev_ IS NULL OR sign_ <> prev_
+                       THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+         CAST(SUM(sign_) AS BIGINT) AS n_pos,
+         CAST(SUM(1 - sign_) AS BIGINT) AS n_neg
+  FROM sg GROUP BY event_type
+)
+SELECT event_type, runs, n_pos, n_neg,
+       ROUND(1.0 + 2.0 * n_pos * n_neg / (n_pos + n_neg), 6) AS expected_runs,
+       ROUND((runs - (1.0 + 2.0 * n_pos * n_neg / (n_pos + n_neg)))
+             / sqrt(2.0 * n_pos * n_neg * (2.0 * n_pos * n_neg - n_pos - n_neg)
+                    / (POW(CAST(n_pos + n_neg AS DOUBLE), 2)
+                       * (n_pos + n_neg - 1))), 6) AS z
+FROM agg
+""",
+)
+def q449_runs_test(spark, sf_dir):
+    """WALD-WOLFOWITZ RUNS TEST per metric series (the SIGN-pattern
+    randomness check that complements q430's Durbin-Watson: DW can
+    miss sign-clustered but magnitude-balanced dependence; too few
+    runs = drift/stickiness, too many = oscillation): above/below-mean
+    signs under the deterministic event order, runs counted as
+    sign-change points via LAG (integer-exact), expected runs and the
+    normal z in closed form.
+
+    Scale shape: one partitioned ordered window + one combinable
+    aggregate; the series mean is a DECIMAL-exact broadcast."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts_ns", "event_id", dec("value").alias("v")
+    )
+    m = ev.groupBy("event_type").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    wo = W.partitionBy("event_type").orderBy("ts_ns", "event_id")
+    sg = ev.join(m, "event_type").select(
+        "event_type",
+        F.when(F.col("v").cast("double") > F.col("mu"), 1)
+        .otherwise(0)
+        .alias("sign_"),
+        "ts_ns",
+        "event_id",
+    )
+    sg = sg.select(
+        "event_type", "sign_", F.lag("sign_").over(wo).alias("prev_")
+    )
+    agg = sg.groupBy("event_type").agg(
+        F.sum(
+            F.when(
+                F.col("prev_").isNull() | (F.col("sign_") != F.col("prev_")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("runs"),
+        F.sum("sign_").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("sign_")).cast("bigint").alias("n_neg"),
+    )
+    np_, nn = F.col("n_pos"), F.col("n_neg")
+    exp_r = 1.0 + 2.0 * np_ * nn / (np_ + nn)
+    var_r = (
+        2.0
+        * np_
+        * nn
+        * (2.0 * np_ * nn - np_ - nn)
+        / (F.pow((np_ + nn).cast("double"), 2) * (np_ + nn - 1))
+    )
+    return agg.select(
+        "event_type",
+        "runs",
+        "n_pos",
+        "n_neg",
+        F.round(exp_r, 6).alias("expected_runs"),
+        F.round((F.col("runs") - exp_r) / F.sqrt(var_r), 6).alias("z"),
+    )
+
+
+_SPRT_K = 15
+
+
+@query(
+    "q450_sprt_sequential",
+    oracle=f"""
+WITH s AS (
+  SELECT event_type, epoch_ns(ts) AS t, event_id,
+         CASE WHEN value > 50 THEN 1 ELSE -1 END AS step
+  FROM events
+),
+walk AS (
+  SELECT event_type,
+         SUM(step) OVER (PARTITION BY event_type ORDER BY t, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS k,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY t, event_id)
+           AS rn
+  FROM s
+),
+crossing AS (
+  SELECT event_type, MIN(rn) AS stop_rn
+  FROM walk WHERE ABS(k) >= {_SPRT_K} GROUP BY event_type
+),
+verdicts AS (
+  SELECT w.event_type, c.stop_rn, w.k AS k_at_stop
+  FROM walk w JOIN crossing c
+    ON c.event_type = w.event_type AND w.rn = c.stop_rn
+),
+n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY event_type)
+SELECT n.event_type, n.n,
+       CAST(COALESCE(v.stop_rn, 0) AS BIGINT) AS stop_n,
+       CAST(COALESCE(v.k_at_stop, 0) AS BIGINT) AS k_at_stop,
+       CASE WHEN v.stop_rn IS NULL THEN 'continue'
+            WHEN v.k_at_stop > 0 THEN 'accept_p1' ELSE 'accept_p0' END
+         AS decision
+FROM n LEFT JOIN verdicts v ON v.event_type = n.event_type
+""",
+)
+def q450_sprt_sequential(spark, sf_dir):
+    """SEQUENTIAL PROBABILITY RATIO TEST per metric series (Wald's
+    SPRT — the always-valid sequential decision q382's Page-Hinkley
+    cousin never gives: PH flags drift, SPRT DECIDES between two
+    hypotheses with a controlled error budget and tells you WHEN it
+    could have stopped): for the symmetric Bernoulli pair
+    p0/p1 = 0.45/0.55 the log-likelihood ratio is an INTEGER walk
+    k_t = #above − #below (each step contributes ±ln(p1/p0)), so the
+    boundary |k| >= {_SPRT_K} is exact — stopping index, terminal k,
+    and the decision per series with zero float arithmetic.
+
+    Scale shape: one partitioned ordered cumsum + a per-series MIN of
+    the crossing index; the boundary check is a filter."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts_ns",
+        "event_id",
+        F.when(F.col("value") > 50, 1).otherwise(-1).alias("step"),
+    )
+    wo = W.partitionBy("event_type").orderBy("ts_ns", "event_id")
+    walk = ev.select(
+        "event_type",
+        F.sum("step").over(wo.rowsBetween(W.unboundedPreceding, 0)).alias("k"),
+        F.row_number().over(wo).alias("rn"),
+    ).transform(managed_persist)
+    crossing = (
+        walk.where(F.abs(F.col("k")) >= _SPRT_K)
+        .groupBy("event_type")
+        .agg(F.min("rn").alias("stop_rn"))
+        .withColumnRenamed("event_type", "et")
+    )
+    verdicts = walk.join(
+        crossing,
+        (walk["event_type"] == crossing["et"])
+        & (walk["rn"] == crossing["stop_rn"]),
+    ).select(
+        "et",
+        F.col("stop_rn"),
+        F.col("k").alias("k_at_stop"),
+    )
+    n = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    j = n.join(verdicts, n.event_type == verdicts.et, "left")
+    return j.select(
+        "event_type",
+        "n",
+        F.coalesce("stop_rn", F.lit(0)).cast("bigint").alias("stop_n"),
+        F.coalesce("k_at_stop", F.lit(0)).cast("bigint").alias("k_at_stop"),
+        F.when(F.col("stop_rn").isNull(), "continue")
+        .when(F.col("k_at_stop") > 0, "accept_p1")
+        .otherwise("accept_p0")
+        .alias("decision"),
+    )
