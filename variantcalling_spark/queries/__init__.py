@@ -147,6 +147,9 @@ _PRIORITY = (
     "q321_topic_coherence",
     "q322_lsh_planner",
     # --- New in round 8 (add new queries HERE) ---
+    "q453_competing_risks",
+    "q452_lead_lag_xcorr",
+    "q451_minhash_error_curve",
     "q450_sprt_sequential",
     "q449_runs_test",
     "q448_eb_shrinkage",

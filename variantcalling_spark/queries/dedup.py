@@ -3709,3 +3709,160 @@ def q422_sieve_coverage_stream(spark, sf_dir):
         "batch_id int, slot int, doc_id bigint,"
         " new_covered bigint, total_covered bigint",
     )
+
+
+_MHERR_KS = (8, 16, 32)
+
+
+def _minhash_error_oracle_sql(num_hashes: int = 32) -> str:
+    from variantcalling_spark.operators.dedup import (
+        MERSENNE31,
+        PORTABLE_HASH_SQL,
+        _minhash_coeffs,
+    )
+
+    p = MERSENNE31
+    phash = PORTABLE_HASH_SQL.format(col="shingle")
+    coeffs = _minhash_coeffs(num_hashes)
+    sig_cols = ",\n         ".join(
+        f"MIN((CAST({a} AS BIGINT) * v + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+
+    def match_expr(k, side_a="a", side_b="b"):
+        return " + ".join(
+            f"(CASE WHEN {side_a}.h{i} = {side_b}.h{i} THEN 1 ELSE 0 END)"
+            for i in range(k)
+        )
+
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT {k} AS k_hashes, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(CAST(ROUND(ABS(m{k} / {k}.0 - jaccard), 10)
+                           AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6)
+         AS mae,
+       ROUND(CAST(SUM(CAST(ROUND(m{k} / {k}.0 - jaccard, 10)
+                           AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6)
+         AS bias
+FROM est"""
+        for k in _MHERR_KS
+    )
+    return f"""
+WITH corpus AS ({SQL_CORPUS}),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+                   for i in generate_series(1, len(string_split(text, ' ')) - 2)]) AS shingle
+    FROM corpus
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE) AS jaccard
+  FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE) >= 0.4
+),
+hv AS (SELECT doc_id, {phash} AS v FROM sh),
+sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM hv GROUP BY doc_id
+),
+est AS (
+  SELECT p.doc_a, p.doc_b, p.jaccard,
+         {", ".join(f"{match_expr(k)} AS m{k}" for k in _MHERR_KS)}
+  FROM pairs p
+  JOIN sig a ON a.doc_id = p.doc_a
+  JOIN sig b ON b.doc_id = p.doc_b
+)
+{arms}
+"""
+
+
+@query("q451_minhash_error_curve", oracle=_minhash_error_oracle_sql())
+def q451_minhash_error_curve(spark, sf_dir):
+    """MINHASH ESTIMATION-ERROR CURVE (the accuracy harness for the
+    sketch the whole near-dup family rides: q66 USES 32-perm MinHash,
+    this MEASURES what signature length actually buys — MAE and bias of
+    the k-prefix Jaccard estimate against exact Jaccard over the real
+    >=0.4 near-dup pairs, for k = {_MHERR_KS}; the q375/q392 recall-
+    harness genre applied to the sketch itself): expected MAE shrinks
+    ~1/sqrt(k), and the measured table pins where diminishing returns
+    start — the dial-setting evidence for the 32-perm default.
+
+    Scale shape: pair discovery is the q98 shared-shingle equi-join
+    (bounded by true overlap); signatures are ONE aggregate over the
+    hashed shingle relation; the estimate join touches only the
+    discovered pairs."""
+    from variantcalling_spark.operators.dedup import (
+        jaccard_for_pairs,
+        portable_minhash_signatures,
+        shingles,
+    )
+
+    sh = shingles(corpus(spark, sf_dir), n=3).transform(managed_persist)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    pairs = jaccard_for_pairs(
+        cand.select("doc_a", "doc_b"), sh
+    ).where(F.col("jaccard") >= 0.4)
+    sig = portable_minhash_signatures(sh, num_hashes=32)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("siga"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sigb"))
+    est = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "jaccard",
+            *[
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.slice("siga", 1, k),
+                            F.slice("sigb", 1, k),
+                            lambda x, y: x == y,
+                        ),
+                        lambda m: m,
+                    )
+                ).alias(f"m{k}")
+                for k in _MHERR_KS
+            ],
+        )
+        .transform(managed_persist)
+    )
+    out = None
+    for k in _MHERR_KS:
+        err = F.col(f"m{k}") / float(k) - F.col("jaccard")
+        arm = est.agg(
+            F.lit(k).cast("int").alias("k_hashes"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum(F.round(F.abs(err), 10).cast("decimal(20,10)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mae"),
+            F.round(
+                F.sum(F.round(err, 10).cast("decimal(20,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("bias"),
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out

@@ -9948,3 +9948,319 @@ def q450_sprt_sequential(spark, sf_dir):
         .otherwise("accept_p0")
         .alias("decision"),
     )
+
+
+@query(
+    "q452_lead_lag_xcorr",
+    oracle="""
+WITH daily AS MATERIALIZED (
+  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6)
+           AS m
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type,
+         ROUND(CAST(SUM(CAST(m AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 6)
+           AS mu
+  FROM daily GROUP BY event_type
+),
+dev AS MATERIALIZED (
+  SELECT d.event_type, d.day, d.m - s.mu AS x
+  FROM daily d JOIN st s ON s.event_type = d.event_type
+),
+den AS (
+  SELECT event_type,
+         CAST(SUM(CAST(ROUND(x * x, 10) AS DECIMAL(24,10))) AS DOUBLE) AS ss
+  FROM dev GROUP BY event_type
+),
+cc AS (
+  SELECT a.event_type AS lead_series, b.event_type AS lag_series, l.lag,
+         CAST(SUM(CAST(ROUND(a.x * b.x, 10) AS DECIMAL(24,10))) AS DOUBLE) AS sp,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM dev a
+  CROSS JOIN (SELECT unnest(generate_series(-3, 3)) AS lag) l
+  JOIN dev b ON b.event_type <> a.event_type AND b.day = a.day + l.lag
+  GROUP BY a.event_type, b.event_type, l.lag
+),
+scored AS (
+  SELECT cc.lead_series, cc.lag_series, cc.lag, cc.n_days,
+         ROUND(cc.sp / sqrt(da.ss * db.ss), 10) AS r
+  FROM cc
+  JOIN den da ON da.event_type = cc.lead_series
+  JOIN den db ON db.event_type = cc.lag_series
+),
+best AS (
+  SELECT lead_series, lag_series, lag AS best_lag, n_days, r,
+         ROW_NUMBER() OVER (PARTITION BY lead_series, lag_series
+                            ORDER BY ABS(r) DESC, lag) AS rn
+  FROM scored
+)
+SELECT lead_series, lag_series, CAST(best_lag AS BIGINT) AS best_lag,
+       n_days, ROUND(r, 6) AS xcorr
+FROM best WHERE rn = 1
+""",
+)
+def q452_lead_lag_xcorr(spark, sf_dir):
+    """LEAD-LAG CROSS-CORRELATION between every ordered series pair
+    (which metric MOVES FIRST? — the shift-scan companion to q437's
+    Granger F: Granger tests one fixed lag's significance, this finds
+    the best-aligned lag in ±3 days by |r|): normalized
+    cross-correlation at each lag from the shared daily deviation
+    grid, argmax per pair with (|r| DESC, lag) tie-break on the
+    10dp-snapped r.
+
+    Scale shape: the lag scan is a day-shifted equi-join per lag (7
+    bounded joins expressed as one join against the lag spine); the
+    argmax window runs on the (pairs x 7)-row scored relation."""
+    from pyspark.sql import Window as W2
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_ns DIV 86400000000000").alias("day")
+    ).agg(
+        F.round(
+            F.sum(dec("value")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("m")
+    )
+    st = daily.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.col("m").cast("decimal(16,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mu")
+    )
+    dev = daily.join(st, "event_type").select(
+        "event_type", "day", (F.col("m") - F.col("mu")).alias("x")
+    ).transform(managed_persist)
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.round(F.col("x") * F.col("x"), 10).cast("decimal(24,10)"))
+        .cast("double")
+        .alias("ss")
+    )
+    lags = spark.range(-3, 4).select(F.col("id").alias("lag"))
+    a = dev.select(
+        F.col("event_type").alias("lead_series"), "day", F.col("x").alias("xa")
+    ).crossJoin(F.broadcast(lags))
+    b = dev.select(
+        F.col("event_type").alias("lag_series"),
+        F.col("day").alias("db_day"),
+        F.col("x").alias("xb"),
+    )
+    cc = (
+        a.join(
+            b,
+            (F.col("lag_series") != F.col("lead_series"))
+            & (F.col("db_day") == F.col("day") + F.col("lag")),
+        )
+        .groupBy("lead_series", "lag_series", "lag")
+        .agg(
+            F.sum(F.round(F.col("xa") * F.col("xb"), 10).cast("decimal(24,10)"))
+            .cast("double")
+            .alias("sp"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+    )
+    scored = (
+        cc.join(
+            den.select(F.col("event_type").alias("lead_series"), F.col("ss").alias("ssa")),
+            "lead_series",
+        )
+        .join(
+            den.select(F.col("event_type").alias("lag_series"), F.col("ss").alias("ssb")),
+            "lag_series",
+        )
+        .select(
+            "lead_series",
+            "lag_series",
+            "lag",
+            "n_days",
+            F.round(
+                F.col("sp") / F.sqrt(F.col("ssa") * F.col("ssb")), 10
+            ).alias("r"),
+        )
+    )
+    w = W2.partitionBy("lead_series", "lag_series").orderBy(
+        F.abs(F.col("r")).desc(), "lag"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "lead_series",
+            "lag_series",
+            F.col("lag").cast("bigint").alias("best_lag"),
+            "n_days",
+            F.round("r", 6).alias("xcorr"),
+        )
+    )
+
+
+@query(
+    "q453_competing_risks",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS tc
+  FROM events GROUP BY user_id
+),
+horizon AS (SELECT MAX(epoch_us(ts)) AS tmax FROM events),
+subj AS (
+  SELECT user_id,
+         CASE
+           WHEN tp IS NOT NULL AND tp > t0 AND (tc IS NULL OR tc <= t0 OR tp <= tc)
+             THEN (tp - t0) // {{DAY_US}}
+           WHEN tc IS NOT NULL AND tc > t0
+             THEN (tc - t0) // {{DAY_US}}
+           ELSE (h.tmax - t0) // {{DAY_US}} END AS dur,
+         CASE
+           WHEN tp IS NOT NULL AND tp > t0 AND (tc IS NULL OR tc <= t0 OR tp <= tc)
+             THEN 1
+           WHEN tc IS NOT NULL AND tc > t0 THEN 2
+           ELSE 0 END AS cause
+  FROM per_user CROSS JOIN horizon h
+  WHERE t0 IS NOT NULL
+),
+h AS (
+  SELECT dur,
+         CAST(SUM(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+         CAST(COUNT(*) AS BIGINT) AS leaving
+  FROM subj GROUP BY dur
+),
+rk AS (
+  SELECT dur, d1, d2,
+         CAST(SUM(leaving) OVER (ORDER BY dur DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+  FROM h
+),
+surv AS (
+  SELECT dur, d1, d2, n_risk,
+         exp(CAST(SUM(CAST(ROUND(ln((n_risk - d1 - d2)
+                                     / CAST(n_risk AS DOUBLE)), 9)
+                           AS DECIMAL(18,9)))
+               OVER (ORDER BY dur
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS DOUBLE)) AS s_prev
+  FROM rk WHERE n_risk > d1 + d2
+),
+cif AS (
+  SELECT dur, d1, d2, n_risk,
+         SUM(CAST(ROUND(COALESCE(s_prev, 1.0) * d1 / n_risk, 9)
+                  AS DECIMAL(18,9)))
+           OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS ci1,
+         SUM(CAST(ROUND(COALESCE(s_prev, 1.0) * d2 / n_risk, 9)
+                  AS DECIMAL(18,9)))
+           OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS ci2
+  FROM surv
+)
+SELECT dur AS duration_day, n_risk, d1 AS n_purchase, d2 AS n_click,
+       ROUND(CAST(ci1 AS DOUBLE), 6) AS cif_purchase,
+       ROUND(CAST(ci2 AS DOUBLE), 6) AS cif_click
+FROM cif WHERE d1 > 0 OR d2 > 0
+""".replace("{DAY_US}", str(DAY_US)),
+)
+def q453_competing_risks(spark, sf_dir):
+    """AALEN-JOHANSEN CUMULATIVE INCIDENCE under competing risks (the
+    correct answer to 'what fraction will purchase by day t when a
+    competing first event can preempt it' — naive 1−KM per cause
+    OVERSTATES incidence; AJ weights each cause's hazard by the
+    overall survival, the estimator q206's single-risk KM cannot
+    express): first-of(purchase, click) after signup as competing
+    causes, CIF_k(t) = Σ S(t−)·d_k/n over the integer-day histogram.
+
+    Exactness: the q206 discipline — survival via DECIMAL-summed
+    log-steps, CIF increments 9dp-snapped into DECIMAL prefix sums.
+    All windows live on the duration-histogram domain (allowlist
+    class)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns DIV 1000")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_us"))).alias("tp"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts_us"))).alias("tc"),
+    )
+    horizon = ev.agg(F.max("ts_us").alias("tmax"))
+    t0, tp, tc = F.col("t0"), F.col("tp"), F.col("tc")
+    p_first = tp.isNotNull() & (tp > t0) & (
+        tc.isNull() | (tc <= t0) | (tp <= tc)
+    )
+    c_first = tc.isNotNull() & (tc > t0)
+    subj = (
+        per_user.where(t0.isNotNull())
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(p_first, F.expr(f"(tp - t0) DIV {DAY_US}"))
+            .when(c_first, F.expr(f"(tc - t0) DIV {DAY_US}"))
+            .otherwise(F.expr(f"(tmax - t0) DIV {DAY_US}"))
+            .alias("dur"),
+            F.when(p_first, 1).when(c_first, 2).otherwise(0).alias("cause"),
+        )
+    )
+    h = subj.groupBy("dur").agg(
+        F.sum(F.when(F.col("cause") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(F.when(F.col("cause") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("d2"),
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+    )
+    w_desc = W.orderBy(F.col("dur").desc()).rowsBetween(W.unboundedPreceding, 0)
+    rk = h.select(
+        "dur",
+        "d1",
+        "d2",
+        F.sum("leaving").over(w_desc).cast("bigint").alias("n_risk"),
+    )
+    w_asc_prev = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+    w_asc = W.orderBy("dur").rowsBetween(W.unboundedPreceding, 0)
+    surv = rk.where(F.col("n_risk") > F.col("d1") + F.col("d2")).select(
+        "dur",
+        "d1",
+        "d2",
+        "n_risk",
+        F.exp(
+            F.sum(
+                F.round(
+                    F.log(
+                        (F.col("n_risk") - F.col("d1") - F.col("d2"))
+                        / F.col("n_risk").cast("double")
+                    ),
+                    9,
+                ).cast("decimal(18,9)")
+            )
+            .over(w_asc_prev)
+            .cast("double")
+        ).alias("s_prev"),
+    )
+    sp = F.coalesce(F.col("s_prev"), F.lit(1.0))
+    cif = surv.select(
+        "dur",
+        "d1",
+        "d2",
+        "n_risk",
+        F.sum(
+            F.round(sp * F.col("d1") / F.col("n_risk"), 9).cast("decimal(18,9)")
+        )
+        .over(w_asc)
+        .alias("ci1"),
+        F.sum(
+            F.round(sp * F.col("d2") / F.col("n_risk"), 9).cast("decimal(18,9)")
+        )
+        .over(w_asc)
+        .alias("ci2"),
+    )
+    return cif.where((F.col("d1") > 0) | (F.col("d2") > 0)).select(
+        F.col("dur").alias("duration_day"),
+        "n_risk",
+        F.col("d1").alias("n_purchase"),
+        F.col("d2").alias("n_click"),
+        F.round(F.col("ci1").cast("double"), 6).alias("cif_purchase"),
+        F.round(F.col("ci2").cast("double"), 6).alias("cif_click"),
+    )
