@@ -147,6 +147,10 @@ _PRIORITY = (
     "q321_topic_coherence",
     "q322_lsh_planner",
     # --- New in round 8 (add new queries HERE) ---
+    "q457_srm_gate",
+    "q456_day_gap_audit",
+    "q455_markov_entropy_rate",
+    "q454_size_factors",
     "q453_competing_risks",
     "q452_lead_lag_xcorr",
     "q451_minhash_error_curve",

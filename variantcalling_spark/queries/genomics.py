@@ -5954,3 +5954,105 @@ def q442_codon_adaptation_index(spark, sf_dir):
             F.exp(F.sum("lw").cast("double") / F.count(F.lit(1))), 6
         ).alias("cai"),
     )
+
+
+@query(
+    "q454_size_factors",
+    oracle=f"""
+WITH dna AS ({SQL_DOCS_DNA}),
+m AS (
+  SELECT doc.source, substr(dna.seq, 5, 3) AS motif
+  FROM dna JOIN documents doc ON doc.doc_id = dna.doc_id
+  WHERE length(dna.seq) >= 7
+),
+counts AS (
+  SELECT source, motif, CAST(COUNT(*) AS BIGINT) AS n
+  FROM m GROUP BY source, motif
+),
+geo AS (
+  SELECT motif,
+         exp(CAST(SUM(CAST(ROUND(ln(CAST(n AS DOUBLE)), 10)
+                           AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*)) AS g,
+         CAST(COUNT(*) AS BIGINT) AS n_src,
+         (SELECT COUNT(DISTINCT source) FROM counts) AS total_src
+  FROM counts GROUP BY motif
+),
+ratios AS (
+  SELECT c.source, c.motif, ROUND(c.n / g.g, 10) AS r
+  FROM counts c JOIN geo g ON g.motif = c.motif
+  WHERE g.n_src = g.total_src
+),
+med AS (
+  SELECT source, r AS size_factor, n_m FROM (
+    SELECT source, r,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY r, motif) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS n_m
+    FROM ratios
+  ) WHERE rn = CAST(CEIL(n_m / 2.0) AS BIGINT)
+)
+SELECT source, CAST(n_m AS BIGINT) AS n_motifs,
+       ROUND(size_factor, 6) AS size_factor
+FROM med
+""",
+)
+def q454_size_factors(spark, sf_dir):
+    """DESeq MEDIAN-OF-RATIOS SIZE FACTORS per source (Anders & Huber
+    2010 — the count-normalization standard that q190's quantile
+    normalization is NOT: quantile normalization forces identical
+    distributions; size factors estimate ONE sequencing-depth scalar
+    per sample, robust to a minority of truly-changed features): per
+    (source, motif) counts, per-motif geometric mean across sources
+    (features present in EVERY source only, the DESeq rule),
+    per-source LOWER MEDIAN of the count/geomean ratios under a
+    deterministic (r, motif) order.
+
+    Exactness: geomeans via 10dp-snapped DECIMAL ln-sums; ratios
+    snapped before the rank-exact median pick. Scale shape: two
+    combinable aggregates + a per-source median window over the
+    motif-bounded ratio table."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = (
+        docs_as_dna(spark, sf_dir)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .where(F.length("seq") >= 7)
+        .select("source", F.substring("seq", 5, 3).alias("motif"))
+    )
+    counts = m.groupBy("source", "motif").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).transform(managed_persist)
+    total_src = counts.select("source").distinct().count()
+    geo = (
+        counts.groupBy("motif")
+        .agg(
+            F.exp(
+                F.sum(
+                    F.round(F.log(F.col("n").cast("double")), 10).cast(
+                        "decimal(20,10)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("g"),
+            F.count(F.lit(1)).alias("n_src"),
+        )
+        .where(F.col("n_src") == total_src)
+    )
+    ratios = counts.join(F.broadcast(geo), "motif").select(
+        "source", "motif", F.round(F.col("n") / F.col("g"), 10).alias("r")
+    )
+    ws = W.partitionBy("source")
+    med = (
+        ratios.select(
+            "source",
+            "r",
+            F.row_number().over(ws.orderBy("r", "motif")).alias("rn"),
+            F.count(F.lit(1)).over(ws).alias("n_m"),
+        )
+        .where(F.col("rn") == F.ceil(F.col("n_m") / 2.0).cast("bigint"))
+    )
+    return med.select(
+        "source",
+        F.col("n_m").cast("bigint").alias("n_motifs"),
+        F.round(F.col("r"), 6).alias("size_factor"),
+    )

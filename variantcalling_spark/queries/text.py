@@ -6295,7 +6295,7 @@ def q432_stylometric_clusters(spark, sf_dir):
     diameter rounds (q98 machinery). Oracle replays the identical
     chain incl. a recursive-CTE closure."""
     from pyspark.sql import Window as W
-    from variantcalling_spark.operators.dedup import connected_components
+    from variantcalling_spark.operators.dedup import star_contraction_components
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w")).where(
@@ -6354,8 +6354,20 @@ def q432_stylometric_clusters(spark, sf_dir):
         )
         .transform(managed_persist)
     )
+    # ADAPTIVE block width (the q146 fixed-dial lesson, r8): 2^8 sign
+    # buckets hold ~2 docs each at sf0.01 but ~200 at 10x, and in-bucket
+    # pairs grow n^2 — the 10x run measured MINUTES before this dial.
+    # Widen with the corpus: bits = clamp(log2(n/24), 8, 24); at
+    # sf<=0.01 (n=500) this lands exactly on the oracle's pinned 8-bit
+    # configuration, so the value oracle stays byte-valid there. True
+    # same-style docs have IDENTICAL z-profiles and collide at any
+    # width (the banding recall argument, stylometric edition).
+    import math
+
+    n_docs = doc_tot.count()
+    sig_bits = min(24, max(_STYL_SIGW, math.ceil(math.log2(max(n_docs, 2) / 24))))
     sig = (
-        z.where(F.col("wr") <= _STYL_SIGW)
+        z.where(F.col("wr") <= sig_bits)
         .groupBy("doc_id")
         .agg(
             F.sum(
@@ -6389,7 +6401,11 @@ def q432_stylometric_clusters(spark, sf_dir):
         )
         .where(F.col("delta") <= _STYL_THRESH)
     )
-    labels = connected_components(pairs)
+    # star contraction, not min-label propagation: loose stylometric
+    # similarity chains into DEEP near-corpus-wide components at 10x
+    # (measured: propagation 216 s vs contraction's O(log n) rounds on
+    # the same 98k-edge graph — the operator docstring's own rule)
+    labels = star_contraction_components(pairs)
     return labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
     ).select(F.col("label").alias("cluster_id"), "n_members")

@@ -10264,3 +10264,250 @@ def q453_competing_risks(spark, sf_dir):
         F.round(F.col("ci1").cast("double"), 6).alias("cif_purchase"),
         F.round(F.col("ci2").cast("double"), 6).alias("cif_click"),
     )
+
+
+@query(
+    "q455_markov_entropy_rate",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type, epoch_ns(ts) AS t, event_id FROM events
+),
+seq_ AS (
+  SELECT user_id, event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id)
+           AS nxt
+  FROM s
+),
+tc AS (
+  SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq_ WHERE nxt IS NOT NULL GROUP BY cur, nxt
+),
+row_ AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS rn_ FROM tc GROUP BY cur),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM tc),
+hrow AS (
+  SELECT tc.cur, row_.rn_,
+         CAST(SUM(CAST(ROUND(-(tc.n / CAST(row_.rn_ AS DOUBLE))
+                             * ln(tc.n / CAST(row_.rn_ AS DOUBLE)) / ln(2.0), 12)
+                       AS DECIMAL(24,12))) AS DOUBLE) AS h_cond
+  FROM tc JOIN row_ ON row_.cur = tc.cur
+  GROUP BY tc.cur, row_.rn_
+)
+SELECT h.cur AS state,
+       h.rn_ AS n_transitions,
+       ROUND(h.rn_ / CAST(t.t AS DOUBLE), 6) AS empirical_weight,
+       ROUND(h.h_cond, 6) AS h_conditional_bits,
+       ROUND(
+         (SELECT CAST(SUM(CAST(ROUND(h2.rn_ / CAST(t2.t AS DOUBLE)
+                                     * h2.h_cond, 12) AS DECIMAL(24,12)))
+                 AS DOUBLE)
+          FROM hrow h2 CROSS JOIN tot t2), 6) AS entropy_rate_bits
+FROM hrow h CROSS JOIN tot t
+""",
+)
+def q455_markov_entropy_rate(spark, sf_dir):
+    """MARKOV ENTROPY RATE of the user event-type chain (how
+    predictable is the NEXT action given the current one? — the
+    information-theoretic summary of q262's transition matrix, and the
+    sequence-level complement of q177's static vocabulary entropy):
+    per-state conditional entropy H(next|cur) in bits from the
+    transition counts, weighted by the empirical state occupancy into
+    the chain's entropy rate — every log term 12dp-snapped into
+    DECIMAL sums, so the bit counts are engine-exact.
+
+    Scale shape: one per-user LEAD window (partitioned), one
+    |types|^2-bounded transition aggregate; the rest runs on the tiny
+    state domain."""
+    ev = load_table(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    seq_ = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(wo).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    tc = seq_.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).transform(managed_persist)
+    row_ = tc.groupBy("cur").agg(F.sum("n").cast("bigint").alias("rn_"))
+    tot = tc.agg(F.sum("n").cast("bigint").alias("t"))
+    p = F.col("n") / F.col("rn_").cast("double")
+    hrow = (
+        tc.join(F.broadcast(row_), "cur")
+        .groupBy("cur", "rn_")
+        .agg(
+            F.sum(
+                F.round(-p * F.log(p) / F.log(F.lit(2.0)), 12).cast(
+                    "decimal(24,12)"
+                )
+            )
+            .cast("double")
+            .alias("h_cond")
+        )
+        .transform(managed_persist)
+    )
+    rate = (
+        hrow.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("rn_") / F.col("t").cast("double") * F.col("h_cond"),
+                    12,
+                ).cast("decimal(24,12)")
+            )
+            .cast("double")
+            .alias("rate")
+        )
+    )
+    return (
+        hrow.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(rate))
+        .select(
+            F.col("cur").alias("state"),
+            F.col("rn_").alias("n_transitions"),
+            F.round(F.col("rn_") / F.col("t").cast("double"), 6).alias(
+                "empirical_weight"
+            ),
+            F.round(F.col("h_cond"), 6).alias("h_conditional_bits"),
+            F.round(F.col("rate"), 6).alias("entropy_rate_bits"),
+        )
+    )
+
+
+@query(
+    "q456_day_gap_audit",
+    oracle="""
+WITH d AS (
+  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day FROM events
+  GROUP BY 1, 2
+),
+lim AS (
+  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM d GROUP BY event_type
+),
+gaps AS (
+  SELECT d.event_type, d.day,
+         LEAD(d.day) OVER (PARTITION BY d.event_type ORDER BY d.day) AS nxt
+  FROM d
+),
+g AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN nxt - day > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_gaps,
+         CAST(SUM(CASE WHEN nxt - day > 1 THEN nxt - day - 1 ELSE 0 END)
+              AS BIGINT) AS missing_days,
+         CAST(MAX(CASE WHEN nxt IS NOT NULL THEN nxt - day - 1 ELSE 0 END)
+              AS BIGINT) AS longest_gap
+  FROM gaps GROUP BY event_type
+)
+SELECT l.event_type, l.n_days,
+       CAST(l.d1 - l.d0 + 1 AS BIGINT) AS span_days,
+       g.n_gaps, g.missing_days, g.longest_gap,
+       ROUND(l.n_days / CAST(l.d1 - l.d0 + 1 AS DOUBLE), 6) AS coverage
+FROM lim l JOIN g ON g.event_type = l.event_type
+""",
+)
+def q456_day_gap_audit(spark, sf_dir):
+    """CALENDAR-CONTINUITY AUDIT per series (the freshness/completeness
+    gate a daily-fed warehouse owes its consumers — a silent 3-day
+    ingest hole poisons every windowed metric downstream; the
+    data-quality sibling of q401's expectations ledger, specialized to
+    the time axis): distinct active days vs the span, gap count,
+    total missing days, longest gap, coverage ratio — all integer
+    facts off one LEAD window over the per-series day set.
+
+    Scale shape: day dedup is a combinable (series, day) aggregate;
+    the gap window runs on the bounded day-domain relation."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.expr("ts_ns DIV 86400000000000").alias("day")
+    ).agg(F.lit(1).alias("one")).drop("one")
+    lim = d.groupBy("event_type").agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    wo = W.partitionBy("event_type").orderBy("day")
+    gaps = d.select(
+        "event_type", "day", F.lead("day").over(wo).alias("nxt")
+    )
+    gap_len = F.col("nxt") - F.col("day") - 1
+    g = gaps.groupBy("event_type").agg(
+        F.sum(F.when(F.col("nxt") - F.col("day") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_gaps"),
+        F.sum(
+            F.when(F.col("nxt") - F.col("day") > 1, gap_len).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("missing_days"),
+        F.max(
+            F.when(F.col("nxt").isNotNull(), gap_len).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("longest_gap"),
+    )
+    span = (F.col("d1") - F.col("d0") + 1).cast("bigint")
+    return lim.join(g, "event_type").select(
+        "event_type",
+        "n_days",
+        span.alias("span_days"),
+        "n_gaps",
+        "missing_days",
+        "longest_gap",
+        F.round(F.col("n_days") / span.cast("double"), 6).alias("coverage"),
+    )
+
+
+@query(
+    "q457_srm_gate",
+    oracle="""
+WITH a AS (
+  SELECT epoch_ns(ts) // 86400000000000 AS day,
+         CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_control,
+         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_treat
+  FROM events GROUP BY 1
+)
+SELECT CAST(day AS BIGINT) AS day, n_control, n_treat,
+       ROUND(POW(n_control - (n_control + n_treat) / 2.0, 2)
+             / ((n_control + n_treat) / 2.0)
+             + POW(n_treat - (n_control + n_treat) / 2.0, 2)
+             / ((n_control + n_treat) / 2.0), 6) AS srm_chi2,
+       CASE WHEN POW(n_control - (n_control + n_treat) / 2.0, 2)
+                 / ((n_control + n_treat) / 2.0)
+                 + POW(n_treat - (n_control + n_treat) / 2.0, 2)
+                 / ((n_control + n_treat) / 2.0) > 3.841459 THEN 1 ELSE 0 END
+         AS srm_flag
+FROM a
+""",
+)
+def q457_srm_gate(spark, sf_dir):
+    """SAMPLE-RATIO-MISMATCH GATE per day (the first sanity check of
+    every A/B readout — Fabijan et al. report SRM in ~6% of
+    experiments; a skewed assignment silently invalidates the whole
+    analysis before any metric is read): hash-bucket assignment
+    (user_id parity) against the designed 50/50 split, per-day 1-df
+    chi-square and the alpha=0.05 flag (3.841 critical value inlined
+    so the gate is a pure expression).
+
+    Scale shape: ONE conditional aggregate over (day); the gate is a
+    projection. The per-day grain is what catches a mid-experiment
+    assignment bug that a whole-window test would average away."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.groupBy(F.expr("ts_ns DIV 86400000000000").alias("day")).agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_control"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_treat"),
+    )
+    e = (F.col("n_control") + F.col("n_treat")) / 2.0
+    chi2 = F.pow(F.col("n_control") - e, 2) / e + F.pow(F.col("n_treat") - e, 2) / e
+    return a.select(
+        F.col("day").cast("bigint").alias("day"),
+        "n_control",
+        "n_treat",
+        F.round(chi2, 6).alias("srm_chi2"),
+        F.when(chi2 > 3.841459, 1).otherwise(0).alias("srm_flag"),
+    )
