@@ -147,6 +147,8 @@ _PRIORITY = (
     "q321_topic_coherence",
     "q322_lsh_planner",
     # --- New in round 8 (add new queries HERE) ---
+    "q459_allele_balance",
+    "q458_mad_outlier_gate",
     "q457_srm_gate",
     "q456_day_gap_audit",
     "q455_markov_entropy_rate",

@@ -6056,3 +6056,85 @@ def q454_size_factors(spark, sf_dir):
         F.col("n_m").cast("bigint").alias("n_motifs"),
         F.round(F.col("r"), 6).alias("size_factor"),
     )
+
+
+@query(
+    "q459_allele_balance",
+    oracle="""
+WITH reads AS (
+  SELECT event_id % 250 AS site,
+         CASE WHEN value > 10 THEN 1 ELSE 0 END AS is_alt
+  FROM events
+),
+sites AS (
+  SELECT site,
+         CAST(COUNT(*) AS BIGINT) AS depth,
+         CAST(SUM(is_alt) AS BIGINT) AS alt
+  FROM reads GROUP BY site
+),
+het AS (
+  SELECT site, depth, alt,
+         ROUND(alt / CAST(depth AS DOUBLE), 6) AS ab,
+         ROUND((alt - depth / 2.0) / sqrt(depth / 4.0), 6) AS z
+  FROM sites
+  WHERE alt > 0 AND alt < depth
+)
+SELECT CAST(FLOOR(alt * 10.0 / depth) AS BIGINT) AS ab_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_sites,
+       CAST(SUM(depth) AS BIGINT) AS total_depth,
+       ROUND(CAST(SUM(CAST(ab AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_ab,
+       CAST(SUM(CASE WHEN ABS(z) > 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_imbalanced
+FROM het GROUP BY 1
+""",
+)
+def q459_allele_balance(spark, sf_dir):
+    """ALLELE-BALANCE QC HISTOGRAM (the het-site sanity check every
+    caller QC report carries — a clean het sits near AB=0.5; AB pushed
+    toward 0/1 flags contamination, mapping bias, or CNV; the
+    orthogonal companion to q213's strand bias on the same read
+    derivation): per-site depth/alt counts, binomial(0.5) z per het
+    site, AB-decile histogram with per-bucket mean AB (DECIMAL-exact)
+    and the |z|>3 imbalanced count.
+
+    Scale shape: one combinable (site) aggregate, one 10-bucket
+    aggregate — scan-bound at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    reads = ev.select(
+        (F.col("event_id") % 250).alias("site"),
+        F.when(F.col("value") > 10, 1).otherwise(0).alias("is_alt"),
+    )
+    sites = reads.groupBy("site").agg(
+        F.count(F.lit(1)).cast("bigint").alias("depth"),
+        F.sum("is_alt").cast("bigint").alias("alt"),
+    )
+    het = sites.where(
+        (F.col("alt") > 0) & (F.col("alt") < F.col("depth"))
+    ).select(
+        "site",
+        "depth",
+        "alt",
+        F.round(F.col("alt") / F.col("depth").cast("double"), 6).alias("ab"),
+        F.round(
+            (F.col("alt") - F.col("depth") / 2.0)
+            / F.sqrt(F.col("depth") / 4.0),
+            6,
+        ).alias("z"),
+    )
+    return het.groupBy(
+        F.floor(F.col("alt") * 10.0 / F.col("depth")).cast("bigint").alias(
+            "ab_bucket"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sites"),
+        F.sum("depth").cast("bigint").alias("total_depth"),
+        F.round(
+            F.sum(F.col("ab").cast("decimal(16,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_ab"),
+        F.sum(F.when(F.abs(F.col("z")) > 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_imbalanced"),
+    )

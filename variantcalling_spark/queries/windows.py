@@ -10511,3 +10511,99 @@ def q457_srm_gate(spark, sf_dir):
         F.round(chi2, 6).alias("srm_chi2"),
         F.when(chi2 > 3.841459, 1).otherwise(0).alias("srm_flag"),
     )
+
+
+@query(
+    "q458_mad_outlier_gate",
+    oracle="""
+WITH s AS (
+  SELECT event_type, event_id, value AS v FROM events
+),
+med AS (
+  SELECT event_type, v AS m FROM (
+    SELECT event_type, v,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, event_id)
+             AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM s
+  ) WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT)
+),
+dev AS (
+  SELECT s.event_type, s.event_id, s.v, ABS(s.v - med.m) AS ad, med.m
+  FROM s JOIN med ON med.event_type = s.event_type
+),
+mad AS (
+  SELECT event_type, ad AS mad FROM (
+    SELECT event_type, ad,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad, event_id)
+             AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM dev
+  ) WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT)
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MAX(m.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN m.mad > 0
+                     AND ABS(0.6745 * (d.v - d.m) / m.mad) > 3.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(SUM(CASE WHEN m.mad > 0
+                      AND ABS(0.6745 * (d.v - d.m) / m.mad) > 3.5
+                      THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS outlier_rate
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+GROUP BY d.event_type
+""",
+)
+def q458_mad_outlier_gate(spark, sf_dir):
+    """MAD ROBUST-Z OUTLIER GATE per series (Iglewicz-Hoaglin modified
+    z — the UNIVARIATE robust gate the multivariate detectors (q294
+    LOF, q330 ECOD) are overkill for, and the one whose cutoffs a mean
+    /stddev z-score cannot deliver under contamination, since outliers
+    inflate their own yardstick): rank-exact lower median, rank-exact
+    MAD under deterministic (value, event_id) order, modified z =
+    0.6745(x−med)/MAD, |z| > 3.5 flags, per-series counts.
+
+    Scale shape: two per-series median windows (partitioned) + one
+    combinable aggregate; both medians pick data values, so the gate
+    is float-free until the single z expression."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.col("value").alias("v")
+    )
+    wg = W.partitionBy("event_type")
+
+    def lower_median(df, col, out):
+        return (
+            df.select(
+                "event_type",
+                F.col(col),
+                F.row_number().over(wg.orderBy(col, "event_id")).alias("rn"),
+                F.count(F.lit(1)).over(wg).alias("n"),
+            )
+            .where(F.col("rn") == F.ceil(F.col("n") / 2.0).cast("bigint"))
+            .select("event_type", F.col(col).alias(out))
+        )
+
+    med = lower_median(ev, "v", "m")
+    dev = ev.join(med, "event_type").select(
+        "event_type",
+        "event_id",
+        "v",
+        "m",
+        F.abs(F.col("v") - F.col("m")).alias("ad"),
+    )
+    mad = lower_median(dev, "ad", "mad")
+    z = F.abs(0.6745 * (F.col("v") - F.col("m")) / F.col("mad"))
+    flagged = F.when((F.col("mad") > 0) & (z > 3.5), 1).otherwise(0)
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(flagged).cast("bigint").alias("n_outliers"),
+            F.round(
+                F.sum(flagged) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("outlier_rate"),
+        )
+    )
