@@ -765,3 +765,35 @@ def test_lof_scores_positive_and_ranked(spark, sf_dir):
     assert all(s > 0 for s in scores)
     assert scores == sorted(scores, reverse=True)
     assert all(r.lrd > 0 for r in rows)
+
+
+def test_multiprobe_ivf_probe_contract(spark):
+    """Multi-probe IVF invariants: (a) its result with margin=inf
+    equals fixed nprobe=max_probes (the probe sets coincide);
+    (b) the nearest cell is always probed, so every query returns
+    results even at margin=0."""
+    from pyspark.sql import functions as F
+
+    from variantcalling_spark.operators.similarity import (
+        ivf_cosine_topk,
+        ivf_index,
+        multiprobe_ivf_cosine_topk,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .where(F.col("vec_id") < 300)
+    )
+    q = emb.where(F.col("vec_id") < 10)
+    centroids, indexed = ivf_index(emb, n_centroids=8)
+    fixed = ivf_cosine_topk(q, indexed, centroids, k=5, nprobe=4)
+    wide = multiprobe_ivf_cosine_topk(
+        q, indexed, centroids, k=5, max_probes=4, margin=1e9
+    )
+    assert sorted(map(tuple, fixed.collect())) == sorted(
+        map(tuple, wide.collect())
+    )
+    tight = multiprobe_ivf_cosine_topk(
+        q, indexed, centroids, k=5, max_probes=4, margin=0.0
+    )
+    assert tight.select("query_id").distinct().count() == 10

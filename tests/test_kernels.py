@@ -500,3 +500,54 @@ def test_lcs_kernel_matches_naive_dp(spark):
     got = {r.pair_id: r.lcs_len for r in lcs_lengths(df).collect()}
     for i, (a, b) in enumerate(cases):
         assert got[i] == naive(a, b), (a, b)
+
+
+def test_lcs_tokens_kernel_matches_naive_dp(spark):
+    """lcs_lengths_tokens == naive O(n*m) python DP on token lists,
+    including unicode tokens (the latin1-crash class is dead) and
+    empty/None sides."""
+    from variantcalling_spark.operators.kernels import lcs_lengths_tokens
+
+    def naive(a, b):
+        n, m = len(a), len(b)
+        dp = [[0] * (m + 1) for _ in range(n + 1)]
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                dp[i][j] = (
+                    dp[i - 1][j - 1] + 1
+                    if a[i - 1] == b[j - 1]
+                    else max(dp[i - 1][j], dp[i][j - 1])
+                )
+        return dp[n][m]
+
+    cases = [
+        (0, ["the", "cat", "sat"], ["the", "dog", "sat"]),
+        (1, ["a"], []),
+        (2, [], []),
+        (3, ["x", "y", "z", "x", "y"], ["y", "x", "y", "z"]),
+        (4, ["naïve", "café", "日本語"], ["café", "日本語", "naïve"]),
+        (5, ["r"] * 7, ["r"] * 4),
+    ]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, a, b in cases],
+        "pair_id bigint, a array<string>, b array<string>",
+    )
+    got = {
+        r.pair_id: (r.n, r.m, r.lcs_len)
+        for r in lcs_lengths_tokens(df).collect()
+    }
+    for i, a, b in cases:
+        assert got[i] == (len(a), len(b), naive(a, b)), (i, got[i])
+
+
+def test_lcs_lengths_survives_non_latin1(spark):
+    """The r7 ADVICE crash class: characters above U+00FF must not
+    kill the executor task (utf-32 encode replaced latin1)."""
+    from variantcalling_spark.operators.kernels import lcs_lengths
+
+    df = spark.createDataFrame(
+        [(0, "日本語テキスト", "日本語テスト"), (1, "añoré", "año")],
+        "pair_id bigint, a string, b string",
+    )
+    rows = {r.pair_id: r.lcs_len for r in lcs_lengths(df).collect()}
+    assert rows[0] == 6 and rows[1] == 3

@@ -379,3 +379,18 @@ def test_pr_curve_bucketed_matches_single_window(spark):
                 .collect()
             }
             assert got == exp and got, (group_cols, width)
+
+
+def test_value_at_rank_bucketed_null_for_out_of_range_rank(spark):
+    """r7 ADVICE contract: a rank beyond the row count comes back as a
+    row with value_at_rank NULL, never a silently missing row."""
+    from pyspark.sql import functions as F
+
+    from variantcalling_spark.operators.ordered import value_at_rank_bucketed
+
+    df = spark.range(1, 11).select(F.col("id").cast("double").alias("v"))
+    ranks = spark.createDataFrame([(5,), (10,), (11,), (999,)], "k bigint")
+    out = {r.k: r.value_at_rank for r in value_at_rank_bucketed(df, "v", ranks).collect()}
+    assert out[5] == 5.0 and out[10] == 10.0
+    assert out[11] is None and out[999] is None
+    assert len(out) == 4
