@@ -175,6 +175,14 @@ SCALE2_QUERIES = [
     # calendar-bounded dailies — its 10x point is scan+groupBy-bound)
     "q374_multiband_ann",
     "q382_page_hinkley",
+    # round-8 families: the all-sources bounded-hop min-plus ledger
+    # (graph-analytics join cost from EVERY source — measured 1.0 s
+    # sf0.1 -> 4.3 s at 10x, tracking the n x 3-hop-ball ledger), the
+    # token-LCS Arrow kernel (per-pair independent, 1.5 -> 2.4 s), and
+    # the sketch-accuracy harness (pair-bounded, floor-flat 1.2 -> 1.1 s)
+    "q425_harmonic_centrality",
+    "q423_rouge_l_tokens",
+    "q451_minhash_error_curve",
 ]
 
 # FROZEN round-over-round comparison set (r7 verdict ask #6): the 25
@@ -185,7 +193,15 @@ SCALE2_QUERIES = [
 SCALE2_FIXED_SET = frozenset(
     n
     for n in SCALE2_QUERIES
-    if n not in ("q40_pr_curve", "q374_multiband_ann", "q382_page_hinkley")
+    if n
+    not in (
+        "q40_pr_curve",
+        "q374_multiband_ann",
+        "q382_page_hinkley",
+        "q425_harmonic_centrality",
+        "q423_rouge_l_tokens",
+        "q451_minhash_error_curve",
+    )
 )
 
 

@@ -5841,25 +5841,11 @@ def q439_signature_fit(spark, sf_dir):
     )
 
 
-# standard genetic code (DNA codons), compact form: codon -> amino acid
-_GENETIC_CODE = {}
-for _aa, _codons in {
-    "F": "TTT TTC", "L": "TTA TTG CTT CTC CTA CTG", "I": "ATT ATC ATA",
-    "M": "ATG", "V": "GTT GTC GTA GTG", "S": "TCT TCC TCA TCG AGT AGC",
-    "P": "CCT CCC CCA CCG", "T": "ACT ACC ACA ACG", "A": "GCT GCC GCA GCG",
-    "Y": "TAT TAC", "*": "TAA TAG TGA", "H": "CAT CAC", "Q": "CAA CAG",
-    "N": "AAT AAC", "K": "AAA AAG", "D": "GAT GAC", "E": "GAA GAG",
-    "C": "TGT TGC", "W": "TGG", "R": "CGT CGC CGA CGG AGA AGG",
-    "G": "GGT GGC GGA GGG",
-}.items():
-    for _c in _codons.split():
-        _GENETIC_CODE[_c] = _aa
-
-
 def _cai_oracle_sql() -> str:
-    code_rows = ", ".join(
-        f"('{c}', '{a}')" for c, a in sorted(_GENETIC_CODE.items())
-    )
+    # reuses q386's _GENETIC_CODE list (defined above) — round-8
+    # regression lesson: a second same-named module global silently
+    # clobbered q386's at import time and the full sweep caught it
+    code_rows = ", ".join(f"('{c}', '{a}')" for c, a in sorted(_GENETIC_CODE))
     return f"""
 WITH dna AS ({SQL_DOCS_DNA}),
 docs2 AS (
@@ -5926,7 +5912,7 @@ def q442_codon_adaptation_index(spark, sf_dir):
         F.expr("substr(seq, 1 + 3 * k, 3)").alias("codon"),
     ).transform(managed_persist)
     code = spark.createDataFrame(
-        sorted(_GENETIC_CODE.items()), "codon string, aa string"
+        sorted(_GENETIC_CODE), "codon string, aa string"
     )
     cnt_c = (
         cod.join(F.broadcast(code), "codon")
