@@ -147,6 +147,11 @@ _PRIORITY = (
     "q321_topic_coherence",
     "q322_lsh_planner",
     # --- New in round 8 (add new queries HERE) ---
+    "q464_abc_classification",
+    "q463_dedup_threshold_sensitivity",
+    "q462_price_elasticity",
+    "q461_kmer_error_valley",
+    "q460_cpg_islands",
     "q459_allele_balance",
     "q458_mad_outlier_gate",
     "q457_srm_gate",

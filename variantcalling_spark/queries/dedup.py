@@ -3866,3 +3866,127 @@ def q451_minhash_error_curve(spark, sf_dir):
         )
         out = arm if out is None else out.unionByName(arm)
     return out
+
+
+_THRESH_SWEEP = (0.5, 0.6, 0.7, 0.8)
+
+
+def _threshold_sensitivity_oracle_sql() -> str:
+    arms = []
+    for i, t in enumerate(_THRESH_SWEEP):
+        arms.append(f"""
+e{i} AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= {t}),
+edges{i} AS (
+  SELECT doc_a AS src, doc_b AS dst FROM e{i}
+  UNION SELECT doc_b, doc_a FROM e{i}
+),
+closure{i} AS (
+  SELECT src AS node, src AS reach FROM edges{i}
+  UNION
+  SELECT c.node, edges{i}.dst
+  FROM closure{i} c JOIN edges{i} ON edges{i}.src = c.reach
+),
+cl{i} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         CAST(SUM(n_members) AS BIGINT) AS n_docs_clustered,
+         CAST(MAX(n_members) AS BIGINT) AS max_cluster
+  FROM (
+    SELECT reach, COUNT(DISTINCT node) AS n_members
+    FROM (SELECT node, MIN(reach) AS reach FROM closure{i} GROUP BY node)
+    GROUP BY reach
+  )
+)""")
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({t} AS DOUBLE) AS threshold,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e{i}) AS n_pairs,
+       cl{i}.n_clusters, cl{i}.n_docs_clustered, cl{i}.max_cluster
+FROM cl{i}"""
+        for i, t in enumerate(_THRESH_SWEEP)
+    )
+    return f"""
+WITH RECURSIVE corpus AS ({SQL_CORPUS}),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+                   for i in generate_series(1, len(string_split(text, ' ')) - 2)]) AS shingle
+    FROM corpus
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE) AS jaccard
+  FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE)
+        >= {min(_THRESH_SWEEP)}
+),{",".join(arms)}
+{rows}
+"""
+
+
+@query("q463_dedup_threshold_sensitivity", oracle=_threshold_sensitivity_oracle_sql())
+def q463_dedup_threshold_sensitivity(spark, sf_dir):
+    """DEDUP THRESHOLD SENSITIVITY SWEEP (the dial-evidence harness for
+    THE most consequential knob in the near-dup family: how do pair
+    count, cluster count, coverage, and the largest cluster move as
+    the Jaccard threshold sweeps {_THRESH_SWEEP}? — a threshold whose
+    outcome cliff-drops between 0.6 and 0.7 is a threshold you must
+    not pick blind; q451 grades the ESTIMATOR, this grades the
+    DECISION): one shared exact-Jaccard pair table at the loosest
+    threshold, then per-threshold edge filtering and star-contraction
+    components.
+
+    Scale shape: pair discovery once (shared-shingle equi-join);
+    each arm is a filter + O(log n)-round contraction on an
+    edge-subset — the sweep costs |thresholds| contractions, not
+    |thresholds| discoveries."""
+    from variantcalling_spark.operators.dedup import (
+        jaccard_for_pairs,
+        shingles,
+        star_contraction_components,
+    )
+
+    sh = shingles(corpus(spark, sf_dir), n=3).transform(managed_persist)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    pairs = (
+        jaccard_for_pairs(cand.select("doc_a", "doc_b"), sh)
+        .where(F.col("jaccard") >= min(_THRESH_SWEEP))
+        .transform(managed_persist)
+    )
+    out = None
+    for t in _THRESH_SWEEP:
+        e = pairs.where(F.col("jaccard") >= t)
+        n_pairs = e.count()
+        labels = star_contraction_components(e)
+        cl = labels.groupBy("label").agg(
+            F.count(F.lit(1)).alias("n_members")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("n_members").cast("bigint").alias("n_docs_clustered"),
+            F.max("n_members").cast("bigint").alias("max_cluster"),
+        )
+        arm = cl.select(
+            F.lit(float(t)).alias("threshold"),
+            F.lit(n_pairs).cast("bigint").alias("n_pairs"),
+            "n_clusters",
+            "n_docs_clustered",
+            "max_cluster",
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out

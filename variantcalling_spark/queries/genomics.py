@@ -6124,3 +6124,202 @@ def q459_allele_balance(spark, sf_dir):
         .cast("bigint")
         .alias("n_imbalanced"),
     )
+
+
+_CPG_WIN = 20
+
+
+@query(
+    "q460_cpg_islands",
+    oracle=f"""
+WITH dna AS (
+  SELECT doc_id,
+         translate(substr(text, 1, 120), '{DNA_FROM}', '{DNA_TO}') AS seq
+  FROM documents
+),
+win AS (
+  SELECT doc_id, s AS win_start,
+         substr(seq, CAST(s AS INT), {_CPG_WIN}) AS w
+  FROM dna, unnest(generate_series(1, length(seq) - {_CPG_WIN} + 1, {_CPG_WIN}))
+       AS t(s)
+  WHERE length(seq) >= {_CPG_WIN}
+),
+counts AS (
+  SELECT doc_id, win_start,
+         CAST(length(w) - length(replace(replace(w, 'G', ''), 'C', ''))
+              AS BIGINT) AS gc,
+         CAST(length(replace(w, 'C', '')) - length(replace(replace(w, 'C', ''), 'G', ''))
+              AS BIGINT) AS g_cnt,
+         CAST(length(replace(w, 'G', '')) - length(replace(replace(w, 'G', ''), 'C', ''))
+              AS BIGINT) AS c_cnt,
+         CAST((length(w) - length(replace(w, 'CG', ''))) / 2 AS BIGINT) AS cpg
+  FROM win
+),
+flagged AS (
+  SELECT doc_id, win_start, gc, cpg, g_cnt, c_cnt,
+         CASE WHEN gc * 2 > {_CPG_WIN}
+                   AND g_cnt * c_cnt > 0
+                   AND cpg * {_CPG_WIN} * 10 >= 6 * g_cnt * c_cnt
+              THEN 1 ELSE 0 END AS is_island
+  FROM counts
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(is_island) AS BIGINT) AS n_island_windows,
+       ROUND(SUM(is_island) / CAST(COUNT(*) AS DOUBLE), 6) AS island_frac
+FROM flagged GROUP BY doc_id
+""",
+)
+def q460_cpg_islands(spark, sf_dir):
+    """CpG-ISLAND WINDOW CENSUS (the Gardiner-Garden & Frommer screen:
+    GC fraction > 50% AND observed/expected CpG >= 0.6 — the classic
+    promoter-region annotation; the dinucleotide-aware sibling of
+    q420's GC skew, which only tracks strand asymmetry): fixed
+    {_CPG_WIN}bp tumbling windows per sequence, all counts via
+    replace-length string algebra (pure JVM codegen, no explode per
+    base), and the obs/exp rule held INTEGER-EXACT by clearing
+    denominators: cpg*W*10 >= 6*g*c avoids every float division.
+
+    Scale shape: per-sequence tumbling windows are one generate+substr
+    projection; the census is a combinable per-doc aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.translate(F.substring("text", 1, 120), DNA_FROM, DNA_TO).alias("seq"),
+    ).where(F.length("seq") >= _CPG_WIN)
+    win = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.length("seq") - _CPG_WIN + 1, F.lit(_CPG_WIN)
+            )
+        ).alias("win_start"),
+        "seq",
+    ).select(
+        "doc_id",
+        "win_start",
+        F.expr(f"substr(seq, CAST(win_start AS INT), {_CPG_WIN})").alias("w"),
+    )
+    ln = F.length
+    w = F.col("w")
+    counts = win.select(
+        "doc_id",
+        "win_start",
+        (ln(w) - ln(F.regexp_replace(w, "[GC]", ""))).cast("bigint").alias("gc"),
+        (ln(F.regexp_replace(w, "C", "")) - ln(F.regexp_replace(w, "[CG]", "")))
+        .cast("bigint")
+        .alias("g_cnt"),
+        (ln(F.regexp_replace(w, "G", "")) - ln(F.regexp_replace(w, "[GC]", "")))
+        .cast("bigint")
+        .alias("c_cnt"),
+        ((ln(w) - ln(F.regexp_replace(w, "CG", ""))) / 2)
+        .cast("bigint")
+        .alias("cpg"),
+    )
+    island = (
+        (F.col("gc") * 2 > _CPG_WIN)
+        & (F.col("g_cnt") * F.col("c_cnt") > 0)
+        & (
+            F.col("cpg") * _CPG_WIN * 10
+            >= 6 * F.col("g_cnt") * F.col("c_cnt")
+        )
+    )
+    return counts.select(
+        "doc_id", F.when(island, 1).otherwise(0).alias("is_island")
+    ).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.sum("is_island").cast("bigint").alias("n_island_windows"),
+        F.round(
+            F.sum("is_island") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("island_frac"),
+    )
+
+
+_KV_K = 5
+
+
+@query(
+    "q461_kmer_error_valley",
+    oracle=f"""
+WITH dna AS ({SQL_DOCS_DNA}),
+km AS (
+  SELECT substr(seq, CAST(i AS INT), {_KV_K}) AS kmer
+  FROM dna, unnest(generate_series(1, length(seq) - {_KV_K} + 1)) AS t(i)
+  WHERE length(seq) >= {_KV_K}
+),
+mult AS (SELECT kmer, CAST(COUNT(*) AS BIGINT) AS m FROM km GROUP BY kmer),
+hist AS (
+  SELECT m AS multiplicity, CAST(COUNT(*) AS BIGINT) AS n_kmers
+  FROM mult GROUP BY m
+),
+lagged AS (
+  SELECT multiplicity, n_kmers,
+         LAG(n_kmers) OVER (ORDER BY multiplicity) AS prev_n,
+         LEAD(n_kmers) OVER (ORDER BY multiplicity) AS next_n
+  FROM hist
+),
+valley AS (
+  SELECT MIN(multiplicity) AS v
+  FROM lagged
+  WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+    AND n_kmers < prev_n AND n_kmers <= next_n
+)
+SELECT l.multiplicity, l.n_kmers,
+       CAST(l.multiplicity * l.n_kmers AS BIGINT) AS total_kmers,
+       CASE WHEN l.multiplicity = (SELECT v FROM valley) THEN 1 ELSE 0 END
+         AS is_error_valley,
+       CAST((SELECT v FROM valley) AS BIGINT) AS valley_multiplicity
+FROM lagged l
+""",
+)
+def q461_kmer_error_valley(spark, sf_dir):
+    """K-MER MULTIPLICITY HISTOGRAM + ERROR VALLEY (the coverage-model
+    readout genome assemblers run first: sequencing errors pile up at
+    multiplicity 1-2, real coverage forms a peak, and the FIRST LOCAL
+    MINIMUM between them is the error-trimming threshold — the
+    histogram q185's spectrum summarizes, now with the decision point
+    extracted): {_KV_K}-mer counts, multiplicity histogram, valley =
+    min multiplicity with n < prev and n <= next (exact integers, LAG/
+    LEAD over the histogram domain).
+
+    Scale shape: two combinable aggregates; the valley scan runs on
+    the multiplicity-domain histogram (allowlist-class window)."""
+    from pyspark.sql import Window as W
+
+    d = docs_as_dna(spark, sf_dir).where(F.length("seq") >= _KV_K)
+    km = d.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(seq) - {_KV_K} + 1),"
+                f" i -> substr(seq, CAST(i AS INT), {_KV_K}))"
+            )
+        ).alias("kmer")
+    )
+    mult = km.groupBy("kmer").agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    hist = mult.groupBy(F.col("m").alias("multiplicity")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kmers")
+    )
+    wo = W.orderBy("multiplicity")
+    lagged = hist.select(
+        "multiplicity",
+        "n_kmers",
+        F.lag("n_kmers").over(wo).alias("prev_n"),
+        F.lead("n_kmers").over(wo).alias("next_n"),
+    ).transform(managed_persist)
+    valley = lagged.where(
+        F.col("prev_n").isNotNull()
+        & F.col("next_n").isNotNull()
+        & (F.col("n_kmers") < F.col("prev_n"))
+        & (F.col("n_kmers") <= F.col("next_n"))
+    ).agg(F.min("multiplicity").alias("v"))
+    return lagged.crossJoin(F.broadcast(valley)).select(
+        "multiplicity",
+        "n_kmers",
+        (F.col("multiplicity") * F.col("n_kmers")).cast("bigint").alias(
+            "total_kmers"
+        ),
+        F.when(F.col("multiplicity") == F.col("v"), 1)
+        .otherwise(0)
+        .alias("is_error_valley"),
+        F.col("v").cast("bigint").alias("valley_multiplicity"),
+    )

@@ -2227,3 +2227,202 @@ def q444_capture_recapture(spark, sf_dir):
         ).alias("chapman_var"),
         F.round((chap - nt) / nt, 6).alias("rel_err"),
     )
+
+
+@query(
+    "q462_price_elasticity",
+    oracle="""
+WITH li AS (
+  SELECT p.p_type AS category,
+         CAST(l.l_extendedprice AS DOUBLE) / l.l_quantity AS unit_price,
+         CAST(l.l_quantity AS DOUBLE) AS qty
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+xy AS (
+  SELECT category,
+         ROUND(ln(unit_price), 10) AS x,
+         ROUND(ln(qty), 10) AS y
+  FROM li WHERE unit_price > 0 AND qty > 0
+),
+mom AS (
+  SELECT category, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(20,10))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(26,12))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ROUND(x * y, 12) AS DECIMAL(26,12))) AS DOUBLE) AS sxy
+  FROM xy GROUP BY category
+)
+SELECT category, n,
+       ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS elasticity,
+       ROUND(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx / n, 6)
+         AS log_intercept
+FROM mom
+""",
+)
+def q462_price_elasticity(spark, sf_dir):
+    """LOG-LOG PRICE ELASTICITY per part category (the demand-curve
+    slope d ln(qty)/d ln(price) — the pricing-analytics regression a
+    revenue warehouse runs per assortment; a elasticity near −1 is
+    unit-elastic, the q168 group-OLS shape pointed at the econ
+    question): OLS of ln quantity on ln unit price in closed form from
+    10dp-snapped DECIMAL moment sums, per category.
+
+    Scale shape: one broadcast part join + one combinable moment
+    aggregate; the regression is a projection over the category
+    domain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    base = li.join(
+        F.broadcast(part.select("p_partkey", F.col("p_type").alias("category"))),
+        li.l_partkey == F.col("p_partkey"),
+    ).select(
+        "category",
+        (F.col("l_extendedprice").cast("double") / F.col("l_quantity")).alias(
+            "unit_price"
+        ),
+        F.col("l_quantity").cast("double").alias("qty"),
+    )
+    xy = base.where((F.col("unit_price") > 0) & (F.col("qty") > 0)).select(
+        "category",
+        F.round(F.log("unit_price"), 10).alias("x"),
+        F.round(F.log("qty"), 10).alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    mom = xy.groupBy("category").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x.cast("decimal(20,10)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(20,10)")).cast("double").alias("sy"),
+        F.sum(F.round(x * x, 12).cast("decimal(26,12)")).cast("double").alias("sxx"),
+        F.sum(F.round(x * y, 12).cast("decimal(26,12)")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / n
+    )
+    return mom.select(
+        "category",
+        "n",
+        F.round(slope, 6).alias("elasticity"),
+        F.round(F.col("sy") / n - slope * F.col("sx") / n, 6).alias(
+            "log_intercept"
+        ),
+    )
+
+
+@query(
+    "q464_abc_classification",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4))
+           AS revenue
+  FROM lineitem GROUP BY l_partkey
+),
+bk AS (
+  SELECT l_partkey, revenue,
+         CAST(revenue * 10000 AS BIGINT) AS cents,
+         (CAST(revenue * 10000 AS BIGINT)) // 6553600 AS bucket
+  FROM rev
+),
+bsum AS (
+  SELECT bucket, CAST(SUM(cents) AS BIGINT) AS bc,
+         CAST(COUNT(*) AS BIGINT) AS bn
+  FROM bk GROUP BY bucket
+),
+bpre AS (
+  SELECT bucket,
+         COALESCE(CAST(SUM(bc) OVER (ORDER BY bucket DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           AS pre
+  FROM bsum
+),
+tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM bk),
+ranked AS (
+  SELECT k.l_partkey, k.cents,
+         p.pre + CAST(SUM(k.cents) OVER (PARTITION BY k.bucket
+           ORDER BY k.cents DESC, k.l_partkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_cents
+  FROM bk k JOIN bpre p ON p.bucket = k.bucket
+),
+classed AS (
+  SELECT l_partkey, cents, cum_cents,
+         CASE WHEN (cum_cents - cents) * 100 < t.t * 80 THEN 'A'
+              WHEN (cum_cents - cents) * 100 < t.t * 95 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM ranked CROSS JOIN tot t
+)
+SELECT abc,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(cents) AS BIGINT) AS revenue_e4,
+       ROUND(SUM(cents) / CAST((SELECT t FROM tot) AS DOUBLE), 6)
+         AS revenue_share
+FROM classed GROUP BY abc
+""",
+)
+def q464_abc_classification(spark, sf_dir):
+    """ABC INVENTORY CLASSIFICATION (the 80/15/5 Pareto partition every
+    warehouse runs on its assortment — q195 reports the concentration
+    NUMBER, this ASSIGNS the classes, which requires the global
+    revenue-ranked cumulative share, i.e. the distributed-cumsum
+    problem): per-part discounted revenue in exact cents, descending
+    cumulative share via the TWO-LEVEL BUCKET-PREFIX cumsum (bucket
+    partial sums -> tiny bucket prefix -> bucket-local windows; the
+    class rule uses the PRE-part cumulative, so a part straddling 80%
+    stays in A — the standard convention), classes counted with their
+    revenue shares.
+
+    Exactness: revenue in DECIMAL -> integer cents; every comparison
+    is an integer cross-product (cum*100 < t*80)."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            dec("l_extendedprice") * (1 - dec("l_discount"))
+        )
+        .cast("decimal(18,4)")
+        .alias("revenue")
+    )
+    # revenue has exactly 4 decimal places, so *10000 is an EXACT
+    # integer — no decimal->bigint cast ambiguity (DuckDB rounds,
+    # Spark truncates; measured one-unit drifts before this)
+    bk = rev.select(
+        "l_partkey",
+        (F.col("revenue") * 10000).cast("bigint").alias("cents"),
+    ).withColumn("bucket", F.expr("cents DIV 6553600"))
+    bsum = bk.groupBy("bucket").agg(F.sum("cents").cast("bigint").alias("bc"))
+    w_pre = W.orderBy(F.col("bucket").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    bpre = bsum.select(
+        "bucket",
+        F.coalesce(F.sum("bc").over(w_pre), F.lit(0)).cast("bigint").alias("pre"),
+    )
+    tot = bk.agg(F.sum("cents").cast("bigint").alias("t"))
+    w_loc = W.partitionBy("bucket").orderBy(
+        F.col("cents").desc(), "l_partkey"
+    ).rowsBetween(W.unboundedPreceding, 0)
+    ranked = bk.join(F.broadcast(bpre), "bucket").select(
+        "l_partkey",
+        "cents",
+        (F.col("pre") + F.sum("cents").over(w_loc)).cast("bigint").alias(
+            "cum_cents"
+        ),
+    )
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        F.when((F.col("cum_cents") - F.col("cents")) * 100 < F.col("t") * 80, "A")
+        .when((F.col("cum_cents") - F.col("cents")) * 100 < F.col("t") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+        "t",
+    )
+    return classed.groupBy("abc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("cents").cast("bigint").alias("revenue_e4"),
+        F.round(
+            F.sum("cents") / F.max("t").cast("double"), 6
+        ).alias("revenue_share"),
+    )
