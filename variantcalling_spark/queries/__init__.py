@@ -147,6 +147,10 @@ _PRIORITY = (
     "q321_topic_coherence",
     "q322_lsh_planner",
     # --- New in round 8 (add new queries HERE) ---
+    "q468_readability",
+    "q467_rich_club",
+    "q466_hubness_audit",
+    "q465_join_skew_audit",
     "q464_abc_classification",
     "q463_dedup_threshold_sensitivity",
     "q462_price_elasticity",

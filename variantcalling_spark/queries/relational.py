@@ -2426,3 +2426,94 @@ def q464_abc_classification(spark, sf_dir):
             F.sum("cents") / F.max("t").cast("double"), 6
         ).alias("revenue_share"),
     )
+
+
+_SKEW_KEYS = [
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("events.user_id", "events", "user_id"),
+    ("events.event_type", "events", "event_type"),
+]
+
+
+def _skew_oracle_sql() -> str:
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT '{label}' AS join_key, n_rows, n_keys, max_key_rows, p50_key_rows
+FROM (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(c) AS BIGINT) AS max_key_rows,
+         CAST(MAX(CASE WHEN rn = CAST(CEIL(nk / 2.0) AS BIGINT) THEN c END)
+              AS BIGINT) AS p50_key_rows
+  FROM (
+    SELECT c, ROW_NUMBER() OVER (ORDER BY c, k) AS rn,
+           COUNT(*) OVER () AS nk
+    FROM (SELECT CAST({col} AS VARCHAR) AS k, COUNT(*) AS c
+          FROM {tbl} GROUP BY 1)
+  )
+)"""
+        for label, tbl, col in _SKEW_KEYS
+    )
+    return f"""
+SELECT join_key, n_rows, n_keys, max_key_rows, p50_key_rows,
+       ROUND(max_key_rows / CAST(n_rows AS DOUBLE), 6) AS top_key_share,
+       ROUND(max_key_rows / CAST(p50_key_rows AS DOUBLE), 6) AS skew_ratio
+FROM ({arms})
+"""
+
+
+@query("q465_join_skew_audit", oracle=_skew_oracle_sql())
+def q465_join_skew_audit(spark, sf_dir):
+    """JOIN-KEY SKEW AUDIT (the pre-shuffle planning gate THE 100 TB
+    target cares about most: a shuffle join on a key whose hottest
+    value owns 10% of the rows stalls the whole stage on one task —
+    this is the table AQE's skew-join splitting reads implicitly, made
+    an explicit certified artifact): per candidate join key the row
+    count, distinct keys, hottest-key rows, median-key rows (rank-
+    exact over the key-histogram), top-key share, and max/median skew
+    ratio.
+
+    Scale shape: per key ONE combinable count aggregate + a median
+    window over the key-histogram relation (bounded by distinct
+    keys). The arms are independent scans — Catalyst prunes each to
+    its one column."""
+    from variantcalling_spark.operators.ordered import value_at_rank_bucketed
+
+    out = None
+    for label, tbl, col in _SKEW_KEYS:
+        t = load_table(spark, sf_dir, tbl)
+        h = t.groupBy(F.col(col).cast("string").alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        ).transform(managed_persist)
+        # median key-size via the bucketed global-rank operator — a
+        # plain ordered window here would single-partition the key
+        # histogram (150k+ keys for l_orderkey; the class the r7 plan
+        # audit exists to kill). nk is a bounded driver scalar.
+        nk = h.count()
+        ranks = t.sparkSession.createDataFrame(
+            [((nk + 1) // 2,)], "k bigint"
+        )
+        p50 = value_at_rank_bucketed(
+            h, "c", ranks, bucket_width=16.0
+        ).select(F.col("value_at_rank").cast("bigint").alias("p50_key_rows"))
+        arm = (
+            h.agg(
+                F.lit(label).alias("join_key"),
+                F.sum("c").cast("bigint").alias("n_rows"),
+                F.lit(nk).cast("bigint").alias("n_keys"),
+                F.max("c").cast("bigint").alias("max_key_rows"),
+            )
+            .crossJoin(F.broadcast(p50))
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out.select(
+        "*",
+        F.round(
+            F.col("max_key_rows") / F.col("n_rows").cast("double"), 6
+        ).alias("top_key_share"),
+        F.round(
+            F.col("max_key_rows") / F.col("p50_key_rows").cast("double"), 6
+        ).alias("skew_ratio"),
+    )

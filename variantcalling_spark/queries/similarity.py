@@ -4676,3 +4676,173 @@ def q441_top_eigenvector(spark, sf_dir):
         F.round(F.col("v"), 6).alias("loading"),
         F.round(F.col("mx"), 6).alias("lambda_inf"),
     )
+
+
+def _hubness_oracle_sql() -> str:
+    return f"""
+WITH {_knn_edges_cte_sql()},
+indeg AS (
+  SELECT e.neighbor_id AS node, CAST(COUNT(*) AS BIGINT) AS d_in
+  FROM e GROUP BY e.neighbor_id
+),
+alln AS (
+  SELECT b.vec_id AS node, COALESCE(i.d_in, 0) AS d_in
+  FROM base b LEFT JOIN indeg i ON i.node = b.vec_id
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(d_in) AS BIGINT) AS s1,
+         CAST(SUM(d_in * d_in) AS BIGINT) AS s2,
+         CAST(SUM(d_in * d_in * d_in) AS BIGINT) AS s3,
+         CAST(MAX(d_in) AS BIGINT) AS dmax,
+         CAST(SUM(CASE WHEN d_in = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_orphans
+  FROM alln
+)
+SELECT n, dmax, n_orphans,
+       ROUND(s1 / CAST(n AS DOUBLE), 6) AS mean_in,
+       ROUND((CAST(s3 AS DOUBLE) / n
+              - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+              + 2.0 * POW(CAST(s1 AS DOUBLE) / n, 3))
+             / POW(CAST(s2 AS DOUBLE) / n - POW(CAST(s1 AS DOUBLE) / n, 2),
+                   1.5), 6) AS hubness_skew
+FROM mom
+"""
+
+
+@query("q466_hubness_audit", oracle=_hubness_oracle_sql())
+def q466_hubness_audit(spark, sf_dir):
+    """ANN HUBNESS AUDIT (Radovanović et al.: in high dimensions a few
+    'hub' vectors appear in EVERYONE's neighbor lists while many
+    vectors become orphans — a pathology that silently corrupts kNN
+    graphs, dedup clusters, and recall numbers; positive in-degree
+    skewness IS the diagnostic): the in-degree distribution of the
+    q132 kNN graph — mean, max, orphan count, and the moment-based
+    skewness from exact BIGINT power sums (one combinable aggregate;
+    only the final skew expression touches doubles).
+
+    Scale shape: one groupBy over graph edges + a left join back to
+    the node set; O(E). The harness genre of q217/q375/q451 pointed at
+    the graph substrate itself."""
+    from variantcalling_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = knn_graph(emb, k=3, prefix_bits=6).select("vec_id", "neighbor_id")
+    indeg = e.groupBy(F.col("neighbor_id").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d_in")
+    )
+    alln = (
+        emb.select(F.col("vec_id").alias("node"))
+        .join(indeg, "node", "left")
+        .select(F.coalesce("d_in", F.lit(0)).cast("bigint").alias("d_in"))
+    )
+    d = F.col("d_in")
+    mom = alln.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d).cast("bigint").alias("s1"),
+        F.sum(d * d).cast("bigint").alias("s2"),
+        F.sum(d * d * d).cast("bigint").alias("s3"),
+        F.max(d).cast("bigint").alias("dmax"),
+        F.sum(F.when(d == 0, 1).otherwise(0)).cast("bigint").alias("n_orphans"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n
+    m3 = F.col("s3").cast("double") / n
+    return mom.select(
+        "n",
+        "dmax",
+        "n_orphans",
+        F.round(m1, 6).alias("mean_in"),
+        F.round(
+            (m3 - 3.0 * m1 * m2 + 2.0 * F.pow(m1, 3))
+            / F.pow(m2 - F.pow(m1, 2), 1.5),
+            6,
+        ).alias("hubness_skew"),
+    )
+
+
+_RC_TOPK = 50
+
+
+def _rich_club_oracle_sql() -> str:
+    return f"""
+WITH {_knn_edges_cte_sql()},
+und AS (
+  SELECT LEAST(vec_id, neighbor_id) AS a,
+         GREATEST(vec_id, neighbor_id) AS b
+  FROM e GROUP BY 1, 2
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+),
+rich AS (
+  SELECT node FROM deg ORDER BY d DESC, node LIMIT {_RC_TOPK}
+),
+rc_edges AS (
+  SELECT COUNT(*) AS m_rich FROM und
+  WHERE a IN (SELECT node FROM rich) AND b IN (SELECT node FROM rich)
+)
+SELECT CAST({_RC_TOPK} AS BIGINT) AS k_rich,
+       CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS m_total,
+       CAST((SELECT m_rich FROM rc_edges) AS BIGINT) AS m_rich,
+       ROUND((SELECT m_rich FROM rc_edges)
+             / ({_RC_TOPK} * ({_RC_TOPK} - 1) / 2.0), 6) AS rich_club_coeff
+"""
+
+
+@query("q467_rich_club", oracle=_rich_club_oracle_sql())
+def q467_rich_club(spark, sf_dir):
+    """RICH-CLUB COEFFICIENT of the kNN graph (do the best-connected
+    vectors preferentially connect to EACH OTHER? — with q466's
+    hubness skew this completes the hub diagnosis: skew says hubs
+    exist, the rich-club says whether they form a clique-like core
+    that a diversity sampler must explicitly break): edge density
+    among the top-{_RC_TOPK} degree nodes of the undirected graph,
+    phi = m_rich / C(k,2), all integer until the final ratio.
+
+    Scale shape: degree = one groupBy over symmetrized edges; the
+    club is a TakeOrdered top-k; membership filtering is two
+    broadcast semi joins."""
+    from variantcalling_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = knn_graph(emb, k=3, prefix_bits=6).select("vec_id", "neighbor_id")
+    und = (
+        e.select(
+            F.least("vec_id", "neighbor_id").alias("a"),
+            F.greatest("vec_id", "neighbor_id").alias("b"),
+        )
+        .distinct()
+        .transform(managed_persist)
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    rich = deg.orderBy(F.col("d").desc(), "node").limit(_RC_TOPK).select("node")
+    m_rich = (
+        und.join(
+            F.broadcast(rich.select(F.col("node").alias("a"))), "a", "left_semi"
+        )
+        .join(
+            F.broadcast(rich.select(F.col("node").alias("b"))), "b", "left_semi"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m_rich"))
+    )
+    m_total = und.agg(F.count(F.lit(1)).cast("bigint").alias("m_total"))
+    return (
+        m_total.crossJoin(F.broadcast(m_rich))
+        .select(
+            F.lit(_RC_TOPK).cast("bigint").alias("k_rich"),
+            "m_total",
+            "m_rich",
+            F.round(
+                F.col("m_rich") / F.lit(_RC_TOPK * (_RC_TOPK - 1) / 2.0), 6
+            ).alias("rich_club_coeff"),
+        )
+    )

@@ -6799,3 +6799,82 @@ def q445_fightin_words(spark, sf_dir):
         F.col("y").cast("bigint").alias("n_in_source"),
         F.round("z", 6).alias("zeta"),
     )
+
+
+@query(
+    "q468_readability",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source, text,
+         len(string_split(text, ' ')) AS n_words,
+         GREATEST(len(string_split(text, '.')) - 1, 1) AS n_sents
+  FROM documents WHERE text <> ''
+),
+syl AS (
+  SELECT doc_id, source, n_words, n_sents,
+         GREATEST(len(regexp_split_to_array(lower(text), '[aeiouy]+')) - 1,
+                  n_words) AS n_syll
+  FROM d
+),
+scored AS (
+  SELECT source, n_words, n_sents, n_syll,
+         ROUND(206.835 - 1.015 * (n_words / CAST(n_sents AS DOUBLE))
+               - 84.6 * (n_syll / CAST(n_words AS DOUBLE)), 8) AS fre
+  FROM syl WHERE n_words > 0
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       ROUND(CAST(SUM(CAST(fre AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_flesch,
+       CAST(SUM(CASE WHEN fre < 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hard_docs
+FROM scored GROUP BY source
+""",
+)
+def q468_readability(spark, sf_dir):
+    """FLESCH READING-EASE per source (the readability face of the
+    quality-scoring family — q62 gates on length/punct/stopword
+    ratios; readability adds the sentence/syllable structure axis that
+    separates fluent prose from keyword soup): words by whitespace,
+    sentences by '.' (floored at 1), syllables by the vowel-GROUP
+    heuristic (runs of [aeiouy], floored at one per word), FRE =
+    206.835 − 1.015·(words/sentence) − 84.6·(syllables/word), per-doc
+    scores 8dp-snapped into DECIMAL source means plus the 'hard'
+    (FRE < 30) count.
+
+    Scale shape: pure per-row string algebra (split/regexp lengths —
+    JVM codegen, no explode) + one combinable aggregate."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    n_words = F.size(F.split("text", " "))
+    n_sents = F.greatest(F.size(F.split("text", "\\.")) - 1, F.lit(1))
+    n_syll = F.greatest(
+        F.size(F.split(F.lower("text"), "[aeiouy]+")) - 1, n_words
+    )
+    scored = docs.select(
+        "source",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+    ).where(F.col("n_words") > 0).select(
+        "source",
+        "n_words",
+        F.round(
+            206.835
+            - 1.015 * (F.col("n_words") / F.col("n_sents").cast("double"))
+            - 84.6 * (F.col("n_syll") / F.col("n_words").cast("double")),
+            8,
+        ).alias("fre"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.round(
+            F.sum(F.col("fre").cast("decimal(20,8)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_flesch"),
+        F.sum(F.when(F.col("fre") < 30, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hard_docs"),
+    )
