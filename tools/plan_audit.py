@@ -69,6 +69,13 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     "q245_logrank_test": "integer-day duration histogram domain",
     "q286_nelson_aalen": "integer-day duration histogram domain",
     "q381_cox_score_test": "integer-day duration histogram domain",
+    "q446_weibull_fit": "integer-day duration histogram domain (median-rank prefix)",
+    "q453_competing_risks": "integer-day duration histogram domain (risk-set + CIF prefixes)",
+    # value/multiplicity histogram domains (r8)
+    "q461_kmer_error_valley": "k-mer multiplicity histogram domain (LAG/LEAD valley scan)",
+    "q464_abc_classification": "revenue-bucket prefix of the two-level descending cumsum",
+    "q465_join_skew_audit": "per-arm bucket prefixes inside value_at_rank_bucketed "
+    "(key-count buckets; 6 arms x 2 nodes)",
     # tiny categorical domains
     "q273_event_funnel": "funnel-stage domain",
     "q263_kmv_distinct": "union of two 64-row KMV sketches (bottom-k merge)",
