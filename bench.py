@@ -234,20 +234,33 @@ def _second_scale_point(spark, registry) -> dict | None:
         # — one warm-up loop, one timed loop, shared cache — is what the
         # sf0.1 phase uses and gives the most representative numbers;
         # expect +-30% run-to-run on the persist-heavy entries.
-        for n in names:
-            registry[n].fn(spark, sf1_dir).limit(1).count()
-        # best-of-2 per query: the persist-heavy entries swing several-x
-        # under GC/cache-population timing accidents at 10x volumes
-        # (q112 measured 1.4s and 20.6s in back-to-back bench runs); the
-        # min is the reproducible plan cost, the max is the accident.
+        # TWO SUB-PHASES (r8 protocol fix): the frozen comparison set is
+        # measured FIRST with only its own warm-up in cache, THEN the
+        # round additions get their own clearCache + warm-up. Before
+        # this, every round's new scale2 entries evicted the fixed
+        # set's persisted relations between warm-up and timed runs —
+        # the "comparable" subtotal crept 43.7 -> 58 -> 81 s across
+        # r6-r8 purely from cache pressure, defeating its purpose.
         per_query: dict[str, float] = {}
-        for n in names:
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                registry[n].fn(spark, sf1_dir).count()
-                best = min(best, time.time() - t0)
-            per_query[n] = round(best, 3)
+        fixed = [n for n in names if n in SCALE2_FIXED_SET]
+        extra = [n for n in names if n not in SCALE2_FIXED_SET]
+        for phase in (fixed, extra):
+            if not phase:
+                continue
+            spark.catalog.clearCache()
+            for n in phase:
+                registry[n].fn(spark, sf1_dir).limit(1).count()
+            # best-of-2 per query: the persist-heavy entries swing
+            # several-x under GC/cache-population timing accidents at
+            # 10x volumes (q112 measured 1.4s and 20.6s back-to-back);
+            # the min is the reproducible plan cost.
+            for n in phase:
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.time()
+                    registry[n].fn(spark, sf1_dir).count()
+                    best = min(best, time.time() - t0)
+                per_query[n] = round(best, 3)
         return {
             "sf": 1.0,
             "note": "10x sf0.1 replicas with key offsets (tools/make_scale.py)",
