@@ -177,12 +177,13 @@ SCALE2_QUERIES = [
     "q382_page_hinkley",
     # round-8 families: the all-sources bounded-hop min-plus ledger
     # (graph-analytics join cost from EVERY source — measured 1.0 s
-    # sf0.1 -> 4.3 s at 10x, tracking the n x 3-hop-ball ledger), the
-    # token-LCS Arrow kernel (per-pair independent, 1.5 -> 2.4 s), and
-    # the sketch-accuracy harness (pair-bounded, floor-flat 1.2 -> 1.1 s)
+    # sf0.1 -> 4.3 s at 10x, tracking the n x 3-hop-ball ledger) and
+    # the token-LCS Arrow kernel (per-pair independent, 1.5 -> 2.4 s).
+    # q451 (sketch-accuracy harness) was TRIED and pulled: its PPJoin
+    # discovery at t=0.6 costs ~23 s of 10x warm-up for a floor-flat
+    # timed number — the scale evidence lives in SCALE.md instead.
     "q425_harmonic_centrality",
     "q423_rouge_l_tokens",
-    "q451_minhash_error_curve",
 ]
 
 # FROZEN round-over-round comparison set (r7 verdict ask #6): the 25
@@ -200,7 +201,6 @@ SCALE2_FIXED_SET = frozenset(
         "q382_page_hinkley",
         "q425_harmonic_centrality",
         "q423_rouge_l_tokens",
-        "q451_minhash_error_curve",
     )
 )
 

@@ -3769,7 +3769,7 @@ pairs AS (
   FROM shared
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE) >= 0.4
+  WHERE n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE) >= 0.6
 ),
 hv AS (SELECT doc_id, {phash} AS v FROM sh),
 sig AS (
@@ -3806,21 +3806,18 @@ def q451_minhash_error_curve(spark, sf_dir):
     from variantcalling_spark.operators.dedup import (
         jaccard_for_pairs,
         portable_minhash_signatures,
+        prefix_filtered_pairs,
         shingles,
     )
 
+    # LOSSLESS PPJoin discovery (prefix + length filter), not the naive
+    # shared-shingle self-join: a shingle shared by k docs yields k^2
+    # candidates, which measured UNBOUNDED at 100x (r8) — the oracle
+    # keeps the naive join (single-node DuckDB), the final >= 0.4 pair
+    # set is identical by the losslessness contract
     sh = shingles(corpus(spark, sf_dir), n=3).transform(managed_persist)
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    cand = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    pairs = jaccard_for_pairs(
-        cand.select("doc_a", "doc_b"), sh
-    ).where(F.col("jaccard") >= 0.4)
+    cand = prefix_filtered_pairs(sh, threshold=0.6)
+    pairs = jaccard_for_pairs(cand, sh).where(F.col("jaccard") >= 0.6)
     sig = portable_minhash_signatures(sh, num_hashes=32)
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("siga"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sigb"))
@@ -3951,21 +3948,17 @@ def q463_dedup_threshold_sensitivity(spark, sf_dir):
     |thresholds| discoveries."""
     from variantcalling_spark.operators.dedup import (
         jaccard_for_pairs,
+        prefix_filtered_pairs,
         shingles,
         star_contraction_components,
     )
 
+    # lossless PPJoin discovery at the LOOSEST threshold (see q451's
+    # r8 note: the naive shared-shingle self-join is k^2 per shingle)
     sh = shingles(corpus(spark, sf_dir), n=3).transform(managed_persist)
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    cand = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
+    cand = prefix_filtered_pairs(sh, threshold=min(_THRESH_SWEEP))
     pairs = (
-        jaccard_for_pairs(cand.select("doc_a", "doc_b"), sh)
+        jaccard_for_pairs(cand, sh)
         .where(F.col("jaccard") >= min(_THRESH_SWEEP))
         .transform(managed_persist)
     )
