@@ -3,9 +3,14 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query runs once after a warm-up action that triggers JVM + parquet
-footer caching; timing covers plan + execution + result fetch (count or
-small collect), not session startup.
+Each query runs best-of-2 after a warm-up action that triggers JVM +
+parquet footer caching; timing covers plan + execution + result fetch
+(count or small collect), not session startup. Every phase also emits a
+per-query ``spread`` (worst - best seconds), so a record taken under
+external machine load is diagnosable FROM THE ARTIFACT: a phantom
+regression shows up as best ~= historical value with a large spread,
+instead of costing a round of forensics (this bit r5/r7/r8 — the r8
+verdict's #1 ask).
 """
 
 from __future__ import annotations
@@ -56,6 +61,19 @@ HEADLINE = [
 ]
 
 
+def _timed_best(registry, name, spark, sf_dir, runs: int = 2):
+    """Best-of-N timing for one query; returns (best, spread) where
+    spread = worst - best over the timed runs. The best is the
+    reproducible plan cost; a large spread flags external machine load
+    or a GC/cache-population accident on THAT query."""
+    times = []
+    for _ in range(runs):
+        t0 = time.time()
+        registry[name].fn(spark, sf_dir).count()
+        times.append(time.time() - t0)
+    return round(min(times), 3), round(max(times) - min(times), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -66,19 +84,21 @@ def main() -> None:
     names = [n for n in HEADLINE if n in registry]
 
     # Warm-up: touch every input table once (JVM warm, footers cached).
-    # Methodology unchanged since round 1 (BENCH_r01/r03 comparability):
-    # aggregate-ending queries fully materialize their persists during
-    # warm-up, so timed runs measure warm steady state.
+    # Methodology: aggregate-ending queries fully materialize their
+    # persists during warm-up, so timed runs measure warm steady state.
+    # r9 change: the timed loop is now best-of-2 per query (same
+    # protocol scale2's sub-phases have used since r8) — three rounds
+    # of driver records (r5 headline, r7 q144, r8 q65/q122) contained
+    # load-contaminated phantom regressions a single timed run cannot
+    # distinguish from a real one. ``value`` remains sum of per-query
+    # times; expect it a touch LOWER than r1-r8 records at equal code.
     for n in names:
         registry[n].fn(spark, sf_dir).limit(1).count()
 
     per_query: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for n in names:
-        t0 = time.time()
-        df = registry[n].fn(spark, sf_dir)
-        rows = df.count()
-        per_query[n] = round(time.time() - t0, 3)
-        _ = rows
+        per_query[n], spread[n] = _timed_best(registry, n, spark, sf_dir)
 
     total = round(sum(per_query.values()), 3)
     result = {
@@ -86,6 +106,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        "spread": spread,
+        "spread_total": round(sum(spread.values()), 3),
+        "timing": "best_of_2",
         "sf": sf,
     }
 
@@ -242,6 +265,7 @@ def _second_scale_point(spark, registry) -> dict | None:
         # the "comparable" subtotal crept 43.7 -> 58 -> 81 s across
         # r6-r8 purely from cache pressure, defeating its purpose.
         per_query: dict[str, float] = {}
+        spread: dict[str, float] = {}
         fixed = [n for n in names if n in SCALE2_FIXED_SET]
         extra = [n for n in names if n not in SCALE2_FIXED_SET]
         for phase in (fixed, extra):
@@ -255,12 +279,7 @@ def _second_scale_point(spark, registry) -> dict | None:
             # 10x volumes (q112 measured 1.4s and 20.6s back-to-back);
             # the min is the reproducible plan cost.
             for n in phase:
-                best = float("inf")
-                for _ in range(2):
-                    t0 = time.time()
-                    registry[n].fn(spark, sf1_dir).count()
-                    best = min(best, time.time() - t0)
-                per_query[n] = round(best, 3)
+                per_query[n], spread[n] = _timed_best(registry, n, spark, sf1_dir)
         return {
             "sf": 1.0,
             "note": "10x sf0.1 replicas with key offsets (tools/make_scale.py)",
@@ -270,6 +289,7 @@ def _second_scale_point(spark, registry) -> dict | None:
             ),
             "fixed_set_n": sum(1 for n in per_query if n in SCALE2_FIXED_SET),
             "queries": per_query,
+            "spread": spread,
         }
     except Exception:
         return None
@@ -307,18 +327,15 @@ def _third_scale_point(spark, registry) -> dict | None:
         for n in names:
             registry[n].fn(spark, sf10_dir).limit(1).count()
         per_query: dict[str, float] = {}
+        spread: dict[str, float] = {}
         for n in names:
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                registry[n].fn(spark, sf10_dir).count()
-                best = min(best, time.time() - t0)
-            per_query[n] = round(best, 3)
+            per_query[n], spread[n] = _timed_best(registry, n, spark, sf10_dir)
         return {
             "sf": 10.0,
             "note": "100x sf0.1 replicas (opt-in SPARK_GRAFT_SCALE3=1)",
             "value": round(sum(per_query.values()), 3),
             "queries": per_query,
+            "spread": spread,
         }
     except Exception:
         # same guarantee as scale2: a failed optional phase must never

@@ -39,6 +39,21 @@ def test_matching_zeros_and_nans_still_pass():
     assert cc.compare("ok", s, d) == []
 
 
+def test_misinvocation_refused_before_any_work(monkeypatch):
+    """r8 accident pin: a query name in the sf_dir slot must be refused
+    (exit 2) instead of running every query against a nonexistent path
+    and dumping a query-named error file."""
+    monkeypatch.setattr(
+        "sys.argv",
+        ["check_correctness.py", "/no/such/sf_dir", "q01_pricing_summary"],
+    )
+    assert cc.main() == 2
+    monkeypatch.setattr(
+        "sys.argv", ["check_correctness.py", "q01_pricing_summary", "not_a_query"]
+    )
+    assert cc.main() == 2
+
+
 def test_duckdb_round_propagates_negative_zero_and_plus_zero_fixes_it():
     """The engine fact the q207/q213 fix rests on: DuckDB's ROUND keeps
     the IEEE -0.0 produced by -ln(1), and adding +0.0 canonicalizes."""

@@ -118,14 +118,33 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 def main() -> int:
     args = sys.argv[1:]
     sf_dir = DEFAULT_SF_DIR
-    if args and os.path.isdir(args[0]):
-        sf_dir, args = args[0], args[1:]
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as e
 
     qs = e.queries()
     oracles = e.oracle_sql()
+
+    # Arg routing must be unambiguous: a first arg that is neither an
+    # existing directory nor a registered query name is a mis-invocation
+    # (r8 produced a committed error-dump file exactly this way — the
+    # sf_dir slot got a query name and every query errored PATH_NOT_FOUND).
+    if args:
+        if args[0] not in qs:
+            if not os.path.isdir(args[0]):
+                print(
+                    f"ERROR: first argument {args[0]!r} is neither an existing "
+                    f"sf_dir directory nor a registered query name; refusing to run."
+                )
+                return 2
+            sf_dir, args = args[0], args[1:]
+        unknown = [a for a in args if a not in qs]
+        if unknown:
+            print(f"ERROR: unknown query name(s): {', '.join(unknown)}")
+            return 2
+    if not os.path.isdir(sf_dir):
+        print(f"ERROR: sf_dir {sf_dir!r} does not exist")
+        return 2
     only = set(args)
 
     spark = get_spark("check_correctness")

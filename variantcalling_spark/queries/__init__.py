@@ -49,15 +49,155 @@ _PRIORITY = (
     # Driver budget is ~50 rows/round; the full local sweep
     # (tools/check_correctness.py) covers ALL queries every round, so this
     # order only decides WHICH rows the driver re-certifies.
-    # ROUND 8 ordering (r7 verdict ask #3 - keep paying the debt down):
-    #   1. the never-driver-checked remainder q234-q322 (89 queries; the
-    #      r7 driver run certified q184-q233, so those rotate out of the
-    #      head — the ~50-row budget reaches about q283 this round);
-    #   2. the round-7 block q373-q420 (never checked), then new round-8
-    #      queries at the TOP of that section;
-    #   3. everything else keeps registry (module) order - all of it
-    #      has a green row from r1-r7 and stays covered by the sweep.
-    # --- Never driver-checked (registered r6, no row yet) ---
+    # ROUND 9 ordering (r8 verdict ask #2 - pay the OLDEST debt first):
+    #   1. q284-q322 (39 queries, registered r6 - the oldest block with
+    #      no CORRECTNESS row; the r8 driver run certified q234-q283);
+    #   2. the round-7 block q373-q420 ascending (never checked) - the
+    #      ~50-row budget reaches about q383 this round;
+    #   3. the round-8 block q421-q468, then new ROUND-9 queries (insert
+    #      new registrations at the marked slot below);
+    #   4. everything else keeps registry (module) order - all of it
+    #      has a green row from r1-r8 and stays covered by the sweep.
+    # --- Oldest never-driver-checked block (registered r6) ---
+    "q284_attribution_last_touch",
+    "q285_cochran_armitage",
+    "q286_nelson_aalen",
+    "q287_seasonal_profile",
+    "q288_sprt_ledger",
+    "q289_kfold_balance_audit",
+    "q290_quantile_normalization",
+    "q291_callable_loci",
+    "q292_bradley_terry",
+    "q293_mann_whitney",
+    "q294_lof_outliers",
+    "q295_theil_sen",
+    "q296_mcnemar",
+    "q297_adamic_adar",
+    "q298_acf",
+    "q299_jsd_source_drift",
+    "q300_temperature_mixture",
+    "q301_kendall_tau",
+    "q302_holt_linear",
+    "q303_kmv_source_overlap",
+    "q304_mmr_rerank",
+    "q305_position_attribution",
+    "q306_em_gaussian",
+    "q307_dtw_distance",
+    "q308_facility_location",
+    "q309_welch_ttest",
+    "q310_mann_kendall",
+    "q311_degree_assortativity",
+    "q312_fastq_roundtrip",
+    "q313_event_paths",
+    "q314_rfm_segmentation",
+    "q315_viterbi_segments",
+    "q316_best_split",
+    "q317_standardized_rates",
+    "q318_exponential_gof",
+    "q319_hmm_posterior",
+    "q320_jl_projection",
+    "q321_topic_coherence",
+    "q322_lsh_planner",
+    # --- Round-7 block (never checked), ascending ---
+    "q373_training_set_consistency",
+    "q374_multiband_ann",
+    "q375_ann_recall_multiband",
+    "q376_baum_welch_converged",
+    "q377_motif_chains",
+    "q378_corpus_bleu",
+    "q379_rouge_l",
+    "q380_pii_scan",
+    "q381_cox_score_test",
+    "q382_page_hinkley",
+    "q383_cmh_test",
+    "q384_tokenizer_fertility",
+    "q385_unimax_allocation",
+    "q386_dnds_ratio",
+    "q387_source_jackknife",
+    "q388_dau_mau_stickiness",
+    "q389_sex_inference",
+    "q390_burrows_delta",
+    "q391_mutual_information",
+    "q392_ivf_recall_eval",
+    "q393_perceptual_image_dedup",
+    "q394_oov_curve",
+    "q395_kcenter_coreset",
+    "q396_max_coverage_selection",
+    "q397_activity_selection",
+    "q398_gff_gene_model",
+    "q399_debruijn_balance",
+    "q400_packing_efficiency",
+    "q401_data_quality_gate",
+    "q402_lis_trend",
+    "q403_json_props_extraction",
+    "q404_iptw_ate",
+    "q405_bounded_hop_sssp",
+    "q406_lexicon_filter",
+    "q407_simpson_paradox",
+    "q408_policy_replay",
+    "q409_l_diversity",
+    "q410_kleinberg_bursts",
+    "q411_lz_complexity",
+    "q412_markov_absorption",
+    "q413_cramer_von_mises",
+    "q414_best_f1_threshold",
+    "q415_seasonal_mann_kendall",
+    "q416_theil_decomposition",
+    "q417_median_ci",
+    "q418_partial_correlation",
+    "q419_interval_cover",
+    "q420_gc_skew",
+    # --- New in round 9 (add new queries HERE) ---
+    # --- Round-8 block (never checked) ---
+    "q421_multiprobe_ivf_recall",
+    "q422_sieve_coverage_stream",
+    "q423_rouge_l_tokens",
+    "q424_hits_centrality",
+    "q425_harmonic_centrality",
+    "q426_benford_test",
+    "q427_referential_integrity",
+    "q428_kruskal_wallis",
+    "q429_brown_forsythe",
+    "q430_durbin_watson",
+    "q431_cochran_q",
+    "q432_stylometric_clusters",
+    "q433_paired_bootstrap_bleu",
+    "q434_hosmer_lemeshow",
+    "q435_chow_test",
+    "q436_jonckheere_terpstra",
+    "q437_granger_lite",
+    "q438_krippendorff_alpha",
+    "q439_signature_fit",
+    "q440_pacf_durbin_levinson",
+    "q441_top_eigenvector",
+    "q442_codon_adaptation_index",
+    "q443_raking_ipf",
+    "q444_capture_recapture",
+    "q445_fightin_words",
+    "q446_weibull_fit",
+    "q447_heavy_changers",
+    "q448_eb_shrinkage",
+    "q449_runs_test",
+    "q450_sprt_sequential",
+    "q451_minhash_error_curve",
+    "q452_lead_lag_xcorr",
+    "q453_competing_risks",
+    "q454_size_factors",
+    "q455_markov_entropy_rate",
+    "q456_day_gap_audit",
+    "q457_srm_gate",
+    "q458_mad_outlier_gate",
+    "q459_allele_balance",
+    "q460_cpg_islands",
+    "q461_kmer_error_valley",
+    "q462_price_elasticity",
+    "q463_dedup_threshold_sensitivity",
+    "q464_abc_classification",
+    "q465_join_skew_audit",
+    "q466_hubness_audit",
+    "q467_rich_club",
+    "q468_readability",
+    # --- Certified r8 (q234-q283), keep at tail of the priority list ---
     "q234_adapter_scan",
     "q235_embedding_isotropy",
     "q236_transmission_phasing",
@@ -107,143 +247,6 @@ _PRIORITY = (
     "q281_inverted_index",
     "q282_skipgram_cooccurrence",
     "q283_cusum_changepoint",
-    "q284_attribution_last_touch",
-    "q285_cochran_armitage",
-    "q286_nelson_aalen",
-    "q287_seasonal_profile",
-    "q288_sprt_ledger",
-    "q289_kfold_balance_audit",
-    "q290_quantile_normalization",
-    "q291_callable_loci",
-    "q292_bradley_terry",
-    "q293_mann_whitney",
-    "q294_lof_outliers",
-    "q295_theil_sen",
-    "q296_mcnemar",
-    "q297_adamic_adar",
-    "q298_acf",
-    "q299_jsd_source_drift",
-    "q300_temperature_mixture",
-    "q301_kendall_tau",
-    "q302_holt_linear",
-    "q303_kmv_source_overlap",
-    "q304_mmr_rerank",
-    "q305_position_attribution",
-    "q306_em_gaussian",
-    "q307_dtw_distance",
-    "q308_facility_location",
-    "q309_welch_ttest",
-    "q310_mann_kendall",
-    "q311_degree_assortativity",
-    "q312_fastq_roundtrip",
-    "q313_event_paths",
-    "q314_rfm_segmentation",
-    "q315_viterbi_segments",
-    "q316_best_split",
-    "q317_standardized_rates",
-    "q318_exponential_gof",
-    "q319_hmm_posterior",
-    "q320_jl_projection",
-    "q321_topic_coherence",
-    "q322_lsh_planner",
-    # --- New in round 8 (add new queries HERE) ---
-    "q468_readability",
-    "q467_rich_club",
-    "q466_hubness_audit",
-    "q465_join_skew_audit",
-    "q464_abc_classification",
-    "q463_dedup_threshold_sensitivity",
-    "q462_price_elasticity",
-    "q461_kmer_error_valley",
-    "q460_cpg_islands",
-    "q459_allele_balance",
-    "q458_mad_outlier_gate",
-    "q457_srm_gate",
-    "q456_day_gap_audit",
-    "q455_markov_entropy_rate",
-    "q454_size_factors",
-    "q453_competing_risks",
-    "q452_lead_lag_xcorr",
-    "q451_minhash_error_curve",
-    "q450_sprt_sequential",
-    "q449_runs_test",
-    "q448_eb_shrinkage",
-    "q447_heavy_changers",
-    "q446_weibull_fit",
-    "q445_fightin_words",
-    "q444_capture_recapture",
-    "q443_raking_ipf",
-    "q442_codon_adaptation_index",
-    "q441_top_eigenvector",
-    "q440_pacf_durbin_levinson",
-    "q439_signature_fit",
-    "q438_krippendorff_alpha",
-    "q437_granger_lite",
-    "q436_jonckheere_terpstra",
-    "q435_chow_test",
-    "q434_hosmer_lemeshow",
-    "q433_paired_bootstrap_bleu",
-    "q432_stylometric_clusters",
-    "q431_cochran_q",
-    "q430_durbin_watson",
-    "q429_brown_forsythe",
-    "q428_kruskal_wallis",
-    "q427_referential_integrity",
-    "q426_benford_test",
-    "q425_harmonic_centrality",
-    "q424_hits_centrality",
-    "q423_rouge_l_tokens",
-    "q422_sieve_coverage_stream",
-    "q421_multiprobe_ivf_recall",
-    # --- New in round 7 ---
-    "q420_gc_skew",
-    "q419_interval_cover",
-    "q418_partial_correlation",
-    "q417_median_ci",
-    "q416_theil_decomposition",
-    "q415_seasonal_mann_kendall",
-    "q414_best_f1_threshold",
-    "q413_cramer_von_mises",
-    "q412_markov_absorption",
-    "q411_lz_complexity",
-    "q410_kleinberg_bursts",
-    "q409_l_diversity",
-    "q408_policy_replay",
-    "q407_simpson_paradox",
-    "q406_lexicon_filter",
-    "q405_bounded_hop_sssp",
-    "q404_iptw_ate",
-    "q403_json_props_extraction",
-    "q402_lis_trend",
-    "q401_data_quality_gate",
-    "q400_packing_efficiency",
-    "q399_debruijn_balance",
-    "q398_gff_gene_model",
-    "q397_activity_selection",
-    "q396_max_coverage_selection",
-    "q395_kcenter_coreset",
-    "q394_oov_curve",
-    "q393_perceptual_image_dedup",
-    "q392_ivf_recall_eval",
-    "q391_mutual_information",
-    "q390_burrows_delta",
-    "q389_sex_inference",
-    "q388_dau_mau_stickiness",
-    "q387_source_jackknife",
-    "q386_dnds_ratio",
-    "q385_unimax_allocation",
-    "q384_tokenizer_fertility",
-    "q383_cmh_test",
-    "q382_page_hinkley",
-    "q381_cox_score_test",
-    "q380_pii_scan",
-    "q379_rouge_l",
-    "q378_corpus_bleu",
-    "q377_motif_chains",
-    "q376_baum_welch_converged",
-    "q375_ann_recall_multiband",
-    "q374_multiband_ann",
-    "q373_training_set_consistency",
 )
 
 

@@ -3794,7 +3794,7 @@ def q451_minhash_error_curve(spark, sf_dir):
     sketch the whole near-dup family rides: q66 USES 32-perm MinHash,
     this MEASURES what signature length actually buys — MAE and bias of
     the k-prefix Jaccard estimate against exact Jaccard over the real
-    >=0.4 near-dup pairs, for k = {_MHERR_KS}; the q375/q392 recall-
+    >=0.6 near-dup pairs, for k = {_MHERR_KS}; the q375/q392 recall-
     harness genre applied to the sketch itself): expected MAE shrinks
     ~1/sqrt(k), and the measured table pins where diminishing returns
     start — the dial-setting evidence for the 32-perm default.
@@ -3813,7 +3813,7 @@ def q451_minhash_error_curve(spark, sf_dir):
     # LOSSLESS PPJoin discovery (prefix + length filter), not the naive
     # shared-shingle self-join: a shingle shared by k docs yields k^2
     # candidates, which measured UNBOUNDED at 100x (r8) — the oracle
-    # keeps the naive join (single-node DuckDB), the final >= 0.4 pair
+    # keeps the naive join (single-node DuckDB), the final >= 0.6 pair
     # set is identical by the losslessness contract
     sh = shingles(corpus(spark, sf_dir), n=3).transform(managed_persist)
     cand = prefix_filtered_pairs(sh, threshold=0.6)

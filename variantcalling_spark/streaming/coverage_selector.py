@@ -105,9 +105,21 @@ class CoverageSelector:
 
     def step(self, batch_docs: DataFrame, batch_id: int) -> None:
         inc = doc_bigrams(batch_docs)
-        picks, self.covered = select_from_batch(
+        picks, covered = select_from_batch(
             inc, self.covered, per_batch=self.per_batch, min_gain=self.min_gain
         )
+        # Truncate the cross-batch state's lineage every batch: a
+        # persist-only chain stays rooted in earlier micro-batch
+        # DataFrames, so a cache eviction (memory pressure, or the
+        # managed_persist ring cycling after ~24 batches) would
+        # recompute through EXPIRED micro-batch sources — and the
+        # union().distinct() plan deepens with every pick. An eager
+        # localCheckpoint materializes covered as a fresh leaf; a
+        # production deployment writes it to a catalog table instead
+        # (same contract, durable storage).
+        if covered is not None and picks:
+            covered = covered.localCheckpoint(eager=True)
+        self.covered = covered
         for slot, doc_id, gain, total in picks:
             self.selected.append((int(batch_id), slot, doc_id, gain, total))
 
