@@ -797,3 +797,47 @@ def test_multiprobe_ivf_probe_contract(spark):
         q, indexed, centroids, k=5, max_probes=4, margin=0.0
     )
     assert tight.select("query_id").distinct().count() == 10
+
+
+def test_mutual_proximity_deflates_hubs(spark, sf_dir):
+    """q469's operator contract, executed: (a) exactly <=k edges per
+    vector; (b) the MP re-ranking reduces the in-degree concentration
+    the q466 audit measures (max in-degree and orphan count must not
+    increase, and at least one must strictly improve on the test
+    corpus); (c) every surviving edge came from the raw candidate set
+    (MP re-ranks, never invents pairs)."""
+    import pandas as pd
+
+    from variantcalling_spark.operators.similarity import (
+        bucketed_cosine_candidates,
+        knn_graph,
+        mutual_proximity_knn,
+    )
+    from variantcalling_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    n = emb.count()
+    raw = knn_graph(emb, k=3, prefix_bits=6).toPandas()
+    mp = mutual_proximity_knn(emb, k=3, prefix_bits=6).toPandas()
+
+    assert mp.groupby("vec_id").size().max() <= 3
+    assert (mp["mp"] >= 0).all() and (mp["mp"] <= 1).all()
+
+    def indeg_stats(edges: pd.DataFrame):
+        d = edges.groupby("neighbor_id").size()
+        dmax = int(d.max())
+        orphans = n - edges["neighbor_id"].nunique()
+        return dmax, orphans
+
+    raw_dmax, raw_orph = indeg_stats(raw)
+    mp_dmax, mp_orph = indeg_stats(mp)
+    assert mp_dmax <= raw_dmax and mp_orph <= raw_orph
+    assert (mp_dmax < raw_dmax) or (mp_orph < raw_orph)
+
+    cand = {
+        (r.vec_id, r.neighbor_id)
+        for r in bucketed_cosine_candidates(emb, prefix_bits=6)
+        .select("vec_id", "neighbor_id")
+        .collect()
+    }
+    assert set(zip(mp["vec_id"], mp["neighbor_id"])) <= cand

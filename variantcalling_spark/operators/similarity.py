@@ -822,6 +822,30 @@ def knn_graph(
     paths — production sizes it ~log2(n/target_bucket). Quantized
     integer projections keep buckets and cosines engine-exact, so the
     whole graph is value-oracle-checkable."""
+    scored = bucketed_cosine_candidates(
+        vecs, prefix_bits=prefix_bits, id_col=id_col, vec_col=vec_col
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def bucketed_cosine_candidates(
+    vecs: DataFrame,
+    prefix_bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All in-bucket directed candidate pairs with exact cosine —
+    (vec_id, neighbor_id, cosine) — the shared substrate under
+    ``knn_graph`` and ``mutual_proximity_knn``. Symmetric by
+    construction: the equi-join on bucket generates BOTH directions of
+    every pair with bit-identical cosine (integer dot products commute),
+    which is what lets mutual proximity read the reverse direction with
+    a self-join instead of recomputation."""
     bucket = _band_slices_arrow(prefix_bits, 1)
     base = vecs.select(
         F.col(id_col).alias("vec_id"), _quantize(F.col(vec_col)).alias("v")
@@ -833,7 +857,7 @@ def knn_graph(
         F.sqrt(_dot(F.col("v"), F.col("v")).cast("double")).alias("norm"),
     ).transform(managed_persist)
     a, c = b.alias("a"), b.alias("c")
-    scored = a.join(
+    return a.join(
         c,
         (F.col("a.bucket") == F.col("c.bucket"))
         & (F.col("a.vec_id") != F.col("c.vec_id")),
@@ -844,11 +868,88 @@ def knn_graph(
             F.col("a.v"), F.col("c.v"), F.col("a.norm"), F.col("c.norm")
         ).alias("cosine"),
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
+
+
+def mutual_proximity_knn(
+    vecs: DataFrame,
+    k: int = 3,
+    prefix_bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """HUBNESS-CORRECTED kNN graph via empirical MUTUAL PROXIMITY
+    (Schnitzer et al., JMLR 2012): re-rank each vector's in-bucket
+    candidates by ``MP(x,y) = P(cos(x,·) < cos(x,y)) * P(cos(y,·) <
+    cos(y,x))`` — the probability, under each endpoint's OWN empirical
+    similarity distribution, that a random candidate is farther away.
+    A hub that is "close to everyone" has a tight distribution, so
+    being close to a hub stops being informative and its inflated
+    in-degree collapses (the q466-measured pathology: in-degree skew
+    4+ on the raw graph).
+
+    Spark shape — three window functions and one self-join, no new
+    pair generation:
+      1. candidates = the same Σ bucket² scored relation knn_graph
+         uses (persisted once);
+      2. per DIRECTED edge, the empirical CDF = rank-among-own-
+         candidates: ``RANK() OVER (PARTITION BY vec_id ORDER BY
+         cosine) - 1`` strictly-below count over ``n_cand`` (exact
+         integers — ties share a rank, so the count is engine-exact);
+      3. MP = product of the two directions' CDFs, read with an
+         equi-join of the directed relation to itself reversed
+         (both directions exist by construction);
+      4. top-k per vector by (mp DESC, cosine DESC, neighbor_id).
+
+    Output: (vec_id, neighbor_id, w, mp, rank) with ``w`` the same
+    integer edge weight as ``knn_graph``'s oracle twin
+    (round((1-cosine)*1e6)) so downstream graph ops swap substrates
+    without changes."""
+    scored = bucketed_cosine_candidates(
+        vecs, prefix_bits=prefix_bits, id_col=id_col, vec_col=vec_col
+    ).transform(managed_persist)
+    # RANK with ties (no tiebreak column!) so rank-1 == strictly-below
+    # count; n_cand via an unordered count window on the same partition
+    directed = scored.select(
+        "vec_id",
+        "neighbor_id",
+        "cosine",
+        (
+            F.rank().over(W.partitionBy("vec_id").orderBy("cosine")) - 1
+        ).cast("bigint").alias("below"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("vec_id"))
+        .cast("bigint")
+        .alias("n_cand"),
+    )
+    f, r = directed.alias("f"), directed.alias("r")
+    mp_scored = f.join(
+        r,
+        (F.col("f.vec_id") == F.col("r.neighbor_id"))
+        & (F.col("f.neighbor_id") == F.col("r.vec_id")),
+    ).select(
+        F.col("f.vec_id").alias("vec_id"),
+        F.col("f.neighbor_id").alias("neighbor_id"),
+        F.col("f.cosine").alias("cosine"),
+        (
+            (F.col("f.below").cast("double") / F.col("f.n_cand"))
+            * (F.col("r.below").cast("double") / F.col("r.n_cand"))
+        ).alias("mp"),
+    )
+    w = W.partitionBy("vec_id").orderBy(
+        F.desc("mp"), F.desc("cosine"), "neighbor_id"
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        mp_scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", "cosine", "rank")
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round((F.lit(1.0) - F.col("cosine")) * 1000000)
+            .cast("bigint")
+            .alias("w"),
+            F.round("mp", 6).alias("mp"),
+            "rank",
+        )
     )
 
 

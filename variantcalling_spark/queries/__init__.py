@@ -148,6 +148,8 @@ _PRIORITY = (
     "q419_interval_cover",
     "q420_gc_skew",
     # --- New in round 9 (add new queries HERE) ---
+    "q469_mutual_proximity_knn",
+    "q470_hubness_correction_audit",
     # --- Round-8 block (never checked) ---
     "q421_multiprobe_ivf_recall",
     "q422_sieve_coverage_stream",

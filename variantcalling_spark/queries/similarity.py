@@ -4140,12 +4140,12 @@ def q395_kcenter_coreset(spark, sf_dir):
 _SSSP_ROUNDS = 4
 
 
-def _knn_edges_cte_sql(prefix_bits: int = 6, dim: int = 64, k: int = 3) -> str:
-    """WITH-fragment building the kNN edge table ``e(vec_id,
-    neighbor_id, w)`` — the q132/q405 substrate (quantized vectors,
-    hyperplane bucket, in-bucket cosine top-k, integer edge weight
-    round((1-cosine)*1e6)) — shared by every graph-family oracle so
-    Spark's ``knn_graph`` has ONE SQL twin."""
+def _knn_scored_cte_sql(prefix_bits: int = 6, dim: int = 64) -> str:
+    """WITH-fragment building the ALL in-bucket directed candidate
+    relation ``scored(vec_id, neighbor_id, cosine)`` (quantized
+    vectors, hyperplane bucket, exact in-bucket cosine) — the SQL twin
+    of ``bucketed_cosine_candidates``; ``_knn_edges_cte_sql`` trims it
+    to the top-k edge table, the mutual-proximity oracle re-ranks it."""
     from variantcalling_spark.operators.similarity import _plane_signs
 
     signs = _plane_signs(prefix_bits, dim)
@@ -4175,7 +4175,16 @@ scored AS (
          list_dot_product(a.v, c.v)
            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
   FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
-),
+)"""
+
+
+def _knn_edges_cte_sql(prefix_bits: int = 6, dim: int = 64, k: int = 3) -> str:
+    """WITH-fragment building the kNN edge table ``e(vec_id,
+    neighbor_id, w)`` — the q132/q405 substrate (quantized vectors,
+    hyperplane bucket, in-bucket cosine top-k, integer edge weight
+    round((1-cosine)*1e6)) — shared by every graph-family oracle so
+    Spark's ``knn_graph`` has ONE SQL twin."""
+    return f"""{_knn_scored_cte_sql(prefix_bits, dim)},
 e AS MATERIALIZED (
   SELECT vec_id, neighbor_id,
          CAST(ROUND((1.0 - cosine) * 1000000) AS BIGINT) AS w
@@ -4844,5 +4853,211 @@ def q467_rich_club(spark, sf_dir):
             F.round(
                 F.col("m_rich") / F.lit(_RC_TOPK * (_RC_TOPK - 1) / 2.0), 6
             ).alias("rich_club_coeff"),
+        )
+    )
+
+
+def _mp_knn_oracle_sql(k: int = 3) -> str:
+    return f"""
+WITH {_knn_scored_cte_sql()},
+directed AS (
+  SELECT vec_id, neighbor_id, cosine,
+         CAST(RANK() OVER (PARTITION BY vec_id ORDER BY cosine) - 1 AS BIGINT) AS below,
+         CAST(COUNT(*) OVER (PARTITION BY vec_id) AS BIGINT) AS n_cand
+  FROM scored
+),
+mp AS (
+  SELECT f.vec_id, f.neighbor_id, f.cosine,
+         (CAST(f.below AS DOUBLE) / f.n_cand)
+           * (CAST(r.below AS DOUBLE) / r.n_cand) AS mp
+  FROM directed f JOIN directed r
+    ON f.vec_id = r.neighbor_id AND f.neighbor_id = r.vec_id
+)
+SELECT vec_id, neighbor_id,
+       CAST(ROUND((1.0 - cosine) * 1000000) AS BIGINT) AS w,
+       ROUND(mp, 6) AS mp,
+       rank
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY mp DESC, cosine DESC, neighbor_id) AS INT) AS rank
+  FROM mp
+) WHERE rank <= {k}
+"""
+
+
+@query("q469_mutual_proximity_knn", oracle=_mp_knn_oracle_sql())
+def q469_mutual_proximity_knn(spark, sf_dir):
+    """HUBNESS-CORRECTED kNN GRAPH via empirical MUTUAL PROXIMITY
+    (Schnitzer et al. 2012 — the operator the q466 hubness audit
+    motivated: the raw kNN graph's in-degree skew means a few hub
+    vectors sit in everyone's neighbor list; MP re-ranks each edge by
+    the probability, under BOTH endpoints' own empirical similarity
+    distributions, that a random candidate is farther, which deflates
+    hubs without touching the candidate generation): the same
+    Σ bucket² in-bucket candidates as q132's substrate, re-ranked to
+    top-3 per vector by the MP score.
+
+    Scale shape: the candidate relation is generated ONCE (persisted);
+    the empirical CDFs are two window functions over bucket-bounded
+    partitions; the reverse direction is an equi-join of the directed
+    relation to itself (both directions exist by construction of the
+    symmetric bucket join) — no second pair generation, no new shuffle
+    class. q470 measures what the correction buys."""
+    from variantcalling_spark.operators.similarity import mutual_proximity_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mutual_proximity_knn(emb, k=3, prefix_bits=6)
+
+
+def _hubness_correction_oracle_sql(k: int = 3) -> str:
+    # moments of the in-degree distribution (orphans included via the
+    # left join to the full node set) for BOTH graphs + edge overlap
+    def moments(edges: str, prefix: str) -> str:
+        return f"""
+{prefix}ind AS (
+  SELECT neighbor_id AS node, CAST(COUNT(*) AS BIGINT) AS d_in
+  FROM {edges} GROUP BY neighbor_id
+),
+{prefix}alln AS (
+  SELECT COALESCE(i.d_in, 0) AS d_in
+  FROM (SELECT vec_id AS node FROM embeddings) nn
+  LEFT JOIN {prefix}ind i USING (node)
+),
+{prefix}mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(d_in) AS BIGINT) AS s1,
+         CAST(SUM(d_in * d_in) AS BIGINT) AS s2,
+         CAST(SUM(d_in * d_in * d_in) AS BIGINT) AS s3,
+         CAST(MAX(d_in) AS BIGINT) AS dmax,
+         CAST(SUM(CASE WHEN d_in = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+  FROM {prefix}alln
+)"""
+
+    def skew(prefix: str) -> str:
+        m1 = f"(CAST({prefix}mom.s1 AS DOUBLE) / {prefix}mom.n)"
+        m2 = f"(CAST({prefix}mom.s2 AS DOUBLE) / {prefix}mom.n)"
+        m3 = f"(CAST({prefix}mom.s3 AS DOUBLE) / {prefix}mom.n)"
+        return (
+            f"ROUND(({m3} - 3.0 * {m1} * {m2} + 2.0 * POW({m1}, 3))"
+            f" / POW({m2} - POW({m1}, 2), 1.5), 6)"
+        )
+
+    return f"""
+WITH {_knn_edges_cte_sql(k=k)},
+directed AS (
+  SELECT vec_id, neighbor_id, cosine,
+         CAST(RANK() OVER (PARTITION BY vec_id ORDER BY cosine) - 1 AS BIGINT) AS below,
+         CAST(COUNT(*) OVER (PARTITION BY vec_id) AS BIGINT) AS n_cand
+  FROM scored
+),
+mp AS (
+  SELECT f.vec_id, f.neighbor_id, f.cosine,
+         (CAST(f.below AS DOUBLE) / f.n_cand)
+           * (CAST(r.below AS DOUBLE) / r.n_cand) AS mp
+  FROM directed f JOIN directed r
+    ON f.vec_id = r.neighbor_id AND f.neighbor_id = r.vec_id
+),
+mpe AS MATERIALIZED (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id, CAST(ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY mp DESC, cosine DESC, neighbor_id) AS INT) AS rank
+    FROM mp
+  ) WHERE rank <= {k}
+),{moments("e", "raw_")},{moments("mpe", "mp_")},
+ov AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM e JOIN mpe USING (vec_id, neighbor_id)
+),
+etot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_raw FROM e)
+SELECT raw_mom.dmax AS raw_dmax,
+       raw_mom.n_orphans AS raw_orphans,
+       {skew("raw_")} AS raw_skew,
+       mp_mom.dmax AS mp_dmax,
+       mp_mom.n_orphans AS mp_orphans,
+       {skew("mp_")} AS mp_skew,
+       etot.n_raw AS n_edges,
+       ov.n_common AS n_common,
+       ROUND(CAST(ov.n_common AS DOUBLE) / etot.n_raw, 6) AS edge_overlap
+FROM raw_mom, mp_mom, ov, etot
+"""
+
+
+@query("q470_hubness_correction_audit", oracle=_hubness_correction_oracle_sql())
+def q470_hubness_correction_audit(spark, sf_dir):
+    """BEFORE/AFTER AUDIT of the mutual-proximity correction (the
+    measured-pathology -> operator -> measured-improvement pipeline:
+    q466 measured the raw graph's hubness, q469 ships the correction,
+    this row QUANTIFIES what it bought): in-degree max / orphan count /
+    moment skewness of the raw q132 kNN graph vs the MP-re-ranked
+    graph, plus the directed-edge overlap between the two (how much of
+    the raw graph the correction actually rewires).
+
+    Scale shape: both graphs ride the ONE persisted candidate
+    relation; each audit is a groupBy + left-join + single combinable
+    moment aggregate (the q466 shape, twice), and the overlap is an
+    equi-join of two k*n edge tables."""
+    from variantcalling_spark.operators.similarity import (
+        knn_graph,
+        mutual_proximity_knn,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").transform(managed_persist)
+    nodes = emb.select(F.col("vec_id").alias("node"))
+
+    def audit(edges, prefix):
+        indeg = edges.groupBy(F.col("neighbor_id").alias("node")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("d_in")
+        )
+        alln = nodes.join(indeg, "node", "left").select(
+            F.coalesce("d_in", F.lit(0)).cast("bigint").alias("d_in")
+        )
+        d = F.col("d_in")
+        mom = alln.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(d).cast("bigint").alias("s1"),
+            F.sum(d * d).cast("bigint").alias("s2"),
+            F.sum(d * d * d).cast("bigint").alias("s3"),
+            F.max(d).cast("bigint").alias("dmax"),
+            F.sum(F.when(d == 0, 1).otherwise(0)).cast("bigint").alias("n_orphans"),
+        )
+        n = F.col("n")
+        m1 = F.col("s1").cast("double") / n
+        m2 = F.col("s2").cast("double") / n
+        m3 = F.col("s3").cast("double") / n
+        return mom.select(
+            F.col("dmax").alias(f"{prefix}_dmax"),
+            F.col("n_orphans").alias(f"{prefix}_orphans"),
+            F.round(
+                (m3 - 3.0 * m1 * m2 + 2.0 * F.pow(m1, 3))
+                / F.pow(m2 - F.pow(m1, 2), 1.5),
+                6,
+            ).alias(f"{prefix}_skew"),
+        )
+
+    raw = knn_graph(emb, k=3, prefix_bits=6).select(
+        "vec_id", "neighbor_id"
+    ).transform(managed_persist)
+    mpe = mutual_proximity_knn(emb, k=3, prefix_bits=6).select(
+        "vec_id", "neighbor_id"
+    ).transform(managed_persist)
+    ov = raw.join(mpe, ["vec_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common")
+    )
+    etot = raw.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        audit(raw, "raw")
+        .crossJoin(F.broadcast(audit(mpe, "mp")))
+        .crossJoin(F.broadcast(etot))
+        .crossJoin(F.broadcast(ov))
+        .select(
+            "raw_dmax",
+            "raw_orphans",
+            "raw_skew",
+            "mp_dmax",
+            "mp_orphans",
+            "mp_skew",
+            "n_edges",
+            "n_common",
+            F.round(F.col("n_common") / F.col("n_edges"), 6).alias("edge_overlap"),
         )
     )
