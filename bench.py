@@ -308,6 +308,10 @@ SCALE3_QUERIES = [
     "q129_adaptive_neardup",
     "q135_cdc_chunk_dedup",
     "q146_adaptive_knn_graph",
+    # r9: the rebuilt one-aggregate LPA (r8's 15-stage chain went
+    # 5.0 -> 0.64 s at 10x; the 100x point pins the growth exponent
+    # of the per-round join+argmax over the adaptive graph)
+    "q151_label_propagation",
 ]
 
 

@@ -835,3 +835,92 @@ def test_streaming_coverage_selector_equals_batch(spark, tmp_path):
         q.stop()
     assert state.selected == expected
     assert 0 < len(expected) < 8  # sieve bound AND threshold binding
+
+
+def test_streaming_srm_monitor_equals_batch(spark, tmp_path):
+    """foreachBatch SRM gate (q471's streaming face): two weekly event
+    files arrive as two micro-batches; each batch's (n_control,
+    n_treat, chi2, flag) must equal batch_srm computed in plain batch
+    mode over that file — and a PLANTED skewed batch (treatment rows
+    dropped) must trip the alpha=0.05 flag while the balanced batch
+    does not."""
+    import time as _time
+
+    from variantcalling_spark.sources import load_table
+    from variantcalling_spark.streaming.srm_monitor import (
+        batch_srm,
+        monitor_stream,
+    )
+
+    ev = load_table(spark, SF, "events").select("event_id", "user_id")
+    balanced = ev.where(F.col("event_id") % 3 == 0)
+    # planted SRM: drop ~90% of the treatment arm
+    skewed = ev.where(F.col("event_id") % 3 == 1).where(
+        (F.col("user_id") % 2 == 0) | (F.col("user_id") % 23 == 1)
+    )
+    in_dir = str(tmp_path / "srm_in")
+    balanced.coalesce(1).write.mode("append").parquet(in_dir)
+    _time.sleep(1.1)
+    skewed.coalesce(1).write.mode("append").parquet(in_dir)
+
+    expected = {batch_srm(balanced), batch_srm(skewed)}
+
+    sink: list = []
+    stream = (
+        spark.readStream.schema(balanced.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = monitor_stream(stream, sink)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert {row[1:] for row in sink} == expected
+    assert len(sink) == 2
+    assert batch_srm(balanced)[3] == 0
+    assert batch_srm(skewed)[3] == 1
+
+
+def test_streaming_heavy_changers_equals_batch(spark, tmp_path):
+    """foreachBatch heavy-changers monitor (q472's streaming face):
+    three event files arrive IN ORDER as three micro-batches; the
+    alert ledger must equal the same key_counts/top_changers chain
+    replayed in plain batch mode (first batch vs the zero baseline,
+    each later batch vs its predecessor)."""
+    import time as _time
+
+    from variantcalling_spark.sources import load_table
+    from variantcalling_spark.streaming.heavy_changers import (
+        key_counts,
+        monitor_stream,
+        top_changers,
+    )
+
+    ev = load_table(spark, SF, "events").select("event_id", "user_id")
+    chunks = [ev.where(F.col("event_id") % 3 == i) for i in range(3)]
+    in_dir = str(tmp_path / "hc_in")
+    for c in chunks:
+        c.coalesce(1).write.mode("append").parquet(in_dir)
+        _time.sleep(1.1)
+
+    expected = []
+    prev = None
+    for i, c in enumerate(chunks):
+        cur = key_counts(c).localCheckpoint()
+        for row in top_changers(cur, prev):
+            expected.append((i, *row))
+        prev = cur
+
+    stream = (
+        spark.readStream.schema(chunks[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q, state = monitor_stream(stream)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert state.alerts == expected
+    assert len({b for b, *_ in state.alerts}) == 3

@@ -150,6 +150,10 @@ _PRIORITY = (
     # --- New in round 9 (add new queries HERE) ---
     "q469_mutual_proximity_knn",
     "q470_hubness_correction_audit",
+    "q471_srm_stream",
+    "q472_heavy_changers_stream",
+    "q473_bootstrap_rouge_ci",
+    "q474_mp_recall_harness",
     # --- Round-8 block (never checked) ---
     "q421_multiprobe_ivf_recall",
     "q422_sieve_coverage_stream",

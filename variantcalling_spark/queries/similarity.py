@@ -5061,3 +5061,125 @@ def q470_hubness_correction_audit(spark, sf_dir):
             F.round(F.col("n_common") / F.col("n_edges"), 6).alias("edge_overlap"),
         )
     )
+
+
+_MPR_PROBES = 40
+_MPR_K = 3
+
+
+def _mp_recall_oracle_sql() -> str:
+    return f"""
+WITH {_knn_scored_cte_sql()},
+ex AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v, c.v)
+                      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+                      c.vec_id) AS INT) AS rank
+    FROM base q JOIN base c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < {_MPR_PROBES}
+  ) WHERE rank <= {_MPR_K}
+),
+raw_e AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id, CAST(ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+  ) WHERE rank <= {_MPR_K} AND vec_id < {_MPR_PROBES}
+),
+directed AS (
+  SELECT vec_id, neighbor_id, cosine,
+         CAST(RANK() OVER (PARTITION BY vec_id ORDER BY cosine) - 1 AS BIGINT) AS below,
+         CAST(COUNT(*) OVER (PARTITION BY vec_id) AS BIGINT) AS n_cand
+  FROM scored
+),
+mp AS (
+  SELECT f.vec_id, f.neighbor_id, f.cosine,
+         (CAST(f.below AS DOUBLE) / f.n_cand)
+           * (CAST(r.below AS DOUBLE) / r.n_cand) AS mp
+  FROM directed f JOIN directed r
+    ON f.vec_id = r.neighbor_id AND f.neighbor_id = r.vec_id
+),
+mp_e AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id, CAST(ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY mp DESC, cosine DESC, neighbor_id) AS INT) AS rank
+    FROM mp
+  ) WHERE rank <= {_MPR_K} AND vec_id < {_MPR_PROBES}
+),
+nex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex)
+SELECT 'raw' AS method, nex.n_exact,
+       CAST((SELECT COUNT(*) FROM ex JOIN raw_e
+             ON ex.query_id = raw_e.vec_id AND ex.cand_id = raw_e.neighbor_id)
+         AS BIGINT) AS n_hit,
+       ROUND((SELECT COUNT(*) FROM ex JOIN raw_e
+              ON ex.query_id = raw_e.vec_id AND ex.cand_id = raw_e.neighbor_id)
+             / CAST(nex.n_exact AS DOUBLE), 6) AS recall_at_k
+FROM nex
+UNION ALL
+SELECT 'mp' AS method, nex.n_exact,
+       CAST((SELECT COUNT(*) FROM ex JOIN mp_e
+             ON ex.query_id = mp_e.vec_id AND ex.cand_id = mp_e.neighbor_id)
+         AS BIGINT) AS n_hit,
+       ROUND((SELECT COUNT(*) FROM ex JOIN mp_e
+              ON ex.query_id = mp_e.vec_id AND ex.cand_id = mp_e.neighbor_id)
+             / CAST(nex.n_exact AS DOUBLE), 6) AS recall_at_k
+FROM nex
+"""
+
+
+@query("q474_mp_recall_harness", oracle=_mp_recall_oracle_sql())
+def q474_mp_recall_harness(spark, sf_dir):
+    """RECALL-vs-COST of the MUTUAL-PROXIMITY correction (the q217/q375
+    harness genre pointed at q469: hubness correction is not free — MP
+    re-ranks within the same candidate set, so any edge it rewires
+    away from the raw cosine order can leave the exact top-{_MPR_K};
+    this row PRICES that trade against the q470-measured skew/orphan
+    improvement): recall@{_MPR_K} of the raw bucketed kNN and of the
+    MP-re-ranked kNN against exact brute-force cosine top-{_MPR_K}
+    over {_MPR_PROBES} probe vectors (the q217 probe convention, which
+    keeps the exact arm {_MPR_PROBES} x n, never n^2).
+
+    SCALE.md records the two-scale readout (sf0.01 / sf0.1) next to
+    the q470 hubness numbers."""
+    from variantcalling_spark.operators.similarity import (
+        cosine_topk,
+        knn_graph,
+        mutual_proximity_knn,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").transform(managed_persist)
+    probes = emb.where(F.col("vec_id") < _MPR_PROBES)
+    ex = (
+        cosine_topk(probes, emb, k=_MPR_K)
+        .select("query_id", "cand_id")
+        .transform(managed_persist)
+    )
+    nex = ex.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+
+    def arm(edges, method):
+        g = edges.where(F.col("vec_id") < _MPR_PROBES).select(
+            "vec_id", "neighbor_id"
+        )
+        hit = ex.join(
+            g,
+            (ex.query_id == g.vec_id) & (ex.cand_id == g.neighbor_id),
+            "left_semi",
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+        return (
+            nex.crossJoin(F.broadcast(hit))
+            .select(
+                F.lit(method).alias("method"),
+                "n_exact",
+                "n_hit",
+                F.round(
+                    F.col("n_hit") / F.col("n_exact").cast("double"), 6
+                ).alias("recall_at_k"),
+            )
+        )
+
+    raw = knn_graph(emb, k=_MPR_K, prefix_bits=6)
+    mpg = mutual_proximity_knn(emb, k=_MPR_K, prefix_bits=6)
+    return arm(raw, "raw").unionByName(arm(mpg, "mp"))

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from variantcalling_spark.queries import query
 from variantcalling_spark.queries.intervals import events_points
+from variantcalling_spark.sources import load_table
 from variantcalling_spark.streaming.events import (
     dedup_events,
     session_windows,
@@ -180,3 +181,138 @@ def q120_stream_static_enrich(spark, sf_dir):
         F.col("c_mktsegment").alias("segment"),
     )
     return segment_revenue(ev, dim, "1 hour")
+
+
+# Weekly micro-batch grain for the r9 monitor replay faces: the sf0.01
+# events span 5 calendar weeks, so the replay drives 5 "micro-batches".
+_WK = "ts_ns DIV 86400000000000 DIV 7"
+
+
+@query(
+    "q471_srm_stream",
+    oracle="""
+WITH a AS (
+  SELECT (epoch_ns(ts) // 86400000000000) // 7 AS wk,
+         CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_control,
+         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_treat
+  FROM events GROUP BY 1
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY wk) - 1 AS INT) AS batch_ord,
+       n_control, n_treat,
+       ROUND(POW(n_control - (n_control + n_treat) * 0.5, 2)
+               / ((n_control + n_treat) * 0.5)
+             + POW(n_treat - (n_control + n_treat) * 0.5, 2)
+               / ((n_control + n_treat) * 0.5), 6) AS chi2,
+       CASE WHEN POW(n_control - (n_control + n_treat) * 0.5, 2)
+                   / ((n_control + n_treat) * 0.5)
+                 + POW(n_treat - (n_control + n_treat) * 0.5, 2)
+                   / ((n_control + n_treat) * 0.5) > 3.841459
+            THEN 1 ELSE 0 END AS srm_flag
+FROM a
+""",
+)
+def q471_srm_stream(spark, sf_dir):
+    """STREAMING SRM GATE, batch replay (the r8 ROADMAP lead "streaming
+    SRM monitor" — the foreachBatch face lives in
+    streaming/srm_monitor.py with a stream==batch pin; THIS is its
+    deterministic batch face: events arrive in weekly chunks, the
+    micro-batches, and each batch emits its own assignment chi-square
+    and alpha=0.05 flag). Per-batch INDEPENDENT by design — a
+    mid-experiment assignment bug fires in its own batch instead of
+    being averaged away by history (q457's per-day argument, moved to
+    ingest time).
+
+    Scale shape: per batch ONE map-side-combinable conditional
+    aggregate; the gate is a projection on two counts."""
+    from variantcalling_spark.streaming.srm_monitor import batch_srm
+
+    ev = load_table(spark, sf_dir, "events").withColumn("wk", F.expr(_WK))
+    weeks = sorted(r.wk for r in ev.select("wk").distinct().collect())
+    rows = []
+    for i, wk in enumerate(weeks):
+        nc, nt, chi2, flag = batch_srm(ev.where(F.col("wk") == wk))
+        rows.append((i, nc, nt, chi2, flag))
+    return spark.createDataFrame(
+        rows,
+        "batch_ord int, n_control bigint, n_treat bigint,"
+        " chi2 double, srm_flag int",
+    )
+
+
+@query(
+    "q472_heavy_changers_stream",
+    oracle="""
+WITH ev AS (
+  SELECT (epoch_ns(ts) // 86400000000000) // 7 AS wk,
+         CAST(user_id % 100 AS BIGINT) AS key
+  FROM events
+),
+wks AS (
+  SELECT wk, CAST(ROW_NUMBER() OVER (ORDER BY wk) - 1 AS INT) AS b
+  FROM (SELECT DISTINCT wk FROM ev)
+),
+counts AS (
+  SELECT w.b, key, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev JOIN wks w USING (wk) GROUP BY w.b, key
+),
+shifted AS (SELECT b + 1 AS b, key, n FROM counts),
+joined AS (
+  SELECT COALESCE(c.b, p.b) AS b, COALESCE(c.key, p.key) AS key,
+         CAST(COALESCE(p.n, 0) AS BIGINT) AS n_prev,
+         CAST(COALESCE(c.n, 0) AS BIGINT) AS n_cur
+  FROM counts c FULL OUTER JOIN shifted p
+    ON c.b = p.b AND c.key = p.key
+  WHERE COALESCE(c.b, p.b) <= (SELECT MAX(b) FROM counts)
+),
+scored AS (
+  SELECT b, key, n_prev, n_cur,
+         CAST(ABS(n_cur - n_prev) AS BIGINT) AS abs_change,
+         ROUND((n_cur - n_prev) / (n_prev + 1.0), 6) + 0.0 AS rel_change
+  FROM joined
+)
+SELECT CAST(b AS INT) AS batch_ord,
+       CAST(rnk AS INT) AS rnk,
+       key, n_prev, n_cur, abs_change, rel_change
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY b ORDER BY abs_change DESC, key) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+""",
+)
+def q472_heavy_changers_stream(spark, sf_dir):
+    """STREAMING HEAVY CHANGERS, batch replay (the r8 ROADMAP lead —
+    the foreachBatch face lives in streaming/heavy_changers.py with a
+    stream==batch pin; THIS is its deterministic batch face: events
+    arrive in weekly chunks and each batch emits its top-5 |delta|
+    keys vs the PREVIOUS batch's counts, the first batch against an
+    all-zero baseline). q447 answers 'what moved between the two
+    halves' offline; this is the same alert computed while the data
+    streams in, with the carried state bounded by the KEY DOMAIN (a
+    production deployment swaps exact counts for the q228 count-min
+    sketch when keys are unbounded).
+
+    Scale shape: per batch ONE combinable aggregate + a full-outer
+    join over the bounded key domain + a TakeOrdered head; state
+    lineage is truncated per batch (localCheckpoint)."""
+    from variantcalling_spark.streaming.heavy_changers import (
+        key_counts,
+        top_changers,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn("wk", F.expr(_WK))
+    weeks = sorted(r.wk for r in ev.select("wk").distinct().collect())
+    prev = None
+    rows = []
+    for i, wk in enumerate(weeks):
+        cur = key_counts(ev.where(F.col("wk") == wk)).localCheckpoint()
+        for rnk, key, n_prev, n_cur, abs_c, rel_c in top_changers(cur, prev):
+            rows.append((i, rnk, key, n_prev, n_cur, abs_c, rel_c))
+        prev = cur
+    return spark.createDataFrame(
+        rows,
+        "batch_ord int, rnk int, key bigint, n_prev bigint, n_cur bigint,"
+        " abs_change bigint, rel_change double",
+    )

@@ -6878,3 +6878,284 @@ def q468_readability(spark, sf_dir):
         .cast("bigint")
         .alias("n_hard_docs"),
     )
+
+
+def _bootstrap_rouge_oracle_sql() -> str:
+    from variantcalling_spark.operators.dedup import PORTABLE_HASH_SQL
+
+    t = _POIS_T.split(", ")
+    uu = PORTABLE_HASH_SQL.format(
+        col="CAST(pair_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)"
+    )
+    # the q423 wavefront recursive-CTE LCS, run once over BOTH arms
+    # (cell (i, j=d+1-i) = max(diag + [a_i = b_j], up, left))
+    val = """
+      CASE WHEN i = 0 OR d + 1 - i = 0 THEN CAST(0 AS INT)
+           ELSE GREATEST(
+             prev[CAST(i - GREATEST(0, d - 1 - m) AS INT)]
+               + CASE WHEN a[CAST(i AS INT)] = b[CAST(d + 1 - i AS INT)]
+                      THEN 1 ELSE 0 END,
+             cur[CAST(i - GREATEST(0, d - m) AS INT)],
+             cur[CAST(i + 1 - GREATEST(0, d - m) AS INT)])
+      END"""
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, (string_split(text, ' '))[1:{_RLT_CAP}] AS tk
+  FROM documents
+),
+cand AS (
+  SELECT ea.doc_id // 2 AS pair_id, ea.tk AS ca, eb.tk AS rw
+  FROM toks ea JOIN toks eb ON eb.doc_id = ea.doc_id + 1
+  WHERE ea.doc_id % 2 = 0
+),
+arms AS (
+  SELECT pair_id * 2 AS uid, ca AS a, rw AS b,
+         CAST(len(ca) AS INT) AS n, CAST(len(rw) AS INT) AS m
+  FROM cand
+  UNION ALL
+  SELECT pair_id * 2 + 1 AS uid,
+         list_slice(ca, 1, CAST(CEIL(len(ca) / 2.0) AS BIGINT)) AS a,
+         rw AS b,
+         CAST(len(list_slice(ca, 1, CAST(CEIL(len(ca) / 2.0) AS BIGINT))) AS INT)
+           AS n,
+         CAST(len(rw) AS INT) AS m
+  FROM cand
+),
+rec AS (
+  SELECT uid, a, b, n, m, 0 AS d,
+         [CAST(0 AS INT)] AS cur, CAST(NULL AS INT[]) AS prev
+  FROM arms
+  UNION ALL
+  SELECT uid, a, b, n, m, d + 1,
+         list_transform(generate_series(GREATEST(0, d + 1 - m), LEAST(n, d + 1)),
+                        i -> {val}) AS cur,
+         cur AS prev
+  FROM rec WHERE d < n + m
+),
+lcs AS (
+  SELECT uid, n, m, cur[1] AS l FROM rec WHERE d = n + m
+),
+fs AS (
+  SELECT uid // 2 AS pair_id, uid % 2 AS arm,
+         CASE WHEN n + m = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(ROUND(2000000000.0 * l / (n + m)) AS BIGINT) END AS f_s
+  FROM lcs
+),
+st AS MATERIALIZED (
+  SELECT fa.pair_id, fa.f_s AS fa_s, fb.f_s AS fb_s,
+         fa.f_s - fb.f_s AS d_s
+  FROM (SELECT pair_id, f_s FROM fs WHERE arm = 0) fa
+  JOIN (SELECT pair_id, f_s FROM fs WHERE arm = 1) fb USING (pair_id)
+),
+reps AS (SELECT unnest(generate_series(0, {_PBB_REPS - 1})) AS rep),
+w AS (
+  SELECT st.*, reps.rep, ({uu}) / 2147483647.0 AS uu
+  FROM st CROSS JOIN reps
+),
+wk AS (
+  SELECT *, CASE WHEN uu < {t[0]} THEN 0
+                 WHEN uu < {t[1]} THEN 1
+                 WHEN uu < {t[2]} THEN 2
+                 WHEN uu < {t[3]} THEN 3
+                 WHEN uu < {t[4]} THEN 4
+                 ELSE 5 END AS k
+  FROM w
+),
+rsum AS (
+  SELECT rep, CAST(SUM(k) AS BIGINT) AS sk,
+         CAST(SUM(k * d_s) AS BIGINT) AS sd
+  FROM wk GROUP BY rep HAVING SUM(k) > 0
+),
+deltas AS (
+  SELECT rep, sd / (CAST(sk AS DOUBLE) * 1000000000.0) AS d FROM rsum
+),
+rkd AS (
+  SELECT d, ROW_NUMBER() OVER (ORDER BY d, rep) AS rk, COUNT(*) OVER () AS nb
+  FROM deltas
+),
+pt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(fa_s) AS BIGINT) AS tfa, CAST(SUM(fb_s) AS BIGINT) AS tfb
+  FROM st
+)
+SELECT pt.n_pairs,
+       ROUND(pt.tfa / (CAST(pt.n_pairs AS DOUBLE) * 1000000000.0), 6)
+         AS rouge_a,
+       ROUND(pt.tfb / (CAST(pt.n_pairs AS DOUBLE) * 1000000000.0), 6)
+         AS rouge_b,
+       CAST((SELECT COUNT(*) FROM deltas) AS BIGINT) AS n_reps,
+       ROUND((SELECT COUNT(*) FILTER (WHERE d <= 0) FROM deltas)
+             / CAST((SELECT COUNT(*) FROM deltas) AS DOUBLE), 6)
+         AS p_b_not_worse,
+       ROUND((SELECT MAX(CASE WHEN rk = GREATEST(CAST(CEIL(0.025 * nb) AS BIGINT), 1)
+                              THEN d END) FROM rkd), 6) + 0.0 AS delta_ci_lo,
+       ROUND((SELECT MAX(CASE WHEN rk = CAST(FLOOR(0.975 * nb) AS BIGINT)
+                              THEN d END) FROM rkd), 6) + 0.0 AS delta_ci_hi
+FROM pt
+"""
+
+
+@query("q473_bootstrap_rouge_ci", oracle=_bootstrap_rouge_oracle_sql())
+def q473_bootstrap_rouge_ci(spark, sf_dir):
+    """PAIRED POISSON-BOOTSTRAP CI ON ROUGE-L (the r8 ROADMAP lead
+    "bootstrap CIs over ROUGE — the q433 machinery generalizes": q433
+    answers 'is A better than B on BLEU with significance'; this is
+    the same Koehn-style paired bootstrap on the q423 token-level
+    ROUGE-L, system A = the capped candidate, system B = its first
+    half, against the shared reference): per-pair ROUGE-L F
+    (= 2*lcs/(n+m)) is frozen to an exact integer-scaled BIGINT the
+    moment it leaves the DP, so every replicate aggregate is a
+    summation-order-independent integer sum — the q433 trick extended
+    to a metric whose per-item score is intrinsically fractional.
+
+    Scale shape: the DP is the per-pair-independent Arrow kernel run
+    over BOTH arms in ONE pass (union with composite ids, one
+    mapInPandas); replicates are (pair x {_PBB_REPS}) map-side
+    combinable partial sums — no shuffled resamples (Chamandy's
+    distributed bootstrap, paired edition)."""
+    from pyspark.sql import Window as W
+
+    from variantcalling_spark.operators.dedup import (
+        MERSENNE31,
+        portable_string_hash,
+    )
+    from variantcalling_spark.operators.kernels import lcs_lengths_tokens
+
+    t = [float(x) for x in _POIS_T.split(", ")]
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.slice(F.split("text", " "), 1, _RLT_CAP).alias("tk")
+    )
+    a = toks.where(F.col("doc_id") % 2 == 0).select(
+        F.expr("doc_id DIV 2").alias("pair_id"), F.col("tk").alias("ca")
+    )
+    b = toks.select(
+        F.expr("(doc_id - 1) DIV 2").alias("pair_id"),
+        F.col("tk").alias("rw"),
+        (F.col("doc_id") % 2).alias("par"),
+    ).where(F.col("par") == 1).drop("par")
+    cand = a.join(b, "pair_id")
+    arms = cand.select(
+        (F.col("pair_id") * 2).alias("pair_id"),
+        F.col("ca").alias("a"),
+        F.col("rw").alias("b"),
+    ).unionByName(
+        cand.select(
+            (F.col("pair_id") * 2 + 1).alias("pair_id"),
+            F.slice(
+                F.col("ca"), 1, F.ceil(F.size("ca") / 2.0).cast("int")
+            ).alias("a"),
+            F.col("rw").alias("b"),
+        )
+    )
+    lcs = lcs_lengths_tokens(arms)
+    f_s = F.when(F.col("n") + F.col("m") == 0, F.lit(0)).otherwise(
+        F.round(
+            2000000000.0 * F.col("lcs_len") / (F.col("n") + F.col("m"))
+        )
+    ).cast("bigint")
+    fs = lcs.select(
+        F.expr("pair_id DIV 2").alias("pair_id"),
+        (F.col("pair_id") % 2).alias("arm"),
+        f_s.alias("f_s"),
+    )
+    st = (
+        fs.where(F.col("arm") == 0)
+        .select("pair_id", F.col("f_s").alias("fa_s"))
+        .join(
+            fs.where(F.col("arm") == 1).select(
+                "pair_id", F.col("f_s").alias("fb_s")
+            ),
+            "pair_id",
+        )
+        .select(
+            "pair_id",
+            "fa_s",
+            "fb_s",
+            (F.col("fa_s") - F.col("fb_s")).cast("bigint").alias("d_s"),
+        )
+        .transform(managed_persist)
+    )
+    reps = spark.range(0, _PBB_REPS).select(F.col("id").alias("rep"))
+    u = st.crossJoin(F.broadcast(reps)).select(
+        "*",
+        (
+            portable_string_hash(
+                F.concat_ws(
+                    ":", F.col("pair_id").cast("string"), F.col("rep").cast("string")
+                )
+            )
+            / F.lit(float(MERSENNE31))
+        ).alias("uu"),
+    )
+    k = (
+        F.when(F.col("uu") < t[0], 0)
+        .when(F.col("uu") < t[1], 1)
+        .when(F.col("uu") < t[2], 2)
+        .when(F.col("uu") < t[3], 3)
+        .when(F.col("uu") < t[4], 4)
+        .otherwise(5)
+    ).cast("bigint")
+    rsum = (
+        u.select("rep", k.alias("k"), "d_s")
+        .groupBy("rep")
+        .agg(
+            F.sum("k").cast("bigint").alias("sk"),
+            F.sum(F.col("k") * F.col("d_s")).cast("bigint").alias("sd"),
+        )
+        .where(F.col("sk") > 0)
+    )
+    deltas = rsum.select(
+        "rep",
+        (F.col("sd") / (F.col("sk").cast("double") * 1000000000.0)).alias("d"),
+    ).transform(managed_persist)
+    rkd = deltas.select(
+        "d",
+        F.row_number().over(W.orderBy("d", "rep")).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("nb"),
+    )
+    ci = rkd.agg(
+        F.max(
+            F.when(
+                F.col("rk")
+                == F.greatest(F.ceil(0.025 * F.col("nb")).cast("bigint"), F.lit(1)),
+                F.col("d"),
+            )
+        ).alias("ci_lo"),
+        F.max(
+            F.when(
+                F.col("rk") == F.floor(0.975 * F.col("nb")).cast("bigint"),
+                F.col("d"),
+            )
+        ).alias("ci_hi"),
+    )
+    boot = deltas.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reps"),
+        F.round(
+            F.sum(F.when(F.col("d") <= 0, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("p_b_not_worse"),
+    )
+    pt = st.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("fa_s").cast("bigint").alias("tfa"),
+        F.sum("fb_s").cast("bigint").alias("tfb"),
+    )
+    return (
+        pt.crossJoin(F.broadcast(boot))
+        .crossJoin(F.broadcast(ci))
+        .select(
+            "n_pairs",
+            F.round(
+                F.col("tfa") / (F.col("n_pairs").cast("double") * 1000000000.0), 6
+            ).alias("rouge_a"),
+            F.round(
+                F.col("tfb") / (F.col("n_pairs").cast("double") * 1000000000.0), 6
+            ).alias("rouge_b"),
+            "n_reps",
+            "p_b_not_worse",
+            (F.round("ci_lo", 6) + 0.0).alias("delta_ci_lo"),
+            (F.round("ci_hi", 6) + 0.0).alias("delta_ci_hi"),
+        )
+    )
