@@ -87,6 +87,8 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     "q359_gsea_enrichment": "gene-model domain (broadcast gene panel)",
     "q433_paired_bootstrap_bleu": "bootstrap-replicate domain (aggregate over "
     "the 40-value rep range; CI rank pick over <=40 rows)",
+    "q473_bootstrap_rouge_ci": "bootstrap-replicate domain (same q433 "
+    "machinery: CI rank pick over <=40 replicate rows)",
 }
 
 _BOUNDERS = ("WindowGroupLimit", "TakeOrderedAndProject", "CollectLimit", "GlobalLimit")

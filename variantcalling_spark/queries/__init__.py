@@ -154,6 +154,9 @@ _PRIORITY = (
     "q472_heavy_changers_stream",
     "q473_bootstrap_rouge_ci",
     "q474_mp_recall_harness",
+    "q475_isotropy_correction",
+    "q476_dup_cluster_canonicalization",
+    "q477_clustering_coefficient",
     # --- Round-8 block (never checked) ---
     "q421_multiprobe_ivf_recall",
     "q422_sieve_coverage_stream",

@@ -3983,3 +3983,96 @@ def q463_dedup_threshold_sensitivity(spark, sf_dir):
         )
         out = arm if out is None else out.unionByName(arm)
     return out
+
+
+@query(
+    "q476_dup_cluster_canonicalization",
+    oracle=f"""
+WITH RECURSIVE corpus AS ({SQL_CORPUS}),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+                   for i in generate_series(1, len(string_split(text, ' ')) - 2)]) AS shingle
+    FROM corpus
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+e AS (
+  SELECT doc_a, doc_b FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE) >= 0.6
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM e
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM e
+),
+closure AS (
+  SELECT src AS node, src AS reach FROM edges
+  UNION
+  SELECT c.node, edges.dst AS reach
+  FROM closure c JOIN edges ON edges.src = c.reach
+),
+labeled AS (
+  SELECT node AS doc_id, MIN(reach) AS cluster_id FROM closure GROUP BY node
+),
+qual AS (
+  SELECT c.doc_id, CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tokens
+  FROM corpus c
+)
+SELECT l.doc_id, l.cluster_id, q.n_tokens,
+       CASE WHEN ROW_NUMBER() OVER (
+              PARTITION BY l.cluster_id
+              ORDER BY q.n_tokens DESC, l.doc_id) = 1
+            THEN 1 ELSE 0 END AS is_kept
+FROM labeled l JOIN qual q ON q.doc_id = l.doc_id
+""",
+)
+def q476_dup_cluster_canonicalization(spark, sf_dir):
+    """DUP-CLUSTER CANONICALIZATION — which copy to KEEP (the
+    production step after q98's clusters: a near-dup cluster must
+    collapse to its best member, not an arbitrary one; keeping the
+    min-id doc silently prefers whichever shard ingested first, and a
+    truncated copy can shadow the full document): per cluster, keep
+    the member with the highest quality — here token count (the
+    truncation-aware choice: the q98 corpus's near-dups ARE leading-
+    word truncations), doc_id as the deterministic tiebreak. Output
+    one row per clustered doc with its cluster id, quality, and the
+    keep/drop verdict.
+
+    Scale shape: pairs via lossless PPJoin (q65 path), components via
+    min-label propagation (shallow dup cliques), then ONE rank window
+    over cluster-bounded partitions and a join back to per-doc quality
+    — nothing beyond the q98 plan but the argmax."""
+    from variantcalling_spark.operators.dedup import connected_components
+
+    docs = corpus(spark, sf_dir).transform(managed_persist)
+    sh = shingles(docs, n=3).transform(managed_persist)
+    cands = prefix_filtered_pairs(sh, threshold=0.6)
+    pairs = jaccard_for_pairs(cands, sh).where(F.col("jaccard") >= 0.6)
+    labels = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    qual = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("cluster_id").orderBy(F.col("n_tokens").desc(), "doc_id")
+    return (
+        labels.join(qual, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "n_tokens",
+            F.when(F.row_number().over(w) == 1, 1).otherwise(0).alias("is_kept"),
+        )
+    )

@@ -5183,3 +5183,279 @@ def q474_mp_recall_harness(spark, sf_dir):
     raw = knn_graph(emb, k=_MPR_K, prefix_bits=6)
     mpg = mutual_proximity_knn(emb, k=_MPR_K, prefix_bits=6)
     return arm(raw, "raw").unionByName(arm(mpg, "mp"))
+
+
+@query(
+    "q475_isotropy_correction",
+    oracle="""
+WITH xr AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE), 7)) AS xr
+  FROM embeddings
+),
+u0 AS (
+  SELECT vec_id, list_transform(xr, e -> ROUND(e / nn, 12)) AS uv
+  FROM (
+    SELECT vec_id, xr,
+           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(xr, e -> e * e)), (a, b) -> a + b)) AS nn
+    FROM xr
+  ) WHERE nn > 0
+),
+dims0 AS (
+  SELECT d, CAST(SUM(CAST(uv[CAST(d AS INT)] AS DECIMAL(24,12))) AS DOUBLE) AS s
+  FROM u0, unnest(generate_series(1, len(uv))) AS t(d)
+  GROUP BY d
+),
+tot0 AS (
+  SELECT CAST(SUM(CAST(ROUND(s * s, 10) AS DECIMAL(28,10))) AS DOUBLE) AS ssum
+  FROM dims0
+),
+cnt0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u0),
+mu AS (
+  SELECT list(ROUND(CAST(s AS DOUBLE) / n, 12) ORDER BY d) AS m
+  FROM (
+    SELECT d, SUM(CAST(xr[CAST(d AS INT)] AS DECIMAL(20,7))) AS s,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM xr, unnest(generate_series(1, len(xr))) AS t(d)
+    GROUP BY d
+  )
+),
+cent AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, len(xr)),
+                        i -> xr[CAST(i AS INT)] - mu.m[CAST(i AS INT)]) AS c
+  FROM xr CROSS JOIN mu
+),
+u1 AS (
+  SELECT vec_id, list_transform(c, e -> ROUND(e / nn, 12)) AS uv
+  FROM (
+    SELECT vec_id, c,
+           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(c, e -> e * e)), (a, b) -> a + b)) AS nn
+    FROM cent
+  ) WHERE nn > 0
+),
+dims1 AS (
+  SELECT d, CAST(SUM(CAST(uv[CAST(d AS INT)] AS DECIMAL(24,12))) AS DOUBLE) AS s
+  FROM u1, unnest(generate_series(1, len(uv))) AS t(d)
+  GROUP BY d
+),
+tot1 AS (
+  SELECT CAST(SUM(CAST(ROUND(s * s, 10) AS DECIMAL(28,10))) AS DOUBLE) AS ssum
+  FROM dims1
+),
+cnt1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u1)
+SELECT cnt0.n AS n_before, cnt1.n AS n_after,
+       ROUND((tot0.ssum - cnt0.n)
+             / (CAST(cnt0.n AS DOUBLE) * (cnt0.n - 1)), 8) + 0.0
+         AS mpc_before,
+       ROUND((tot1.ssum - cnt1.n)
+             / (CAST(cnt1.n AS DOUBLE) * (cnt1.n - 1)), 8) + 0.0
+         AS mpc_after
+FROM cnt0 CROSS JOIN tot0 CROSS JOIN cnt1 CROSS JOIN tot1
+""",
+)
+def q475_isotropy_correction(spark, sf_dir):
+    """ALL-BUT-THE-MEAN ISOTROPY CORRECTION (Mu & Viswanath 2018's
+    'all-but-the-top', mean-removal stage — the operator the q235
+    isotropy audit motivates, the same measured-pathology -> operator
+    -> re-measure pipeline as q466 -> q469 -> q470: an anisotropic
+    embedding space shares a common direction that inflates EVERY
+    cosine, poisoning near-dup thresholds and SemDeDup; subtracting
+    the corpus mean vector removes that direction): mean pairwise
+    cosine BEFORE vs AFTER centering, both computed without any pair
+    table via the q235 identity sum cos = ||sum u||^2 - n.
+
+    Honest readout on the driver corpus (measured, q421-style): the
+    synthetic embeddings are near-random, so mpc_before is already
+    ~1.3e-5 — no anisotropy to remove — and mpc_after lands at the
+    THEORETICAL fixed point for mean-centered vectors, -1/(n-1)
+    (-5.0e-4 at n=2000), which is exactly what certifies the operator:
+    on a real anisotropic corpus (reported mean cosines 0.2-0.9 for
+    contextual embedding models) the same two numbers bracket the
+    correction's effect.
+
+    Scale shape: the mean vector is ONE per-dimension DECIMAL sum (64
+    groups on any corpus) broadcast back as a 64-element array; the
+    centering is a zip_with projection; both audits are the q235
+    scan-speed aggregate — the whole correction is two scans and two
+    64-row combines at 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xr = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> ROUND(CAST(x AS DOUBLE), 7))").alias(
+            "xr"
+        ),
+    ).transform(managed_persist)
+
+    def audit(frame, vec_col):
+        nrm = frame.select(
+            F.col(vec_col).alias("v"),
+            F.sqrt(
+                F.expr(
+                    f"aggregate(transform({vec_col}, e -> e * e),"
+                    " cast(0.0 as double), (a, b) -> a + b)"
+                )
+            ).alias("nn"),
+        )
+        u = nrm.where(F.col("nn") > 0).select(
+            F.expr("transform(v, e -> ROUND(e / nn, 12))").alias("uv")
+        ).transform(managed_persist)
+        dims = (
+            u.select(F.posexplode("uv").alias("d0", "val"))
+            .groupBy("d0")
+            .agg(
+                F.sum(F.col("val").cast("decimal(24,12)"))
+                .cast("double")
+                .alias("s")
+            )
+        )
+        tot = dims.agg(
+            F.sum(F.round(F.col("s") * F.col("s"), 10).cast("decimal(28,10)"))
+            .cast("double")
+            .alias("ssum")
+        )
+        cnt = u.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        return cnt.crossJoin(F.broadcast(tot)).select(
+            "n",
+            (
+                F.round(
+                    (F.col("ssum") - F.col("n"))
+                    / (F.col("n").cast("double") * (F.col("n") - 1)),
+                    8,
+                )
+                + 0.0
+            ).alias("mpc"),
+        )
+
+    mu = (
+        xr.select(F.posexplode("xr").alias("d0", "val"))
+        .groupBy("d0")
+        .agg(
+            F.sum(F.col("val").cast("decimal(20,7)")).alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .select(
+            "d0",
+            F.round(F.col("s").cast("double") / F.col("n"), 12).alias("mu"),
+        )
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(d0, mu))),"
+                " s -> s.mu)"
+            ).alias("m")
+        )
+    )
+    cent = xr.crossJoin(F.broadcast(mu)).select(
+        "vec_id",
+        F.expr("zip_with(xr, m, (a, b) -> a - b)").alias("c"),
+    )
+    before = audit(xr, "xr")
+    after = audit(cent, "c")
+    return (
+        before.withColumnRenamed("n", "n_before")
+        .withColumnRenamed("mpc", "mpc_before")
+        .crossJoin(
+            F.broadcast(
+                after.withColumnRenamed("n", "n_after").withColumnRenamed(
+                    "mpc", "mpc_after"
+                )
+            )
+        )
+        .select("n_before", "n_after", "mpc_before", "mpc_after")
+    )
+
+
+@query(
+    "q477_clustering_coefficient",
+    oracle=f"""
+WITH {_knn_edges_cte_sql()},
+und AS (
+  SELECT LEAST(vec_id, neighbor_id) AS a,
+         GREATEST(vec_id, neighbor_id) AS b
+  FROM e GROUP BY 1, 2
+),
+sym AS (
+  SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und
+),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+wedges AS (
+  SELECT s1.u AS center, s1.v AS x, s2.v AS y
+  FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+),
+tri AS (
+  SELECT w.center AS node, CAST(COUNT(*) AS BIGINT) AS triangles
+  FROM wedges w JOIN und ON und.a = w.x AND und.b = w.y
+  GROUP BY w.center
+)
+SELECT d.node, d.deg,
+       CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+       ROUND(2.0 * COALESCE(t.triangles, 0) / (d.deg * (d.deg - 1)), 6)
+         AS local_cc
+FROM deg d LEFT JOIN tri t ON t.node = d.node
+WHERE d.deg >= 2
+""",
+)
+def q477_clustering_coefficient(spark, sf_dir):
+    """LOCAL CLUSTERING COEFFICIENT per node of the kNN graph (q173
+    counts the graph's triangles; this asks WHOSE neighborhoods close
+    — the per-node transitivity that separates tight duplicate-like
+    cliques, cc ~ 1, from hub-and-spoke stars, cc ~ 0; with q466/q470
+    it completes the local-structure audit of the similarity graph):
+    cc(v) = 2 * triangles(v) / (deg(v) * (deg(v) - 1)) over the
+    symmetrized edge set, nodes with deg >= 2.
+
+    Scale shape: wedges are an equi-join of the symmetrized edge list
+    on the center (sum deg^2, k-bounded on a kNN graph); closure is
+    ONE equi-join of wedges against the undirected edge table — the
+    standard distributed triangle plan, never touching vectors."""
+    from variantcalling_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = knn_graph(emb, k=3, prefix_bits=6).select("vec_id", "neighbor_id")
+    und = (
+        e.select(
+            F.least("vec_id", "neighbor_id").alias("a"),
+            F.greatest("vec_id", "neighbor_id").alias("b"),
+        )
+        .distinct()
+        .transform(managed_persist)
+    )
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    wedges = s1.join(
+        s2,
+        (F.col("s1.u") == F.col("s2.u")) & (F.col("s1.v") < F.col("s2.v")),
+    ).select(
+        F.col("s1.u").alias("center"),
+        F.col("s1.v").alias("x"),
+        F.col("s2.v").alias("y"),
+    )
+    tri = (
+        wedges.join(
+            und, (und.a == F.col("x")) & (und.b == F.col("y"))
+        )
+        .groupBy(F.col("center").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+    )
+    return (
+        deg.join(tri, "node", "left")
+        .where(F.col("deg") >= 2)
+        .select(
+            "node",
+            "deg",
+            F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles"),
+            F.round(
+                2.0
+                * F.coalesce("triangles", F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+                6,
+            ).alias("local_cc"),
+        )
+    )
