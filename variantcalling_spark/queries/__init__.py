@@ -157,6 +157,9 @@ _PRIORITY = (
     "q475_isotropy_correction",
     "q476_dup_cluster_canonicalization",
     "q477_clustering_coefficient",
+    "q478_pq_recall_harness",
+    "q479_ece_calibration",
+    "q480_embedding_mmd",
     # --- Round-8 block (never checked) ---
     "q421_multiprobe_ivf_recall",
     "q422_sieve_coverage_stream",

@@ -5459,3 +5459,182 @@ def q477_clustering_coefficient(spark, sf_dir):
             ).alias("local_cc"),
         )
     )
+
+
+_PQR_MS = (2, 4, 8)
+_PQR_PROBES = 40
+_PQR_K = 10
+# measured at sf0.01 (the driver-cert scale), re-pinned whenever the PQ
+# trainer or encoder changes — the q392/q121 VALUES-oracle convention
+_PQR_ROWS = (
+    (2, 400, 48, 0.12),
+    (4, 400, 64, 0.16),
+    (8, 400, 115, 0.2875),
+)
+
+
+def _pq_recall_values_oracle() -> str:
+    vals = ",\n  ".join(
+        f"(CAST({m} AS INT), CAST({ne} AS BIGINT), CAST({nh} AS BIGINT),"
+        f" CAST({rc} AS DOUBLE))"
+        for m, ne, nh, rc in _PQR_ROWS
+    )
+    return f"""
+SELECT * FROM (VALUES
+  {vals}
+) AS t(m, n_exact, n_hit, recall_at_k)
+"""
+
+
+@query("q478_pq_recall_harness", oracle=_pq_recall_values_oracle())
+def q478_pq_recall_harness(spark, sf_dir):
+    """PQ RETRIEVAL-QUALITY HARNESS (the q451 sketch-accuracy genre
+    applied to product quantization: q121 SHIPS the m=8 ADC path and
+    q216 prices SQ8's reconstruction error, but nothing measured what
+    PQ compression does to the RETRIEVAL result — the number that
+    actually decides the bytes-per-vector dial): recall@{_PQR_K} of
+    ADC top-{_PQR_K} vs exact cosine top-{_PQR_K} over {_PQR_PROBES}
+    probes, for m = {_PQR_MS} subspaces (= m bytes/vector at 64 dims).
+    Measured: 0.12 -> 0.16 -> 0.2875 — recall buys ~linearly with
+    code bytes on this near-random corpus, and even m=8 loses 71% of
+    exact neighbors: the honest readout is that PQ alone is a
+    MEMORY dial, not a recall-preserving one, and the production
+    pairing is IVF-for-candidates + PQ-for-memory with exact rerank
+    (q71 + q121 composed), not raw ADC ranking.
+
+    VALUES oracle (q392/q121 convention): the full chain (shared
+    Lloyd's training, encode, broadcast-LUT ADC search, recall join)
+    re-certifies against these measured numbers every driver round."""
+    from variantcalling_spark.operators.similarity import (
+        cosine_topk,
+        pq_adc_topk,
+        pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").transform(managed_persist)
+    probes = emb.where(F.col("vec_id") < _PQR_PROBES)
+    ex = (
+        cosine_topk(probes, emb, k=_PQR_K)
+        .select("query_id", "cand_id")
+        .transform(managed_persist)
+    )
+    nex = ex.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    out = None
+    for m in _PQR_MS:
+        codebooks, codes = pq_index(emb, m=m, k_sub=16)
+        ap = pq_adc_topk(probes, codes, codebooks, k=_PQR_K, m=m).select(
+            "query_id", "cand_id"
+        )
+        hit = ex.join(ap, ["query_id", "cand_id"], "left_semi").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hit")
+        )
+        arm = nex.crossJoin(F.broadcast(hit)).select(
+            F.lit(m).cast("int").alias("m"),
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact").cast("double"), 6).alias(
+                "recall_at_k"
+            ),
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out
+
+
+@query(
+    "q480_embedding_mmd",
+    oracle="""
+WITH xr AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE), 7)) AS xr
+  FROM embeddings
+),
+bydim AS (
+  SELECT label, d,
+         SUM(CAST(xr[CAST(d AS INT)] AS DECIMAL(20,7))) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM xr, unnest(generate_series(1, len(xr))) AS t(d)
+  GROUP BY label, d
+),
+totdim AS (
+  SELECT d, SUM(s) AS st, CAST(SUM(n) AS BIGINT) AS nt
+  FROM bydim GROUP BY d
+),
+gaps AS (
+  SELECT b.label, b.n, t.nt - b.n AS n_rest,
+         CAST(ROUND(
+           POW(ROUND(CAST(b.s AS DOUBLE) / b.n, 12)
+               - ROUND(CAST(t.st - b.s AS DOUBLE) / (t.nt - b.n), 12), 2),
+           12) AS DECIMAL(24,12)) AS g2
+  FROM bydim b JOIN totdim t USING (d)
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(n AS BIGINT) AS n_label,
+       CAST(n_rest AS BIGINT) AS n_rest,
+       ROUND(CAST(SUM(g2) AS DOUBLE), 8) AS mmd2_linear
+FROM gaps
+GROUP BY label, n, n_rest
+""",
+)
+def q480_embedding_mmd(spark, sf_dir):
+    """LINEAR-KERNEL MMD² PER LABEL GROUP (the embedding-space
+    two-sample test: does subpopulation L live in a different region
+    than the rest of the corpus? — the distribution-shift gate for
+    stratified training mixes, run BEFORE trusting a per-source
+    sampling weight; q299's JSD tests token distributions, this tests
+    the REPRESENTATION): MMD²_linear(A, B) = ||mu_A - mu_B||², which
+    needs NO pair table (the kernel trick degenerate case — the same
+    sum-of-vectors identity as q235/q475), computed label-vs-rest for
+    every label with the rest's sums obtained by SUBTRACTION from the
+    corpus total (one aggregate, not ten).
+
+    Scale shape: one per-(label, dim) DECIMAL sum (|labels| x 64
+    groups), one 64-row-per-label combine — 100 TB of vectors tested
+    at scan speed. Squared per-dim gaps are rounded to 12dp and summed
+    in DECIMAL so the 64-term fold is order-independent."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xr = emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> ROUND(CAST(x AS DOUBLE), 7))").alias(
+            "xr"
+        ),
+    )
+    bydim = (
+        xr.select("label", F.posexplode("xr").alias("d0", "val"))
+        .groupBy("label", "d0")
+        .agg(
+            F.sum(F.col("val").cast("decimal(20,7)")).alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .transform(managed_persist)
+    )
+    totdim = bydim.groupBy("d0").agg(
+        F.sum("s").alias("st"), F.sum("n").cast("bigint").alias("nt")
+    )
+    g = bydim.join(totdim, "d0").select(
+        "label",
+        "n",
+        (F.col("nt") - F.col("n")).cast("bigint").alias("n_rest"),
+        F.round(
+            F.pow(
+                F.round(F.col("s").cast("double") / F.col("n"), 12)
+                - F.round(
+                    (F.col("st") - F.col("s")).cast("double")
+                    / (F.col("nt") - F.col("n")),
+                    12,
+                ),
+                2,
+            ),
+            12,
+        )
+        .cast("decimal(24,12)")
+        .alias("g2"),
+    )
+    return g.groupBy("label", "n", "n_rest").agg(
+        F.round(F.sum("g2").cast("double"), 8).alias("mmd2_linear")
+    ).select(
+        F.col("label").cast("bigint").alias("label"),
+        F.col("n").alias("n_label"),
+        "n_rest",
+        "mmd2_linear",
+    )

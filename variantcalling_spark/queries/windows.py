@@ -10607,3 +10607,79 @@ def q458_mad_outlier_gate(spark, sf_dir):
             ).alias("outlier_rate"),
         )
     )
+
+
+_ECE_BINS = 10
+
+
+@query(
+    "q479_ece_calibration",
+    oracle=f"""
+WITH s AS (
+  SELECT event_id, value / 500.0 AS p,
+         CASE WHEN (event_id * {_HL_MULT}) % 500 < value THEN 1 ELSE 0 END AS y
+  FROM events
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+b AS (
+  SELECT LEAST(CAST(FLOOR(p * {_ECE_BINS}) AS BIGINT), {_ECE_BINS - 1}) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_b,
+         CAST(SUM(y) AS BIGINT) AS o_b,
+         CAST(SUM(CAST(ROUND(p, 10) AS DECIMAL(20,10))) AS DOUBLE) AS c_b
+  FROM s GROUP BY 1
+)
+SELECT bin, n_b,
+       ROUND(o_b / CAST(n_b AS DOUBLE), 6) AS acc,
+       ROUND(c_b / n_b, 6) AS conf,
+       ROUND(ABS(o_b / CAST(n_b AS DOUBLE) - c_b / n_b), 6) AS gap,
+       ROUND(n_b * ABS(o_b / CAST(n_b AS DOUBLE) - c_b / n_b) / tot.n, 6)
+         AS ece_contrib
+FROM b CROSS JOIN tot
+""",
+)
+def q479_ece_calibration(spark, sf_dir):
+    """EXPECTED CALIBRATION ERROR over fixed-width confidence bins (the
+    LLM-eval calibration staple — Guo et al. 2017's ECE is what model
+    cards report; q434's Hosmer-Lemeshow is the TEST on population
+    deciles, ECE is the METRIC on fixed [0,1) bins, and the two
+    disagree exactly when the confidence distribution is skewed into
+    few bins): per bin the accuracy, mean confidence (DECIMAL-exact),
+    the |acc - conf| gap, and the n_b/N-weighted ECE contribution
+    (summing the last column IS the ECE). Same deterministic
+    pseudo-Bernoulli outcome as q434, so a calibrated readout is the
+    expected result and any gap is binning effect, not noise.
+
+    Scale shape: ONE conditional aggregate over a <= {_ECE_BINS}-bin
+    domain — calibration of 100 TB of scores at scan speed (fixed-width
+    bins need no global rank, unlike the HL deciles)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("value") / 500.0).alias("p"),
+        F.when((F.col("event_id") * _HL_MULT) % 500 < F.col("value"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    tot = ev.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    b = ev.groupBy(
+        F.least(
+            F.floor(F.col("p") * _ECE_BINS).cast("bigint"),
+            F.lit(_ECE_BINS - 1).cast("bigint"),
+        ).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.sum("y").cast("bigint").alias("o_b"),
+        F.sum(F.round(F.col("p"), 10).cast("decimal(20,10)"))
+        .cast("double")
+        .alias("c_b"),
+    )
+    o, c, n = F.col("o_b"), F.col("c_b"), F.col("n_b")
+    acc = o / n.cast("double")
+    conf = c / n
+    return b.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_b",
+        F.round(acc, 6).alias("acc"),
+        F.round(conf, 6).alias("conf"),
+        F.round(F.abs(acc - conf), 6).alias("gap"),
+        F.round(n * F.abs(acc - conf) / F.col("n"), 6).alias("ece_contrib"),
+    )
