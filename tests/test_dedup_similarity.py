@@ -841,3 +841,51 @@ def test_mutual_proximity_deflates_hubs(spark, sf_dir):
         .collect()
     }
     assert set(zip(mp["vec_id"], mp["neighbor_id"])) <= cand
+
+
+def test_canonicalization_keeps_best_member(spark, sf_dir):
+    """q476 contract: exactly one kept doc per cluster, and the kept
+    doc maximizes (n_tokens, then min doc_id) within its cluster —
+    specifically the truncation case: a +100000 near-dup (leading word
+    stripped) must never shadow its full-length original."""
+    from variantcalling_spark.queries import all_queries
+
+    pdf = (
+        all_queries()["q476_dup_cluster_canonicalization"]
+        .fn(spark, sf_dir)
+        .toPandas()
+    )
+    assert len(pdf) > 0
+    kept = pdf[pdf.is_kept == 1]
+    assert kept.groupby("cluster_id").size().eq(1).all()
+    assert set(kept.cluster_id) == set(pdf.cluster_id)
+    for _, grp in pdf.groupby("cluster_id"):
+        best = grp.sort_values(["n_tokens", "doc_id"], ascending=[False, True]).iloc[0]
+        assert grp[grp.is_kept == 1].iloc[0].doc_id == best.doc_id
+    # truncated near-dups (+100000) lose to their originals
+    trunc_kept = kept[(kept.doc_id >= 100000) & (kept.doc_id < 200000)]
+    assert len(trunc_kept) == 0
+
+
+def test_clustering_coefficient_bounds(spark, sf_dir):
+    """q477: cc in [0, 1], triangles <= C(deg, 2), and every node has
+    deg >= 2 by the output contract."""
+    from variantcalling_spark.queries import all_queries
+
+    pdf = all_queries()["q477_clustering_coefficient"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert (pdf.deg >= 2).all()
+    assert ((pdf.local_cc >= 0) & (pdf.local_cc <= 1)).all()
+    assert (pdf.triangles <= pdf.deg * (pdf.deg - 1) // 2).all()
+
+
+def test_embedding_mmd_nonnegative_and_partitioned(spark, sf_dir):
+    """q480: MMD^2 is a squared norm (>= 0 per label), and each row's
+    n_label + n_rest equals the corpus size."""
+    from variantcalling_spark.queries import all_queries
+    from variantcalling_spark.sources import load_table
+
+    pdf = all_queries()["q480_embedding_mmd"].fn(spark, sf_dir).toPandas()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert (pdf.mmd2_linear >= 0).all()
+    assert ((pdf.n_label + pdf.n_rest) == n).all()

@@ -394,3 +394,23 @@ def test_value_at_rank_bucketed_null_for_out_of_range_rank(spark):
     assert out[5] == 5.0 and out[10] == 10.0
     assert out[11] is None and out[999] is None
     assert len(out) == 4
+
+
+def test_ece_contributions_sum_to_ece(spark):
+    """q479: the per-bin ece_contrib column is the ECE decomposition —
+    contributions are n_b-weighted gaps over N, so sum(contrib) must
+    equal sum(n_b * gap) / N within rounding, and the deterministic
+    pseudo-Bernoulli construction must come out nearly calibrated
+    (ECE < 0.05 on the driver events)."""
+    from variantcalling_spark.queries import all_queries
+
+    pdf = (
+        all_queries()["q479_ece_calibration"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .toPandas()
+    )
+    n = pdf.n_b.sum()
+    ece = pdf.ece_contrib.sum()
+    recomputed = (pdf.n_b * pdf.gap).sum() / n
+    assert abs(ece - recomputed) < 1e-4
+    assert ece < 0.05
