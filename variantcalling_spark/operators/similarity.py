@@ -1245,3 +1245,132 @@ def adaptive_knn_graph(
     return knn_graph(
         vecs, k=k, prefix_bits=adaptive_knn_bits(n), id_col=id_col, vec_col=vec_col
     )
+
+
+def ivf_pq_rerank_topk(
+    queries: DataFrame,
+    emb: DataFrame,
+    centroids_df: DataFrame,
+    assigned: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    adc_pool: int = 50,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """THE PRODUCTION ANN PAIRING: IVF cell pruning for candidates, PQ
+    asymmetric-distance for cheap in-cell ranking, EXACT cosine rerank
+    of the small ADC pool (Jegou et al.'s IVFADC + rerank — the
+    composition q478's harness readout calls for: PQ alone loses ~71%
+    of exact neighbors at m=8, but as a POOL SELECTOR feeding an exact
+    rerank its error only costs recall when the true neighbor falls
+    out of the top-``adc_pool``).
+
+    Scale shape at 10^9 vectors: centroids and the per-query LUT
+    broadcast; the codes table is scanned cell-pruned (nprobe/n_cells
+    of the corpus), ADC-scored with map-side DECIMAL partial sums, and
+    only ``adc_pool`` full float vectors per query are ever touched
+    (the rerank join is |queries| x adc_pool rows against the vector
+    store — the only stage that reads floats)."""
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    q_cells = (
+        qv.crossJoin(F.broadcast(centroids_df))
+        .select(
+            "query_id",
+            "centroid_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("dist2"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy("dist2", "centroid_id")
+            ),
+        )
+        .where(F.col("rk") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    cand = (
+        assigned.select(F.col(id_col).alias("cand_id"), "centroid_id")
+        .join(F.broadcast(q_cells), "centroid_id")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+    )
+    # per-query ADC over the cell-pruned candidates only
+    d_header = queries.select(vec_col).head()[0]
+    sub = len(d_header) // m
+    qparts = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(
+            F.array(
+                *[F.slice(_unit(F.col(vec_col)), j * sub + 1, sub) for j in range(m)]
+            )
+        ).alias("subspace", "qpart"),
+    )
+    lut = qparts.join(F.broadcast(codebooks), "subspace").select(
+        "query_id",
+        "subspace",
+        "code",
+        F.aggregate(
+            F.zip_with(
+                F.col("qpart"), F.col("centroid"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        .cast("decimal(24,12)")
+        .alias("pd2"),
+    )
+    expanded = cand.join(
+        codes.select(
+            F.col(id_col).alias("cand_id"),
+            F.posexplode("codes").alias("subspace", "code"),
+        ),
+        "cand_id",
+    )
+    pool = (
+        expanded.join(F.broadcast(lut), ["query_id", "subspace", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("pd2").cast("double").alias("adc_dist2"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy("adc_dist2", "cand_id")
+            ),
+        )
+        .where(F.col("rk") <= adc_pool)
+        .select("query_id", "cand_id")
+    )
+    # exact rerank: the ONLY stage that touches full float vectors
+    qq = queries.select(
+        F.col(id_col).alias("query_id"), _quantize(F.col(vec_col)).alias("xq")
+    )
+    cc = emb.select(
+        F.col(id_col).alias("cand_id"), _quantize(F.col(vec_col)).alias("xc")
+    )
+    scored = (
+        pool.join(F.broadcast(qq), "query_id")
+        .join(cc, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            _cosine_arrow()(F.col("xq"), F.col("xc")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )

@@ -160,6 +160,7 @@ _PRIORITY = (
     "q478_pq_recall_harness",
     "q479_ece_calibration",
     "q480_embedding_mmd",
+    "q481_ivf_pq_rerank",
     # --- Round-8 block (never checked) ---
     "q421_multiprobe_ivf_recall",
     "q422_sieve_coverage_stream",
