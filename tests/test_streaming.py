@@ -924,3 +924,67 @@ def test_streaming_heavy_changers_equals_batch(spark, tmp_path):
         q.stop()
     assert state.alerts == expected
     assert len({b for b, *_ in state.alerts}) == 3
+
+
+def test_streaming_semantic_ingest_equals_batch(spark, tmp_path):
+    """Semantic dedup-at-ingest (q482's streaming face): an embedding
+    STREAM maps through the stateless hyperplane-band signature and
+    probes the static corpus index with a stream-static join — and
+    must emit exactly the batch path's verified pairs. Planted
+    structure: +200000 exact copies MUST match their sources (cosine
+    ~1), +300000 negated vectors must match NOTHING."""
+    from pyspark.sql import functions as F2
+
+    from variantcalling_spark.operators.similarity import _quantize
+    from variantcalling_spark.sources import load_table
+    from variantcalling_spark.streaming.semantic_ingest import (
+        build_semantic_index,
+        streaming_semantic_probe,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.select("vec_id", _quantize(F2.col("embedding")).alias("v"))
+    new = (
+        q.where(F2.col("vec_id") % 20 == 0)
+        .select((F2.col("vec_id") + 200000).alias("vec_id"), "v")
+        .unionByName(
+            q.where(F2.col("vec_id") % 7 == 0).select(
+                (F2.col("vec_id") + 300000).alias("vec_id"),
+                F2.transform("v", lambda x: -x).alias("v"),
+            )
+        )
+    )
+    new_dir = str(tmp_path / "vec_incoming")
+    new.coalesce(2).write.mode("overwrite").parquet(new_dir)
+    index = build_semantic_index(q).persist()
+
+    batch = {
+        (r.vec_new, r.vec_old)
+        for r in streaming_semantic_probe(
+            spark.read.parquet(new_dir), index
+        ).collect()
+    }
+    assert batch, "exact copies must match their sources"
+    assert all(v < 300000 for v, _ in batch), "negated vectors match nothing"
+    copies = {v for v, _ in batch if v >= 200000}
+    assert copies == {
+        r.vec_id for r in new.where(F2.col("vec_id") < 300000).collect()
+    }
+
+    stream = spark.readStream.schema(new.schema).parquet(new_dir)
+    sq = (
+        streaming_semantic_probe(stream, index)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("semantic_ingest")
+        .start()
+    )
+    try:
+        sq.processAllAvailable()
+        got = {
+            (r.vec_new, r.vec_old)
+            for r in spark.sql("SELECT * FROM semantic_ingest").collect()
+        }
+    finally:
+        sq.stop()
+    assert got == batch

@@ -464,6 +464,82 @@ def cosine_near_dup_pairs(
     )
 
 
+def semantic_band_index(
+    vecs: DataFrame,
+    n_planes: int = 32,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Hyperplane-band signature INDEX over quantized vectors:
+    (vec_id, v, norm, slices) — the stored artifact under
+    ``banded_near_dup_pairs`` (self-join face) and
+    ``semantic_band_probe_between`` (incremental-ingest face). At
+    corpus build this relation is written to parquet once (signatures
+    + the vector for verify); each ingested batch then probes it
+    without re-touching the corpus."""
+    return vecs.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(
+            _dot(F.col(vec_col), F.col(vec_col)).cast("double")
+        ).alias("norm"),
+        _band_slices_arrow(n_planes, n_bands)(F.col(vec_col)).alias("slices"),
+    )
+
+
+def semantic_band_probe_between(
+    new_sig: DataFrame, old_sig: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """Asymmetric semantic near-dup probe: a NEW batch's signatures
+    against a stored corpus index (both from ``semantic_band_index``)
+    — the q122 incremental-ingest shape on the COSINE metric. Each
+    (new, old) candidate is emitted from its first colliding band only
+    (the carried-slice-array filter of ``banded_near_dup_pairs``), then
+    exact-cosine verified. Cost per ingest: O(|batch| + collisions);
+    the corpus vectors are only read through the stored index.
+    Returns (vec_new, vec_old, cosine). New x new pairs are out of
+    scope (run the self-join face on the batch for those)."""
+    n = new_sig.select(
+        F.col("vec_id").alias("vec_new"),
+        F.col("v").alias("vn"),
+        F.col("norm").alias("norm_n"),
+        F.col("slices").alias("slices_n"),
+        F.posexplode("slices").alias("band", "slice"),
+    ).alias("n")
+    o = old_sig.select(
+        F.col("vec_id").alias("vec_old"),
+        F.col("v").alias("vo"),
+        F.col("norm").alias("norm_o"),
+        F.col("slices").alias("slices_o"),
+        F.posexplode("slices").alias("band", "slice"),
+    ).alias("o")
+    first_collision = F.forall(
+        F.zip_with(
+            F.slice(F.col("n.slices_n"), 1, F.col("n.band")),
+            F.slice(F.col("o.slices_o"), 1, F.col("o.band")),
+            lambda x, y: x != y,
+        ),
+        lambda differs: differs,
+    )
+    return (
+        n.join(
+            o,
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.slice") == F.col("o.slice")),
+        )
+        .where(first_collision)
+        .select(
+            "vec_new",
+            "vec_old",
+            _cosine_prenorm_arrow()(
+                F.col("n.vn"), F.col("o.vo"), F.col("n.norm_n"), F.col("o.norm_o")
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def banded_near_dup_pairs(
     vecs: DataFrame,
     threshold: float = 0.9,
@@ -493,13 +569,8 @@ def banded_near_dup_pairs(
     # the persist each side re-runs the Arrow signature UDF over the
     # whole corpus (no ReusedExchange across a broadcast/shuffle split) —
     # one corpus-sized cache, half the signature compute, at any scale.
-    sig = vecs.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("v"),
-        F.sqrt(
-            _dot(F.col(vec_col), F.col(vec_col)).cast("double")
-        ).alias("norm"),
-        _band_slices_arrow(n_planes, n_bands)(F.col(vec_col)).alias("slices"),
+    sig = semantic_band_index(
+        vecs, n_planes=n_planes, n_bands=n_bands, id_col=id_col, vec_col=vec_col
     ).transform(managed_persist)
     bands = sig.select(
         "vec_id",

@@ -161,6 +161,7 @@ _PRIORITY = (
     "q479_ece_calibration",
     "q480_embedding_mmd",
     "q481_ivf_pq_rerank",
+    "q482_semantic_ingest_dedup",
     # --- Round-8 block (never checked) ---
     "q421_multiprobe_ivf_recall",
     "q422_sieve_coverage_stream",

@@ -5735,3 +5735,121 @@ def q481_ivf_pq_rerank(spark, sf_dir):
         )
         out = arm if out is None else out.unionByName(arm)
     return out
+
+
+def _semantic_ingest_oracle_sql(
+    n_planes: int = 32, n_bands: int = 4, dim: int = 64
+) -> str:
+    from variantcalling_spark.operators.similarity import _plane_signs
+
+    signs = _plane_signs(n_planes, dim)
+    bits_per_band = n_planes // n_bands
+
+    def plane_vec(p):
+        return "[" + ",".join(f"{signs[d][p]:.1f}" for d in range(dim)) + "]"
+
+    sums = ",\n         ".join(
+        f"list_dot_product(vd, {plane_vec(p)}) AS s{p}" for p in range(n_planes)
+    )
+
+    def bucket_expr(b):
+        return " + ".join(
+            f"(CASE WHEN s{b * bits_per_band + j} > 0 THEN {2**j} ELSE 0 END)"
+            for j in range(bits_per_band)
+        )
+
+    def bands_sql(src):
+        return "\n  UNION ALL\n".join(
+            f"  SELECT vec_id, v, {b} AS band, {bucket_expr(b)} AS bucket"
+            f" FROM {src}"
+            for b in range(n_bands)
+        )
+
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+oldc AS (SELECT vec_id, qv AS v FROM q),
+newb AS (
+  SELECT vec_id + 200000 AS vec_id, qv AS v FROM q WHERE vec_id % 20 = 0
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         [qv[i] * (10 + (vec_id + i - 1) % 7 - 3)
+          for i in generate_series(1, len(qv))] AS v
+  FROM q WHERE vec_id % 10 = 0
+  UNION ALL
+  SELECT vec_id + 300000 AS vec_id,
+         list_transform(qv, x -> -x) AS v
+  FROM q WHERE vec_id % 7 = 0
+),
+old_sig AS (
+  SELECT vec_id, v, {sums}
+  FROM (SELECT vec_id, v, list_transform(v, x -> CAST(x AS DOUBLE)) AS vd FROM oldc)
+),
+new_sig AS (
+  SELECT vec_id, v, {sums}
+  FROM (SELECT vec_id, v, list_transform(v, x -> CAST(x AS DOUBLE)) AS vd FROM newb)
+),
+old_bands AS (
+{bands_sql("old_sig")}
+),
+new_bands AS (
+{bands_sql("new_sig")}
+),
+scored AS (
+  SELECT n.vec_id AS vec_new, o.vec_id AS vec_old,
+         list_dot_product(n.v, o.v)
+           / (sqrt(list_dot_product(n.v, n.v)) * sqrt(list_dot_product(o.v, o.v))) AS cosine
+  FROM new_bands n JOIN old_bands o
+    ON n.band = o.band AND n.bucket = o.bucket
+)
+SELECT DISTINCT vec_new, vec_old, cosine FROM scored WHERE cosine >= 0.9
+"""
+
+
+@query("q482_semantic_ingest_dedup", oracle=_semantic_ingest_oracle_sql())
+def q482_semantic_ingest_dedup(spark, sf_dir):
+    """SEMANTIC DEDUP AT INGEST, batch replay (the embedding twin of
+    q122: text gets incremental MinHash dedup AND a streaming face
+    (streaming/ingest_dedup.py), embeddings had only the batch
+    self-join — this closes the matrix; the foreachBatch face lives in
+    streaming/semantic_ingest.py with a stream==batch pin): a NEW
+    ingest batch — exact copies of every 20th vector, integer rescales
+    of every 10th (cosine ~0.97), and NEGATED copies of every 7th
+    (cosine -1: genuinely new, must match nothing) — probes the stored
+    hyperplane-band index of the OLD corpus, first-colliding-band
+    candidates only, exact-cosine verify >= 0.9.
+
+    Scale shape: the corpus is touched ONCE at index build; each
+    ingest batch costs one Arrow signature matmul + an equi-join on
+    (band, bucket) + |collisions| exact cosines — O(|batch| +
+    collisions) per ingest at any corpus size."""
+    from variantcalling_spark.streaming.semantic_ingest import (
+        build_semantic_index,
+        streaming_semantic_probe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", _quantize(F.col("embedding")).alias("v"))
+    exact = q.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"), "v"
+    )
+    near = (
+        q.where(F.col("vec_id") % 10 == 0)
+        .select(
+            "vec_id",
+            F.transform(
+                "v", lambda x, i: x * (10 + (F.col("vec_id") + i) % 7 - 3)
+            ).alias("v"),
+        )
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "v")
+    )
+    novel = q.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 300000).alias("vec_id"),
+        F.transform("v", lambda x: -x).alias("v"),
+    )
+    new_batch = exact.unionByName(near).unionByName(novel)
+    index = build_semantic_index(q).transform(managed_persist)
+    return streaming_semantic_probe(new_batch, index, threshold=0.9)
