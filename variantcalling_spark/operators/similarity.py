@@ -1445,3 +1445,124 @@ def ivf_pq_rerank_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+def nn_descent_refine(
+    vecs: DataFrame,
+    k: int = 3,
+    prefix_bits: int = 6,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """NN-DESCENT refinement of the bucketed kNN graph (Dong et al.,
+    WWW 2011: "a neighbor of a neighbor is likely a neighbor"): start
+    from ``knn_graph``'s in-bucket top-k, then for each iteration score
+    the EXACT cosine of every neighbor-of-neighbor candidate over the
+    undirected neighborhood and re-rank to top-k. This is the recall
+    dial the single-bucket graph lacks — bucket boundaries are the only
+    reason an in-bucket graph misses true neighbors, and NN-descent
+    crosses them by graph expansion instead of by widening buckets
+    (which would grow every bucket's quadratic term).
+
+    Scale shape: the candidate relation is one self-join of the
+    undirected edge list on the shared endpoint — Sigma_v deg(v)^2
+    pairs where deg(v) <= k + in-degree(v), so candidate volume is
+    k^2-bounded per node except at hubs (q466 measured the in-degree
+    skew; feeding this operator the q469 mutual-proximity graph caps
+    exactly that term). Scoring joins candidates to ONE persisted
+    quantized-vector relation on each side; every cosine is the same
+    integer-dot/prenormed-double expression as the base graph, so the
+    refined graph stays engine-exact and fully value-oracle-checkable.
+
+    Reference parity: the reference has no ANN-graph surface; this
+    extends the LLM-pipeline similarity family (SURVEY.md LLM ops).
+    """
+    bucket = _band_slices_arrow(prefix_bits, 1)
+    base = vecs.select(
+        F.col(id_col).alias("vec_id"), _quantize(F.col(vec_col)).alias("v")
+    ).select(
+        "vec_id",
+        "v",
+        F.element_at(bucket(F.col("v")), 1).alias("bucket"),
+        F.sqrt(_dot(F.col("v"), F.col("v")).cast("double")).alias("norm"),
+    ).transform(managed_persist)
+
+    a, c = base.alias("a"), base.alias("c")
+    scored = a.join(
+        c,
+        (F.col("a.bucket") == F.col("c.bucket"))
+        & (F.col("a.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        _cosine_prenorm_arrow()(
+            F.col("a.v"), F.col("c.v"), F.col("a.norm"), F.col("c.norm")
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
+    g = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine")
+        .transform(managed_persist)
+    )
+
+    q_side = base.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    c_side = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    for _ in range(iterations):
+        und = (
+            g.select("vec_id", "neighbor_id")
+            .unionByName(
+                g.select(
+                    F.col("neighbor_id").alias("vec_id"),
+                    F.col("vec_id").alias("neighbor_id"),
+                )
+            )
+            .distinct()
+            .transform(managed_persist)
+        )
+        u1, u2 = und.alias("u1"), und.alias("u2")
+        cand = (
+            u1.join(u2, F.col("u1.neighbor_id") == F.col("u2.vec_id"))
+            .where(F.col("u1.vec_id") != F.col("u2.neighbor_id"))
+            .select(
+                F.col("u1.vec_id").alias("vec_id"),
+                F.col("u2.neighbor_id").alias("neighbor_id"),
+            )
+            .distinct()
+        )
+        cand_scored = (
+            cand.join(q_side, "vec_id")
+            .join(c_side, "neighbor_id")
+            .select(
+                "vec_id",
+                "neighbor_id",
+                _cosine_prenorm_arrow()(
+                    F.col("qv"), F.col("cv"), F.col("qnorm"), F.col("cnorm")
+                ).alias("cosine"),
+            )
+        )
+        # an edge can arrive from both the current graph and the
+        # candidate join with the identical deterministic cosine;
+        # max-groupby is the engine-safe distinct over doubles
+        g = (
+            g.unionByName(cand_scored)
+            .groupBy("vec_id", "neighbor_id")
+            .agg(F.max("cosine").alias("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("vec_id", "neighbor_id", "cosine")
+            .transform(managed_persist)
+        )
+    return g.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select("vec_id", "neighbor_id", "cosine", "rank")

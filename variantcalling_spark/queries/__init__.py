@@ -162,6 +162,9 @@ _PRIORITY = (
     "q480_embedding_mmd",
     "q481_ivf_pq_rerank",
     "q482_semantic_ingest_dedup",
+    "q483_nn_descent_graph",
+    "q484_nnd_recall_harness",
+    "q485_rendezvous_sharding",
     # --- Round-8 block (never checked) ---
     "q421_multiprobe_ivf_recall",
     "q422_sieve_coverage_stream",

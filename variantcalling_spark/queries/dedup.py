@@ -4076,3 +4076,65 @@ def q476_dup_cluster_canonicalization(spark, sf_dir):
             F.when(F.row_number().over(w) == 1, 1).otherwise(0).alias("is_kept"),
         )
     )
+
+
+def _rendezvous_oracle_sql(n_old: int = 32, n_new: int = 48) -> str:
+    from variantcalling_spark.operators.dedup import PORTABLE_HASH_SQL
+
+    h = PORTABLE_HASH_SQL.format(
+        col="concat(CAST(doc_id AS VARCHAR), ':', CAST(s AS VARCHAR))"
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, {n_new - 1}), s -> {h}) AS wt
+  FROM documents
+),
+a AS (
+  SELECT doc_id,
+         CAST(list_position(wt[1:{n_old}], list_aggregate(wt[1:{n_old}], 'max')) - 1 AS INT) AS shard_old,
+         CAST(list_position(wt, list_aggregate(wt, 'max')) - 1 AS INT) AS shard_new
+  FROM w
+),
+core AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(CASE WHEN shard_old <> shard_new THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+         CAST(SUM(CASE WHEN shard_old <> shard_new AND shard_new < {n_old} THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_to_surviving,
+         ROUND(SUM(CASE WHEN shard_old <> shard_new THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS moved_frac
+  FROM a
+),
+oe AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS old_load_max, CAST(MIN(n) AS BIGINT) AS old_load_min
+  FROM (SELECT COUNT(*) AS n FROM a GROUP BY shard_old)
+),
+ne AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS new_load_max, CAST(MIN(n) AS BIGINT) AS new_load_min
+  FROM (SELECT COUNT(*) AS n FROM a GROUP BY shard_new)
+)
+SELECT * FROM core, oe, ne
+"""
+
+
+@query("q485_rendezvous_sharding", oracle=_rendezvous_oracle_sql())
+def q485_rendezvous_sharding(spark, sf_dir):
+    """RENDEZVOUS (HRW) SHARD REBALANCE AUDIT (Thaler & Ravishankar
+    1998 — the consistent-placement primitive under shard-local dedup
+    indexes, bucketed sinks, and cache affinity): grow the ring 32 ->
+    48 shards and measure, in-data, the two guarantees the scheme is
+    chosen for — (1) only ~(48-32)/48 = 1/3 of keys move, and (2) NO
+    key moves between two SURVIVING shards (n_moved_to_surviving must
+    be 0: a new shard can steal a key, old shards never trade), plus
+    the old/new per-shard load extremes as balance evidence.
+
+    Scale shape: assignment is one scan-local array expression per row
+    (48 md5 folds, JVM codegen, zero shuffle, no lookup table — the
+    100 TB property: placement is computable anywhere without
+    coordination); the audit adds one 48-key-bounded groupBy. Both
+    rings share one weight array per key (old ring = argmax of the
+    first 32 slots), and the portable md5 hash makes every count
+    engine-exact."""
+    from variantcalling_spark.operators.sharding import shard_movement_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_movement_audit(docs, "doc_id", n_old=32, n_new=48)

@@ -5853,3 +5853,182 @@ def q482_semantic_ingest_dedup(spark, sf_dir):
     new_batch = exact.unionByName(near).unionByName(novel)
     index = build_semantic_index(q).transform(managed_persist)
     return streaming_semantic_probe(new_batch, index, threshold=0.9)
+
+
+def _nnd_iter_cte_sql(i: int, k: int = 3) -> str:
+    """One NN-descent iteration as SQL CTEs: g{i-1} -> g{i} (undirected
+    expansion, exact rescoring against the quantized relation ``bk``,
+    max-groupby dedup, top-k re-rank) — the literal twin of one loop
+    body in ``nn_descent_refine``."""
+    p = i - 1
+    return f"""
+und{i} AS (
+  SELECT vec_id, neighbor_id FROM g{p}
+  UNION
+  SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM g{p}
+),
+cand{i} AS (
+  SELECT DISTINCT u1.vec_id AS vec_id, u2.neighbor_id AS neighbor_id
+  FROM und{i} u1 JOIN und{i} u2 ON u1.neighbor_id = u2.vec_id
+  WHERE u1.vec_id <> u2.neighbor_id
+),
+sc{i} AS (
+  SELECT cd.vec_id, cd.neighbor_id,
+         list_dot_product(q.v, c.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+  FROM cand{i} cd JOIN bk q ON q.vec_id = cd.vec_id
+                  JOIN bk c ON c.vec_id = cd.neighbor_id
+),
+g{i} AS (
+  SELECT vec_id, neighbor_id, cosine FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM (
+      SELECT vec_id, neighbor_id, MAX(cosine) AS cosine FROM (
+        SELECT * FROM g{p} UNION ALL SELECT * FROM sc{i}
+      ) GROUP BY vec_id, neighbor_id
+    )
+  ) WHERE rank <= {k}
+)"""
+
+
+def _nnd_graph_oracle_sql(k: int = 3, iterations: int = 1) -> str:
+    iters = ",".join(_nnd_iter_cte_sql(i, k) for i in range(1, iterations + 1))
+    return f"""
+WITH {_knn_scored_cte_sql()},
+g0 AS (
+  SELECT vec_id, neighbor_id, cosine FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+  ) WHERE rank <= {k}
+),{iters}
+SELECT vec_id, neighbor_id, cosine, rank FROM (
+  SELECT vec_id, neighbor_id, cosine, CAST(ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM g{iterations}
+) WHERE rank <= {k}
+"""
+
+
+@query("q483_nn_descent_graph", oracle=_nnd_graph_oracle_sql())
+def q483_nn_descent_graph(spark, sf_dir):
+    """NN-DESCENT kNN-GRAPH REFINEMENT (Dong et al. 2011 — "a neighbor
+    of a neighbor is likely a neighbor"): one exact-rescored
+    neighbor-of-neighbor expansion over q132's bucketed top-3 graph.
+    The bucket dial (q146) bounds COST but caps RECALL at the bucket
+    boundary; NN-descent is the recall dial that crosses buckets by
+    graph expansion instead of bucket widening, so the quadratic
+    in-bucket term never grows. q484 grades what the iteration buys.
+
+    Scale shape: candidates = one self-join of the undirected edge
+    list on the shared endpoint (Sigma deg^2, k-bounded except at
+    hubs — q466/q469 are the hub dial); rescoring joins candidates to
+    ONE persisted quantized relation per side; cosines are the same
+    integer-dot expression as the base graph -> engine-exact, full
+    value oracle."""
+    from variantcalling_spark.operators.similarity import nn_descent_refine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return nn_descent_refine(emb, k=3, prefix_bits=6, iterations=1)
+
+
+_NND_PROBES = 40
+_NND_K = 3
+
+
+def _nnd_recall_oracle_sql() -> str:
+    iters = ",".join(_nnd_iter_cte_sql(i, _NND_K) for i in (1, 2))
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT '{label}' AS method, nex.n_exact,
+       CAST((SELECT COUNT(*) FROM ex JOIN g{i} g
+             ON ex.query_id = g.vec_id AND ex.cand_id = g.neighbor_id
+             WHERE g.vec_id < {_NND_PROBES}) AS BIGINT) AS n_hit,
+       ROUND((SELECT COUNT(*) FROM ex JOIN g{i} g
+              ON ex.query_id = g.vec_id AND ex.cand_id = g.neighbor_id
+              WHERE g.vec_id < {_NND_PROBES})
+             / CAST(nex.n_exact AS DOUBLE), 6) AS recall_at_k
+FROM nex"""
+        for i, label in ((0, "bucketed"), (1, "nnd_iter1"), (2, "nnd_iter2"))
+    )
+    return f"""
+WITH {_knn_scored_cte_sql()},
+g0 AS (
+  SELECT vec_id, neighbor_id, cosine FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+  ) WHERE rank <= {_NND_K}
+),{iters},
+ex AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v, c.v)
+                      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+                      c.vec_id) AS INT) AS rank
+    FROM base q JOIN base c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < {_NND_PROBES}
+  ) WHERE rank <= {_NND_K}
+),
+nex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex)
+{arms}
+"""
+
+
+@query("q484_nnd_recall_harness", oracle=_nnd_recall_oracle_sql())
+def q484_nnd_recall_harness(spark, sf_dir):
+    """NN-DESCENT CONVERGENCE HARNESS (the q474/q217 recall genre
+    pointed at q483): recall@{_NND_K} against exact brute-force cosine
+    top-{_NND_K} over {_NND_PROBES} probe vectors for three arms — the
+    bucketed graph, one NN-descent iteration, two iterations. The
+    readout is the convergence curve the NN-descent paper promises
+    (most of the recall gap closes in the first iteration or two),
+    measured on THIS corpus so the iteration dial is set by evidence,
+    not the paper's datasets. SCALE.md records the two-scale numbers.
+
+    Scale shape: the exact arm is probes x n (never n^2, the q217
+    convention); each NN-descent arm shares the iteration plan shape
+    graded in q483."""
+    from variantcalling_spark.operators.similarity import (
+        cosine_topk,
+        knn_graph,
+        nn_descent_refine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").transform(managed_persist)
+    probes = emb.where(F.col("vec_id") < _NND_PROBES)
+    ex = (
+        cosine_topk(probes, emb, k=_NND_K)
+        .select("query_id", "cand_id")
+        .transform(managed_persist)
+    )
+    nex = ex.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+
+    def arm(edges, method):
+        g = edges.where(F.col("vec_id") < _NND_PROBES).select(
+            "vec_id", "neighbor_id"
+        )
+        hit = ex.join(
+            g,
+            (ex.query_id == g.vec_id) & (ex.cand_id == g.neighbor_id),
+            "left_semi",
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+        return nex.crossJoin(F.broadcast(hit)).select(
+            F.lit(method).alias("method"),
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact").cast("double"), 6).alias(
+                "recall_at_k"
+            ),
+        )
+
+    g0 = knn_graph(emb, k=_NND_K, prefix_bits=6)
+    g1 = nn_descent_refine(emb, k=_NND_K, prefix_bits=6, iterations=1)
+    g2 = nn_descent_refine(emb, k=_NND_K, prefix_bits=6, iterations=2)
+    return (
+        arm(g0, "bucketed")
+        .unionByName(arm(g1, "nnd_iter1"))
+        .unionByName(arm(g2, "nnd_iter2"))
+    )
