@@ -893,15 +893,15 @@ def test_embedding_mmd_nonnegative_and_partitioned(spark, sf_dir):
 
 def test_nn_descent_monotone_improvement(spark, sf_dir):
     """q483's operator contract, executed: (a) <=k edges per vector
-    with dense 1..k ranks; (b) NN-descent never makes any vector's
-    neighborhood WORSE — per-vector summed cosine of the refined top-k
-    is >= the bucketed graph's (the candidate union contains the
-    current edges, so the re-ranked top-k dominates pointwise); (c) on
-    a corpus with planted cross-bucket structure the refinement
-    strictly improves at least one vector."""
+    with dense 1..k ranks; (b) the multiband init dominates the
+    single-band graph pointwise, and each NN-descent iteration never
+    makes any vector's neighborhood WORSE — per-vector summed cosine
+    is monotone (the candidate union contains the current edges, so
+    the re-ranked top-k dominates); (c) the r9 no-op discovery stays
+    pinned: single-band init (init_bands=1) is a FIXED POINT of the
+    iteration — its neighbor-of-neighbor closure is bucket-local, so
+    one iteration must change nothing."""
     import pandas as pd
-
-    from pyspark.sql import functions as F
 
     from variantcalling_spark.operators.similarity import (
         knn_graph,
@@ -910,23 +910,31 @@ def test_nn_descent_monotone_improvement(spark, sf_dir):
     from variantcalling_spark.sources import load_table
 
     emb = load_table(spark, sf_dir, "embeddings").cache()
-    g0 = knn_graph(emb, k=3, prefix_bits=6).toPandas()
-    g1 = nn_descent_refine(emb, k=3, prefix_bits=6, iterations=1).toPandas()
+    g0 = nn_descent_refine(emb, k=3, iterations=0).toPandas()
+    g1 = nn_descent_refine(emb, k=3, iterations=1).toPandas()
 
     per = g1.groupby("vec_id")
     assert per.size().max() <= 3
     assert (per["rank"].max() == per.size()).all()  # dense ranks
 
-    s0 = g0.groupby("vec_id")["cosine"].sum()
-    s1 = g1.groupby("vec_id")["cosine"].sum()
-    joined = pd.concat([s0.rename("a"), s1.rename("b")], axis=1).dropna()
-    assert (joined["b"] >= joined["a"] - 1e-12).all()
+    def dominates(a: pd.DataFrame, b: pd.DataFrame):
+        sa = a.groupby("vec_id")["cosine"].sum()
+        sb = b.groupby("vec_id")["cosine"].sum()
+        j = pd.concat([sa.rename("a"), sb.rename("b")], axis=1).fillna(-1e9)
+        assert (j["b"] >= j["a"] - 1e-12).all()
 
-    # two iterations dominate one the same way
-    g2 = nn_descent_refine(emb, k=3, prefix_bits=6, iterations=2).toPandas()
-    s2 = g2.groupby("vec_id")["cosine"].sum()
-    j2 = pd.concat([s1.rename("a"), s2.rename("b")], axis=1).dropna()
-    assert (j2["b"] >= j2["a"] - 1e-12).all()
+    sb = knn_graph(emb, k=3, prefix_bits=6).toPandas()
+    dominates(sb, g0)  # 2-band init sees a superset of band-0 pairs
+    dominates(g0, g1)
+    g2 = nn_descent_refine(emb, k=3, iterations=2).toPandas()
+    dominates(g1, g2)
+
+    # (c) single-band fixed point: iteration cannot leave the bucket
+    f0 = nn_descent_refine(emb, k=3, init_bands=1, iterations=0).toPandas()
+    f1 = nn_descent_refine(emb, k=3, init_bands=1, iterations=1).toPandas()
+    e0 = set(zip(f0["vec_id"], f0["neighbor_id"]))
+    e1 = set(zip(f1["vec_id"], f1["neighbor_id"]))
+    assert e0 == e1
 
 
 def test_rendezvous_sharding_invariants(spark, sf_dir):

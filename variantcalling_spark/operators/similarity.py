@@ -1450,74 +1450,101 @@ def ivf_pq_rerank_topk(
 def nn_descent_refine(
     vecs: DataFrame,
     k: int = 3,
-    prefix_bits: int = 6,
+    band_bits: int = 6,
+    init_bands: int = 2,
     iterations: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """NN-DESCENT refinement of the bucketed kNN graph (Dong et al.,
-    WWW 2011: "a neighbor of a neighbor is likely a neighbor"): start
-    from ``knn_graph``'s in-bucket top-k, then for each iteration score
-    the EXACT cosine of every neighbor-of-neighbor candidate over the
-    undirected neighborhood and re-rank to top-k. This is the recall
-    dial the single-bucket graph lacks — bucket boundaries are the only
-    reason an in-bucket graph misses true neighbors, and NN-descent
-    crosses them by graph expansion instead of by widening buckets
-    (which would grow every bucket's quadratic term).
+    """NN-DESCENT kNN-graph refinement (Dong et al., WWW 2011: "a
+    neighbor of a neighbor is likely a neighbor") with a MULTI-BAND
+    initialization: the starting graph is each vector's top-k over the
+    union of ``init_bands`` independent ``band_bits``-bit hyperplane
+    bucketings, then every iteration scores the EXACT cosine of each
+    neighbor-of-neighbor candidate over the undirected neighborhood
+    and re-ranks to top-k.
 
-    Scale shape: the candidate relation is one self-join of the
-    undirected edge list on the shared endpoint — Sigma_v deg(v)^2
-    pairs where deg(v) <= k + in-degree(v), so candidate volume is
-    k^2-bounded per node except at hubs (q466 measured the in-degree
-    skew; feeding this operator the q469 mutual-proximity graph caps
-    exactly that term). Scoring joins candidates to ONE persisted
-    quantized-vector relation on each side; every cosine is the same
-    integer-dot/prenormed-double expression as the base graph, so the
-    refined graph stays engine-exact and fully value-oracle-checkable.
+    Why multi-band init is load-bearing (measured, r9): a SINGLE-band
+    top-k graph is bucket-local, and the neighbor-of-neighbor closure
+    of a bucket-local graph never leaves the bucket — expansion
+    candidates are exactly the in-bucket pairs the initial scoring
+    already ranked, so iterations are a provable no-op. With >=2
+    independent bucketings the expansion genuinely mixes: u's band-A
+    neighbor v can contribute ITS band-B neighbor w, a pair no single
+    band ever co-bucketed. On the sf0.1 corpus one iteration rewires
+    ~10% of edges strictly upward (621/6000), a second ~3.6% —
+    converging as the paper predicts.
+
+    Scale shape: initialization is ``init_bands`` equi-joins on
+    (band_ix, key) over ONE persisted quantized relation (the
+    multiband ANN cost model, Sigma bucket^2 per band); each iteration
+    is one self-join of the undirected edge list on the shared
+    endpoint (Sigma deg^2 candidates, k-bounded except at hubs —
+    q466/q469 are the hub dial) plus one scoring join per side.
+    Every cosine is the same integer-dot/prenormed-double expression
+    on both engines, so the refined graph is fully value-checkable.
 
     Reference parity: the reference has no ANN-graph surface; this
     extends the LLM-pipeline similarity family (SURVEY.md LLM ops).
     """
-    bucket = _band_slices_arrow(prefix_bits, 1)
+    sl = _band_slices_arrow(band_bits * init_bands, init_bands)
     base = vecs.select(
         F.col(id_col).alias("vec_id"), _quantize(F.col(vec_col)).alias("v")
     ).select(
         "vec_id",
         "v",
-        F.element_at(bucket(F.col("v")), 1).alias("bucket"),
         F.sqrt(_dot(F.col("v"), F.col("v")).cast("double")).alias("norm"),
+        sl(F.col("v")).alias("keys"),
     ).transform(managed_persist)
 
-    a, c = base.alias("a"), base.alias("c")
-    scored = a.join(
-        c,
-        (F.col("a.bucket") == F.col("c.bucket"))
-        & (F.col("a.vec_id") != F.col("c.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_id"),
-        F.col("c.vec_id").alias("neighbor_id"),
-        _cosine_prenorm_arrow()(
-            F.col("a.v"), F.col("c.v"), F.col("a.norm"), F.col("c.norm")
-        ).alias("cosine"),
-    )
-    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
-    g = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", "cosine")
-        .transform(managed_persist)
+    banded = base.select("vec_id", F.posexplode("keys").alias("band_ix", "key"))
+    p1, p2 = banded.alias("p1"), banded.alias("p2")
+    pairs = (
+        p1.join(
+            p2,
+            (F.col("p1.band_ix") == F.col("p2.band_ix"))
+            & (F.col("p1.key") == F.col("p2.key")),
+        )
+        .where(F.col("p1.vec_id") != F.col("p2.vec_id"))
+        .select(
+            F.col("p1.vec_id").alias("vec_id"),
+            F.col("p2.vec_id").alias("neighbor_id"),
+        )
+        .distinct()
     )
 
     q_side = base.select(
-        F.col("vec_id").alias("vec_id"),
-        F.col("v").alias("qv"),
-        F.col("norm").alias("qnorm"),
+        "vec_id", F.col("v").alias("qv"), F.col("norm").alias("qnorm")
     )
     c_side = base.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("v").alias("cv"),
         F.col("norm").alias("cnorm"),
     )
+
+    def score(cand: DataFrame) -> DataFrame:
+        return (
+            cand.join(q_side, "vec_id")
+            .join(c_side, "neighbor_id")
+            .select(
+                "vec_id",
+                "neighbor_id",
+                _cosine_prenorm_arrow()(
+                    F.col("qv"), F.col("cv"), F.col("qnorm"), F.col("cnorm")
+                ).alias("cosine"),
+            )
+        )
+
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
+
+    def topk(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("vec_id", "neighbor_id", "cosine")
+        )
+
+    g = topk(score(pairs)).transform(managed_persist)
     for _ in range(iterations):
         und = (
             g.select("vec_id", "neighbor_id")
@@ -1540,29 +1567,16 @@ def nn_descent_refine(
             )
             .distinct()
         )
-        cand_scored = (
-            cand.join(q_side, "vec_id")
-            .join(c_side, "neighbor_id")
-            .select(
-                "vec_id",
-                "neighbor_id",
-                _cosine_prenorm_arrow()(
-                    F.col("qv"), F.col("cv"), F.col("qnorm"), F.col("cnorm")
-                ).alias("cosine"),
-            )
-        )
         # an edge can arrive from both the current graph and the
         # candidate join with the identical deterministic cosine;
         # max-groupby is the engine-safe distinct over doubles
         g = (
-            g.unionByName(cand_scored)
+            g.unionByName(score(cand))
             .groupBy("vec_id", "neighbor_id")
             .agg(F.max("cosine").alias("cosine"))
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("vec_id", "neighbor_id", "cosine")
+            .transform(topk)
             .transform(managed_persist)
         )
-    return g.withColumn(
-        "rank", F.row_number().over(w).cast("int")
-    ).select("vec_id", "neighbor_id", "cosine", "rank")
+    return g.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "vec_id", "neighbor_id", "cosine", "rank"
+    )

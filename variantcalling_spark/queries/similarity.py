@@ -5855,6 +5855,81 @@ def q482_semantic_ingest_dedup(spark, sf_dir):
     return streaming_semantic_probe(new_batch, index, threshold=0.9)
 
 
+_NND_BITS = 6
+_NND_BANDS = 2
+
+
+def _nnd_base_cte_sql(
+    band_bits: int = _NND_BITS,
+    n_bands: int = _NND_BANDS,
+    dim: int = 64,
+    k: int = 3,
+) -> str:
+    """WITH-fragment for the NN-descent family: quantized relation
+    ``bk(vec_id, v)``, the ``n_bands`` independent ``band_bits``-bit
+    hyperplane bucketings ``banded(vec_id, band_ix, key)`` (band 0 is
+    bit-identical to q132's single-band bucket — the plane matrix is
+    position-independent), the multiband candidate union ``prs``, and
+    the initial top-k graph ``g0`` — the SQL twin of
+    ``nn_descent_refine``'s initialization."""
+    from variantcalling_spark.operators.similarity import _plane_signs
+
+    n_planes = band_bits * n_bands
+    signs = _plane_signs(n_planes, dim)
+
+    def plane_vec(p):
+        return "[" + ",".join(f"{signs[d][p]:.1f}" for d in range(dim)) + "]"
+
+    sums = ",\n         ".join(
+        f"list_dot_product(vd, {plane_vec(p)}) AS s{p}" for p in range(n_planes)
+    )
+
+    def key_expr(b):
+        return " + ".join(
+            f"(CASE WHEN s{b * band_bits + r} > 0 THEN {2**r} ELSE 0 END)"
+            for r in range(band_bits)
+        )
+
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {b} AS band_ix, {key_expr(b)} AS key FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+),
+sig AS (
+  SELECT vec_id,
+         {sums}
+  FROM (SELECT vec_id, list_transform(v, x -> CAST(x AS DOUBLE)) AS vd FROM base)
+),
+bk AS (SELECT vec_id, v FROM base),
+banded AS (
+  {band_rows}
+),
+prs AS (
+  SELECT DISTINCT p1.vec_id AS vec_id, p2.vec_id AS neighbor_id
+  FROM banded p1 JOIN banded p2
+    ON p1.band_ix = p2.band_ix AND p1.key = p2.key
+  WHERE p1.vec_id <> p2.vec_id
+),
+sc0 AS (
+  SELECT prs.vec_id, prs.neighbor_id,
+         list_dot_product(q.v, c.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+  FROM prs JOIN bk q ON q.vec_id = prs.vec_id
+           JOIN bk c ON c.vec_id = prs.neighbor_id
+),
+g0 AS (
+  SELECT vec_id, neighbor_id, cosine FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM sc0
+  ) WHERE rank <= {k}
+)"""
+
+
 def _nnd_iter_cte_sql(i: int, k: int = 3) -> str:
     """One NN-descent iteration as SQL CTEs: g{i-1} -> g{i} (undirected
     expansion, exact rescoring against the quantized relation ``bk``,
@@ -5895,14 +5970,7 @@ g{i} AS (
 def _nnd_graph_oracle_sql(k: int = 3, iterations: int = 1) -> str:
     iters = ",".join(_nnd_iter_cte_sql(i, k) for i in range(1, iterations + 1))
     return f"""
-WITH {_knn_scored_cte_sql()},
-g0 AS (
-  SELECT vec_id, neighbor_id, cosine FROM (
-    SELECT *, CAST(ROW_NUMBER() OVER (
-      PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-    FROM scored
-  ) WHERE rank <= {k}
-),{iters}
+WITH {_nnd_base_cte_sql(k=k)},{iters}
 SELECT vec_id, neighbor_id, cosine, rank FROM (
   SELECT vec_id, neighbor_id, cosine, CAST(ROW_NUMBER() OVER (
     PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
@@ -5915,22 +5983,26 @@ SELECT vec_id, neighbor_id, cosine, rank FROM (
 def q483_nn_descent_graph(spark, sf_dir):
     """NN-DESCENT kNN-GRAPH REFINEMENT (Dong et al. 2011 — "a neighbor
     of a neighbor is likely a neighbor"): one exact-rescored
-    neighbor-of-neighbor expansion over q132's bucketed top-3 graph.
-    The bucket dial (q146) bounds COST but caps RECALL at the bucket
-    boundary; NN-descent is the recall dial that crosses buckets by
-    graph expansion instead of bucket widening, so the quadratic
-    in-bucket term never grows. q484 grades what the iteration buys.
+    neighbor-of-neighbor expansion over a TWO-BAND initialization
+    graph. The single-band graph (q132) is bucket-LOCAL, and r9
+    measured the consequence: its neighbor-of-neighbor closure never
+    leaves the bucket, so NN-descent over it is a provable no-op (0
+    edges rewired at any bit width). With two independent bucketings
+    the expansion genuinely mixes bands — u's band-A neighbor
+    contributes its band-B neighbor, a pair no single band ever
+    co-bucketed — and one iteration rewires ~10% of edges strictly
+    upward on sf0.1 (q484 grades the trade).
 
-    Scale shape: candidates = one self-join of the undirected edge
-    list on the shared endpoint (Sigma deg^2, k-bounded except at
-    hubs — q466/q469 are the hub dial); rescoring joins candidates to
-    ONE persisted quantized relation per side; cosines are the same
-    integer-dot expression as the base graph -> engine-exact, full
-    value oracle."""
+    Scale shape: init = 2 equi-joins on (band_ix, key) over one
+    persisted quantized relation; the iteration = one self-join of the
+    undirected edge list (Sigma deg^2 candidates, k-bounded except at
+    hubs) + scoring joins. Engine-exact cosines -> full value oracle."""
     from variantcalling_spark.operators.similarity import nn_descent_refine
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return nn_descent_refine(emb, k=3, prefix_bits=6, iterations=1)
+    return nn_descent_refine(
+        emb, k=3, band_bits=_NND_BITS, init_bands=_NND_BANDS, iterations=1
+    )
 
 
 _NND_PROBES = 40
@@ -5939,27 +6011,43 @@ _NND_K = 3
 
 def _nnd_recall_oracle_sql() -> str:
     iters = ",".join(_nnd_iter_cte_sql(i, _NND_K) for i in (1, 2))
-    arms = "\nUNION ALL\n".join(
-        f"""SELECT '{label}' AS method, nex.n_exact,
-       CAST((SELECT COUNT(*) FROM ex JOIN g{i} g
+    arm_rows = []
+    for g_name, label in (
+        ("sb", "a_single_band"),
+        ("g0", "b_mb_init"),
+        ("g1", "c_nnd_iter1"),
+        ("g2", "d_nnd_iter2"),
+    ):
+        arm_rows.append(f"""SELECT '{label}' AS method, nex.n_exact,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ex JOIN {g_name} g
              ON ex.query_id = g.vec_id AND ex.cand_id = g.neighbor_id
-             WHERE g.vec_id < {_NND_PROBES}) AS BIGINT) AS n_hit,
-       ROUND((SELECT COUNT(*) FROM ex JOIN g{i} g
+             WHERE g.vec_id < {_NND_PROBES}) AS n_hit,
+       ROUND((SELECT COUNT(*) FROM ex JOIN {g_name} g
               ON ex.query_id = g.vec_id AND ex.cand_id = g.neighbor_id
               WHERE g.vec_id < {_NND_PROBES})
-             / CAST(nex.n_exact AS DOUBLE), 6) AS recall_at_k
-FROM nex"""
-        for i, label in ((0, "bucketed"), (1, "nnd_iter1"), (2, "nnd_iter2"))
-    )
+             / CAST(nex.n_exact AS DOUBLE), 6) AS recall_at_k,
+       (SELECT ROUND(CAST(SUM(CAST(ROUND(cosine, 9) AS DECIMAL(24,12))) AS DOUBLE)
+                     / COUNT(*), 6) FROM {g_name}) AS mean_graph_cosine
+FROM nex""")
+    arms = "\nUNION ALL\n".join(arm_rows)
     return f"""
-WITH {_knn_scored_cte_sql()},
-g0 AS (
+WITH {_nnd_base_cte_sql(k=_NND_K)},{iters},
+sb AS (
   SELECT vec_id, neighbor_id, cosine FROM (
     SELECT *, CAST(ROW_NUMBER() OVER (
       PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-    FROM scored
+    FROM (
+      SELECT p1.vec_id AS vec_id, p2.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+      FROM banded p1 JOIN banded p2
+        ON p1.band_ix = 0 AND p2.band_ix = 0 AND p1.key = p2.key
+       AND p1.vec_id <> p2.vec_id
+      JOIN bk q ON q.vec_id = p1.vec_id
+      JOIN bk c ON c.vec_id = p2.vec_id
+    )
   ) WHERE rank <= {_NND_K}
-),{iters},
+),
 ex AS (
   SELECT query_id, cand_id FROM (
     SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
@@ -5968,7 +6056,7 @@ ex AS (
              ORDER BY list_dot_product(q.v, c.v)
                       / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
                       c.vec_id) AS INT) AS rank
-    FROM base q JOIN base c ON q.vec_id <> c.vec_id
+    FROM bk q JOIN bk c ON q.vec_id <> c.vec_id
     WHERE q.vec_id < {_NND_PROBES}
   ) WHERE rank <= {_NND_K}
 ),
@@ -5979,18 +6067,23 @@ nex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex)
 
 @query("q484_nnd_recall_harness", oracle=_nnd_recall_oracle_sql())
 def q484_nnd_recall_harness(spark, sf_dir):
-    """NN-DESCENT CONVERGENCE HARNESS (the q474/q217 recall genre
-    pointed at q483): recall@{_NND_K} against exact brute-force cosine
-    top-{_NND_K} over {_NND_PROBES} probe vectors for three arms — the
-    bucketed graph, one NN-descent iteration, two iterations. The
-    readout is the convergence curve the NN-descent paper promises
-    (most of the recall gap closes in the first iteration or two),
-    measured on THIS corpus so the iteration dial is set by evidence,
-    not the paper's datasets. SCALE.md records the two-scale numbers.
+    """NN-DESCENT GRADING HARNESS (the q474/q217 recall genre pointed
+    at q483), four arms: single-band graph, two-band init, +1 and +2
+    NN-descent iterations. Two readouts per arm — recall@{_NND_K}
+    against exact brute force over {_NND_PROBES} probes, and the
+    DECIMAL-exact mean cosine of the FULL graph (the objective
+    NN-descent monotonically improves). The r9 measurement this row
+    pins: multiband init buys real recall (+3/120 at sf0.1); the
+    iterations then improve the graph objective (~10% of edges rewired
+    strictly upward) while exact-recall@3 stays flat on this
+    near-isotropic corpus — exactly Dong et al.'s high-intrinsic-
+    dimension caveat, measured rather than assumed. On clustered
+    corpora the same iterations close recall gaps; the harness reports
+    whichever is true of YOUR corpus.
 
-    Scale shape: the exact arm is probes x n (never n^2, the q217
-    convention); each NN-descent arm shares the iteration plan shape
-    graded in q483."""
+    Scale shape: the exact arm is probes x n (the q217 convention);
+    every graph arm shares q483's plan shape; the mean-cosine audit is
+    one DECIMAL fold per graph."""
     from variantcalling_spark.operators.similarity import (
         cosine_topk,
         knn_graph,
@@ -6007,6 +6100,7 @@ def q484_nnd_recall_harness(spark, sf_dir):
     nex = ex.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
 
     def arm(edges, method):
+        edges = edges.transform(managed_persist)
         g = edges.where(F.col("vec_id") < _NND_PROBES).select(
             "vec_id", "neighbor_id"
         )
@@ -6015,20 +6109,42 @@ def q484_nnd_recall_harness(spark, sf_dir):
             (ex.query_id == g.vec_id) & (ex.cand_id == g.neighbor_id),
             "left_semi",
         ).agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
-        return nex.crossJoin(F.broadcast(hit)).select(
-            F.lit(method).alias("method"),
-            "n_exact",
-            "n_hit",
-            F.round(F.col("n_hit") / F.col("n_exact").cast("double"), 6).alias(
-                "recall_at_k"
-            ),
+        mean_cos = edges.agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("cosine"), 9).cast("decimal(24,12)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_graph_cosine")
+        )
+        return (
+            nex.crossJoin(F.broadcast(hit))
+            .crossJoin(F.broadcast(mean_cos))
+            .select(
+                F.lit(method).alias("method"),
+                "n_exact",
+                "n_hit",
+                F.round(
+                    F.col("n_hit") / F.col("n_exact").cast("double"), 6
+                ).alias("recall_at_k"),
+                "mean_graph_cosine",
+            )
         )
 
-    g0 = knn_graph(emb, k=_NND_K, prefix_bits=6)
-    g1 = nn_descent_refine(emb, k=_NND_K, prefix_bits=6, iterations=1)
-    g2 = nn_descent_refine(emb, k=_NND_K, prefix_bits=6, iterations=2)
+    sb = knn_graph(emb, k=_NND_K, prefix_bits=_NND_BITS)
+    g0 = nn_descent_refine(
+        emb, k=_NND_K, band_bits=_NND_BITS, init_bands=_NND_BANDS, iterations=0
+    )
+    g1 = nn_descent_refine(
+        emb, k=_NND_K, band_bits=_NND_BITS, init_bands=_NND_BANDS, iterations=1
+    )
+    g2 = nn_descent_refine(
+        emb, k=_NND_K, band_bits=_NND_BITS, init_bands=_NND_BANDS, iterations=2
+    )
     return (
-        arm(g0, "bucketed")
-        .unionByName(arm(g1, "nnd_iter1"))
-        .unionByName(arm(g2, "nnd_iter2"))
+        arm(sb, "a_single_band")
+        .unionByName(arm(g0, "b_mb_init"))
+        .unionByName(arm(g1, "c_nnd_iter1"))
+        .unionByName(arm(g2, "d_nnd_iter2"))
     )
