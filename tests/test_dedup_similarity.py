@@ -969,3 +969,45 @@ def test_rendezvous_sharding_invariants(spark, sf_dir):
 
     same = shard_movement_audit(docs, "doc_id", n_old=12, n_new=12).head()
     assert same.n_moved == 0
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The two properties winnowing is chosen for, executed:
+    (a) GUARANTEE — two documents sharing a run of >= w+n-1 = 6 words
+    share at least one selected fingerprint, wherever the run sits;
+    (b) DENSITY — on long random-ish text the selected fraction of
+    positions is near the theoretical 2/(w+1) = 0.4;
+    (c) every document with at least one shingle gets >= 1 fingerprint
+    (the short-doc first-window branch)."""
+    from pyspark.sql import functions as F
+
+    from variantcalling_spark.operators.dedup import (
+        positional_shingles,
+        winnowing_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 shared words
+    rows = [
+        (1, "one two three " + shared + " four five six seven"),
+        (2, shared + " eight nine ten eleven twelve thirteen"),
+        (3, "only two"),  # shorter than n: no shingles, no fingerprints
+        (4, "just three words"),  # exactly one shingle -> 1 fingerprint
+    ]
+    # a long deterministic pseudo-random doc for the density check
+    words = [f"w{(i * 2654435761) % 997}" for i in range(4000)]
+    rows.append((5, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    fp = winnowing_fingerprints(docs, n=3, w=4).cache()
+    byid = {r.doc_id: r.n for r in fp.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+
+    h1 = {r.h for r in fp.where(F.col("doc_id") == 1).collect()}
+    h2 = {r.h for r in fp.where(F.col("doc_id") == 2).collect()}
+    assert h1 & h2, "shared 6-word run must produce a shared fingerprint"
+
+    assert 3 not in byid
+    assert byid.get(4) == 1
+
+    n_pos = positional_shingles(docs, n=3).where(F.col("doc_id") == 5).count()
+    density = byid[5] / n_pos
+    assert 0.3 < density < 0.5, density  # theory: 2/(w+1) = 0.4

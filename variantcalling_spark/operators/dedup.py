@@ -1002,3 +1002,115 @@ def rowwise_minhash_signatures(
         # input) — still projection-only, no explode, no collect_set
         cols.append("sh_set")
     return hashed.select(*cols).where(F.col("signature").isNotNull())
+
+
+def positional_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Word n-gram shingles WITH their 1-based position: (doc_id, pos,
+    shingle). The positional sibling of ``shingles`` (which dedups and
+    drops order) — winnowing needs every occurrence in document order."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("ws")
+    )
+    ws = F.col("ws")
+    k = F.size(ws) - (n - 1)
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(n)])
+    )
+    return tok.select("doc_id", F.posexplode(sh).alias("pos0", "shingle")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "shingle"
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word ``n``-gram, then
+    in each window of ``w`` consecutive hashes select the minimum
+    (rightmost on ties). Guarantees: every shared run of at least
+    ``w + n - 1`` words produces at least one shared fingerprint, and
+    expected density is 2/(w+1) — a fixed-rate sketch with a DETECTION
+    guarantee, unlike MinHash's probabilistic one.
+
+    Output: (doc_id, pos, h) distinct selected fingerprints.
+
+    Scale shape: one positional-shingle scan, one window MIN per doc
+    ordered by position (partition-local, no global sort), one
+    DISTINCT. The argmin-with-rightmost-tie-break is encoded in a
+    single BIGINT key h * 2^31 + (2^31 - pos) so the sliding MIN is
+    one aggregate, exact in int64 (h < 2^31, pos < 2^31) — identical
+    algebra on both engines."""
+    pos_sh = positional_shingles(df, text_col, id_col, n)
+    hashed = pos_sh.select(
+        "doc_id", "pos", portable_string_hash(F.col("shingle")).alias("h")
+    )
+    two31 = F.lit(2147483648).cast("bigint")
+    keyed = hashed.select(
+        "doc_id",
+        "pos",
+        (F.col("h") * two31 + (two31 - F.col("pos"))).alias("key"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    sel = keyed.select(
+        "doc_id",
+        "pos",
+        F.min("key").over(win).alias("sel_key"),
+        F.count(F.lit(1)).over(win).alias("n_in_win"),
+    ).where((F.col("n_in_win") == w) | (F.col("pos") == 1))
+    return sel.select(
+        "doc_id",
+        (two31 - (F.col("sel_key") % two31)).cast("bigint").alias("pos"),
+        # integer div, NOT "/": sel_key reaches 2^62 and a double
+        # quotient would lose low bits of h
+        F.expr("sel_key div 2147483648").cast("bigint").alias("h"),
+    ).distinct()
+
+
+# DuckDB rendering of ``winnowing_fingerprints`` over a corpus CTE with
+# (doc_id, text): positional shingles -> portable hash -> windowed
+# argmin key -> distinct (doc_id, pos, h). Parameterized on n and w.
+def winnowing_sql(corpus_cte: str, n: int = 3, w: int = 4) -> str:
+    grams = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
+    h = PORTABLE_HASH_SQL.format(col="shingle")
+    return f"""
+tok AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM ({corpus_cte})
+),
+psh AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, {grams} AS shingle
+  FROM tok, unnest(generate_series(1, len(ws) - {n - 1})) AS t(i)
+),
+hashed AS (
+  SELECT doc_id, pos, {h} AS h FROM psh
+),
+keyed AS (
+  SELECT doc_id, pos, h * 2147483648 + (2147483648 - pos) AS key FROM hashed
+),
+sel AS (
+  SELECT doc_id,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS sel_key,
+         COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS n_in_win,
+         pos
+  FROM keyed
+),
+fp AS (
+  SELECT DISTINCT doc_id,
+         CAST(2147483648 - (sel_key % 2147483648) AS BIGINT) AS pos,
+         CAST(sel_key // 2147483648 AS BIGINT) AS h
+  FROM sel WHERE n_in_win = {w} OR pos = 1
+)"""

@@ -165,6 +165,7 @@ _PRIORITY = (
     "q483_nn_descent_graph",
     "q484_nnd_recall_harness",
     "q485_rendezvous_sharding",
+    "q486_winnowing_fingerprints",
     # --- Round-8 block (never checked) ---
     "q421_multiprobe_ivf_recall",
     "q422_sieve_coverage_stream",

@@ -4138,3 +4138,84 @@ def q485_rendezvous_sharding(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return shard_movement_audit(docs, "doc_id", n_old=32, n_new=48)
+
+
+def _winnowing_oracle_sql() -> str:
+    from variantcalling_spark.operators.dedup import winnowing_sql
+
+    return f"""
+WITH {winnowing_sql(SQL_CORPUS)},
+fph AS (SELECT DISTINCT doc_id, h FROM fp),
+dfh AS (SELECT h, COUNT(*) AS ndocs FROM fph GROUP BY h),
+kept AS (SELECT fph.doc_id, fph.h FROM fph JOIN dfh USING (h) WHERE ndocs <= 100),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM kept GROUP BY doc_id),
+pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT doc_a, doc_b, n_shared, sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
+       ROUND(n_shared / CAST(LEAST(sa.n_fp, sb.n_fp) AS DOUBLE), 6) AS containment
+FROM pr JOIN sizes sa ON sa.doc_id = pr.doc_a
+        JOIN sizes sb ON sb.doc_id = pr.doc_b
+"""
+
+
+@query("q486_winnowing_fingerprints", oracle=_winnowing_oracle_sql())
+def q486_winnowing_fingerprints(spark, sf_dir):
+    """WINNOWING FINGERPRINT SIMILARITY (Schleimer/Wilkerson/Aiken
+    SIGMOD 2003 — the MOSS plagiarism sketch): every word-3-gram is
+    hashed, each 4-hash window keeps its minimum (rightmost tie-break),
+    and documents sharing >= 2 selected fingerprints are scored by
+    containment n_shared / min(|fp_a|, |fp_b|). Unlike MinHash (q66,
+    probabilistic) winnowing carries a DETECTION GUARANTEE — any shared
+    run of >= w+n-1 = 6 words yields a shared fingerprint — at a fixed
+    expected density of 2/(w+1) of positions, so it is the local-match
+    complement to q114's global substring dedup.
+
+    Scale shape: selection is one partition-local window MIN per doc
+    (the argmin+rightmost-tie is a single int64 key, no second pass);
+    discovery joins only the ~29% of positions that survive selection,
+    with a df<=100 stop-list on the fingerprint index (the q451 lesson:
+    pair discovery must be frequency-bounded from day one — cost is
+    Sigma df^2 over KEPT fingerprints, never corpus^2)."""
+    from variantcalling_spark.operators.dedup import winnowing_fingerprints
+
+    fp = (
+        winnowing_fingerprints(corpus(spark, sf_dir), n=3, w=4)
+        .select("doc_id", "h")
+        .distinct()
+        .transform(managed_persist)
+    )
+    dfh = fp.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
+    kept = fp.join(dfh.where(F.col("ndocs") <= 100), "h").select(
+        "doc_id", "h"
+    ).transform(managed_persist)
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_fp"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "h")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "h")
+    pr = (
+        a.join(b, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b"))
+    return (
+        pr.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_fp_a",
+            "n_fp_b",
+            F.round(
+                F.col("n_shared")
+                / F.least(F.col("n_fp_a"), F.col("n_fp_b")).cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )
