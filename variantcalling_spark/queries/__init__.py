@@ -166,6 +166,8 @@ _PRIORITY = (
     "q484_nnd_recall_harness",
     "q485_rendezvous_sharding",
     "q486_winnowing_fingerprints",
+    "q487_t_closeness",
+    "q488_heaps_law_fit",
     # --- Round-8 block (never checked) ---
     "q421_multiprobe_ivf_recall",
     "q422_sieve_coverage_stream",

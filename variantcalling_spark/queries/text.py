@@ -7159,3 +7159,255 @@ def q473_bootstrap_rouge_ci(spark, sf_dir):
             (F.round("ci_hi", 6) + 0.0).alias("delta_ci_hi"),
         )
     )
+
+
+@query(
+    "q487_t_closeness",
+    oracle="""
+WITH qi AS (
+  SELECT lang, source,
+         CAST(len(string_split(text, ' ')) // 20 AS BIGINT) AS len_bucket,
+         doc_id % 4 AS sensitive
+  FROM documents
+),
+cls AS (
+  SELECT lang, source, len_bucket,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CASE WHEN sensitive = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(SUM(CASE WHEN sensitive = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN sensitive = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM qi GROUP BY lang, source, len_bucket
+),
+gtot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN sensitive = 0 THEN 1 ELSE 0 END) AS BIGINT) AS g0,
+         CAST(SUM(CASE WHEN sensitive = 1 THEN 1 ELSE 0 END) AS BIGINT) AS g1,
+         CAST(SUM(CASE WHEN sensitive = 2 THEN 1 ELSE 0 END) AS BIGINT) AS g2
+  FROM qi
+),
+scored AS (
+  SELECT k,
+         (ABS(c0 * n - g0 * k)
+          + ABS((c0 + c1) * n - (g0 + g1) * k)
+          + ABS((c0 + c1 + c2) * n - (g0 + g1 + g2) * k))
+           / (3.0 * k * n) AS t
+  FROM cls, gtot
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       ROUND(MAX(t), 6) AS max_t,
+       CAST(SUM(CASE WHEN t > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_above_02,
+       CAST(SUM(CASE WHEN t > 0.2 THEN k ELSE 0 END) AS BIGINT)
+         AS rows_above_02,
+       ROUND(SUM(CASE WHEN t > 0.2 THEN k ELSE 0 END)
+             / CAST(SUM(k) AS DOUBLE), 6) AS at_risk_fraction
+FROM scored
+""",
+)
+def q487_t_closeness(spark, sf_dir):
+    """T-CLOSENESS AUDIT (Li/Li/Venkatasubramanian 2007 — the rung
+    above q365 k-anonymity and q409 l-diversity: a class can be large
+    AND diverse yet still leak because its sensitive DISTRIBUTION
+    differs from the table's, e.g. 90/10 where the corpus is 25/75;
+    t = EMD between class and global distributions over the ORDERED
+    sensitive domain): per-class Earth Mover's Distance as the mean of
+    absolute cumulative-fraction gaps, then the ledger — max t, classes
+    and row mass above t = 0.2.
+
+    Exactness: with m = 4 ordered values, EMD = (1/(m-1)) * Sigma_i
+    |cum_c_i/k - cum_g_i/N|; every numerator is folded to the INTEGER
+    |cum_c_i*N - cum_g_i*k| (products < 2^63) so the only float op is
+    one final division of identical integers on both engines.
+
+    Scale discipline: q365's shape — one groupBy on the QI grid with a
+    fixed-domain conditional sum per sensitive value, one broadcastable
+    global row, arithmetic over the class ledger."""
+    docs = load_table(spark, sf_dir, "documents")
+    qi = docs.select(
+        "lang",
+        "source",
+        (F.size(F.split("text", " ")) / 20).cast("bigint").alias("len_bucket"),
+        (F.col("doc_id") % 4).alias("sensitive"),
+    )
+
+    def csums(prefix):
+        return [
+            F.sum(F.when(F.col("sensitive") == j, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{prefix}{j}")
+            for j in range(3)
+        ]
+
+    cls = qi.groupBy("lang", "source", "len_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"), *csums("c")
+    )
+    glob = qi.agg(F.count(F.lit(1)).cast("bigint").alias("n"), *csums("g"))
+    cum_c = [F.col("c0"), F.col("c0") + F.col("c1"), F.col("c0") + F.col("c1") + F.col("c2")]
+    cum_g = [F.col("g0"), F.col("g0") + F.col("g1"), F.col("g0") + F.col("g1") + F.col("g2")]
+    emd_scaled = sum(
+        F.abs(cc * F.col("n") - cg * F.col("k")) for cc, cg in zip(cum_c, cum_g)
+    )
+    scored = cls.crossJoin(F.broadcast(glob)).select(
+        "k", (emd_scaled / (F.lit(3.0) * F.col("k") * F.col("n"))).alias("t")
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.round(F.max("t"), 6).alias("max_t"),
+        F.sum(F.when(F.col("t") > 0.2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("classes_above_02"),
+        F.sum(F.when(F.col("t") > 0.2, F.col("k")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_above_02"),
+        F.round(
+            F.sum(F.when(F.col("t") > 0.2, F.col("k")).otherwise(0))
+            / F.sum("k").cast("double"),
+            6,
+        ).alias("at_risk_fraction"),
+    )
+
+
+@query(
+    "q488_heaps_law_fit",
+    oracle="""
+WITH w AS (
+  SELECT doc_id % 4 AS b, unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+tok AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nt FROM w GROUP BY b),
+fw AS (SELECT word, MIN(b) AS fb FROM w GROUP BY word),
+vj AS (SELECT fb, CAST(COUNT(*) AS BIGINT) AS nv FROM fw GROUP BY fb),
+lv AS (
+  SELECT j,
+         (SELECT CAST(SUM(nt) AS BIGINT) FROM tok WHERE b < j) AS n_tokens,
+         (SELECT CAST(SUM(nv) AS BIGINT) FROM vj WHERE fb < j) AS vocab
+  FROM (VALUES (1), (2), (3), (4)) t(j)
+),
+pts AS (
+  SELECT CAST(ROUND(ln(CAST(n_tokens AS DOUBLE)), 12) AS DECIMAL(28,12)) AS x,
+         CAST(ROUND(ln(CAST(vocab AS DOUBLE)), 12) AS DECIMAL(28,12)) AS y,
+         CAST(ROUND(ln(CAST(n_tokens AS DOUBLE)) * ln(CAST(n_tokens AS DOUBLE)), 12)
+              AS DECIMAL(28,12)) AS xx,
+         CAST(ROUND(ln(CAST(n_tokens AS DOUBLE)) * ln(CAST(vocab AS DOUBLE)), 12)
+              AS DECIMAL(28,12)) AS xy,
+         CAST(ROUND(ln(CAST(vocab AS DOUBLE)) * ln(CAST(vocab AS DOUBLE)), 12)
+              AS DECIMAL(28,12)) AS yy
+  FROM lv
+),
+s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(xx) AS DOUBLE) AS sxx, CAST(SUM(xy) AS DOUBLE) AS sxy,
+         CAST(SUM(yy) AS DOUBLE) AS syy
+  FROM pts
+),
+fit AS (
+  SELECT n,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS icept,
+         (n * sxy - sx * sy) * (n * sxy - sx * sy)
+           / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+  FROM s
+),
+full_p AS (
+  SELECT n_tokens AS tokens_full, vocab AS vocab_full,
+         ROUND(ln(CAST(n_tokens AS DOUBLE) * 100), 12) AS lx100
+  FROM lv WHERE j = 4
+)
+SELECT CAST(fit.n AS BIGINT) AS n_points,
+       full_p.tokens_full, full_p.vocab_full,
+       ROUND(fit.beta, 6) AS heaps_beta,
+       ROUND(fit.icept, 6) AS intercept_ln,
+       ROUND(fit.r2, 6) AS r_squared,
+       ROUND(fit.icept + fit.beta * full_p.lx100, 6) AS pred_ln_vocab_100x
+FROM fit, full_p
+""",
+)
+def q488_heaps_law_fit(spark, sf_dir):
+    """HEAPS'-LAW SCALING FIT (vocabulary growth V ~ c * N^beta — the
+    canonical data-scaling law a 100 TB corpus plan extrapolates from:
+    how much NEW vocabulary/entropy does the next decade of data buy,
+    and q362's dedup-saturation sibling for vocabulary): distinct-word
+    count at 4 nested deterministic subsamples (doc_id % 4 < j), then
+    closed-form log-log OLS for the exponent, intercept, and R^2, plus
+    the log-scale prediction at 100x the corpus — the number the
+    'will more data help' decision actually consumes.
+
+    Exactness (the q168/q177 recipe): nested levels mean each point is
+    a CUMULATIVE integer count (vocab via MIN(first-bucket) per word —
+    one aggregate over the word relation, no per-level rescan);
+    ln(exact integer) is the same double on both engines, each OLS
+    term rounds to 12 places and sums as DECIMAL, predictions stay in
+    LOG space so no exp() parity risk.
+
+    Scale shape: one token scan + one groupBy word (the vocabulary
+    relation) + a 4-row ledger; the fit is arithmetic on one row."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        (F.col("doc_id") % 4).alias("b"), F.explode(F.split("text", " ")).alias("word")
+    )
+    tok = w.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+    fw = w.groupBy("word").agg(F.min("b").alias("fb"))
+    vj = fw.groupBy("fb").agg(F.count(F.lit(1)).cast("bigint").alias("nv"))
+    levels = spark.range(1, 5).select(F.col("id").alias("j"))
+    lv = (
+        levels.join(tok, tok.b < levels.j)
+        .groupBy("j")
+        .agg(F.sum("nt").alias("n_tokens"))
+        .join(
+            levels.join(vj, vj.fb < levels.j)
+            .groupBy("j")
+            .agg(F.sum("nv").alias("vocab")),
+            "j",
+        )
+    )
+    DEC = "decimal(28,12)"
+    lx = F.log(F.col("n_tokens").cast("double"))
+    ly = F.log(F.col("vocab").cast("double"))
+    pts = lv.select(
+        "j",
+        "n_tokens",
+        "vocab",
+        F.round(lx, 12).cast(DEC).alias("x"),
+        F.round(ly, 12).cast(DEC).alias("y"),
+        F.round(lx * lx, 12).cast(DEC).alias("xx"),
+        F.round(lx * ly, 12).cast(DEC).alias("xy"),
+        F.round(ly * ly, 12).cast(DEC).alias("yy"),
+    ).transform(managed_persist)
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("yy").cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    icept = (sy - beta * sx) / n
+    r2 = (n * sxy - sx * sy) * (n * sxy - sx * sy) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    fit = s.select(
+        n.cast("bigint").alias("n_points"),
+        beta.alias("beta"),
+        icept.alias("icept"),
+        r2.alias("r2"),
+    )
+    full_p = pts.where(F.col("j") == 4).select(
+        F.col("n_tokens").alias("tokens_full"),
+        F.col("vocab").alias("vocab_full"),
+        F.round(F.log(F.col("n_tokens").cast("double") * 100), 12).alias("lx100"),
+    )
+    return fit.crossJoin(F.broadcast(full_p)).select(
+        "n_points",
+        "tokens_full",
+        "vocab_full",
+        F.round(F.col("beta"), 6).alias("heaps_beta"),
+        F.round(F.col("icept"), 6).alias("intercept_ln"),
+        F.round(F.col("r2"), 6).alias("r_squared"),
+        F.round(F.col("icept") + F.col("beta") * F.col("lx100"), 6).alias(
+            "pred_ln_vocab_100x"
+        ),
+    )
