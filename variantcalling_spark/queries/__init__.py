@@ -168,6 +168,8 @@ _PRIORITY = (
     "q486_winnowing_fingerprints",
     "q487_t_closeness",
     "q488_heaps_law_fit",
+    "q489_bleu_smoothing_variants",
+    "q490_semantic_decontamination",
     # --- Round-8 block (never checked) ---
     "q421_multiprobe_ivf_recall",
     "q422_sieve_coverage_stream",

@@ -6148,3 +6148,127 @@ def q484_nnd_recall_harness(spark, sf_dir):
         .unionByName(arm(g1, "c_nnd_iter1"))
         .unionByName(arm(g2, "d_nnd_iter2"))
     )
+
+
+def _semantic_decontam_oracle_sql(
+    n_planes: int = 32, n_bands: int = 4, dim: int = 64, threshold: float = 0.95
+) -> str:
+    from variantcalling_spark.operators.similarity import _plane_signs
+
+    signs = _plane_signs(n_planes, dim)
+    bits_per_band = n_planes // n_bands
+
+    def plane_vec(p):
+        return "[" + ",".join(f"{signs[d][p]:.1f}" for d in range(dim)) + "]"
+
+    sums = ",\n         ".join(
+        f"list_dot_product(vd, {plane_vec(p)}) AS s{p}" for p in range(n_planes)
+    )
+
+    def bucket_expr(b):
+        return " + ".join(
+            f"(CASE WHEN s{b * bits_per_band + j} > 0 THEN {2**j} ELSE 0 END)"
+            for j in range(bits_per_band)
+        )
+
+    def bands_sql(src):
+        return "\n  UNION ALL\n".join(
+            f"  SELECT vec_id, v, {b} AS band, {bucket_expr(b)} AS bucket"
+            f" FROM {src}"
+            for b in range(n_bands)
+        )
+
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+ev AS (SELECT vec_id, qv AS v FROM q WHERE vec_id % 20 = 0),
+tr AS (
+  SELECT vec_id, qv AS v FROM q WHERE vec_id % 20 <> 0
+  UNION ALL
+  SELECT vec_id + 400000 AS vec_id, qv AS v
+  FROM q WHERE vec_id % 20 = 0 AND (vec_id // 20) % 3 = 0
+  UNION ALL
+  SELECT vec_id + 500000 AS vec_id,
+         [qv[i] * (10 + (vec_id + i - 1) % 7 - 3)
+          for i in generate_series(1, len(qv))] AS v
+  FROM q WHERE vec_id % 20 = 0 AND (vec_id // 20) % 2 = 0
+),
+ev_sig AS (
+  SELECT vec_id, v, {sums}
+  FROM (SELECT vec_id, v, list_transform(v, x -> CAST(x AS DOUBLE)) AS vd FROM ev)
+),
+tr_sig AS (
+  SELECT vec_id, v, {sums}
+  FROM (SELECT vec_id, v, list_transform(v, x -> CAST(x AS DOUBLE)) AS vd FROM tr)
+),
+ev_bands AS (
+{bands_sql("ev_sig")}
+),
+tr_bands AS (
+{bands_sql("tr_sig")}
+),
+scored AS (
+  SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
+         list_dot_product(t.v, e.v)
+           / (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(e.v, e.v))) AS cosine
+  FROM tr_bands t JOIN ev_bands e
+    ON t.band = e.band AND t.bucket = e.bucket
+)
+SELECT DISTINCT train_id, eval_id, cosine FROM scored WHERE cosine >= {threshold}
+"""
+
+
+@query("q490_semantic_decontamination", oracle=_semantic_decontam_oracle_sql())
+def q490_semantic_decontamination(spark, sf_dir):
+    """SEMANTIC DECONTAMINATION (the EMBEDDING arm of benchmark
+    decontamination — q75/q133 catch n-gram overlap, but a paraphrased
+    or re-rendered benchmark item shares no 8-gram while its embedding
+    still sits at cosine ~1; this is the semantic sweep production
+    pipelines run beside the lexical one): every TRAIN vector probes
+    the stored hyperplane-band index of the EVAL benchmark and is
+    flagged at exact-cosine >= 0.95. Planted ground truth: exact
+    copies of every 3rd benchmark item (sign bits agree plane-by-plane
+    -> collide in EVERY band -> always flagged, 9/9 at sf0.01) and
+    integer rescales of every 2nd (cosine ~0.98, caught at the 4-band
+    collision rate — 12/13 at sf0.01); the clean train corpus is
+    near-random to the benchmark and produces ZERO false flags.
+
+    Scale shape: the q482/q122 asymmetric-probe shape with the ROLES
+    REVERSED — the benchmark index is tiny (|eval| vectors, built
+    once, broadcastable), the 100 TB train side streams through one
+    Arrow signature matmul + an equi-join on (band, bucket) +
+    |collisions| exact cosines; the train corpus is never self-joined."""
+    from variantcalling_spark.operators.similarity import (
+        semantic_band_index,
+        semantic_band_probe_between,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", _quantize(F.col("embedding")).alias("v"))
+    ev = q.where(F.col("vec_id") % 20 == 0)
+    clean = q.where(F.col("vec_id") % 20 != 0)
+    exact = (
+        ev.where((F.col("vec_id") / 20).cast("bigint") % 3 == 0)
+        .select((F.col("vec_id") + 400000).alias("vec_id"), "v")
+    )
+    rescaled = (
+        ev.where((F.col("vec_id") / 20).cast("bigint") % 2 == 0)
+        .select(
+            "vec_id",
+            F.transform(
+                "v", lambda x, i: x * (10 + (F.col("vec_id") + i) % 7 - 3)
+            ).alias("v"),
+        )
+        .select((F.col("vec_id") + 500000).alias("vec_id"), "v")
+    )
+    train = clean.unionByName(exact).unionByName(rescaled)
+    ev_sig = semantic_band_index(ev).transform(managed_persist)
+    tr_sig = semantic_band_index(train)
+    return semantic_band_probe_between(tr_sig, ev_sig, threshold=0.95).select(
+        F.col("vec_new").alias("train_id"),
+        F.col("vec_old").alias("eval_id"),
+        "cosine",
+    )

@@ -7411,3 +7411,215 @@ def q488_heaps_law_fit(spark, sf_dir):
             "pred_ln_vocab_100x"
         ),
     )
+
+
+@query(
+    "q489_bleu_smoothing_variants",
+    oracle="""
+WITH pairs AS (
+  SELECT CAST(a.doc_id // 2 AS BIGINT) AS pair_id,
+         string_split(a.text, ' ') AS cw, string_split(b.text, ' ') AS rw
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 2 = 0
+),
+cg AS (
+  SELECT pair_id, n, gram, COUNT(*) AS tc FROM (
+    SELECT pair_id, 1 AS n, unnest(cw) AS gram FROM pairs
+    UNION ALL
+    SELECT pair_id, 2,
+           unnest(list_transform(range(CAST(len(cw) AS BIGINT) - 1),
+                  i -> cw[i+1] || ' ' || cw[i+2]))
+    FROM pairs WHERE len(cw) >= 2
+  ) GROUP BY pair_id, n, gram
+),
+rg AS (
+  SELECT pair_id, n, gram, COUNT(*) AS tr FROM (
+    SELECT pair_id, 1 AS n, unnest(rw) AS gram FROM pairs
+    UNION ALL
+    SELECT pair_id, 2,
+           unnest(list_transform(range(CAST(len(rw) AS BIGINT) - 1),
+                  i -> rw[i+1] || ' ' || rw[i+2]))
+    FROM pairs WHERE len(rw) >= 2
+  ) GROUP BY pair_id, n, gram
+),
+pc AS (
+  SELECT cg.pair_id,
+         CAST(SUM(CASE WHEN cg.n = 1 THEN LEAST(cg.tc, COALESCE(rg.tr, 0)) ELSE 0 END) AS BIGINT) AS num1,
+         CAST(SUM(CASE WHEN cg.n = 1 THEN cg.tc ELSE 0 END) AS BIGINT) AS den1,
+         CAST(SUM(CASE WHEN cg.n = 2 THEN LEAST(cg.tc, COALESCE(rg.tr, 0)) ELSE 0 END) AS BIGINT) AS num2,
+         CAST(SUM(CASE WHEN cg.n = 2 THEN cg.tc ELSE 0 END) AS BIGINT) AS den2
+  FROM cg LEFT JOIN rg ON rg.pair_id = cg.pair_id AND rg.n = cg.n
+                       AND rg.gram = cg.gram
+  GROUP BY cg.pair_id
+),
+sb AS (
+  SELECT p.pair_id,
+         CASE WHEN len(p.cw) < len(p.rw)
+              THEN exp(1.0 - len(p.rw) / CAST(len(p.cw) AS DOUBLE))
+              ELSE 1.0 END AS bp,
+         pc.num1, pc.den1, pc.num2, pc.den2
+  FROM pairs p JOIN pc ON pc.pair_id = p.pair_id
+),
+scored AS (
+  SELECT pair_id,
+         CASE WHEN num1 > 0 AND num2 > 0
+              THEN bp * exp(0.5 * (ln(num1 / CAST(den1 AS DOUBLE))
+                                   + ln(num2 / CAST(den2 AS DOUBLE))))
+              ELSE 0.0 END AS m0,
+         bp * exp(0.5 * (
+             ln((CASE WHEN num1 > 0 THEN num1 ELSE CAST(0.1 AS DOUBLE) END)
+                / CAST(den1 AS DOUBLE))
+           + ln((CASE WHEN num2 > 0 THEN num2 ELSE CAST(0.1 AS DOUBLE) END)
+                / CAST(den2 AS DOUBLE)))) AS m1,
+         CASE WHEN num1 > 0
+              THEN bp * exp(0.5 * (ln(num1 / CAST(den1 AS DOUBLE))
+                                   + ln((num2 + 1) / CAST(den2 + 1 AS DOUBLE))))
+              ELSE 0.0 END AS m2,
+         CASE WHEN num2 = 0 THEN 1 ELSE 0 END AS zero2
+  FROM sb WHERE den2 >= 1
+)
+SELECT method, n_pairs, n_zero_bigram, mean_sbleu FROM (
+  SELECT 'm0_none' AS method, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(zero2) AS BIGINT) AS n_zero_bigram,
+         ROUND(CAST(SUM(CAST(ROUND(m0, 9) AS DECIMAL(24,12))) AS DOUBLE)
+               / COUNT(*), 6) AS mean_sbleu
+  FROM scored
+  UNION ALL
+  SELECT 'm1_epsilon', CAST(COUNT(*) AS BIGINT), CAST(SUM(zero2) AS BIGINT),
+         ROUND(CAST(SUM(CAST(ROUND(m1, 9) AS DECIMAL(24,12))) AS DOUBLE)
+               / COUNT(*), 6)
+  FROM scored
+  UNION ALL
+  SELECT 'm2_add_one', CAST(COUNT(*) AS BIGINT), CAST(SUM(zero2) AS BIGINT),
+         ROUND(CAST(SUM(CAST(ROUND(m2, 9) AS DECIMAL(24,12))) AS DOUBLE)
+               / COUNT(*), 6)
+  FROM scored
+)
+""",
+)
+def q489_bleu_smoothing_variants(spark, sf_dir):
+    """SENTENCE-BLEU SMOOTHING VARIANTS (Chen & Cherry, WMT 2014 — the
+    corpus BLEU of q378 hides the zero-bigram problem: any sentence
+    with no bigram match scores exactly 0 under the raw geometric
+    mean, so rankings of short outputs are dominated by the smoothing
+    CHOICE, not quality): per-pair BLEU-2 under method0 (none),
+    method1 (epsilon=0.1 numerator floor), method2 (add-one on the
+    bigram arm), each reduced to its corpus mean with the zero-bigram
+    incidence reported alongside — the table that tells an eval
+    pipeline how much of its score is smoothing artifact.
+
+    Exactness: clipped counts stay BIGINT per pair; each sentence
+    score is a closed-form expression of those integers (identical
+    doubles both engines), snapped to 9 dp and summed as DECIMAL.
+
+    Scale shape: q378's two explode->count aggregates and one (pair,
+    n, gram) equi-join, then per-pair arithmetic — one extra ledger
+    row per method, no extra scans."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.expr("doc_id DIV 2").alias("pair_id"), F.split("text", " ").alias("cw")
+    )
+    b = (
+        docs.select(
+            F.expr("(doc_id - 1) DIV 2").alias("pair_id"),
+            F.split("text", " ").alias("rw"),
+            (F.col("doc_id") % 2).alias("par"),
+        )
+        .where(F.col("par") == 1)
+        .drop("par")
+    )
+    pairs = a.join(b, "pair_id").transform(managed_persist)
+
+    def grams(col, out):
+        uni = pairs.select(
+            "pair_id", F.lit(1).alias("n"), F.explode(col).alias("gram")
+        )
+        bi = pairs.where(F.size(col) >= 2).select(
+            "pair_id",
+            F.lit(2).alias("n"),
+            F.explode(
+                F.expr(
+                    f"transform(slice({out}, 1, size({out}) - 1),"
+                    f" (x, i) -> concat(x, ' ', element_at({out}, i + 2)))"
+                )
+            ).alias("gram"),
+        )
+        return uni.unionByName(bi).groupBy("pair_id", "n", "gram").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+
+    cg = grams(F.col("cw"), "cw").withColumnRenamed("c", "tc")
+    rg = grams(F.col("rw"), "rw").withColumnRenamed("c", "tr")
+    hit = F.least(F.col("tc"), F.coalesce(F.col("tr"), F.lit(0)))
+    pc = (
+        cg.join(rg, ["pair_id", "n", "gram"], "left")
+        .groupBy("pair_id")
+        .agg(
+            F.sum(F.when(F.col("n") == 1, hit).otherwise(0))
+            .cast("bigint")
+            .alias("num1"),
+            F.sum(F.when(F.col("n") == 1, F.col("tc")).otherwise(0))
+            .cast("bigint")
+            .alias("den1"),
+            F.sum(F.when(F.col("n") == 2, hit).otherwise(0))
+            .cast("bigint")
+            .alias("num2"),
+            F.sum(F.when(F.col("n") == 2, F.col("tc")).otherwise(0))
+            .cast("bigint")
+            .alias("den2"),
+        )
+    )
+    bp = F.when(
+        F.size("cw") < F.size("rw"),
+        F.exp(F.lit(1.0) - F.size("rw") / F.size("cw").cast("double")),
+    ).otherwise(F.lit(1.0))
+    sb = pairs.join(pc, "pair_id").select(
+        "pair_id", bp.alias("bp"), "num1", "den1", "num2", "den2"
+    ).where(F.col("den2") >= 1)
+
+    def geo(p1_num, p2_num, p2_den):
+        return F.col("bp") * F.exp(
+            0.5
+            * (
+                F.log(p1_num / F.col("den1").cast("double"))
+                + F.log(p2_num / p2_den.cast("double"))
+            )
+        )
+
+    eps = F.lit(0.1)
+    m0 = F.when(
+        (F.col("num1") > 0) & (F.col("num2") > 0),
+        geo(F.col("num1"), F.col("num2"), F.col("den2")),
+    ).otherwise(F.lit(0.0))
+    m1 = geo(
+        F.when(F.col("num1") > 0, F.col("num1").cast("double")).otherwise(eps),
+        F.when(F.col("num2") > 0, F.col("num2").cast("double")).otherwise(eps),
+        F.col("den2"),
+    )
+    m2 = F.when(
+        F.col("num1") > 0,
+        geo(F.col("num1"), F.col("num2") + 1, F.col("den2") + 1),
+    ).otherwise(F.lit(0.0))
+    scored = sb.select(
+        m0.alias("m0"),
+        m1.alias("m1"),
+        m2.alias("m2"),
+        F.when(F.col("num2") == 0, 1).otherwise(0).alias("zero2"),
+    ).transform(managed_persist)
+
+    def arm(col, label):
+        return scored.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("zero2").cast("bigint").alias("n_zero_bigram"),
+            F.round(
+                F.sum(F.round(F.col(col), 9).cast("decimal(24,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_sbleu"),
+        ).select(
+            F.lit(label).alias("method"), "n_pairs", "n_zero_bigram", "mean_sbleu"
+        )
+
+    return arm("m0", "m0_none").unionByName(arm("m1", "m1_epsilon")).unionByName(
+        arm("m2", "m2_add_one")
+    )
