@@ -170,6 +170,7 @@ _PRIORITY = (
     "q488_heaps_law_fit",
     "q489_bleu_smoothing_variants",
     "q490_semantic_decontamination",
+    "q491_louvain_local_move",
     # --- Round-8 block (never checked) ---
     "q421_multiprobe_ivf_recall",
     "q422_sieve_coverage_stream",

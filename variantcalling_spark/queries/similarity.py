@@ -6272,3 +6272,239 @@ def q490_semantic_decontamination(spark, sf_dir):
         F.col("vec_old").alias("eval_id"),
         "cosine",
     )
+
+
+@query(
+    "q491_louvain_local_move",
+    oracle=_lpa_cte_sql()
+    + """
+, m2t AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM edges),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS k FROM edges GROUP BY src),
+dsum AS (
+  SELECT c.community, CAST(SUM(d.k) AS BIGINT) AS dtot
+  FROM communities c JOIN deg d USING (node) GROUP BY c.community
+),
+nc AS (
+  SELECT e.src AS node, cb.community AS cand, CAST(COUNT(*) AS BIGINT) AS e_ic
+  FROM edges e JOIN communities cb ON cb.node = e.dst
+  GROUP BY e.src, cb.community
+),
+cand2 AS (
+  SELECT node, cand, MAX(e_ic) AS e_ic FROM (
+    SELECT node, cand, e_ic FROM nc
+    UNION ALL
+    SELECT node, community AS cand, CAST(0 AS BIGINT) AS e_ic FROM communities
+  ) GROUP BY node, cand
+),
+scored AS (
+  SELECT c2.node, c2.cand,
+         m2t.m2 * c2.e_ic
+           - d.k * (ds.dtot - CASE WHEN c2.cand = cur.community THEN d.k ELSE 0 END)
+           AS score
+  FROM cand2 c2
+  JOIN deg d ON d.node = c2.node
+  JOIN communities cur ON cur.node = c2.node
+  JOIN dsum ds ON ds.community = c2.cand
+  CROSS JOIN m2t
+),
+best AS (
+  SELECT node, cand AS new_community FROM (
+    SELECT node, cand,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY score DESC, cand) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+after AS (
+  SELECT c.node, COALESCE(b.new_community, c.community) AS community
+  FROM communities c LEFT JOIN best b USING (node)
+),
+q_of AS (
+  SELECT 'before' AS phase, c.node, c.community FROM communities c
+  UNION ALL
+  SELECT 'after', a.node, a.community FROM after a
+),
+qin AS (
+  SELECT p.phase, ca.community, CAST(COUNT(*) AS BIGINT) AS in_edges
+  FROM edges e
+  JOIN q_of ca ON ca.node = e.src
+  JOIN q_of cb ON cb.node = e.dst AND cb.phase = ca.phase
+  JOIN (SELECT DISTINCT phase FROM q_of) p ON p.phase = ca.phase
+  WHERE ca.community = cb.community
+  GROUP BY p.phase, ca.community
+),
+qdeg AS (
+  SELECT c.phase, c.community, CAST(SUM(d.k) AS BIGINT) AS dtot
+  FROM q_of c JOIN deg d USING (node) GROUP BY c.phase, c.community
+),
+qnum AS (
+  SELECT qdeg.phase,
+         CAST(SUM(m2t.m2 * COALESCE(qin.in_edges, 0) - qdeg.dtot * qdeg.dtot)
+              AS BIGINT) AS qn
+  FROM qdeg
+  LEFT JOIN qin ON qin.phase = qdeg.phase AND qin.community = qdeg.community
+  CROSS JOIN m2t
+  GROUP BY qdeg.phase
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM communities) AS n_nodes,
+       (SELECT CAST(SUM(CASE WHEN b.new_community <> c.community THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM best b JOIN communities c USING (node)) AS n_moved,
+       (SELECT qn FROM qnum WHERE phase = 'before') AS q_before_num,
+       (SELECT qn FROM qnum WHERE phase = 'after') AS q_after_num,
+       (SELECT m2 * m2 FROM m2t) AS q_den,
+       (SELECT CAST(COUNT(DISTINCT community) AS BIGINT) FROM communities)
+         AS n_comms_before,
+       (SELECT CAST(COUNT(DISTINCT community) AS BIGINT) FROM after)
+         AS n_comms_after
+""",
+)
+def q491_louvain_local_move(spark, sf_dir):
+    """LOUVAIN LOCAL-MOVE SWEEP over the LPA partition (Blondel et al.
+    2008, phase 1, one synchronous pass — the modularity-ASCENT
+    refinement LPA lacks: LPA votes by neighbor majority, blind to the
+    degree-penalty term, so it happily keeps hub-heavy megaclusters
+    that a single gain-driven sweep splits): every node evaluates
+    moving to each neighbor community, gain kept EXACT as the BIGINT
+    score m2*e_ic - k_i*(dtot_c - [c = own]*k_i), argmax with
+    deterministic (score DESC, community ASC) tie-break, all moves
+    applied synchronously against the original partition. The ledger
+    reports exact-rational modularity before and after (q152's integer
+    scheme) and the move count — synchronous sweeps can oscillate, so
+    the honest contract is measure-don't-assume: the oracle pins
+    whatever Q-delta this corpus produces.
+
+    Scale shape: one edges-to-communities equi-join for e_ic (O(E)
+    rows, map-side combinable), two bounded ledgers (degree, community
+    degree-sum), one per-node argmax — the same per-round cost as one
+    LPA iteration; nothing quadratic, no collect."""
+    from pyspark.sql import Window as W
+
+    edges, labels = _lpa_edges_and_labels(spark, sf_dir)
+    communities = labels.select(
+        "node", F.col("label").alias("community")
+    ).transform(managed_persist)
+    m2t = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m2"))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    ).transform(managed_persist)
+    dsum = (
+        communities.join(deg, "node")
+        .groupBy("community")
+        .agg(F.sum("k").cast("bigint").alias("dtot"))
+    )
+    nc = (
+        edges.join(
+            communities.select(
+                F.col("node").alias("dst"), F.col("community").alias("cand")
+            ),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("node"), "cand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_ic"))
+    )
+    cand2 = (
+        nc.unionByName(
+            communities.select(
+                "node",
+                F.col("community").alias("cand"),
+                F.lit(0).cast("bigint").alias("e_ic"),
+            )
+        )
+        .groupBy("node", "cand")
+        .agg(F.max("e_ic").alias("e_ic"))
+    )
+    scored = (
+        cand2.join(deg, "node")
+        .join(communities.withColumnRenamed("community", "cur"), "node")
+        .join(dsum.withColumnRenamed("community", "cand"), "cand")
+        .crossJoin(F.broadcast(m2t))
+        .select(
+            "node",
+            "cand",
+            (
+                F.col("m2") * F.col("e_ic")
+                - F.col("k")
+                * (
+                    F.col("dtot")
+                    - F.when(F.col("cand") == F.col("cur"), F.col("k")).otherwise(
+                        F.lit(0).cast("bigint")
+                    )
+                )
+            ).alias("score"),
+        )
+    )
+    best = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("node").orderBy(F.desc("score"), "cand")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("node", F.col("cand").alias("new_community"))
+    )
+    after = communities.join(best, "node", "left").select(
+        "node",
+        F.coalesce("new_community", "community").alias("community"),
+    ).transform(managed_persist)
+
+    def q_num(part):
+        qin = (
+            edges.join(
+                part.select(F.col("node").alias("src"), F.col("community").alias("ca")),
+                "src",
+            )
+            .join(
+                part.select(F.col("node").alias("dst"), F.col("community").alias("cb")),
+                "dst",
+            )
+            .where(F.col("ca") == F.col("cb"))
+            .groupBy(F.col("ca").alias("community"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("in_edges"))
+        )
+        qdeg = (
+            part.join(deg, "node")
+            .groupBy("community")
+            .agg(F.sum("k").cast("bigint").alias("dtot"))
+        )
+        return (
+            qdeg.join(qin, "community", "left")
+            .crossJoin(F.broadcast(m2t))
+            .agg(
+                F.sum(
+                    F.col("m2") * F.coalesce("in_edges", F.lit(0).cast("bigint"))
+                    - F.col("dtot") * F.col("dtot")
+                )
+                .cast("bigint")
+                .alias("qn")
+            )
+        )
+
+    n_nodes = communities.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    n_moved = (
+        best.join(communities, "node")
+        .agg(
+            F.sum(
+                F.when(F.col("new_community") != F.col("community"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_moved")
+        )
+    )
+    ncb = communities.agg(
+        F.countDistinct("community").cast("bigint").alias("n_comms_before")
+    )
+    nca = after.agg(
+        F.countDistinct("community").cast("bigint").alias("n_comms_after")
+    )
+    qb = q_num(communities).withColumnRenamed("qn", "q_before_num")
+    qa = q_num(after).withColumnRenamed("qn", "q_after_num")
+    qd = m2t.select((F.col("m2") * F.col("m2")).alias("q_den"))
+    return (
+        n_nodes.crossJoin(F.broadcast(n_moved))
+        .crossJoin(F.broadcast(qb))
+        .crossJoin(F.broadcast(qa))
+        .crossJoin(F.broadcast(qd))
+        .crossJoin(F.broadcast(ncb))
+        .crossJoin(F.broadcast(nca))
+    )
