@@ -171,6 +171,7 @@ _PRIORITY = (
     "q489_bleu_smoothing_variants",
     "q490_semantic_decontamination",
     "q491_louvain_local_move",
+    "q492_dp_noisy_histogram",
     # --- Round-8 block (never checked) ---
     "q421_multiprobe_ivf_recall",
     "q422_sieve_coverage_stream",

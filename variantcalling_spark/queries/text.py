@@ -7623,3 +7623,73 @@ def q489_bleu_smoothing_variants(spark, sf_dir):
     return arm("m0", "m0_none").unionByName(arm("m1", "m1_epsilon")).unionByName(
         arm("m2", "m2_add_one")
     )
+
+
+@query(
+    "q492_dp_noisy_histogram",
+    oracle="""
+WITH h AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM documents GROUP BY lang, source
+),
+seeded AS (
+  SELECT lang, source, true_count,
+         ((list_reduce(list_transform(string_split(substr(md5(lang || ':' || source), 1, 8), ''),
+             c -> CAST(CASE WHEN ascii(c) >= 97 THEN ascii(c) - 87
+                       ELSE ascii(c) - 48 END AS BIGINT)), (a, b) -> a * 16 + b)
+           % 2147483647) * 2654435761 + 12345) % 2147483647 AS k
+  FROM h
+),
+noised AS (
+  SELECT lang, source, true_count,
+         (k + 0.5) / 2147483648.0 AS u
+  FROM seeded
+)
+SELECT lang, source, true_count,
+       ROUND(-(CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+             * ln(1.0 - 2.0 * ABS(u - 0.5)), 6) AS noise,
+       ROUND(true_count
+             - (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+             * ln(1.0 - 2.0 * ABS(u - 0.5)), 6) AS noisy_count
+FROM noised
+""",
+)
+def q492_dp_noisy_histogram(spark, sf_dir):
+    """DIFFERENTIALLY-PRIVATE HISTOGRAM RELEASE (Dwork 2006 Laplace
+    mechanism, eps = 1, sensitivity 1 — the MECHANISM that pairs with
+    the risk AUDITS q365/q409/q487: those measure what a raw release
+    leaks, this is the noised release itself, with the exact utility
+    cost shown beside every cell): per-(lang, source) count plus
+    Laplace(1/eps) noise drawn by inverse-CDF from a SEEDED per-cell
+    uniform (portable md5 hash -> LCG -> (k+0.5)/2^31), so the 'random'
+    release is reproducible bit-for-bit on both engines — the q25/q26
+    seeded-sampling discipline applied to privacy noise.
+
+    Scale shape: one groupBy on the bounded release domain; noise is a
+    scan-local expression per cell (no RNG state, no driver); ln of an
+    exact rational is the same double on both engines.
+
+    Production note: a real deployment swaps the seeded uniform for a
+    cryptographic DRBG per release epoch — the plan shape (hash ->
+    uniform -> inverse CDF, all scan-local) is exactly this."""
+    from variantcalling_spark.operators.dedup import portable_string_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
+    k = (
+        portable_string_hash(F.concat_ws(":", F.col("lang"), F.col("source")))
+        * F.lit(2654435761).cast("bigint")
+        + 12345
+    ) % F.lit(2147483647).cast("bigint")
+    u = (k + 0.5) / F.lit(2147483648.0)
+    sign = F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    lap = -sign * F.log(F.lit(1.0) - 2.0 * F.abs(u - 0.5))
+    return h.select(
+        "lang",
+        "source",
+        "true_count",
+        F.round(lap, 6).alias("noise"),
+        F.round(F.col("true_count") + lap, 6).alias("noisy_count"),
+    )
