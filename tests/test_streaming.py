@@ -988,3 +988,61 @@ def test_streaming_semantic_ingest_equals_batch(spark, tmp_path):
     finally:
         sq.stop()
     assert got == batch
+
+
+def test_streaming_winnowing_ingest_equals_batch(spark, tmp_path):
+    """Winnowing dedup-at-ingest (q493's streaming face): a document
+    STREAM computes scan-local rowwise fingerprints per micro-batch
+    (foreachBatch — the probe aggregates, so each batch runs as an
+    independent batch plan) and probes the static df-capped index;
+    the union over batches must equal the one-shot batch replay.
+    Also pins rowwise == windowed fingerprint equality on real docs."""
+    from pyspark.sql import functions as F2
+
+    from variantcalling_spark.operators.dedup import (
+        rowwise_winnowing_fingerprints,
+        winnowing_fingerprints,
+    )
+    from variantcalling_spark.sources import load_table
+    from variantcalling_spark.streaming.winnowing_ingest import (
+        build_fingerprint_index,
+        ingest_stream,
+        streaming_fingerprint_probe,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+
+    # the rowwise (stream-legal) operator IS the windowed one
+    a = set(map(tuple, winnowing_fingerprints(docs).collect()))
+    b = set(map(tuple, rowwise_winnowing_fingerprints(docs).collect()))
+    assert a == b
+
+    batch = docs.where(F2.col("doc_id") % 20 == 0).select(
+        (F2.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    new_dir = str(tmp_path / "docs_incoming")
+    batch.coalesce(2).write.mode("overwrite").parquet(new_dir)
+    index = build_fingerprint_index(docs).persist()
+
+    want = {
+        (r.new_id, r.old_id, r.n_shared, r.containment)
+        for r in streaming_fingerprint_probe(
+            spark.read.parquet(new_dir), index
+        ).collect()
+    }
+    assert want, "exact copies must be flagged"
+    # every planted copy matches its SOURCE at containment exactly 1.0
+    # (other >=0.5 corpus matches are legitimate extras)
+    n_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    assert {n for (n, o, _, c) in want if o == n - 200000 and c == 1.0} == n_ids
+
+    sink: list = []
+    sq = ingest_stream(
+        spark.readStream.schema(batch.schema).parquet(new_dir), index, sink
+    )
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+    got = {(n, o, s, c) for (_, n, o, s, c) in sink}
+    assert got == want

@@ -1082,35 +1082,87 @@ def winnowing_fingerprints(
 # DuckDB rendering of ``winnowing_fingerprints`` over a corpus CTE with
 # (doc_id, text): positional shingles -> portable hash -> windowed
 # argmin key -> distinct (doc_id, pos, h). Parameterized on n and w.
-def winnowing_sql(corpus_cte: str, n: int = 3, w: int = 4) -> str:
+def winnowing_sql(corpus_cte: str, n: int = 3, w: int = 4, sfx: str = "") -> str:
+    """All CTE names carry ``sfx`` so two corpora (e.g. stored corpus +
+    ingest batch in q493) can be winnowed inside one WITH chain."""
     grams = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
     h = PORTABLE_HASH_SQL.format(col="shingle")
     return f"""
-tok AS (
+tok{sfx} AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM ({corpus_cte})
 ),
-psh AS (
+psh{sfx} AS (
   SELECT doc_id, CAST(i AS BIGINT) AS pos, {grams} AS shingle
-  FROM tok, unnest(generate_series(1, len(ws) - {n - 1})) AS t(i)
+  FROM tok{sfx}, unnest(generate_series(1, len(ws) - {n - 1})) AS t(i)
 ),
-hashed AS (
-  SELECT doc_id, pos, {h} AS h FROM psh
+hashed{sfx} AS (
+  SELECT doc_id, pos, {h} AS h FROM psh{sfx}
 ),
-keyed AS (
-  SELECT doc_id, pos, h * 2147483648 + (2147483648 - pos) AS key FROM hashed
+keyed{sfx} AS (
+  SELECT doc_id, pos, h * 2147483648 + (2147483648 - pos) AS key FROM hashed{sfx}
 ),
-sel AS (
+sel{sfx} AS (
   SELECT doc_id,
          MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
                         ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS sel_key,
          COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
                         ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS n_in_win,
          pos
-  FROM keyed
+  FROM keyed{sfx}
 ),
-fp AS (
+fp{sfx} AS (
   SELECT DISTINCT doc_id,
          CAST(2147483648 - (sel_key % 2147483648) AS BIGINT) AS pos,
          CAST(sel_key // 2147483648 AS BIGINT) AS h
-  FROM sel WHERE n_in_win = {w} OR pos = 1
+  FROM sel{sfx} WHERE n_in_win = {w} OR pos = 1
 )"""
+
+
+def rowwise_winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """``winnowing_fingerprints`` as ONE scan-local array expression per
+    document — no window function, no shuffle — which makes it legal in
+    a streaming projection (Structured Streaming forbids non-time
+    windows; the per-doc argmin is a lambda over the doc's own shingle
+    array, so it never needed one). Output-identical to the windowed
+    operator (pinned in tests): same int64 argmin key, same rightmost
+    tie-break, same short-doc first-window branch.
+
+    Scale shape: zero shuffle — the ideal ingest-side sketch; cost is
+    one md5 per position computed inside codegen'd array lambdas."""
+    ws = F.split(F.col(text_col), " ")
+    np_ = F.size(ws) - (n - 1)
+    sh = F.transform(
+        F.sequence(F.lit(1), np_),
+        lambda j: F.concat_ws(" ", *[F.element_at(ws, j + k) for k in range(n)]),
+    )
+    two31 = F.lit(2147483648).cast("bigint")
+    keys = F.transform(
+        sh,
+        lambda s, i: (
+            F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint") % MERSENNE31
+        )
+        * two31
+        + (two31 - (i.cast("bigint") + 1)),
+    )
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(np_ - (w - 1), F.lit(1))),
+            lambda j: F.array_min(F.slice(keys, j, w)),
+        )
+    )
+    return (
+        df.where(np_ >= 1)
+        .select(F.col(id_col).alias("doc_id"), F.explode(sel).alias("sel_key"))
+        .select(
+            "doc_id",
+            (two31 - (F.col("sel_key") % two31)).cast("bigint").alias("pos"),
+            F.expr("sel_key div 2147483648").cast("bigint").alias("h"),
+        )
+        .distinct()
+    )

@@ -4219,3 +4219,82 @@ def q486_winnowing_fingerprints(spark, sf_dir):
             ).alias("containment"),
         )
     )
+
+
+_WING_BATCH_SQL = """
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, substr(text, strpos(text, ' ') + 1) AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id,
+         array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+  FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _winnowing_ingest_oracle_sql() -> str:
+    from variantcalling_spark.operators.dedup import winnowing_sql
+
+    return f"""
+WITH {winnowing_sql("SELECT doc_id, text FROM documents")},
+{winnowing_sql(_WING_BATCH_SQL, sfx="_b")},
+fpc AS (SELECT DISTINCT doc_id, h FROM fp),
+dfh AS (SELECT h, COUNT(*) AS ndocs FROM fpc GROUP BY h),
+idx AS (SELECT fpc.doc_id AS old_id, fpc.h FROM fpc JOIN dfh USING (h)
+        WHERE ndocs <= 100),
+fpn AS (SELECT DISTINCT doc_id AS new_id, h FROM fp_b),
+sizes AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_fp_new FROM fpn GROUP BY new_id),
+hits AS (
+  SELECT fpn.new_id, idx.old_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM fpn JOIN idx USING (h)
+  GROUP BY fpn.new_id, idx.old_id
+)
+SELECT h.new_id, h.old_id, h.n_shared, s.n_fp_new,
+       ROUND(h.n_shared / CAST(s.n_fp_new AS DOUBLE), 6) AS containment
+FROM hits h JOIN sizes s USING (new_id)
+WHERE ROUND(h.n_shared / CAST(s.n_fp_new AS DOUBLE), 6) >= 0.5
+"""
+
+
+@query("q493_winnowing_ingest_dedup", oracle=_winnowing_ingest_oracle_sql())
+def q493_winnowing_ingest_dedup(spark, sf_dir):
+    """WINNOWING DEDUP AT INGEST, batch replay (the EXACT-substring
+    member of the ingest-dedup matrix — q122 = MinHash/probabilistic,
+    q482 = embedding cosine, this = winnowing with its detection
+    GUARANTEE; the foreachBatch face lives in
+    streaming/winnowing_ingest.py with a stream==batch pin): a new
+    batch — exact copies of every 20th doc, first-word-dropped copies
+    of every 10th, and WORD-REVERSED copies of every 7th (every
+    1-gram survives reversal but almost no 3-gram does: the hard-
+    negative arm — at sf0.01 it yields just 3 borderline flags, all at
+    exactly 0.5, vs containment 1.0 for every exact copy) — computes
+    its fingerprints with the ROWWISE
+    scan-local operator (zero shuffle, stream-legal, pinned identical
+    to the windowed one) and probes the stored df<=100 index;
+    containment >= 0.5 flags.
+
+    Scale shape: index built once over the corpus (the q486 window
+    path); each ingest batch costs one array-lambda projection + an
+    equi-join on h + one bounded aggregate — O(|batch| + collisions)
+    per ingest at any corpus size."""
+    from variantcalling_spark.streaming.winnowing_ingest import (
+        build_fingerprint_index,
+        streaming_fingerprint_probe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    near = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    reversed_ = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.array_join(F.reverse(F.split("text", " ")), " ").alias("text"),
+    )
+    batch = exact.unionByName(near).unionByName(reversed_)
+    index = build_fingerprint_index(docs).transform(managed_persist)
+    return streaming_fingerprint_probe(batch, index, threshold=0.5)
