@@ -1185,3 +1185,68 @@ def rowwise_winnowing_fingerprints(
         )
         .distinct()
     )
+
+
+def tf_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Word n-gram shingles WITH term frequency: (doc_id, shingle, tf).
+    The multiset view ``shingles`` collapses — weighted Jaccard needs
+    it (a doc repeating a passage k times is NOT the same multiset as
+    one occurrence)."""
+    return (
+        positional_shingles(df, text_col, id_col, n)
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+
+
+def weighted_jaccard_for_pairs(pairs: DataFrame, tf: DataFrame) -> DataFrame:
+    """EXACT weighted (multiset) Jaccard for a GIVEN candidate pair set:
+    J_w = Sigma_s min(tf_a, tf_b) / Sigma_s max(tf_a, tf_b), folded to
+    all-integer arithmetic via Sigma max = tot_a + tot_b - Sigma min
+    (min = 0 off the shared support, so only SHARED shingles join).
+
+    The repetition-sensitive verify step binary Jaccard lacks: a doc
+    that repeats a boilerplate passage k times scores ~1.0 binary
+    (same shingle SET) but 1/k weighted — the signal that separates
+    template spam from genuine near-duplication.
+
+    Scale shape: ``jaccard_for_pairs``'s — one equi-join of candidates
+    against the tf relation per side, O(|docs| + Sigma_pairs |doc|),
+    never corpus^2; every quantity is BIGINT until one final division."""
+    tots = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("tot")).transform(
+        managed_persist
+    )
+    ta = tf.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("tf").alias("ta")
+    )
+    tb = tf.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("tf").alias("tb")
+    )
+    num = (
+        pairs.select("doc_a", "doc_b")
+        .join(ta, "doc_a")
+        .join(tb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("ta", "tb")).cast("bigint").alias("w_shared"))
+    )
+    tot_a = tots.select(F.col("doc_id").alias("doc_a"), F.col("tot").alias("tot_a"))
+    tot_b = tots.select(F.col("doc_id").alias("doc_b"), F.col("tot").alias("tot_b"))
+    return (
+        num.join(tot_a, "doc_a")
+        .join(tot_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "w_shared",
+            "tot_a",
+            "tot_b",
+            (
+                F.col("w_shared")
+                / (F.col("tot_a") + F.col("tot_b") - F.col("w_shared")).cast(
+                    "double"
+                )
+            ).alias("jaccard_weighted"),
+        )
+    )

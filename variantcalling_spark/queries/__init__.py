@@ -173,6 +173,7 @@ _PRIORITY = (
     "q491_louvain_local_move",
     "q492_dp_noisy_histogram",
     "q493_winnowing_ingest_dedup",
+    "q494_weighted_jaccard",
     # --- Round-8 block (never checked) ---
     "q421_multiprobe_ivf_recall",
     "q422_sieve_coverage_stream",

@@ -4298,3 +4298,104 @@ def q493_winnowing_ingest_dedup(spark, sf_dir):
     batch = exact.unionByName(near).unionByName(reversed_)
     index = build_fingerprint_index(docs).transform(managed_persist)
     return streaming_fingerprint_probe(batch, index, threshold=0.5)
+
+
+_WJ_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, substr(text, strpos(text, ' ') + 1) AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 400000 AS doc_id, text || ' ' || text AS text
+  FROM documents WHERE doc_id % 15 = 0
+"""
+
+
+def _weighted_jaccard_oracle_sql() -> str:
+    return f"""
+WITH corpus AS ({_WJ_CORPUS_SQL}),
+tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+psh AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM tok, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+),
+tf AS (SELECT doc_id, shingle, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM psh GROUP BY doc_id, shingle),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh,
+                 CAST(SUM(tf) AS BIGINT) AS tot
+          FROM tf GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared,
+         CAST(SUM(LEAST(a.tf, b.tf)) AS BIGINT) AS w_shared
+  FROM tf a JOIN tf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+  SELECT s.doc_a, s.doc_b,
+         s.n_shared / CAST(sa.n_sh + sb.n_sh - s.n_shared AS DOUBLE) AS jb,
+         s.w_shared / CAST(sa.tot + sb.tot - s.w_shared AS DOUBLE) AS jw
+  FROM shared s
+  JOIN sizes sa ON sa.doc_id = s.doc_a
+  JOIN sizes sb ON sb.doc_id = s.doc_b
+)
+SELECT doc_a, doc_b,
+       ROUND(jb, 6) AS jaccard_binary,
+       ROUND(jw, 6) AS jaccard_weighted,
+       ROUND(jb - jw, 6) AS repetition_gap
+FROM scored WHERE jb >= 0.5
+"""
+
+
+@query("q494_weighted_jaccard", oracle=_weighted_jaccard_oracle_sql())
+def q494_weighted_jaccard(spark, sf_dir):
+    """WEIGHTED (MULTISET) JACCARD vs BINARY — the repetition-
+    sensitivity ledger (binary Jaccard treats shingles as a SET, so a
+    document that simply REPEATS a passage scores ~1.0 against the
+    single-occurrence original and gets deleted as an exact near-dup;
+    the weighted score Sigma min(tf)/Sigma max(tf) calls it ~0.5 — the
+    signal separating template/boilerplate spam from true duplication):
+    every binary >= 0.5 pair in an augmented corpus carrying a planted
+    DOUBLED-text arm (every 15th doc twice-concatenated) is scored both
+    ways; the repetition_gap column isolates exactly the doubled pairs
+    (gap ~0.5) from the exact/near copies (gap ~0).
+
+    Scale discipline: discovery here is the lossless PPJoin prefix
+    filter on DISTINCT shingles (binary >= 0.5 is the discovery
+    predicate; the oracle keeps the naive shared-shingle join — the
+    q451 split); the weighted verify adds ONE integer sum per pair on
+    the same shared-shingle relation, tots are a broadcastable ledger."""
+    from variantcalling_spark.operators.dedup import (
+        jaccard_for_pairs,
+        prefix_filtered_pairs,
+        shingles,
+        tf_shingles,
+        weighted_jaccard_for_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.where(F.col("doc_id") % 15 == 0).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat_ws(" ", F.col("text"), F.col("text")).alias("text"),
+    )
+    c = corpus(spark, sf_dir).unionByName(doubled)
+    sh = shingles(c, n=3).transform(managed_persist)
+    cands = prefix_filtered_pairs(sh, threshold=0.5)
+    binary = jaccard_for_pairs(cands, sh).where(F.col("jaccard") >= 0.5)
+    tf = tf_shingles(c, n=3).transform(managed_persist)
+    weighted = weighted_jaccard_for_pairs(
+        binary.select("doc_a", "doc_b"), tf
+    )
+    return binary.select(
+        "doc_a", "doc_b", F.col("jaccard").alias("jb")
+    ).join(weighted, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("jb"), 6).alias("jaccard_binary"),
+        F.round(F.col("jaccard_weighted"), 6).alias("jaccard_weighted"),
+        F.round(F.col("jb") - F.col("jaccard_weighted"), 6).alias(
+            "repetition_gap"
+        ),
+    )
