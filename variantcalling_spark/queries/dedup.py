@@ -4399,3 +4399,210 @@ def q494_weighted_jaccard(spark, sf_dir):
             "repetition_gap"
         ),
     )
+
+
+_SCURVE_DROPS = (2, 8, 20, 40, 70)  # words dropped -> jaccard spectrum
+_SCURVE_B, _SCURVE_R = 8, 4
+
+
+def _s_curve_oracle_sql() -> str:
+    from variantcalling_spark.operators.dedup import (
+        MERSENNE31,
+        PORTABLE_HASH_SQL,
+        _minhash_coeffs,
+    )
+
+    p = MERSENNE31
+    phash = PORTABLE_HASH_SQL.format(col="shingle")
+    coeffs = _minhash_coeffs(_SCURVE_B * _SCURVE_R)
+    sig_cols = ",\n         ".join(
+        f"MIN((CAST({a} AS BIGINT) * v + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+
+    def bucket_expr(b):
+        acc = f"h{b * _SCURVE_R}"
+        for r in range(1, _SCURVE_R):
+            acc = f"(({acc}) * 8191 + h{b * _SCURVE_R + r}) % {p}"
+        return acc
+
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, {bucket_expr(b)} AS bucket FROM sig"
+        for b in range(_SCURVE_B)
+    )
+    variants = "\n  UNION ALL\n".join(
+        f"""  SELECT doc_id + {(i + 1) * 1000000} AS doc_id,
+         array_to_string(string_split(text, ' ')[{k + 1}:], ' ') AS text
+  FROM documents WHERE doc_id % 5 = 0"""
+        for i, k in enumerate(_SCURVE_DROPS)
+    )
+    pair_sel = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id AS doc_a, doc_id + {(i + 1) * 1000000} AS doc_b"
+        f" FROM documents WHERE doc_id % 5 = 0"
+        for i in range(len(_SCURVE_DROPS))
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+{variants}
+),
+prs AS (
+{pair_sel}
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+                   for i in generate_series(1, len(string_split(text, ' ')) - 2)]) AS shingle
+    FROM corpus
+  )
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT pr.doc_a, pr.doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM prs pr
+  JOIN sh a ON a.doc_id = pr.doc_a
+  JOIN sh b ON b.doc_id = pr.doc_b AND b.shingle = a.shingle
+  GROUP BY pr.doc_a, pr.doc_b
+),
+jacc AS (
+  SELECT s.doc_a, s.doc_b,
+         s.n_shared / CAST(sa.n_sh + sb.n_sh - s.n_shared AS DOUBLE) AS j
+  FROM shared s
+  JOIN sizes sa ON sa.doc_id = s.doc_a
+  JOIN sizes sb ON sb.doc_id = s.doc_b
+),
+hv AS (SELECT doc_id, {phash} AS v FROM sh),
+sig AS (SELECT doc_id, {sig_cols} FROM hv GROUP BY doc_id),
+bands AS (
+{band_selects}
+),
+coll AS (
+  SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b
+  FROM bands ba JOIN bands bb
+    ON ba.band = bb.band AND ba.bucket = bb.bucket
+  JOIN prs ON prs.doc_a = ba.doc_id AND prs.doc_b = bb.doc_id
+),
+scored AS (
+  SELECT j.j,
+         CASE WHEN coll.doc_a IS NOT NULL THEN 1 ELSE 0 END AS collided,
+         1.0 - (((1.0 - (j.j * j.j * j.j * j.j)) * (1.0 - (j.j * j.j * j.j * j.j)))
+                * ((1.0 - (j.j * j.j * j.j * j.j)) * (1.0 - (j.j * j.j * j.j * j.j))))
+             * ((((1.0 - (j.j * j.j * j.j * j.j)) * (1.0 - (j.j * j.j * j.j * j.j)))
+                * ((1.0 - (j.j * j.j * j.j * j.j)) * (1.0 - (j.j * j.j * j.j * j.j)))))
+           AS predicted
+  FROM jacc j LEFT JOIN coll ON coll.doc_a = j.doc_a AND coll.doc_b = j.doc_b
+)
+SELECT CAST(FLOOR(j * 10) AS INT) AS j_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(SUM(collided) / CAST(COUNT(*) AS DOUBLE), 6) AS measured_rate,
+       ROUND(CAST(SUM(CAST(ROUND(predicted, 9) AS DECIMAL(24,12))) AS DOUBLE)
+             / COUNT(*), 6) AS predicted_rate
+FROM scored
+GROUP BY j_decile
+"""
+
+
+@query("q495_lsh_s_curve_validation", oracle=_s_curve_oracle_sql())
+def q495_lsh_s_curve_validation(spark, sf_dir):
+    """LSH S-CURVE VALIDATION — does the THEORY the (b, r) dial is set
+    by match the IMPLEMENTATION? (q66 runs b=8 bands of r=4 rows
+    because P[collide] = 1-(1-j^4)^8 promises ~0.97 recall at j=0.8
+    and ~0.03 false-candidate rate at j=0.3; this harness checks that
+    promise against the ACTUAL portable-minhash banding, per jaccard
+    decile, on pairs with a CONTROLLED similarity spectrum — drop
+    2/8/20/40/70 leading words from every 5th doc): output is the
+    per-decile ledger (n_pairs, measured collision rate, mean
+    predicted rate). A systematic gap would mean the hash family or
+    the band fold is biased — the dial evidence, measured not cited.
+
+    Exactness: true jaccard from exact integer shingle counts
+    (identical doubles); the prediction avoids pow() entirely —
+    j^4 by explicit multiplication, (1-j^4)^8 by three squarings in a
+    fixed order, then 9dp DECIMAL snap — so both engines agree to the
+    bit. The pair set is ID-ARITHMETIC (source, source+offset): the
+    harness evaluates the banding function, it never discovers.
+
+    Scale shape: signatures one MIN-aggregate; collision check is an
+    equi-join on (band, bucket) restricted to the planted pairs;
+    everything else is a bounded per-pair ledger."""
+    from pyspark.sql import functions as _F
+
+    from variantcalling_spark.operators.dedup import (
+        jaccard_for_pairs,
+        portable_band_buckets,
+        portable_minhash_signatures,
+        shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    srcs = docs.where(F.col("doc_id") % 5 == 0)
+    ws = F.split("text", " ")
+    c = srcs
+    pair_parts = []
+    for i, k in enumerate(_SCURVE_DROPS):
+        off = (i + 1) * 1000000
+        c = c.unionByName(
+            srcs.select(
+                (F.col("doc_id") + off).alias("doc_id"),
+                F.array_join(F.slice(ws, k + 1, F.size(ws)), " ").alias("text"),
+            )
+        )
+        pair_parts.append(
+            srcs.select(
+                F.col("doc_id").alias("doc_a"),
+                (F.col("doc_id") + off).alias("doc_b"),
+            )
+        )
+    prs = pair_parts[0]
+    for part in pair_parts[1:]:
+        prs = prs.unionByName(part)
+    prs = prs.transform(managed_persist)
+
+    sh = shingles(c, n=3).transform(managed_persist)
+    jacc = jaccard_for_pairs(prs, sh).select("doc_a", "doc_b", F.col("jaccard").alias("j"))
+    sig = portable_minhash_signatures(sh, num_hashes=_SCURVE_B * _SCURVE_R)
+    bands = portable_band_buckets(
+        sig, num_bands=_SCURVE_B, rows_per_band=_SCURVE_R
+    ).transform(managed_persist)
+    ba = bands.select(F.col("doc_id").alias("doc_a"), "band", F.col("bucket").alias("ka"))
+    bb = bands.select(F.col("doc_id").alias("doc_b"), "band", F.col("bucket").alias("kb"))
+    coll = (
+        prs.join(ba, "doc_a")
+        .join(bb, ["doc_b", "band"])
+        .where(F.col("ka") == F.col("kb"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .withColumn("collided", F.lit(1))
+    )
+    j = F.col("j")
+    j4 = j * j * j * j
+    x = F.lit(1.0) - j4
+    x2 = x * x
+    x4 = x2 * x2
+    predicted = F.lit(1.0) - x4 * x4
+    scored = (
+        jacc.join(coll, ["doc_a", "doc_b"], "left")
+        .select(
+            "j",
+            F.coalesce("collided", F.lit(0)).alias("collided"),
+            predicted.alias("predicted"),
+        )
+    )
+    return scored.groupBy(
+        F.floor(F.col("j") * 10).cast("int").alias("j_decile")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.sum("collided") / F.count(F.lit(1)).cast("double"), 6).alias(
+            "measured_rate"
+        ),
+        F.round(
+            F.sum(F.round(F.col("predicted"), 9).cast("decimal(24,12)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("predicted_rate"),
+    )
