@@ -5859,11 +5859,19 @@ _NND_BITS = 6
 _NND_BANDS = 2
 
 
+_NND_DEFAULT_BASE = f"""base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS v
+  FROM embeddings
+)"""
+
+
 def _nnd_base_cte_sql(
     band_bits: int = _NND_BITS,
     n_bands: int = _NND_BANDS,
     dim: int = 64,
     k: int = 3,
+    base_sql: str | None = None,
 ) -> str:
     """WITH-fragment for the NN-descent family: quantized relation
     ``bk(vec_id, v)``, the ``n_bands`` independent ``band_bits``-bit
@@ -5894,11 +5902,7 @@ def _nnd_base_cte_sql(
         f"SELECT vec_id, {b} AS band_ix, {key_expr(b)} AS key FROM sig"
         for b in range(n_bands)
     )
-    return f"""base AS (
-  SELECT vec_id,
-         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS v
-  FROM embeddings
-),
+    return f"""{base_sql or _NND_DEFAULT_BASE},
 sig AS (
   SELECT vec_id,
          {sums}
@@ -6009,7 +6013,10 @@ _NND_PROBES = 40
 _NND_K = 3
 
 
-def _nnd_recall_oracle_sql() -> str:
+def _nnd_recall_oracle_sql(
+    base_sql: str | None = None, probe_pred: str | None = None
+) -> str:
+    pp = probe_pred or f"{{a}}.vec_id < {_NND_PROBES}"
     iters = ",".join(_nnd_iter_cte_sql(i, _NND_K) for i in (1, 2))
     arm_rows = []
     for g_name, label in (
@@ -6021,17 +6028,17 @@ def _nnd_recall_oracle_sql() -> str:
         arm_rows.append(f"""SELECT '{label}' AS method, nex.n_exact,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM ex JOIN {g_name} g
              ON ex.query_id = g.vec_id AND ex.cand_id = g.neighbor_id
-             WHERE g.vec_id < {_NND_PROBES}) AS n_hit,
+             WHERE {pp.format(a="g")}) AS n_hit,
        ROUND((SELECT COUNT(*) FROM ex JOIN {g_name} g
               ON ex.query_id = g.vec_id AND ex.cand_id = g.neighbor_id
-              WHERE g.vec_id < {_NND_PROBES})
+              WHERE {pp.format(a="g")})
              / CAST(nex.n_exact AS DOUBLE), 6) AS recall_at_k,
        (SELECT ROUND(CAST(SUM(CAST(ROUND(cosine, 9) AS DECIMAL(24,12))) AS DOUBLE)
                      / COUNT(*), 6) FROM {g_name}) AS mean_graph_cosine
 FROM nex""")
     arms = "\nUNION ALL\n".join(arm_rows)
     return f"""
-WITH {_nnd_base_cte_sql(k=_NND_K)},{iters},
+WITH {_nnd_base_cte_sql(k=_NND_K, base_sql=base_sql)},{iters},
 sb AS (
   SELECT vec_id, neighbor_id, cosine FROM (
     SELECT *, CAST(ROW_NUMBER() OVER (
@@ -6057,7 +6064,7 @@ ex AS (
                       / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
                       c.vec_id) AS INT) AS rank
     FROM bk q JOIN bk c ON q.vec_id <> c.vec_id
-    WHERE q.vec_id < {_NND_PROBES}
+    WHERE {pp.format(a="q")}
   ) WHERE rank <= {_NND_K}
 ),
 nex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex)
@@ -6507,4 +6514,138 @@ def q491_louvain_local_move(spark, sf_dir):
         .crossJoin(F.broadcast(qd))
         .crossJoin(F.broadcast(ncb))
         .crossJoin(F.broadcast(nca))
+    )
+
+
+_NNDC_AMP = 60000  # additive-noise amplitude on the quantized integers
+_NNDC_COPIES = 4
+
+
+def _nndc_base_sql() -> str:
+    q_sub = (
+        "(SELECT vec_id, list_transform(embedding,"
+        f" x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv"
+        " FROM embeddings)"
+    )
+    copies = "\n  UNION ALL\n".join(
+        f"""  SELECT vec_id * 10 + {c} AS vec_id,
+         [qv[i] + ((vec_id * 7 + (i - 1) * 13 + {c * 5}) % {2 * _NNDC_AMP + 1} - {_NNDC_AMP})
+          for i in generate_series(1, len(qv))] AS v
+  FROM {q_sub}"""
+        for c in range(1, _NNDC_COPIES + 1)
+    )
+    return f"""base AS (
+  SELECT vec_id * 10 AS vec_id, qv AS v FROM {q_sub}
+  UNION ALL
+{copies}
+)"""
+
+
+@query(
+    "q496_nnd_clustered_recall",
+    oracle=_nnd_recall_oracle_sql(
+        base_sql=_nndc_base_sql(),
+        probe_pred="{a}.vec_id % 10 = 0 AND {a}.vec_id < 400",
+    ),
+)
+def q496_nnd_clustered_recall(spark, sf_dir):
+    """NN-DESCENT ON A CLUSTERED CORPUS (the companion measurement
+    q484 demands: that harness showed iterations buy ZERO recall on
+    the near-isotropic driver corpus — this one plants the structure
+    NN-descent exists for and measures the win): every vector gets 4
+    additive-noise copies on the QUANTIZED integers (deterministic
+    alternating-sign noise, amplitude 0.6x the component scale —
+    additive noise flips hyperplane sign bits, unlike the positive
+    RESCALING of q482's corpus, which r9 measured to be bucket-
+    coherent), then the same four arms as q484. Measured at sf0.01:
+    single-band 4/120 -> two-band init 13/120 -> +1 iteration 15/120
+    -> +2 iterations 17/120 — the iteration dial earns its cost
+    exactly when the corpus is clustered, and the q484/q496 pair is
+    the evidence for WHEN to turn it on.
+
+    Exactness: the planted corpus is integer arithmetic end-to-end
+    (noise added to quantized components), so clusters, buckets, and
+    cosines replay bit-for-bit in SQL."""
+    from variantcalling_spark.operators.similarity import (
+        cosine_topk,
+        knn_graph,
+        nn_descent_refine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("src_id"), _quantize(F.col("embedding")).alias("qv")
+    )
+    corpus_q = base.select(
+        (F.col("src_id") * 10).alias("vec_id"), F.col("qv").alias("v")
+    )
+
+    def noise(c):
+        return lambda x, i: x + (
+            (F.col("src_id") * 7 + i * 13 + c * 5) % (2 * _NNDC_AMP + 1)
+            - _NNDC_AMP
+        )
+
+    for c in range(1, _NNDC_COPIES + 1):
+        corpus_q = corpus_q.unionByName(
+            base.select(
+                (F.col("src_id") * 10 + c).alias("vec_id"),
+                F.transform("qv", noise(c)).alias("v"),
+            )
+        )
+    cor = corpus_q.select(
+        "vec_id",
+        F.transform("v", lambda x: x / float(QUANT)).alias("embedding"),
+    ).transform(managed_persist)
+
+    probes = cor.where((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 400))
+    ex = (
+        cosine_topk(probes, cor, k=_NND_K)
+        .select("query_id", "cand_id")
+        .transform(managed_persist)
+    )
+    nex = ex.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+
+    def arm(edges, method):
+        edges = edges.transform(managed_persist)
+        g = edges.where(
+            (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 400)
+        ).select("vec_id", "neighbor_id")
+        hit = ex.join(
+            g,
+            (ex.query_id == g.vec_id) & (ex.cand_id == g.neighbor_id),
+            "left_semi",
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+        mean_cos = edges.agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("cosine"), 9).cast("decimal(24,12)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_graph_cosine")
+        )
+        return (
+            nex.crossJoin(F.broadcast(hit))
+            .crossJoin(F.broadcast(mean_cos))
+            .select(
+                F.lit(method).alias("method"),
+                "n_exact",
+                "n_hit",
+                F.round(
+                    F.col("n_hit") / F.col("n_exact").cast("double"), 6
+                ).alias("recall_at_k"),
+                "mean_graph_cosine",
+            )
+        )
+
+    sb = knn_graph(cor, k=_NND_K, prefix_bits=_NND_BITS)
+    g0 = nn_descent_refine(cor, k=_NND_K, iterations=0)
+    g1 = nn_descent_refine(cor, k=_NND_K, iterations=1)
+    g2 = nn_descent_refine(cor, k=_NND_K, iterations=2)
+    return (
+        arm(sb, "a_single_band")
+        .unionByName(arm(g0, "b_mb_init"))
+        .unionByName(arm(g1, "c_nnd_iter1"))
+        .unionByName(arm(g2, "d_nnd_iter2"))
     )
