@@ -176,6 +176,7 @@ _PRIORITY = (
     "q494_weighted_jaccard",
     "q495_lsh_s_curve_validation",
     "q496_nnd_clustered_recall",
+    "q497_lsh_band_planner",
     # --- Round-8 block (never checked) ---
     "q421_multiprobe_ivf_recall",
     "q422_sieve_coverage_stream",

@@ -4606,3 +4606,218 @@ def q495_lsh_s_curve_validation(spark, sf_dir):
             6,
         ).alias("predicted_rate"),
     )
+
+
+_PLAN_CONFIGS = tuple(
+    (b, r) for b in (4, 8, 16) for r in (2, 3, 4, 6, 8) if b * r <= 64
+)
+_PLAN_THRESH = 0.6
+
+
+def _pow_chain_sql(x: str, n: int) -> str:
+    """x^n as an explicit left-assoc multiplication chain (pow()-free:
+    libm pow differs across engines in the last ulp; products don't)."""
+    return "(" + " * ".join([x] * n) + ")"
+
+
+def _pow_chain_col(x, n: int):
+    acc = x
+    for _ in range(n - 1):
+        acc = acc * x
+    return acc
+
+
+def _band_planner_oracle_sql() -> str:
+    # reuse q495's controlled-spectrum pair relation
+    variants = "\n  UNION ALL\n".join(
+        f"""  SELECT doc_id + {(i + 1) * 1000000} AS doc_id,
+         array_to_string(string_split(text, ' ')[{k + 1}:], ' ') AS text
+  FROM documents WHERE doc_id % 5 = 0"""
+        for i, k in enumerate(_SCURVE_DROPS)
+    )
+    pair_sel = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id AS doc_a, doc_id + {(i + 1) * 1000000} AS doc_b"
+        f" FROM documents WHERE doc_id % 5 = 0"
+        for i in range(len(_SCURVE_DROPS))
+    )
+    arms = []
+    for b, r in _PLAN_CONFIGS:
+        jr = _pow_chain_sql("j", r)
+        p_coll = f"(1.0 - {_pow_chain_sql(f'(1.0 - {jr})', b)})"
+        arms.append(f"""SELECT {b} AS n_bands, {r} AS rows_per_band,
+       CAST(SUM(CASE WHEN j >= {_PLAN_THRESH} THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       ROUND(CAST(SUM(CASE WHEN j >= {_PLAN_THRESH}
+                  THEN CAST(ROUND({p_coll}, 9) AS DECIMAL(24,12))
+                  ELSE CAST(0 AS DECIMAL(24,12)) END) AS DOUBLE)
+             / SUM(CASE WHEN j >= {_PLAN_THRESH} THEN 1 ELSE 0 END), 6) AS pred_recall,
+       ROUND(CAST(SUM(CASE WHEN j < {_PLAN_THRESH}
+                  THEN CAST(ROUND({p_coll}, 9) AS DECIMAL(24,12))
+                  ELSE CAST(0 AS DECIMAL(24,12)) END) AS DOUBLE)
+             / SUM(CASE WHEN j < {_PLAN_THRESH} THEN 1 ELSE 0 END), 6) AS pred_fp_rate,
+       {b * r} AS n_hashes
+FROM jacc""")
+    arm_sql = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+{variants}
+),
+prs AS (
+{pair_sel}
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+                   for i in generate_series(1, len(string_split(text, ' ')) - 2)]) AS shingle
+    FROM corpus
+  )
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT pr.doc_a, pr.doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM prs pr
+  JOIN sh a ON a.doc_id = pr.doc_a
+  JOIN sh b ON b.doc_id = pr.doc_b AND b.shingle = a.shingle
+  GROUP BY pr.doc_a, pr.doc_b
+),
+jacc AS (
+  SELECT s.n_shared / CAST(sa.n_sh + sb.n_sh - s.n_shared AS DOUBLE) AS j
+  FROM shared s
+  JOIN sizes sa ON sa.doc_id = s.doc_a
+  JOIN sizes sb ON sb.doc_id = s.doc_b
+),
+grid AS (
+{arm_sql}
+)
+SELECT *,
+       CASE WHEN pred_recall = (SELECT MAX(pred_recall) FROM grid g2
+                                WHERE g2.pred_fp_rate <= 0.05)
+             AND pred_fp_rate <= 0.05
+             AND n_hashes = (SELECT MIN(n_hashes) FROM grid g3
+                             WHERE g3.pred_fp_rate <= 0.05
+                               AND g3.pred_recall = (SELECT MAX(pred_recall) FROM grid g4
+                                                     WHERE g4.pred_fp_rate <= 0.05))
+            THEN 1 ELSE 0 END AS chosen
+FROM grid
+"""
+
+
+@query("q497_lsh_band_planner", oracle=_band_planner_oracle_sql())
+def q497_lsh_band_planner(spark, sf_dir):
+    """LSH (b, r) PLANNER — q495 validated that the banding obeys
+    1-(1-j^r)^b; this operationalizes it: over the MEASURED similarity
+    spectrum of the corpus (the q495 controlled drop-k pairs standing
+    in for a pilot sample), evaluate the whole (b, r) grid and mark
+    the config that maximizes predicted recall on true (j >= 0.6)
+    pairs subject to a predicted false-candidate rate <= 5% on
+    non-dup pairs, cheapest signature on ties — the dial is now SET BY
+    DATA, not folklore (and the grid row for the shipped (8, 4)
+    default shows where it sits).
+
+    Exactness: every power is an explicit multiplication chain
+    (pow()-free), per-pair predictions snap to 9 dp and sum as
+    DECIMAL; the chosen flag is integer comparisons over the grid
+    ledger.
+
+    Scale shape: the spectrum is |pairs| rows (a pilot-sized sample at
+    production scale); the grid is {len(_PLAN_CONFIGS)} rows of
+    arithmetic — the planner itself is free."""
+    from variantcalling_spark.operators.dedup import (
+        jaccard_for_pairs,
+        shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    srcs = docs.where(F.col("doc_id") % 5 == 0)
+    ws = F.split("text", " ")
+    c = srcs
+    pair_parts = []
+    for i, k in enumerate(_SCURVE_DROPS):
+        off = (i + 1) * 1000000
+        c = c.unionByName(
+            srcs.select(
+                (F.col("doc_id") + off).alias("doc_id"),
+                F.array_join(F.slice(ws, k + 1, F.size(ws)), " ").alias("text"),
+            )
+        )
+        pair_parts.append(
+            srcs.select(
+                F.col("doc_id").alias("doc_a"),
+                (F.col("doc_id") + off).alias("doc_b"),
+            )
+        )
+    prs = pair_parts[0]
+    for part in pair_parts[1:]:
+        prs = prs.unionByName(part)
+    sh = shingles(c, n=3).transform(managed_persist)
+    jacc = (
+        jaccard_for_pairs(prs, sh)
+        .select(F.col("jaccard").alias("j"))
+        .transform(managed_persist)
+    )
+
+    t = F.lit(_PLAN_THRESH)
+    arms = None
+    for b, r in _PLAN_CONFIGS:
+        jr = _pow_chain_col(F.col("j"), r)
+        p_coll = F.lit(1.0) - _pow_chain_col(F.lit(1.0) - jr, b)
+        snapped = F.round(p_coll, 9).cast("decimal(24,12)")
+        zero = F.lit(0).cast("decimal(24,12)")
+        arm = jacc.agg(
+            F.sum(F.when(F.col("j") >= t, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_true"),
+            F.round(
+                F.sum(F.when(F.col("j") >= t, snapped).otherwise(zero)).cast(
+                    "double"
+                )
+                / F.sum(F.when(F.col("j") >= t, 1).otherwise(0)),
+                6,
+            ).alias("pred_recall"),
+            F.round(
+                F.sum(F.when(F.col("j") < t, snapped).otherwise(zero)).cast(
+                    "double"
+                )
+                / F.sum(F.when(F.col("j") < t, 1).otherwise(0)),
+                6,
+            ).alias("pred_fp_rate"),
+        ).select(
+            F.lit(b).alias("n_bands"),
+            F.lit(r).alias("rows_per_band"),
+            "n_true",
+            "pred_recall",
+            "pred_fp_rate",
+            F.lit(b * r).alias("n_hashes"),
+        )
+        arms = arm if arms is None else arms.unionByName(arm)
+    grid = arms.transform(managed_persist)
+    ok = grid.where(F.col("pred_fp_rate") <= 0.05)
+    best_recall = ok.agg(F.max("pred_recall").alias("mr"))
+    cheapest = (
+        ok.crossJoin(F.broadcast(best_recall))
+        .where(F.col("pred_recall") == F.col("mr"))
+        .agg(F.min("n_hashes").alias("mh"))
+    )
+    return (
+        grid.crossJoin(F.broadcast(best_recall))
+        .crossJoin(F.broadcast(cheapest))
+        .select(
+            "n_bands",
+            "rows_per_band",
+            "n_true",
+            "pred_recall",
+            "pred_fp_rate",
+            "n_hashes",
+            F.when(
+                (F.col("pred_fp_rate") <= 0.05)
+                & (F.col("pred_recall") == F.col("mr"))
+                & (F.col("n_hashes") == F.col("mh")),
+                1,
+            )
+            .otherwise(0)
+            .alias("chosen"),
+        )
+    )
