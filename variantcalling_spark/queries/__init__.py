@@ -177,6 +177,7 @@ _PRIORITY = (
     "q495_lsh_s_curve_validation",
     "q496_nnd_clustered_recall",
     "q497_lsh_band_planner",
+    "q498_winnowing_containment",
     # --- Round-8 block (never checked) ---
     "q421_multiprobe_ivf_recall",
     "q422_sieve_coverage_stream",

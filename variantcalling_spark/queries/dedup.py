@@ -4821,3 +4821,98 @@ def q497_lsh_band_planner(spark, sf_dir):
             .alias("chosen"),
         )
     )
+
+
+_WRAP_BATCH_SQL = """
+  SELECT doc_id + 500000 AS doc_id,
+         'begin wrapped reprint notice ' || text || ' end of reprinted material' AS text
+  FROM documents WHERE doc_id % 12 = 0
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id,
+         array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+  FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _containment_oracle_sql() -> str:
+    from variantcalling_spark.operators.dedup import winnowing_sql
+
+    return f"""
+WITH {winnowing_sql("SELECT doc_id, text FROM documents")},
+{winnowing_sql(_WRAP_BATCH_SQL, sfx="_b")},
+fpc AS (SELECT DISTINCT doc_id, h FROM fp),
+dfh AS (SELECT h, COUNT(*) AS ndocs FROM fpc GROUP BY h),
+idx AS (SELECT fpc.doc_id AS old_id, fpc.h FROM fpc JOIN dfh USING (h)
+        WHERE ndocs <= 100),
+osz AS (SELECT old_id, CAST(COUNT(*) AS BIGINT) AS n_fp_old FROM idx GROUP BY old_id),
+fpn AS (SELECT DISTINCT doc_id AS new_id, h FROM fp_b),
+hits AS (
+  SELECT fpn.new_id, idx.old_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM fpn JOIN idx USING (h)
+  GROUP BY fpn.new_id, idx.old_id
+)
+SELECT h.new_id, h.old_id, h.n_shared, o.n_fp_old,
+       ROUND(h.n_shared / CAST(o.n_fp_old AS DOUBLE), 6) AS containment_old
+FROM hits h JOIN osz o USING (old_id)
+WHERE ROUND(h.n_shared / CAST(o.n_fp_old AS DOUBLE), 6) >= 0.8
+"""
+
+
+@query("q498_winnowing_containment", oracle=_containment_oracle_sql())
+def q498_winnowing_containment(spark, sf_dir):
+    """CONTAINMENT-DIRECTION WINNOWING — SUPERSET detection (q493 asks
+    'is the NEW doc mostly old content?', normalizing by the new doc's
+    fingerprints; this asks the reverse: 'does the new doc CONTAIN an
+    entire old doc?', normalizing by the OLD doc's — the wrapper/
+    reprint/quotation shape, where a long new doc swallows a short old
+    one whole and symmetric Jaccard stays low): planted wrappers
+    (every 12th doc re-issued between boilerplate banners) must flag
+    their source at containment_old ~1 (winnowing fingerprints are
+    position-independent, so only the w-1 boundary windows differ);
+    word-reversed hard negatives must not.
+
+    Scale shape: q493's exactly — same index, same probe join, the
+    ONLY change is which side's fingerprint count divides; both
+    directions can be emitted from one probe pass in production."""
+    from variantcalling_spark.operators.dedup import (
+        rowwise_winnowing_fingerprints,
+    )
+    from variantcalling_spark.streaming.winnowing_ingest import (
+        build_fingerprint_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wrapped = docs.where(F.col("doc_id") % 12 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(
+            F.lit("begin wrapped reprint notice "),
+            F.col("text"),
+            F.lit(" end of reprinted material"),
+        ).alias("text"),
+    )
+    reversed_ = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.array_join(F.reverse(F.split("text", " ")), " ").alias("text"),
+    )
+    batch = wrapped.unionByName(reversed_)
+    index = build_fingerprint_index(docs).transform(managed_persist)
+    osz = index.groupBy(F.col("doc_id").alias("old_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fp_old")
+    )
+    fp_new = rowwise_winnowing_fingerprints(batch).select(
+        F.col("doc_id").alias("new_id"), "h"
+    ).distinct()
+    hits = (
+        fp_new.join(index.select(F.col("doc_id").alias("old_id"), "h"), "h")
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    return (
+        hits.join(osz, "old_id")
+        .withColumn(
+            "containment_old",
+            F.round(F.col("n_shared") / F.col("n_fp_old").cast("double"), 6),
+        )
+        .where(F.col("containment_old") >= 0.8)
+        .select("new_id", "old_id", "n_shared", "n_fp_old", "containment_old")
+    )
