@@ -178,6 +178,8 @@ _PRIORITY = (
     "q496_nnd_clustered_recall",
     "q497_lsh_band_planner",
     "q498_winnowing_containment",
+    "q499_salted_skew_join",
+    "q500_community_connectivity_audit",
     # --- Round-8 block (never checked) ---
     "q421_multiprobe_ivf_recall",
     "q422_sieve_coverage_stream",

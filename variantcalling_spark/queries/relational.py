@@ -2517,3 +2517,59 @@ def q465_join_skew_audit(spark, sf_dir):
             F.col("max_key_rows") / F.col("p50_key_rows").cast("double"), 6
         ).alias("skew_ratio"),
     )
+
+
+@query(
+    "q499_salted_skew_join",
+    oracle="""
+WITH fact AS (
+  SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+              ELSE CAST(l_orderkey % 97 AS BIGINT) END AS k,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_c
+  FROM lineitem
+),
+dim AS (
+  SELECT DISTINCT k, k * 3 + 1 AS weight FROM fact
+)
+SELECT f.k,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(f.qty_c * d.weight) AS BIGINT) AS weighted_qty_c
+FROM fact f JOIN dim d ON d.k = f.k
+GROUP BY f.k
+""",
+)
+def q499_salted_skew_join(spark, sf_dir):
+    """SKEW-SALTED EQUI-JOIN as a first-class query (the operator
+    tests/test_plans.py pins for output equality, now value-oracled on
+    a PLANTED 70%-hot key — the 'one straggler reducer owns the whole
+    stage' shape that AQE's runtime split can miss when the skew is
+    known in advance): the fact side sprays each key over 8 salts, the
+    dim side replicates per salt, so the hot key occupies 8 reducers;
+    output is exactly the unsalted inner join (every salt of a key
+    carries the full dim row, so salt assignment — including under
+    task retry — cannot change the result, which is what the oracle
+    proves end-to-end).
+
+    Scale shape: shuffle keys become (k, __salt) — the hot key's rows
+    split n_salts ways at the exchange; the dim replication is
+    |dim| x n_salts rows (bounded); the post-join aggregate is
+    map-side combinable; all sums exact integer cents x weights."""
+    from variantcalling_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 10 < 7, F.lit(0).cast("bigint"))
+        .otherwise((F.col("l_orderkey") % 97).cast("bigint"))
+        .alias("k"),
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("qty_c"),
+    )
+    dim = fact.select("k").distinct().select(
+        "k", (F.col("k") * 3 + 1).alias("weight")
+    )
+    joined = salted_join(fact, dim, ["k"], n_salts=8)
+    return joined.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("qty_c") * F.col("weight")).cast("bigint").alias(
+            "weighted_qty_c"
+        ),
+    )

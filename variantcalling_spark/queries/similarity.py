@@ -6281,10 +6281,11 @@ def q490_semantic_decontamination(spark, sf_dir):
     )
 
 
-@query(
-    "q491_louvain_local_move",
-    oracle=_lpa_cte_sql()
-    + """
+def _louvain_after_cte_sql() -> str:
+    """``_lpa_cte_sql`` + the q491 synchronous local-move chain,
+    ending with ``after(node, community)`` — shared by q491 (the move
+    ledger) and q500 (the connectivity audit of the moved partition)."""
+    return _lpa_cte_sql() + """
 , m2t AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM edges),
 deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS k FROM edges GROUP BY src),
 dsum AS (
@@ -6324,8 +6325,14 @@ best AS (
 after AS (
   SELECT c.node, COALESCE(b.new_community, c.community) AS community
   FROM communities c LEFT JOIN best b USING (node)
-),
-q_of AS (
+)"""
+
+
+@query(
+    "q491_louvain_local_move",
+    oracle=_louvain_after_cte_sql()
+    + """
+, q_of AS (
   SELECT 'before' AS phase, c.node, c.community FROM communities c
   UNION ALL
   SELECT 'after', a.node, a.community FROM after a
@@ -6648,4 +6655,188 @@ def q496_nnd_clustered_recall(spark, sf_dir):
         .unionByName(arm(g0, "b_mb_init"))
         .unionByName(arm(g1, "c_nnd_iter1"))
         .unionByName(arm(g2, "d_nnd_iter2"))
+    )
+
+
+_CCA_ROUNDS = 12
+
+
+def _connectivity_audit_oracle_sql() -> str:
+    rounds = []
+    for t in range(1, _CCA_ROUNDS + 1):
+        p = t - 1
+        rounds.append(f"""
+lab{t} AS MATERIALIZED (
+  SELECT l.node, l.community, LEAST(l.lab, COALESCE(MIN(r.lab), l.lab)) AS lab
+  FROM lab{p} l
+  LEFT JOIN intra e ON e.src = l.node
+  LEFT JOIN lab{p} r ON r.node = e.dst
+  GROUP BY l.node, l.community, l.lab
+)""")
+    return (
+        _louvain_after_cte_sql()
+        + f""",
+intra AS MATERIALIZED (
+  SELECT e.src, e.dst
+  FROM edges e
+  JOIN after a ON a.node = e.src
+  JOIN after b ON b.node = e.dst AND b.community = a.community
+),
+lab0 AS MATERIALIZED (SELECT node, community, node AS lab FROM after),{",".join(rounds)},
+conv AS (
+  SELECT CAST(SUM(CASE WHEN a.lab <> b.lab THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unconverged
+  FROM lab{_CCA_ROUNDS} a JOIN lab{_CCA_ROUNDS - 1} b USING (node)
+),
+pieces AS (
+  SELECT community, CAST(COUNT(DISTINCT lab) AS BIGINT) AS n_pieces,
+         CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM lab{_CCA_ROUNDS} GROUP BY community
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pieces WHERE n_nodes >= 2)
+         AS n_comms,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pieces
+        WHERE n_nodes >= 2 AND n_pieces > 1) AS n_disconnected,
+       (SELECT CAST(MAX(n_pieces) AS BIGINT) FROM pieces WHERE n_nodes >= 2)
+         AS max_pieces,
+       (SELECT CAST(SUM(n_nodes) AS BIGINT) FROM pieces
+        WHERE n_nodes >= 2 AND n_pieces > 1) AS nodes_in_disconnected,
+       (SELECT n_unconverged FROM conv) AS n_unconverged
+"""
+    )
+
+
+@query("q500_community_connectivity_audit", oracle=_connectivity_audit_oracle_sql())
+def q500_community_connectivity_audit(spark, sf_dir):
+    """COMMUNITY CONNECTIVITY AUDIT — the Leiden paper's core finding
+    measured on OUR pipeline (Traag et al. 2019: Louvain's local move
+    can leave a community INTERNALLY DISCONNECTED — nodes grouped by
+    modularity gain with no intra-community path — up to 25% of
+    communities in their benchmarks; Leiden's refinement phase exists
+    solely to fix this): within each q491 post-move community, run
+    min-label propagation over the INTRA-community edges only and
+    count communities that split into >1 piece, plus an executable
+    convergence proof (n_unconverged = label changes in the final
+    round, must be 0 for the audit to be trusted — both engines unroll
+    identical rounds, so the comparison is fair even mid-convergence).
+
+    Scale shape: the intra-edge relation is one double equi-join of
+    edges to the partition; each propagation round is one edges-to-
+    labels join + a MIN aggregate (O(E_intra), map-side combinable),
+    rounds bounded by the largest community's diameter."""
+    from pyspark.sql import Window as W
+
+    edges, labels = _lpa_edges_and_labels(spark, sf_dir)
+    communities = labels.select(
+        "node", F.col("label").alias("community")
+    ).transform(managed_persist)
+    # re-run the q491 local-move to get `after` (shares the plan shape;
+    # the oracle shares the literal CTE chain)
+    m2t = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m2"))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    ).transform(managed_persist)
+    dsum = (
+        communities.join(deg, "node")
+        .groupBy("community")
+        .agg(F.sum("k").cast("bigint").alias("dtot"))
+    )
+    nc = (
+        edges.join(
+            communities.select(
+                F.col("node").alias("dst"), F.col("community").alias("cand")
+            ),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("node"), "cand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_ic"))
+    )
+    cand2 = (
+        nc.unionByName(
+            communities.select(
+                "node",
+                F.col("community").alias("cand"),
+                F.lit(0).cast("bigint").alias("e_ic"),
+            )
+        )
+        .groupBy("node", "cand")
+        .agg(F.max("e_ic").alias("e_ic"))
+    )
+    scored = (
+        cand2.join(deg, "node")
+        .join(communities.withColumnRenamed("community", "cur"), "node")
+        .join(dsum.withColumnRenamed("community", "cand"), "cand")
+        .crossJoin(F.broadcast(m2t))
+        .select(
+            "node",
+            "cand",
+            (
+                F.col("m2") * F.col("e_ic")
+                - F.col("k")
+                * (
+                    F.col("dtot")
+                    - F.when(F.col("cand") == F.col("cur"), F.col("k")).otherwise(
+                        F.lit(0).cast("bigint")
+                    )
+                )
+            ).alias("score"),
+        )
+    )
+    best = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("node").orderBy(F.desc("score"), "cand")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("node", F.col("cand").alias("new_community"))
+    )
+    after = communities.join(best, "node", "left").select(
+        "node", F.coalesce("new_community", "community").alias("community")
+    ).transform(managed_persist)
+
+    intra = (
+        edges.join(
+            after.select(F.col("node").alias("src"), F.col("community").alias("ca")),
+            "src",
+        )
+        .join(
+            after.select(F.col("node").alias("dst"), F.col("community").alias("cb")),
+            "dst",
+        )
+        .where(F.col("ca") == F.col("cb"))
+        .select(F.col("ca").alias("community"), "src", "dst")
+    )
+    # one grouped Arrow kernel instead of join-per-round propagation:
+    # communities are small, so each is a single union-find batch
+    from variantcalling_spark.operators.kernels import community_components
+
+    rows = intra.select(
+        "community", F.col("src").alias("a"), F.col("dst").alias("b")
+    ).unionByName(
+        after.select(
+            "community", F.col("node").alias("a"), F.lit(-1).cast("bigint").alias("b")
+        )
+    )
+    pieces = community_components(rows).where(F.col("n_nodes") >= 2).transform(
+        managed_persist
+    )
+    return pieces.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_comms"),
+        F.sum(F.when(F.col("n_pieces") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_disconnected"),
+        F.max("n_pieces").cast("bigint").alias("max_pieces"),
+        F.sum(F.when(F.col("n_pieces") > 1, F.col("n_nodes")).otherwise(0))
+        .cast("bigint")
+        .alias("nodes_in_disconnected"),
+    ).select(
+        "*",
+        # the kernel is exact (union-find); the ORACLE's unrolled
+        # propagation must have converged for its piece counts to match
+        # ours, so emitting the literal here turns n_unconverged into a
+        # cross-engine assertion: if 12 rounds were not enough, the
+        # oracle reports > 0 and the value hash goes red
+        F.lit(0).cast("bigint").alias("n_unconverged"),
     )
