@@ -181,6 +181,7 @@ _PRIORITY = (
     "q499_salted_skew_join",
     "q500_community_connectivity_audit",
     "q501_dedup_method_matrix",
+    "q502_incremental_knn_graph",
     # --- Round-8 block (never checked) ---
     "q421_multiprobe_ivf_recall",
     "q422_sieve_coverage_stream",

@@ -6840,3 +6840,155 @@ def q500_community_connectivity_audit(spark, sf_dir):
         # oracle reports > 0 and the value hash goes red
         F.lit(0).cast("bigint").alias("n_unconverged"),
     )
+
+
+def _inc_knn_oracle_sql(prefix_bits: int = 6, dim: int = 64, k: int = 3) -> str:
+    """FULL-REBUILD oracle for the incremental graph: the q132 chain
+    over the UNION corpus. Incremental == rebuild is exact, not
+    approximate — band keys are static, so the union's in-bucket pair
+    set is exactly (old x old) + (new x union), which is what the
+    incremental path scores."""
+    from variantcalling_spark.operators.similarity import _plane_signs
+
+    signs = _plane_signs(prefix_bits, dim)
+
+    def plane_vec(p):
+        return "[" + ",".join(f"{signs[d][p]:.1f}" for d in range(dim)) + "]"
+
+    sums = ",\n         ".join(
+        f"list_dot_product(vd, {plane_vec(p)}) AS s{p}" for p in range(prefix_bits)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN s{p} > 0 THEN {2**p} ELSE 0 END)" for p in range(prefix_bits)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+uni AS (
+  SELECT vec_id, qv AS v FROM q
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         [qv[i] * (10 + (vec_id + i - 1) % 7 - 3)
+          for i in generate_series(1, len(qv))] AS v
+  FROM q WHERE vec_id % 10 = 0
+  UNION ALL
+  SELECT vec_id + 300000 AS vec_id, list_transform(qv, x -> -x) AS v
+  FROM q WHERE vec_id % 7 = 0
+),
+sig AS (
+  SELECT vec_id, v, {sums}
+  FROM (SELECT vec_id, v, list_transform(v, x -> CAST(x AS DOUBLE)) AS vd FROM uni)
+),
+bk AS (SELECT vec_id, v, {bucket} AS bucket FROM sig),
+scored AS (
+  SELECT a.vec_id AS vec_id, c.vec_id AS neighbor_id,
+         list_dot_product(a.v, c.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+  FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+)
+SELECT vec_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+@query("q502_incremental_knn_graph", oracle=_inc_knn_oracle_sql())
+def q502_incremental_knn_graph(spark, sf_dir):
+    """INCREMENTAL kNN-GRAPH MAINTENANCE AT INGEST (the GRAPH member
+    of the ingest matrix — q122 maintains the dedup index, q482 the
+    semantic index, this maintains the kNN graph SemDeDup/MP/LPA all
+    ride): an arriving batch (integer rescales + negated vectors)
+    probes the stored single-band bucketing; only (new x union)
+    in-bucket pairs are scored — in BOTH directions, so existing
+    vectors' neighborhoods update when a new arrival beats their
+    current top-k — and the result is re-ranked against the stored
+    edges. The oracle is the FULL REBUILD over the union corpus, and
+    the match is EXACT, not approximate: band keys are static, so the
+    union's in-bucket pair set is precisely (old x old) + (new x
+    union), which is what the incremental path scores. Cost per
+    ingest: O(|batch| + collisions) instead of re-scoring the corpus.
+
+    Scale shape: the stored graph and the stored bucketed relation
+    are read, never re-joined against themselves; the probe is one
+    equi-join on bucket; the merge is the NN-descent union/max/top-k
+    shape."""
+    from pyspark.sql import Window as W
+
+    from variantcalling_spark.operators.similarity import (
+        _band_slices_arrow,
+        _cosine_prenorm_arrow,
+        _dot,
+        knn_graph,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", _quantize(F.col("embedding")).alias("v"))
+    rescaled = (
+        q.where(F.col("vec_id") % 10 == 0)
+        .select(
+            "vec_id",
+            F.transform(
+                "v", lambda x, i: x * (10 + (F.col("vec_id") + i) % 7 - 3)
+            ).alias("v"),
+        )
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "v")
+    )
+    negated = q.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 300000).alias("vec_id"),
+        F.transform("v", lambda x: -x).alias("v"),
+    )
+    new = rescaled.unionByName(negated)
+
+    # stored state: the old graph + the old bucketed relation
+    old_graph = knn_graph(emb, k=3, prefix_bits=6).select(
+        "vec_id", "neighbor_id", "cosine"
+    ).transform(managed_persist)
+    bucket = _band_slices_arrow(6, 1)
+
+    def keyed(vdf):
+        return vdf.select(
+            "vec_id",
+            "v",
+            F.element_at(bucket(F.col("v")), 1).alias("bucket"),
+            F.sqrt(_dot(F.col("v"), F.col("v")).cast("double")).alias("norm"),
+        )
+
+    old_b = keyed(q).transform(managed_persist)
+    new_b = keyed(new).transform(managed_persist)
+    uni_b = old_b.unionByName(new_b)
+
+    n, u = new_b.alias("n"), uni_b.alias("u")
+    probe = (
+        n.join(u, (F.col("n.bucket") == F.col("u.bucket"))
+               & (F.col("n.vec_id") != F.col("u.vec_id")))
+        .select(
+            F.col("n.vec_id").alias("vec_id"),
+            F.col("u.vec_id").alias("neighbor_id"),
+            _cosine_prenorm_arrow()(
+                F.col("n.v"), F.col("u.v"), F.col("n.norm"), F.col("u.norm")
+            ).alias("cosine"),
+        )
+    )
+    # both directions: new vectors' own neighborhoods AND existing
+    # vectors seeing the arrivals
+    both = probe.unionByName(
+        probe.select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            "cosine",
+        )
+    ).where(F.col("vec_id") != F.col("neighbor_id"))
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        old_graph.unionByName(both)
+        .groupBy("vec_id", "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("vec_id", "neighbor_id", "cosine", "rank")
+    )
