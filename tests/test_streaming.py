@@ -1046,3 +1046,64 @@ def test_streaming_winnowing_ingest_equals_batch(spark, tmp_path):
         sq.stop()
     got = {(n, o, s, c) for (_, n, o, s, c) in sink}
     assert got == want
+
+
+def test_streaming_graph_ingest_equals_rebuild(spark, tmp_path):
+    """Streaming kNN-graph maintenance (q502's stateful face): vectors
+    arriving over MULTIPLE micro-batches, each merged into carried
+    (graph, stored) state with localCheckpoint per batch — the final
+    graph must equal the FULL REBUILD over everything ingested,
+    bit-for-bit (static band keys + the top-k merge property, applied
+    inductively)."""
+    from pyspark.sql import functions as F2
+
+    from variantcalling_spark.operators.similarity import _quantize, knn_graph
+    from variantcalling_spark.sources import load_table
+    from variantcalling_spark.streaming.graph_ingest import (
+        graph_ingest_stream,
+        keyed_vectors,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.select("vec_id", _quantize(F2.col("embedding")).alias("v"))
+    old = q.where(F2.col("vec_id") % 3 != 0)
+    arriving = q.where(F2.col("vec_id") % 3 == 0)
+
+    new_dir = str(tmp_path / "vec_stream")
+    # several files -> several micro-batches (order is irrelevant to
+    # the final state: the merge is a commutative top-k refinement)
+    arriving.repartition(3).write.mode("overwrite").parquet(new_dir)
+
+    init_stored = keyed_vectors(old)
+    init_graph = (
+        knn_graph(
+            old.select("vec_id", (F2.transform("v", lambda x: x / 100000.0)).alias("embedding")),
+            k=3,
+            prefix_bits=6,
+        ).select("vec_id", "neighbor_id", "cosine")
+    )
+    state: dict = {}
+    sq = graph_ingest_stream(
+        spark.readStream.schema(arriving.schema).option("maxFilesPerTrigger", 1).parquet(new_dir),
+        init_stored,
+        init_graph,
+        state,
+    )
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+
+    got = {
+        (r.vec_id, r.neighbor_id, round(r.cosine, 9))
+        for r in state["graph"].collect()
+    }
+    want = {
+        (r.vec_id, r.neighbor_id, round(r.cosine, 9))
+        for r in knn_graph(
+            q.select("vec_id", F2.transform("v", lambda x: x / 100000.0).alias("embedding")),
+            k=3,
+            prefix_bits=6,
+        ).select("vec_id", "neighbor_id", "cosine").collect()
+    }
+    assert got == want
