@@ -910,8 +910,8 @@ def test_nn_descent_monotone_improvement(spark, sf_dir):
     from variantcalling_spark.sources import load_table
 
     emb = load_table(spark, sf_dir, "embeddings").cache()
-    g0 = nn_descent_refine(emb, k=3, iterations=0).toPandas()
-    g1 = nn_descent_refine(emb, k=3, iterations=1).toPandas()
+    g0 = nn_descent_refine(emb, k=3, band_bits=6, iterations=0).toPandas()
+    g1 = nn_descent_refine(emb, k=3, band_bits=6, iterations=1).toPandas()
 
     per = g1.groupby("vec_id")
     assert per.size().max() <= 3
@@ -926,12 +926,12 @@ def test_nn_descent_monotone_improvement(spark, sf_dir):
     sb = knn_graph(emb, k=3, prefix_bits=6).toPandas()
     dominates(sb, g0)  # 2-band init sees a superset of band-0 pairs
     dominates(g0, g1)
-    g2 = nn_descent_refine(emb, k=3, iterations=2).toPandas()
+    g2 = nn_descent_refine(emb, k=3, band_bits=6, iterations=2).toPandas()
     dominates(g1, g2)
 
     # (c) single-band fixed point: iteration cannot leave the bucket
-    f0 = nn_descent_refine(emb, k=3, init_bands=1, iterations=0).toPandas()
-    f1 = nn_descent_refine(emb, k=3, init_bands=1, iterations=1).toPandas()
+    f0 = nn_descent_refine(emb, k=3, band_bits=6, init_bands=1, iterations=0).toPandas()
+    f1 = nn_descent_refine(emb, k=3, band_bits=6, init_bands=1, iterations=1).toPandas()
     e0 = set(zip(f0["vec_id"], f0["neighbor_id"]))
     e1 = set(zip(f1["vec_id"], f1["neighbor_id"]))
     assert e0 == e1

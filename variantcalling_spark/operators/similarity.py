@@ -1450,7 +1450,7 @@ def ivf_pq_rerank_topk(
 def nn_descent_refine(
     vecs: DataFrame,
     k: int = 3,
-    band_bits: int = 6,
+    band_bits: int | None = None,
     init_bands: int = 2,
     iterations: int = 1,
     id_col: str = "vec_id",
@@ -1486,7 +1486,16 @@ def nn_descent_refine(
 
     Reference parity: the reference has no ANN-graph surface; this
     extends the LLM-pipeline similarity family (SURVEY.md LLM ops).
+
+    ``band_bits=None`` (default) sizes each band with
+    ``adaptive_knn_bits`` so per-band pair volume stays linear in the
+    corpus — the fixed 6-bit dial measured quadratic-dead at 100x
+    (575k vectors / 64 buckets; the round's recurring fixed-dial
+    class). The explicit value exists for oracle determinism; at
+    sf0.01 the adaptive rule lands on 6 anyway (the q146 argument).
     """
+    if band_bits is None:
+        band_bits = adaptive_knn_bits(vecs.count())
     sl = _band_slices_arrow(band_bits * init_bands, init_bands)
     base = vecs.select(
         F.col(id_col).alias("vec_id"), _quantize(F.col(vec_col)).alias("v")

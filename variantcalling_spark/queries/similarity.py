@@ -6647,9 +6647,9 @@ def q496_nnd_clustered_recall(spark, sf_dir):
         )
 
     sb = knn_graph(cor, k=_NND_K, prefix_bits=_NND_BITS)
-    g0 = nn_descent_refine(cor, k=_NND_K, iterations=0)
-    g1 = nn_descent_refine(cor, k=_NND_K, iterations=1)
-    g2 = nn_descent_refine(cor, k=_NND_K, iterations=2)
+    g0 = nn_descent_refine(cor, k=_NND_K, band_bits=_NND_BITS, iterations=0)
+    g1 = nn_descent_refine(cor, k=_NND_K, band_bits=_NND_BITS, iterations=1)
+    g2 = nn_descent_refine(cor, k=_NND_K, band_bits=_NND_BITS, iterations=2)
     return (
         arm(sb, "a_single_band")
         .unionByName(arm(g0, "b_mb_init"))
