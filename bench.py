@@ -117,13 +117,46 @@ def main() -> None:
     # constant local[32] scheduling floor. Opt out with
     # SPARK_GRAFT_SCALE2=0; auto-generates ~170 MB on first run.
     scale2 = _second_scale_point(spark, registry)
-    if scale2:
-        result["scale2"] = scale2
     scale3 = _third_scale_point(spark, registry)
-    if scale3:
-        result["scale3"] = scale3
+    for line in emission_lines(result, scale2, scale3):
+        print(line)
 
-    print(json.dumps(result))
+
+def emission_lines(result: dict, scale2: dict | None, scale3: dict | None) -> list[str]:
+    """Serialize the bench record as JSON lines, HEADLINE LAST.
+
+    r9 lesson: the driver captures only the last ~4 KB of stdout, and
+    r9's single-line record (headline + scale2 + spreads) grew past
+    that — the official BENCH_r09.json kept only the scale2 half of a
+    truncated dict (``parsed: null``). Emitting the big scale records
+    first and a compact self-contained headline line last guarantees
+    the tail capture always ends with a parseable headline dict
+    (~2.3 KB for 24 queries, separators-compacted). The headline line
+    carries the scale2/scale3 TOTALS inline so the one-line record is
+    complete even when the tail loses the detail lines entirely.
+    """
+    lines: list[str] = []
+    compact = dict(result)
+    if scale2:
+        lines.append(json.dumps({"metric": "scale2_detail", **scale2}))
+        compact["scale2_value"] = scale2["value"]
+        compact["scale2_fixed_set_value"] = scale2["fixed_set_value"]
+        compact["scale2_fixed_set_n"] = scale2["fixed_set_n"]
+    if scale3:
+        lines.append(json.dumps({"metric": "scale3_detail", **scale3}))
+        compact["scale3_value"] = scale3["value"]
+    # Never let the last line outgrow the capture: shed detail in
+    # order of dispensability (spread first, per-query values last —
+    # the totals always survive).
+    headline = json.dumps(compact, separators=(",", ":"))
+    for victim, marker in (("spread", "spread_dropped"), ("queries", "queries_dropped")):
+        if len(headline) <= 4000:
+            break
+        compact = {k: v for k, v in compact.items() if k != victim}
+        compact[marker] = True
+        headline = json.dumps(compact, separators=(",", ":"))
+    lines.append(headline)
+    return lines
 
 
 # Data-plane-heavy subset for the second scale point (the floor-bound

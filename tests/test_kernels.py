@@ -551,3 +551,45 @@ def test_lcs_lengths_survives_non_latin1(spark):
     )
     rows = {r.pair_id: r.lcs_len for r in lcs_lengths(df).collect()}
     assert rows[0] == 6 and rows[1] == 3
+
+
+def test_community_components_cap_fallback_equals_kernel(spark):
+    """r9 ADVICE guard: communities larger than ``max_group_rows`` take
+    the distributed star-contraction path instead of one Arrow group.
+    Forcing the cap to 1 routes EVERY community through the fallback —
+    output must equal the unconstrained kernel, including isolated
+    marker-only nodes and multi-piece communities."""
+    from variantcalling_spark.operators.kernels import community_components
+
+    # community 1: path 1-2-3 plus isolated 4 (2 pieces)
+    # community 2: two pairs 10-11, 12-13 (2 pieces)
+    # community 3: singleton marker only (1 piece)
+    # community 4: triangle 20-21-22 + chain 23-24 (2 pieces)
+    edges = [
+        (1, 1, 2), (1, 2, 3),
+        (2, 10, 11), (2, 12, 13),
+        (4, 20, 21), (4, 21, 22), (4, 20, 22), (4, 23, 24),
+    ]
+    markers = [(1, n) for n in (1, 2, 3, 4)] + [(2, n) for n in (10, 11, 12, 13)]
+    markers += [(3, 99)] + [(4, n) for n in (20, 21, 22, 23, 24)]
+    rows = spark.createDataFrame(
+        [(c, a, b) for c, a, b in edges]
+        + [(c, a, -1) for c, a in markers],
+        "community long, a long, b long",
+    )
+    want = {
+        (r.community, r.n_nodes, r.n_pieces)
+        for r in community_components(rows).collect()
+    }
+    assert want == {(1, 4, 2), (2, 4, 2), (3, 1, 1), (4, 5, 2)}
+    got = {
+        (r.community, r.n_nodes, r.n_pieces)
+        for r in community_components(rows, max_group_rows=1).collect()
+    }
+    assert got == want
+    # mixed routing: only community 4 (9 rows) exceeds a cap of 8
+    mixed = {
+        (r.community, r.n_nodes, r.n_pieces)
+        for r in community_components(rows, max_group_rows=8).collect()
+    }
+    assert mixed == want

@@ -1048,6 +1048,57 @@ def test_streaming_winnowing_ingest_equals_batch(spark, tmp_path):
     assert got == want
 
 
+def test_winnowing_probe_counts_distinct_hashes_not_positions(spark):
+    """Regression (r9 advice): a new doc that internally REPEATS a
+    >=w+n-1-word passage emits the same fingerprint hash at multiple
+    positions. The probe must count DISTINCT hashes (matching the q493
+    oracle's SELECT DISTINCT and q498's batch probe), not positions —
+    before the fix both n_fp_new and n_shared were inflated on exactly
+    this doc shape."""
+    from pyspark.sql import functions as F2
+
+    from variantcalling_spark.operators.dedup import winnowing_fingerprints
+    from variantcalling_spark.streaming.winnowing_ingest import (
+        build_fingerprint_index,
+        streaming_fingerprint_probe,
+    )
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [(1, passage + " iota kappa"), (2, "unrelated words entirely here now")],
+        "doc_id long, text string",
+    )
+    # new doc repeats the passage three times -> same hashes, many positions
+    new = spark.createDataFrame(
+        [(100, " ".join([passage] * 3))], "doc_id long, text string"
+    )
+    index = build_fingerprint_index(corpus)
+    got = {
+        (r.new_id, r.old_id, r.n_shared, r.n_fp_new)
+        for r in streaming_fingerprint_probe(new, index, threshold=0.0).collect()
+    }
+    # independent expectation from DISTINCT hash sets
+    fp_new = (
+        winnowing_fingerprints(new)
+        .select(F2.col("doc_id").alias("new_id"), "h")
+        .distinct()
+    )
+    sizes = {r.new_id: r.n for r in fp_new.groupBy("new_id").agg(F2.count("*").alias("n")).collect()}
+    shared = {
+        (r.new_id, r.old_id): r.n
+        for r in fp_new.join(index.select(F2.col("doc_id").alias("old_id"), "h"), "h")
+        .groupBy("new_id", "old_id")
+        .agg(F2.count("*").alias("n"))
+        .collect()
+    }
+    want = {(n, o, s, sizes[n]) for (n, o), s in shared.items()}
+    assert got == want
+    # and the repeated doc's distinct-fingerprint count is strictly
+    # below its position count (the inflation the fix removes)
+    n_positions = winnowing_fingerprints(new).count()
+    assert sizes[100] < n_positions
+
+
 def test_streaming_graph_ingest_equals_rebuild(spark, tmp_path):
     """Streaming kNN-graph maintenance (q502's stateful face): vectors
     arriving over MULTIPLE micro-batches, each merged into carried

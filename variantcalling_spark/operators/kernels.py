@@ -1051,14 +1051,23 @@ def viterbi_decode_2state_scores(
     )
 
 
-def community_components(edges_and_nodes):
+def community_components(edges_and_nodes, max_group_rows: int = 1_000_000):
     """Per-community connected components via ``applyInPandas`` —
-    union-find over each community's OWN intra-edges (communities are
-    small by construction: one Arrow batch each), replacing an
-    iterative join-per-round propagation whose 12 eagerly-materialized
-    rounds cost minutes on local[32] (the q151 lesson again: per-group
-    imperative work belongs in one grouped kernel, not in global
-    shuffle rounds).
+    union-find over each community's OWN intra-edges (one Arrow batch
+    each), replacing an iterative join-per-round propagation whose 12
+    eagerly-materialized rounds cost minutes on local[32] (the q151
+    lesson again: per-group imperative work belongs in one grouped
+    kernel, not in global shuffle rounds).
+
+    LPA/Louvain keep hub-heavy megaclusters, so "communities are
+    small" is a hope, not an invariant: a near-global community would
+    funnel its entire intra-edge relation into ONE executor task — an
+    OOM/straggler hazard at scale. Communities with more than
+    ``max_group_rows`` input rows are therefore split off (one
+    broadcast anti-join) and solved with the distributed
+    ``star_contraction_components`` over community-namespaced node
+    keys; both paths produce the same (community, n_nodes, n_pieces)
+    rows (equality pinned in tests with the cap forced low).
 
     Input rows: (community, a, b) — an intra-community edge when
     b >= 0, a node-presence marker when b == -1. Output per community:
@@ -1094,6 +1103,71 @@ def community_components(edges_and_nodes):
             }
         )
 
-    return edges_and_nodes.groupBy("community").applyInPandas(
+    sizes = edges_and_nodes.groupBy("community").agg(
+        F.count(F.lit(1)).alias("_nrows")
+    )
+    big = sizes.where(F.col("_nrows") > max_group_rows).select("community")
+    # one bounded action: the big-community id set is tiny by
+    # construction (it costs one row per OVERSIZED community)
+    big_ids = [r.community for r in big.collect()]
+    small_in = edges_and_nodes
+    if big_ids:
+        small_in = edges_and_nodes.join(
+            F.broadcast(big), "community", "left_anti"
+        )
+    out = small_in.groupBy("community").applyInPandas(
         fold, "community long, n_nodes long, n_pieces long"
+    )
+    if big_ids:
+        out = out.unionByName(_big_community_components(edges_and_nodes, big))
+    return out
+
+
+def _big_community_components(edges_and_nodes, big) -> DataFrame:
+    """Distributed fallback for oversized communities: star-contraction
+    components over community-namespaced node keys, then per-community
+    piece counting. Edge-connected pieces come from the contraction's
+    labels; marker-only nodes (b == -1, no incident intra-edge) are
+    each their own piece."""
+    from variantcalling_spark.operators.dedup import star_contraction_components
+
+    rows = edges_and_nodes.join(F.broadcast(big), "community")
+    nodes = rows.where(F.col("b") == -1).select("community", F.col("a").alias("node"))
+    edges = rows.where(F.col("b") >= 0)
+    # namespace node ids so one global contraction serves all big
+    # communities without cross-community label collisions
+    ns = F.concat_ws("#", F.col("community").cast("string"), F.col("a").cast("string"))
+    ns_b = F.concat_ws("#", F.col("community").cast("string"), F.col("b").cast("string"))
+    comp = star_contraction_components(
+        edges.select(ns.alias("doc_a"), ns_b.alias("doc_b"))
+    )
+    edge_pieces = (
+        comp.select(
+            F.split_part(F.col("node"), F.lit("#"), F.lit(1))
+            .cast("long")
+            .alias("community"),
+            "node",
+            "label",
+        )
+        .groupBy("community")
+        .agg(
+            F.countDistinct("node").alias("n_edge_nodes"),
+            F.countDistinct("label").alias("n_edge_pieces"),
+        )
+    )
+    return (
+        nodes.groupBy("community")
+        .agg(F.countDistinct("node").cast("long").alias("n_nodes"))
+        .join(edge_pieces, "community", "left")
+        .select(
+            "community",
+            "n_nodes",
+            (
+                F.coalesce(F.col("n_edge_pieces"), F.lit(0))
+                + F.col("n_nodes")
+                - F.coalesce(F.col("n_edge_nodes"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_pieces"),
+        )
     )

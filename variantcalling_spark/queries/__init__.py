@@ -49,67 +49,16 @@ _PRIORITY = (
     # Driver budget is ~50 rows/round; the full local sweep
     # (tools/check_correctness.py) covers ALL queries every round, so this
     # order only decides WHICH rows the driver re-certifies.
-    # ROUND 9 ordering (r8 verdict ask #2 - pay the OLDEST debt first):
-    #   1. q284-q322 (39 queries, registered r6 - the oldest block with
-    #      no CORRECTNESS row; the r8 driver run certified q234-q283);
-    #   2. the round-7 block q373-q420 ascending (never checked) - the
-    #      ~50-row budget reaches about q383 this round;
-    #   3. the round-8 block q421-q468, then new ROUND-9 queries (insert
+    # ROUND 10 ordering (r9 verdict ask #1 - pay the OLDEST debt first):
+    #   1. q384-q420 (37 queries, registered r7 - oldest block with no
+    #      CORRECTNESS row; the r9 driver run certified q284-q383);
+    #   2. the round-8 block q421-q468 ascending (never checked) - the
+    #      ~50-row budget reaches about q433 this round;
+    #   3. the round-9 block q469-q502, then new ROUND-10 queries (insert
     #      new registrations at the marked slot below);
     #   4. everything else keeps registry (module) order - all of it
-    #      has a green row from r1-r8 and stays covered by the sweep.
-    # --- Oldest never-driver-checked block (registered r6) ---
-    "q284_attribution_last_touch",
-    "q285_cochran_armitage",
-    "q286_nelson_aalen",
-    "q287_seasonal_profile",
-    "q288_sprt_ledger",
-    "q289_kfold_balance_audit",
-    "q290_quantile_normalization",
-    "q291_callable_loci",
-    "q292_bradley_terry",
-    "q293_mann_whitney",
-    "q294_lof_outliers",
-    "q295_theil_sen",
-    "q296_mcnemar",
-    "q297_adamic_adar",
-    "q298_acf",
-    "q299_jsd_source_drift",
-    "q300_temperature_mixture",
-    "q301_kendall_tau",
-    "q302_holt_linear",
-    "q303_kmv_source_overlap",
-    "q304_mmr_rerank",
-    "q305_position_attribution",
-    "q306_em_gaussian",
-    "q307_dtw_distance",
-    "q308_facility_location",
-    "q309_welch_ttest",
-    "q310_mann_kendall",
-    "q311_degree_assortativity",
-    "q312_fastq_roundtrip",
-    "q313_event_paths",
-    "q314_rfm_segmentation",
-    "q315_viterbi_segments",
-    "q316_best_split",
-    "q317_standardized_rates",
-    "q318_exponential_gof",
-    "q319_hmm_posterior",
-    "q320_jl_projection",
-    "q321_topic_coherence",
-    "q322_lsh_planner",
-    # --- Round-7 block (never checked), ascending ---
-    "q373_training_set_consistency",
-    "q374_multiband_ann",
-    "q375_ann_recall_multiband",
-    "q376_baum_welch_converged",
-    "q377_motif_chains",
-    "q378_corpus_bleu",
-    "q379_rouge_l",
-    "q380_pii_scan",
-    "q381_cox_score_test",
-    "q382_page_hinkley",
-    "q383_cmh_test",
+    #      has a green row from r1-r9 and stays covered by the sweep.
+    # --- Oldest never-driver-checked block (registered r7) ---
     "q384_tokenizer_fertility",
     "q385_unimax_allocation",
     "q386_dnds_ratio",
@@ -147,42 +96,7 @@ _PRIORITY = (
     "q418_partial_correlation",
     "q419_interval_cover",
     "q420_gc_skew",
-    # --- New in round 9 (add new queries HERE) ---
-    "q469_mutual_proximity_knn",
-    "q470_hubness_correction_audit",
-    "q471_srm_stream",
-    "q472_heavy_changers_stream",
-    "q473_bootstrap_rouge_ci",
-    "q474_mp_recall_harness",
-    "q475_isotropy_correction",
-    "q476_dup_cluster_canonicalization",
-    "q477_clustering_coefficient",
-    "q478_pq_recall_harness",
-    "q479_ece_calibration",
-    "q480_embedding_mmd",
-    "q481_ivf_pq_rerank",
-    "q482_semantic_ingest_dedup",
-    "q483_nn_descent_graph",
-    "q484_nnd_recall_harness",
-    "q485_rendezvous_sharding",
-    "q486_winnowing_fingerprints",
-    "q487_t_closeness",
-    "q488_heaps_law_fit",
-    "q489_bleu_smoothing_variants",
-    "q490_semantic_decontamination",
-    "q491_louvain_local_move",
-    "q492_dp_noisy_histogram",
-    "q493_winnowing_ingest_dedup",
-    "q494_weighted_jaccard",
-    "q495_lsh_s_curve_validation",
-    "q496_nnd_clustered_recall",
-    "q497_lsh_band_planner",
-    "q498_winnowing_containment",
-    "q499_salted_skew_join",
-    "q500_community_connectivity_audit",
-    "q501_dedup_method_matrix",
-    "q502_incremental_knn_graph",
-    # --- Round-8 block (never checked) ---
+    # --- Round-8 block (never checked), ascending ---
     "q421_multiprobe_ivf_recall",
     "q422_sieve_coverage_stream",
     "q423_rouge_l_tokens",
@@ -231,7 +145,94 @@ _PRIORITY = (
     "q466_hubness_audit",
     "q467_rich_club",
     "q468_readability",
-    # --- Certified r8 (q234-q283), keep at tail of the priority list ---
+    # --- Round-9 block (never checked), ascending ---
+    "q469_mutual_proximity_knn",
+    "q470_hubness_correction_audit",
+    "q471_srm_stream",
+    "q472_heavy_changers_stream",
+    "q473_bootstrap_rouge_ci",
+    "q474_mp_recall_harness",
+    "q475_isotropy_correction",
+    "q476_dup_cluster_canonicalization",
+    "q477_clustering_coefficient",
+    "q478_pq_recall_harness",
+    "q479_ece_calibration",
+    "q480_embedding_mmd",
+    "q481_ivf_pq_rerank",
+    "q482_semantic_ingest_dedup",
+    "q483_nn_descent_graph",
+    "q484_nnd_recall_harness",
+    "q485_rendezvous_sharding",
+    "q486_winnowing_fingerprints",
+    "q487_t_closeness",
+    "q488_heaps_law_fit",
+    "q489_bleu_smoothing_variants",
+    "q490_semantic_decontamination",
+    "q491_louvain_local_move",
+    "q492_dp_noisy_histogram",
+    "q493_winnowing_ingest_dedup",
+    "q494_weighted_jaccard",
+    "q495_lsh_s_curve_validation",
+    "q496_nnd_clustered_recall",
+    "q497_lsh_band_planner",
+    "q498_winnowing_containment",
+    "q499_salted_skew_join",
+    "q500_community_connectivity_audit",
+    "q501_dedup_method_matrix",
+    "q502_incremental_knn_graph",
+    # --- New in round 10 (add new queries HERE) ---
+    # --- Certified r9 (q284-q383), keep at tail of the priority list ---
+    "q284_attribution_last_touch",
+    "q285_cochran_armitage",
+    "q286_nelson_aalen",
+    "q287_seasonal_profile",
+    "q288_sprt_ledger",
+    "q289_kfold_balance_audit",
+    "q290_quantile_normalization",
+    "q291_callable_loci",
+    "q292_bradley_terry",
+    "q293_mann_whitney",
+    "q294_lof_outliers",
+    "q295_theil_sen",
+    "q296_mcnemar",
+    "q297_adamic_adar",
+    "q298_acf",
+    "q299_jsd_source_drift",
+    "q300_temperature_mixture",
+    "q301_kendall_tau",
+    "q302_holt_linear",
+    "q303_kmv_source_overlap",
+    "q304_mmr_rerank",
+    "q305_position_attribution",
+    "q306_em_gaussian",
+    "q307_dtw_distance",
+    "q308_facility_location",
+    "q309_welch_ttest",
+    "q310_mann_kendall",
+    "q311_degree_assortativity",
+    "q312_fastq_roundtrip",
+    "q313_event_paths",
+    "q314_rfm_segmentation",
+    "q315_viterbi_segments",
+    "q316_best_split",
+    "q317_standardized_rates",
+    "q318_exponential_gof",
+    "q319_hmm_posterior",
+    "q320_jl_projection",
+    "q321_topic_coherence",
+    "q322_lsh_planner",
+    "q373_training_set_consistency",
+    "q374_multiband_ann",
+    "q375_ann_recall_multiband",
+    "q376_baum_welch_converged",
+    "q377_motif_chains",
+    "q378_corpus_bleu",
+    "q379_rouge_l",
+    "q380_pii_scan",
+    "q381_cox_score_test",
+    "q382_page_hinkley",
+    "q383_cmh_test",
+    # --- Certified r8 (q234-q283) ---
     "q234_adapter_scan",
     "q235_embedding_isotropy",
     "q236_transmission_phasing",

@@ -788,6 +788,18 @@ def _lpa_edges_and_labels(spark, sf_dir):
         labels = labels.join(pick, "node", "left").select(
             "node", F.coalesce("new_label", "label").alias("label")
         )
+    # EAGER lineage truncation at the substrate boundary (r9 verdict
+    # ask #3): without it every downstream consumer of this pair
+    # (q152/q254/q491/q500) re-inlines the kNN-build + 3 LPA rounds
+    # each time it references edges or labels — q491's local-move
+    # referenced them enough times to unroll to 2 057 Exchange nodes
+    # in ONE static plan (compile cost, lineage depth, and recovery
+    # cost after executor loss all grow with it). localCheckpoint cuts
+    # both to leaves; runtime was already cache-served, so the only
+    # behavior change is the plan (oracles unchanged, pinned by the
+    # registry sweep).
+    edges = edges.localCheckpoint()
+    labels = labels.localCheckpoint()
     return edges, labels
 
 
@@ -6460,7 +6472,7 @@ def q491_louvain_local_move(spark, sf_dir):
     after = communities.join(best, "node", "left").select(
         "node",
         F.coalesce("new_community", "community").alias("community"),
-    ).transform(managed_persist)
+    ).localCheckpoint()
 
     def q_num(part):
         qin = (
@@ -6658,40 +6670,38 @@ def q496_nnd_clustered_recall(spark, sf_dir):
     )
 
 
-_CCA_ROUNDS = 12
-
-
 def _connectivity_audit_oracle_sql() -> str:
-    rounds = []
-    for t in range(1, _CCA_ROUNDS + 1):
-        p = t - 1
-        rounds.append(f"""
-lab{t} AS MATERIALIZED (
-  SELECT l.node, l.community, LEAST(l.lab, COALESCE(MIN(r.lab), l.lab)) AS lab
-  FROM lab{p} l
-  LEFT JOIN intra e ON e.src = l.node
-  LEFT JOIN lab{p} r ON r.node = e.dst
-  GROUP BY l.node, l.community, l.lab
-)""")
+    # EXACT oracle (r9 advice fix): the previous 12 unrolled propagation
+    # rounds could report n_unconverged > 0 on a corpus whose largest
+    # community has diameter > 12 — a by-design false red against the
+    # Spark side's exact union-find. A recursive-CTE transitive closure
+    # (legal because the MIN aggregate happens AFTER the recursion) runs
+    # to the fixpoint regardless of diameter, so both engines are now
+    # exact and the round-budget column is gone.
     return (
         _louvain_after_cte_sql()
-        + f""",
+        + """,
 intra AS MATERIALIZED (
   SELECT e.src, e.dst
   FROM edges e
   JOIN after a ON a.node = e.src
   JOIN after b ON b.node = e.dst AND b.community = a.community
 ),
-lab0 AS MATERIALIZED (SELECT node, community, node AS lab FROM after),{",".join(rounds)},
-conv AS (
-  SELECT CAST(SUM(CASE WHEN a.lab <> b.lab THEN 1 ELSE 0 END) AS BIGINT)
-    AS n_unconverged
-  FROM lab{_CCA_ROUNDS} a JOIN lab{_CCA_ROUNDS - 1} b USING (node)
+reach AS MATERIALIZED (
+  SELECT node, MIN(lab) AS lab FROM (
+    WITH RECURSIVE r(node, lab) AS (
+      SELECT node, node AS lab FROM after
+      UNION
+      SELECT e.src, r.lab FROM intra e JOIN r ON r.node = e.dst
+    )
+    SELECT node, lab FROM r
+  ) GROUP BY node
 ),
 pieces AS (
-  SELECT community, CAST(COUNT(DISTINCT lab) AS BIGINT) AS n_pieces,
+  SELECT a.community, CAST(COUNT(DISTINCT r.lab) AS BIGINT) AS n_pieces,
          CAST(COUNT(*) AS BIGINT) AS n_nodes
-  FROM lab{_CCA_ROUNDS} GROUP BY community
+  FROM after a JOIN reach r USING (node)
+  GROUP BY a.community
 )
 SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pieces WHERE n_nodes >= 2)
          AS n_comms,
@@ -6700,8 +6710,7 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pieces WHERE n_nodes >= 2)
        (SELECT CAST(MAX(n_pieces) AS BIGINT) FROM pieces WHERE n_nodes >= 2)
          AS max_pieces,
        (SELECT CAST(SUM(n_nodes) AS BIGINT) FROM pieces
-        WHERE n_nodes >= 2 AND n_pieces > 1) AS nodes_in_disconnected,
-       (SELECT n_unconverged FROM conv) AS n_unconverged
+        WHERE n_nodes >= 2 AND n_pieces > 1) AS nodes_in_disconnected
 """
     )
 
@@ -6713,17 +6722,19 @@ def q500_community_connectivity_audit(spark, sf_dir):
     can leave a community INTERNALLY DISCONNECTED — nodes grouped by
     modularity gain with no intra-community path — up to 25% of
     communities in their benchmarks; Leiden's refinement phase exists
-    solely to fix this): within each q491 post-move community, run
-    min-label propagation over the INTRA-community edges only and
-    count communities that split into >1 piece, plus an executable
-    convergence proof (n_unconverged = label changes in the final
-    round, must be 0 for the audit to be trusted — both engines unroll
-    identical rounds, so the comparison is fair even mid-convergence).
+    solely to fix this): within each q491 post-move community, compute
+    EXACT connected components over the INTRA-community edges only and
+    count communities that split into >1 piece. Both engines are exact
+    — Spark via per-community union-find (with the distributed
+    star-contraction fallback for oversized communities), DuckDB via a
+    recursive-CTE transitive closure that runs to the fixpoint — so no
+    round budget exists to under-converge on a deep community (the r9
+    advice false-alarm class).
 
     Scale shape: the intra-edge relation is one double equi-join of
-    edges to the partition; each propagation round is one edges-to-
-    labels join + a MIN aggregate (O(E_intra), map-side combinable),
-    rounds bounded by the largest community's diameter."""
+    edges to the partition; the component fold is one grouped Arrow
+    kernel for bounded communities and O(log n) contraction rounds for
+    the oversized tail."""
     from pyspark.sql import Window as W
 
     edges, labels = _lpa_edges_and_labels(spark, sf_dir)
@@ -6794,7 +6805,7 @@ def q500_community_connectivity_audit(spark, sf_dir):
     )
     after = communities.join(best, "node", "left").select(
         "node", F.coalesce("new_community", "community").alias("community")
-    ).transform(managed_persist)
+    ).localCheckpoint()
 
     intra = (
         edges.join(
@@ -6831,14 +6842,6 @@ def q500_community_connectivity_audit(spark, sf_dir):
         F.sum(F.when(F.col("n_pieces") > 1, F.col("n_nodes")).otherwise(0))
         .cast("bigint")
         .alias("nodes_in_disconnected"),
-    ).select(
-        "*",
-        # the kernel is exact (union-find); the ORACLE's unrolled
-        # propagation must have converged for its piece counts to match
-        # ours, so emitting the literal here turns n_unconverged into a
-        # cross-engine assertion: if 12 rounds were not enough, the
-        # oracle reports > 0 and the value hash goes red
-        F.lit(0).cast("bigint").alias("n_unconverged"),
     )
 
 

@@ -7655,23 +7655,26 @@ FROM noised
 """,
 )
 def q492_dp_noisy_histogram(spark, sf_dir):
-    """DIFFERENTIALLY-PRIVATE HISTOGRAM RELEASE (Dwork 2006 Laplace
-    mechanism, eps = 1, sensitivity 1 — the MECHANISM that pairs with
-    the risk AUDITS q365/q409/q487: those measure what a raw release
-    leaks, this is the noised release itself, with the exact utility
-    cost shown beside every cell): per-(lang, source) count plus
-    Laplace(1/eps) noise drawn by inverse-CDF from a SEEDED per-cell
-    uniform (portable md5 hash -> LCG -> (k+0.5)/2^31), so the 'random'
-    release is reproducible bit-for-bit on both engines — the q25/q26
-    seeded-sampling discipline applied to privacy noise.
+    """LAPLACE-MECHANISM PLAN SHAPE with reproducible seeded noise —
+    NOT differential privacy as shipped (r9 advice: the noise here is
+    a deterministic function of the PUBLIC cell key — md5 of
+    lang:source — so anyone can recompute and subtract it; zero actual
+    privacy is provided until the uniform comes from a per-release
+    DRBG). What this query builds and oracles is everything AROUND the
+    randomness: the Dwork-2006 Laplace mechanism's plan (sensitivity-1
+    count histogram -> per-cell uniform -> inverse-CDF Laplace(1/eps),
+    eps = 1), the exact utility cost shown beside every cell, and
+    bit-for-bit cross-engine reproducibility of the noise path (the
+    q25/q26 seeded-sampling discipline). It pairs with the risk AUDITS
+    q365/q409/q487, which measure what a raw release leaks.
 
     Scale shape: one groupBy on the bounded release domain; noise is a
     scan-local expression per cell (no RNG state, no driver); ln of an
     exact rational is the same double on both engines.
 
-    Production note: a real deployment swaps the seeded uniform for a
-    cryptographic DRBG per release epoch — the plan shape (hash ->
-    uniform -> inverse CDF, all scan-local) is exactly this."""
+    Production note: swap the seeded uniform for a cryptographic DRBG
+    drawn fresh per release epoch and the same plan IS eps=1 DP; the
+    seeded form exists so the release is value-oracle-testable."""
     from variantcalling_spark.operators.dedup import portable_string_hash
 
     docs = load_table(spark, sf_dir, "documents")

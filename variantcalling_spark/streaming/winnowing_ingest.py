@@ -55,8 +55,15 @@ def streaming_fingerprint_probe(
     runs this per micro-batch inside ``foreachBatch``
     (``ingest_stream``), where each batch is an independent plain
     batch plan (the srm_monitor/heavy_changers discipline)."""
-    fp_new = rowwise_winnowing_fingerprints(new_docs, n=n, w=w).select(
-        F.col("doc_id").alias("new_id"), "h"
+    # .distinct() is load-bearing: the rowwise operator emits one row per
+    # fingerprint POSITION, so a doc that internally repeats a >=w+n-1-word
+    # passage re-emits the same h — without the dedup both n_fp_new and
+    # n_shared count positions while the q493 oracle (and q498's batch
+    # probe / build_fingerprint_index) count DISTINCT hashes.
+    fp_new = (
+        rowwise_winnowing_fingerprints(new_docs, n=n, w=w)
+        .select(F.col("doc_id").alias("new_id"), "h")
+        .distinct()
     )
     sizes = fp_new.groupBy("new_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_fp_new")
