@@ -201,6 +201,76 @@ def test_adaptive_neardup_equals_explicit_width(spark, sf_dir):
     assert copies <= found, "exact +200000 copies must collide at any band width"
 
 
+def test_planned_bands_for_recall_closed_form():
+    """The hyperplane (b, bits) planner: b = ceil(ln(1-t)/ln(1-p^bits))
+    with p = 1 - acos(threshold)/pi — values checked against an
+    independent evaluation of the S-curve, monotone in target and
+    inversely monotone in threshold."""
+    import pytest as _pytest
+
+    from variantcalling_spark.operators.similarity import planned_bands_for_recall
+
+    # threshold 0.9, 8-bit bands: per-band collision ~0.29
+    assert planned_bands_for_recall(0.9, 0.5, 8) == 3
+    assert planned_bands_for_recall(0.9, 0.7, 8) == 4   # the shipped default dial
+    assert planned_bands_for_recall(0.9, 0.9, 8) == 7
+    assert planned_bands_for_recall(0.9, 0.99, 8) == 14
+    # wider bands (more bits) need more of them at the same target
+    assert planned_bands_for_recall(0.9, 0.7, 12) == 8
+    # easier (higher) threshold needs fewer bands
+    assert planned_bands_for_recall(0.95, 0.9, 8) == 5
+    # an infeasible point raises instead of silently under-recalling
+    with _pytest.raises(ValueError):
+        planned_bands_for_recall(0.8, 0.9, 8, max_bands=8)
+    with _pytest.raises(ValueError):
+        planned_bands_for_recall(0.9, 1.0, 8)
+
+
+def test_planner_driven_neardup_equals_default_at_its_plan(spark, sf_dir):
+    """target_recall mode is the SAME operator at the planned band
+    count: a target that plans exactly 4 bands must reproduce the
+    default 4-band output bit-for-bit, and a higher target must plan
+    more bands and discover a superset of true pairs."""
+    import math
+
+    from variantcalling_spark.operators.similarity import (
+        adaptive_band_bits,
+        adaptive_banded_near_dup_pairs,
+        planned_bands_for_recall,
+    )
+    from variantcalling_spark.queries.similarity import neardup_corpus
+
+    c = neardup_corpus(spark, sf_dir).cache()
+    n = c.count()
+    bits = adaptive_band_bits(n)
+    p = 1.0 - math.acos(0.9) / math.pi
+    pb = p**bits
+    t4 = 1.0 - (1.0 - pb) ** 4 - 1e-9  # the recall 4 bands just achieves
+    assert planned_bands_for_recall(0.9, t4, bits) == 4
+    got = {
+        (r.id_a, r.id_b, round(r.cosine, 9))
+        for r in adaptive_banded_near_dup_pairs(
+            c, 0.9, target_recall=t4
+        ).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, round(r.cosine, 9))
+        for r in adaptive_banded_near_dup_pairs(c, 0.9, n_bands=4).collect()
+    }
+    assert got == want
+    # a stricter target plans more bands -> recall can only grow
+    t_hi = 1.0 - (1.0 - pb) ** 6 - 1e-9
+    n_hi = planned_bands_for_recall(0.9, t_hi, bits)
+    assert n_hi == 6
+    more = {
+        (r.id_a, r.id_b)
+        for r in adaptive_banded_near_dup_pairs(
+            c, 0.9, target_recall=t_hi
+        ).collect()
+    }
+    assert {(a, b) for (a, b, _) in got} <= more
+
+
 def test_connected_components_vs_union_find(spark):
     """Min-label propagation must produce exactly the components a plain
     union-find computes, including chains longer than one round."""
@@ -1011,3 +1081,47 @@ def test_winnowing_guarantee_and_density(spark):
     n_pos = positional_shingles(docs, n=3).where(F.col("doc_id") == 5).count()
     density = byid[5] / n_pos
     assert 0.3 < density < 0.5, density  # theory: 2/(w+1) = 0.4
+
+
+def test_q503_epsilon_budget_composition(spark, sf_dir):
+    """Composition-correctness pin for the per-cluster DP release:
+    (a) the per-release epsilons sum to DP_RELEASE_EPS_TOTAL
+    (sequential composition ledger); (b) every row's scale equals
+    sensitivity/eps; (c) every row's noise is EXACTLY scale x
+    unit-Laplace(u) with u recomputed independently from the md5 seed
+    recipe — the budget is enforced by the mechanism, not just
+    printed; (d) cells get distinct seeds (no noise reuse)."""
+    import hashlib
+    import math
+
+    from variantcalling_spark.queries.dedup import (
+        DP_RELEASE_EPS_TOTAL,
+        q503_dp_cluster_release,
+    )
+
+    rows = q503_dp_cluster_release(spark, sf_dir).collect()
+    assert rows
+    per_release_eps = {}
+    for r in rows:
+        per_release_eps.setdefault(r.release, set()).add(r.eps)
+    # one epsilon per release, summing to the declared total
+    assert all(len(v) == 1 for v in per_release_eps.values())
+    assert math.isclose(
+        sum(next(iter(v)) for v in per_release_eps.values()),
+        DP_RELEASE_EPS_TOTAL,
+    )
+    seeds = set()
+    for r in rows:
+        assert math.isclose(r.scale, r.sensitivity / r.eps), r
+        key = f"dp2:{r.release}:{r.cell}"
+        h = int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % 2147483647
+        k = (h * 2654435761 + 12345) % 2147483647
+        seeds.add(k)
+        u = (k + 0.5) / 2147483648.0
+        sign = 1.0 if u >= 0.5 else -1.0
+        unit = -sign * math.log(1.0 - 2.0 * abs(u - 0.5))
+        assert math.isclose(r.noise, round(r.scale * unit, 6), abs_tol=1e-9), r
+        assert math.isclose(
+            r.noisy_value, round(r.true_value + r.scale * unit, 6), abs_tol=1e-9
+        ), r
+    assert len(seeds) == len(rows), "each cell must draw its own noise"

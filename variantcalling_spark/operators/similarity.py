@@ -630,6 +630,52 @@ def adaptive_band_bits(n_rows: int, floor_bits: int = 8, extra_bits: int = 2) ->
     return max(floor_bits, math.ceil(math.log2(max(n_rows, 2))) + extra_bits)
 
 
+def planned_bands_for_recall(
+    threshold: float,
+    target_recall: float,
+    bits: int,
+    max_bands: int = 16,
+) -> int:
+    """The q497 planner loop CLOSED for the hyperplane-banding family:
+    pick the number of OR-ed bands needed so a true pair sitting AT
+    ``threshold`` cosine is discovered with probability >=
+    ``target_recall``, given ``bits`` sign-planes per band.
+
+    Hyperplane LSH S-curve (Charikar 2002 SimHash bound, the cosine
+    twin of q495's validated MinHash 1-(1-j^r)^b): one sign bit agrees
+    with probability p = 1 - theta/pi, a band collides iff all its
+    bits agree (p^bits), and b OR-ed bands discover with
+    1 - (1-p^bits)^b. Solving for b:
+
+        b = ceil( ln(1 - target) / ln(1 - p^bits) )
+
+    Pairs ABOVE the threshold have strictly higher p, so the target is
+    a floor over the whole true-pair set — the planner prices the
+    WORST true pair, the same conservative stance as q497's grid
+    (which maximizes predicted recall subject to an fp-rate cap).
+    ``max_bands`` caps signature cost; hitting it means the requested
+    (threshold, recall, bits) point needs narrower bands, not more of
+    them — the caller sees the cap as an explicit ValueError rather
+    than a silent recall shortfall.
+    """
+    import math
+
+    if not (0.0 < target_recall < 1.0):
+        raise ValueError("target_recall must be in (0, 1)")
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    per_band = p**bits
+    if per_band <= 0.0:
+        raise ValueError("per-band collision probability underflowed; lower bits")
+    b = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - per_band)))
+    if b > max_bands:
+        raise ValueError(
+            f"target recall {target_recall} at threshold {threshold} needs "
+            f"{b} bands of {bits} bits (> max_bands={max_bands}); "
+            "use fewer bits per band or relax the target"
+        )
+    return b
+
+
 def adaptive_banded_near_dup_pairs(
     vecs: DataFrame,
     threshold: float = 0.9,
@@ -637,6 +683,7 @@ def adaptive_banded_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "v",
     n_rows: int | None = None,
+    target_recall: float | None = None,
 ) -> DataFrame:
     """``banded_near_dup_pairs`` with the band width chosen from the
     corpus size (``adaptive_band_bits``), the way AQE chooses shuffle
@@ -650,9 +697,20 @@ def adaptive_banded_near_dup_pairs(
     of width (their sign bits agree plane-by-plane), so widening bands
     with n preserves recall for the high-cosine pairs dedup targets
     while keeping the candidate set linear.
+
+    ``target_recall`` switches on the PLANNER-DRIVEN mode (the q497
+    loop closed): ``n_bands`` is ignored and chosen by
+    ``planned_bands_for_recall`` so a true pair AT the threshold is
+    discovered with at least that probability — the band count is set
+    by the same S-curve the q495 harness validated empirically,
+    instead of by folklore. The default (``None``) keeps the shipped
+    4-band dial, and a target whose plan lands on 4 bands is pinned
+    output-identical to the default in tests.
     """
     n = n_rows if n_rows is not None else vecs.count()
     bits = adaptive_band_bits(n)
+    if target_recall is not None:
+        n_bands = planned_bands_for_recall(threshold, target_recall, bits)
     return banded_near_dup_pairs(
         vecs,
         threshold=threshold,

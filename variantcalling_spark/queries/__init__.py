@@ -181,6 +181,7 @@ _PRIORITY = (
     "q501_dedup_method_matrix",
     "q502_incremental_knn_graph",
     # --- New in round 10 (add new queries HERE) ---
+    "q503_dp_cluster_release",
     # --- Certified r9 (q284-q383), keep at tail of the priority list ---
     "q284_attribution_last_touch",
     "q285_cochran_armitage",

@@ -5158,3 +5158,178 @@ def q501_dedup_method_matrix(spark, sf_dir):
         .unionByName(arm(m_minhash, "b_minhash_lsh"))
         .unionByName(arm(m_winnow, "c_winnowing"))
     )
+
+
+def _dp_cluster_release_oracle_sql() -> str:
+    from variantcalling_spark.operators.dedup import PORTABLE_HASH_SQL
+
+    seed_hash = PORTABLE_HASH_SQL.format(col="'dp2:' || release || ':' || cell")
+    return f"""
+WITH RECURSIVE corpus AS ({SQL_CORPUS}),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+                   for i in generate_series(1, len(string_split(text, ' ')) - 2)]) AS shingle
+    FROM corpus
+  )
+),
+shsizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+e AS (
+  SELECT doc_a, doc_b FROM shared
+  JOIN shsizes sa ON sa.doc_id = doc_a
+  JOIN shsizes sb ON sb.doc_id = doc_b
+  WHERE n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE) >= 0.6
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM e
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM e
+),
+closure AS (
+  SELECT src AS node, src AS reach FROM edges
+  UNION
+  SELECT c.node, edges.dst AS reach
+  FROM closure c JOIN edges ON edges.src = c.reach
+),
+clusters AS (
+  SELECT MIN(reach) AS cluster_id, CAST(COUNT(DISTINCT node) AS BIGINT) AS n_members
+  FROM (SELECT node, MIN(reach) AS reach FROM closure GROUP BY node) labeled
+  GROUP BY reach
+),
+rel AS (
+  SELECT 'a_size_histogram' AS release, CAST(n_members AS VARCHAR) AS cell,
+         CAST(COUNT(*) AS BIGINT) AS true_value,
+         CAST(0.5 AS DOUBLE) AS eps, CAST(2 AS BIGINT) AS sensitivity,
+         CAST(4.0 AS DOUBLE) AS scale
+  FROM clusters GROUP BY n_members
+  UNION ALL
+  SELECT 'b_totals', 'n_clusters', CAST(COUNT(*) AS BIGINT),
+         CAST(0.5 AS DOUBLE), CAST(2 AS BIGINT), CAST(4.0 AS DOUBLE)
+  FROM clusters
+  UNION ALL
+  SELECT 'b_totals', 'n_dup_docs', CAST(SUM(n_members) AS BIGINT),
+         CAST(0.5 AS DOUBLE), CAST(2 AS BIGINT), CAST(4.0 AS DOUBLE)
+  FROM clusters
+),
+seeded AS (
+  SELECT *, (({seed_hash}) * 2654435761 + 12345) % 2147483647 AS k
+  FROM rel
+),
+noised AS (SELECT *, (k + 0.5) / 2147483648.0 AS u FROM seeded)
+SELECT release, cell, true_value, eps, sensitivity, scale,
+       ROUND(-scale * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+             * ln(1.0 - 2.0 * ABS(u - 0.5)), 6) AS noise,
+       ROUND(true_value
+             - scale * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+             * ln(1.0 - 2.0 * ABS(u - 0.5)), 6) AS noisy_value
+FROM noised
+"""
+
+
+DP_RELEASE_EPS_TOTAL = 1.0
+
+
+@query("q503_dp_cluster_release", oracle=_dp_cluster_release_oracle_sql())
+def q503_dp_cluster_release(spark, sf_dir):
+    """PER-CLUSTER LAPLACE RELEASE COMPOSITION — the q492 mechanism
+    applied to the q98 dedup-cluster structure under ONE sequential-
+    composition budget (the privacy-meets-dedup composition: a corpus
+    owner wants to publish how duplicated the corpus is without
+    revealing whether any ONE document is present):
+
+    - release a_size_histogram (eps 0.5): cluster-size histogram
+      (size -> n_clusters). Adding/removing one document moves a
+      cluster between adjacent size cells, changing up to TWO cells by
+      1 each -> L1 sensitivity 2, Laplace scale = 2/0.5 = 4.
+    - release b_totals (eps 0.5): (n_clusters, n_dup_docs). One
+      document can change both counts by 1 -> joint L1 sensitivity 2,
+      scale 4.
+
+    Sequential composition: total eps spent = 0.5 + 0.5 =
+    ``DP_RELEASE_EPS_TOTAL`` (the budget ledger is pinned executable
+    in tests, including noise = scale x unit-Laplace(u) per cell).
+    As with q492, the noise here is SEEDED from the public cell key so
+    the release is value-oracle-testable — this is the mechanism's
+    plan shape and budget accounting, not an actual private release
+    until the uniform comes from a per-release DRBG.
+
+    Scale shape: the cluster substrate is q98's (PPJoin discovery +
+    connected components — one shuffle per stage, candidate-linear);
+    the release itself aggregates over the bounded cluster-size domain
+    and the noise is a scan-local expression per cell."""
+    from variantcalling_spark.operators.dedup import (
+        connected_components,
+        portable_string_hash,
+        prefix_filtered_pairs,
+    )
+
+    sh = shingles(corpus(spark, sf_dir), n=3).transform(managed_persist)
+    cands = prefix_filtered_pairs(sh, threshold=0.6)
+    pairs = jaccard_for_pairs(cands, sh).where(F.col("jaccard") >= 0.6)
+    labels = connected_components(pairs)
+    clusters = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    ).transform(managed_persist)
+
+    eps = F.lit(0.5).cast("double")
+    sens = F.lit(2).cast("bigint")
+    scale = F.lit(4.0).cast("double")
+    hist = clusters.groupBy("n_members").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_value")
+    ).select(
+        F.lit("a_size_histogram").alias("release"),
+        F.col("n_members").cast("string").alias("cell"),
+        "true_value",
+        eps.alias("eps"),
+        sens.alias("sensitivity"),
+        scale.alias("scale"),
+    )
+    totals = clusters.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("n_members").cast("bigint").alias("n_dup_docs"),
+    )
+    b1 = totals.select(
+        F.lit("b_totals").alias("release"),
+        F.lit("n_clusters").alias("cell"),
+        F.col("n_clusters").alias("true_value"),
+        eps.alias("eps"),
+        sens.alias("sensitivity"),
+        scale.alias("scale"),
+    )
+    b2 = totals.select(
+        F.lit("b_totals").alias("release"),
+        F.lit("n_dup_docs").alias("cell"),
+        F.col("n_dup_docs").alias("true_value"),
+        eps.alias("eps"),
+        sens.alias("sensitivity"),
+        scale.alias("scale"),
+    )
+    rel = hist.unionByName(b1).unionByName(b2)
+
+    k = (
+        portable_string_hash(
+            F.concat_ws(":", F.lit("dp2"), F.col("release"), F.col("cell"))
+        )
+        * F.lit(2654435761).cast("bigint")
+        + 12345
+    ) % F.lit(2147483647).cast("bigint")
+    u = (k + 0.5) / F.lit(2147483648.0)
+    sign = F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    lap = -F.col("scale") * sign * F.log(F.lit(1.0) - 2.0 * F.abs(u - 0.5))
+    return rel.select(
+        "release",
+        "cell",
+        "true_value",
+        "eps",
+        "sensitivity",
+        "scale",
+        F.round(lap, 6).alias("noise"),
+        F.round(F.col("true_value") + lap, 6).alias("noisy_value"),
+    )
