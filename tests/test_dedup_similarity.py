@@ -1125,3 +1125,20 @@ def test_q503_epsilon_budget_composition(spark, sf_dir):
             r.noisy_value, round(r.true_value + r.scale * unit, 6), abs_tol=1e-9
         ), r
     assert len(seeds) == len(rows), "each cell must draw its own noise"
+
+
+def test_q505_refinement_modularity_theorem(spark, sf_dir):
+    """Leiden-refinement invariants, pinned executable: splitting a
+    community into connected pieces keeps intra-edge totals and
+    strictly shrinks the degree-penalty term, so exact-rational
+    modularity can only rise — strictly, when any community actually
+    split (every piece has positive degree on a kNN graph)."""
+    from variantcalling_spark.queries.similarity import q505_leiden_refinement
+
+    r = q505_leiden_refinement(spark, sf_dir).collect()[0]
+    assert r.q_refine_num >= r.q_move_num
+    if r.n_split > 0:
+        assert r.q_refine_num > r.q_move_num
+    # each split community contributes at least one extra piece
+    assert r.n_comms_refine >= r.n_comms_move + r.n_split
+    assert r.q_den > 0

@@ -182,6 +182,8 @@ _PRIORITY = (
     "q502_incremental_knn_graph",
     # --- New in round 10 (add new queries HERE) ---
     "q503_dp_cluster_release",
+    "q504_planner_recall_harness",
+    "q505_leiden_refinement",
     # --- Certified r9 (q284-q383), keep at tail of the priority list ---
     "q284_attribution_last_touch",
     "q285_cochran_armitage",

@@ -6340,69 +6340,12 @@ after AS (
 )"""
 
 
-@query(
-    "q491_louvain_local_move",
-    oracle=_louvain_after_cte_sql()
-    + """
-, q_of AS (
-  SELECT 'before' AS phase, c.node, c.community FROM communities c
-  UNION ALL
-  SELECT 'after', a.node, a.community FROM after a
-),
-qin AS (
-  SELECT p.phase, ca.community, CAST(COUNT(*) AS BIGINT) AS in_edges
-  FROM edges e
-  JOIN q_of ca ON ca.node = e.src
-  JOIN q_of cb ON cb.node = e.dst AND cb.phase = ca.phase
-  JOIN (SELECT DISTINCT phase FROM q_of) p ON p.phase = ca.phase
-  WHERE ca.community = cb.community
-  GROUP BY p.phase, ca.community
-),
-qdeg AS (
-  SELECT c.phase, c.community, CAST(SUM(d.k) AS BIGINT) AS dtot
-  FROM q_of c JOIN deg d USING (node) GROUP BY c.phase, c.community
-),
-qnum AS (
-  SELECT qdeg.phase,
-         CAST(SUM(m2t.m2 * COALESCE(qin.in_edges, 0) - qdeg.dtot * qdeg.dtot)
-              AS BIGINT) AS qn
-  FROM qdeg
-  LEFT JOIN qin ON qin.phase = qdeg.phase AND qin.community = qdeg.community
-  CROSS JOIN m2t
-  GROUP BY qdeg.phase
-)
-SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM communities) AS n_nodes,
-       (SELECT CAST(SUM(CASE WHEN b.new_community <> c.community THEN 1 ELSE 0 END)
-                    AS BIGINT)
-        FROM best b JOIN communities c USING (node)) AS n_moved,
-       (SELECT qn FROM qnum WHERE phase = 'before') AS q_before_num,
-       (SELECT qn FROM qnum WHERE phase = 'after') AS q_after_num,
-       (SELECT m2 * m2 FROM m2t) AS q_den,
-       (SELECT CAST(COUNT(DISTINCT community) AS BIGINT) FROM communities)
-         AS n_comms_before,
-       (SELECT CAST(COUNT(DISTINCT community) AS BIGINT) FROM after)
-         AS n_comms_after
-""",
-)
-def q491_louvain_local_move(spark, sf_dir):
-    """LOUVAIN LOCAL-MOVE SWEEP over the LPA partition (Blondel et al.
-    2008, phase 1, one synchronous pass — the modularity-ASCENT
-    refinement LPA lacks: LPA votes by neighbor majority, blind to the
-    degree-penalty term, so it happily keeps hub-heavy megaclusters
-    that a single gain-driven sweep splits): every node evaluates
-    moving to each neighbor community, gain kept EXACT as the BIGINT
-    score m2*e_ic - k_i*(dtot_c - [c = own]*k_i), argmax with
-    deterministic (score DESC, community ASC) tie-break, all moves
-    applied synchronously against the original partition. The ledger
-    reports exact-rational modularity before and after (q152's integer
-    scheme) and the move count — synchronous sweeps can oscillate, so
-    the honest contract is measure-don't-assume: the oracle pins
-    whatever Q-delta this corpus produces.
-
-    Scale shape: one edges-to-communities equi-join for e_ic (O(E)
-    rows, map-side combinable), two bounded ledgers (degree, community
-    degree-sum), one per-node argmax — the same per-round cost as one
-    LPA iteration; nothing quadratic, no collect."""
+def _louvain_after_frames(spark, sf_dir):
+    """Shared Spark side of ``_louvain_after_cte_sql()``: the LPA
+    partition plus ONE synchronous Louvain local-move sweep. Returns
+    (edges, communities, deg, m2t, best, after) with ``after``
+    localCheckpoint'd so every consumer (q491 ledger, q500 audit, q505
+    refinement) starts from a leaf instead of re-inlining the chain."""
     from pyspark.sql import Window as W
 
     edges, labels = _lpa_edges_and_labels(spark, sf_dir)
@@ -6470,9 +6413,77 @@ def q491_louvain_local_move(spark, sf_dir):
         .select("node", F.col("cand").alias("new_community"))
     )
     after = communities.join(best, "node", "left").select(
-        "node",
-        F.coalesce("new_community", "community").alias("community"),
+        "node", F.coalesce("new_community", "community").alias("community")
     ).localCheckpoint()
+    return edges, communities, deg, m2t, best, after
+
+
+@query(
+    "q491_louvain_local_move",
+    oracle=_louvain_after_cte_sql()
+    + """
+, q_of AS (
+  SELECT 'before' AS phase, c.node, c.community FROM communities c
+  UNION ALL
+  SELECT 'after', a.node, a.community FROM after a
+),
+qin AS (
+  SELECT p.phase, ca.community, CAST(COUNT(*) AS BIGINT) AS in_edges
+  FROM edges e
+  JOIN q_of ca ON ca.node = e.src
+  JOIN q_of cb ON cb.node = e.dst AND cb.phase = ca.phase
+  JOIN (SELECT DISTINCT phase FROM q_of) p ON p.phase = ca.phase
+  WHERE ca.community = cb.community
+  GROUP BY p.phase, ca.community
+),
+qdeg AS (
+  SELECT c.phase, c.community, CAST(SUM(d.k) AS BIGINT) AS dtot
+  FROM q_of c JOIN deg d USING (node) GROUP BY c.phase, c.community
+),
+qnum AS (
+  SELECT qdeg.phase,
+         CAST(SUM(m2t.m2 * COALESCE(qin.in_edges, 0) - qdeg.dtot * qdeg.dtot)
+              AS BIGINT) AS qn
+  FROM qdeg
+  LEFT JOIN qin ON qin.phase = qdeg.phase AND qin.community = qdeg.community
+  CROSS JOIN m2t
+  GROUP BY qdeg.phase
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM communities) AS n_nodes,
+       (SELECT CAST(SUM(CASE WHEN b.new_community <> c.community THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM best b JOIN communities c USING (node)) AS n_moved,
+       (SELECT qn FROM qnum WHERE phase = 'before') AS q_before_num,
+       (SELECT qn FROM qnum WHERE phase = 'after') AS q_after_num,
+       (SELECT m2 * m2 FROM m2t) AS q_den,
+       (SELECT CAST(COUNT(DISTINCT community) AS BIGINT) FROM communities)
+         AS n_comms_before,
+       (SELECT CAST(COUNT(DISTINCT community) AS BIGINT) FROM after)
+         AS n_comms_after
+""",
+)
+def q491_louvain_local_move(spark, sf_dir):
+    """LOUVAIN LOCAL-MOVE SWEEP over the LPA partition (Blondel et al.
+    2008, phase 1, one synchronous pass — the modularity-ASCENT
+    refinement LPA lacks: LPA votes by neighbor majority, blind to the
+    degree-penalty term, so it happily keeps hub-heavy megaclusters
+    that a single gain-driven sweep splits): every node evaluates
+    moving to each neighbor community, gain kept EXACT as the BIGINT
+    score m2*e_ic - k_i*(dtot_c - [c = own]*k_i), argmax with
+    deterministic (score DESC, community ASC) tie-break, all moves
+    applied synchronously against the original partition. The ledger
+    reports exact-rational modularity before and after (q152's integer
+    scheme) and the move count — synchronous sweeps can oscillate, so
+    the honest contract is measure-don't-assume: the oracle pins
+    whatever Q-delta this corpus produces.
+
+    Scale shape: one edges-to-communities equi-join for e_ic (O(E)
+    rows, map-side combinable), two bounded ledgers (degree, community
+    degree-sum), one per-node argmax — the same per-round cost as one
+    LPA iteration; nothing quadratic, no collect."""
+    edges, communities, deg, m2t, best, after = _louvain_after_frames(
+        spark, sf_dir
+    )
 
     def q_num(part):
         qin = (
@@ -6735,77 +6746,7 @@ def q500_community_connectivity_audit(spark, sf_dir):
     edges to the partition; the component fold is one grouped Arrow
     kernel for bounded communities and O(log n) contraction rounds for
     the oversized tail."""
-    from pyspark.sql import Window as W
-
-    edges, labels = _lpa_edges_and_labels(spark, sf_dir)
-    communities = labels.select(
-        "node", F.col("label").alias("community")
-    ).transform(managed_persist)
-    # re-run the q491 local-move to get `after` (shares the plan shape;
-    # the oracle shares the literal CTE chain)
-    m2t = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m2"))
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("k")
-    ).transform(managed_persist)
-    dsum = (
-        communities.join(deg, "node")
-        .groupBy("community")
-        .agg(F.sum("k").cast("bigint").alias("dtot"))
-    )
-    nc = (
-        edges.join(
-            communities.select(
-                F.col("node").alias("dst"), F.col("community").alias("cand")
-            ),
-            "dst",
-        )
-        .groupBy(F.col("src").alias("node"), "cand")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("e_ic"))
-    )
-    cand2 = (
-        nc.unionByName(
-            communities.select(
-                "node",
-                F.col("community").alias("cand"),
-                F.lit(0).cast("bigint").alias("e_ic"),
-            )
-        )
-        .groupBy("node", "cand")
-        .agg(F.max("e_ic").alias("e_ic"))
-    )
-    scored = (
-        cand2.join(deg, "node")
-        .join(communities.withColumnRenamed("community", "cur"), "node")
-        .join(dsum.withColumnRenamed("community", "cand"), "cand")
-        .crossJoin(F.broadcast(m2t))
-        .select(
-            "node",
-            "cand",
-            (
-                F.col("m2") * F.col("e_ic")
-                - F.col("k")
-                * (
-                    F.col("dtot")
-                    - F.when(F.col("cand") == F.col("cur"), F.col("k")).otherwise(
-                        F.lit(0).cast("bigint")
-                    )
-                )
-            ).alias("score"),
-        )
-    )
-    best = (
-        scored.withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("node").orderBy(F.desc("score"), "cand")
-            ),
-        )
-        .where(F.col("rn") == 1)
-        .select("node", F.col("cand").alias("new_community"))
-    )
-    after = communities.join(best, "node", "left").select(
-        "node", F.coalesce("new_community", "community").alias("community")
-    ).localCheckpoint()
+    edges, _, _, _, _, after = _louvain_after_frames(spark, sf_dir)
 
     intra = (
         edges.join(
@@ -6994,4 +6935,305 @@ def q502_incremental_knn_graph(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= 3)
         .select("vec_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+_PRH_BITS = 12  # matches adaptive_band_bits at the sf0.01 neardup corpus
+_PRH_ARMS = (1, 2, 4)
+_PRH_THRESHOLD = 0.9
+
+
+def _prh_floor(n_bands: int) -> float:
+    """Planner floor 1-(1-p^bits)^b at the threshold, the number
+    ``planned_bands_for_recall`` inverts — a plan constant emitted as a
+    literal on both engines (it depends on no data)."""
+    import math
+
+    p = 1.0 - math.acos(_PRH_THRESHOLD) / math.pi
+    return round(1.0 - (1.0 - p**_PRH_BITS) ** n_bands, 6)
+
+
+def _planner_recall_oracle_sql(dim: int = 64) -> str:
+    from variantcalling_spark.operators.similarity import _plane_signs
+
+    max_planes = _PRH_BITS * max(_PRH_ARMS)
+    signs = _plane_signs(max_planes, dim)
+
+    def plane_vec(p):
+        return "[" + ",".join(f"{signs[d][p]:.1f}" for d in range(dim)) + "]"
+
+    sums = ",\n         ".join(
+        f"list_dot_product(vd, {plane_vec(p)}) AS s{p}" for p in range(max_planes)
+    )
+
+    def bucket_expr(band):
+        return " + ".join(
+            f"(CASE WHEN s{band * _PRH_BITS + j} > 0 THEN {2**j} ELSE 0 END)"
+            for j in range(_PRH_BITS)
+        )
+
+    arms = []
+    for b in _PRH_ARMS:
+        band_selects = "\n    UNION ALL\n".join(
+            f"    SELECT vec_id, v, {band} AS band, {bucket_expr(band)} AS bucket FROM sig"
+            for band in range(b)
+        )
+        arms.append(f"""SELECT {b} AS n_bands, {b * _PRH_BITS} AS n_planes,
+       (SELECT n FROM exact_n) AS n_true,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+          SELECT DISTINCT a.vec_id, b.vec_id
+          FROM (
+{band_selects}
+          ) a JOIN (
+{band_selects}
+          ) b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                >= {_PRH_THRESHOLD}
+        )) AS n_found,
+       CAST({_prh_floor(b)} AS DOUBLE) AS pred_floor""")
+    arm_sql = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH corpus AS ({NEARDUP_SQL_CORPUS}),
+sig AS (
+  SELECT vec_id, v,
+         {sums}
+  FROM (SELECT vec_id, v, list_transform(v, x -> CAST(x AS DOUBLE)) AS vd FROM corpus)
+),
+exact_n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= {_PRH_THRESHOLD}
+)
+SELECT n_bands, n_planes, n_true, n_found,
+       ROUND(n_found / CAST(n_true AS DOUBLE), 6) AS recall,
+       pred_floor
+FROM ({arm_sql})
+ORDER BY n_bands
+"""
+
+
+@query("q504_planner_recall_harness", oracle=_planner_recall_oracle_sql())
+def q504_planner_recall_harness(spark, sf_dir):
+    """PLANNER RECALL HARNESS — the empirical grading loop for
+    ``planned_bands_for_recall`` (the q463 sensitivity-harness shape
+    applied to the COSINE family): run the banded discovery at 1/2/4
+    bands of the same 12-bit width over the near-dup corpus, count
+    discovered true pairs against the exact all-pairs baseline, and
+    emit the planner's at-threshold floor beside each measured recall.
+    The invariants the planner relies on become value-oracled facts:
+    recall is monotone in bands, and empirical recall >= the floor
+    (true pairs sit ABOVE the threshold, the floor prices the worst
+    one). The arms share plane prefixes (splitmix64 plane p is the
+    same at any n_planes), so the oracle computes one 48-plane
+    signature CTE and each arm reads its prefix.
+
+    Scale shape: each arm is the q74/q129 discovery plan (banded
+    bucket self-join + verify, candidate-linear); the exact baseline
+    is the pilot-sized all-pairs pass a production planner runs on a
+    sample, never on the corpus."""
+    from variantcalling_spark.operators.similarity import (
+        banded_near_dup_pairs,
+        cosine_near_dup_pairs,
+    )
+
+    c = neardup_corpus(spark, sf_dir).transform(managed_persist)
+    n_true = cosine_near_dup_pairs(c, _PRH_THRESHOLD).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    arms = None
+    for b in _PRH_ARMS:
+        found = banded_near_dup_pairs(
+            c, _PRH_THRESHOLD, n_planes=_PRH_BITS * b, n_bands=b
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
+        arm = (
+            n_true.crossJoin(F.broadcast(found))
+            .select(
+                F.lit(b).cast("int").alias("n_bands"),
+                F.lit(b * _PRH_BITS).cast("int").alias("n_planes"),
+                "n_true",
+                "n_found",
+                F.round(
+                    F.col("n_found") / F.col("n_true").cast("double"), 6
+                ).alias("recall"),
+                F.lit(_prh_floor(b)).cast("double").alias("pred_floor"),
+            )
+        )
+        arms = arm if arms is None else arms.unionByName(arm)
+    return arms
+
+
+def _leiden_refinement_oracle_sql() -> str:
+    return (
+        _louvain_after_cte_sql()
+        + """,
+intra AS MATERIALIZED (
+  SELECT e.src, e.dst
+  FROM edges e
+  JOIN after a ON a.node = e.src
+  JOIN after b ON b.node = e.dst AND b.community = a.community
+),
+reach AS MATERIALIZED (
+  SELECT node, MIN(lab) AS lab FROM (
+    WITH RECURSIVE r(node, lab) AS (
+      SELECT node, node AS lab FROM after
+      UNION
+      SELECT e.src, r.lab FROM intra e JOIN r ON r.node = e.dst
+    )
+    SELECT node, lab FROM r
+  ) GROUP BY node
+),
+refined AS (
+  SELECT a.node, a.community, r.lab AS rc FROM after a JOIN reach r USING (node)
+),
+rin AS (
+  SELECT ra.rc, CAST(COUNT(*) AS BIGINT) AS in_edges
+  FROM edges e
+  JOIN refined ra ON ra.node = e.src
+  JOIN refined rb ON rb.node = e.dst AND rb.rc = ra.rc
+  GROUP BY ra.rc
+),
+rdeg AS (
+  SELECT r.rc, CAST(SUM(d.k) AS BIGINT) AS dtot
+  FROM refined r JOIN deg d USING (node) GROUP BY r.rc
+),
+ain AS (
+  SELECT aa.community, CAST(COUNT(*) AS BIGINT) AS in_edges
+  FROM edges e
+  JOIN after aa ON aa.node = e.src
+  JOIN after ab ON ab.node = e.dst AND ab.community = aa.community
+  GROUP BY aa.community
+),
+adeg AS (
+  SELECT a.community, CAST(SUM(d.k) AS BIGINT) AS dtot
+  FROM after a JOIN deg d USING (node) GROUP BY a.community
+),
+qr AS (
+  SELECT CAST(SUM(m2t.m2 * COALESCE(rin.in_edges, 0) - rdeg.dtot * rdeg.dtot)
+              AS BIGINT) AS qn
+  FROM rdeg LEFT JOIN rin USING (rc) CROSS JOIN m2t
+),
+qa AS (
+  SELECT CAST(SUM(m2t.m2 * COALESCE(ain.in_edges, 0) - adeg.dtot * adeg.dtot)
+              AS BIGINT) AS qn
+  FROM adeg LEFT JOIN ain USING (community) CROSS JOIN m2t
+),
+splits AS (
+  SELECT community, COUNT(DISTINCT rc) AS n_pieces FROM refined GROUP BY community
+)
+SELECT (SELECT CAST(COUNT(DISTINCT community) AS BIGINT) FROM after)
+         AS n_comms_move,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM splits WHERE n_pieces > 1)
+         AS n_split,
+       (SELECT CAST(COUNT(DISTINCT rc) AS BIGINT) FROM refined)
+         AS n_comms_refine,
+       (SELECT qn FROM qa) AS q_move_num,
+       (SELECT qn FROM qr) AS q_refine_num,
+       (SELECT m2 * m2 FROM m2t) AS q_den
+"""
+    )
+
+
+@query("q505_leiden_refinement", oracle=_leiden_refinement_oracle_sql())
+def q505_leiden_refinement(spark, sf_dir):
+    """LEIDEN-STYLE REFINEMENT of the Louvain local-move partition
+    (Traag et al. 2019's fix for exactly the pathology q500 measured —
+    50 of 102 post-move communities internally disconnected): split
+    every community into its connected pieces over the intra-community
+    edges, so the refined partition carries Leiden's guarantee that
+    every community is internally connected. Splitting a community
+    never changes its intra-edge total and strictly shrinks the
+    degree-penalty term (dtot^2 > sum dtot_piece^2 whenever a split
+    piece has positive degree), so exact-rational modularity can only
+    RISE: q_refine_num >= q_move_num is a theorem, pinned executable
+    in tests alongside this full value oracle.
+
+    Refined community ids are the piece-minimum node ids on both
+    engines (star contraction's label = the closure's MIN(lab)), so
+    the partitions — not just the Q numbers — are comparable.
+
+    Scale shape: components over the intra-edge relation via
+    star contraction (O(log n) rounds, localCheckpoint per round);
+    each modularity side is one edges-to-partition double equi-join +
+    two bounded ledgers — O(E), map-side combinable, no collect."""
+    from variantcalling_spark.operators.dedup import star_contraction_components
+
+    edges, _, deg, m2t, _, after = _louvain_after_frames(spark, sf_dir)
+    intra = (
+        edges.join(
+            after.select(F.col("node").alias("src"), F.col("community").alias("ca")),
+            "src",
+        )
+        .join(
+            after.select(F.col("node").alias("dst"), F.col("community").alias("cb")),
+            "dst",
+        )
+        .where(F.col("ca") == F.col("cb"))
+        .select("src", "dst")
+    )
+    comp = star_contraction_components(intra, id_a="src", id_b="dst")
+    refined = after.join(comp, "node", "left").select(
+        "node",
+        "community",
+        F.coalesce("label", F.col("node")).alias("rc"),
+    ).localCheckpoint()
+
+    def q_numerator(part, key):
+        qin = (
+            edges.join(
+                part.select(F.col("node").alias("src"), F.col(key).alias("ca")),
+                "src",
+            )
+            .join(
+                part.select(F.col("node").alias("dst"), F.col(key).alias("cb")),
+                "dst",
+            )
+            .where(F.col("ca") == F.col("cb"))
+            .groupBy(F.col("ca").alias("c"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("in_edges"))
+        )
+        qdeg = (
+            part.join(deg, "node")
+            .groupBy(F.col(key).alias("c"))
+            .agg(F.sum("k").cast("bigint").alias("dtot"))
+        )
+        return (
+            qdeg.join(qin, "c", "left")
+            .crossJoin(F.broadcast(m2t))
+            .agg(
+                F.sum(
+                    F.col("m2") * F.coalesce("in_edges", F.lit(0).cast("bigint"))
+                    - F.col("dtot") * F.col("dtot")
+                )
+                .cast("bigint")
+                .alias("qn")
+            )
+        )
+
+    n_move = after.agg(
+        F.countDistinct("community").cast("bigint").alias("n_comms_move")
+    )
+    n_split = (
+        refined.groupBy("community")
+        .agg(F.countDistinct("rc").alias("n_pieces"))
+        .agg(
+            F.sum(F.when(F.col("n_pieces") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_split")
+        )
+    )
+    n_refine = refined.agg(
+        F.countDistinct("rc").cast("bigint").alias("n_comms_refine")
+    )
+    qa = q_numerator(after, "community").withColumnRenamed("qn", "q_move_num")
+    qr = q_numerator(refined, "rc").withColumnRenamed("qn", "q_refine_num")
+    qd = m2t.select((F.col("m2") * F.col("m2")).alias("q_den"))
+    return (
+        n_move.crossJoin(F.broadcast(n_split))
+        .crossJoin(F.broadcast(n_refine))
+        .crossJoin(F.broadcast(qa))
+        .crossJoin(F.broadcast(qr))
+        .crossJoin(F.broadcast(qd))
     )
