@@ -1142,3 +1142,30 @@ def test_q505_refinement_modularity_theorem(spark, sf_dir):
     # each split community contributes at least one extra piece
     assert r.n_comms_refine >= r.n_comms_move + r.n_split
     assert r.q_den > 0
+
+
+def test_q506_aggregate_level_sanity(spark, sf_dir):
+    """Leiden aggregate-level invariants: merging supernodes can only
+    shrink the community count (n_comms_level2 <= n_super), every
+    supernode either stays or moves (n_super_moved <= n_super), and
+    the induced node-level partitions share the exact denominator."""
+    from variantcalling_spark.queries.similarity import q506_leiden_aggregate_level
+
+    r = q506_leiden_aggregate_level(spark, sf_dir).collect()[0]
+    assert 1 <= r.n_comms_level2 <= r.n_super
+    assert 0 <= r.n_super_moved <= r.n_super
+    assert r.q_den > 0
+
+
+def test_q507_ari_bounds_and_identity(spark, sf_dir):
+    """ARI output sanity on the real corpus: the exact-vs-neardup
+    agreement is strictly between chance (0) and identity (1) on a
+    corpus with planted near-dups that exact dedup cannot see, and
+    the exact pair ledger is internally consistent."""
+    from variantcalling_spark.queries.dedup import q507_partition_agreement_ari
+
+    r = q507_partition_agreement_ari(spark, sf_dir).collect()[0]
+    assert 0.0 < r.ari < 1.0
+    assert r.ari_den2 > 0
+    assert r.sum_ij <= min(r.sum_a, r.sum_b)  # cell pairs bound row/col pairs
+    assert round(r.ari_num2 / r.ari_den2, 6) == r.ari

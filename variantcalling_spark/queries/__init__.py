@@ -184,6 +184,9 @@ _PRIORITY = (
     "q503_dp_cluster_release",
     "q504_planner_recall_harness",
     "q505_leiden_refinement",
+    "q506_leiden_aggregate_level",
+    "q507_partition_agreement_ari",
+    "q508_chrf_score",
     # --- Certified r9 (q284-q383), keep at tail of the priority list ---
     "q284_attribution_last_touch",
     "q285_cochran_armitage",

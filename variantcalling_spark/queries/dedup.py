@@ -5333,3 +5333,146 @@ def q503_dp_cluster_release(spark, sf_dir):
         F.round(lap, 6).alias("noise"),
         F.round(F.col("true_value") + lap, 6).alias("noisy_value"),
     )
+
+
+def _ari_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE corpus AS ({SQL_CORPUS}),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+                   for i in generate_series(1, len(string_split(text, ' ')) - 2)]) AS shingle
+    FROM corpus
+  )
+),
+shsizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+e AS (
+  SELECT doc_a, doc_b FROM shared
+  JOIN shsizes sa ON sa.doc_id = doc_a
+  JOIN shsizes sb ON sb.doc_id = doc_b
+  WHERE n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE) >= 0.6
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM e
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM e
+),
+closure AS (
+  SELECT src AS node, src AS reach FROM edges
+  UNION
+  SELECT c.node, edges.dst AS reach
+  FROM closure c JOIN edges ON edges.src = c.reach
+),
+comp AS (SELECT node, MIN(reach) AS label FROM closure GROUP BY node),
+both_p AS (
+  SELECT c.doc_id, md5(c.text) AS l1,
+         COALESCE(k.label, c.doc_id) AS l2
+  FROM corpus c LEFT JOIN comp k ON k.node = c.doc_id
+),
+cells AS (
+  SELECT l1, l2, CAST(COUNT(*) AS BIGINT) AS nij FROM both_p GROUP BY l1, l2
+),
+sums AS (
+  SELECT
+    (SELECT CAST(SUM(nij * (nij - 1) // 2) AS BIGINT) FROM cells) AS sum_ij,
+    (SELECT CAST(SUM(na * (na - 1) // 2) AS BIGINT)
+     FROM (SELECT CAST(COUNT(*) AS BIGINT) AS na FROM both_p GROUP BY l1)) AS sum_a,
+    (SELECT CAST(SUM(nb * (nb - 1) // 2) AS BIGINT)
+     FROM (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM both_p GROUP BY l2)) AS sum_b,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM both_p) AS n_docs
+)
+SELECT n_docs, sum_ij, sum_a, sum_b,
+       CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS pairs_total,
+       CAST(2 * (n_docs * (n_docs - 1) // 2) * sum_ij - 2 * sum_a * sum_b
+            AS BIGINT) AS ari_num2,
+       CAST((n_docs * (n_docs - 1) // 2) * (sum_a + sum_b) - 2 * sum_a * sum_b
+            AS BIGINT) AS ari_den2,
+       ROUND(CAST(2 * (n_docs * (n_docs - 1) // 2) * sum_ij - 2 * sum_a * sum_b
+                  AS DOUBLE)
+             / ((n_docs * (n_docs - 1) // 2) * (sum_a + sum_b) - 2 * sum_a * sum_b),
+             6) AS ari
+FROM sums
+"""
+
+
+@query("q507_partition_agreement_ari", oracle=_ari_oracle_sql())
+def q507_partition_agreement_ari(spark, sf_dir):
+    """ADJUSTED RAND INDEX between two dedup partitions of the same
+    corpus — the cluster-comparison metric the q501 method matrix
+    lacks (q501 scores methods against planted PAIR truth; ARI asks
+    how much two PARTITIONS agree, chance-corrected, no truth needed):
+    exact-dup clusters (md5 fingerprint) vs near-dup clusters (q98's
+    Jaccard >= 0.6 components, singletons = their own cluster).
+
+    Hubert-Arabie pair-counting form kept EXACT: the contingency
+    table, its row/column pair sums, and the 2x-scaled numerator /
+    denominator (2C(n,2)SUMij - 2SUMa SUMb over C(n,2)(SUMa+SUMb) -
+    2SUMa SUMb) are all bigint — the only double is the final rounded
+    ratio, so the oracle pins the arithmetic, not a float trajectory.
+    Expected reading: high but < 1 — near-dup clustering merges the
+    exact clusters plus the planted tail-cut neighbors.
+
+    Scale shape: one groupBy per partition + one on the (l1, l2)
+    contingency — three map-side-combinable aggregates over n docs;
+    the near-dup substrate is q98's candidate-linear pipeline."""
+    from variantcalling_spark.operators.dedup import connected_components
+
+    c = corpus(spark, sf_dir).transform(managed_persist)
+    sh = shingles(c, n=3).transform(managed_persist)
+    cands = prefix_filtered_pairs(sh, threshold=0.6)
+    pairs = jaccard_for_pairs(cands, sh).where(F.col("jaccard") >= 0.6)
+    comp = connected_components(pairs)
+    both = (
+        c.select("doc_id", F.md5("text").alias("l1"))
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", "l1", F.coalesce("label", F.col("doc_id")).alias("l2")
+        )
+        .transform(managed_persist)
+    )
+
+    def pair_sum(grouped, cname):
+        return grouped.agg(
+            F.sum((F.col("n") * (F.col("n") - 1)).cast("bigint") / F.lit(2))
+            .cast("bigint")
+            .alias(cname)
+        )
+
+    cells = both.groupBy("l1", "l2").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    sij = pair_sum(cells, "sum_ij")
+    sa = pair_sum(
+        both.groupBy("l1").agg(F.count(F.lit(1)).cast("bigint").alias("n")), "sum_a"
+    )
+    sb = pair_sum(
+        both.groupBy("l2").agg(F.count(F.lit(1)).cast("bigint").alias("n")), "sum_b"
+    )
+    nd = both.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    tot = (F.col("n_docs") * (F.col("n_docs") - 1) / F.lit(2)).cast("bigint")
+    num2 = (F.lit(2) * tot * F.col("sum_ij") - 2 * F.col("sum_a") * F.col("sum_b")).cast(
+        "bigint"
+    )
+    den2 = (tot * (F.col("sum_a") + F.col("sum_b")) - 2 * F.col("sum_a") * F.col("sum_b")).cast(
+        "bigint"
+    )
+    return (
+        nd.crossJoin(F.broadcast(sij))
+        .crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+        .select(
+            "n_docs",
+            "sum_ij",
+            "sum_a",
+            "sum_b",
+            tot.alias("pairs_total"),
+            num2.alias("ari_num2"),
+            den2.alias("ari_den2"),
+            F.round(num2.cast("double") / den2, 6).alias("ari"),
+        )
+    )

@@ -573,7 +573,7 @@ def _pagerank_oracle_sql() -> str:
         f"""
 WITH knn AS (SELECT * FROM ({knn}) q0),
 edges AS (SELECT vec_id AS src, neighbor_id AS dst FROM knn),
-nodes AS (SELECT vec_id AS node FROM embeddings),
+nodes AS MATERIALIZED (SELECT vec_id AS node FROM embeddings),
 nn AS (SELECT COUNT(*) AS n FROM nodes),
 outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
 r0 AS (
@@ -709,13 +709,13 @@ def _lpa_cte_sql() -> str:
     parts = [
         f"""
 WITH knn AS (SELECT * FROM ({knn}) q0),
-e0 AS (SELECT vec_id AS src, neighbor_id AS dst FROM knn),
-edges AS (
+e0 AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst FROM knn),
+edges AS MATERIALIZED (
   SELECT DISTINCT src, dst FROM (
     SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
   )
 ),
-nodes AS (SELECT vec_id AS node FROM embeddings),
+nodes AS MATERIALIZED (SELECT vec_id AS node FROM embeddings),
 l0 AS (SELECT node, node AS label FROM nodes)"""
     ]
     prev = "l0"
@@ -734,14 +734,14 @@ p{i} AS (
     FROM c{i}
   ) WHERE rn = 1
 ),
-l{i} AS (
+l{i} AS MATERIALIZED (
   SELECT n.node, COALESCE(p.label, l.label) AS label
   FROM nodes n JOIN {prev} l USING (node) LEFT JOIN p{i} p USING (node)
 )"""
         )
         prev = f"l{i}"
     parts.append(f""",
-communities AS (SELECT node, label AS community FROM {prev})""")
+communities AS MATERIALIZED (SELECT node, label AS community FROM {prev})""")
     return "".join(parts)
 
 
@@ -1184,7 +1184,7 @@ def _ppr_oracle_sql() -> str:
         f"""
 WITH knn AS (SELECT * FROM ({knn}) q0),
 edges AS (SELECT vec_id AS src, neighbor_id AS dst FROM knn),
-nodes AS (SELECT vec_id AS node FROM embeddings),
+nodes AS MATERIALIZED (SELECT vec_id AS node FROM embeddings),
 seeds AS (SELECT node FROM nodes WHERE node < {PPR_SEEDS}),
 ns AS (SELECT COUNT(*) AS n FROM seeds),
 outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
@@ -2145,13 +2145,13 @@ def _bfs_oracle_sql() -> str:
     knn = _knn_graph_oracle_sql()
     return f"""
 WITH RECURSIVE knn AS (SELECT * FROM ({knn}) q0),
-e0 AS (SELECT vec_id AS src, neighbor_id AS dst FROM knn),
-edges AS (
+e0 AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst FROM knn),
+edges AS MATERIALIZED (
   SELECT DISTINCT src, dst FROM (
     SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
   )
 ),
-nodes AS (SELECT vec_id AS node FROM embeddings),
+nodes AS MATERIALIZED (SELECT vec_id AS node FROM embeddings),
 reach AS (
   SELECT node, 0 AS dist FROM nodes WHERE node % 100 = 0
   UNION
@@ -6298,8 +6298,8 @@ def _louvain_after_cte_sql() -> str:
     ending with ``after(node, community)`` — shared by q491 (the move
     ledger) and q500 (the connectivity audit of the moved partition)."""
     return _lpa_cte_sql() + """
-, m2t AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM edges),
-deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS k FROM edges GROUP BY src),
+, m2t AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM edges),
+deg AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS k FROM edges GROUP BY src),
 dsum AS (
   SELECT c.community, CAST(SUM(d.k) AS BIGINT) AS dtot
   FROM communities c JOIN deg d USING (node) GROUP BY c.community
@@ -6334,7 +6334,7 @@ best AS (
     FROM scored
   ) WHERE rn = 1
 ),
-after AS (
+after AS MATERIALIZED (
   SELECT c.node, COALESCE(b.new_community, c.community) AS community
   FROM communities c LEFT JOIN best b USING (node)
 )"""
@@ -7065,7 +7065,40 @@ def q504_planner_recall_harness(spark, sf_dir):
     return arms
 
 
-def _leiden_refinement_oracle_sql() -> str:
+def _leiden_refined_frames(spark, sf_dir):
+    """Spark side of ``_leiden_refined_cte_sql``: the local-move
+    partition split into connected pieces. Returns (edges, deg, m2t,
+    after, refined) with ``refined(node, community, rc)``
+    localCheckpoint'd — rc is the piece-minimum node id, matching the
+    oracle's closure labels."""
+    from variantcalling_spark.operators.dedup import star_contraction_components
+
+    edges, _, deg, m2t, _, after = _louvain_after_frames(spark, sf_dir)
+    intra = (
+        edges.join(
+            after.select(F.col("node").alias("src"), F.col("community").alias("ca")),
+            "src",
+        )
+        .join(
+            after.select(F.col("node").alias("dst"), F.col("community").alias("cb")),
+            "dst",
+        )
+        .where(F.col("ca") == F.col("cb"))
+        .select("src", "dst")
+    )
+    comp = star_contraction_components(intra, id_a="src", id_b="dst")
+    refined = after.join(comp, "node", "left").select(
+        "node",
+        "community",
+        F.coalesce("label", F.col("node")).alias("rc"),
+    ).localCheckpoint()
+    return edges, deg, m2t, after, refined
+
+
+def _leiden_refined_cte_sql() -> str:
+    """``_louvain_after_cte_sql`` + the refinement CTEs, ending with
+    ``refined(node, community, rc)`` — shared by q505 (refinement
+    ledger) and q506 (aggregate-level move)."""
     return (
         _louvain_after_cte_sql()
         + """,
@@ -7085,9 +7118,16 @@ reach AS MATERIALIZED (
     SELECT node, lab FROM r
   ) GROUP BY node
 ),
-refined AS (
+refined AS MATERIALIZED (
   SELECT a.node, a.community, r.lab AS rc FROM after a JOIN reach r USING (node)
-),
+)"""
+    )
+
+
+def _leiden_refinement_oracle_sql() -> str:
+    return (
+        _leiden_refined_cte_sql()
+        + """,
 rin AS (
   SELECT ra.rc, CAST(COUNT(*) AS BIGINT) AS in_edges
   FROM edges e
@@ -7158,27 +7198,7 @@ def q505_leiden_refinement(spark, sf_dir):
     star contraction (O(log n) rounds, localCheckpoint per round);
     each modularity side is one edges-to-partition double equi-join +
     two bounded ledgers — O(E), map-side combinable, no collect."""
-    from variantcalling_spark.operators.dedup import star_contraction_components
-
-    edges, _, deg, m2t, _, after = _louvain_after_frames(spark, sf_dir)
-    intra = (
-        edges.join(
-            after.select(F.col("node").alias("src"), F.col("community").alias("ca")),
-            "src",
-        )
-        .join(
-            after.select(F.col("node").alias("dst"), F.col("community").alias("cb")),
-            "dst",
-        )
-        .where(F.col("ca") == F.col("cb"))
-        .select("src", "dst")
-    )
-    comp = star_contraction_components(intra, id_a="src", id_b="dst")
-    refined = after.join(comp, "node", "left").select(
-        "node",
-        "community",
-        F.coalesce("label", F.col("node")).alias("rc"),
-    ).localCheckpoint()
+    edges, deg, m2t, after, refined = _leiden_refined_frames(spark, sf_dir)
 
     def q_numerator(part, key):
         qin = (
@@ -7235,5 +7255,268 @@ def q505_leiden_refinement(spark, sf_dir):
         .crossJoin(F.broadcast(n_refine))
         .crossJoin(F.broadcast(qa))
         .crossJoin(F.broadcast(qr))
+        .crossJoin(F.broadcast(qd))
+    )
+
+
+def _leiden_aggregate_oracle_sql() -> str:
+    return (
+        _leiden_refined_cte_sql()
+        + """,
+sdeg AS MATERIALIZED (
+  SELECT r.rc, CAST(SUM(d.k) AS BIGINT) AS kk
+  FROM refined r JOIN deg d USING (node) GROUP BY r.rc
+),
+sedges AS MATERIALIZED (
+  SELECT ra.rc AS ssrc, rb.rc AS sdst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM edges e
+  JOIN refined ra ON ra.node = e.src
+  JOIN refined rb ON rb.node = e.dst
+  WHERE ra.rc <> rb.rc
+  GROUP BY ra.rc, rb.rc
+),
+sinit AS MATERIALIZED (SELECT DISTINCT rc, community FROM refined),
+sdsum AS (
+  SELECT si.community, CAST(SUM(sd.kk) AS BIGINT) AS dtot
+  FROM sinit si JOIN sdeg sd USING (rc) GROUP BY si.community
+),
+snc AS (
+  SELECT se.ssrc AS rc, sb.community AS cand, CAST(SUM(se.w) AS BIGINT) AS e_ic
+  FROM sedges se JOIN sinit sb ON sb.rc = se.sdst
+  GROUP BY se.ssrc, sb.community
+),
+scand AS (
+  SELECT rc, cand, MAX(e_ic) AS e_ic FROM (
+    SELECT rc, cand, e_ic FROM snc
+    UNION ALL
+    SELECT rc, community AS cand, CAST(0 AS BIGINT) AS e_ic FROM sinit
+  ) GROUP BY rc, cand
+),
+sscored AS (
+  SELECT c2.rc, c2.cand,
+         m2t.m2 * c2.e_ic
+           - sd.kk * (ds.dtot - CASE WHEN c2.cand = cur.community
+                                     THEN sd.kk ELSE 0 END) AS score
+  FROM scand c2
+  JOIN sdeg sd ON sd.rc = c2.rc
+  JOIN sinit cur ON cur.rc = c2.rc
+  JOIN sdsum ds ON ds.community = c2.cand
+  CROSS JOIN m2t
+),
+sbest AS (
+  SELECT rc, cand AS new_community FROM (
+    SELECT rc, cand,
+           ROW_NUMBER() OVER (PARTITION BY rc ORDER BY score DESC, cand) AS rn
+    FROM sscored
+  ) WHERE rn = 1
+),
+safter AS MATERIALIZED (
+  SELECT si.rc, COALESCE(sb.new_community, si.community) AS community
+  FROM sinit si LEFT JOIN sbest sb USING (rc)
+),
+lvl2 AS MATERIALIZED (
+  SELECT r.node, sa.community FROM refined r JOIN safter sa USING (rc)
+),
+lin AS (
+  SELECT la.community, CAST(COUNT(*) AS BIGINT) AS in_edges
+  FROM edges e
+  JOIN lvl2 la ON la.node = e.src
+  JOIN lvl2 lb ON lb.node = e.dst AND lb.community = la.community
+  GROUP BY la.community
+),
+ldeg AS (
+  SELECT l.community, CAST(SUM(d.k) AS BIGINT) AS dtot
+  FROM lvl2 l JOIN deg d USING (node) GROUP BY l.community
+),
+ql AS (
+  SELECT CAST(SUM(m2t.m2 * COALESCE(lin.in_edges, 0) - ldeg.dtot * ldeg.dtot)
+              AS BIGINT) AS qn
+  FROM ldeg LEFT JOIN lin USING (community) CROSS JOIN m2t
+),
+ain AS (
+  SELECT aa.community, CAST(COUNT(*) AS BIGINT) AS in_edges
+  FROM edges e
+  JOIN after aa ON aa.node = e.src
+  JOIN after ab ON ab.node = e.dst AND ab.community = aa.community
+  GROUP BY aa.community
+),
+adeg AS (
+  SELECT a.community, CAST(SUM(d.k) AS BIGINT) AS dtot
+  FROM after a JOIN deg d USING (node) GROUP BY a.community
+),
+qa AS (
+  SELECT CAST(SUM(m2t.m2 * COALESCE(ain.in_edges, 0) - adeg.dtot * adeg.dtot)
+              AS BIGINT) AS qn
+  FROM adeg LEFT JOIN ain USING (community) CROSS JOIN m2t
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sinit) AS n_super,
+       (SELECT CAST(SUM(CASE WHEN sb.new_community <> si.community
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM sbest sb JOIN sinit si USING (rc)) AS n_super_moved,
+       (SELECT CAST(COUNT(DISTINCT community) AS BIGINT) FROM safter)
+         AS n_comms_level2,
+       (SELECT qn FROM qa) AS q_init_num,
+       (SELECT qn FROM ql) AS q_level2_num,
+       (SELECT m2 * m2 FROM m2t) AS q_den
+"""
+    )
+
+
+@query("q506_leiden_aggregate_level", oracle=_leiden_aggregate_oracle_sql())
+def q506_leiden_aggregate_level(spark, sf_dir):
+    """LEIDEN AGGREGATE LEVEL — the third phase of Traag et al.'s
+    loop, completing the trilogy (q491 local move, q505 refinement,
+    this query): collapse each REFINED community into a supernode
+    (weight-degree = member degree sum; inter-supernode edge weights =
+    cross-piece edge counts, self-loops excluded — they move with the
+    node), initialize the level-2 partition from the NON-refined move
+    partition (Leiden's init: refinement decides the aggregation
+    units, the move partition decides their starting communities), and
+    run ONE synchronous weighted local-move sweep at the super level.
+    The ledger reports the super-graph size, how many supernodes
+    merged elsewhere, and exact-rational modularity of the induced
+    node-level partition before (= q505's move Q) and after.
+
+    Scale shape: the super graph has one row per refined-community
+    pair with any edge — orders of magnitude smaller than the node
+    graph; every stage is an equi-join + map-side-combinable SUM on
+    it, and the node-level Q evaluation is the same O(E) double
+    equi-join as q491's."""
+    edges, deg, m2t, after, refined = _leiden_refined_frames(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    sdeg = (
+        refined.join(deg, "node")
+        .groupBy("rc")
+        .agg(F.sum("k").cast("bigint").alias("kk"))
+        .transform(managed_persist)
+    )
+    sedges = (
+        edges.join(
+            refined.select(F.col("node").alias("src"), F.col("rc").alias("ssrc")),
+            "src",
+        )
+        .join(
+            refined.select(F.col("node").alias("dst"), F.col("rc").alias("sdst")),
+            "dst",
+        )
+        .where(F.col("ssrc") != F.col("sdst"))
+        .groupBy("ssrc", "sdst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    sinit = refined.select("rc", "community").distinct().transform(managed_persist)
+    sdsum = (
+        sinit.join(sdeg, "rc")
+        .groupBy("community")
+        .agg(F.sum("kk").cast("bigint").alias("dtot"))
+    )
+    snc = (
+        sedges.join(
+            sinit.select(F.col("rc").alias("sdst"), F.col("community").alias("cand")),
+            "sdst",
+        )
+        .groupBy(F.col("ssrc").alias("rc"), "cand")
+        .agg(F.sum("w").cast("bigint").alias("e_ic"))
+    )
+    scand = (
+        snc.unionByName(
+            sinit.select(
+                "rc",
+                F.col("community").alias("cand"),
+                F.lit(0).cast("bigint").alias("e_ic"),
+            )
+        )
+        .groupBy("rc", "cand")
+        .agg(F.max("e_ic").alias("e_ic"))
+    )
+    sscored = (
+        scand.join(sdeg, "rc")
+        .join(sinit.withColumnRenamed("community", "cur"), "rc")
+        .join(sdsum.withColumnRenamed("community", "cand"), "cand")
+        .crossJoin(F.broadcast(m2t))
+        .select(
+            "rc",
+            "cand",
+            (
+                F.col("m2") * F.col("e_ic")
+                - F.col("kk")
+                * (
+                    F.col("dtot")
+                    - F.when(F.col("cand") == F.col("cur"), F.col("kk")).otherwise(
+                        F.lit(0).cast("bigint")
+                    )
+                )
+            ).alias("score"),
+        )
+    )
+    sbest = (
+        sscored.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("rc").orderBy(F.desc("score"), "cand")),
+        )
+        .where(F.col("rn") == 1)
+        .select("rc", F.col("cand").alias("new_community"))
+    )
+    safter = sinit.join(sbest, "rc", "left").select(
+        "rc", F.coalesce("new_community", "community").alias("community")
+    )
+    lvl2 = refined.select("node", "rc").join(safter, "rc").select(
+        "node", "community"
+    ).localCheckpoint()
+
+    def q_numerator(part):
+        qin = (
+            edges.join(
+                part.select(F.col("node").alias("src"), F.col("community").alias("ca")),
+                "src",
+            )
+            .join(
+                part.select(F.col("node").alias("dst"), F.col("community").alias("cb")),
+                "dst",
+            )
+            .where(F.col("ca") == F.col("cb"))
+            .groupBy(F.col("ca").alias("c"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("in_edges"))
+        )
+        qdeg = (
+            part.join(deg, "node")
+            .groupBy(F.col("community").alias("c"))
+            .agg(F.sum("k").cast("bigint").alias("dtot"))
+        )
+        return (
+            qdeg.join(qin, "c", "left")
+            .crossJoin(F.broadcast(m2t))
+            .agg(
+                F.sum(
+                    F.col("m2") * F.coalesce("in_edges", F.lit(0).cast("bigint"))
+                    - F.col("dtot") * F.col("dtot")
+                )
+                .cast("bigint")
+                .alias("qn")
+            )
+        )
+
+    n_super = sinit.agg(F.count(F.lit(1)).cast("bigint").alias("n_super"))
+    n_moved = (
+        sbest.join(sinit, "rc")
+        .agg(
+            F.sum(
+                F.when(F.col("new_community") != F.col("community"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_super_moved")
+        )
+    )
+    n_l2 = safter.agg(
+        F.countDistinct("community").cast("bigint").alias("n_comms_level2")
+    )
+    qi = q_numerator(after).withColumnRenamed("qn", "q_init_num")
+    ql = q_numerator(lvl2).withColumnRenamed("qn", "q_level2_num")
+    qd = m2t.select((F.col("m2") * F.col("m2")).alias("q_den"))
+    return (
+        n_super.crossJoin(F.broadcast(n_moved))
+        .crossJoin(F.broadcast(n_l2))
+        .crossJoin(F.broadcast(qi))
+        .crossJoin(F.broadcast(ql))
         .crossJoin(F.broadcast(qd))
     )

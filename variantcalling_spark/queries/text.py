@@ -7696,3 +7696,140 @@ def q492_dp_noisy_histogram(spark, sf_dir):
         F.round(lap, 6).alias("noise"),
         F.round(F.col("true_count") + lap, 6).alias("noisy_count"),
     )
+
+
+_CHRF_NS = (1, 2, 3)
+_CHRF_BETA2 = 4  # beta = 2, beta^2 = 4 (recall-weighted, the chrF default)
+
+
+def _chrf_oracle_sql() -> str:
+    def gram_select(side, col):
+        parts = []
+        for n in _CHRF_NS:
+            parts.append(
+                f"""    SELECT pair_id, {n} AS n,
+           unnest([substr({col}, i, {n})
+                   for i in generate_series(1, len({col}) - {n} + 1)]) AS gram
+    FROM pairs"""
+            )
+        return "\n    UNION ALL\n".join(parts)
+
+    return f"""
+WITH pairs AS (
+  SELECT CAST(a.doc_id // 2 AS BIGINT) AS pair_id,
+         replace(a.text, ' ', '') AS cc, replace(b.text, ' ', '') AS rc
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 2 = 0
+),
+cg AS (
+  SELECT pair_id, n, gram, CAST(COUNT(*) AS BIGINT) AS tc FROM (
+{gram_select("c", "cc")}
+  ) GROUP BY pair_id, n, gram
+),
+rg AS (
+  SELECT pair_id, n, gram, CAST(COUNT(*) AS BIGINT) AS tr FROM (
+{gram_select("r", "rc")}
+  ) GROUP BY pair_id, n, gram
+),
+m AS (
+  SELECT cg.n,
+         CAST(SUM(LEAST(cg.tc, COALESCE(rg.tr, 0))) AS BIGINT) AS matches,
+         CAST(SUM(cg.tc) AS BIGINT) AS c_total
+  FROM cg LEFT JOIN rg ON rg.pair_id = cg.pair_id AND rg.n = cg.n
+                       AND rg.gram = cg.gram
+  GROUP BY cg.n
+),
+rt AS (SELECT n, CAST(SUM(tr) AS BIGINT) AS r_total FROM rg GROUP BY n)
+SELECT CAST(m.n AS INT) AS n, matches, c_total, r_total,
+       ROUND(matches / CAST(c_total AS DOUBLE), 6) AS precision_n,
+       ROUND(matches / CAST(r_total AS DOUBLE), 6) AS recall_n,
+       ROUND((1 + {_CHRF_BETA2}) * (matches / CAST(c_total AS DOUBLE))
+             * (matches / CAST(r_total AS DOUBLE))
+             / ({_CHRF_BETA2} * (matches / CAST(c_total AS DOUBLE))
+                + (matches / CAST(r_total AS DOUBLE))), 6) AS chrf2
+FROM m JOIN rt USING (n)
+ORDER BY n
+"""
+
+
+@query("q508_chrf_score", oracle=_chrf_oracle_sql())
+def q508_chrf_score(spark, sf_dir):
+    """chrF EVALUATION METRIC (Popovic 2015) — the character-n-gram
+    F-beta complement of the word-level BLEU (q378/q489) and LCS-level
+    ROUGE (q423) already on the board; chrF is the standard MT/gen-eval
+    metric that survives tokenizer and morphology differences because
+    it never tokenizes. Same adjacent-doc pair convention as q378
+    (even doc_id = candidate, +1 = reference), whitespace stripped,
+    n = 1..3, corpus-level (micro) clipped counts, beta = 2
+    (recall-weighted, the chrF default).
+
+    Exactness: matches and totals are clipped INTEGER counts summed as
+    bigints; precision/recall are single integer ratios and chrF2 is
+    one arithmetic expression over them, written identically on both
+    engines and rounded at 6 dp.
+
+    Scale shape: the gram relation is ~3 rows per character —
+    explode + two map-side-combinable counts + one equi-join on
+    (pair_id, n, gram); nothing quadratic, no collect."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") / 2).cast("bigint").alias("pair_id"),
+        F.translate("text", " ", "").alias("cc"),
+        (F.col("doc_id") + 1).alias("ref_id"),
+    )
+    b = docs.select(F.col("doc_id").alias("ref_id"), F.translate("text", " ", "").alias("rc"))
+    pairs = a.join(b, "ref_id").select("pair_id", "cc", "rc").transform(managed_persist)
+
+    def grams(col):
+        out = None
+        for n in _CHRF_NS:
+            g = pairs.select(
+                "pair_id",
+                F.lit(n).alias("n"),
+                F.explode(
+                    F.when(
+                        F.length(col) >= n,
+                        F.expr(
+                            f"transform(sequence(1, length({col}) - {n} + 1),"
+                            f" i -> substring({col}, i, {n}))"
+                        ),
+                    ).otherwise(F.array())
+                ).alias("gram"),
+            )
+            out = g if out is None else out.unionByName(g)
+        return out
+
+    cg = grams("cc").groupBy("pair_id", "n", "gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tc")
+    )
+    rg = grams("rc").groupBy("pair_id", "n", "gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tr")
+    ).transform(managed_persist)
+    m = (
+        cg.join(rg, ["pair_id", "n", "gram"], "left")
+        .groupBy("n")
+        .agg(
+            F.sum(F.least("tc", F.coalesce("tr", F.lit(0).cast("bigint"))))
+            .cast("bigint")
+            .alias("matches"),
+            F.sum("tc").cast("bigint").alias("c_total"),
+        )
+    )
+    rt = rg.groupBy("n").agg(F.sum("tr").cast("bigint").alias("r_total"))
+    p = F.col("matches") / F.col("c_total").cast("double")
+    r = F.col("matches") / F.col("r_total").cast("double")
+    return (
+        m.join(rt, "n")
+        .select(
+            F.col("n").cast("int").alias("n"),
+            "matches",
+            "c_total",
+            "r_total",
+            F.round(p, 6).alias("precision_n"),
+            F.round(r, 6).alias("recall_n"),
+            F.round(
+                (1 + _CHRF_BETA2) * p * r / (_CHRF_BETA2 * p + r), 6
+            ).alias("chrf2"),
+        )
+        .orderBy("n")
+    )
