@@ -838,12 +838,19 @@ def connected_components(
     alternating star contraction; for duplicate clusters this converges
     faster with less machinery.
     """
+    # Eager lineage cut at entry (same as star_contraction): the edge
+    # relation is read by the initial label build AND by every
+    # propagation round — without the checkpoint each of those
+    # executions re-runs the whole upstream pair pipeline (for q98's
+    # PPJoin discovery that was invisible at sf0.1 and 14x the query
+    # cost at 10x, measured r10: q503 89 s -> see SCALE.md).
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("node"))

@@ -187,6 +187,9 @@ _PRIORITY = (
     "q506_leiden_aggregate_level",
     "q507_partition_agreement_ari",
     "q508_chrf_score",
+    "q509_rank_biased_overlap",
+    "q510_friedman_test",
+    "q511_consensus_coassociation",
     # --- Certified r9 (q284-q383), keep at tail of the priority list ---
     "q284_attribution_last_touch",
     "q285_cochran_armitage",

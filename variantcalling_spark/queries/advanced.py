@@ -2461,3 +2461,121 @@ def q277_anova_f(spark, sf_dir):
         ),
         F.round(ssb / sst, 6).alias("eta_squared"),
     )
+
+
+_FRIEDMAN_K = 5  # order priorities: the treatment set
+
+
+@query(
+    "q510_friedman_test",
+    oracle=f"""
+WITH cells AS (
+  SELECT date_trunc('month', o_orderdate) AS blk, o_orderpriority AS treatment,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS v
+  FROM orders GROUP BY 1, 2
+),
+complete_blocks AS (
+  SELECT blk FROM cells GROUP BY blk
+  HAVING COUNT(DISTINCT treatment) = {_FRIEDMAN_K}
+),
+ranked AS (
+  SELECT c.treatment,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c.blk ORDER BY c.v, c.treatment)
+              AS BIGINT) AS r
+  FROM cells c JOIN complete_blocks USING (blk)
+),
+sums AS (
+  SELECT treatment, CAST(SUM(r) AS BIGINT) AS rank_sum FROM ranked
+  GROUP BY treatment
+),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM complete_blocks),
+stat AS (
+  SELECT CAST(SUM(rank_sum * rank_sum) AS BIGINT) AS sum_r2 FROM sums
+)
+SELECT s.treatment, s.rank_sum,
+       ROUND(s.rank_sum / CAST(nb.n AS DOUBLE), 6) AS mean_rank,
+       nb.n AS n_blocks,
+       CAST({_FRIEDMAN_K} AS INT) AS k,
+       ROUND(12.0 * st.sum_r2
+               / (nb.n * {_FRIEDMAN_K} * {_FRIEDMAN_K + 1})
+             - 3.0 * nb.n * {_FRIEDMAN_K + 1}, 6) AS friedman_q
+FROM sums s CROSS JOIN nb CROSS JOIN stat st
+ORDER BY s.treatment
+""",
+)
+def q510_friedman_test(spark, sf_dir):
+    """FRIEDMAN TEST (nonparametric repeated-measures ANOVA) — ranks
+    WITHIN each block kill block-level scale differences, so it asks
+    'does any order priority consistently out-revenue the others
+    month after month?' where a raw ANOVA (q277) would be swamped by
+    month-size variance. Blocks = order months restricted to COMPLETE
+    blocks (all 5 priorities present — 79 of 80 at sf0.01);
+    treatments = priorities; cell value = exact-DECIMAL revenue sum;
+    within-block ranks use the deterministic (value, treatment)
+    tie-break (exact DECIMAL cells make value ties measure-zero, and
+    the tie-break keeps both engines identical if one occurs).
+    Q = 12/(nk(k+1)) SUM R_j^2 - 3n(k+1), chi-square with k-1 df under
+    H0; rank sums are exact bigints, Q is one fixed-shape double
+    expression rounded at 6 dp.
+
+    Scale shape: one groupBy to cells (bounded: months x priorities),
+    one window rank over k-row partitions, two bounded aggregates —
+    the statistic is free at any corpus size."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    cells = (
+        orders.groupBy(
+            F.trunc("o_orderdate", "month").alias("blk"),
+            F.col("o_orderpriority").alias("treatment"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            .alias("v")
+        )
+        .transform(managed_persist)
+    )
+    complete = (
+        cells.groupBy("blk")
+        .agg(F.countDistinct("treatment").alias("kk"))
+        .where(F.col("kk") == _FRIEDMAN_K)
+        .select("blk")
+    )
+    ranked = (
+        cells.join(complete, "blk")
+        .withColumn(
+            "r",
+            F.row_number()
+            .over(W.partitionBy("blk").orderBy("v", "treatment"))
+            .cast("bigint"),
+        )
+    )
+    sums = ranked.groupBy("treatment").agg(
+        F.sum("r").cast("bigint").alias("rank_sum")
+    )
+    nb = complete.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    stat = sums.agg(
+        F.sum(F.col("rank_sum") * F.col("rank_sum")).cast("bigint").alias("sum_r2")
+    )
+    k = _FRIEDMAN_K
+    return (
+        sums.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(stat))
+        .select(
+            "treatment",
+            "rank_sum",
+            F.round(F.col("rank_sum") / F.col("n").cast("double"), 6).alias(
+                "mean_rank"
+            ),
+            F.col("n").alias("n_blocks"),
+            F.lit(k).cast("int").alias("k"),
+            F.round(
+                F.lit(12.0) * F.col("sum_r2")
+                / (F.col("n") * k * (k + 1))
+                - F.lit(3.0) * F.col("n") * (k + 1),
+                6,
+            ).alias("friedman_q"),
+        )
+        .orderBy("treatment")
+    )

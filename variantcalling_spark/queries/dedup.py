@@ -4918,6 +4918,97 @@ def q498_winnowing_containment(spark, sf_dir):
     )
 
 
+def _method_rel_cte_sql() -> str:
+    """CTE list (no WITH keyword) building the three method pair
+    relations m_exact / m_minhash / m_winnow over the dedup corpus —
+    shared by q501 (precision/recall matrix) and q511 (consensus
+    co-association). Rendered without MATERIALIZED only where a CTE is
+    referenced once; the pair relations themselves are MATERIALIZED
+    because consumers read them repeatedly."""
+    from variantcalling_spark.operators.dedup import (
+        MERSENNE31,
+        PORTABLE_HASH_SQL,
+        _minhash_coeffs,
+        winnowing_sql,
+    )
+
+    p = MERSENNE31
+    phash = PORTABLE_HASH_SQL.format(col="shingle")
+    coeffs = _minhash_coeffs(32)
+    sig_cols = ",\n         ".join(
+        f"MIN((CAST({a} AS BIGINT) * v + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+
+    def bucket_expr(b):
+        acc = f"h{b * 4}"
+        for r in range(1, 4):
+            acc = f"(({acc}) * 8191 + h{b * 4 + r}) % {p}"
+        return acc
+
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, {bucket_expr(b)} AS bucket FROM sig"
+        for b in range(8)
+    )
+    return f"""corpus AS MATERIALIZED ({SQL_CORPUS}),
+m_exact AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM corpus a JOIN corpus b
+    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+                   for i in generate_series(1, len(string_split(text, ' ')) - 2)]) AS shingle
+    FROM corpus
+  )
+),
+hv AS (SELECT doc_id, {phash} AS v FROM sh),
+sig AS (SELECT doc_id, {sig_cols} FROM hv GROUP BY doc_id),
+bands AS (
+{band_selects}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+m_minhash AS MATERIALIZED (
+  SELECT s.doc_a, s.doc_b
+  FROM shared s
+  JOIN sizes sa ON sa.doc_id = s.doc_a
+  JOIN sizes sb ON sb.doc_id = s.doc_b
+  WHERE s.n_shared / CAST(sa.n_sh + sb.n_sh - s.n_shared AS DOUBLE) >= 0.6
+),
+{winnowing_sql("SELECT doc_id, text FROM corpus", sfx="_w")},
+fph AS (SELECT DISTINCT doc_id, h FROM fp_w),
+dfh AS (SELECT h, COUNT(*) AS ndocs FROM fph GROUP BY h),
+kept AS (SELECT fph.doc_id, fph.h FROM fph JOIN dfh USING (h) WHERE ndocs <= 100),
+wsz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM kept GROUP BY doc_id),
+wpr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+m_winnow AS MATERIALIZED (
+  SELECT w.doc_a, w.doc_b
+  FROM wpr w
+  JOIN wsz sa ON sa.doc_id = w.doc_a
+  JOIN wsz sb ON sb.doc_id = w.doc_b
+  WHERE w.n_shared / CAST(LEAST(sa.n_fp, sb.n_fp) AS DOUBLE) >= 0.5
+)"""
+
+
 def _method_matrix_oracle_sql() -> str:
     from variantcalling_spark.operators.dedup import (
         MERSENNE31,
@@ -4963,7 +5054,7 @@ def _method_matrix_oracle_sql() -> str:
         )
     )
     return f"""
-WITH corpus AS ({SQL_CORPUS}),
+WITH {_method_rel_cte_sql()},
 truth AS (
   SELECT doc_id AS doc_a, doc_id + 200000 AS doc_b
   FROM documents WHERE doc_id % 20 = 0
@@ -4973,87 +5064,15 @@ truth AS (
   UNION ALL
   SELECT doc_id + 100000 AS doc_a, doc_id + 200000 AS doc_b
   FROM documents WHERE doc_id % 20 = 0
-),
-m_exact AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM corpus a JOIN corpus b
-    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
-),
-sh AS (
-  SELECT DISTINCT doc_id, shingle
-  FROM (
-    SELECT doc_id,
-           unnest([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
-                   for i in generate_series(1, len(string_split(text, ' ')) - 2)]) AS shingle
-    FROM corpus
-  )
-),
-hv AS (SELECT doc_id, {phash} AS v FROM sh),
-sig AS (SELECT doc_id, {sig_cols} FROM hv GROUP BY doc_id),
-bands AS (
-{band_selects}
-),
-cands AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-shared AS (
-  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
-  FROM cands c
-  JOIN sh a ON a.doc_id = c.doc_a
-  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-  GROUP BY c.doc_a, c.doc_b
-),
-m_minhash AS (
-  SELECT s.doc_a, s.doc_b
-  FROM shared s
-  JOIN sizes sa ON sa.doc_id = s.doc_a
-  JOIN sizes sb ON sb.doc_id = s.doc_b
-  WHERE s.n_shared / CAST(sa.n_sh + sb.n_sh - s.n_shared AS DOUBLE) >= 0.6
-),
-{winnowing_sql("SELECT doc_id, text FROM corpus", sfx="_w")},
-fph AS (SELECT DISTINCT doc_id, h FROM fp_w),
-dfh AS (SELECT h, COUNT(*) AS ndocs FROM fph GROUP BY h),
-kept AS (SELECT fph.doc_id, fph.h FROM fph JOIN dfh USING (h) WHERE ndocs <= 100),
-wsz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM kept GROUP BY doc_id),
-wpr AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
-  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
-  GROUP BY 1, 2 HAVING COUNT(*) >= 2
-),
-m_winnow AS (
-  SELECT w.doc_a, w.doc_b
-  FROM wpr w
-  JOIN wsz sa ON sa.doc_id = w.doc_a
-  JOIN wsz sb ON sb.doc_id = w.doc_b
-  WHERE w.n_shared / CAST(LEAST(sa.n_fp, sb.n_fp) AS DOUBLE) >= 0.5
 )
 {arms}
 """
 
 
-@query("q501_dedup_method_matrix", oracle=_method_matrix_oracle_sql())
-def q501_dedup_method_matrix(spark, sf_dir):
-    """DEDUP METHOD MATRIX — one precision/recall ledger for the three
-    detection families against the SAME planted ground truth (exact
-    copies of every 20th doc + first-word-dropped near-copies of every
-    10th): exact-md5 recovers only the byte-identical arm (recall by
-    DESIGN ~1/3 — the ledger row that says set-hash dedup is not
-    near-dup dedup), MinHash-LSH (b=8, r=4, verify >= 0.6) and
-    winnowing containment (>= 0.5, df <= 100 stop-list) both recover
-    EVERY planted pair (recall 1.0; truth includes the copy-copy arm)
-    at ~0.75 precision — and the residual flags are the corpus's own
-    organic near-dup pairs, i.e. the denominators, not the methods,
-    own the gap. The synthesis view a pipeline owner reads before
-    choosing the dedup stage; every underlying method is individually
-    value-oracled (q64/q66/q486), this row pins their RELATIVE
-    behavior.
-
-    Scale shape: each arm is its own already-bounded discovery
-    (hash-groupBy / banded join / df-capped fingerprint join); the
-    matrix adds only truth-semi-joins and count arithmetic."""
+def _method_pair_frames(spark, sf_dir):
+    """Spark side of ``_method_rel_cte_sql``: the three dedup-method
+    pair relations over the augmented corpus, as DataFrames —
+    (m_exact, m_minhash, m_winnow). Shared by q501 and q511."""
     from variantcalling_spark.operators.dedup import (
         jaccard_for_pairs,
         portable_band_candidates,
@@ -5062,30 +5081,7 @@ def q501_dedup_method_matrix(spark, sf_dir):
         winnowing_fingerprints,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     c = corpus(spark, sf_dir).transform(managed_persist)
-    truth = (
-        docs.where(F.col("doc_id") % 20 == 0)
-        .select(
-            F.col("doc_id").alias("doc_a"),
-            (F.col("doc_id") + 200000).alias("doc_b"),
-        )
-        .unionByName(
-            docs.where(F.col("doc_id") % 10 == 0).select(
-                F.col("doc_id").alias("doc_a"),
-                (F.col("doc_id") + 100000).alias("doc_b"),
-            )
-        )
-        .unionByName(
-            docs.where(F.col("doc_id") % 20 == 0).select(
-                (F.col("doc_id") + 100000).alias("doc_a"),
-                (F.col("doc_id") + 200000).alias("doc_b"),
-            )
-        )
-        .transform(managed_persist)
-    )
-    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
-
     fa = c.select(F.col("doc_id").alias("doc_a"), F.md5("text").alias("fp"))
     fb = c.select(F.col("doc_id").alias("doc_b"), F.md5("text").alias("fp"))
     m_exact = fa.join(fb, "fp").where(F.col("doc_a") < F.col("doc_b")).select(
@@ -5129,6 +5125,61 @@ def q501_dedup_method_matrix(spark, sf_dir):
         )
         .select("doc_a", "doc_b")
     )
+    return m_exact, m_minhash, m_winnow
+
+
+@query("q501_dedup_method_matrix", oracle=_method_matrix_oracle_sql())
+def q501_dedup_method_matrix(spark, sf_dir):
+    """DEDUP METHOD MATRIX — one precision/recall ledger for the three
+    detection families against the SAME planted ground truth (exact
+    copies of every 20th doc + first-word-dropped near-copies of every
+    10th): exact-md5 recovers only the byte-identical arm (recall by
+    DESIGN ~1/3 — the ledger row that says set-hash dedup is not
+    near-dup dedup), MinHash-LSH (b=8, r=4, verify >= 0.6) and
+    winnowing containment (>= 0.5, df <= 100 stop-list) both recover
+    EVERY planted pair (recall 1.0; truth includes the copy-copy arm)
+    at ~0.75 precision — and the residual flags are the corpus's own
+    organic near-dup pairs, i.e. the denominators, not the methods,
+    own the gap. The synthesis view a pipeline owner reads before
+    choosing the dedup stage; every underlying method is individually
+    value-oracled (q64/q66/q486), this row pins their RELATIVE
+    behavior.
+
+    Scale shape: each arm is its own already-bounded discovery
+    (hash-groupBy / banded join / df-capped fingerprint join); the
+    matrix adds only truth-semi-joins and count arithmetic."""
+    from variantcalling_spark.operators.dedup import (
+        jaccard_for_pairs,
+        portable_band_candidates,
+        portable_minhash_signatures,
+        shingles,
+        winnowing_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    m_exact, m_minhash, m_winnow = _method_pair_frames(spark, sf_dir)
+    truth = (
+        docs.where(F.col("doc_id") % 20 == 0)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 200000).alias("doc_b"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 0).select(
+                F.col("doc_id").alias("doc_a"),
+                (F.col("doc_id") + 100000).alias("doc_b"),
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_a"),
+                (F.col("doc_id") + 200000).alias("doc_b"),
+            )
+        )
+        .transform(managed_persist)
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+
 
     def arm(rel, label):
         flagged = rel.transform(managed_persist)
@@ -5475,4 +5526,89 @@ def q507_partition_agreement_ari(spark, sf_dir):
             den2.alias("ari_den2"),
             F.round(num2.cast("double") / den2, 6).alias("ari"),
         )
+    )
+
+
+def _consensus_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE {_method_rel_cte_sql()},
+votes AS MATERIALIZED (
+  SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS votes FROM (
+    SELECT doc_a, doc_b FROM m_exact
+    UNION ALL SELECT doc_a, doc_b FROM m_minhash
+    UNION ALL SELECT doc_a, doc_b FROM m_winnow
+  ) GROUP BY doc_a, doc_b
+),
+maj AS MATERIALIZED (SELECT doc_a, doc_b FROM votes WHERE votes >= 2),
+edges2 AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM maj
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM maj
+),
+closure2 AS (
+  SELECT src AS node, src AS reach FROM edges2
+  UNION
+  SELECT c.node, edges2.dst AS reach
+  FROM closure2 c JOIN edges2 ON edges2.src = c.reach
+),
+comp2 AS MATERIALIZED (SELECT node, MIN(reach) AS label FROM closure2 GROUP BY node),
+cons AS (
+  SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS n_clusters,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM comp2
+)
+SELECT CAST(v.votes AS INT) AS votes, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       (SELECT n_clusters FROM cons) AS n_consensus_clusters,
+       (SELECT n_docs FROM cons) AS n_docs_in_consensus
+FROM votes v GROUP BY v.votes ORDER BY votes
+"""
+
+
+@query("q511_consensus_coassociation", oracle=_consensus_oracle_sql())
+def q511_consensus_coassociation(spark, sf_dir):
+    """CONSENSUS CO-ASSOCIATION across the three dedup methods — the
+    ensemble step on top of q501's per-method matrix (Strehl/Ghosh
+    cluster-ensemble idea in its pair-counting form): every unordered
+    doc pair gets one VOTE per method that flags it (exact md5,
+    MinHash-LSH verify >= 0.6, winnowing containment >= 0.5), the
+    votes histogram shows where the methods agree and disagree, and
+    the MAJORITY (>= 2 votes) pairs fold into consensus clusters via
+    connected components. Majority voting suppresses each method's
+    private false positives (a single method's organic near-dup flags
+    sit at votes = 1) while keeping every planted pair (both near-dup
+    methods see them: votes >= 2).
+
+    Scale shape: each method relation is its own bounded discovery
+    (q501's arms, shared helper); the vote fold is one groupBy over
+    their union; components run on the majority pairs only — a far
+    sparser graph than any single method's."""
+    from variantcalling_spark.operators.dedup import connected_components
+
+    m_exact, m_minhash, m_winnow = _method_pair_frames(spark, sf_dir)
+    votes = (
+        m_exact.select("doc_a", "doc_b")
+        .unionByName(m_minhash.select("doc_a", "doc_b"))
+        .unionByName(m_winnow.select("doc_a", "doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
+        .transform(managed_persist)
+    )
+    hist = votes.groupBy("votes").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    maj = votes.where(F.col("votes") >= 2).select("doc_a", "doc_b")
+    comp = connected_components(maj)
+    cons = comp.agg(
+        F.countDistinct("label").cast("bigint").alias("n_consensus_clusters"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_in_consensus"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(cons))
+        .select(
+            F.col("votes").cast("int").alias("votes"),
+            "n_pairs",
+            "n_consensus_clusters",
+            "n_docs_in_consensus",
+        )
+        .orderBy("votes")
     )

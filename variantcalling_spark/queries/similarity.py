@@ -7520,3 +7520,128 @@ def q506_leiden_aggregate_level(spark, sf_dir):
         .crossJoin(F.broadcast(ql))
         .crossJoin(F.broadcast(qd))
     )
+
+
+_RBO_K = 10
+_RBO_P = 0.9
+_RBO_PROBE_MOD = 25
+
+
+def _rbo_weights() -> list[float]:
+    """p^(d-1) for d = 1..k as PYTHON literals — both engines read the
+    same 17-digit doubles, so no cross-engine pow() is ever evaluated."""
+    return [_RBO_P ** (d - 1) for d in range(1, _RBO_K + 1)]
+
+
+def _rbo_oracle_sql() -> str:
+    w = _rbo_weights()
+    a_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN mr <= {d} THEN 1 ELSE 0 END) AS BIGINT) AS a{d}"
+        for d in range(1, _RBO_K + 1)
+    )
+    expr = " + ".join(f"{w[d - 1]!r} * a{d} / {d}.0" for d in range(1, _RBO_K + 1))
+    knn = _knn_graph_oracle_sql(k=_RBO_K)
+    return f"""
+WITH probes AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id % {_RBO_PROBE_MOD} = 0
+),
+cand AS (
+  SELECT vec_id AS cand_id,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS cv
+  FROM embeddings
+),
+s AS (
+  SELECT query_id, cand_id, rank_s FROM (
+    SELECT query_id, cand_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY list_dot_product(qv, cv)
+                  / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC,
+                cand_id) AS INT) AS rank_s
+    FROM probes, cand WHERE query_id <> cand_id
+  ) WHERE rank_s <= {_RBO_K}
+),
+t AS (
+  SELECT vec_id AS query_id, neighbor_id AS cand_id, rank AS rank_t
+  FROM ({knn}) g WHERE vec_id % {_RBO_PROBE_MOD} = 0
+),
+matched AS (
+  SELECT s.query_id, GREATEST(s.rank_s, t.rank_t) AS mr
+  FROM s JOIN t ON t.query_id = s.query_id AND t.cand_id = s.cand_id
+),
+per_q AS (
+  SELECT p.query_id,
+         {a_cols}
+  FROM probes p LEFT JOIN matched m ON m.query_id = p.query_id
+  GROUP BY p.query_id
+)
+SELECT query_id, a{_RBO_K} AS n_overlap_at_k,
+       ROUND({1.0 - _RBO_P!r} * ({expr}), 6) AS rbo
+FROM per_q
+ORDER BY query_id
+"""
+
+
+@query("q509_rank_biased_overlap", oracle=_rbo_oracle_sql())
+def q509_rank_biased_overlap(spark, sf_dir):
+    """RANK-BIASED OVERLAP (Webber et al. 2010) between the EXACT
+    cosine top-k ranking and the single-band bucketed kNN ranking —
+    the rank-aware complement of the recall@k harnesses (q375/q421/
+    q478/q484 count set membership; RBO weights agreement
+    geometrically toward the top, which is what a retrieval consumer
+    actually feels): per probe, A_d = |exact top-d  intersect  bucket
+    top-d| and RBO@k = (1-p) sum p^(d-1) A_d / d at p = 0.9, k = 10,
+    truncated (raw) form — a bucket list shorter than k simply stops
+    contributing, which IS the penalty for a thin bucket.
+
+    Exactness: A_d are integer conditional sums; the p^(d-1)/d weights
+    are Python-rendered 17-digit literals identical in both engines;
+    the final weighted sum is one fixed-shape double expression,
+    rounded at 6 dp.
+
+    Scale shape: the exact side is a probe-sized broadcast scoring
+    pass (pilot harness, never corpus x corpus); the bucket side is
+    the q132 kNN-graph plan; the A_d fold is one equi-join on
+    (query, cand) + ten conditional aggregates — O(probes x k)."""
+    from variantcalling_spark.operators.similarity import cosine_topk, knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings").transform(managed_persist)
+    probes = emb.where(F.col("vec_id") % _RBO_PROBE_MOD == 0)
+    s = cosine_topk(probes, emb, k=_RBO_K).select(
+        "query_id", "cand_id", F.col("rank").alias("rank_s")
+    )
+    t = (
+        knn_graph(emb, k=_RBO_K)
+        .where(F.col("vec_id") % _RBO_PROBE_MOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("neighbor_id").alias("cand_id"),
+            F.col("rank").alias("rank_t"),
+        )
+    )
+    matched = s.join(t, ["query_id", "cand_id"]).select(
+        "query_id", F.greatest("rank_s", "rank_t").alias("mr")
+    )
+    w = _rbo_weights()
+    a_cols = [
+        F.sum(F.when(F.col("mr") <= d, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"a{d}")
+        for d in range(1, _RBO_K + 1)
+    ]
+    per_q = (
+        probes.select(F.col("vec_id").alias("query_id"))
+        .join(matched, "query_id", "left")
+        .groupBy("query_id")
+        .agg(*a_cols)
+    )
+    expr = None
+    for d in range(1, _RBO_K + 1):
+        term = F.lit(w[d - 1]) * F.col(f"a{d}") / F.lit(float(d))
+        expr = term if expr is None else expr + term
+    return per_q.select(
+        "query_id",
+        F.col(f"a{_RBO_K}").alias("n_overlap_at_k"),
+        F.round(F.lit(1.0 - _RBO_P) * expr, 6).alias("rbo"),
+    ).orderBy("query_id")
