@@ -89,6 +89,9 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     "the 40-value rep range; CI rank pick over <=40 rows)",
     "q473_bootstrap_rouge_ci": "bootstrap-replicate domain (same q433 "
     "machinery: CI rank pick over <=40 replicate rows)",
+    # round 10
+    "q513_wasserstein_1d": "integer length-histogram CDF domain (merged "
+    "support grid of two sources, same class as q171/q190)",
 }
 
 _BOUNDERS = ("WindowGroupLimit", "TakeOrderedAndProject", "CollectLimit", "GlobalLimit")

@@ -190,6 +190,8 @@ _PRIORITY = (
     "q509_rank_biased_overlap",
     "q510_friedman_test",
     "q511_consensus_coassociation",
+    "q512_gumbel_topk_sampling",
+    "q513_wasserstein_1d",
     # --- Certified r9 (q284-q383), keep at tail of the priority list ---
     "q284_attribution_last_touch",
     "q285_cochran_armitage",
