@@ -192,6 +192,7 @@ _PRIORITY = (
     "q511_consensus_coassociation",
     "q512_gumbel_topk_sampling",
     "q513_wasserstein_1d",
+    "q514_planner_driven_neardup",
     # --- Certified r9 (q284-q383), keep at tail of the priority list ---
     "q284_attribution_last_touch",
     "q285_cochran_armitage",

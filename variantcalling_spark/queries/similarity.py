@@ -7645,3 +7645,97 @@ def q509_rank_biased_overlap(spark, sf_dir):
         F.col(f"a{_RBO_K}").alias("n_overlap_at_k"),
         F.round(F.lit(1.0 - _RBO_P) * expr, 6).alias("rbo"),
     ).orderBy("query_id")
+
+
+_PDN_BITS = 8          # oracle pin: the small-corpus band width
+_PDN_TARGET = 0.95     # recall floor requested from the planner
+_PDN_THRESHOLD = 0.9
+
+
+def _planner_driven_neardup_oracle_sql() -> str:
+    from variantcalling_spark.operators.similarity import planned_bands_for_recall
+
+    bands = planned_bands_for_recall(_PDN_THRESHOLD, _PDN_TARGET, _PDN_BITS)
+    pairs_sql = _neardup_lsh_oracle_sql(
+        n_planes=_PDN_BITS * bands, n_bands=bands
+    )
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({pairs_sql}) discovered
+),
+edges3 AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+closure3 AS (
+  SELECT src AS node, src AS reach FROM edges3
+  UNION
+  SELECT c.node, edges3.dst AS reach
+  FROM closure3 c JOIN edges3 ON edges3.src = c.reach
+),
+clusters3 AS MATERIALIZED (
+  SELECT MIN(reach) AS cluster_id, CAST(COUNT(DISTINCT node) AS BIGINT) AS n_members
+  FROM (SELECT node, MIN(reach) AS reach FROM closure3 GROUP BY node) labeled
+  GROUP BY reach
+)
+SELECT CAST({bands} AS INT) AS n_bands,
+       CAST({_PDN_BITS * bands} AS INT) AS n_planes,
+       CAST(n_members AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM clusters3 GROUP BY n_members
+ORDER BY cluster_size
+"""
+
+
+@query("q514_planner_driven_neardup", oracle=_planner_driven_neardup_oracle_sql())
+def q514_planner_driven_neardup(spark, sf_dir):
+    """PLANNER-DRIVEN NEAR-DUP CLUSTERS END-TO-END — the full
+    'statistics set the physical plan' loop in one query (the AQE
+    analogy the banding family is built on): the caller states a
+    RECALL FLOOR (0.95 at cosine 0.9) and ``planned_bands_for_recall``
+    converts it into the band count (9 bands of 8 bits = 72 planes —
+    asserted, and emitted in the ledger so the chosen dial is part of
+    the oracle-checked output); discovery runs at that plan; pairs
+    fold into clusters via star contraction; the output is the
+    cluster-size histogram a curation pipeline consumes. q497/q495
+    measured the S-curve, q504 graded the planner empirically, this
+    query SHIPS it as the production face.
+
+    Exactness: the oracle recomputes the identical 72-plane banding in
+    SQL (the q74/q129 machinery at the planner's dials) and the exact
+    recursive-closure clusters; star contraction's labels equal the
+    closure's min-ids.
+
+    Scale shape: discovery is the banded bucket self-join (candidate
+    volume per band held by the bits dial), contraction is O(log n)
+    rounds with per-round localCheckpoint — nothing quadratic."""
+    from variantcalling_spark.operators.dedup import star_contraction_components
+    from variantcalling_spark.operators.similarity import (
+        banded_near_dup_pairs,
+        planned_bands_for_recall,
+    )
+
+    bands = planned_bands_for_recall(_PDN_THRESHOLD, _PDN_TARGET, _PDN_BITS)
+    assert bands == 9, "oracle is rendered for the 9-band plan"
+    pairs = banded_near_dup_pairs(
+        neardup_corpus(spark, sf_dir).transform(managed_persist),
+        threshold=_PDN_THRESHOLD,
+        n_planes=_PDN_BITS * bands,
+        n_bands=bands,
+    ).select("id_a", "id_b")
+    labels = star_contraction_components(pairs, id_a="id_a", id_b="id_b")
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(
+            F.lit(bands).cast("int").alias("n_bands"),
+            F.lit(_PDN_BITS * bands).cast("int").alias("n_planes"),
+            "cluster_size",
+            "n_clusters",
+        )
+        .orderBy("cluster_size")
+    )
