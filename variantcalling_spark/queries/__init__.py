@@ -193,6 +193,8 @@ _PRIORITY = (
     "q512_gumbel_topk_sampling",
     "q513_wasserstein_1d",
     "q514_planner_driven_neardup",
+    "q515_chao1_richness",
+    "q516_token_burstiness",
     # --- Certified r9 (q284-q383), keep at tail of the priority list ---
     "q284_attribution_last_touch",
     "q285_cochran_armitage",

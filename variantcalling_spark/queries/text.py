@@ -8048,3 +8048,163 @@ def q513_wasserstein_1d(spark, sf_dir):
         .crossJoin(F.broadcast(tot.select(F.col("na").alias("n_a"), F.col("nb").alias("n_b"))))
         .select("source_a", "source_b", "n_a", "n_b", "wasserstein_1", "ks_stat")
     )
+
+
+@query(
+    "q515_chao1_richness",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY source, token
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS s_obs,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+       ROUND(COUNT(*)
+             + SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+               * CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1 AS DOUBLE)
+               / (2.0 * (SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1)), 6)
+         AS chao1
+FROM counts GROUP BY source ORDER BY source
+""",
+)
+def q515_chao1_richness(spark, sf_dir):
+    """CHAO1 VOCABULARY-RICHNESS ESTIMATOR per source (Chao 1984,
+    bias-corrected form: S_obs + f1(f1-1)/(2(f2+1))) — the
+    how-much-vocabulary-have-we-NOT-seen estimate from singleton and
+    doubleton counts, the abundance-based complement of the Heaps-law
+    growth fit (q249/q488 extrapolate the CURVE; Chao1 bounds the
+    asymptote from one sample) and of Good-Turing (q248, which
+    re-discounts the same f1/f2 for probability mass instead of
+    richness). A source whose chao1 far exceeds s_obs is undersampled
+    — more data from it buys vocabulary; one near s_obs is saturated.
+
+    Exactness: s_obs/f1/f2 are integer aggregates; the correction is
+    one fixed-shape rational expression, rounded at 6 dp.
+
+    Scale shape: one explode + one (source, token) groupBy + one
+    source-level fold — two map-side-combinable aggregates, no joins,
+    no collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    f1 = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint")
+    f2 = F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("bigint")
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("s_obs"),
+            f1.alias("f1"),
+            f2.alias("f2"),
+        )
+        .select(
+            "source",
+            "s_obs",
+            "f1",
+            "f2",
+            F.round(
+                F.col("s_obs")
+                + F.col("f1") * (F.col("f1") - 1).cast("double")
+                / (F.lit(2.0) * (F.col("f2") + 1)),
+                6,
+            ).alias("chao1"),
+        )
+        .orderBy("source")
+    )
+
+
+_BURST_TOPK = 20
+
+
+@query(
+    "q516_token_burstiness",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+per_doc AS (
+  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY token, doc_id
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+top AS (
+  SELECT token, CAST(SUM(c) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_with,
+         CAST(SUM(c * c) AS BIGINT) AS sum_c2
+  FROM per_doc GROUP BY token
+  ORDER BY total DESC, token LIMIT {_BURST_TOPK}
+)
+SELECT token, total, n_docs_with,
+       ROUND(total / CAST(nd.n_docs AS DOUBLE), 6) AS mean_per_doc,
+       ROUND((sum_c2 / CAST(nd.n_docs AS DOUBLE)
+              - (total / CAST(nd.n_docs AS DOUBLE))
+                * (total / CAST(nd.n_docs AS DOUBLE)))
+             / (total / CAST(nd.n_docs AS DOUBLE)), 6) AS fano,
+       CAST(ROW_NUMBER() OVER (ORDER BY total DESC, token) AS INT) AS rk
+FROM top CROSS JOIN nd
+ORDER BY rk
+""",
+)
+def q516_token_burstiness(spark, sf_dir):
+    """TOKEN BURSTINESS via the Fano factor (variance-to-mean ratio of
+    per-document occurrence counts, zeros included — Church & Gale's
+    burstiness: content words CLUMP, fano >> 1; function words spread
+    Poisson-like, fano ~ 1) for the top-20 corpus tokens. The
+    corpus-health signal a tokenizer/mixing audit reads beside Zipf
+    (q177) and Heaps (q249): a 'frequent' token that occurs in few
+    documents is topical burst, not general vocabulary.
+
+    Exactness: total, n_docs_with, and sum of squared counts are
+    integer aggregates (zero-count docs contribute 0 to both sums, so
+    they never need materializing); mean and fano are fixed-shape
+    rational expressions over them, rounded at 6 dp.
+
+    Scale shape: one explode + one (token, doc) groupBy + one token
+    fold + a bounded top-k — map-side combinable throughout, the
+    only ordered op is the k-row take."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    top = (
+        per_doc.groupBy("token")
+        .agg(
+            F.sum("c").cast("bigint").alias("total"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_with"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_c2"),
+        )
+        .orderBy(F.desc("total"), "token")
+        .limit(_BURST_TOPK)
+    )
+    mean = F.col("total") / F.col("n_docs").cast("double")
+    from pyspark.sql import Window as W
+
+    return (
+        top.crossJoin(F.broadcast(nd))
+        .select(
+            "token",
+            "total",
+            "n_docs_with",
+            F.round(mean, 6).alias("mean_per_doc"),
+            F.round(
+                (F.col("sum_c2") / F.col("n_docs").cast("double") - mean * mean)
+                / mean,
+                6,
+            ).alias("fano"),
+            F.row_number()
+            .over(W.orderBy(F.desc("total"), "token"))
+            .cast("int")
+            .alias("rk"),
+        )
+        .orderBy("rk")
+    )
