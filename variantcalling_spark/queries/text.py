@@ -8189,8 +8189,15 @@ def q516_token_burstiness(spark, sf_dir):
     mean = F.col("total") / F.col("n_docs").cast("double")
     from pyspark.sql import Window as W
 
+    # rank BEFORE the broadcast crossJoin so the global window's input
+    # subtree is the 20-row TakeOrderedAndProject itself (plan-audit
+    # auto-clears limit-bounded windows)
+    ranked = top.withColumn(
+        "rk",
+        F.row_number().over(W.orderBy(F.desc("total"), "token")).cast("int"),
+    )
     return (
-        top.crossJoin(F.broadcast(nd))
+        ranked.crossJoin(F.broadcast(nd))
         .select(
             "token",
             "total",
@@ -8201,10 +8208,7 @@ def q516_token_burstiness(spark, sf_dir):
                 / mean,
                 6,
             ).alias("fano"),
-            F.row_number()
-            .over(W.orderBy(F.desc("total"), "token"))
-            .cast("int")
-            .alias("rk"),
+            "rk",
         )
         .orderBy("rk")
     )
