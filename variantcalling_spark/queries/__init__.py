@@ -195,6 +195,7 @@ _PRIORITY = (
     "q514_planner_driven_neardup",
     "q515_chao1_richness",
     "q516_token_burstiness",
+    "q517_consensus_ari",
     # --- Certified r9 (q284-q383), keep at tail of the priority list ---
     "q284_attribution_last_touch",
     "q285_cochran_armitage",

@@ -5125,6 +5125,12 @@ def _method_pair_frames(spark, sf_dir):
         )
         .select("doc_a", "doc_b")
     )
+    # persist the three relations: every consumer (q501 arms, q511
+    # votes + components, q517 votes + per-method partitions) reads
+    # each at least twice, and the discoveries are the expensive part
+    m_exact = m_exact.transform(managed_persist)
+    m_minhash = m_minhash.transform(managed_persist)
+    m_winnow = m_winnow.transform(managed_persist)
     return m_exact, m_minhash, m_winnow
 
 
@@ -5488,6 +5494,14 @@ def q507_partition_agreement_ari(spark, sf_dir):
         )
         .transform(managed_persist)
     )
+    return _ari_ledger(both)
+
+
+def _ari_ledger(both):
+    """Exact Hubert-Arabie ARI ledger for one (doc_id, l1, l2)
+    labeling relation — bigint pair counts, 2x-scaled integer
+    numerator/denominator, one rounded double. Shared by q507 and the
+    q517 consensus-vs-method arms."""
 
     def pair_sum(grouped, cname):
         return grouped.agg(
@@ -5612,3 +5626,140 @@ def q511_consensus_coassociation(spark, sf_dir):
         )
         .orderBy("votes")
     )
+
+
+def _consensus_ari_oracle_sql() -> str:
+    def closure(name, pairs_rel):
+        return f"""
+e_{name} AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM {pairs_rel}
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM {pairs_rel}
+),
+c_{name} AS (
+  SELECT src AS node, src AS reach FROM e_{name}
+  UNION
+  SELECT c.node, e_{name}.dst AS reach
+  FROM c_{name} c JOIN e_{name} ON e_{name}.src = c.reach
+),
+p_{name} AS MATERIALIZED (
+  SELECT c.doc_id,
+         COALESCE(k.label, c.doc_id) AS lab
+  FROM corpus c LEFT JOIN (
+    SELECT node, MIN(reach) AS label FROM c_{name} GROUP BY node
+  ) k ON k.node = c.doc_id
+)"""
+
+    def arm(method, name):
+        return f"""SELECT '{method}' AS method, n_docs, sum_ij, sum_a, sum_b,
+       CAST(2 * (n_docs * (n_docs - 1) // 2) * sum_ij - 2 * sum_a * sum_b
+            AS BIGINT) AS ari_num2,
+       CAST((n_docs * (n_docs - 1) // 2) * (sum_a + sum_b) - 2 * sum_a * sum_b
+            AS BIGINT) AS ari_den2,
+       ROUND(CAST(2 * (n_docs * (n_docs - 1) // 2) * sum_ij - 2 * sum_a * sum_b
+                  AS DOUBLE)
+             / ((n_docs * (n_docs - 1) // 2) * (sum_a + sum_b)
+                - 2 * sum_a * sum_b), 6) AS ari
+FROM (
+  SELECT
+    (SELECT CAST(SUM(nij * (nij - 1) // 2) AS BIGINT) FROM (
+       SELECT CAST(COUNT(*) AS BIGINT) AS nij
+       FROM p_cons a JOIN p_{name} b USING (doc_id)
+       GROUP BY a.lab, b.lab)) AS sum_ij,
+    (SELECT CAST(SUM(na * (na - 1) // 2) AS BIGINT) FROM (
+       SELECT CAST(COUNT(*) AS BIGINT) AS na FROM p_cons GROUP BY lab)) AS sum_a,
+    (SELECT CAST(SUM(nb * (nb - 1) // 2) AS BIGINT) FROM (
+       SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM p_{name} GROUP BY lab)) AS sum_b,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus) AS n_docs
+)"""
+
+    arms = "\nUNION ALL\n".join(
+        arm(m, n)
+        for m, n in (
+            ("a_exact_md5", "ex"),
+            ("b_minhash_lsh", "mh"),
+            ("c_winnowing", "wn"),
+        )
+    )
+    return f"""
+WITH RECURSIVE {_method_rel_cte_sql()},
+votes AS MATERIALIZED (
+  SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS votes FROM (
+    SELECT doc_a, doc_b FROM m_exact
+    UNION ALL SELECT doc_a, doc_b FROM m_minhash
+    UNION ALL SELECT doc_a, doc_b FROM m_winnow
+  ) GROUP BY doc_a, doc_b
+),
+maj AS MATERIALIZED (SELECT doc_a, doc_b FROM votes WHERE votes >= 2),
+{closure("cons", "maj")},
+{closure("ex", "m_exact")},
+{closure("mh", "m_minhash")},
+{closure("wn", "m_winnow")}
+SELECT * FROM ({arms}) ORDER BY method
+"""
+
+
+@query("q517_consensus_ari", oracle=_consensus_ari_oracle_sql())
+def q517_consensus_ari(spark, sf_dir):
+    """CONSENSUS-vs-METHOD AGREEMENT — the q507 ARI machinery pointed
+    at the q511 ensemble: how far is each single method's PARTITION
+    (its pairs folded to components, singletons their own cluster)
+    from the majority-vote consensus partition, chance-corrected?
+    This is the number that justifies (or indicts) running one method
+    alone at scale: a method whose ARI vs consensus is ~1 is a cheap
+    stand-in for the ensemble; exact-md5's gap quantifies exactly the
+    near-dup structure set-hash dedup cannot see.
+
+    Exactness: all three arms share the q507 ledger — bigint pair
+    counts, 2x-scaled integer ARI numerator/denominator, one rounded
+    double per row.
+
+    Scale shape: three bounded method discoveries (shared helper, each
+    candidate-linear), four component folds on sparse pair graphs, and
+    per arm one contingency groupBy — every aggregate map-side
+    combinable; no collect beyond the operators' bounded convergence
+    counters."""
+    from variantcalling_spark.operators.dedup import connected_components
+
+    m_exact, m_minhash, m_winnow = _method_pair_frames(spark, sf_dir)
+    c = corpus(spark, sf_dir).transform(managed_persist)
+    universe = c.select("doc_id")
+
+    def part_labels(pairs, alias):
+        comp = connected_components(pairs)
+        return universe.join(
+            comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+        ).select(
+            "doc_id", F.coalesce("label", F.col("doc_id")).alias(alias)
+        )
+
+    votes = (
+        m_exact.select("doc_a", "doc_b")
+        .unionByName(m_minhash.select("doc_a", "doc_b"))
+        .unionByName(m_winnow.select("doc_a", "doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    cons = part_labels(
+        votes.where(F.col("votes") >= 2).select("doc_a", "doc_b"), "l1"
+    ).transform(managed_persist)
+
+    out = None
+    for method, rel in (
+        ("a_exact_md5", m_exact),
+        ("b_minhash_lsh", m_minhash),
+        ("c_winnowing", m_winnow),
+    ):
+        both = cons.join(part_labels(rel, "l2"), "doc_id")
+        arm = _ari_ledger(both).select(
+            F.lit(method).alias("method"),
+            "n_docs",
+            "sum_ij",
+            "sum_a",
+            "sum_b",
+            "ari_num2",
+            "ari_den2",
+            "ari",
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out.orderBy("method")
