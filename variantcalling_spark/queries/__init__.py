@@ -196,6 +196,7 @@ _PRIORITY = (
     "q515_chao1_richness",
     "q516_token_burstiness",
     "q517_consensus_ari",
+    "q518_matthews_correlation",
     # --- Certified r9 (q284-q383), keep at tail of the priority list ---
     "q284_attribution_last_touch",
     "q285_cochran_armitage",

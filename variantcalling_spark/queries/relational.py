@@ -2573,3 +2573,78 @@ def q499_salted_skew_join(spark, sf_dir):
             "weighted_qty_c"
         ),
     )
+
+
+@query(
+    "q518_matthews_correlation",
+    oracle="""
+WITH cells AS (
+  SELECT
+    CAST(COUNT(*) FILTER (WHERE l_returnflag = 'N' AND l_linestatus = 'O') AS BIGINT) AS tp,
+    CAST(COUNT(*) FILTER (WHERE l_returnflag = 'N' AND l_linestatus <> 'O') AS BIGINT) AS fp,
+    CAST(COUNT(*) FILTER (WHERE l_returnflag <> 'N' AND l_linestatus = 'O') AS BIGINT) AS fn,
+    CAST(COUNT(*) FILTER (WHERE l_returnflag <> 'N' AND l_linestatus <> 'O') AS BIGINT) AS tn
+  FROM lineitem
+)
+SELECT tp, fp, fn, tn,
+       ROUND((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+             / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                    * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 6)
+         AS mcc,
+       ROUND(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy
+FROM cells
+""",
+)
+def q518_matthews_correlation(spark, sf_dir):
+    """MATTHEWS CORRELATION COEFFICIENT over the full 2x2 confusion
+    (predicted = returnflag N, actual = linestatus O) — the
+    class-imbalance-robust single-number score the q09 P/R/F1 ledger
+    and q203's kappa lack: MCC uses ALL FOUR cells (including TN,
+    which precision/recall ignore), so a degenerate
+    predict-the-majority classifier scores ~0 instead of inheriting
+    the base rate. Chicco & Jurman 2020's recommendation for binary
+    eval ledgers.
+
+    Exactness: the four cells are integer counts; the MCC expression
+    is written identically on both engines (fixed multiply order,
+    doubles — the cell products exceed bigint range at corpus scale,
+    and IEEE doubles evaluate bit-identically for the same expression
+    shape), rounded at 6 dp.
+
+    Scale shape: one conditional-aggregate scan — four
+    map-side-combinable counts, nothing else."""
+    cells = load_table(spark, sf_dir, "lineitem").agg(
+        F.sum(
+            F.when((F.col("l_returnflag") == "N") & (F.col("l_linestatus") == "O"), 1).otherwise(0)
+        ).cast("bigint").alias("tp"),
+        F.sum(
+            F.when((F.col("l_returnflag") == "N") & (F.col("l_linestatus") != "O"), 1).otherwise(0)
+        ).cast("bigint").alias("fp"),
+        F.sum(
+            F.when((F.col("l_returnflag") != "N") & (F.col("l_linestatus") == "O"), 1).otherwise(0)
+        ).cast("bigint").alias("fn"),
+        F.sum(
+            F.when((F.col("l_returnflag") != "N") & (F.col("l_linestatus") != "O"), 1).otherwise(0)
+        ).cast("bigint").alias("tn"),
+    )
+    return cells.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(
+            (F.col("tp").cast("double") * F.col("tn") - F.col("fp").cast("double") * F.col("fn"))
+            / F.sqrt(
+                (F.col("tp") + F.col("fp")).cast("double")
+                * (F.col("tp") + F.col("fn")).cast("double")
+                * (F.col("tn") + F.col("fp")).cast("double")
+                * (F.col("tn") + F.col("fn")).cast("double")
+            ),
+            6,
+        ).alias("mcc"),
+        F.round(
+            (F.col("tp") + F.col("tn")).cast("double")
+            / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")),
+            6,
+        ).alias("accuracy"),
+    )
