@@ -49,67 +49,16 @@ _PRIORITY = (
     # Driver budget is ~50 rows/round; the full local sweep
     # (tools/check_correctness.py) covers ALL queries every round, so this
     # order only decides WHICH rows the driver re-certifies.
-    # ROUND 10 ordering (r9 verdict ask #1 - pay the OLDEST debt first):
-    #   1. q384-q420 (37 queries, registered r7 - oldest block with no
-    #      CORRECTNESS row; the r9 driver run certified q284-q383);
-    #   2. the round-8 block q421-q468 ascending (never checked) - the
-    #      ~50-row budget reaches about q433 this round;
-    #   3. the round-9 block q469-q502, then new ROUND-10 queries (insert
-    #      new registrations at the marked slot below);
+    # ROUND 11 ordering (r10 verdict ask #1 - pay the OLDEST debt first):
+    #   1. q434-q468 (35 queries, registered r8 - oldest block with no
+    #      CORRECTNESS row; the r10 driver run certified q384-q433);
+    #   2. the round-9 block q469-q483 ascending (never checked) - the
+    #      ~50-row budget covers exactly q434-q483 this round;
+    #   3. q484-q502 (rest of r9), q503-q518 (r10), then new ROUND-11
+    #      queries (insert new registrations at the marked slot below);
     #   4. everything else keeps registry (module) order - all of it
-    #      has a green row from r1-r9 and stays covered by the sweep.
-    # --- Oldest never-driver-checked block (registered r7) ---
-    "q384_tokenizer_fertility",
-    "q385_unimax_allocation",
-    "q386_dnds_ratio",
-    "q387_source_jackknife",
-    "q388_dau_mau_stickiness",
-    "q389_sex_inference",
-    "q390_burrows_delta",
-    "q391_mutual_information",
-    "q392_ivf_recall_eval",
-    "q393_perceptual_image_dedup",
-    "q394_oov_curve",
-    "q395_kcenter_coreset",
-    "q396_max_coverage_selection",
-    "q397_activity_selection",
-    "q398_gff_gene_model",
-    "q399_debruijn_balance",
-    "q400_packing_efficiency",
-    "q401_data_quality_gate",
-    "q402_lis_trend",
-    "q403_json_props_extraction",
-    "q404_iptw_ate",
-    "q405_bounded_hop_sssp",
-    "q406_lexicon_filter",
-    "q407_simpson_paradox",
-    "q408_policy_replay",
-    "q409_l_diversity",
-    "q410_kleinberg_bursts",
-    "q411_lz_complexity",
-    "q412_markov_absorption",
-    "q413_cramer_von_mises",
-    "q414_best_f1_threshold",
-    "q415_seasonal_mann_kendall",
-    "q416_theil_decomposition",
-    "q417_median_ci",
-    "q418_partial_correlation",
-    "q419_interval_cover",
-    "q420_gc_skew",
-    # --- Round-8 block (never checked), ascending ---
-    "q421_multiprobe_ivf_recall",
-    "q422_sieve_coverage_stream",
-    "q423_rouge_l_tokens",
-    "q424_hits_centrality",
-    "q425_harmonic_centrality",
-    "q426_benford_test",
-    "q427_referential_integrity",
-    "q428_kruskal_wallis",
-    "q429_brown_forsythe",
-    "q430_durbin_watson",
-    "q431_cochran_q",
-    "q432_stylometric_clusters",
-    "q433_paired_bootstrap_bleu",
+    #      has a green row from r1-r10 and stays covered by the sweep.
+    # --- Oldest never-driver-checked block (registered r8) ---
     "q434_hosmer_lemeshow",
     "q435_chow_test",
     "q436_jonckheere_terpstra",
@@ -180,7 +129,7 @@ _PRIORITY = (
     "q500_community_connectivity_audit",
     "q501_dedup_method_matrix",
     "q502_incremental_knn_graph",
-    # --- New in round 10 (add new queries HERE) ---
+    # --- Round-10 block (never checked), ascending ---
     "q503_dp_cluster_release",
     "q504_planner_recall_harness",
     "q505_leiden_refinement",
@@ -197,7 +146,8 @@ _PRIORITY = (
     "q516_token_burstiness",
     "q517_consensus_ari",
     "q518_matthews_correlation",
-    # --- Certified r9 (q284-q383), keep at tail of the priority list ---
+    # --- New in round 11 (add new queries HERE) ---
+    # --- Certified r10 (q384-q433) + r9 (q284-q383), tail of the list ---
     "q284_attribution_last_touch",
     "q285_cochran_armitage",
     "q286_nelson_aalen",
