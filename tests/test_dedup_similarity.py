@@ -1169,3 +1169,91 @@ def test_q507_ari_bounds_and_identity(spark, sf_dir):
     assert r.ari_den2 > 0
     assert r.sum_ij <= min(r.sum_a, r.sum_b)  # cell pairs bound row/col pairs
     assert round(r.ari_num2 / r.ari_den2, 6) == r.ari
+
+
+def test_substrate_memo_keyed_by_application_id_with_eviction():
+    """Two-session memo hygiene (r10 verdict ask #6): the substrate memo
+    must key on applicationId (id(spark) can be reused by CPython after
+    GC) and must evict entries whose session has been stopped, so dead
+    sessions' checkpoint blocks are not pinned for the process lifetime.
+    Exercised with fake sessions so the keying/eviction logic is tested
+    without paying a second JVM."""
+    from variantcalling_spark.queries import similarity as simq
+
+    class FakeCtx:
+        def __init__(self, app_id):
+            self.applicationId = app_id
+            self._jsc = object()
+
+    class FakeSession:
+        def __init__(self, app_id):
+            self.sparkContext = FakeCtx(app_id)
+
+        def stop(self):
+            self.sparkContext._jsc = None
+
+    saved = dict(simq._SUBSTRATE_MEMO)
+    simq._SUBSTRATE_MEMO.clear()
+    try:
+        s1 = FakeSession("app-1")
+        builds = []
+        v1 = simq._memoized("lpa", s1, "/sf", lambda: builds.append(1) or "sub1")
+        assert v1 == "sub1" and len(builds) == 1
+        # Same session + sf -> memo hit, no rebuild.
+        assert simq._memoized("lpa", s1, "/sf", lambda: builds.append(1) or "X") == "sub1"
+        assert len(builds) == 1
+        # Distinct sf_dir and kind are distinct keys.
+        assert simq._memoized("lpa", s1, "/sf10", lambda: "sub1b") == "sub1b"
+        assert simq._memoized("knn", s1, "/sf", lambda: "sub1c") == "sub1c"
+        # A second live session with a different applicationId must NOT be
+        # served the first session's substrate.
+        s2 = FakeSession("app-2")
+        assert simq._memoized("lpa", s2, "/sf", lambda: "sub2") == "sub2"
+        # Stopping s1 evicts ALL of its entries on the next access.
+        s1.stop()
+        simq._memoized("lpa", s2, "/sf", lambda: "unused")
+        assert all(k[1] != "app-1" for k in simq._SUBSTRATE_MEMO)
+        assert ("lpa", "app-2", "/sf") in simq._SUBSTRATE_MEMO
+    finally:
+        simq._SUBSTRATE_MEMO.clear()
+        simq._SUBSTRATE_MEMO.update(saved)
+
+
+def test_plan_bits_and_bands_joint_narrowing():
+    """r10 ADVICE guard: the joint planner keeps the adaptive band
+    width when the recall-driven band count fits max_bands, narrows
+    bands (sheds bits) exactly as far as needed on large corpora where
+    the adaptive width alone would make every realistic target
+    infeasible, and still raises for truly infeasible points."""
+    import math
+
+    import pytest as _pytest
+
+    from variantcalling_spark.operators.similarity import (
+        adaptive_band_bits,
+        plan_bits_and_bands,
+        planned_bands_for_recall,
+    )
+
+    # Small corpus: adaptive width fits -> unchanged from the old path.
+    n_small = 1000
+    bits_small = adaptive_band_bits(n_small)
+    bits, bands = plan_bits_and_bands(0.9, 0.7, n_small)
+    assert bits == bits_small
+    assert bands == planned_bands_for_recall(0.9, 0.7, bits_small)
+    # 1M-row corpus at threshold 0.9: adaptive width is 22 bits, where
+    # recall 0.9 needs ~90 bands (the ADVICE example) -- the joint
+    # planner must narrow instead of raising.
+    n_big = 1_000_000
+    assert adaptive_band_bits(n_big) == 22
+    bits, bands = plan_bits_and_bands(0.9, 0.9, n_big)
+    assert bits < 22 and bands <= 16
+    p = 1.0 - math.acos(0.9) / math.pi
+    achieved = 1.0 - (1.0 - p**bits) ** bands
+    assert achieved >= 0.9
+    # Minimal narrowing: one more bit would not have fit max_bands.
+    with _pytest.raises(ValueError):
+        planned_bands_for_recall(0.9, 0.9, bits + 1)
+    # Truly infeasible even at min_bits still raises.
+    with _pytest.raises(ValueError):
+        plan_bits_and_bands(0.05, 0.9999, n_big, max_bands=2, min_bits=4)

@@ -593,3 +593,27 @@ def test_community_components_cap_fallback_equals_kernel(spark):
         for r in community_components(rows, max_group_rows=8).collect()
     }
     assert mixed == want
+
+def test_community_components_endpoint_without_marker_row(spark):
+    """r10 ADVICE guard: an edge endpoint that has NO marker row must be
+    counted in n_nodes on BOTH paths — the Arrow fold counts every node
+    it sees in any row; the big-community fallback now derives the node
+    universe from markers UNION edge endpoints, so the two paths agree."""
+    from variantcalling_spark.operators.kernels import community_components
+
+    # community 7: edge 1-2, marker only for node 1 (node 2 unmarked);
+    # community 8: edge 5-6 with NO markers at all; isolated marker 9.
+    rows = spark.createDataFrame(
+        [(7, 1, 2), (7, 1, -1), (8, 5, 6), (8, 9, -1)],
+        "community long, a long, b long",
+    )
+    want = {
+        (r.community, r.n_nodes, r.n_pieces)
+        for r in community_components(rows).collect()
+    }
+    assert want == {(7, 2, 1), (8, 3, 2)}
+    got = {
+        (r.community, r.n_nodes, r.n_pieces)
+        for r in community_components(rows, max_group_rows=1).collect()
+    }
+    assert got == want

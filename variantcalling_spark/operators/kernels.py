@@ -1103,6 +1103,13 @@ def community_components(edges_and_nodes, max_group_rows: int = 1_000_000):
             }
         )
 
+    # The sizes aggregation below is an EAGER action at plan-construction
+    # time, and the input feeds up to two more consumers (small fold, big
+    # fallback) — persist it here so a lazy upstream is computed once,
+    # not 2-3x (callers need not pre-materialize).
+    from variantcalling_spark._persist import managed_persist
+
+    edges_and_nodes = edges_and_nodes.transform(managed_persist)
     sizes = edges_and_nodes.groupBy("community").agg(
         F.count(F.lit(1)).alias("_nrows")
     )
@@ -1128,12 +1135,19 @@ def _big_community_components(edges_and_nodes, big) -> DataFrame:
     components over community-namespaced node keys, then per-community
     piece counting. Edge-connected pieces come from the contraction's
     labels; marker-only nodes (b == -1, no incident intra-edge) are
-    each their own piece."""
+    each their own piece. The node universe is markers UNION edge
+    endpoints — identical to the Arrow fold's count, so an endpoint
+    without a marker row yields the same n_nodes on both paths."""
     from variantcalling_spark.operators.dedup import star_contraction_components
 
     rows = edges_and_nodes.join(F.broadcast(big), "community")
-    nodes = rows.where(F.col("b") == -1).select("community", F.col("a").alias("node"))
     edges = rows.where(F.col("b") >= 0)
+    nodes = (
+        rows.where(F.col("b") == -1)
+        .select("community", F.col("a").alias("node"))
+        .unionByName(edges.select("community", F.col("a").alias("node")))
+        .unionByName(edges.select("community", F.col("b").alias("node")))
+    )
     # namespace node ids so one global contraction serves all big
     # communities without cross-community label collisions
     ns = F.concat_ws("#", F.col("community").cast("string"), F.col("a").cast("string"))

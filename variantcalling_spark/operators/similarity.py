@@ -676,6 +676,45 @@ def planned_bands_for_recall(
     return b
 
 
+def plan_bits_and_bands(
+    threshold: float,
+    target_recall: float,
+    n_rows: int,
+    max_bands: int = 16,
+    min_bits: int = 4,
+) -> tuple[int, int]:
+    """Joint (bits, bands) planning (r10 ADVICE): the adaptive band
+    width grows as log2(n), so at large n the per-band collision
+    probability p^bits collapses and NO band count <= ``max_bands``
+    reaches the recall target — a planner that can only add bands
+    raises for virtually any realistic target on a 1M+ corpus. This
+    planner instead narrows the bands: start at
+    ``adaptive_band_bits(n_rows)`` and shed one bit at a time until
+    ``planned_bands_for_recall`` fits ``max_bands``.
+
+    Narrower bands admit more random candidates (~n^2/2^bits per
+    band), so narrowing happens ONLY as far as the recall floor
+    demands — the candidate-cost increase is the explicit, minimal
+    price of an aggressive (threshold, recall) point at scale, not a
+    silent recall shortfall and not a hard error. ``min_bits`` bounds
+    the verify-stage blowup; a point infeasible even there raises.
+    Returns ``(bits, n_bands)``.
+    """
+    if not (0.0 < target_recall < 1.0):
+        raise ValueError("target_recall must be in (0, 1)")
+    bits = adaptive_band_bits(n_rows)
+    while bits > min_bits:
+        try:
+            return bits, planned_bands_for_recall(
+                threshold, target_recall, bits, max_bands
+            )
+        except ValueError:
+            bits -= 1
+    return min_bits, planned_bands_for_recall(
+        threshold, target_recall, min_bits, max_bands
+    )
+
+
 def adaptive_banded_near_dup_pairs(
     vecs: DataFrame,
     threshold: float = 0.9,
@@ -708,9 +747,13 @@ def adaptive_banded_near_dup_pairs(
     output-identical to the default in tests.
     """
     n = n_rows if n_rows is not None else vecs.count()
-    bits = adaptive_band_bits(n)
     if target_recall is not None:
-        n_bands = planned_bands_for_recall(threshold, target_recall, bits)
+        # joint (bits, bands) plan: keeps the adaptive width whenever the
+        # recall-driven band count fits, narrows bands only when it must
+        # (large n at an aggressive target) instead of raising
+        bits, n_bands = plan_bits_and_bands(threshold, target_recall, n)
+    else:
+        bits = adaptive_band_bits(n)
     return banded_near_dup_pairs(
         vecs,
         threshold=threshold,

@@ -5503,11 +5503,18 @@ def _ari_ledger(both):
     numerator/denominator, one rounded double. Shared by q507 and the
     q517 consensus-vs-method arms."""
 
+    DEC = "decimal(38,0)"
+
     def pair_sum(grouped, cname):
+        # exact at ALL scales (r10 ADVICE): C(n,2) is computed in
+        # DECIMAL(38,0) — n*(n-1) is always even so the /2 is exact —
+        # and summed as decimal, never as double (double loses
+        # exactness beyond ~2^53 accumulated pairs; bigint n*(n-1)
+        # would wrap silently past n ~ 3e9). Output stays bigint to
+        # match the oracle's BIGINT contract.
+        n = F.col("n").cast(DEC)
         return grouped.agg(
-            F.sum((F.col("n") * (F.col("n") - 1)).cast("bigint") / F.lit(2))
-            .cast("bigint")
-            .alias(cname)
+            F.sum((n * (n - F.lit(1)) / F.lit(2)).cast(DEC)).cast(DEC).alias(cname)
         )
 
     cells = both.groupBy("l1", "l2").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
@@ -5519,26 +5526,30 @@ def _ari_ledger(both):
         both.groupBy("l2").agg(F.count(F.lit(1)).cast("bigint").alias("n")), "sum_b"
     )
     nd = both.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-    tot = (F.col("n_docs") * (F.col("n_docs") - 1) / F.lit(2)).cast("bigint")
-    num2 = (F.lit(2) * tot * F.col("sum_ij") - 2 * F.col("sum_a") * F.col("sum_b")).cast(
-        "bigint"
-    )
-    den2 = (tot * (F.col("sum_a") + F.col("sum_b")) - 2 * F.col("sum_a") * F.col("sum_b")).cast(
-        "bigint"
-    )
+    ndd = F.col("n_docs").cast(DEC)
+    tot = (ndd * (ndd - F.lit(1)) / F.lit(2)).cast(DEC)
+    # num2/den2 multiply C(n,2)-scale quantities — products stay in
+    # DECIMAL(38,0) so an overflow surfaces (null/error) instead of
+    # wrapping the way bigint would; final bigint cast mirrors the
+    # oracle's output type
+    sum_ij_d = F.col("sum_ij").cast(DEC)
+    sum_a_d = F.col("sum_a").cast(DEC)
+    sum_b_d = F.col("sum_b").cast(DEC)
+    num2 = F.lit(2).cast(DEC) * tot * sum_ij_d - F.lit(2).cast(DEC) * sum_a_d * sum_b_d
+    den2 = tot * (sum_a_d + sum_b_d) - F.lit(2).cast(DEC) * sum_a_d * sum_b_d
     return (
         nd.crossJoin(F.broadcast(sij))
         .crossJoin(F.broadcast(sa))
         .crossJoin(F.broadcast(sb))
         .select(
             "n_docs",
-            "sum_ij",
-            "sum_a",
-            "sum_b",
-            tot.alias("pairs_total"),
-            num2.alias("ari_num2"),
-            den2.alias("ari_den2"),
-            F.round(num2.cast("double") / den2, 6).alias("ari"),
+            F.col("sum_ij").cast("bigint").alias("sum_ij"),
+            F.col("sum_a").cast("bigint").alias("sum_a"),
+            F.col("sum_b").cast("bigint").alias("sum_b"),
+            tot.cast("bigint").alias("pairs_total"),
+            num2.cast("bigint").alias("ari_num2"),
+            den2.cast("bigint").alias("ari_den2"),
+            F.round(num2.cast("double") / den2.cast("double"), 6).alias("ari"),
         )
     )
 
