@@ -745,36 +745,15 @@ communities AS MATERIALIZED (SELECT node, label AS community FROM {prev})""")
     return "".join(parts)
 
 
-# Session-scoped memo for the checkpointed graph substrates. A
-# localCheckpoint materializes a NEW RDD on every DataFrame build, so
-# without memoization each bench timed run (and each of the several
-# co-resident consumers q151/q152/q254/q491/q500/q505/q506) re-pays
-# the full kNN+LPA build that managed_persist used to dedup through
-# Spark's CacheManager (measured: q151 at 10x went 0.51 s -> 3.3 s
-# when the checkpoint landed without this memo). Keyed by
-# (kind, applicationId, sf_dir) — applicationId is stable and unique
-# per session, unlike id(spark) which CPython can reuse after GC.
-# Entries from stopped sessions are evicted on every access so dead
-# sessions' DataFrames and checkpoint RDD blocks are not pinned for
-# the process lifetime. Values are (session, substrate) pairs so
-# liveness can be checked without resurrecting the key.
-_SUBSTRATE_MEMO: dict = {}
-
-
-def _session_stopped(sess) -> bool:
-    try:
-        return sess.sparkContext._jsc is None
-    except Exception:
-        return True
-
-
-def _memoized(kind: str, spark, sf_dir: str, build):
-    for k in [k for k, (sess, _) in list(_SUBSTRATE_MEMO.items()) if _session_stopped(sess)]:
-        del _SUBSTRATE_MEMO[k]
-    key = (kind, spark.sparkContext.applicationId, sf_dir)
-    if key not in _SUBSTRATE_MEMO:
-        _SUBSTRATE_MEMO[key] = (spark, build())
-    return _SUBSTRATE_MEMO[key][1]
+# Session-scoped memo for the checkpointed graph substrates — see
+# variantcalling_spark/_memo.py for the full recipe (localCheckpoint
+# cuts lineage; the memo cuts recomputation). Re-exported here under
+# the original names for the consumers and tests that grew around them.
+from variantcalling_spark._memo import (  # noqa: E402
+    _SUBSTRATE_MEMO,
+    _session_stopped,
+    memoized as _memoized,
+)
 
 
 def _lpa_edges_and_labels(spark, sf_dir):
