@@ -6451,6 +6451,17 @@ FROM agg a JOIN best b USING (event_type)
 
 @query("q377_motif_chains", oracle=_motif_chain_oracle_sql())
 def q377_motif_chains(spark, sf_dir):
+    """Memoized face of :func:`_build_q377` — junction localCheckpoints
+    cut the static plan 682 -> ~30 Exchange nodes (rel/dists/edges each
+    feed 2+ consumers whose cached subtrees otherwise re-inline
+    recursively), and the session memo keeps re-invocations on the
+    materialized checkpoint blocks (variantcalling_spark/_memo.py)."""
+    from variantcalling_spark._memo import memoized
+
+    return memoized("q377", spark, sf_dir, lambda: _build_q377(spark, sf_dir))
+
+
+def _build_q377(spark, sf_dir):
     """TIME-SERIES MOTIF CHAINS (Zhu et al. 2017 — the r6 ROADMAP
     lead: directed evolution patterns on q334's matrix-profile
     substrate): a chain links window i to j iff j is i's RIGHT
@@ -6485,7 +6496,7 @@ def q377_motif_chains(spark, sf_dir):
         .over(W.partitionBy("event_type").orderBy("day"))
         .alias("rn"),
         F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
-    ).transform(managed_persist)
+    ).localCheckpoint(eager=False)
     win = rel.where(F.col("rn") <= F.col("n") - (_MP_W - 1)).select(
         "event_type", F.col("rn").alias("i")
     )
@@ -6511,7 +6522,7 @@ def q377_motif_chains(spark, sf_dir):
             .cast("bigint")
             .alias("d2")
         )
-        .transform(managed_persist)
+        .localCheckpoint(eager=False)
     )
     rnn = (
         dists.withColumn(
@@ -6542,7 +6553,7 @@ def q377_motif_chains(spark, sf_dir):
             & (F.col("r.i") == F.col("l.li")),
         )
         .select("r.event_type", "r.i", "r.j")
-        .transform(managed_persist)
+        .localCheckpoint(eager=False)
     )
     # tiny series-code table (event-type domain) for integer node ids
     codes = (
