@@ -4636,6 +4636,18 @@ FROM v{_POW_ITERS} v CROSS JOIN m{_POW_ITERS}
 
 @query("q441_top_eigenvector", oracle=_top_eig_oracle_sql())
 def q441_top_eigenvector(spark, sf_dir):
+    """Memoized face of :func:`_build_q441` — the covariance relation
+    and each power-iteration round are localCheckpointed, cutting the
+    static plan 676 -> ~10 Exchange nodes (each unrolled round
+    otherwise re-inlines cov's whole cached subtree), and the session
+    memo keeps re-invocations on the materialized checkpoint blocks
+    (variantcalling_spark/_memo.py)."""
+    from variantcalling_spark._memo import memoized
+
+    return memoized("q441", spark, sf_dir, lambda: _build_q441(spark, sf_dir))
+
+
+def _build_q441(spark, sf_dir):
     """TOP PRINCIPAL DIRECTION of the embedding covariance by SNAPPED
     POWER ITERATION (the q369 discipline applied to PCA — the first
     step of embedding whitening/anisotropy repair, and the exact
@@ -4689,7 +4701,10 @@ def q441_top_eigenvector(spark, sf_dir):
             "j",
             (F.col("sxy") / F.col("n") - F.col("mi") * F.col("mj")).alias("c"),
         )
-        .transform(managed_persist)
+        # lazy checkpoint, not persist: every unrolled round below joins
+        # cov — truncating its lineage here keeps each round's subtree a
+        # flat RDD scan instead of the full covariance pipeline
+        .localCheckpoint(eager=False)
     )
     v = dim.select(F.col("d").alias("j"), F.lit(1.0).alias("v"))
     mx = None
@@ -4704,9 +4719,12 @@ def q441_top_eigenvector(spark, sf_dir):
             )
         )
         mx = u.agg(F.max(F.abs(F.col("u"))).alias("mx"))
+        # per-round lineage cut on the dim-bounded carried state — the
+        # q255/q491 iterative-consumer rule; without it the static plan
+        # doubles every round
         v = u.crossJoin(F.broadcast(mx)).select(
             F.col("i").alias("j"), F.round(F.col("u") / F.col("mx"), 9).alias("v")
-        )
+        ).localCheckpoint(eager=False)
     return v.crossJoin(F.broadcast(mx)).select(
         F.col("j").cast("bigint").alias("dim"),
         F.round(F.col("v"), 6).alias("loading"),
