@@ -1557,6 +1557,28 @@ def nn_descent_refine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
+    """Final graph of :func:`nn_descent_graphs` — see there for the
+    algorithm; this face keeps the original one-graph API."""
+    return nn_descent_graphs(
+        vecs,
+        k=k,
+        band_bits=band_bits,
+        init_bands=init_bands,
+        iterations=iterations,
+        id_col=id_col,
+        vec_col=vec_col,
+    )[-1]
+
+
+def nn_descent_graphs(
+    vecs: DataFrame,
+    k: int = 3,
+    band_bits: int | None = None,
+    init_bands: int = 2,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[DataFrame]:
     """NN-DESCENT kNN-graph refinement (Dong et al., WWW 2011: "a
     neighbor of a neighbor is likely a neighbor") with a MULTI-BAND
     initialization: the starting graph is each vector's top-k over the
@@ -1594,6 +1616,14 @@ def nn_descent_refine(
     (575k vectors / 64 buckets; the round's recurring fixed-dial
     class). The explicit value exists for oracle determinism; at
     sf0.01 the adaptive rule lands on 6 anyway (the q146 argument).
+
+    Returns the list [g0, g1, ..., g_iterations] — every intermediate
+    graph, each carrying (vec_id, neighbor_id, cosine, rank). Harnesses
+    that grade iteration-by-iteration (q484/q496) read the list and
+    share ONE refinement chain; per-iteration lazy localCheckpoints cut
+    each graph's lineage, so the arms' static plans stay flat instead
+    of re-inlining the whole chain per arm (r11: 490 -> ~30 Exchange
+    nodes per harness).
     """
     if band_bits is None:
         band_bits = adaptive_knn_bits(vecs.count())
@@ -1654,7 +1684,17 @@ def nn_descent_refine(
             .select("vec_id", "neighbor_id", "cosine")
         )
 
-    g = topk(score(pairs)).transform(managed_persist)
+    def with_rank(df: DataFrame) -> DataFrame:
+        return df.withColumn("rank", F.row_number().over(w).cast("int")).select(
+            "vec_id", "neighbor_id", "cosine", "rank"
+        )
+
+    # per-iteration lazy localCheckpoint on the carried graph and its
+    # undirected closure (the q255/q491 iterative-consumer rule): each
+    # round's plan reads flat RDD scans instead of nesting every prior
+    # round's join pipeline
+    g = topk(score(pairs)).localCheckpoint(eager=False)
+    out = [with_rank(g)]
     for _ in range(iterations):
         und = (
             g.select("vec_id", "neighbor_id")
@@ -1665,7 +1705,7 @@ def nn_descent_refine(
                 )
             )
             .distinct()
-            .transform(managed_persist)
+            .localCheckpoint(eager=False)
         )
         u1, u2 = und.alias("u1"), und.alias("u2")
         cand = (
@@ -1685,8 +1725,7 @@ def nn_descent_refine(
             .groupBy("vec_id", "neighbor_id")
             .agg(F.max("cosine").alias("cosine"))
             .transform(topk)
-            .transform(managed_persist)
+            .localCheckpoint(eager=False)
         )
-    return g.withColumn("rank", F.row_number().over(w).cast("int")).select(
-        "vec_id", "neighbor_id", "cosine", "rank"
-    )
+        out.append(with_rank(g))
+    return out

@@ -6139,7 +6139,7 @@ def q484_nnd_recall_harness(spark, sf_dir):
     from variantcalling_spark.operators.similarity import (
         cosine_topk,
         knn_graph,
-        nn_descent_refine,
+        nn_descent_graphs,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").transform(managed_persist)
@@ -6185,13 +6185,11 @@ def q484_nnd_recall_harness(spark, sf_dir):
         )
 
     sb = knn_graph(emb, k=_NND_K, prefix_bits=_NND_BITS)
-    g0 = nn_descent_refine(
-        emb, k=_NND_K, band_bits=_NND_BITS, init_bands=_NND_BANDS, iterations=0
-    )
-    g1 = nn_descent_refine(
-        emb, k=_NND_K, band_bits=_NND_BITS, init_bands=_NND_BANDS, iterations=1
-    )
-    g2 = nn_descent_refine(
+    # ONE refinement chain serves all three NN-descent arms — the
+    # intermediate graphs are the arms (g2's first iteration IS g1),
+    # instead of three rebuilds whose equality only CacheManager dedup
+    # used to recover
+    g0, g1, g2 = nn_descent_graphs(
         emb, k=_NND_K, band_bits=_NND_BITS, init_bands=_NND_BANDS, iterations=2
     )
     return (
@@ -6638,7 +6636,7 @@ def q496_nnd_clustered_recall(spark, sf_dir):
     from variantcalling_spark.operators.similarity import (
         cosine_topk,
         knn_graph,
-        nn_descent_refine,
+        nn_descent_graphs,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -6709,9 +6707,11 @@ def q496_nnd_clustered_recall(spark, sf_dir):
         )
 
     sb = knn_graph(cor, k=_NND_K, prefix_bits=_NND_BITS)
-    g0 = nn_descent_refine(cor, k=_NND_K, band_bits=_NND_BITS, iterations=0)
-    g1 = nn_descent_refine(cor, k=_NND_K, band_bits=_NND_BITS, iterations=1)
-    g2 = nn_descent_refine(cor, k=_NND_K, band_bits=_NND_BITS, iterations=2)
+    # one shared refinement chain for all three NN-descent arms (q484's
+    # shape): the list's intermediates ARE the iteration arms
+    g0, g1, g2 = nn_descent_graphs(
+        cor, k=_NND_K, band_bits=_NND_BITS, iterations=2
+    )
     return (
         arm(sb, "a_single_band")
         .unionByName(arm(g0, "b_mb_init"))
