@@ -1257,3 +1257,26 @@ def test_plan_bits_and_bands_joint_narrowing():
     # Truly infeasible even at min_bits still raises.
     with _pytest.raises(ValueError):
         plan_bits_and_bands(0.05, 0.9999, n_big, max_bands=2, min_bits=4)
+
+
+def test_q519_multilevel_monotone_and_guarded(spark, sf_dir):
+    """The full Leiden loop's executable guarantees (r10 verdict ask
+    #4): q_best_num is monotonically non-decreasing across levels BY
+    CONSTRUCTION (the strict-improvement guard), an accepted level's
+    q_num IS the new best, a rejected level leaves the best untouched,
+    and the shared exact denominator never changes."""
+    from variantcalling_spark.queries.similarity import q519_leiden_multilevel
+
+    rows = sorted(
+        q519_leiden_multilevel(spark, sf_dir).collect(), key=lambda r: r.step
+    )
+    assert len(rows) >= 3 and rows[0].phase == "refine0" and rows[0].accepted
+    assert len({r.q_den for r in rows}) == 1 and rows[0].q_den > 0
+    best = rows[0].q_best_num
+    assert best == rows[0].q_num
+    for prev, r in zip(rows, rows[1:]):
+        assert r.q_best_num >= prev.q_best_num  # monotone ledger
+        if r.accepted:
+            assert r.q_num > prev.q_best_num and r.q_best_num == r.q_num
+        else:
+            assert r.q_num <= prev.q_best_num and r.q_best_num == prev.q_best_num

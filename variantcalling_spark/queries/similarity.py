@@ -7116,28 +7116,136 @@ def _leiden_refined_frames(spark, sf_dir):
 
 
 def _build_leiden_refined(spark, sf_dir):
+    edges, _, deg, m2t, _, after = _louvain_after_frames(spark, sf_dir)
+    refined = _refine_pieces(edges, after)
+    return edges, deg, m2t, after, refined
+
+
+def _refine_pieces(edges, part):
+    """Leiden REFINEMENT phase as a reusable step: split every
+    community of ``part(node, community)`` into its connected pieces
+    over the intra-community edges (star contraction, O(log n)
+    rounds). Returns ``(node, community, rc)`` localCheckpoint'd — rc
+    is the piece-minimum node id (matching the oracle closures'
+    MIN(lab)); ``community`` carries the INPUT partition's label, which
+    the next super-sweep uses as its initial community (Leiden's
+    contract: refinement decides the aggregation units, the current
+    partition decides their starting communities). Splitting never
+    changes intra-edge totals and strictly shrinks the degree-penalty
+    term, so Q(refined) >= Q(part) is a theorem (q505's pin)."""
     from variantcalling_spark.operators.dedup import star_contraction_components
 
-    edges, _, deg, m2t, _, after = _louvain_after_frames(spark, sf_dir)
     intra = (
         edges.join(
-            after.select(F.col("node").alias("src"), F.col("community").alias("ca")),
+            part.select(F.col("node").alias("src"), F.col("community").alias("ca")),
             "src",
         )
         .join(
-            after.select(F.col("node").alias("dst"), F.col("community").alias("cb")),
+            part.select(F.col("node").alias("dst"), F.col("community").alias("cb")),
             "dst",
         )
         .where(F.col("ca") == F.col("cb"))
         .select("src", "dst")
     )
     comp = star_contraction_components(intra, id_a="src", id_b="dst")
-    refined = after.join(comp, "node", "left").select(
+    return part.join(comp, "node", "left").select(
         "node",
         "community",
         F.coalesce("label", F.col("node")).alias("rc"),
     ).localCheckpoint()
-    return edges, deg, m2t, after, refined
+
+
+def _super_sweep_frames(edges, deg, m2t, ref):
+    """Leiden AGGREGATE-LEVEL sweep as a reusable step: collapse each
+    refined piece of ``ref(node, community, rc)`` into a supernode
+    (weight-degree = member degree sum; inter-supernode weights =
+    cross-piece edge counts, self-loops excluded), initialize the
+    super-level partition from ``ref.community``, run ONE synchronous
+    weighted local-move sweep. Returns (sinit, sdeg, sbest, safter,
+    swept) where ``swept(node, community)`` is the induced node-level
+    partition, localCheckpoint'd. Shared by q506 (which ledgers one
+    sweep) and q519 (which iterates sweep+refine to a fixpoint)."""
+    from pyspark.sql import Window as W
+
+    sdeg = (
+        ref.join(deg, "node")
+        .groupBy("rc")
+        .agg(F.sum("k").cast("bigint").alias("kk"))
+        .transform(managed_persist)
+    )
+    sedges = (
+        edges.join(
+            ref.select(F.col("node").alias("src"), F.col("rc").alias("ssrc")),
+            "src",
+        )
+        .join(
+            ref.select(F.col("node").alias("dst"), F.col("rc").alias("sdst")),
+            "dst",
+        )
+        .where(F.col("ssrc") != F.col("sdst"))
+        .groupBy("ssrc", "sdst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    sinit = ref.select("rc", "community").distinct().transform(managed_persist)
+    sdsum = (
+        sinit.join(sdeg, "rc")
+        .groupBy("community")
+        .agg(F.sum("kk").cast("bigint").alias("dtot"))
+    )
+    snc = (
+        sedges.join(
+            sinit.select(F.col("rc").alias("sdst"), F.col("community").alias("cand")),
+            "sdst",
+        )
+        .groupBy(F.col("ssrc").alias("rc"), "cand")
+        .agg(F.sum("w").cast("bigint").alias("e_ic"))
+    )
+    scand = (
+        snc.unionByName(
+            sinit.select(
+                "rc",
+                F.col("community").alias("cand"),
+                F.lit(0).cast("bigint").alias("e_ic"),
+            )
+        )
+        .groupBy("rc", "cand")
+        .agg(F.max("e_ic").alias("e_ic"))
+    )
+    sscored = (
+        scand.join(sdeg, "rc")
+        .join(sinit.withColumnRenamed("community", "cur"), "rc")
+        .join(sdsum.withColumnRenamed("community", "cand"), "cand")
+        .crossJoin(F.broadcast(m2t))
+        .select(
+            "rc",
+            "cand",
+            (
+                F.col("m2") * F.col("e_ic")
+                - F.col("kk")
+                * (
+                    F.col("dtot")
+                    - F.when(F.col("cand") == F.col("cur"), F.col("kk")).otherwise(
+                        F.lit(0).cast("bigint")
+                    )
+                )
+            ).alias("score"),
+        )
+    )
+    sbest = (
+        sscored.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("rc").orderBy(F.desc("score"), "cand")),
+        )
+        .where(F.col("rn") == 1)
+        .select("rc", F.col("cand").alias("new_community"))
+    )
+    safter = sinit.join(sbest, "rc", "left").select(
+        "rc", F.coalesce("new_community", "community").alias("community")
+    )
+    swept = ref.select("node", "rc").join(safter, "rc").select(
+        "node", "community"
+    ).localCheckpoint()
+    return sinit, sdeg, sbest, safter, swept
 
 
 def _leiden_refined_cte_sql() -> str:
@@ -7428,86 +7536,7 @@ def q506_leiden_aggregate_level(spark, sf_dir):
     it, and the node-level Q evaluation is the same O(E) double
     equi-join as q491's."""
     edges, deg, m2t, after, refined = _leiden_refined_frames(spark, sf_dir)
-    from pyspark.sql import Window as W
-
-    sdeg = (
-        refined.join(deg, "node")
-        .groupBy("rc")
-        .agg(F.sum("k").cast("bigint").alias("kk"))
-        .transform(managed_persist)
-    )
-    sedges = (
-        edges.join(
-            refined.select(F.col("node").alias("src"), F.col("rc").alias("ssrc")),
-            "src",
-        )
-        .join(
-            refined.select(F.col("node").alias("dst"), F.col("rc").alias("sdst")),
-            "dst",
-        )
-        .where(F.col("ssrc") != F.col("sdst"))
-        .groupBy("ssrc", "sdst")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
-    )
-    sinit = refined.select("rc", "community").distinct().transform(managed_persist)
-    sdsum = (
-        sinit.join(sdeg, "rc")
-        .groupBy("community")
-        .agg(F.sum("kk").cast("bigint").alias("dtot"))
-    )
-    snc = (
-        sedges.join(
-            sinit.select(F.col("rc").alias("sdst"), F.col("community").alias("cand")),
-            "sdst",
-        )
-        .groupBy(F.col("ssrc").alias("rc"), "cand")
-        .agg(F.sum("w").cast("bigint").alias("e_ic"))
-    )
-    scand = (
-        snc.unionByName(
-            sinit.select(
-                "rc",
-                F.col("community").alias("cand"),
-                F.lit(0).cast("bigint").alias("e_ic"),
-            )
-        )
-        .groupBy("rc", "cand")
-        .agg(F.max("e_ic").alias("e_ic"))
-    )
-    sscored = (
-        scand.join(sdeg, "rc")
-        .join(sinit.withColumnRenamed("community", "cur"), "rc")
-        .join(sdsum.withColumnRenamed("community", "cand"), "cand")
-        .crossJoin(F.broadcast(m2t))
-        .select(
-            "rc",
-            "cand",
-            (
-                F.col("m2") * F.col("e_ic")
-                - F.col("kk")
-                * (
-                    F.col("dtot")
-                    - F.when(F.col("cand") == F.col("cur"), F.col("kk")).otherwise(
-                        F.lit(0).cast("bigint")
-                    )
-                )
-            ).alias("score"),
-        )
-    )
-    sbest = (
-        sscored.withColumn(
-            "rn",
-            F.row_number().over(W.partitionBy("rc").orderBy(F.desc("score"), "cand")),
-        )
-        .where(F.col("rn") == 1)
-        .select("rc", F.col("cand").alias("new_community"))
-    )
-    safter = sinit.join(sbest, "rc", "left").select(
-        "rc", F.coalesce("new_community", "community").alias("community")
-    )
-    lvl2 = refined.select("node", "rc").join(safter, "rc").select(
-        "node", "community"
-    ).localCheckpoint()
+    sinit, sdeg, sbest, safter, lvl2 = _super_sweep_frames(edges, deg, m2t, refined)
 
     def q_numerator(part):
         qin = (
@@ -7564,6 +7593,266 @@ def q506_leiden_aggregate_level(spark, sf_dir):
         .crossJoin(F.broadcast(qi))
         .crossJoin(F.broadcast(ql))
         .crossJoin(F.broadcast(qd))
+    )
+
+
+_LEIDEN_LEVELS = 2
+
+
+def _q_of_sql(name: str, part: str, key: str) -> str:
+    """Exact-rational modularity NUMERATOR of partition CTE ``part``
+    keyed by ``key`` — the q491/q505/q506 integer scheme (qn = sum over
+    communities of m2*in_edges - dtot^2; Q = qn / m2^2) as a reusable
+    generator, so each unrolled level prices its partition with
+    byte-identical SQL."""
+    return f""",
+{name} AS MATERIALIZED (
+  SELECT CAST(SUM(qq.m2 * COALESCE(qi.in_edges, 0) - qd.dtot * qd.dtot)
+              AS BIGINT) AS qn
+  FROM (
+    SELECT p.{key} AS c, CAST(SUM(d.k) AS BIGINT) AS dtot
+    FROM {part} p JOIN deg d USING (node) GROUP BY p.{key}
+  ) qd
+  LEFT JOIN (
+    SELECT pa.{key} AS c, CAST(COUNT(*) AS BIGINT) AS in_edges
+    FROM edges e
+    JOIN {part} pa ON pa.node = e.src
+    JOIN {part} pb ON pb.node = e.dst AND pb.{key} = pa.{key}
+    GROUP BY pa.{key}
+  ) qi USING (c)
+  CROSS JOIN m2t qq
+)"""
+
+
+def _leiden_cycle_sql(k: int, src: str, prev_best: str) -> str:
+    """One unrolled Leiden cycle (weighted super-sweep + refinement +
+    strict-improvement acceptance) over input state CTE ``src``
+    carrying (node, community, rc). Emits cand{k} (the cycle's
+    candidate partition), qc{k} (its Q numerator), acc{k} (the
+    accepted state — cand{k} on strict improvement over ``prev_best``,
+    else ``src`` unchanged) and best{k} (the running best numerator).
+    The sweep block is the q506 chain with suffixed names; the
+    refinement closure is the q505 recursive-CTE pattern."""
+    cond = f"(SELECT qn FROM qc{k}) > (SELECT b FROM {prev_best})"
+    return f""",
+sdeg{k} AS MATERIALIZED (
+  SELECT p.rc, CAST(SUM(d.k) AS BIGINT) AS kk
+  FROM {src} p JOIN deg d USING (node) GROUP BY p.rc
+),
+sedges{k} AS MATERIALIZED (
+  SELECT ra.rc AS ssrc, rb.rc AS sdst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM edges e
+  JOIN {src} ra ON ra.node = e.src
+  JOIN {src} rb ON rb.node = e.dst
+  WHERE ra.rc <> rb.rc
+  GROUP BY ra.rc, rb.rc
+),
+sinit{k} AS MATERIALIZED (SELECT DISTINCT rc, community FROM {src}),
+sdsum{k} AS (
+  SELECT si.community, CAST(SUM(sd.kk) AS BIGINT) AS dtot
+  FROM sinit{k} si JOIN sdeg{k} sd USING (rc) GROUP BY si.community
+),
+snc{k} AS (
+  SELECT se.ssrc AS rc, sb.community AS cand, CAST(SUM(se.w) AS BIGINT) AS e_ic
+  FROM sedges{k} se JOIN sinit{k} sb ON sb.rc = se.sdst
+  GROUP BY se.ssrc, sb.community
+),
+scand{k} AS (
+  SELECT rc, cand, MAX(e_ic) AS e_ic FROM (
+    SELECT rc, cand, e_ic FROM snc{k}
+    UNION ALL
+    SELECT rc, community AS cand, CAST(0 AS BIGINT) AS e_ic FROM sinit{k}
+  ) GROUP BY rc, cand
+),
+sscored{k} AS (
+  SELECT c2.rc, c2.cand,
+         m2t.m2 * c2.e_ic
+           - sd.kk * (ds.dtot - CASE WHEN c2.cand = cur.community
+                                     THEN sd.kk ELSE 0 END) AS score
+  FROM scand{k} c2
+  JOIN sdeg{k} sd ON sd.rc = c2.rc
+  JOIN sinit{k} cur ON cur.rc = c2.rc
+  JOIN sdsum{k} ds ON ds.community = c2.cand
+  CROSS JOIN m2t
+),
+sbest{k} AS (
+  SELECT rc, cand AS new_community FROM (
+    SELECT rc, cand,
+           ROW_NUMBER() OVER (PARTITION BY rc ORDER BY score DESC, cand) AS rn
+    FROM sscored{k}
+  ) WHERE rn = 1
+),
+safter{k} AS MATERIALIZED (
+  SELECT si.rc, COALESCE(sb.new_community, si.community) AS community
+  FROM sinit{k} si LEFT JOIN sbest{k} sb USING (rc)
+),
+swept{k} AS MATERIALIZED (
+  SELECT p.node, sa.community FROM {src} p JOIN safter{k} sa ON sa.rc = p.rc
+),
+intra{k} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM edges e
+  JOIN swept{k} a ON a.node = e.src
+  JOIN swept{k} b ON b.node = e.dst AND b.community = a.community
+),
+reach{k} AS MATERIALIZED (
+  SELECT node, MIN(lab) AS lab FROM (
+    WITH RECURSIVE rr(node, lab) AS (
+      SELECT node, node AS lab FROM swept{k}
+      UNION
+      SELECT e.src, rr.lab FROM intra{k} e JOIN rr ON rr.node = e.dst
+    )
+    SELECT node, lab FROM rr
+  ) GROUP BY node
+),
+lcand{k} AS MATERIALIZED (
+  SELECT s.node, s.community, r.lab AS rc
+  FROM swept{k} s JOIN reach{k} r USING (node)
+){_q_of_sql(f"qc{k}", f"lcand{k}", "rc")},
+acc{k} AS MATERIALIZED (
+  SELECT node, community, rc FROM lcand{k} WHERE {cond}
+  UNION ALL
+  SELECT node, community, rc FROM {src} WHERE NOT ({cond})
+),
+best{k} AS (
+  SELECT CASE WHEN {cond} THEN (SELECT qn FROM qc{k})
+              ELSE (SELECT b FROM {prev_best}) END AS b
+)"""
+
+
+def _leiden_multilevel_oracle_sql() -> str:
+    cycles = "".join(
+        _leiden_cycle_sql(k, "refined" if k == 1 else f"acc{k - 1}", f"best{k - 1}")
+        for k in range(1, _LEIDEN_LEVELS + 1)
+    )
+    level_rows = "\n  UNION ALL\n".join(
+        f"""  SELECT {k} AS step, 'level{k}' AS phase,
+         (SELECT CAST(COUNT(DISTINCT rc) AS BIGINT) FROM lcand{k}) AS n_comms,
+         (SELECT qn FROM qc{k}) AS q_num,
+         (SELECT CAST(m2 * m2 AS BIGINT) FROM m2t) AS q_den,
+         (SELECT qn FROM qc{k}) > (SELECT b FROM best{k - 1}) AS accepted,
+         (SELECT b FROM best{k}) AS q_best_num"""
+        for k in range(1, _LEIDEN_LEVELS + 1)
+    )
+    return (
+        _leiden_refined_cte_sql()
+        + _q_of_sql("qr0", "refined", "rc")
+        + """,
+best0 AS (SELECT qn AS b FROM qr0)"""
+        + cycles
+        + f"""
+SELECT * FROM (
+  SELECT 0 AS step, 'refine0' AS phase,
+         (SELECT CAST(COUNT(DISTINCT rc) AS BIGINT) FROM refined) AS n_comms,
+         (SELECT qn FROM qr0) AS q_num,
+         (SELECT CAST(m2 * m2 AS BIGINT) FROM m2t) AS q_den,
+         TRUE AS accepted,
+         (SELECT qn FROM qr0) AS q_best_num
+  UNION ALL
+{level_rows}
+) ORDER BY step
+"""
+    )
+
+
+@query("q519_leiden_multilevel", oracle=_leiden_multilevel_oracle_sql())
+def q519_leiden_multilevel(spark, sf_dir):
+    """FULL MULTI-LEVEL LEIDEN LOOP (Traag et al. 2019, the composition
+    of the r10 trilogy — q491 local move, q505 refinement, q506
+    aggregate level — iterated to a guarded fixpoint): starting from
+    the memoized refined partition, each level runs one weighted
+    super-sweep over the current refinement's pieces followed by a
+    fresh refinement of the swept partition, and ACCEPTS the level only
+    on STRICT exact-integer modularity improvement. The guard is what
+    makes per-level modularity monotonically non-decreasing an
+    EXECUTABLE property, not a hope: synchronous sweeps oscillate
+    (measured here: the level-2 sweep alone drops Q), but
+    sweep-then-refine recovers more than the sweep loses, and a level
+    that fails to improve leaves the state untouched — the ledger's
+    q_best_num column is non-decreasing by construction (pinned in
+    tests) and an accepted=false row IS the stall. Levels are capped at
+    {levels} (the oracle unrolls the same budget; Leiden
+    implementations cap level depth the same way).
+
+    Ledger: one row per level — the candidate partition's community
+    count and exact Q numerator, the shared denominator m2^2, the
+    acceptance bit, and the running-best numerator.
+
+    Scale shape: every level is q506's super-sweep (equi-joins +
+    map-side-combinable SUMs on a graph that SHRINKS per level) plus
+    q505's star-contraction refinement (O(log n) rounds); the LPA/move
+    substrate is the memoized checkpoint shared with
+    q491/q500/q505/q506 — built once per session, REUSED per level
+    (variantcalling_spark/_memo.py). The only driver state is one
+    exact-integer Q scalar per level (the acceptance comparison), the
+    same bounded-convergence-state pattern as connected_components;
+    the 3-row ledger is assembled from those scalars."""
+    from variantcalling_spark._memo import memoized
+
+    return memoized("q519", spark, sf_dir, lambda: _build_q519(spark, sf_dir))
+
+
+q519_leiden_multilevel.__doc__ = q519_leiden_multilevel.__doc__.format(
+    levels=_LEIDEN_LEVELS
+)
+
+
+def _build_q519(spark, sf_dir):
+    edges, deg, m2t, after, refined = _leiden_refined_frames(spark, sf_dir)
+    m2 = m2t.collect()[0].m2
+
+    def q_num(part, key):
+        qin = (
+            edges.join(
+                part.select(F.col("node").alias("src"), F.col(key).alias("ca")),
+                "src",
+            )
+            .join(
+                part.select(F.col("node").alias("dst"), F.col(key).alias("cb")),
+                "dst",
+            )
+            .where(F.col("ca") == F.col("cb"))
+            .groupBy(F.col("ca").alias("c"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("in_edges"))
+        )
+        qdeg = (
+            part.join(deg, "node")
+            .groupBy(F.col(key).alias("c"))
+            .agg(F.sum("k").cast("bigint").alias("dtot"))
+        )
+        row = (
+            qdeg.join(qin, "c", "left")
+            .agg(
+                F.sum(
+                    F.lit(m2) * F.coalesce("in_edges", F.lit(0).cast("bigint"))
+                    - F.col("dtot") * F.col("dtot")
+                )
+                .cast("bigint")
+                .alias("qn")
+            )
+            .collect()[0]
+        )
+        return int(row.qn)
+
+    def n_comms(part):
+        return int(part.select("rc").distinct().count())
+
+    cur = refined
+    best = q_num(cur, "rc")
+    rows = [(0, "refine0", n_comms(cur), best, True, best)]
+    for lvl in range(1, _LEIDEN_LEVELS + 1):
+        _, _, _, _, swept = _super_sweep_frames(edges, deg, m2t, cur)
+        cand = _refine_pieces(edges, swept)
+        qc = q_num(cand, "rc")
+        nc = n_comms(cand)
+        accepted = qc > best
+        if accepted:
+            cur, best = cand, qc
+        rows.append((lvl, f"level{lvl}", nc, qc, accepted, best))
+    qden = int(m2) * int(m2)
+    return spark.createDataFrame(
+        [(s, p, n, q, qden, a, b) for (s, p, n, q, a, b) in rows],
+        "step int, phase string, n_comms bigint, q_num bigint, "
+        "q_den bigint, accepted boolean, q_best_num bigint",
     )
 
 
