@@ -1280,3 +1280,45 @@ def test_q519_multilevel_monotone_and_guarded(spark, sf_dir):
             assert r.q_num > prev.q_best_num and r.q_best_num == r.q_num
         else:
             assert r.q_num <= prev.q_best_num and r.q_best_num == prev.q_best_num
+
+
+def test_planned_minhash_bands_closed_form_and_default_equality(spark, sf_dir):
+    """MinHash (b, r) planner (r10 verdict ask #5, mirroring the cosine
+    planner): closed-form band counts checked against an independent
+    S-curve evaluation, infeasible points raise, and a target that
+    plans exactly the shipped 8-band default reproduces the default
+    8x4 candidate set bit-for-bit with a signature sized to b*r."""
+    import math
+
+    import pytest as _pytest
+
+    from variantcalling_spark.operators.dedup import (
+        planned_minhash_bands_for_recall,
+        planned_minhash_candidates,
+        portable_band_candidates,
+        portable_minhash_signatures,
+        shingles,
+    )
+    from variantcalling_spark.queries.dedup import corpus
+
+    # threshold 0.6, r=4: per-band collision 0.6^4 = 0.1296
+    assert planned_minhash_bands_for_recall(0.6, 0.5, 4) == 5
+    assert planned_minhash_bands_for_recall(0.6, 0.67, 4) == 8  # the default dial
+    # 0.6/0.9/r4 needs 17 bands -> over the 16-band signature cap
+    with _pytest.raises(ValueError):
+        planned_minhash_bands_for_recall(0.6, 0.9, 4, max_bands=16)
+    with _pytest.raises(ValueError):
+        planned_minhash_bands_for_recall(0.6, 1.0, 4)
+    # independent evaluation: planned b achieves the floor, b-1 does not
+    for thr, tgt, r in ((0.6, 0.67, 4), (0.7, 0.8, 4), (0.8, 0.9, 2)):
+        b = planned_minhash_bands_for_recall(thr, tgt, r)
+        curve = lambda bb: 1.0 - (1.0 - thr**r) ** bb
+        assert curve(b) >= tgt and (b == 1 or curve(b - 1) < tgt)
+    # default-equality pin on the real corpus
+    sh = shingles(corpus(spark, sf_dir), n=3).cache()
+    planned, b = planned_minhash_candidates(sh, 0.6, target_recall=0.67)
+    assert b == 8
+    got = {(r.doc_a, r.doc_b) for r in planned.collect()}
+    sig = portable_minhash_signatures(sh, 32)
+    want = {(r.doc_a, r.doc_b) for r in portable_band_candidates(sig, 8, 4).collect()}
+    assert got == want and len(want) > 0

@@ -481,6 +481,76 @@ def portable_band_buckets(
     ).select("doc_id", "bb.band", "bb.bucket")
 
 
+def planned_minhash_bands_for_recall(
+    threshold: float,
+    target_recall: float,
+    rows_per_band: int = 4,
+    max_bands: int = 16,
+) -> int:
+    """The q497 planner loop CLOSED for the MinHash family — the exact
+    mirror of the cosine side's ``planned_bands_for_recall``
+    (operators/similarity.py): pick the number of OR-ed bands so a true
+    pair sitting AT ``threshold`` Jaccard is discovered with
+    probability >= ``target_recall``, given ``rows_per_band`` minhash
+    rows per band.
+
+    MinHash S-curve (validated empirically by q495): one band collides
+    with probability j^r, b OR-ed bands discover with 1-(1-j^r)^b, so
+
+        b = ceil( ln(1 - target) / ln(1 - threshold^r) )
+
+    Pairs above the threshold collide with strictly higher probability,
+    so the target is a floor over the whole true-pair set — priced at
+    the worst true pair, the same conservative stance as q497's grid
+    (which maximizes predicted recall under an fp-rate cap).
+    ``max_bands`` caps signature cost (b*r hashes); an infeasible
+    (threshold, recall, r) point raises rather than silently
+    under-recalling."""
+    import math
+
+    if not (0.0 < target_recall < 1.0):
+        raise ValueError("target_recall must be in (0, 1)")
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("threshold must be in (0, 1)")
+    per_band = threshold**rows_per_band
+    b = max(
+        1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - per_band))
+    )
+    if b > max_bands:
+        raise ValueError(
+            f"target recall {target_recall} at Jaccard {threshold} needs {b} "
+            f"bands of {rows_per_band} rows (> max_bands={max_bands}); "
+            "use fewer rows per band or relax the target"
+        )
+    return b
+
+
+def planned_minhash_candidates(
+    sh: DataFrame,
+    threshold: float = 0.6,
+    target_recall: float = 0.95,
+    rows_per_band: int = 4,
+    max_bands: int = 16,
+) -> tuple[DataFrame, int]:
+    """PLANNER-DRIVEN MinHash candidate generation — the q514 production
+    face for this family: a stated recall floor becomes the band count
+    via ``planned_minhash_bands_for_recall``, the signature is sized to
+    exactly b*r hashes (no over-hashing), and candidates come from the
+    same first-colliding-band pipeline as the shipped 8x4 default. A
+    target whose plan lands on 8 bands is output-identical to
+    ``portable_minhash_signatures(sh, 32)`` +
+    ``portable_band_candidates(sig, 8, 4)`` (pinned in tests). Returns
+    (candidates, n_bands) so callers can ledger the plan."""
+    b = planned_minhash_bands_for_recall(
+        threshold, target_recall, rows_per_band, max_bands
+    )
+    sig = portable_minhash_signatures(sh, num_hashes=b * rows_per_band)
+    return (
+        portable_band_candidates(sig, num_bands=b, rows_per_band=rows_per_band),
+        b,
+    )
+
+
 def portable_band_candidates(
     signatures: DataFrame, num_bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
