@@ -4753,10 +4753,14 @@ def q497_lsh_band_planner(spark, sf_dir):
     for part in pair_parts[1:]:
         prs = prs.unionByName(part)
     sh = shingles(c, n=3).transform(managed_persist)
+    # lazy checkpoint: every (b, r) grid arm aggregates over jacc, and
+    # the grid ledger feeds three consumers — without lineage cuts the
+    # static plan re-inlined the shingle+verify pipeline per arm (266
+    # Exchange nodes; the campaign recipe)
     jacc = (
         jaccard_for_pairs(prs, sh)
         .select(F.col("jaccard").alias("j"))
-        .transform(managed_persist)
+        .localCheckpoint(eager=False)
     )
 
     t = F.lit(_PLAN_THRESH)
@@ -4793,7 +4797,7 @@ def q497_lsh_band_planner(spark, sf_dir):
             F.lit(b * r).alias("n_hashes"),
         )
         arms = arm if arms is None else arms.unionByName(arm)
-    grid = arms.transform(managed_persist)
+    grid = arms.localCheckpoint(eager=False)
     ok = grid.where(F.col("pred_fp_rate") <= 0.05)
     best_recall = ok.agg(F.max("pred_recall").alias("mr"))
     cheapest = (
@@ -5616,7 +5620,11 @@ def q511_consensus_coassociation(spark, sf_dir):
         .unionByName(m_winnow.select("doc_a", "doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
-        .transform(managed_persist)
+        # lazy checkpoint: votes feeds the histogram AND the majority
+        # graph whose connected components iterate — cutting lineage
+        # here keeps the three method pipelines out of every consumer's
+        # static plan (was 265 Exchange nodes; the campaign recipe)
+        .localCheckpoint(eager=False)
     )
     hist = votes.groupBy("votes").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs")

@@ -2484,9 +2484,13 @@ def q465_join_skew_audit(spark, sf_dir):
     out = None
     for label, tbl, col in _SKEW_KEYS:
         t = load_table(spark, sf_dir, tbl)
+        # lazy checkpoint: each key's histogram feeds the rank pick and
+        # the stats aggregate (and h.count() below materializes it
+        # immediately anyway) — cuts the per-arm subtree re-inline
+        # (was 126 Exchange nodes; the campaign recipe)
         h = t.groupBy(F.col(col).cast("string").alias("k")).agg(
             F.count(F.lit(1)).alias("c")
-        ).transform(managed_persist)
+        ).localCheckpoint(eager=False)
         # median key-size via the bucketed global-rank operator — a
         # plain ordered window here would single-partition the key
         # histogram (150k+ keys for l_orderkey; the class the r7 plan

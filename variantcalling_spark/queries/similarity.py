@@ -2010,11 +2010,13 @@ def q253_dbscan(spark, sf_dir):
             )
         )
         .select("a", "b")
-        .transform(managed_persist)
+        # lazy checkpoint: nbr feeds degree, core-core edges, and the
+        # border attach - the campaign recipe (was 132 Exchange nodes)
+        .localCheckpoint(eager=False)
     )
     deg = nbr.groupBy("a").agg((F.count(F.lit(1)) + 1).alias("n_nbr"))
     core = deg.where(F.col("n_nbr") >= minpts).select(F.col("a").alias("vec_id"))
-    core = core.transform(managed_persist)
+    core = core.localCheckpoint(eager=False)
     ce = (
         nbr.join(core.select(F.col("vec_id").alias("a")), "a")
         .join(core.select(F.col("vec_id").alias("b")), "b")
@@ -2028,7 +2030,7 @@ def q253_dbscan(spark, sf_dir):
         core.join(lbl.select("vec_id"), "vec_id", "left_anti").select(
             "vec_id", F.col("vec_id").alias("cluster_id")
         )
-    ).transform(managed_persist)
+    ).localCheckpoint(eager=False)
     border = (
         nbr.join(core.select(F.col("vec_id").alias("a")), "a", "left_anti")
         .join(lbl.select(F.col("vec_id").alias("b"), "cluster_id"), "b")
@@ -7231,6 +7233,9 @@ def _super_sweep_frames(edges, deg, m2t, ref):
             ).alias("score"),
         )
     )
+    # sbest/safter each feed two consumers (q506's move ledger + the
+    # induced partition; level count + swept) — lazy checkpoints keep
+    # the super-sweep chain out of every consumer's static plan
     sbest = (
         sscored.withColumn(
             "rn",
@@ -7238,10 +7243,11 @@ def _super_sweep_frames(edges, deg, m2t, ref):
         )
         .where(F.col("rn") == 1)
         .select("rc", F.col("cand").alias("new_community"))
+        .localCheckpoint(eager=False)
     )
     safter = sinit.join(sbest, "rc", "left").select(
         "rc", F.coalesce("new_community", "community").alias("community")
-    )
+    ).localCheckpoint(eager=False)
     swept = ref.select("node", "rc").join(safter, "rc").select(
         "node", "community"
     ).localCheckpoint()

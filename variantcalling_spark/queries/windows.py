@@ -7823,7 +7823,11 @@ def q412_markov_absorption(spark, sf_dir):
                 [("purchase", "purchase", 1.0)], "src string, dst string, tp double"
             )
         )
-        .transform(managed_persist)
+        # lazy checkpoint: every unrolled matvec round below joins tmat,
+        # and each per-k ledger row re-references the carried p — cutting
+        # lineage at both keeps the static plan linear in k (the
+        # campaign recipe; was 265 Exchange nodes from subtree re-inline)
+        .localCheckpoint(eager=False)
     )
     p = spark.createDataFrame([("view", 1.0)], "state string, prob double")
     out = p.agg(
@@ -7843,6 +7847,7 @@ def q412_markov_absorption(spark, sf_dir):
                 .cast("double")
                 .alias("prob")
             )
+            .localCheckpoint(eager=False)
         )
         out = out.unionByName(
             p.agg(
