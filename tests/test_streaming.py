@@ -1158,3 +1158,54 @@ def test_streaming_graph_ingest_equals_rebuild(spark, tmp_path):
         ).select("vec_id", "neighbor_id", "cosine").collect()
     }
     assert got == want
+
+
+def test_ingest_dedup_planner_mode_default_equality(spark):
+    """Planner-driven ingest (r11): a target recall that plans exactly
+    the shipped 8-band dial must reproduce the default probe output
+    bit-for-bit with a signature sized to b*r, and a higher target must
+    widen the signature (more bands) while keeping every verified pair
+    (verified pairs are exact-Jaccard-gated, so extra bands can only
+    add discoveries, never change a pair's score)."""
+    from variantcalling_spark.operators.dedup import (
+        planned_minhash_bands_for_recall,
+    )
+    from variantcalling_spark.streaming.ingest_dedup import (
+        build_band_index,
+        streaming_dedup_probe,
+    )
+
+    docs = (
+        spark.read.parquet(os.path.join(SF, "documents.parquet"))
+        .select("doc_id", "text")
+    )
+    near = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    assert planned_minhash_bands_for_recall(0.6, 0.67, 4) == 8
+    default = {
+        (r.doc_new, r.doc_old, r.jaccard)
+        for r in streaming_dedup_probe(near, build_band_index(docs)).collect()
+    }
+    planned = {
+        (r.doc_new, r.doc_old, r.jaccard)
+        for r in streaming_dedup_probe(
+            near,
+            build_band_index(docs, threshold=0.6, target_recall=0.67),
+            threshold=0.6,
+            target_recall=0.67,
+        ).collect()
+    }
+    assert planned == default and len(default) > 0
+    wider = {
+        (r.doc_new, r.doc_old, r.jaccard)
+        for r in streaming_dedup_probe(
+            near,
+            build_band_index(docs, threshold=0.6, target_recall=0.9, rows_per_band=2),
+            threshold=0.6,
+            target_recall=0.9,
+            rows_per_band=2,
+        ).collect()
+    }
+    assert default <= wider

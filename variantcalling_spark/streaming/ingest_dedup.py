@@ -25,34 +25,72 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from variantcalling_spark.operators.dedup import (
+    planned_minhash_bands_for_recall,
     portable_band_candidates_between,
     rowwise_minhash_signatures,
 )
 
 
-def build_band_index(docs: DataFrame) -> DataFrame:
+def _ingest_plan(
+    threshold: float, target_recall: float | None, rows_per_band: int
+) -> tuple[int, int]:
+    """(num_hashes, num_bands) for the ingest face. ``target_recall``
+    switches on the PLANNER-DRIVEN mode (the r11 MinHash mirror of
+    q514's cosine face): the band count comes from
+    ``planned_minhash_bands_for_recall`` and the signature is sized to
+    exactly b*r hashes — state the recall you need, not the band
+    count. The default keeps the shipped 32-hash / 8-band dial, and a
+    target whose plan lands on 8 bands is pinned output-identical to
+    it in tests. Index build and probe MUST share the same plan; pass
+    the same (threshold, target_recall, rows_per_band) to both."""
+    if target_recall is None:
+        return 32, 8
+    b = planned_minhash_bands_for_recall(threshold, target_recall, rows_per_band)
+    return b * rows_per_band, b
+
+
+def build_band_index(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    target_recall: float | None = None,
+    rows_per_band: int = 4,
+) -> DataFrame:
     """Corpus-side index: (doc_id, signature, sh_set). Written once to
-    parquet at corpus build; the text column never travels further."""
-    return rowwise_minhash_signatures(docs, n=3, include_shingles=True)
+    parquet at corpus build; the text column never travels further.
+    With ``target_recall`` the signature width is planner-chosen (see
+    ``_ingest_plan``) — the index bakes in the recall floor."""
+    num_hashes, _ = _ingest_plan(threshold, target_recall, rows_per_band)
+    return rowwise_minhash_signatures(
+        docs, n=3, num_hashes=num_hashes, include_shingles=True
+    )
 
 
 def streaming_dedup_probe(
     new_docs: DataFrame,
     index: DataFrame,
     threshold: float = 0.6,
+    target_recall: float | None = None,
+    rows_per_band: int = 4,
 ) -> DataFrame:
     """Probe a (possibly streaming) document batch against the stored
     index. Returns verified near-duplicate pairs
     (doc_new, doc_old, jaccard) with exact Jaccard >= threshold.
+    ``target_recall`` selects the planner-driven (b, r) — it must match
+    the value the index was built with (``_ingest_plan``).
 
     Works identically on a batch or streaming ``new_docs`` — the whole
     chain is projections + one stream-static equi-join + one static
     join to the old shingle sets, so stream == batch equality holds
     bit-for-bit (pinned in tests/test_streaming.py)."""
-    new_t = rowwise_minhash_signatures(new_docs, n=3, include_shingles=True)
+    num_hashes, num_bands = _ingest_plan(threshold, target_recall, rows_per_band)
+    new_t = rowwise_minhash_signatures(
+        new_docs, n=3, num_hashes=num_hashes, include_shingles=True
+    )
     cands = portable_band_candidates_between(
         new_t.select("doc_id", "signature", F.col("sh_set").alias("set_new")),
         index.select("doc_id", "signature"),
+        num_bands=num_bands,
+        rows_per_band=rows_per_band,
         carry_new=("set_new",),
     )
     return (
