@@ -223,6 +223,12 @@ def run_audit(sf_dir: str) -> dict:
     totals["n_errors"] = len(errors)
     totals["row_python_free"] = totals["n_batch_python"] == 0
     totals["n_unlisted_global_windows"] = len(unlisted_global_windows)
+    # The r11 static-plan campaign standard: no query's plan should
+    # carry ~100+ Exchange nodes (the unrolled-iteration / repeated-
+    # subtree class — the checkpoint+memo recipe in the verify skill).
+    top = sorted(rows.items(), key=lambda kv: -kv[1]["n_exchange"])[:5]
+    totals["max_exchange"] = top[0][1]["n_exchange"] if top else 0
+    totals["top_exchange"] = {n: r["n_exchange"] for n, r in top}
     return {
         "totals": totals,
         "queries": rows,
@@ -244,7 +250,8 @@ def main() -> int:
         f"arrow_python={t['n_arrow_python']} "
         f"row_python={t['n_batch_python']} (must be 0) | "
         f"unlisted_global_windows={t['n_unlisted_global_windows']} (must be 0) | "
-        f"errors={t['n_errors']}"
+        f"errors={t['n_errors']} | max_exchange={t['max_exchange']} "
+        f"(campaign standard <100) top={t['top_exchange']}"
     )
     for name, n in report["unlisted_global_windows"].items():
         print(f"GLOBAL-WINDOW {name}: {n} unpartitioned ordered Window node(s)")
