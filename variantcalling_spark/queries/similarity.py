@@ -7542,7 +7542,7 @@ def q506_leiden_aggregate_level(spark, sf_dir):
     it, and the node-level Q evaluation is the same O(E) double
     equi-join as q491's."""
     edges, deg, m2t, after, refined = _leiden_refined_frames(spark, sf_dir)
-    sinit, sdeg, sbest, safter, lvl2 = _super_sweep_frames(edges, deg, m2t, refined)
+    sinit, sdeg, sbest, safter, lvl2 = _leiden_sweep1_frames(spark, sf_dir)
 
     def q_numerator(part):
         qin = (
@@ -7603,6 +7603,25 @@ def q506_leiden_aggregate_level(spark, sf_dir):
 
 
 _LEIDEN_LEVELS = 2
+
+
+def _leiden_sweep1_frames(spark, sf_dir):
+    """The FIRST super-sweep over the memoized refined substrate,
+    itself memoized: q506's ledgered sweep and q519's level-1 are the
+    SAME computation — without this memo each would build (and
+    checkpoint) its own copy (the co-resident-consumer half of the
+    verify-skill rule)."""
+    return _memoized(
+        "leiden_sweep1",
+        spark,
+        sf_dir,
+        lambda: _super_sweep_frames(*_sweep1_inputs(spark, sf_dir)),
+    )
+
+
+def _sweep1_inputs(spark, sf_dir):
+    edges, deg, m2t, _, refined = _leiden_refined_frames(spark, sf_dir)
+    return edges, deg, m2t, refined
 
 
 def _q_of_sql(name: str, part: str, key: str) -> str:
@@ -7846,7 +7865,11 @@ def _build_q519(spark, sf_dir):
     best = q_num(cur, "rc")
     rows = [(0, "refine0", n_comms(cur), best, True, best)]
     for lvl in range(1, _LEIDEN_LEVELS + 1):
-        _, _, _, _, swept = _super_sweep_frames(edges, deg, m2t, cur)
+        if lvl == 1:
+            # level 1's sweep IS q506's — shared through the memo
+            _, _, _, _, swept = _leiden_sweep1_frames(spark, sf_dir)
+        else:
+            _, _, _, _, swept = _super_sweep_frames(edges, deg, m2t, cur)
         cand = _refine_pieces(edges, swept)
         qc = q_num(cand, "rc")
         nc = n_comms(cand)
