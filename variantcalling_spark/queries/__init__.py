@@ -148,6 +148,7 @@ _PRIORITY = (
     "q518_matthews_correlation",
     # --- New in round 11 (add new queries HERE) ---
     "q519_leiden_multilevel",
+    "q520_planned_minhash_neardup",
     # --- Certified r10 (q384-q433) + r9 (q284-q383), tail of the list ---
     "q284_attribution_last_touch",
     "q285_cochran_armitage",

@@ -222,6 +222,109 @@ def q66_minhash_lsh(spark, sf_dir):
     )
 
 
+_PMH_THRESHOLD = 0.6   # Jaccard near-dup threshold (the q65/q66 dial)
+_PMH_TARGET = 0.8      # recall floor requested from the planner
+_PMH_R = 4             # minhash rows per band (oracle pin)
+
+
+def _planned_minhash_oracle_sql() -> str:
+    from variantcalling_spark.operators.dedup import (
+        planned_minhash_bands_for_recall,
+    )
+
+    bands = planned_minhash_bands_for_recall(_PMH_THRESHOLD, _PMH_TARGET, _PMH_R)
+    pairs_sql = _minhash_oracle_sql(
+        num_hashes=bands * _PMH_R, num_bands=bands, rows_per_band=_PMH_R
+    )
+    return f"""
+WITH RECURSIVE mpairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({pairs_sql}) discovered
+),
+medges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM mpairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM mpairs
+),
+mclosure AS (
+  SELECT src AS node, src AS reach FROM medges
+  UNION
+  SELECT c.node, medges.dst AS reach
+  FROM mclosure c JOIN medges ON medges.src = c.reach
+),
+mclusters AS MATERIALIZED (
+  SELECT MIN(reach) AS cluster_id, CAST(COUNT(DISTINCT node) AS BIGINT) AS n_members
+  FROM (SELECT node, MIN(reach) AS reach FROM mclosure GROUP BY node) labeled
+  GROUP BY reach
+)
+SELECT CAST({bands} AS INT) AS n_bands,
+       CAST({bands * _PMH_R} AS INT) AS n_hashes,
+       CAST(n_members AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM mclusters GROUP BY n_members
+ORDER BY cluster_size
+"""
+
+
+@query("q520_planned_minhash_neardup", oracle=_planned_minhash_oracle_sql())
+def q520_planned_minhash_neardup(spark, sf_dir):
+    """PLANNER-DRIVEN MinHash NEAR-DUP CLUSTERS END-TO-END — the exact
+    MinHash mirror of q514's cosine face, completing the r10 verdict's
+    ask #5: the caller states a RECALL FLOOR (0.8 at Jaccard 0.6) and
+    ``planned_minhash_bands_for_recall`` converts it into the band
+    count (12 bands of 4 rows = 48 hashes — asserted, and emitted in
+    the ledger so the chosen dial is oracle-checked output); the
+    signature is sized to exactly b*r (no over-hashing), discovery
+    runs the first-colliding-band pipeline, survivors verify with
+    exact Jaccard, pairs fold into clusters via star contraction, and
+    the output is the cluster-size histogram a curation pipeline
+    consumes. q495 validated the S-curve, q497 graded the grid, the
+    r11 SCALE.md table measured recall-vs-bands empirically — this
+    query SHIPS the loop.
+
+    Exactness: the oracle recomputes the identical 48-hash / 12-band
+    portable pipeline in SQL (q66's machinery at the planner's dial)
+    plus the exact recursive-closure clusters; star contraction's
+    labels equal the closure's min-ids.
+
+    Scale shape: one 48-MIN signature aggregate, banded bucket
+    self-join (candidate volume linear in corpus at fixed bucket
+    occupancy), verify only on candidates, contraction in O(log n)
+    rounds — nothing quadratic; the planner itself is free."""
+    from variantcalling_spark.operators.dedup import (
+        jaccard_for_pairs,
+        planned_minhash_candidates,
+        shingles,
+        star_contraction_components,
+    )
+
+    bands_expected = 12
+    sh = shingles(corpus(spark, sf_dir), n=3).transform(managed_persist)
+    cands, bands = planned_minhash_candidates(
+        sh, _PMH_THRESHOLD, target_recall=_PMH_TARGET, rows_per_band=_PMH_R
+    )
+    assert bands == bands_expected, "oracle is rendered for the 12-band plan"
+    pairs = (
+        jaccard_for_pairs(cands, sh)
+        .where(F.col("jaccard") >= _PMH_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    labels = star_contraction_components(pairs)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(
+            F.lit(bands).cast("int").alias("n_bands"),
+            F.lit(bands * _PMH_R).cast("int").alias("n_hashes"),
+            "cluster_size",
+            "n_clusters",
+        )
+        .orderBy("cluster_size")
+    )
+
+
 def _simhash_oracle_sql(bits: int = 32) -> str:
     """The SimHash pipeline in DuckDB SQL with the same portable word
     hash (md5-derived v for bits 0..30, affine rehash v2 for bits 31+)."""
