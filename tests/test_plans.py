@@ -804,3 +804,39 @@ def test_rowwise_winnowing_projection_is_shuffle_free(spark):
     pre = docs.select("doc_id", F2.split("text", " ").alias("ws"))
     p = pre._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p
+
+
+def test_lineage_cut_upgrades_to_reliable_checkpoint(spark, tmp_path):
+    """The campaign's junction cut is mode-aware: with no checkpoint
+    dir it is a lazy localCheckpoint (executor-local, right for
+    local[n]); once a RELIABLE checkpoint directory is configured —
+    the one-line cluster deployment step — every cut point becomes a
+    replicated DataFrame.checkpoint with no call-site changes, so
+    truncated lineage stays recoverable under executor loss. Results
+    are identical either way."""
+    from pyspark.sql import functions as F
+
+    from variantcalling_spark._persist import lineage_cut
+
+    df = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
+    local = df.transform(lineage_cut)
+    want = {(r.k, r["count"]) for r in local.collect()}
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None or "reliable_ckpt" not in str(
+        sc.getCheckpointDir()
+    )
+    sc.setCheckpointDir(str(tmp_path / "reliable_ckpt"))
+    try:
+        reliable = df.transform(lineage_cut)
+        got = {(r.k, r["count"]) for r in reliable.collect()}
+        assert got == want
+        # the reliable path wrote files under the configured dir
+        import os
+
+        assert any(os.scandir(str(tmp_path / "reliable_ckpt")))
+    finally:
+        # do not leak the checkpoint dir into later tests (tmp_path is
+        # deleted after this test; a leaked dir would break every later
+        # lineage_cut call in the shared session)
+        sc.setCheckpointDir(None)
+        assert sc.getCheckpointDir() is None

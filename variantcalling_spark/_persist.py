@@ -50,3 +50,28 @@ def managed_persist(df):
         except Exception:
             pass  # session already stopped; nothing to release
     return df
+
+
+def lineage_cut(df):
+    """LAZY lineage cut — the static-plan campaign's junction operator
+    (see the verify skill): downstream plans read a flat RDD scan
+    instead of re-inlining the upstream subtree per reference, and
+    nothing executes at plan-construction time.
+
+    Storage is mode-aware: ``localCheckpoint`` blocks live on the
+    executors that computed them, which is exactly right on local[n]
+    but NOT fault-tolerant to executor loss on a real cluster (lineage
+    is truncated, so a lost block cannot be recomputed — the job
+    fails). When the session has a RELIABLE checkpoint directory
+    configured (``spark.sparkContext.setCheckpointDir('hdfs://...')``,
+    the one-line cluster deployment step), this helper upgrades every
+    cut point to ``DataFrame.checkpoint`` — replicated, executor-loss-
+    safe — with no call-site changes. Chains as
+    ``df.transform(lineage_cut)``."""
+    try:
+        has_dir = df.sparkSession.sparkContext.getCheckpointDir() is not None
+    except Exception:
+        has_dir = False
+    if has_dir:
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)

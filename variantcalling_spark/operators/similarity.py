@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from variantcalling_spark._persist import managed_persist
+from variantcalling_spark._persist import lineage_cut, managed_persist
 
 QUANT = 100_000
 
@@ -1693,7 +1693,7 @@ def nn_descent_graphs(
     # undirected closure (the q255/q491 iterative-consumer rule): each
     # round's plan reads flat RDD scans instead of nesting every prior
     # round's join pipeline
-    g = topk(score(pairs)).localCheckpoint(eager=False)
+    g = topk(score(pairs)).transform(lineage_cut)
     out = [with_rank(g)]
     for _ in range(iterations):
         und = (
@@ -1705,7 +1705,7 @@ def nn_descent_graphs(
                 )
             )
             .distinct()
-            .localCheckpoint(eager=False)
+            .transform(lineage_cut)
         )
         u1, u2 = und.alias("u1"), und.alias("u2")
         cand = (
@@ -1725,7 +1725,7 @@ def nn_descent_graphs(
             .groupBy("vec_id", "neighbor_id")
             .agg(F.max("cosine").alias("cosine"))
             .transform(topk)
-            .localCheckpoint(eager=False)
+            .transform(lineage_cut)
         )
         out.append(with_rank(g))
     return out

@@ -25,6 +25,7 @@ from variantcalling_spark.queries import query
 from variantcalling_spark.queries._helpers import cnt, managed_persist
 from variantcalling_spark.queries.genomics import SQL_DOCS_DNA, docs_as_dna
 from variantcalling_spark.sources import load_table
+from variantcalling_spark._persist import lineage_cut
 
 
 @query(
@@ -1706,7 +1707,7 @@ def diplotype_replay_rescue(fp, fn, tp, gap: int = REPLAY_GAP):
     # first action and shared by every consumer (the q491/q503 recipe).
     segd = _segment_union(
         u, ["pos", "ref", "alt", "gt", "side"], gap, two_level=False
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     bounds = segd.groupBy("chrom", "seg").agg(
         F.min("pos").alias("lo"), F.max("e").alias("hi")
     )
@@ -1740,7 +1741,7 @@ def diplotype_replay_rescue(fp, fn, tp, gap: int = REPLAY_GAP):
         )
         .where(F.col("pos") + F.length("ref") <= F.col("whi"))
         .select("chrom", "seg", "pos", "ref", "alt", "gt")
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     ext = tp_seg.groupBy("chrom", "seg").agg(
         F.min("pos").alias("tmin"),
@@ -1757,9 +1758,9 @@ def diplotype_replay_rescue(fp, fn, tp, gap: int = REPLAY_GAP):
         # tp_seg/bounds2/sides each feed TWO consumers below (ext+recs,
         # happed+domain, recs+domain): checkpoint or every branch re-runs
         # the anchor-assignment join AND re-inlines its plan
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
-    sides = segd.select("chrom", "seg", "side").distinct().localCheckpoint(eager=False)
+    sides = segd.select("chrom", "seg", "side").distinct().transform(lineage_cut)
     recs = segd.select("chrom", "seg", "side", "pos", "ref", "alt", "gt").unionByName(
         tp_seg.join(sides, ["chrom", "seg"]).select(
             "chrom", "seg", "side", "pos", "ref", "alt", "gt"
@@ -1813,7 +1814,7 @@ def diplotype_replay_rescue(fp, fn, tp, gap: int = REPLAY_GAP):
     )
     pairs = sigs.groupBy("chrom", "seg", "side").agg(
         F.min("sig").alias("sig_lo"), F.max("sig").alias("sig_hi")
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     matched = (
         pairs.where(F.col("side") == "fp")
         .select("chrom", "seg", "sig_lo", "sig_hi")
@@ -1825,7 +1826,7 @@ def diplotype_replay_rescue(fp, fn, tp, gap: int = REPLAY_GAP):
         )
         .where((F.col("sig_lo") == F.col("flo")) & (F.col("sig_hi") == F.col("fhi")))
         .select("chrom", "seg")
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     out = []
     for side in ("fp", "fn"):
@@ -2070,7 +2071,7 @@ def _build_q127(spark, sf_dir):
         calls.withColumn("in_c", F.lit(True))
         .join(truth.withColumn("in_t", F.lit(True)), key, "full_outer")
         .select(*key, "in_c", "in_t")
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     fp = fo.where(F.col("in_c") & F.col("in_t").isNull()).select(*key)
     fn = fo.where(F.col("in_t") & F.col("in_c").isNull()).select(*key)

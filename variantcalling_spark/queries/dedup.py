@@ -28,6 +28,7 @@ from variantcalling_spark.operators.dedup import (
 from variantcalling_spark.queries import query
 from variantcalling_spark.queries._helpers import cnt, managed_persist
 from variantcalling_spark.sources import load_table
+from variantcalling_spark._persist import lineage_cut
 
 SQL_CORPUS = """
   SELECT doc_id, text FROM documents
@@ -4863,7 +4864,7 @@ def q497_lsh_band_planner(spark, sf_dir):
     jacc = (
         jaccard_for_pairs(prs, sh)
         .select(F.col("jaccard").alias("j"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
 
     t = F.lit(_PLAN_THRESH)
@@ -4900,7 +4901,7 @@ def q497_lsh_band_planner(spark, sf_dir):
             F.lit(b * r).alias("n_hashes"),
         )
         arms = arm if arms is None else arms.unionByName(arm)
-    grid = arms.localCheckpoint(eager=False)
+    grid = arms.transform(lineage_cut)
     ok = grid.where(F.col("pred_fp_rate") <= 0.05)
     best_recall = ok.agg(F.max("pred_recall").alias("mr"))
     cheapest = (
@@ -5727,7 +5728,7 @@ def q511_consensus_coassociation(spark, sf_dir):
         # graph whose connected components iterate — cutting lineage
         # here keeps the three method pipelines out of every consumer's
         # static plan (was 265 Exchange nodes; the campaign recipe)
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     hist = votes.groupBy("votes").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs")

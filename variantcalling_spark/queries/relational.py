@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from variantcalling_spark.queries import query
 from variantcalling_spark.queries._helpers import cnt, dec, dsum, dsum_col, managed_persist
 from variantcalling_spark.sources import load_table
+from variantcalling_spark._persist import lineage_cut
 
 
 # --------------------------------------------------------------------------
@@ -2490,7 +2491,7 @@ def q465_join_skew_audit(spark, sf_dir):
         # (was 126 Exchange nodes; the campaign recipe)
         h = t.groupBy(F.col(col).cast("string").alias("k")).agg(
             F.count(F.lit(1)).alias("c")
-        ).localCheckpoint(eager=False)
+        ).transform(lineage_cut)
         # median key-size via the bucketed global-rank operator — a
         # plain ordered window here would single-partition the key
         # histogram (150k+ keys for l_orderkey; the class the r7 plan

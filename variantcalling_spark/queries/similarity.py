@@ -15,6 +15,7 @@ from variantcalling_spark.operators.similarity import (
 from variantcalling_spark.queries import query
 from variantcalling_spark.queries._helpers import cnt, managed_persist
 from variantcalling_spark.sources import load_table
+from variantcalling_spark._persist import lineage_cut
 
 # Augmented embedding corpus with known near-duplicates (the driver
 # corpus is near-random: max pairwise cosine ~0.51). Both engines build
@@ -2012,11 +2013,11 @@ def q253_dbscan(spark, sf_dir):
         .select("a", "b")
         # lazy checkpoint: nbr feeds degree, core-core edges, and the
         # border attach - the campaign recipe (was 132 Exchange nodes)
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     deg = nbr.groupBy("a").agg((F.count(F.lit(1)) + 1).alias("n_nbr"))
     core = deg.where(F.col("n_nbr") >= minpts).select(F.col("a").alias("vec_id"))
-    core = core.localCheckpoint(eager=False)
+    core = core.transform(lineage_cut)
     ce = (
         nbr.join(core.select(F.col("vec_id").alias("a")), "a")
         .join(core.select(F.col("vec_id").alias("b")), "b")
@@ -2030,7 +2031,7 @@ def q253_dbscan(spark, sf_dir):
         core.join(lbl.select("vec_id"), "vec_id", "left_anti").select(
             "vec_id", F.col("vec_id").alias("cluster_id")
         )
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     border = (
         nbr.join(core.select(F.col("vec_id").alias("a")), "a", "left_anti")
         .join(lbl.select(F.col("vec_id").alias("b"), "cluster_id"), "b")
@@ -4706,7 +4707,7 @@ def _build_q441(spark, sf_dir):
         # lazy checkpoint, not persist: every unrolled round below joins
         # cov — truncating its lineage here keeps each round's subtree a
         # flat RDD scan instead of the full covariance pipeline
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     v = dim.select(F.col("d").alias("j"), F.lit(1.0).alias("v"))
     mx = None
@@ -4726,7 +4727,7 @@ def _build_q441(spark, sf_dir):
         # doubles every round
         v = u.crossJoin(F.broadcast(mx)).select(
             F.col("i").alias("j"), F.round(F.col("u") / F.col("mx"), 9).alias("v")
-        ).localCheckpoint(eager=False)
+        ).transform(lineage_cut)
     return v.crossJoin(F.broadcast(mx)).select(
         F.col("j").cast("bigint").alias("dim"),
         F.round(F.col("v"), 6).alias("loading"),
@@ -7243,11 +7244,11 @@ def _super_sweep_frames(edges, deg, m2t, ref):
         )
         .where(F.col("rn") == 1)
         .select("rc", F.col("cand").alias("new_community"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     safter = sinit.join(sbest, "rc", "left").select(
         "rc", F.coalesce("new_community", "community").alias("community")
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     swept = ref.select("node", "rc").join(safter, "rc").select(
         "node", "community"
     ).localCheckpoint()

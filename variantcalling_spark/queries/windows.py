@@ -24,6 +24,7 @@ from variantcalling_spark.queries import query
 from variantcalling_spark.queries._helpers import cnt, dec, managed_persist
 from variantcalling_spark.sources import load_table
 from variantcalling_spark.queries.intervals import events_points
+from variantcalling_spark._persist import lineage_cut
 
 # Shared SQL fragment: events as extent rows (start/end in us); the span is
 # value seconds long (value is 2-decimal, so ROUND(value*1e6) is exact).
@@ -6496,7 +6497,7 @@ def _build_q377(spark, sf_dir):
         .over(W.partitionBy("event_type").orderBy("day"))
         .alias("rn"),
         F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     win = rel.where(F.col("rn") <= F.col("n") - (_MP_W - 1)).select(
         "event_type", F.col("rn").alias("i")
     )
@@ -6522,7 +6523,7 @@ def _build_q377(spark, sf_dir):
             .cast("bigint")
             .alias("d2")
         )
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     rnn = (
         dists.withColumn(
@@ -6553,7 +6554,7 @@ def _build_q377(spark, sf_dir):
             & (F.col("r.i") == F.col("l.li")),
         )
         .select("r.event_type", "r.i", "r.j")
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     # tiny series-code table (event-type domain) for integer node ids
     codes = (
@@ -7827,7 +7828,7 @@ def q412_markov_absorption(spark, sf_dir):
         # and each per-k ledger row re-references the carried p — cutting
         # lineage at both keeps the static plan linear in k (the
         # campaign recipe; was 265 Exchange nodes from subtree re-inline)
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     p = spark.createDataFrame([("view", 1.0)], "state string, prob double")
     out = p.agg(
@@ -7847,7 +7848,7 @@ def q412_markov_absorption(spark, sf_dir):
                 .cast("double")
                 .alias("prob")
             )
-            .localCheckpoint(eager=False)
+            .transform(lineage_cut)
         )
         out = out.unionByName(
             p.agg(
