@@ -149,6 +149,8 @@ _PRIORITY = (
     # --- New in round 11 (add new queries HERE) ---
     "q519_leiden_multilevel",
     "q520_planned_minhash_neardup",
+    "q523_randomized_response",
+    "q526_repeated_sequences",
     # --- Certified r10 (q384-q433) + r9 (q284-q383), tail of the list ---
     "q284_attribution_last_touch",
     "q285_cochran_armitage",

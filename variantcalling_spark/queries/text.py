@@ -8212,3 +8212,252 @@ def q516_token_burstiness(spark, sf_dir):
         )
         .orderBy("rk")
     )
+
+
+_RR_P = 0.75  # probability of reporting the TRUE category
+
+
+@query(
+    "q523_randomized_response",
+    oracle=f"""
+WITH dom AS (
+  SELECT list_sort(list(lang)) AS langs,
+         CAST(len(list(lang)) AS BIGINT) AS k
+  FROM (SELECT DISTINCT lang FROM documents)
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+reported AS (
+  SELECT d.lang AS true_lang,
+         CASE WHEN ((1103515245 * d.doc_id + 12345) % 2147483647 + 0.5)
+                   / 2147483648.0 < {_RR_P!r}
+              THEN d.lang
+              ELSE dom.langs[CAST((1103515245 * (d.doc_id + 777) + 54321)
+                                  % 2147483647 % dom.k AS INT) + 1]
+         END AS rep_lang
+  FROM documents d, dom
+),
+obs AS (
+  SELECT rep_lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_reported
+  FROM reported GROUP BY rep_lang
+),
+tru AS (
+  SELECT true_lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_true
+  FROM reported GROUP BY true_lang
+)
+SELECT spine.lang,
+       COALESCE(t.n_true, 0) AS n_true,
+       COALESCE(o.n_reported, 0) AS n_reported,
+       ROUND((COALESCE(o.n_reported, 0)
+              - tot.n * {1.0 - _RR_P!r} / dom.k) / {_RR_P!r}, 6) AS n_debiased,
+       ROUND((COALESCE(o.n_reported, 0)
+              - tot.n * {1.0 - _RR_P!r} / dom.k) / {_RR_P!r}
+             - COALESCE(t.n_true, 0), 6) AS est_error
+FROM (SELECT unnest(langs) AS lang FROM dom) spine
+LEFT JOIN obs o USING (lang)
+LEFT JOIN tru t USING (lang)
+CROSS JOIN dom CROSS JOIN tot
+""",
+)
+def q523_randomized_response(spark, sf_dir):
+    """K-ARY RANDOMIZED RESPONSE with the unbiased frequency estimator
+    — the LOCAL-DP collection primitive beside the central-model
+    q492/q503 Laplace releases: each row reports its true category
+    (lang) with probability p=0.75, else a seeded-uniform draw from
+    the k-category domain (true included), and the aggregator debiases
+    with n_hat = (n_obs - N(1-p)/k)/p. Output per category: true
+    count, reported count, debiased estimate, estimation error — the
+    utility ledger a privacy review reads before choosing p.
+
+    Like q492 the randomness is the PORTABLE SEEDED LCG (a
+    deterministic function of doc_id), so the whole mechanism —
+    perturbation included — is value-checked cross-engine; swap the
+    uniform for a client-side DRBG and the identical plan is
+    eps = ln(1 + k*p/(1-p)) local DP.
+
+    Scale shape: the domain array is a broadcast scalar (bounded
+    category domain); perturbation is a scan-local expression per row
+    (no RNG state, no shuffle beyond the final bounded groupBy); the
+    estimator is arithmetic on k aggregate rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    dom = docs.select("lang").distinct().agg(
+        F.array_sort(F.collect_list("lang")).alias("langs"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    u = (
+        (F.lit(1103515245).cast("bigint") * F.col("doc_id") + 12345)
+        % F.lit(2147483647).cast("bigint")
+        + 0.5
+    ) / F.lit(2147483648.0)
+    j = (
+        (F.lit(1103515245).cast("bigint") * (F.col("doc_id") + 777) + 54321)
+        % F.lit(2147483647).cast("bigint")
+    ) % F.col("k")
+    reported = (
+        docs.crossJoin(F.broadcast(dom))
+        .select(
+            F.col("lang").alias("true_lang"),
+            F.when(u < _RR_P, F.col("lang"))
+            .otherwise(F.element_at("langs", j.cast("int") + 1))
+            .alias("rep_lang"),
+        )
+        .transform(managed_persist)
+    )
+    obs = reported.groupBy(F.col("rep_lang").alias("lang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reported")
+    )
+    tru = reported.groupBy(F.col("true_lang").alias("lang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    spine = dom.select(F.explode("langs").alias("lang"))
+    debiased = (
+        F.coalesce(F.col("n_reported"), F.lit(0))
+        - F.col("n") * F.lit(1.0 - _RR_P) / F.col("k")
+    ) / F.lit(_RR_P)
+    return (
+        spine.join(obs, "lang", "left")
+        .join(tru, "lang", "left")
+        .crossJoin(F.broadcast(dom.select("k")))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.coalesce("n_true", F.lit(0)).cast("bigint").alias("n_true"),
+            F.coalesce("n_reported", F.lit(0)).cast("bigint").alias("n_reported"),
+            F.round(debiased, 6).alias("n_debiased"),
+            F.round(debiased - F.coalesce("n_true", F.lit(0)), 6).alias("est_error"),
+        )
+    )
+
+
+_SUF_TRUNC = 8   # suffix truncation in words (bounds row width)
+_SUF_MIN_LCP = 4  # minimum repeated-run length worth reporting
+
+
+@query(
+    "q526_repeated_sequences",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+suf AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(ws))) AS pos,
+         unnest([list_slice(ws, i, least(i + {_SUF_TRUNC - 1}, len(ws)))
+                 for i in generate_series(1, len(ws))]) AS wa
+  FROM tok
+),
+ranked AS (
+  SELECT doc_id, pos, wa, array_to_string(wa, ' ') AS s,
+         ROW_NUMBER() OVER (ORDER BY array_to_string(wa, ' '), doc_id, pos) AS rn
+  FROM suf
+),
+pairs AS (
+  SELECT a.wa AS a, b.wa AS b
+  FROM ranked a JOIN ranked b ON b.rn = a.rn + 1
+  WHERE a.doc_id <> b.doc_id
+),
+scored AS (
+  SELECT a, b,
+         COALESCE(list_min([i for i in generate_series(1, least(len(a), len(b)))
+                            if a[i] <> b[i]]) - 1,
+                  least(len(a), len(b))) AS lcp
+  FROM pairs
+),
+grouped AS (
+  SELECT array_to_string(list_slice(a, 1, lcp), ' ') AS phrase,
+         CAST(lcp AS INT) AS lcp_words,
+         CAST(COUNT(*) AS BIGINT) AS n_adj
+  FROM scored WHERE lcp >= {_SUF_MIN_LCP}
+  GROUP BY 1, 2
+)
+SELECT phrase, lcp_words, n_adj,
+       CAST(ROW_NUMBER() OVER (ORDER BY lcp_words DESC, n_adj DESC, phrase)
+            AS INT) AS rnk
+FROM grouped
+ORDER BY lcp_words DESC, n_adj DESC, phrase
+LIMIT 15
+""",
+)
+def q526_repeated_sequences(spark, sf_dir):
+    """LONGEST REPEATED CROSS-DOCUMENT WORD SEQUENCES via distributed
+    SUFFIX RANKING — the suffix-array-lite memorization probe: every
+    word-level suffix (truncated to {_SUF_TRUNC} words, bounding row
+    width) is globally sorted; adjacent suffixes from DIFFERENT
+    documents share their longest repeated run as a word-level LCP
+    (the classic result: the maximal repeat is always realized by some
+    adjacent pair in suffix order). Unlike the fixed-n shingle probes
+    (q114 spans, q133 decontamination) this finds repeats WITHOUT
+    choosing n — the top-15 ledger reads out verbatim boilerplate /
+    memorization candidates by length.
+
+    Scale shape: the suffix relation is O(total words) rows of bounded
+    width; the global sort is Spark's range-partitioned sort; the rank
+    comes from `distributed_row_number` (bucket = first character —
+    a monotone coarsening, so no single-partition window); the
+    neighbor join is an equi-join on rn; LCP is per-row array algebra.
+    This is exactly how large-scale suffix-array dedup pipelines
+    (e.g. Lee et al. 2022 §4) shard: sort suffixes, compare neighbors.
+
+    Reference parity: none (beyond-reference LLM-pipeline surface)."""
+    from variantcalling_spark.operators.ordered import distributed_row_number
+    from variantcalling_spark._persist import lineage_cut
+    from pyspark.sql import Window as W2
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    suf = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(ws)),"
+                f" i -> struct(i AS pos, slice(ws, i, {_SUF_TRUNC}) AS wa))"
+            )
+        ).alias("u"),
+    ).select(
+        "doc_id",
+        F.col("u.pos").alias("pos"),
+        F.col("u.wa").alias("wa"),
+        F.array_join("u.wa", " ").alias("s"),
+    )
+    ranked = distributed_row_number(
+        suf,
+        order_cols=[F.col("s"), F.col("doc_id"), F.col("pos")],
+        bucket_col=F.substring("s", 1, 1),
+    ).transform(lineage_cut)
+    a = ranked.select(
+        F.col("doc_id").alias("da"), F.col("wa").alias("a"), F.col("rn").alias("ra")
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("db"), F.col("wa").alias("b"), (F.col("rn") - 1).alias("ra")
+    )
+    lcp = F.expr(
+        "coalesce(array_min(filter(transform("
+        "  sequence(1, least(size(a), size(b))),"
+        "  i -> IF(element_at(a, i) != element_at(b, i), i, CAST(NULL AS INT))),"
+        "  x -> x IS NOT NULL)) - 1,"
+        " least(size(a), size(b)))"
+    )
+    scored = (
+        a.join(b, "ra")
+        .where(F.col("da") != F.col("db"))
+        .select(F.col("a"), lcp.alias("lcp"))
+        .where(F.col("lcp") >= _SUF_MIN_LCP)
+    )
+    grouped = (
+        scored.select(
+            F.array_join(F.expr("slice(a, 1, lcp)"), " ").alias("phrase"),
+            F.col("lcp").cast("int").alias("lcp_words"),
+        )
+        .groupBy("phrase", "lcp_words")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_adj"))
+    )
+    top = grouped.orderBy(
+        F.desc("lcp_words"), F.desc("n_adj"), "phrase"
+    ).limit(15)
+    return top.select(
+        "*",
+        F.row_number()
+        .over(W2.orderBy(F.desc("lcp_words"), F.desc("n_adj"), "phrase"))
+        .cast("int")
+        .alias("rnk"),
+    )
