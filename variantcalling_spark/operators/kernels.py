@@ -1185,3 +1185,159 @@ def _big_community_components(edges_and_nodes, big) -> DataFrame:
             .alias("n_pieces"),
         )
     )
+
+
+def pav_isotonic(
+    df: DataFrame,
+    key_col: str = "grp",
+    x_col: str = "x",
+    pos_col: str = "n_pos",
+    tot_col: str = "n_tot",
+) -> DataFrame:
+    """POOL-ADJACENT-VIOLATORS isotonic regression per group: fit the
+    non-decreasing step function minimizing weighted squared error to
+    the per-x positive rates (pos/tot) — the calibration-curve fitter
+    (Zadrozny & Elkan 2002) beside the q479 ECE audit.
+
+    Exactness contract: pooling is INTEGER arithmetic — blocks carry
+    (sum_pos, sum_tot) and the violation test is the cross-multiply
+    ``pos_a * tot_b > pos_b * tot_a`` (no float compares), so the
+    fitted rate is a SINGLE exact-integer division per block. That
+    makes the fit bit-reproducible and lets a SQL oracle verify it via
+    the closed-form minimax characterization
+    ``g(k) = max_{i<=k} min_{j>=k} mean(y[i..j])``: the achieved
+    fraction equals the block fraction in real value, and IEEE
+    division is correctly rounded, so the doubles agree bit-for-bit.
+
+    Spark shape: groups are independent — ``applyInPandas`` after a
+    hash partition on the key; each group is a bounded (score-bucket
+    domain) left-to-right stack scan, the textbook sequential-kernel
+    pattern (q302's discipline).
+    """
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(x_col, kind="mergesort")
+        xs = pdf[x_col].to_numpy()
+        pos = pdf[pos_col].to_numpy(dtype="int64")
+        tot = pdf[tot_col].to_numpy(dtype="int64")
+        key = pdf[key_col].iloc[0]
+        # stack of blocks: (sum_pos, sum_tot, n_points)
+        blocks: list[list[int]] = []
+        for p, t in zip(pos, tot):
+            blocks.append([int(p), int(t), 1])
+            while len(blocks) >= 2:
+                pb, tb, _ = blocks[-1]
+                pa, ta, _ = blocks[-2]
+                if pa * tb > pb * ta:  # prev mean > cur mean -> pool
+                    blocks[-2][0] += blocks[-1][0]
+                    blocks[-2][1] += blocks[-1][1]
+                    blocks[-2][2] += blocks[-1][2]
+                    blocks.pop()
+                else:
+                    break
+        iso = []
+        for bp, bt, n in blocks:
+            iso.extend([float(bp) / float(bt)] * n)
+        return pd.DataFrame(
+            {
+                key_col: [key] * len(xs),
+                x_col: xs,
+                pos_col: pos,
+                tot_col: tot,
+                "iso_rate": iso,
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(
+        per_group,
+        schema=(
+            f"{key_col} string, {x_col} int, {pos_col} long, {tot_col} long,"
+            " iso_rate double"
+        ),
+    )
+
+
+def holt_winters_smooth(
+    df: DataFrame,
+    key_col: str = "series",
+    t_col: str = "t",
+    val_col: str = "m",
+    period: int = 24,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    horizon: int = 24,
+) -> DataFrame:
+    """ADDITIVE HOLT-WINTERS (triple-exponential) smoothing per series —
+    the seasonal rung above ``holt_linear_smooth``: level + trend +
+    an m-term additive seasonal recursion (Hyndman-Athanasopoulos
+    init: l_m = mean of season 1, b_m = (mean2 - mean1)/m,
+    s_i = y_i - mean1), then for t > m
+        l_t = a*(y_t - s_{t-m}) + (1-a)*(l + b)
+        b_t = B*(l_t - l) + (1-B)*b
+        s_t = g*(y_t - l_t) + (1-g)*s_{t-m}.
+
+    Exactness contract (the q302 discipline, extended): inputs are
+    round-6 doubles, so the two init means are recovered as EXACT
+    integer micro-unit sums divided ONCE (sum1/24e6 as a single IEEE
+    division) — no order-dependent float accumulation anywhere; the
+    recursion itself is plain float64 with the exact expression shapes
+    a recursive-CTE replay uses, so the SQL oracle reproduces the walk
+    bit-for-bit with NO intermediate rounding. Series shorter than two
+    full seasons are dropped (both sides).
+
+    Spark shape: hash-partition by series, ``applyInPandas`` bounded
+    scan per group; the seasonal state is an m-slot ring. Forecast is
+    l + horizon*b + the matching-phase seasonal."""
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(t_col, kind="mergesort")
+        vals = pdf[val_col].to_numpy(dtype="float64")
+        key = pdf[key_col].iloc[0]
+        n = len(vals)
+        m = period
+        if n < 2 * m:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype=object),
+                    "n_obs": pd.Series([], dtype="int64"),
+                    "level": pd.Series([], dtype="float64"),
+                    "trend": pd.Series([], dtype="float64"),
+                    "season_last": pd.Series([], dtype="float64"),
+                    "forecast": pd.Series([], dtype="float64"),
+                }
+            )
+        sum1 = int(sum(int(round(float(v) * 1e6)) for v in vals[:m]))
+        sum2 = int(sum(int(round(float(v) * 1e6)) for v in vals[m : 2 * m]))
+        mean1 = float(sum1) / (m * 1e6)
+        level = mean1
+        trend = float(sum2 - sum1) / (m * m * 1e6)
+        seas = [float(vals[i]) - mean1 for i in range(m)]
+        for t in range(m, n):
+            y = float(vals[t])
+            s_old = seas[0]
+            new_level = alpha * (y - s_old) + (1.0 - alpha) * (level + trend)
+            new_trend = beta * (new_level - level) + (1.0 - beta) * trend
+            s_new = gamma * (y - new_level) + (1.0 - gamma) * s_old
+            seas = seas[1:] + [s_new]
+            level, trend = new_level, new_trend
+        # matching-phase seasonal for an h-step forecast, h = period
+        fc = level + horizon * trend + seas[m - 1]
+        return pd.DataFrame(
+            {
+                key_col: [key],
+                "n_obs": [n],
+                "level": [level],
+                "trend": [trend],
+                "season_last": [seas[m - 1]],
+                "forecast": [fc],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(
+        per_series,
+        schema=(
+            f"{key_col} string, n_obs long, level double, trend double,"
+            " season_last double, forecast double"
+        ),
+    )

@@ -150,7 +150,9 @@ _PRIORITY = (
     "q519_leiden_multilevel",
     "q520_planned_minhash_neardup",
     "q523_randomized_response",
+    "q524_holt_winters",
     "q526_repeated_sequences",
+    "q527_isotonic_calibration",
     # --- Certified r10 (q384-q433) + r9 (q284-q383), tail of the list ---
     "q284_attribution_last_touch",
     "q285_cochran_armitage",

@@ -10700,3 +10700,186 @@ def q479_ece_calibration(spark, sf_dir):
         F.round(F.abs(acc - conf), 6).alias("gap"),
         F.round(n * F.abs(acc - conf) / F.col("n"), 6).alias("ece_contrib"),
     )
+
+
+@query(
+    "q527_isotonic_calibration",
+    oracle="""
+WITH b AS (
+  SELECT event_type AS grp, CAST(user_id % 16 AS INT) AS x,
+         CAST(SUM(CASE WHEN value >= 35 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) AS BIGINT) AS n_tot
+  FROM events GROUP BY 1, 2
+),
+pre AS (
+  SELECT grp, x, n_pos, n_tot,
+         SUM(n_pos) OVER (PARTITION BY grp ORDER BY x) AS cp,
+         SUM(n_tot) OVER (PARTITION BY grp ORDER BY x) AS ct,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x) AS r
+  FROM b
+),
+trip AS (
+  SELECT i.grp, i.r AS ri, k.r AS rk,
+         CAST(j.cp - i.cp + i.n_pos AS DOUBLE)
+           / (j.ct - i.ct + i.n_tot) AS mean_ij
+  FROM pre i
+  JOIN pre k ON k.grp = i.grp AND k.r >= i.r
+  JOIN pre j ON j.grp = i.grp AND j.r >= k.r
+),
+v AS (SELECT grp, ri, rk, MIN(mean_ij) AS vmin FROM trip GROUP BY grp, ri, rk),
+iso AS (SELECT grp, rk, MAX(vmin) AS g FROM v GROUP BY grp, rk)
+SELECT p.grp AS event_type, p.x AS bucket, p.n_pos, p.n_tot,
+       ROUND(CAST(p.n_pos AS DOUBLE) / p.n_tot, 6) AS raw_rate,
+       ROUND(iso.g, 6) AS iso_rate
+FROM pre p JOIN iso ON iso.grp = p.grp AND iso.rk = p.r
+""",
+)
+def q527_isotonic_calibration(spark, sf_dir):
+    """ISOTONIC (PAV) CALIBRATION per series — the non-parametric
+    calibration FITTER beside the audits (q479 ECE, q434
+    Hosmer-Lemeshow, q258 Brier reliability): per event_type the
+    16-bucket score/outcome curve is refit to the closest
+    non-decreasing step function by pool-adjacent-violators with
+    EXACT-INTEGER pooling (blocks carry (sum_pos, sum_tot); the
+    violation test is a bigint cross-multiply; one division per
+    block). The oracle verifies the fit through the closed-form
+    minimax characterization g(k) = max_{i<=k} min_{j>=k} mean(i..j)
+    over prefix sums — an algorithm-independent certificate that the
+    kernel found THE isotonic fit, not merely a plausible one (IEEE
+    division is correctly rounded, so the mathematically-equal
+    fractions land on identical doubles).
+
+    Scale shape: the raw stream folds to a (series x bucket) grid in
+    one map-side-combinable aggregate; the kernel is an
+    ``applyInPandas`` stack scan over the BOUNDED bucket domain per
+    series (q302's sequential-kernel discipline); the oracle's O(n^3)
+    triple join exists only on the SQL side — the kernel is linear."""
+    from variantcalling_spark.operators.kernels import pav_isotonic
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.col("event_type").alias("grp"),
+        (F.col("user_id") % 16).cast("int").alias("x"),
+    ).agg(
+        F.sum(F.when(F.col("value") >= 35, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tot"),
+    )
+    fit = pav_isotonic(b, key_col="grp", x_col="x", pos_col="n_pos", tot_col="n_tot")
+    return fit.select(
+        F.col("grp").alias("event_type"),
+        F.col("x").alias("bucket"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_tot").cast("bigint").alias("n_tot"),
+        F.round(F.col("n_pos").cast("double") / F.col("n_tot"), 6).alias("raw_rate"),
+        F.round("iso_rate", 6).alias("iso_rate"),
+    )
+
+
+
+_HW_A = 0.3
+_HW_B = 0.1
+_HW_G = 0.2
+
+
+@query(
+    "q524_holt_winters",
+    oracle=f"""
+WITH RECURSIVE hourly AS MATERIALIZED (
+  SELECT event_type,
+         epoch_ns(ts) // 3600000000000 AS hr,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM events GROUP BY event_type, hr
+),
+rel AS MATERIALIZED (
+  SELECT event_type, m,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS BIGINT) AS rn
+  FROM hourly
+),
+stats AS MATERIALIZED (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN rn <= 24 THEN CAST(ROUND(m * 1000000) AS BIGINT) END) AS BIGINT) AS sum1,
+         CAST(SUM(CASE WHEN rn > 24 AND rn <= 48 THEN CAST(ROUND(m * 1000000) AS BIGINT) END) AS BIGINT) AS sum2,
+         CAST(MAX(rn) AS BIGINT) AS n
+  FROM rel GROUP BY event_type
+  HAVING MAX(rn) >= 48
+),
+seas0 AS MATERIALIZED (
+  SELECT r.event_type,
+         list(r.m - CAST(s.sum1 AS DOUBLE) / 24000000.0 ORDER BY r.rn) AS seas
+  FROM rel r JOIN stats s USING (event_type)
+  WHERE r.rn <= 24
+  GROUP BY r.event_type
+),
+walk AS (
+  SELECT s.event_type, CAST(24 AS BIGINT) AS t,
+         CAST(s.sum1 AS DOUBLE) / 24000000.0 AS l,
+         CAST(s.sum2 - s.sum1 AS DOUBLE) / 576000000.0 AS b,
+         z.seas AS seas
+  FROM stats s JOIN seas0 z USING (event_type)
+  UNION ALL
+  SELECT w.event_type, w.t + 1,
+         {_HW_A!r} * (r.m - w.seas[1]) + {1.0 - _HW_A!r} * (w.l + w.b),
+         {_HW_B!r} * (({_HW_A!r} * (r.m - w.seas[1]) + {1.0 - _HW_A!r} * (w.l + w.b)) - w.l)
+           + {1.0 - _HW_B!r} * w.b,
+         list_append(w.seas[2:24],
+           {_HW_G!r} * (r.m - ({_HW_A!r} * (r.m - w.seas[1]) + {1.0 - _HW_A!r} * (w.l + w.b)))
+             + {1.0 - _HW_G!r} * w.seas[1])
+  FROM walk w JOIN rel r ON r.event_type = w.event_type AND r.rn = w.t + 1
+)
+SELECT w.event_type, CAST(w.t AS BIGINT) AS n_obs,
+       ROUND(w.l, 6) AS level, ROUND(w.b, 6) AS trend,
+       ROUND(w.seas[24], 6) AS season_last,
+       ROUND(w.l + 24 * w.b + w.seas[24], 6) AS forecast
+FROM walk w JOIN stats s ON s.event_type = w.event_type AND w.t = s.n
+""",
+)
+def q524_holt_winters(spark, sf_dir):
+    """ADDITIVE HOLT-WINTERS triple-exponential smoothing per metric
+    series over HOURLY means with a 24-hour season — the seasonal rung
+    above q302's Holt (level+trend) and q267's EWMA (level only), and
+    the forecasting face of q287's hour-of-day profile: level, trend,
+    and a 24-slot additive seasonal state, with a next-day
+    matching-phase forecast. alpha=0.3, beta=0.1, gamma=0.2;
+    Hyndman init (l = season-1 mean, b = (mean2-mean1)/24,
+    s_i = y_i - mean1); series shorter than two seasons are dropped
+    on both sides.
+
+    Exactness: the init means are EXACT integer micro-unit sums with
+    ONE IEEE division each (no order-dependent float accumulation);
+    the ~700-step recursion is plain float64 with identical expression
+    shapes on both engines (q302's strongest-pin discipline — the
+    oracle replays the walk as a recursive CTE carrying the 24-slot
+    seasonal LIST, no intermediate rounding anywhere).
+
+    Scale shape: the raw stream folds to calendar-bounded hourly means
+    in one map-side-combinable aggregate; the recursion is inherently
+    sequential PER SERIES, so it runs as an ``applyInPandas`` kernel
+    over the bounded hourly grid — Spark hash-partitions the series."""
+    from variantcalling_spark.operators.kernels import holt_winters_smooth
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.expr("ts_ns DIV 3600000000000").alias("hr")
+    ).agg(
+        F.round(F.sum(dec("value")).cast("double") / F.count(F.lit(1)), 6).alias("m")
+    )
+    out = holt_winters_smooth(
+        hourly.select(
+            F.col("event_type").alias("series"), F.col("hr").alias("t"), "m"
+        ),
+        period=24,
+        alpha=_HW_A,
+        beta=_HW_B,
+        gamma=_HW_G,
+        horizon=24,
+    )
+    return out.select(
+        F.col("series").alias("event_type"),
+        "n_obs",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("season_last", 6).alias("season_last"),
+        F.round("forecast", 6).alias("forecast"),
+    )
