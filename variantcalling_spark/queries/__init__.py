@@ -149,8 +149,10 @@ _PRIORITY = (
     # --- New in round 11 (add new queries HERE) ---
     "q519_leiden_multilevel",
     "q520_planned_minhash_neardup",
+    "q521_bpe_train_loop",
     "q523_randomized_response",
     "q524_holt_winters",
+    "q525_domain_mixture_weights",
     "q526_repeated_sequences",
     "q527_isotonic_calibration",
     # --- Certified r10 (q384-q433) + r9 (q284-q383), tail of the list ---

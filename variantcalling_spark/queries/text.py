@@ -8461,3 +8461,320 @@ def q526_repeated_sequences(spark, sf_dir):
         .cast("int")
         .alias("rnk"),
     )
+
+
+_BPE_TRAIN_ROUNDS = 6
+
+
+def _bpe_train_oracle_sql(rounds: int = _BPE_TRAIN_ROUNDS) -> str:
+    def round_ctes(t):
+        return f""",
+sy{t} AS (
+  SELECT freq, string_split(substr(enc, 2, length(enc) - 2), chr(31) || chr(31)) AS syms
+  FROM v{t-1}
+),
+p{t} AS MATERIALIZED (
+  SELECT a, b, CAST(SUM(freq) AS BIGINT) AS n
+  FROM (
+    SELECT freq,
+           unnest([syms[i] for i in generate_series(1, len(syms) - 1)]) AS a,
+           unnest([syms[i + 1] for i in generate_series(1, len(syms) - 1)]) AS b
+    FROM sy{t} WHERE len(syms) >= 2
+  ) GROUP BY a, b
+),
+b{t} AS MATERIALIZED (
+  SELECT a, b, n FROM p{t} ORDER BY n DESC, a, b LIMIT 1
+),
+v{t} AS MATERIALIZED (
+  SELECT v.w, v.freq,
+         replace(v.enc, chr(31) || bb.a || chr(31) || chr(31) || bb.b || chr(31),
+                        chr(31) || bb.a || bb.b || chr(31)) AS enc
+  FROM v{t-1} v, b{t} bb
+)"""
+
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS INT) AS step, a AS sym_a, b AS sym_b,"
+        f" a || b AS merged, n AS pair_count FROM b{t}"
+        for t in range(1, rounds + 1)
+    )
+    return f"""
+WITH v0 AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+         chr(31) || array_to_string(string_split(w, ''), chr(31) || chr(31)) || chr(31) AS enc
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) >= 2
+  GROUP BY w
+){''.join(round_ctes(t) for t in range(1, rounds + 1))}
+{finals}
+"""
+
+
+@query("q521_bpe_train_loop", oracle=_bpe_train_oracle_sql())
+def q521_bpe_train_loop(spark, sf_dir):
+    """ITERATIVE BPE MERGE TRAINING (Sennrich et al. 2016) — the loop
+    q126 runs ONE round of and q147 consumes the output of: 6 rounds of
+    (count adjacent symbol pairs weighted by word frequency -> argmax
+    with deterministic tie-break -> merge ALL non-overlapping
+    occurrences corpus-wide), with the pair-count landscape RECOUNTED
+    after every merge — the part a single counting pass cannot see
+    (merging 't|h' changes the counts feeding round 2's choice of
+    'th|e'). Output: the learned merge table (step, pair, merged
+    symbol, count at selection time) — the tokenizer-training artifact
+    itself.
+
+    Exactness: state is the boundary-wrapped encoding string q147
+    pinned (\x1f sym \x1f\x1f sym \x1f; one literal replace() merges
+    all occurrences left-to-right on BOTH engines); the oracle unrolls
+    the 6 rounds as MATERIALIZED CTE cycles (count -> argmax LIMIT 1 ->
+    replace), tie-break ORDER BY n DESC, a, b — all-integer counts.
+
+    Scale shape: training runs on the WORD-FREQUENCY table (bounded by
+    vocabulary, not corpus — the standard BPE-trainer reduction), built
+    in one corpus scan; each round is one explode + one map-side-
+    combinable SUM + a single-row argmax (the q147 bounded-driver-state
+    codebook pattern) + one scan-local replace projection, with
+    `lineage_cut` per round so round t's plan does not re-inline rounds
+    1..t-1 (the r11 static-plan recipe)."""
+    from variantcalling_spark._persist import lineage_cut
+
+    docs = load_table(spark, sf_dir, "documents")
+    cur = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select(
+            "w",
+            "freq",
+            F.concat(
+                F.lit("\x1f"),
+                F.array_join(F.split("w", ""), "\x1f\x1f"),
+                F.lit("\x1f"),
+            ).alias("enc"),
+        )
+        .transform(lineage_cut)
+    )
+    rows = []
+    for step in range(1, _BPE_TRAIN_ROUNDS + 1):
+        sy = cur.select(
+            "freq",
+            F.split(
+                F.expr("substring(enc, 2, length(enc) - 2)"), "\x1f\x1f"
+            ).alias("syms"),
+        ).where(F.size("syms") >= 2)
+        pr = (
+            sy.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(element_at(syms, i) AS a,"
+                        "             element_at(syms, i + 1) AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").cast("bigint").alias("n"))
+        )
+        best = pr.orderBy(F.desc("n"), "a", "b").limit(1).collect()
+        if not best:
+            break
+        a, b, n = best[0].a, best[0].b, int(best[0].n)
+        rows.append((step, a, b, a + b, n))
+        cur = cur.select(
+            "w",
+            "freq",
+            F.replace(
+                F.col("enc"),
+                F.lit("\x1f" + a + "\x1f\x1f" + b + "\x1f"),
+                F.lit("\x1f" + a + b + "\x1f"),
+            ).alias("enc"),
+        ).transform(lineage_cut)
+    return spark.createDataFrame(
+        rows, "step int, sym_a string, sym_b string, merged string, pair_count bigint"
+    )
+
+
+_DMW_ROUNDS = 5
+_DMW_TOPV = 50
+
+
+def _dmw_oracle_sql(rounds: int = _DMW_ROUNDS, topv: int = _DMW_TOPV) -> str:
+    parts = [f"""
+WITH toks AS MATERIALIZED (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    WHERE tok <> '' GROUP BY tok
+  ) ORDER BY n DESC, tok LIMIT {topv}
+),
+cnts AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok IN (SELECT tok FROM toks)
+  GROUP BY source, tok
+),
+srcs AS MATERIALIZED (SELECT DISTINCT source FROM documents),
+tots AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM cnts GROUP BY source),
+pd AS MATERIALIZED (
+  SELECT s.source, t.tok,
+         CAST(COALESCE(c.c, 0) AS DOUBLE) / tt.tot AS p
+  FROM srcs s CROSS JOIN toks t
+  JOIN tots tt ON tt.source = s.source
+  LEFT JOIN cnts c ON c.source = s.source AND c.tok = t.tok
+),
+w0 AS MATERIALIZED (
+  SELECT source, 1.0 / (SELECT COUNT(*) FROM srcs) AS w FROM srcs
+)"""]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        parts.append(f""",
+mix{t} AS MATERIALIZED (
+  SELECT pd.tok,
+         CAST(SUM(CAST(ROUND(w{p}.w * pd.p, 9) AS DECIMAL(24,12))) AS DOUBLE) AS m
+  FROM pd JOIN w{p} ON w{p}.source = pd.source
+  GROUP BY pd.tok
+),
+loss{t} AS MATERIALIZED (
+  SELECT pd.source,
+         ROUND(CAST(SUM(CAST(ROUND(
+           0.5 * (CASE WHEN pd.p > 0
+                       THEN pd.p * ln(pd.p / ((pd.p + mix{t}.m) / 2.0))
+                       ELSE 0.0 END)
+           + 0.5 * (mix{t}.m * ln(mix{t}.m / ((pd.p + mix{t}.m) / 2.0))), 9)
+           AS DECIMAL(24,12))) AS DOUBLE), 9) AS loss
+  FROM pd JOIN mix{t} ON mix{t}.tok = pd.tok
+  GROUP BY pd.source
+),
+upd{t} AS MATERIALIZED (
+  SELECT l.source, l.loss, ROUND(w{p}.w * exp(l.loss), 9) AS wq
+  FROM loss{t} l JOIN w{p} ON w{p}.source = l.source
+),
+w{t} AS MATERIALIZED (
+  SELECT source,
+         ROUND(wq / (SELECT CAST(SUM(CAST(wq AS DECIMAL(24,12))) AS DOUBLE)
+                     FROM upd{t}), 9) AS w
+  FROM upd{t}
+)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS INT) AS step, l.source,"
+        f" ROUND(l.loss, 6) AS jsd_loss, ROUND(w{t}.w, 6) AS weight"
+        f" FROM loss{t} l JOIN w{t} ON w{t}.source = l.source"
+        for t in range(1, rounds + 1)
+    )
+    return "".join(parts) + "\n" + finals
+
+
+@query("q525_domain_mixture_weights", oracle=_dmw_oracle_sql())
+def q525_domain_mixture_weights(spark, sf_dir):
+    """GROUP-DRO-STYLE DOMAIN MIXTURE REWEIGHTING — the data-mixing
+    loop (DoReMi/Group-DRO shape) beside the static allocators (q385
+    UniMax, q300 temperature mixture, q115 mixture sampling): 5 rounds
+    of multiplicative weights over the 20 source domains where each
+    round's loss is the Jensen-Shannon divergence between the domain's
+    unigram distribution and the CURRENT weighted mixture — so the
+    rounds are genuinely coupled (upweighting a far domain moves the
+    mixture toward it, shrinking its own next-round loss; the
+    fixed-point spreads representation across distribution space).
+    w_d <- w_d * exp(JSD(p_d, m_w)) / Z per round. Output: the
+    (step, domain, loss, weight) trajectory ledger.
+
+    Exactness: distributions live on the fixed top-{_DMW_TOPV} global
+    token support (deterministic tie-break); every cross-domain sum
+    (mixture terms, JSD terms, the normalizer) is a round-9 +
+    DECIMAL(24,12) exact sum; ln/exp on identical doubles (the
+    engine-parity precedent of q97/q130/q324); the oracle unrolls all
+    5 rounds as MATERIALIZED CTE cycles.
+
+    Scale shape: the corpus is scanned ONCE to build the bounded
+    (domains x top-V) distribution table (map-side-combinable counts);
+    each round is arithmetic on that persisted bounded relation — two
+    small joins + two aggregates — with the weight vector collected to
+    the driver between rounds (k domain rows, the bounded-driver-state
+    pattern). At 100 TB only the one counting scan grows."""
+    from variantcalling_spark._persist import lineage_cut
+
+    docs = load_table(spark, sf_dir, "documents")
+    toksrc = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    top = (
+        toksrc.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(_DMW_TOPV)
+        .select("tok")
+    )
+    cnts = (
+        toksrc.join(F.broadcast(top), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    srcs = docs.select("source").distinct()
+    tots = cnts.groupBy("source").agg(F.sum("c").cast("bigint").alias("tot"))
+    pd_df = (
+        srcs.crossJoin(F.broadcast(top))
+        .join(tots, "source")
+        .join(cnts, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            (F.coalesce("c", F.lit(0)).cast("double") / F.col("tot")).alias("p"),
+        )
+        .transform(lineage_cut)
+    )
+    k = srcs.count()
+    weights = [(r.source, 1.0 / k) for r in srcs.collect()]
+    out_rows = []
+    for step in range(1, _DMW_ROUNDS + 1):
+        wdf = spark.createDataFrame(weights, "source string, w double")
+        mix = (
+            pd_df.join(F.broadcast(wdf), "source")
+            .select(
+                "tok",
+                F.round(F.col("w") * F.col("p"), 9)
+                .cast("decimal(24,12)")
+                .alias("term"),
+            )
+            .groupBy("tok")
+            .agg(F.sum("term").cast("double").alias("m"))
+        )
+        p_, m_ = F.col("p"), F.col("m")
+        term = F.round(
+            0.5
+            * F.when(p_ > 0, p_ * F.log(p_ / ((p_ + m_) / 2.0))).otherwise(0.0)
+            + 0.5 * (m_ * F.log(m_ / ((p_ + m_) / 2.0))),
+            9,
+        ).cast("decimal(24,12)")
+        loss = (
+            pd_df.join(F.broadcast(mix), "tok")
+            .select("source", term.alias("term"))
+            .groupBy("source")
+            .agg(F.round(F.sum("term").cast("double"), 9).alias("loss"))
+        )
+        upd = loss.join(F.broadcast(wdf), "source").select(
+            "source",
+            "loss",
+            F.round(F.col("w") * F.exp(F.col("loss")), 9).alias("wq"),
+        )
+        denom = upd.agg(
+            F.sum(F.col("wq").cast("decimal(24,12)")).cast("double").alias("z")
+        )
+        res = (
+            upd.crossJoin(F.broadcast(denom))
+            .select("source", "loss", F.round(F.col("wq") / F.col("z"), 9).alias("wn"))
+            .collect()
+        )
+        weights = [(r.source, float(r.wn)) for r in res]
+        out_rows.extend(
+            (step, r.source, float(r.loss), float(r.wn)) for r in res
+        )
+    out = spark.createDataFrame(
+        out_rows, "step int, source string, loss double, wn double"
+    )
+    return out.select(
+        "step",
+        "source",
+        F.round("loss", 6).alias("jsd_loss"),
+        F.round("wn", 6).alias("weight"),
+    )
