@@ -150,6 +150,7 @@ _PRIORITY = (
     "q519_leiden_multilevel",
     "q520_planned_minhash_neardup",
     "q521_bpe_train_loop",
+    "q522_betweenness_centrality",
     "q523_randomized_response",
     "q524_holt_winters",
     "q525_domain_mixture_weights",

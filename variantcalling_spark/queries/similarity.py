@@ -8103,3 +8103,183 @@ def q514_planner_driven_neardup(spark, sf_dir):
         )
         .orderBy("cluster_size")
     )
+
+
+_BC_HOPS = 4      # bounded BFS radius (q405/q425 discipline)
+_BC_STRIDE = 8    # pivot sampling stride (Brandes-Pich)
+
+
+def _betweenness_oracle_sql(hops: int = _BC_HOPS, stride: int = _BC_STRIDE) -> str:
+    parts = [f"""
+WITH {_knn_edges_cte_sql()},
+f0 AS MATERIALIZED (
+  SELECT vec_id AS s, vec_id AS v, CAST(0 AS BIGINT) AS dist,
+         CAST(1 AS BIGINT) AS sigma
+  FROM base WHERE vec_id % {stride} = 0
+),
+vis0 AS MATERIALIZED (SELECT * FROM f0)"""]
+    for d in range(1, hops + 1):
+        p = d - 1
+        parts.append(f""",
+f{d} AS MATERIALIZED (
+  SELECT r.s, r.v, CAST({d} AS BIGINT) AS dist, CAST(SUM(r.sigma) AS BIGINT) AS sigma
+  FROM (
+    SELECT f.s, e.neighbor_id AS v, f.sigma
+    FROM f{p} f JOIN e ON e.vec_id = f.v
+  ) r
+  WHERE NOT EXISTS (SELECT 1 FROM vis{p} vv WHERE vv.s = r.s AND vv.v = r.v)
+  GROUP BY r.s, r.v
+),
+vis{d} AS MATERIALIZED (SELECT * FROM vis{p} UNION ALL SELECT * FROM f{d})""")
+    parts.append(f""",
+del{hops} AS MATERIALIZED (
+  SELECT s, v, sigma, CAST(0.0 AS DOUBLE) AS delta
+  FROM vis{hops} WHERE dist = {hops}
+)""")
+    for d in range(hops - 1, -1, -1):
+        parts.append(f""",
+del{d} AS MATERIALIZED (
+  SELECT n.s, n.v, n.sigma, COALESCE(agg.x, 0.0) AS delta
+  FROM (SELECT s, v, sigma FROM vis{hops} WHERE dist = {d}) n
+  LEFT JOIN (
+    SELECT n2.s, n2.v,
+           CAST(SUM(CAST(ROUND(CAST(n2.sigma AS DOUBLE) / w.sigma
+                                * (1.0 + w.delta), 9)
+                          AS DECIMAL(28,9))) AS DOUBLE) AS x
+    FROM (SELECT s, v, sigma FROM vis{hops} WHERE dist = {d}) n2
+    JOIN e ON e.vec_id = n2.v
+    JOIN del{d + 1} w ON w.s = n2.s AND w.v = e.neighbor_id
+    GROUP BY n2.s, n2.v
+  ) agg ON agg.s = n.s AND agg.v = n.v
+)""")
+    levels = "\n    UNION ALL\n    ".join(
+        f"SELECT s, v, delta FROM del{d}" for d in range(1, hops + 1)
+    )
+    parts.append(f"""
+SELECT v AS node,
+       CAST(COUNT(*) AS BIGINT) AS n_pivots,
+       ROUND(CAST(SUM(CAST(delta AS DECIMAL(28,9))) AS DOUBLE), 6) AS bc,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY ROUND(CAST(SUM(CAST(delta AS DECIMAL(28,9))) AS DOUBLE), 6) DESC, v
+       ) AS INT) AS rnk
+FROM (
+    {levels}
+)
+GROUP BY v
+ORDER BY bc DESC, node
+LIMIT 30""")
+    return "".join(parts)
+
+
+@query("q522_betweenness_centrality", oracle=_betweenness_oracle_sql())
+def q522_betweenness_centrality(spark, sf_dir):
+    """PIVOT-SAMPLED BOUNDED-RADIUS BETWEENNESS CENTRALITY over the kNN
+    graph — the bridge/bottleneck centrality completing the family
+    (q144 PageRank = stationary mass, q424 HITS = mutual endorsement,
+    q425 harmonic = reach speed; betweenness = who sits ON the
+    shortest paths, the broker signal curation uses to find documents
+    that CONNECT topical clusters). Exact Brandes (2001) from a
+    deterministic pivot set (every {_BC_STRIDE}th node, the
+    Brandes-Pich sampling that makes betweenness tractable at scale)
+    with paths bounded to {_BC_HOPS} hops (k-betweenness; the
+    q405/q425 bounded-radius discipline):
+    forward multi-source BFS carrying exact-BIGINT shortest-path
+    counts sigma per level, then the backward dependency recursion
+    delta(v) = sum_w sigma_v/sigma_w * (1 + delta(w)) accumulated
+    level by level.
+
+    Exactness: sigma is all-integer; each backward term is snapped to
+    9 digits and summed in DECIMAL(28,9) (order-independent), so both
+    engines replay identical doubles level by level; the oracle
+    unrolls forward and backward ladders as MATERIALIZED CTEs on the
+    SHARED q132 edge substrate.
+
+    Scale shape: each forward round is one frontier-edge equi-join +
+    anti-join + map-side-combinable SUM, O(pivots x E) total; the
+    backward rounds are the same joins reversed; per-round
+    `lineage_cut` keeps the static plan flat (r11 campaign). Pivot
+    count and radius are the two published dials for web-scale
+    betweenness; nothing is quadratic in the graph."""
+    from variantcalling_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = (
+        knn_graph(emb, k=3, prefix_bits=6)
+        .select("vec_id", "neighbor_id")
+        .transform(managed_persist)
+    )
+    f0 = emb.where(F.col("vec_id") % _BC_STRIDE == 0).select(
+        F.col("vec_id").alias("s"),
+        F.col("vec_id").alias("v"),
+        F.lit(0).cast("bigint").alias("dist"),
+        F.lit(1).cast("bigint").alias("sigma"),
+    )
+    frontier = f0.transform(lineage_cut)
+    visited = frontier
+    for d in range(1, _BC_HOPS + 1):
+        reach = frontier.join(e, frontier.v == e.vec_id).select(
+            "s", F.col("neighbor_id").alias("v"), "sigma"
+        )
+        frontier = (
+            reach.join(visited.select("s", "v"), ["s", "v"], "left_anti")
+            .groupBy("s", "v")
+            .agg(F.sum("sigma").cast("bigint").alias("sigma"))
+            .select("s", "v", F.lit(d).cast("bigint").alias("dist"), "sigma")
+            .transform(lineage_cut)
+        )
+        visited = visited.unionByName(frontier).transform(lineage_cut)
+    lvl = {d: visited.where(F.col("dist") == d) for d in range(_BC_HOPS + 1)}
+    deld = lvl[_BC_HOPS].select(
+        "s", "v", "sigma", F.lit(0.0).cast("double").alias("delta")
+    )
+    acc = deld.select("s", "v", "delta")
+    for d in range(_BC_HOPS - 1, -1, -1):
+        n2 = lvl[d].select("s", "v", "sigma")
+        succ = deld.select(
+            F.col("s").alias("ws"),
+            F.col("v").alias("wv"),
+            F.col("sigma").alias("wsig"),
+            F.col("delta").alias("wdelta"),
+        )
+        agg = (
+            n2.join(e, n2.v == e.vec_id)
+            .join(
+                succ,
+                (F.col("s") == F.col("ws")) & (F.col("neighbor_id") == F.col("wv")),
+            )
+            .groupBy("s", "v")
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("sigma").cast("double")
+                        / F.col("wsig")
+                        * (1.0 + F.col("wdelta")),
+                        9,
+                    ).cast("decimal(28,9)")
+                )
+                .cast("double")
+                .alias("x")
+            )
+        )
+        deld = (
+            n2.join(agg, ["s", "v"], "left")
+            .select("s", "v", "sigma", F.coalesce("x", F.lit(0.0)).alias("delta"))
+            .transform(lineage_cut)
+        )
+        if d >= 1:
+            acc = acc.unionByName(deld.select("s", "v", "delta"))
+    from pyspark.sql import Window as W2
+
+    bc = acc.groupBy(F.col("v").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pivots"),
+        F.round(
+            F.sum(F.col("delta").cast("decimal(28,9)")).cast("double"), 6
+        ).alias("bc"),
+    )
+    top = bc.orderBy(F.desc("bc"), "node").limit(30)
+    return top.select(
+        "node",
+        "n_pivots",
+        "bc",
+        F.row_number().over(W2.orderBy(F.desc("bc"), "node")).cast("int").alias("rnk"),
+    )
