@@ -8698,18 +8698,23 @@ def q525_domain_mixture_weights(spark, sf_dir):
     toksrc = docs.select(
         "source", F.explode(F.split("text", " ")).alias("tok")
     ).where(F.col("tok") != "")
+    # ONE corpus scan: aggregate to the bounded (source x distinct-token)
+    # relation first (map-side combinable); both the top-V pick and the
+    # per-domain counts derive from that small relation, so the exploded
+    # token stream is never re-read.
+    all_cnts = (
+        toksrc.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .transform(lineage_cut)
+    )
     top = (
-        toksrc.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("n"))
+        all_cnts.groupBy("tok")
+        .agg(F.sum("c").alias("n"))
         .orderBy(F.desc("n"), "tok")
         .limit(_DMW_TOPV)
         .select("tok")
     )
-    cnts = (
-        toksrc.join(F.broadcast(top), "tok")
-        .groupBy("source", "tok")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
+    cnts = all_cnts.join(F.broadcast(top), "tok")
     srcs = docs.select("source").distinct()
     tots = cnts.groupBy("source").agg(F.sum("c").cast("bigint").alias("tot"))
     pd_df = (
