@@ -257,6 +257,52 @@ def test_distributed_row_number_matches_window(spark):
     assert got_d == exp_d
 
 
+def test_ranged_row_number_matches_window(spark):
+    """`ranged_row_number` (range-exchange buckets + bucket-local
+    window) must equal the single-partition row_number for asc and
+    desc sorts on a SKEWED key (half the rows share one value — the
+    shape that breaks a static first-character coarsening), at
+    several partition counts including more partitions than rows."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from variantcalling_spark.operators.ordered import ranged_row_number
+
+    data = spark.createDataFrame(
+        [(i, "the quick", f"id{i:03d}") for i in range(120)]
+        + [(1000 + i, f"w{(i * 7) % 23:02d}", f"tie{i:03d}") for i in range(80)],
+        "rid long, s string, tie string",
+    )
+    exp = {
+        (r.rid, r.rn)
+        for r in data.select(
+            "rid", F.row_number().over(W.orderBy("s", "tie")).alias("rn")
+        ).collect()
+    }
+    for n in (3, 16, 500):
+        got = {
+            (r.rid, r.rn)
+            for r in ranged_row_number(
+                data, [F.col("s"), F.col("tie")], num_partitions=n
+            ).collect()
+        }
+        assert got == exp, n
+    exp_d = {
+        (r.rid, r.rn)
+        for r in data.select(
+            "rid",
+            F.row_number().over(W.orderBy(F.col("s").desc(), "tie")).alias("rn"),
+        ).collect()
+    }
+    got_d = {
+        (r.rid, r.rn)
+        for r in ranged_row_number(
+            data, [F.col("s").desc(), F.col("tie")], num_partitions=8
+        ).collect()
+    }
+    assert got_d == exp_d
+
+
 def test_value_at_rank_bucketed_matches_sort(spark):
     """`value_at_rank_bucketed` vs a driver-side sorted pick — both
     directions, several ranks, two ranks crossing in the SAME bucket

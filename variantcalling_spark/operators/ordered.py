@@ -208,6 +208,65 @@ def distributed_row_number(
     )
 
 
+def ranged_row_number(
+    df: DataFrame,
+    order_cols: list,
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global ``row_number() OVER (ORDER BY order_cols)`` with
+    DATA-DRIVEN balanced buckets — the skew-proof sibling of
+    :func:`distributed_row_number`.
+
+    ``distributed_row_number`` needs a caller-supplied monotone
+    coarsening of the leading key; a STATIC coarsening of a skewed
+    domain (e.g. first character of natural-language text, where ~15%
+    of English suffixes start with "t") leaves one task sorting the
+    biggest bucket. Here the buckets are Spark's range-exchange sample
+    boundaries over the FULL composite key instead: near-equal
+    populations by construction, regardless of key distribution, so
+    the worst task sorts ~rows/num_partitions at any scale.
+
+    1. ``repartitionByRange`` over ``order_cols`` (sampled balanced
+       boundaries, ascending partition index == ascending key range);
+    2. ``spark_partition_id()`` captured as the bucket id (narrow),
+       then a junction ``lineage_cut`` so the exchanged relation is
+       materialized once for both consumers;
+    3. per-bucket counts -> exclusive prefix sum over the TINY
+       (num_partitions)-row relation -> broadcast offsets;
+    4. a bucket-LOCAL window assigns within-bucket row numbers.
+
+    The rn output is partitioning-independent whenever ``order_cols``
+    totally order the rows (ties would get arbitrary-but-stable-within-
+    run numbering, like any row_number over ties); equality with the
+    single-window form is pinned in tests.
+    """
+    from variantcalling_spark._persist import lineage_cut
+
+    n = int(
+        num_partitions
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    rp = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("__rrn_pid", F.spark_partition_id())
+        .transform(lineage_cut)
+    )
+    cnts = rp.groupBy("__rrn_pid").agg(F.count(F.lit(1)).alias("__c"))
+    w_pre = W.orderBy("__rrn_pid").rowsBetween(W.unboundedPreceding, -1)
+    pre = cnts.select(
+        "__rrn_pid", F.coalesce(F.sum("__c").over(w_pre), F.lit(0)).alias("__pre")
+    )
+    w_loc = W.partitionBy("__rrn_pid").orderBy(*order_cols)
+    return (
+        rp.join(F.broadcast(pre), "__rrn_pid")
+        .withColumn(
+            out_col, (F.col("__pre") + F.row_number().over(w_loc)).cast("bigint")
+        )
+        .drop("__rrn_pid", "__pre")
+    )
+
+
 def value_at_rank_bucketed(
     df: DataFrame,
     value_col: str,

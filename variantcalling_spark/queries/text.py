@@ -8391,15 +8391,16 @@ def q526_repeated_sequences(spark, sf_dir):
     memorization candidates by length.
 
     Scale shape: the suffix relation is O(total words) rows of bounded
-    width; the global sort is Spark's range-partitioned sort; the rank
-    comes from `distributed_row_number` (bucket = first character —
-    a monotone coarsening, so no single-partition window); the
+    width; the rank comes from `ranged_row_number` (range-exchange
+    sampled boundaries over the full composite key — near-equal bucket
+    populations even though ~15% of English suffixes start with "t",
+    the skew a static first-character coarsening cannot dodge); the
     neighbor join is an equi-join on rn; LCP is per-row array algebra.
     This is exactly how large-scale suffix-array dedup pipelines
     (e.g. Lee et al. 2022 §4) shard: sort suffixes, compare neighbors.
 
     Reference parity: none (beyond-reference LLM-pipeline surface)."""
-    from variantcalling_spark.operators.ordered import distributed_row_number
+    from variantcalling_spark.operators.ordered import ranged_row_number
     from variantcalling_spark._persist import lineage_cut
     from pyspark.sql import Window as W2
 
@@ -8419,10 +8420,8 @@ def q526_repeated_sequences(spark, sf_dir):
         F.col("u.wa").alias("wa"),
         F.array_join("u.wa", " ").alias("s"),
     )
-    ranked = distributed_row_number(
-        suf,
-        order_cols=[F.col("s"), F.col("doc_id"), F.col("pos")],
-        bucket_col=F.substring("s", 1, 1),
+    ranked = ranged_row_number(
+        suf, order_cols=[F.col("s"), F.col("doc_id"), F.col("pos")]
     ).transform(lineage_cut)
     a = ranked.select(
         F.col("doc_id").alias("da"), F.col("wa").alias("a"), F.col("rn").alias("ra")
