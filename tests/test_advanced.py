@@ -506,3 +506,100 @@ def test_segment_union_two_level_equals_window(spark):
     segs = {base[("c1", p, "fp")] for p in (65520, 65530, 65534, 65537, 65545)}
     assert len(segs) == 1
     assert base[("c1", 200000, "fp")] not in segs
+
+
+def test_q529_kneser_ney_is_proper_and_matches_replay(spark, sf_dir):
+    """Interpolated KN is a PROPER distribution over the continuation
+    vocabulary (sums to exactly 1 per in-model context — the discount
+    mass D*N1+(w1.) re-enters through P_cont), and the per-doc mean
+    NLL matches a pandas replay of the same model."""
+    import math
+
+    import pandas as pd
+
+    from variantcalling_spark.queries.text import _KN_D, q529_kneser_ney_bigram
+
+    got = {
+        r.doc_id: (r.n_scored, r.mean_nll)
+        for r in q529_kneser_ney_bigram(spark, sf_dir).collect()
+    }
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    pairs = []
+    for _, row in docs.iterrows():
+        w = row.text.split(" ")
+        pairs += [(row.doc_id, w[i], w[i + 1]) for i in range(len(w) - 1)]
+    pdf = pd.DataFrame(pairs, columns=["doc_id", "w1", "w2"])
+    train = pdf[pdf.doc_id % 2 == 0]
+    big = train.groupby(["w1", "w2"]).size()
+    c1 = big.groupby("w1").sum()
+    nf = big.groupby("w1").size()
+    nb = big.groupby("w2").size()
+    tt = len(big)
+
+    def p(w1, w2):
+        c12 = big.get((w1, w2), 0)
+        return (
+            max(c12 - _KN_D, 0.0) + _KN_D * nf[w1] * (nb[w2] / float(tt))
+        ) / c1[w1]
+
+    # propriety: for three contexts, sum over the FULL continuation
+    # vocab is exactly 1 (up to float noise)
+    for w1 in list(c1.index[:3]):
+        assert abs(sum(p(w1, w2) for w2 in nb.index) - 1.0) < 1e-9, w1
+
+    held = pdf[pdf.doc_id % 2 == 1]
+    for doc_id, g in held.groupby("doc_id"):
+        sc = [
+            round(-math.log(p(r.w1, r.w2)), 9)
+            for r in g.itertuples()
+            if r.w1 in c1.index and r.w2 in nb.index
+        ]
+        if not sc:
+            assert doc_id not in got
+            continue
+        n_scored, mean_nll = got[doc_id]
+        assert n_scored == len(sc)
+        assert abs(mean_nll - sum(sc) / len(sc)) < 1e-5, doc_id
+
+
+def test_q530_rrf_equals_arm_replay(spark, sf_dir):
+    """The fused RRF top-20 equals a python fold of the two arm
+    rankings (BM25 scores + exact cosine ranks), including the
+    rank-0-marks-absent contract and the rounded-score tie-break."""
+    from pyspark.sql import functions as F
+
+    from variantcalling_spark.operators.similarity import cosine_topk
+    from variantcalling_spark.queries.text import (
+        _RRF_DEPTH,
+        _RRF_K,
+        _bm25_doc_scores,
+        q530_reciprocal_rank_fusion,
+    )
+    from variantcalling_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = sorted(
+        _bm25_doc_scores(docs).collect(), key=lambda r: (-r.score, r.doc_id)
+    )[:_RRF_DEPTH]
+    r1 = {r.doc_id: i + 1 for i, r in enumerate(bm)}
+    em = cosine_topk(emb.where(F.col("vec_id") == 0), emb, k=_RRF_DEPTH).collect()
+    r2 = {r.cand_id: r.rank for r in em}
+    fused = {
+        d: round(
+            (1.0 / (_RRF_K + r1[d]) if d in r1 else 0.0)
+            + (1.0 / (_RRF_K + r2[d]) if d in r2 else 0.0),
+            6,
+        )
+        for d in set(r1) | set(r2)
+    }
+    want = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = sorted(
+        q530_reciprocal_rank_fusion(spark, sf_dir).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [(r.doc_id, r.rrf) for r in got] == want
+    for r in got:
+        assert r.bm25_rank == r1.get(r.doc_id, 0)
+        assert r.cos_rank == r2.get(r.doc_id, 0)

@@ -1322,3 +1322,50 @@ def test_planned_minhash_bands_closed_form_and_default_equality(spark, sf_dir):
     sig = portable_minhash_signatures(sh, 32)
     want = {(r.doc_a, r.doc_b) for r in portable_band_candidates(sig, 8, 4).collect()}
     assert got == want and len(want) > 0
+
+
+def test_q528_knn_shapley_matches_direct_recursion(spark, sf_dir):
+    """q528's window-suffix-sum form equals a direct numpy replay of
+    the Jia et al. (2019) Theorem-1 recursion, per training point (the
+    efficiency axiom comes free: both forms telescope to the same
+    per-test utilities). Validates the closed form independently of
+    the SQL oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from variantcalling_spark.queries.similarity import (
+        _SHAPLEY_K,
+        _SHAPLEY_TEST_MOD,
+        q528_knn_shapley_valuation,
+    )
+
+    got = {
+        r.vec_id: r.shapley
+        for r in q528_knn_shapley_valuation(spark, sf_dir).collect()
+    }
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qv = np.round(np.stack(emb.embedding.to_numpy()).astype(np.float64) * 100_000)
+    labels = emb.label.to_numpy()
+    ids = emb.vec_id.to_numpy()
+    is_test = ids % _SHAPLEY_TEST_MOD == 0
+    ti, ci = np.where(is_test)[0], np.where(~is_test)[0]
+    n, phis = len(ci), {int(ids[j]): 0.0 for j in ci}
+    for t in ti:
+        d2 = ((qv[ci] - qv[t]) ** 2).sum(axis=1)
+        order = ci[np.lexsort((ids[ci], d2))]
+        ind = (labels[order] == labels[t]).astype(float)
+        s = np.zeros(n)
+        s[n - 1] = round(ind[n - 1] / n, 9)
+        for i in range(n - 2, -1, -1):
+            s[i] = s[i + 1] + round(
+                (ind[i] - ind[i + 1])
+                * min(_SHAPLEY_K, i + 1)
+                / (_SHAPLEY_K * (i + 1.0)),
+                9,
+            )
+        for i, j in enumerate(order):
+            phis[int(ids[j])] += s[i]
+    assert len(got) == n
+    for vid, phi in phis.items():
+        assert abs(got[vid] - phi / len(ti)) < 1e-5, vid

@@ -156,6 +156,9 @@ _PRIORITY = (
     "q525_domain_mixture_weights",
     "q526_repeated_sequences",
     "q527_isotonic_calibration",
+    "q528_knn_shapley_valuation",
+    "q529_kneser_ney_bigram",
+    "q530_reciprocal_rank_fusion",
     # --- Certified r10 (q384-q433) + r9 (q284-q383), tail of the list ---
     "q284_attribution_last_touch",
     "q285_cochran_armitage",

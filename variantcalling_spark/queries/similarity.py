@@ -8283,3 +8283,167 @@ def q522_betweenness_centrality(spark, sf_dir):
         "bc",
         F.row_number().over(W2.orderBy(F.desc("bc"), "node")).cast("int").alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q528: KNN-Shapley data valuation
+# ---------------------------------------------------------------------------
+
+_SHAPLEY_K = 5
+_SHAPLEY_TEST_MOD = 50
+
+
+@query(
+    "q528_knn_shapley_valuation",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+tst AS (
+  SELECT vec_id AS test_id, label AS t_label, qv AS tv
+  FROM q WHERE vec_id % {_SHAPLEY_TEST_MOD} = 0
+),
+trn AS (
+  SELECT vec_id AS cand_id, label AS c_label, qv AS cv
+  FROM q WHERE vec_id % {_SHAPLEY_TEST_MOD} <> 0
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM trn),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tests FROM tst),
+d AS (
+  SELECT test_id, t_label, cand_id, c_label,
+         CAST(list_dot_product(cv, cv) - 2 * list_dot_product(cv, tv)
+              + list_dot_product(tv, tv) AS BIGINT) AS dist2
+  FROM trn, tst
+),
+r AS (
+  SELECT test_id, cand_id, c_label,
+         ROW_NUMBER() OVER (PARTITION BY test_id ORDER BY dist2, cand_id) AS rn,
+         CASE WHEN c_label = t_label THEN 1.0 ELSE 0.0 END AS ind
+  FROM d
+),
+l AS (
+  SELECT *, LEAD(ind) OVER (PARTITION BY test_id ORDER BY rn) AS lead_ind FROM r
+),
+c AS (
+  SELECT test_id, cand_id, c_label, rn,
+         CAST(CASE WHEN rn < n_train
+              THEN ROUND((ind - lead_ind) * LEAST({_SHAPLEY_K}, rn)
+                         / ({_SHAPLEY_K}.0 * rn), 9)
+              ELSE ROUND(ind / n_train, 9) END AS DECIMAL(28,9)) AS contrib
+  FROM l CROSS JOIN nn
+),
+s AS (
+  SELECT test_id, cand_id, c_label,
+         SUM(contrib) OVER (PARTITION BY test_id ORDER BY rn
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS sv
+  FROM c
+)
+SELECT cand_id AS vec_id, c_label AS label,
+       ROUND(CAST(SUM(sv) AS DOUBLE) / n_tests, 6) AS shapley
+FROM s CROSS JOIN nt
+GROUP BY cand_id, c_label, n_tests
+""",
+)
+def q528_knn_shapley_valuation(spark, sf_dir):
+    """KNN-SHAPLEY DATA VALUATION (Jia et al., VLDB 2019 Theorem 1):
+    the exact Shapley value of every TRAINING vector for a K-NN
+    classifier's accuracy on a held-out test set, in closed form — the
+    data-centric-AI primitive for pruning harmful examples and pricing
+    data contributions before pretraining (the valuation rung beside
+    q333's feature-Shapley: THAT scores columns, THIS scores rows).
+    Every 50th vector is a test point; for each, training vectors sort
+    by EXACT integer-quantized squared distance (tie-break id) and the
+    published recursion s_N = 1[y_N=y]/N, s_i = s_(i+1) +
+    (1[y_i=y] - 1[y_(i+1)=y])/K * min(K,i)/i unrolls into a per-rank
+    contribution plus a window SUFFIX SUM (round-9 DECIMAL terms, so
+    the suffix accumulation is order-exact on both engines); per-test
+    values average into one phi per training row.
+
+    Scale shape: the test side is tiny by construction (valuation sets
+    are samples) and BROADCASTS — the corpus-sized distance relation is
+    computed scan-side with zero corpus shuffle; the only exchange is
+    the rank repartition on test_id, and the per-test O(N log N) sort
+    is the closed form's inherent cost, parallel across test points.
+    At 100 TB the published estimator composes per stratified shard
+    (per-shard phi sums are the sharded-Shapley estimate) or swaps the
+    exact rank relation for the LSH-approximate variant of the same
+    paper — both reuse this operator unchanged on smaller N."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _quantize(F.col("embedding")).alias("qv")
+    )
+    tests = emb.where(F.col("vec_id") % _SHAPLEY_TEST_MOD == 0).select(
+        F.col("vec_id").alias("test_id"),
+        F.col("label").alias("t_label"),
+        F.col("qv").alias("tv"),
+    )
+    train = emb.where(F.col("vec_id") % _SHAPLEY_TEST_MOD != 0).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("c_label"),
+        F.col("qv").alias("cv"),
+    )
+    n_train = train.agg(F.count(F.lit(1)).cast("bigint").alias("n_train"))
+    n_tests = tests.agg(F.count(F.lit(1)).cast("bigint").alias("n_tests"))
+    dist2 = F.aggregate(
+        F.zip_with("cv", "tv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    d = train.crossJoin(F.broadcast(tests)).select(
+        "test_id",
+        "t_label",
+        "cand_id",
+        "c_label",
+        dist2.alias("dist2"),
+    )
+    w = W.partitionBy("test_id").orderBy("dist2", "cand_id")
+    r = d.select(
+        "test_id",
+        "cand_id",
+        "c_label",
+        F.row_number().over(w).alias("rn"),
+        F.when(F.col("c_label") == F.col("t_label"), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("ind"),
+    )
+    lw = W.partitionBy("test_id").orderBy("rn")
+    k = F.lit(_SHAPLEY_K)
+    contrib = (
+        F.when(
+            F.col("rn") < F.col("n_train"),
+            F.round(
+                (F.col("ind") - F.lead("ind").over(lw))
+                * F.least(k, F.col("rn"))
+                / (F.lit(float(_SHAPLEY_K)) * F.col("rn")),
+                9,
+            ),
+        )
+        .otherwise(F.round(F.col("ind") / F.col("n_train"), 9))
+        .cast("decimal(28,9)")
+    )
+    c = r.crossJoin(F.broadcast(n_train)).select(
+        "test_id", "cand_id", "c_label", "rn", contrib.alias("contrib")
+    )
+    sw = (
+        W.partitionBy("test_id")
+        .orderBy("rn")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    s = c.select(
+        "test_id", "cand_id", "c_label", F.sum("contrib").over(sw).alias("sv")
+    )
+    return (
+        s.groupBy("cand_id", "c_label")
+        .agg(F.sum("sv").alias("phi_sum"))
+        .crossJoin(F.broadcast(n_tests))
+        .select(
+            F.col("cand_id").alias("vec_id"),
+            F.col("c_label").alias("label"),
+            F.round(
+                F.col("phi_sum").cast("double") / F.col("n_tests"), 6
+            ).alias("shapley"),
+        )
+    )

@@ -16,6 +16,7 @@ from variantcalling_spark.functions.text import (
     stopword_count,
     token_count,
 )
+from variantcalling_spark.operators.similarity import QUANT
 from variantcalling_spark.queries import query
 from variantcalling_spark.queries._helpers import cnt, managed_persist
 from variantcalling_spark.sources import load_table
@@ -706,6 +707,22 @@ def q116_bm25_topk(spark, sf_dir):
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    agg = _bm25_doc_scores(docs)
+    # global top-20 via TakeOrderedAndProject (distributed heap-select,
+    # VERDICT r6 fix — never a corpus-wide single-partition row_number);
+    # the rank window then runs over exactly 20 rows.
+    top = agg.orderBy(F.col("score").desc(), "doc_id").limit(20)
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(W.orderBy(F.col("score").desc(), "doc_id"))
+        .cast("int"),
+    )
+
+
+def _bm25_doc_scores(docs):
+    """(doc_id, n_terms, score) BM25 relation for BM25_TERMS — q116's
+    scoring subtree, shared verbatim with the q530 fusion arm."""
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     dl = docs.select(
         "doc_id", F.size(F.split("text", " ")).cast("int").alias("dl")
@@ -741,19 +758,9 @@ def q116_bm25_topk(spark, sf_dir):
             .alias("s"),
         )
     )
-    agg = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_terms"),
         F.round(F.sum("s").cast("double"), 6).alias("score"),
-    )
-    # global top-20 via TakeOrderedAndProject (distributed heap-select,
-    # VERDICT r6 fix — never a corpus-wide single-partition row_number);
-    # the rank window then runs over exactly 20 rows.
-    top = agg.orderBy(F.col("score").desc(), "doc_id").limit(20)
-    return top.withColumn(
-        "rank",
-        F.row_number()
-        .over(W.orderBy(F.col("score").desc(), "doc_id"))
-        .cast("int"),
     )
 
 
@@ -8781,4 +8788,275 @@ def q525_domain_mixture_weights(spark, sf_dir):
         "source",
         F.round("loss", 6).alias("jsd_loss"),
         F.round("wn", 6).alias("weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q529: interpolated Kneser-Ney bigram LM scoring
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75
+
+
+@query(
+    "q529_kneser_ney_bigram",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(CAST(len(w) AS BIGINT) - 1),
+                i -> w[i+1] || ' ' || w[i+2])) AS g
+  FROM w WHERE len(w) >= 2
+),
+pairs AS (
+  SELECT doc_id, split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2
+  FROM bg
+),
+big AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM pairs WHERE doc_id % 2 = 0 GROUP BY w1, w2
+),
+ctx AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, CAST(COUNT(*) AS BIGINT) AS nf
+  FROM big GROUP BY w1
+),
+bwd AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nb FROM big GROUP BY w2),
+tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM big),
+held AS (SELECT doc_id, w1, w2 FROM pairs WHERE doc_id % 2 = 1),
+tot AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams
+  FROM held GROUP BY doc_id
+),
+scored AS (
+  SELECT h.doc_id,
+         CAST(ROUND(-ln((GREATEST(COALESCE(b.c12, 0) - {_KN_D}, 0.0)
+                         + {_KN_D} * ctx.nf
+                           * (bwd.nb / CAST(n_types AS DOUBLE)))
+                        / ctx.c1), 9) AS DECIMAL(28,9)) AS nll
+  FROM held h
+  JOIN ctx ON ctx.w1 = h.w1
+  JOIN bwd ON bwd.w2 = h.w2
+  LEFT JOIN big b ON b.w1 = h.w1 AND b.w2 = h.w2
+  CROSS JOIN tt
+)
+SELECT s.doc_id, tot.n_bigrams, CAST(COUNT(*) AS BIGINT) AS n_scored,
+       ROUND(CAST(SUM(s.nll) AS DOUBLE) / COUNT(*), 6) AS mean_nll,
+       ROUND(EXP(CAST(SUM(s.nll) AS DOUBLE) / COUNT(*)), 6) AS ppl
+FROM scored s JOIN tot ON tot.doc_id = s.doc_id
+GROUP BY s.doc_id, tot.n_bigrams
+""",
+)
+def q529_kneser_ney_bigram(spark, sf_dir):
+    """INTERPOLATED KNESER-NEY BIGRAM LM SCORING (Kneser & Ney 1995;
+    Chen & Goodman 1999 eq. 4.17) — the smoothing inside the KenLM
+    models CCNet-style pipelines use for perplexity filtering, one rung
+    of real LM structure above q130's unigram NLL: even doc_ids train
+    the model (bigram counts, context totals c(w1), continuation
+    fan-outs N1+(w1.) and fan-ins N1+(.w2), total bigram-type count),
+    odd doc_ids are scored with absolute discount D={_KN_D} and the
+    CONTINUATION-probability backoff P_cont(w2) = N1+(.w2)/types —
+    Kneser-Ney's insight that a backoff word's weight is how many
+    contexts it completes, not how often it occurs. Scored bigrams are
+    those whose context and continuation both exist in the model (the
+    standard OOV-removal contract, mirrored exactly in the oracle);
+    per-doc output is bigram volume, scored volume, mean NLL and
+    perplexity, with round-9 DECIMAL NLL terms so the per-doc sums are
+    order-exact on both engines.
+
+    Scale shape: model tables are corpus-wide aggregates (map-side
+    combinable, one shuffle each over the bigram key space — vocab^2
+    bounded, not corpus bounded); scoring is three equi-joins of the
+    held-out bigram stream against model relations that broadcast at
+    realistic vocab sizes, then one per-doc aggregate. Nothing in the
+    plan holds a corpus-sized partition: 100 TB of held-out text scores
+    at scan speed against a fixed model."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = docs.select("doc_id", F.split("text", " ").alias("w")).where(
+        F.size("w") >= 2
+    )
+    pairs = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> struct(element_at(w, i) AS w1,"
+                "             element_at(w, i + 1) AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    big = (
+        pairs.where(F.col("doc_id") % 2 == 0)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+        .transform(managed_persist)
+    )
+    ctx = big.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("nf"),
+    )
+    bwd = big.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    tt = big.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    held = pairs.where(F.col("doc_id") % 2 == 1)
+    tot = held.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams")
+    )
+    d = F.lit(_KN_D)
+    p = (
+        F.greatest(F.coalesce(F.col("c12"), F.lit(0)) - d, F.lit(0.0))
+        + d * F.col("nf") * (F.col("nb") / F.col("n_types").cast("double"))
+    ) / F.col("c1")
+    scored = (
+        held.join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(bwd), "w2")
+        .join(F.broadcast(big), ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "doc_id",
+            F.round(-F.log(p), 9).cast("decimal(28,9)").alias("nll"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.sum("nll").cast("double").alias("nll_sum"),
+    )
+    mean_nll = F.col("nll_sum") / F.col("n_scored")
+    return agg.join(tot, "doc_id").select(
+        "doc_id",
+        "n_bigrams",
+        "n_scored",
+        F.round(mean_nll, 6).alias("mean_nll"),
+        F.round(F.exp(mean_nll), 6).alias("ppl"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q530: reciprocal rank fusion of BM25 and embedding retrieval
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_DEPTH = 100
+
+
+@query(
+    "q530_reciprocal_rank_fusion",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS dl FROM documents),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(CAST(len(string_split(text, ' ')) AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(*) AS avgdl
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM toks
+  WHERE w IN ({_BM25_IN}) GROUP BY doc_id, w
+),
+idf AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+scoredb AS (
+  SELECT tf.doc_id,
+         CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+              * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+              AS DECIMAL(18,12)) AS s
+  FROM tf JOIN idf USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+aggb AS (
+  SELECT doc_id, ROUND(CAST(SUM(s) AS DOUBLE), 6) AS score
+  FROM scoredb GROUP BY doc_id
+),
+bm AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r1
+  FROM aggb QUALIFY r1 <= {_RRF_DEPTH}
+),
+qv AS (
+  SELECT list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id = 0
+),
+cv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS cv
+  FROM embeddings WHERE vec_id <> 0
+),
+cos AS (
+  SELECT vec_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+  FROM cv CROSS JOIN qv
+),
+em AS (
+  SELECT vec_id AS doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS r2
+  FROM cos QUALIFY r2 <= {_RRF_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(bm.doc_id, em.doc_id) AS doc_id,
+         CAST(COALESCE(r1, 0) AS INT) AS bm25_rank,
+         CAST(COALESCE(r2, 0) AS INT) AS cos_rank,
+         ROUND(COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + r1), 0)
+               + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + r2), 0), 6) AS rrf
+  FROM bm FULL OUTER JOIN em ON bm.doc_id = em.doc_id
+)
+SELECT doc_id, bm25_rank, cos_rank, rrf,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
+FROM fused QUALIFY rank <= 20
+""",
+)
+def q530_reciprocal_rank_fusion(spark, sf_dir):
+    """RECIPROCAL RANK FUSION (Cormack et al., SIGIR 2009) of a sparse
+    and a dense retrieval arm — the hybrid-search standard that RAG
+    data pipelines run to mine training corpora: the q116 BM25 keyword
+    arm and a q68-style exact-cosine arm (query = vector 0, joined on
+    doc_id = vec_id) each contribute 1/(60 + rank) for their
+    top-100, absent arms contribute 0 (rank 0 in the output
+    marks "not retrieved by this arm"), and the fused top-20 ranks by
+    the rounded RRF score with id tie-break. Fusing TRUNCATED lists is
+    the published semantics — documents outside both retrieval depths
+    are never scored, which is exactly what makes the operator
+    scale-free.
+
+    Scale shape: each arm ends in a TakeOrderedAndProject (distributed
+    heap top-100, never a corpus-wide rank window); the fusion
+    join and every window after it run on <= 2x100 rows. The
+    corpus is touched once per arm — BM25's pushed-down term filter and
+    the broadcast single-query cosine scan — so 100 TB fuses at the
+    cost of two scans plus millisecond tail work."""
+    from pyspark.sql import Window as W
+
+    from variantcalling_spark.operators.similarity import cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm_top = (
+        _bm25_doc_scores(docs)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+    )
+    bm = bm_top.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("score").desc(), "doc_id"))
+        .alias("r1"),
+    )
+    em = cosine_topk(
+        emb.where(F.col("vec_id") == 0), emb, k=_RRF_DEPTH
+    ).select(F.col("cand_id").alias("doc_id"), F.col("rank").alias("r2"))
+    one = F.lit(1.0)
+    fused = (
+        bm.join(em, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("r1"), F.lit(0)).cast("int").alias("bm25_rank"),
+            F.coalesce(F.col("r2"), F.lit(0)).cast("int").alias("cos_rank"),
+            F.round(
+                F.coalesce(one / (F.lit(_RRF_K) + F.col("r1")), F.lit(0.0))
+                + F.coalesce(one / (F.lit(_RRF_K) + F.col("r2")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    top = fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(W.orderBy(F.col("rrf").desc(), "doc_id"))
+        .cast("int"),
     )
