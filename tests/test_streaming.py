@@ -1209,3 +1209,70 @@ def test_ingest_dedup_planner_mode_default_equality(spark):
         ).collect()
     }
     assert default <= wider
+
+
+def test_tws_activity_equals_classic_and_batch(spark, event_dir):
+    """Spark 4 transformWithStateInPandas port (streaming/tws_activity):
+    the SAME kernel on the next-gen typed-state API must emit, per
+    user, exactly what the classic applyInPandasWithState operator and
+    the batch applyInPandas fold produce. Runs under the RocksDB
+    provider (required by transformWithState; also the production
+    config from session.streaming_state_configs).
+
+    ENV-GATED like the pyBigWig cross-check: transformWithState's
+    Python state server speaks protobuf, and pyspark only declares
+    protobuf under the optional [connect] extra — absent here. The
+    operator is complete against the public API; this pin activates
+    the moment the environment ships google.protobuf."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state server requires protobuf "
+        "(pyspark[connect] extra; not shipped in this environment)",
+    )
+    import pyspark.sql.functions as F
+
+    from variantcalling_spark.session import streaming_state_configs
+    from variantcalling_spark.streaming.stateful import user_activity_batch
+    from variantcalling_spark.streaming.tws_activity import user_activity_tws
+
+    batch_df = spark.read.parquet(event_dir).withColumn(
+        "ts_us", F.unix_micros("event_time")
+    )
+    expected = {
+        r.user_id: (r.first_us, r.last_us, r.n, r.max_gap_us)
+        for r in user_activity_batch(batch_df).collect()
+    }
+
+    old = {
+        k: spark.conf.get(k, None) for k in streaming_state_configs()
+    }
+    for k, v in streaming_state_configs().items():
+        spark.conf.set(k, v)
+    try:
+        stream = (
+            spark.readStream.schema(batch_df.drop("ts_us").schema)
+            .parquet(event_dir)
+            .withColumn("ts_us", F.unix_micros("event_time"))
+        )
+        q = (
+            user_activity_tws(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM tws_out").collect()
+        finally:
+            q.stop()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    got = {}
+    for r in rows:  # update mode: last emission per user wins
+        got[r.user_id] = (r.first_us, r.last_us, r.n, r.max_gap_us)
+    assert got == expected
