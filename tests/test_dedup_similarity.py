@@ -1369,3 +1369,44 @@ def test_q528_knn_shapley_matches_direct_recursion(spark, sf_dir):
     assert len(got) == n
     for vid, phi in phis.items():
         assert abs(got[vid] - phi / len(ti)) < 1e-5, vid
+
+
+def test_q531_planted_hierarchy_depth_and_stall(spark, sf_dir):
+    """The planted two-level hierarchy drives the guarded Leiden loop
+    PAST the kNN substrate's level-2 stall: >= 3 consecutive accepted
+    levels from the singleton start, monotone q_best, a strictly
+    shrinking community count while accepting, and the final level
+    recording a stall (accepted=false, state untouched). Also pins the
+    substrate: symmetric edges, no self-loops, every node
+    degree >= 2."""
+    from pyspark.sql import functions as F
+
+    from variantcalling_spark.queries.similarity import (
+        _planted_frames,
+        q531_leiden_planted_hierarchy,
+    )
+
+    rows = sorted(
+        q531_leiden_planted_hierarchy(spark, sf_dir).collect(),
+        key=lambda r: r.step,
+    )
+    assert rows[0].phase == "init" and rows[0].accepted
+    accepted_levels = [r for r in rows[1:] if r.accepted]
+    assert len(accepted_levels) >= 3
+    assert not rows[-1].accepted  # the ledger captures the stall
+    best = rows[0].q_best_num
+    prev_n = rows[0].n_comms
+    for r in rows[1:]:
+        assert r.q_best_num >= best
+        best = r.q_best_num
+        if r.accepted:
+            assert r.n_comms < prev_n
+            prev_n = r.n_comms
+
+    edges, deg, m2t, sing = _planted_frames(spark, sf_dir)
+    assert edges.where(F.col("src") == F.col("dst")).count() == 0
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    assert edges.exceptAll(rev).count() == 0  # symmetric
+    assert deg.agg(F.min("k")).collect()[0][0] >= 2

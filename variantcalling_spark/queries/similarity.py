@@ -8447,3 +8447,254 @@ def q528_knn_shapley_valuation(spark, sf_dir):
             ).alias("shapley"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q531: multi-level Leiden on a planted two-level hierarchy
+# ---------------------------------------------------------------------------
+
+_HL_LEVELS = 5
+
+
+def _planted_cte_sql() -> str:
+    """Deterministic two-level planted hierarchy over the embedding id
+    space (nodes = dense ranks of vec_id): micro-communities of 10
+    (ring chords at offsets 1 and 2), micro-rings inside macros of 50,
+    and one macro ring — symmetrized, dangling edges dropped. Ends
+    with the SAME CTE names the q519 cycle generators consume
+    (``edges``, ``m2t``, ``deg``) plus the singleton start ``sing``."""
+    return """
+WITH RECURSIVE nodes AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS node
+  FROM embeddings
+),
+nn AS (SELECT CAST(COUNT(*) // 50 AS BIGINT) AS nm FROM nodes),
+base AS (
+  SELECT node, node // 10 AS micro, node // 50 AS macro, node % 10 AS slot
+  FROM nodes
+),
+cand_e AS (
+  SELECT b.node AS src, b.micro * 10 + ((b.slot + d) % 10) AS dst
+  FROM base b, (SELECT UNNEST([1, 2]) AS d) dd
+  UNION ALL
+  SELECT b.node AS src,
+         b.macro * 50 + (((b.node - b.macro * 50) // 10 + 1) % 5) * 10 AS dst
+  FROM base b WHERE b.slot = 0
+  UNION ALL
+  SELECT b.node AS src, ((b.macro + 1) % (SELECT nm FROM nn)) * 50 AS dst
+  FROM base b WHERE b.node % 50 = 0
+),
+e0 AS (
+  SELECT src, dst FROM cand_e ce JOIN nodes nd ON nd.node = ce.dst
+  WHERE src <> dst
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e0
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM e0
+  )
+),
+m2t AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM edges),
+deg AS MATERIALIZED (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS k FROM edges GROUP BY src
+),
+sing AS MATERIALIZED (SELECT node, node AS community, node AS rc FROM nodes)"""
+
+
+def _hleiden_oracle_sql() -> str:
+    cycles = "".join(
+        _leiden_cycle_sql(k, "sing" if k == 1 else f"acc{k - 1}", f"best{k - 1}")
+        for k in range(1, _HL_LEVELS + 1)
+    )
+    level_rows = "\n  UNION ALL\n".join(
+        f"""  SELECT {k} AS step, 'level{k}' AS phase,
+         (SELECT CAST(COUNT(DISTINCT rc) AS BIGINT) FROM lcand{k}) AS n_comms,
+         (SELECT qn FROM qc{k}) AS q_num,
+         (SELECT CAST(m2 * m2 AS BIGINT) FROM m2t) AS q_den,
+         (SELECT qn FROM qc{k}) > (SELECT b FROM best{k - 1}) AS accepted,
+         (SELECT b FROM best{k}) AS q_best_num"""
+        for k in range(1, _HL_LEVELS + 1)
+    )
+    return (
+        _planted_cte_sql()
+        + _q_of_sql("qh0", "sing", "rc")
+        + """,
+best0 AS (SELECT qn AS b FROM qh0)"""
+        + cycles
+        + f"""
+SELECT * FROM (
+  SELECT 0 AS step, 'init' AS phase,
+         (SELECT CAST(COUNT(DISTINCT rc) AS BIGINT) FROM sing) AS n_comms,
+         (SELECT qn FROM qh0) AS q_num,
+         (SELECT CAST(m2 * m2 AS BIGINT) FROM m2t) AS q_den,
+         TRUE AS accepted,
+         (SELECT qn FROM qh0) AS q_best_num
+  UNION ALL
+{level_rows}
+) ORDER BY step
+"""
+    )
+
+
+def _q_num_of(edges, deg, m2: int, part, key: str) -> tuple[int, int]:
+    """(exact-integer modularity numerator, community count) of
+    ``part`` keyed by ``key`` — module-level twin of the q519 inner
+    helper for loops over NON-default substrates, with the community
+    count folded into the SAME aggregate (qdeg is one row per
+    community, so COUNT(*) there is n_comms): one driver action per
+    level instead of two."""
+    qin = (
+        edges.join(
+            part.select(F.col("node").alias("src"), F.col(key).alias("ca")), "src"
+        )
+        .join(part.select(F.col("node").alias("dst"), F.col(key).alias("cb")), "dst")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("in_edges"))
+    )
+    qdeg = (
+        part.join(deg, "node")
+        .groupBy(F.col(key).alias("c"))
+        .agg(F.sum("k").cast("bigint").alias("dtot"))
+    )
+    row = (
+        qdeg.join(qin, "c", "left")
+        .agg(
+            F.sum(
+                F.lit(m2) * F.coalesce("in_edges", F.lit(0).cast("bigint"))
+                - F.col("dtot") * F.col("dtot")
+            )
+            .cast("bigint")
+            .alias("qn"),
+            F.count(F.lit(1)).cast("bigint").alias("nc"),
+        )
+        .collect()[0]
+    )
+    return int(row.qn), int(row.nc)
+
+
+def _planted_frames(spark, sf_dir):
+    """Spark twin of ``_planted_cte_sql``: (edges, deg, m2t, sing),
+    edges/sing lineage-cut and the whole set session-memoized (the
+    substrate feeds 2+ consumers per level x 5 levels — the verify
+    skill's checkpoint+memo rule)."""
+    from variantcalling_spark._memo import memoized
+
+    return memoized(
+        "hleiden_substrate", spark, sf_dir, lambda: _build_planted(spark, sf_dir)
+    )
+
+
+def _build_planted(spark, sf_dir):
+    from variantcalling_spark.operators.ordered import ranged_row_number
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nodes = ranged_row_number(emb.select("vec_id"), ["vec_id"]).select(
+        (F.col("rn") - 1).cast("bigint").alias("node")
+    )
+    base = nodes.select(
+        "node",
+        F.expr("node div 10").alias("micro"),
+        F.expr("node div 50").alias("macro"),
+        (F.col("node") % 10).alias("slot"),
+    )
+    nn = nodes.agg((F.count(F.lit(1)) / 50).cast("bigint").alias("nm"))
+    chords = base.select(
+        "node", "micro", "slot", F.explode(F.array(F.lit(1), F.lit(2))).alias("d")
+    ).select(
+        F.col("node").alias("src"),
+        (F.col("micro") * 10 + (F.col("slot") + F.col("d")) % 10).alias("dst"),
+    )
+    mring = base.where(F.col("slot") == 0).select(
+        F.col("node").alias("src"),
+        (
+            F.col("macro") * 50
+            + ((F.expr("(node - macro * 50) div 10") + 1) % 5) * 10
+        ).alias("dst"),
+    )
+    xring = (
+        base.where(F.col("node") % 50 == 0)
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("node").alias("src"),
+            (((F.col("macro") + 1) % F.col("nm")) * 50).alias("dst"),
+        )
+    )
+    e0 = (
+        chords.unionByName(mring)
+        .unionByName(xring)
+        .where(F.col("src") != F.col("dst"))
+        .join(nodes.withColumnRenamed("node", "dst"), "dst")
+        .select("src", "dst")
+    )
+    edges = (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .transform(lineage_cut)
+    )
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+        .transform(managed_persist)
+    )
+    m2t = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m2"))
+    sing = nodes.select(
+        "node", F.col("node").alias("community"), F.col("node").alias("rc")
+    ).transform(lineage_cut)
+    return edges, deg, m2t, sing
+
+
+@query("q531_leiden_planted_hierarchy", oracle=_hleiden_oracle_sql())
+def q531_leiden_planted_hierarchy(spark, sf_dir):
+    """MULTI-LEVEL LEIDEN WITH REAL DEPTH: the q519 loop (guarded
+    sweep+refine cycles, strict exact-integer modularity acceptance)
+    driven past the kNN substrate's level-2 stall on a PLANTED
+    two-level hierarchy — micro-communities of 10 (dense ring chords)
+    nested in macro-communities of 50 (sparse micro-ring), macros
+    joined by single bridges. Starting from SINGLETONS (the textbook
+    Leiden start q519's LPA-seeded face skips), the loop accepts FOUR
+    consecutive levels of agglomeration (Q rising 614k -> 824k -> 1.02M
+    -> 1.23M of m2^2 = 4.49M) before level 5 presents a non-improving
+    candidate and the guard records the stall — the ledger therefore
+    exercises every branch of the acceptance logic on one input. The
+    oracle unrolls all five guarded cycles from the same generators
+    q519 uses (byte-identical sweep/refinement/acceptance SQL), over a
+    substrate CTE chain that reproduces the planted graph
+    edge-for-edge (2 120 directed edges at sf0.01, equality asserted
+    in tests).
+
+    Scale shape: identical to q519 per level (equi-join super-sweep on
+    a SHRINKING graph + O(log n) star-contraction refinement); the
+    substrate build is expression-only over ``ranged_row_number``
+    (skew-proof global numbering, no single-partition sort), and
+    edges/deg/sing are lineage-cut + session-memoized once for all
+    five levels (the checkpoint+memo rule). Driver state: one exact-Q
+    scalar per level."""
+    from variantcalling_spark._memo import memoized
+
+    return memoized("q531", spark, sf_dir, lambda: _build_q531(spark, sf_dir))
+
+
+def _build_q531(spark, sf_dir):
+    edges, deg, m2t, sing = _planted_frames(spark, sf_dir)
+    m2 = m2t.collect()[0].m2
+    cur = sing
+    best, n0 = _q_num_of(edges, deg, m2, cur, "rc")
+    rows = [(0, "init", n0, best, True, best)]
+    for lvl in range(1, _HL_LEVELS + 1):
+        _, _, _, _, swept = _super_sweep_frames(edges, deg, m2t, cur)
+        cand = _refine_pieces(edges, swept)
+        qc, nc = _q_num_of(edges, deg, m2, cand, "rc")
+        accepted = qc > best
+        if accepted:
+            cur, best = cand, qc
+        rows.append((lvl, f"level{lvl}", nc, qc, accepted, best))
+    qden = int(m2) * int(m2)
+    return spark.createDataFrame(
+        [(s, p, n, q, qden, a, b) for (s, p, n, q, a, b) in rows],
+        "step int, phase string, n_comms bigint, q_num bigint, "
+        "q_den bigint, accepted boolean, q_best_num bigint",
+    )
