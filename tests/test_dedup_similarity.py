@@ -1356,7 +1356,7 @@ def test_q528_knn_shapley_matches_direct_recursion(spark, sf_dir):
         order = ci[np.lexsort((ids[ci], d2))]
         ind = (labels[order] == labels[t]).astype(float)
         s = np.zeros(n)
-        s[n - 1] = round(ind[n - 1] / n, 9)
+        s[n - 1] = round(ind[n - 1] * min(_SHAPLEY_K, n) / (_SHAPLEY_K * float(n)), 9)
         for i in range(n - 2, -1, -1):
             s[i] = s[i + 1] + round(
                 (ind[i] - ind[i + 1])

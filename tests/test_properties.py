@@ -743,3 +743,89 @@ def test_weighted_jaccard_repetition_property(spark, texts, reps):
         # w_shared <= tot_a (min-sum bounded by the smaller multiset)
         assert r.w_shared <= min(r.tot_a, r.tot_b)
         assert 0.0 < r.jaccard_weighted <= 1.0
+
+
+shapley_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=100),  # dist
+        st.booleans(),  # label matches test?
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(cands=shapley_strategy, k=st.integers(min_value=1, max_value=6))
+@settings(**SETTINGS)
+def test_knn_shapley_matches_recursion_and_efficiency(spark, cands, k):
+    """knn_shapley_values == the direct Jia et al. recursion on
+    arbitrary (distance, match) configurations — including distance
+    ties (id tie-break) and K > N — and satisfies the EFFICIENCY
+    axiom: sum of values == utility of the full set == (matching
+    among the K nearest)/K."""
+    from pyspark.sql import functions as F
+
+    from variantcalling_spark.operators.similarity import knn_shapley_values
+
+    df = spark.createDataFrame(
+        [(0, i, d, 1.0 if m else 0.0) for i, (d, m) in enumerate(cands)],
+        "test_id int, cand_id int, dist2 long, ind double",
+    )
+    got = {
+        r.cand_id: float(r.sv)
+        for r in knn_shapley_values(df, k=k).collect()
+    }
+
+    order = sorted(range(len(cands)), key=lambda i: (cands[i][0], i))
+    ind = [1.0 if cands[i][1] else 0.0 for i in order]
+    n = len(ind)
+    s = [0.0] * n
+    s[n - 1] = round(ind[n - 1] * min(k, n) / (k * float(n)), 9)
+    for i in range(n - 2, -1, -1):
+        s[i] = s[i + 1] + round(
+            (ind[i] - ind[i + 1]) * min(k, i + 1) / (k * (i + 1.0)), 9
+        )
+    want = {order[i]: s[i] for i in range(n)}
+    assert set(got) == set(want)
+    for cid in want:
+        assert abs(got[cid] - want[cid]) < 1e-9, cid
+    # efficiency: the values telescope to v(full) = (1/K) sum_{top-K} ind
+    v_full = sum(ind[: min(k, n)]) / k
+    assert abs(sum(got.values()) - v_full) < 1e-6
+
+
+kn_counts_strategy = st.dictionaries(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),  # w1 id
+        st.integers(min_value=0, max_value=4),  # w2 id
+    ),
+    st.integers(min_value=1, max_value=9),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(big=kn_counts_strategy)
+@settings(max_examples=50, deadline=None)
+def test_kneser_ney_formula_is_proper(big):
+    """Pure-formula property behind q529: for ANY bigram count table,
+    interpolated KN with D in (0,1] sums to exactly 1 over the full
+    continuation vocabulary for every in-model context — the discount
+    mass D*N1+(w1.)/c(w1) re-enters through P_cont, whose weights
+    N1+(.w2)/types sum to 1 by construction."""
+    D = 0.75
+    c1: dict[int, int] = {}
+    nf: dict[int, int] = {}
+    nb: dict[int, int] = {}
+    for (w1, w2), c in big.items():
+        c1[w1] = c1.get(w1, 0) + c
+        nf[w1] = nf.get(w1, 0) + 1
+        nb[w2] = nb.get(w2, 0) + 1
+    tt = len(big)
+    for w1 in c1:
+        tot = sum(
+            (max(big.get((w1, w2), 0) - D, 0.0) + D * nf[w1] * (nb[w2] / tt))
+            / c1[w1]
+            for w2 in nb
+        )
+        assert abs(tot - 1.0) < 1e-9, w1

@@ -1729,3 +1729,88 @@ def nn_descent_graphs(
         )
         out.append(with_rank(g))
     return out
+
+
+def knn_shapley_values(
+    pairs: DataFrame,
+    k: int,
+    test_col: str = "test_id",
+    cand_col: str = "cand_id",
+    dist_col: str = "dist2",
+    ind_col: str = "ind",
+    carry: tuple = (),
+) -> DataFrame:
+    """Exact KNN-Shapley values (Jia et al., VLDB 2019 Theorem 1) from
+    a scored (test, candidate) relation: per test point, candidates
+    rank by (``dist_col`` ASC, ``cand_col`` ASC) and the published
+    recursion
+
+        s_N = ind_N * min(K, N) / (K * N)
+        s_i = s_(i+1) + (ind_i - ind_(i+1)) / K * min(K, i) / i
+
+    (the paper states the base case as ind_N / N under its N >= K
+    assumption; min(K, N)/(K*N) is the general form — equal to 1/N
+    bit-for-bit when N >= K, and the one that keeps the EFFICIENCY
+    axiom sum(s) = v(full) = (1/K) sum_{top-min(K,N)} ind when a test
+    point has fewer than K candidates, hypothesis-pinned in tests)
+
+    unrolls into per-rank contributions summed by a window SUFFIX SUM.
+    ``ind_col`` is the 0/1 correctness indicator (1.0 when the
+    candidate's label matches the test's). Contributions snap to
+    round-9 DECIMAL so the suffix accumulation is order-exact on any
+    engine; N is the per-test candidate count (window COUNT — tests
+    with different candidate universes each get their own N).
+
+    ``carry`` names extra per-row columns to pass through unchanged
+    (a label column the consumer aggregates by, e.g.).
+
+    Returns (test, cand, *carry, rn, sv): sv is the candidate's exact Shapley
+    value for that test point as DECIMAL(38,9); averaging sv over
+    tests per candidate is the corpus-level valuation (q528's face).
+
+    Scale: one exchange (rank repartition on the test key); the
+    per-test O(N log N) sort is the closed form's inherent cost,
+    parallel across test points. Shard-stratified or LSH-approximate
+    deployments (same paper) reuse this operator on smaller N.
+    """
+    w = W.partitionBy(test_col).orderBy(dist_col, cand_col)
+    wn = W.partitionBy(test_col)
+    r = pairs.select(
+        test_col,
+        cand_col,
+        *carry,
+        F.row_number().over(w).alias("rn"),
+        F.col(ind_col).alias("_ind"),
+        F.lead(ind_col).over(w).alias("_lead_ind"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("_n"),
+    )
+    contrib = (
+        F.when(
+            F.col("rn") < F.col("_n"),
+            F.round(
+                (F.col("_ind") - F.col("_lead_ind"))
+                * F.least(F.lit(k), F.col("rn"))
+                / (F.lit(float(k)) * F.col("rn")),
+                9,
+            ),
+        )
+        .otherwise(
+            F.round(
+                F.col("_ind")
+                * F.least(F.lit(k), F.col("_n"))
+                / (F.lit(float(k)) * F.col("_n")),
+                9,
+            )
+        )
+        .cast("decimal(28,9)")
+    )
+    sw = (
+        W.partitionBy(test_col)
+        .orderBy("rn")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    return r.select(
+        test_col, cand_col, *carry, "rn", contrib.alias("_contrib")
+    ).select(
+        test_col, cand_col, *carry, "rn", F.sum("_contrib").over(sw).alias("sv")
+    )

@@ -8331,7 +8331,9 @@ c AS (
          CAST(CASE WHEN rn < n_train
               THEN ROUND((ind - lead_ind) * LEAST({_SHAPLEY_K}, rn)
                          / ({_SHAPLEY_K}.0 * rn), 9)
-              ELSE ROUND(ind / n_train, 9) END AS DECIMAL(28,9)) AS contrib
+              ELSE ROUND(ind * LEAST(5, n_train)
+                         / (5.0 * n_train), 9)
+              END AS DECIMAL(28,9)) AS contrib
   FROM l CROSS JOIN nn
 ),
 s AS (
@@ -8370,7 +8372,7 @@ def q528_knn_shapley_valuation(spark, sf_dir):
     (per-shard phi sums are the sharded-Shapley estimate) or swaps the
     exact rank relation for the LSH-approximate variant of the same
     paper — both reuse this operator unchanged on smaller N."""
-    from pyspark.sql import Window as W
+    from variantcalling_spark.operators.similarity import knn_shapley_values
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _quantize(F.col("embedding")).alias("qv")
@@ -8385,7 +8387,6 @@ def q528_knn_shapley_valuation(spark, sf_dir):
         F.col("label").alias("c_label"),
         F.col("qv").alias("cv"),
     )
-    n_train = train.agg(F.count(F.lit(1)).cast("bigint").alias("n_train"))
     n_tests = tests.agg(F.count(F.lit(1)).cast("bigint").alias("n_tests"))
     dist2 = F.aggregate(
         F.zip_with("cv", "tv", lambda x, y: (x - y) * (x - y)),
@@ -8394,47 +8395,14 @@ def q528_knn_shapley_valuation(spark, sf_dir):
     )
     d = train.crossJoin(F.broadcast(tests)).select(
         "test_id",
-        "t_label",
         "cand_id",
         "c_label",
         dist2.alias("dist2"),
-    )
-    w = W.partitionBy("test_id").orderBy("dist2", "cand_id")
-    r = d.select(
-        "test_id",
-        "cand_id",
-        "c_label",
-        F.row_number().over(w).alias("rn"),
         F.when(F.col("c_label") == F.col("t_label"), F.lit(1.0))
         .otherwise(F.lit(0.0))
         .alias("ind"),
     )
-    lw = W.partitionBy("test_id").orderBy("rn")
-    k = F.lit(_SHAPLEY_K)
-    contrib = (
-        F.when(
-            F.col("rn") < F.col("n_train"),
-            F.round(
-                (F.col("ind") - F.lead("ind").over(lw))
-                * F.least(k, F.col("rn"))
-                / (F.lit(float(_SHAPLEY_K)) * F.col("rn")),
-                9,
-            ),
-        )
-        .otherwise(F.round(F.col("ind") / F.col("n_train"), 9))
-        .cast("decimal(28,9)")
-    )
-    c = r.crossJoin(F.broadcast(n_train)).select(
-        "test_id", "cand_id", "c_label", "rn", contrib.alias("contrib")
-    )
-    sw = (
-        W.partitionBy("test_id")
-        .orderBy("rn")
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
-    )
-    s = c.select(
-        "test_id", "cand_id", "c_label", F.sum("contrib").over(sw).alias("sv")
-    )
+    s = knn_shapley_values(d, k=_SHAPLEY_K, carry=("c_label",))
     return (
         s.groupBy("cand_id", "c_label")
         .agg(F.sum("sv").alias("phi_sum"))
