@@ -1276,3 +1276,71 @@ def test_tws_activity_equals_classic_and_batch(spark, event_dir):
     for r in rows:  # update mode: last emission per user wins
         got[r.user_id] = (r.first_us, r.last_us, r.n, r.max_gap_us)
     assert got == expected
+
+
+def test_streaming_bm25_probe_equals_batch(spark):
+    """Retrieval-at-ingest (streaming/retrieval_probe): a query stream
+    probing the static BM25 index emits bit-identical (query, doc)
+    scores to the batch run of the same function — explode +
+    stream-static joins + one keyed aggregation, DECIMAL partials.
+    Also cross-checks the shared formula: a single-query probe with
+    q116's four terms reproduces _bm25_doc_scores row-for-row."""
+    from variantcalling_spark.queries.text import BM25_TERMS, _bm25_doc_scores
+    from variantcalling_spark.sources import load_table
+    from variantcalling_spark.streaming.retrieval_probe import (
+        build_bm25_index,
+        streaming_bm25_probe,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    postings, doclen, stats = build_bm25_index(docs)
+    postings = postings.cache()
+
+    queries = spark.createDataFrame(
+        [
+            (1, list(BM25_TERMS)),
+            (2, ["table", "sort", "merge"]),
+            (3, ["zzz_not_in_corpus"]),
+            (4, ["spark", "spark", "value"]),  # dup term folds once
+        ],
+        "query_id int, terms array<string>",
+    )
+    want = {
+        (r.query_id, r.doc_id): (r.n_terms, r.score)
+        for r in streaming_bm25_probe(queries, postings, doclen, stats).collect()
+    }
+    assert want  # non-degenerate
+    assert not any(q == 3 for q, _ in want)  # OOV query matches nothing
+
+    # q116 formula parity: probe with q116's term set == its scorer
+    bm = {
+        r.doc_id: (r.n_terms, r.score) for r in _bm25_doc_scores(docs).collect()
+    }
+    probe1 = {
+        r.doc_id: (r.n_terms, r.score)
+        for r in streaming_bm25_probe(
+            queries.where("query_id = 1"), postings, doclen, stats
+        ).collect()
+    }
+    assert probe1 == bm
+
+    qdir = tempfile.mkdtemp(prefix="stream_queries_")
+    queries.coalesce(1).write.mode("overwrite").parquet(qdir)
+    stream = spark.readStream.schema(queries.schema).parquet(qdir)
+    q = (
+        streaming_bm25_probe(stream, postings, doclen, stats)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("bm25_probe_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM bm25_probe_out").collect()
+    finally:
+        q.stop()
+    got = {}
+    for r in rows:  # update mode: last emission per key wins
+        got[(r.query_id, r.doc_id)] = (r.n_terms, r.score)
+    assert got == want
