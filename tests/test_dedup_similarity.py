@@ -1410,3 +1410,37 @@ def test_q531_planted_hierarchy_depth_and_stall(spark, sf_dir):
     )
     assert edges.exceptAll(rev).count() == 0  # symmetric
     assert deg.agg(F.min("k")).collect()[0][0] >= 2
+
+
+def test_q532_sharded_values_track_exact(spark, sf_dir):
+    """The sharded estimator is q528's deployment dial: every training
+    row valued exactly once (its own hash shard), per-shard
+    efficiency holds (summing all values x n_tests == sum over
+    (test, shard) of v(shard) == (1/K) sum of top-min(K,Ns)
+    indicators), and the sharded ranking tracks the exact one
+    (positive Spearman rank correlation)."""
+    from variantcalling_spark.queries.similarity import (
+        _SHAPLEY_SHARDS,
+        q528_knn_shapley_valuation,
+        q532_sharded_knn_shapley,
+    )
+
+    exact = {
+        r.vec_id: r.shapley
+        for r in q528_knn_shapley_valuation(spark, sf_dir).collect()
+    }
+    sharded = {}
+    for r in q532_sharded_knn_shapley(spark, sf_dir).collect():
+        assert r.shard == r.vec_id % _SHAPLEY_SHARDS
+        assert r.vec_id not in sharded  # one value per row
+        sharded[r.vec_id] = r.shapley
+    assert set(sharded) == set(exact)
+
+    def ranks(d):
+        order = sorted(d, key=lambda k: (d[k], k))
+        return {k: i for i, k in enumerate(order)}
+    ra, rb = ranks(exact), ranks(sharded)
+    n = len(exact)
+    d2 = sum((ra[k] - rb[k]) ** 2 for k in exact)
+    rho = 1 - 6 * d2 / (n * (n * n - 1))
+    assert rho > 0.5, rho

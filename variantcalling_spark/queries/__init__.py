@@ -160,6 +160,7 @@ _PRIORITY = (
     "q529_kneser_ney_bigram",
     "q530_reciprocal_rank_fusion",
     "q531_leiden_planted_hierarchy",
+    "q532_sharded_knn_shapley",
     # --- Certified r10 (q384-q433) + r9 (q284-q383), tail of the list ---
     "q284_attribution_last_touch",
     "q285_cochran_armitage",

@@ -8666,3 +8666,152 @@ def _build_q531(spark, sf_dir):
         "step int, phase string, n_comms bigint, q_num bigint, "
         "q_den bigint, accepted boolean, q_best_num bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# q532: shard-stratified KNN-Shapley (the 100-TB deployment shape)
+# ---------------------------------------------------------------------------
+
+_SHAPLEY_SHARDS = 4
+
+
+@query(
+    "q532_sharded_knn_shapley",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+tst AS (
+  SELECT vec_id AS test_id, label AS t_label, qv AS tv
+  FROM q WHERE vec_id % {_SHAPLEY_TEST_MOD} = 0
+),
+trn AS (
+  SELECT vec_id AS cand_id, label AS c_label, qv AS cv,
+         vec_id % {_SHAPLEY_SHARDS} AS shard
+  FROM q WHERE vec_id % {_SHAPLEY_TEST_MOD} <> 0
+),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tests FROM tst),
+d AS (
+  SELECT test_id, t_label, cand_id, c_label, shard,
+         CAST(list_dot_product(cv, cv) - 2 * list_dot_product(cv, tv)
+              + list_dot_product(tv, tv) AS BIGINT) AS dist2
+  FROM trn, tst
+),
+r AS (
+  SELECT test_id, cand_id, c_label, shard,
+         ROW_NUMBER() OVER (PARTITION BY test_id, shard
+                            ORDER BY dist2, cand_id) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY test_id, shard) AS BIGINT) AS ns,
+         CASE WHEN c_label = t_label THEN 1.0 ELSE 0.0 END AS ind
+  FROM d
+),
+l AS (
+  SELECT *, LEAD(ind) OVER (PARTITION BY test_id, shard ORDER BY rn)
+              AS lead_ind
+  FROM r
+),
+c AS (
+  SELECT test_id, cand_id, c_label, shard, rn,
+         CAST(CASE WHEN rn < ns
+              THEN ROUND((ind - lead_ind) * LEAST({_SHAPLEY_K}, rn)
+                         / ({_SHAPLEY_K}.0 * rn), 9)
+              ELSE ROUND(ind * LEAST({_SHAPLEY_K}, ns)
+                         / ({_SHAPLEY_K}.0 * ns), 9)
+              END AS DECIMAL(28,9)) AS contrib
+  FROM l
+),
+s AS (
+  SELECT test_id, cand_id, c_label, shard,
+         SUM(contrib) OVER (PARTITION BY test_id, shard ORDER BY rn
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS sv
+  FROM c
+)
+SELECT cand_id AS vec_id, c_label AS label, CAST(shard AS INT) AS shard,
+       ROUND(CAST(SUM(sv) AS DOUBLE) / n_tests, 6) AS shapley
+FROM s CROSS JOIN nt
+GROUP BY cand_id, c_label, shard, n_tests
+""",
+)
+def q532_sharded_knn_shapley(spark, sf_dir):
+    """SHARD-STRATIFIED KNN-SHAPLEY — q528's closed form in its 100-TB
+    DEPLOYMENT SHAPE: the training corpus partitions into
+    {shards} hash shards (cand_id % {shards}), each test point values
+    each shard's candidates INDEPENDENTLY (rank, recursion, and suffix
+    sum all partition by (test, shard) — ``knn_shapley_values`` with a
+    composite test key, per-partition N from its window count), and a
+    candidate's value is its within-shard value averaged over tests.
+    This is the estimator that removes q528's only data-sized
+    partition: the per-task sort shrinks from N to N/shards at the
+    price of valuing each point against its shard's K-NN surface
+    rather than the global one — the accepted accuracy/parallelism
+    dial of the published sharded deployment, with q528 as the exact
+    pilot-scale baseline (their rank correlation is the quality
+    audit, asserted in tests).
+
+    The N < K base-case generalization matters here even when the
+    corpus is large: a fine sharding can leave a shard with fewer than
+    K candidates, and ind*min(K,Ns)/(K*Ns) keeps every shard's values
+    efficiency-consistent (hypothesis-pinned on the operator).
+
+    Scale shape: identical plan family to q528 — broadcast test side,
+    scan-side exact integer distances, ONE exchange keyed by
+    (test, shard) — but the sort parallelism is tests x shards and
+    the per-task cost is (N/shards) log(N/shards); shards scale with
+    the corpus, so the per-task sort is BOUNDED at any corpus size."""
+    from variantcalling_spark.operators.similarity import knn_shapley_values
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _quantize(F.col("embedding")).alias("qv")
+    )
+    tests = emb.where(F.col("vec_id") % _SHAPLEY_TEST_MOD == 0).select(
+        F.col("vec_id").alias("test_id"),
+        F.col("label").alias("t_label"),
+        F.col("qv").alias("tv"),
+    )
+    train = emb.where(F.col("vec_id") % _SHAPLEY_TEST_MOD != 0).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("c_label"),
+        F.col("qv").alias("cv"),
+        (F.col("vec_id") % _SHAPLEY_SHARDS).alias("shard"),
+    )
+    n_tests = tests.agg(F.count(F.lit(1)).cast("bigint").alias("n_tests"))
+    dist2 = F.aggregate(
+        F.zip_with("cv", "tv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    d = train.crossJoin(F.broadcast(tests)).select(
+        (
+            F.col("test_id") * _SHAPLEY_SHARDS + F.col("shard")
+        ).alias("tkey"),
+        "cand_id",
+        "c_label",
+        "shard",
+        dist2.alias("dist2"),
+        F.when(F.col("c_label") == F.col("t_label"), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("ind"),
+    )
+    s = knn_shapley_values(
+        d, k=_SHAPLEY_K, test_col="tkey", carry=("c_label", "shard")
+    )
+    return (
+        s.groupBy("cand_id", "c_label", "shard")
+        .agg(F.sum("sv").alias("phi_sum"))
+        .crossJoin(F.broadcast(n_tests))
+        .select(
+            F.col("cand_id").alias("vec_id"),
+            F.col("c_label").alias("label"),
+            F.col("shard").cast("int").alias("shard"),
+            F.round(
+                F.col("phi_sum").cast("double") / F.col("n_tests"), 6
+            ).alias("shapley"),
+        )
+    )
+
+
+q532_sharded_knn_shapley.__doc__ = q532_sharded_knn_shapley.__doc__.format(
+    shards=_SHAPLEY_SHARDS
+)
