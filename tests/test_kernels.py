@@ -617,3 +617,47 @@ def test_community_components_endpoint_without_marker_row(spark):
         for r in community_components(rows, max_group_rows=1).collect()
     }
     assert got == want
+
+
+def test_community_piece_labels_fallback_equals_kernel(spark):
+    """community_piece_labels (the per-node sibling): rc is the piece's
+    NUMERIC minimum on both paths — the Arrow fold's min-rooted
+    union-find and the star-contraction fallback, whose namespaced keys
+    are zero-padded so lexicographic min == numeric min (ids crossing a
+    digit-length boundary, e.g. 9 vs 10, are the trap case covered
+    here)."""
+    from variantcalling_spark.operators.kernels import community_piece_labels
+
+    # community 1: path 9-10-11 (min 9 — digit-length boundary) + isolated 4
+    # community 2: pairs 10-11 and 112-13
+    # community 3: marker-only 99
+    edges = [
+        (1, 9, 10), (1, 10, 11),
+        (2, 10, 11), (2, 112, 13),
+    ]
+    markers = [(1, n) for n in (9, 10, 11, 4)] + [(2, n) for n in (10, 11, 13, 112)]
+    markers += [(3, 99)]
+    rows = spark.createDataFrame(
+        [(c, a, b) for c, a, b in edges]
+        + [(c, a, -1) for c, a in markers],
+        "community long, a long, b long",
+    )
+    want = {
+        (r.community, r.node, r.rc)
+        for r in community_piece_labels(rows).collect()
+    }
+    assert want == {
+        (1, 9, 9), (1, 10, 9), (1, 11, 9), (1, 4, 4),
+        (2, 10, 10), (2, 11, 10), (2, 13, 13), (2, 112, 13),
+        (3, 99, 99),
+    }
+    got = {
+        (r.community, r.node, r.rc)
+        for r in community_piece_labels(rows, max_group_rows=1).collect()
+    }
+    assert got == want
+    mixed = {
+        (r.community, r.node, r.rc)
+        for r in community_piece_labels(rows, max_group_rows=4).collect()
+    }
+    assert mixed == want

@@ -8505,6 +8505,42 @@ SELECT * FROM (
     )
 
 
+def _refine_pieces_grouped(edges, part):
+    """``_refine_pieces`` for BOUNDED communities: the same
+    (node, community, rc) contract with rc = piece-minimum node id,
+    computed by ONE grouped Arrow union-find
+    (``community_piece_labels``) instead of iterative star-contraction
+    rounds. q531 runs five refinements per invocation; the star form
+    accumulated ~900 stages across the loop and overflowed a
+    default-memory (1g) driver's status store — the driver-contract
+    session the harness actually uses — while the grouped form costs
+    ~4 stages per level. The kernel keeps the distributed
+    star-contraction fallback for communities above its row cap, so
+    the swap never reintroduces the q151-era hope that communities
+    stay small."""
+    from variantcalling_spark.operators.kernels import community_piece_labels
+
+    intra = (
+        edges.join(
+            part.select(F.col("node").alias("src"), F.col("community").alias("ca")),
+            "src",
+        )
+        .join(
+            part.select(F.col("node").alias("dst"), F.col("community").alias("cb")),
+            "dst",
+        )
+        .where(F.col("ca") == F.col("cb"))
+        .select(F.col("ca").alias("community"), F.col("src").alias("a"), F.col("dst").alias("b"))
+    )
+    markers = part.select(
+        "community", F.col("node").alias("a"), F.lit(-1).cast("long").alias("b")
+    )
+    labels = community_piece_labels(markers.unionByName(intra))
+    return (
+        labels.select("node", "community", "rc").localCheckpoint()
+    )
+
+
 def _q_num_of(edges, deg, m2: int, part, key: str) -> tuple[int, int]:
     """(exact-integer modularity numerator, community count) of
     ``part`` keyed by ``key`` — module-level twin of the q519 inner
@@ -8654,7 +8690,7 @@ def _build_q531(spark, sf_dir):
     rows = [(0, "init", n0, best, True, best)]
     for lvl in range(1, _HL_LEVELS + 1):
         _, _, _, _, swept = _super_sweep_frames(edges, deg, m2t, cur)
-        cand = _refine_pieces(edges, swept)
+        cand = _refine_pieces_grouped(edges, swept)
         qc, nc = _q_num_of(edges, deg, m2, cand, "rc")
         accepted = qc > best
         if accepted:
