@@ -7120,12 +7120,19 @@ def _leiden_refined_frames(spark, sf_dir):
 
 def _build_leiden_refined(spark, sf_dir):
     edges, _, deg, m2t, _, after = _louvain_after_frames(spark, sf_dir)
-    refined = _refine_pieces(edges, after)
+    refined = _refine_pieces_grouped(edges, after)
     return edges, deg, m2t, after, refined
 
 
 def _refine_pieces(edges, part):
-    """Leiden REFINEMENT phase as a reusable step: split every
+    """(Star-contraction form — kept as the fully-distributed
+    reference implementation and for the grouped kernel's oversized-
+    community fallback path; the production call sites now go through
+    ``_refine_pieces_grouped``, which computes the same (node,
+    community, rc) with one Arrow union-find per community and ~4
+    stages instead of iterative rounds — the q531 driver-OOM lesson.)
+
+    Leiden REFINEMENT phase as a reusable step: split every
     community of ``part(node, community)`` into its connected pieces
     over the intra-community edges (star contraction, O(log n)
     rounds). Returns ``(node, community, rc)`` localCheckpoint'd — rc
@@ -7871,7 +7878,7 @@ def _build_q519(spark, sf_dir):
             _, _, _, _, swept = _leiden_sweep1_frames(spark, sf_dir)
         else:
             _, _, _, _, swept = _super_sweep_frames(edges, deg, m2t, cur)
-        cand = _refine_pieces(edges, swept)
+        cand = _refine_pieces_grouped(edges, swept)
         qc = q_num(cand, "rc")
         nc = n_comms(cand)
         accepted = qc > best
