@@ -829,3 +829,55 @@ def test_kneser_ney_formula_is_proper(big):
             for w2 in nb
         )
         assert abs(tot - 1.0) < 1e-9, w1
+
+
+graph_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # community
+        st.integers(min_value=0, max_value=15),  # node a
+        st.integers(min_value=-1, max_value=15),  # b: -1 marker, else edge
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=graph_strategy)
+@settings(**SETTINGS)
+def test_community_piece_labels_matches_naive_union_find(spark, rows):
+    """community_piece_labels == a pure-python union-find per
+    community, on arbitrary (community, edge|marker) relations —
+    BOTH paths (Arrow fold and the star-contraction fallback forced
+    with cap=1), including self-loop edges, repeated edges, and
+    endpoints with no marker row."""
+    from variantcalling_spark.operators.kernels import community_piece_labels
+
+    df = spark.createDataFrame(rows, "community long, a long, b long")
+
+    want: dict = {}
+    for comm in {c for c, _, _ in rows}:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                x = parent[x]
+            return x
+
+        for c, a, b in rows:
+            if c != comm:
+                continue
+            parent.setdefault(a, a)
+            if b >= 0:
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        for n in parent:
+            want[(comm, n)] = find(n)
+
+    for cap in (1_000_000, 1):
+        got = {
+            (r.community, r.node): r.rc
+            for r in community_piece_labels(df, max_group_rows=cap).collect()
+        }
+        assert got == want, cap
