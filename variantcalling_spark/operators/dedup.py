@@ -913,7 +913,12 @@ def connected_components(
     # propagation round — without the checkpoint each of those
     # executions re-runs the whole upstream pair pipeline (for q98's
     # PPJoin discovery that was invisible at sf0.1 and 14x the query
-    # cost at 10x, measured r10: q503 89 s -> see SCALE.md).
+    # cost at 10x, measured r10: q503 89 s -> see SCALE.md). Entry cuts
+    # MUST stay eager: edges/labels are read by TWO branches of the
+    # first round's DAG, and a lazy checkpoint materializes under a
+    # concurrent cache-population race (the documented q65 swing class
+    # — measured here in r11: lazy entry cuts took q131 from 4 s to
+    # 20-26 s at sf0.01).
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -932,10 +937,20 @@ def connected_components(
         prop = edges.join(labels, edges["src"] == labels["node"]).select(
             F.col("dst").alias("node"), "label"
         )
+        # r11 optimization: checkpoint ``merged`` LAZILY, then run the
+        # convergence probe against the checkpoint and derive the next
+        # round's labels as a projection of it. The old order (probe on
+        # the lazy plan, then an eager checkpoint of the projection)
+        # executed the round's join+aggregate TWICE per iteration. Lazy
+        # is safe exactly here: the probe is merged's ONLY consumer at
+        # materialization time (its exchange map-stage runs fully before
+        # the probe's limit), so no concurrent-population race; the next
+        # round reads an already-materialized checkpoint.
         merged = (
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("label").alias("new_label"))
+            .localCheckpoint(eager=False)
         )
         changed = (
             merged.join(labels, "node")
@@ -943,9 +958,7 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = merged.select(
-            "node", F.col("new_label").alias("label")
-        ).localCheckpoint()
+        labels = merged.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
     return labels
@@ -995,9 +1008,21 @@ def star_contraction_components(
         )
 
     for _ in range(max_rounds):
-        nxt = star(star(e, large=True), large=False).localCheckpoint()
+        # lazy cut; the convergence probe below materializes the round
+        # (single consumer at materialization time — no race; the next
+        # round and the post-loop fold read the populated checkpoint)
+        nxt = star(star(e, large=True), large=False).localCheckpoint(eager=False)
+        # one symmetric-difference job instead of two exceptAll probes:
+        # both sides are distinct sets, so a (a, b) key appearing in
+        # exactly one of them (count == 1 in the union) IS the
+        # difference — one shuffle over two checkpointed scans
         diff = (
-            nxt.exceptAll(e).limit(1).count() + e.exceptAll(nxt).limit(1).count()
+            nxt.unionByName(e)
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") == 1)
+            .limit(1)
+            .count()
         )
         e = nxt
         if diff == 0:

@@ -5848,14 +5848,6 @@ def q517_consensus_ari(spark, sf_dir):
     c = corpus(spark, sf_dir).transform(managed_persist)
     universe = c.select("doc_id")
 
-    def part_labels(pairs, alias):
-        comp = connected_components(pairs)
-        return universe.join(
-            comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
-        ).select(
-            "doc_id", F.coalesce("label", F.col("doc_id")).alias(alias)
-        )
-
     votes = (
         m_exact.select("doc_a", "doc_b")
         .unionByName(m_minhash.select("doc_a", "doc_b"))
@@ -5863,26 +5855,103 @@ def q517_consensus_ari(spark, sf_dir):
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("votes"))
     )
-    cons = part_labels(
-        votes.where(F.col("votes") >= 2).select("doc_a", "doc_b"), "l1"
-    ).transform(managed_persist)
+    maj = votes.where(F.col("votes") >= 2).select("doc_a", "doc_b")
 
-    out = None
-    for method, rel in (
-        ("a_exact_md5", m_exact),
-        ("b_minhash_lsh", m_minhash),
-        ("c_winnowing", m_winnow),
-    ):
-        both = cons.join(part_labels(rel, "l2"), "doc_id")
-        arm = _ari_ledger(both).select(
-            F.lit(method).alias("method"),
-            "n_docs",
-            "sum_ij",
-            "sum_a",
-            "sum_b",
-            "ari_num2",
-            "ari_den2",
-            "ari",
+    # r11 optimization: ONE namespaced component fold for all four pair
+    # graphs (consensus + three methods) instead of four separate
+    # iterative folds — edges live in disjoint id namespaces
+    # (node' = mi * OFF + doc_id), so components never cross graphs,
+    # rounds run max(diameters) times instead of sum, and the driver
+    # pays one convergence loop. min-label decodes exactly: within a
+    # namespace every node shares the mi * OFF offset, so
+    # label' % OFF == the per-graph min doc_id.
+    OFF = 1 << 40  # doc ids are far below 2^40; 4 * OFF fits bigint
+    rels = ((0, maj), (1, m_exact), (2, m_minhash), (3, m_winnow))
+    ns_pairs = None
+    for mi, rel in rels:
+        p = rel.select(
+            (F.lit(mi).cast("bigint") * OFF + F.col("doc_a")).alias("doc_a"),
+            (F.lit(mi).cast("bigint") * OFF + F.col("doc_b")).alias("doc_b"),
         )
-        out = arm if out is None else out.unionByName(arm)
-    return out.orderBy("method")
+        ns_pairs = p if ns_pairs is None else ns_pairs.unionByName(p)
+    lab = connected_components(ns_pairs).select(
+        F.expr(f"CAST(node DIV {OFF} AS INT)").alias("mi"),
+        (F.col("node") % OFF).alias("doc_id"),
+        (F.col("label") % OFF).alias("lab"),
+    )
+
+    # long-form partition labels: (mi, doc_id, l) over the full corpus
+    # universe for each graph, singletons their own cluster — one join
+    # instead of four per-arm universe joins
+    mi_df = spark.range(4).select(F.col("id").cast("int").alias("mi"))
+    long = (
+        universe.crossJoin(F.broadcast(mi_df))
+        .join(lab, ["mi", "doc_id"], "left")
+        .select("mi", "doc_id", F.coalesce("lab", F.col("doc_id")).alias("l"))
+        .transform(managed_persist)
+    )
+    cons = long.where(F.col("mi") == 0).select("doc_id", F.col("l").alias("l1"))
+    arms = long.where(F.col("mi") > 0).select(
+        "mi", "doc_id", F.col("l").alias("l2")
+    )
+    both = cons.join(arms, "doc_id")
+
+    # the q507 ledger computed once, keyed by method: same DECIMAL(38,0)
+    # pair-count arithmetic as _ari_ledger, with sum_a (consensus-side)
+    # computed once — it is method-independent
+    DEC = "decimal(38,0)"
+
+    def pair_sum(grouped, cname):
+        n = F.col("n").cast(DEC)
+        return grouped.agg(
+            F.sum((n * (n - F.lit(1)) / F.lit(2)).cast(DEC)).cast(DEC).alias(cname)
+        )
+
+    cells = both.groupBy("mi", "l1", "l2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    sij = pair_sum(cells.groupBy("mi"), "sum_ij")
+    sb = pair_sum(
+        both.groupBy("mi", "l2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .groupBy("mi"),
+        "sum_b",
+    )
+    sa = pair_sum(
+        cons.groupBy("l1").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .groupBy(),
+        "sum_a",
+    )
+    nd = universe.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+
+    ndd = F.col("n_docs").cast(DEC)
+    tot = (ndd * (ndd - F.lit(1)) / F.lit(2)).cast(DEC)
+    sum_ij_d = F.col("sum_ij").cast(DEC)
+    sum_a_d = F.col("sum_a").cast(DEC)
+    sum_b_d = F.col("sum_b").cast(DEC)
+    num2 = (
+        F.lit(2).cast(DEC) * tot * sum_ij_d
+        - F.lit(2).cast(DEC) * sum_a_d * sum_b_d
+    )
+    den2 = tot * (sum_a_d + sum_b_d) - F.lit(2).cast(DEC) * sum_a_d * sum_b_d
+    method = (
+        F.when(F.col("mi") == 1, "a_exact_md5")
+        .when(F.col("mi") == 2, "b_minhash_lsh")
+        .otherwise("c_winnowing")
+    )
+    return (
+        sij.join(sb, "mi")
+        .crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            method.alias("method"),
+            "n_docs",
+            F.col("sum_ij").cast("bigint").alias("sum_ij"),
+            F.col("sum_a").cast("bigint").alias("sum_a"),
+            F.col("sum_b").cast("bigint").alias("sum_b"),
+            num2.cast("bigint").alias("ari_num2"),
+            den2.cast("bigint").alias("ari_den2"),
+            F.round(num2.cast("double") / den2.cast("double"), 6).alias("ari"),
+        )
+        .orderBy("method")
+    )
