@@ -147,12 +147,18 @@ def test_q74_neardup_discovery_is_equi_hash_join(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
-def test_q19_topk_is_two_phase(spark):
-    # phase 1 ranks within (group, input partition); a single global
-    # window would sort the whole table in one partition per group
+def test_q19_topk_prunes_map_side(spark):
+    # the rank filter must plan as WindowGroupLimit (SPARK-37099) with a
+    # Partial pass BEFORE the window's exchange — each input partition
+    # then ships at most k rows per group, so the shuffle is k*M-bounded
+    # at any input size; a plain Window without the limit pushdown would
+    # sort the whole table in one partition per group
     p = plan_of(spark, "q19_topk_per_group")
-    assert p.count("RunningWindowFunction") >= 2 or p.count("Window") >= 2
-    assert "SPARK_PARTITION_ID" in p.upper() or "spark_partition_id" in p
+    assert p.count("WindowGroupLimit") >= 2, p
+    # the hand-rolled per-partition pre-prune (spark_partition_id key)
+    # was removed in r11 — it duplicated WindowGroupLimit at the price
+    # of an extra Exchange and two extra sorts
+    assert "SPARK_PARTITION_ID" not in p.upper()
 
 
 def test_q75_benchmark_set_is_broadcast(spark):

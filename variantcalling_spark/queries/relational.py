@@ -640,31 +640,29 @@ WHERE rn <= 3
 """,
 )
 def q19_topk_per_group(spark, sf_dir):
-    """Deterministic top-k per stratum, two-phase.
+    """Deterministic top-k per stratum.
 
     Mirrors the per-(length,nuc) stratified sampling `collect_hpol_table.
     py:105-115` and best-match argmax `quick_fingerprinter.py:114-118`;
     full key tie-break makes the result reproducible across partitionings.
 
-    A single ranked window over the whole table shuffles every row into
-    one partition per group — with 3 groups that is a 3-way sort of the
-    entire input (straggler/OOM shape at 100 TB). Phase 1 takes top-k
-    within each (group, input-partition) — many small parallel sorts, a
-    superset of the global top-k for ANY partition assignment — phase 2
-    ranks the <= k * n_partitions survivors per group.
+    One ranked window + rank filter is the whole query: Spark's
+    WindowGroupLimit (SPARK-37099, 3.5+) plants a PARTIAL group limit
+    on the map side of the window's exchange, so each input partition
+    ships at most k rows per group — the shuffle carries <= k * M rows
+    no matter the input size, and the per-group final sort ranks those
+    survivors only. (r11: this replaced a hand-rolled two-phase
+    per-(group, spark_partition_id) pre-prune that duplicated exactly
+    that optimization at the price of a second Exchange and two extra
+    sorts — plan went 2 Exchange -> 1, see plans/r11/.)
     """
     from pyspark.sql import Window as W
 
     li = load_table(spark, sf_dir, "lineitem")
     order = [F.desc("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")]
-    w1 = W.partitionBy("l_returnflag", "__pid").orderBy(*order)
     w2 = W.partitionBy("l_returnflag").orderBy(*order)
     return (
         li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
-        .withColumn("__pid", F.spark_partition_id())
-        .withColumn("rn", F.row_number().over(w1))
-        .where(F.col("rn") <= 3)
-        .drop("__pid", "rn")
         .withColumn("rn", F.row_number().over(w2))
         .where(F.col("rn") <= 3)
         .drop("rn")
