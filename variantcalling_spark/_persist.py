@@ -75,3 +75,19 @@ def lineage_cut(df):
     if has_dir:
         return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=False)
+
+
+def lineage_cut_eager(df):
+    """EAGER mode-aware lineage cut — for SUBSTRATE boundaries whose
+    first consumer reads the frame from multiple DAG branches in one
+    job: a lazy cut materializes under the concurrent cache-population
+    race (measured q131 4 s -> 20-26 s with lazy entry cuts, r11
+    batch-1 ledger). Pays one job at build time; combine with
+    ``_memo.memoized`` so the build happens once per (session, data)."""
+    try:
+        has_dir = df.sparkSession.sparkContext.getCheckpointDir() is not None
+    except Exception:
+        has_dir = False
+    if has_dir:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

@@ -336,10 +336,7 @@ def q132_knn_graph(spark, sf_dir):
     of either side. Buckets, cosines, and ranks are engine-exact
     (quantized integer projections + full tie-break), so the complete
     graph is value-checked against the identical SQL."""
-    from variantcalling_spark.operators.similarity import knn_graph
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return knn_graph(emb, k=3, prefix_bits=6)
+    return _knn3_fixed6(spark, sf_dir)
 
 
 @query("q69_lsh_ann", oracle=_lsh_ann_oracle_sql())
@@ -489,7 +486,7 @@ def q121_pq_ann(spark, sf_dir):
     from variantcalling_spark.operators.similarity import pq_adc_topk, pq_index
 
     emb = load_table(spark, sf_dir, "embeddings")
-    codebooks, codes = pq_index(emb, m=8, k_sub=16)
+    codebooks, codes = _pq_codes_8x16(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 5)
     return pq_adc_topk(queries, codes, codebooks, k=3, m=8)
 
@@ -632,7 +629,7 @@ def q144_knn_pagerank(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     edges = (
-        adaptive_knn_graph(emb, k=3)
+        _knn3_adaptive(spark, sf_dir)
         .select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
         .transform(managed_persist)
     )
@@ -692,10 +689,7 @@ def q146_adaptive_knn_graph(spark, sf_dir):
     configuration — so the adaptive path is value-proven end-to-end
     through the identical SQL; bench.py's scale2 runs this variant at
     10x (1024 buckets) to demonstrate the linear behavior."""
-    from variantcalling_spark.operators.similarity import adaptive_knn_graph
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return adaptive_knn_graph(emb, k=3)
+    return _knn3_adaptive(spark, sf_dir)
 
 
 LPA_ITERS = 3
@@ -755,6 +749,74 @@ from variantcalling_spark._memo import (  # noqa: E402
     _session_stopped,
     memoized as _memoized,
 )
+from variantcalling_spark._persist import lineage_cut_eager  # noqa: E402
+
+
+def _knn3_fixed6(spark, sf_dir):
+    """Session-memoized k=3 / 6-bit kNN edge substrate over embeddings
+    — (vec_id, neighbor_id, cosine, rank), eagerly checkpointed once
+    per (session, sf_dir). A dozen graph-analytics queries read this
+    SAME graph (q132 family, harmonic/eccentricity/bridges/
+    betweenness/...); before the memo each rebuilt the bucket self-join
+    + cosine + top-k window per invocation — only the bucketed base
+    relation was CacheManager-shared, never the scored pairs or the
+    window. Same results by construction (the build is deterministic);
+    the cut is EAGER because several consumers read the edge frame from
+    two+ DAG branches of their first job."""
+    from variantcalling_spark.operators.similarity import knn_graph
+
+    def build():
+        emb = load_table(spark, sf_dir, "embeddings")
+        return knn_graph(emb, k=3, prefix_bits=6).transform(lineage_cut_eager)
+
+    return _memoized("knn3f6", spark, sf_dir, build)
+
+
+def _knn3_adaptive(spark, sf_dir):
+    """Session-memoized ADAPTIVE-bits k=3 kNN edge substrate (q146
+    family: PageRank, LOF, facility location, assortativity, ...) —
+    the ``adaptive_knn_graph(emb, k=3)`` twin of :func:`_knn3_fixed6`,
+    including its corpus ``count()`` (one job per SESSION now, was one
+    per consumer invocation)."""
+    from variantcalling_spark.operators.similarity import adaptive_knn_graph
+
+    def build():
+        emb = load_table(spark, sf_dir, "embeddings")
+        return adaptive_knn_graph(emb, k=3).transform(lineage_cut_eager)
+
+    return _memoized("knn3ad", spark, sf_dir, build)
+
+
+def _ivf16_index(spark, sf_dir):
+    """Session-memoized IVF(n_centroids=16) index over embeddings —
+    (centroids_df, assigned). The seeded Spark ML KMeans fit (20
+    distributed iterations) ran once per CONSUMER invocation before the
+    memo; q392/q421/q481 all build this identical index. centroids_df
+    is a tiny driver-local frame; the assignment is eagerly
+    checkpointed once per (session, sf_dir)."""
+    from variantcalling_spark.operators.similarity import ivf_index
+
+    def build():
+        emb = load_table(spark, sf_dir, "embeddings")
+        centroids, assigned = ivf_index(emb, n_centroids=16)
+        return centroids, assigned.transform(lineage_cut_eager)
+
+    return _memoized("ivf16", spark, sf_dir, build)
+
+
+def _pq_codes_8x16(spark, sf_dir):
+    """Session-memoized PQ(m=8, k_sub=16) index — (codebooks, codes).
+    The shared Lloyd loop (5 driver-coordinated rounds, one collect
+    each, deterministic md5 init) runs once per session instead of once
+    per consumer invocation (q121 / q478's m=8 arm / q481)."""
+    from variantcalling_spark.operators.similarity import pq_index
+
+    def build():
+        emb = load_table(spark, sf_dir, "embeddings")
+        codebooks, codes = pq_index(emb, m=8, k_sub=16)
+        return codebooks, codes.transform(lineage_cut_eager)
+
+    return _memoized("pq8x16", spark, sf_dir, build)
 
 
 def _lpa_edges_and_labels(spark, sf_dir):
@@ -773,7 +835,7 @@ def _build_lpa(spark, sf_dir):
     from variantcalling_spark.operators.similarity import adaptive_knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings")
-    e0 = adaptive_knn_graph(emb, k=3).select(
+    e0 = _knn3_adaptive(spark, sf_dir).select(
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     edges = (
@@ -1104,7 +1166,7 @@ def q174_mutual_knn_pairs(spark, sf_dir):
     from variantcalling_spark.operators.similarity import knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings")
-    knn = knn_graph(emb, k=3).transform(managed_persist)
+    knn = _knn3_fixed6(spark, sf_dir).transform(managed_persist)
     a, b = knn.alias("a"), knn.alias("b")
     return (
         a.join(
@@ -1165,7 +1227,7 @@ def q175_mutual_nn_clusters(spark, sf_dir):
     from variantcalling_spark.operators.similarity import knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings")
-    knn = knn_graph(emb, k=3).transform(managed_persist)
+    knn = _knn3_fixed6(spark, sf_dir).transform(managed_persist)
     a, b = knn.alias("a"), knn.alias("b")
     m = (
         a.join(
@@ -1261,7 +1323,7 @@ def q186_personalized_pagerank(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     edges = (
-        adaptive_knn_graph(emb, k=3)
+        _knn3_adaptive(spark, sf_dir)
         .select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
         .transform(managed_persist)
     )
@@ -2204,7 +2266,7 @@ def q255_bfs_distances(spark, sf_dir):
     from variantcalling_spark.operators.similarity import knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings")
-    e0 = knn_graph(emb, k=3, prefix_bits=6).select(
+    e0 = _knn3_fixed6(spark, sf_dir).select(
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     edges = (
@@ -2573,7 +2635,7 @@ def q264_kcore_peeling(spark, sf_dir):
     from variantcalling_spark.operators.similarity import adaptive_knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings")
-    knn = adaptive_knn_graph(emb, k=3).select(
+    knn = _knn3_adaptive(spark, sf_dir).select(
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     # localCheckpoint, not persist: five self-referential rounds over the
@@ -2791,7 +2853,7 @@ def q294_lof_outliers(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     edges = (
-        adaptive_knn_graph(emb, k=3)
+        _knn3_adaptive(spark, sf_dir)
         .select("vec_id", "neighbor_id", (F.lit(1.0) - F.col("cosine")).alias("dist"))
         .transform(managed_persist)
     )
@@ -2917,7 +2979,7 @@ def q297_adamic_adar(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     und = (
-        adaptive_knn_graph(emb, k=3)
+        _knn3_adaptive(spark, sf_dir)
         .select(
             F.least("vec_id", "neighbor_id").alias("u"),
             F.greatest("vec_id", "neighbor_id").alias("v"),
@@ -3243,7 +3305,7 @@ def q311_degree_assortativity(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     und = (
-        adaptive_knn_graph(emb, k=3)
+        _knn3_adaptive(spark, sf_dir)
         .select(
             F.least("vec_id", "neighbor_id").alias("u"),
             F.greatest("vec_id", "neighbor_id").alias("v"),
@@ -3360,7 +3422,7 @@ def q308_facility_location(spark, sf_dir):
     from variantcalling_spark.operators.similarity import adaptive_knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = adaptive_knn_graph(emb, k=3)
+    edges = _knn3_adaptive(spark, sf_dir)
     adj = (
         edges.select(
             F.col("vec_id").alias("a"),
@@ -3399,17 +3461,23 @@ def q308_facility_location(spark, sf_dir):
             .groupBy("c")
             .agg(F.sum("term").cast("double").alias("gain"))
         )
-        from pyspark.sql import Window as W2
-
+        # argmax as ONE map-side-combinable aggregate (the LPA min-struct
+        # trick): min(struct(-round(gain,10), c, gain)) orders identically
+        # to the former global row_number window — highest snapped gain,
+        # then smallest candidate id — without shuffling every candidate
+        # row into one sorted partition per round (r11: 4 Exchange+Sort
+        # pairs removed from the greedy loop)
         pick = (
-            g.withColumn(
-                "rn",
-                F.row_number().over(
-                    W2.orderBy(F.round(F.col("gain"), 10).desc(), "c")
-                ),
+            g.agg(
+                F.min(
+                    F.struct(
+                        (-F.round(F.col("gain"), 10)).alias("ng"),
+                        F.col("c").alias("node"),
+                        F.col("gain").alias("gain"),
+                    )
+                ).alias("top")
             )
-            .where(F.col("rn") == 1)
-            .select(F.col("c").alias("node"), "gain")
+            .select(F.col("top.node").alias("node"), F.col("top.gain").alias("gain"))
             .localCheckpoint(eager=True)
         )
         pa = adj.join(
@@ -4030,7 +4098,7 @@ def q392_ivf_recall_eval(spark, sf_dir):
     q = emb.where(F.col("vec_id") < 40)
     ex = cosine_topk(q, emb, k=10).select("query_id", "cand_id")
     ex = ex.transform(managed_persist)
-    centroids, indexed = ivf_index(emb, n_centroids=16)
+    centroids, indexed = _ivf16_index(spark, sf_dir)
     indexed = indexed.transform(managed_persist)
     out = None
     for nprobe in (2, 4, 8):
@@ -4262,7 +4330,7 @@ def q405_bounded_hop_sssp(spark, sf_dir):
     from variantcalling_spark.operators.similarity import knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings")
-    e = knn_graph(emb, k=3, prefix_bits=6).select(
+    e = _knn3_fixed6(spark, sf_dir).select(
         "vec_id",
         "neighbor_id",
         F.round((1.0 - F.col("cosine")) * 1000000).cast("bigint").alias("w"),
@@ -4333,7 +4401,7 @@ def q421_multiprobe_ivf_recall(spark, sf_dir):
     q = emb.where(F.col("vec_id") < 40)
     ex = cosine_topk(q, emb, k=10).select("query_id", "cand_id")
     ex = ex.transform(managed_persist)
-    centroids, indexed = ivf_index(emb, n_centroids=16)
+    centroids, indexed = _ivf16_index(spark, sf_dir)
     indexed = indexed.transform(managed_persist)
 
     # probe-count ledger shared by all arms: per (query, centroid) the
@@ -4474,7 +4542,7 @@ def q424_hits_centrality(spark, sf_dir):
     from pyspark.sql import Window as W2
 
     emb = load_table(spark, sf_dir, "embeddings")
-    e = knn_graph(emb, k=3, prefix_bits=6).select(
+    e = _knn3_fixed6(spark, sf_dir).select(
         "vec_id", "neighbor_id"
     ).transform(managed_persist)
     h = emb.select(F.col("vec_id").alias("node"), F.lit(1).cast("bigint").alias("h"))
@@ -4557,7 +4625,7 @@ def q425_harmonic_centrality(spark, sf_dir):
     from variantcalling_spark.operators.similarity import knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings")
-    e = knn_graph(emb, k=3, prefix_bits=6).select(
+    e = _knn3_fixed6(spark, sf_dir).select(
         "vec_id", "neighbor_id"
     ).transform(managed_persist)
     d = emb.select(
@@ -4784,7 +4852,7 @@ def q466_hubness_audit(spark, sf_dir):
     from variantcalling_spark.operators.similarity import knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings")
-    e = knn_graph(emb, k=3, prefix_bits=6).select("vec_id", "neighbor_id")
+    e = _knn3_fixed6(spark, sf_dir).select("vec_id", "neighbor_id")
     indeg = e.groupBy(F.col("neighbor_id").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d_in")
     )
@@ -4866,7 +4934,7 @@ def q467_rich_club(spark, sf_dir):
     from variantcalling_spark.operators.similarity import knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings")
-    e = knn_graph(emb, k=3, prefix_bits=6).select("vec_id", "neighbor_id")
+    e = _knn3_fixed6(spark, sf_dir).select("vec_id", "neighbor_id")
     und = (
         e.select(
             F.least("vec_id", "neighbor_id").alias("a"),
@@ -5082,7 +5150,7 @@ def q470_hubness_correction_audit(spark, sf_dir):
             ).alias(f"{prefix}_skew"),
         )
 
-    raw = knn_graph(emb, k=3, prefix_bits=6).select(
+    raw = _knn3_fixed6(spark, sf_dir).select(
         "vec_id", "neighbor_id"
     ).transform(managed_persist)
     mpe = mutual_proximity_knn(emb, k=3, prefix_bits=6).select(
@@ -5461,7 +5529,7 @@ def q477_clustering_coefficient(spark, sf_dir):
     from variantcalling_spark.operators.similarity import knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings")
-    e = knn_graph(emb, k=3, prefix_bits=6).select("vec_id", "neighbor_id")
+    e = _knn3_fixed6(spark, sf_dir).select("vec_id", "neighbor_id")
     und = (
         e.select(
             F.least("vec_id", "neighbor_id").alias("a"),
@@ -5569,7 +5637,11 @@ def q478_pq_recall_harness(spark, sf_dir):
     nex = ex.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
     out = None
     for m in _PQR_MS:
-        codebooks, codes = pq_index(emb, m=m, k_sub=16)
+        codebooks, codes = (
+            _pq_codes_8x16(spark, sf_dir)
+            if m == 8
+            else pq_index(emb, m=m, k_sub=16)
+        )
         ap = pq_adc_topk(probes, codes, codebooks, k=_PQR_K, m=m).select(
             "query_id", "cand_id"
         )
@@ -5747,9 +5819,9 @@ def q481_ivf_pq_rerank(spark, sf_dir):
         .transform(managed_persist)
     )
     nex = ex.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
-    centroids, indexed = ivf_index(emb, n_centroids=16)
+    centroids, indexed = _ivf16_index(spark, sf_dir)
     indexed = indexed.transform(managed_persist)
-    codebooks, codes = pq_index(emb, m=8, k_sub=16)
+    codebooks, codes = _pq_codes_8x16(spark, sf_dir)
     codes = codes.transform(managed_persist)
     arms = (
         ("ivf_exact", ivf_cosine_topk(probes, indexed, centroids, k=10, nprobe=4)),
@@ -6931,7 +7003,7 @@ def q502_incremental_knn_graph(spark, sf_dir):
     new = rescaled.unionByName(negated)
 
     # stored state: the old graph + the old bucketed relation
-    old_graph = knn_graph(emb, k=3, prefix_bits=6).select(
+    old_graph = _knn3_fixed6(spark, sf_dir).select(
         "vec_id", "neighbor_id", "cosine"
     ).transform(managed_persist)
     bucket = _band_slices_arrow(6, 1)
@@ -8211,7 +8283,7 @@ def q522_betweenness_centrality(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     e = (
-        knn_graph(emb, k=3, prefix_bits=6)
+        _knn3_fixed6(spark, sf_dir)
         .select("vec_id", "neighbor_id")
         .transform(managed_persist)
     )
