@@ -1851,7 +1851,10 @@ def q180_edit_distance_neardup(spark, sf_dir):
     w = (
         c.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .distinct()
-        .transform(managed_persist)
+        # junction cut (campaign recipe): w feeds rare + both join
+        # aliases — persist alone left the explode subtree re-inlined
+        # per reference (q204 measured 101 Exchange in the static plan)
+        .transform(lineage_cut)
     )
     rare = (
         w.groupBy("word")
@@ -2018,7 +2021,10 @@ def q204_blocking_quality(spark, sf_dir):
     w = (
         c.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .distinct()
-        .transform(managed_persist)
+        # junction cut (campaign recipe): w feeds rare + both join
+        # aliases — persist alone left the explode subtree re-inlined
+        # per reference (q204 measured 101 Exchange in the static plan)
+        .transform(lineage_cut)
     )
     rare = (
         w.groupBy("word")
@@ -2033,14 +2039,14 @@ def q204_blocking_quality(spark, sf_dir):
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
-        .transform(managed_persist)
+        .transform(lineage_cut)
     )
     truth = (
         _REGISTRY["q65_ngram_jaccard"]
         .fn(spark, sf_dir)
         .where(F.col("jaccard") >= 0.6)
         .select("doc_a", "doc_b")
-        .transform(managed_persist)
+        .transform(lineage_cut)
     )
     hit = truth.join(cand, ["doc_a", "doc_b"]).agg(
         F.count(F.lit(1)).cast("bigint").alias("h")
@@ -2120,7 +2126,10 @@ def q210_idf_weighted_containment(spark, sf_dir):
     w = (
         c.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .distinct()
-        .transform(managed_persist)
+        # junction cut (campaign recipe): w feeds rare + both join
+        # aliases — persist alone left the explode subtree re-inlined
+        # per reference (q204 measured 101 Exchange in the static plan)
+        .transform(lineage_cut)
     )
     idf = (
         w.groupBy("word")
@@ -3199,20 +3208,23 @@ def q303_kmv_source_overlap(spark, sf_dir):
         .join(docs.select("doc_id", "source"), "doc_id")
         .select("source", F.col("shingle").alias("s"))
         .distinct()
-        .transform(managed_persist)
+        # junction cut: sh feeds hv, na, and both aliases of the exact
+        # arm (5 references re-inlined the shingle subtree — q303 was
+        # the registry's largest static plan at 108 Exchange)
+        .transform(lineage_cut)
     )
     hv = sh.select("source", portable_string_hash(F.col("s")).alias("v")).distinct()
     sk = (
         hv.withColumn("rn", F.row_number().over(W.partitionBy("source").orderBy("v")))
         .where(F.col("rn") <= 64)
         .select("source", "v")
-        .transform(managed_persist)
+        .transform(lineage_cut)
     )
     na = sh.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     prs = (
         na.select(F.col("source").alias("sa"))
         .join(na.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb"))
-        .transform(managed_persist)
+        .transform(lineage_cut)
     )
     uv = (
         prs.join(sk.select(F.col("source").alias("sa"), "v"), "sa")
@@ -3230,7 +3242,7 @@ def q303_kmv_source_overlap(spark, sf_dir):
         )
         .where(F.col("rn") <= 64)
         .select("sa", "sb", "v")
-        .transform(managed_persist)
+        .transform(lineage_cut)
     )
     ukth = uk.groupBy("sa", "sb").agg(F.max("v").cast("bigint").alias("vk"))
     both = (
