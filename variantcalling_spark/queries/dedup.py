@@ -2506,39 +2506,48 @@ def q228_cms_heavy_hitters(spark, sf_dir):
         .where(F.col("word") != "")
         .transform(managed_persist)
     )
-    hv = t.select("word", portable_string_hash(F.col("word")).alias("v"))
-    rows = [
-        hv.select(
-            F.lit(i).alias("row_i"),
-            ((F.lit(a).cast("bigint") * F.col("v") + F.lit(b)) % MERSENNE31 % w).alias(
-                "bucket"
-            ),
-        )
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    cells = rows[0]
-    for r in rows[1:]:
-        cells = cells.unionByName(r)
+    hv = t.select(portable_string_hash(F.col("word")).alias("v"))
+    # all d sketch rows from ONE token scan: the former d-way union
+    # re-read the cached tokens (and re-evaluated the md5 fold) once
+    # per row — posexplode of the d bucket expressions emits the same
+    # (row_i, bucket) cells in a single pass (same groupBy shuffle,
+    # which map-side combines to <= d*w cells per partition)
+    cells = hv.select(
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        (F.lit(a).cast("bigint") * F.col("v") + F.lit(b))
+                        % MERSENNE31
+                        % w
+                    )
+                    for (a, b) in coeffs
+                ]
+            )
+        ).alias("row_i", "bucket")
+    )
     cms = cells.groupBy("row_i", "bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
     exact = t.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     cand0 = exact.orderBy(F.col("c").desc(), "word").limit(20)
     cand = cand0.select("word", "c", portable_string_hash(F.col("word")).alias("v"))
-    crows = [
-        cand.select(
-            "word",
-            "c",
-            F.lit(i).alias("row_i"),
-            ((F.lit(a).cast("bigint") * F.col("v") + F.lit(b)) % MERSENNE31 % w).alias(
-                "bucket"
-            ),
-        )
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    cc = crows[0]
-    for r in crows[1:]:
-        cc = cc.unionByName(r)
+    cc = cand.select(
+        "word",
+        "c",
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        (F.lit(a).cast("bigint") * F.col("v") + F.lit(b))
+                        % MERSENNE31
+                        % w
+                    )
+                    for (a, b) in coeffs
+                ]
+            )
+        ).alias("row_i", "bucket"),
+    )
     est = (
         cc.join(F.broadcast(cms.hint("broadcast")).alias("cms"), ["row_i", "bucket"])
         .groupBy("word", "c")
