@@ -310,6 +310,31 @@ def test_connected_components_vs_union_find(spark):
     assert got == want
 
 
+def test_components_local_path_equals_distributed(spark, monkeypatch):
+    """The size-gated driver union-find short circuit must produce
+    exactly the (node, label) rows of the distributed rounds it
+    replaces, for BOTH components operators (cap=0 disables the gate
+    and forces the distributed path)."""
+    from variantcalling_spark.operators.dedup import (
+        connected_components,
+        star_contraction_components,
+    )
+
+    pairs = [(i, i + 1) for i in range(1, 30)]  # deep path graph
+    pairs += [(100, 103), (103, 101), (200, 201), (300, 300 + 1)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+    def run_both(op, **kw):
+        monkeypatch.setenv("SPARK_GRAFT_COMPONENTS_LOCAL_CAP", "200000")
+        local = {(r.node, r.label) for r in op(df, **kw).collect()}
+        monkeypatch.setenv("SPARK_GRAFT_COMPONENTS_LOCAL_CAP", "0")
+        dist = {(r.node, r.label) for r in op(df, **kw).collect()}
+        assert local == dist and local
+
+    run_both(star_contraction_components)
+    run_both(connected_components, max_iters=40)
+
+
 def test_projection_sums_arrow_matches_fold(spark):
     """The Arrow matmul signature stage must be bit-identical to the
     interpreted expression fold it replaced (quantized integer inputs

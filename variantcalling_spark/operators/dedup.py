@@ -957,6 +957,9 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    local = _local_components_frame(edges, "src", "dst")
+    if local is not None:
+        return local
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -994,6 +997,59 @@ def connected_components(
     return labels
 
 
+def _local_components_frame(edges: DataFrame, col_a: str, col_b: str):
+    """Small-graph short circuit shared by both components operators:
+    when the (already materialized) edge set is at most
+    ``$SPARK_GRAFT_COMPONENTS_LOCAL_CAP`` rows (default 200k, ``0``
+    disables), collect it and run driver union-find — one bounded
+    collect (a few MB at the cap, far under maxResultSize) replaces an
+    O(log n)- or diameter-round driver loop whose per-round cost is
+    jobs and shuffles, not data. The same adaptivity as AQE's
+    broadcast conversion: input statistics pick the physical plan; at
+    production scale the count exceeds the cap and the distributed
+    rounds run unchanged. Union-by-min-root + path compression, so
+    every root IS its component's minimum id — exactly the min-label
+    contract of both operators. Returns the (node, label) DataFrame,
+    or None when the distributed path must run."""
+    import os
+
+    cap = int(os.environ.get("SPARK_GRAFT_COMPONENTS_LOCAL_CAP", "200000"))
+    # edges is eagerly checkpointed by the caller: count() and
+    # collect() scan materialized blocks, they never re-run the
+    # upstream pair pipeline
+    if cap <= 0 or edges.count() > cap:
+        return None
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes = set()
+    for row in edges.select(col_a, col_b).collect():
+        a, b = row[0], row[1]
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # min root wins -> root == component min
+
+    from pyspark.sql.types import StructField, StructType
+
+    dt = edges.schema[col_a].dataType
+    schema = StructType(
+        [StructField("node", dt, False), StructField("label", dt, False)]
+    )
+    rows = [(n, find(n)) for n in sorted(nodes)]
+    return edges.sparkSession.createDataFrame(rows, schema)
+
+
 def star_contraction_components(
     pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", max_rounds: int = 20
 ) -> DataFrame:
@@ -1017,6 +1073,9 @@ def star_contraction_components(
         .distinct()
         .localCheckpoint()
     )
+    local = _local_components_frame(e, "a", "b")
+    if local is not None:
+        return local
 
     def star(edges: DataFrame, large: bool) -> DataFrame:
         nbrs = edges.select(

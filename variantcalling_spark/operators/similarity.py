@@ -1504,17 +1504,40 @@ def ivf_pq_rerank_topk(
         .cast("decimal(24,12)")
         .alias("pd2"),
     )
-    expanded = cand.join(
-        codes.select(
-            F.col(id_col).alias("cand_id"),
-            F.posexplode("codes").alias("subspace", "code"),
+    # Per-query LUT folded to ONE broadcast map row (key = subspace·2^16
+    # + code): ADC becomes a single zip_with/aggregate expression over
+    # the intact codes array — the former shape posexploded every
+    # candidate m ways, equi-joined the m·|cand| rows against the LUT,
+    # and re-grouped them back to (query, cand) through an Exchange.
+    # Decimal fold = the same exact partial sums the groupBy computed
+    # (decimal addition is order-free), cast double once at the end.
+    lut_map = lut.groupBy("query_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("subspace").cast("bigint") * 65536 + F.col("code")).alias(
+                        "k"
+                    ),
+                    F.col("pd2").alias("v"),
+                )
+            )
+        ).alias("lut")
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, s: F.element_at(
+                F.col("lut"), s.cast("bigint") * 65536 + c
+            ),
         ),
-        "cand_id",
+        F.lit(0).cast("decimal(34,12)"),
+        lambda acc, v: (acc + v).cast("decimal(34,12)"),
     )
     pool = (
-        expanded.join(F.broadcast(lut), ["query_id", "subspace", "code"])
-        .groupBy("query_id", "cand_id")
-        .agg(F.sum("pd2").cast("double").alias("adc_dist2"))
+        cand.join(codes.select(F.col(id_col).alias("cand_id"), "codes"), "cand_id")
+        .join(F.broadcast(lut_map), "query_id")
+        .select("query_id", "cand_id", adc.cast("double").alias("adc_dist2"))
         .withColumn(
             "rk",
             F.row_number().over(

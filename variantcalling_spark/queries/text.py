@@ -6386,25 +6386,47 @@ def q432_stylometric_clusters(spark, sf_dir):
             .alias("b")
         )
     )
-    za = z.join(sig, "doc_id").select(
-        F.col("doc_id").alias("doc_a"), "w", F.col("z").alias("za"), "b"
+    # Delta over PROFILE ARRAYS, not per-word rows: every doc carries
+    # the identical top-word set (f is the doc x top-word cross), so
+    # the per-doc z-profile folds once into a w-sorted array and the
+    # block join matches on the sign bucket alone — one row per
+    # candidate pair instead of one per (pair, word). The former shape
+    # shuffled |z| x 2 word rows into the (b, w) join and re-grouped
+    # pair x word rows through a second Exchange; both are gone. The
+    # decimal fold accumulates the same round(|za-zb|, 8) terms the
+    # groupBy summed (decimal addition is order-free), and the
+    # denominator is the array width = the per-pair join row count.
+    zv = (
+        z.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("w", "z"))).alias("wz"))
+        .select(
+            "doc_id",
+            F.expr("transform(wz, x -> x.z)").alias("zs"),
+            F.size("wz").alias("nw"),
+        )
     )
-    zb = z.join(sig, "doc_id").select(
-        F.col("doc_id").alias("doc_b"), "w", F.col("z").alias("zb"), "b"
+    za = zv.join(sig, "doc_id").select(
+        F.col("doc_id").alias("doc_a"), F.col("zs").alias("zs_a"), "nw", "b"
+    )
+    zb = zv.join(sig, "doc_id").select(
+        F.col("doc_id").alias("doc_b"), F.col("zs").alias("zs_b"), "b"
+    )
+    delta_sum = F.aggregate(
+        F.zip_with(
+            F.col("zs_a"),
+            F.col("zs_b"),
+            lambda x, y: F.round(F.abs(x - y), 8).cast("decimal(20,8)"),
+        ),
+        F.lit(0).cast("decimal(30,8)"),
+        lambda acc, v: (acc + v).cast("decimal(30,8)"),
     )
     pairs = (
-        za.join(zb, ["b", "w"])
+        za.join(zb, "b")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            (
-                F.sum(
-                    F.round(F.abs(F.col("za") - F.col("zb")), 8).cast(
-                        "decimal(20,8)"
-                    )
-                ).cast("double")
-                / F.count(F.lit(1))
-            ).alias("delta")
+        .select(
+            "doc_a",
+            "doc_b",
+            (delta_sum.cast("double") / F.col("nw")).alias("delta"),
         )
         .where(F.col("delta") <= _STYL_THRESH)
     )
