@@ -2269,22 +2269,17 @@ def q226_bbit_minhash(spark, sf_dir):
     estimators are pure projections over the already-joined signature
     pairs. Integer bit arithmetic -> bit-exact cross-engine."""
     from variantcalling_spark.operators.dedup import (
-        portable_band_buckets,
+        portable_band_candidates,
         portable_minhash_signatures,
     )
 
     c = corpus(spark, sf_dir)
     sh = shingles(c, n=3).transform(managed_persist)
     sigs = portable_minhash_signatures(sh, num_hashes=32).transform(managed_persist)
-    bands = portable_band_buckets(sigs, num_bands=8, rows_per_band=4)
-    ba = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-    bb = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
-    cands = (
-        ba.join(bb, ["band", "bucket"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    # first-colliding-band discovery (same operator as q66, so the whole
+    # candidate subtree is plan-identical and CacheManager-shared with
+    # it): emits each pair once — no distinct() re-shuffle after the join
+    cands = portable_band_candidates(sigs, num_bands=8, rows_per_band=4)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"))
     est = (
@@ -5201,7 +5196,26 @@ truth AS (
 def _method_pair_frames(spark, sf_dir):
     """Spark side of ``_method_rel_cte_sql``: the three dedup-method
     pair relations over the augmented corpus, as DataFrames —
-    (m_exact, m_minhash, m_winnow). Shared by q501 and q511."""
+    (m_exact, m_minhash, m_winnow). Shared by q501/q507/q511/q517.
+
+    Session-memoized + eagerly checkpointed (the kNN-substrate recipe,
+    _memo.py): the three discoveries are the expensive part of all four
+    consensus consumers, and before the memo each consumer invocation
+    re-ran them — CacheManager shared the persisted frames only while
+    they stayed cached, and any cache drop (clearCache between sweep
+    queries, LRU eviction) re-billed the full pipelines. The pair
+    frames are tiny (ids only), so the checkpoint blocks cost ~nothing;
+    eager because every consumer's first job reads each frame from 2+
+    DAG branches (votes union + per-method arms)."""
+    from variantcalling_spark._memo import memoized
+
+    return memoized(
+        "method_pairs", spark, sf_dir, lambda: _build_method_pair_frames(spark, sf_dir)
+    )
+
+
+def _build_method_pair_frames(spark, sf_dir):
+    from variantcalling_spark._persist import lineage_cut_eager
     from variantcalling_spark.operators.dedup import (
         jaccard_for_pairs,
         portable_band_candidates,
@@ -5254,12 +5268,13 @@ def _method_pair_frames(spark, sf_dir):
         )
         .select("doc_a", "doc_b")
     )
-    # persist the three relations: every consumer (q501 arms, q511
-    # votes + components, q517 votes + per-method partitions) reads
-    # each at least twice, and the discoveries are the expensive part
-    m_exact = m_exact.transform(managed_persist)
-    m_minhash = m_minhash.transform(managed_persist)
-    m_winnow = m_winnow.transform(managed_persist)
+    # eager checkpoint instead of persist: every consumer (q501 arms,
+    # q511 votes + components, q517 votes + per-method partitions) reads
+    # each at least twice, the discoveries are the expensive part, and
+    # the memo above makes the materialization once-per-session
+    m_exact = m_exact.transform(lineage_cut_eager)
+    m_minhash = m_minhash.transform(lineage_cut_eager)
+    m_winnow = m_winnow.transform(lineage_cut_eager)
     return m_exact, m_minhash, m_winnow
 
 
