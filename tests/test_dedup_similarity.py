@@ -689,6 +689,32 @@ def test_pq_deterministic_across_runs(spark):
     assert outs[0] == outs[1]
 
 
+def test_q478_pq_arms_memo_served(spark, sf_dir):
+    """All three of q478's PQ trainings are session-memoized (r11
+    sixth-session fix: the m=2/m=4 arms re-ran their 5-round Lloyd
+    loops on every invocation — 12.7 s per warm re-invocation at
+    sf0.01). A second build in the same session must serve every arm
+    from the memo (same substrate objects, no retraining) and return
+    identical rows."""
+    from variantcalling_spark.queries import similarity as simq
+
+    app = spark.sparkContext.applicationId
+
+    def pq_entries():
+        return {
+            k: id(v[1])
+            for k, v in simq._SUBSTRATE_MEMO.items()
+            if k[1] == app and k[0].startswith("pq") and k[0].endswith("x16")
+        }
+
+    r1 = sorted(map(tuple, simq.q478_pq_recall_harness(spark, sf_dir).collect()))
+    entries = pq_entries()
+    assert {k[0] for k in entries} >= {f"pq{m}x16" for m in simq._PQR_MS}
+    r2 = sorted(map(tuple, simq.q478_pq_recall_harness(spark, sf_dir).collect()))
+    assert r1 == r2
+    assert pq_entries() == entries  # memo-served, not rebuilt
+
+
 def test_pq_codes_compress_to_m_bytes(spark):
     """The code table carries exactly m small codes per vector — the
     memory contract (m bytes/vec at k_sub<=256) that makes PQ the

@@ -41,7 +41,10 @@ def memoized(kind: str, spark, sf_dir: str, build):
     for k in [
         k for k, (sess, _) in list(_SUBSTRATE_MEMO.items()) if _session_stopped(sess)
     ]:
-        del _SUBSTRATE_MEMO[k]
+        # pop, not del: builds may run from a thread pool (q478's arm
+        # overlap), and two concurrent evictions of the same stale key
+        # must not raise
+        _SUBSTRATE_MEMO.pop(k, None)
     key = (kind, spark.sparkContext.applicationId, sf_dir)
     if key not in _SUBSTRATE_MEMO:
         _SUBSTRATE_MEMO[key] = (spark, build())
