@@ -77,7 +77,38 @@ HEADLINE = [
 # note); its large in-phase spread is neighbor cache eviction, which
 # the best-of-2 min already rides out (best stable 1.5-1.7 s across
 # runs) and the spread field honestly reports.
+#
+# r12 measurement-bug fix (the r11 verdict's ask #5): SWING queries are
+# warmed AND timed in their own trailing sub-phase, AFTER every other
+# query of the phase has been timed. In r11 the SWING full warm-ups ran
+# in the shared up-front warm-up loop, so q65's fully-materialized
+# shingle/pair relations sat resident in the block manager during EVERY
+# other query's timed runs — the r11 verdict identified that cache
+# pressure as the best explanation for untouched queries regressing
+# 25-90% with near-zero spreads. Each SWING query keeps its own
+# protocol (full-count warm-up, best-of-3) unchanged; only WHEN it runs
+# moved. No query is removed or renamed; the emitted dicts are
+# identical in shape.
 SWING_SET = frozenset({"q65_ngram_jaccard", "q198_ld_r2_pairs"})
+
+# Scale2 entries whose timed runs read a session-memoized, eagerly
+# checkpointed substrate (the kNN edge graph / LPA labels built once
+# per session by queries/similarity.py::_knn3_*/_build_lpa) that the
+# warm-up loop populates: their timed numbers measure the query OVER
+# the substrate, not the substrate build (r11 verdict ask #4 — the
+# artifact must say so). The memo is keyed by applicationId and dies
+# with the JVM, so nothing is cached ACROSS bench runs; this list only
+# annotates the emitted JSON, it changes no measurement.
+MEMO_SERVED = frozenset(
+    {
+        "q144_knn_pagerank",
+        "q146_adaptive_knn_graph",
+        "q151_label_propagation",
+        "q294_lof_outliers",
+        "q308_facility_location",
+        "q425_harmonic_centrality",
+    }
+)
 
 
 def _warm_up(registry, name, spark, sf_dir) -> None:
@@ -121,13 +152,18 @@ def main() -> None:
     # load-contaminated phantom regressions a single timed run cannot
     # distinguish from a real one. ``value`` remains sum of per-query
     # times; expect it a touch LOWER than r1-r8 records at equal code.
-    for n in names:
-        _warm_up(registry, n, spark, sf_dir)
-
     per_query: dict[str, float] = {}
     spread: dict[str, float] = {}
-    for n in names:
-        per_query[n], spread[n] = _timed_best(registry, n, spark, sf_dir)
+    # SWING queries run in a trailing sub-phase (see SWING_SET note):
+    # their full-count warm-up must not sit resident during the other
+    # queries' timed runs.
+    regular = [n for n in names if n not in SWING_SET]
+    swing = [n for n in names if n in SWING_SET]
+    for group in (regular, swing):
+        for n in group:
+            _warm_up(registry, n, spark, sf_dir)
+        for n in group:
+            per_query[n], spread[n] = _timed_best(registry, n, spark, sf_dir)
 
     total = round(sum(per_query.values()), 3)
     result = {
@@ -334,17 +370,25 @@ def _second_scale_point(spark, registry) -> dict | None:
             if not phase:
                 continue
             spark.catalog.clearCache()
-            for n in phase:
-                _warm_up(registry, n, spark, sf1_dir)
-            # best-of-2 per query: the persist-heavy entries swing
-            # several-x under GC/cache-population timing accidents at
-            # 10x volumes (q112 measured 1.4s and 20.6s back-to-back);
-            # the min is the reproducible plan cost.
-            for n in phase:
-                per_query[n], spread[n] = _timed_best(registry, n, spark, sf1_dir)
+            # SWING queries (q65/q198) warm and time in a trailing
+            # sub-phase here too — same neighbor-cache-pressure fix as
+            # the headline loop (r11 verdict ask #5).
+            for group in (
+                [n for n in phase if n not in SWING_SET],
+                [n for n in phase if n in SWING_SET],
+            ):
+                for n in group:
+                    _warm_up(registry, n, spark, sf1_dir)
+                # best-of-2 per query: the persist-heavy entries swing
+                # several-x under GC/cache-population timing accidents at
+                # 10x volumes (q112 measured 1.4s and 20.6s back-to-back);
+                # the min is the reproducible plan cost.
+                for n in group:
+                    per_query[n], spread[n] = _timed_best(registry, n, spark, sf1_dir)
         return {
             "sf": 1.0,
             "note": "10x sf0.1 replicas with key offsets (tools/make_scale.py)",
+            "memo_served": sorted(n for n in per_query if n in MEMO_SERVED),
             "value": round(sum(per_query.values()), 3),
             "fixed_set_value": round(
                 sum(t for n, t in per_query.items() if n in SCALE2_FIXED_SET), 3

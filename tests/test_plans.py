@@ -553,11 +553,12 @@ def test_q136_corpus_window_is_bucket_partitioned(spark):
 
 def test_cdc_chunks_single_spread_exchange_only(spark):
     """Content-defined chunking must be pure per-row array algebra over
-    the chunking itself: the ONLY allowed Exchange is the r11 input
-    spread (`spread_heavy_input` — hash on the id column BEFORE the
-    per-row work, fired only when the scan plans fewer partitions than
-    cores), never a shuffle of the exploded token stream (the earlier
-    draft paid three of those for the same result)."""
+    the chunking itself — shuffle-free (the earlier draft paid three
+    token-stream shuffles for the same result). r12 reverted the r11
+    input-spread repartition (driver-measured net regression: q99 0.46x,
+    q66/q122/q129 0.66-0.72x), so the plan is back to ZERO Exchanges;
+    the <=1 allowance and the keyed-exchange check are kept so a future
+    gated spread cannot silently become a token-stream shuffle."""
     from variantcalling_spark.operators.dedup import cdc_chunks
     from variantcalling_spark.sources import load_table
 

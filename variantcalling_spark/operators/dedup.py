@@ -29,36 +29,6 @@ from pyspark.sql import functions as F
 from variantcalling_spark._persist import managed_persist
 
 
-def spread_heavy_input(df: DataFrame, *keys) -> DataFrame:
-    """Scale-adaptive input spread for HEAVY per-row projections
-    (shingling, signature folds, winnowing, chunking): when the input's
-    planned partition count cannot feed the machine, hash-repartition
-    it to the session's core count; otherwise pass through untouched.
-
-    Why: the bench tables are single-row-group parquet files, so their
-    scans plan 1-3 splits and every expensive projection fused into the
-    scan stage runs on ONE task while the other cores idle (measured
-    r11 at sf0.1: rowwise MinHash signatures over the corpus 2.04 s ->
-    0.91 s warm with the spread; plain cheap scans gain ~0.2 s and are
-    deliberately NOT spread — the exchange is only worth paying where
-    per-row compute dominates). The threshold max(4, cores/8) makes the
-    operator a NO-OP at production scale: a 100 TB scan plans orders of
-    magnitude more splits than cores/8, so no extra shuffle is ever
-    added where the data already parallelizes (guide §2.5 "input skew:
-    repartition immediately after the read" + §1.2 scale-adaptive
-    partitioning). The keyed repartition stays deterministic under task
-    retries (guide §2.5 rand-repartition hazard)."""
-    if df.isStreaming:
-        # a stream's parallelism is the source's concern (micro-batch
-        # planning), and .rdd is undefined on streaming frames
-        return df
-    sc = df.sparkSession.sparkContext
-    dp = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(4, dp // 8):
-        return df.repartition(dp, *keys)
-    return df
-
-
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
@@ -67,7 +37,7 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     inside the transform lambda re-evaluates the split per element —
     O(words^2) per doc and ~10x slower end-to-end.
     """
-    tok = spread_heavy_input(df, id_col).select(
+    tok = df.select(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("ws")
     )
     ws = F.col("ws")
@@ -389,7 +359,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     signature — and therefore the whole banded discovery query — is
     value-reproducible in ANSI SQL.
     """
-    words = spread_heavy_input(df, id_col).select(
+    words = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("w"),
     ).groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
@@ -712,7 +682,7 @@ def cdc_chunks(
     the full token stream; this shape has none). Each expensive array
     is materialized in its own projection (the ``shingles()``
     staging rule)."""
-    tok = spread_heavy_input(docs, id_col).select(
+    tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.col(text_col), " ").alias("ws"),
     )
@@ -1158,7 +1128,7 @@ def rowwise_minhash_signatures(
     (num_hashes x) as each band-min transform's array argument. Catalyst
     keeps the stages apart (CollapseProject refuses to inline non-cheap
     expressions referenced more than once)."""
-    tok = spread_heavy_input(docs, id_col).select(
+    tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.col(text_col), " ").alias("ws"),
     )
@@ -1201,7 +1171,7 @@ def positional_shingles(
     """Word n-gram shingles WITH their 1-based position: (doc_id, pos,
     shingle). The positional sibling of ``shingles`` (which dedups and
     drops order) — winnowing needs every occurrence in document order."""
-    tok = spread_heavy_input(df, id_col).select(
+    tok = df.select(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("ws")
     )
     ws = F.col("ws")

@@ -33,22 +33,6 @@ GVCF_BLOCK_SCHEMA = (
 )
 
 
-def _spread(df, *keys):
-    """Hash-repartition a CPU-bound pairwise kernel's input to the
-    session's core count. The per-row DP cost dwarfs the row's bytes,
-    so the kernel stage's partition count should track CORES, not
-    input size — AQE's coalescing right-sizes shuffles by BYTES and
-    collapses a small pre-kernel exchange to one or two partitions,
-    serializing the whole DP on one task while the rest of the machine
-    idles (measured r11: q473's token-LCS at sf0.1 ran all 2500 DPs on
-    one core; spread, the stage runs 32-wide, 2.0 s -> 1.5 s warm and
-    the gap grows with pair count). The keyed repartition stays
-    deterministic under task retries (optimization guide §2.5), and
-    ``defaultParallelism`` tracks the executor core total on a cluster,
-    so the exchange stays one task per core at any deployment size."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, *keys)
-
-
 def compress_gvcf_blocks(
     df: DataFrame,
     refcall_gq_threshold: int = 22,
@@ -416,9 +400,7 @@ def nw_align_scores(
                 }
             )
 
-    return _spread(pairs.select(id_col, a_col, b_col), id_col).mapInPandas(
-        run, schema=out_schema
-    )
+    return pairs.select(id_col, a_col, b_col).mapInPandas(run, schema=out_schema)
 
 
 def sw_align_scores(
@@ -488,9 +470,7 @@ def sw_align_scores(
                 }
             )
 
-    return _spread(pairs.select(id_col, a_col, b_col), id_col).mapInPandas(
-        run, schema=out_schema
-    )
+    return pairs.select(id_col, a_col, b_col).mapInPandas(run, schema=out_schema)
 
 
 def holt_linear_smooth(
@@ -621,7 +601,7 @@ def dtw_pair_distances(
                 }
             )
 
-    return _spread(pairs.select(ka_col, kb_col, a_col, b_col), ka_col, kb_col).mapInPandas(
+    return pairs.select(ka_col, kb_col, a_col, b_col).mapInPandas(
         run, schema=out_schema
     )
 
@@ -848,9 +828,7 @@ def gotoh_align_scores(
                 }
             )
 
-    return _spread(pairs.select(id_col, a_col, b_col), id_col).mapInPandas(
-        run, schema=out_schema
-    )
+    return pairs.select(id_col, a_col, b_col).mapInPandas(run, schema=out_schema)
 
 
 def lcs_lengths(
@@ -912,9 +890,7 @@ def lcs_lengths(
                 }
             )
 
-    return _spread(pairs.select(id_col, a_col, b_col), id_col).mapInPandas(
-        run, schema=out_schema
-    )
+    return pairs.select(id_col, a_col, b_col).mapInPandas(run, schema=out_schema)
 
 
 def lcs_lengths_tokens(
@@ -969,9 +945,7 @@ def lcs_lengths_tokens(
                 }
             )
 
-    return _spread(pairs.select(id_col, a_col, b_col), id_col).mapInPandas(
-        run, schema=out_schema
-    )
+    return pairs.select(id_col, a_col, b_col).mapInPandas(run, schema=out_schema)
 
 
 def page_hinkley_scan(

@@ -20,8 +20,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from variantcalling_spark.operators.dedup import spread_heavy_input
-
 MEDIA_SCHEMA = "doc_id long, media_type string, content binary"
 FEATURE_SCHEMA = (
     "doc_id long, media_type string, n_bytes int, first_byte int, "
@@ -178,9 +176,7 @@ def featurize_binary(media: DataFrame, batch_hint: int | None = None) -> DataFra
                 }
             )
 
-    return spread_heavy_input(media, "doc_id").mapInPandas(
-        extract, schema=FEATURE_SCHEMA
-    )
+    return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
 IMAGE_FEATURE_SCHEMA = (
@@ -231,9 +227,7 @@ def image_features(media: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFram
                 }
             )
 
-    return spread_heavy_input(media, "doc_id").mapInPandas(
-        extract, schema=IMAGE_FEATURE_SCHEMA
-    )
+    return media.mapInPandas(extract, schema=IMAGE_FEATURE_SCHEMA)
 
 
 def audio_features(media: DataFrame) -> DataFrame:
@@ -260,9 +254,7 @@ def audio_features(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return spread_heavy_input(media, "doc_id").mapInPandas(
-        extract, schema=AUDIO_FEATURE_SCHEMA
-    )
+    return media.mapInPandas(extract, schema=AUDIO_FEATURE_SCHEMA)
 
 
 FRAME_SCHEMA = "doc_id long, frame_idx int, n_bytes int, checksum bigint"

@@ -49,16 +49,68 @@ _PRIORITY = (
     # Driver budget is ~50 rows/round; the full local sweep
     # (tools/check_correctness.py) covers ALL queries every round, so this
     # order only decides WHICH rows the driver re-certifies.
-    # ROUND 11 ordering (r10 verdict ask #1 - pay the OLDEST debt first):
-    #   1. q434-q468 (35 queries, registered r8 - oldest block with no
-    #      CORRECTNESS row; the r10 driver run certified q384-q433);
-    #   2. the round-9 block q469-q483 ascending (never checked) - the
-    #      ~50-row budget covers exactly q434-q483 this round;
-    #   3. q484-q502 (rest of r9), q503-q518 (r10), then new ROUND-11
-    #      queries (insert new registrations at the marked slot below);
-    #   4. everything else keeps registry (module) order - all of it
-    #      has a green row from r1-r10 and stays covered by the sweep.
-    # --- Oldest never-driver-checked block (registered r8) ---
+    # ROUND 12 ordering (r11 verdict ask #10 - keep the certification
+    # cadence, pay the oldest debt first):
+    #   1. q484-q502 (rest of r9), q503-q518 (r10), q519-q532 (r11) -
+    #      the last never-driver-checked block, 49 queries, exactly the
+    #      ~50-row budget (the r11 driver run certified q434-q483; after
+    #      this round every registered query has a driver CORRECTNESS
+    #      row at least once: 530/530);
+    #   2. q434-q483 (certified r11), then everything else in registry
+    #      (module) order - all of it has a green row from r1-r11 and
+    #      stays covered by the local sweep every round.
+    # --- Never-driver-checked block: r9 tail + r10 + r11 registrations ---
+    "q484_nnd_recall_harness",
+    "q485_rendezvous_sharding",
+    "q486_winnowing_fingerprints",
+    "q487_t_closeness",
+    "q488_heaps_law_fit",
+    "q489_bleu_smoothing_variants",
+    "q490_semantic_decontamination",
+    "q491_louvain_local_move",
+    "q492_dp_noisy_histogram",
+    "q493_winnowing_ingest_dedup",
+    "q494_weighted_jaccard",
+    "q495_lsh_s_curve_validation",
+    "q496_nnd_clustered_recall",
+    "q497_lsh_band_planner",
+    "q498_winnowing_containment",
+    "q499_salted_skew_join",
+    "q500_community_connectivity_audit",
+    "q501_dedup_method_matrix",
+    "q502_incremental_knn_graph",
+    "q503_dp_cluster_release",
+    "q504_planner_recall_harness",
+    "q505_leiden_refinement",
+    "q506_leiden_aggregate_level",
+    "q507_partition_agreement_ari",
+    "q508_chrf_score",
+    "q509_rank_biased_overlap",
+    "q510_friedman_test",
+    "q511_consensus_coassociation",
+    "q512_gumbel_topk_sampling",
+    "q513_wasserstein_1d",
+    "q514_planner_driven_neardup",
+    "q515_chao1_richness",
+    "q516_token_burstiness",
+    "q517_consensus_ari",
+    "q518_matthews_correlation",
+    # (add NEW round-12+ queries HERE so they certify while young)
+    "q519_leiden_multilevel",
+    "q520_planned_minhash_neardup",
+    "q521_bpe_train_loop",
+    "q522_betweenness_centrality",
+    "q523_randomized_response",
+    "q524_holt_winters",
+    "q525_domain_mixture_weights",
+    "q526_repeated_sequences",
+    "q527_isotonic_calibration",
+    "q528_knn_shapley_valuation",
+    "q529_kneser_ney_bigram",
+    "q530_reciprocal_rank_fusion",
+    "q531_leiden_planted_hierarchy",
+    "q532_sharded_knn_shapley",
+    # --- Certified r11 (q434-q483) ---
     "q434_hosmer_lemeshow",
     "q435_chow_test",
     "q436_jonckheere_terpstra",
@@ -94,7 +146,6 @@ _PRIORITY = (
     "q466_hubness_audit",
     "q467_rich_club",
     "q468_readability",
-    # --- Round-9 block (never checked), ascending ---
     "q469_mutual_proximity_knn",
     "q470_hubness_correction_audit",
     "q471_srm_stream",
@@ -110,57 +161,6 @@ _PRIORITY = (
     "q481_ivf_pq_rerank",
     "q482_semantic_ingest_dedup",
     "q483_nn_descent_graph",
-    "q484_nnd_recall_harness",
-    "q485_rendezvous_sharding",
-    "q486_winnowing_fingerprints",
-    "q487_t_closeness",
-    "q488_heaps_law_fit",
-    "q489_bleu_smoothing_variants",
-    "q490_semantic_decontamination",
-    "q491_louvain_local_move",
-    "q492_dp_noisy_histogram",
-    "q493_winnowing_ingest_dedup",
-    "q494_weighted_jaccard",
-    "q495_lsh_s_curve_validation",
-    "q496_nnd_clustered_recall",
-    "q497_lsh_band_planner",
-    "q498_winnowing_containment",
-    "q499_salted_skew_join",
-    "q500_community_connectivity_audit",
-    "q501_dedup_method_matrix",
-    "q502_incremental_knn_graph",
-    # --- Round-10 block (never checked), ascending ---
-    "q503_dp_cluster_release",
-    "q504_planner_recall_harness",
-    "q505_leiden_refinement",
-    "q506_leiden_aggregate_level",
-    "q507_partition_agreement_ari",
-    "q508_chrf_score",
-    "q509_rank_biased_overlap",
-    "q510_friedman_test",
-    "q511_consensus_coassociation",
-    "q512_gumbel_topk_sampling",
-    "q513_wasserstein_1d",
-    "q514_planner_driven_neardup",
-    "q515_chao1_richness",
-    "q516_token_burstiness",
-    "q517_consensus_ari",
-    "q518_matthews_correlation",
-    # --- New in round 11 (add new queries HERE) ---
-    "q519_leiden_multilevel",
-    "q520_planned_minhash_neardup",
-    "q521_bpe_train_loop",
-    "q522_betweenness_centrality",
-    "q523_randomized_response",
-    "q524_holt_winters",
-    "q525_domain_mixture_weights",
-    "q526_repeated_sequences",
-    "q527_isotonic_calibration",
-    "q528_knn_shapley_valuation",
-    "q529_kneser_ney_bigram",
-    "q530_reciprocal_rank_fusion",
-    "q531_leiden_planted_hierarchy",
-    "q532_sharded_knn_shapley",
     # --- Certified r10 (q384-q433) + r9 (q284-q383), tail of the list ---
     "q284_attribution_last_touch",
     "q285_cochran_armitage",
